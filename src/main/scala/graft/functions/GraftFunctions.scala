@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * Registration + Column-level API for the engine's vector functions,
+ * mirroring the `Knn::` UDF module surface the reference query template
+ * calls (reference: /root/reference/app.py:212-227).
+ *
+ * Usage:
+ * {{{
+ *   GraftFunctions.register(spark)                 // imperative, or
+ *   // spark.sql.extensions=graft.functions.GraftExtensions
+ *   df.select(GraftFunctions.knnCosineSimilarity(col("embedding"), qv))
+ *   spark.sql("SELECT knn_cosine_similarity(embedding, ...) FROM store")
+ * }}}
+ */
+object GraftFunctions {
+
+  /** (name, arity-checked builder, usage doc) for every engine function. */
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("knn_cosine_similarity",
+      (es: Seq[Expression]) => { requireArity(es, 2, "knn_cosine_similarity"); KnnCosineSimilarity(es(0), es(1)) },
+      "_FUNC_(vec1, vec2) - cosine similarity of two float vectors (array<float> or packed binary)."),
+    ("knn_inner_product_similarity",
+      (es: Seq[Expression]) => { requireArity(es, 2, "knn_inner_product_similarity"); KnnInnerProductSimilarity(es(0), es(1)) },
+      "_FUNC_(vec1, vec2) - inner (dot) product of two float vectors."),
+    ("knn_cosine_distance",
+      (es: Seq[Expression]) => { requireArity(es, 2, "knn_cosine_distance"); KnnCosineDistance(es(0), es(1)) },
+      "_FUNC_(vec1, vec2) - cosine distance (1 - cosine similarity)."),
+    ("knn_euclidean_distance",
+      (es: Seq[Expression]) => { requireArity(es, 2, "knn_euclidean_distance"); KnnEuclideanDistance(es(0), es(1)) },
+      "_FUNC_(vec1, vec2) - Euclidean (L2) distance."),
+    ("knn_manhattan_distance",
+      (es: Seq[Expression]) => { requireArity(es, 2, "knn_manhattan_distance"); KnnManhattanDistance(es(0), es(1)) },
+      "_FUNC_(vec1, vec2) - Manhattan (L1) distance."),
+    ("to_binary_vector",
+      (es: Seq[Expression]) => { requireArity(es, 1, "to_binary_vector"); ToBinaryVector(es(0)) },
+      "_FUNC_(vec) - pack array<float> as little-endian float32 bytes + 0x01 tag."),
+    ("from_binary_vector",
+      (es: Seq[Expression]) => { requireArity(es, 1, "from_binary_vector"); FromBinaryVector(es(0)) },
+      "_FUNC_(bin) - unpack little-endian float32 bytes + 0x01 tag to array<float>.")
+  )
+
+  private def requireArity(es: Seq[Expression], n: Int, name: String): Unit =
+    require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+
+  /** Register all engine functions in the session's FunctionRegistry.
+    * Idempotent — safe to call at every API entry point. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder, usage) =>
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
+        builder)
+    }
+  }
+
+  // ------------------------------------------------------------- Column API
+
+  def knnCosineSimilarity(a: Column, b: Column): Column =
+    call_function("knn_cosine_similarity", a, b)
+  def knnInnerProductSimilarity(a: Column, b: Column): Column =
+    call_function("knn_inner_product_similarity", a, b)
+  def knnCosineDistance(a: Column, b: Column): Column =
+    call_function("knn_cosine_distance", a, b)
+  def knnEuclideanDistance(a: Column, b: Column): Column =
+    call_function("knn_euclidean_distance", a, b)
+  def knnManhattanDistance(a: Column, b: Column): Column =
+    call_function("knn_manhattan_distance", a, b)
+  def toBinaryVector(a: Column): Column = call_function("to_binary_vector", a)
+  def fromBinaryVector(a: Column): Column = call_function("from_binary_vector", a)
+}
+
+/**
+ * SparkSessionExtensions entry point so the functions can be injected via
+ * `--conf spark.sql.extensions=graft.functions.GraftExtensions` on a real
+ * cluster without any imperative registration call.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.all.foreach { case (name, builder, usage) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
+        builder))
+    }
+  }
+}

@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Catalyst expressions for the five vector-distance strategies the
+ * reference exposes (reference: /root/reference/app.py:222 calls
+ * `Knn::{STRATEGY}(embedding, $TargetEmbedding)`; the strategy list is
+ * env.example:15-17) plus the binary float-vector codec
+ * (app.py:157-162, 206-210).
+ *
+ * Each expression accepts `array<float>` or the binary wire format
+ * (`binary`) on either side — mirroring the reference's two embedding
+ * representations (`VECTOR_PASS_AS_BYTES`, app.py:63) — and returns a
+ * nullable double: NULL on dimension mismatch, malformed binary payload,
+ * null elements, or (for cosine) zero-norm input.
+ *
+ * `doGenCode` emits a call to the static [[VectorKernels]] so the
+ * distance stays inside WholeStageCodegen; the interpreted `nullSafeEval`
+ * path uses the identical kernel, so eval ≡ codegen by construction.
+ */
+abstract class VectorMetricExpression extends BinaryExpression {
+
+  /** Static method name on [[VectorKernels]] implementing this metric. */
+  protected def kernelName: String
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isVectorType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case BinaryType              => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (isVectorType(left.dataType) && isVectorType(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or binary (packed float32) " +
+          s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+  }
+
+  @inline private def normalize(v: Any, dt: DataType): ArrayData = dt match {
+    case BinaryType => VectorKernels.decodeFloatVector(v.asInstanceOf[Array[Byte]])
+    case _          => v.asInstanceOf[ArrayData]
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = normalize(l, left.dataType)
+    if (a == null) return null
+    val b = normalize(r, right.dataType)
+    if (b == null) return null
+    kernelName match {
+      case "cosineSimilarity"  => VectorKernels.cosineSimilarity(a, b)
+      case "innerProduct"      => VectorKernels.innerProduct(a, b)
+      case "cosineDistance"    => VectorKernels.cosineDistance(a, b)
+      case "euclideanDistance" => VectorKernels.euclideanDistance(a, b)
+      case "manhattanDistance" => VectorKernels.manhattanDistance(a, b)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = "graft.functions.VectorKernels"
+    val arrayCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val a = ctx.freshName("vecA")
+      val b = ctx.freshName("vecB")
+      val res = ctx.freshName("metric")
+      val decodeL = left.dataType match {
+        case BinaryType => s"$kernels.decodeFloatVector($l)"
+        case _          => l
+      }
+      val decodeR = right.dataType match {
+        case BinaryType => s"$kernels.decodeFloatVector($r)"
+        case _          => r
+      }
+      s"""
+         |$arrayCls $a = $decodeL;
+         |$arrayCls $b = $decodeR;
+         |java.lang.Double $res = (($a == null) || ($b == null))
+         |  ? null : $kernels.$kernelName($a, $b);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res.doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+}
+
+/** `Knn::CosineSimilarity` — app.py:222 with SEARCH_STRATEGY=CosineSimilarity. */
+case class KnnCosineSimilarity(left: Expression, right: Expression)
+    extends VectorMetricExpression {
+  override protected def kernelName: String = "cosineSimilarity"
+  override def prettyName: String = "knn_cosine_similarity"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `Knn::InnerProductSimilarity` — env.example:16. */
+case class KnnInnerProductSimilarity(left: Expression, right: Expression)
+    extends VectorMetricExpression {
+  override protected def kernelName: String = "innerProduct"
+  override def prettyName: String = "knn_inner_product_similarity"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `Knn::CosineDistance` — env.example:17. */
+case class KnnCosineDistance(left: Expression, right: Expression)
+    extends VectorMetricExpression {
+  override protected def kernelName: String = "cosineDistance"
+  override def prettyName: String = "knn_cosine_distance"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `Knn::EuclideanDistance` — env.example:17. */
+case class KnnEuclideanDistance(left: Expression, right: Expression)
+    extends VectorMetricExpression {
+  override protected def kernelName: String = "euclideanDistance"
+  override def prettyName: String = "knn_euclidean_distance"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `Knn::ManhattanDistance` — env.example:17. */
+case class KnnManhattanDistance(left: Expression, right: Expression)
+    extends VectorMetricExpression {
+  override protected def kernelName: String = "manhattanDistance"
+  override def prettyName: String = "knn_manhattan_distance"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * `to_binary_vector(array<float>) -> binary` — the client-side packing the
+ * reference does in `convert_vector_to_bytes` (app.py:157-162) and the
+ * server-side `Knn::ToBinaryStringFloat` (app.py:209): little-endian
+ * float32 values + trailing 0x01 tag.
+ */
+case class ToBinaryVector(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"to_binary_vector requires array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.encodeFloatVector(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("packed")
+      s"""
+         |byte[] $res = graft.functions.VectorKernels.encodeFloatVector($c);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "to_binary_vector"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `from_binary_vector(binary) -> array<float>` — inverse of
+ * [[ToBinaryVector]] (format defined at app.py:160-161). NULL on
+ * malformed payload.
+ */
+case class FromBinaryVector(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"from_binary_vector requires binary, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.decodeFloatVector(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("decoded")
+      val arrayCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |$arrayCls $res = graft.functions.VectorKernels.decodeFloatVector($c);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "from_binary_vector"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

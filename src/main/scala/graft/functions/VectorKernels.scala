@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+/**
+ * Scalar vector-distance kernels shared by the interpreted (`eval`) and
+ * code-generated (`doGenCode`) paths of the `Knn*` Catalyst expressions.
+ *
+ * Semantics mirror the five YDB `Knn::` strategies the reference invokes
+ * (reference: /root/reference/app.py:222, option list env.example:15-17):
+ * CosineSimilarity, InnerProductSimilarity, CosineDistance,
+ * EuclideanDistance, ManhattanDistance. Per the public Knn contract the
+ * result is NULL on malformed input / dimension mismatch; we additionally
+ * define zero-norm cosine as NULL (division by zero).
+ *
+ * All accumulation is sequential in Double (each float32 is promoted
+ * exactly, products of two float32 values are exact in float64), which
+ * makes results bit-reproducible regardless of partitioning and equal to
+ * any engine using the same promotion + sequential-sum scheme.
+ */
+object VectorKernels {
+
+  /** Trailing tag byte of the binary float-vector wire format
+    * (reference: /root/reference/app.py:160-161 — packed little-endian
+    * float32 values followed by 0x01 = "float vector"). */
+  final val FloatVectorTag: Byte = 0x01
+
+  // ---------------------------------------------------------------- metrics
+
+  /** Inner product: sum(a_i * b_i). Null on dim mismatch / null elements. */
+  def innerProduct(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Cosine similarity: dot / (sqrt(|a|^2) * sqrt(|b|^2)).
+    * Null on dim mismatch, null elements, or zero-norm input. */
+  def cosineSimilarity(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) return null
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Cosine distance: 1 - cosineSimilarity. */
+  def cosineDistance(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val s = cosineSimilarity(a, b)
+    if (s == null) null else java.lang.Double.valueOf(1.0 - s.doubleValue())
+  }
+
+  /** Euclidean (L2) distance: sqrt(sum((a_i - b_i)^2)). */
+  def euclideanDistance(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+
+  /** Manhattan (L1) distance: sum(|a_i - b_i|). */
+  def manhattanDistance(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  // ----------------------------------------------------------------- codec
+
+  /** Encode a float vector to the reference wire format: n little-endian
+    * float32 values + trailing tag byte 0x01 (app.py:157-162).
+    * Returns null if the array contains null elements. */
+  def encodeFloatVector(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n * 4 + 1)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val bits = java.lang.Float.floatToIntBits(a.getFloat(i))
+      val off = i * 4
+      out(off) = bits.toByte
+      out(off + 1) = (bits >>> 8).toByte
+      out(off + 2) = (bits >>> 16).toByte
+      out(off + 3) = (bits >>> 24).toByte
+      i += 1
+    }
+    out(n * 4) = FloatVectorTag
+    out
+  }
+
+  /** Decode the binary wire format back to a float vector; null if the
+    * payload is malformed (wrong length modulus or missing/unknown tag). */
+  def decodeFloatVector(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 1) return null
+    val body = bytes.length - 1
+    if (body % 4 != 0 || bytes(body) != FloatVectorTag) return null
+    val n = body / 4
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val off = i * 4
+      val bits = (bytes(off) & 0xff) |
+        ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) |
+        ((bytes(off + 3) & 0xff) << 24)
+      out(i) = java.lang.Float.intBitsToFloat(bits)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Normalize an argument that may be either array<float> or the binary
+    * wire format into ArrayData; null if binary payload is malformed. */
+  def asFloatArray(v: AnyRef): ArrayData = v match {
+    case b: Array[Byte] => decodeFloatVector(b)
+    case a: ArrayData   => a
+    case _              => null
+  }
+}

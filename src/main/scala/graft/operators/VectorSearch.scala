@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * The five distance strategies and their sort direction, mirroring the
+ * reference's `SEARCH_STRATEGY` config (reference: /root/reference/
+ * app.py:54, option list env.example:15-17). The sort direction is
+ * derived from the strategy name exactly as the reference does it
+ * (app.py:55): names ending in "Similarity" sort DESC (bigger = closer),
+ * everything else ("…Distance") sorts ASC.
+ */
+sealed abstract class SearchStrategy(val name: String, val functionName: String)
+    extends Serializable {
+  /** app.py:55 suffix rule. */
+  final def descending: Boolean = name.endsWith("Similarity")
+  /** score column builder for this strategy. */
+  def score(embedding: Column, query: Column): Column =
+    call_function(functionName, embedding, query)
+}
+
+object SearchStrategy {
+  case object CosineSimilarity
+      extends SearchStrategy("CosineSimilarity", "knn_cosine_similarity")
+  case object InnerProductSimilarity
+      extends SearchStrategy("InnerProductSimilarity", "knn_inner_product_similarity")
+  case object CosineDistance
+      extends SearchStrategy("CosineDistance", "knn_cosine_distance")
+  case object EuclideanDistance
+      extends SearchStrategy("EuclideanDistance", "knn_euclidean_distance")
+  case object ManhattanDistance
+      extends SearchStrategy("ManhattanDistance", "knn_manhattan_distance")
+
+  val all: Seq[SearchStrategy] = Seq(CosineSimilarity, InnerProductSimilarity,
+    CosineDistance, EuclideanDistance, ManhattanDistance)
+
+  /** Parse with the same strictness as the reference env validation. */
+  def fromString(s: String): SearchStrategy =
+    all.find(_.name == s).getOrElse(
+      throw new IllegalArgumentException(
+        s"Unknown SEARCH_STRATEGY '$s'; expected one of ${all.map(_.name).mkString(", ")}"))
+}
+
+/**
+ * Deployment-time store configuration — the Spark mirror of the
+ * reference's env surface (reference: /root/reference/app.py:40-66,
+ * env.example:9-27). Column mapping is config-driven, results are always
+ * projected to the canonical output names (app.py:217-222).
+ */
+case class StoreConfig(
+    idCol: String = "id",
+    titleCol: String = "title",
+    vendorCol: String = "vendor",
+    descriptionCol: String = "description",
+    embeddingCol: String = "embedding",
+    strategy: SearchStrategy = SearchStrategy.CosineSimilarity,
+    indexEnabled: Boolean = false,
+    searchTopSize: Int = 10, // PRAGMA KMeansTreeSearchTopSize default, app.py:60
+    defaultK: Int = 4)       // app.py:363
+
+/**
+ * Brute-force top-k vector search — the reference's one query template
+ * (reference: /root/reference/app.py:212-227) re-expressed as a
+ * declarative Spark plan:
+ *
+ *   scan → [conjunctive equality filter] → project(+score) → orderBy → limit
+ *
+ * Catalyst plans the `orderBy.limit(k)` pair as `TakeOrderedAndProject`:
+ * each partition keeps only its local top-k and the driver merges k·p
+ * rows — no full shuffle, no full sort, which is exactly the physical
+ * shape wanted at 100 TB. Equality filters are pushed into the Parquet
+ * scan; the score expression participates in WholeStageCodegen.
+ */
+object VectorSearch {
+
+  /** Canonical result column names (app.py:217-222). */
+  val OutputColumns: Seq[String] = Seq("id", "title", "vendor", "description", "score")
+
+  /**
+   * @param store     DataFrame with the configured columns
+   * @param queryVec  the query vector (`$TargetEmbedding`, app.py:198-210)
+   * @param k         top-k (`LIMIT {k}`, app.py:226; default 4 app.py:363)
+   * @param filter    conjunctive equality predicates keyed by *store* column
+   *                  name (app.py:174-184); mutually exclusive with the ANN
+   *                  index (app.py:171-172)
+   * @param scoreScale optionally round scores to this many decimals before
+   *                  ordering — used by the correctness harness for
+   *                  cross-engine determinism; None = raw scores
+   */
+  def bruteForce(
+      store: DataFrame,
+      cfg: StoreConfig,
+      queryVec: Array[Float],
+      k: Int,
+      filter: Map[String, String] = Map.empty,
+      scoreScale: Option[Int] = None): DataFrame = {
+    require(k > 0, s"k must be a positive integer, got $k") // app.py:368-370
+    require(filter.isEmpty || !cfg.indexEnabled,
+      "Filters are not supported when vector index is enabled") // app.py:171-172
+    GraftFunctions.register(store.sparkSession)
+
+    val filtered = filter.foldLeft(store) { case (df, (c, v)) =>
+      df.filter(col(c) === lit(v))
+    }
+    val rawScore = cfg.strategy.score(col(cfg.embeddingCol), typedLit(queryVec.toSeq))
+    val score = scoreScale.fold(rawScore)(s => round(rawScore, s))
+
+    val projected = filtered.select(
+      col(cfg.idCol).cast("string").as("id"),
+      col(cfg.titleCol).as("title"),
+      col(cfg.vendorCol).as("vendor"),
+      col(cfg.descriptionCol).as("description"),
+      score.as("score"))
+
+    val ordered =
+      if (cfg.strategy.descending) projected.orderBy(col("score").desc_nulls_last, col("id").asc)
+      else projected.orderBy(col("score").asc_nulls_last, col("id").asc)
+    ordered.limit(k)
+  }
+}
