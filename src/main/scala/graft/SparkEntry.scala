@@ -1,13 +1,302 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api._
+import graft.functions.GraftFunctions
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract — one `queries` entry per implemented operator
+ * (SURVEY.md §2 + the beyond-reference LLM-pipeline operators), each
+ * with an ANSI-SQL DuckDB oracle in [[oracleSql]] where expressible.
+ *
+ * Determinism rules shared by every query/oracle pair:
+ *  - scores are rounded to 6 decimals on BOTH sides before ordering,
+ *  - every ordering has a total tie-break (id, or the full key),
+ *  - aggregates over floats are avoided or exact (integer sums, one
+ *    final division), so partition order cannot change results.
+ *
+ * Store mapping for the vector queries: `embeddings ⋈ documents` on
+ * vec_id = doc_id, with id=vec_id, title=source, vendor=lang,
+ * description=text — the reference's 4 string columns + embedding
+ * (reference: /root/reference/app.py:40-51).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val Scale = 6
+  private val cfg = StoreConfig(
+    idCol = "vec_id", titleCol = "source", vendorCol = "lang",
+    descriptionCol = "text", embeddingCol = "embedding")
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fixed deterministic query vector: row vec_id=0's own embedding —
+    * self-match at rank 1 is a free sanity check. */
+  private def queryVec(spark: SparkSession, dir: String): Array[Float] =
+    table(spark, dir, "embeddings").where(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  private def knn(strategy: SearchStrategy, k: Int,
+      filter: Map[String, String] = Map.empty)(
+      spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.searchWithMetadata(
+      table(spark, dir, "embeddings"), table(spark, dir, "documents"),
+      ("vec_id", "doc_id"), cfg.copy(strategy = strategy),
+      queryVec(spark, dir), k, filter, Some(Scale))
+
+  // ------------------------------------------------------------- flagship
+
+  /** Flagship: cosine top-4 (the reference's defaults) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    knn(SearchStrategy.CosineSimilarity, 4)(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1+R4+R5+R6+R7+R8 — the reference's one query template, 5 strategies.
+    "knn_topk_cosine" -> ((s, d) => knn(SearchStrategy.CosineSimilarity, 4)(s, d)),
+    "knn_topk_inner_product" -> ((s, d) => knn(SearchStrategy.InnerProductSimilarity, 4)(s, d)),
+    "knn_topk_cosine_distance" -> ((s, d) => knn(SearchStrategy.CosineDistance, 4)(s, d)),
+    "knn_topk_euclidean" -> ((s, d) => knn(SearchStrategy.EuclideanDistance, 4)(s, d)),
+    "knn_topk_manhattan" -> ((s, d) => knn(SearchStrategy.ManhattanDistance, 4)(s, d)),
+    // R3 — conjunctive equality filter (on the vendor/lang column).
+    "knn_topk_filtered" -> ((s, d) =>
+      knn(SearchStrategy.CosineSimilarity, 8, Map("lang" -> "en"))(s, d)),
+    // V6+V7 — binary codec round-trip.
+    "codec_roundtrip" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "embeddings").select(
+        col("vec_id").as("id"),
+        GraftFunctions.fromBinaryVector(
+          GraftFunctions.toBinaryVector(col("embedding"))).as("vec"))
+        .orderBy("id")
+    }),
+    // V6 + R4 — distance over a binary-encoded store column.
+    "binary_store_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = table(s, d, "embeddings")
+        .select(col("vec_id"), GraftFunctions.toBinaryVector(col("embedding")).as("embedding"))
+      VectorSearch.searchWithMetadata(
+        emb, table(s, d, "documents"), ("vec_id", "doc_id"), cfg,
+        queryVec(s, d), 6, Map.empty, Some(Scale))
+    }),
+    // R2 — IVF/ANN index path; searchTopSize = numClusters ⇒ exact.
+    "ann_ivf_topk" -> ((s, d) => {
+      val store = table(s, d, "embeddings")
+        .join(table(s, d, "documents"),
+          col("vec_id") === col("doc_id"))
+      val (assigned, model) = IvfIndex.build(store, "embedding", numClusters = 8)
+      IvfIndex.search(assigned, model, cfg, queryVec(s, d),
+        k = 10, searchTopSize = 8, scoreScale = Some(Scale))
+    }),
+    // SQL surface + parameter binding (R8): named param, not inlined.
+    "sql_topk_cosine" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "embeddings").createOrReplaceTempView("graft_embeddings")
+      table(s, d, "documents").createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT CAST(e.vec_id AS STRING) AS id, d.source AS title,
+          |       d.lang AS vendor, d.text AS description,
+          |       round(knn_cosine_similarity(e.embedding, :qv), 6) AS score
+          |FROM graft_embeddings e JOIN graft_documents d ON e.vec_id = d.doc_id
+          |ORDER BY score DESC NULLS LAST, id
+          |LIMIT 5""".stripMargin,
+        Map("qv" -> typedLit(queryVec(s, d).toSeq)))
+    }),
+    // A1-A4 — full request/response layer end-to-end (text query path
+    // uses the deterministic embedder in tests; here the embedding path).
+    "api_search_cosine" -> ((s, d) => {
+      val service = new SearchService(
+        s, table(s, d, "embeddings"), table(s, d, "documents"),
+        ("vec_id", "doc_id"), cfg, Some(new DeterministicEmbedder(64)), Some(Scale))
+      val resp = service.search(SearchRequest(embedding =
+        Some(queryVec(s, d).toSeq))) // k omitted → default 4 (app.py:363)
+        .fold(e => throw new IllegalStateException(s"${e.status}: ${e.message}"),
+          identity)
+      import s.implicits._
+      resp.results.toDF()
+        .select(col("id"), col("title"), col("vendor"), col("description"), col("score"))
+        .orderBy(col("score").desc_nulls_last, col("id"))
+    }),
+
+    // ----------------- beyond-reference: LLM-data-pipeline operators ----
+
+    // Exact dedup groups on a prefix fingerprint.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(table(s, d, "documents"), "doc_id",
+        substring(col("text"), 1, 16)).orderBy("fp")),
+    // Blocked n-gram Jaccard near-dup pairs (exact, oracle-checked).
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.blockedJaccardPairs(table(s, d, "documents"), "doc_id", "text",
+        blockLen = 16, threshold = 0.5, scale = Scale).orderBy("a_id", "b_id")),
+    // MinHash+LSH near-dup pairs (candidates verified with exact
+    // Jaccard; LSH recall < 1 ⇒ rows-only check, ScalaTest covers
+    // containment vs ground truth).
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minHashPairs(table(s, d, "documents"), "doc_id", "text",
+        bands = 8, rowsPerBand = 4, threshold = 0.5, scale = Scale)
+        .orderBy("a_id", "b_id")),
+    // SimHash exact-collision groups (rows-only).
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashGroups(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("sh")),
+    // Embedding similarity join, blocked on label (exact, oracle-checked).
+    "sim_join_label" -> ((s, d) =>
+      SimilarityJoin.blockedCosinePairs(table(s, d, "embeddings"), "vec_id",
+        "embedding", "label", threshold = 0.3, scale = Scale)
+        .orderBy("a_id", "b_id")),
+    // LSH similarity join (approximate ⇒ rows-only; recall vs the exact
+    // join is pinned in ScalaTest).
+    "sim_join_lsh" -> ((s, d) =>
+      SimilarityJoin.lshCosinePairs(table(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, nPlanes = 10, threshold = 0.3, scale = Scale)
+        .orderBy("a_id", "b_id")),
+    // Text analysis.
+    "text_stats" -> ((s, d) =>
+      TextAnalysis.textStats(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "lang_stats" -> ((s, d) =>
+      TextAnalysis.langStats(table(s, d, "documents"), "lang", "text")
+        .orderBy("lang")),
+    "doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Multimodal: opaque binary payload + metadata (plumbing oracle) and
+    // stubbed feature extraction (rows-only).
+    "multimodal_meta" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "embeddings").select(
+        col("vec_id").as("id"),
+        length(GraftFunctions.toBinaryVector(col("embedding"))).cast("long")
+          .as("payload_bytes"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("feat0"))
+        .orderBy("id")
+    }),
+    "multimodal_features" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val payloads = table(s, d, "embeddings")
+        .select(col("vec_id"), GraftFunctions.toBinaryVector(col("embedding")).as("payload"))
+      graft.multimodal.Multimodal.extractFeatures(payloads, "vec_id", "payload", bins = 16)
+        .toDF().orderBy("id")
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Cosine-similarity score expression mirroring [[graft.functions.VectorKernels]]
+    * op-for-op (sequential double accumulation, dot / (√na·√nb)). */
+  private val CosExpr =
+    "list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) / " +
+      "(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
+      "sqrt(list_inner_product(qv.q, qv.q)))"
+
+  private def knnOracle(scoreExpr: String, desc: Boolean, k: Int,
+      where: String = ""): String = {
+    val dir = if (desc) "DESC" else "ASC"
+    s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+       |SELECT CAST(e.vec_id AS VARCHAR) AS id, d.source AS title, d.lang AS vendor,
+       |       d.text AS description, round($scoreExpr, 6) AS score
+       |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, qv
+       |$where
+       |ORDER BY score $dir NULLS LAST, id
+       |LIMIT $k""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "knn_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
+    "knn_topk_inner_product" -> knnOracle(
+      "list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q)", desc = true, k = 4),
+    "knn_topk_cosine_distance" -> knnOracle(s"1.0 - ($CosExpr)", desc = false, k = 4),
+    "knn_topk_euclidean" -> knnOracle(
+      "list_distance(CAST(e.embedding AS DOUBLE[]), qv.q)", desc = false, k = 4),
+    "knn_topk_manhattan" -> knnOracle(
+      "list_sum(list_transform(generate_series(1, len(e.embedding)), " +
+        "i -> abs(CAST(e.embedding[i] AS DOUBLE) - qv.q[i])))", desc = false, k = 4),
+    "knn_topk_filtered" -> knnOracle(CosExpr, desc = true, k = 8,
+      where = "WHERE d.lang = 'en'"),
+    "codec_roundtrip" ->
+      "SELECT vec_id AS id, embedding AS vec FROM embeddings ORDER BY id",
+    "binary_store_topk" -> knnOracle(CosExpr, desc = true, k = 6),
+    "ann_ivf_topk" -> knnOracle(CosExpr, desc = true, k = 10),
+    "sql_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 5),
+    "api_search_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
+    "dedup_exact" ->
+      """SELECT substr(text, 1, 16) AS fp, count(*) AS dup_count, min(doc_id) AS keep_id
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, substr(text, 1, 16) AS bk,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |               len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard
+        |  FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id)
+        |WHERE jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "sim_join_label" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+        |           AS cos_sim
+        |  FROM base a JOIN base b ON a.label = b.label AND a.id < b.id)
+        |WHERE cos_sim >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |             len(string_split(text, ' ')), 6) AS ttr,
+        |       round(CAST(len(list_filter(string_split(text, ' '),
+        |                 t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE) /
+        |             len(string_split(text, ' ')), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        |       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |            WHEN fr_hits >= es_hits THEN 'fr'
+        |            ELSE 'es' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'and', 'of'))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und'))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'les', 'et'))) AS BIGINT) AS fr_hits,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las', 'y'))) AS BIGINT) AS es_hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       round(avg(length(text)), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    "multimodal_meta" ->
+      """SELECT vec_id AS id, CAST(4 * len(embedding) + 1 AS BIGINT) AS payload_bytes,
+        |       round(CAST(embedding[1] AS DOUBLE), 6) AS feat0
+        |FROM embeddings ORDER BY id""".stripMargin
+    // dedup_minhash, dedup_simhash, sim_join_lsh, multimodal_features:
+    // approximate / engine-hash-defined ⇒ rows-only check; correctness
+    // pinned against exact ground truth in ScalaTest instead.
+  )
 }

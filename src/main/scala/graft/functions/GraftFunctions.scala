@@ -42,21 +42,40 @@ object GraftFunctions {
       "_FUNC_(vec) - pack array<float> as little-endian float32 bytes + 0x01 tag."),
     ("from_binary_vector",
       (es: Seq[Expression]) => { requireArity(es, 1, "from_binary_vector"); FromBinaryVector(es(0)) },
-      "_FUNC_(bin) - unpack little-endian float32 bytes + 0x01 tag to array<float>.")
+      "_FUNC_(bin) - unpack little-endian float32 bytes + 0x01 tag to array<float>."),
+    ("simhash64",
+      (es: Seq[Expression]) => { requireArity(es, 1, "simhash64"); SimHash64Expr(es(0)) },
+      "_FUNC_(text) - 64-bit SimHash over whitespace tokens (near-dup fingerprint)."),
+    ("minhash_signature",
+      (es: Seq[Expression]) => {
+        requireArity(es, 2, "minhash_signature")
+        val n = es(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "minhash_signature numHashes must be an integer literal")
+        }
+        MinHashSignatureExpr(es(0), n)
+      },
+      "_FUNC_(text, numHashes) - MinHash signature (array<bigint>) over token 3-gram shingles.")
   )
 
   private def requireArity(es: Seq[Expression], n: Int, name: String): Unit =
     require(es.length == n, s"$name expects $n arguments, got ${es.length}")
 
   /** Register all engine functions in the session's FunctionRegistry.
-    * Idempotent — safe to call at every API entry point. */
+    * Idempotent — skips names already present, so repeated calls at API
+    * entry points neither re-register nor emit replace warnings. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, builder, usage) =>
-      registry.registerFunction(
-        FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
-        builder)
+      val ident = FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(
+          ident,
+          new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
+          builder)
+      }
     }
   }
 
@@ -74,6 +93,9 @@ object GraftFunctions {
     call_function("knn_manhattan_distance", a, b)
   def toBinaryVector(a: Column): Column = call_function("to_binary_vector", a)
   def fromBinaryVector(a: Column): Column = call_function("from_binary_vector", a)
+  def simhash64(text: Column): Column = call_function("simhash64", text)
+  def minhashSignature(text: Column, numHashes: Int): Column =
+    call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
 }
 
 /**

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Catalyst expressions for the text-hashing primitives (SimHash,
+ * MinHash) used by the near-duplicate-detection operators. Same design
+ * as the vector expressions: the interpreted path and `doGenCode` both
+ * call the static [[TextHashKernels]], so eval ≡ codegen by construction
+ * and the hot loop stays inside WholeStageCodegen.
+ */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.simhash64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash64($c)")
+
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `minhash_signature(text, numHashes)` → array<bigint>. numHashes must
+ * be a foldable positive int (it shapes the output, like `round`'s
+ * scale argument).
+ */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature numHashes must be positive, got $numHashes")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.minhashSignature(v.asInstanceOf[UTF8String], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.minhashSignature($c, $numHashes)")
+
+  override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic text-hashing kernels shared by the interpreted and
+ * code-generated paths of [[SimHash64Expr]] / [[MinHashSignatureExpr]].
+ *
+ * Beyond-reference scope: near-duplicate detection primitives for
+ * training-data pipelines (the reference has no text functions at all,
+ * SURVEY.md §2.2). All hashing is FNV-1a 64-bit (public domain algorithm)
+ * over UTF-8 bytes, so signatures are stable across JVMs, partitionings,
+ * and engine versions — a requirement for incremental dedup at scale,
+ * where yesterday's signatures must stay comparable with today's.
+ */
+object TextHashKernels {
+
+  final val FnvOffset: Long = 0xcbf29ce484222325L
+  final val FnvPrime: Long = 0x100000001b3L
+  /** Mersenne prime 2^61 - 1 — modulus of the MinHash permutations. */
+  final val MersennePrime: Long = (1L << 61) - 1
+
+  /** FNV-1a 64 over a byte range. */
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** SplitMix64 — used to derive the per-permutation (a, b) constants
+    * deterministically from the permutation index. */
+  def splitMix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Token boundaries of an ASCII-space-tokenized byte array:
+    * returns flattened (start, end) offsets of non-empty tokens. */
+  private def tokenOffsets(b: Array[Byte]): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val start = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > start) { out += start; out += i }
+    }
+    out.toArray
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens: each token's FNV-1a hash
+   * votes +1/-1 on each of the 64 bit positions; the sign of each
+   * accumulated vote becomes the output bit. Near-duplicate documents
+   * land at small Hamming distance. Null text → handled by the caller
+   * (expression is null-safe).
+   */
+  def simhash64(text: UTF8String): Long = {
+    val bytes = textBytes(text)
+    val offs = tokenOffsets(bytes)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < offs.length) {
+      val h = fnv1a64(bytes, offs(t), offs(t + 1))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      t += 2
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  private def textBytes(text: UTF8String): Array[Byte] = text.getBytes
+
+  /**
+   * MinHash signature over token 3-gram shingles.
+   *
+   * Shingle hash h = FNV-1a over the shingle's bytes (tokens joined by a
+   * single space); permutation i maps h to ((a_i * h + b_i) mod M) where
+   * M = 2^61-1 and (a_i, b_i) are SplitMix64-derived from i — the
+   * classic universal-hash MinHash construction. Documents shorter than
+   * one shingle fall back to whole-token shingles so short docs still
+   * get a signature.
+   */
+  def minhashSignature(text: UTF8String, numHashes: Int): ArrayData = {
+    val bytes = textBytes(text)
+    val offs = tokenOffsets(bytes)
+    val nTokens = offs.length / 2
+    val shingleWidth = 3
+    val nShingles = math.max(nTokens - shingleWidth + 1, if (nTokens > 0) 1 else 0)
+    if (nShingles == 0) {
+      return UnsafeArrayData.fromPrimitiveArray(Array.fill(numHashes)(Long.MaxValue))
+    }
+    // Base hash per shingle: FNV over the token bytes with a space
+    // between tokens, computed without materializing the shingle string.
+    val shingleHashes = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      val width = math.min(shingleWidth, nTokens - s)
+      var h = FnvOffset
+      var t = 0
+      while (t < width) {
+        val start = offs((s + t) * 2)
+        val end = offs((s + t) * 2 + 1)
+        var i = start
+        while (i < end) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+        if (t < width - 1) { h ^= (' ' & 0xffL); h *= FnvPrime }
+        t += 1
+      }
+      shingleHashes(s) = h
+      s += 1
+    }
+    val sig = new Array[Long](numHashes)
+    var p = 0
+    while (p < numHashes) {
+      val a = (splitMix64(2L * p) & MersennePrime) | 1L // odd, < 2^61
+      val b = splitMix64(2L * p + 1) & MersennePrime
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < nShingles) {
+        // (a * h + b) mod 2^61-1 using 128-bit-free Mersenne reduction:
+        // fold the high bits back in (valid because M = 2^61 - 1).
+        val h = shingleHashes(i) & MersennePrime
+        val prodHi = Math.multiplyHigh(a, h)
+        val prodLo = a * h
+        // value = prodHi * 2^64 + prodLo; reduce mod 2^61-1:
+        // 2^64 mod M = 8, so value ≡ prodHi*8 + prodLo (then fold twice).
+        var v = ((prodLo & MersennePrime) + (prodLo >>> 61) + ((prodHi << 3) & MersennePrime) + (prodHi >>> 58) + b)
+        v = (v & MersennePrime) + (v >>> 61)
+        v = (v & MersennePrime) + (v >>> 61)
+        if (v < mn) mn = v
+        i += 1
+      }
+      sig(p) = mn
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+}

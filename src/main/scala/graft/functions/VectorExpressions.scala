@@ -25,8 +25,20 @@ import org.apache.spark.sql.types._
  */
 abstract class VectorMetricExpression extends BinaryExpression {
 
-  /** Static method name on [[VectorKernels]] implementing this metric. */
+  /** Static method name on [[VectorKernels]] implementing this metric
+    * (used by the codegen template). */
   protected def kernelName: String
+
+  /** The kernel itself — resolved once per expression instance, not
+    * per row, so the interpreted path has no per-row dispatch cost. */
+  @transient protected lazy val kernel: (ArrayData, ArrayData) => java.lang.Double =
+    kernelName match {
+      case "cosineSimilarity"  => VectorKernels.cosineSimilarity
+      case "innerProduct"      => VectorKernels.innerProduct
+      case "cosineDistance"    => VectorKernels.cosineDistance
+      case "euclideanDistance" => VectorKernels.euclideanDistance
+      case "manhattanDistance" => VectorKernels.manhattanDistance
+    }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -57,13 +69,7 @@ abstract class VectorMetricExpression extends BinaryExpression {
     if (a == null) return null
     val b = normalize(r, right.dataType)
     if (b == null) return null
-    kernelName match {
-      case "cosineSimilarity"  => VectorKernels.cosineSimilarity(a, b)
-      case "innerProduct"      => VectorKernels.innerProduct(a, b)
-      case "cosineDistance"    => VectorKernels.cosineDistance(a, b)
-      case "euclideanDistance" => VectorKernels.euclideanDistance(a, b)
-      case "manhattanDistance" => VectorKernels.manhattanDistance(a, b)
-    }
+    kernel(a, b)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

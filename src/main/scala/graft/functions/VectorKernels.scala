@@ -142,12 +142,4 @@ object VectorKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
-
-  /** Normalize an argument that may be either array<float> or the binary
-    * wire format into ArrayData; null if binary payload is malformed. */
-  def asFloatArray(v: AnyRef): ArrayData = v match {
-    case b: Array[Byte] => decodeFloatVector(b)
-    case a: ArrayData   => a
-    case _              => null
-  }
 }

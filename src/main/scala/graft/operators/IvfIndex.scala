@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF (inverted-file) approximate-nearest-neighbor index — the Spark-first
+ * re-expression of the reference's `vector_kmeans_tree` secondary index
+ * (reference: /root/reference/app.py:186-196 — `FROM {table} VIEW {index}`
+ * plus `PRAGMA ydb.KMeansTreeSearchTopSize="{n}"`, knob default
+ * app.py:60).
+ *
+ * Design (SURVEY.md §7.5):
+ *  - build: MLlib KMeans over the embedding column → each row gets a
+ *    `cluster_id`; the centroid table is tiny (numClusters × dim) and
+ *    lives on the driver / in a sidecar file.
+ *  - store: written `partitionBy("cluster_id")` so a search that prunes
+ *    clusters prunes *Parquet partitions* — at 100 TB a search touches
+ *    only `searchTopSize / numClusters` of the data, and the pruning
+ *    happens at file-listing time, before a single byte is read.
+ *  - search: rank centroids against the query vector driver-side (the
+ *    centroid set is small by construction), keep the best
+ *    `searchTopSize` clusters — the exact semantics of the reference's
+ *    `KMeansTreeSearchTopSize` knob — then run the brute-force pipeline
+ *    over only those clusters.
+ *
+ * `searchTopSize >= numClusters` degenerates to an exact scan, which is
+ * what the correctness harness exploits: IVF with full breadth must equal
+ * brute force bit-for-bit.
+ */
+object IvfIndex {
+
+  val ClusterCol = "cluster_id"
+
+  /** A built index: per-cluster centroids, indexed by cluster id. */
+  case class IvfModel(centroids: Array[Array[Float]]) {
+    def numClusters: Int = centroids.length
+
+    /** Rank cluster ids best-first for this query under the strategy.
+      * Runs on the driver: the centroid table is numClusters × dim. */
+    def rankClusters(queryVec: Array[Float], strategy: SearchStrategy): Array[Int] = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        (i, IvfMath.score(strategy, c, queryVec))
+      }
+      // NaN-free by construction (centroids are means of finite floats);
+      // ties broken by cluster id for determinism.
+      val ordered =
+        if (strategy.descending) scored.sortBy { case (i, s) => (-s, i) }
+        else scored.sortBy { case (i, s) => (s, i) }
+      ordered.map(_._1)
+    }
+  }
+
+  /**
+   * Assign every row a `cluster_id` via MLlib KMeans (seeded →
+   * deterministic). Returns the augmented DataFrame and the model.
+   *
+   * The KMeans fit itself is distributed (Lloyd iterations are map-side
+   * partial sums + a small driver reduce of k × dim centroids), so the
+   * build step scales with the data; only the centroid matrix ever sits
+   * on the driver.
+   */
+  def build(
+      emb: DataFrame,
+      embCol: String,
+      numClusters: Int,
+      seed: Long = 42L,
+      maxIter: Int = 20): (DataFrame, IvfModel) = {
+    val vecCol = "__ivf_vec"
+    val withVec = emb.withColumn(vecCol, array_to_vector(col(embCol)))
+    val kmeans = new KMeans()
+      .setK(numClusters)
+      .setSeed(seed)
+      .setMaxIter(maxIter)
+      .setFeaturesCol(vecCol)
+      .setPredictionCol(ClusterCol)
+    val model = kmeans.fit(withVec)
+    val assigned = model.transform(withVec).drop(vecCol)
+    val centroids = model.clusterCenters.map((v: Vector) => v.toArray.map(_.toFloat))
+    (assigned, IvfModel(centroids))
+  }
+
+  /** Persist an indexed store partitioned by cluster id, so cluster
+    * pruning at search time becomes Parquet partition pruning. */
+  def writePartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy(ClusterCol).parquet(path)
+
+  /**
+   * ANN search: centroid ranking → cluster pruning → brute-force tail.
+   * Mirrors the reference contract: larger `searchTopSize` = more
+   * candidate clusters = higher recall, monotonically (app.py:60,186-191).
+   * Filters are rejected exactly like the reference's filter×index error
+   * (app.py:171-172) — enforced by [[VectorSearch.bruteForce]] via the
+   * indexEnabled flag in the passed config.
+   */
+  def search(
+      assignedStore: DataFrame,
+      model: IvfModel,
+      cfg: StoreConfig,
+      queryVec: Array[Float],
+      k: Int,
+      searchTopSize: Int,
+      scoreScale: Option[Int] = None): DataFrame = {
+    require(searchTopSize > 0,
+      s"index_tree_search_top_size must be a positive integer, got $searchTopSize") // app.py:373-375
+    val top = model.rankClusters(queryVec, cfg.strategy).take(searchTopSize)
+    // isin over a small literal list → pushed down; on a store written
+    // with writePartitioned this prunes whole Parquet partitions.
+    val pruned = assignedStore.filter(col(ClusterCol).isin(top.map(Integer.valueOf): _*))
+    VectorSearch.bruteForce(pruned.drop(ClusterCol), cfg.copy(indexEnabled = true),
+      queryVec, k, Map.empty, scoreScale)
+  }
+}
+
+/** Driver-side scalar math over primitive float arrays, used only for
+  * centroid ranking (numClusters elements — never per-row). Formulas are
+  * identical to [[graft.functions.VectorKernels]]. */
+private[operators] object IvfMath {
+  def score(strategy: SearchStrategy, a: Array[Float], b: Array[Float]): Double = {
+    strategy match {
+      case SearchStrategy.CosineSimilarity       => cosine(a, b)
+      case SearchStrategy.InnerProductSimilarity => dot(a, b)
+      case SearchStrategy.CosineDistance         => 1.0 - cosine(a, b)
+      case SearchStrategy.EuclideanDistance      => euclidean(a, b)
+      case SearchStrategy.ManhattanDistance      => manhattan(a, b)
+    }
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN else d / (math.sqrt(na) * math.sqrt(nb))
+  }
+  private def euclidean(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+  private def manhattan(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      s += math.abs(a(i).toDouble - b(i).toDouble); i += 1
+    }
+    s
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity joins — beyond-reference scope. Two candidate
+ * strategies, both of which reduce the problem to an EQUALITY join on a
+ * derived key (never a cross join):
+ *
+ *  - [[blockedCosinePairs]]: block on an existing categorical column
+ *    (label, language, source shard...). Right when a domain key bounds
+ *    the search space.
+ *  - [[lshCosinePairs]]: random-hyperplane LSH — bucket = sign pattern
+ *    of the embedding against `nPlanes` fixed hyperplanes. Two vectors
+ *    with cosine similarity s share a bucket with probability
+ *    (1 - acos(s)/π)^nPlanes; candidates are verified with the exact
+ *    cosine expression. This is the scale path when no blocking key
+ *    exists: each bucket join is a plain shuffled equality join that AQE
+ *    skew-splits, and the verification only touches candidates.
+ */
+object SimilarityJoin {
+
+  /** Exact cosine pairs within equality blocks of `blockCol`. */
+  def blockedCosinePairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double,
+      scale: Int = 6): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    val a = base.alias("a")
+    val b = base.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("a_id"),
+        col("b.id").as("b_id"),
+        round(GraftFunctions.knnCosineSimilarity(col("a.v"), col("b.v")), scale)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (SplitMix64-seeded). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)((rng.nextGaussian()).toFloat))
+  }
+
+  /** Bucket id = bit pattern of sign(v · plane_i) over the planes. */
+  private def bucketCol(vecCol: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(GraftFunctions.knnInnerProductSimilarity(vecCol, typedLit(p.toSeq)) >= 0d,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /**
+   * LSH cosine similarity join: random-hyperplane buckets → equality
+   * join within buckets → exact cosine verification. Approximate: pairs
+   * whose sign patterns differ in any plane are missed (recall grows as
+   * nPlanes shrinks; precision of the candidate set grows with nPlanes).
+   */
+  def lshCosinePairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int = 12,
+      threshold: Double = 0.3,
+      seed: Long = 42L,
+      scale: Int = 6): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val base = emb.select(
+      col(idCol).as("id"),
+      bucketCol(col(vecCol), planes).as("bkt"),
+      col(vecCol).as("v"))
+    val a = base.alias("a")
+    val b = base.alias("b")
+    a.join(b, col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("a_id"),
+        col("b.id").as("b_id"),
+        round(GraftFunctions.knnCosineSimilarity(col("a.v"), col("b.v")), scale)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines —
+ * beyond-reference scope (the reference has no in-query string functions
+ * at all, SURVEY.md §2.2), built entirely from codegen'd
+ * `org.apache.spark.sql.functions` so every metric stays inside
+ * WholeStageCodegen: no UDFs, no driver-side loops, one narrow
+ * projection over the scan.
+ *
+ * All operators are per-row (embarrassingly parallel) except
+ * [[langStats]], which is a hash aggregate with map-side partial
+ * aggregation — both shapes survive a 1000-executor 100 TB scan
+ * unchanged.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenizer — the shared building block. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Tiny per-language marker lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and fixed: the point is a
+    * deterministic, cheap, scan-local signal, not a trained model. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "y"))
+
+  /** Stopword list used by the quality score. */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /**
+   * Per-document statistics: length, token counts, type-token ratio,
+   * stopword ratio. Everything derives from one `split` per row.
+   */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTokens = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("len_chars"),
+      nTokens.as("n_tokens"),
+      nDistinct.as("n_distinct"),
+      round(nDistinct.cast("double") / nTokens, 6).as("ttr"),
+      round(hitCount(toks, StopWords).cast("double") / nTokens, 6).as("stopword_ratio"))
+  }
+
+  /** Regex token counting (a BPE-ish pre-tokenizer pass): runs of
+    * letters, runs of digits, and single non-alphanumeric marks. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+      size(regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+      size(tokens(col(textCol))).cast("long").as("n_ws"))
+
+  /**
+   * Language identification by marker-token counting: score each
+   * candidate language by hits of its marker words, pick the argmax with
+   * a fixed, deterministic preference order on ties (en > de > fr > es).
+   */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> hitCount(toks, words)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    docs.select(
+      col(idCol) +:
+        scores.map { case (lang, c) => c.as(s"${lang}_hits") } :+
+        pred.as("lang_pred"): _*)
+  }
+
+  /** Per-language corpus statistics — hash aggregate, partials map-side. */
+  def langStats(docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol)))).as("total_tokens"),
+        round(avg(length(col(textCol))), 4).as("avg_chars"))
+
+  /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
+    * dedup key. MD5 is standard across engines, so it doubles as a
+    * cross-engine-verifiable fingerprint. */
+  def fingerprint(text: Column): Column = md5(lower(text).cast("binary"))
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+}

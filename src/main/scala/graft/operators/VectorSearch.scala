@@ -99,6 +99,14 @@ object VectorSearch {
     require(k > 0, s"k must be a positive integer, got $k") // app.py:368-370
     require(filter.isEmpty || !cfg.indexEnabled,
       "Filters are not supported when vector index is enabled") // app.py:171-172
+    // Reference only permits equality filters on the three string columns
+    // (app.py:174-184 builds predicates from title/vendor/description only).
+    val filterable = Set(cfg.titleCol, cfg.vendorCol, cfg.descriptionCol)
+    filter.keys.foreach { c =>
+      require(filterable.contains(c),
+        s"Filter column '$c' is not one of the store's filterable string " +
+          s"columns ${filterable.mkString("{", ", ", "}")}")
+    }
     GraftFunctions.register(store.sparkSession)
 
     val filtered = filter.foldLeft(store) { case (df, (c, v)) =>
@@ -114,9 +122,68 @@ object VectorSearch {
       col(cfg.descriptionCol).as("description"),
       score.as("score"))
 
+    orderedTopK(projected, cfg, k)
+  }
+
+  /** Deterministic top-k: order by score (direction from the strategy's
+    * suffix rule, app.py:55) with `id` tie-break.
+    *
+    * Deliberate deviation from the reference: YDB sorts NULL smallest, so
+    * with a distance strategy (ASC) malformed/dimension-mismatched vectors
+    * would rank FIRST there. We put NULL scores last in both directions —
+    * the saner behavior — and pin it in tests. */
+  private[graft] def orderedTopK(projected: DataFrame, cfg: StoreConfig, k: Int): DataFrame = {
     val ordered =
       if (cfg.strategy.descending) projected.orderBy(col("score").desc_nulls_last, col("id").asc)
       else projected.orderBy(col("score").asc_nulls_last, col("id").asc)
     ordered.limit(k)
+  }
+
+  /**
+   * Scale path for the common case (no filter): run top-k over the
+   * embeddings table ALONE, then join only the k winners to the metadata
+   * table. At 100 TB this is the difference between shuffling the whole
+   * `embeddings ⋈ documents` join through the scan (co-partitioned
+   * shuffle of both tables) and a metadata lookup for k rows — the k-row
+   * side is always broadcast, so the big table is never shuffled at all:
+   * the plan is `scan embeddings → TakeOrderedAndProject(k) → broadcast
+   * join → sort k rows`.
+   *
+   * With a filter on metadata columns the predicate must see the join, so
+   * we fall back to join-then-bruteForce (the filter is still pushed into
+   * the documents Parquet scan by Catalyst).
+   */
+  def searchWithMetadata(
+      embeddings: DataFrame,
+      metadata: DataFrame,
+      joinKey: (String, String), // (embeddings id col, metadata id col)
+      cfg: StoreConfig,
+      queryVec: Array[Float],
+      k: Int,
+      filter: Map[String, String] = Map.empty,
+      scoreScale: Option[Int] = None): DataFrame = {
+    val (embId, metaId) = joinKey
+    if (filter.nonEmpty) {
+      val store = embeddings.join(metadata, embeddings(embId) === metadata(metaId))
+      bruteForce(store, cfg, queryVec, k, filter, scoreScale)
+    } else {
+      require(k > 0, s"k must be a positive integer, got $k")
+      GraftFunctions.register(embeddings.sparkSession)
+      val rawScore = cfg.strategy.score(col(cfg.embeddingCol), typedLit(queryVec.toSeq))
+      val score = scoreScale.fold(rawScore)(s => round(rawScore, s))
+      val scored = embeddings.select(
+        col(embId).cast("string").as("id"), score.as("score"))
+      val topK = orderedTopK(scored, cfg, k)
+      // k rows — always broadcast-able, regardless of metadata size.
+      val joined = broadcast(topK)
+        .join(metadata, topK("id") === metadata(metaId).cast("string"))
+        .select(
+          col("id"),
+          col(cfg.titleCol).as("title"),
+          col(cfg.vendorCol).as("vendor"),
+          col(cfg.descriptionCol).as("description"),
+          col("score"))
+      orderedTopK(joined, cfg, k)
+    }
   }
 }
