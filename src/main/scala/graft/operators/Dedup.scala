@@ -45,7 +45,25 @@ object Dedup {
   /** Distinct-token set of a whitespace-tokenized text column. */
   private def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 
-  /** Exact Jaccard similarity of the two docs' token sets. */
+  /**
+   * Distinct token-3-gram shingle set — the column-level mirror of
+   * [[graft.functions.TextHashKernels.minhashSignature]]'s shingling
+   * (short docs fall back to one whole-text shingle). Shingles are
+   * order-sensitive, which is what makes them the right near-dup signal
+   * when documents share a vocabulary but not an order.
+   */
+  private[operators] def shingleSet(text: Column): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    array_distinct(
+      when(n >= 3,
+        transform(sequence(lit(0), n - 3), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Exact Jaccard similarity of two set-valued columns. */
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
@@ -81,10 +99,12 @@ object Dedup {
    * near-dups): signature → band buckets → equality join within buckets
    * → exact Jaccard verification of the candidates only.
    *
-   * With `numHashes = bands * rowsPerBand`, a pair with Jaccard s
-   * collides in at least one band with probability 1-(1-s^r)^b — the
-   * standard S-curve; defaults (8 bands × 4 rows) put the knee near
-   * s ≈ 0.5.
+   * With `numHashes = bands * rowsPerBand`, a pair with shingle-set
+   * Jaccard s collides in at least one band with probability
+   * 1-(1-s^r)^b — the standard S-curve; defaults (8 bands × 4 rows) put
+   * the knee near s ≈ 0.5. The verification metric is the SAME metric
+   * the signature estimates — Jaccard over token-3-gram shingle sets —
+   * so the reported `jaccard` column is exact, not an estimate.
    */
   def minHashPairs(
       docs: DataFrame,
@@ -104,7 +124,7 @@ object Dedup {
     }: _*)
     val banded = docs.select(
         col(idCol).as("id"),
-        tokenSet(col(textCol)).as("toks"),
+        shingleSet(col(textCol)).as("toks"),
         explode(bandStructs).as("bd"))
       .select(col("id"), col("toks"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     val a = banded.alias("a")

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkFunSuite {
+
+  private lazy val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+
+  private def toyDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),   // exact dup of 1
+      (3L, "the cat sat on the rug"),   // near dup
+      (4L, "completely different text here"),
+      (5L, "the cat sat on the mat")    // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups: counts and keep-first ids") {
+    val g = Dedup.exactGroups(toyDocs, "doc_id", col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g === Set(
+      ("the cat sat on the mat", 3L, 1L),
+      ("the cat sat on the rug", 1L, 3L),
+      ("completely different text here", 1L, 4L)))
+  }
+
+  test("dedupKeepFirst keeps exactly one row per key — the min id") {
+    val kept = Dedup.dedupKeepFirst(toyDocs, "doc_id", col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("blockedJaccardPairs: hand-computed jaccard on the toy set") {
+    // block key = first 16 chars = "the cat sat on t" for docs 1,2,3,5
+    val pairs = Dedup.blockedJaccardPairs(toyDocs, "doc_id", "text",
+      blockLen = 16, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 5L)) === 1.0)
+    // {the,cat,sat,on,mat} vs {the,cat,sat,on,rug}: |∩|=4, |∪|=6,
+    // rounded to the default 6-decimal score scale
+    assert(pairs((1L, 3L)) === 0.666667)
+    assert(!pairs.contains((1L, 4L))) // different block
+  }
+
+  test("minhash LSH finds all high-jaccard pairs on real data (recall@0.95 = 1)") {
+    // Ground truth by brute force on sf0.001 (500 docs — test-only),
+    // over the SAME metric the signature estimates: shingle-set jaccard.
+    val base = docs.select(col("doc_id").as("id"),
+      Dedup.shingleSet(col("text")).as("toks"))
+    val a = base.alias("a"); val b = base.alias("b")
+    val truth = a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))).as("j"))
+      .filter(col("j") >= 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+    val found = Dedup.minHashPairs(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(found),
+      s"missed: ${(truth -- found).take(5)} of ${truth.size}")
+  }
+
+  test("minhash pairs report exact (verified) jaccard, not an estimate") {
+    val pairs = Dedup.minHashPairs(toyDocs, "doc_id", "text", threshold = 0.99)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0))
+    assert(pairs.get((1L, 5L)).contains(1.0))
+  }
+
+  test("simhashGroups: identical texts collide, distinct text does not appear") {
+    val g = Dedup.simhashGroups(toyDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // one group: docs 1,2,5 (and possibly 3 if simhash-equal — it is not,
+    // since token multisets differ in one token of five)
+    assert(g.exists { case (n, keep) => n >= 3L && keep === 1L })
+  }
+
+  test("no all-pairs join in the LSH plan (candidates come from bucket equality)") {
+    val plan = Dedup.minHashPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

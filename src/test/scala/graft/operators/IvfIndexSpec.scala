@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkFunSuite {
+
+  private lazy val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+  private lazy val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+  private lazy val store = emb.join(docs, col("vec_id") === col("doc_id"))
+  private val cfg = StoreConfig(idCol = "vec_id", titleCol = "source",
+    vendorCol = "lang", descriptionCol = "text")
+
+  private def qv(id: Int): Array[Float] =
+    emb.where(col("vec_id") === id).select("embedding").head.getSeq[Float](0).toArray
+
+  private lazy val built = IvfIndex.build(store, "embedding", numClusters = 8)
+
+  test("full breadth (searchTopSize = numClusters) equals brute force exactly") {
+    val (assigned, model) = built
+    val ivf = IvfIndex.search(assigned, model, cfg, qv(1), k = 10,
+      searchTopSize = model.numClusters, scoreScale = Some(6)).collect()
+    val brute = VectorSearch.bruteForce(store, cfg, qv(1), 10, Map.empty, Some(6))
+      .collect()
+    assert(ivf.map(_.toSeq).toSeq === brute.map(_.toSeq).toSeq)
+  }
+
+  test("recall@10 is monotonically non-decreasing in searchTopSize") {
+    val (assigned, model) = built
+    val truth = VectorSearch.bruteForce(store, cfg, qv(2), 10).collect()
+      .map(_.getString(0)).toSet
+    val recalls = Seq(1, 2, 4, 8).map { ts =>
+      val got = IvfIndex.search(assigned, model, cfg, qv(2), 10, ts).collect()
+        .map(_.getString(0)).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    assert(recalls.sliding(2).forall { case Seq(a, b) => b >= a })
+    assert(recalls.last === 1.0) // full breadth = exact
+  }
+
+  test("pruning actually prunes: topSize=1 scans a single cluster") {
+    val (assigned, model) = built
+    val top1 = model.rankClusters(qv(3), cfg.strategy).take(1)
+    val clusterSize = assigned.filter(col(IvfIndex.ClusterCol) === top1(0)).count()
+    assert(clusterSize < assigned.count()) // strictly fewer rows scanned
+    val got = IvfIndex.search(assigned, model, cfg, qv(3), 10, 1).collect()
+    assert(got.length <= 10 && got.nonEmpty)
+  }
+
+  test("searchTopSize validation (app.py:373-375 parity)") {
+    val (assigned, model) = built
+    intercept[IllegalArgumentException] {
+      IvfIndex.search(assigned, model, cfg, qv(0), 10, 0)
+    }
+  }
+
+  test("partitioned write: store written by cluster_id enables partition pruning") {
+    val (assigned, model) = built
+    val path = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    IvfIndex.writePartitioned(assigned, path)
+    val reread = spark.read.parquet(path)
+    val top = model.rankClusters(qv(0), cfg.strategy).take(2)
+    val pruned = reread.filter(col(IvfIndex.ClusterCol)
+      .isin(top.map(Integer.valueOf): _*))
+    // partition filter must appear in the scan (PartitionFilters), i.e.
+    // pruning happens at file-listing time, not post-scan.
+    val scanStr = pruned.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("cluster_id"), scanStr)
+    assert(pruned.count() > 0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkFunSuite {
+
+  private def toy = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat and the hat", "en"),
+      (2L, "der hund und die katze", "de"),
+      (3L, "le chat et la table", "fr")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("textStats: hand-computed row") {
+    val r = TextAnalysis.textStats(toy, "doc_id", "text")
+      .where(col("doc_id") === 1).head
+    assert(r.getLong(1) === 19L) // len("the cat and the hat")
+    assert(r.getLong(2) === 5L)  // tokens
+    assert(r.getLong(3) === 4L)  // distinct ("the" twice)
+    assert(r.getDouble(4) === 0.8) // ttr 4/5
+    // stopwords {the,a,of,and}: the,and,the = 3 hits → 0.6
+    assert(r.getDouble(5) === 0.6)
+  }
+
+  test("tokenCounts: regex classes") {
+    import spark.implicits._
+    val d = Seq((1L, "abc 123 x9y")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d, "doc_id", "text").head
+    assert(r.getLong(1) === 3L) // abc, x, y
+    assert(r.getLong(2) === 2L) // 123, 9
+    assert(r.getLong(3) === 3L) // whitespace tokens
+  }
+
+  test("languageId: marker argmax with deterministic tie order") {
+    val rows = TextAnalysis.languageId(toy, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(rows(1L) === "en")
+    assert(rows(2L) === "de")
+    assert(rows(3L) === "fr")
+  }
+
+  test("fingerprint is standard md5 of lowercased text") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello World")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, "doc_id", "text").head.getString(1)
+    // md5("hello world") — well-known digest
+    assert(fp === "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+
+  test("langStats aggregates per language") {
+    val r = TextAnalysis.langStats(toy, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r === Set(("en", 1L, 5L), ("de", 1L, 5L), ("fr", 1L, 5L)))
+  }
+}
