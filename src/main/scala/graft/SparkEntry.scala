@@ -29,8 +29,13 @@ object SparkEntry {
     idCol = "vec_id", titleCol = "source", vendorCol = "lang",
     descriptionCol = "text", embeddingCol = "embedding")
 
-  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which the Parquet reader
+    // rejects by default; read as long and normalize downstream
+    // (EventPipeline converts ns → TimestampType).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Fixed deterministic query vector: row vec_id=0's own embedding —
     * self-match at rank 1 is a free sanity check. */
@@ -180,6 +185,16 @@ object SparkEntry {
         round(element_at(col("embedding"), 1).cast("double"), 6).as("feat0"))
         .orderBy("id")
     }),
+    // Windowed aggregation over the events stream shape (batch mode of
+    // the Structured Streaming pipeline; exact decimal sums).
+    "events_windowed" -> ((s, d) =>
+      graft.streaming.EventPipeline.windowedTypeStats(
+        table(s, d, "events"), "1 hour")
+        .orderBy("window_start", "event_type")),
+    // JSON property extraction + rollup.
+    "events_json_rollup" -> ((s, d) =>
+      graft.streaming.EventPipeline.propsRollup(table(s, d, "events"))
+        .orderBy("k")),
     "multimodal_features" -> ((s, d) => {
       GraftFunctions.register(s)
       val payloads = table(s, d, "embeddings")
@@ -294,7 +309,17 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT vec_id AS id, CAST(4 * len(embedding) + 1 AS BIGINT) AS payload_bytes,
         |       round(CAST(embedding[1] AS DOUBLE), 6) AS feat0
-        |FROM embeddings ORDER BY id""".stripMargin
+        |FROM embeddings ORDER BY id""".stripMargin,
+    "events_windowed" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_json_rollup" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin
     // dedup_minhash, dedup_simhash, sim_join_lsh, multimodal_features:
     // approximate / engine-hash-defined ⇒ rows-only check; correctness
     // pinned against exact ground truth in ScalaTest instead.

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators over the `events` stream shape
+ * (event_id, ts, user_id, event_type, value, props) — beyond-reference
+ * scope (the reference is request/response only, SURVEY.md §2.2).
+ *
+ * Every transform here takes a DataFrame and works identically on a
+ * batch frame (`spark.read.parquet`) and a stream
+ * (`spark.readStream`): the batch path is what the correctness oracle
+ * checks; the streaming path adds watermarks + state and is exercised
+ * in the test suite with a MemoryStream. That one-definition/two-modes
+ * design is the point: at 100 TB the same pipeline backfills from the
+ * lake and then tails the live stream.
+ */
+object EventPipeline {
+
+  /** Normalize the event-time column: a LongType `ts` (epoch nanos, the
+    * `nanosAsLong` reading of a TIMESTAMP(NANOS) Parquet column) becomes
+    * a proper TimestampType at microsecond precision; a TimestampType
+    * `ts` passes through. */
+  private def normalizeTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn("ts",
+          timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case _ => events
+    }
+
+  /**
+   * Tumbling-window aggregation per event type: count + exact sum.
+   * The sum is accumulated in DECIMAL (exact, order-independent —
+   * distributed partial sums cannot change the result) and cast back to
+   * double at the boundary.
+   */
+  def windowedTypeStats(events: DataFrame, windowLength: String): DataFrame =
+    normalizeTs(events)
+      .groupBy(
+        window(col("ts"), windowLength).as("win"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        col("win.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Same aggregation with a watermark for the streaming mode (late
+    * events beyond the watermark are dropped; state is bounded). */
+  def windowedTypeStatsStream(
+      events: DataFrame, windowLength: String, watermark: String): DataFrame =
+    windowedTypeStats(normalizeTs(events).withWatermark("ts", watermark), windowLength)
+
+  /**
+   * JSON property extraction + rollup: parse `props` (a JSON object)
+   * per row — scan-local, codegen'd `get_json_object`, no UDF — and
+   * aggregate per extracted key value.
+   */
+  def propsRollup(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** Streaming exact dedup by event id, state bounded by the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String): DataFrame =
+    normalizeTs(events).withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /**
+   * Custom keyed state: running per-user totals via
+   * `mapGroupsWithState` — the KeyValueGroupedDataset custom-state
+   * surface (arbitrary state, one state object per user). NoTimeout
+   * keeps micro-batches purely data-driven; for unbounded key spaces a
+   * production deployment would add an event-time timeout so abandoned
+   * keys age out of the state store.
+   */
+  def userRunningTotals(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) => {
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserTotal(user, n, total)
+          state.update(next)
+          next
+        })
+  }
+
+  /** Output-mode helper: windowed aggregations append once the
+    * watermark passes the window end. */
+  val WindowedOutputMode: OutputMode = OutputMode.Append()
+}
