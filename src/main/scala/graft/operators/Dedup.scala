@@ -116,30 +116,34 @@ object Dedup {
       scale: Int = 6): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val numHashes = bands * rowsPerBand
-    val sig = GraftFunctions.minhashSignature(col(textCol), numHashes)
     // One row per (doc, band): band key = hash of that band's slice of
-    // the signature. slice() is 1-based.
-    val bandStructs = array((0 until bands).map { j =>
-      struct(lit(j).as("band"), hash(slice(sig, j * rowsPerBand + 1, rowsPerBand)).as("bh"))
-    }: _*)
-    val banded = docs.select(
-        col(idCol).as("id"),
-        shingleSet(col(textCol)).as("toks"),
-        explode(bandStructs).as("bd"))
-      .select(col("id"), col("toks"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    // the signature. The signature appears ONCE in the expression tree
+    // (transform over band indices + posexplode), so it is computed once
+    // per row — not once per band — even after projection collapsing.
+    // The banded relation is deliberately slim (id, band, bh): shingle
+    // sets are NOT carried through the band-join shuffle.
+    val sig = GraftFunctions.minhashSignature(col(textCol), numHashes)
+    val bandHashes = transform(
+      sequence(lit(0), lit(bands - 1)),
+      j => hash(slice(sig, j * rowsPerBand + lit(1), lit(rowsPerBand))))
+    val banded = docs.select(col(idCol).as("id"), posexplode(bandHashes))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    // A pair colliding in several bands would appear once per collision
-    // — dedupe candidates before the (more expensive) verification.
+    // A pair colliding in several bands appears once per collision —
+    // dedupe the slim (a_id, b_id) pairs BEFORE attaching shingle sets
+    // for verification (arrays join in only against unique candidates).
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.toks").as("a_toks"), col("b.toks").as("b_toks"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val toks = docs.select(col(idCol).as("id"), shingleSet(col(textCol)).as("toks"))
     candidates
+      .join(toks.as("ta"), col("a_id") === col("ta.id"))
+      .join(toks.as("tb"), col("b_id") === col("tb.id"))
       .select(col("a_id"), col("b_id"),
-        round(jaccard(col("a_toks"), col("b_toks")), scale).as("jaccard"))
+        round(jaccard(col("ta.toks"), col("tb.toks")), scale).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
