@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory with the engine's recommended execution configs.
+ *
+ * Scale guidance (the knobs that matter at 100 TB / 1000 executors):
+ *  - AQE on (default in Spark 4, pinned here): runtime coalescing of
+ *    shuffle partitions, skew-join splitting for hot dedup fingerprints
+ *    or LSH buckets, and dynamic join-strategy demotion.
+ *  - `spark.sql.shuffle.partitions`: start at 2–3× total executor
+ *    cores; AQE coalesces down, it cannot split a too-coarse map side.
+ *  - `spark.sql.files.maxPartitionBytes` (default 128m): with 64-dim
+ *    float embeddings ≈ 270 B/row, a scan task holds ~500k rows —
+ *    comfortable; raise only for wide multimodal payload columns.
+ *  - Parquet TIMESTAMP(NANOS) columns (the events table) are read as
+ *    epoch-nanos longs (`nanosAsLong`) and normalized by the consuming
+ *    operator.
+ */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -51,6 +51,8 @@ object SparkEntry {
     * per query would charge index construction to every search). */
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, IvfIndex.IvfModel)]()
+  private val ivfDiskCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
 
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
@@ -106,6 +108,20 @@ object SparkEntry {
       })
       IvfIndex.search(assigned, model, cfg, queryVec(s, d),
         k = 10, searchTopSize = 8, scoreScale = Some(Scale))
+    }),
+    // R2 on disk: the 100 TB search path — store written partitionBy
+    // cluster_id, search prunes Parquet partitions at file-listing time.
+    "ann_ivf_disk" -> ((s, d) => {
+      val (path, model) = ivfDiskCache.computeIfAbsent(d, dir => {
+        val store = table(s, dir, "embeddings")
+          .join(table(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        val (a, m) = IvfIndex.build(store, "embedding", numClusters = 8)
+        val p = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+        IvfIndex.writePartitioned(a, p)
+        (p, m)
+      })
+      IvfIndex.search(s.read.parquet(path), model, cfg, queryVec(s, d),
+        k = 12, searchTopSize = 8, scoreScale = Some(Scale))
     }),
     // SQL surface + parameter binding (R8): named param, not inlined.
     "sql_topk_cosine" -> ((s, d) => {
@@ -220,7 +236,15 @@ object SparkEntry {
         .select(col("vec_id"), GraftFunctions.toBinaryVector(col("embedding")).as("payload"))
       graft.multimodal.Multimodal.extractFeatures(payloads, "vec_id", "payload", bins = 16)
         .toDF().orderBy("id")
-    })
+    }),
+    // Byte-payload dedup via content-defined chunking (rows-only: the
+    // Gear/FNV fingerprints are engine-defined; CDC properties are
+    // pinned in ScalaTest).
+    "multimodal_chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedupStats(
+        table(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", avgBits = 5)
+        .orderBy("chunk"))
   )
 
   // ------------------------------------------------------------- oracles
@@ -260,6 +284,7 @@ object SparkEntry {
       "SELECT vec_id AS id, embedding AS vec FROM embeddings ORDER BY id",
     "binary_store_topk" -> knnOracle(CosExpr, desc = true, k = 6),
     "ann_ivf_topk" -> knnOracle(CosExpr, desc = true, k = 10),
+    "ann_ivf_disk" -> knnOracle(CosExpr, desc = true, k = 12),
     "sql_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 5),
     "api_search_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
     "dedup_exact" ->

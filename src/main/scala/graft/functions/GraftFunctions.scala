@@ -57,7 +57,19 @@ object GraftFunctions {
         }
         MinHashSignatureExpr(es(0), n)
       },
-      "_FUNC_(text, numHashes) - MinHash signature (array<bigint>) over token 3-gram shingles.")
+      "_FUNC_(text, numHashes) - MinHash signature (array<bigint>) over token 3-gram shingles."),
+    ("content_chunk_hashes",
+      (es: Seq[Expression]) => {
+        requireArity(es, 2, "content_chunk_hashes")
+        val bits = es(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "content_chunk_hashes avgBits must be an integer literal")
+        }
+        ContentChunkHashesExpr(es(0), bits)
+      },
+      "_FUNC_(payload, avgBits) - Gear-CDC chunk fingerprints (array<bigint>) of a binary payload.")
   )
 
   private def requireArity(es: Seq[Expression], n: Int, name: String): Unit =
@@ -96,6 +108,8 @@ object GraftFunctions {
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def minhashSignature(text: Column, numHashes: Int): Column =
     call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
+  def contentChunkHashes(payload: Column, avgBits: Int): Column =
+    call_function("content_chunk_hashes", payload, org.apache.spark.sql.functions.lit(avgBits))
 }
 
 /**

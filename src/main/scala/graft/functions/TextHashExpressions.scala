@@ -63,3 +63,34 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `content_chunk_hashes(payload, avgBits)` → array<bigint>: Gear-hash
+ * content-defined chunking of a binary payload; each element is the
+ * FNV-1a fingerprint of one chunk. The byte-payload dedup primitive
+ * for multimodal columns.
+ */
+case class ContentChunkHashesExpr(child: Expression, avgBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if avgBits >= 1 && avgBits <= 30 => TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"content_chunk_hashes avgBits must be in [1, 30], got $avgBits")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"content_chunk_hashes requires binary, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.gearChunkHashes(v.asInstanceOf[Array[Byte]], avgBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.gearChunkHashes($c, $avgBits)")
+
+  override def prettyName: String = "content_chunk_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

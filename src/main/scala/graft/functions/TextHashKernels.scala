@@ -154,4 +154,45 @@ object TextHashKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
+
+  // -------------------------------------------------- content chunking
+
+  /** Gear table for the rolling hash: 256 pseudo-random 64-bit values
+    * derived deterministically from the byte value via SplitMix64. */
+  private val GearTable: Array[Long] = Array.tabulate(256)(i => splitMix64(i.toLong))
+
+  /**
+   * Content-defined chunking via a Gear rolling hash: a chunk boundary
+   * falls wherever the rolling hash's top `avgBits` bits are zero,
+   * bounded by min = avg/4 and max = avg*4 (avg = 2^avgBits bytes).
+   * Returns the FNV-1a hash of each chunk — the dedup fingerprints.
+   *
+   * The CDC property: inserting or deleting bytes shifts only the
+   * chunks around the edit; all other chunk boundaries (and hence
+   * hashes) are unchanged — which is what makes byte-payload dedup work
+   * under re-encodes and prefix edits, unlike fixed-size blocking.
+   */
+  def gearChunkHashes(payload: Array[Byte], avgBits: Int): ArrayData = {
+    val n = payload.length
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val avg = 1 << avgBits
+    val minSize = math.max(1, avg >> 2)
+    val maxSize = avg << 2
+    val mask = ((1L << avgBits) - 1) << (64 - avgBits)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / avg + 2)
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + GearTable(payload(i) & 0xff)
+      i += 1
+      val len = i - start
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize || i == n) {
+        out += fnv1a64(payload, start, i)
+        start = i
+        h = 0L
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
 }

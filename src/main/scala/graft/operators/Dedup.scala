@@ -155,6 +155,28 @@ object Dedup {
    * here we surface the exact-collision groups, which is the common
    * "cheap pass" before MinHash.
    */
+  /**
+   * Byte-payload dedup via content-defined chunking: each payload is
+   * split at Gear-rolling-hash boundaries (shift-tolerant, unlike fixed
+   * blocks) and fingerprinted per chunk; chunks appearing in more than
+   * one payload are the dedup-able storage. One explode + one hash
+   * aggregate — scales like word-count.
+   */
+  def chunkDedupStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      avgBits: Int = 5): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        explode(GraftFunctions.contentChunkHashes(col(payloadCol), avgBits)).as("chunk"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("first_id"))
+      .filter(col("n_copies") > 1)
+  }
+
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"), GraftFunctions.simhash64(col(textCol)).as("sh"))
