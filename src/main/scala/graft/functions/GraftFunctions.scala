@@ -58,6 +58,18 @@ object GraftFunctions {
         MinHashSignatureExpr(es(0), n)
       },
       "_FUNC_(text, numHashes) - MinHash signature (array<bigint>) over token 3-gram shingles."),
+    ("minhash_band_hashes",
+      (es: Seq[Expression]) => {
+        requireArity(es, 3, "minhash_band_hashes")
+        def intLit(e: Expression, what: String): Int = e match {
+          case x if x.foldable && x.dataType == org.apache.spark.sql.types.IntegerType =>
+            x.eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            s"minhash_band_hashes $what must be an integer literal")
+        }
+        MinHashBandHashesExpr(es(0), intLit(es(1), "bands"), intLit(es(2), "rowsPerBand"))
+      },
+      "_FUNC_(text, bands, rowsPerBand) - per-band MinHash LSH bucket keys (array<bigint>)."),
     ("content_chunk_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 2, "content_chunk_hashes")

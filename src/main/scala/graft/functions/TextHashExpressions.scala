@@ -65,6 +65,35 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
 }
 
 /**
+ * `minhash_band_hashes(text, bands, rowsPerBand)` → array<bigint>: one
+ * LSH bucket key per band, computed in a single kernel pass.
+ */
+case class MinHashBandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if bands > 0 && rowsPerBand > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_hashes bands/rowsPerBand must be positive, got $bands/$rowsPerBand")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_hashes requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.minhashBandHashes(v.asInstanceOf[UTF8String], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.minhashBandHashes($c, $bands, $rowsPerBand)")
+
+  override def prettyName: String = "minhash_band_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `content_chunk_hashes(payload, avgBits)` → array<bigint>: Gear-hash
  * content-defined chunking of a binary payload; each element is the
  * FNV-1a fingerprint of one chunk. The byte-payload dedup primitive

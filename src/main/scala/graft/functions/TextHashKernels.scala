@@ -155,6 +155,28 @@ object TextHashKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** MinHash banded LSH keys in one pass: the signature of
+    * `bands * rowsPerBand` permutations, folded per band into a single
+    * 64-bit bucket key. One kernel call per row — the signature is never
+    * re-evaluated per band (lambda-based banding in the plan would
+    * interpret, and re-evaluate, the signature once per band). */
+  def minhashBandHashes(text: UTF8String, bands: Int, rowsPerBand: Int): ArrayData = {
+    val sig = minhashSignature(text, bands * rowsPerBand).toLongArray()
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = FnvOffset
+      var i = 0
+      while (i < rowsPerBand) {
+        h = (h ^ splitMix64(sig(j * rowsPerBand + i))) * FnvPrime
+        i += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // -------------------------------------------------- content chunking
 
   /** Gear table for the rolling hash: 256 pseudo-random 64-bit values

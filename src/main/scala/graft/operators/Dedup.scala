@@ -115,17 +115,15 @@ object Dedup {
       threshold: Double = 0.5,
       scale: Int = 6): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val numHashes = bands * rowsPerBand
-    // One row per (doc, band): band key = hash of that band's slice of
-    // the signature. The signature appears ONCE in the expression tree
-    // (transform over band indices + posexplode), so it is computed once
-    // per row — not once per band — even after projection collapsing.
-    // The banded relation is deliberately slim (id, band, bh): shingle
-    // sets are NOT carried through the band-join shuffle.
-    val sig = GraftFunctions.minhashSignature(col(textCol), numHashes)
-    val bandHashes = transform(
-      sequence(lit(0), lit(bands - 1)),
-      j => hash(slice(sig, j * rowsPerBand + lit(1), lit(rowsPerBand))))
+    // One row per (doc, band): band key = per-band fold of the MinHash
+    // signature, computed in ONE kernel pass per row
+    // (graft.functions.TextHashKernels.minhashBandHashes — banding via
+    // higher-order lambdas would interpret, and re-evaluate, the
+    // signature once per band). The banded relation is deliberately slim
+    // (id, band, bh): shingle sets are NOT carried through the band-join
+    // shuffle.
+    val bandHashes = org.apache.spark.sql.functions.call_function(
+      "minhash_band_hashes", col(textCol), lit(bands), lit(rowsPerBand))
     val banded = docs.select(col(idCol).as("id"), posexplode(bandHashes))
       .select(col("id"), col("pos").as("band"), col("col").as("bh"))
     val a = banded.alias("a")
