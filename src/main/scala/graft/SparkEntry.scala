@@ -53,6 +53,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, IvfIndex.IvfModel)]()
   private val ivfDiskCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
+  private val ivfEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
 
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
@@ -122,6 +124,26 @@ object SparkEntry {
       })
       IvfIndex.search(s.read.parquet(path), model, cfg, queryVec(s, d),
         k = 12, searchTopSize = 8, scoreScale = Some(Scale))
+    }),
+    // Catalyst optimizer rule: plain SQL top-k over an IVF-registered
+    // store is auto-rewritten to cluster pruning (full breadth ⇒ exact,
+    // so the oracle checks it bit-for-bit; pruned-plan behavior is
+    // covered in IvfRewriteSpec).
+    "sql_ann_rewrite" -> ((s, d) => {
+      GraftFunctions.register(s)
+      graft.plans.IvfRewrite.install(s)
+      val (path, model) = ivfEmbCache.computeIfAbsent(d, dir => {
+        val (a, m) = IvfIndex.build(table(s, dir, "embeddings"), "embedding", numClusters = 8)
+        val p = java.nio.file.Files.createTempDirectory("graft_ivf_emb").toString
+        IvfIndex.writePartitioned(a, p)
+        (p, m)
+      })
+      graft.plans.IvfIndexCatalog.register(path, model, searchTopSize = model.numClusters)
+      s.read.parquet(path).createOrReplaceTempView("graft_ivf_store")
+      s.sql(
+        """SELECT vec_id, round(knn_cosine_similarity(embedding, :qv), 6) AS score
+          |FROM graft_ivf_store ORDER BY score DESC, vec_id LIMIT 7""".stripMargin,
+        Map("qv" -> typedLit(queryVec(s, d).toSeq)))
     }),
     // SQL surface + parameter binding (R8): named param, not inlined.
     "sql_topk_cosine" -> ((s, d) => {
@@ -286,6 +308,15 @@ object SparkEntry {
     "ann_ivf_topk" -> knnOracle(CosExpr, desc = true, k = 10),
     "ann_ivf_disk" -> knnOracle(CosExpr, desc = true, k = 12),
     "sql_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 5),
+    "sql_ann_rewrite" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /
+        |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(qv.q, qv.q))), 6) AS score
+        |FROM embeddings e, qv
+        |ORDER BY score DESC NULLS LAST, e.vec_id
+        |LIMIT 7""".stripMargin,
     "api_search_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
     "dedup_exact" ->
       """SELECT substr(text, 1, 16) AS fp, count(*) AS dup_count, min(doc_id) AS keep_id

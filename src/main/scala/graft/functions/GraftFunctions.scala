@@ -137,5 +137,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
         builder))
     }
+    // ANN auto-rewrite: top-k vector queries over IVF-registered stores
+    // are pruned to their best clusters (graft.plans.IvfRewriteRule).
+    ext.injectOptimizerRule(s => new graft.plans.IvfRewriteRule(s))
   }
 }
