@@ -58,6 +58,9 @@ object GraftFunctions {
         MinHashSignatureExpr(es(0), n)
       },
       "_FUNC_(text, numHashes) - MinHash signature (array<bigint>) over token 3-gram shingles."),
+    ("shingle_set",
+      (es: Seq[Expression]) => { requireArity(es, 1, "shingle_set"); ShingleSetExpr(es(0)) },
+      "_FUNC_(text) - distinct token-3-gram shingles (array<string>)."),
     ("minhash_band_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 3, "minhash_band_hashes")

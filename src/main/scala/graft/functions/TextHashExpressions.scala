@@ -65,6 +65,32 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
 }
 
 /**
+ * `shingle_set(text)` → array<string>: the distinct token-3-gram
+ * shingles that `minhash_signature` hashes — materialized for exact
+ * Jaccard verification of LSH candidates.
+ */
+case class ShingleSetExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_set requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.shingleSet(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.shingleSet($c)")
+
+  override def prettyName: String = "shingle_set"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `minhash_band_hashes(text, bands, rowsPerBand)` → array<bigint>: one
  * LSH bucket key per band, computed in a single kernel pass.
  */

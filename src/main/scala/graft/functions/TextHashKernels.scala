@@ -155,6 +155,55 @@ object TextHashKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Distinct token-3-gram shingles as strings — the exact shingling
+    * [[minhashSignature]] hashes, materialized for exact-Jaccard
+    * verification. Kernel-backed so it stays inside WholeStageCodegen
+    * (a higher-order-function formulation is interpreted per element). */
+  def shingleSet(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val offs = tokenOffsets(bytes)
+    val nTokens = offs.length / 2
+    val shingleWidth = 3
+    val nShingles = math.max(nTokens - shingleWidth + 1, if (nTokens > 0) 1 else 0)
+    if (nShingles == 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var s = 0
+    while (s < nShingles) {
+      val width = math.min(shingleWidth, nTokens - s)
+      val from = offs(s * 2)
+      val until = offs((s + width - 1) * 2 + 1)
+      // tokens are contiguous in the source except for separating
+      // spaces; normalize multi-space gaps by rebuilding when needed
+      var singleSpaced = true
+      var i = from
+      var run = 0
+      while (i < until && singleSpaced) {
+        if (bytes(i) == ' ') { run += 1; if (run > 1) singleSpaced = false }
+        else run = 0
+        i += 1
+      }
+      val sh = if (singleSpaced) {
+        UTF8String.fromBytes(bytes, from, until - from)
+      } else {
+        val sb = new java.lang.StringBuilder()
+        var t = 0
+        while (t < width) {
+          val ts = offs((s + t) * 2); val te = offs((s + t) * 2 + 1)
+          if (t > 0) sb.append(' ')
+          sb.append(new String(bytes, ts, te - ts, java.nio.charset.StandardCharsets.UTF_8))
+          t += 1
+        }
+        UTF8String.fromString(sb.toString)
+      }
+      seen.add(sh)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[UTF8String](seen.size)).asInstanceOf[Array[Any]])
+  }
+
   /** MinHash banded LSH keys in one pass: the signature of
     * `bands * rowsPerBand` permutations, folded per band into a single
     * 64-bit bucket key. One kernel call per row — the signature is never

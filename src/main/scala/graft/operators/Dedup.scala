@@ -46,22 +46,16 @@ object Dedup {
   private def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 
   /**
-   * Distinct token-3-gram shingle set — the column-level mirror of
-   * [[graft.functions.TextHashKernels.minhashSignature]]'s shingling
-   * (short docs fall back to one whole-text shingle). Shingles are
+   * Distinct token-3-gram shingle set — exactly the shingling
+   * [[graft.functions.TextHashKernels.minhashSignature]] hashes (short
+   * docs fall back to one whole-text shingle). Shingles are
    * order-sensitive, which is what makes them the right near-dup signal
-   * when documents share a vocabulary but not an order.
+   * when documents share a vocabulary but not an order. Kernel-backed
+   * expression: stays inside WholeStageCodegen (a higher-order-function
+   * formulation is interpreted per shingle).
    */
-  private[operators] def shingleSet(text: Column): Column = {
-    val toks = split(text, " ")
-    val n = size(toks)
-    array_distinct(
-      when(n >= 3,
-        transform(sequence(lit(0), n - 3), i =>
-          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-            element_at(toks, i + 3))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+  private[operators] def shingleSet(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("shingle_set", text)
 
   /** Exact Jaccard similarity of two set-valued columns. */
   private def jaccard(a: Column, b: Column): Column =

@@ -49,6 +49,7 @@ class DedupSpec extends SparkFunSuite {
   test("minhash LSH finds all high-jaccard pairs on real data (recall@0.95 = 1)") {
     // Ground truth by brute force on sf0.001 (500 docs — test-only),
     // over the SAME metric the signature estimates: shingle-set jaccard.
+    graft.functions.GraftFunctions.register(spark)
     val base = docs.select(col("doc_id").as("id"),
       Dedup.shingleSet(col("text")).as("toks"))
     val a = base.alias("a"); val b = base.alias("b")
