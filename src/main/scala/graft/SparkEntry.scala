@@ -242,6 +242,16 @@ object SparkEntry {
         round(element_at(col("embedding"), 1).cast("double"), 6).as("feat0"))
         .orderBy("id")
     }),
+    // Custom aggregate expression: per-label centroid of the embedding
+    // column (TypedImperativeAggregate with map-side partials).
+    "vector_centroids" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "embeddings")
+        .groupBy("label")
+        .agg(transform(GraftFunctions.vectorAvg(col("embedding")),
+          x => round(x, 6)).as("centroid"))
+        .orderBy("label")
+    }),
     // Windowed aggregation over the events stream shape (batch mode of
     // the Structured Streaming pipeline; exact decimal sums).
     "events_windowed" -> ((s, d) =>
@@ -398,6 +408,13 @@ object SparkEntry {
       """SELECT vec_id AS id, CAST(4 * len(embedding) + 1 AS BIGINT) AS payload_bytes,
         |       round(CAST(embedding[1] AS DOUBLE), 6) AS feat0
         |FROM embeddings ORDER BY id""".stripMargin,
+    "vector_centroids" ->
+      """SELECT label, list(round(avg_v, 6) ORDER BY idx) AS centroid
+        |FROM (
+        |  SELECT e.label, t.i AS idx, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS avg_v
+        |  FROM embeddings e, generate_series(1, 64) AS t(i)
+        |  GROUP BY e.label, t.i)
+        |GROUP BY label ORDER BY label""".stripMargin,
     "events_windowed" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |       count(*) AS n_events,

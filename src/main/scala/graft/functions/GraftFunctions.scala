@@ -58,6 +58,9 @@ object GraftFunctions {
         MinHashSignatureExpr(es(0), n)
       },
       "_FUNC_(text, numHashes) - MinHash signature (array<bigint>) over token 3-gram shingles."),
+    ("vector_avg",
+      (es: Seq[Expression]) => { requireArity(es, 1, "vector_avg"); VectorAvg(es(0)).toAggregateExpression() },
+      "_FUNC_(vec) - element-wise mean of a group of float vectors (centroid aggregate)."),
     ("shingle_set",
       (es: Seq[Expression]) => { requireArity(es, 1, "shingle_set"); ShingleSetExpr(es(0)) },
       "_FUNC_(text) - distinct token-3-gram shingles (array<string>)."),
@@ -125,6 +128,7 @@ object GraftFunctions {
     call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
   def contentChunkHashes(payload: Column, avgBits: Int): Column =
     call_function("content_chunk_hashes", payload, org.apache.spark.sql.functions.lit(avgBits))
+  def vectorAvg(vec: Column): Column = call_function("vector_avg", vec)
 }
 
 /**
