@@ -111,6 +111,20 @@ object SparkEntry {
       IvfIndex.search(assigned, model, cfg, queryVec(s, d),
         k = 10, searchTopSize = 8, scoreScale = Some(Scale))
     }),
+    // R2, 2-level kmeans tree (YDB vector_kmeans_tree shape): macro
+    // centroids → leaf centroids → partitions, breadth knob per level.
+    // Full breadth ⇒ exact (oracle); pruned behavior in IvfIndexSpec.
+    "ann_tree_topk" -> ((s, d) => {
+      val (assigned, model) = ivfCache.computeIfAbsent(d, dir => {
+        val store = table(s, dir, "embeddings")
+          .join(table(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        val (a, m) = IvfIndex.build(store, "embedding", numClusters = 8)
+        (a.cache(), m)
+      })
+      val tree = IvfIndex.buildTree(model, macroClusters = 3)
+      IvfIndex.searchTree(assigned, tree, cfg, queryVec(s, d),
+        k = 9, searchTopSize = model.numClusters, scoreScale = Some(Scale))
+    }),
     // R2 on disk: the 100 TB search path — store written partitionBy
     // cluster_id, search prunes Parquet partitions at file-listing time.
     "ann_ivf_disk" -> ((s, d) => {
@@ -317,6 +331,7 @@ object SparkEntry {
     "binary_store_topk" -> knnOracle(CosExpr, desc = true, k = 6),
     "ann_ivf_topk" -> knnOracle(CosExpr, desc = true, k = 10),
     "ann_ivf_disk" -> knnOracle(CosExpr, desc = true, k = 12),
+    "ann_tree_topk" -> knnOracle(CosExpr, desc = true, k = 9),
     "sql_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 5),
     "sql_ann_rewrite" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)

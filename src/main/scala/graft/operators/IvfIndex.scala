@@ -89,6 +89,96 @@ object IvfIndex {
     assigned.write.mode("overwrite").partitionBy(ClusterCol).parquet(path)
 
   /**
+   * Two-level kmeans tree over a built index — the shape of YDB's
+   * `vector_kmeans_tree` (reference: /root/reference/app.py:193-196):
+   * level 1 clusters the CLUSTER CENTROIDS (driver-side Lloyd over a
+   * centroid table that is small by construction — no Spark jobs, no
+   * change to the on-disk store layout). Search walks macro-centroids →
+   * member centroids → partitions, applying the `searchTopSize` breadth
+   * knob at each level exactly as the reference's PRAGMA does per tree
+   * level (app.py:186-191).
+   */
+  final case class TreeIndex(
+      leaves: IvfModel,
+      macroCentroids: Array[Array[Float]],
+      leafToMacro: Array[Int]) {
+
+    /** Candidate leaf clusters for a query at the given breadth. */
+    def candidateClusters(queryVec: Array[Float], strategy: SearchStrategy,
+        searchTopSize: Int): Array[Int] = {
+      val macroModel = IvfModel(macroCentroids)
+      val topMacros = macroModel.rankClusters(queryVec, strategy)
+        .take(searchTopSize).toSet
+      val members = leaves.rankClusters(queryVec, strategy)
+        .filter(c => topMacros.contains(leafToMacro(c)))
+      members.take(searchTopSize)
+    }
+  }
+
+  /** Build the second level: deterministic driver-side Lloyd iterations
+    * over the leaf centroids (seeded farthest-point init). */
+  def buildTree(leaves: IvfModel, macroClusters: Int, iters: Int = 10): TreeIndex = {
+    val pts = leaves.centroids
+    val k = math.min(macroClusters, pts.length)
+    // farthest-point seeding from centroid 0 — deterministic
+    val seeds = scala.collection.mutable.ArrayBuffer(0)
+    while (seeds.length < k) {
+      val next = pts.indices.maxBy { i =>
+        seeds.map(s => IvfMath.score(SearchStrategy.EuclideanDistance, pts(i), pts(s))).min
+      }
+      seeds += next
+    }
+    var centers = seeds.map(pts(_).clone()).toArray
+    var assign = new Array[Int](pts.length)
+    var it = 0
+    while (it < iters) {
+      var changed = false
+      var i = 0
+      while (i < pts.length) {
+        val best = centers.indices.minBy(c =>
+          IvfMath.score(SearchStrategy.EuclideanDistance, pts(i), centers(c)))
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      if (!changed) it = iters
+      else {
+        val dim = pts(0).length
+        centers = Array.tabulate(centers.length) { c =>
+          val members = pts.indices.filter(assign(_) == c)
+          if (members.isEmpty) centers(c)
+          else {
+            val sum = new Array[Float](dim)
+            members.foreach { m =>
+              var d = 0
+              while (d < dim) { sum(d) += pts(m)(d); d += 1 }
+            }
+            sum.map(_ / members.length)
+          }
+        }
+        it += 1
+      }
+    }
+    TreeIndex(leaves, centers, assign)
+  }
+
+  /** Tree search: macro pruning → leaf pruning → brute-force tail. */
+  def searchTree(
+      assignedStore: DataFrame,
+      tree: TreeIndex,
+      cfg: StoreConfig,
+      queryVec: Array[Float],
+      k: Int,
+      searchTopSize: Int,
+      scoreScale: Option[Int] = None): DataFrame = {
+    require(searchTopSize > 0,
+      s"index_tree_search_top_size must be a positive integer, got $searchTopSize")
+    val clusters = tree.candidateClusters(queryVec, cfg.strategy, searchTopSize)
+    val pruned = assignedStore.filter(col(ClusterCol).isin(clusters.map(Integer.valueOf): _*))
+    VectorSearch.bruteForce(pruned.drop(ClusterCol), cfg.copy(indexEnabled = true),
+      queryVec, k, Map.empty, scoreScale)
+  }
+
+  /**
    * ANN search: centroid ranking → cluster pruning → brute-force tail.
    * Mirrors the reference contract: larger `searchTopSize` = more
    * candidate clusters = higher recall, monotonically (app.py:60,186-191).

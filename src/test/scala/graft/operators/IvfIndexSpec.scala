@@ -54,6 +54,30 @@ class IvfIndexSpec extends SparkFunSuite {
     }
   }
 
+  test("2-level tree: full breadth equals brute force exactly") {
+    val (assigned, model) = built
+    val tree = IvfIndex.buildTree(model, macroClusters = 3)
+    val got = IvfIndex.searchTree(assigned, tree, cfg, qv(4), k = 10,
+      searchTopSize = model.numClusters, scoreScale = Some(6)).collect()
+    val brute = VectorSearch.bruteForce(store, cfg, qv(4), 10, Map.empty, Some(6)).collect()
+    assert(got.map(_.toSeq).toSeq === brute.map(_.toSeq).toSeq)
+  }
+
+  test("2-level tree: recall@10 monotone in searchTopSize; breadth bounds candidates") {
+    val (assigned, model) = built
+    val tree = IvfIndex.buildTree(model, macroClusters = 3)
+    val truth = VectorSearch.bruteForce(store, cfg, qv(5), 10).collect()
+      .map(_.getString(0)).toSet
+    val recalls = Seq(1, 2, 4, 8).map { ts =>
+      assert(tree.candidateClusters(qv(5), cfg.strategy, ts).length <= ts)
+      val got = IvfIndex.searchTree(assigned, tree, cfg, qv(5), 10, ts).collect()
+        .map(_.getString(0)).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    assert(recalls.sliding(2).forall { case Seq(a, b) => b >= a }, recalls.toString)
+    assert(recalls.last === 1.0)
+  }
+
   test("partitioned write: store written by cluster_id enables partition pruning") {
     val (assigned, model) = built
     val path = java.nio.file.Files.createTempDirectory("ivf_store").toString
