@@ -272,6 +272,29 @@ object SparkEntry {
       graft.streaming.EventPipeline.windowedTypeStats(
         table(s, d, "events"), "1 hour")
         .orderBy("window_start", "event_type")),
+    // As-of join: each click matched to the user's most recent prior
+    // view (oracle = DuckDB's native ASOF JOIN).
+    "events_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.streaming.EventPipeline.normalizeTs(table(s, d, "events"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select("user_id", "ts", "value")
+      TemporalJoins.asOfJoin(clicks, views, "user_id", "ts", Seq("value"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+    // Range self-join: event pairs per user within a 300 s window,
+    // bucketed equality join (never an inequality-only join).
+    "events_range_join" -> ((s, d) => {
+      val ev = graft.streaming.EventPipeline.normalizeTs(table(s, d, "events"))
+        .select("event_id", "user_id", "ts")
+      TemporalJoins.rangeSelfJoin(ev, "user_id", "ts", "event_id", rangeSeconds = 300)
+        .orderBy("a_id", "b_id")
+    }),
     // JSON property extraction + rollup.
     "events_json_rollup" -> ((s, d) =>
       graft.streaming.EventPipeline.propsRollup(table(s, d, "events"))
@@ -435,6 +458,24 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |clicks AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM ev WHERE event_type = 'view')
+        |  WHERE rn = 1)
+        |SELECT c.user_id, c.ts, c.event_id, v.ts AS matched_ts, v.value AS matched_value
+        |FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+    "events_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id, a.ts AS a_ts, b.ts AS b_ts
+        |FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL 300 SECOND
+        |ORDER BY a_id, b_id""".stripMargin,
     "events_json_rollup" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n_events,

@@ -23,11 +23,12 @@ object EventPipeline {
     * `nanosAsLong` reading of a TIMESTAMP(NANOS) Parquet column) becomes
     * a proper TimestampType at microsecond precision; a TimestampType
     * `ts` passes through. */
-  private def normalizeTs(events: DataFrame): DataFrame =
+  def normalizeTs(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        events.withColumn("ts",
-          timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+        // integer `div`, NOT `/`: epoch nanos exceed double's 53-bit
+        // mantissa, so float division is off by ±1 µs
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => events
     }
 
