@@ -299,6 +299,15 @@ object SparkEntry {
     "events_json_rollup" -> ((s, d) =>
       graft.streaming.EventPipeline.propsRollup(table(s, d, "events"))
         .orderBy("k")),
+    // Distinct aggregation (two-phase: partial sets map-side, exact).
+    "events_user_stats" -> ((s, d) =>
+      table(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("event_type")),
     "multimodal_features" -> ((s, d) => {
       GraftFunctions.register(s)
       val payloads = table(s, d, "embeddings")
@@ -476,6 +485,11 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.ts > a.ts
         |  AND b.ts <= a.ts + INTERVAL 300 SECOND
         |ORDER BY a_id, b_id""".stripMargin,
+    "events_user_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_json_rollup" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n_events,
