@@ -245,6 +245,31 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Window ranking: top-3 longest docs per language.
+    "top_docs_per_lang" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      table(s, d, "documents")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rnk")
+        .orderBy("lang", "rnk")
+    }),
+    // Set operations: EXCEPT and INTERSECT over filtered id sets.
+    "docs_setops" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val en = docs.filter(col("lang") === "en").select("doc_id")
+      val longDocs = docs.filter(size(split(col("text"), " ")) >= 60).select("doc_id")
+      en.except(longDocs).withColumn("op", lit("except"))
+        .unionByName(en.intersect(longDocs).withColumn("op", lit("intersect")))
+        .orderBy("op", "doc_id")
+    }),
+    // Hierarchical aggregation: ROLLUP(lang, source).
+    "lang_source_rollup" -> ((s, d) =>
+      table(s, d, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
     // Multimodal: opaque binary payload + metadata (plumbing oracle) and
     // stubbed feature extraction (rows-only).
     "multimodal_meta" -> ((s, d) => {
@@ -451,6 +476,27 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    "top_docs_per_lang" ->
+      """SELECT lang, doc_id, n_chars, rnk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+    "docs_setops" ->
+      """SELECT doc_id, 'except' AS op FROM (
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |  EXCEPT
+        |  SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) >= 60)
+        |UNION ALL
+        |SELECT doc_id, 'intersect' AS op FROM (
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |  INTERSECT
+        |  SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) >= 60)
+        |ORDER BY op, doc_id""".stripMargin,
+    "lang_source_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
     "multimodal_meta" ->
       """SELECT vec_id AS id, CAST(4 * len(embedding) + 1 AS BIGINT) AS payload_bytes,
         |       round(CAST(embedding[1] AS DOUBLE), 6) AS feat0
