@@ -324,6 +324,10 @@ object SparkEntry {
     "events_json_rollup" -> ((s, d) =>
       graft.streaming.EventPipeline.propsRollup(table(s, d, "events"))
         .orderBy("k")),
+    // Gap-based sessionization (10-minute inactivity gap).
+    "events_sessions" -> ((s, d) =>
+      graft.streaming.EventPipeline.sessionize(table(s, d, "events"), gapSeconds = 600)
+        .orderBy("user_id", "session_idx")),
     // Distinct aggregation (two-phase: partial sets map-side, exact).
     "events_user_stats" -> ((s, d) =>
       table(s, d, "events")
@@ -531,6 +535,24 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.ts > a.ts
         |  AND b.ts <= a.ts + INTERVAL 300 SECOND
         |ORDER BY a_id, b_id""".stripMargin,
+    "events_sessions" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR ts - lag(ts) OVER w > INTERVAL 600 SECOND
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "events_user_stats" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,

@@ -75,6 +75,36 @@ object EventPipeline {
     normalizeTs(events).withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /**
+   * Gap-based sessionization: a new session starts when the gap to the
+   * user's previous event exceeds `gapSeconds`. Built from lag +
+   * running sum over one (user, time) window — a single shuffle by
+   * user, identical semantics on any engine (Structured Streaming's
+   * `session_window` is the streaming-native equivalent; the explicit
+   * construction is used here because its boundary semantics are
+   * unambiguous and cross-engine verifiable).
+   */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = normalizeTs(events)
+    // event_id tie-break + explicit ROWS frame: duplicate timestamps
+    // would otherwise make lag() order-ambiguous and the default RANGE
+    // frame peer-inclusive — both engine-dependent.
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapSeconds * 1000000L
+    val newSession = when(lag(col("ts"), 1).over(byUser).isNull ||
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs, 1L)
+      .otherwise(0L)
+    ev.withColumn("session_idx", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /**
