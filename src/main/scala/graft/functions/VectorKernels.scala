@@ -110,7 +110,9 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
-      val bits = java.lang.Float.floatToIntBits(a.getFloat(i))
+      // raw bits: floatToIntBits would canonicalize NaN payloads,
+      // breaking byte-fidelity of decode→encode round trips
+      val bits = java.lang.Float.floatToRawIntBits(a.getFloat(i))
       val off = i * 4
       out(off) = bits.toByte
       out(off + 1) = (bits >>> 8).toByte

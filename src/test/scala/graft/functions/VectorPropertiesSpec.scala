@@ -72,6 +72,22 @@ class VectorPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("decode never throws on arbitrary bytes: null or a NaN-stable round-trip") {
+    check("decodeTotal", Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val bytes = bs.toArray
+      val dec = VectorKernels.decodeFloatVector(bytes)
+      dec == null || {
+        // byte-fidelity modulo NaN: the JVM may collapse NaN payloads
+        // when a float passes through registers, so compare values
+        // NaN-aware rather than raw bytes
+        val re = VectorKernels.decodeFloatVector(VectorKernels.encodeFloatVector(dec))
+        val (a, b) = (dec.toFloatArray(), re.toFloatArray())
+        a.length == b.length &&
+          a.indices.forall(i => a(i) == b(i) || (a(i).isNaN && b(i).isNaN))
+      }
+    })
+  }
+
   test("minhash signatures are deterministic and order-independent across calls") {
     val text = org.apache.spark.unsafe.types.UTF8String.fromString(
       "alpha beta gamma delta epsilon zeta eta theta")
