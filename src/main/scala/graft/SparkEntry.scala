@@ -245,6 +245,9 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "tfidf_top_terms" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
+        .orderBy("doc_id", "rnk")),
     // Window ranking: top-3 longest docs per language.
     "top_docs_per_lang" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -480,6 +483,22 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    "tfidf_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "top_docs_per_lang" ->
       """SELECT lang, doc_id, n_chars, rnk FROM (
         |  SELECT lang, doc_id, n_chars,

@@ -91,6 +91,34 @@ object TextAnalysis {
         sum(size(tokens(col(textCol)))).as("total_tokens"),
         round(avg(length(col(textCol))), 4).as("avg_chars"))
 
+  /**
+   * TF-IDF top terms per document: tf(t,d) · ln(N / df(t)), keeping the
+   * `topK` highest-scoring terms per doc (term tie-break).
+   *
+   * Shape at scale: explode → two hash aggregates (term-frequency per
+   * (doc, term), document-frequency per term) → an equality join on
+   * term → a per-doc window. The df table is orders of magnitude
+   * smaller than the corpus (vocabulary-sized) — exactly the broadcast
+   * side — and everything else shuffles once on (doc, term).
+   */
+  def tfIdfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count() // corpus size: one cheap count, a scalar
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
   /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
     * dedup key. MD5 is standard across engines, so it doubles as a
     * cross-engine-verifiable fingerprint. */

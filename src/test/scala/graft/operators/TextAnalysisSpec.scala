@@ -50,6 +50,18 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(fp === "5eb63bbbe01eeed093cb22bb8f5acdc3")
   }
 
+  test("tfIdfTopTerms: discriminative terms outrank ubiquitous ones") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple common"),
+      (2L, "banana common"),
+      (3L, "cherry common")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" has df=3 → idf=ln(1)=0; unique terms win every doc
+    assert(top1 === Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
   test("langStats aggregates per language") {
     val r = TextAnalysis.langStats(toy, "lang", "text")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
