@@ -82,14 +82,17 @@ object SparkEntry {
     // R3 — conjunctive equality filter (on the vendor/lang column).
     "knn_topk_filtered" -> ((s, d) =>
       knn(SearchStrategy.CosineSimilarity, 8, Map("lang" -> "en"))(s, d)),
-    // V6+V7 — binary codec round-trip.
+    // V6+V7 — binary codec round-trip, exploded to scalar (id, idx, val)
+    // rows: the driver's comparator hashes scalar cells, not arrays.
+    // Exact float equality is the point — encode→decode must be lossless.
     "codec_roundtrip" -> ((s, d) => {
       GraftFunctions.register(s)
       table(s, d, "embeddings").select(
         col("vec_id").as("id"),
-        GraftFunctions.fromBinaryVector(
-          GraftFunctions.toBinaryVector(col("embedding"))).as("vec"))
-        .orderBy("id")
+        posexplode(GraftFunctions.fromBinaryVector(
+          GraftFunctions.toBinaryVector(col("embedding")))))
+        .select(col("id"), col("pos").cast("long").as("idx"), col("col").as("val"))
+        .orderBy("id", "idx")
     }),
     // V6 + R4 — distance over a binary-encoded store column.
     "binary_store_topk" -> ((s, d) => {
@@ -188,6 +191,27 @@ object SparkEntry {
         .select(col("id"), col("title"), col("vendor"), col("description"), col("score"))
         .orderBy(col("score").desc_nulls_last, col("id"))
     }),
+    // A3 — health probe: the service's real constant-query check
+    // (reference app.py:89-102, SELECT 1 semantics) surfaced as a row.
+    "api_health" -> ((s, d) => {
+      val service = new SearchService(s, table(s, d, "embeddings"),
+        table(s, d, "documents"), ("vec_id", "doc_id"), cfg)
+      import s.implicits._
+      Seq((1, service.health())).toDF("test", "healthy")
+    }),
+    // A4 — effective-config echo (app.py:393-405): every config field as
+    // a column, plus the exact JSON the service serializes.
+    "api_config" -> ((s, d) => {
+      val service = new SearchService(s, table(s, d, "embeddings"),
+        table(s, d, "documents"), ("vec_id", "doc_id"), cfg)
+      import s.implicits._
+      Seq((cfg.idCol, cfg.titleCol, cfg.vendorCol, cfg.descriptionCol,
+        cfg.embeddingCol, cfg.strategy.name, cfg.indexEnabled,
+        cfg.searchTopSize, cfg.defaultK, service.configJson()))
+        .toDF("id_column", "title_column", "vendor_column", "description_column",
+          "embedding_column", "search_strategy", "index_enabled",
+          "index_tree_search_top_size", "default_k", "config_json")
+    }),
 
     // ----------------- beyond-reference: LLM-data-pipeline operators ----
 
@@ -199,9 +223,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.blockedJaccardPairs(table(s, d, "documents"), "doc_id", "text",
         blockLen = 16, threshold = 0.5, scale = Scale).orderBy("a_id", "b_id")),
-    // MinHash+LSH near-dup pairs (candidates verified with exact
-    // Jaccard; LSH recall < 1 ⇒ rows-only check, ScalaTest covers
-    // containment vs ground truth).
+    // MinHash+LSH near-dup pairs, candidates verified with exact shingle
+    // Jaccard. Oracle = the full quadratic exact threshold join: every
+    // qualifying pair on this corpus sits far above the 8×4 S-curve knee
+    // (min Jaccard 0.9 at sf0.01, per-pair collision prob > 0.999), so
+    // LSH recall is 1 and the output IS the exact join. ScalaTest pins
+    // recall against ground truth independently of the corpus.
     "dedup_minhash" -> ((s, d) =>
       Dedup.minHashPairs(table(s, d, "documents"), "doc_id", "text",
         bands = 8, rowsPerBand = 4, threshold = 0.5, scale = Scale)
@@ -285,14 +312,18 @@ object SparkEntry {
         .orderBy("id")
     }),
     // Custom aggregate expression: per-label centroid of the embedding
-    // column (TypedImperativeAggregate with map-side partials).
+    // column (TypedImperativeAggregate with map-side partials), exploded
+    // to scalar (label, idx, val) rows for the driver comparator. idx is
+    // 1-based to line up with DuckDB's 1-based list indexing.
     "vector_centroids" -> ((s, d) => {
       GraftFunctions.register(s)
       table(s, d, "embeddings")
         .groupBy("label")
-        .agg(transform(GraftFunctions.vectorAvg(col("embedding")),
-          x => round(x, 6)).as("centroid"))
-        .orderBy("label")
+        .agg(GraftFunctions.vectorAvg(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("idx"),
+          round(col("col"), 6).as("val"))
+        .orderBy("label", "idx")
     }),
     // Windowed aggregation over the events stream shape (batch mode of
     // the Structured Streaming pipeline; exact decimal sums).
@@ -340,12 +371,20 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("event_type")),
+    // Multimodal feature extraction (mapPartitions over opaque binary
+    // payloads), exploded to scalar rows. Payload = the document's UTF-8
+    // bytes (the corpus is ASCII), so the stub's byte histogram has a
+    // DuckDB oracle; n_in_bin recovers the stub's exact integer bin
+    // count from the float32 ratio (error ≤ n_bytes·2⁻²⁴ ≪ 0.5).
     "multimodal_features" -> ((s, d) => {
-      GraftFunctions.register(s)
-      val payloads = table(s, d, "embeddings")
-        .select(col("vec_id"), GraftFunctions.toBinaryVector(col("embedding")).as("payload"))
-      graft.multimodal.Multimodal.extractFeatures(payloads, "vec_id", "payload", bins = 16)
-        .toDF().orderBy("id")
+      val payloads = table(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.Multimodal.extractFeatures(payloads, "doc_id", "payload", bins = 16)
+        .toDF()
+        .select(col("id"), col("n_bytes"), posexplode(col("features")))
+        .select(col("id"), col("n_bytes"), col("pos").cast("long").as("bin"),
+          round(col("col").cast("double") * col("n_bytes")).cast("long").as("n_in_bin"))
+        .orderBy("id", "bin")
     }),
     // Byte-payload dedup via content-defined chunking (rows-only: the
     // Gear/FNV fingerprints are engine-defined; CDC properties are
@@ -382,7 +421,11 @@ object SparkEntry {
     "knn_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
     "knn_topk_inner_product" -> knnOracle(
       "list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q)", desc = true, k = 4),
-    "knn_topk_cosine_distance" -> knnOracle(s"1.0 - ($CosExpr)", desc = false, k = 4),
+    // Round the similarity FIRST, then subtract (then the harness's outer
+    // 6-dp round is a no-op-shaped safety net) — mirrors
+    // SearchStrategy.CosineDistance.roundedScore exactly; rounding 1−s
+    // directly is not reproducible across engines at half-way boundaries.
+    "knn_topk_cosine_distance" -> knnOracle(s"1.0 - round($CosExpr, 6)", desc = false, k = 4),
     "knn_topk_euclidean" -> knnOracle(
       "list_distance(CAST(e.embedding AS DOUBLE[]), qv.q)", desc = false, k = 4),
     "knn_topk_manhattan" -> knnOracle(
@@ -391,7 +434,9 @@ object SparkEntry {
     "knn_topk_filtered" -> knnOracle(CosExpr, desc = true, k = 8,
       where = "WHERE d.lang = 'en'"),
     "codec_roundtrip" ->
-      "SELECT vec_id AS id, embedding AS vec FROM embeddings ORDER BY id",
+      """SELECT vec_id AS id, CAST(g - 1 AS BIGINT) AS idx, embedding[g] AS val
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(g)
+        |ORDER BY id, idx""".stripMargin,
     "binary_store_topk" -> knnOracle(CosExpr, desc = true, k = 6),
     "ann_ivf_topk" -> knnOracle(CosExpr, desc = true, k = 10),
     "ann_ivf_disk" -> knnOracle(CosExpr, desc = true, k = 12),
@@ -407,6 +452,16 @@ object SparkEntry {
         |ORDER BY score DESC NULLS LAST, e.vec_id
         |LIMIT 7""".stripMargin,
     "api_search_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
+    "api_health" -> "SELECT CAST(1 AS INT) AS test, TRUE AS healthy",
+    "api_config" ->
+      """SELECT 'vec_id' AS id_column, 'source' AS title_column,
+        |       'lang' AS vendor_column, 'text' AS description_column,
+        |       'embedding' AS embedding_column,
+        |       'CosineSimilarity' AS search_strategy,
+        |       FALSE AS index_enabled,
+        |       CAST(10 AS INT) AS index_tree_search_top_size,
+        |       CAST(4 AS INT) AS default_k,
+        |       '{"id_column": "vec_id", "title_column": "source", "vendor_column": "lang", "description_column": "text", "embedding_column": "embedding", "search_strategy": "CosineSimilarity", "index_enabled": false, "index_tree_search_top_size": 10, "default_k": 4}' AS config_json""".stripMargin,
     "dedup_exact" ->
       """SELECT substr(text, 1, 16) AS fp, count(*) AS dup_count, min(doc_id) AS keep_id
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
@@ -483,6 +538,26 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    // Exact shingle-Jaccard threshold join over ALL pairs — the shingling
+    // mirrors TextHashKernels.shingleSet: non-empty space-split tokens,
+    // distinct 3-grams joined by ' ', whole-doc fallback under 3 tokens.
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t != '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(t) = 0 THEN []
+        |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks)
+        |SELECT * FROM (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |               len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.id < b.id)
+        |WHERE jaccard >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -525,12 +600,25 @@ object SparkEntry {
         |       round(CAST(embedding[1] AS DOUBLE), 6) AS feat0
         |FROM embeddings ORDER BY id""".stripMargin,
     "vector_centroids" ->
-      """SELECT label, list(round(avg_v, 6) ORDER BY idx) AS centroid
-        |FROM (
-        |  SELECT e.label, t.i AS idx, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS avg_v
-        |  FROM embeddings e, generate_series(1, 64) AS t(i)
-        |  GROUP BY e.label, t.i)
-        |GROUP BY label ORDER BY label""".stripMargin,
+      """SELECT e.label, CAST(t.i AS BIGINT) AS idx,
+        |       round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS val
+        |FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
+        |GROUP BY e.label, t.i
+        |ORDER BY label, idx""".stripMargin,
+    "multimodal_features" ->
+      """WITH bins AS (SELECT CAST(g - 1 AS BIGINT) AS bin
+        |              FROM unnest(generate_series(1, 16)) AS t(g)),
+        |docs AS (SELECT doc_id AS id,
+        |                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |         FROM documents),
+        |counts AS (
+        |  SELECT doc_id AS id, ascii(substr(text, i, 1)) // 16 AS bin, count(*) AS c
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+        |  GROUP BY id, bin)
+        |SELECT d.id, d.n_bytes, b.bin, CAST(COALESCE(c.c, 0) AS BIGINT) AS n_in_bin
+        |FROM docs d CROSS JOIN bins b
+        |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
+        |ORDER BY d.id, b.bin""".stripMargin,
     "events_windowed" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |       count(*) AS n_events,

@@ -19,11 +19,31 @@ import org.apache.spark.sql.functions._
  *    sort-merge join on a key, which Spark distributes and AQE
  *    skew-splits. Exact verification (Jaccard) runs only on candidates.
  *  - Known skew hazard: a viral duplicate (one fingerprint with millions
- *    of rows) makes a quadratic bucket. `maxBucket` caps candidate
- *    generation per bucket as a guardrail; AQE skew-join handles the
- *    shuffle side.
+ *    of rows) makes a quadratic bucket. The `maxBucket` parameter on the
+ *    pair generators is the guardrail: blocks holding more than
+ *    `maxBucket` rows are dropped wholesale BEFORE the self-join, so no
+ *    bucket ever contributes more than maxBucket²/2 candidate pairs. A
+ *    block that big is a viral/boilerplate cluster that exact dedup (one
+ *    hash aggregate) handles for free — near-dup pairing inside it is
+ *    quadratic waste. AQE skew-join handles residual shuffle skew below
+ *    the cap.
  */
 object Dedup {
+
+  /**
+   * Viral-key guardrail shared by the candidate generators: drop rows
+   * whose block key holds more than `cap` rows. One window count over
+   * the same key the subsequent self-join shuffles on.
+   */
+  private[operators] def capBuckets(
+      df: DataFrame, keyCols: Seq[String], cap: Option[Int]): DataFrame =
+    cap.fold(df) { c =>
+      require(c > 0, s"maxBucket must be positive, got $c")
+      val w = Window.partitionBy(keyCols.map(col): _*)
+      df.withColumn("__graft_bucket_n", count(lit(1)).over(w))
+        .filter(col("__graft_bucket_n") <= c)
+        .drop("__graft_bucket_n")
+    }
 
   /**
    * Exact-duplicate groups by a fingerprint key: one row per distinct
@@ -73,11 +93,12 @@ object Dedup {
       textCol: String,
       blockLen: Int,
       threshold: Double,
-      scale: Int = 6): DataFrame = {
-    val base = docs.select(
+      scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val base = capBuckets(docs.select(
       col(idCol).as("id"),
       substring(col(textCol), 1, blockLen).as("bk"),
-      tokenSet(col(textCol)).as("toks"))
+      tokenSet(col(textCol)).as("toks")), Seq("bk"), maxBucket)
     val a = base.alias("a")
     val b = base.alias("b")
     a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
@@ -107,7 +128,8 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     // One row per (doc, band): band key = per-band fold of the MinHash
     // signature, computed in ONE kernel pass per row
@@ -118,8 +140,10 @@ object Dedup {
     // shuffle.
     val bandHashes = org.apache.spark.sql.functions.call_function(
       "minhash_band_hashes", col(textCol), lit(bands), lit(rowsPerBand))
-    val banded = docs.select(col(idCol).as("id"), posexplode(bandHashes))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val banded = capBuckets(
+      docs.select(col(idCol).as("id"), posexplode(bandHashes))
+        .select(col("id"), col("pos").as("band"), col("col").as("bh")),
+      Seq("band", "bh"), maxBucket)
     val a = banded.alias("a")
     val b = banded.alias("b")
     // A pair colliding in several bands appears once per collision —

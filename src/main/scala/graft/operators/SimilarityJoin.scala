@@ -22,16 +22,26 @@ import org.apache.spark.sql.functions._
  */
 object SimilarityJoin {
 
-  /** Exact cosine pairs within equality blocks of `blockCol`. */
+  /** Exact cosine pairs within equality blocks of `blockCol`.
+    *
+    * Work is quadratic WITHIN a block, so the block key must be
+    * fine-grained enough that no block outgrows ~maxBucket rows at the
+    * target scale; with a coarse key (few distinct labels at 100×
+    * today's data) use [[lshCosinePairs]] instead, or set `maxBucket` —
+    * the [[Dedup.capBuckets]] viral-block guardrail — to drop oversized
+    * blocks deterministically. */
   def blockedCosinePairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
       threshold: Double,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val base = emb.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    val base = Dedup.capBuckets(
+      emb.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v")),
+      Seq("blk"), maxBucket)
     val a = base.alias("a")
     val b = base.alias("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))

@@ -104,7 +104,10 @@ object TextAnalysis {
   def tfIdfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count() // corpus size: one cheap count, a scalar
+    // Corpus size N stays IN the plan as a broadcast one-row cross join —
+    // a driver-side docs.count() here would force a second full pass over
+    // the corpus at plan-build time, once per invocation.
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__graft_n"))
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -112,8 +115,9 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("__graft_n") / col("df")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))

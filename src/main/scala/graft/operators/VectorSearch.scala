@@ -19,6 +19,11 @@ sealed abstract class SearchStrategy(val name: String, val functionName: String)
   /** score column builder for this strategy. */
   def score(embedding: Column, query: Column): Column =
     call_function(functionName, embedding, query)
+  /** Score rounded to `scale` decimals for cross-engine determinism.
+    * Default: round the metric itself. [[SearchStrategy.CosineDistance]]
+    * overrides this — see there for why. */
+  def roundedScore(embedding: Column, query: Column, scale: Int): Column =
+    round(score(embedding, query), scale)
 }
 
 object SearchStrategy {
@@ -27,7 +32,24 @@ object SearchStrategy {
   case object InnerProductSimilarity
       extends SearchStrategy("InnerProductSimilarity", "knn_inner_product_similarity")
   case object CosineDistance
-      extends SearchStrategy("CosineDistance", "knn_cosine_distance")
+      extends SearchStrategy("CosineDistance", "knn_cosine_distance") {
+    /** Round the SIMILARITY, then subtract — not round(1 − s).
+      *
+      * Rounding `1 − s` directly is not cross-engine reproducible: when
+      * `1 − s` lands on a half-way decimal boundary, engines that round
+      * the shortest decimal representation (Spark's `Round` goes through
+      * `BigDecimal.valueOf`) and engines that round the binary double
+      * (DuckDB, C `round`) disagree by one ulp of the last kept digit.
+      * `round(s, scale)` at the same scale provably agrees across engines
+      * (the plain-cosine query hash-matches bit-for-bit), and
+      * `1.0 − round(s, scale)` is then one deterministic IEEE subtraction
+      * of identical doubles on both sides; the outer round's argument is
+      * ~1e-16 from a `scale`-decimal value, never near a boundary, so it
+      * agrees too. Ordering is unaffected: ASC on `1 − round(s)` ≡ DESC
+      * on `round(s)`. */
+    override def roundedScore(embedding: Column, query: Column, scale: Int): Column =
+      round(lit(1.0) - round(CosineSimilarity.score(embedding, query), scale), scale)
+  }
   case object EuclideanDistance
       extends SearchStrategy("EuclideanDistance", "knn_euclidean_distance")
   case object ManhattanDistance
@@ -58,7 +80,47 @@ case class StoreConfig(
     strategy: SearchStrategy = SearchStrategy.CosineSimilarity,
     indexEnabled: Boolean = false,
     searchTopSize: Int = 10, // PRAGMA KMeansTreeSearchTopSize default, app.py:60
-    defaultK: Int = 4)       // app.py:363
+    defaultK: Int = 4,       // app.py:363
+    tableName: String = "ydb_langchain_store",  // YDB_TABLE, app.py:43
+    indexName: String = "ydb_vector_index",     // INDEX_NAME, app.py:59
+    passAsBytes: Boolean = true,                // VECTOR_PASS_AS_BYTES, app.py:63
+    embeddingApiUrl: Option[String] = None)     // EMBEDDING_API_URL, app.py:66
+
+object StoreConfig {
+  /**
+   * Deployment-parity config resolution: the same environment variable
+   * names, defaults, and parsing as the reference (app.py:40-66,
+   * env.example:9-27) — booleans are the string "true" case-insensitively
+   * (anything else, including absence, is the default's fate per
+   * variable), integers parse strictly, and an empty EMBEDDING_API_URL
+   * means "not configured". Host/port/database variables are
+   * YDB-transport-specific and have no Spark-side meaning; the table
+   * name is carried for catalog lookup parity.
+   *
+   * `env` is injectable for tests; production callers use the default
+   * `sys.env`.
+   */
+  def fromEnv(env: Map[String, String] = sys.env): StoreConfig = {
+    def bool(name: String, default: Boolean): Boolean =
+      env.get(name).map(_.toLowerCase == "true").getOrElse(default)
+    def int(name: String, default: Int): Int =
+      env.get(name).map(_.trim.toInt).getOrElse(default)
+    StoreConfig(
+      idCol = env.getOrElse("COLUMN_ID", "id"),
+      titleCol = env.getOrElse("COLUMN_TITLE", "title"),
+      vendorCol = env.getOrElse("COLUMN_VENDOR", "vendor"),
+      descriptionCol = env.getOrElse("COLUMN_DESCRIPTION", "description"),
+      embeddingCol = env.getOrElse("COLUMN_EMBEDDING", "embedding"),
+      strategy = SearchStrategy.fromString(
+        env.getOrElse("SEARCH_STRATEGY", "CosineSimilarity")),
+      indexEnabled = bool("INDEX_ENABLED", default = false),
+      searchTopSize = int("INDEX_TREE_SEARCH_TOP_SIZE", 10),
+      tableName = env.getOrElse("YDB_TABLE", "ydb_langchain_store"),
+      indexName = env.getOrElse("INDEX_NAME", "ydb_vector_index"),
+      passAsBytes = bool("VECTOR_PASS_AS_BYTES", default = true),
+      embeddingApiUrl = env.get("EMBEDDING_API_URL").filter(_.nonEmpty))
+  }
+}
 
 /**
  * Brute-force top-k vector search — the reference's one query template
@@ -112,8 +174,9 @@ object VectorSearch {
     val filtered = filter.foldLeft(store) { case (df, (c, v)) =>
       df.filter(col(c) === lit(v))
     }
-    val rawScore = cfg.strategy.score(col(cfg.embeddingCol), typedLit(queryVec.toSeq))
-    val score = scoreScale.fold(rawScore)(s => round(rawScore, s))
+    val qv = typedLit(queryVec.toSeq)
+    val score = scoreScale.fold(cfg.strategy.score(col(cfg.embeddingCol), qv))(
+      s => cfg.strategy.roundedScore(col(cfg.embeddingCol), qv, s))
 
     val projected = filtered.select(
       col(cfg.idCol).cast("string").as("id"),
@@ -169,8 +232,9 @@ object VectorSearch {
     } else {
       require(k > 0, s"k must be a positive integer, got $k")
       GraftFunctions.register(embeddings.sparkSession)
-      val rawScore = cfg.strategy.score(col(cfg.embeddingCol), typedLit(queryVec.toSeq))
-      val score = scoreScale.fold(rawScore)(s => round(rawScore, s))
+      val qv = typedLit(queryVec.toSeq)
+      val score = scoreScale.fold(cfg.strategy.score(col(cfg.embeddingCol), qv))(
+        s => cfg.strategy.roundedScore(col(cfg.embeddingCol), qv, s))
       val scored = embeddings.select(
         col(embId).cast("string").as("id"), score.as("score"))
       val topK = orderedTopK(scored, cfg, k)

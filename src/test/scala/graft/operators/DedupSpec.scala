@@ -82,6 +82,35 @@ class DedupSpec extends SparkFunSuite {
     assert(g.exists { case (n, keep) => n >= 3L && keep === 1L })
   }
 
+  test("maxBucket drops viral blocks, keeps small ones (bounded candidates)") {
+    import spark.implicits._
+    // one viral 10-row block + one small 2-row block under a 16-char key
+    val viral = (1 to 10).map(i => (i.toLong, s"xxxxxxxxxxxxxxxx viral copy $i"))
+    val small = Seq((100L, "yyyyyyyyyyyyyyyy near dup one"),
+      (101L, "yyyyyyyyyyyyyyyy near dup two"))
+    val d = (viral ++ small).toDF("doc_id", "text")
+    val uncapped = Dedup.blockedJaccardPairs(d, "doc_id", "text",
+      blockLen = 16, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.blockedJaccardPairs(d, "doc_id", "text",
+      blockLen = 16, threshold = 0.0, maxBucket = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 45 + 1) // C(10,2) viral pairs + the small pair
+    assert(capped === Set((100L, 101L))) // viral block dropped wholesale
+  }
+
+  test("maxBucket bounds minhash band buckets too") {
+    import spark.implicits._
+    // 6 identical docs: every band bucket holds all 6 rows
+    val d = (1 to 6).map(i => (i.toLong, "the same viral text again and again"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashPairs(d, "doc_id", "text", threshold = 0.0).count()
+    val capped = Dedup.minHashPairs(d, "doc_id", "text", threshold = 0.0,
+      maxBucket = Some(3)).count()
+    assert(uncapped === 15L) // C(6,2)
+    assert(capped === 0L)
+  }
+
   test("no all-pairs join in the LSH plan (candidates come from bucket equality)") {
     val plan = Dedup.minHashPairs(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString

@@ -34,6 +34,16 @@ class SimilarityJoinSpec extends SparkFunSuite {
     assert(count(4) >= count(12))
   }
 
+  test("maxBucket drops oversized label blocks") {
+    val uncapped = SimilarityJoin.blockedCosinePairs(
+      emb, "vec_id", "embedding", "label", threshold = -1.0).count()
+    val capped = SimilarityJoin.blockedCosinePairs(
+      emb, "vec_id", "embedding", "label", threshold = -1.0,
+      maxBucket = Some(1)).count()
+    assert(uncapped > 0L)
+    assert(capped === 0L) // every label block has > 1 row ⇒ all dropped
+  }
+
   test("no cartesian product in either plan") {
     Seq(
       SimilarityJoin.blockedCosinePairs(emb, "vec_id", "embedding", "label", 0.3),

@@ -62,6 +62,25 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(top1 === Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
   }
 
+  test("tfIdfTopTerms plan construction runs NO job (corpus size stays in-plan)") {
+    import spark.implicits._
+    // A docs frame that explodes if any partition is ever computed: a
+    // driver-side docs.count() at plan-build time (the old regression)
+    // would throw here; a purely declarative build must succeed.
+    val poison = Seq((1L, "a b c"), (2L, "b c d")).toDS()
+      .map { r =>
+        if (r._1 >= 0L) // always true at runtime, opaque to the compiler
+          throw new RuntimeException("plan-build must not compute the corpus")
+        r
+      }
+      .toDF("doc_id", "text")
+    val df = TextAnalysis.tfIdfTopTerms(poison, "doc_id", "text", topK = 3)
+    assert(df.columns.toSeq ===
+      Seq("doc_id", "term", "tf", "df", "tfidf", "rnk"))
+    // sanity: the poison does fire when the plan actually executes
+    intercept[org.apache.spark.SparkException](df.collect())
+  }
+
   test("langStats aggregates per language") {
     val r = TextAnalysis.langStats(toy, "lang", "text")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -78,6 +78,25 @@ class VectorSearchSpec extends SparkFunSuite {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("CosineDistance rounds the similarity, then subtracts (determinism shim)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val d = Seq((Seq(1f, 2f, 3f), Seq(3f, 1f, 2f))).toDF("a", "b")
+    val Array(row) = d.select(
+      SearchStrategy.CosineDistance.roundedScore(col("a"), col("b"), 6).as("dist"),
+      round(lit(1.0) - round(graft.functions.GraftFunctions
+        .knnCosineSimilarity(col("a"), col("b")), 6), 6).as("expected"))
+      .collect()
+    assert(row.getDouble(0) === row.getDouble(1))
+    // and top-k through the full path agrees with DESC-similarity order
+    val distCfg = cfg.copy(strategy = SearchStrategy.CosineDistance)
+    val simIds = VectorSearch.bruteForce(store, cfg, qv, 6, Map.empty, Some(6))
+      .select("id").collect().map(_.getString(0)).toSeq
+    val distIds = VectorSearch.bruteForce(store, distCfg, qv, 6, Map.empty, Some(6))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(distIds === simIds)
+  }
+
   test("strategy suffix rule drives sort direction (app.py:55)") {
     assert(SearchStrategy.CosineSimilarity.descending)
     assert(SearchStrategy.InnerProductSimilarity.descending)
