@@ -33,16 +33,44 @@ object Bench {
       }
     }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warmup: every query once, untimed — absorbs JVM/codegen/scan setup
-    // and the offline steps (index build, query-vector fetch) so the
-    // timed pass measures steady-state query execution.
-    ordered.foreach { case (n, fn) => run(s"warmup:$n", fn) }
+    def timedPass(dir: String): Seq[(String, Double)] = {
+      val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      // Warmup: every query once, untimed — absorbs JVM/codegen/scan
+      // setup and the offline steps (index build, query-vector fetch) so
+      // the timed pass measures steady-state query execution.
+      ordered.foreach { case (n, fn) => run(s"warmup:$n", (s, _) => fn(s, dir)) }
+      ordered.map { case (name, fn) => name -> run(name, (s, _) => fn(s, dir)) }
+    }
+    def toJson(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    val results = ordered.map { case (name, fn) => name -> run(name, fn) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = timedPass(sfDir)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Second, 10×-smaller scale when available: per-query scaling factor
+    // sec(big)/sec(small) is the cheapest local proxy for "would this
+    // plan survive a scale-up" — a factor near the data ratio (or below,
+    // when fixed overheads dominate) means scan-bound linear scaling; a
+    // factor far above it flags a super-linear operator.
+    val smallDir = Seq("sf0.1" -> "sf0.01", "sf0.01" -> "sf0.001").collectFirst {
+      case (big, small) if sfDir.endsWith(big) =>
+        sfDir.substring(0, sfDir.length - big.length) + small
+    }.filter(d => new java.io.File(d).isDirectory)
+    val smallJson = smallDir.map { dir =>
+      val smallResults = timedPass(dir)
+      val smallByName = smallResults.toMap
+      val scaling = results.map { case (name, big) =>
+        val ratio = smallByName.get(name) match {
+          case Some(small) if small > 0 && big >= 0 =>
+            (math.rint(big / small * 100) / 100).toString
+          case _ => "null"
+        }
+        "\"" + name + "\":" + ratio
+      }.mkString("{", ",", "}")
+      s""","queries_small":${toJson(smallResults)},"sf_small":"$dir","scaling":$scaling"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$smallJson}""")
     spark.stop()
   }
 }
