@@ -250,11 +250,15 @@ object SparkEntry {
         .groupBy(col("b_id").as("removed_id"))
         .agg(min("a_id").as("kept_id"))
         .orderBy("removed_id")),
-    // LSH similarity join (approximate ⇒ rows-only; recall vs the exact
-    // join is pinned in ScalaTest).
+    // Banded (multi-table) LSH similarity join. Oracle = the exact
+    // quadratic threshold join: at 4 bits × 64 tables every pair at
+    // cos ≥ 0.4 (θ ≤ 66.4°, per-table collision p ≈ 0.159) is caught
+    // with probability 1-(1-p)^64 > 0.99998, and on this corpus recall
+    // is exactly 1 — so the LSH output IS the exact join. Recall vs
+    // ground truth is pinned corpus-independently in SimilarityJoinSpec.
     "sim_join_lsh" -> ((s, d) =>
-      SimilarityJoin.lshCosinePairs(table(s, d, "embeddings"), "vec_id",
-        "embedding", dim = 64, nPlanes = 10, threshold = 0.3, scale = Scale)
+      SimilarityJoin.lshCosinePairsBanded(table(s, d, "embeddings"), "vec_id",
+        "embedding", bitsPerTable = 4, nTables = 64, threshold = 0.4, scale = Scale)
         .orderBy("a_id", "b_id")),
     // Text analysis.
     "text_stats" -> ((s, d) =>
@@ -397,6 +401,28 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracles
+
+  /** FNV-1a 64 of the byte values yielded by `bytesExpr` (a DuckDB list
+    * of HUGEINT byte values), as unsigned HUGEINT arithmetic mod 2^64 —
+    * mirrors [[graft.functions.TextHashKernels.fnv1a64]]. The corpus is
+    * ASCII, so `ascii(substr(...))` yields the UTF-8 bytes. */
+  private def fnvSql(bytesExpr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(14695981039346656037 AS HUGEINT), $bytesExpr),
+       |  (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+       |             * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** (x * c) mod 2^64 without INT128 overflow: 32-bit split —
+    * ((hi·c mod 2^32)·2^32 + lo·c) mod 2^64. `x` must be UBIGINT. */
+  private def mulModSql(x: String, c: String): String =
+    s"""CAST((((CAST(($x) >> 32 AS HUGEINT) * $c) % 4294967296) * 4294967296
+       | + CAST(($x) & 4294967295 AS HUGEINT) * $c) % 18446744073709551616 AS UBIGINT)""".stripMargin
+
+  /** Reinterpret an unsigned HUGEINT value < 2^64 as signed BIGINT
+    * (two's complement) — Spark's LongType hash keys are signed. */
+  private def toSignedSql(x: String): String =
+    s"""CAST(CASE WHEN ($x) >= 9223372036854775808
+       | THEN ($x) - 18446744073709551616 ELSE ($x) END AS BIGINT)""".stripMargin
 
   /** Cosine-similarity score expression mirroring [[graft.functions.VectorKernels]]
     * op-for-op (sequential double accumulation, dot / (√na·√nb)). */
@@ -558,6 +584,97 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.id < b.id)
         |WHERE jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // Full SQL reimplementation of the 64-bit SimHash (FNV-1a token
+    // hashes → per-bit votes → sign bits) in DuckDB HUGEINT arithmetic —
+    // proves the engine kernel is deterministic public math, not an
+    // engine-defined black box. Token-less docs hash to 0 (no votes win).
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    ${fnvSql("list_transform(generate_series(1, length(tok)), i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))")} AS h
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id, bit,
+         |         sum(CASE WHEN (CAST(h AS UBIGINT) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, unnest(generate_series(0, 63)) AS t(bit)
+         |  GROUP BY doc_id, bit),
+         |sh AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS shu
+         |  FROM votes GROUP BY doc_id),
+         |allsh AS (
+         |  SELECT d.doc_id, COALESCE(s.shu, 0) AS shu
+         |  FROM documents d LEFT JOIN sh s USING (doc_id))
+         |SELECT ${toSignedSql("shu")} AS sh,
+         |       count(*) AS n_docs, min(doc_id) AS keep_id
+         |FROM allsh GROUP BY 1 HAVING count(*) > 1 ORDER BY sh""".stripMargin,
+    // Exact cosine threshold join over ALL pairs — the banded LSH query
+    // has recall 1 on this corpus (see the queries entry), so its output
+    // is exactly this join.
+    "sim_join_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+        |           AS cos_sim
+        |  FROM base a JOIN base b ON a.id < b.id)
+        |WHERE cos_sim >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    // Full SQL reimplementation of Gear content-defined chunking: the
+    // 256-entry Gear table (SplitMix64 of the byte value), the byte-wise
+    // rolling hash h = (h<<1 + gear[b]) mod 2^64 with boundary rule
+    // (len ≥ min ∧ top-avgBits bits zero) ∨ len ≥ max ∨ end-of-payload,
+    // walked by a recursive CTE (one frontier row per active doc), and
+    // FNV-1a fingerprints per chunk — byte-for-byte the semantics of
+    // TextHashKernels.gearChunkHashes at avgBits=5 (min 8, max 128,
+    // mask = top 5 bits).
+    "multimodal_chunk_dedup" ->
+      s"""WITH RECURSIVE
+         |gearq AS (
+         |  SELECT b, xor(z2, z2 >> 31) AS g
+         |  FROM (
+         |    SELECT b, ${mulModSql("xor(z1, z1 >> 27)", "10723151780598845931")} AS z2
+         |    FROM (
+         |      SELECT b, ${mulModSql("xor(z0, z0 >> 30)", "13787848793156543929")} AS z1
+         |      FROM (
+         |        SELECT CAST(r AS UBIGINT) AS b,
+         |               CAST((CAST(r AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0
+         |        FROM range(256) t(r))))),
+         |bytes AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS UBIGINT) AS b,
+         |         CAST(length(text) AS BIGINT) AS n
+         |  FROM documents, unnest(generate_series(1, length(text))) t(i)),
+         |walk AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS i, CAST(0 AS UBIGINT) AS h,
+         |         CAST(1 AS BIGINT) AS start, TRUE AS bnd, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents WHERE length(text) > 0
+         |  UNION ALL
+         |  SELECT doc_id, i, h, start,
+         |         ((i - start + 1) >= 8 AND (h & 17870283321406128128) = 0)
+         |           OR (i - start + 1) >= 128 OR i = n AS bnd, n
+         |  FROM (
+         |    SELECT w.doc_id, b.i,
+         |           CAST((CAST(CASE WHEN w.bnd THEN CAST(0 AS UBIGINT) ELSE w.h END AS HUGEINT) * 2 + CAST(g.g AS HUGEINT))
+         |                % 18446744073709551616 AS UBIGINT) AS h,
+         |           CASE WHEN w.bnd THEN w.i + 1 ELSE w.start END AS start,
+         |           b.n
+         |    FROM walk w
+         |    JOIN bytes b ON b.doc_id = w.doc_id AND b.i = w.i + 1
+         |    JOIN gearq g ON g.b = b.b)),
+         |chunks AS (
+         |  SELECT w.doc_id,
+         |    ${fnvSql("list_transform(generate_series(CAST(w.start AS INT), CAST(w.i AS INT)), j -> CAST(ascii(substr(d.text, j, 1)) AS HUGEINT))")} AS fpu
+         |  FROM walk w JOIN documents d USING (doc_id)
+         |  WHERE w.bnd AND w.i > 0)
+         |SELECT ${toSignedSql("fpu")} AS chunk,
+         |       count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_id
+         |FROM chunks GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -670,8 +787,5 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin
-    // dedup_minhash, dedup_simhash, sim_join_lsh, multimodal_features:
-    // approximate / engine-hash-defined ⇒ rows-only check; correctness
-    // pinned against exact ground truth in ScalaTest instead.
   )
 }

@@ -76,6 +76,21 @@ object GraftFunctions {
         MinHashBandHashesExpr(es(0), intLit(es(1), "bands"), intLit(es(2), "rowsPerBand"))
       },
       "_FUNC_(text, bands, rowsPerBand) - per-band MinHash LSH bucket keys (array<bigint>)."),
+    ("cosine_lsh_keys",
+      (es: Seq[Expression]) => {
+        requireArity(es, 4, "cosine_lsh_keys")
+        def lit[T](e: Expression, dt: org.apache.spark.sql.types.DataType, what: String): Any =
+          e match {
+            case x if x.foldable && x.dataType == dt => x.eval()
+            case _ => throw new IllegalArgumentException(
+              s"cosine_lsh_keys $what must be a ${dt.simpleString} literal")
+          }
+        CosineLshKeysExpr(es(0),
+          lit(es(1), org.apache.spark.sql.types.IntegerType, "bitsPerTable").asInstanceOf[Int],
+          lit(es(2), org.apache.spark.sql.types.IntegerType, "nTables").asInstanceOf[Int],
+          lit(es(3), org.apache.spark.sql.types.LongType, "seed").asInstanceOf[Long])
+      },
+      "_FUNC_(vec, bitsPerTable, nTables, seed) - per-table random-hyperplane LSH bucket keys (array<bigint>)."),
     ("content_chunk_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 2, "content_chunk_hashes")
@@ -128,6 +143,11 @@ object GraftFunctions {
     call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
   def contentChunkHashes(payload: Column, avgBits: Int): Column =
     call_function("content_chunk_hashes", payload, org.apache.spark.sql.functions.lit(avgBits))
+  def cosineLshKeys(vec: Column, bitsPerTable: Int, nTables: Int, seed: Long): Column =
+    call_function("cosine_lsh_keys", vec,
+      org.apache.spark.sql.functions.lit(bitsPerTable),
+      org.apache.spark.sql.functions.lit(nTables),
+      org.apache.spark.sql.functions.lit(seed))
   def vectorAvg(vec: Column): Column = call_function("vector_avg", vec)
 }
 

@@ -186,6 +186,48 @@ case class ToBinaryVector(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * `cosine_lsh_keys(vec, bitsPerTable, nTables, seed)` → array<bigint>:
+ * one random-hyperplane LSH bucket key per table, table id folded into
+ * the key (see [[VectorKernels.cosineLshKeys]]). The candidate-generation
+ * primitive of the banded cosine similarity join — all
+ * `nTables * bitsPerTable` plane projections happen in one codegen'd
+ * kernel pass per row.
+ */
+case class CosineLshKeysExpr(child: Expression, bitsPerTable: Int, nTables: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if bitsPerTable >= 1 && bitsPerTable <= 62 && nTables >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"cosine_lsh_keys requires 1 <= bitsPerTable <= 62 and nTables >= 1, " +
+        s"got $bitsPerTable/$nTables")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cosine_lsh_keys requires array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.cosineLshKeys(v.asInstanceOf[ArrayData], bitsPerTable, nTables, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("lshKeys")
+      val arrayCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |$arrayCls $res = graft.functions.VectorKernels.cosineLshKeys(
+         |  $c, $bitsPerTable, $nTables, ${seed}L);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "cosine_lsh_keys"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `from_binary_vector(binary) -> array<float>` — inverse of
  * [[ToBinaryVector]] (format defined at app.py:160-161). NULL on
  * malformed payload.

@@ -124,6 +124,75 @@ object VectorKernels {
     out
   }
 
+  // --------------------------------------------------- cosine LSH keys
+
+  /** Hyperplanes for [[cosineLshKeys]], lazily built once per
+    * (dim, bits, tables, seed) per JVM — the planes are a pure function
+    * of those parameters (SplitMix64 → Box-Muller), so every executor
+    * derives the identical set with no broadcast. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Array[Double]]]()
+
+  /** Standard-normal deviate k of the stream `seed`: Box-Muller over two
+    * SplitMix64-derived uniforms in (0, 1). Gaussian components make the
+    * hyperplane directions uniform on the sphere — the property the
+    * sign-LSH collision bound P = (1 - θ/π)^bits relies on. */
+  private def gaussian(seed: Long, k: Long): Double = {
+    def unit(x: Long): Double =
+      ((TextHashKernels.splitMix64(x) >>> 11) + 0.5) * (1.0 / (1L << 53).toDouble)
+    val u1 = unit(seed + 2L * k)
+    val u2 = unit(seed + 2L * k + 1L)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
+  private def lshPlanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim, bits, tables, seed), { case (d, b, t, s) =>
+      Array.tabulate(t * b) { p =>
+        Array.tabulate(d)(c => gaussian(s, p.toLong * d + c))
+      }
+    })
+
+  /**
+   * Random-hyperplane LSH bucket keys for a cosine similarity join: for
+   * each of `nTables` independent tables, the key packs the table id with
+   * the sign pattern of the vector against that table's `bitsPerTable`
+   * hyperplanes — so equality on the key alone means "same table, same
+   * bucket". One kernel pass computes all `nTables * bitsPerTable` dot
+   * products; null on null elements or empty input.
+   *
+   * Recall/cost contract: a pair at angle θ collides in one table with
+   * p = (1 - θ/π)^bitsPerTable and in at least one of t tables with
+   * 1 - (1 - p)^t — bitsPerTable controls candidate precision (bucket
+   * granularity), nTables controls recall.
+   */
+  def cosineLshKeys(vec: ArrayData, bitsPerTable: Int, nTables: Int, seed: Long): ArrayData = {
+    val dim = vec.numElements()
+    if (dim == 0) return null
+    var c = 0
+    while (c < dim) { if (vec.isNullAt(c)) return null; c += 1 }
+    val v = new Array[Double](dim)
+    c = 0
+    while (c < dim) { v(c) = vec.getFloat(c).toDouble; c += 1 }
+    val planes = lshPlanes(dim, bitsPerTable, nTables, seed)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        val p = planes(t * bitsPerTable + j)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v(i) * p(i); i += 1 }
+        if (dot >= 0.0) key |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << bitsPerTable) | key
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Decode the binary wire format back to a float vector; null if the
     * payload is malformed (wrong length modulus or missing/unknown tag). */
   def decodeFloatVector(bytes: Array[Byte]): ArrayData = {

@@ -72,6 +72,54 @@ object SimilarityJoin {
    * whose sign patterns differ in any plane are missed (recall grows as
    * nPlanes shrinks; precision of the candidate set grows with nPlanes).
    */
+  /**
+   * Banded (multi-table) LSH cosine similarity join — the recall-tunable
+   * scale path. `nTables` independent hyperplane tables each contribute
+   * a bucket key per row (one codegen'd kernel pass computes all of
+   * them); candidates are pairs sharing ANY table's bucket, deduplicated
+   * as slim (a_id, b_id) pairs BEFORE vectors are joined back for exact
+   * cosine verification — the same shape as [[Dedup.minHashPairs]].
+   *
+   * Recall for a pair at angle θ is 1 - (1 - (1-θ/π)^bits)^tables:
+   * `bitsPerTable` sets bucket granularity (candidate cost), `nTables`
+   * sets recall. With enough tables for the corpus's similarity margin,
+   * recall is 1 and the output equals the exact threshold join — which
+   * is how the driver oracle checks it. `maxBucket` is the viral-bucket
+   * guardrail ([[Dedup.capBuckets]]).
+   */
+  def lshCosinePairsBanded(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bitsPerTable: Int = 4,
+      nTables: Int = 64,
+      threshold: Double = 0.4,
+      seed: Long = 42L,
+      scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val keyed = Dedup.capBuckets(
+      emb.select(
+        col(idCol).as("id"),
+        explode(GraftFunctions.cosineLshKeys(col(vecCol), bitsPerTable, nTables, seed))
+          .as("bkt")),
+      Seq("bkt"), maxBucket)
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    val candidates = a.join(b,
+        col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidates
+      .join(vecs.as("va"), col("a_id") === col("va.id"))
+      .join(vecs.as("vb"), col("b_id") === col("vb.id"))
+      .select(col("a_id"), col("b_id"),
+        round(GraftFunctions.knnCosineSimilarity(col("va.v"), col("vb.v")), scale)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   def lshCosinePairs(
       emb: DataFrame,
       idCol: String,

@@ -37,6 +37,14 @@ def main(sf_dir: str, out_dir: str) -> int:
         s = spark_df[sorted(spark_df.columns)]
         o = oracle_df[sorted(oracle_df.columns)]
         problems = []
+        # Emulate the driver comparator, which row-sorts with
+        # pandas sort_values before hashing: unhashable cell types
+        # (numpy arrays etc.) crash it there, so surface that here.
+        try:
+            s = s.sort_values(list(s.columns)).reset_index(drop=True)
+            o = o.sort_values(list(o.columns)).reset_index(drop=True)
+        except Exception as e:
+            problems.append(f"driver sort_values would crash: {e}")
         if list(s.columns) != list(o.columns):
             problems.append(f"schema cols {list(s.columns)} vs {list(o.columns)}")
         elif len(s) != len(o):
