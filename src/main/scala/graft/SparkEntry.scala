@@ -55,6 +55,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfEmbCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
+  /** Bucketed catalog tables per sf dir — the bucketed layout is a
+    * one-time write (like the IVF store), not part of each query. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
@@ -304,6 +308,65 @@ object SparkEntry {
         .rollup("lang", "source")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+    // ---- relational analytics over the TPC-H star schema (warehouse
+    // side of a training-data pipeline). Each query exercises one scale
+    // pattern: partial aggregation, broadcast dimension joins, semi/anti
+    // joins, grouping sets, explicit skew salting, bucketed co-location.
+    "tpch_q1_pricing" -> ((s, d) =>
+      RelationalAnalytics.pricingSummary(table(s, d, "lineitem"), "2000-09-01")),
+    "tpch_q3_top_orders" -> ((s, d) =>
+      RelationalAnalytics.topRevenueOrders(
+        table(s, d, "customer"), table(s, d, "orders"), table(s, d, "lineitem"),
+        segment = "BUILDING", cutoff = "1996-03-15", k = 10)),
+    "tpch_q5_region_volume" -> ((s, d) =>
+      RelationalAnalytics.regionalSupplierVolume(
+        table(s, d, "region"), table(s, d, "nation"), table(s, d, "customer"),
+        table(s, d, "supplier"), table(s, d, "orders"), table(s, d, "lineitem"),
+        regionName = "ASIA", yearStart = "1996-01-01", yearEnd = "1997-01-01")),
+    "cust_no_orders_anti" -> ((s, d) =>
+      RelationalAnalytics.customersWithoutOrders(
+        table(s, d, "customer"), table(s, d, "orders"),
+        from = "1995-01-01", until = "1995-03-01")),
+    "order_priority_semi" -> ((s, d) =>
+      RelationalAnalytics.bulkOrderPriorities(
+        table(s, d, "orders"), table(s, d, "lineitem"), minQty = 45)),
+    "segment_status_cube" -> ((s, d) =>
+      RelationalAnalytics.segmentStatusCube(
+        table(s, d, "customer"), table(s, d, "orders"))),
+    // Skew-salted fact⋈fact join (hot orderkeys split across 4 salt
+    // buckets, cold remainder joined plainly) — result must equal the
+    // plain join, which is exactly what the oracle checks.
+    "orders_salted_join" -> ((s, d) => {
+      val li = table(s, d, "lineitem")
+      val ord = table(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedInnerJoin(li, ord, "l_orderkey", buckets = 4, hotKeyMinCount = 5L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("rev"))
+        .orderBy("o_orderpriority")
+    }),
+    // Shuffle-free co-located join: both fact tables written bucketed by
+    // orderkey (one-time layout cost), then joined with ZERO exchanges —
+    // the 100 TB recurring-join pattern. Plan assert in ScalaTest.
+    "bucketed_colocated_join" -> ((s, d) => {
+      val (liTbl, ordTbl) = bucketedCache.computeIfAbsent(d, dir => {
+        val suffix = math.abs(dir.hashCode).toString
+        val li = s"graft_li_bkt_$suffix"
+        val ord = s"graft_ord_bkt_$suffix"
+        BucketedStore.writeBucketed(table(s, dir, "lineitem"), li, "l_orderkey", 8)
+        BucketedStore.writeBucketed(table(s, dir, "orders"), ord, "o_orderkey", 8)
+        (li, ord)
+      })
+      s.table(liTbl)
+        .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("rev"))
+        .orderBy("o_orderstatus")
+    }),
     // Multimodal: opaque binary payload + metadata (plumbing oracle) and
     // stubbed feature extraction (rows-only).
     "multimodal_meta" -> ((s, d) => {
@@ -712,6 +775,81 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs FROM documents
         |GROUP BY ROLLUP(lang, source)
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+    // Shared revenue expression: per-row double product (bit-identical
+    // across engines), exact DECIMAL(18,6) sum, one final double cast —
+    // mirrors RelationalAnalytics.decSum.
+    "tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+        |       sum_disc_price, sum_charge, count_order,
+        |       round(sum_qty / count_order, 4) AS avg_qty,
+        |       round(sum_base_price / count_order, 4) AS avg_price
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |         count(*) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        |  GROUP BY l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3_top_orders" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate < TIMESTAMP '1996-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY rev DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+    "tpch_q5_region_volume" ->
+      """SELECT n.n_name,
+        |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM orders o
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY rev DESC, n.n_name""".stripMargin,
+    "cust_no_orders_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1995-03-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "order_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "segment_status_cube" ->
+      """SELECT c.c_mktsegment, o.o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY CUBE(c.c_mktsegment, o.o_orderstatus)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // The salted join must produce EXACTLY the plain inner join.
+    "orders_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_lines,
+        |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    // The bucketed co-located join must produce EXACTLY the plain join.
+    "bucketed_colocated_join" ->
+      """SELECT o.o_orderstatus, count(*) AS n_lines,
+        |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
     "multimodal_meta" ->
       """SELECT vec_id AS id, CAST(4 * len(embedding) + 1 AS BIGINT) AS payload_bytes,
         |       round(CAST(embedding[1] AS DOUBLE), 6) AS feat0

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational analytics over the TPC-H-shaped star schema — the
+ * warehouse-side workload of a training-data pipeline (cost/provenance
+ * rollups, join pyramids over fact + dimension tables). Beyond-reference
+ * scope (the reference is single-table, SURVEY.md §2.2); each method
+ * demonstrates one scale pattern the engine relies on at 100 TB:
+ *
+ *  - '''Partial aggregation''': every groupBy here is a hash aggregate
+ *    with map-side partials — the shuffle carries one row per
+ *    (partition, group), never per input row.
+ *  - '''Broadcast dimension joins''': dimension tables (region, nation,
+ *    customer, supplier, part) are broadcast explicitly; the fact table
+ *    (lineitem, orders) never shuffles for a dimension join. Only
+ *    fact ⋈ fact joins (lineitem ⋈ orders) shuffle, on the join key.
+ *  - '''Semi/anti joins''': existence checks ship only the key column
+ *    and deduplicate map-side; never a join-then-distinct.
+ *  - '''Exact decimal accumulation''': money sums are computed per-row
+ *    in double (bit-identical in any engine), cast to DECIMAL(18,6)
+ *    (deterministic per value), and summed exactly — so results cannot
+ *    depend on partition count or visit order, the precondition for the
+ *    driver's hash-match oracle and for reproducible pipelines at any
+ *    parallelism.
+ */
+object RelationalAnalytics {
+
+  /** Per-row money expression, accumulated exactly: double → decimal
+    * cast per row, exact decimal sum, one final double. */
+  private def decSum(e: Column): Column = sum(e.cast("decimal(18,6)")).cast("double")
+
+  /** revenue = extendedprice * (1 - discount), per row in double. */
+  private val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /**
+   * TPC-H Q1 shape: pricing summary by return flag / line status over
+   * lineitem shipped on or before `cutoff`.
+   *
+   * Scale: filter + the 7 referenced columns push into the Parquet scan
+   * (predicate pushdown + column pruning); one shuffle of ≤ |groups| ×
+   * partitions partial rows. Averages derive from the exact sums (one
+   * final division) — not from `avg()`, whose double accumulation is
+   * partition-order dependent.
+   */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(revenue).as("sum_disc_price"),
+        decSum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 4))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 4))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /**
+   * TPC-H Q3 shape: top-k unshipped orders by revenue for one market
+   * segment.
+   *
+   * Scale: customer (dimension) is broadcast — the orders scan never
+   * shuffles for it; orders ⋈ lineitem is the one shuffled join, on
+   * orderkey. Top-k is orderBy+limit → TakeOrderedAndProject (per-
+   * partition partial top-k, k rows to the driver).
+   */
+  def topRevenueOrders(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String, cutoff: String, k: Int): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    orders.filter(col("o_orderdate") < cut)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(decSum(revenue).as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /**
+   * TPC-H Q5 shape: revenue by nation for one region and order-date
+   * year, where the supplier and the customer share the nation.
+   *
+   * Scale: the dimension chain region → nation → (customer, supplier)
+   * is resolved entirely with broadcast joins; lineitem ⋈ orders is the
+   * only shuffled join. The c_nationkey = s_nationkey constraint rides
+   * the same broadcast joins — no extra shuffle.
+   */
+  def regionalSupplierVolume(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      regionName: String, yearStart: String, yearEnd: String): DataFrame = {
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = customer.join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("cn_key"), col("n_name"))
+    val supp = supplier.join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    orders
+      .filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("cn_key"))
+      .groupBy("n_name")
+      .agg(decSum(revenue).as("rev"))
+      .orderBy(col("rev").desc, col("n_name"))
+  }
+
+  /**
+   * Anti join: customers with no orders in a date window. The probe side
+   * ships only `o_custkey` (column pruning through the anti join) and
+   * Spark deduplicates build-side keys — existence, not enumeration.
+   */
+  def customersWithoutOrders(
+      customer: DataFrame, orders: DataFrame,
+      from: String, until: String): DataFrame =
+    customer.join(
+      orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp")),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /**
+   * TPC-H Q4 shape: order count by priority for orders containing at
+   * least one bulk line item (semi join — each order counted once no
+   * matter how many lines qualify).
+   */
+  def bulkOrderPriorities(
+      orders: DataFrame, lineitem: DataFrame, minQty: Double): DataFrame =
+    orders.join(
+      lineitem.filter(col("l_quantity") >= minQty).select("l_orderkey"),
+      col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /**
+   * CUBE over (market segment, order status): all four grouping
+   * combinations in one pass — Spark expands the grouping sets before
+   * the hash aggregate, so the fact table is still scanned once.
+   * Expressed via the explicit `groupingSets` API: `Dataset.cube` after
+   * a join trips Spark 4.1's ambiguous-self-join detector (the Expand
+   * re-tags the grouping attributes), while the equivalent grouping-sets
+   * plan does not.
+   */
+  def segmentStatusCube(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val seg = col("c_mktsegment")
+    val status = col("o_orderstatus")
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupingSets(Seq(Seq(seg, status), Seq(seg), Seq(status), Seq()), seg, status)
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_price"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderstatus"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RelationalAnalyticsSpec extends SparkFunSuite {
+
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$Sf0001/$name.parquet")
+
+  private def executedPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pricingSummary: groups complete, averages derive from exact sums") {
+    val rows = RelationalAnalytics.pricingSummary(t("lineitem"), "2000-09-01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sumQty = r.getAs[Double]("sum_qty")
+      val n = r.getAs[Long]("count_order")
+      assert(math.abs(r.getAs[Double]("avg_qty") - sumQty / n) < 1e-4 + 1e-9)
+      assert(n > 0)
+    }
+    // results independent of partitioning (exact decimal accumulation)
+    val re = RelationalAnalytics.pricingSummary(
+      t("lineitem").repartition(13), "2000-09-01").collect()
+    assert(rows.map(_.toSeq).toSeq === re.map(_.toSeq).toSeq)
+  }
+
+  test("topRevenueOrders: customer broadcast, fact join shuffled, k rows") {
+    val df = RelationalAnalytics.topRevenueOrders(
+      t("customer"), t("orders"), t("lineitem"), "BUILDING", "1996-03-15", 10)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(df.count() <= 10)
+  }
+
+  test("regionalSupplierVolume: dimension chain entirely broadcast") {
+    val df = RelationalAnalytics.regionalSupplierVolume(
+      t("region"), t("nation"), t("customer"), t("supplier"),
+      t("orders"), t("lineitem"), "ASIA", "1996-01-01", "1997-01-01")
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.collect()
+    // every output nation must belong to ASIA
+    val asiaNations = t("nation")
+      .join(t("region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet.subsetOf(asiaNations))
+  }
+
+  test("customersWithoutOrders: anti join matches manual set difference") {
+    val got = RelationalAnalytics.customersWithoutOrders(
+      t("customer"), t("orders"), "1995-01-01", "1995-03-01")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val withOrders = t("orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val all = t("customer").select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got === all.diff(withOrders))
+    assert(got.nonEmpty)
+  }
+
+  test("bulkOrderPriorities: semi join counts each order once") {
+    val got = RelationalAnalytics.bulkOrderPriorities(t("orders"), t("lineitem"), 45)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = t("orders")
+      .join(t("lineitem").filter(col("l_quantity") >= 45)
+        .select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    val plan = executedPlan(
+      RelationalAnalytics.bulkOrderPriorities(t("orders"), t("lineitem"), 45))
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("segmentStatusCube: all four grouping combinations, grand total present") {
+    val rows = RelationalAnalytics.segmentStatusCube(t("customer"), t("orders")).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_orders") === t("orders").count())
+    // segment-only rows sum to the grand total
+    val segOnly = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(segOnly.map(_.getAs[Long]("n_orders")).sum === t("orders").count())
+  }
+
+  test("bucketed co-located join plan has no shuffle exchange") {
+    val suffix = "spec"
+    BucketedStore.writeBucketed(t("lineitem"), s"li_$suffix", "l_orderkey", 4)
+    BucketedStore.writeBucketed(t("orders"), s"ord_$suffix", "o_orderkey", 4)
+    // disable auto-broadcast: at sf0.001 both sides fit the broadcast
+    // threshold, which would bypass (and hide) the bucketed SMJ path
+    // that matters at fact⋈fact scale
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joinOnly = spark.table(s"li_$suffix")
+        .join(spark.table(s"ord_$suffix"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joinOnly.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // and the result equals the plain unbucketed join
+      val joined = joinOnly.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val plain = t("lineitem")
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(joined.orderBy("o_orderstatus").collect().map(_.toSeq).toSeq ===
+        plain.orderBy("o_orderstatus").collect().map(_.toSeq).toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+}
