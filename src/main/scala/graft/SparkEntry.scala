@@ -280,6 +280,16 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Composite quality scoring (Gopher/C4-style corpus filter).
+    "doc_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Exact per-type value quantiles (approx_percentile is the 100 TB
+    // path, pinned against this exact operator in ScalaTest).
+    "events_quantiles" -> ((s, d) =>
+      graft.streaming.EventPipeline.typeValueQuantiles(
+        table(s, d, "events"), Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type", "q")),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
@@ -627,6 +637,39 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    "doc_quality" ->
+      """SELECT doc_id, n_tokens,
+        |       round(mean_word_len, 6) AS mean_word_len,
+        |       round(stopword_ratio, 6) AS stopword_ratio,
+        |       round(punct_ratio, 6) AS punct_ratio,
+        |       CAST(c1 + c2 + c3 + c4 AS BIGINT) AS checks_passed,
+        |       round((c1 + c2 + c3 + c4) / 4.0, 6) AS quality
+        |FROM (
+        |  SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, punct_ratio,
+        |         CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS c1,
+        |         CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS c2,
+        |         CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END AS c3,
+        |         CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END AS c4
+        |  FROM (
+        |    SELECT doc_id,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |             / len(string_split(text, ' ')) AS mean_word_len,
+        |           CAST(len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |             / len(string_split(text, ' ')) AS stopword_ratio,
+        |           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |             / length(text) AS punct_ratio
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "events_quantiles" ->
+      """SELECT event_type, q, round(v, 6) AS val
+        |FROM (
+        |  SELECT event_type,
+        |         unnest([0.5, 0.9, 0.99]) AS q,
+        |         unnest(quantile_cont(value, [0.5, 0.9, 0.99])) AS v
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type, q""".stripMargin,
     // Exact shingle-Jaccard threshold join over ALL pairs — the shingling
     // mirrors TextHashKernels.shingleSet: non-empty space-split tokens,
     // distinct 3-grams joined by ' ', whole-doc fallback under 3 tokens.

@@ -123,6 +123,45 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /**
+   * Composite document quality score in the style of public LLM-corpus
+   * filters (Gopher/C4 rules): per-document metrics plus a score in
+   * [0, 1] = the fraction of passed checks. Thresholds are parameters so
+   * pipelines can tune per corpus; everything is one codegen'd
+   * projection per row — the cheapest possible full-corpus pass, which
+   * is what a pre-training filter must be at 100 TB.
+   *
+   * Checks: token count within [minTokens, maxTokens]; mean word length
+   * within [3, 10]; stopword ratio ≥ minStopRatio (gibberish has none);
+   * punctuation ratio ≤ maxPunctRatio (markup/boilerplate has lots).
+   */
+  def qualityScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 20L, maxTokens: Long = 100000L,
+      minStopRatio: Double = 0.01, maxPunctRatio: Double = 0.2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTokens = size(toks).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val nPunct = size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+    val meanWordLen = (nChars - (nTokens - lit(1L))).cast("double") / nTokens
+    val stopRatio = hitCount(toks, StopWords).cast("double") / nTokens
+    val punctRatio = nPunct.cast("double") / nChars
+    val checks = Seq(
+      nTokens >= minTokens && nTokens <= maxTokens,
+      meanWordLen >= 3.0 && meanWordLen <= 10.0,
+      stopRatio >= minStopRatio,
+      punctRatio <= maxPunctRatio)
+    val passed = checks.map(c => when(c, 1).otherwise(0)).reduce(_ + _)
+    docs.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      passed.cast("long").as("checks_passed"),
+      round(passed.cast("double") / checks.length, 6).as("quality"))
+  }
+
   /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
     * dedup key. MD5 is standard across engines, so it doubles as a
     * cross-engine-verifiable fingerprint. */

@@ -105,6 +105,28 @@ object EventPipeline {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 
+  /**
+   * Exact per-type value quantiles (linear interpolation at rank
+   * (n-1)·q — the definition shared by Spark's `percentile` and
+   * DuckDB's `quantile_cont`, which is what makes it oracle-checkable).
+   *
+   * Scale note: exact percentile sorts each group's values — fine for
+   * bounded groups (here: a handful of event types), wrong for a
+   * billion-row group. The 100 TB path is `approx_percentile` (t-digest
+   * sketch, mergeable map-side partials, bounded error) — pinned against
+   * this exact operator in the test suite rather than the driver oracle
+   * because sketches are engine-defined.
+   */
+  def typeValueQuantiles(events: DataFrame, qs: Seq[Double]): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(percentile(col("value"), typedLit(qs)).as("qv"))
+      .select(col("event_type"), posexplode(col("qv")))
+      .select(
+        col("event_type"),
+        element_at(typedLit(qs), col("pos") + 1).as("q"),
+        round(col("col"), 6).as("val"))
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /**

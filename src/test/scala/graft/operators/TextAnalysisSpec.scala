@@ -86,4 +86,27 @@ class TextAnalysisSpec extends SparkFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(r === Set(("en", 1L, 5L), ("de", 1L, 5L), ("fr", 1L, 5L)))
   }
+
+  test("qualityScore: hand-computed checks and composite") {
+    val r = TextAnalysis.qualityScore(toy, "doc_id", "text",
+      minTokens = 3, maxTokens = 10, minStopRatio = 0.1, maxPunctRatio = 0.2)
+      .where(col("doc_id") === 1).head
+    // "the cat and the hat": 5 tokens, 19 chars, mean word len (19-4)/5=3.0
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Double]("mean_word_len") === 3.0)
+    assert(r.getAs[Double]("stopword_ratio") === 0.6) // the, and, the
+    assert(r.getAs[Double]("punct_ratio") === 0.0)
+    assert(r.getAs[Long]("checks_passed") === 4L)
+    assert(r.getAs[Double]("quality") === 1.0)
+  }
+
+  test("qualityScore: failing checks lower the composite") {
+    import spark.implicits._
+    val junk = Seq((1L, "!!! ### $$$ %%%")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(junk, "doc_id", "text",
+      minTokens = 10, maxTokens = 100, minStopRatio = 0.1, maxPunctRatio = 0.2)
+      .head
+    assert(r.getAs[Long]("checks_passed") === 1L) // only mean_word_len in [3,10]
+    assert(r.getAs[Double]("quality") === 0.25)
+  }
 }

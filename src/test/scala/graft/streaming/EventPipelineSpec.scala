@@ -103,4 +103,21 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
     assert(a.nonEmpty)
   }
+
+  test("typeValueQuantiles: exact interpolation; approx_percentile close") {
+    import spark.implicits._
+    // 5 values for one type: quantile_cont semantics at rank (n-1)q
+    val ev = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+      Ev(i.toLong, t(0, i), 1L, "view", v, "{}")
+    }.toDF()
+    val got = EventPipeline.typeValueQuantiles(ev, Seq(0.5, 0.75))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(0.5) === 3.0)
+    assert(got(0.75) === 4.0) // (5-1)*0.75 = rank 3 exactly
+    // the 100 TB path: t-digest sketch within tolerance of exact
+    val approx = ev.agg(
+      org.apache.spark.sql.functions.percentile_approx(
+        col("value"), lit(0.5), lit(10000))).head.getDouble(0)
+    assert(math.abs(approx - 3.0) <= 1.0)
+  }
 }
