@@ -264,6 +264,23 @@ object SparkEntry {
       SimilarityJoin.lshCosinePairsBanded(table(s, d, "embeddings"), "vec_id",
         "embedding", bitsPerTable = 4, nTables = 64, threshold = 0.4, scale = Scale)
         .orderBy("a_id", "b_id")),
+    // Incremental dedup: the continuous-ingestion shape — new batch
+    // (doc_id >= 250) anti-joined against the historical fingerprint
+    // set (doc_id < 250); only genuinely new content survives.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val old = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      Dedup.incrementalNew(batch, old, "doc_id",
+        TextAnalysis.fingerprint(col("text")), TextAnalysis.fingerprint(col("text")))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+    // Embedding int8 quantization (4x storage/scan compression with
+    // bounded error; floor(x+0.5) levels for cross-engine determinism).
+    "vector_quantize" -> ((s, d) =>
+      VectorCompression.quantizeToRows(table(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("id", "idx")),
     // Text analysis.
     "text_stats" -> ((s, d) =>
       TextAnalysis.textStats(table(s, d, "documents"), "doc_id", "text")
@@ -637,6 +654,25 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    "dedup_incremental" ->
+      """SELECT b.doc_id, b.lang, b.source
+        |FROM documents b
+        |WHERE b.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.doc_id < 250 AND md5(lower(o.text)) = md5(lower(b.text)))
+        |ORDER BY b.doc_id""".stripMargin,
+    "vector_quantize" ->
+      """SELECT vec_id AS id, CAST(g - 1 AS BIGINT) AS idx,
+        |       CAST(CASE WHEN mx = mn THEN 0
+        |                 ELSE floor((CAST(embedding[g] AS DOUBLE) - mn) * 255.0 / (mx - mn) + 0.5)
+        |            END AS BIGINT) AS qval
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |         CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings),
+        |  unnest(generate_series(1, len(embedding))) AS t(g)
+        |ORDER BY id, idx""".stripMargin,
     "doc_quality" ->
       """SELECT doc_id, n_tokens,
         |       round(mean_word_len, 6) AS mean_word_len,

@@ -193,6 +193,22 @@ object Dedup {
       .filter(col("n_copies") > 1)
   }
 
+  /**
+   * Incremental dedup: rows of `batch` whose fingerprint does not
+   * appear in `seen` (the historical corpus). The production shape for
+   * continuous ingestion at 100 TB: the historical side is reduced to a
+   * fingerprint-only relation (one slim column through the join), the
+   * anti join deduplicates build-side keys map-side, and yesterday's
+   * output can be persisted as the next run's `seen` — the corpus is
+   * never re-scanned.
+   */
+  def incrementalNew(
+      batch: DataFrame, seen: DataFrame,
+      idCol: String, key: Column, seenKey: Column): DataFrame =
+    batch.withColumn("__graft_fp", key)
+      .join(seen.select(seenKey.as("__graft_fp")), Seq("__graft_fp"), "left_anti")
+      .drop("__graft_fp")
+
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"), GraftFunctions.simhash64(col(textCol)).as("sh"))

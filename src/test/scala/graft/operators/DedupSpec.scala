@@ -117,4 +117,20 @@ class DedupSpec extends SparkFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("incrementalNew: only fingerprints unseen in the historical corpus survive") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta"), (11L, "fresh content"), (12L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val key = graft.operators.TextAnalysis.fingerprint(org.apache.spark.sql.functions.col("text"))
+    val got = Dedup.incrementalNew(batch, old, "doc_id", key, key)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L))
+    // slim anti join, no cartesian
+    val plan = Dedup.incrementalNew(batch, old, "doc_id", key, key)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
