@@ -360,6 +360,9 @@ object SparkEntry {
     "segment_status_cube" -> ((s, d) =>
       RelationalAnalytics.segmentStatusCube(
         table(s, d, "customer"), table(s, d, "orders"))),
+    "top_parts_per_brand" -> ((s, d) =>
+      RelationalAnalytics.topPartsPerBrand(
+        table(s, d, "part"), table(s, d, "lineitem"), k = 3)),
     // Skew-salted fact⋈fact join (hot orderkeys split across 4 salt
     // buckets, cold remainder joined plainly) — result must equal the
     // plain join, which is exactly what the oracle checks.
@@ -917,6 +920,16 @@ object SparkEntry {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY CUBE(c.c_mktsegment, o.o_orderstatus)
         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "top_parts_per_brand" ->
+      """SELECT p_brand, rnk, p_partkey, p_name, rev FROM (
+        |  SELECT p_brand, p_partkey, p_name, rev,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rnk
+        |  FROM (
+        |    SELECT p.p_brand, p.p_partkey, p.p_name,
+        |           CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |    GROUP BY p.p_brand, p.p_partkey, p.p_name))
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
     // The salted join must produce EXACTLY the plain inner join.
     "orders_salted_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_lines,

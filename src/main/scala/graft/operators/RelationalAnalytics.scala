@@ -146,6 +146,27 @@ object RelationalAnalytics {
       .orderBy("o_orderpriority")
 
   /**
+   * Top-k parts by revenue within each brand: broadcast dimension join
+   * (part) + one shuffled aggregation on partkey + a per-brand window.
+   * The window partitions by brand over the ALREADY-aggregated relation
+   * (|parts| rows, not |lineitem| rows) — ranking after reduction is
+   * the shape that survives a fact table 10⁶× the dimension.
+   */
+  def topPartsPerBrand(part: DataFrame, lineitem: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey", "p_name")
+      .agg(decSum(revenue).as("rev"))
+    val w = Window.partitionBy("p_brand").orderBy(col("rev").desc, col("p_partkey"))
+    perPart.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("p_brand", "rnk", "p_partkey", "p_name", "rev")
+      .orderBy("p_brand", "rnk")
+  }
+
+  /**
    * CUBE over (market segment, order status): all four grouping
    * combinations in one pass — Spark expands the grouping sets before
    * the hash aggregate, so the fact table is still scanned once.

@@ -120,4 +120,22 @@ class EventPipelineSpec extends SparkFunSuite {
         col("value"), lit(0.5), lit(10000))).head.getDouble(0)
     assert(math.abs(approx - 3.0) <= 1.0)
   }
+
+  test("sessionize agrees with Spark's native session_window on session starts") {
+    // session_window merges events closer than the gap; our explicit
+    // lag+running-sum construction starts a new session when the gap
+    // EXCEEDS gapSeconds. Off the exact-boundary case (measure zero on
+    // real timestamps) the two define identical sessions.
+    val ev = EventPipeline.normalizeTs(
+      spark.read.parquet(s"$Sf0001/events.parquet"))
+    val native = ev.groupBy(
+        col("user_id"), session_window(col("ts"), "600 seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val ours = EventPipeline.sessionize(ev, gapSeconds = 600)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(ours === native)
+  }
 }
