@@ -155,6 +155,52 @@ object EventPipeline {
         })
   }
 
+  final case class UserSessionSummary(
+      user_id: Long, n_events: Long, total_value: Double,
+      last_ts: java.sql.Timestamp)
+
+  /**
+   * Custom state with EVENT-TIME TIMEOUT via `flatMapGroupsWithState`:
+   * per-user activity accumulates silently (0 outputs per batch) until
+   * the user goes idle for `idleSeconds` past the watermark, at which
+   * point one summary row is emitted and the state is REMOVED — the
+   * bounded-state discipline that keeps an unbounded key space (every
+   * user ever seen) from accumulating forever in the state store at
+   * 100 TB stream scale. `flatMap` (not `map`) because a group emits
+   * zero or one rows per batch, not exactly one.
+   */
+  def userIdleSummaries(
+      events: DataFrame, watermark: String, idleSeconds: Long): Dataset[UserSessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    normalizeTs(events).withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[UserSessionSummary]) => {
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val prev = state.getOption.getOrElse(
+              UserSessionSummary(user, 0L, 0.0, new java.sql.Timestamp(0L)))
+            var n = prev.n_events
+            var total = prev.total_value
+            var last = prev.last_ts
+            rows.foreach { case (_, ts, v) =>
+              n += 1; total += v
+              if (ts.after(last)) last = ts
+            }
+            state.update(UserSessionSummary(user, n, total, last))
+            state.setTimeoutTimestamp(last.getTime + idleSeconds * 1000L)
+            Iterator.empty
+          }
+        })
+  }
+
   /** Output-mode helper: windowed aggregations append once the
     * watermark passes the window end. */
   val WindowedOutputMode: OutputMode = OutputMode.Append()

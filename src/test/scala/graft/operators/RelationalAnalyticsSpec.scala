@@ -114,4 +114,14 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
         plain.orderBy("o_orderstatus").collect().map(_.toSeq).toSeq)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("pricingSummary pushes the shipdate filter and prunes columns at the scan") {
+    val df = RelationalAnalytics.pricingSummary(t("lineitem"), "2000-09-01")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("LessThanOrEqual(l_shipdate"), scan)
+    // only the 7 referenced columns are read, not the full 11-column row
+    assert(!scan.contains("l_orderkey"), scan)
+    assert(!scan.contains("l_partkey"), scan)
+  }
 }

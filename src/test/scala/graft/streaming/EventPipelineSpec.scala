@@ -138,4 +138,35 @@ class EventPipelineSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(ours === native)
   }
+
+  test("flatMapGroupsWithState + event-time timeout: idle users emit one summary, state removed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventPipeline.userIdleSummaries(input.toDF(),
+        watermark = "10 minutes", idleSeconds = 1800)
+      .writeStream.format("memory").queryName("ev_idle")
+      .outputMode("append").start()
+    try {
+      input.addData(toyEvents.take(3)) // user 100 at 0:10/0:20, user 101 at 0:30
+      q.processAllAvailable()
+      assert(spark.table("ev_idle").isEmpty) // nobody idle past the watermark yet
+      // an event at 2:30 moves the watermark to 2:20 — both users idle
+      // since before 1:50/1:00 → their summaries fire
+      input.addData(Ev(99, t(2, 30), 200, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("ev_idle")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === Set((100L, 2L, 4.0), (101L, 1L, 10.0)))
+      // state was removed: a NEW event for user 100 starts a fresh count
+      input.addData(Ev(100, t(3, 0), 100, "view", 7.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Ev(101, t(9, 0), 300, "view", 0.0, "{}")) // advance watermark far
+      q.processAllAvailable()
+      val second = spark.table("ev_idle")
+        .filter(col("user_id") === 100L).collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(second === Set((2L, 4.0), (1L, 7.0))) // fresh state, not 3 events
+    } finally q.stop()
+  }
 }
