@@ -145,7 +145,8 @@ object TextAnalysis {
     val nPunct = size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long")
     val meanWordLen = (nChars - (nTokens - lit(1L))).cast("double") / nTokens
     val stopRatio = hitCount(toks, StopWords).cast("double") / nTokens
-    val punctRatio = nPunct.cast("double") / nChars
+    // empty text guard: 0/0 would be NULL and poison every check below
+    val punctRatio = when(nChars === 0L, 0.0).otherwise(nPunct.cast("double") / nChars)
     val checks = Seq(
       nTokens >= minTokens && nTokens <= maxTokens,
       meanWordLen >= 3.0 && meanWordLen <= 10.0,

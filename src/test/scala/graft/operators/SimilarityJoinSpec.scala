@@ -70,11 +70,16 @@ class SimilarityJoinSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
-  test("lshCosinePairsBanded: recall 1 vs exact join at 4 bits x 64 tables") {
-    val got = SimilarityJoin.lshCosinePairsBanded(emb, "vec_id", "embedding",
-      bitsPerTable = 4, nTables = 64, threshold = 0.4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got === exactPairs(0.4))
+  test("lshCosinePairsBanded: recall 1 vs exact join at the driver configs") {
+    // both the exhaustive (4, 64) point and the measured-cheapest
+    // recall-1 point (6, 64) — the driver query's configuration
+    val exact = exactPairs(0.4)
+    Seq((4, 64), (6, 64)).foreach { case (bits, tables) =>
+      val got = SimilarityJoin.lshCosinePairsBanded(emb, "vec_id", "embedding",
+        bitsPerTable = bits, nTables = tables, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === exact, s"bits=$bits tables=$tables")
+    }
   }
 
   test("lshCosinePairsBanded: recall grows with table count, candidates shrink with bits") {

@@ -169,4 +169,27 @@ class EventPipelineSpec extends SparkFunSuite {
       assert(second === Set((2L, 4.0), (1L, 7.0))) // fresh state, not 3 events
     } finally q.stop()
   }
+
+  test("readStream -> transform -> writeStream to a parquet file sink") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Ev]
+    val q = EventPipeline.windowedTypeStatsStream(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(toyEvents.take(3))
+      q.processAllAvailable()
+      input.addData(Ev(99, t(2, 30), 1, "view", 0.0, "{}")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq === Seq(
+        (t(0), "click", 1L, 10.0),
+        (t(0), "view", 2L, 4.0)))
+    } finally q.stop()
+  }
 }
