@@ -458,6 +458,20 @@ object SparkEntry {
       TemporalJoins.rangeSelfJoin(ev, "user_id", "ts", "event_id", rangeSeconds = 300)
         .orderBy("a_id", "b_id")
     }),
+    // Stream-stream join (batch mode of the watermarked two-stream
+    // join): clicks attributed to same-user views ≤ 600 s older. The
+    // batch plan is an equality join on user_id with a time post-filter
+    // — fine while per-user event counts are bounded; at 100 TB batch
+    // scale use TemporalJoins.rangeSelfJoin's time-bucketed shape
+    // instead (the streaming mode bounds state by the watermark).
+    "events_stream_join" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      graft.streaming.EventPipeline.clickViewJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        watermark = "10 minutes", horizonSeconds = 600)
+        .orderBy("click_id", "view_id")
+    }),
     // JSON property extraction + rollup.
     "events_json_rollup" -> ((s, d) =>
       graft.streaming.EventPipeline.propsRollup(table(s, d, "events"))
@@ -1019,6 +1033,16 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS n_users,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |       v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+        |       v.value AS view_value
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 600 SECOND
+        |ORDER BY click_id, view_id""".stripMargin,
     "events_json_rollup" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n_events,

@@ -155,6 +155,30 @@ object EventPipeline {
         })
   }
 
+  /**
+   * Stream-stream inner join with watermarks: each click joins the
+   * same user's views at most `horizonSeconds` older. Both sides carry
+   * watermarks and the join condition bounds event-time distance, so
+   * Spark can expire buffered state on both sides — the requirement
+   * for an unbounded two-stream join to run with bounded memory.
+   * Works identically on batch frames (the driver-verifiable mode).
+   */
+  def clickViewJoin(
+      clicks: DataFrame, views: DataFrame,
+      watermark: String, horizonSeconds: Long): DataFrame = {
+    val c = normalizeTs(clicks).withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = normalizeTs(views).withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts", "view_value")
+  }
+
   final case class UserSessionSummary(
       user_id: Long, n_events: Long, total_value: Double,
       last_ts: java.sql.Timestamp)

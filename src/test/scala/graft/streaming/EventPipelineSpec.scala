@@ -192,4 +192,27 @@ class EventPipelineSpec extends SparkFunSuite {
         (t(0), "view", 2L, 4.0)))
     } finally q.stop()
   }
+
+  test("stream-stream join: clicks attribute to same-user views within the horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val q = EventPipeline.clickViewJoin(clicks.toDF(), views.toDF(),
+        watermark = "10 minutes", horizonSeconds = 1800)
+      .writeStream.format("memory").queryName("ev_ssjoin")
+      .outputMode("append").start()
+    try {
+      views.addData(Ev(1, t(0, 0), 100, "view", 1.0, "{}"),
+        Ev(2, t(0, 20), 100, "view", 2.0, "{}"),
+        Ev(3, t(0, 0), 200, "view", 3.0, "{}"))
+      clicks.addData(Ev(10, t(0, 25), 100, "click", 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("ev_ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      // click 10 (user 100, 0:25) matches views 1 (0:00) and 2 (0:20);
+      // view 3 belongs to another user
+      assert(got === Set((10L, 1L), (10L, 2L)))
+    } finally q.stop()
+  }
 }
