@@ -96,4 +96,49 @@ class VectorPropertiesSpec extends AnyFunSuite {
     assert(s1 === s2)
     assert(s1.length === 16)
   }
+
+  test("cosine LSH keys: table-id fold, scale invariance, determinism") {
+    val posVec: Gen[Array[Float]] = for {
+      n <- Gen.chooseNum(2, 64)
+      a <- Gen.listOfN(n, Gen.chooseNum(-100f, 100f))
+    } yield a.toArray
+    check("lshKeys", Prop.forAll(posVec) { a =>
+      val bits = 4; val tables = 8
+      val k1 = VectorKernels.cosineLshKeys(ad(a), bits, tables, 42L).toLongArray()
+      val k2 = VectorKernels.cosineLshKeys(ad(a), bits, tables, 42L).toLongArray()
+      // deterministic; table id folded into the high bits of each key
+      val foldOk = k1.zipWithIndex.forall { case (k, t) => (k >> bits) == t.toLong }
+      // positive scaling never changes sign patterns (cosine-invariance)
+      val scaled = a.map(_ * 3.0f)
+      val k3 = VectorKernels.cosineLshKeys(ad(scaled), bits, tables, 42L).toLongArray()
+      k1.sameElements(k2) && foldOk && k1.sameElements(k3)
+    })
+  }
+
+  test("gear CDC: chunk fingerprints cover the payload and respect min/max bounds") {
+    val payload: Gen[Array[Byte]] =
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    check("cdc", Prop.forAll(payload) { bytes =>
+      val hashes = TextHashKernels.gearChunkHashes(bytes, 5).toLongArray()
+      if (bytes.isEmpty) hashes.isEmpty
+      else hashes.nonEmpty && hashes.length <= bytes.length // >= 1 byte per chunk
+    })
+  }
+
+  test("gear CDC edit tolerance: suffix edits are local; prefix edits realign") {
+    val base = Array.tabulate(4096)(i => ((i * 31 + 7) % 251).toByte)
+    val h1 = TextHashKernels.gearChunkHashes(base, 5).toLongArray()
+    // appending bytes can only change the FINAL chunk (which previously
+    // ended at EOF): every earlier boundary and fingerprint is
+    // bit-identical — the deterministic locality guarantee
+    val appended = base ++ Array.fill[Byte](17)(99.toByte)
+    val h2 = TextHashKernels.gearChunkHashes(appended, 5).toLongArray()
+    assert(h2.take(h1.length - 1).toSeq === h1.dropRight(1).toSeq)
+    // prepending bytes shifts chunk starts; because the rolling hash
+    // resets at each boundary, realignment is probabilistic (expected
+    // within ~1/boundary-density chunks) — assert the tail realigned
+    val prepended = Array.fill[Byte](17)(99.toByte) ++ base
+    val h3 = TextHashKernels.gearChunkHashes(prepended, 5).toLongArray()
+    assert(h1.takeRight(5).toSeq === h3.takeRight(5).toSeq)
+  }
 }
