@@ -793,7 +793,8 @@ object SparkEntry {
         |ORDER BY a_id, b_id""".stripMargin,
     // Full SQL reimplementation of Gear content-defined chunking: the
     // 256-entry Gear table (SplitMix64 of the byte value), the byte-wise
-    // rolling hash h = (h<<1 + gear[b]) mod 2^64 with boundary rule
+    // rolling hash h = (h<<1 + gear[b]) mod 2^64 (never reset — the
+    // shift-tolerance contract) with boundary rule
     // (len ≥ min ∧ top-avgBits bits zero) ∨ len ≥ max ∨ end-of-payload,
     // walked by a recursive CTE (one frontier row per active doc), and
     // FNV-1a fingerprints per chunk — byte-for-byte the semantics of
@@ -826,7 +827,7 @@ object SparkEntry {
          |           OR (i - start + 1) >= 128 OR i = n AS bnd, n
          |  FROM (
          |    SELECT w.doc_id, b.i,
-         |           CAST((CAST(CASE WHEN w.bnd THEN CAST(0 AS UBIGINT) ELSE w.h END AS HUGEINT) * 2 + CAST(g.g AS HUGEINT))
+         |           CAST((CAST(w.h AS HUGEINT) * 2 + CAST(g.g AS HUGEINT))
          |                % 18446744073709551616 AS UBIGINT) AS h,
          |           CASE WHEN w.bnd THEN w.i + 1 ELSE w.start END AS start,
          |           b.n

@@ -242,6 +242,16 @@ object TextHashKernels {
    * chunks around the edit; all other chunk boundaries (and hence
    * hashes) are unchanged — which is what makes byte-payload dedup work
    * under re-encodes and prefix edits, unlike fixed-size blocking.
+   *
+   * The rolling hash is NOT reset at chunk boundaries: `h` at position
+   * i depends only on the last ≤ 64 content bytes (the shift pushes
+   * older bytes out of the register), so after any edit the hash stream
+   * — and with it the boundary candidates — realigns within 64 bytes of
+   * common content. Resetting per chunk would tie boundaries to the
+   * chunk START, making realignment after a prefix edit probabilistic
+   * (measured: as low as ~13% fingerprint survival on a 17-byte prefix
+   * insert) instead of structural (≥ ~95%, everything past the edit
+   * window).
    */
   def gearChunkHashes(payload: Array[Byte], avgBits: Int): ArrayData = {
     val n = payload.length
@@ -261,7 +271,6 @@ object TextHashKernels {
       if ((len >= minSize && (h & mask) == 0L) || len >= maxSize || i == n) {
         out += fnv1a64(payload, start, i)
         start = i
-        h = 0L
       }
     }
     UnsafeArrayData.fromPrimitiveArray(out.toArray)

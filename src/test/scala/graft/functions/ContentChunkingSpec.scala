@@ -26,7 +26,9 @@ class ContentChunkingSpec extends SparkFunSuite {
     val a = chunks(p).toSet
     val b = chunks(edited).toSet
     val shared = (a intersect b).size.toDouble / a.size
-    assert(shared > 0.7, s"only ${(shared * 100).round}% of chunks survived a prefix insert")
+    // structural since the rolling hash never resets: boundaries are
+    // content-determined, so only the chunks inside the edit window die
+    assert(shared > 0.9, s"only ${(shared * 100).round}% of chunks survived a prefix insert")
   }
 
   test("chunk sizes respect the min/max bounds") {

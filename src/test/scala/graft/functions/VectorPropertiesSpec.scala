@@ -126,7 +126,8 @@ class VectorPropertiesSpec extends AnyFunSuite {
   }
 
   test("gear CDC edit tolerance: suffix edits are local; prefix edits realign") {
-    val base = Array.tabulate(4096)(i => ((i * 31 + 7) % 251).toByte)
+    val r = new java.util.Random(7)
+    val base = new Array[Byte](8192); r.nextBytes(base)
     val h1 = TextHashKernels.gearChunkHashes(base, 5).toLongArray()
     // appending bytes can only change the FINAL chunk (which previously
     // ended at EOF): every earlier boundary and fingerprint is
@@ -134,11 +135,16 @@ class VectorPropertiesSpec extends AnyFunSuite {
     val appended = base ++ Array.fill[Byte](17)(99.toByte)
     val h2 = TextHashKernels.gearChunkHashes(appended, 5).toLongArray()
     assert(h2.take(h1.length - 1).toSeq === h1.dropRight(1).toSeq)
-    // prepending bytes shifts chunk starts; because the rolling hash
-    // resets at each boundary, realignment is probabilistic (expected
-    // within ~1/boundary-density chunks) — assert the tail realigned
+    // prepending bytes: the rolling hash never resets, so boundary
+    // candidates are content-determined and realign within 64 bytes of
+    // common content — nearly all fingerprints survive. (Known CDC
+    // caveat, shared by every chunker of this family: strictly PERIODIC
+    // content has phase-locked boundary orbits and can degrade toward
+    // fixed-blocking behavior under shifts.)
     val prepended = Array.fill[Byte](17)(99.toByte) ++ base
     val h3 = TextHashKernels.gearChunkHashes(prepended, 5).toLongArray()
     assert(h1.takeRight(5).toSeq === h3.takeRight(5).toSeq)
+    val survive = h1.toSet.intersect(h3.toSet).size.toDouble / h1.length
+    assert(survive > 0.95, s"survival $survive")
   }
 }
