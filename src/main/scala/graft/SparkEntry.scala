@@ -472,6 +472,16 @@ object SparkEntry {
         watermark = "10 minutes", horizonSeconds = 600)
         .orderBy("click_id", "view_id")
     }),
+    // Z-order (Morton) clustering key over (user bucket, time-of-day
+    // bucket): the data-skipping layout key, oracle-checked bit for bit.
+    "events_zorder" -> ((s, d) => {
+      val ev = graft.streaming.EventPipeline.normalizeTs(table(s, d, "events"))
+      val userQ = pmod(col("user_id"), lit(256L))
+      val timeQ = floor((hour(col("ts")) * 60 + minute(col("ts"))) / 6) // 0..239
+      ev.select(col("event_id"),
+          DataLayout.zorderKey(Seq(userQ, timeQ), bits = 8).as("zkey"))
+        .orderBy("event_id")
+    }),
     // JSON property extraction + rollup.
     "events_json_rollup" -> ((s, d) =>
       graft.streaming.EventPipeline.propsRollup(table(s, d, "events"))
@@ -1044,6 +1054,17 @@ object SparkEntry {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 600 SECOND
         |ORDER BY click_id, view_id""".stripMargin,
+    "events_zorder" ->
+      """SELECT event_id,
+        |       CAST(list_sum(list_transform(generate_series(0, 7),
+        |            b -> (((u >> b) & 1) << (2 * b)) + (((t >> b) & 1) << (2 * b + 1))))
+        |         AS BIGINT) AS zkey
+        |FROM (
+        |  SELECT event_id, user_id % 256 AS u,
+        |         (date_part('hour', CAST(ts AS TIMESTAMP)) * 60 +
+        |          date_part('minute', CAST(ts AS TIMESTAMP))) // 6 AS t
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "events_json_rollup" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n_events,
