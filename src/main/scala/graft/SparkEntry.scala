@@ -283,6 +283,31 @@ object SparkEntry {
     "vector_quantize" -> ((s, d) =>
       VectorCompression.quantizeToRows(table(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy("id", "idx")),
+    // Product quantization, driver-verified with a FIXED codebook
+    // (centroid[c][t] = float((c-1.5) + t*0.01), identical in both
+    // engines): pq_encode picks each subvector's nearest centroid and
+    // pq_adc_score sums the per-query lookup table over the codes —
+    // the oracle re-derives both from the same public math with the
+    // same IEEE op order. (The learned-codebook path — per-subspace
+    // KMeans — is covered by recall tests in PqIndexSpec; k-means is
+    // not SQL-expressible.)
+    "pq_adc_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val m = 8; val k = 4; val dsub = 8
+      val cb: Array[Float] = Array.tabulate(m * k * dsub) { idx =>
+        val t = idx % dsub
+        val c = (idx / dsub) % k
+        ((c - 1.5) + t * 0.01).toFloat
+      }
+      val model = PqIndex.PqModel(m, k, 64, cb)
+      val lut = PqIndex.adcLut(model, queryVec(s, d))
+      table(s, d, "embeddings").select(
+        col("vec_id").as("id"),
+        round(GraftFunctions.pqAdcScore(
+          GraftFunctions.pqEncode(col("embedding"), typedLit(cb.toSeq), m, k),
+          typedLit(lut.toSeq), k), 6).as("adc"))
+        .orderBy("id")
+    }),
     // Text analysis.
     "text_stats" -> ((s, d) =>
       TextAnalysis.textStats(table(s, d, "documents"), "doc_id", "text")
@@ -688,6 +713,34 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    // PQ with the fixed codebook: per subspace j the encode-side
+    // distance list (vs the stored embedding) picks the code via
+    // first-minimum argmin, then the query-side lut value for that
+    // code accumulates — all sequential double arithmetic mirroring
+    // VectorKernels.pqEncode/pqAdcScore op for op. The single-element
+    // list_transform is a `let` binding for the distance list.
+    "pq_adc_fixed" ->
+      """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |  round(list_sum(list_transform(generate_series(0, 7), j ->
+        |    list_transform(
+        |      [list_transform(generate_series(0, 3), c ->
+        |         list_sum(list_transform(generate_series(0, 7), t ->
+        |           (CAST(e.embedding[j*8 + t + 1] AS DOUBLE) -
+        |            CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)) *
+        |           (CAST(e.embedding[j*8 + t + 1] AS DOUBLE) -
+        |            CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)))))],
+        |      dl ->
+        |        list_transform(generate_series(0, 3), c ->
+        |          list_sum(list_transform(generate_series(0, 7), t ->
+        |            (CAST(qv.q[j*8 + t + 1] AS DOUBLE) -
+        |             CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)) *
+        |            (CAST(qv.q[j*8 + t + 1] AS DOUBLE) -
+        |             CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)))))
+        |        [list_position(dl, list_min(dl))]
+        |    )[1])), 6) AS adc
+        |FROM embeddings e, qv
+        |ORDER BY id""".stripMargin,
     "dedup_incremental" ->
       """SELECT b.doc_id, b.lang, b.source
         |FROM documents b

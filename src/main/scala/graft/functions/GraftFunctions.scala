@@ -76,6 +76,19 @@ object GraftFunctions {
         MinHashBandHashesExpr(es(0), intLit(es(1), "bands"), intLit(es(2), "rowsPerBand"))
       },
       "_FUNC_(text, bands, rowsPerBand) - per-band MinHash LSH bucket keys (array<bigint>)."),
+    ("pq_encode",
+      (es: Seq[Expression]) => {
+        requireArity(es, 4, "pq_encode")
+        PqEncodeExpr(es(0), es(1),
+          intLitArg(es(2), "pq_encode m"), intLitArg(es(3), "pq_encode k"))
+      },
+      "_FUNC_(vec, codebook, m, k) - product-quantization codes (m bytes) of a float vector."),
+    ("pq_adc_score",
+      (es: Seq[Expression]) => {
+        requireArity(es, 3, "pq_adc_score")
+        PqAdcScoreExpr(es(0), es(1), intLitArg(es(2), "pq_adc_score k"))
+      },
+      "_FUNC_(codes, lut, k) - asymmetric-distance score of PQ codes against a per-query table."),
     ("cosine_lsh_keys",
       (es: Seq[Expression]) => {
         requireArity(es, 4, "cosine_lsh_keys")
@@ -107,6 +120,12 @@ object GraftFunctions {
 
   private def requireArity(es: Seq[Expression], n: Int, name: String): Unit =
     require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+
+  private def intLitArg(e: Expression, what: String): Int = e match {
+    case x if x.foldable && x.dataType == org.apache.spark.sql.types.IntegerType =>
+      x.eval().asInstanceOf[Int]
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
 
   /** Register all engine functions in the session's FunctionRegistry.
     * Idempotent — skips names already present, so repeated calls at API
@@ -143,6 +162,11 @@ object GraftFunctions {
     call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
   def contentChunkHashes(payload: Column, avgBits: Int): Column =
     call_function("content_chunk_hashes", payload, org.apache.spark.sql.functions.lit(avgBits))
+  def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =
+    call_function("pq_encode", vec, codebook,
+      org.apache.spark.sql.functions.lit(m), org.apache.spark.sql.functions.lit(k))
+  def pqAdcScore(codes: Column, lut: Column, k: Int): Column =
+    call_function("pq_adc_score", codes, lut, org.apache.spark.sql.functions.lit(k))
   def cosineLshKeys(vec: Column, bitsPerTable: Int, nTables: Int, seed: Long): Column =
     call_function("cosine_lsh_keys", vec,
       org.apache.spark.sql.functions.lit(bitsPerTable),

@@ -228,6 +228,80 @@ case class CosineLshKeysExpr(child: Expression, bitsPerTable: Int, nTables: Int,
 }
 
 /**
+ * `pq_encode(vec, codebook, m, k)` → binary (m bytes): product
+ * quantization — each dim/m-component subvector becomes the index of
+ * its nearest codebook centroid. See [[VectorKernels.pqEncode]].
+ */
+case class PqEncodeExpr(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _))
+        if m >= 1 && k >= 2 && k <= 256 =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_encode needs m >= 1 and 2 <= k <= 256 (one byte per code), got $m/$k")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires (array<float>, array<float>), got $other")
+  }
+
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    VectorKernels.pqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val res = ctx.freshName("pqCodes")
+      s"""
+         |byte[] $res = graft.functions.VectorKernels.pqEncode($v, $cb, $m, $k);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * `pq_adc_score(codes, lut, k)` → double: asymmetric-distance score of
+ * a PQ code against a per-query lookup table. See
+ * [[VectorKernels.pqAdcScore]].
+ */
+case class PqAdcScoreExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) if k >= 2 && k <= 256 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score requires (binary, array<double>) and 2 <= k <= 256, got $other / $k")
+  }
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorKernels.pqAdcScore(codes.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val res = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $res = graft.functions.VectorKernels.pqAdcScore($c, $l, $k);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "pq_adc_score"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * `from_binary_vector(binary) -> array<float>` — inverse of
  * [[ToBinaryVector]] (format defined at app.py:160-161). NULL on
  * malformed payload.

@@ -193,6 +193,68 @@ object VectorKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /**
+   * PQ encode: split the vector into `m` contiguous subvectors of
+   * dim/m components; each subvector becomes the index (one byte) of
+   * its nearest codebook centroid — m bytes total, a 4·dim/m ×
+   * compression of the stored representation. `codebook` is flattened
+   * [subspace][centroid][component] (m·k·dsub floats). Null on
+   * dimension mismatch or null elements.
+   */
+  def pqEncode(vec: ArrayData, codebook: ArrayData, m: Int, k: Int): Array[Byte] = {
+    val dim = vec.numElements()
+    if (dim % m != 0) return null
+    val dsub = dim / m
+    if (codebook.numElements() != m * k * dsub) return null
+    var c = 0
+    while (c < dim) { if (vec.isNullAt(c)) return null; c += 1 }
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var cent = 0
+      while (cent < k) {
+        var d = 0.0
+        var t = 0
+        val cbOff = (j * k + cent) * dsub
+        while (t < dsub) {
+          val diff = vec.getFloat(j * dsub + t).toDouble -
+            codebook.getFloat(cbOff + t).toDouble
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = cent }
+        cent += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /**
+   * Asymmetric-distance (ADC) score: approximate squared L2 distance
+   * between the query and a PQ-encoded vector as the sum of
+   * precomputed per-subspace distances — `lut` is the flattened m·k
+   * table lut[j·k + c] = ‖q_j − centroid_{j,c}‖², built ONCE per query
+   * ([[graft.operators.PqIndex.adcLut]]). Scoring a code is m array
+   * lookups + adds: no float vector is ever touched at scan time.
+   */
+  def pqAdcScore(codes: Array[Byte], lut: ArrayData, k: Int): java.lang.Double = {
+    val m = codes.length
+    if (lut.numElements() != m * k) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lut.getDouble(j * k + (codes(j) & 0xff))
+      j += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** Decode the binary wire format back to a float vector; null if the
     * payload is malformed (wrong length modulus or missing/unknown tag). */
   def decodeFloatVector(bytes: Array[Byte]): ArrayData = {

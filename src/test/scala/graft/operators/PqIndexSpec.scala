@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.functions.{GraftFunctions, VectorKernels}
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkFunSuite {
+
+  private lazy val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+  // k=64 (6-bit codebooks): measured recall 1.0 with 100-candidate
+  // re-rank on this corpus; k=16 needs 4x the candidates for the same
+  // recall. Codes stay m=8 bytes either way.
+  private lazy val model = PqIndex.train(emb, "embedding", m = 8, k = 64)
+  private lazy val encoded = PqIndex.encode(emb, "embedding", model).cache()
+
+  private def queryVec: Array[Float] =
+    emb.where(col("vec_id") === 0).select("embedding").head.getSeq[Float](0).toArray
+
+  test("codes are m bytes; compression ratio is 4*dim+1 over m") {
+    val lens = encoded.select(length(col("codes"))).distinct().collect().map(_.getInt(0))
+    assert(lens.toSeq === Seq(model.m))
+    assert(model.compressionRatio === (4.0 * 64 + 1) / 8) // 32.125x
+  }
+
+  test("encode is deterministic and matches the interpreted kernel") {
+    val row = emb.where(col("vec_id") === 0).select("embedding").head
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      row.getSeq[Float](0).toArray)
+    val cb = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(model.codebook)
+    val expect = VectorKernels.pqEncode(arr, cb, model.m, model.k)
+    val got = encoded.where(col("vec_id") === 0).select("codes").head.getAs[Array[Byte]](0)
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("ADC score equals the sum of per-subspace centroid distances (hand check)") {
+    // 1 subspace, 2 centroids at 0 and 10: vector 9 → code 1;
+    // query 1 → lut = (1, 81) → ADC = 81
+    import spark.implicits._
+    val cb = Seq(0.0f, 10.0f)
+    val df = Seq((1L, Array(9.0f))).toDF("id", "v")
+    GraftFunctions.register(spark)
+    val codes = df.select(
+      GraftFunctions.pqEncode(col("v"), typedLit(cb), 1, 2).as("codes"))
+    val m = PqIndex.PqModel(1, 2, 1, cb.toArray)
+    val lut = PqIndex.adcLut(m, Array(1.0f))
+    assert(lut.toSeq === Seq(1.0, 81.0))
+    val s = codes.select(
+      GraftFunctions.pqAdcScore(col("codes"), typedLit(lut.toSeq), 2)).head.getDouble(0)
+    assert(s === 81.0)
+  }
+
+  test("ADC+rerank recovers the exact top-10 (measured recall on this corpus)") {
+    GraftFunctions.register(spark)
+    val exact = emb.select(col("vec_id"),
+        GraftFunctions.knnEuclideanDistance(col("embedding"), typedLit(queryVec.toSeq))
+          .as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // 50 candidates (10% of corpus): recall >= 0.9; 100: recall 1.0
+    val r50 = PqIndex.searchRerank(encoded, "vec_id", "embedding", model,
+        queryVec, k = 10, candidates = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(r50.intersect(exact).size >= 9, s"recall@50cand ${r50.intersect(exact).size}/10")
+    val r100 = PqIndex.searchRerank(encoded, "vec_id", "embedding", model,
+        queryVec, k = 10, candidates = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(r100 === exact)
+    // raw ADC alone is already a decent ranker
+    val adcOnly = PqIndex.search(encoded, "vec_id", model, queryVec, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(adcOnly.intersect(exact).size >= 5, s"adc-only hit ${adcOnly.intersect(exact).size}")
+  }
+
+  test("ADC scan plan touches only the codes column, no cartesian/UDF") {
+    val plan = PqIndex.search(encoded.select("vec_id", "codes"), "vec_id",
+      model, queryVec, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"), plan)
+  }
+}
