@@ -122,6 +122,26 @@ object PqIndex {
   }
 
   /**
+   * IVF-PQ: the composed billion-scale search shape. The IVF model
+   * prunes to the `searchTopSize` clusters nearest the query (a
+   * partition-pruning filter when the store is written
+   * `partitionBy(cluster_id)` — file-listing-time pruning, see
+   * [[IvfIndex.writePartitioned]]); the ADC scan then touches only the
+   * surviving clusters' m-byte codes; finally the top `candidates`
+   * re-rank exactly from full-precision vectors. Work per query:
+   * |pruned fraction| × m lookups + `candidates` exact distances.
+   */
+  def ivfPqSearch(
+      encodedAssigned: DataFrame, ivf: IvfIndex.IvfModel, pq: PqModel,
+      idCol: String, vecCol: String, query: Array[Float],
+      k: Int, searchTopSize: Int, candidates: Int): DataFrame = {
+    val top = ivf.rankClusters(query, SearchStrategy.EuclideanDistance)
+      .take(searchTopSize).toSeq
+    val pruned = encodedAssigned.filter(col("cluster_id").isin(top: _*))
+    searchRerank(pruned, idCol, vecCol, pq, query, k, candidates)
+  }
+
+  /**
    * ADC candidates + exact re-rank: ADC selects `candidates` rows from
    * the codes scan; only those join back to full-precision vectors for
    * the exact distance — the standard accuracy recovery, bounded to the

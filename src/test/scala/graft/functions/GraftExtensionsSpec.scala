@@ -32,6 +32,11 @@ class GraftExtensionsSpec extends SparkFunSuite {
         "SELECT vector_avg(v) FROM VALUES (array(2.0F)), (array(4.0F)) AS t(v)")
         .head.getSeq[Double](0)
       assert(agg === Seq(3.0))
+      // EVERY registered function resolves (completeness as GraftFunctions.all grows)
+      GraftFunctions.all.foreach { case (name, _, _) =>
+        assert(ext.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
+      }
       // the injected optimizer rule is present
       val ruleNames = ext.sessionState.optimizer.extendedOperatorOptimizationRules
         .map(_.getClass.getName) ++

@@ -78,4 +78,27 @@ class PqIndexSpec extends SparkFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.toLowerCase.contains("batchevalpython"), plan)
   }
+
+  test("IVF-PQ composition: cluster pruning + ADC + re-rank finds the true neighbors") {
+    val (assigned, ivf) = IvfIndex.build(emb, "embedding", numClusters = 8)
+    val encodedAssigned = PqIndex.encode(assigned, "embedding", model)
+    val exact = {
+      GraftFunctions.register(spark)
+      emb.select(col("vec_id"),
+          GraftFunctions.knnEuclideanDistance(col("embedding"), typedLit(queryVec.toSeq))
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    // full breadth => candidate set equals the ADC path => recall 1
+    val full = PqIndex.ivfPqSearch(encodedAssigned, ivf, model, "vec_id", "embedding",
+        queryVec, k = 10, searchTopSize = 8, candidates = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+    // pruned breadth scans fewer rows and still finds most neighbors
+    val pruned = PqIndex.ivfPqSearch(encodedAssigned, ivf, model, "vec_id", "embedding",
+        queryVec, k = 10, searchTopSize = 4, candidates = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.intersect(exact).size >= 6, s"pruned recall ${pruned.intersect(exact).size}/10")
+  }
 }
