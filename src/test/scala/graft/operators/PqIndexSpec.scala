@@ -101,4 +101,19 @@ class PqIndexSpec extends SparkFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(pruned.intersect(exact).size >= 6, s"pruned recall ${pruned.intersect(exact).size}/10")
   }
+
+  test("pq expressions: null on dimension mismatch or malformed inputs") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // vector dim not divisible by m -> null
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+      .select(GraftFunctions.pqEncode(col("v"), typedLit(model.codebook.toSeq), 8, 64))
+      .head
+    assert(bad.isNullAt(0))
+    // wrong-size lut -> null score
+    val codes = Seq((1L, Array[Byte](0, 1))).toDF("id", "codes")
+      .select(GraftFunctions.pqAdcScore(col("codes"), typedLit(Seq(1.0, 2.0, 3.0)), 4))
+      .head
+    assert(codes.isNullAt(0))
+  }
 }
