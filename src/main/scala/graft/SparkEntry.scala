@@ -539,6 +539,26 @@ object SparkEntry {
           round(col("col").cast("double") * col("n_bytes")).cast("long").as("n_in_bin"))
         .orderBy("id", "bin")
     }),
+    // REAL image decode (pure-Scala Netpbm/PGM decoder, no codec libs
+    // needed): each document's first 48 bytes become the pixel buffer
+    // of a valid 6x8 P5 image (header built in-plan), the decoder
+    // parses header+pixels, and the luminance histogram comes back as
+    // exact integer counts. The oracle recomputes the histogram from
+    // the same bytes with string functions — so header parsing, pixel
+    // extraction, and binning are all driver-verified.
+    "multimodal_image_decode" -> ((s, d) => {
+      val payloads = table(s, d, "documents")
+        .filter(length(col("text")) >= 48)
+        .select(col("doc_id"),
+          concat(lit("P5\n6 8\n255\n").cast("binary"),
+            substring(col("text"), 1, 48).cast("binary")).as("payload"))
+      graft.multimodal.Multimodal.extractImageFeatures(payloads, "doc_id", "payload", bins = 16)
+        .toDF()
+        .select(col("id"), col("width"), col("height"), posexplode(col("hist")))
+        .select(col("id"), col("width"), col("height"),
+          col("pos").cast("long").as("bin"), col("col").as("n"))
+        .orderBy("id", "bin")
+    }),
     // Byte-payload dedup via content-defined chunking (rows-only: the
     // Gear/FNV fingerprints are engine-defined; CDC properties are
     // pinned in ScalaTest).
@@ -1048,6 +1068,21 @@ object SparkEntry {
         |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
         |  GROUP BY id, bin)
         |SELECT d.id, d.n_bytes, b.bin, CAST(COALESCE(c.c, 0) AS BIGINT) AS n_in_bin
+        |FROM docs d CROSS JOIN bins b
+        |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
+        |ORDER BY d.id, b.bin""".stripMargin,
+    "multimodal_image_decode" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 48) AS px
+        |  FROM documents WHERE length(text) >= 48),
+        |bins AS (SELECT CAST(g - 1 AS BIGINT) AS bin
+        |         FROM unnest(generate_series(1, 16)) t(g)),
+        |counts AS (
+        |  SELECT id, ascii(substr(px, CAST(i AS INT), 1)) // 16 AS bin, count(*) AS c
+        |  FROM docs, unnest(generate_series(1, 48)) t(i)
+        |  GROUP BY id, bin)
+        |SELECT d.id, CAST(6 AS INT) AS width, CAST(8 AS INT) AS height, b.bin,
+        |       CAST(COALESCE(c.c, 0) AS BIGINT) AS n
         |FROM docs d CROSS JOIN bins b
         |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
         |ORDER BY d.id, b.bin""".stripMargin,

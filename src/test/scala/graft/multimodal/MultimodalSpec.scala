@@ -39,4 +39,66 @@ class MultimodalSpec extends SparkFunSuite {
     val reassembled = frames.flatMap(_.frame_bytes)
     assert(reassembled.toSeq === payload.toSeq)
   }
+
+  private def pgm(w: Int, h: Int, pixels: Array[Int],
+      header: String = null): Array[Byte] = {
+    val hdr = if (header != null) header else s"P5\n$w $h\n255\n"
+    hdr.getBytes("US-ASCII") ++ pixels.map(_.toByte)
+  }
+
+  test("Netpbm decode: P5 gradient, dimensions and pixels exact") {
+    val px = Array.tabulate(6 * 8)(i => (i * 5) % 256)
+    val img = Multimodal.decodeNetpbm(pgm(6, 8, px)).get
+    assert(img.width === 6)
+    assert(img.height === 8)
+    assert(img.gray.toSeq === px.toSeq)
+  }
+
+  test("Netpbm decode: header comments and arbitrary whitespace") {
+    val px = Array.fill(4)(7)
+    val withComment = pgm(2, 2, px, "P5\n# a comment\n 2\t2 # trailing\n255\n")
+    val img = Multimodal.decodeNetpbm(withComment).get
+    assert(img.width === 2 && img.height === 2)
+    assert(img.gray.toSeq === px.toSeq)
+  }
+
+  test("Netpbm decode: P6 RGB collapses to BT.601 luminance") {
+    val rgb = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+    val bytes = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ rgb.map(_.toByte)
+    val img = Multimodal.decodeNetpbm(bytes).get
+    // (299R + 587G + 114B) / 1000, integer math
+    assert(img.gray.toSeq === Seq(255 * 299 / 1000, 255 * 587 / 1000,
+      255 * 114 / 1000, (255 * 299 + 255 * 587 + 255 * 114) / 1000))
+  }
+
+  test("Netpbm decode: malformed inputs return None, never throw") {
+    assert(Multimodal.decodeNetpbm(null).isEmpty)
+    assert(Multimodal.decodeNetpbm("JUNK".getBytes).isEmpty)
+    assert(Multimodal.decodeNetpbm(pgm(4, 4, Array.fill(3)(0))).isEmpty) // truncated
+    assert(Multimodal.decodeNetpbm(
+      "P5\n2 2\n70000\n????????".getBytes("US-ASCII")).isEmpty) // maxval > 255
+    // arbitrary fuzz: decoder is total
+    val r = new java.util.Random(5)
+    (1 to 500).foreach { _ =>
+      val b = new Array[Byte](r.nextInt(64)); r.nextBytes(b)
+      Multimodal.decodeNetpbm(b) // must not throw
+    }
+  }
+
+  test("downsample: nearest-neighbor picks the expected source pixels") {
+    val img = Multimodal.RasterImage(4, 4, Array.tabulate(16)(identity))
+    val half = Multimodal.downsample(img, 2, 2)
+    assert(half.gray.toSeq === Seq(0, 2, 8, 10))
+  }
+
+  test("extractImageFeatures end-to-end: decode + histogram distributed") {
+    import spark.implicits._
+    val good = pgm(2, 2, Array(0, 0, 16, 255))
+    val rows = Seq((1L, good), (2L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.extractImageFeatures(rows, "doc_id", "payload", bins = 16)
+      .collect()
+    assert(got.length === 1) // the non-image row is dropped
+    assert(got.head.width === 2 && got.head.height === 2)
+    assert(got.head.hist.toSeq === Seq(2L, 1L) ++ Seq.fill(13)(0L) :+ 1L)
+  }
 }
