@@ -559,6 +559,32 @@ object SparkEntry {
           col("pos").cast("long").as("bin"), col("col").as("n"))
         .orderBy("id", "bin")
     }),
+    // REAL audio decode (pure-Scala RIFF/WAV PCM16 decoder): each
+    // document's first 96 bytes become the sample data of a valid mono
+    // 8 kHz WAV (44-byte canonical header built as a binary literal);
+    // the decoder walks the RIFF chunks and the per-window integer
+    // energies hash-match the oracle's recomputation from the same
+    // bytes. ASCII samples are positive, so zero_crossings is 0 here;
+    // signed/stereo/chunk-skipping behavior is pinned in MultimodalSpec.
+    "multimodal_audio_decode" -> ((s, d) => {
+      def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+      val header: Array[Byte] = (
+        "RIFF".getBytes("US-ASCII").toSeq ++ le32(132) ++
+          "WAVE".getBytes("US-ASCII").toSeq ++
+          "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII").toSeq ++ le32(96)).toArray
+      val payloads = table(s, d, "documents")
+        .filter(length(col("text")) >= 96)
+        .select(col("doc_id"),
+          concat(lit(header), substring(col("text"), 1, 96).cast("binary"))
+            .as("payload"))
+      graft.multimodal.Multimodal.extractAudioFeatures(payloads, "doc_id", "payload",
+        nWindows = 4)
+        .toDF()
+        .orderBy("id", "window")
+    }),
     // Byte-payload dedup via content-defined chunking (rows-only: the
     // Gear/FNV fingerprints are engine-defined; CDC properties are
     // pinned in ScalaTest).
@@ -1086,6 +1112,20 @@ object SparkEntry {
         |FROM docs d CROSS JOIN bins b
         |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
         |ORDER BY d.id, b.bin""".stripMargin,
+    "multimodal_audio_decode" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 96) AS px
+        |  FROM documents WHERE length(text) >= 96),
+        |samples AS (
+        |  SELECT id, CAST((i - 1) // 12 AS INT) AS "window",
+        |         CAST(ascii(substr(px, CAST(2*i - 1 AS INT), 1)) +
+        |              256 * ascii(substr(px, CAST(2*i AS INT), 1)) AS BIGINT) AS s
+        |  FROM docs, unnest(generate_series(1, 48)) t(i))
+        |SELECT id, CAST(8000 AS INT) AS sample_rate, CAST(48 AS BIGINT) AS n_samples,
+        |       "window", CAST(sum(s * s) AS BIGINT) AS energy,
+        |       CAST(0 AS BIGINT) AS zero_crossings
+        |FROM samples GROUP BY id, "window"
+        |ORDER BY id, "window"""".stripMargin,
     "events_windowed" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |       count(*) AS n_events,

@@ -144,6 +144,111 @@ object Multimodal {
       }
   }
 
+  /** Decoded PCM audio, mixed to mono. */
+  final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /**
+   * Pure-Scala WAV decoder for the canonical RIFF container with
+   * 16-bit PCM (the public WAVE format): `RIFF <size> WAVE`, then
+   * chunks scanned in order — `fmt ` (PCM format tag 1, channel count,
+   * sample rate) and `data` (little-endian int16 frames). Multi-channel
+   * frames mix to mono by integer-averaging the channels. None on any
+   * malformed container, non-PCM format, or truncated data — never
+   * throws.
+   */
+  def decodeWavPcm16(payload: Array[Byte]): Option[PcmAudio] = {
+    def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def tag(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload == null || payload.length < 12) return None
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var rate = -1
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(pos)
+      val len = le32(pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          if (le16(pos + 8) != 1 || le16(pos + 22) != 16) return None // PCM, 16-bit
+          channels = le16(pos + 10)
+          rate = le32(pos + 12)
+          if (channels < 1 || rate <= 0) return None
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = len
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (rate < 0 || dataOff < 0) return None
+    val frameBytes = 2 * channels
+    val nFrames = dataLen / frameBytes
+    val mono = new Array[Short](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0
+      var c = 0
+      while (c < channels) {
+        acc += le16(dataOff + f * frameBytes + 2 * c).toShort.toInt
+        c += 1
+      }
+      mono(f) = (acc / channels).toShort
+      f += 1
+    }
+    Some(PcmAudio(rate, channels, mono))
+  }
+
+  /** One windowed-audio feature row: exact integer energy + zero
+    * crossings per window (integers survive any accumulation order). */
+  final case class AudioFeatureRow(
+      id: Long, sample_rate: Int, n_samples: Long, window: Int,
+      energy: Long, zero_crossings: Long)
+
+  /**
+   * REAL audio feature extraction over WAV payloads: decode → split
+   * into `nWindows` contiguous windows → per-window energy (Σ s²) and
+   * zero-crossing count. Same shuffle-free `mapPartitions` shape as the
+   * image path; non-WAV payloads are dropped.
+   */
+  def extractAudioFeatures(
+      df: DataFrame, idCol: String, payloadCol: String,
+      nWindows: Int): Dataset[AudioFeatureRow] = {
+    require(nWindows > 0, s"nWindows must be positive, got $nWindows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        decodeWavPcm16(payload).iterator.flatMap { audio =>
+          val n = audio.samples.length
+          val win = math.max(1, n / nWindows)
+          (0 until nWindows).iterator.map { w =>
+            val from = w * win
+            val until = if (w == nWindows - 1) n else math.min(n, from + win)
+            var energy = 0L
+            var zc = 0L
+            var i = from
+            while (i < until) {
+              val s = audio.samples(i).toLong
+              energy += s * s
+              if (i > from &&
+                ((audio.samples(i - 1) < 0 && audio.samples(i) >= 0) ||
+                  (audio.samples(i - 1) >= 0 && audio.samples(i) < 0))) zc += 1
+              i += 1
+            }
+            AudioFeatureRow(id, audio.sampleRate, n.toLong, w, energy, zc)
+          }
+        }
+      }
+  }
+
   /** One extracted-feature row. */
   final case class FeatureRow(id: Long, n_bytes: Long, features: Array[Float])
 

@@ -101,4 +101,60 @@ class MultimodalSpec extends SparkFunSuite {
     assert(got.head.width === 2 && got.head.height === 2)
     assert(got.head.hist.toSeq === Seq(2L, 1L) ++ Seq.fill(13)(0L) :+ 1L)
   }
+
+  private def le16b(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Int) = le16b(v & 0xffff) ++ le16b((v >> 16) & 0xffff)
+  private def wav(samples: Seq[Int], channels: Int = 1, rate: Int = 8000,
+      extraChunk: Boolean = false): Array[Byte] = {
+    val data = samples.flatMap(le16b)
+    val extra = if (extraChunk)
+      "LIST".getBytes("US-ASCII").toSeq ++ le32b(4) ++ "INFO".getBytes("US-ASCII").toSeq
+    else Seq.empty[Byte]
+    ("RIFF".getBytes("US-ASCII").toSeq ++ le32b(4 + 24 + extra.length + 8 + data.length) ++
+      "WAVE".getBytes("US-ASCII").toSeq ++ extra ++
+      "fmt ".getBytes("US-ASCII").toSeq ++ le32b(16) ++
+      le16b(1) ++ le16b(channels) ++ le32b(rate) ++ le32b(rate * 2 * channels) ++
+      le16b(2 * channels) ++ le16b(16) ++
+      "data".getBytes("US-ASCII").toSeq ++ le32b(data.length) ++ data).toArray
+  }
+
+  test("WAV decode: mono PCM16 samples round-trip, negatives included") {
+    val s = Seq(0, 1000, -1000, 32767, -32768, 42)
+    val audio = Multimodal.decodeWavPcm16(wav(s)).get
+    assert(audio.sampleRate === 8000)
+    assert(audio.channels === 1)
+    assert(audio.samples.toSeq.map(_.toInt) === s)
+  }
+
+  test("WAV decode: stereo mixes to mono; unknown chunks are skipped") {
+    // frames (L,R): (100,200), (-100,100) -> mono (150, 0)
+    val audio = Multimodal.decodeWavPcm16(
+      wav(Seq(100, 200, -100, 100), channels = 2, extraChunk = true)).get
+    assert(audio.channels === 2)
+    assert(audio.samples.toSeq.map(_.toInt) === Seq(150, 0))
+  }
+
+  test("WAV decode: malformed inputs return None, never throw") {
+    assert(Multimodal.decodeWavPcm16(null).isEmpty)
+    assert(Multimodal.decodeWavPcm16("RIFFjunk".getBytes).isEmpty)
+    val truncated = wav(Seq(1, 2, 3)).dropRight(2)
+    assert(Multimodal.decodeWavPcm16(truncated).isEmpty)
+    val r = new java.util.Random(11)
+    (1 to 500).foreach { _ =>
+      val b = new Array[Byte](r.nextInt(128)); r.nextBytes(b)
+      Multimodal.decodeWavPcm16(b) // total
+    }
+  }
+
+  test("extractAudioFeatures: windowed energy and zero crossings, hand-computed") {
+    import spark.implicits._
+    // 4 samples, 2 windows of 2: energies 1^2+(-1)^2=2 and 2^2+(-2)^2=8;
+    // zc counts sign flips WITHIN each window (1 each)
+    val rows = Seq((7L, wav(Seq(1, -1, 2, -2)))).toDF("doc_id", "payload")
+    val got = Multimodal.extractAudioFeatures(rows, "doc_id", "payload", nWindows = 2)
+      .collect().sortBy(_.window)
+    assert(got.map(r => (r.window, r.energy, r.zero_crossings)).toSeq ===
+      Seq((0, 2L, 1L), (1, 8L, 1L)))
+    assert(got.forall(r => r.sample_rate == 8000 && r.n_samples == 4L))
+  }
 }
