@@ -308,6 +308,15 @@ object SparkEntry {
           typedLit(lut.toSeq), k), 6).as("adc"))
         .orderBy("id")
     }),
+    // End-to-end corpus curation: quality gate → exact dedup →
+    // near-dup removal, composed as ONE lazy plan. The oracle replays
+    // the identical funnel in SQL, so the composition (stage order,
+    // keep-first semantics, survivor set) is driver-verified — not
+    // just the individual stages.
+    "corpus_curation" -> ((s, d) =>
+      CurationPipeline.curate(table(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")),
     // Text analysis.
     "text_stats" -> ((s, d) =>
       TextAnalysis.textStats(table(s, d, "documents"), "doc_id", "text")
@@ -722,6 +731,49 @@ object SparkEntry {
         |  FROM base a JOIN base b ON a.label = b.label AND a.id < b.id)
         |WHERE cos_sim >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "corpus_curation" ->
+      """WITH qual AS (
+        |  SELECT doc_id, round((c1 + c2 + c3 + c4) / 4.0, 6) AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |           CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS c1,
+        |           CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS c2,
+        |           CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END AS c3,
+        |           CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END AS c4
+        |    FROM (
+        |      SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |               / len(string_split(text, ' ')) AS mean_word_len,
+        |             CAST(len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |               / len(string_split(text, ' ')) AS stopword_ratio,
+        |             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |               / length(text) AS punct_ratio
+        |      FROM documents))
+        |  WHERE (c1 + c2 + c3 + c4) / 4.0 >= 0.75),
+        |qualified AS (
+        |  SELECT d.doc_id, d.text, d.lang, q.quality
+        |  FROM documents d JOIN qual q USING (doc_id)),
+        |exact AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        |    FROM qualified)
+        |  WHERE rn = 1),
+        |losers AS (
+        |  SELECT DISTINCT b_id AS doc_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |           round(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                                          list_distinct(string_split(b.text, ' ')))) AS DOUBLE) /
+        |                 len(list_distinct(list_cat(list_distinct(string_split(a.text, ' ')),
+        |                                            list_distinct(string_split(b.text, ' '))))), 6) AS j
+        |    FROM exact a JOIN exact b
+        |      ON substr(a.text, 1, 16) = substr(b.text, 1, 16) AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.5)
+        |SELECT e.doc_id, e.lang, e.quality
+        |FROM exact e
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+        |ORDER BY e.doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -133,4 +133,25 @@ class DedupSpec extends SparkFunSuite {
     assert(plan.contains("LeftAnti"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("curation pipeline: each gate removes what it should, in order") {
+    import spark.implicits._
+    val docs = Seq(
+      // high quality, unique
+      (1L, "the cat and the hat sat on a mat with the other cat and a rat today here now", "en"),
+      // exact duplicate of 1 -> removed by exact dedup
+      (2L, "the cat and the hat sat on a mat with the other cat and a rat today here now", "en"),
+      // near-dup of 1 (same prefix block, one token changed) -> removed by near-dup gate
+      (3L, "the cat and the hat sat on a mat with the other cat and a rat today here soon", "en"),
+      // junk -> removed by the quality gate (no stopwords, punct-heavy)
+      (4L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~ ||| ::: ;;; ,,, ...", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val kept = CurationPipeline.curate(docs, "doc_id", "text", minQuality = 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+    val stats = CurationPipeline.curationStats(docs, "doc_id", "text", minQuality = 0.75)
+      .head
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3)) ===
+      ((4L, 3L, 2L, 1L)))
+  }
 }
