@@ -59,6 +59,11 @@ object SparkEntry {
     * one-time write (like the IVF store), not part of each query. */
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  /** Wire-format blob store per sf dir (one-time offline dump; the
+    * collect is bounded to the small sf embeddings — a production dump
+    * writes per-partition with VectorBlobSource.writeFile). */
+  private val blobStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
@@ -106,6 +111,30 @@ object SparkEntry {
       VectorSearch.searchWithMetadata(
         emb, table(s, d, "documents"), ("vec_id", "doc_id"), cfg,
         queryVec(s, d), 6, Map.empty, Some(Scale))
+    }),
+    // Custom DataSource V2 connector: the store dumped in the
+    // reference's NATIVE wire format (int64 id + length-prefixed Knn
+    // binary payloads, app.py:157-162) reads back as a Spark table
+    // with file-level partitioning and column pruning — then the
+    // standard top-k pipeline runs on it unchanged. Oracle = the same
+    // parquet-derived top-k, proving the connector is lossless.
+    "blob_source_topk" -> ((s, d) => {
+      val path = blobStoreCache.computeIfAbsent(d, dir => {
+        val p = java.nio.file.Files.createTempDirectory("graft_blob_store").toString
+        val rows = table(s, dir, "embeddings")
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        rows.grouped(math.max(1, rows.length / 4)).zipWithIndex.foreach {
+          case (chunk, i) =>
+            graft.sources.VectorBlobSource.writeFile(
+              f"$p/part-$i%05d.vecblob", chunk.iterator)
+        }
+        p
+      })
+      val emb = s.read.format("graft-vectors").load(path)
+      VectorSearch.searchWithMetadata(
+        emb, table(s, d, "documents"), ("vec_id", "doc_id"), cfg,
+        queryVec(s, d), 5, Map.empty, Some(Scale))
     }),
     // R2 — IVF/ANN index path; searchTopSize = numClusters ⇒ exact.
     "ann_ivf_topk" -> ((s, d) => {
@@ -668,6 +697,7 @@ object SparkEntry {
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(g)
         |ORDER BY id, idx""".stripMargin,
     "binary_store_topk" -> knnOracle(CosExpr, desc = true, k = 6),
+    "blob_source_topk" -> knnOracle(CosExpr, desc = true, k = 5),
     "ann_ivf_topk" -> knnOracle(CosExpr, desc = true, k = 10),
     "ann_ivf_disk" -> knnOracle(CosExpr, desc = true, k = 12),
     "ann_tree_topk" -> knnOracle(CosExpr, desc = true, k = 9),
