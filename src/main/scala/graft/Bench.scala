@@ -12,6 +12,15 @@ import org.apache.spark.sql.SparkSession
  * EliminateSorts delete the sort). One untimed warmup pass absorbs
  * first-query JVM/codegen/Parquet-footer costs. Failures are reported
  * (stderr + negative duration), never swallowed.
+ *
+ * Output discipline: the harness that collects this output keeps only
+ * the LAST ~2000 characters of stdout, so the stdout JSON line must
+ * stay well under that (values rounded to ms, no secondary maps, and a
+ * headline-only fallback if the query set grows too large). The
+ * full-precision measurements — including the second, 10×-smaller
+ * scale and the per-query scaling factors sec(big)/sec(small), the
+ * cheapest local proxy for "would this plan survive a scale-up" — are
+ * written to `BENCH_DETAIL.json` in the working directory instead.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,24 +48,28 @@ object Bench {
       // setup and the offline steps (index build, query-vector fetch) so
       // the timed pass measures steady-state query execution.
       ordered.foreach { case (n, fn) => run(s"warmup:$n", (s, _) => fn(s, dir)) }
-      ordered.map { case (name, fn) => name -> run(name, (s, _) => fn(s, dir)) }
+      // Best of two timed reps: a single rep is noisy enough (GC pause,
+      // page-cache miss) to produce phantom outliers in the cross-scale
+      // scaling report.
+      ordered.map { case (name, fn) =>
+        val times = Seq.fill(2)(run(name, (s, _) => fn(s, dir)))
+        name -> (if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min)
+      }
     }
-    def toJson(results: Seq[(String, Double)]): String =
-      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def toJson(results: Seq[(String, Double)], fmt: Double => String): String =
+      results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val full: Double => String = v => v.toString
+    val ms: Double => String = v => (math.rint(v * 1000) / 1000).toString
 
     val results = timedPass(sfDir)
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // Second, 10×-smaller scale when available: per-query scaling factor
-    // sec(big)/sec(small) is the cheapest local proxy for "would this
-    // plan survive a scale-up" — a factor near the data ratio (or below,
-    // when fixed overheads dominate) means scan-bound linear scaling; a
-    // factor far above it flags a super-linear operator.
+    // Second, 10×-smaller scale when available, for the scaling report.
     val smallDir = Seq("sf0.1" -> "sf0.01", "sf0.01" -> "sf0.001").collectFirst {
       case (big, small) if sfDir.endsWith(big) =>
         sfDir.substring(0, sfDir.length - big.length) + small
     }.filter(d => new java.io.File(d).isDirectory)
-    val smallJson = smallDir.map { dir =>
+    val smallDetail = smallDir.map { dir =>
       val smallResults = timedPass(dir)
       val smallByName = smallResults.toMap
       val scaling = results.map { case (name, big) =>
@@ -67,10 +80,33 @@ object Bench {
         }
         "\"" + name + "\":" + ratio
       }.mkString("{", ",", "}")
-      s""","queries_small":${toJson(smallResults)},"sf_small":"$dir","scaling":$scaling"""
+      s""","queries_small":${toJson(smallResults, full)},"sf_small":"$dir","scaling":$scaling"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$smallJson}""")
+    // Full-precision detail (both scales + scaling factors) → file.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results, full)},"sf":"$sfDir"$smallDetail}"""
+    try {
+      val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+      System.err.println(s"[bench] detail written to ${out.toAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    // Compact stdout line, guaranteed to fit the harness's 2000-char
+    // output tail (with headroom for the trailing sbt status line). If
+    // the full per-query map is too long, fall back to the slowest
+    // queries only — total always covers every query.
+    val totalStr = (math.rint(total * 1000) / 1000).toString
+    def line(qs: Seq[(String, Double)], note: String): String =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":${toJson(qs, ms)},"sf":"$sfDir"$note}"""
+    val fullLine = line(results, "")
+    val compact =
+      if (fullLine.length <= 1700) fullLine
+      else {
+        val slowest = results.sortBy(-_._2).take(30).sortBy(_._1)
+        line(slowest, s""","note":"slowest 30 of ${results.size}; all in BENCH_DETAIL.json"""")
+      }
+    println(compact)
     spark.stop()
   }
 }

@@ -270,6 +270,17 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashGroups(table(s, d, "documents"), "doc_id", "text")
         .orderBy("sh")),
+    // Near-dup CLUSTERS: transitive closure of the blocked-Jaccard pair
+    // graph via iterative min-label propagation — pairwise hits alone
+    // under-dedup chains (A~B, B~C, A≁C). component = min reachable id;
+    // keep one doc per component. Oracle = DuckDB recursive CTE over
+    // the same pair graph.
+    "dedup_components" -> ((s, d) =>
+      ConnectedComponents.componentSizes(
+        Dedup.blockedJaccardPairs(table(s, d, "documents"), "doc_id", "text",
+          blockLen = 16, threshold = 0.3, scale = Scale),
+        "a_id", "b_id")
+        .orderBy("id")),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
     "sim_join_label" -> ((s, d) =>
       SimilarityJoin.blockedCosinePairs(table(s, d, "embeddings"), "vec_id",
@@ -941,6 +952,35 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.id < b.id)
         |WHERE jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // Transitive closure of the same blocked-Jaccard pair graph the
+    // Spark side builds (threshold 0.3): component = min reachable id,
+    // computed by a recursive reachability CTE; n_members counts the
+    // cluster.
+    "dedup_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id, substr(text, 1, 16) AS bk,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.id AS a_id, b.id AS b_id,
+        |           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |                 len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard
+        |    FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id)
+        |  WHERE jaccard >= 0.3),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u)
+        |SELECT id, component,
+        |       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+        |FROM comp ORDER BY id""".stripMargin,
     // Full SQL reimplementation of the 64-bit SimHash (FNV-1a token
     // hashes → per-bit votes → sign bits) in DuckDB HUGEINT arithmetic —
     // proves the engine kernel is deterministic public math, not an
