@@ -458,6 +458,23 @@ object SparkEntry {
             .cast("decimal(18,6)")).cast("double").as("rev"))
         .orderBy("o_orderpriority")
     }),
+    // Bloom-pruned fact⋈dim join: a Bloom filter over the selective dim
+    // side's keys drops non-matching fact rows AT THE SCAN (codegen'd
+    // probe before the exchange); the exact join removes the false
+    // positives, so the result — and the oracle — is the plain join.
+    "bloom_join_prune" -> ((s, d) => {
+      val urgent = table(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      BloomJoin.prunedJoin(table(s, d, "lineitem"), "l_orderkey",
+          urgent, "o_orderkey", expectedItems = 200000L, fpp = 0.01)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("rev"))
+        .orderBy("l_returnflag")
+    }),
     // Shuffle-free co-located join: both fact tables written bucketed by
     // orderkey (one-time layout cost), then joined with ZERO exchanges —
     // the 100 TB recurring-join pattern. Plan assert in ScalaTest.
@@ -1167,6 +1184,13 @@ object SparkEntry {
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "bloom_join_prune" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "segment_status_cube" ->
       """SELECT c.c_mktsegment, o.o_orderstatus, count(*) AS n_orders,
         |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price

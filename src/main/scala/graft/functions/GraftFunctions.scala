@@ -104,6 +104,24 @@ object GraftFunctions {
           lit(es(3), org.apache.spark.sql.types.LongType, "seed").asInstanceOf[Long])
       },
       "_FUNC_(vec, bitsPerTable, nTables, seed) - per-table random-hyperplane LSH bucket keys (array<bigint>)."),
+    ("bloom_build",
+      (es: Seq[Expression]) => {
+        requireArity(es, 3, "bloom_build")
+        val bits = es(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.LongType =>
+            e.eval().asInstanceOf[Long]
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int].toLong
+          case _ => throw new IllegalArgumentException(
+            "bloom_build numBits must be an integer literal")
+        }
+        BloomBuildAgg(es(0), bits, intLitArg(es(2), "bloom_build numHashes"))
+          .toAggregateExpression()
+      },
+      "_FUNC_(keyHash, numBits, numHashes) - aggregate 64-bit key hashes into a Bloom filter (binary)."),
+    ("bloom_might_contain",
+      (es: Seq[Expression]) => { requireArity(es, 2, "bloom_might_contain"); BloomMightContainExpr(es(0), es(1)) },
+      "_FUNC_(filter, keyHash) - true iff the key may be in the Bloom filter (no false negatives)."),
     ("content_chunk_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 2, "content_chunk_hashes")
@@ -173,6 +191,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(nTables),
       org.apache.spark.sql.functions.lit(seed))
   def vectorAvg(vec: Column): Column = call_function("vector_avg", vec)
+  def bloomBuild(keyHash: Column, numBits: Long, numHashes: Int): Column =
+    call_function("bloom_build", keyHash,
+      org.apache.spark.sql.functions.lit(numBits),
+      org.apache.spark.sql.functions.lit(numHashes))
+  def bloomMightContain(filter: Column, keyHash: Column): Column =
+    call_function("bloom_might_contain", filter, keyHash)
 }
 
 /**

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.{BloomKernels, GraftFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Bloom-pruned equi-join: build a Bloom filter over the small side's
+ * join keys, pre-filter the fact side with a codegen'd probe, then run
+ * the exact join. False positives survive the probe but die in the
+ * join, so the result is IDENTICAL to the plain join — the filter only
+ * changes how much of the fact table moves.
+ *
+ * Why this matters at 100 TB: a fact⋈dim join where the dim side is
+ * selective (filtered orders, a sampled id list) still shuffles the
+ * ENTIRE fact table without a runtime filter — the join can't drop a
+ * fact row until it meets the build side post-shuffle. The Bloom probe
+ * drops non-matching fact rows AT THE SCAN (inside WholeStageCodegen,
+ * before the exchange), cutting shuffle volume to roughly the matching
+ * fraction plus fpp. This is the engine-owned version of the runtime
+ * row filters AQE injects when statistics allow; owning it makes the
+ * behavior deterministic and configurable per pipeline.
+ *
+ * The filter travels driver→executors as a literal (one broadcast
+ * reference object, numBits/8 bytes) — same driver-side footprint as
+ * the IVF centroid ranking: bounded by the knob, never by the data.
+ * Null fact keys may pass the probe (xxhash64 hashes null to its
+ * seed) and are then dropped by the exact equi-join, exactly as they
+ * would be without pruning.
+ */
+object BloomJoin {
+
+  /**
+   * The fact rows that MAY join (exact superset of the matching rows):
+   * `fact` filtered by a Bloom filter built over `dim`'s `dimKey`.
+   * Exposed separately so pipelines can prune once and reuse.
+   */
+  def pruneFact(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    GraftFunctions.register(fact.sparkSession)
+    val numBits = BloomKernels.optimalNumBits(expectedItems, fpp)
+    val numHashes = BloomKernels.optimalNumHashes(expectedItems, numBits)
+    // One small aggregate job over the dim side: partial filters are
+    // built map-side and OR-merged; the driver receives numBits/8 bytes.
+    val filter = dim
+      .agg(GraftFunctions.bloomBuild(xxhash64(col(dimKey)), numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(GraftFunctions.bloomMightContain(lit(filter), xxhash64(col(factKey))))
+  }
+
+  /**
+   * Bloom-pruned inner equi-join on `factKey = dimKey`; result is
+   * bit-identical to `fact.join(dim, fact(factKey) === dim(dimKey))`.
+   */
+  def prunedJoin(
+      fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val pruned = pruneFact(fact, factKey, dim, dimKey, expectedItems, fpp)
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+}
