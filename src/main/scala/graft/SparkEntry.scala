@@ -386,6 +386,21 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
+    // Top-k per group via the custom TypedImperativeAggregate — the
+    // map-side-partial alternative to a row_number window: the shuffle
+    // carries at most k (score, id) pairs per group per task instead of
+    // every row, and no per-group sort ever materializes. Oracle = the
+    // window formulation, proving the two are equivalent.
+    "events_topk_agg" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "events")
+        .groupBy("event_type")
+        .agg(GraftFunctions.topKByScore(col("value"), col("event_id"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("event_id"), round(col("col.score"), Scale).as("score"))
+        .orderBy("event_type", "rnk")
+    }),
     // Window ranking: top-3 longest docs per language.
     "top_docs_per_lang" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -949,6 +964,14 @@ object SparkEntry {
         |         unnest(quantile_cont(value, [0.5, 0.9, 0.99])) AS v
         |  FROM events GROUP BY event_type)
         |ORDER BY event_type, q""".stripMargin,
+    "events_topk_agg" ->
+      """SELECT event_type, rnk, event_id, score FROM (
+        |  SELECT event_type, event_id, round(value, 6) AS score,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
     // Exact shingle-Jaccard threshold join over ALL pairs — the shingling
     // mirrors TextHashKernels.shingleSet: non-empty space-split tokens,
     // distinct 3-grams joined by ' ', whole-doc fallback under 3 tokens.

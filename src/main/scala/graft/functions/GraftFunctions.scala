@@ -104,6 +104,13 @@ object GraftFunctions {
           lit(es(3), org.apache.spark.sql.types.LongType, "seed").asInstanceOf[Long])
       },
       "_FUNC_(vec, bitsPerTable, nTables, seed) - per-table random-hyperplane LSH bucket keys (array<bigint>)."),
+    ("topk_by_score",
+      (es: Seq[Expression]) => {
+        requireArity(es, 3, "topk_by_score")
+        TopKByScore(es(0), es(1), intLitArg(es(2), "topk_by_score k"))
+          .toAggregateExpression()
+      },
+      "_FUNC_(score, id, k) - per-group top-k (score DESC, id ASC) as array<struct<score,id>>."),
     ("bloom_build",
       (es: Seq[Expression]) => {
         requireArity(es, 3, "bloom_build")
@@ -191,6 +198,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(nTables),
       org.apache.spark.sql.functions.lit(seed))
   def vectorAvg(vec: Column): Column = call_function("vector_avg", vec)
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
   def bloomBuild(keyHash: Column, numBits: Long, numHashes: Int): Column =
     call_function("bloom_build", keyHash,
       org.apache.spark.sql.functions.lit(numBits),
