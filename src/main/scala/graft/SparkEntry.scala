@@ -666,6 +666,29 @@ object SparkEntry {
         .toDF()
         .orderBy("id", "window")
     }),
+    // REAL video decode + frame sampling (pure-Scala YUV4MPEG2/Y4M
+    // decoder): each document's first 96 bytes become the luma planes
+    // of a valid 4-frame 4x6 monochrome Y4M stream (header + FRAME
+    // markers built in-plan), the decoder walks header tags and frame
+    // boundaries, and every 2nd frame is kept with exact integer luma
+    // stats. The oracle recomputes sum/min/max from the same bytes —
+    // header parsing, frame segmentation, and sampling all
+    // driver-verified. (Chroma-plane skipping for 4:2:0/4:2:2/4:4:4 is
+    // pinned in MultimodalSpec; compressed codecs remain the stub.)
+    "multimodal_video_frames" -> ((s, d) => {
+      val frames = (0 until 4).map(f =>
+        concat(lit("FRAME\n").cast("binary"),
+          substring(col("text"), f * 24 + 1, 24).cast("binary")))
+      val payloads = table(s, d, "documents")
+        .filter(length(col("text")) >= 96)
+        .select(col("doc_id"),
+          concat(lit("YUV4MPEG2 W4 H6 F25:1 Cmono\n").cast("binary") +: frames: _*)
+            .as("payload"))
+      graft.multimodal.Multimodal.sampleVideoFrames(payloads, "doc_id", "payload",
+        everyNth = 2)
+        .toDF()
+        .orderBy("id", "frame_idx")
+    }),
     // Byte-payload dedup via content-defined chunking (rows-only: the
     // Gear/FNV fingerprints are engine-defined; CDC properties are
     // pinned in ScalaTest).
@@ -1295,6 +1318,21 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS zero_crossings
         |FROM samples GROUP BY id, "window"
         |ORDER BY id, "window"""".stripMargin,
+    "multimodal_video_frames" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 96) AS px
+        |  FROM documents WHERE length(text) >= 96),
+        |frames AS (
+        |  SELECT id, f,
+        |         list_transform(generate_series(1, 24),
+        |           i -> ascii(substr(px, CAST(f * 24 + i AS INT), 1))) AS bytes
+        |  FROM docs, unnest([0, 2]) t(f))
+        |SELECT id, CAST(f AS INT) AS frame_idx,
+        |       CAST(4 AS INT) AS width, CAST(6 AS INT) AS height,
+        |       CAST(list_sum(bytes) AS BIGINT) AS luma_sum,
+        |       CAST(list_min(bytes) AS INT) AS luma_min,
+        |       CAST(list_max(bytes) AS INT) AS luma_max
+        |FROM frames ORDER BY id, frame_idx""".stripMargin,
     "events_windowed" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |       count(*) AS n_events,

@@ -249,6 +249,122 @@ object Multimodal {
       }
   }
 
+  /** A decoded uncompressed video: per-frame luma planes (0–255). */
+  final case class Y4mVideo(width: Int, height: Int, frames: Array[Array[Int]])
+
+  /**
+   * Pure-Scala YUV4MPEG2 (`.y4m`) decoder — the public uncompressed
+   * video interchange format (mjpegtools spec): ASCII stream header
+   * `YUV4MPEG2` followed by space-separated parameter tags to EOL
+   * (`W<int>` width, `H<int>` height, `C<space>` colorspace, `F`/`I`/
+   * `A` and unknown `X` tags skipped), then per frame a `FRAME` marker
+   * line (with optional parameters) and raw planar pixel data. The
+   * luma plane (w×h bytes) is kept; chroma planes (mono: none,
+   * 4:2:0: w/2·h/2 ×2, 4:2:2: w/2·h ×2, 4:4:4: w·h ×2) are sized
+   * correctly and skipped — frame boundaries stay exact. Returns None
+   * on malformed magic/header/marker or truncated planes — never
+   * throws. Compressed codecs (H.264 etc.) remain the documented stub.
+   */
+  def decodeY4m(payload: Array[Byte]): Option[Y4mVideo] = {
+    val Magic = "YUV4MPEG2"
+    if (payload == null || payload.length < Magic.length) return None
+    if (new String(payload, 0, Magic.length,
+        java.nio.charset.StandardCharsets.US_ASCII) != Magic) return None
+    var pos = Magic.length
+    var w = -1
+    var h = -1
+    var chroma = "420jpeg" // spec default when no C tag is present
+    // header params: space-separated tags until EOL
+    var ok = true
+    while (ok && pos < payload.length && payload(pos) != '\n') {
+      if (payload(pos) == ' ') pos += 1
+      else {
+        val start = pos
+        while (pos < payload.length && payload(pos) != ' ' && payload(pos) != '\n') pos += 1
+        val tagStr = new String(payload, start, pos - start,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        def intVal: Option[Int] =
+          try { Some(tagStr.substring(1).toInt) } catch { case _: NumberFormatException => None }
+        tagStr.charAt(0) match {
+          case 'W' => intVal match { case Some(v) if v > 0 => w = v; case _ => ok = false }
+          case 'H' => intVal match { case Some(v) if v > 0 => h = v; case _ => ok = false }
+          case 'C' => chroma = tagStr.substring(1)
+          case _   => // F (rate), I (interlace), A (aspect), X (extension): skipped
+        }
+      }
+    }
+    if (!ok || w < 0 || h < 0 || pos >= payload.length) return None
+    pos += 1 // consume header EOL
+    val lumaLen = w * h
+    val chromaLen: Int = chroma match {
+      case "mono" => 0
+      case c if c.startsWith("420") => (w / 2) * (h / 2) * 2
+      case c if c.startsWith("422") => (w / 2) * h * 2
+      case c if c.startsWith("444") => w * h * 2
+      case _ => return None
+    }
+    val Frame = "FRAME"
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    while (pos < payload.length) {
+      // FRAME marker line, optionally with parameters before EOL
+      if (pos + Frame.length > payload.length ||
+        new String(payload, pos, Frame.length,
+          java.nio.charset.StandardCharsets.US_ASCII) != Frame) return None
+      pos += Frame.length
+      while (pos < payload.length && payload(pos) != '\n') pos += 1
+      if (pos >= payload.length) return None
+      pos += 1
+      if (pos + lumaLen + chromaLen > payload.length) return None
+      val luma = new Array[Int](lumaLen)
+      var i = 0
+      while (i < lumaLen) { luma(i) = payload(pos + i) & 0xff; i += 1 }
+      frames += luma
+      pos += lumaLen + chromaLen
+    }
+    if (frames.isEmpty) None else Some(Y4mVideo(w, h, frames.toArray))
+  }
+
+  /** One sampled-video-frame feature row: exact integer luma stats. */
+  final case class VideoFrameRow(
+      id: Long, frame_idx: Int, width: Int, height: Int,
+      luma_sum: Long, luma_min: Int, luma_max: Int)
+
+  /**
+   * REAL video frame sampling over Y4M payloads: decode → keep every
+   * `everyNth` frame (the keyframe-sampling shape of a video training
+   * pipeline) → exact integer luma statistics per kept frame. One
+   * input row fans out to its sampled frames inside the partition —
+   * no shuffle, no driver involvement; non-Y4M payloads are dropped.
+   */
+  def sampleVideoFrames(
+      df: DataFrame, idCol: String, payloadCol: String,
+      everyNth: Int): Dataset[VideoFrameRow] = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        decodeY4m(payload).iterator.flatMap { video =>
+          Iterator.range(0, video.frames.length, everyNth).map { f =>
+            val luma = video.frames(f)
+            var sum = 0L
+            var min = 255
+            var max = 0
+            var i = 0
+            while (i < luma.length) {
+              val v = luma(i)
+              sum += v
+              if (v < min) min = v
+              if (v > max) max = v
+              i += 1
+            }
+            VideoFrameRow(id, f, video.width, video.height, sum, min, max)
+          }
+        }
+      }
+  }
+
   /** One extracted-feature row. */
   final case class FeatureRow(id: Long, n_bytes: Long, features: Array[Float])
 

@@ -157,4 +157,71 @@ class MultimodalSpec extends SparkFunSuite {
       Seq((0, 2L, 1L), (1, 8L, 1L)))
     assert(got.forall(r => r.sample_rate == 8000 && r.n_samples == 4L))
   }
+
+  private def y4m(header: String, frames: Seq[Array[Byte]],
+      frameParams: String = ""): Array[Byte] =
+    (header.getBytes("US-ASCII").toSeq ++
+      frames.flatMap(f => s"FRAME$frameParams\n".getBytes("US-ASCII").toSeq ++ f.toSeq)).toArray
+
+  test("Y4M decode: mono frames round-trip, header tags in any order") {
+    val f0 = Array.tabulate(6)(i => i.toByte)
+    val f1 = Array.tabulate(6)(i => (100 + i).toByte)
+    val v = Multimodal.decodeY4m(
+      y4m("YUV4MPEG2 F25:1 H2 Cmono W3 Ip A1:1\n", Seq(f0, f1))).get
+    assert(v.width === 3 && v.height === 2)
+    assert(v.frames.length === 2)
+    assert(v.frames(0).toSeq === (0 until 6))
+    assert(v.frames(1).toSeq === (100 until 106))
+  }
+
+  test("Y4M decode: 4:2:0 chroma planes are skipped, frame boundaries stay exact") {
+    // 2x2 C420: luma 4 bytes + chroma 2x(1x1) = 2 bytes per frame
+    val frame0 = Array[Byte](1, 2, 3, 4, 99, 99)
+    val frame1 = Array[Byte](5, 6, 7, 8, 77, 77)
+    val v = Multimodal.decodeY4m(
+      y4m("YUV4MPEG2 W2 H2 C420jpeg\n", Seq(frame0, frame1))).get
+    assert(v.frames.length === 2)
+    assert(v.frames(0).toSeq === Seq(1, 2, 3, 4)) // chroma bytes excluded
+    assert(v.frames(1).toSeq === Seq(5, 6, 7, 8))
+    // no C tag -> spec default 420
+    val dflt = Multimodal.decodeY4m(y4m("YUV4MPEG2 W2 H2\n", Seq(frame0))).get
+    assert(dflt.frames(0).toSeq === Seq(1, 2, 3, 4))
+  }
+
+  test("Y4M decode: FRAME parameter lines are tolerated") {
+    val v = Multimodal.decodeY4m(
+      y4m("YUV4MPEG2 W2 H1 Cmono\n", Seq(Array[Byte](9, 8)), frameParams = " Xtag")).get
+    assert(v.frames(0).toSeq === Seq(9, 8))
+  }
+
+  test("Y4M decode: malformed inputs return None, never throw") {
+    assert(Multimodal.decodeY4m(null).isEmpty)
+    assert(Multimodal.decodeY4m("JUNK".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m("YUV4MPEG2 W2 H2 Cmono\n".getBytes).isEmpty) // no frames
+    assert(Multimodal.decodeY4m( // truncated luma plane
+      y4m("YUV4MPEG2 W4 H4 Cmono\n", Seq(Array[Byte](1, 2, 3)))).isEmpty)
+    assert(Multimodal.decodeY4m( // unsupported colorspace
+      y4m("YUV4MPEG2 W1 H1 C999 \n", Seq(Array[Byte](1)))).isEmpty)
+    assert(Multimodal.decodeY4m( // garbage where FRAME marker must be
+      ("YUV4MPEG2 W1 H1 Cmono\nNOPE\nx").getBytes("US-ASCII")).isEmpty)
+    val r = new java.util.Random(13)
+    (1 to 500).foreach { _ =>
+      val b = new Array[Byte](r.nextInt(128)); r.nextBytes(b)
+      Multimodal.decodeY4m(b) // total
+    }
+  }
+
+  test("sampleVideoFrames: every-Nth sampling with exact luma stats") {
+    import spark.implicits._
+    val frames = Seq(
+      Array[Byte](10, 20), Array[Byte](30, 40), Array[Byte](50, 60), Array[Byte](70, 80))
+    val rows = Seq(
+      (1L, y4m("YUV4MPEG2 W2 H1 Cmono\n", frames)),
+      (2L, "notvideo".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.sampleVideoFrames(rows, "doc_id", "payload", everyNth = 2)
+      .collect().sortBy(r => (r.id, r.frame_idx))
+    assert(got.map(r => (r.id, r.frame_idx, r.luma_sum, r.luma_min, r.luma_max)).toSeq ===
+      Seq((1L, 0, 30L, 10, 20), (1L, 2, 110L, 50, 60))) // frames 1,3 skipped; bad row dropped
+    assert(got.forall(r => r.width == 2 && r.height == 1))
+  }
 }
