@@ -306,6 +306,18 @@ object SparkEntry {
       SimilarityJoin.lshCosinePairsBanded(table(s, d, "embeddings"), "vec_id",
         "embedding", bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale)
         .orderBy("a_id", "b_id")),
+    // SemDeDup-style semantic dedup over EMBEDDINGS: LSH-bucketed
+    // cosine pairs (recall 1 at these measured parameters, so the pair
+    // graph is exactly the threshold join) → connected components →
+    // per-row keep verdict. Every corpus row is labeled with its
+    // cluster representative; singletons keep themselves.
+    "dedup_semantic" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Dedup.semanticKeepVerdict(emb, "vec_id",
+        SimilarityJoin.lshCosinePairsBanded(emb, "vec_id", "embedding",
+          bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale))
+        .orderBy("id")
+    }),
     // Incremental dedup: the continuous-ingestion shape — new batch
     // (doc_id >= 250) anti-joined against the historical fingerprint
     // set (doc_id < 250); only genuinely new content survives.
@@ -1085,6 +1097,34 @@ object SparkEntry {
         |  FROM base a JOIN base b ON a.id < b.id)
         |WHERE cos_sim >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // Exact cosine threshold join (= the LSH pair graph at recall 1)
+    // → recursive-CTE transitive closure → per-row keep verdict over
+    // the whole embeddings corpus, singletons included.
+    "dedup_semantic" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.id AS a_id, b.id AS b_id,
+        |           round(list_inner_product(a.v, b.v) /
+        |                 (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+        |             AS cos_sim
+        |    FROM base a JOIN base b ON a.id < b.id)
+        |  WHERE cos_sim >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u)
+        |SELECT b.id, coalesce(c.component, b.id) AS kept_id,
+        |       coalesce(c.component, b.id) = b.id AS is_kept
+        |FROM base b LEFT JOIN comp c ON b.id = c.id
+        |ORDER BY b.id""".stripMargin,
     // Full SQL reimplementation of Gear content-defined chunking: the
     // 256-entry Gear table (SplitMix64 of the byte value), the byte-wise
     // rolling hash h = (h<<1 + gear[b]) mod 2^64 (never reset — the

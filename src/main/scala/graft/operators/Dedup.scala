@@ -209,6 +209,27 @@ object Dedup {
       .join(seen.select(seenKey.as("__graft_fp")), Seq("__graft_fp"), "left_anti")
       .drop("__graft_fp")
 
+  /**
+   * SemDeDup-style per-row dedup verdict from a near-dup pair graph:
+   * transitive closure of `pairs` (connected components), then every
+   * row of the corpus is labeled with its cluster representative
+   * (minimum reachable id; singletons represent themselves) and
+   * whether it is the kept copy. Composes with ANY pair source —
+   * embedding-cosine LSH for semantic dedup, MinHash for lexical.
+   * Scale shape = the pair source's (bucketed equality joins) plus
+   * O(cluster-diameter) label-propagation rounds, plus one left join
+   * of the slim (id, component) relation back onto the corpus.
+   */
+  def semanticKeepVerdict(rows: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val comps = ConnectedComponents.components(pairs, aCol, bCol)
+    rows.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("kept_id"),
+        (coalesce(col("component"), col("id")) === col("id")).as("is_kept"))
+  }
+
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"), GraftFunctions.simhash64(col(textCol)).as("sh"))

@@ -154,4 +154,16 @@ class DedupSpec extends SparkFunSuite {
     assert((stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3)) ===
       ((4L, 3L, 2L, 1L)))
   }
+
+  test("semanticKeepVerdict: chains collapse to one kept copy, singletons keep themselves") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    // pair graph: 1~2, 2~3 (a chain — 1 and 3 are NOT directly paired), 4~5
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Dedup.semanticKeepVerdict(corpus, "vec_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), // transitive: 3 dedups to 1
+      (4L, 4L, true), (5L, 4L, false)))
+  }
 }
