@@ -330,6 +330,25 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+    // Deterministic train/val/test assignment by md5(id) — reproducible
+    // across reruns/engines/partitionings, incremental (new rows land
+    // in the same split forever), scan-local. Every row's assignment is
+    // driver-verified (the oracle recomputes the md5 bucket in DuckDB).
+    "dataset_split" -> ((s, d) =>
+      DatasetSplit.assignSplits(table(s, d, "documents"), "doc_id")
+        .select("doc_id", "lang", "bucket", "split")
+        .orderBy("doc_id")),
+    // L2 normalization to unit length (the ingest half of the cosine
+    // fast path: over a unit-norm store, inner product ≡ cosine).
+    "vector_normalize" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          posexplode(GraftFunctions.vectorNormalize(col("embedding"))))
+        .select(col("id"), col("pos").cast("long").as("idx"),
+          round(col("col"), Scale).as("v_norm"))
+        .orderBy("id", "idx")
+    }),
     // Embedding int8 quantization (4x storage/scan compression with
     // bounded error; floor(x+0.5) levels for cross-engine determinism).
     "vector_quantize" -> ((s, d) =>
@@ -954,6 +973,31 @@ object SparkEntry {
         |  SELECT 1 FROM documents o
         |  WHERE o.doc_id < 250 AND md5(lower(o.text)) = md5(lower(b.text)))
         |ORDER BY b.doc_id""".stripMargin,
+    // md5-bucket split recomputed hex-nibble by hex-nibble (strpos
+    // into the hex alphabet), so the whole assignment function — hash,
+    // bucket, cut points — is externally verified per row.
+    "dataset_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |         CAST(list_sum(list_transform(generate_series(1, 4),
+        |           i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1)
+        |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) AS bucket
+        |  FROM h)
+        |SELECT doc_id, lang, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "vector_normalize" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (
+        |  SELECT id, v, sqrt(list_inner_product(v, v)) AS nrm FROM base)
+        |SELECT id, CAST(i - 1 AS BIGINT) AS idx, round(v[i] / nrm, 6) AS v_norm
+        |FROM n, unnest(generate_series(1, len(v))) t(i)
+        |ORDER BY id, idx""".stripMargin,
     "vector_quantize" ->
       """SELECT vec_id AS id, CAST(g - 1 AS BIGINT) AS idx,
         |       CAST(CASE WHEN mx = mn THEN 0

@@ -104,6 +104,9 @@ object GraftFunctions {
           lit(es(3), org.apache.spark.sql.types.LongType, "seed").asInstanceOf[Long])
       },
       "_FUNC_(vec, bitsPerTable, nTables, seed) - per-table random-hyperplane LSH bucket keys (array<bigint>)."),
+    ("vector_normalize",
+      (es: Seq[Expression]) => { requireArity(es, 1, "vector_normalize"); VectorNormalizeExpr(es(0)) },
+      "_FUNC_(vec) - L2-normalize a float vector to unit length (array<double>); null on zero norm."),
     ("topk_by_score",
       (es: Seq[Expression]) => {
         requireArity(es, 3, "topk_by_score")
@@ -198,6 +201,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(nTables),
       org.apache.spark.sql.functions.lit(seed))
   def vectorAvg(vec: Column): Column = call_function("vector_avg", vec)
+  def vectorNormalize(vec: Column): Column = call_function("vector_normalize", vec)
   def topKByScore(score: Column, id: Column, k: Int): Column =
     call_function("topk_by_score", score, id, org.apache.spark.sql.functions.lit(k))
   def bloomBuild(keyHash: Column, numBits: Long, numHashes: Int): Column =

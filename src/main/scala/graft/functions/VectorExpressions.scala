@@ -333,3 +333,49 @@ case class FromBinaryVector(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `vector_normalize(vec) -> array<double>` — L2-normalize to unit
+ * length (double precision, sequential accumulation). Accepts
+ * `array<float>` or the packed binary wire format. NULL on empty,
+ * null-element, zero-norm, or malformed input.
+ *
+ * The ingest-side half of the cosine fast path: over a unit-norm
+ * store, `knn_inner_product_similarity` ≡ `knn_cosine_similarity`,
+ * removing both norm loops from every scanned row.
+ */
+case class VectorNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_normalize requires array<float> or binary (packed float32), got ${other.sql}")
+  }
+
+  private def isBinary: Boolean = child.dataType == BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr =
+      if (isBinary) VectorKernels.decodeFloatVector(v.asInstanceOf[Array[Byte]])
+      else v.asInstanceOf[ArrayData]
+    VectorKernels.normalizeVector(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("normalized")
+      val arrayCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val input =
+        if (isBinary) s"graft.functions.VectorKernels.decodeFloatVector($c)" else c
+      s"""
+         |$arrayCls $res = graft.functions.VectorKernels.normalizeVector($input);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "vector_normalize"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

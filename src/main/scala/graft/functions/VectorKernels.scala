@@ -275,4 +275,30 @@ object VectorKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** L2-normalize a float vector to unit length, in double precision
+    * (sequential accumulation — deterministic under any partitioning).
+    * Null on empty input, a null element, or zero/non-finite norm.
+    * Normalize-at-ingest is the cosine fast path: over a unit-norm
+    * store, inner product ≡ cosine similarity, so scans skip the two
+    * norm loops per row. */
+  def normalizeVector(v: ArrayData): ArrayData = {
+    if (v == null) return null
+    val n = v.numElements()
+    if (n == 0) return null
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getFloat(i).toDouble
+      sumSq += x * x
+      i += 1
+    }
+    val norm = math.sqrt(sumSq)
+    if (norm == 0.0 || java.lang.Double.isNaN(norm) || java.lang.Double.isInfinite(norm)) return null
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getFloat(i).toDouble / norm; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic dataset splitting for training pipelines: every row is
+ * assigned to train/val/test by hashing its ID — not by `rand()`.
+ *
+ * Why hash, not random, at 100 TB:
+ *  - reproducible: the split is a pure function of the id, stable
+ *    across reruns, engines, partitionings, and data order — the val
+ *    set never bleeds into train when the pipeline is re-executed;
+ *  - incremental: newly ingested rows land in the same split forever
+ *    without consulting any saved assignment table;
+ *  - scan-local: one codegen'd projection per row, no shuffle, no
+ *    state, no driver involvement.
+ *
+ * The bucket is the first 4 hex digits of md5(id) mod 100 — md5 is
+ * available in every engine, so the assignment is externally
+ * recomputable (the driver oracle recomputes it in DuckDB).
+ */
+object DatasetSplit {
+
+  /** 0–99 bucket from the row id (any type; cast to its canonical
+    * string form first so engines agree on the hashed bytes). */
+  def bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100
+
+  /**
+   * Adds `bucket` and `split` columns. Percentages are cut points:
+   * bucket < trainPct → train; < trainPct + valPct → val; else test.
+   */
+  def assignSplits(
+      df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val b = bucket(col(idCol))
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+}

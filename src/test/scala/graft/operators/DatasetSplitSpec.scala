@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class DatasetSplitSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def md5Bucket(id: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 4), 16) % 100
+  }
+
+  test("bucket matches an independent md5 computation per row") {
+    val got = DatasetSplit.assignSplits((0L until 50L).toDF("id"), "id")
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    (0L until 50L).foreach { id =>
+      assert(got(id) === md5Bucket(id.toString), s"id=$id")
+    }
+  }
+
+  test("assignment is a pure function of the id: stable across partitionings and order") {
+    val ids = (0L until 300L).toDF("id")
+    val a = DatasetSplit.assignSplits(ids.repartition(1), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = DatasetSplit.assignSplits(ids.orderBy(rand(7)).repartition(13), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+  }
+
+  test("split proportions track the cut points on a large id range") {
+    val n = 20000L
+    val counts = DatasetSplit.assignSplits(spark.range(n).toDF("id"), "id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === n)
+    // md5 buckets are uniform; allow ±3 percentage points
+    assert(math.abs(counts("train").toDouble / n - 0.80) < 0.03)
+    assert(math.abs(counts("val").toDouble / n - 0.10) < 0.03)
+    assert(math.abs(counts("test").toDouble / n - 0.10) < 0.03)
+  }
+
+  test("vector_normalize yields unit norm; zero/empty/malformed go null") {
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Array(3f, 4f)),
+      (2L, Array(0f, 0f)),
+      (3L, Array.empty[Float])).toDF("id", "v")
+    val out = rows.select(col("id"), GraftFunctions.vectorNormalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+    val n1 = out(1L).get.asInstanceOf[scala.collection.Seq[Double]]
+    assert(n1.toSeq === Seq(0.6, 0.8))
+    // binary wire-format input takes the same path
+    val viaBinary = rows.filter(col("id") === 1L)
+      .select(GraftFunctions.vectorNormalize(
+        GraftFunctions.toBinaryVector(col("v"))).as("n"))
+      .head.getSeq[Double](0)
+    assert(viaBinary === Seq(0.6, 0.8))
+  }
+
+  test("unit-norm store makes inner product equal cosine (the scan fast path)") {
+    GraftFunctions.register(spark)
+    val rows = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(-4f, 0f, 2f)))
+      .toDF("id", "v")
+      .withColumn("nv", GraftFunctions.vectorNormalize(col("v")).cast("array<float>"))
+    val q = Array(0.5f, -1f, 2f)
+    val both = rows.select(
+      round(GraftFunctions.knnCosineSimilarity(col("v"), typedlit(q)), 6).as("cos"),
+      round(GraftFunctions.knnInnerProductSimilarity(col("nv"),
+        GraftFunctions.vectorNormalize(typedlit(q)).cast("array<float>")), 6).as("ip"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 2e-6,
+        s"cos=${r.getDouble(0)} ip=${r.getDouble(1)}")
+    }
+  }
+}
