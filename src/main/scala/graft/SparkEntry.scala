@@ -417,6 +417,13 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
+    // Zipf-frequency document quality: mean log10 corpus frequency of
+    // each doc's tokens (rare-token-heavy docs — OCR noise, gibberish —
+    // score low). Per-token logs rounded then summed in DECIMAL, so the
+    // score is partition-order independent.
+    "doc_logfreq" -> ((s, d) =>
+      TextAnalysis.tokenLogFreqScore(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // Top-k per group via the custom TypedImperativeAggregate — the
     // map-side-partial alternative to a row_number window: the shuffle
     // carries at most k (score, id) pairs per group per task instead of
@@ -1220,6 +1227,15 @@ object SparkEntry {
          |SELECT ${toSignedSql("fpu")} AS chunk,
          |       count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_id
          |FROM chunks GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk""".stripMargin,
+    "doc_logfreq" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, count(*) AS tf FROM terms GROUP BY term)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(CAST(sum(CAST(round(log10(tf), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |             / count(*), 6) AS logfreq_score
+        |FROM terms JOIN freq USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -163,6 +163,34 @@ object TextAnalysis {
       round(passed.cast("double") / checks.length, 6).as("quality"))
   }
 
+  /**
+   * Frequency-based document scoring: the mean log10 corpus frequency
+   * of a document's tokens. Documents dominated by corpus-rare tokens
+   * (OCR noise, gibberish, foreign-script leakage) score low; common
+   * fluent text scores high — the standard Zipf-frequency quality
+   * signal next to [[qualityScore]]'s rule checks.
+   *
+   * Shape at scale: explode → one hash aggregate for corpus-wide term
+   * counts (vocabulary-sized — the broadcast side) → equality join →
+   * one per-doc aggregate. Determinism: each token's log10(tf) is
+   * rounded to `scale` decimals, then summed EXACTLY in DECIMAL, so
+   * partition/merge order cannot perturb the score; one final double
+   * division + round.
+   */
+  def tokenLogFreqScore(
+      docs: DataFrame, idCol: String, textCol: String, scale: Int = 6): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+    terms.join(broadcast(freq), "term")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(round(log10(col("tf")), scale).cast("decimal(28,6)")).as("__logsum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__logsum").cast("double") / col("n_tokens"), scale)
+          .as("logfreq_score"))
+  }
+
   /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
     * dedup key. MD5 is standard across engines, so it doubles as a
     * cross-engine-verifiable fingerprint. */

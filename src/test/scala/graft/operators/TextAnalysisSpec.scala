@@ -109,4 +109,33 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(r.getAs[Long]("checks_passed") === 1L) // only mean_word_len in [3,10]
     assert(r.getAs[Double]("quality") === 0.25)
   }
+
+  test("tokenLogFreqScore: common-token docs outscore rare-token docs, hand-computed") {
+    import spark.implicits._
+    // corpus frequencies: "the"=3, "cat"=2, "zyx"=1, "sat"=1
+    val docs = Seq(
+      (1L, "the cat sat"),   // freqs 3,2,1
+      (2L, "the the cat"),   // freqs 3,3,2
+      (3L, "zyx")).toDF("doc_id", "text") // freq 1
+    val got = TextAnalysis.tokenLogFreqScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def l10(x: Double) = math.rint(math.log10(x) * 1e6) / 1e6
+    def avg6(xs: Seq[Double]) = math.rint(xs.sum / xs.length * 1e6) / 1e6
+    assert(got(1L) === ((3L, avg6(Seq(l10(3), l10(2), l10(1))))))
+    assert(got(2L) === ((3L, avg6(Seq(l10(3), l10(3), l10(2))))))
+    assert(got(3L) === ((1L, 0.0)))
+    assert(got(2L)._2 > got(1L)._2 && got(1L)._2 > got(3L)._2) // fluent > mixed > gibberish
+  }
+
+  test("tokenLogFreqScore is partition-order independent (DECIMAL accumulation)") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 5} filler common common"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.tokenLogFreqScore(docs.repartition(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val b = TextAnalysis.tokenLogFreqScore(docs.orderBy(rand(3)).repartition(11), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(a === b)
+  }
 }
