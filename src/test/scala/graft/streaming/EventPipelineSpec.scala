@@ -75,6 +75,30 @@ class EventPipelineSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("topk_by_score works under streaming aggregation (update mode, merges across batches)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[Ev]
+    val q = input.toDF()
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.topKByScore(col("value"), col("event_id"), 2).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), col("pos"), col("col.id").as("event_id"))
+      .writeStream.format("memory").queryName("ev_topk")
+      .outputMode("complete").start()
+    try {
+      input.addData(toyEvents.take(3))
+      q.processAllAvailable()
+      input.addData(Ev(9, t(3), 7, "view", 3.0, "{}")) // displaces view event 2 (1.5)
+      q.processAllAvailable()
+      val got = spark.table("ev_topk")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      // click: only event 3; view: top-2 of values (1.5, 2.5, 3.0) → events 9, 2
+      assert(got === Seq(("click", 0, 3L), ("view", 0, 9L), ("view", 1, 2L)))
+    } finally q.stop()
+  }
+
   test("custom keyed state: running per-user totals across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
