@@ -46,6 +46,31 @@ class ConnectedComponentsSpec extends SparkFunSuite {
       10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
   }
 
+  test("alternating-star variant agrees with min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val viaProp = compMap(edges)
+      val viaStar = ConnectedComponents.componentsAlternating(
+          edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(viaStar === viaProp)
+    }
+  }
+
+  test("alternating-star flattens a long path in few rounds (the polylog contract)") {
+    // 60-node path: diameter 59. Star rounds flatten geometrically —
+    // the maxIters=12 bound would be impossibly tight for per-hop
+    // propagation but is ample for the alternating algorithm.
+    val edges = (0L until 59L).map(i => (i, i + 1))
+    val m = ConnectedComponents.componentsAlternating(
+        edges.toDF("a", "b"), "a", "b", maxIters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(m === (0L to 59L).map(_ -> 0L).toMap)
+  }
+
   test("labels are independent of input partitioning") {
     val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L), (2L, 11L))
     val one = compMap(edges)
