@@ -338,6 +338,27 @@ object SparkEntry {
       DatasetSplit.assignSplits(table(s, d, "documents"), "doc_id")
         .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")),
+    // Stratified deterministic sampling — the data-mixture knob: keep
+    // 100%/50%/25%/10% of four sources by md5 id-bucket; unlisted
+    // sources drop. Reproducible, incremental, scan-local.
+    "stratified_sample" -> ((s, d) =>
+      DatasetSplit.stratifiedSample(table(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10))
+        .select(col("doc_id"), col("source"),
+          DatasetSplit.bucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")),
+    // Sequence packing (pretraining data prep): concatenate each
+    // source-shard's docs in doc_id order and cut at 256-token context
+    // windows; every doc gets its stream offset and pack assignment.
+    // One window running-sum per shard — deterministic, so the oracle
+    // recomputes the identical layout.
+    "pack_sequences" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      SequencePacking.packSequences(docs, "source", "doc_id", "n_tokens", ctxLen = 256)
+        .orderBy("doc_id")
+    }),
     // L2 normalization to unit length (the ingest half of the cosine
     // fast path: over a unit-norm store, inner product ≡ cosine).
     "vector_normalize" -> ((s, d) => {
@@ -997,6 +1018,34 @@ object SparkEntry {
         |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CAST(list_sum(list_transform(generate_series(1, 4),
+        |           i -> (strpos('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket
+        |FROM b JOIN (VALUES ('src0', 100), ('src1', 50), ('src2', 25), ('src3', 10))
+        |            r(source, pct) USING (source)
+        |WHERE bucket < pct
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - n_tokens AS BIGINT) AS stream_offset
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, stream_offset,
+        |       CAST(stream_offset // 256 AS BIGINT) AS pack_id,
+        |       CAST(stream_offset % 256 AS BIGINT) AS pack_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
     "vector_normalize" ->
       """WITH base AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -44,4 +44,30 @@ object DatasetSplit {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /**
+   * Stratified deterministic sampling — the data-mixture knob of a
+   * training pipeline (keep 100% of a high-quality source, 10% of a
+   * crawl): a row survives iff its id-bucket falls under its stratum's
+   * percentage. Same md5 determinism as [[assignSplits]]: the sample
+   * is reproducible, incremental, and scan-local; rates ride a
+   * broadcast join against the (tiny) rates relation, so changing the
+   * mixture never rewrites data.
+   *
+   * Strata missing from `rates` default to 0% (dropped) — mixtures
+   * must be explicit.
+   */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 100),
+      s"rates must be 0..100 percents: $rates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(stratumCol, "__graft_keep_pct")
+    df.join(broadcast(ratesDf), Seq(stratumCol), "left")
+      .filter(bucket(col(idCol)) <
+        coalesce(col("__graft_keep_pct"), lit(0)))
+      .drop("__graft_keep_pct")
+  }
 }

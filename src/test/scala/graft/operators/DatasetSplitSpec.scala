@@ -61,6 +61,48 @@ class DatasetSplitSpec extends SparkFunSuite {
     assert(viaBinary === Seq(0.6, 0.8))
   }
 
+  test("stratifiedSample: rate 100 keeps all, 0/unlisted drop all, partial rates subset") {
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val kept = DatasetSplit.stratifiedSample(df, "id", "src",
+        Map("src0" -> 100, "src1" -> 40, "src2" -> 0))
+      .select("id", "src").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") === 100) // every src0 row survives
+    assert(!bySrc.contains("src2") && !bySrc.contains("src3")) // 0% and unlisted drop
+    assert(bySrc("src1") > 20 && bySrc("src1") < 60) // ~40% of 100
+    // survivors are exactly the rows whose bucket clears the rate
+    kept.filter(_._2 == "src1").foreach { case (id, _) =>
+      assert(md5Bucket(id.toString) < 40)
+    }
+  }
+
+  test("packSequences: hand-computed offsets, pack cuts, per-shard streams") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 10L),
+      (5L, "b", 300L), (6L, "b", 1L))
+      .toDF("id", "shard", "n")
+    val got = SequencePacking.packSequences(docs, "shard", "id", "n", ctxLen = 256)
+      .select("id", "stream_offset", "pack_id", "pack_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 0L),     // shard a stream: 0, 100, 200, 300
+      (2L, 100L, 0L, 100L),
+      (3L, 200L, 0L, 200L),
+      (4L, 300L, 1L, 44L),  // crosses into the second 256-window
+      (5L, 0L, 0L, 0L),     // shard b restarts its own stream
+      (6L, 300L, 1L, 44L)))
+  }
+
+  test("packSequences is invariant to input partitioning and row order") {
+    val docs = (0L until 200L).map(i => (i, s"s${i % 3}", (i % 37) + 1)).toDF("id", "shard", "n")
+    val a = SequencePacking.packSequences(docs.repartition(1), "shard", "id", "n", 64)
+      .select("id", "pack_id", "pack_offset").as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = SequencePacking.packSequences(
+        docs.orderBy(rand(5)).repartition(9), "shard", "id", "n", 64)
+      .select("id", "pack_id", "pack_offset").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("unit-norm store makes inner product equal cosine (the scan fast path)") {
     GraftFunctions.register(spark)
     val rows = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(-4f, 0f, 2f)))
