@@ -55,6 +55,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfEmbCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
+  private val ivfAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   /** Bucketed catalog tables per sf dir — the bucketed layout is a
     * one-time write (like the IVF store), not part of each query. */
   private val bucketedCache =
@@ -170,6 +172,27 @@ object SparkEntry {
         val (a, m) = IvfIndex.build(store, "embedding", numClusters = 8)
         val p = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
         IvfIndex.writePartitioned(a, p)
+        (p, m)
+      })
+      IvfIndex.search(s.read.parquet(path), model, cfg, queryVec(s, d),
+        k = 12, searchTopSize = 8, scoreScale = Some(Scale))
+    }),
+    // Incremental index maintenance: store built (and written
+    // partitioned) from vec_id < 400 only; the vec_id >= 400 batch is
+    // assigned to the FROZEN centroids by the codegen'd m=1 pq_encode
+    // kernel and APPENDED to the partition layout — no rebuild, no
+    // rewrite. Full-breadth search over the merged store must equal
+    // brute force over the whole corpus, which is the oracle.
+    "ann_ivf_append" -> ((s, d) => {
+      val (path, model) = ivfAppendCache.computeIfAbsent(d, dir => {
+        val store = table(s, dir, "embeddings")
+          .join(table(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        val (a, m) = IvfIndex.build(store.filter(col("vec_id") < 400),
+          "embedding", numClusters = 8)
+        val p = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+        IvfIndex.writePartitioned(a, p)
+        IvfIndex.appendPartitioned(
+          IvfIndex.assignBatch(store.filter(col("vec_id") >= 400), "embedding", m), p)
         (p, m)
       })
       IvfIndex.search(s.read.parquet(path), model, cfg, queryVec(s, d),
@@ -825,6 +848,7 @@ object SparkEntry {
     "blob_source_topk" -> knnOracle(CosExpr, desc = true, k = 5),
     "ann_ivf_topk" -> knnOracle(CosExpr, desc = true, k = 10),
     "ann_ivf_disk" -> knnOracle(CosExpr, desc = true, k = 12),
+    "ann_ivf_append" -> knnOracle(CosExpr, desc = true, k = 12),
     "ann_tree_topk" -> knnOracle(CosExpr, desc = true, k = 9),
     "sql_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 5),
     "sql_ann_rewrite" ->

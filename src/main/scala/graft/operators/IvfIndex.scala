@@ -89,6 +89,39 @@ object IvfIndex {
     assigned.write.mode("overwrite").partitionBy(ClusterCol).parquet(path)
 
   /**
+   * Incremental maintenance: assign a NEW batch of vectors to the
+   * EXISTING centroids — no re-clustering, no rebuild, no touch of the
+   * already-written store. At 100 TB the index is append-only: each
+   * ingestion batch gets cluster ids from the frozen centroid table
+   * and its files land under the matching partition directories
+   * ([[appendPartitioned]]); periodic re-clustering handles centroid
+   * drift offline, exactly like any production IVF deployment.
+   *
+   * The per-row argmin over centroids is the codegen'd [[graft.functions.VectorKernels.pqEncode]]
+   * kernel with ONE subspace (m=1, codebook = the flattened centroid
+   * matrix): nearest-centroid-by-L2 per row inside WholeStageCodegen,
+   * no UDF, no shuffle. Full-breadth search over base ∪ appended must
+   * still equal brute force — assignment quality affects only pruning
+   * recall, which the driver query exploits for an exact oracle.
+   */
+  def assignBatch(batch: DataFrame, embCol: String, model: IvfModel): DataFrame = {
+    require(model.numClusters >= 1 && model.numClusters <= 127,
+      s"assignBatch supports up to 127 clusters (one-byte codes), got ${model.numClusters}")
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val flat: Array[Float] = model.centroids.flatten
+    val code = graft.functions.GraftFunctions.pqEncode(
+      col(embCol), typedlit(flat), m = 1, k = model.numClusters)
+    batch.withColumn(ClusterCol,
+      conv(hex(substring(code, 1, 1)), 16, 10).cast("int"))
+  }
+
+  /** Append an assigned batch to a partitioned store: new files land
+    * under each cluster's partition directory; existing data is never
+    * rewritten. */
+  def appendPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("append").partitionBy(ClusterCol).parquet(path)
+
+  /**
    * Two-level kmeans tree over a built index — the shape of YDB's
    * `vector_kmeans_tree` (reference: /root/reference/app.py:193-196):
    * level 1 clusters the CLUSTER CENTROIDS (driver-side Lloyd over a

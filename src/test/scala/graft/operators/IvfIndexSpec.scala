@@ -92,4 +92,33 @@ class IvfIndexSpec extends SparkFunSuite {
     assert(scanStr.contains("PartitionFilters") && scanStr.contains("cluster_id"), scanStr)
     assert(pruned.count() > 0)
   }
+
+  test("assignBatch picks the argmin-L2 centroid per row (matches driver math)") {
+    val (_, model) = built
+    val batch = store.filter(col("vec_id") < 50)
+    val got = IvfIndex.assignBatch(batch, "embedding", model)
+      .select(col("vec_id"), col(IvfIndex.ClusterCol))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    batch.select("vec_id", "embedding").collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val expected = model.centroids.indices.minBy(c =>
+        IvfMath.score(SearchStrategy.EuclideanDistance, v, model.centroids(c)))
+      assert(got(r.getLong(0)) === expected, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("append maintenance: full-breadth search over base ∪ appended equals brute force") {
+    val (a, model) = IvfIndex.build(store.filter(col("vec_id") < 300), "embedding", 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_append_spec").toString
+    IvfIndex.writePartitioned(a, path)
+    IvfIndex.appendPartitioned(
+      IvfIndex.assignBatch(store.filter(col("vec_id") >= 300), "embedding", model), path)
+    val merged = spark.read.parquet(path)
+    assert(merged.count() === store.count()) // nothing lost or duplicated
+    val ivf = IvfIndex.search(merged, model, cfg, qv(3), k = 10,
+      searchTopSize = model.numClusters, scoreScale = Some(6)).collect()
+    val brute = VectorSearch.bruteForce(store, cfg, qv(3), 10, Map.empty, Some(6))
+      .collect()
+    assert(ivf.map(_.toSeq).toSeq === brute.map(_.toSeq).toSeq)
+  }
 }
