@@ -36,7 +36,8 @@ object BloomKernels {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val m = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    math.min(math.max(m, 64L), Int.MaxValue.toLong)
+    // strict upper bound: create() requires numBits < Int.MaxValue
+    math.min(math.max(m, 64L), Int.MaxValue.toLong - 8)
   }
 
   /** k = round(m/n · ln 2), at least 1. */

@@ -38,7 +38,11 @@ object SequencePacking {
       docs: DataFrame, shardCol: String, orderCol: String,
       lenCol: String, ctxLen: Long): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    // explicit ROWS frame: the default RANGE frame would give tied
+    // order keys the same cumulative sum — a silent mis-pack if the
+    // order key is ever non-unique
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("stream_offset",
         coalesce(sum(col(lenCol)).over(w) - col(lenCol), lit(0L)).cast("long"))
