@@ -55,19 +55,21 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // Min neighbor label per node, then fold in the node's own label.
-      val nbrLabels = sym
+      // Min neighbor label per node, folded with the node's own label.
+      // The own label rides through the same aggregate (tagged), so the
+      // convergence test (any new < old?) is a filter over the already-
+      // checkpointed result — no extra join job per round.
+      val own = labels.select(col("u"), col("label"), lit(true).as("own"))
+      val nbr = sym
         .join(labels.withColumnRenamed("u", "v"), "v")
-        .select(col("u"), col("label"))
-      val next = labels.union(nbrLabels)
-        .groupBy("u").agg(min("label").as("label"))
+        .select(col("u"), col("label"), lit(false).as("own"))
+      val next = own.union(nbr)
+        .groupBy("u")
+        .agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("__old"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.u") === col("p.u"))
-        .filter(col("n.label") =!= col("p.label"))
-        .count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("label") < col("__old")).isEmpty
+      labels = next.drop("__old")
       iter += 1
     }
     labels.select(col("u").as("id"), col("label").as("component"))

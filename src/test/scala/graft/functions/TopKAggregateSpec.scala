@@ -67,6 +67,19 @@ class TopKAggregateSpec extends SparkFunSuite {
     assert(res.passed, s"topk_by_score: ${res.status}")
   }
 
+  test("plans as partial -> final ObjectHashAggregate (map-side partial top-k)") {
+    GraftFunctions.register(spark)
+    val df = Seq((1, 1.0, 1L)).toDF("g", "score", "id")
+      .groupBy("g")
+      .agg(GraftFunctions.topKByScore(col("score"), col("id"), 3).as("top"))
+    // AQE wraps the plan, so assert on the rendered tree: a partial
+    // aggregate below the exchange and a final one above it.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by_score") &&
+      plan.sliding("ObjectHashAggregate".length).count(_ == "ObjectHashAggregate") == 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+  }
+
   test("nulls in score or id are skipped, not ranked") {
     GraftFunctions.register(spark)
     val df = Seq[(String, Option[Double], Option[Long])](
