@@ -432,6 +432,22 @@ object SparkEntry {
       CurationPipeline.curate(table(s, d, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "quality")
         .orderBy("doc_id")),
+    // The END-TO-END training-data pipeline as ONE lazy plan: quality
+    // gate → exact dedup → near-dup removal → deterministic train
+    // split → per-shard sequence packing. Composition is where lazy
+    // DataFrames pay off at 100 TB — the cheap per-row gates run
+    // before any shuffle sees a row, and Catalyst plans the whole
+    // funnel as one job. The oracle re-derives every stage in SQL.
+    "corpus_to_batches" -> ((s, d) => {
+      val curated = CurationPipeline.curate(table(s, d, "documents"), "doc_id", "text")
+      val train = DatasetSplit.assignSplits(curated, "doc_id")
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("source"),
+          size(org.apache.spark.sql.functions.split(col("text"), " "))
+            .cast("long").as("n_tokens"))
+      SequencePacking.packSequences(train, "source", "doc_id", "n_tokens", ctxLen = 256)
+        .orderBy("doc_id")
+    }),
     // Text analysis.
     "text_stats" -> ((s, d) =>
       TextAnalysis.textStats(table(s, d, "documents"), "doc_id", "text")
@@ -953,6 +969,64 @@ object SparkEntry {
         |FROM exact e
         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
         |ORDER BY e.doc_id""".stripMargin,
+    "corpus_to_batches" ->
+      """WITH qual AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END +
+        |           CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END +
+        |           CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END +
+        |           CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END AS passed
+        |    FROM (
+        |      SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |               / len(string_split(text, ' ')) AS mean_word_len,
+        |             CAST(len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |               / len(string_split(text, ' ')) AS stopword_ratio,
+        |             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |               / length(text) AS punct_ratio
+        |      FROM documents))
+        |  WHERE passed / 4.0 >= 0.75),
+        |qualified AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d JOIN qual USING (doc_id)),
+        |exact AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        |    FROM qualified)
+        |  WHERE rn = 1),
+        |losers AS (
+        |  SELECT DISTINCT b_id AS doc_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |           round(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                                          list_distinct(string_split(b.text, ' ')))) AS DOUBLE) /
+        |                 len(list_distinct(list_cat(list_distinct(string_split(a.text, ' ')),
+        |                                            list_distinct(string_split(b.text, ' '))))), 6) AS j
+        |    FROM exact a JOIN exact b
+        |      ON substr(a.text, 1, 16) = substr(b.text, 1, 16) AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.5),
+        |kept AS (
+        |  SELECT e.doc_id, e.source, e.text FROM exact e
+        |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)),
+        |train AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM kept
+        |  WHERE CAST(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (strpos('0123456789abcdef',
+        |                       substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |               * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) < 80),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - n_tokens AS BIGINT) AS stream_offset
+        |  FROM train)
+        |SELECT doc_id, source, n_tokens, stream_offset,
+        |       CAST(stream_offset // 256 AS BIGINT) AS pack_id,
+        |       CAST(stream_offset % 256 AS BIGINT) AS pack_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
