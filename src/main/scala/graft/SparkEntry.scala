@@ -341,6 +341,17 @@ object SparkEntry {
           bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale))
         .orderBy("id")
     }),
+    // Benchmark-contamination detection: training docs (doc_id < 450)
+    // sharing ≥ 2 verbatim token-3-gram shingles with the held-out set
+    // (doc_id >= 450). The eval side broadcasts; the corpus never
+    // shuffles for the match.
+    "contamination_check" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      ContaminationCheck.ngramOverlap(
+        docs.filter(col("doc_id") < 450), docs.filter(col("doc_id") >= 450),
+        "doc_id", "text", minShingles = 2L)
+        .orderBy("train_id", "eval_id")
+    }),
     // Incremental dedup: the continuous-ingestion shape — new batch
     // (doc_id >= 250) anti-joined against the historical fingerprint
     // set (doc_id < 250); only genuinely new content survives.
@@ -1254,6 +1265,25 @@ object SparkEntry {
         |SELECT id, component,
         |       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
         |FROM comp ORDER BY id""".stripMargin,
+    // Same shingling as the dedup_minhash oracle; overlap = exact
+    // intersection count per (train, eval) pair.
+    "contamination_check" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) = 0 THEN []
+        |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks),
+        |tr AS (SELECT doc_id AS train_id, unnest(s) AS shingle FROM sh WHERE doc_id < 450),
+        |ev AS (SELECT doc_id AS eval_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 450)
+        |SELECT train_id, eval_id, count(*) AS n_shared_shingles
+        |FROM tr JOIN ev USING (shingle)
+        |GROUP BY train_id, eval_id
+        |HAVING count(*) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
     // Full SQL reimplementation of the 64-bit SimHash (FNV-1a token
     // hashes → per-bit votes → sign bits) in DuckDB HUGEINT arithmetic —
     // proves the engine kernel is deterministic public math, not an

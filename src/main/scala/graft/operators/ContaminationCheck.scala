@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark-contamination detection: find training documents that share
+ * token n-gram shingles with a held-out/evaluation set — the standard
+ * pretraining hygiene step (an eval question leaked into the training
+ * corpus inflates benchmark scores without improving the model).
+ *
+ * Shape at scale: the EVAL side is small by definition (benchmarks are
+ * thousands of rows, the corpus is billions), so its exploded shingle
+ * set broadcasts; the training corpus explodes to (doc, shingle) and
+ * probes the broadcast — per-row scan work, no corpus shuffle for the
+ * match itself, one aggregate to count matched shingles per
+ * (train_doc, eval_doc) pair. Shingling is the same codegen'd
+ * `shingle_set` kernel the dedup family uses (distinct token 3-grams,
+ * whole-text fallback under 3 tokens), so "contaminated" here means
+ * verbatim n-gram overlap, the strictest and cheapest signal;
+ * paraphrase-level leakage is what the embedding similarity join
+ * covers.
+ */
+object ContaminationCheck {
+
+  /**
+   * Pairs of (training doc, eval doc) sharing at least `minShingles`
+   * distinct shingles, with the overlap count — ranked evidence for a
+   * removal/audit pass.
+   */
+  def ngramOverlap(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      minShingles: Long = 1L): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    def shingles(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        explode(call_function("shingle_set", col(textCol))).as("shingle"))
+    val trainSh = shingles(train, "train_id")
+    val evalSh = shingles(eval, "eval_id")
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= minShingles)
+  }
+}

@@ -155,6 +155,21 @@ class DedupSpec extends SparkFunSuite {
       ((4L, 3L, 2L, 1L)))
   }
 
+  test("contamination check: counts shared shingles per (train, eval) pair, hand-computed") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the dog"), // shares 3-grams with eval 10
+      (2L, "completely different content here now"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the quick brown fox runs away"), // shingles: {the quick brown, quick brown fox, ...}
+      (11L, "nothing in common at all")).toDF("doc_id", "text")
+    val got = ContaminationCheck.ngramOverlap(train, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // overlap = {"the quick brown", "quick brown fox"} → exactly 2
+    assert(got === Seq((1L, 10L, 2L)))
+  }
+
   test("semanticKeepVerdict: chains collapse to one kept copy, singletons keep themselves") {
     import spark.implicits._
     val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
