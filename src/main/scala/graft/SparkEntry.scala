@@ -325,6 +325,11 @@ object SparkEntry {
     // candidates than 4×64 (and ~4× fewer at 10× the rows, since bucket
     // sizes shrink 4× per +2 bits). Recall vs ground truth is pinned in
     // SimilarityJoinSpec.
+    // Slim layout (default): the candidate dedup runs on 16-byte pairs
+    // and the vector join-backs broadcast — measured ~2× faster here
+    // than carrying vectors through the bucket join (carryVectors wins
+    // only once the vector side outgrows the broadcast threshold AND
+    // collisions stay near-unique; see SimilarityJoin scaladoc).
     "sim_join_lsh" -> ((s, d) =>
       SimilarityJoin.lshCosinePairsBanded(table(s, d, "embeddings"), "vec_id",
         "embedding", bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale)

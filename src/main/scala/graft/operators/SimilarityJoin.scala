@@ -76,9 +76,22 @@ object SimilarityJoin {
    * Banded (multi-table) LSH cosine similarity join — the recall-tunable
    * scale path. `nTables` independent hyperplane tables each contribute
    * a bucket key per row (one codegen'd kernel pass computes all of
-   * them); candidates are pairs sharing ANY table's bucket, deduplicated
-   * as slim (a_id, b_id) pairs BEFORE vectors are joined back for exact
-   * cosine verification — the same shape as [[Dedup.minHashPairs]].
+   * them); candidates are pairs sharing ANY table's bucket. Two
+   * verification layouts, chosen by `carryVectors`:
+   *
+   *  - slim (default): candidates dedup as (a_id, b_id) pairs BEFORE
+   *    vectors are joined back for exact cosine verification — the same
+   *    shape as [[Dedup.minHashPairs]]. The dedup shuffle moves 16-byte
+   *    rows, and whenever the vector relation fits the broadcast
+   *    threshold the join-backs are free — measured ~2× faster than
+   *    carryVectors on the sf0.1 bench for exactly that reason.
+   *  - carryVectors: vectors ride through the bucket join and candidates
+   *    verify in place, deduplicating only the (tiny) post-threshold
+   *    pair set. One shuffle fewer and no join-back, at nTables × vector
+   *    bytes of extra shuffle volume — the right trade only when the
+   *    vector relation CANNOT broadcast (per-executor memory) and bucket
+   *    collisions stay near-unique, i.e. giant corpora at tight
+   *    thresholds. Both layouts produce identical rows (spec-pinned).
    *
    * Recall for a pair at angle θ is 1 - (1 - (1-θ/π)^bits)^tables:
    * `bitsPerTable` sets bucket granularity (candidate cost), `nTables`
@@ -96,28 +109,55 @@ object SimilarityJoin {
       threshold: Double = 0.4,
       seed: Long = 42L,
       scale: Int = 6,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      carryVectors: Boolean = false): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val keyed = Dedup.capBuckets(
-      emb.select(
-        col(idCol).as("id"),
-        explode(GraftFunctions.cosineLshKeys(col(vecCol), bitsPerTable, nTables, seed))
-          .as("bkt")),
-      Seq("bkt"), maxBucket)
-    val a = keyed.alias("a")
-    val b = keyed.alias("b")
-    val candidates = a.join(b,
-        col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    candidates
-      .join(vecs.as("va"), col("a_id") === col("va.id"))
-      .join(vecs.as("vb"), col("b_id") === col("vb.id"))
-      .select(col("a_id"), col("b_id"),
-        round(GraftFunctions.knnCosineSimilarity(col("va.v"), col("vb.v")), scale)
-          .as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    if (carryVectors) {
+      // Low-precision regime (permissive threshold → candidate sets near
+      // all-pairs, duplication factor across tables ≈ 1): carry the
+      // vectors through the bucket self-join and verify candidates IN
+      // PLACE — no candidate-dedup shuffle, no join-back. The extra
+      // shuffle volume is nTables × vector bytes per row; the verify
+      // work is duplicated per colliding table, so this variant wins
+      // exactly when few tables collide per true pair. The slim variant
+      // below wins in the high-precision regime (tight threshold, rare
+      // collisions, heavy per-pair payloads).
+      val keyed = Dedup.capBuckets(
+        emb.select(
+          col(idCol).as("id"),
+          col(vecCol).as("v"),
+          explode(GraftFunctions.cosineLshKeys(col(vecCol), bitsPerTable, nTables, seed))
+            .as("bkt")),
+        Seq("bkt"), maxBucket)
+      keyed.alias("a").join(keyed.alias("b"),
+          col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          round(GraftFunctions.knnCosineSimilarity(col("a.v"), col("b.v")), scale)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+        .dropDuplicates("a_id", "b_id")
+    } else {
+      val keyed = Dedup.capBuckets(
+        emb.select(
+          col(idCol).as("id"),
+          explode(GraftFunctions.cosineLshKeys(col(vecCol), bitsPerTable, nTables, seed))
+            .as("bkt")),
+        Seq("bkt"), maxBucket)
+      val a = keyed.alias("a")
+      val b = keyed.alias("b")
+      val candidates = a.join(b,
+          col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .dropDuplicates("a_id", "b_id")
+      val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      candidates
+        .join(vecs.as("va"), col("a_id") === col("va.id"))
+        .join(vecs.as("vb"), col("b_id") === col("vb.id"))
+        .select(col("a_id"), col("b_id"),
+          round(GraftFunctions.knnCosineSimilarity(col("va.v"), col("vb.v")), scale)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    }
   }
 
   def lshCosinePairs(

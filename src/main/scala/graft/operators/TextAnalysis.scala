@@ -171,21 +171,26 @@ object TextAnalysis {
    * signal next to [[qualityScore]]'s rule checks.
    *
    * Shape at scale: explode → one hash aggregate for corpus-wide term
-   * counts (vocabulary-sized — the broadcast side) → equality join →
-   * one per-doc aggregate. Determinism: each token's log10(tf) is
-   * rounded to `scale` decimals, then summed EXACTLY in DECIMAL, so
-   * partition/merge order cannot perturb the score; one final double
-   * division + round.
+   * counts (vocabulary-sized — the broadcast side, built with map-side
+   * partial combine so no term is ever a hot reducer key) → an equality
+   * join probed by the PER-(doc, term) count relation, not by every
+   * token instance (a doc mentioning "the" 500 times probes once with
+   * weight 500) → one per-doc aggregate. Determinism: each token's
+   * log10(tf) is rounded to `scale` decimals, then weighted and summed
+   * EXACTLY in DECIMAL (decimal × integer is exact), so partition/merge
+   * order cannot perturb the score; one final double division + round.
    */
   def tokenLogFreqScore(
       docs: DataFrame, idCol: String, textCol: String, scale: Int = 6): DataFrame = {
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val freq = terms.groupBy("term").agg(count(lit(1)).as("tf"))
-    terms.join(broadcast(freq), "term")
+    val dtf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("dtf"))
+    dtf.join(broadcast(freq), "term")
       .groupBy(idCol)
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(round(log10(col("tf")), scale).cast("decimal(28,6)")).as("__logsum"))
+        sum(col("dtf")).as("n_tokens"),
+        sum(round(log10(col("tf")), scale).cast("decimal(28,6)") * col("dtf"))
+          .as("__logsum"))
       .select(col(idCol), col("n_tokens"),
         round(col("__logsum").cast("double") / col("n_tokens"), scale)
           .as("logfreq_score"))

@@ -96,6 +96,14 @@ class SimilarityJoinSpec extends SparkFunSuite {
     assert(recall(8, 16) <= recall(2, 16) + 1e-9)
   }
 
+  test("lshCosinePairsBanded: carryVectors layout ≡ slim layout, rows and scores") {
+    def run(carry: Boolean) = SimilarityJoin.lshCosinePairsBanded(
+      emb, "vec_id", "embedding",
+      bitsPerTable = 6, nTables = 64, threshold = 0.4, carryVectors = carry)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(true) === run(false))
+  }
+
   test("lshCosinePairsBanded is deterministic across runs and repartitionings") {
     def run(parts: Int) = SimilarityJoin.lshCosinePairsBanded(
       emb.repartition(parts), "vec_id", "embedding",
