@@ -330,9 +330,18 @@ object SparkEntry {
     // than carrying vectors through the bucket join (carryVectors wins
     // only once the vector side outgrows the broadcast threshold AND
     // collisions stay near-unique; see SimilarityJoin scaladoc).
+    // maxBucket = the viral-bucket guardrail, ENGAGED: a boilerplate
+    // cluster (near-identical embeddings land in identical buckets in
+    // every table) can never contribute more than 1024²/2 candidate
+    // pairs per bucket. Measured headroom (LshScaleProbe): the largest
+    // bucket is 24 rows at sf0.01 and 97 at sf0.1, so the cap drops
+    // nothing at test scales (capDrop=0 measured) and the oracle's
+    // exact join still matches. Rows a cap WOULD drop are exact-dup
+    // territory, which dedup_exact handles with one hash aggregate.
     "sim_join_lsh" -> ((s, d) =>
       SimilarityJoin.lshCosinePairsBanded(table(s, d, "embeddings"), "vec_id",
-        "embedding", bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale)
+        "embedding", bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale,
+        maxBucket = Some(1024))
         .orderBy("a_id", "b_id")),
     // SemDeDup-style semantic dedup over EMBEDDINGS: LSH-bucketed
     // cosine pairs (recall 1 at these measured parameters, so the pair
@@ -343,7 +352,8 @@ object SparkEntry {
       val emb = table(s, d, "embeddings")
       Dedup.semanticKeepVerdict(emb, "vec_id",
         SimilarityJoin.lshCosinePairsBanded(emb, "vec_id", "embedding",
-          bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale))
+          bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale,
+          maxBucket = Some(1024)))
         .orderBy("id")
     }),
     // Benchmark-contamination detection: training docs (doc_id < 450)

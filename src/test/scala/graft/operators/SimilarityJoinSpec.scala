@@ -104,6 +104,32 @@ class SimilarityJoinSpec extends SparkFunSuite {
     assert(run(true) === run(false))
   }
 
+  test("maxBucket bounds a viral duplicate cluster without touching other pairs") {
+    // 500 verbatim copies of vec_id 0's embedding — the boilerplate-page
+    // hazard. Identical vectors share identical buckets in EVERY table,
+    // so uncapped LSH turns the cluster into ≥ 500·499/2 quadratic pairs.
+    val viral = emb.where(col("vec_id") === 0)
+      .select(explode(expr("sequence(10000L, 10499L)")).as("vec_id"),
+        col("embedding"), col("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").union(viral)
+    def run(df: org.apache.spark.sql.DataFrame, cap: Option[Int]) =
+      SimilarityJoin.lshCosinePairsBanded(df, "vec_id", "embedding",
+        bitsPerTable = 6, nTables = 64, threshold = 0.4, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(corpus, None)
+    assert(uncapped.size >= 500 * 499 / 2) // the quadratic blowup is real
+    // Cap above every organic bucket (probe-measured max 24 at this sf)
+    // but below the viral cluster: every bucket holding the cluster is
+    // dropped wholesale before the self-join.
+    val capped = run(corpus, Some(200))
+    assert(capped.forall { case (a, b) => a < 10000 && b < 10000 })
+    // Non-viral pairs are untouched EXCEPT those involving vec 0 itself,
+    // whose every bucket is (correctly) viral — byte-identical copies are
+    // exact-dedup territory, not near-dup pairing work.
+    val basePairs = run(emb, None)
+    assert(capped === basePairs.filter { case (a, b) => a != 0L && b != 0L })
+  }
+
   test("lshCosinePairsBanded is deterministic across runs and repartitionings") {
     def run(parts: Int) = SimilarityJoin.lshCosinePairsBanded(
       emb.repartition(parts), "vec_id", "embedding",
