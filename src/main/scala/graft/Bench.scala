@@ -23,6 +23,12 @@ import org.apache.spark.sql.SparkSession
  * written to `BENCH_DETAIL.json` in the working directory instead.
  */
 object Bench {
+  /** Per-query override of the 10×-step scaling bound (default 12.0):
+    * list a query here only with a documented superlinear class. All
+    * shipped plans are ≤ O(n log n), so the map is intentionally empty —
+    * adding an entry is a reviewed declaration that a plan regressed. */
+  private val ExpectedScaling: Map[String, Double] = Map.empty
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,11 +54,23 @@ object Bench {
       // setup and the offline steps (index build, query-vector fetch) so
       // the timed pass measures steady-state query execution.
       ordered.foreach { case (n, fn) => run(s"warmup:$n", (s, _) => fn(s, dir)) }
-      // Best of two timed reps: a single rep is noisy enough (GC pause,
-      // page-cache miss) to produce phantom outliers in the cross-scale
-      // scaling report.
+      // Noise discipline. The r5 sweep produced phantom per-query
+      // outliers (4×+ vs the same query isolated in BenchOne): 75
+      // queries of accumulated session state meant a heavy neighbor's
+      // garbage + broadcast-cleanup backlog was charged to whoever ran
+      // next. Two countermeasures, judged against isolated runs:
+      //  - System.gc() before each query's rep group flushes the
+      //    PREVIOUS query's garbage so its collection pause is not
+      //    billed to this one (also drains the ContextCleaner's
+      //    reference queue of dead broadcasts). Cached fixture tables
+      //    (IVF assignments, bucketed stores) are deliberately NOT
+      //    cleared — they are offline artifacts, not per-query state.
+      //  - min of three timed reps: sweep noise is strictly one-sided
+      //    (a rep is only ever slower than the plan's true cost), so
+      //    min is the estimator that converges on the isolated number.
       ordered.map { case (name, fn) =>
-        val times = Seq.fill(2)(run(name, (s, _) => fn(s, dir)))
+        System.gc()
+        val times = Seq.fill(3)(run(name, (s, _) => fn(s, dir)))
         name -> (if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min)
       }
     }
@@ -72,15 +90,30 @@ object Bench {
     val smallDetail = smallDir.map { dir =>
       val smallResults = timedPass(dir)
       val smallByName = smallResults.toMap
-      val scaling = results.map { case (name, big) =>
-        val ratio = smallByName.get(name) match {
+      val ratios = results.map { case (name, big) =>
+        name -> (smallByName.get(name) match {
           case Some(small) if small > 0 && big >= 0 =>
-            (math.rint(big / small * 100) / 100).toString
-          case _ => "null"
-        }
-        "\"" + name + "\":" + ratio
+            Some(math.rint(big / small * 100) / 100)
+          case _ => None
+        })
+      }
+      val scaling = ratios.map { case (name, r) =>
+        "\"" + name + "\":" + r.fold("null")(_.toString)
       }.mkString("{", ",", "}")
-      s""","queries_small":${toJson(smallResults, full)},"sf_small":"$dir","scaling":$scaling"""
+      // Scaling regression gate: every query's expected class at a 10×
+      // data step is at most O(n log n), so sec(big)/sec(small) must
+      // stay under EXPECTED_SCALING (default 12 = 10× rows + log-factor
+      // and fixed-overhead slack; measured r5 maxima were ~4×). A ratio
+      // above the bound is either a plan regression (something went
+      // superlinear — the r5 phantom events_range_join 13.9× is the
+      // shape this catches) or sweep noise, and both demand a look:
+      // alerts surface in BENCH_DETAIL.json as "scaling_alerts".
+      val alerts = ratios.collect {
+        case (name, Some(r)) if r > ExpectedScaling.getOrElse(name, 12.0) =>
+          "\"" + name + "\":" + r
+      }.mkString("{", ",", "}")
+      s""","queries_small":${toJson(smallResults, full)},"sf_small":"$dir"""" +
+        s""","scaling":$scaling,"scaling_alerts":$alerts"""
     }.getOrElse("")
 
     // Full-precision detail (both scales + scaling factors) → file.

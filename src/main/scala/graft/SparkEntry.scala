@@ -61,9 +61,9 @@ object SparkEntry {
     * one-time write (like the IVF store), not part of each query. */
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  /** Wire-format blob store per sf dir (one-time offline dump; the
-    * collect is bounded to the small sf embeddings — a production dump
-    * writes per-partition with VectorBlobSource.writeFile). */
+  /** Wire-format blob store per sf dir — one-time offline dump, written
+    * distributed (VectorBlobSource.writeDistributed: one file per
+    * partition, executor-side, no driver collect). */
   private val blobStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -123,14 +123,12 @@ object SparkEntry {
     "blob_source_topk" -> ((s, d) => {
       val path = blobStoreCache.computeIfAbsent(d, dir => {
         val p = java.nio.file.Files.createTempDirectory("graft_blob_store").toString
-        val rows = table(s, dir, "embeddings")
-          .select("vec_id", "embedding").collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-        rows.grouped(math.max(1, rows.length / 4)).zipWithIndex.foreach {
-          case (chunk, i) =>
-            graft.sources.VectorBlobSource.writeFile(
-              f"$p/part-$i%05d.vecblob", chunk.iterator)
-        }
+        // Distributed dump: each of the 4 partitions writes its own
+        // blob file executor-side — the same shape a 100 TB export
+        // takes (no driver collect anywhere in the dump).
+        graft.sources.VectorBlobSource.writeDistributed(
+          table(s, dir, "embeddings").select("vec_id", "embedding")
+            .repartition(4, col("vec_id")), p)
         p
       })
       val emb = s.read.format("graft-vectors").load(path)
@@ -498,6 +496,13 @@ object SparkEntry {
     // path, pinned against this exact operator in ScalaTest).
     "events_quantiles" -> ((s, d) =>
       graft.streaming.EventPipeline.typeValueQuantiles(
+        table(s, d, "events"), Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type", "q")),
+    // The unbounded-group scale path: approx_percentile sketch, driver-
+    // verified via its rank guarantee (`approx_rank_ok` must be TRUE in
+    // every row) alongside the exact oracle-matched quantile value.
+    "events_quantiles_approx" -> ((s, d) =>
+      graft.streaming.EventPipeline.typeValueQuantilesApprox(
         table(s, d, "events"), Seq(0.5, 0.9, 0.99))
         .orderBy("event_type", "q")),
     "tfidf_top_terms" -> ((s, d) =>
@@ -1217,6 +1222,17 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type, q, round(v, 6) AS val
+        |FROM (
+        |  SELECT event_type,
+        |         unnest([0.5, 0.9, 0.99]) AS q,
+        |         unnest(quantile_cont(value, [0.5, 0.9, 0.99])) AS v
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type, q""".stripMargin,
+    // `val` is the exact interpolated quantile (identical definition);
+    // the sketch side is oracle-checked through its rank guarantee:
+    // approx_rank_ok must come out TRUE for every (type, q).
+    "events_quantiles_approx" ->
+      """SELECT event_type, q, round(v, 6) AS val, TRUE AS approx_rank_ok
         |FROM (
         |  SELECT event_type,
         |         unnest([0.5, 0.9, 0.99]) AS q,

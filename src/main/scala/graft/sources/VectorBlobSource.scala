@@ -49,17 +49,54 @@ object VectorBlobSource {
     StructField("vec_id", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true)))
 
-  /** Writer for the blob format — the offline "dump the store" step.
-    * One file per call; a distributed dump calls this per partition. */
-  def writeFile(path: String, rows: Iterator[(Long, Array[Float])]): Unit = {
-    val out = new DataOutputStream(new FileOutputStream(path))
-    try rows.foreach { case (id, vec) =>
+  /** Record stream in the wire format — shared by the local and the
+    * distributed writer. */
+  private def writeRecords(
+      out: DataOutputStream, rows: Iterator[(Long, Array[Float])]): Unit =
+    rows.foreach { case (id, vec) =>
       val payload = VectorKernels.encodeFloatVector(
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vec))
       out.writeLong(id)
       out.writeInt(payload.length)
       out.write(payload)
-    } finally out.close()
+    }
+
+  /** Writer for the blob format — one local file per call. */
+  def writeFile(path: String, rows: Iterator[(Long, Array[Float])]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try writeRecords(out, rows) finally out.close()
+  }
+
+  /**
+   * Distributed "dump the store" step: every partition of `df`
+   * (`vec_id BIGINT, embedding ARRAY<FLOAT>`) writes its own
+   * `part-NNNNN.vecblob` through the Hadoop filesystem of `dir` — local
+   * disk under `file:`, HDFS/object stores on a cluster. No row ever
+   * moves to the driver; the dump scales with the number of partitions
+   * exactly like a parquet write. A retried task rewrites (overwrites)
+   * only its own deterministic per-partition file, so the dump is
+   * idempotent; concurrent dumps into one directory are the caller's
+   * responsibility (this is an offline fixture/export step, not a
+   * committed sink — a transactional variant would go through
+   * FileCommitProtocol like the built-in file sinks).
+   */
+  def writeDistributed(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(conf.value).mkdirs(dirPath)
+    df.select("vec_id", "embedding").foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val file = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.vecblob")
+          val out = new DataOutputStream(
+            file.getFileSystem(conf.value).create(file, true))
+          try writeRecords(out, rows.map(r =>
+            r.getLong(0) -> r.getSeq[Float](1).toArray))
+          finally out.close()
+        }
+    }
   }
 }
 

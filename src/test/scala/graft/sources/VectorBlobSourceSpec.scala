@@ -27,6 +27,23 @@ class VectorBlobSourceSpec extends SparkFunSuite {
     rows.foreach { case (id, vec) => assert(got(id).toSeq === vec.toSeq) }
   }
 
+  test("writeDistributed: executor-side dump, one file per partition, lossless") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_blobs_dist").toString
+    val df = rows.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding").repartition(4, col("vec_id"))
+    VectorBlobSource.writeDistributed(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".vecblob"))
+    assert(files.length === 4) // one per non-empty partition
+    val got = spark.read.format("graft-vectors").load(dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(got.size === 100)
+    rows.foreach { case (id, vec) => assert(got(id).toSeq === vec.toSeq) }
+    // idempotent on rewrite (the task-retry story): same files, same rows
+    VectorBlobSource.writeDistributed(df, dir)
+    assert(spark.read.format("graft-vectors").load(dir).count() === 100)
+  }
+
   test("one input partition per file — file-level parallelism") {
     val dir = writeStore(rows, files = 4)
     val df = spark.read.format("graft-vectors").load(dir)

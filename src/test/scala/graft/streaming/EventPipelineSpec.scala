@@ -145,6 +145,21 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(math.abs(approx - 3.0) <= 1.0)
   }
 
+  test("typeValueQuantilesApprox: exact vals match, rank guarantee holds on real data") {
+    val events = EventPipeline.normalizeTs(
+      spark.read.parquet(s"$Sf0001/events.parquet"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val approx = EventPipeline.typeValueQuantilesApprox(events, qs)
+      .collect().map(r =>
+        (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val exact = EventPipeline.typeValueQuantiles(events, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    // the `val` column IS the exact quantile; the sketch's rank bound holds
+    exact.foreach { case (k, v) => assert(approx(k)._1 === v, k) }
+    assert(approx.values.forall(_._2), "approx_percentile broke its rank guarantee")
+  }
+
   test("sessionize agrees with Spark's native session_window on session starts") {
     // session_window merges events closer than the gap; our explicit
     // lag+running-sum construction starts a new session when the gap
