@@ -11,7 +11,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration subset: SPARK_GRAFT_ONLY=q1,q2 limits the dump
     // (the driver never sets it, so the per-round gate stays complete).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Blank/empty values are treated as unset — a leaked empty var must
+    // not silently filter out every query — and an active filter warns
+    // loudly so a partial dump can never masquerade as a gate run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(names => System.err.println(
+      s"[verify] WARNING: SPARK_GRAFT_ONLY is active — dumping ONLY " +
+        s"${names.toSeq.sorted.mkString(", ")}. This is a PARTIAL dump, not a gate run."))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

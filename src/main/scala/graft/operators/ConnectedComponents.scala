@@ -77,10 +77,17 @@ object ConnectedComponents {
       val nbr = sym
         .join(labels.withColumnRenamed("u", "v"), "v")
         .select(col("u"), col("label"), lit(false).as("own"))
-      val hop = labels
-        .join(labels.select(col("u").as("label"), col("label").as("__hop")), "label")
-        .select(col("u"), col("__hop").as("label"), lit(false).as("own"))
-      val next = own.union(nbr).union(hop)
+      // The doubling hop is provably a no-op on the FIRST loop pass:
+      // round-0 labels are closed-1-neighborhood minima, so label(u) is
+      // u itself or a direct neighbor v*, and label(v*) already rides in
+      // the nbr aggregate. Skipping it saves one labels⋈labels shuffle
+      // on shallow (clique/star) graphs, which converge right here.
+      val hop =
+        if (iter == 0) Seq.empty
+        else Seq(labels
+          .join(labels.select(col("u").as("label"), col("label").as("__hop")), "label")
+          .select(col("u"), col("__hop").as("label"), lit(false).as("own")))
+      val next = (Seq(own, nbr) ++ hop).reduce(_ union _)
         .groupBy("u")
         .agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("__old"))

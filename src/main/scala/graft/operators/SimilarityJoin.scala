@@ -160,6 +160,42 @@ object SimilarityJoin {
     }
   }
 
+  /** Layout chooser for [[lshCosinePairsBanded]]: the slim layout wins
+    * exactly when its two vector join-backs can broadcast, so carry
+    * vectors only when Catalyst's size estimate of the (id, vector)
+    * relation exceeds `spark.sql.autoBroadcastJoinThreshold` (a disabled
+    * threshold, -1, means nothing ever broadcasts ⇒ always carry). Uses
+    * the same statistics the planner itself consults, so the choice and
+    * the plan can't disagree. */
+  private[operators] def chooseCarryVectors(
+      emb: DataFrame, idCol: String, vecCol: String): Boolean = {
+    val threshold =
+      emb.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val bytes =
+      emb.select(col(idCol), col(vecCol)).queryExecution.optimizedPlan
+        .stats.sizeInBytes
+    threshold <= 0 || bytes > BigInt(threshold)
+  }
+
+  /** [[lshCosinePairsBanded]] with the slim/carryVectors layout picked
+    * automatically from the vector relation's estimated size (see
+    * [[chooseCarryVectors]]). Both layouts produce identical rows
+    * (spec-pinned), so the choice is purely a physical-plan decision —
+    * exactly the kind Catalyst makes from the same statistic. */
+  def lshCosinePairsBandedAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bitsPerTable: Int = 4,
+      nTables: Int = 64,
+      threshold: Double = 0.4,
+      seed: Long = 42L,
+      scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame =
+    lshCosinePairsBanded(emb, idCol, vecCol, bitsPerTable, nTables,
+      threshold, seed, scale, maxBucket,
+      carryVectors = chooseCarryVectors(emb, idCol, vecCol))
+
   def lshCosinePairs(
       emb: DataFrame,
       idCol: String,

@@ -130,6 +130,29 @@ class SimilarityJoinSpec extends SparkFunSuite {
     assert(capped === basePairs.filter { case (a, b) => a != 0L && b != 0L })
   }
 
+  test("auto layout: broadcast-able vectors pick slim, oversized pick carry, same rows") {
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(conf)
+    try {
+      // 500 × 64-float rows estimate ~150 KB — well under the default
+      // 10 MB threshold ⇒ slim (join-backs broadcast).
+      spark.conf.set(conf, 10 * 1024 * 1024)
+      assert(!SimilarityJoin.chooseCarryVectors(emb, "vec_id", "embedding"))
+      val slim = SimilarityJoin.lshCosinePairsBandedAuto(emb, "vec_id", "embedding",
+        bitsPerTable = 6, nTables = 64, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // Starve the threshold ⇒ the vector relation can no longer
+      // broadcast ⇒ carry vectors through the bucket join.
+      spark.conf.set(conf, 1024)
+      assert(SimilarityJoin.chooseCarryVectors(emb, "vec_id", "embedding"))
+      val carry = SimilarityJoin.lshCosinePairsBandedAuto(emb, "vec_id", "embedding",
+        bitsPerTable = 6, nTables = 64, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(slim === carry)
+      assert(slim.nonEmpty)
+    } finally spark.conf.set(conf, saved)
+  }
+
   test("lshCosinePairsBanded is deterministic across runs and repartitionings") {
     def run(parts: Int) = SimilarityJoin.lshCosinePairsBanded(
       emb.repartition(parts), "vec_id", "embedding",

@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.GraftSession
 
 import graft.operators._
 
