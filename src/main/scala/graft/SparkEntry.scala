@@ -756,6 +756,27 @@ object SparkEntry {
     // exact integer counts. The oracle recomputes the histogram from
     // the same bytes with string functions — so header parsing, pixel
     // extraction, and binning are all driver-verified.
+    // REAL baseline-JPEG decode (pure-Scala T.81 decoder — Huffman,
+    // dequant, IDCT; JpegDecoder.scala): three embedded block-uniform
+    // fixtures (DC-only blocks, where conforming IDCTs are exact — the
+    // spec pins our decode bit-identical to the JDK's independent
+    // ImageIO decoder) run through the same distributed feature
+    // pipeline as Netpbm; the oracle pins the decoder-independent
+    // luminance histograms. Entropy coding is not SQL-expressible, so
+    // pinned ground truth is the strongest oracle form available here.
+    "multimodal_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val payloads = graft.multimodal.JpegFixtures.payloads
+        .toDF("fix_id", "payload")
+      graft.multimodal.Multimodal
+        .extractImageFeatures(payloads, "fix_id", "payload", bins = 16)
+        .toDF()
+        .select(col("id").as("fix_id"), col("width"), col("height"),
+          col("n_pixels"), posexplode(col("hist")))
+        .select(col("fix_id"), col("width"), col("height"), col("n_pixels"),
+          col("pos").cast("long").as("bin"), col("col").as("n_in_bin"))
+        .orderBy("fix_id", "bin")
+    }),
     "multimodal_image_decode" -> ((s, d) => {
       val payloads = table(s, d, "documents")
         .filter(length(col("text")) >= 48)
@@ -1626,6 +1647,21 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS zero_crossings
         |FROM samples GROUP BY id, "window"
         |ORDER BY id, "window"""".stripMargin,
+    // Pinned decoder-independent ground truth (entropy coding is not
+    // SQL-expressible): block-uniform fixtures decode exactly, and the
+    // spec proves our decode of this family bit-identical to the JDK's
+    // own JPEG codec. One uniform 8x8 block = one full 64-pixel bin.
+    "multimodal_jpeg_decode" -> {
+      val rows = for {
+        (fid, w, h, n, fullBins) <- graft.multimodal.JpegFixtures.expected
+        b <- 0 until 16
+      } yield s"($fid, $w, $h, $n, $b, ${if (fullBins(b)) 64 else 0})"
+      s"""SELECT CAST(fix_id AS BIGINT) AS fix_id, CAST(w AS INT) AS width,
+         |       CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
+         |       CAST(bin AS BIGINT) AS bin, CAST(c AS BIGINT) AS n_in_bin
+         |FROM (VALUES ${rows.mkString(", ")}) t(fix_id, w, h, n, bin, c)
+         |ORDER BY fix_id, bin""".stripMargin
+    },
     "multimodal_video_frames" ->
       """WITH docs AS (
         |  SELECT doc_id AS id, substr(text, 1, 96) AS px

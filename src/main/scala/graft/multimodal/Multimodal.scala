@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
  *    comments), pixel extraction, luminance conversion, nearest-
  *    neighbor downsampling. No native libraries needed, so this path
  *    runs end-to-end in this container and is driver-oracle-verified.
- *  - '''Compressed formats (JPEG/PNG/audio/video) — STUB'''
- *    ([[decodeStub]]): the container has no codec libraries; in
- *    production it is the single function to replace with a
- *    JNI/javacpp decoder. Nothing else changes.
+ *  - '''Baseline JPEG — REAL decoder''', pure Scala ([[JpegDecoder]]):
+ *    full T.81 baseline path (markers, canonical Huffman, restart
+ *    intervals, dequant, IDCT), luma-plane rasterization, validated
+ *    bit-for-bit against the JDK's independent ImageIO codec on
+ *    DC-only rasters and within IDCT tolerance elsewhere.
+ *  - '''Remaining compressed formats (PNG/progressive JPEG/MP3/
+ *    H.264)''': no decoder here; [[byteHistogram]] is the honest
+ *    content-agnostic feature over such payloads, and a production
+ *    JNI/javacpp decoder drops into the same per-row signature.
  *
  * Either way the operator shape is the same: `mapPartitions` over
  * binary payloads — no driver involvement, no shuffle, vectorized
@@ -87,6 +92,12 @@ object Multimodal {
     }
   }
 
+  /** Format-sniffing image decode: Netpbm (P5/P6) or baseline JPEG
+    * ([[JpegDecoder]] — pure Scala, T.81), whichever the magic bytes
+    * say. None for anything else — never throws. */
+  def decodeImage(payload: Array[Byte]): Option[RasterImage] =
+    decodeNetpbm(payload).orElse(JpegDecoder.decodeJpegBaseline(payload))
+
   /** Nearest-neighbor downsample to (outW × outH) — the resize step of
     * an image-preprocessing pipeline, integer arithmetic only. */
   def downsample(img: RasterImage, outW: Int, outH: Int): RasterImage = {
@@ -122,10 +133,11 @@ object Multimodal {
       id: Long, width: Int, height: Int, n_pixels: Long, hist: Array[Long])
 
   /**
-   * REAL image feature extraction over Netpbm payloads: decode →
-   * luminance histogram, `mapPartitions`, no shuffle. Rows whose
-   * payload is not valid Netpbm are dropped (a production pipeline
-   * would route them to a quarantine sink).
+   * REAL image feature extraction over Netpbm or baseline-JPEG
+   * payloads (format-sniffed per row): decode → luminance histogram,
+   * `mapPartitions`, no shuffle. Rows whose payload is neither are
+   * dropped (a production pipeline would route them to a quarantine
+   * sink).
    */
   def extractImageFeatures(
       df: DataFrame, idCol: String, payloadCol: String,
@@ -136,7 +148,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
         iter.flatMap { case (id, payload) =>
-          decodeNetpbm(payload).map { img =>
+          decodeImage(payload).map { img =>
             ImageFeatureRow(id, img.width, img.height,
               img.gray.length.toLong, luminanceHistogram(img, bins))
           }
@@ -372,12 +384,15 @@ object Multimodal {
   final case class FrameRow(id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /**
-   * STUB decode: byte-histogram "features" standing in for a real
-   * image/audio decoder. Deterministic, pure, per-row — the production
-   * replacement (e.g. JPEG decode + CNN embedding) has the identical
-   * signature and distribution contract.
+   * Content-agnostic byte-distribution features: the normalized byte
+   * histogram of an opaque payload — a real, useful signal (entropy /
+   * format fingerprinting, corruption detection) that needs no codec,
+   * and the honest fallback for formats without a decoder here
+   * (PNG/MP3/H.264). A format-specific extractor (decode + embedding)
+   * drops into the identical per-row signature and distribution
+   * contract.
    */
-  def decodeStub(payload: Array[Byte], bins: Int): Array[Float] = {
+  def byteHistogram(payload: Array[Byte], bins: Int): Array[Float] = {
     val hist = new Array[Float](bins)
     if (payload == null || payload.isEmpty) return hist
     var i = 0
@@ -408,7 +423,7 @@ object Multimodal {
         iter.map { case (id, payload) =>
           FeatureRow(id,
             if (payload == null) 0L else payload.length.toLong,
-            decodeStub(payload, bins))
+            byteHistogram(payload, bins))
         }
       }
   }

@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkFunSuite {
 
-  test("decodeStub: deterministic, normalized histogram") {
+  test("byteHistogram: deterministic, normalized histogram") {
     val payload = Array.tabulate(256)(_.toByte)
-    val h1 = Multimodal.decodeStub(payload, 16)
-    val h2 = Multimodal.decodeStub(payload, 16)
+    val h1 = Multimodal.byteHistogram(payload, 16)
+    val h2 = Multimodal.byteHistogram(payload, 16)
     assert(h1.toSeq === h2.toSeq)
     assert(math.abs(h1.sum - 1.0f) < 1e-5)
     // uniform bytes → uniform histogram
     assert(h1.forall(v => math.abs(v - 1.0f / 16) < 1e-6))
-    assert(Multimodal.decodeStub(Array.empty, 16).forall(_ === 0f))
+    assert(Multimodal.byteHistogram(Array.empty, 16).forall(_ === 0f))
   }
 
   test("extractFeatures: distributed over binary payloads, schema + counts") {
