@@ -140,10 +140,11 @@ private[api] object JsonParse {
  * `com.sun.net.httpserver.HttpServer`, so the engine is reachable over
  * HTTP with zero added dependencies:
  *
- *  - `GET  /`       — landing page (the reference serves an interactive
- *                     UI from `templates/index.html`; that is
- *                     presentation, out of engine scope — we serve a
- *                     minimal endpoint directory instead)
+ *  - `GET  /`       — interactive search page ([[SearchHttpServer.IndexHtml]]):
+ *                     original markup/script with the reference UI's
+ *                     observable behavior (embedding/query mode toggle,
+ *                     k + top-size inputs, POST /search, ranked table
+ *                     with 4-decimal scores, µs/ms timing, error panel)
  *  - `GET  /health` — `{"status": "ok"}` when the service's constant
  *                     query probe passes (app.py:273-278), 503 otherwise
  *  - `POST /search` — full request/validation/response contract
@@ -205,11 +206,7 @@ final class SearchHttpServer(
 
   private def handleRoot(ex: com.sun.net.httpserver.HttpExchange): Reply =
     if (ex.getRequestURI.getPath == "/")
-      Reply(200,
-        "<html><body><h1>graft vector search</h1><ul>" +
-          "<li>POST /search</li><li>GET /health</li><li>GET /config</li>" +
-          "</ul></body></html>",
-        contentType = "text/html")
+      Reply(200, SearchHttpServer.IndexHtml, contentType = "text/html")
     else Reply(404, """{"error": "not found"}""")
 
   private def handleHealth(ex: com.sun.net.httpserver.HttpExchange): Reply =
@@ -294,4 +291,122 @@ final class SearchHttpServer(
     }.mkString("[", ", ", "]")
     s"""{"results": $hits, "count": ${resp.count}, "search_time_ms": ${resp.searchTimeMs}}"""
   }
+}
+
+/**
+ * The interactive search page served at `GET /` — original markup and
+ * script with the same OBSERVABLE behavior as the reference UI
+ * (/root/reference/templates/index.html: an embedding-JSON vs text-query
+ * mode toggle, k and index_tree_search_top_size inputs, a fetch POST to
+ * /search, a ranked results table with 4-decimal scores, a µs/ms search
+ * time, a result count, and a text-safe error panel). Self-contained:
+ * no external assets, so the page works wherever the engine runs.
+ */
+private object SearchHttpServer {
+  val IndexHtml: String =
+    """<!doctype html>
+      |<html lang="en">
+      |<head>
+      |<meta charset="utf-8">
+      |<title>graft vector search</title>
+      |<style>
+      |  body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 56rem; color: #222; }
+      |  fieldset { border: 1px solid #bbb; border-radius: 6px; margin-bottom: 1rem; }
+      |  label { display: block; margin: .5rem 0 .15rem; font-weight: 600; }
+      |  textarea, input[type=text], input[type=number] { width: 100%; box-sizing: border-box;
+      |    font-family: ui-monospace, monospace; padding: .4rem; }
+      |  .row { display: flex; gap: 1rem; } .row > div { flex: 1; }
+      |  button { margin-top: .75rem; padding: .5rem 1.5rem; font-size: 1rem; cursor: pointer; }
+      |  table { border-collapse: collapse; width: 100%; margin-top: 1rem; }
+      |  th, td { border: 1px solid #ccc; padding: .35rem .5rem; text-align: left; vertical-align: top; }
+      |  th { background: #f2f2f2; }
+      |  #status { margin-top: .75rem; color: #555; }
+      |  #error { margin-top: .75rem; color: #a00; font-weight: 600; white-space: pre-wrap; }
+      |  .hidden { display: none; }
+      |</style>
+      |</head>
+      |<body>
+      |<h1>graft vector search</h1>
+      |<form id="f">
+      |  <fieldset>
+      |    <legend>input mode</legend>
+      |    <label><input type="radio" name="mode" value="embedding" checked> embedding (JSON array of floats)</label>
+      |    <label><input type="radio" name="mode" value="query"> text query (server-side embedder)</label>
+      |    <div id="embBox">
+      |      <label for="emb">embedding</label>
+      |      <textarea id="emb" rows="4" placeholder="[0.12, -0.5, ...]"></textarea>
+      |    </div>
+      |    <div id="qBox" class="hidden">
+      |      <label for="q">query</label>
+      |      <input type="text" id="q" placeholder="search text">
+      |    </div>
+      |    <div class="row">
+      |      <div><label for="k">k (top results)</label>
+      |        <input type="number" id="k" value="4" min="1"></div>
+      |      <div><label for="ts">index_tree_search_top_size (optional)</label>
+      |        <input type="number" id="ts" min="1" placeholder="index default"></div>
+      |    </div>
+      |  </fieldset>
+      |  <button type="submit" id="go">Search</button>
+      |</form>
+      |<div id="error" class="hidden"></div>
+      |<div id="status" class="hidden"></div>
+      |<table id="tbl" class="hidden">
+      |  <thead><tr><th>#</th><th>score</th><th>id</th><th>title</th><th>vendor</th><th>description</th></tr></thead>
+      |  <tbody id="rows"></tbody>
+      |</table>
+      |<script>
+      |"use strict";
+      |const $ = id => document.getElementById(id);
+      |document.querySelectorAll('input[name=mode]').forEach(r =>
+      |  r.addEventListener('change', () => {
+      |    const emb = document.querySelector('input[name=mode]:checked').value === 'embedding';
+      |    $('embBox').classList.toggle('hidden', !emb);
+      |    $('qBox').classList.toggle('hidden', emb);
+      |  }));
+      |$('f').addEventListener('submit', async ev => {
+      |  ev.preventDefault();
+      |  $('error').classList.add('hidden');
+      |  $('tbl').classList.add('hidden');
+      |  $('status').classList.remove('hidden');
+      |  $('status').textContent = 'searching…';
+      |  $('go').disabled = true;
+      |  try {
+      |    const body = { k: parseInt($('k').value, 10) };
+      |    const ts = $('ts').value.trim();
+      |    if (ts) body.index_tree_search_top_size = parseInt(ts, 10);
+      |    if (document.querySelector('input[name=mode]:checked').value === 'embedding')
+      |      body.embedding = JSON.parse($('emb').value);
+      |    else body.query = $('q').value;
+      |    const resp = await fetch('/search', { method: 'POST',
+      |      headers: { 'Content-Type': 'application/json' }, body: JSON.stringify(body) });
+      |    const data = await resp.json();
+      |    if (!resp.ok) throw new Error(data.error || ('HTTP ' + resp.status));
+      |    const t = data.search_time_ms;
+      |    $('status').textContent = data.count + ' result' + (data.count === 1 ? '' : 's') +
+      |      ' in ' + (t < 1 ? (t * 1000).toFixed(2) + ' µs' : t.toFixed(2) + ' ms');
+      |    const tbody = $('rows');
+      |    tbody.replaceChildren();
+      |    (data.results || []).forEach((hit, i) => {
+      |      const tr = document.createElement('tr');
+      |      [i + 1, typeof hit.score === 'number' ? hit.score.toFixed(4) : hit.score,
+      |       hit.id, hit.title, hit.vendor, hit.description].forEach(v => {
+      |        const td = document.createElement('td');
+      |        td.textContent = v == null ? '' : String(v); // text node: markup-safe
+      |        tr.appendChild(td);
+      |      });
+      |      tbody.appendChild(tr);
+      |    });
+      |    $('tbl').classList.toggle('hidden', (data.results || []).length === 0);
+      |    if ((data.results || []).length === 0) $('status').textContent += ' — no results';
+      |  } catch (e) {
+      |    $('status').classList.add('hidden');
+      |    $('error').textContent = e.message;
+      |    $('error').classList.remove('hidden');
+      |  } finally { $('go').disabled = false; }
+      |});
+      |</script>
+      |</body>
+      |</html>
+      |""".stripMargin
 }

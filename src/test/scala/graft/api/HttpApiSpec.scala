@@ -128,9 +128,18 @@ class HttpApiSpec extends SparkFunSuite {
     }
   }
 
-  test("GET / serves the landing page; unknown paths 404; GET /search 405") {
+  test("GET / serves the interactive page; unknown paths 404; GET /search 405") {
     withServer() { port =>
-      assert(get(port, "/").statusCode() === 200)
+      val root = get(port, "/")
+      assert(root.statusCode() === 200)
+      assert(root.headers().firstValue("Content-Type").orElse("") === "text/html")
+      val html = root.body()
+      // the reference UI's observable surface: mode toggle, embedding
+      // textarea, query input, k + top-size fields, POST to /search,
+      // ranked table with score column
+      Seq("name=mode", "id=\"emb\"", "id=\"q\"", "id=\"k\"", "id=\"ts\"",
+        "fetch('/search'", "index_tree_search_top_size", "toFixed(4)")
+        .foreach(frag => assert(html.contains(frag), frag))
       assert(get(port, "/nope").statusCode() === 404)
       assert(get(port, "/search").statusCode() === 405)
     }
