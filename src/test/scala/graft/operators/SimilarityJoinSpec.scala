@@ -153,6 +153,20 @@ class SimilarityJoinSpec extends SparkFunSuite {
     } finally spark.conf.set(conf, saved)
   }
 
+  test("the maxBucket guardrail plans as a broadcast anti join, not a window sort") {
+    val capped = SimilarityJoin.lshCosinePairsBanded(emb, "vec_id", "embedding",
+      bitsPerTable = 6, nTables = 64, threshold = 0.4, maxBucket = Some(1024))
+    val plan = capped.queryExecution.executedPlan.toString
+    // oversized keys broadcast into a LeftAnti probe on the keyed rows
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+    // the guardrail must NOT sort the keyed relation (the window-count
+    // formulation's hidden cost at scale)
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("lshCosinePairsBanded is deterministic across runs and repartitionings") {
     def run(parts: Int) = SimilarityJoin.lshCosinePairsBanded(
       emb.repartition(parts), "vec_id", "embedding",
