@@ -777,6 +777,31 @@ object SparkEntry {
           col("pos").cast("long").as("bin"), col("col").as("n_in_bin"))
         .orderBy("fix_id", "bin")
     }),
+    // REAL PNG round trip over corpus data: each document's first 48
+    // bytes are ENCODED executor-side as a 6x8 grayscale PNG
+    // (PngDecoder.encodeGray — chunks, CRCs, JDK deflate), then decoded
+    // back through the same distributed image pipeline. PNG is
+    // lossless, so the oracle recomputes the histogram from the raw
+    // text bytes with string functions — a data-dependent proof that
+    // encode→decode is the identity, with zero pinned constants.
+    "multimodal_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val png = table(s, d, "documents")
+        .filter(length(col("text")) >= 48)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 48).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, px) =>
+          (id, graft.multimodal.PngDecoder.encodeGray(6, 8, px))
+        })
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractImageFeatures(png, "doc_id", "payload", bins = 16)
+        .toDF()
+        .select(col("id"), col("width"), col("height"), posexplode(col("hist")))
+        .select(col("id"), col("width"), col("height"),
+          col("pos").cast("long").as("bin"), col("col").as("n"))
+        .orderBy("id", "bin")
+    }),
     "multimodal_image_decode" -> ((s, d) => {
       val payloads = table(s, d, "documents")
         .filter(length(col("text")) >= 48)
@@ -1615,6 +1640,24 @@ object SparkEntry {
         |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
         |  GROUP BY id, bin)
         |SELECT d.id, d.n_bytes, b.bin, CAST(COALESCE(c.c, 0) AS BIGINT) AS n_in_bin
+        |FROM docs d CROSS JOIN bins b
+        |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
+        |ORDER BY d.id, b.bin""".stripMargin,
+    // PNG is lossless: decoded pixels ARE the text bytes, so the same
+    // string-function histogram that oracles the Netpbm query also
+    // oracles the full PNG encode→decode round trip.
+    "multimodal_png_decode" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 48) AS px
+        |  FROM documents WHERE length(text) >= 48),
+        |bins AS (SELECT CAST(g - 1 AS BIGINT) AS bin
+        |         FROM unnest(generate_series(1, 16)) t(g)),
+        |counts AS (
+        |  SELECT id, ascii(substr(px, CAST(i AS INT), 1)) // 16 AS bin, count(*) AS c
+        |  FROM docs, unnest(generate_series(1, 48)) t(i)
+        |  GROUP BY id, bin)
+        |SELECT d.id, CAST(6 AS INT) AS width, CAST(8 AS INT) AS height, b.bin,
+        |       CAST(COALESCE(c.c, 0) AS BIGINT) AS n
         |FROM docs d CROSS JOIN bins b
         |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
         |ORDER BY d.id, b.bin""".stripMargin,

@@ -92,11 +92,14 @@ object Multimodal {
     }
   }
 
-  /** Format-sniffing image decode: Netpbm (P5/P6) or baseline JPEG
-    * ([[JpegDecoder]] — pure Scala, T.81), whichever the magic bytes
-    * say. None for anything else — never throws. */
+  /** Format-sniffing image decode: Netpbm (P5/P6), baseline JPEG
+    * ([[JpegDecoder]] — pure Scala, T.81), or PNG ([[PngDecoder]] —
+    * pure Scala + JDK zlib), whichever the magic bytes say. None for
+    * anything else — never throws. */
   def decodeImage(payload: Array[Byte]): Option[RasterImage] =
-    decodeNetpbm(payload).orElse(JpegDecoder.decodeJpegBaseline(payload))
+    decodeNetpbm(payload)
+      .orElse(JpegDecoder.decodeJpegBaseline(payload))
+      .orElse(PngDecoder.decodePng(payload))
 
   /** Nearest-neighbor downsample to (outW × outH) — the resize step of
     * an image-preprocessing pipeline, integer arithmetic only. */
