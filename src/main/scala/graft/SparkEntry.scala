@@ -136,6 +136,14 @@ object SparkEntry {
         emb, table(s, d, "documents"), ("vec_id", "doc_id"), cfg,
         queryVec(s, d), 5, Map.empty, Some(Scale))
     }),
+    // Binary-quantization ANN: sign-bit sketches (8 B/row) → Hamming
+    // top-64 pre-filter → exact cosine re-rank of the candidates. The
+    // oracle replicates the same sketch semantics in SQL (sign
+    // comparisons instead of packed xor+popcount), so the match is exact
+    // whatever the sketch recall; recall itself is pinned in ScalaTest.
+    "ann_bitsketch_topk" -> ((s, d) =>
+      BitSketchAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
+        queryVec(s, d), k = 8, candidates = 64, scale = Scale)),
     // R2 — IVF/ANN index path; searchTopSize = numClusters ⇒ exact.
     "ann_ivf_topk" -> ((s, d) => {
       val (assigned, model) = ivfCache.computeIfAbsent(d, dir => {
@@ -492,6 +500,29 @@ object SparkEntry {
     "doc_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Gopher-style intra-document repetition metrics (dup 3-grams,
+    // dup tokens, most-frequent-token share) — one scan-local projection.
+    "doc_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // PII detection + redaction audit. The synthetic corpus has no
+    // natural PII, so a deterministic augmentation step (emails/phones/
+    // IPv4s derived from doc_id) is part of the fixture IN the plan —
+    // both engines build the identical text, then scrub it.
+    "pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")))
+      Pii.scrub(table(s, d, "documents").withColumn("text", aug), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Exact per-type value quantiles (approx_percentile is the 100 TB
     // path, pinned against this exact operator in ScalaTest).
     "events_quantiles" -> ((s, d) =>
@@ -943,6 +974,24 @@ object SparkEntry {
     "ann_ivf_disk" -> knnOracle(CosExpr, desc = true, k = 12),
     "ann_ivf_append" -> knnOracle(CosExpr, desc = true, k = 12),
     "ann_tree_topk" -> knnOracle(CosExpr, desc = true, k = 9),
+    // Same sign-sketch semantics via per-dimension sign comparisons
+    // (= xor+popcount on the packed longs), then the exact re-rank.
+    "ann_bitsketch_topk" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+        |sk AS (
+        |  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+        |         CAST(len(list_filter(generate_series(1, least(len(e.embedding), 64)),
+        |              i -> (CAST(e.embedding[i] AS DOUBLE) >= 0) != (qv.q[i] >= 0))) AS BIGINT)
+        |           AS hamming
+        |  FROM embeddings e, qv),
+        |cand AS (SELECT * FROM sk ORDER BY hamming, id LIMIT 64)
+        |SELECT c.id, c.hamming,
+        |       round(list_inner_product(c.v, qv.q) /
+        |             (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(qv.q, qv.q))), 6)
+        |         AS score
+        |FROM cand c, qv
+        |ORDER BY score DESC NULLS LAST, c.id
+        |LIMIT 8""".stripMargin,
     "sql_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 5),
     "sql_ann_rewrite" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
@@ -1241,6 +1290,59 @@ object SparkEntry {
         |  FROM embeddings),
         |  unnest(generate_series(1, len(embedding))) AS t(g)
         |ORDER BY id, idx""".stripMargin,
+    "doc_repetition" ->
+      """WITH m AS (
+        |  SELECT doc_id, tk,
+        |         CASE WHEN len(tk) >= 3
+        |              THEN list_transform(generate_series(1, len(tk) - 2),
+        |                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |              ELSE [] END AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(sh) AS BIGINT) AS n_shingles,
+        |  CASE WHEN len(sh) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) END
+        |    AS dup_3gram_ratio,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) END
+        |    AS dup_token_ratio,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE round(CAST(list_max(list_transform(list_distinct(tk),
+        |            d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk), 6) END
+        |    AS max_token_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |                   CAST((doc_id * 7) % 256 AS VARCHAR)
+        |              ELSE '' END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |         regexp_replace(regexp_replace(regexp_replace(t,
+        |           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |           '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS r
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t,
+        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(r) AS BIGINT) AS n_chars_redacted,
+        |  md5(r) AS redacted_fp
+        |FROM red ORDER BY doc_id""".stripMargin,
     "doc_quality" ->
       """SELECT doc_id, n_tokens,
         |       round(mean_word_len, 6) AS mean_word_len,

@@ -43,6 +43,9 @@ object GraftFunctions {
     ("from_binary_vector",
       (es: Seq[Expression]) => { requireArity(es, 1, "from_binary_vector"); FromBinaryVector(es(0)) },
       "_FUNC_(bin) - unpack little-endian float32 bytes + 0x01 tag to array<float>."),
+    ("sign_bits64",
+      (es: Seq[Expression]) => { requireArity(es, 1, "sign_bits64"); SignBits64Expr(es(0)) },
+      "_FUNC_(vec) - sign-bit sketch (bigint): bit i set iff vec[i] >= 0, first 64 dims."),
     ("simhash64",
       (es: Seq[Expression]) => { requireArity(es, 1, "simhash64"); SimHash64Expr(es(0)) },
       "_FUNC_(text) - 64-bit SimHash over whitespace tokens (near-dup fingerprint)."),
@@ -186,6 +189,7 @@ object GraftFunctions {
   def toBinaryVector(a: Column): Column = call_function("to_binary_vector", a)
   def fromBinaryVector(a: Column): Column = call_function("from_binary_vector", a)
   def simhash64(text: Column): Column = call_function("simhash64", text)
+  def signBits64(vec: Column): Column = call_function("sign_bits64", vec)
   def minhashSignature(text: Column, numHashes: Int): Column =
     call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
   def contentChunkHashes(payload: Column, avgBits: Int): Column =

@@ -186,6 +186,41 @@ case class ToBinaryVector(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * `sign_bits64(array<float>) -> bigint` — 1-bit-per-dimension sign
+ * quantization sketch (see [[VectorKernels.signBits64]]). Hamming distance
+ * between two sketches (`bit_count(a ^ b)` — both Spark built-ins, so the
+ * probe side of a sketch scan needs no custom expression at all) is the
+ * binary-quantized ANN pre-filter: an 8-byte column scan instead of the
+ * 256-byte vector column.
+ */
+case class SignBits64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_bits64 requires array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.signBits64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("signBits")
+      s"""
+         |java.lang.Long $res = graft.functions.VectorKernels.signBits64($c);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "sign_bits64"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `cosine_lsh_keys(vec, bitsPerTable, nTables, seed)` → array<bigint>:
  * one random-hyperplane LSH bucket key per table, table id folded into
  * the key (see [[VectorKernels.cosineLshKeys]]). The candidate-generation

@@ -99,6 +99,24 @@ object VectorKernels {
     java.lang.Double.valueOf(s)
   }
 
+  /** Sign-bit binary sketch: bit i of the result is set iff vec(i) >= 0,
+    * over the first min(dim, 64) dimensions. One-bit-per-dimension
+    * quantization — 64-dim float32 vectors (256 B) compress to a single
+    * long (8 B), and Hamming distance on the sketches approximates
+    * angular distance (each bit is a fixed-axis random-hyperplane test).
+    * Null on null elements. */
+  def signBits64(a: ArrayData): java.lang.Long = {
+    val n = math.min(a.numElements(), 64)
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      if (a.getFloat(i) >= 0f) bits |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
   // ----------------------------------------------------------------- codec
 
   /** Encode a float vector to the reference wire format: n little-endian

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * PII detection and redaction — a standard compliance pass in LLM
+ * training-data pipelines (beyond-reference scope; the reference has no
+ * string processing at all, SURVEY.md §2.2). Detects emails, North-
+ * American-style phone fragments, and IPv4 addresses with fixed regex
+ * patterns and replaces them with typed placeholder tokens.
+ *
+ * 100 TB shape: one codegen'd projection per row (`regexp_extract_all` +
+ * `regexp_replace` are Spark built-ins) — no shuffle, no UDF, no state;
+ * the cheapest possible full-corpus pass, like [[TextAnalysis.qualityScore]].
+ *
+ * The patterns deliberately avoid constructs whose semantics differ
+ * between regex engines (no lookaround, no backreferences, no lazy
+ * quantifiers), so the same pattern strings run identically on Java
+ * regex (Spark) and RE2-style engines — which is what makes the
+ * cross-engine oracle exact.
+ */
+object Pii {
+
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redaction order is fixed (email → IPv4 → phone) and the replacement
+    * tokens contain no digits or '@', so later passes can never match
+    * inside an earlier replacement. */
+  def redactText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-document PII counts (on the raw text) plus the redacted text's
+    * length and MD5 fingerprint — enough for both an audit rollup and a
+    * verify-the-redaction downstream check without materializing two
+    * copies of the corpus. */
+  def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = redactText(t)
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
+      length(redacted).cast("long").as("n_chars_redacted"),
+      md5(redacted.cast("binary")).as("redacted_fp"))
+  }
+
+  /** The redacted corpus itself (id, redacted text) — the pipeline
+    * composition surface ([[scrub]] is the audit surface). */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), redactText(col(textCol)).as(textCol))
+}

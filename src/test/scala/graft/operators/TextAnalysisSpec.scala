@@ -138,4 +138,41 @@ class TextAnalysisSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(a === b)
   }
+
+  test("repetitionStats: hand-computed dup ratios and max-token share") {
+    import spark.implicits._
+    val docs = Seq(
+      // tokens: [a b a b a] → 3-grams: "a b a","b a b","a b a" (3 total, 2 distinct)
+      (1L, "a b a b a"),
+      // no repetition at all
+      (2L, "u v w x"),
+      // degenerate loop output: one token repeated
+      (3L, "spam spam spam spam"),
+      // too short for any 3-gram
+      (4L, "xy zz")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((5L, 3L, math.rint((1.0 - 2.0 / 3) * 1e6) / 1e6, 0.6, 0.6)))
+    assert(got(2L) === ((4L, 2L, 0.0, 0.0, 0.25)))
+    assert(got(3L) === ((4L, 2L, 0.5, 0.75, 1.0)))
+    assert(got(4L) === ((2L, 0L, 0.0, 0.0, 0.5)))
+  }
+
+  test("repetitionStats: empty text does not divide by zero") {
+    import spark.implicits._
+    val r = TextAnalysis.repetitionStats(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").head
+    // split("", " ") = [""] → 1 token, 0 shingles, max share 1.0
+    assert(r.getLong(1) === 1L && r.getLong(2) === 0L)
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0 && r.getDouble(5) === 1.0)
+  }
+
+  test("repetitionStats is a single shuffle-free projection (plan)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
