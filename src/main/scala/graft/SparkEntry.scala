@@ -695,6 +695,25 @@ object SparkEntry {
           round(col("col"), 6).as("val"))
         .orderBy("label", "idx")
     }),
+    // Corpus second-moment (uncentered covariance) matrix — the
+    // one-pass PCA/whitening input (operators/Pca.scala): map-side
+    // 16 KB GramMatrix buffers, exact micro-unit accumulation, one
+    // 64×64 matrix out. Exploded to (i, j, m2) upper-triangle rows.
+    "vector_gram" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val dim = 64
+      val idx = for { i <- 1 to dim; j <- i to dim } yield (i, j)
+      val is = typedLit(idx.map(_._1))
+      val js = typedLit(idx.map(_._2))
+      table(s, d, "embeddings")
+        .agg(GraftFunctions.vectorGram(col("embedding")).as("g"))
+        .select(col("g.n").as("n"), posexplode(col("g.sums")).as(Seq("pos", "micro")))
+        .select(
+          element_at(is, col("pos") + 1).cast("long").as("i"),
+          element_at(js, col("pos") + 1).cast("long").as("j"),
+          round(col("micro") / 1e6 / col("n"), 6).as("m2"))
+        .orderBy("i", "j")
+    }),
     // Windowed aggregation over the events stream shape (batch mode of
     // the Structured Streaming pipeline; exact decimal sums).
     "events_windowed" -> ((s, d) =>
@@ -1725,6 +1744,25 @@ object SparkEntry {
       """SELECT vec_id AS id, CAST(4 * len(embedding) + 1 AS BIGINT) AS payload_bytes,
         |       round(CAST(embedding[1] AS DOUBLE), 6) AS feat0
         |FROM embeddings ORDER BY id""".stripMargin,
+    // Replays the GramMatrix accumulation exactly: per-row products
+    // rounded to 6 dp (half away from zero, same as the kernel's
+    // micro-unit longs), summed in DECIMAL (exact, order-independent),
+    // one final double division + round.
+    "vector_gram" ->
+      """WITH prods AS (
+        |  SELECT ti.i AS i, tj.j AS j,
+        |         CAST(round(CAST(e.embedding[ti.i] AS DOUBLE) *
+        |                    CAST(e.embedding[tj.j] AS DOUBLE), 6) AS DECIMAL(28,6)) AS p
+        |  FROM embeddings e,
+        |       unnest(generate_series(1, 64)) AS ti(i),
+        |       unnest(generate_series(1, 64)) AS tj(j)
+        |  WHERE tj.j >= ti.i),
+        |n AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |       round(CAST(sum(p) AS DOUBLE) / n.n, 6) AS m2
+        |FROM prods, n
+        |GROUP BY i, j, n.n
+        |ORDER BY i, j""".stripMargin,
     "vector_centroids" ->
       """SELECT e.label, CAST(t.i AS BIGINT) AS idx,
         |       round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS val

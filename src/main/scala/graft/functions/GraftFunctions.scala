@@ -64,6 +64,9 @@ object GraftFunctions {
     ("vector_avg",
       (es: Seq[Expression]) => { requireArity(es, 1, "vector_avg"); VectorAvg(es(0)).toAggregateExpression() },
       "_FUNC_(vec) - element-wise mean of a group of float vectors (centroid aggregate)."),
+    ("vector_gram",
+      (es: Seq[Expression]) => { requireArity(es, 1, "vector_gram"); GramMatrix(es(0)).toAggregateExpression() },
+      "_FUNC_(vec) - second-moment matrix aggregate: struct(n, upper-triangle micro-unit sums)."),
     ("shingle_set",
       (es: Seq[Expression]) => { requireArity(es, 1, "shingle_set"); ShingleSetExpr(es(0)) },
       "_FUNC_(text) - distinct token-3-gram shingles (array<string>)."),
@@ -190,6 +193,7 @@ object GraftFunctions {
   def fromBinaryVector(a: Column): Column = call_function("from_binary_vector", a)
   def simhash64(text: Column): Column = call_function("simhash64", text)
   def signBits64(vec: Column): Column = call_function("sign_bits64", vec)
+  def vectorGram(vec: Column): Column = call_function("vector_gram", vec)
   def minhashSignature(text: Column, numHashes: Int): Column =
     call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
   def contentChunkHashes(payload: Column, avgBits: Int): Column =
