@@ -505,6 +505,12 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Sliding-window token chunking (40-token windows, stride 30) — the
+    // pre-embedding fan-out, one generate+explode inside the scan stage.
+    "doc_chunks" -> ((s, d) =>
+      TextAnalysis.chunkTokens(table(s, d, "documents"), "doc_id", "text",
+        chunkSize = 40, stride = 30)
+        .orderBy("doc_id", "chunk_id")),
     // PII detection + redaction audit. The synthetic corpus has no
     // natural PII, so a deterministic augmentation step (emails/phones/
     // IPv4s derived from doc_id) is part of the fixture IN the plan —
@@ -1331,6 +1337,25 @@ object SparkEntry {
         |            d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk), 6) END
         |    AS max_token_ratio
         |FROM m ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, tk,
+        |         unnest(generate_series(0,
+        |           CASE WHEN n <= 40 THEN 0
+        |                ELSE CAST(floor((n - 40 + 29) / 30.0) AS INT) END)) AS k
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(tk, k * 30 + 1, k * 30 + 40)) AS BIGINT)
+        |         AS n_chunk_tokens,
+        |       array_to_string(list_slice(tk, k * 30 + 1, k * 30 + 40), ' ')
+        |         AS chunk_text
+        |FROM starts
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,

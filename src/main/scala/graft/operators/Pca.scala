@@ -139,13 +139,20 @@ object Pca {
 
   /**
    * Project each row onto the model's components:
-   * out(k) = ⟨x, c_k⟩ − ⟨μ, c_k⟩. One codegen'd projection per row;
-   * the components travel as plan literals (dim × d doubles — trivially
-   * broadcast with the plan itself).
+   * out(k) = (⟨x, c_k⟩ − ⟨μ, c_k⟩) / (√λ_k if `whiten`). One codegen'd
+   * projection per row; the components travel as plan literals (dim × d
+   * doubles — trivially broadcast with the plan itself). Whitening
+   * folds into the SAME literals (component and offset pre-divided), so
+   * it costs nothing at run time; near-zero eigenvalues are floored to
+   * keep the scale finite on degenerate axes.
    */
   def project(emb: DataFrame, idCol: String, vecCol: String,
-      model: PcaModel, scale: Int = 6): DataFrame = {
-    val projCols = model.components.zipWithIndex.map { case (c, k) =>
+      model: PcaModel, scale: Int = 6, whiten: Boolean = false): DataFrame = {
+    val projCols = model.components.zipWithIndex.map { case (c0, k) =>
+      val c = if (whiten) {
+        val sd = math.sqrt(math.max(model.eigenvalues(k), 1e-12))
+        c0.map(_ / sd)
+      } else c0
       val offset = c.indices.map(i => c(i) * model.mean(i)).sum
       round(dotLit(col(vecCol), c) - offset, scale).as(s"pc${k + 1}")
     }

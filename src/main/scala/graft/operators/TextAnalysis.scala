@@ -249,6 +249,40 @@ object TextAnalysis {
         .as("max_token_ratio"))
   }
 
+  /**
+   * Sliding-window token chunking — the standard pre-embedding step
+   * (a 64-dim encoder reads ~chunk-sized inputs, not whole documents).
+   * Emits one row per (document, window): windows of `chunkTokens`
+   * tokens starting every `stride` tokens; the last window is the
+   * first one reaching the end of the document (no redundant suffix
+   * windows), and a document shorter than one window yields exactly
+   * one chunk.
+   *
+   * 100 TB shape: per-row generate + explode inside the scan stage —
+   * fan-out is bounded by ~n_tokens/stride per row, no shuffle, no
+   * state; chunk ids are deterministic (doc id × window index).
+   */
+  def chunkTokens(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, s"chunkSize/stride must be >= 1")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // first start s.t. start + chunkSize >= n  ⇒  nStarts = ceil((n-chunkSize)/stride)+1
+    val nStarts = when(n <= chunkSize, lit(1))
+      .otherwise(floor((n - chunkSize + stride - 1).cast("double") / stride).cast("int") + 1)
+    docs
+      .select(col(idCol), toks.as("__toks"),
+        posexplode(sequence(lit(0), nStarts - 1)).as(Seq("__k", "__start")))
+      .select(
+        col(idCol),
+        col("__k").cast("long").as("chunk_id"),
+        size(slice(col("__toks"), col("__k") * stride + 1, lit(chunkSize))).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("__k") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
     * dedup key. MD5 is standard across engines, so it doubles as a
     * cross-engine-verifiable fingerprint. */

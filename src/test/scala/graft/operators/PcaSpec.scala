@@ -75,6 +75,29 @@ class PcaSpec extends SparkFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("whiten: planted-variance axes come out with ~unit empirical variance") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 2000L).map { i =>
+      val v = new Array[Float](4)
+      v(0) = (rng.nextGaussian() * 5).toFloat
+      v(1) = (rng.nextGaussian() * 0.5).toFloat
+      (i, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val model = Pca.fit(df, "vec", d = 2)
+    val projected = Pca.project(df, "id", "vec", model, scale = 9, whiten = true)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val v1 = variance(projected.map(_._1))
+    val v2 = variance(projected.map(_._2))
+    assert(math.abs(v1 - 1.0) < 0.05, s"pc1 variance $v1")
+    assert(math.abs(v2 - 1.0) < 0.05, s"pc2 variance $v2")
+  }
+
   test("end to end: projection onto full basis preserves centered norms") {
     import spark.implicits._
     val rng = new scala.util.Random(3)

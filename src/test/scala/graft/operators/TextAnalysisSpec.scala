@@ -168,6 +168,35 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0 && r.getDouble(5) === 1.0)
   }
 
+  test("chunkTokens: windows, stride, tail handling, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: starts 0,3,6 — start 6 reaches the end (6+4 >= 10), so 3 chunks
+    assert(got.count(_._1 == 1L) === 3)
+    assert(got(0) === ((1L, 0L, 4L, "t1 t2 t3 t4")))
+    assert(got(1) === ((1L, 1L, 4L, "t4 t5 t6 t7")))
+    assert(got(2) === ((1L, 2L, 4L, "t7 t8 t9 t10")))
+    // doc 2 shorter than one window: exactly one (short) chunk
+    assert(got(3) === ((2L, 0L, 2L, "a b")))
+  }
+
+  test("chunkTokens: every token is covered and consecutive chunks overlap by chunk-stride") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 103).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 16, stride = 12)
+      .orderBy("chunk_id").collect().map(_.getString(3).split(" ").toSeq)
+    assert(chunks.flatten.distinct.length === 103) // full coverage
+    for (pair <- chunks.sliding(2)) {
+      assert(pair(0).takeRight(4) === pair(1).take(4)) // overlap = 16 - 12
+    }
+    assert(chunks.last.last === "w103")
+  }
+
   test("repetitionStats is a single shuffle-free projection (plan)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
