@@ -70,6 +70,9 @@ object GraftFunctions {
     ("shingle_set",
       (es: Seq[Expression]) => { requireArity(es, 1, "shingle_set"); ShingleSetExpr(es(0)) },
       "_FUNC_(text) - distinct token-3-gram shingles (array<string>)."),
+    ("repetition_counts",
+      (es: Seq[Expression]) => { requireArity(es, 1, "repetition_counts"); RepetitionCountsExpr(es(0)) },
+      "_FUNC_(text) - [n_tokens, n_shingles, distinct_shingles, distinct_tokens, max_multiplicity]."),
     ("minhash_band_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 3, "minhash_band_hashes")

@@ -91,6 +91,35 @@ case class ShingleSetExpr(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * `repetition_counts(text)` → array<bigint> `[n_tokens, n_shingles,
+ * n_distinct_shingles, n_distinct_tokens, max_token_multiplicity]` —
+ * the one-pass kernel behind
+ * [[graft.operators.TextAnalysis.repetitionStats]]
+ * (see [[TextHashKernels.repetitionCounts]] for why this is a kernel
+ * and not builtin higher-order functions).
+ */
+case class RepetitionCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_counts requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.repetitionCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.repetitionCounts($c)")
+
+  override def prettyName: String = "repetition_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `minhash_band_hashes(text, bands, rowsPerBand)` → array<bigint>: one
  * LSH bucket key per band, computed in a single kernel pass.
  */

@@ -275,4 +275,61 @@ object TextHashKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out.toArray)
   }
+
+  /**
+   * One-pass intra-document repetition counts over SQL-`split`
+   * semantics (split on ' ' KEEPING empty tokens, so "" is one empty
+   * token and consecutive spaces produce empties — byte-identical to
+   * `split(text, " ")` / DuckDB `string_split`):
+   * `[n_tokens, n_shingles, n_distinct_shingles, n_distinct_tokens,
+   * max_token_multiplicity]`.
+   *
+   * Because consecutive tokens are separated by exactly one space by
+   * construction, the token-3-gram joined with ' ' IS the original
+   * byte slice from token i's start to token i+2's end — shingles are
+   * zero-copy slices, no string building. Exists as a kernel (not
+   * builtin HOFs) because Spark's higher-order array functions are
+   * `CodegenFallback`: the HOF formulation re-evaluated interpreted
+   * lambda trees per output column (measured 13 s vs sub-second at
+   * sf0.1 for the same semantics).
+   */
+  def repetitionCounts(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // token boundaries: starts(k)/ends(k) of the k-th token
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](32)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        starts += start
+        ends += i
+        start = i + 1
+      }
+      i += 1
+    }
+    val nTokens = starts.length
+    val tokenCounts = new java.util.HashMap[UTF8String, Array[Int]](nTokens * 2)
+    var maxMult = 0
+    var t = 0
+    while (t < nTokens) {
+      val tok = UTF8String.fromBytes(bytes, starts(t), ends(t) - starts(t))
+      val c = tokenCounts.computeIfAbsent(tok, _ => new Array[Int](1))
+      c(0) += 1
+      if (c(0) > maxMult) maxMult = c(0)
+      t += 1
+    }
+    val nShingles = math.max(nTokens - 2, 0)
+    val distinctShingles = new java.util.HashSet[UTF8String](nShingles * 2)
+    t = 0
+    while (t < nShingles) {
+      distinctShingles.add(
+        UTF8String.fromBytes(bytes, starts(t), ends(t + 2) - starts(t)))
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array[Long](
+      nTokens.toLong, nShingles.toLong, distinctShingles.size.toLong,
+      tokenCounts.size.toLong, maxMult.toLong))
+  }
 }

@@ -208,43 +208,35 @@ object TextAnalysis {
    *  - `max_token_ratio`: share of the single most frequent token
    *    (a loop emitting the same word pins this near 1).
    *
-   * 100 TB shape: one codegen'd projection per row — the shingle list,
-   * its distinct count, and the max-multiplicity scan (a linear pass
-   * over the row's own sorted token array via the `aggregate` HOF) all
-   * happen inside the scan stage; no explode, no shuffle, no state.
+   * 100 TB shape: ONE codegen'd kernel call per row
+   * (`repetition_counts`, [[graft.functions.TextHashKernels
+   * .repetitionCounts]]) feeding a handful of arithmetic columns —
+   * inside the scan stage, no explode, no shuffle, no state. The
+   * counts are deliberately NOT built from Spark's array higher-order
+   * functions: those are `CodegenFallback`, and the interpreted
+   * lambda trees re-evaluated per output column were 20× slower for
+   * identical semantics (measured at sf0.1).
    */
   def repetitionStats(
       docs: DataFrame, idCol: String, textCol: String, scale: Int = 6): DataFrame = {
-    val toks = tokens(col(textCol))
-    val n = size(toks)
-    val shingles = when(n >= 3,
-      transform(sequence(lit(1), n - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val nSh = size(shingles)
-    val nShDistinct = size(array_distinct(shingles))
-    val nDistinct = size(array_distinct(toks))
-    // Max multiplicity of any token = the longest equal-run in the sorted
-    // array — one linear fold, no quadratic distinct×tokens scan.
-    val maxMult = aggregate(
-      sort_array(toks),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, t) => {
-        val run = when(t === acc("prev"), acc("run") + 1).otherwise(lit(1))
-        struct(t.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val c = call_function("repetition_counts", col(textCol))
+    val n = element_at(c, 1)
+    val nSh = element_at(c, 2)
+    val nShDistinct = element_at(c, 3)
+    val nDistinct = element_at(c, 4)
+    val maxMult = element_at(c, 5)
     docs.select(
       col(idCol),
-      n.cast("long").as("n_tokens"),
-      nSh.cast("long").as("n_shingles"),
-      when(nSh === 0, 0.0)
+      n.as("n_tokens"),
+      nSh.as("n_shingles"),
+      when(nSh === 0L, 0.0)
         .otherwise(round(lit(1.0) - nShDistinct.cast("double") / nSh, scale))
         .as("dup_3gram_ratio"),
-      when(n === 0, 0.0)
+      when(n === 0L, 0.0)
         .otherwise(round(lit(1.0) - nDistinct.cast("double") / n, scale))
         .as("dup_token_ratio"),
-      when(n === 0, 0.0)
+      when(n === 0L, 0.0)
         .otherwise(round(maxMult.cast("double") / n, scale))
         .as("max_token_ratio"))
   }

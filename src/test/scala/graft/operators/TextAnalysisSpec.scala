@@ -159,6 +159,22 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got(4L) === ((2L, 0L, 0.0, 0.0, 0.5)))
   }
 
+  test("repetition_counts kernel: SQL split semantics (empties kept) on odd spacing") {
+    import spark.implicits._
+    // "a  b " splits to [a, "", b, ""]: 4 tokens, 3 distinct, max mult 2
+    // ("" twice); 2 shingles "a  b" and " b " — distinct
+    val r = TextAnalysis.repetitionStats(Seq((1L, "a  b ")).toDF("doc_id", "text"),
+      "doc_id", "text").head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 0.0)                     // both shingles distinct
+    assert(r.getDouble(4) === 0.25)                    // 1 - 3/4
+    assert(r.getDouble(5) === 0.5)                     // "" appears twice
+    // cross-check the token count against Spark's own split()
+    val sparkSplit = Seq(("a  b ")).toDF("text")
+      .select(size(split(col("text"), " "))).head.getInt(0)
+    assert(sparkSplit === 4)
+  }
+
   test("repetitionStats: empty text does not divide by zero") {
     import spark.implicits._
     val r = TextAnalysis.repetitionStats(Seq((1L, "")).toDF("doc_id", "text"),
