@@ -64,6 +64,9 @@ object GraftFunctions {
     ("vector_avg",
       (es: Seq[Expression]) => { requireArity(es, 1, "vector_avg"); VectorAvg(es(0)).toAggregateExpression() },
       "_FUNC_(vec) - element-wise mean of a group of float vectors (centroid aggregate)."),
+    ("mat_vec",
+      (es: Seq[Expression]) => { requireArity(es, 3, "mat_vec"); MatVecExpr(es(0), es(1), es(2)) },
+      "_FUNC_(vec, flatMatrix, offsets) - dense linear map: out[k] = dot(vec, row_k) - offsets[k]."),
     ("vector_gram",
       (es: Seq[Expression]) => { requireArity(es, 1, "vector_gram"); GramMatrix(es(0)).toAggregateExpression() },
       "_FUNC_(vec) - second-moment matrix aggregate: struct(n, upper-triangle micro-unit sums)."),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -306,6 +306,47 @@ case class PqEncodeExpr(left: Expression, right: Expression, m: Int, k: Int)
  * a PQ code against a per-query lookup table. See
  * [[VectorKernels.pqAdcScore]].
  */
+/**
+ * `mat_vec(vec, flatMatrix, offsets)` → array<double>: dense linear map
+ * out(k) = ⟨vec, row_k⟩ − offsets(k), with the d×dim matrix flattened
+ * row-major into a plan-literal array (see [[VectorKernels.matVec]]).
+ * The codegen'd projection kernel for PCA/whitening/random projections —
+ * deliberately NOT built from `zip_with`/`aggregate`, which are
+ * `CodegenFallback` and evaluate interpreted.
+ */
+case class MatVecExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mat_vec requires (array<float>, array<double>, array<double>), got $other")
+    }
+
+  override def nullSafeEval(vec: Any, flat: Any, offs: Any): Any =
+    VectorKernels.matVec(vec.asInstanceOf[ArrayData],
+      flat.asInstanceOf[ArrayData], offs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, o) => {
+      val res = ctx.freshName("matVec")
+      val arrayCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |$arrayCls $res = graft.functions.VectorKernels.matVec($v, $m, $o);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "mat_vec"
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 case class PqAdcScoreExpr(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -117,6 +117,33 @@ object VectorKernels {
     java.lang.Long.valueOf(bits)
   }
 
+  /** Dense linear map with per-output offsets:
+    * out(k) = Σᵢ vec(i)·flat(k·dim + i) − offsets(k). The projection
+    * kernel behind [[graft.operators.Pca.project]] (components and
+    * whitening scaling pre-folded into `flat`/`offsets` plan literals);
+    * also fits random projections and any other fixed linear map.
+    * Null on null elements or a flat-matrix size mismatch. */
+  def matVec(vec: ArrayData, flat: ArrayData, offsets: ArrayData): ArrayData = {
+    val d = offsets.numElements()
+    val dim = vec.numElements()
+    if (flat.numElements() != d * dim) return null
+    val out = new Array[Double](d)
+    var k = 0
+    while (k < d) {
+      val base = k * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        if (vec.isNullAt(i)) return null
+        s += vec.getFloat(i).toDouble * flat.getDouble(base + i)
+        i += 1
+      }
+      out(k) = s - offsets.getDouble(k)
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   // ----------------------------------------------------------------- codec
 
   /** Encode a float vector to the reference wire format: n little-endian

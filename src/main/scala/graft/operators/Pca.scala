@@ -132,15 +132,12 @@ object Pca {
     PcaModel(dim, mean, vecs.take(d), ev.take(d))
   }
 
-  private def dotLit(vec: Column, cs: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, typedLit(cs.toSeq), (x, c) => x.cast("double") * c),
-      lit(0.0), (acc, x) => acc + x)
-
   /**
    * Project each row onto the model's components:
-   * out(k) = (⟨x, c_k⟩ − ⟨μ, c_k⟩) / (√λ_k if `whiten`). One codegen'd
-   * projection per row; the components travel as plan literals (dim × d
+   * out(k) = (⟨x, c_k⟩ − ⟨μ, c_k⟩) / (√λ_k if `whiten`). ONE codegen'd
+   * `mat_vec` kernel call per row (shared across the output columns by
+   * subexpression elimination — NOT `zip_with`/`aggregate`, which are
+   * `CodegenFallback`); the components travel as plan literals (dim × d
    * doubles — trivially broadcast with the plan itself). Whitening
    * folds into the SAME literals (component and offset pre-divided), so
    * it costs nothing at run time; near-zero eigenvalues are floored to
@@ -148,14 +145,18 @@ object Pca {
    */
   def project(emb: DataFrame, idCol: String, vecCol: String,
       model: PcaModel, scale: Int = 6, whiten: Boolean = false): DataFrame = {
-    val projCols = model.components.zipWithIndex.map { case (c0, k) =>
-      val c = if (whiten) {
+    GraftFunctions.register(emb.sparkSession)
+    val rows = model.components.zipWithIndex.map { case (c0, k) =>
+      if (whiten) {
         val sd = math.sqrt(math.max(model.eigenvalues(k), 1e-12))
         c0.map(_ / sd)
       } else c0
-      val offset = c.indices.map(i => c(i) * model.mean(i)).sum
-      round(dotLit(col(vecCol), c) - offset, scale).as(s"pc${k + 1}")
     }
-    emb.select(col(idCol) +: projCols.toSeq: _*)
+    val offsets = rows.map(c => c.indices.map(i => c(i) * model.mean(i)).sum)
+    val proj = call_function("mat_vec", col(vecCol),
+      typedLit(rows.flatten.toSeq), typedLit(offsets.toSeq))
+    val projCols = rows.indices.map(k =>
+      round(element_at(proj, k + 1), scale).as(s"pc${k + 1}"))
+    emb.select(col(idCol) +: projCols: _*)
   }
 }
