@@ -73,6 +73,9 @@ object GraftFunctions {
     ("shingle_set",
       (es: Seq[Expression]) => { requireArity(es, 1, "shingle_set"); ShingleSetExpr(es(0)) },
       "_FUNC_(text) - distinct token-3-gram shingles (array<string>)."),
+    ("token_hits",
+      (es: Seq[Expression]) => { requireArity(es, 2, "token_hits"); TokenHitsExpr(es(0), es(1)) },
+      "_FUNC_(text, words) - count of whitespace tokens equal to any of words."),
     ("repetition_counts",
       (es: Seq[Expression]) => { requireArity(es, 1, "repetition_counts"); RepetitionCountsExpr(es(0)) },
       "_FUNC_(text) - [n_tokens, n_shingles, distinct_shingles, distinct_tokens, max_multiplicity]."),

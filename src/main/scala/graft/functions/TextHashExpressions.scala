@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -88,6 +89,34 @@ case class ShingleSetExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingle_set"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/**
+ * `token_hits(text, words)` → bigint: whitespace tokens equal to any of
+ * `words` (see [[TextHashKernels.tokenHits]]) — the codegen'd
+ * marker/stopword counter for language ID and quality scoring.
+ */
+case class TokenHitsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_hits requires (string, array<string>), got $other")
+  }
+
+  override def nullSafeEval(text: Any, words: Any): Any =
+    TextHashKernels.tokenHits(text.asInstanceOf[UTF8String], words.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) => s"graft.functions.TextHashKernels.tokenHits($t, $w)")
+
+  override def prettyName: String = "token_hits"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /**

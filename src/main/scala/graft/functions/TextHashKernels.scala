@@ -332,4 +332,44 @@ object TextHashKernels {
       nTokens.toLong, nShingles.toLong, distinctShingles.size.toLong,
       tokenCounts.size.toLong, maxMult.toLong))
   }
+
+  /**
+   * Count whitespace tokens (SQL-`split` semantics, empties kept)
+   * that equal any of `words` — the marker/stopword counter behind
+   * language ID and the quality score. One pass, no token array
+   * materialized; a kernel because `filter(toks, _.isin(...))` is a
+   * `CodegenFallback` higher-order function (interpreted per row).
+   */
+  def tokenHits(text: UTF8String, words: ArrayData): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val nw = words.numElements()
+    var hits = 0L
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val len = i - start
+        var w = 0
+        var matched = false
+        while (w < nw && !matched) {
+          val word = words.getUTF8String(w)
+          if (word.numBytes() == len) {
+            var j = 0
+            val wb = word.getBytes
+            matched = true
+            while (j < len && matched) {
+              if (wb(j) != bytes(start + j)) matched = false
+              j += 1
+            }
+          }
+          w += 1
+        }
+        if (matched) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
 }

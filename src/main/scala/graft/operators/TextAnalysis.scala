@@ -33,14 +33,17 @@ object TextAnalysis {
   /** Stopword list used by the quality score. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and")
 
-  private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*))).cast("long")
+  /** Codegen'd kernel counter (`token_hits`) — `filter(toks, _.isin(...))`
+    * is a `CodegenFallback` HOF and evaluates interpreted. */
+  private def hitCount(text: Column, words: Seq[String]): Column =
+    call_function("token_hits", text, typedLit(words))
 
   /**
    * Per-document statistics: length, token counts, type-token ratio,
    * stopword ratio. Everything derives from one `split` per row.
    */
   def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = tokens(col(textCol))
     val nTokens = size(toks).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
@@ -50,7 +53,7 @@ object TextAnalysis {
       nTokens.as("n_tokens"),
       nDistinct.as("n_distinct"),
       round(nDistinct.cast("double") / nTokens, 6).as("ttr"),
-      round(hitCount(toks, StopWords).cast("double") / nTokens, 6).as("stopword_ratio"))
+      round(hitCount(col(textCol), StopWords).cast("double") / nTokens, 6).as("stopword_ratio"))
   }
 
   /** Regex token counting (a BPE-ish pre-tokenizer pass): runs of
@@ -68,9 +71,9 @@ object TextAnalysis {
    * a fixed, deterministic preference order on ties (en > de > fr > es).
    */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val scores = LangMarkers.map { case (lang, words) =>
-      lang -> hitCount(toks, words)
+      lang -> hitCount(col(textCol), words)
     }
     val Seq(en, de, fr, es) = scores.map(_._2)
     val pred = when(en >= de && en >= fr && en >= es, "en")
@@ -139,12 +142,13 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       minTokens: Long = 20L, maxTokens: Long = 100000L,
       minStopRatio: Double = 0.01, maxPunctRatio: Double = 0.2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = tokens(col(textCol))
     val nTokens = size(toks).cast("long")
     val nChars = length(col(textCol)).cast("long")
     val nPunct = size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long")
     val meanWordLen = (nChars - (nTokens - lit(1L))).cast("double") / nTokens
-    val stopRatio = hitCount(toks, StopWords).cast("double") / nTokens
+    val stopRatio = hitCount(col(textCol), StopWords).cast("double") / nTokens
     // empty text guard: 0/0 would be NULL and poison every check below
     val punctRatio = when(nChars === 0L, 0.0).otherwise(nPunct.cast("double") / nChars)
     val checks = Seq(
