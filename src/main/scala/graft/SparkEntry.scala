@@ -505,6 +505,12 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Vocabulary coverage: top-20 corpus vocab (count DESC, term ASC
+    // cut) → per-doc out-of-vocabulary token fraction.
+    "vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(table(s, d, "documents"), "doc_id", "text",
+        vocabSize = 20)
+        .orderBy("doc_id")),
     // Sliding-window token chunking (40-token windows, stride 30) — the
     // pre-embedding fan-out, one generate+explode inside the scan stage.
     "doc_chunks" -> ((s, d) =>
@@ -1337,6 +1343,25 @@ object SparkEntry {
         |            d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk), 6) END
         |    AS max_token_ratio
         |FROM m ORDER BY doc_id""".stripMargin,
+    "vocab_coverage" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS tf,
+        |           row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rk
+        |    FROM terms GROUP BY term)
+        |  WHERE rk <= 20),
+        |dtf AS (
+        |  SELECT doc_id, term, count(*) AS dtf FROM terms GROUP BY doc_id, term)
+        |SELECT d.doc_id,
+        |       CAST(sum(d.dtf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN d.dtf ELSE 0 END) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(CASE WHEN v.term IS NULL THEN d.dtf ELSE 0 END) AS DOUBLE)
+        |             / sum(d.dtf), 6) AS oov_ratio
+        |FROM dtf d LEFT JOIN vocab v USING (term)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk,

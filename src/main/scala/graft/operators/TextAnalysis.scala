@@ -279,6 +279,36 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /**
+   * Vocabulary coverage / OOV analysis — the tokenizer-prep question:
+   * with a vocabulary of the corpus's `vocabSize` most frequent tokens
+   * (count DESC, token ASC tie-break, so the cut is deterministic),
+   * what fraction of each document's token instances fall outside it?
+   *
+   * Shape at scale: explode → per-(doc, term) counts (one shuffle) and
+   * corpus term counts (vocabulary-sized, map-side partials) → the
+   * top-`vocabSize` cut is a `TakeOrderedAndProject` over the
+   * vocabulary-sized relation → broadcast the vocab to the per-doc
+   * probe (never shuffles the corpus again) → one per-doc aggregate.
+   */
+  def vocabCoverage(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, scale: Int = 6): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    val dtf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("dtf"))
+    dtf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(
+        sum(col("dtf")).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, col("dtf")).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), scale).as("oov_ratio"))
+  }
+
   /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
     * dedup key. MD5 is standard across engines, so it doubles as a
     * cross-engine-verifiable fingerprint. */

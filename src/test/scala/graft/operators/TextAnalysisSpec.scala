@@ -213,6 +213,28 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(chunks.last.last === "w103")
   }
 
+  test("vocabCoverage: OOV fractions with a deterministic tie at the vocab cut") {
+    import spark.implicits._
+    // counts: aa=4, bb=3, cc=3, dd=1 — vocabSize=2 cuts {aa, bb}
+    // (bb beats cc on the term tie-break at equal count 3)
+    val docs = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa aa bb bb cc cc dd")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((4L, 1L, 0.25)))             // cc OOV
+    assert(got(2L) === ((7L, 3L, math.rint(3.0 / 7 * 1e6) / 1e6))) // cc,cc,dd OOV
+  }
+
+  test("vocabCoverage plan: vocab cut is a heap top-k and the probe join broadcasts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no heap vocab cut in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab not broadcast in:\n$plan")
+  }
+
   test("repetitionStats is a single shuffle-free projection (plan)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
