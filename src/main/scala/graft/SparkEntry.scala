@@ -505,6 +505,24 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Per-source distinct-content cardinality: exact count_distinct
+    // (oracle-matched) next to the HLL++ sketch — the 100 TB path,
+    // whose map-side register-merge never shuffles values — verified
+    // in-plan through a 5% relative-error bound (HLL++ at rsd=0.02 is
+    // deterministic for a fixed input set, so the bound is stable).
+    "corpus_cardinality" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val fp = TextAnalysis.fingerprint(col("text"))
+      docs.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(fp).as("n_distinct"),
+          approx_count_distinct(fp, 0.02).as("__approx"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          (abs(col("__approx") - col("n_distinct")).cast("double") /
+            col("n_distinct") <= 0.05).as("approx_within_5pct"))
+        .orderBy("source")
+    }),
     // Vocabulary coverage: top-20 corpus vocab (count DESC, term ASC
     // cut) → per-doc out-of-vocabulary token fraction.
     "vocab_coverage" -> ((s, d) =>
@@ -1343,6 +1361,16 @@ object SparkEntry {
         |            d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk), 6) END
         |    AS max_token_ratio
         |FROM m ORDER BY doc_id""".stripMargin,
+    // Exact side oracle-matched; the sketch side asserts its error
+    // bound in-plan (same scheme as events_quantiles_approx).
+    "corpus_cardinality" ->
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(lower(text))) AS BIGINT) AS n_distinct,
+        |       TRUE AS approx_within_5pct
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "vocab_coverage" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

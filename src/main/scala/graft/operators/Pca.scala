@@ -121,6 +121,38 @@ object Pca {
     (eigenvalues, eigenvectors)
   }
 
+  /**
+   * Johnson–Lindenstrauss random projection as a data-independent
+   * alternative to [[fit]]: a seeded gaussian matrix scaled by 1/√d
+   * (distance-preserving in expectation), packaged as a [[PcaModel]]
+   * (zero mean, unit "eigenvalues") so [[project]] — and its `mat_vec`
+   * kernel — serves both. No corpus pass at all: the right tool when
+   * even one Gram aggregate is too much or the data is adversarially
+   * non-stationary. Deterministic in (dim, d, seed).
+   */
+  def randomProjection(dim: Int, d: Int, seed: Long): PcaModel = {
+    require(d >= 1 && dim >= 1, s"dim/d must be >= 1, got $dim/$d")
+    val scale = 1.0 / math.sqrt(d)
+    // gaussian via Box–Muller over splitmix-style hashed indices —
+    // the same public recipe as VectorKernels' LSH planes.
+    def unit(x0: Long): Double = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x = x ^ (x >>> 31)
+      ((x >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    }
+    val components = Array.tabulate(d) { k =>
+      Array.tabulate(dim) { i =>
+        val idx = seed + (k.toLong * dim + i) * 2
+        val u1 = unit(idx)
+        val u2 = unit(idx + 1)
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2) * scale
+      }
+    }
+    PcaModel(dim, new Array[Double](dim), components, Array.fill(d)(1.0))
+  }
+
   /** Fit top-`d` principal components of the CENTERED data:
     * cov = M2 − μμᵀ, eigensolved on the driver. */
   def fit(emb: DataFrame, vecCol: String, d: Int): PcaModel = {

@@ -98,6 +98,36 @@ class PcaSpec extends SparkFunSuite {
     assert(math.abs(v2 - 1.0) < 0.05, s"pc2 variance $v2")
   }
 
+  test("randomProjection: JL distance preservation within tolerance on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val rows = (0L until 60L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vec")
+    val model = Pca.randomProjection(dim = 64, d = 32, seed = 7L)
+    val proj = Pca.project(df, "id", "vec", model, scale = 9)
+      .collect().map(r => r.getLong(0) -> (1 to 32).map(r.getDouble).toArray).toMap
+    val byId = rows.toMap
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    val ratios = for (i <- 0L until 20L; j <- (i + 1) until 20L) yield {
+      val orig = dist(byId(i).map(_.toDouble), byId(j).map(_.toDouble))
+      dist(proj(i), proj(j)) / orig
+    }
+    // JL at d=32: pairwise distances within ±40% with overwhelming
+    // probability; the MEAN ratio concentrates near 1.
+    assert(ratios.forall(r => r > 0.6 && r < 1.4), s"worst=${ratios.min}/${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.1, s"mean ratio $mean")
+  }
+
+  test("randomProjection is deterministic in (dim, d, seed)") {
+    val a = Pca.randomProjection(16, 4, 42L)
+    val b = Pca.randomProjection(16, 4, 42L)
+    val c = Pca.randomProjection(16, 4, 43L)
+    assert(a.components.flatten.toSeq === b.components.flatten.toSeq)
+    assert(a.components.flatten.toSeq !== c.components.flatten.toSeq)
+  }
+
   test("end to end: projection onto full basis preserves centered norms") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
