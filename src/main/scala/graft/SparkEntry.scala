@@ -299,6 +299,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashGroups(table(s, d, "documents"), "doc_id", "text")
         .orderBy("sh")),
+    // Cross-document duplicated-span scan (the token-n-gram formulation
+    // of Lee-et-al substring dedup): per document, the fraction of its
+    // token-8-gram instances occurring in >= 2 distinct documents —
+    // catches PARTIAL overlap (one copied paragraph inside original
+    // text) that whole-doc fingerprints miss. Grams ride the shuffle as
+    // 64-bit hashes; the oracle recomputes on raw gram text in DuckDB.
+    "dedup_span_stats" -> ((s, d) =>
+      Dedup.duplicateNgramStats(table(s, d, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2, scale = Scale).orderBy("doc_id")),
     // Near-dup CLUSTERS: transitive closure of the blocked-Jaccard pair
     // graph via iterative min-label propagation — pairwise hits alone
     // under-dedup chains (A~B, B~C, A≁C). component = min reachable id;
@@ -401,6 +410,14 @@ object SparkEntry {
         Map("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10))
         .select(col("doc_id"), col("source"),
           DatasetSplit.bucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")),
+    // Deterministic global training shuffle: seeded-md5 (shard, pos)
+    // coordinates — shard-shuffled loading order without a global sort
+    // (one hash exchange + independent per-shard sorts). Reproducible
+    // across engines; the oracle re-derives every coordinate in DuckDB.
+    "corpus_shuffle" -> ((s, d) =>
+      DatasetSplit.shuffleOrder(table(s, d, "documents"), "doc_id", numShards = 16)
+        .select("doc_id", "shard", "pos")
         .orderBy("doc_id")),
     // Sequence packing (pretraining data prep): concatenate each
     // source-shard's docs in doc_id order and cut at 256-token context
@@ -725,6 +742,14 @@ object SparkEntry {
           round(col("col"), 6).as("val"))
         .orderBy("label", "idx")
     }),
+    // Embedding-space outlier screen: distance-to-label-centroid
+    // z-score >= 2 flags encoder failures / mislabeled rows the text
+    // filters can't see. Centroids and distances round to 6 dp and the
+    // moment sums accumulate exactly in DECIMAL, so mean/std/z are
+    // engine-independent and the oracle rebuilds them all in DuckDB.
+    "embedding_outliers" -> ((s, d) =>
+      EmbeddingQuality.outliers(table(s, d, "embeddings"), "vec_id", "embedding",
+        "label", zThreshold = 2.0, scale = Scale).orderBy("vec_id")),
     // Corpus second-moment (uncentered covariance) matrix — the
     // one-pass PCA/whitening input (operators/Pca.scala): map-side
     // 16 KB GramMatrix buffers, exact micro-unit accumulation, one
@@ -1077,6 +1102,30 @@ object SparkEntry {
         |  FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id)
         |WHERE jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_span_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, s + 1, s + 8), ' ') AS gram
+        |  FROM toks, unnest(generate_series(0, len(t) - 8)) AS u(s)),
+        |per_doc AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+        |dup AS (
+        |  SELECT gram FROM per_doc GROUP BY gram HAVING count(*) >= 2),
+        |agg AS (
+        |  SELECT p.doc_id,
+        |         CAST(sum(p.cnt) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN d.gram IS NOT NULL THEN p.cnt ELSE 0 END) AS BIGINT)
+        |           AS dup_grams
+        |  FROM per_doc p LEFT JOIN dup d USING (gram)
+        |  GROUP BY p.doc_id)
+        |SELECT doc.doc_id,
+        |       coalesce(a.n_grams, 0) AS n_grams,
+        |       coalesce(a.dup_grams, 0) AS dup_grams,
+        |       CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+        |            ELSE round(CAST(a.dup_grams AS DOUBLE) / a.n_grams, 6) END AS dup_frac
+        |FROM documents doc LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1304,6 +1353,23 @@ object SparkEntry {
         |            r(source, pct) USING (source)
         |WHERE bucket < pct
         |ORDER BY doc_id""".stripMargin,
+    // Seeded-md5 shuffle coordinates re-derived per row: shard from the
+    // first four hex nibbles, pos by ranking the full hex digest within
+    // the shard (the digest is lowercase-hex ASCII in both engines, so
+    // string order agrees).
+    "corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id, hx,
+        |         CAST(list_sum(list_transform(generate_series(1, 4),
+        |           i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1)
+        |                * CAST(16 ** (4 - i) AS BIGINT))) % 16 AS BIGINT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT)
+        |         AS pos
+        |FROM b ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -1847,6 +1913,38 @@ object SparkEntry {
         |FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS t(i)
         |GROUP BY e.label, t.i
         |ORDER BY label, idx""".stripMargin,
+    // Full z-score pipeline rebuilt: rounded centroid, rounded per-row
+    // distance, DECIMAL-exact moment sums (addition order cannot move
+    // them), then the identical double-precision mean/std/z derivation.
+    "embedding_outliers" ->
+      """WITH c AS (
+        |  SELECT label, t.i AS i,
+        |         CAST(CAST(round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS FLOAT)
+        |              AS DOUBLE) AS c
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  GROUP BY label, t.i),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |         round(sqrt(sum((CAST(e.embedding[c.i] AS DOUBLE) - c.c) *
+        |                        (CAST(e.embedding[c.i] AS DOUBLE) - c.c))), 6) AS dist
+        |  FROM embeddings e JOIN c ON e.label = c.label
+        |  GROUP BY e.vec_id, e.label),
+        |s AS (
+        |  SELECT label, count(*) AS n,
+        |         sum(CAST(dist AS DECIMAL(18,6))) AS sd,
+        |         sum(CAST(dist AS DECIMAL(18,6)) * CAST(dist AS DECIMAL(18,6))) AS sd2
+        |  FROM d GROUP BY label),
+        |z AS (
+        |  SELECT d.vec_id, d.label, d.dist,
+        |         CASE WHEN (CAST(s.sd2 AS DOUBLE) / s.n
+        |                    - (CAST(s.sd AS DOUBLE) / s.n) * (CAST(s.sd AS DOUBLE) / s.n))
+        |                   <= 0 THEN 0.0
+        |              ELSE round((d.dist - CAST(s.sd AS DOUBLE) / s.n) /
+        |                         sqrt(CAST(s.sd2 AS DOUBLE) / s.n
+        |                              - (CAST(s.sd AS DOUBLE) / s.n)
+        |                                * (CAST(s.sd AS DOUBLE) / s.n)), 6) END AS z
+        |  FROM d JOIN s USING (label))
+        |SELECT vec_id, label, dist, z FROM z WHERE z >= 2.0 ORDER BY vec_id""".stripMargin,
     "multimodal_features" ->
       """WITH bins AS (SELECT CAST(g - 1 AS BIGINT) AS bin
         |              FROM unnest(generate_series(1, 16)) AS t(g)),

@@ -46,6 +46,37 @@ object DatasetSplit {
   }
 
   /**
+   * Deterministic global training shuffle — the data-ordering stage of
+   * a training pipeline: every row gets a `(shard, pos)` coordinate
+   * such that reading shards in order, each sorted by `pos`, visits the
+   * corpus in a fixed pseudo-random permutation. Seeded md5, not
+   * `rand()`, for the same reasons as [[assignSplits]]: the order is
+   * reproducible across reruns/engines/partitionings, and data loaders
+   * can re-derive any row's coordinate independently.
+   *
+   * Why two-level at 100 TB: a single global `ORDER BY hash` is one
+   * total sort — a full-corpus range exchange. Sharding first means one
+   * hash-partitioned shuffle on `shard` and an independent in-partition
+   * sort per shard (Spark's window does exactly this); shards are
+   * streamed to the trainer in shard order, which IS the standard
+   * shard-shuffled loading scheme (shuffle shards globally, shuffle
+   * rows within a shard — here both levels come from the same hash).
+   */
+  def shuffleOrder(
+      df: DataFrame, idCol: String, numShards: Int,
+      seed: String = "graft"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    val shard = (conv(substring(h, 1, 4), 16, 10).cast("long") % numShards).as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /**
    * Stratified deterministic sampling — the data-mixture knob of a
    * training pipeline (keep 100% of a high-quality source, 10% of a
    * crawl): a row survives iff its id-bucket falls under its stratum's

@@ -237,6 +237,68 @@ object Dedup {
         (coalesce(col("component"), col("id")) === col("id")).as("is_kept"))
   }
 
+  /**
+   * Cross-document duplicated-span scan — the token-n-gram formulation
+   * of substring deduplication (Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better"): for every document, what
+   * fraction of its token n-gram instances also occurs in at least
+   * `minDocs` distinct documents? Exact duplicates score 1.0; documents
+   * quoting a viral passage score the passage's share; clean documents
+   * score ~0. The fraction is the standard gate for span-level dedup
+   * (drop or trim documents above a threshold), and unlike MinHash it
+   * catches PARTIAL overlap — a page that embeds one copied paragraph
+   * in original text.
+   *
+   * Shape at scale: explode n-gram start positions inside the scan
+   * stage → hash the gram to a 64-bit key (`xxhash64`, codegen'd — the
+   * shuffle carries 8-byte keys, never gram text) → one shuffle to
+   * per-(doc, gram) counts → gram document-frequency derives from THAT
+   * relation (one row per doc per gram) with map-side partials → an
+   * equality join back on the gram key → one per-doc aggregate. Same
+   * two-shuffle shape as word-count; no all-pairs anywhere. Documents
+   * shorter than `n` tokens have no n-grams and report 0/0 → 0.0 via
+   * the corpus left join (they never vanish from the output).
+   */
+  def duplicateNgramStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2,
+      scale: Int = 6): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = split(col(textCol), " ")
+    // start positions 0 .. n_tokens - n (empty when n_tokens < n)
+    val grams = docs
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("id"),
+        explode(sequence(lit(0), size(col("__toks")) - n)).as("__s"),
+        col("__toks"))
+      .select(col("id"),
+        xxhash64(concat_ws(" ", slice(col("__toks"), col("__s") + 1, lit(n)))).as("gh"))
+    val perDoc = grams.groupBy("id", "gh").agg(count(lit(1)).as("cnt"))
+    // one row per (doc, gram) above ⇒ count(*) per gram = document frequency
+    val dup = perDoc.groupBy("gh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gh"), lit(1).as("__dup"))
+    val agg = perDoc.join(dup, Seq("gh"), "left")
+      .groupBy("id")
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        sum(when(col("__dup").isNotNull, col("cnt")).otherwise(0L)).as("dup_grams"))
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, 0.0)
+          .otherwise(round(col("dup_grams").cast("double") / col("n_grams"), scale))
+          .as("dup_frac"))
+  }
+
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"), GraftFunctions.simhash64(col(textCol)).as("sh"))

@@ -31,6 +31,40 @@ class DatasetSplitSpec extends SparkFunSuite {
     assert(a === b)
   }
 
+  test("shuffleOrder: (shard, pos) is a permutation — contiguous positions per shard") {
+    import spark.implicits._
+    val got = DatasetSplit.shuffleOrder((0L until 500L).toDF("id"), "id", numShards = 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(got.length === 500)
+    assert(got.map(_._1).toSet.size === 500) // every row exactly once
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(0 <= shard && shard < 8)
+      // positions within a shard are exactly 1..count
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, s"shard=$shard")
+    }
+  }
+
+  test("shuffleOrder is deterministic across partitionings and row order") {
+    import spark.implicits._
+    val ids = (0L until 300L).toDF("id")
+    val a = DatasetSplit.shuffleOrder(ids.repartition(1), "id", numShards = 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = DatasetSplit.shuffleOrder(ids.orderBy(rand(3)).repartition(11), "id", numShards = 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("shuffleOrder: different seeds give different permutations, same seed the same") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("id")
+    def order(seed: String) =
+      DatasetSplit.shuffleOrder(ids, "id", numShards = 4, seed = seed)
+        .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+        .sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(order("s1") === order("s1"))
+    assert(order("s1") !== order("s2"))
+  }
+
   test("split proportions track the cut points on a large id range") {
     val n = 20000L
     val counts = DatasetSplit.assignSplits(spark.range(n).toDF("id"), "id")

@@ -170,6 +170,37 @@ class DedupSpec extends SparkFunSuite {
     assert(got === Seq((1L, 10L, 2L)))
   }
 
+  test("duplicateNgramStats: hand-computed duplicated-span fractions") {
+    import spark.implicits._
+    // n = 3 grams. doc 1 and doc 2 share their first 4 tokens
+    // ("a b c d" → grams "a b c", "b c d"); the rest differs.
+    val docs = Seq(
+      (1L, "a b c d x y z"),   // grams: abc bcd cdx dxy xyz  (5) — 2 dup
+      (2L, "a b c d p q"),     // grams: abc bcd cdp dpq      (4) — 2 dup
+      (3L, "u v w u v w"),     // intra-doc repeat only: uvw vwu wuv uvw — no cross-doc dup
+      (4L, "t s")              // shorter than n → 0 grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateNgramStats(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 5L, 2L, 0.4),
+      (2L, 4L, 2L, 0.5),
+      (3L, 4L, 0L, 0.0),   // "uvw" twice IN ONE doc is not cross-document
+      (4L, 0L, 0L, 0.0)))  // too short: 0/0 reports 0.0, row not dropped
+  }
+
+  test("duplicateNgramStats: exact duplicates score 1.0, disjoint docs 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven")).toDF("doc_id", "text")
+    val got = Dedup.duplicateNgramStats(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1.0), (2L, 1.0), (3L, 0.0)))
+  }
+
   test("semanticKeepVerdict: chains collapse to one kept copy, singletons keep themselves") {
     import spark.implicits._
     val corpus = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class EmbeddingQualitySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def vec(xs: Float*): Seq[Float] = xs
+
+  test("outliers: a planted far vector is flagged, the tight cluster is not") {
+    // group 0: 20 vectors near (1, 0) with small deterministic jitter,
+    // plus ONE vector far away at (9, 9).
+    val near = (0 until 20).map(i => (i.toLong, vec(1f + i * 0.01f, 0f), 0))
+    val far = Seq((99L, vec(9f, 9f), 0))
+    val df = (near ++ far).toDF("id", "v", "g")
+    val got = EmbeddingQuality.outliers(df, "id", "v", "g", zThreshold = 2.0)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(99L))
+  }
+
+  test("outliers: zero-spread group (identical vectors) flags nothing") {
+    val df = (0 until 10).map(i => (i.toLong, vec(1f, 2f, 3f), 0)).toDF("id", "v", "g")
+    assert(EmbeddingQuality.outliers(df, "id", "v", "g").count() === 0L)
+  }
+
+  test("outliers: groups are screened independently") {
+    // group 0 tight around (1,0); group 1 tight around (0,1); the same
+    // coordinates that are outlying for group 0 are NOT flagged when
+    // they form their own group.
+    val g0 = (0 until 15).map(i => (i.toLong, vec(1f + i * 0.01f, 0f), 0))
+    val g1 = (100 until 115).map(i => (i.toLong, vec(0f, 1f + i * 0.01f), 1))
+    val out0 = Seq((98L, vec(5f, 5f), 0))
+    val df = (g0 ++ g1 ++ out0).toDF("id", "v", "g")
+    val got = EmbeddingQuality.outliers(df, "id", "v", "g", zThreshold = 2.0)
+      .select("id", "g").as[(Long, Int)].collect().toSet
+    assert(got === Set((98L, 0)))
+  }
+
+  test("outliers: z and dist columns are 6-dp rounded and reproducible across partitionings") {
+    val rows = (0 until 50).map { i =>
+      (i.toLong, vec(i * 0.1f, (50 - i) * 0.1f, (i % 7).toFloat), i % 2)
+    }
+    val df = rows.toDF("id", "v", "g")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EmbeddingQuality.outliers(d, "id", "v", "g", zThreshold = 1.0)
+        .select("id", "dist", "z").as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val a = run(df.repartition(1))
+    val b = run(df.orderBy(rand(5)).repartition(7))
+    assert(a === b)
+    assert(a.nonEmpty)
+    a.foreach { case (_, dist, z) =>
+      assert(math.abs(dist - math.rint(dist * 1e6) / 1e6) < 1e-9)
+      assert(math.abs(z - math.rint(z * 1e6) / 1e6) < 1e-9)
+    }
+  }
+}
