@@ -252,12 +252,19 @@ object Dedup {
    * Shape at scale: explode n-gram start positions inside the scan
    * stage → hash the gram to a 64-bit key (`xxhash64`, codegen'd — the
    * shuffle carries 8-byte keys, never gram text) → one shuffle to
-   * per-(doc, gram) counts → gram document-frequency derives from THAT
-   * relation (one row per doc per gram) with map-side partials → an
-   * equality join back on the gram key → one per-doc aggregate. Same
-   * two-shuffle shape as word-count; no all-pairs anywhere. Documents
-   * shorter than `n` tokens have no n-grams and report 0/0 → 0.0 via
-   * the corpus left join (they never vanish from the output).
+   * per-(doc, gram) counts → gram document-frequency as a window count
+   * over the gram partition of THAT slim relation (one row per doc per
+   * gram) → one per-doc aggregate. The corpus is scanned and exploded
+   * exactly ONCE: the window formulation is deliberate — deriving the
+   * frequency relation as a separate aggregate and joining it back
+   * re-explodes the corpus, because column pruning rewrites the
+   * frequency branch into a distinct-style aggregate whose exchange no
+   * longer matches the probe branch's, so ReuseExchange never fires
+   * (verified on the final adaptive plan). The windowed relation is
+   * the post-aggregation gram relation, far smaller than the gram
+   * instance stream. No all-pairs anywhere. Documents shorter than `n`
+   * tokens have no n-grams and report 0/0 → 0.0 via the corpus left
+   * join (they never vanish from the output).
    */
   def duplicateNgramStats(
       docs: DataFrame,
@@ -279,15 +286,15 @@ object Dedup {
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("__toks"), col("__s") + 1, lit(n)))).as("gh"))
     val perDoc = grams.groupBy("id", "gh").agg(count(lit(1)).as("cnt"))
-    // one row per (doc, gram) above ⇒ count(*) per gram = document frequency
-    val dup = perDoc.groupBy("gh").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("gh"), lit(1).as("__dup"))
-    val agg = perDoc.join(dup, Seq("gh"), "left")
+    // one row per (doc, gram) above ⇒ window count per gram = document
+    // frequency, computed on the same single pass
+    val w = Window.partitionBy("gh")
+    val agg = perDoc
+      .withColumn("__docs", count(lit(1)).over(w))
       .groupBy("id")
       .agg(
         sum(col("cnt")).as("n_grams"),
-        sum(when(col("__dup").isNotNull, col("cnt")).otherwise(0L)).as("dup_grams"))
+        sum(when(col("__docs") >= minDocs, col("cnt")).otherwise(0L)).as("dup_grams"))
     docs.select(col(idCol).as("id"))
       .join(agg, Seq("id"), "left")
       .select(

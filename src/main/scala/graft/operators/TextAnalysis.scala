@@ -98,11 +98,15 @@ object TextAnalysis {
    * TF-IDF top terms per document: tf(t,d) · ln(N / df(t)), keeping the
    * `topK` highest-scoring terms per doc (term tie-break).
    *
-   * Shape at scale: explode → two hash aggregates (term-frequency per
-   * (doc, term), document-frequency per term) → an equality join on
-   * term → a per-doc window. The df table is orders of magnitude
-   * smaller than the corpus (vocabulary-sized) — exactly the broadcast
-   * side — and everything else shuffles once on (doc, term).
+   * Shape at scale: explode ONCE → one hash aggregate to term
+   * frequency per (doc, term) → document frequency as a window count
+   * over the term partition of that slim relation (it has one row per
+   * (doc, term), so the partition count IS df; a separate
+   * distinct+aggregate branch re-explodes the corpus, because pruning
+   * rewrites it into a distinct-style aggregate whose exchange no
+   * longer matches the probe's and ReuseExchange never fires) → a
+   * per-doc top-k window. Everything after the explode shuffles slim
+   * (doc, term, count) rows.
    */
   def tfIdfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
@@ -114,10 +118,8 @@ object TextAnalysis {
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.select(col(idCol), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         round(col("tf") * log(col("__graft_n") / col("df")), 6))
@@ -174,12 +176,16 @@ object TextAnalysis {
    * fluent text scores high — the standard Zipf-frequency quality
    * signal next to [[qualityScore]]'s rule checks.
    *
-   * Shape at scale: explode → one hash aggregate for corpus-wide term
-   * counts (vocabulary-sized — the broadcast side, built with map-side
-   * partial combine so no term is ever a hot reducer key) → an equality
-   * join probed by the PER-(doc, term) count relation, not by every
-   * token instance (a doc mentioning "the" 500 times probes once with
-   * weight 500) → one per-doc aggregate. Determinism: each token's
+   * Shape at scale: explode ONCE → one shuffle to per-(doc, term)
+   * counts → corpus-wide term counts derive from that relation as
+   * `sum(dtf)` per term (vocabulary-sized — the broadcast side; and
+   * because this branch consumes the SAME aggregate including its
+   * count column, its exchange is canonically identical to the probe
+   * branch's and ReuseExchange computes the explode pass once —
+   * verified on the final adaptive plan) → an equality join probed by
+   * the per-(doc, term) relation, not by every token instance (a doc
+   * mentioning "the" 500 times probes once with weight 500) → one
+   * per-doc aggregate. Determinism: each token's
    * log10(tf) is rounded to `scale` decimals, then weighted and summed
    * EXACTLY in DECIMAL (decimal × integer is exact), so partition/merge
    * order cannot perturb the score; one final double division + round.
@@ -187,8 +193,8 @@ object TextAnalysis {
   def tokenLogFreqScore(
       docs: DataFrame, idCol: String, textCol: String, scale: Int = 6): DataFrame = {
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val freq = terms.groupBy("term").agg(count(lit(1)).as("tf"))
     val dtf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("dtf"))
+    val freq = dtf.groupBy("term").agg(sum(col("dtf")).as("tf"))
     dtf.join(broadcast(freq), "term")
       .groupBy(idCol)
       .agg(
@@ -285,21 +291,25 @@ object TextAnalysis {
    * (count DESC, token ASC tie-break, so the cut is deterministic),
    * what fraction of each document's token instances fall outside it?
    *
-   * Shape at scale: explode → per-(doc, term) counts (one shuffle) and
-   * corpus term counts (vocabulary-sized, map-side partials) → the
-   * top-`vocabSize` cut is a `TakeOrderedAndProject` over the
-   * vocabulary-sized relation → broadcast the vocab to the per-doc
-   * probe (never shuffles the corpus again) → one per-doc aggregate.
+   * Shape at scale: explode ONCE → per-(doc, term) counts (one
+   * shuffle) → corpus term counts as `sum(dtf)` per term over that
+   * relation (vocabulary-sized, map-side partials; consuming the same
+   * aggregate WITH its count column keeps the exchange canonically
+   * identical to the probe branch's, so ReuseExchange runs the explode
+   * pass once) → the top-`vocabSize` cut is a `TakeOrderedAndProject`
+   * over the vocabulary-sized relation → broadcast the vocab to the
+   * per-doc probe (never shuffles the corpus again) → one per-doc
+   * aggregate.
    */
   def vocabCoverage(
       docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int, scale: Int = 6): DataFrame = {
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val vocab = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+    val dtf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("dtf"))
+    val vocab = dtf.groupBy("term").agg(sum(col("dtf")).as("tf"))
       .orderBy(col("tf").desc, col("term").asc)
       .limit(vocabSize)
       .select(col("term"), lit(1).as("__in_vocab"))
-    val dtf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("dtf"))
     dtf.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(idCol)
       .agg(
