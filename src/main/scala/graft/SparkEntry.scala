@@ -593,6 +593,13 @@ object SparkEntry {
     "doc_logfreq" -> ((s, d) =>
       TextAnalysis.tokenLogFreqScore(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // CCNet-style calibrated gate: per-language logfreq terciles from
+    // the corpus's own distribution (head/middle/tail buckets), never a
+    // hardcoded constant. Buckets (not raw interpolated thresholds) are
+    // the output, so the oracle's quantile interpolation matches.
+    "doc_logfreq_buckets" -> ((s, d) =>
+      TextAnalysis.logFreqBuckets(table(s, d, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
     // Top-k per group via the custom TypedImperativeAggregate — the
     // map-side-partial alternative to a row_number window: the shuffle
     // carries at most k (score, id) pairs per group per task instead of
@@ -1755,6 +1762,31 @@ object SparkEntry {
         |             / count(*), 6) AS logfreq_score
         |FROM terms JOIN freq USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same logfreq derivation with the stratum carried through, then
+    // per-language continuous-quantile cut points and the bucket
+    // when-chain. quantile_cont and Spark's exact percentile agree on
+    // pos = p·(n−1) linear interpolation; comparing 6-dp scores against
+    // the cut keeps bucket membership stable at the last ulp.
+    "doc_logfreq_buckets" ->
+      """WITH terms AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, count(*) AS tf FROM terms GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |         round(CAST(sum(CAST(round(log10(tf), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |               / count(*), 6) AS logfreq_score
+        |  FROM terms JOIN freq USING (term)
+        |  GROUP BY doc_id, lang),
+        |thr AS (
+        |  SELECT lang, quantile_cont(logfreq_score, 1.0/3) AS t1,
+        |               quantile_cont(logfreq_score, 2.0/3) AS t2
+        |  FROM scored GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.logfreq_score,
+        |       CAST(CASE WHEN s.logfreq_score < t.t1 THEN 0
+        |                 WHEN s.logfreq_score < t.t2 THEN 1
+        |                 ELSE 2 END AS BIGINT) AS bucket
+        |FROM scored s JOIN thr t USING (lang)
+        |ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -207,6 +207,63 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style calibrated score bucketing: each document is bucketed
+   * by where its [[tokenLogFreqScore]] falls within ITS STRATUM's
+   * score distribution (CCNet buckets by per-language perplexity
+   * terciles — head/middle/tail; this is the same gate with the Zipf
+   * log-frequency proxy). The thresholds come from the corpus itself,
+   * so the filter adapts per stratum instead of applying one global
+   * constant to languages with different score ranges.
+   *
+   * Shape at scale: the single-explode [[tokenLogFreqScore]] pass with
+   * the stratum threaded through its shuffle keys → per-stratum
+   * threshold aggregate (|strata| rows — the broadcast side) → one
+   * broadcast join + a codegen'd when-chain per row. With
+   * `exactThresholds = true` the cut points are Spark's exact
+   * `percentile` (sort-per-group; bounded-cardinality strata only —
+   * the driver-oracle path); `false` uses `percentile_approx`
+   * (t-digest with map-side partials, the unbounded 100 TB path —
+   * same contract as `events_quantiles` vs `events_quantiles_approx`).
+   * Buckets, not thresholds, are the output: bucket membership is
+   * stable under last-ulp interpolation differences between engines,
+   * raw interpolated thresholds are not.
+   */
+  def logFreqBuckets(
+      docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      exactThresholds: Boolean = true,
+      scale: Int = 6): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
+      s"cuts must be sorted fractions in (0, 1): $cuts")
+    val terms = docs.select(col(idCol), col(stratumCol),
+      explode(tokens(col(textCol))).as("term"))
+    val dtf = terms.groupBy(col(idCol), col(stratumCol), col("term"))
+      .agg(count(lit(1)).as("dtf"))
+    val freq = dtf.groupBy("term").agg(sum(col("dtf")).as("tf"))
+    val scored = dtf.join(broadcast(freq), "term")
+      .groupBy(col(idCol), col(stratumCol))
+      .agg(
+        sum(col("dtf")).as("n_tokens"),
+        sum(round(log10(col("tf")), scale).cast("decimal(28,6)") * col("dtf"))
+          .as("__logsum"))
+      .select(col(idCol), col(stratumCol),
+        round(col("__logsum").cast("double") / col("n_tokens"), scale)
+          .as("logfreq_score"))
+    val pcts = array(cuts.map(lit): _*)
+    val thr = scored.groupBy(col(stratumCol))
+      .agg((if (exactThresholds) percentile(col("logfreq_score"), pcts)
+            else percentile_approx(col("logfreq_score"), pcts, lit(10000)))
+        .as("__thr"))
+    val bucket = cuts.indices.foldRight(lit(cuts.length.toLong)) { (i, rest) =>
+      when(col("logfreq_score") < element_at(col("__thr"), i + 1), i.toLong)
+        .otherwise(rest)
+    }
+    scored.join(broadcast(thr), Seq(stratumCol))
+      .select(col(idCol), col(stratumCol), col("logfreq_score"),
+        bucket.cast("long").as("bucket"))
+  }
+
+  /**
    * Intra-document repetition metrics — the Gopher-style repetition
    * filter family, complementing [[qualityScore]]'s rule checks:
    * machine-generated and boilerplate text repeats itself WITHIN a

@@ -139,6 +139,57 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(a === b)
   }
 
+  test("logFreqBuckets: terciles split a strictly-increasing score ladder 3/3/3") {
+    import spark.implicits._
+    // doc i = its own token repeated (i+1) times → its score is
+    // round(log10(i+1), 6): nine strictly increasing scores.
+    val docs = (0 until 9)
+      .map(i => (i.toLong, Seq.fill(i + 1)(s"w$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.logFreqBuckets(docs, "doc_id", "text", "lang")
+      .select("doc_id", "bucket").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L))
+  }
+
+  test("logFreqBuckets: strata are calibrated independently") {
+    import spark.implicits._
+    // Stratum B's scores all sit ABOVE stratum A's; within each
+    // stratum the buckets must still spread 0/1/2 (a global threshold
+    // would put all of A in the tail and all of B in the head).
+    val a = (0 until 6).map(i => (i.toLong, Seq.fill(i + 1)(s"a$i").mkString(" "), "A"))
+    val b = (0 until 6).map(i => (100L + i, Seq.fill(50 + 10 * i)(s"b$i").mkString(" "), "B"))
+    val got = TextAnalysis.logFreqBuckets((a ++ b).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang")
+      .select("lang", "bucket").as[(String, Long)].collect()
+    Seq("A", "B").foreach { s =>
+      val buckets = got.filter(_._1 == s).map(_._2).toSet
+      assert(buckets === Set(0L, 1L, 2L), s"stratum $s got $buckets")
+    }
+  }
+
+  test("logFreqBuckets: approx thresholds (the 100 TB path) stay within a rank of exact") {
+    import spark.implicits._
+    // percentile_approx returns an actual data value (nearest rank),
+    // not the interpolated cut, so boundaries may shift by one
+    // position — assert the properties that matter: buckets are
+    // monotone in score and tercile-sized within that shift.
+    val docs = (0 until 30)
+      .map(i => (i.toLong, Seq.fill(i + 1)(s"w$i").mkString(" "), if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.logFreqBuckets(docs, "doc_id", "text", "lang",
+        exactThresholds = false)
+      .select("lang", "logfreq_score", "bucket")
+      .as[(String, Double, Long)].collect()
+    Seq("en", "de").foreach { s =>
+      val rows = got.filter(_._1 == s).sortBy(_._2)
+      assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq, s"non-monotone in $s")
+      (0L to 2L).foreach { b =>
+        val n = rows.count(_._3 == b)
+        assert(math.abs(n - 5) <= 2, s"stratum $s bucket $b size $n")
+      }
+    }
+  }
+
   test("repetitionStats: hand-computed dup ratios and max-token share") {
     import spark.implicits._
     val docs = Seq(
