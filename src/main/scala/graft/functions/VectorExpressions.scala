@@ -30,8 +30,10 @@ abstract class VectorMetricExpression extends BinaryExpression {
   protected def kernelName: String
 
   /** The kernel itself — resolved once per expression instance, not
-    * per row, so the interpreted path has no per-row dispatch cost. */
-  @transient protected lazy val kernel: (ArrayData, ArrayData) => java.lang.Double =
+    * per row, so the interpreted path has no per-row dispatch cost.
+    * The boolean flags are the per-side element types (float64 vs
+    * float32), fixed per expression instance. */
+  @transient protected lazy val kernel: (ArrayData, Boolean, ArrayData, Boolean) => java.lang.Double =
     kernelName match {
       case "cosineSimilarity"  => VectorKernels.cosineSimilarity
       case "innerProduct"      => VectorKernels.innerProduct
@@ -44,9 +46,18 @@ abstract class VectorMetricExpression extends BinaryExpression {
   override def nullable: Boolean = true
 
   private def isVectorType(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) => true
-    case BinaryType              => true
-    case _                       => false
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => true
+    case BinaryType               => true
+    case _                        => false
+  }
+
+  /** Whether this side's ArrayData holds float64 elements (true for
+    * `array<double>` inputs — PCA/whitening projections, centroid
+    * tables; binary wire payloads decode to float32). */
+  private def isDoubleSide(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -54,8 +65,9 @@ abstract class VectorMetricExpression extends BinaryExpression {
       TypeCheckResult.TypeCheckSuccess
     } else {
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float> or binary (packed float32) " +
-          s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+        s"$prettyName requires array<float>, array<double>, or binary " +
+          s"(packed float32) arguments, got ${left.dataType.sql} and " +
+          s"${right.dataType.sql}")
     }
   }
 
@@ -69,7 +81,7 @@ abstract class VectorMetricExpression extends BinaryExpression {
     if (a == null) return null
     val b = normalize(r, right.dataType)
     if (b == null) return null
-    kernel(a, b)
+    kernel(a, isDoubleSide(left.dataType), b, isDoubleSide(right.dataType))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -87,11 +99,13 @@ abstract class VectorMetricExpression extends BinaryExpression {
         case BinaryType => s"$kernels.decodeFloatVector($r)"
         case _          => r
       }
+      val aD = isDoubleSide(left.dataType).toString
+      val bD = isDoubleSide(right.dataType).toString
       s"""
          |$arrayCls $a = $decodeL;
          |$arrayCls $b = $decodeR;
          |java.lang.Double $res = (($a == null) || ($b == null))
-         |  ? null : $kernels.$kernelName($a, $b);
+         |  ? null : $kernels.$kernelName($a, $aD, $b, $bD);
          |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {

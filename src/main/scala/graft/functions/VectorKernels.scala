@@ -27,16 +27,32 @@ object VectorKernels {
   final val FloatVectorTag: Byte = 0x01
 
   // ---------------------------------------------------------------- metrics
+  //
+  // Each metric has a 4-arg form taking per-side element-type flags
+  // (`aDouble`/`bDouble`: the ArrayData holds float64 elements — true
+  // for `array<double>` inputs such as PCA-projected vectors or
+  // centroid tables; false for `array<float>` and decoded wire-format
+  // binaries). The flags are compile-time constants at every call site
+  // (codegen emits literals, eval resolves them once per expression),
+  // so the per-element branch is perfectly predicted and JIT-erased.
+  // The 2-arg float32 forms are kept as the common-case entry points.
+
+  @inline private def elem(v: ArrayData, isDouble: Boolean, i: Int): Double =
+    if (isDouble) v.getDouble(i) else v.getFloat(i).toDouble
 
   /** Inner product: sum(a_i * b_i). Null on dim mismatch / null elements. */
-  def innerProduct(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def innerProduct(a: ArrayData, b: ArrayData): java.lang.Double =
+    innerProduct(a, false, b, false)
+
+  def innerProduct(
+      a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      s += elem(a, aDouble, i) * elem(b, bDouble, i)
       i += 1
     }
     java.lang.Double.valueOf(s)
@@ -44,7 +60,11 @@ object VectorKernels {
 
   /** Cosine similarity: dot / (sqrt(|a|^2) * sqrt(|b|^2)).
     * Null on dim mismatch, null elements, or zero-norm input. */
-  def cosineSimilarity(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def cosineSimilarity(a: ArrayData, b: ArrayData): java.lang.Double =
+    cosineSimilarity(a, false, b, false)
+
+  def cosineSimilarity(
+      a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0
@@ -53,8 +73,8 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = elem(a, aDouble, i)
+      val y = elem(b, bDouble, i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -65,20 +85,28 @@ object VectorKernels {
   }
 
   /** Cosine distance: 1 - cosineSimilarity. */
-  def cosineDistance(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val s = cosineSimilarity(a, b)
+  def cosineDistance(a: ArrayData, b: ArrayData): java.lang.Double =
+    cosineDistance(a, false, b, false)
+
+  def cosineDistance(
+      a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): java.lang.Double = {
+    val s = cosineSimilarity(a, aDouble, b, bDouble)
     if (s == null) null else java.lang.Double.valueOf(1.0 - s.doubleValue())
   }
 
   /** Euclidean (L2) distance: sqrt(sum((a_i - b_i)^2)). */
-  def euclideanDistance(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def euclideanDistance(a: ArrayData, b: ArrayData): java.lang.Double =
+    euclideanDistance(a, false, b, false)
+
+  def euclideanDistance(
+      a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val d = elem(a, aDouble, i) - elem(b, bDouble, i)
       s += d * d
       i += 1
     }
@@ -86,14 +114,18 @@ object VectorKernels {
   }
 
   /** Manhattan (L1) distance: sum(|a_i - b_i|). */
-  def manhattanDistance(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def manhattanDistance(a: ArrayData, b: ArrayData): java.lang.Double =
+    manhattanDistance(a, false, b, false)
+
+  def manhattanDistance(
+      a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      s += math.abs(elem(a, aDouble, i) - elem(b, bDouble, i))
       i += 1
     }
     java.lang.Double.valueOf(s)

@@ -66,6 +66,41 @@ class VectorExpressionsSpec extends SparkFunSuite {
     assert(viaArrays === mixed)
   }
 
+  test("array<double> arguments: exact promotion semantics, mixed sides too") {
+    // double vectors (PCA projections, centroid tables) score without a
+    // lossy float cast: a float32 side promotes exactly, so
+    // metric(float_vec, double_vec) == metric(promoted_float, double).
+    val a = Seq(0.25f, -1.5f, 3.0f)          // exact in both widths
+    val bD = Seq(0.1, 0.2, 0.3)              // NOT float-representable
+    val schema = StructType(Seq(
+      StructField("af", ArrayType(FloatType, containsNull = false)),
+      StructField("ad", ArrayType(DoubleType, containsNull = false)),
+      StructField("bd", ArrayType(DoubleType, containsNull = false))))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(a, a.map(_.toDouble), bD))), schema)
+    val got = d.select(
+      GraftFunctions.knnInnerProductSimilarity(col("ad"), col("bd")),
+      GraftFunctions.knnInnerProductSimilarity(col("af"), col("bd")),
+      GraftFunctions.knnEuclideanDistance(col("ad"), col("bd")),
+      GraftFunctions.knnCosineSimilarity(col("ad"), col("bd")),
+      GraftFunctions.knnManhattanDistance(col("af"), col("bd"))).head
+    val expDot = a.map(_.toDouble).zip(bD).map { case (x, y) => x * y }.sum
+    assert(got.getDouble(0) === expDot)
+    assert(got.getDouble(1) === expDot) // mixed float×double = promoted float
+    val expEuc = math.sqrt(a.map(_.toDouble).zip(bD).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(got.getDouble(2) === expEuc)
+    val expCos = expDot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(bD.map(y => y * y).sum))
+    assert(got.getDouble(3) === expCos)
+    assert(got.getDouble(4) === a.map(_.toDouble).zip(bD).map { case (x, y) => math.abs(x - y) }.sum)
+    // double side preserves what float32 cannot: 0.1 as a double differs
+    // from 0.1f promoted, so the double-side result must differ from the
+    // all-float result.
+    val floatB = d.select(GraftFunctions.knnInnerProductSimilarity(
+      col("af"), col("bd").cast(ArrayType(FloatType)))).head.getDouble(0)
+    assert(floatB !== expDot)
+  }
+
   test("SQL registration: functions callable from spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
