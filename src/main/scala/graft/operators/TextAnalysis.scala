@@ -235,8 +235,14 @@ object TextAnalysis {
       scale: Int = 6): DataFrame = {
     require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
       s"cuts must be sorted fractions in (0, 1): $cuts")
-    val terms = docs.select(col(idCol), col(stratumCol),
-      explode(tokens(col(textCol))).as("term"))
+    // Null strata cannot be bucketed (the threshold join drops them) —
+    // filtering them HERE, before the branches diverge, also keeps the
+    // scored subtree canonically identical on both sides of that join:
+    // otherwise the join pushes isnotnull(stratum) into the probe branch
+    // only, the exchanges stop matching, and ReuseExchange silently
+    // re-runs the explode pass (verified on the final adaptive plan).
+    val terms = docs.filter(col(stratumCol).isNotNull)
+      .select(col(idCol), col(stratumCol), explode(tokens(col(textCol))).as("term"))
     val dtf = terms.groupBy(col(idCol), col(stratumCol), col("term"))
       .agg(count(lit(1)).as("dtf"))
     val freq = dtf.groupBy("term").agg(sum(col("dtf")).as("tf"))
