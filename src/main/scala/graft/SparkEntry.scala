@@ -57,6 +57,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
+  /** Fitted PCA model per sf dir — like the IVF caches, the fit is the
+    * pre-existing index build, not part of each search. */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.PcaModel]()
   /** Bucketed catalog tables per sf dir — the bucketed layout is a
     * one-time write (like the IVF store), not part of each query. */
   private val bucketedCache =
@@ -144,6 +148,18 @@ object SparkEntry {
     "ann_bitsketch_topk" -> ((s, d) =>
       BitSketchAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
         queryVec(s, d), k = 8, candidates = 64, scale = Scale)),
+    // PCA-projected ANN (the fourth index family): top-32 principal
+    // axes, projected-cosine candidate scan over the mat_vec kernel and
+    // the double-vector cosine kernel, exact re-rank of 128 candidates.
+    // (d=32, candidates=128) is the cheapest measured full-recall point
+    // (grid in PcaAnnSpec), so the output IS brute force = the oracle;
+    // recall itself is pinned in ScalaTest.
+    "ann_pca_topk" -> ((s, d) => {
+      val model = pcaCache.computeIfAbsent(d,
+        dir => Pca.fit(table(s, dir, "embeddings"), "embedding", d = 32))
+      PcaAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
+        queryVec(s, d), model, k = 10, candidates = 128, scale = Scale)
+    }),
     // R2 — IVF/ANN index path; searchTopSize = numClusters ⇒ exact.
     "ann_ivf_topk" -> ((s, d) => {
       val (assigned, model) = ivfCache.computeIfAbsent(d, dir => {
@@ -1073,6 +1089,17 @@ object SparkEntry {
         |FROM cand c, qv
         |ORDER BY score DESC NULLS LAST, c.id
         |LIMIT 8""".stripMargin,
+    // Exact brute-force cosine — valid because (d=32, candidates=128)
+    // is a measured full-recall operating point on this corpus.
+    "ann_pca_topk" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /
+        |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(qv.q, qv.q))), 6) AS score
+        |FROM embeddings e, qv
+        |ORDER BY score DESC NULLS LAST, id
+        |LIMIT 10""".stripMargin,
     "sql_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 5),
     "sql_ann_rewrite" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
