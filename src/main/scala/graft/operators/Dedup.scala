@@ -252,19 +252,24 @@ object Dedup {
    * Shape at scale: explode n-gram start positions inside the scan
    * stage → hash the gram to a 64-bit key (`xxhash64`, codegen'd — the
    * shuffle carries 8-byte keys, never gram text) → one shuffle to
-   * per-(doc, gram) counts → gram document-frequency as a window count
-   * over the gram partition of THAT slim relation (one row per doc per
-   * gram) → one per-doc aggregate. The corpus is scanned and exploded
-   * exactly ONCE: the window formulation is deliberate — deriving the
-   * frequency relation as a separate aggregate and joining it back
-   * re-explodes the corpus, because column pruning rewrites the
-   * frequency branch into a distinct-style aggregate whose exchange no
-   * longer matches the probe branch's, so ReuseExchange never fires
-   * (verified on the final adaptive plan). The windowed relation is
-   * the post-aggregation gram relation, far smaller than the gram
-   * instance stream. No all-pairs anywhere. Documents shorter than `n`
-   * tokens have no n-grams and report 0/0 → 0.0 via the corpus left
-   * join (they never vanish from the output).
+   * per-(doc, gram) counts → gram document frequency as a hash
+   * AGGREGATE over that slim relation (map-side partials, so a viral
+   * gram — boilerplate shared by millions of documents — is combined
+   * per task and never lands on one reducer; a `count() OVER
+   * (PARTITION BY gram)` window would put all of a viral gram's rows
+   * in one un-splittable window partition) → the ≥ minDocs grams
+   * joined back (AQE picks broadcast when the duplicated-gram set is
+   * small, a shuffled hash join on the 8-byte key when a crawl makes
+   * it large) → one per-doc aggregate. The corpus is scanned and
+   * exploded exactly ONCE:
+   * the frequency branch consumes the per-(doc, gram) aggregate
+   * INCLUDING its count column, keeping its exchange canonically
+   * identical to the probe branch's so ReuseExchange fires (verified
+   * on the final adaptive plan; a count-only branch gets rewritten
+   * distinct-style by column pruning and silently re-explodes). No
+   * all-pairs anywhere. Documents shorter than `n` tokens have no
+   * n-grams and report 0/0 → 0.0 via the corpus left join (they never
+   * vanish from the output).
    */
   def duplicateNgramStats(
       docs: DataFrame,
@@ -276,8 +281,14 @@ object Dedup {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = split(col(textCol), " ")
+    // The explicit isNotNull mirrors what the final left join pushes
+    // into the probe branch anyway — stating it HERE puts the same
+    // filter in the frequency branch too (where the join's version
+    // cannot descend past the gram-level aggregate), keeping both
+    // branches' scans canonically identical for ReuseExchange.
     // start positions 0 .. n_tokens - n (empty when n_tokens < n)
     val grams = docs
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), toks.as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col("id"),
@@ -286,15 +297,27 @@ object Dedup {
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("__toks"), col("__s") + 1, lit(n)))).as("gh"))
     val perDoc = grams.groupBy("id", "gh").agg(count(lit(1)).as("cnt"))
-    // one row per (doc, gram) above ⇒ window count per gram = document
-    // frequency, computed on the same single pass
-    val w = Window.partitionBy("gh")
-    val agg = perDoc
-      .withColumn("__docs", count(lit(1)).over(w))
+    // One row per (doc, gram) above ⇒ count(*) per gram = document
+    // frequency. The instance-sum conjunct is REDUNDANT (sum(cnt) ≥
+    // n_docs always) — it is there so this branch consumes `cnt`,
+    // which keeps the shared exchange canonically identical to the
+    // probe branch's and ReuseExchange running the explode pass once;
+    // without it, pruning rewrites this aggregate distinct-style and
+    // the plan silently re-explodes the corpus.
+    val dup = perDoc.groupBy("gh")
+      .agg(count(lit(1)).as("__n_docs"), sum(col("cnt")).as("__inst"))
+      .filter(col("__n_docs") >= minDocs && col("__inst") >= minDocs)
+      .select(col("gh"), lit(1).as("__dup"))
+    // Join strategy is left to AQE: the duplicated-gram relation is
+    // near-empty on organic corpora (runtime broadcast) but can be
+    // genuinely large on a crawl, where the shuffled hash join on the
+    // 8-byte key is the right plan — a forced broadcast would be a
+    // driver OOM hazard.
+    val agg = perDoc.join(dup, Seq("gh"), "left")
       .groupBy("id")
       .agg(
         sum(col("cnt")).as("n_grams"),
-        sum(when(col("__docs") >= minDocs, col("cnt")).otherwise(0L)).as("dup_grams"))
+        sum(when(col("__dup").isNotNull, col("cnt")).otherwise(0L)).as("dup_grams"))
     docs.select(col(idCol).as("id"))
       .join(agg, Seq("id"), "left")
       .select(

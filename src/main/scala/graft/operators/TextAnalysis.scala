@@ -99,14 +99,18 @@ object TextAnalysis {
    * `topK` highest-scoring terms per doc (term tie-break).
    *
    * Shape at scale: explode ONCE → one hash aggregate to term
-   * frequency per (doc, term) → document frequency as a window count
-   * over the term partition of that slim relation (it has one row per
-   * (doc, term), so the partition count IS df; a separate
-   * distinct+aggregate branch re-explodes the corpus, because pruning
-   * rewrites it into a distinct-style aggregate whose exchange no
-   * longer matches the probe's and ReuseExchange never fires) → a
-   * per-doc top-k window. Everything after the explode shuffles slim
-   * (doc, term, count) rows.
+   * frequency per (doc, term) → document frequency as a hash AGGREGATE
+   * over that slim relation (one row per (doc, term), so count(*) per
+   * term IS df; map-side partials keep ubiquitous terms — "the" is in
+   * every document — off any single reducer, where a `count() OVER
+   * (PARTITION BY term)` window would pin a whole stop-word's rows to
+   * one un-splittable window partition) → the vocabulary-sized df
+   * relation broadcasts back → a per-doc top-k window. The frequency
+   * branch consumes the per-(doc, term) aggregate INCLUDING its count
+   * column (the instance-sum conjunct below is redundant but prevents
+   * the distinct-style pruning rewrite), keeping its exchange
+   * canonically identical to the probe's so ReuseExchange runs the
+   * explode once — verified on the final adaptive plan.
    */
   def tfIdfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
@@ -118,8 +122,14 @@ object TextAnalysis {
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // sum(tf) ≥ count(*) always — the conjunct only keeps `tf` consumed
+    // so the shared exchange stays reusable (see scaladoc).
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("__inst"))
+      .filter(col("__inst") >= col("df"))
+      .select(col("term"), col("df"))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         round(col("tf") * log(col("__graft_n") / col("df")), 6))
