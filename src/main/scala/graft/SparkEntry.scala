@@ -374,6 +374,21 @@ object SparkEntry {
         "embedding", bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale,
         maxBucket = Some(1024))
         .orderBy("a_id", "b_id")),
+    // Incremental SEMANTIC ingestion gate: batch rows (vec_id >= 250)
+    // with no cosine-0.4 near-dup in the historical corpus (vec_id <
+    // 250) survive. Candidates are batch×corpus bucket collisions only
+    // (same 6×64 recall-1 parameters as sim_join_lsh, so the gate
+    // equals the oracle's exact NOT EXISTS); corpus×corpus pairs are
+    // never generated.
+    "dedup_semantic_incremental" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      Dedup.incrementalSemanticNew(
+        emb.filter(col("vec_id") >= 250), emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", bitsPerTable = 6, nTables = 64,
+        threshold = 0.4, maxBucket = Some(1024))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
     // SemDeDup-style semantic dedup over EMBEDDINGS: LSH-bucketed
     // cosine pairs (recall 1 at these measured parameters, so the pair
     // graph is exactly the threshold join) → connected components →
@@ -1701,6 +1716,19 @@ object SparkEntry {
         |  FROM base a JOIN base b ON a.id < b.id)
         |WHERE cos_sim >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // Exact NOT-EXISTS gate (= the LSH between-join at recall 1).
+    "dedup_semantic_incremental" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT b.vec_id, b.label
+        |FROM base b
+        |WHERE b.vec_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM base c
+        |  WHERE c.vec_id < 250 AND
+        |        round(list_inner_product(b.v, c.v) /
+        |              (sqrt(list_inner_product(b.v, b.v)) *
+        |               sqrt(list_inner_product(c.v, c.v))), 6) >= 0.4)
+        |ORDER BY vec_id""".stripMargin,
     // Exact cosine threshold join (= the LSH pair graph at recall 1)
     // → recursive-CTE transitive closure → per-row keep verdict over
     // the whole embeddings corpus, singletons included.

@@ -217,6 +217,29 @@ object Dedup {
       .drop("__graft_fp")
 
   /**
+   * Incremental SEMANTIC dedup — the embedding counterpart of
+   * [[incrementalNew]]: rows of `batch` with no near-duplicate
+   * (cosine ≥ threshold) in the historical corpus survive. Candidates
+   * come from [[SimilarityJoin.lshCosinePairsBetween]], so the corpus
+   * is probed only through batch-bucket collisions — corpus × corpus
+   * pairs are never generated, and at 100 TB the corpus side
+   * contributes just its (persisted) band-key relation plus the
+   * vectors of colliding candidates. One left-anti join on the slim
+   * matched-id set finishes the gate.
+   */
+  def incrementalSemanticNew(
+      batch: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      bitsPerTable: Int = 4, nTables: Int = 64, threshold: Double = 0.4,
+      seed: Long = 42L, maxBucket: Option[Int] = None): DataFrame = {
+    val matched = SimilarityJoin.lshCosinePairsBetween(
+        batch, corpus, idCol, vecCol, bitsPerTable, nTables, threshold,
+        seed, maxBucket = maxBucket)
+      .select(col("a_id").as(idCol))
+      .distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /**
    * SemDeDup-style per-row dedup verdict from a near-dup pair graph:
    * transitive closure of `pairs` (connected components), then every
    * row of the corpus is labeled with its cluster representative

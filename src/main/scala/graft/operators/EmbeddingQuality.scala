@@ -14,15 +14,22 @@ import org.apache.spark.sql.functions._
  * geometry from the other end — this flags the far tail instead of the
  * dense core).
  *
- * Scale shape: two passes over the vectors, everything else is
- * group-count-sized. Pass 1 builds per-group centroids with the
- * `vector_avg` TypedImperativeAggregate (map-side partial buffers of
- * dim doubles; the result relation is |groups| × dim — the broadcast
- * side). Pass 2 computes each row's distance with the codegen'd
- * euclidean kernel against its broadcast centroid, then per-group
- * moment statistics over the slim (group, dist) projection (map-side
- * partials again), broadcast back for the z-score filter. No shuffle
- * ever carries a vector.
+ * Scale shape: three scan-local passes over the vector column, and no
+ * shuffle ever carries a vector. Pass 1 builds per-group centroids
+ * with the `vector_avg` TypedImperativeAggregate (map-side partial
+ * buffers of dim doubles; the result relation is |groups| × dim — the
+ * broadcast side). Pass 2 computes each row's distance with the
+ * codegen'd euclidean kernel against its broadcast centroid and
+ * reduces to per-group moment statistics (map-side partials over the
+ * slim (group, dist) projection). Pass 3 recomputes the distance and
+ * applies the broadcast z-filter — recomputation is deliberate: the
+ * distance subtree is scan + broadcast join with NO exchange, so
+ * there is nothing for ReuseExchange to share, and materializing
+ * corpus-sized distances (cache or an artificial shuffle) costs more
+ * than one extra scan of a columnar store that prunes to
+ * (id, group, vector). Calibration-then-filter operators are
+ * inherently ≥ 2 passes — the thresholds must exist before any row
+ * can be judged.
  *
  * Determinism (the oracle recomputes everything in DuckDB): centroids
  * and distances are rounded to `scale` decimals, and the moment sums

@@ -160,6 +160,53 @@ object SimilarityJoin {
     }
   }
 
+  /**
+   * Two-relation banded LSH cosine join — the INCREMENTAL-INGESTION
+   * shape: candidates are (left, right) rows sharing any table's
+   * bucket, so a daily batch is compared against the historical corpus
+   * WITHOUT ever generating corpus × corpus candidates. Both sides are
+   * keyed with the same hyperplane seeds (a production corpus persists
+   * its band keys once and re-reads them per batch — the key column is
+   * just `cosine_lsh_keys(vec)`). Same slim verification layout and
+   * recall formula as [[lshCosinePairsBanded]]; `maxBucket` caps each
+   * side's bucket membership, bounding any bucket's candidates at
+   * capL × capR.
+   *
+   * Output: (left_id, right_id, cos_sim) for exact cosine ≥ threshold.
+   */
+  def lshCosinePairsBetween(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bitsPerTable: Int = 4,
+      nTables: Int = 64,
+      threshold: Double = 0.4,
+      seed: Long = 42L,
+      scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
+    GraftFunctions.register(left.sparkSession)
+    def keyed(df: DataFrame) = Dedup.capBuckets(
+      df.select(
+        col(idCol).as("id"),
+        explode(GraftFunctions.cosineLshKeys(col(vecCol), bitsPerTable, nTables, seed))
+          .as("bkt")),
+      Seq("bkt"), maxBucket)
+    val candidates = keyed(left).alias("a")
+      .join(keyed(right).alias("b"), col("a.bkt") === col("b.bkt"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val lv = left.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val rv = right.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidates
+      .join(lv.as("va"), col("a_id") === col("va.id"))
+      .join(rv.as("vb"), col("b_id") === col("vb.id"))
+      .select(col("a_id"), col("b_id"),
+        round(GraftFunctions.knnCosineSimilarity(col("va.v"), col("vb.v")), scale)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Layout chooser for [[lshCosinePairsBanded]]: the slim layout wins
     * exactly when its two vector join-backs can broadcast, so carry
     * vectors only when Catalyst's size estimate of the (id, vector)

@@ -82,6 +82,38 @@ class SimilarityJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("lshCosinePairsBetween: recall 1 vs the exact cross-relation join at the driver config") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val corpus = emb.filter(col("vec_id") < 250)
+    val batch = emb.filter(col("vec_id") >= 250)
+    val exact = batch.select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        GraftFunctions.knnCosineSimilarity(col("bv"), col("cv")) >= 0.4)
+      .select("bid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SimilarityJoin.lshCosinePairsBetween(batch, corpus, "vec_id", "embedding",
+        bitsPerTable = 6, nTables = 64, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact)
+    assert(exact.nonEmpty) // the fixture actually exercises matches
+  }
+
+  test("incrementalSemanticNew: planted near-dup is gated, novel rows survive") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f))).toDF("id", "v")
+    val batch = Seq(
+      (10L, Seq(0.99f, 0.1f, 0f)), // near-dup of corpus 1 → gated
+      (11L, Seq(0f, 0f, 1f)))      // orthogonal to everything → survives
+      .toDF("id", "v")
+    val got = Dedup.incrementalSemanticNew(batch, corpus, "id", "v",
+        bitsPerTable = 2, nTables = 32, threshold = 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(11L))
+  }
+
   test("lshCosinePairsBanded: recall grows with table count, candidates shrink with bits") {
     def recall(bits: Int, tables: Int): Double = {
       val exact = exactPairs(0.4)
