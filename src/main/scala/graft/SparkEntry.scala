@@ -324,6 +324,14 @@ object SparkEntry {
     "dedup_span_stats" -> ((s, d) =>
       Dedup.duplicateNgramStats(table(s, d, "documents"), "doc_id", "text",
         n = 8, minDocs = 2, scale = Scale).orderBy("doc_id")),
+    // The rewrite half: cut every token covered by a cross-document
+    // duplicated 8-gram and reassemble the survivors in order — exact
+    // copies collapse to empty, partial overlap keeps the original
+    // remainder. The oracle re-derives coverage and the ordered
+    // re-concatenation per row.
+    "dedup_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicateSpans(table(s, d, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2).orderBy("doc_id")),
     // Near-dup CLUSTERS: transitive closure of the blocked-Jaccard pair
     // graph via iterative min-label propagation — pairwise hits alone
     // under-dedup chains (A~B, B~C, A≁C). component = min reachable id;
@@ -1174,6 +1182,37 @@ object SparkEntry {
         |       CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
         |            ELSE round(CAST(a.dup_grams AS DOUBLE) / a.n_grams, 6) END AS dup_frac
         |FROM documents doc LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, s, array_to_string(list_slice(t, s + 1, s + 8), ' ') AS gram
+        |  FROM toks, unnest(generate_series(0, len(t) - 8)) AS u(s)),
+        |pd AS (
+        |  SELECT doc_id, gram FROM g GROUP BY doc_id, gram),
+        |dup AS (
+        |  SELECT gram FROM pd GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.s + i.i AS pos
+        |  FROM g JOIN dup USING (gram), unnest(generate_series(0, 7)) AS i(i)),
+        |tok AS (
+        |  SELECT doc_id, w.i - 1 AS pos, t[w.i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) AS w(i)),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok
+        |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY pos) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+        |         AS n_removed,
+        |       coalesce(a.clean, '') AS text_clean
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (

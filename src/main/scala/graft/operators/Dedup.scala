@@ -217,6 +217,72 @@ object Dedup {
       .drop("__graft_fp")
 
   /**
+   * Duplicated-span REMOVAL — the rewrite half of [[duplicateNgramStats]]
+   * (Lee et al. remove the duplicated substring, not the document):
+   * every token covered by at least one cross-document duplicated
+   * n-gram is cut, and the document is reassembled from the surviving
+   * tokens in order. Exact copies collapse to empty text; a page
+   * embedding one viral paragraph keeps everything else.
+   *
+   * Shape at scale, three explode passes with different fan-outs:
+   *  1. gram instances (the detection pass — identical shuffle shape to
+   *     [[duplicateNgramStats]], frequency branch sharing the exchange
+   *     via the same reuse-preserving conjunct);
+   *  2. coverage fan-out `sequence(s, s+n-1)` over DUPLICATED gram
+   *     starts only — near-empty on organic corpora, bounded by
+   *     n × duplicated-instances on crawls;
+   *  3. token reassembly: `posexplode` → anti join on covered
+   *     (doc, pos) → per-doc ordered re-concatenation
+   *     (`array_sort(collect_list(struct(pos, token)))` — an
+   *     ObjectHashAggregate; rewriting text is inherently
+   *     string-heavy, and the aggregate buffers exactly one document).
+   *
+   * Reassembly normalizes token separators to single spaces (the
+   * tokenizer's inverse), matching the whitespace-tokenized corpus
+   * convention used across the text operators.
+   */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = split(col(textCol), " ")
+    val base = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), toks.as("__toks"))
+    val grams = base
+      .filter(size(col("__toks")) >= n)
+      .select(col("id"),
+        explode(sequence(lit(0), size(col("__toks")) - n)).as("__s"),
+        col("__toks"))
+      .select(col("id"), col("__s"),
+        xxhash64(concat_ws(" ", slice(col("__toks"), col("__s") + 1, lit(n)))).as("gh"))
+    val perDoc = grams.groupBy("id", "gh").agg(count(lit(1)).as("cnt"))
+    val dup = perDoc.groupBy("gh")
+      .agg(count(lit(1)).as("__n_docs"), sum(col("cnt")).as("__inst"))
+      .filter(col("__n_docs") >= minDocs && col("__inst") >= minDocs)
+      .select(col("gh"))
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("id"), explode(sequence(col("__s"), col("__s") + (n - 1))).as("pos"))
+      .distinct()
+    val tokens = base.select(col("id"),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("__arr"))
+      .select(col("id"), col("__n_kept"),
+        concat_ws(" ", transform(col("__arr"), x => x.getField("tok"))).as("text_clean"))
+    docs.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /**
    * Incremental SEMANTIC dedup — the embedding counterpart of
    * [[incrementalNew]]: rows of `batch` with no near-duplicate
    * (cosine ≥ threshold) in the historical corpus survive. Candidates

@@ -190,6 +190,39 @@ class DedupSpec extends SparkFunSuite {
       (4L, 0L, 0L, 0.0)))  // too short: 0/0 reports 0.0, row not dropped
   }
 
+  test("removeDuplicateSpans: covered tokens cut, remainder reassembled in order") {
+    import spark.implicits._
+    // n = 3: docs 1 and 2 share "a b c d" → duplicated grams "a b c"
+    // (covers pos 0-2) and "b c d" (covers pos 1-3) → positions 0-3 cut
+    // in both docs; each doc keeps its own tail.
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "a b c d p q"),
+      (3L, "u v w"),   // unique 3-gram, nothing cut
+      (4L, "t s")      // shorter than n, untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 7L, 4L, "x y z"),
+      (2L, 6L, 4L, "p q"),
+      (3L, 3L, 0L, "u v w"),
+      (4L, 2L, 0L, "t s")))
+  }
+
+  test("removeDuplicateSpans: exact duplicates collapse to empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four"),
+      (3L, "five six seven eight")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 4L, ""), (2L, 4L, ""), (3L, 0L, "five six seven eight")))
+  }
+
   test("duplicateNgramStats: exact duplicates score 1.0, disjoint docs 0.0") {
     import spark.implicits._
     val docs = Seq(
