@@ -540,6 +540,10 @@ object SparkEntry {
     "text_stats" -> ((s, d) =>
       TextAnalysis.textStats(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // One-row corpus datacard: volumes, diversity, exact-dup surplus.
+    "corpus_datacard" -> ((s, d) =>
+      TextAnalysis.corpusDatacard(table(s, d, "documents"), "doc_id", "text",
+        "lang", "source")),
     "token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1339,6 +1343,16 @@ object SparkEntry {
         |       CAST(stream_offset // 256 AS BIGINT) AS pack_id,
         |       CAST(stream_offset % 256 AS BIGINT) AS pack_offset
         |FROM o ORDER BY doc_id""".stripMargin,
+    "corpus_datacard" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(lower(text))) AS BIGINT) AS n_distinct_texts,
+        |       CAST(count(*) - count(DISTINCT md5(lower(text))) AS BIGINT)
+        |         AS exact_dup_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

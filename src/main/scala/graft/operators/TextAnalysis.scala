@@ -392,6 +392,30 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), scale).as("oov_ratio"))
   }
 
+  /**
+   * Corpus datacard: the one-row summary a dataset release ships with —
+   * document/token volumes, language/source diversity, and the
+   * exact-duplicate surplus (docs minus distinct canonical texts).
+   * One scan with map-side partial aggregation; the multi-distinct
+   * aggregate expands to Spark's standard Expand plan, each distinct
+   * key hashed with partials (no sort, no collect). At 100 TB this is
+   * the cheapest full-corpus audit that still answers "how big, how
+   * diverse, how redundant".
+   */
+  def corpusDatacard(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val nTokens = size(tokens(col(textCol))).cast("long")
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(fingerprint(col(textCol))).as("n_distinct_texts"),
+      (count(lit(1)) - countDistinct(fingerprint(col(textCol)))).as("exact_dup_docs"),
+      sum(nTokens).as("total_tokens"),
+      round(avg(nTokens), 4).as("avg_tokens"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"))
+  }
+
   /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
     * dedup key. MD5 is standard across engines, so it doubles as a
     * cross-engine-verifiable fingerprint. */

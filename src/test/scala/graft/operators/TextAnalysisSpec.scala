@@ -139,6 +139,24 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(a === b)
   }
 
+  test("corpusDatacard: hand-computed one-row summary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a b c", "en", "s2"),   // exact dup of 1
+      (3L, "A b C", "de", "s1"),   // dup after lowercasing
+      (4L, "d e", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.corpusDatacard(docs, "doc_id", "text", "lang", "source").head
+    assert(r.getLong(0) === 4L)      // n_docs
+    assert(r.getLong(1) === 2L)      // distinct canonical texts: {a b c, d e}
+    assert(r.getLong(2) === 2L)      // dup surplus
+    assert(r.getLong(3) === 11L)     // total tokens 3+3+3+2
+    assert(r.getDouble(4) === 2.75)  // avg
+    assert(r.getLong(5) === 2L)      // langs
+    assert(r.getLong(6) === 2L)      // sources
+  }
+
   test("logFreqBuckets: terciles split a strictly-increasing score ladder 3/3/3") {
     import spark.implicits._
     // doc i = its own token repeated (i+1) times → its score is
