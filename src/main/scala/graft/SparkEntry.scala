@@ -450,6 +450,26 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           DatasetSplit.bucket(col("doc_id")).as("bucket"))
         .orderBy("doc_id")),
+    // Temperature-scaled mixture recipe (w_s ∝ T_s^0.5, global budget
+    // τ=0.5 of corpus tokens): per-source token mass, weight, integer
+    // token budget, and the realized deterministic sample's doc/token
+    // counts. The oracle re-derives every budget and verdict in DuckDB.
+    "mixture_plan" -> ((s, d) =>
+      MixtureSampling.mixtureReport(table(s, d, "documents"), "doc_id",
+        "source", size(split(col("text"), " ")).cast("long"), tau = 0.5)
+        .orderBy("source")),
+    // The materialized mixture sample itself: scan-local integer
+    // bucket-vs-budget filter (bucket24·T_s < budget_s·2^24), zero
+    // shuffles of the corpus. Every kept row is driver-verified.
+    "corpus_mixture" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      MixtureSampling.sampleByPlan(docs, "doc_id", "source",
+        MixtureSampling.mixturePlan(docs, "source", col("n_tokens"), tau = 0.5))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }),
     // Deterministic global training shuffle: seeded-md5 (shard, pos)
     // coordinates — shard-shuffled loading order without a global sort
     // (one hash exchange + independent per-shard sorts). Reproducible
@@ -1454,6 +1474,68 @@ object SparkEntry {
         |FROM b JOIN (VALUES ('src0', 100), ('src1', 50), ('src2', 25), ('src3', 10))
         |            r(source, pct) USING (source)
         |WHERE bucket < pct
+        |ORDER BY doc_id""".stripMargin,
+    // Temperature mixture: per-source token mass → sqrt weights rounded
+    // to 4 decimals → integer token budgets → integer bucket-vs-budget
+    // verdict per row. Shares every numeric step with the Spark side
+    // (sqrt is IEEE correctly-rounded; the only float, the weight, is
+    // rounded before any budget is derived; the row filter is pure
+    // BIGINT arithmetic).
+    "mixture_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+        |  FROM d GROUP BY source),
+        |tot AS (
+        |  SELECT sum(sqrt(t_tokens)) AS z,
+        |         CAST(sum(t_tokens) AS BIGINT) AS t_total FROM per),
+        |plan AS (
+        |  SELECT source, t_tokens,
+        |         round(sqrt(t_tokens) / z, 4) AS weight,
+        |         CAST(floor(floor(t_total * 0.5) * round(sqrt(t_tokens) / z, 4))
+        |              AS BIGINT) AS token_budget
+        |  FROM per, tot),
+        |kept AS (
+        |  SELECT d.source, count(*) AS n_kept,
+        |         CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        |  FROM d JOIN plan USING (source)
+        |  WHERE CAST(list_sum(list_transform(generate_series(1, 6),
+        |          i -> (strpos('0123456789abcdef',
+        |                       substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |               * CAST(16 ** (6 - i) AS BIGINT))) AS BIGINT) * t_tokens
+        |        < token_budget * CAST(16777216 AS BIGINT)
+        |  GROUP BY d.source)
+        |SELECT source, t_tokens, weight, token_budget,
+        |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM plan LEFT JOIN kept USING (source)
+        |ORDER BY source""".stripMargin,
+    "corpus_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+        |  FROM d GROUP BY source),
+        |tot AS (
+        |  SELECT sum(sqrt(t_tokens)) AS z,
+        |         CAST(sum(t_tokens) AS BIGINT) AS t_total FROM per),
+        |plan AS (
+        |  SELECT source, t_tokens,
+        |         CAST(floor(floor(t_total * 0.5) * round(sqrt(t_tokens) / z, 4))
+        |              AS BIGINT) AS token_budget
+        |  FROM per, tot)
+        |SELECT doc_id, source, n_tokens
+        |FROM d JOIN plan USING (source)
+        |WHERE CAST(list_sum(list_transform(generate_series(1, 6),
+        |        i -> (strpos('0123456789abcdef',
+        |                     substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |             * CAST(16 ** (6 - i) AS BIGINT))) AS BIGINT) * t_tokens
+        |      < token_budget * CAST(16777216 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     // Seeded-md5 shuffle coordinates re-derived per row: shard from the
     // first four hex nibbles, pos by ranking the full hex digest within

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Temperature-scaled source-mixture sampling — the "data recipe" stage
+ * of a pretraining pipeline: given a corpus partitioned into sources
+ * (crawl snapshots, books, code, ...), decide how many tokens to take
+ * from each source and materialize a deterministic sample that hits
+ * those per-source token budgets.
+ *
+ * The recipe follows the standard temperature formulation (sampling
+ * weight w_s ∝ T_s^α for source token mass T_s): α = 1 reproduces the
+ * natural distribution, α → 0 flattens toward uniform, α = 0.5 is the
+ * widely used square-root rebalancing that up-weights small
+ * high-quality sources against a dominating crawl. The global budget is
+ * a fraction τ of the corpus's total tokens; source s receives
+ * budget_s = floor(floor(τ·T) · w_s) tokens.
+ *
+ * Determinism at 100 TB, same contract as [[DatasetSplit]]: a row
+ * survives iff its 24-bit md5 bucket falls under its source's keep
+ * fraction — reproducible across reruns, engines, partitionings and
+ * data order, incremental (new rows of a source land in the sample at
+ * exactly the keep rate, no saved assignment table), and scan-local.
+ * The per-row decision `bucket24 · T_s < budget_s · 2^24` is ALL
+ * INTEGER arithmetic — no row-level float compare can flip between
+ * engines (the driver oracle recomputes every verdict in DuckDB).
+ * Floats appear only in the per-SOURCE weight, rounded to 4 decimals
+ * on both sides before any budget is derived.
+ *
+ * Shape at scale: one scan → per-source token mass (hash aggregate,
+ * map-side partials) → a sources-count-sized relation crossed with a
+ * 1-row total — both broadcast — then the sample itself is a
+ * scan-local filter on the corpus: zero shuffles of the big table,
+ * changing the mixture never rewrites data.
+ */
+object MixtureSampling {
+
+  /** 2^24-grained bucket from the row id: first 6 hex digits of
+    * md5(id) — [[DatasetSplit.bucket]]'s contract at the finer
+    * granularity token budgeting needs. */
+  def bucket24(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long")
+
+  /** Per-source recipe: (stratum, t_tokens, weight, token_budget).
+    * `weight` is the α-temperature share rounded to 4 decimals;
+    * `token_budget` the integer token allocation. α = 0.5 uses `sqrt`
+    * (IEEE correctly-rounded, so engines agree bit-for-bit); other α
+    * go through `pow`. */
+  def mixturePlan(
+      docs: DataFrame, stratumCol: String, tokens: Column,
+      tau: Double, alpha: Double = 0.5): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1]: $tau")
+    val per = docs.groupBy(col(stratumCol))
+      .agg(sum(tokens).cast("long").as("t_tokens"))
+    def heat(t: Column) =
+      if (alpha == 0.5) sqrt(t) else pow(t, lit(alpha))
+    val tot = per.agg(
+      sum(heat(col("t_tokens"))).as("z"),
+      sum("t_tokens").cast("long").as("t_total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("weight", round(heat(col("t_tokens")) / col("z"), 4))
+      .withColumn("token_budget",
+        floor(floor(col("t_total") * tau) * col("weight")).cast("long"))
+      .select(col(stratumCol), col("t_tokens"), col("weight"),
+        col("token_budget"))
+  }
+
+  /** Materialize the sample: keep a row iff its bucket falls under its
+    * source's keep fraction budget_s / T_s (sources with
+    * budget_s ≥ T_s keep everything). Scan-local — the plan relation
+    * broadcasts, the corpus never shuffles. */
+  def sampleByPlan(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      plan: DataFrame): DataFrame =
+    docs.join(broadcast(plan), Seq(stratumCol))
+      .filter(bucket24(col(idCol)) * col("t_tokens") <
+        col("token_budget") * lit(1L << 24))
+      .drop("t_tokens", "weight", "token_budget")
+
+  /** One-call recipe + realized-sample audit: the plan columns plus
+    * what the deterministic sample actually took (`n_kept`,
+    * `kept_tokens`) — the release-notes table for a data mixture.
+    * `kept_tokens` tracks `token_budget` to within one document's
+    * tokens per source (hash sampling, not a cumulative cut). */
+  def mixtureReport(
+      docs: DataFrame, idCol: String, stratumCol: String, tokens: Column,
+      tau: Double, alpha: Double = 0.5): DataFrame = {
+    val withTok = docs.select(col(stratumCol), col(idCol),
+      tokens.cast("long").as("__graft_tok"))
+    val plan = mixturePlan(withTok, stratumCol, col("__graft_tok"), tau, alpha)
+    val kept = sampleByPlan(withTok, idCol, stratumCol, plan)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sum("__graft_tok").cast("long").as("kept_tokens"))
+    plan.join(kept, Seq(stratumCol), "left")
+      .select(col(stratumCol), col("t_tokens"), col("weight"),
+        col("token_budget"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+}

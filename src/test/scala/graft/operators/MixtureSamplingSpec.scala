@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class MixtureSamplingSpec extends SparkFunSuite {
+
+  // srcA: docs 1, 6, 9 × 4 tokens (T=12); srcB: docs 11, 19 × 2 tokens
+  // (T=4). Buckets (first 6 md5 hex digits / 2^24): 1→0.7687,
+  // 6→0.0878, 9→0.2725, 11→0.3948, 19→0.1213.
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "srcA", "a b c d"), (6L, "srcA", "a b c d"), (9L, "srcA", "a b c d"),
+      (11L, "srcB", "a b"), (19L, "srcB", "a b")
+    ).toDF("doc_id", "source", "text")
+  }
+  private def nTokens = size(split(col("text"), " ")).cast("long")
+
+  test("mixtureReport: hand-computed sqrt-temperature recipe at tau=0.5") {
+    // z = sqrt(12) + sqrt(4) = 5.464102; w_A = 0.634, w_B = 0.366;
+    // floor(16 * 0.5) = 8 → budgets floor(8*.634)=5, floor(8*.366)=2.
+    // Keep: srcA iff bucket < 5/12 (docs 6, 9); srcB iff bucket < 2/4
+    // (docs 11, 19).
+    val r = MixtureSampling.mixtureReport(docs, "doc_id", "source", nTokens,
+      tau = 0.5).orderBy("source").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("srcA", "srcB"))
+    assert(r.map(_.getLong(1)).toSeq === Seq(12L, 4L))      // t_tokens
+    assert(r.map(_.getDouble(2)).toSeq === Seq(0.634, 0.366)) // weight
+    assert(r.map(_.getLong(3)).toSeq === Seq(5L, 2L))       // token_budget
+    assert(r.map(_.getLong(4)).toSeq === Seq(2L, 2L))       // n_kept
+    assert(r.map(_.getLong(5)).toSeq === Seq(8L, 4L))       // kept_tokens
+  }
+
+  test("sampleByPlan: exact kept-id set, deterministic across reruns") {
+    val plan = MixtureSampling.mixturePlan(
+      docs.select(col("source"), col("doc_id"), nTokens.as("t")),
+      "source", col("t"), tau = 0.5)
+    val kept = MixtureSampling.sampleByPlan(docs, "doc_id", "source", plan)
+      .select("doc_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq
+    assert(kept === Seq(6L, 9L, 11L, 19L))
+    val again = MixtureSampling.sampleByPlan(docs, "doc_id", "source", plan)
+      .select("doc_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq
+    assert(again === kept)
+  }
+
+  test("tau=1 single source keeps everything (budget >= mass)") {
+    val one = docs.filter(col("source") === "srcA")
+    val r = MixtureSampling.mixtureReport(one, "doc_id", "source", nTokens,
+      tau = 1.0).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(2) === 1.0)   // weight
+    assert(r(0).getLong(3) === 12L)     // budget = full mass
+    assert(r(0).getLong(4) === 3L)      // every doc kept
+  }
+
+  test("corpus never shuffles: the sample filter is scan-local") {
+    val plan = MixtureSampling.mixturePlan(
+      docs.select(col("source"), col("doc_id"), nTokens.as("t")),
+      "source", col("t"), tau = 0.5)
+    val explained = MixtureSampling
+      .sampleByPlan(docs, "doc_id", "source", plan)
+      .queryExecution.executedPlan.toString
+    // The only joins are broadcasts of the tiny plan relation — no
+    // sort-merge join, no exchange keyed on the corpus side.
+    assert(explained.contains("BroadcastHashJoin"))
+    assert(!explained.contains("SortMergeJoin"))
+  }
+}
