@@ -343,6 +343,18 @@ object SparkEntry {
           blockLen = 16, threshold = 0.3, scale = Scale),
         "a_id", "b_id")
         .orderBy("id")),
+    // Quality-aware representative selection over the same near-dup
+    // clusters: keep each cluster's LONGEST member (n_chars, ties →
+    // lowest id) — the production rule "keep the most complete
+    // variant", replacing min-id with an argmax picked by one
+    // max_by hash aggregate (no per-cluster sort).
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Dedup.keepBestVerdict(docs, "doc_id", col("n_chars"),
+        Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+          blockLen = 16, threshold = 0.3, scale = Scale))
+        .orderBy("id")
+    }),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
     "sim_join_label" -> ((s, d) =>
       SimilarityJoin.blockedCosinePairs(table(s, d, "embeddings"), "vec_id",
@@ -382,6 +394,16 @@ object SparkEntry {
         "embedding", bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale,
         maxBucket = Some(1024))
         .orderBy("a_id", "b_id")),
+    // k-NN graph (k=3) over the embeddings corpus: same recall-1 LSH
+    // candidates as sim_join_lsh, symmetrized, then a per-id bounded
+    // top-k (one hash exchange on id). Ranked by rounded cosine with
+    // neighbor-id tie-break, so the oracle's exact-threshold graph
+    // reproduces every rank.
+    "knn_graph" -> ((s, d) =>
+      SimilarityJoin.knnGraph(table(s, d, "embeddings"), "vec_id",
+        "embedding", k = 3, bitsPerTable = 6, nTables = 64, threshold = 0.4,
+        scale = Scale, maxBucket = Some(1024))
+        .orderBy("id", "nbr_rank")),
     // Incremental SEMANTIC ingestion gate: batch rows (vec_id >= 250)
     // with no cosine-0.4 near-dup in the historical corpus (vec_id <
     // 250) survive. Candidates are batch×corpus bucket collisions only
@@ -1791,6 +1813,44 @@ object SparkEntry {
         |SELECT id, component,
         |       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
         |FROM comp ORDER BY id""".stripMargin,
+    // Same pair graph + transitive closure as the dedup_components
+    // oracle; the kept member is the component's (max n_chars, min id)
+    // argmax, derived with a window max + min-id reduction.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id, substr(text, 1, 16) AS bk,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.id AS a_id, b.id AS b_id,
+        |           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |                 len(list_distinct(list_cat(a.toks, b.toks))), 6) AS jaccard
+        |    FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id)
+        |  WHERE jaccard >= 0.3),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u),
+        |members AS (
+        |  SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS comp,
+        |         d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |kept AS (
+        |  SELECT comp, min(id) AS kept_id FROM (
+        |    SELECT comp, id, n_chars,
+        |           max(n_chars) OVER (PARTITION BY comp) AS mx
+        |    FROM members)
+        |  WHERE n_chars = mx GROUP BY comp)
+        |SELECT m.id, k.kept_id, m.id = k.kept_id AS is_kept
+        |FROM members m JOIN kept k USING (comp)
+        |ORDER BY m.id""".stripMargin,
     // Same shingling as the dedup_minhash oracle; overlap = exact
     // intersection count per (train, eval) pair.
     "contamination_check" ->
@@ -1851,6 +1911,26 @@ object SparkEntry {
         |  FROM base a JOIN base b ON a.id < b.id)
         |WHERE cos_sim >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // Exact-threshold k-NN graph (= the LSH graph at recall 1): all
+    // directed pairs above the cosine threshold, row_number per id by
+    // (rounded cosine desc, neighbor id).
+    "knn_graph" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.id AS id, b.id AS nbr_id,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM base a JOIN base b ON a.id <> b.id),
+        |r AS (
+        |  SELECT id, nbr_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY id
+        |                ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS nbr_rank
+        |  FROM p WHERE cos_sim >= 0.4)
+        |SELECT id, nbr_id, cos_sim, nbr_rank
+        |FROM r WHERE nbr_rank <= 3
+        |ORDER BY id, nbr_rank""".stripMargin,
     // Exact NOT-EXISTS gate (= the LSH between-join at recall 1).
     "dedup_semantic_incremental" ->
       """WITH base AS (

@@ -327,6 +327,41 @@ object Dedup {
   }
 
   /**
+   * Quality-aware cluster representative selection: like
+   * [[semanticKeepVerdict]], but the kept member of each near-dup
+   * cluster is the one with the HIGHEST `score` (ties → lowest id)
+   * instead of the lowest id. This is the production form of near-dup
+   * resolution — when a crawl holds five variants of a page, keep the
+   * most complete one (score = length, quality classifier output,
+   * freshness...), not whichever happened to have the smallest id.
+   *
+   * Shape at scale: component labels from the pair graph (pointer
+   * doubling, O(log d) rounds), then ONE hash aggregate picks each
+   * cluster's argmax via `max_by(id, (score, -id))` — map-side
+   * partials, no window over members, no per-cluster sort — and a
+   * broadcast-able join-back stamps the verdict on every row.
+   * Singleton rows never enter the aggregate's shuffle (they join to
+   * no component and keep themselves).
+   */
+  def keepBestVerdict(rows: DataFrame, idCol: String, score: Column,
+      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id")
+      : DataFrame = {
+    val comps = ConnectedComponents.components(pairs, aCol, bCol)
+    val scored = rows.select(col(idCol).as("id"), score.as("__graft_score"))
+      .join(comps, Seq("id"), "left")
+    val clustered = scored.filter(col("component").isNotNull)
+    val best = clustered.groupBy("component")
+      .agg(max_by(col("id"),
+        struct(col("__graft_score"), negate(col("id")))).as("kept_id"))
+    clustered.join(best, Seq("component"))
+      .select(col("id"), col("kept_id"),
+        (col("id") === col("kept_id")).as("is_kept"))
+      .unionAll(scored.filter(col("component").isNull)
+        .select(col("id"), col("id").as("kept_id"),
+          lit(true).as("is_kept")))
+  }
+
+  /**
    * Cross-document duplicated-span scan — the token-n-gram formulation
    * of substring deduplication (Lee et al., "Deduplicating Training
    * Data Makes Language Models Better"): for every document, what

@@ -243,6 +243,53 @@ object SimilarityJoin {
       threshold, seed, scale, maxBucket,
       carryVectors = chooseCarryVectors(emb, idCol, vecCol))
 
+  /**
+   * k-nearest-neighbor GRAPH over an embedding corpus: for every
+   * vector, its top-`k` neighbors with cosine ≥ `threshold`, ranked by
+   * (similarity desc, neighbor id asc). The k-NN graph is the substrate
+   * of embedding-space corpus work — SemDeDup-style cluster pruning,
+   * dataset cartography, label propagation — and this formulation keeps
+   * it a composition of scale-correct parts:
+   *
+   *  1. candidate pairs from [[lshCosinePairsBanded]] (bucketed
+   *     equality joins, viral-bucket cap, never all-pairs);
+   *  2. symmetrize (each undirected pair feeds both endpoints);
+   *  3. per-id top-k: one hash exchange on `id`, then a bounded sort
+   *     of each id's candidate list (candidate counts are bounded by
+   *     the LSH parameters, so no window partition can go viral the
+   *     way an unbounded group-sort would).
+   *
+   * Ranking uses the `scale`-rounded similarity, so rank order is
+   * engine-reproducible (ties broken by neighbor id); at the shipped
+   * parameters LSH recall is 1 on this corpus and the graph equals the
+   * exact-threshold k-NN graph, which is how the driver verifies it.
+   *
+   * Output: (id, nbr_id, cos_sim, nbr_rank), nbr_rank in 1..k.
+   */
+  def knnGraph(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bitsPerTable: Int = 4,
+      nTables: Int = 64,
+      threshold: Double = 0.4,
+      seed: Long = 42L,
+      scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pairs = lshCosinePairsBanded(emb, idCol, vecCol, bitsPerTable,
+      nTables, threshold, seed, scale, maxBucket)
+    val sym = pairs.select(
+        col("a_id").as("id"), col("b_id").as("nbr_id"), col("cos_sim"))
+      .unionAll(pairs.select(
+        col("b_id").as("id"), col("a_id").as("nbr_id"), col("cos_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cos_sim").desc, col("nbr_id"))
+    sym.withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
+  }
+
   def lshCosinePairs(
       emb: DataFrame,
       idCol: String,

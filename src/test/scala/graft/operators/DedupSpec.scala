@@ -245,4 +245,20 @@ class DedupSpec extends SparkFunSuite {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), // transitive: 3 dedups to 1
       (4L, 4L, true), (5L, 4L, false)))
   }
+
+  test("keepBestVerdict: highest score wins, ties break to lowest id, singletons survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L),  // chain cluster: 2 has the best score
+      (4L, 7L), (5L, 7L),               // tied cluster: min id 4 wins
+      (6L, 1L)                          // singleton
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Dedup.keepBestVerdict(corpus, "doc_id", col("quality"), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (4L, 4L, true), (5L, 4L, false),
+      (6L, 6L, true)))
+  }
 }

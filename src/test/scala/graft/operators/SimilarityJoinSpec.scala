@@ -82,6 +82,27 @@ class SimilarityJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("knnGraph: hand-computed ranks on a 4-vector fixture; k bounds degree") {
+    import spark.implicits._
+    // Unit-normalized cosines: (1,2) = 1/√2 ≈ .7071, (1,3) = 3/√10 ≈
+    // .9487, (2,3) = 4/√20 ≈ .8944; v4 orthogonal to all → isolated.
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(1f, 1f, 0f)),
+      (3L, Seq(3f, 1f, 0f)),
+      (4L, Seq(0f, 0f, 1f))).toDF("id", "v")
+    val g = SimilarityJoin.knnGraph(vecs, "id", "v", k = 2,
+      bitsPerTable = 2, nTables = 32, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(g === Set(
+      (1L, 3L, 1L), (1L, 2L, 2L),   // 1: .9487 to 3 beats .7071 to 2
+      (2L, 3L, 1L), (2L, 1L, 2L),   // 2: .8944 to 3 beats .7071 to 1
+      (3L, 1L, 1L), (3L, 2L, 2L)))  // 3: .9487 to 1 beats .8944 to 2
+    val k1 = SimilarityJoin.knnGraph(vecs, "id", "v", k = 1,
+      bitsPerTable = 2, nTables = 32, threshold = 0.4)
+    assert(k1.groupBy("id").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("lshCosinePairsBetween: recall 1 vs the exact cross-relation join at the driver config") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
