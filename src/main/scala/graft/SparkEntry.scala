@@ -492,6 +492,16 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")
     }),
+    // Fractional-epoch upsampling: materialize "2.5 epochs of src0,
+    // 1 of src1, 0.4 of src2, 0.25 of src3" as labeled row copies —
+    // full copies for everyone plus a deterministic promille id-bucket
+    // slice for the fraction. Scan-local explode; unlisted sources drop.
+    "corpus_epochs" -> ((s, d) =>
+      MixtureSampling.upsampleEpochs(table(s, d, "documents"), "doc_id",
+        "source", Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4,
+          "src3" -> 0.25))
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")),
     // Deterministic global training shuffle: seeded-md5 (shard, pos)
     // coordinates — shard-shuffled loading order without a global sort
     // (one hash exchange + independent per-shard sorts). Reproducible
@@ -1559,6 +1569,29 @@ object SparkEntry {
         |             * CAST(16 ** (6 - i) AS BIGINT))) AS BIGINT) * t_tokens
         |      < token_budget * CAST(16777216 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    // Epoch factors as (full copies, promille fraction); every row's
+    // copy count re-derived from its md5 bucket, copies unrolled with
+    // generate_series.
+    "corpus_epochs" ->
+      """WITH f(source, n_full, promille) AS (
+        |  VALUES ('src0', 2, 500), ('src1', 1, 0),
+        |         ('src2', 0, 400), ('src3', 0, 250)),
+        |b AS (
+        |  SELECT doc_id, source, n_full, promille,
+        |         CAST(list_sum(list_transform(generate_series(1, 6),
+        |           i -> (strpos('0123456789abcdef',
+        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |                * CAST(16 ** (6 - i) AS BIGINT))) AS BIGINT) AS bkt
+        |  FROM documents JOIN f USING (source)),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         n_full + CASE WHEN bkt * 1000 < promille * CAST(16777216 AS BIGINT)
+        |                       THEN 1 ELSE 0 END AS copies
+        |  FROM b)
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+        |FROM c, unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) t(epoch)
+        |WHERE copies > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
     // Seeded-md5 shuffle coordinates re-derived per row: shard from the
     // first four hex nibbles, pos by ranking the full hex digest within
     // the shard (the digest is lowercase-hex ASCII in both engines, so

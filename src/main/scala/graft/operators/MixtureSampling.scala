@@ -80,6 +80,45 @@ object MixtureSampling {
         col("token_budget") * lit(1L << 24))
       .drop("t_tokens", "weight", "token_budget")
 
+  /**
+   * Fractional-epoch upsampling — the other half of the recipe knob:
+   * training mixes express per-source weights as EPOCH COUNTS
+   * ("2.5 epochs of books, 0.8 of crawl"), materialized as row copies.
+   * Source s with factor e yields floor(e) full copies of every doc
+   * plus one extra copy for the deterministic ⌊1000·frac(e)⌉‰ id-bucket
+   * slice — so the realized factor converges to e, every copy is
+   * labeled with its epoch index, and the selection is reproducible /
+   * incremental (same md5-bucket contract as [[sampleByPlan]]; the
+   * fractional verdict `bucket24·1000 < promille·2^24` is pure BIGINT).
+   *
+   * Shape at scale: factors ride a broadcast; the fan-out is a
+   * generate-and-explode INSIDE the scan stage — the corpus is read
+   * once and never shuffled, and downstream consumers see copies
+   * already spread across the same partitions as their originals.
+   * Sources absent from `epochs` default to 0 (dropped) — mixes must
+   * be explicit.
+   */
+  def upsampleEpochs(
+      docs: DataFrame, idCol: String, stratumCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(e => e >= 0 && e <= 100),
+      s"epoch factors must be in [0, 100]: $epochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val factors = epochs.toSeq.map { case (s, e) =>
+      (s, math.floor(e).toLong, math.round((e - math.floor(e)) * 1000))
+    }.toDF(stratumCol, "__graft_full", "__graft_promille")
+    docs.join(broadcast(factors), Seq(stratumCol))
+      .withColumn("__graft_copies",
+        col("__graft_full") +
+          when(bucket24(col(idCol)) * 1000 <
+            col("__graft_promille") * lit(1L << 24), 1L).otherwise(0L))
+      .filter(col("__graft_copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__graft_copies") - 1)))
+      .drop("__graft_full", "__graft_promille", "__graft_copies")
+  }
+
   /** One-call recipe + realized-sample audit: the plan columns plus
     * what the deterministic sample actually took (`n_kept`,
     * `kept_tokens`) — the release-notes table for a data mixture.

@@ -56,6 +56,25 @@ class MixtureSamplingSpec extends SparkFunSuite {
     assert(r(0).getLong(4) === 3L)      // every doc kept
   }
 
+  test("upsampleEpochs: floor copies for all, fraction by bucket, unlisted drop") {
+    import spark.implicits._
+    // Buckets: 1→0.7687, 6→0.0878, 9→0.2725, 11→0.3948, 19→0.1213.
+    val rows = Seq(
+      (1L, "srcA"), (6L, "srcA"), (9L, "srcA"),  // 1.5 epochs: frac iff bucket < .5
+      (11L, "srcB"), (19L, "srcB"),              // 0.3 epochs: iff bucket < .3
+      (40L, "srcC")                              // unlisted → dropped
+    ).toDF("doc_id", "source")
+    val got = MixtureSampling.upsampleEpochs(rows, "doc_id", "source",
+      Map("srcA" -> 1.5, "srcB" -> 0.3))
+      .select("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq(
+      (1L, 0L),                       // bucket .7687 ≥ .5 → 1 copy
+      (6L, 0L), (6L, 1L),             // .0878 < .5 → 2 copies
+      (9L, 0L), (9L, 1L),             // .2725 < .5 → 2 copies
+      (19L, 0L)))                     // .1213 < .3; 11 (.3948) drops
+  }
+
   test("corpus never shuffles: the sample filter is scan-local") {
     val plan = MixtureSampling.mixturePlan(
       docs.select(col("source"), col("doc_id"), nTokens.as("t")),
