@@ -404,6 +404,18 @@ object SparkEntry {
         "embedding", k = 3, bitsPerTable = 6, nTables = 64, threshold = 0.4,
         scale = Scale, maxBucket = Some(1024))
         .orderBy("id", "nbr_rank")),
+    // Two-relation retrieval top-5: each query vector (vec_id >= 450)
+    // against the corpus (vec_id < 450) — hard-negative mining / RAG
+    // eval. Query×corpus bucket collisions only (recall-1 parameters),
+    // one bounded per-query top-k; the oracle ranks the exact join.
+    "knn_between" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      SimilarityJoin.knnBetween(
+        emb.filter(col("vec_id") >= 450), emb.filter(col("vec_id") < 450),
+        "vec_id", "embedding", k = 5, bitsPerTable = 6, nTables = 64,
+        threshold = 0.4, scale = Scale, maxBucket = Some(1024))
+        .orderBy("query_id", "hit_rank")
+    }),
     // Incremental SEMANTIC ingestion gate: batch rows (vec_id >= 250)
     // with no cosine-0.4 near-dup in the historical corpus (vec_id <
     // 250) survive. Candidates are batch×corpus bucket collisions only
@@ -492,6 +504,15 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")
     }),
+    // Balanced per-stratum pick: exactly 20 docs per language, ranked
+    // by seeded md5 with id tie-break — the deterministic eval-batch
+    // constructor (rate sampling can't promise exact counts). One
+    // stratum exchange + in-partition sort, never a global sort.
+    "balanced_sample" -> ((s, d) =>
+      DatasetSplit.balancedSample(table(s, d, "documents"), "doc_id",
+        "lang", n = 20)
+        .select("doc_id", "lang", "pick_rank")
+        .orderBy("doc_id")),
     // Fractional-epoch upsampling: materialize "2.5 epochs of src0,
     // 1 of src1, 0.4 of src2, 0.25 of src3" as labeled row copies —
     // full copies for everyone plus a deterministic promille id-bucket
@@ -1569,6 +1590,21 @@ object SparkEntry {
         |             * CAST(16 ** (6 - i) AS BIGINT))) AS BIGINT) * t_tokens
         |      < token_budget * CAST(16777216 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    // Same seeded-md5 ranking re-derived per row; the digest is
+    // lowercase-hex ASCII in both engines, so string order agrees.
+    "balanced_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id)
+        |              AS BIGINT) AS pick_rank
+        |  FROM h)
+        |SELECT doc_id, lang, pick_rank
+        |FROM r WHERE pick_rank <= 20
+        |ORDER BY doc_id""".stripMargin,
     // Epoch factors as (full copies, promille fraction); every row's
     // copy count re-derived from its md5 bucket, copies unrolled with
     // generate_series.
@@ -1964,6 +2000,25 @@ object SparkEntry {
         |SELECT id, nbr_id, cos_sim, nbr_rank
         |FROM r WHERE nbr_rank <= 3
         |ORDER BY id, nbr_rank""".stripMargin,
+    // Exact-threshold retrieval top-k (= the LSH between-join at
+    // recall 1), ranked per query by (rounded cosine desc, corpus id).
+    "knn_between" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT q.id AS query_id, c.id AS corpus_id,
+        |         round(list_inner_product(q.v, c.v) /
+        |               (sqrt(list_inner_product(q.v, q.v)) *
+        |                sqrt(list_inner_product(c.v, c.v))), 6) AS cos_sim
+        |  FROM base q JOIN base c ON q.id >= 450 AND c.id < 450),
+        |r AS (
+        |  SELECT query_id, corpus_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS hit_rank
+        |  FROM p WHERE cos_sim >= 0.4)
+        |SELECT query_id, corpus_id, cos_sim, hit_rank
+        |FROM r WHERE hit_rank <= 5
+        |ORDER BY query_id, hit_rank""".stripMargin,
     // Exact NOT-EXISTS gate (= the LSH between-join at recall 1).
     "dedup_semantic_incremental" ->
       """WITH base AS (

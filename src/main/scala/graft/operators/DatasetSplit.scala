@@ -77,6 +77,38 @@ object DatasetSplit {
   }
 
   /**
+   * Balanced per-stratum sampling: EXACTLY `n` rows per stratum (or
+   * all of a smaller stratum), picked deterministically — the
+   * eval-set / class-balance construction ("200 documents per
+   * language for the human-review batch"). Rate-based sampling
+   * ([[stratifiedSample]]) cannot promise exact counts; this ranks
+   * each stratum's rows by seeded md5 (ties → id) and keeps the first
+   * `n`, so the pick is reproducible across engines and stable under
+   * corpus growth EXCEPT that new rows hashing into the top-n evict
+   * the rank-n row — the standard reservoir trade-off.
+   *
+   * Shape at scale: one hash exchange on the stratum plus an
+   * in-partition sort (Spark's window), same as [[shuffleOrder]] —
+   * never a global sort. Skewed strata sort more rows but emit `n`;
+   * if a stratum outgrows a task, pre-filter with a generous
+   * [[bucket]] rate first (2-pass top-n) — at `n` ≪ stratum size the
+   * rate cut keeps the exact-rank semantics with overwhelming margin.
+   */
+  def balancedSample(
+      df: DataFrame, idCol: String, stratumCol: String, n: Int,
+      seed: String = "graft"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+      .cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= n)
+      .drop("__h")
+  }
+
+  /**
    * Stratified deterministic sampling — the data-mixture knob of a
    * training pipeline (keep 100% of a high-quality source, 10% of a
    * crawl): a row survives iff its id-bucket falls under its stratum's

@@ -207,6 +207,43 @@ object SimilarityJoin {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /**
+   * Two-relation retrieval top-k: for every LEFT (query) row, its `k`
+   * most-similar RIGHT (corpus) rows with cosine ≥ `threshold` — the
+   * hard-negative-mining / RAG-evaluation shape ("for each eval
+   * prompt, the nearest training documents"). Candidates come from
+   * [[lshCosinePairsBetween]] (query×corpus bucket collisions only;
+   * corpus×corpus pairs never exist), then one bounded per-query
+   * top-k exchange, ranked by (`scale`-rounded similarity desc,
+   * corpus id asc) for engine-reproducible ranks. At the shipped
+   * recall-1 parameters the result equals the exact-threshold
+   * retrieval, which is how the driver verifies it.
+   *
+   * Output: (query_id, corpus_id, cos_sim, hit_rank), hit_rank 1..k.
+   */
+  def knnBetween(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bitsPerTable: Int = 4,
+      nTables: Int = 64,
+      threshold: Double = 0.4,
+      seed: Long = 42L,
+      scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pairs = lshCosinePairsBetween(queries, corpus, idCol, vecCol,
+      bitsPerTable, nTables, threshold, seed, scale, maxBucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id"))
+    pairs.withColumn("hit_rank", row_number().over(w).cast("long"))
+      .filter(col("hit_rank") <= k)
+      .select(col("a_id").as("query_id"), col("b_id").as("corpus_id"),
+        col("cos_sim"), col("hit_rank"))
+  }
+
   /** Layout chooser for [[lshCosinePairsBanded]]: the slim layout wins
     * exactly when its two vector join-backs can broadcast, so carry
     * vectors only when Catalyst's size estimate of the (id, vector)

@@ -110,6 +110,30 @@ class DatasetSplitSpec extends SparkFunSuite {
     }
   }
 
+  test("balancedSample: exactly n per stratum, small strata whole, rank order by seeded md5") {
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      Seq((200L, "tiny"), (201L, "tiny"))).toDF("id", "src")
+    val got = DatasetSplit.balancedSample(df, "id", "src", n = 10)
+      .select("id", "src", "pick_rank").as[(Long, String, Long)].collect()
+    val byStr = got.groupBy(_._2)
+    assert(byStr("big").length === 10)
+    assert(byStr("tiny").length === 2)           // smaller than n → all rows
+    // ranks are 1..n and follow the seeded-md5 string order
+    val bigSorted = byStr("big").sortBy(_._3)
+    assert(bigSorted.map(_._3).toSeq === (1L to 10L))
+    val hx = (id: Long) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    assert(bigSorted.map(_._1).toSeq ===
+      (0L until 100L).sortBy(id => (hx(id), id)).take(10))
+    // deterministic across repartitionings
+    val again = DatasetSplit.balancedSample(df.repartition(7), "id", "src", n = 10)
+      .select("id").as[Long].collect().sorted
+    assert(again.toSeq === got.map(_._1).sorted.toSeq)
+  }
+
   test("packSequences: hand-computed offsets, pack cuts, per-shard streams") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 10L),

@@ -103,6 +103,23 @@ class SimilarityJoinSpec extends SparkFunSuite {
     assert(k1.groupBy("id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("knnBetween: per-query ranks on a fixture; corpus never pairs with itself") {
+    import spark.implicits._
+    // Query q against corpus c1≈q (cos .9487), c2 (cos .7071), c3 ⊥ q.
+    val qs = Seq((100L, Seq(1f, 0f, 0f))).toDF("id", "v")
+    val cs = Seq(
+      (1L, Seq(3f, 1f, 0f)), (2L, Seq(1f, 1f, 0f)), (3L, Seq(0f, 0f, 1f)))
+      .toDF("id", "v")
+    val got = SimilarityJoin.knnBetween(qs, cs, "id", "v", k = 2,
+      bitsPerTable = 2, nTables = 32, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === Set((100L, 1L, 1L), (100L, 2L, 2L)))
+    val k1 = SimilarityJoin.knnBetween(qs, cs, "id", "v", k = 1,
+      bitsPerTable = 2, nTables = 32, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1 === Set((100L, 1L)))
+  }
+
   test("lshCosinePairsBetween: recall 1 vs the exact cross-relation join at the driver config") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
