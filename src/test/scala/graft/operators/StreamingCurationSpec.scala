@@ -58,4 +58,53 @@ class StreamingCurationSpec extends SparkFunSuite {
     val b = batch(op).map(_.toSeq).sortBy(_.toString)
     assert(s.toSeq === b.toSeq)
   }
+
+  // The recipe operators' row verdicts are pure id functions against a
+  // static broadcast plan, so the live ingest tail applies the SAME
+  // mixture/epoch decisions as the backfill (stream-static join).
+  private val sourced = Seq(
+    (1L, "srcA", "a b c d"), (6L, "srcA", "a b c d"), (9L, "srcA", "a b c d"),
+    (11L, "srcB", "a b"), (19L, "srcB", "a b"))
+
+  private def streamedSourced(name: String)(
+      op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = op(input.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(sourced: _*)
+      q.processAllAvailable()
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("mixture sampleByPlan runs unchanged on a stream (static plan join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batchDocs = sourced.toDF("doc_id", "source", "text")
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val plan = MixtureSampling.mixturePlan(
+      batchDocs.select(col("source"), col("doc_id"), nTok.as("t")),
+      "source", col("t"), tau = 0.5).cache()
+    val op = (df: org.apache.spark.sql.DataFrame) =>
+      MixtureSampling.sampleByPlan(df, "doc_id", "source", plan)
+        .select("doc_id")
+    val s = streamedSourced("mix_stream")(op).map(_.getLong(0)).sorted
+    val b = op(batchDocs).collect().map(_.getLong(0)).sorted
+    assert(s.toSeq === b.toSeq && b.nonEmpty)
+  }
+
+  test("upsampleEpochs runs unchanged on a stream") {
+    val op = (df: org.apache.spark.sql.DataFrame) =>
+      MixtureSampling.upsampleEpochs(df, "doc_id", "source",
+        Map("srcA" -> 1.5, "srcB" -> 0.3)).select("doc_id", "epoch")
+    val s = streamedSourced("epoch_stream")(op)
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    import spark.implicits._
+    val b = op(sourced.toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(s.toSeq === b.toSeq && b.nonEmpty)
+  }
 }
