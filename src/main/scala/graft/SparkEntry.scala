@@ -617,6 +617,13 @@ object SparkEntry {
     "corpus_datacard" -> ((s, d) =>
       TextAnalysis.corpusDatacard(table(s, d, "documents"), "doc_id", "text",
         "lang", "source")),
+    // Per-source scorecard: volumes, quality full-pass rate (same
+    // expressions as the doc_quality gate), exact-dup surplus — one
+    // scan, one source-keyed hash aggregate.
+    "source_scorecard" -> ((s, d) =>
+      TextAnalysis.sourceScorecard(table(s, d, "documents"), "doc_id",
+        "text", "source")
+        .orderBy("source")),
     "token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1806,6 +1813,36 @@ object SparkEntry {
         |             / length(text) AS punct_ratio
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // Same per-doc expressions as the doc_quality oracle, rolled up by
+    // source; ratios are single divisions of integer aggregates.
+    "source_scorecard" ->
+      """WITH q AS (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS mean_word_len,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS stopword_ratio,
+        |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |           / length(text) AS punct_ratio,
+        |         md5(lower(text)) AS fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens, fp,
+        |         CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+        |               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |               AND stopword_ratio >= 0.01 AND punct_ratio <= 0.2
+        |              THEN 1 ELSE 0 END AS pass
+        |  FROM q)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       round(avg(n_tokens), 4) AS mean_tokens,
+        |       CAST(sum(pass) AS BIGINT) AS pass_docs,
+        |       round(CAST(sum(pass) AS DOUBLE) / count(*), 4) AS pass_rate,
+        |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs
+        |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
     "events_quantiles" ->
       """SELECT event_type, q, round(v, 6) AS val
         |FROM (

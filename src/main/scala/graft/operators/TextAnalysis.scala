@@ -416,6 +416,53 @@ object TextAnalysis {
       countDistinct(col(sourceCol)).as("n_sources"))
   }
 
+  /**
+   * Per-source quality scorecard — the release dashboard a curation
+   * run ships with: for every source, volumes (docs / tokens), the
+   * [[qualityScore]] full-pass rate, and the exact-duplicate surplus.
+   * The per-doc pieces are the same expressions the quality gate and
+   * dedup key use, so the scorecard is guaranteed consistent with what
+   * the pipeline would actually filter.
+   *
+   * One scan → one hash aggregate keyed on the source (map-side
+   * partials; the multi-distinct fingerprint count expands to the
+   * standard Expand plan). Ratios are single divisions of exact
+   * integer aggregates rounded at the end — engine-reproducible.
+   */
+  def sourceScorecard(
+      docs: DataFrame, idCol: String, textCol: String, stratumCol: String,
+      minTokens: Long = 20L, maxTokens: Long = 100000L,
+      minStopRatio: Double = 0.01, maxPunctRatio: Double = 0.2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = tokens(col(textCol))
+    val nTokens = size(toks).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val nPunct = size(regexp_extract_all(col(textCol),
+      lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+    val meanWordLen = (nChars - (nTokens - lit(1L))).cast("double") / nTokens
+    val stopRatio = hitCount(col(textCol), StopWords).cast("double") / nTokens
+    val punctRatio = when(nChars === 0L, 0.0)
+      .otherwise(nPunct.cast("double") / nChars)
+    val pass = nTokens >= minTokens && nTokens <= maxTokens &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      stopRatio >= minStopRatio && punctRatio <= maxPunctRatio
+    docs.select(col(stratumCol),
+        nTokens.as("__graft_t"),
+        when(pass, 1L).otherwise(0L).as("__graft_p"),
+        fingerprint(col(textCol)).as("__graft_fp"))
+      .groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__graft_t").cast("long").as("total_tokens"),
+        round(avg("__graft_t"), 4).as("mean_tokens"),
+        sum("__graft_p").cast("long").as("pass_docs"),
+        countDistinct(col("__graft_fp")).as("__graft_d"))
+      .select(col(stratumCol), col("n_docs"), col("total_tokens"),
+        col("mean_tokens"), col("pass_docs"),
+        round(col("pass_docs") / col("n_docs"), 4).as("pass_rate"),
+        (col("n_docs") - col("__graft_d")).as("dup_docs"))
+  }
+
   /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
     * dedup key. MD5 is standard across engines, so it doubles as a
     * cross-engine-verifiable fingerprint. */

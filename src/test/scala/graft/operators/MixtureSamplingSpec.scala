@@ -87,4 +87,15 @@ class MixtureSamplingSpec extends SparkFunSuite {
     assert(explained.contains("BroadcastHashJoin"))
     assert(!explained.contains("SortMergeJoin"))
   }
+
+  test("upsampleEpochs introduces no exchange: fan-out stays in the scan stage") {
+    val explained = MixtureSampling.upsampleEpochs(docs, "doc_id", "source",
+      Map("srcA" -> 1.5, "srcB" -> 0.3))
+      .queryExecution.executedPlan.toString
+    // Factors broadcast; copies generate+explode in place. The only
+    // exchange allowed is the broadcast of the tiny factor relation.
+    assert(explained.contains("BroadcastHashJoin"))
+    assert(!explained.contains("ShuffleExchange"),
+      s"unexpected shuffle in:\n$explained")
+  }
 }

@@ -157,6 +157,25 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(r.getLong(6) === 2L)      // sources
   }
 
+  test("sourceScorecard: hand-computed per-source rollup") {
+    import spark.implicits._
+    val good = ("word " * 24) + "the"  // 25 tokens, mean 3.96, stop .04 → pass
+    val docs = Seq(
+      (1L, good, "s1"), (2L, good, "s1"),      // exact dups, both pass
+      (3L, "x y", "s1"),                        // 2 tokens → fail
+      (4L, "!!!", "s2")                         // fail
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceScorecard(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("s1", "s2"))
+    assert(r.map(_.getLong(1)).toSeq === Seq(3L, 1L))        // n_docs
+    assert(r.map(_.getLong(2)).toSeq === Seq(52L, 1L))       // total_tokens
+    assert(r.map(_.getDouble(3)).toSeq === Seq(17.3333, 1.0)) // mean_tokens
+    assert(r.map(_.getLong(4)).toSeq === Seq(2L, 0L))        // pass_docs
+    assert(r.map(_.getDouble(5)).toSeq === Seq(0.6667, 0.0)) // pass_rate
+    assert(r.map(_.getLong(6)).toSeq === Seq(1L, 0L))        // dup_docs
+  }
+
   test("logFreqBuckets: terciles split a strictly-increasing score ladder 3/3/3") {
     import spark.implicits._
     // doc i = its own token repeated (i+1) times → its score is
