@@ -48,7 +48,16 @@ object MixtureSampling {
     * `weight` is the α-temperature share rounded to 4 decimals;
     * `token_budget` the integer token allocation. α = 0.5 uses `sqrt`
     * (IEEE correctly-rounded, so engines agree bit-for-bit); other α
-    * go through `pow`. */
+    * go through `pow`.
+    *
+    * The 4-decimal weight rounding is load-bearing (it is what keeps
+    * the budgets engine-exact), and it cuts both ways: at τ = 1 a
+    * multi-source recipe's budgets can land a hair UNDER each source's
+    * mass, so the sample keeps ~everything rather than exactly
+    * everything (±5e-5 of each source's tokens). A recipe that must
+    * keep a source whole should say so directly — set that source's
+    * `token_budget` ≥ `t_tokens` on the plan relation (budget ≥ mass
+    * keeps every row, spec-pinned). */
   def mixturePlan(
       docs: DataFrame, stratumCol: String, tokens: Column,
       tau: Double, alpha: Double = 0.5): DataFrame = {

@@ -88,6 +88,78 @@ class MixtureSamplingSpec extends SparkFunSuite {
     assert(!explained.contains("SortMergeJoin"))
   }
 
+  test("randomized invariants: subset/determinism, full-keep, zero-keep, copy bounds") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 21L, 99L)) {
+      val rnd = new scala.util.Random(seed)
+      val sources = Seq("a", "b", "c")
+      val corpus = (0 until 120).map { i =>
+        (rnd.nextLong().abs % 100000L + i.toLong * 100000L,
+          sources(rnd.nextInt(sources.length)),
+          (1 to (1 + rnd.nextInt(30))).map(_ => "t").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val withTok = corpus.select(col("source"), col("doc_id"), nTok.as("t"))
+
+      // mixture plan totals account for every corpus token
+      val plan = MixtureSampling.mixturePlan(withTok, "source", col("t"), tau = 0.6)
+      val planRows = plan.collect()
+      assert(planRows.map(_.getLong(1)).sum ===
+        withTok.agg(sum("t")).head.getLong(0), s"seed=$seed token mass")
+
+      // sample ⊆ corpus and deterministic
+      val ids = MixtureSampling.sampleByPlan(corpus, "doc_id", "source", plan)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val all = corpus.select("doc_id").as[Long].collect().toSet
+      assert(ids.forall(all), s"seed=$seed subset")
+      val ids2 = MixtureSampling.sampleByPlan(
+        corpus.repartition(5), "doc_id", "source", plan)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids2 === ids, s"seed=$seed determinism")
+
+      // tau=1 keeps ~everything — the 4-decimal weight rounding can
+      // shave budget_s just under T_s, dropping the top bucket sliver
+      // (documented trade; single-source keeps exactly all, pinned
+      // above) — and a zero-budget plan keeps none
+      val keepAll = MixtureSampling.sampleByPlan(corpus, "doc_id", "source",
+        MixtureSampling.mixturePlan(withTok, "source", col("t"), tau = 1.0))
+        .count()
+      assert(keepAll >= (corpus.count() * 95) / 100 && keepAll <= corpus.count(),
+        s"seed=$seed tau=1 kept $keepAll of ${corpus.count()}")
+      val zero = plan.withColumn("token_budget", lit(0L))
+      assert(MixtureSampling.sampleByPlan(corpus, "doc_id", "source", zero)
+        .isEmpty, s"seed=$seed zero budget")
+
+      // epoch copies per doc ∈ {floor(e), floor(e)+1}, labeled 0..c-1
+      val eps = Map("a" -> 2.3, "b" -> 0.7, "c" -> 1.0)
+      val up = MixtureSampling.upsampleEpochs(corpus, "doc_id", "source", eps)
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("c"), max("epoch").as("mx"), min("epoch").as("mn"))
+        .collect()
+      up.foreach { r =>
+        val e = eps(r.getString(1))
+        val c = r.getLong(2)
+        assert(c == math.floor(e).toLong || c == math.floor(e).toLong + 1,
+          s"seed=$seed copies=$c for e=$e")
+        assert(r.getLong(4) === 0L && r.getLong(3) === c - 1,
+          s"seed=$seed epoch labels")
+      }
+
+      // balanced pick: exactly min(n, stratum size) rows, contiguous ranks
+      val picked = DatasetSplit.balancedSample(corpus, "doc_id", "source", n = 15)
+        .groupBy("source")
+        .agg(count(lit(1)).as("c"), max("pick_rank").as("mx"))
+        .collect()
+      val bySrc = corpus.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      picked.foreach { r =>
+        val expect = math.min(15L, bySrc(r.getString(0)))
+        assert(r.getLong(1) === expect && r.getLong(2) === expect,
+          s"seed=$seed stratum ${r.getString(0)}")
+      }
+    }
+  }
+
   test("upsampleEpochs introduces no exchange: fan-out stays in the scan stage") {
     val explained = MixtureSampling.upsampleEpochs(docs, "doc_id", "source",
       Map("srcA" -> 1.5, "srcB" -> 0.3))
