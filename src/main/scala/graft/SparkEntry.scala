@@ -44,7 +44,7 @@ object SparkEntry {
   private def queryVec(spark: SparkSession, dir: String): Array[Float] =
     qvCache.computeIfAbsent(dir, d =>
       table(spark, d, "embeddings").where(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray)
+        .select("embedding").head().getSeq[Float](0).toArray)
 
   /** IVF index cache per dir — index build is an offline step (the
     * reference's kmeans-tree index pre-exists at query time; building it

@@ -180,7 +180,8 @@ object GraftFunctions {
       if (!registry.functionExists(ident)) {
         registry.registerFunction(
           ident,
-          new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
+          new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage,
+            "", "", "", "", "", "", "built-in"),
           builder)
       }
     }
@@ -239,7 +240,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, builder, usage) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
+        new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage,
+            "", "", "", "", "", "", "built-in"),
         builder))
     }
     // ANN auto-rewrite: top-k vector queries over IVF-registered stores

@@ -206,7 +206,7 @@ object IvfIndex {
     require(searchTopSize > 0,
       s"index_tree_search_top_size must be a positive integer, got $searchTopSize")
     val clusters = tree.candidateClusters(queryVec, cfg.strategy, searchTopSize)
-    val pruned = assignedStore.filter(col(ClusterCol).isin(clusters.map(Integer.valueOf): _*))
+    val pruned = assignedStore.filter(col(ClusterCol).isin(clusters.toIndexedSeq.map(Integer.valueOf): _*))
     VectorSearch.bruteForce(pruned.drop(ClusterCol), cfg.copy(indexEnabled = true),
       queryVec, k, Map.empty, scoreScale)
   }
@@ -232,7 +232,7 @@ object IvfIndex {
     val top = model.rankClusters(queryVec, cfg.strategy).take(searchTopSize)
     // isin over a small literal list → pushed down; on a store written
     // with writePartitioned this prunes whole Parquet partitions.
-    val pruned = assignedStore.filter(col(ClusterCol).isin(top.map(Integer.valueOf): _*))
+    val pruned = assignedStore.filter(col(ClusterCol).isin(top.toIndexedSeq.map(Integer.valueOf): _*))
     VectorSearch.bruteForce(pruned.drop(ClusterCol), cfg.copy(indexEnabled = true),
       queryVec, k, Map.empty, scoreScale)
   }

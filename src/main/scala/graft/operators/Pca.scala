@@ -42,7 +42,7 @@ object Pca {
     GraftFunctions.register(emb.sparkSession)
     val row = emb.agg(
       GraftFunctions.vectorGram(col(vecCol)).as("g"),
-      call_function("vector_avg", col(vecCol)).as("mu")).head
+      call_function("vector_avg", col(vecCol)).as("mu")).head()
     val g = row.getStruct(0)
     val n = g.getLong(0)
     val tri = g.getSeq[Long](1)

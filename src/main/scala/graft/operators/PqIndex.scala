@@ -50,7 +50,7 @@ object PqIndex {
    * and therefore every code — deterministic.
    */
   def train(emb: DataFrame, vecCol: String, m: Int, k: Int, seed: Long = 42L): PqModel = {
-    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
     val codebook = new Array[Float](m * k * dsub)

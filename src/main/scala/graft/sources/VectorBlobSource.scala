@@ -11,7 +11,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.io.{DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
 import java.util.OptionalLong
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /**
  * DataSource V2 connector for the reference's NATIVE vector wire
