@@ -455,6 +455,16 @@ object SparkEntry {
         "doc_id", "text", minShingles = 2L)
         .orderBy("train_id", "eval_id")
     }),
+    // Contamination release gate: per-source contaminated-doc counts
+    // and rates over the same train/eval split — the distinct hit set
+    // broadcasts back onto the train relation, one stratum aggregate.
+    "contamination_by_source" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      ContaminationCheck.overlapBySource(
+        docs.filter(col("doc_id") < 450), docs.filter(col("doc_id") >= 450),
+        "doc_id", "text", "source", minShingles = 2L)
+        .orderBy("source")
+    }),
     // Incremental dedup: the continuous-ingestion shape — new batch
     // (doc_id >= 250) anti-joined against the historical fingerprint
     // set (doc_id < 250); only genuinely new content survives.
@@ -1976,6 +1986,33 @@ object SparkEntry {
         |GROUP BY train_id, eval_id
         |HAVING count(*) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
+    // Same shingle join as the contamination_check oracle, rolled up:
+    // distinct contaminated train ids left-joined back per source.
+    "contamination_by_source" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) = 0 THEN []
+        |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks),
+        |tr AS (SELECT doc_id AS train_id, unnest(s) AS shingle FROM sh WHERE doc_id < 450),
+        |ev AS (SELECT doc_id AS eval_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 450),
+        |hits AS (
+        |  SELECT DISTINCT train_id FROM (
+        |    SELECT train_id, eval_id
+        |    FROM tr JOIN ev USING (shingle)
+        |    GROUP BY train_id, eval_id
+        |    HAVING count(*) >= 2)),
+        |base AS (SELECT doc_id, source FROM documents WHERE doc_id < 450)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs,
+        |       CAST(count(h.train_id) AS BIGINT) AS n_contaminated,
+        |       round(CAST(count(h.train_id) AS DOUBLE) / count(*), 4)
+        |         AS contamination_rate
+        |FROM base b LEFT JOIN hits h ON b.doc_id = h.train_id
+        |GROUP BY source ORDER BY source""".stripMargin,
     // Full SQL reimplementation of the 64-bit SimHash (FNV-1a token
     // hashes → per-bit votes → sign bits) in DuckDB HUGEINT arithmetic —
     // proves the engine kernel is deterministic public math, not an

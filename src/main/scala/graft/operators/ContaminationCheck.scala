@@ -44,4 +44,35 @@ object ContaminationCheck {
       .agg(count(lit(1)).as("n_shared_shingles"))
       .filter(col("n_shared_shingles") >= minShingles)
   }
+
+  /**
+   * The release-gate rollup of [[ngramOverlap]]: per training-corpus
+   * stratum (source, snapshot, ...), how many documents are
+   * contaminated and at what rate — the table a "cleared for
+   * training" decision actually reads.
+   *
+   * Shape at scale: the contaminated-id set (distinct train ids from
+   * the overlap join, small by construction — bounded by eval-adjacent
+   * docs) rides a broadcast-able left join back onto the train
+   * relation; the rollup is one stratum-keyed hash aggregate. The
+   * clean majority of the corpus is touched by exactly one scan +
+   * probe, never shuffled.
+   */
+  def overlapBySource(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, stratumCol: String,
+      minShingles: Long = 1L): DataFrame = {
+    val hits = ngramOverlap(train, eval, idCol, textCol, minShingles)
+      .select(col("train_id")).distinct()
+      .withColumn("__graft_hit", lit(1L))
+    train.select(col(idCol).as("train_id"), col(stratumCol))
+      .join(broadcast(hits), Seq("train_id"), "left")
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(coalesce(col("__graft_hit"), lit(0L))).as("n_contaminated"))
+      .select(col(stratumCol), col("n_train_docs"),
+        col("n_contaminated"),
+        round(col("n_contaminated") / col("n_train_docs"), 4)
+          .as("contamination_rate"))
+  }
 }

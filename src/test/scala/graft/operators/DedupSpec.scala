@@ -170,6 +170,25 @@ class DedupSpec extends SparkFunSuite {
     assert(got === Seq((1L, 10L, 2L)))
   }
 
+  test("contamination by source: per-stratum counts and rates, clean strata zero") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the dog", "crawl"),
+      (2L, "completely different content here now", "crawl"),
+      (3L, "unrelated curated material entirely", "books"))
+      .toDF("doc_id", "text", "source")
+    val eval = Seq((10L, "the quick brown fox runs away"))
+      .toDF("doc_id", "text")
+    val got = ContaminationCheck.overlapBySource(
+      train, eval.withColumn("source", lit("e")), "doc_id", "text", "source",
+      minShingles = 2L)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("books", 1L, 0L, 0.0),
+      ("crawl", 2L, 1L, 0.5)))
+  }
+
   test("duplicateNgramStats: hand-computed duplicated-span fractions") {
     import spark.implicits._
     // n = 3 grams. doc 1 and doc 2 share their first 4 tokens
