@@ -1060,6 +1060,25 @@ object SparkEntry {
           col("pos").cast("long").as("bin"), col("col").as("n"))
         .orderBy("id", "bin")
     }),
+    // Perceptual image dedup: decode the same PGM fixtures through the
+    // REAL Netpbm decoder, average-hash at native 6x8 (48 integer
+    // brighter-than-mean bits), group identical hashes — SimHash's
+    // shape for pictures. The oracle recomputes every hash from the
+    // raw bytes.
+    "multimodal_image_dedup" -> ((s, d) => {
+      val payloads = table(s, d, "documents")
+        .filter(length(col("text")) >= 48)
+        .select(col("doc_id"),
+          concat(lit("P5\n6 8\n255\n").cast("binary"),
+            substring(col("text"), 1, 48).cast("binary")).as("payload"))
+      graft.multimodal.Multimodal.imageAHash(payloads, "doc_id", "payload",
+        hashW = 6, hashH = 8)
+        .toDF()
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_imgs"), min("id").as("keep_id"))
+        .filter(col("n_imgs") > 1)
+        .orderBy("ahash")
+    }),
     // REAL audio decode (pure-Scala RIFF/WAV PCM16 decoder): each
     // document's first 96 bytes become the sample data of a valid mono
     // 8 kHz WAV (44-byte canonical header built as a binary literal);
@@ -2456,6 +2475,26 @@ object SparkEntry {
         |FROM docs d CROSS JOIN bins b
         |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
         |ORDER BY d.id, b.bin""".stripMargin,
+    // aHash re-derived per image from the same 48 fixture bytes:
+    // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.
+    "multimodal_image_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 48) AS px
+        |  FROM documents WHERE length(text) >= 48),
+        |p AS (
+        |  SELECT id, CAST(i - 1 AS BIGINT) AS bit,
+        |         CAST(ascii(substr(px, CAST(i AS INT), 1)) AS BIGINT) AS v
+        |  FROM docs, unnest(generate_series(1, 48)) t(i)),
+        |t AS (SELECT id, sum(v) AS total FROM p GROUP BY id),
+        |h AS (
+        |  SELECT p.id,
+        |         CAST(sum(CASE WHEN p.v * 48 > t.total
+        |                       THEN CAST(1 AS BIGINT) << CAST(p.bit AS INT)
+        |                       ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM p JOIN t USING (id) GROUP BY p.id)
+        |SELECT ahash, CAST(count(*) AS BIGINT) AS n_imgs, min(id) AS keep_id
+        |FROM h GROUP BY ahash HAVING count(*) > 1
+        |ORDER BY ahash""".stripMargin,
     "multimodal_audio_decode" ->
       """WITH docs AS (
         |  SELECT doc_id AS id, substr(text, 1, 96) AS px

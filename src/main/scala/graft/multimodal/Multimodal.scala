@@ -159,6 +159,49 @@ object Multimodal {
       }
   }
 
+  final case class ImageHashRow(id: Long, ahash: Long)
+
+  /**
+   * Perceptual average-hash (aHash) over decoded images — the image
+   * counterpart of SimHash: bit i is set iff pixel i is brighter than
+   * the image mean, so re-encodes and small brightness-preserving
+   * edits of the same picture collide while distinct pictures do not.
+   * The comparison is pure integer arithmetic (`pixel·n > Σpixels` —
+   * no float mean), making the hash engine-reproducible bit for bit.
+   * Images are first downsampled to `hashW`×`hashH` by the integer
+   * nearest-neighbor [[downsample]] (pass the image's own size to hash
+   * raw pixels). Decode + hash run in one `mapPartitions` pass, no
+   * shuffle; grouping identical hashes afterwards is one hash
+   * aggregate — the same shape as text SimHash dedup.
+   */
+  def imageAHash(
+      df: DataFrame, idCol: String, payloadCol: String,
+      hashW: Int = 8, hashH: Int = 8): Dataset[ImageHashRow] = {
+    require(hashW * hashH <= 63, s"hash grid must fit a long: ${hashW}x$hashH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, payload) =>
+          decodeImage(payload).map { img =>
+            val small =
+              if (img.width == hashW && img.height == hashH) img
+              else downsample(img, hashW, hashH)
+            val n = small.gray.length.toLong
+            val total = small.gray.foldLeft(0L)(_ + _)
+            var hash = 0L
+            var i = 0
+            while (i < small.gray.length) {
+              if (small.gray(i) * n > total) hash |= (1L << i)
+              i += 1
+            }
+            ImageHashRow(id, hash)
+          }
+        }
+      }
+  }
+
   /** Decoded PCM audio, mixed to mono. */
   final case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Short])
 

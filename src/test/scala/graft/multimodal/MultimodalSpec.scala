@@ -102,6 +102,32 @@ class MultimodalSpec extends SparkFunSuite {
     assert(got.head.hist.toSeq === Seq(2L, 1L) ++ Seq.fill(13)(0L) :+ 1L)
   }
 
+  test("imageAHash: brightness-shift invariant, pattern-sensitive, downsampled") {
+    import spark.implicits._
+    val pattern = Array.tabulate(6 * 8)(i => if (i % 3 == 0) 200 else 20)
+    val brighter = pattern.map(p => (p + 30) min 255) // uniform shift
+    val inverse = pattern.map(p => if (p == 200) 20 else 200)
+    val big = Array.tabulate(12 * 16) { i =>
+      val (r, c) = (i / 12, i % 12)
+      pattern((r / 2) * 6 + (c / 2)) // 2x2 blocks of the 6x8 pattern
+    }
+    val rows = Seq(
+      (1L, pgm(6, 8, pattern)), (2L, pgm(6, 8, brighter)),
+      (3L, pgm(6, 8, inverse)), (4L, pgm(12, 16, big)),
+      (5L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val h = Multimodal.imageAHash(rows, "doc_id", "payload", hashW = 6, hashH = 8)
+      .collect().map(r => r.id -> r.ahash).toMap
+    assert(h.size === 4)              // non-image dropped
+    assert(h(1L) === h(2L))           // v·n > Σv is shift-invariant
+    assert(h(1L) !== h(3L))           // inverted pattern separates
+    assert(h(4L) === h(1L))           // downsample recovers the base pattern
+    // bits match a direct recomputation
+    val total = pattern.map(_.toLong).sum
+    val expect = pattern.zipWithIndex
+      .collect { case (p, i) if p * 48L > total => 1L << i }.sum
+    assert(h(1L) === expect)
+  }
+
   private def le16b(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
   private def le32b(v: Int) = le16b(v & 0xffff) ++ le16b((v >> 16) & 0xffff)
   private def wav(samples: Seq[Int], channels: Int = 1, rate: Int = 8000,
