@@ -514,6 +514,22 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")
     }),
+    // Export manifest: the shard-level release record (doc/token
+    // volumes + order-independent integer checksums) a 100 TB export
+    // ships next to its files — one aggregate over the deterministic
+    // shard key, no per-shard sort, every value integer-exact.
+    "export_manifest" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          DatasetSplit.shardKey(col("doc_id"), numShards = 16).as("shard"))
+      docs.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          sum("doc_id").cast("long").as("id_sum"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy("shard")
+    }),
     // Balanced per-stratum pick: exactly 20 docs per language, ranked
     // by seeded md5 with id tie-break — the deterministic eval-batch
     // constructor (rate sampling can't promise exact counts). One
@@ -1626,6 +1642,23 @@ object SparkEntry {
         |             * CAST(16 ** (6 - i) AS BIGINT))) AS BIGINT) * t_tokens
         |      < token_budget * CAST(16777216 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+    // Shard from the same seeded-md5 nibbles as the corpus_shuffle
+    // oracle; checksums are order-independent integer aggregates.
+    "export_manifest" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(list_sum(list_transform(generate_series(1, 4),
+        |           i -> (strpos('0123456789abcdef',
+        |                        substr(md5('graft:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |                * CAST(16 ** (4 - i) AS BIGINT))) % 16 AS BIGINT) AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+        |FROM b GROUP BY shard
+        |ORDER BY shard""".stripMargin,
     // Same seeded-md5 ranking re-derived per row; the digest is
     // lowercase-hex ASCII in both engines, so string order agrees.
     "balanced_sample" ->

@@ -62,6 +62,16 @@ object DatasetSplit {
    * shard-shuffled loading scheme (shuffle shards globally, shuffle
    * rows within a shard — here both levels come from the same hash).
    */
+  /** The [[shuffleOrder]] shard key alone — for consumers that need
+    * the deterministic shard assignment without paying the per-shard
+    * position sort (e.g. shard-level manifests). */
+  def shardKey(id: Column, numShards: Int, seed: String = "graft"): Column = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    conv(substring(
+      md5(concat(lit(seed), lit(":"), id.cast("string")).cast("binary")),
+      1, 4), 16, 10).cast("long") % numShards
+  }
+
   def shuffleOrder(
       df: DataFrame, idCol: String, numShards: Int,
       seed: String = "graft"): DataFrame = {

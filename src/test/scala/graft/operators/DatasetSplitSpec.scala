@@ -110,6 +110,14 @@ class DatasetSplitSpec extends SparkFunSuite {
     }
   }
 
+  test("shardKey matches shuffleOrder's shard for every row") {
+    val df = (0L until 300L).toDF("id")
+    val mismatch = DatasetSplit.shuffleOrder(df, "id", numShards = 16)
+      .withColumn("k", DatasetSplit.shardKey(col("id"), 16))
+      .filter(col("k") =!= col("shard"))
+    assert(mismatch.isEmpty)
+  }
+
   test("balancedSample: exactly n per stratum, small strata whole, rank order by seeded md5") {
     val df = ((0L until 100L).map(i => (i, "big")) ++
       Seq((200L, "tiny"), (201L, "tiny"))).toDF("id", "src")
