@@ -394,6 +394,29 @@ object SparkEntry {
         "embedding", bitsPerTable = 6, nTables = 64, threshold = 0.4, scale = Scale,
         maxBucket = Some(1024))
         .orderBy("a_id", "b_id")),
+    // Catalyst rewrite: the NAIVE SQL cosine self-join (O(n²)
+    // inequality join as written) over a SimJoinCatalog-registered
+    // store re-plans as the banded-LSH candidate plan at the query's
+    // own threshold/scale — unmodified SQL gets the scale path, the
+    // declarative-engine counterpart of sql_ann_rewrite. The oracle is
+    // the exact join; the rewrite's firing is plan-asserted in
+    // SimJoinRewriteSpec.
+    "sql_sim_join_rewrite" -> ((s, d) => {
+      import graft.plans.{SimJoinCatalog, SimJoinRewrite}
+      GraftFunctions.register(s)
+      SimJoinRewrite.install(s)
+      val path = s"$d/embeddings.parquet"
+      SimJoinCatalog.register(path, SimJoinCatalog.Params(
+        "vec_id", "embedding", bitsPerTable = 6, nTables = 64,
+        seed = 42L, maxBucket = Some(1024)))
+      s.sql(
+        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |       round(knn_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+           |FROM parquet.`$path` a JOIN parquet.`$path` b
+           |  ON a.vec_id < b.vec_id
+           |WHERE round(knn_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
+           |ORDER BY a_id, b_id""".stripMargin)
+    }),
     // k-NN graph (k=3) over the embeddings corpus: same recall-1 LSH
     // candidates as sim_join_lsh, symmetrized, then a per-id bounded
     // top-k (one hash exchange on id). Ranked by rounded cosine with
@@ -2096,6 +2119,19 @@ object SparkEntry {
     // has recall 1 on this corpus (see the queries entry), so its output
     // is exactly this join.
     "sim_join_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+        |           AS cos_sim
+        |  FROM base a JOIN base b ON a.id < b.id)
+        |WHERE cos_sim >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    // The rewritten SQL self-join equals the exact join (recall 1 at
+    // the registered parameters) — same oracle as sim_join_lsh.
+    "sql_sim_join_rewrite" ->
       """WITH base AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT * FROM (
