@@ -247,5 +247,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ANN auto-rewrite: top-k vector queries over IVF-registered stores
     // are pruned to their best clusters (graft.plans.IvfRewriteRule).
     ext.injectOptimizerRule(s => new graft.plans.IvfRewriteRule(s))
+    // Similarity-join auto-rewrite: naive cosine self-joins over
+    // SimJoinCatalog-registered stores re-plan as banded LSH.
+    ext.injectOptimizerRule(s => new graft.plans.SimJoinRewriteRule(s))
   }
 }
