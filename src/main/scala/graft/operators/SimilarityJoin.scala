@@ -213,11 +213,12 @@ object SimilarityJoin {
    * hard-negative-mining / RAG-evaluation shape ("for each eval
    * prompt, the nearest training documents"). Candidates come from
    * [[lshCosinePairsBetween]] (query×corpus bucket collisions only;
-   * corpus×corpus pairs never exist), then one bounded per-query
-   * top-k exchange, ranked by (`scale`-rounded similarity desc,
-   * corpus id asc) for engine-reproducible ranks. At the shipped
-   * recall-1 parameters the result equals the exact-threshold
-   * retrieval, which is how the driver verifies it.
+   * corpus×corpus pairs never exist), then the same bounded
+   * `topk_by_score` aggregate as [[knnGraph]] — (`scale`-rounded
+   * similarity DESC, corpus id ASC) order, ≤ k pairs per query ride
+   * the exchange. At the shipped recall-1 parameters the result
+   * equals the exact-threshold retrieval, which is how the driver
+   * verifies it.
    *
    * Output: (query_id, corpus_id, cos_sim, hit_rank), hit_rank 1..k.
    */
@@ -236,12 +237,9 @@ object SimilarityJoin {
     require(k > 0, s"k must be positive: $k")
     val pairs = lshCosinePairsBetween(queries, corpus, idCol, vecCol,
       bitsPerTable, nTables, threshold, seed, scale, maxBucket)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("a_id").orderBy(col("cos_sim").desc, col("b_id"))
-    pairs.withColumn("hit_rank", row_number().over(w).cast("long"))
-      .filter(col("hit_rank") <= k)
+    topKPerGroup(pairs, "a_id", "b_id", k)
       .select(col("a_id").as("query_id"), col("b_id").as("corpus_id"),
-        col("cos_sim"), col("hit_rank"))
+        col("cos_sim"), col("__graft_rank").as("hit_rank"))
   }
 
   /** Layout chooser for [[lshCosinePairsBanded]]: the slim layout wins
@@ -291,15 +289,17 @@ object SimilarityJoin {
    *  1. candidate pairs from [[lshCosinePairsBanded]] (bucketed
    *     equality joins, viral-bucket cap, never all-pairs);
    *  2. symmetrize (each undirected pair feeds both endpoints);
-   *  3. per-id top-k: one hash exchange on `id`, then a bounded sort
-   *     of each id's candidate list (candidate counts are bounded by
-   *     the LSH parameters, so no window partition can go viral the
-   *     way an unbounded group-sort would).
+   *  3. per-id top-k via the `topk_by_score` TypedImperativeAggregate:
+   *     map-side k-slot buffers, so the exchange carries ≤ k
+   *     (score, id) pairs per id per task and no per-id sort ever
+   *     materializes — a `row_number` window would shuffle and sort
+   *     every candidate of every id instead.
    *
-   * Ranking uses the `scale`-rounded similarity, so rank order is
-   * engine-reproducible (ties broken by neighbor id); at the shipped
-   * parameters LSH recall is 1 on this corpus and the graph equals the
-   * exact-threshold k-NN graph, which is how the driver verifies it.
+   * Ranking uses the `scale`-rounded similarity with the aggregate's
+   * (score DESC, id ASC) order, so rank is engine-reproducible; at the
+   * shipped parameters LSH recall is 1 on this corpus and the graph
+   * equals the exact-threshold k-NN graph, which is how the driver
+   * verifies it.
    *
    * Output: (id, nbr_id, cos_sim, nbr_rank), nbr_rank in 1..k.
    */
@@ -321,11 +321,22 @@ object SimilarityJoin {
         col("a_id").as("id"), col("b_id").as("nbr_id"), col("cos_sim"))
       .unionAll(pairs.select(
         col("b_id").as("id"), col("a_id").as("nbr_id"), col("cos_sim")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("cos_sim").desc, col("nbr_id"))
-    sym.withColumn("nbr_rank", row_number().over(w).cast("long"))
-      .filter(col("nbr_rank") <= k)
+    topKPerGroup(sym, "id", "nbr_id", k)
+      .withColumnRenamed("__graft_rank", "nbr_rank")
   }
+
+  /** Shared per-group top-k tail of [[knnGraph]]/[[knnBetween]]:
+    * one `topk_by_score` hash aggregate + posexplode to ranked rows. */
+  private def topKPerGroup(
+      scored: DataFrame, groupCol: String, otherCol: String, k: Int)
+      : DataFrame =
+    scored.groupBy(groupCol)
+      .agg(GraftFunctions.topKByScore(col("cos_sim"), col(otherCol), k)
+        .as("__graft_top"))
+      .select(col(groupCol), posexplode(col("__graft_top")))
+      .select(col(groupCol), col("col.id").as(otherCol),
+        col("col.score").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("__graft_rank"))
 
   def lshCosinePairs(
       emb: DataFrame,
