@@ -478,6 +478,18 @@ object SparkEntry {
         "doc_id", "text", minShingles = 2L)
         .orderBy("train_id", "eval_id")
     }),
+    // Winnowing fingerprint sketch (Schleimer et al. 2003, the MOSS
+    // selection rule): token-3-gram FNV-1a hashes → per-window-of-4
+    // minima → each doc's distinct selected fingerprints. One codegen
+    // kernel pass in the scan stage; the oracle recomputes every hash
+    // and window minimum in DuckDB HUGEINT arithmetic.
+    "doc_winnow" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(GraftFunctions.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
     // Contamination release gate: per-source contaminated-doc counts
     // and rates over the same train/eval split — the distinct hit set
     // broadcasts back onto the train relation, one stratum aggregate.
@@ -2061,6 +2073,38 @@ object SparkEntry {
         |GROUP BY train_id, eval_id
         |HAVING count(*) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
+    // Winnowing re-derived in SQL: canonical single-spaced 3-gram text
+    // → FNV-1a (HUGEINT mod-2^64), window-of-4 minima via a lateral
+    // window-start series, distinct minima per doc. The selected HASH
+    // per window is the min, so the rightmost-tie POSITION rule of the
+    // kernel cannot affect this distinct-hash output.
+    "doc_winnow" -> {
+      val gramHash = fnvSql(
+        "list_transform(generate_series(1, length(g)), " +
+          "i -> CAST(ascii(substr(g, CAST(i AS INT), 1)) AS HUGEINT))")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CAST(s AS BIGINT) AS pos,
+         |         t[s] || ' ' || t[s+1] || ' ' || t[s+2] AS g
+         |  FROM toks, unnest(generate_series(1, len(t) - 2)) u(s)
+         |  WHERE len(t) >= 3),
+         |gh AS (
+         |  SELECT doc_id, pos, $gramHash AS h FROM grams),
+         |m AS (
+         |  SELECT doc_id, greatest(CAST(count(*) AS BIGINT) - 3, 1) AS last_start
+         |  FROM gh GROUP BY doc_id),
+         |wins AS (
+         |  SELECT g.doc_id, w.s AS ws, g.h
+         |  FROM m, unnest(generate_series(1, m.last_start)) w(s), gh g
+         |  WHERE g.doc_id = m.doc_id AND g.pos >= w.s AND g.pos < w.s + 4),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, mh FROM (
+         |    SELECT doc_id, ws, min(h) AS mh FROM wins GROUP BY doc_id, ws))
+         |SELECT doc_id, ${toSignedSql("mh")} AS fp
+         |FROM sel ORDER BY doc_id, fp""".stripMargin
+    },
     // Same shingle join as the contamination_check oracle, rolled up:
     // distinct contaminated train ids left-joined back per source.
     "contamination_by_source" ->

@@ -158,7 +158,15 @@ object GraftFunctions {
         }
         ContentChunkHashesExpr(es(0), bits)
       },
-      "_FUNC_(payload, avgBits) - Gear-CDC chunk fingerprints (array<bigint>) of a binary payload.")
+      "_FUNC_(payload, avgBits) - Gear-CDC chunk fingerprints (array<bigint>) of a binary payload."),
+    ("winnow_fingerprints",
+      (es: Seq[Expression]) => {
+        requireArity(es, 3, "winnow_fingerprints")
+        WinnowFingerprintsExpr(es(0),
+          intLitArg(es(1), "winnow_fingerprints n"),
+          intLitArg(es(2), "winnow_fingerprints w"))
+      },
+      "_FUNC_(text, n, w) - winnowing-selected token n-gram FNV-1a fingerprints (array<bigint>).")
   )
 
   private def requireArity(es: Seq[Expression], n: Int, name: String): Unit =
@@ -208,6 +216,9 @@ object GraftFunctions {
     call_function("minhash_signature", text, org.apache.spark.sql.functions.lit(numHashes))
   def contentChunkHashes(payload: Column, avgBits: Int): Column =
     call_function("content_chunk_hashes", payload, org.apache.spark.sql.functions.lit(avgBits))
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column =
+    call_function("winnow_fingerprints", text,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(w))
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =
     call_function("pq_encode", vec, codebook,
       org.apache.spark.sql.functions.lit(m), org.apache.spark.sql.functions.lit(k))

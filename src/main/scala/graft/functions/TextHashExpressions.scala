@@ -207,3 +207,33 @@ case class ContentChunkHashesExpr(child: Expression, avgBits: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `winnow_fingerprints(text, n, w)` → array<bigint>: winnowing-selected
+ * token n-gram FNV-1a fingerprints
+ * (see [[TextHashKernels.winnowFingerprints]]).
+ */
+case class WinnowFingerprintsExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 && w > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints n and w must be positive, got n=$n w=$w")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.winnowFingerprints(v.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.winnowFingerprints($c, $n, $w)")
+
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

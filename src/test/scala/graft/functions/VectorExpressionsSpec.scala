@@ -139,4 +139,35 @@ class VectorExpressionsSpec extends SparkFunSuite {
     def overlap(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
     assert(overlap(sigs(0), sigs(2)) > overlap(sigs(0), sigs(3)))
   }
+
+  test("winnow fingerprints: subset of gram hashes, density cut, match guarantee") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = "a b c d e f g h i j k l m n o p q r s t"
+    def fps(t: String, n: Int, w: Int): Seq[Long] =
+      graft.functions.TextHashKernels
+        .winnowFingerprints(UTF8String.fromString(t), n, w).toLongArray().toSeq
+    // all gram hashes = winnow at w = 1
+    val allGrams = fps(text, 3, 1)
+    assert(allGrams.length === 18) // 20 tokens → 18 3-grams, distinct here
+    val selected = fps(text, 3, 4)
+    assert(selected.toSet.subsetOf(allGrams.toSet))
+    // expected density 2/(w+1): selection must actually thin the set
+    assert(selected.length < allGrams.length && selected.nonEmpty)
+    // guarantee: a shared run of >= n + w - 1 = 6 tokens yields a
+    // shared fingerprint between unrelated documents
+    val shared = "q w e r t y"
+    val d1 = fps(s"one two three $shared four five six", 3, 4).toSet
+    val d2 = fps(s"alpha beta $shared gamma delta", 3, 4).toSet
+    assert(d1.intersect(d2).nonEmpty)
+    // determinism via the expression path (eval ≡ codegen ≡ kernel)
+    val viaExpr = Seq(text).toDF("t")
+      .select(GraftFunctions.winnowFingerprints(col("t"), 3, 4))
+      .head().getSeq[Long](0)
+    assert(viaExpr === selected)
+    // short docs: < n tokens → empty, < w grams → one window
+    assert(fps("a b", 3, 4).isEmpty)
+    assert(fps("a b c d", 3, 4).length === 1) // 2 grams, one window min
+  }
 }
