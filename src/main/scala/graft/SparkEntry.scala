@@ -490,6 +490,23 @@ object SparkEntry {
           explode(GraftFunctions.winnowFingerprints(col("text"), 3, 4)).as("fp"))
         .orderBy("doc_id", "fp")
     }),
+    // Winnow-sketch overlap pairs: documents sharing ≥ 2 selected
+    // fingerprints — local-overlap (plagiarism-style) detection over
+    // the ~2/(w+1)-volume sketch instead of every n-gram. Explode →
+    // equality join on the 8-byte hash → pair count; the guarantee
+    // bounds misses to runs shorter than n+w-1 tokens.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val fp = table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(GraftFunctions.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+      fp.alias("a").join(fp.alias("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("a_id", "b_id")
+    }),
     // Contamination release gate: per-source contaminated-doc counts
     // and rates over the same train/eval split — the distinct hit set
     // broadcasts back onto the train relation, one stratum aggregate.
@@ -2104,6 +2121,38 @@ object SparkEntry {
          |    SELECT doc_id, ws, min(h) AS mh FROM wins GROUP BY doc_id, ws))
          |SELECT doc_id, ${toSignedSql("mh")} AS fp
          |FROM sel ORDER BY doc_id, fp""".stripMargin
+    },
+    // The same winnow selection, self-joined on fingerprint equality.
+    "dedup_winnow_pairs" -> {
+      val gramHash = fnvSql(
+        "list_transform(generate_series(1, length(g)), " +
+          "i -> CAST(ascii(substr(g, CAST(i AS INT), 1)) AS HUGEINT))")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CAST(s AS BIGINT) AS pos,
+         |         t[s] || ' ' || t[s+1] || ' ' || t[s+2] AS g
+         |  FROM toks, unnest(generate_series(1, len(t) - 2)) u(s)
+         |  WHERE len(t) >= 3),
+         |gh AS (
+         |  SELECT doc_id, pos, $gramHash AS h FROM grams),
+         |m AS (
+         |  SELECT doc_id, greatest(CAST(count(*) AS BIGINT) - 3, 1) AS last_start
+         |  FROM gh GROUP BY doc_id),
+         |wins AS (
+         |  SELECT g.doc_id, w.s AS ws, g.h
+         |  FROM m, unnest(generate_series(1, m.last_start)) w(s), gh g
+         |  WHERE g.doc_id = m.doc_id AND g.pos >= w.s AND g.pos < w.s + 4),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, mh FROM (
+         |    SELECT doc_id, ws, min(h) AS mh FROM wins GROUP BY doc_id, ws))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin
     },
     // Same shingle join as the contamination_check oracle, rolled up:
     // distinct contaminated train ids left-joined back per source.
