@@ -427,14 +427,14 @@ object SparkEntry {
         "embedding", k = 3, bitsPerTable = 6, nTables = 64, threshold = 0.4,
         scale = Scale, maxBucket = Some(1024))
         .orderBy("id", "nbr_rank")),
-    // Two-relation retrieval top-5: each query vector (vec_id >= 450)
-    // against the corpus (vec_id < 450) — hard-negative mining / RAG
+    // Two-relation retrieval top-5: each query vector (vec_id >= 400)
+    // against the corpus (vec_id < 400) — hard-negative mining / RAG
     // eval. Query×corpus bucket collisions only (recall-1 parameters),
     // one bounded per-query top-k; the oracle ranks the exact join.
     "knn_between" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       SimilarityJoin.knnBetween(
-        emb.filter(col("vec_id") >= 450), emb.filter(col("vec_id") < 450),
+        emb.filter(col("vec_id") >= 400), emb.filter(col("vec_id") < 400),
         "vec_id", "embedding", k = 5, bitsPerTable = 6, nTables = 64,
         threshold = 0.4, scale = Scale, maxBucket = Some(1024))
         .orderBy("query_id", "hit_rank")
@@ -2265,7 +2265,7 @@ object SparkEntry {
         |         round(list_inner_product(q.v, c.v) /
         |               (sqrt(list_inner_product(q.v, q.v)) *
         |                sqrt(list_inner_product(c.v, c.v))), 6) AS cos_sim
-        |  FROM base q JOIN base c ON q.id >= 450 AND c.id < 450),
+        |  FROM base q JOIN base c ON q.id >= 400 AND c.id < 400),
         |r AS (
         |  SELECT query_id, corpus_id, cos_sim,
         |         CAST(row_number() OVER (PARTITION BY query_id
