@@ -408,7 +408,7 @@ object SparkEntry {
       val path = s"$d/embeddings.parquet"
       SimJoinCatalog.register(path, SimJoinCatalog.Params(
         "vec_id", "embedding", bitsPerTable = 6, nTables = 64,
-        seed = 42L, maxBucket = Some(1024)))
+        seed = 42L, maxBucket = Some(1024), minThreshold = 0.4))
       s.sql(
         s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            |       round(knn_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
@@ -584,11 +584,14 @@ object SparkEntry {
     }),
     // Balanced per-stratum pick: exactly 20 docs per language, ranked
     // by seeded md5 with id tie-break — the deterministic eval-batch
-    // constructor (rate sampling can't promise exact counts). One
-    // stratum exchange + in-partition sort, never a global sort.
+    // constructor (rate sampling can't promise exact counts). The
+    // 50% hash-prefix prefilter is the scale path: the sort only sees
+    // the prefix, short strata re-rank unfiltered, result EXACT
+    // either way (spec-pinned equal to the naive rank; the oracle
+    // ranks every row).
     "balanced_sample" -> ((s, d) =>
       DatasetSplit.balancedSample(table(s, d, "documents"), "doc_id",
-        "lang", n = 20)
+        "lang", n = 20, prefilterPct = Some(50))
         .select("doc_id", "lang", "pick_rank")
         .orderBy("doc_id")),
     // Fractional-epoch upsampling: materialize "2.5 epochs of src0,

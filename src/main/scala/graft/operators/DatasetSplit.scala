@@ -99,23 +99,49 @@ object DatasetSplit {
    *
    * Shape at scale: one hash exchange on the stratum plus an
    * in-partition sort (Spark's window), same as [[shuffleOrder]] —
-   * never a global sort. Skewed strata sort more rows but emit `n`;
-   * if a stratum outgrows a task, pre-filter with a generous
-   * [[bucket]] rate first (2-pass top-n) — at `n` ≪ stratum size the
-   * rate cut keeps the exact-rank semantics with overwhelming margin.
+   * never a global sort. When a stratum outgrows a task at
+   * `n` ≪ stratum size, pass `prefilterPct`: the sort then only sees
+   * the hash-smallest `prefilterPct`% of each stratum — an exact
+   * PREFIX of the rank order (fixed-length lowercase hex compares
+   * bytewise), so any stratum keeping ≥ n survivors has its true
+   * top-n inside the prefix, and strata that come up short are
+   * re-ranked unfiltered (a scan-local second pass against a
+   * broadcast stratum list). EXACT for every input — the prefilter is
+   * a performance knob, never a semantics knob.
    */
   def balancedSample(
       df: DataFrame, idCol: String, stratumCol: String, n: Int,
-      seed: String = "graft"): DataFrame = {
+      seed: String = "graft",
+      prefilterPct: Option[Int] = None): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    require(prefilterPct.forall(p => p > 0 && p <= 100),
+      s"prefilterPct must be 1..100: $prefilterPct")
     val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
       .cast("binary"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))
-    df.withColumn("__h", h)
-      .withColumn("pick_rank", row_number().over(w).cast("long"))
-      .filter(col("pick_rank") <= n)
-      .drop("__h")
+    def ranked(in: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))
+      in.withColumn("pick_rank", row_number().over(w).cast("long"))
+        .filter(col("pick_rank") <= n)
+        .drop("__h")
+    }
+    val withH = df.withColumn("__h", h)
+    prefilterPct match {
+      case None => ranked(withH)
+      case Some(p) =>
+        // first 2 hex digits < ceil(256·p/100) ⇔ the hash-order prefix
+        val cutoff = math.ceil(256.0 * p / 100).toLong
+        val pre = withH.filter(
+          conv(substring(col("__h"), 1, 2), 16, 10).cast("long") < cutoff)
+        val okStrata = pre.groupBy(col(stratumCol))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= n)
+          .select(stratumCol)
+        val shortStrata = df.select(stratumCol).distinct()
+          .join(okStrata, Seq(stratumCol), "left_anti")
+        ranked(pre.join(broadcast(okStrata), Seq(stratumCol)))
+          .unionAll(ranked(withH.join(broadcast(shortStrata), Seq(stratumCol))))
+    }
   }
 
   /**

@@ -42,10 +42,16 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
  * of (left id, right id, rounded cosine); anything else is left alone.
  */
 object SimJoinCatalog {
+  /** `minThreshold` is the tightest cosine threshold the registered
+    * (bits, tables) grid point was recall-validated for: a query at a
+    * LOOSER threshold would silently lose borderline pairs (the
+    * S-curve thins near-threshold recall as θ grows), so the rule
+    * refuses to rewrite it — the query falls back to the exact join
+    * rather than returning an unvalidated approximation. */
   final case class Params(
       idCol: String, vecCol: String,
       bitsPerTable: Int, nTables: Int, seed: Long,
-      maxBucket: Option[Int])
+      maxBucket: Option[Int], minThreshold: Double = 0.0)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Params]()
@@ -116,6 +122,8 @@ class SimJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (_, rPath) <- relationOf(r)
         if lPath == rPath
         params <- SimJoinCatalog.lookup(lPath)
+        // only thresholds the registration was recall-validated for
+        if threshold >= params.minThreshold
         // the id guard must be left.id < right.id on the registered id
         ltL = lt.left.asInstanceOf[AttributeReference]
         ltR = lt.right.asInstanceOf[AttributeReference]

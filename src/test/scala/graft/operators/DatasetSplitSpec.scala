@@ -110,6 +110,23 @@ class DatasetSplitSpec extends SparkFunSuite {
     }
   }
 
+  test("balancedSample prefilter path is exact: equals the naive rank for every pct") {
+    // big stratum (survives the prefilter) + tiny stratum (forced
+    // through the short-stratum fallback) + seeds varying hash layout
+    val df = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1005L).map(i => (i, "tiny"))).toDF("id", "src")
+    val naive = DatasetSplit.balancedSample(df, "id", "src", n = 12)
+      .select("id", "src", "pick_rank").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    for (pct <- Seq(5, 20, 60, 100)) {
+      val two = DatasetSplit.balancedSample(df, "id", "src", n = 12,
+        prefilterPct = Some(pct))
+        .select("id", "src", "pick_rank").as[(Long, String, Long)]
+        .collect().sortBy(r => (r._2, r._3)).toSeq
+      assert(two === naive, s"pct=$pct")
+    }
+  }
+
   test("shardKey matches shuffleOrder's shard for every row") {
     val df = (0L until 300L).toDF("id")
     val mismatch = DatasetSplit.shuffleOrder(df, "id", numShards = 16)

@@ -45,6 +45,22 @@ class SimJoinRewriteSpec extends SparkFunSuite {
     } finally SimJoinCatalog.unregister(storePath)
   }
 
+  test("a query below the validated threshold is NOT rewritten") {
+    GraftFunctions.register(spark)
+    SimJoinRewrite.install(spark)
+    SimJoinCatalog.register(storePath, params.copy(minThreshold = 0.4))
+    try {
+      val loose = spark.sql(
+        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |       round(knn_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+           |FROM parquet.`$storePath` a JOIN parquet.`$storePath` b
+           |  ON a.vec_id < b.vec_id
+           |WHERE round(knn_cosine_similarity(a.embedding, b.embedding), 6) >= 0.1
+           |""".stripMargin)
+      assert(!loose.queryExecution.optimizedPlan.toString.contains("cosine_lsh_keys"))
+    } finally SimJoinCatalog.unregister(storePath)
+  }
+
   test("no rewrite without registration, wrong shape left alone") {
     val df = naiveSql() // unregistered
     assert(!df.queryExecution.optimizedPlan.toString.contains("cosine_lsh_keys"))
