@@ -478,6 +478,16 @@ object SparkEntry {
         "doc_id", "text", minShingles = 2L)
         .orderBy("train_id", "eval_id")
     }),
+    // Corpus snapshot diff by content fingerprint: docs < 250 as v1,
+    // >= 250 as v2 → added/removed/retained classes with distinct-text
+    // and doc counts. Only 32-hex fingerprints ever shuffle.
+    "corpus_diff" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.corpusDiff(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "text")
+        .orderBy("status")
+    }),
     // Winnowing fingerprint sketch (Schleimer et al. 2003, the MOSS
     // selection rule): token-3-gram FNV-1a hashes → per-window-of-4
     // minima → each doc's distinct selected fingerprints. One codegen
@@ -2093,6 +2103,22 @@ object SparkEntry {
         |GROUP BY train_id, eval_id
         |HAVING count(*) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
+    // Fingerprint-level full outer join re-derived per class.
+    "corpus_diff" ->
+      """WITH o AS (
+        |  SELECT md5(lower(text)) AS fp, count(*) AS n_old
+        |  FROM documents WHERE doc_id < 250 GROUP BY 1),
+        |n AS (
+        |  SELECT md5(lower(text)) AS fp, count(*) AS n_new
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1),
+        |j AS (
+        |  SELECT n_old, n_new FROM o FULL OUTER JOIN n ON o.fp = n.fp)
+        |SELECT CASE WHEN n_old IS NULL THEN 'added'
+        |            WHEN n_new IS NULL THEN 'removed'
+        |            ELSE 'retained' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n_texts,
+        |       CAST(sum(coalesce(n_new, n_old)) AS BIGINT) AS n_docs
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
     // Winnowing re-derived in SQL: canonical single-spaced 3-gram text
     // → FNV-1a (HUGEINT mod-2^64), window-of-4 minima via a lateral
     // window-start series, distinct minima per doc. The selected HASH

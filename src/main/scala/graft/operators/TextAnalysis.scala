@@ -463,6 +463,38 @@ object TextAnalysis {
         (col("n_docs") - col("__graft_d")).as("dup_docs"))
   }
 
+  /**
+   * Corpus snapshot diff — the "what changed in v2" release table:
+   * canonical-text fingerprints are classified added (new only),
+   * removed (old only), or retained (both), with distinct-text and
+   * document counts per class (documents counted on the surviving
+   * side). Content-based, so re-ingested rows with new ids but
+   * identical text are RETAINED, not added+removed — the question a
+   * release note actually answers.
+   *
+   * Shape at scale: one fingerprint hash-aggregate per snapshot
+   * (map-side partials) → a fingerprint-keyed full outer join →
+   * a 3-row class rollup. No text ever shuffles — only 32-hex
+   * fingerprints.
+   */
+  def corpusDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String): DataFrame = {
+    def side(df: DataFrame, as: String) =
+      df.select(fingerprint(col(textCol)).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as(as))
+    side(oldDocs, "__graft_old")
+      .join(side(newDocs, "__graft_new"), Seq("fp"), "full_outer")
+      .select(
+        when(col("__graft_old").isNull, "added")
+          .when(col("__graft_new").isNull, "removed")
+          .otherwise("retained").as("status"),
+        coalesce(col("__graft_new"), col("__graft_old")).as("__graft_docs"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_texts"),
+        sum("__graft_docs").cast("long").as("n_docs"))
+  }
+
   /** Document fingerprint: canonicalize (lowercase) then MD5 — the exact
     * dedup key. MD5 is standard across engines, so it doubles as a
     * cross-engine-verifiable fingerprint. */

@@ -176,6 +176,24 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(r.map(_.getLong(6)).toSeq === Seq(1L, 0L))        // dup_docs
   }
 
+  test("corpusDiff: added/removed/retained by canonical text, re-ingested ids retained") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha beta"), (2L, "Gamma Delta"), (3L, "gone text"))
+      .toDF("doc_id", "text")
+    val v2 = Seq(
+      (10L, "alpha beta"),     // same text, new id → retained
+      (11L, "gamma delta"),    // case-variant of 2 → retained (canonical)
+      (12L, "gamma delta"),    // retained dup: counts on the new side
+      (13L, "brand new doc")   // added
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.corpusDiff(v1, v2, "text").orderBy("status")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(
+      ("added", 1L, 1L),
+      ("removed", 1L, 1L),     // "gone text"
+      ("retained", 2L, 3L)))   // 2 texts, 3 new-side docs
+  }
+
   test("logFreqBuckets: terciles split a strictly-increasing score ladder 3/3/3") {
     import spark.implicits._
     // doc i = its own token repeated (i+1) times → its score is
