@@ -675,6 +675,36 @@ object SparkEntry {
           typedLit(lut.toSeq), k), 6).as("adc"))
         .orderBy("id")
     }),
+    // The FAISS-style two-stage scan: ADC candidate generation (8-byte
+    // codes, the compressed scan) → top-64 cut by (adc, id) via
+    // TakeOrderedAndProject → exact cosine re-rank of candidates only.
+    // At 64-of-500 candidates the true top-10 survive the cut, so the
+    // oracle replays the identical two-stage pipeline in SQL; pruned/
+    // learned-codebook recall is pinned in PqIndexSpec.
+    "ann_adc_rerank" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val m = 8; val k = 4; val dsub = 8
+      val cb: Array[Float] = Array.tabulate(m * k * dsub) { idx =>
+        val t = idx % dsub
+        val c = (idx / dsub) % k
+        ((c - 1.5) + t * 0.01).toFloat
+      }
+      val model = PqIndex.PqModel(m, k, 64, cb)
+      val qv = queryVec(s, d)
+      val lut = PqIndex.adcLut(model, qv)
+      val cand = table(s, d, "embeddings").select(
+          col("vec_id").as("id"),
+          round(GraftFunctions.pqAdcScore(
+            GraftFunctions.pqEncode(col("embedding"), typedLit(cb.toSeq), m, k),
+            typedLit(lut.toSeq), k), 6).as("adc"))
+        .orderBy(col("adc"), col("id")).limit(64)
+      table(s, d, "embeddings")
+        .join(broadcast(cand), col("vec_id") === col("id"))
+        .select(col("id"),
+          round(GraftFunctions.knnCosineSimilarity(
+            col("embedding"), typedLit(qv.toSeq)), 6).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(10)
+    }),
     // End-to-end corpus curation: quality gate → exact dedup →
     // near-dup removal, composed as ONE lazy plan. The oracle replays
     // the identical funnel in SQL, so the composition (stage order,
@@ -1608,6 +1638,37 @@ object SparkEntry {
         |    )[1])), 6) AS adc
         |FROM embeddings e, qv
         |ORDER BY id""".stripMargin,
+    // Identical ADC pipeline → top-64 (adc, id) cut → exact cosine
+    // re-rank, replayed stage for stage.
+    "ann_adc_rerank" ->
+      """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT e.vec_id AS id,
+        |    round(list_sum(list_transform(generate_series(0, 7), j ->
+        |      list_transform(
+        |        [list_transform(generate_series(0, 3), c ->
+        |           list_sum(list_transform(generate_series(0, 7), t ->
+        |             (CAST(e.embedding[j*8 + t + 1] AS DOUBLE) -
+        |              CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)) *
+        |             (CAST(e.embedding[j*8 + t + 1] AS DOUBLE) -
+        |              CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)))))],
+        |        dl ->
+        |          list_transform(generate_series(0, 3), c ->
+        |            list_sum(list_transform(generate_series(0, 7), t ->
+        |              (CAST(qv.q[j*8 + t + 1] AS DOUBLE) -
+        |               CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)) *
+        |              (CAST(qv.q[j*8 + t + 1] AS DOUBLE) -
+        |               CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)))))
+        |          [list_position(dl, list_min(dl))]
+        |      )[1])), 6) AS adc
+        |  FROM embeddings e, qv),
+        |cand AS (SELECT id FROM adc ORDER BY adc, id LIMIT 64)
+        |SELECT e.vec_id AS id,
+        |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(qv.q AS DOUBLE[])) /
+        |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(CAST(qv.q AS DOUBLE[]), CAST(qv.q AS DOUBLE[])))), 6) AS score
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.id, qv
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "dedup_incremental" ->
       """SELECT b.doc_id, b.lang, b.source
         |FROM documents b
