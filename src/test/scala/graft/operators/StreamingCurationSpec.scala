@@ -96,6 +96,28 @@ class StreamingCurationSpec extends SparkFunSuite {
     assert(s.toSeq === b.toSeq && b.nonEmpty)
   }
 
+  test("incremental dedup gates a stream against static history (anti join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val history = Seq((1L, "seen before"), (2L, "also seen"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.incrementalNew(
+        input.toDF().toDF("doc_id", "text"), history,
+        "doc_id", TextAnalysis.fingerprint(col("text")),
+        TextAnalysis.fingerprint(col("text")))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("incr_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "SEEN BEFORE"), (11L, "genuinely new"), (12L, "also seen"))
+      q.processAllAvailable()
+      val kept = spark.table("incr_stream").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(11L)) // canonical dups gated, novel survives
+    } finally q.stop()
+  }
+
   test("upsampleEpochs runs unchanged on a stream") {
     val op = (df: org.apache.spark.sql.DataFrame) =>
       MixtureSampling.upsampleEpochs(df, "doc_id", "source",
