@@ -504,12 +504,17 @@ object SparkEntry {
     // fingerprints — local-overlap (plagiarism-style) detection over
     // the ~2/(w+1)-volume sketch instead of every n-gram. Explode →
     // equality join on the 8-byte hash → pair count; the guarantee
-    // bounds misses to runs shorter than n+w-1 tokens.
+    // bounds misses to runs shorter than n+w-1 tokens. maxBucket
+    // ENGAGED: a fingerprint selected from universal boilerplate can
+    // never make the self-join quadratic (measured headroom: largest
+    // bucket is 6 at sf0.01, 170× under the cap — drops nothing here).
     "dedup_winnow_pairs" -> ((s, d) => {
       GraftFunctions.register(s)
-      val fp = table(s, d, "documents")
-        .select(col("doc_id"),
-          explode(GraftFunctions.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+      val fp = Dedup.capBuckets(
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            explode(GraftFunctions.winnowFingerprints(col("text"), 3, 4)).as("fp")),
+        Seq("fp"), Some(1024))
       fp.alias("a").join(fp.alias("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

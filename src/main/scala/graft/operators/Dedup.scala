@@ -41,7 +41,7 @@ object Dedup {
    * and the anti join folds into the same stage as the downstream
    * bucket self-join's exchange.
    */
-  private[operators] def capBuckets(
+  def capBuckets(
       df: DataFrame, keyCols: Seq[String], cap: Option[Int]): DataFrame =
     cap.fold(df) { c =>
       require(c > 0, s"maxBucket must be positive, got $c")
