@@ -735,6 +735,23 @@ object SparkEntry {
       SequencePacking.packSequences(train, "source", "doc_id", "n_tokens", ctxLen = 256)
         .orderBy("doc_id")
     }),
+    // The recipe-era funnel: curation (quality → exact dedup →
+    // near-dup removal) → temperature mixture sample (τ=0.6 token
+    // budget over the CURATED per-source masses) → sequence packing —
+    // one lazy plan end to end; the mixture verdicts stay pure BIGINT
+    // and the oracle replays every stage.
+    "recipe_to_batches" -> ((s, d) => {
+      val curated = CurationPipeline.curate(table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("source"),
+          size(org.apache.spark.sql.functions.split(col("text"), " "))
+            .cast("long").as("n_tokens"))
+      val plan = MixtureSampling.mixturePlan(curated, "source",
+        col("n_tokens"), tau = 0.6)
+      val sampled = MixtureSampling.sampleByPlan(curated, "doc_id", "source", plan)
+      SequencePacking.packSequences(sampled, "source", "doc_id", "n_tokens",
+        ctxLen = 256)
+        .orderBy("doc_id")
+    }),
     // Text analysis.
     "text_stats" -> ((s, d) =>
       TextAnalysis.textStats(table(s, d, "documents"), "doc_id", "text")
@@ -1711,6 +1728,80 @@ object SparkEntry {
         |            r(source, pct) USING (source)
         |WHERE bucket < pct
         |ORDER BY doc_id""".stripMargin,
+    // The corpus_to_batches funnel stages (qual/exact/losers/kept) +
+    // the mixture CTEs computed over the curated survivors + the
+    // packing window, replayed end to end.
+    "recipe_to_batches" ->
+      """WITH qual AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END +
+        |           CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END +
+        |           CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END +
+        |           CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END AS passed
+        |    FROM (
+        |      SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |               / len(string_split(text, ' ')) AS mean_word_len,
+        |             CAST(len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |               / len(string_split(text, ' ')) AS stopword_ratio,
+        |             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |               / length(text) AS punct_ratio
+        |      FROM documents))
+        |  WHERE passed / 4.0 >= 0.75),
+        |qualified AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d JOIN qual USING (doc_id)),
+        |exact AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        |    FROM qualified)
+        |  WHERE rn = 1),
+        |losers AS (
+        |  SELECT DISTINCT b_id AS doc_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |           round(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+        |                                          list_distinct(string_split(b.text, ' ')))) AS DOUBLE) /
+        |                 len(list_distinct(list_cat(list_distinct(string_split(a.text, ' ')),
+        |                                            list_distinct(string_split(b.text, ' '))))), 6) AS j
+        |    FROM exact a JOIN exact b
+        |      ON substr(a.text, 1, 16) = substr(b.text, 1, 16) AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.5),
+        |kept AS (
+        |  SELECT e.doc_id, e.source,
+        |         CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM exact e
+        |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)),
+        |per AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+        |  FROM kept GROUP BY source),
+        |tot AS (
+        |  SELECT sum(sqrt(t_tokens)) AS z,
+        |         CAST(sum(t_tokens) AS BIGINT) AS t_total FROM per),
+        |plan AS (
+        |  SELECT source, t_tokens,
+        |         CAST(floor(floor(t_total * 0.6) * round(sqrt(t_tokens) / z, 4))
+        |              AS BIGINT) AS token_budget
+        |  FROM per, tot),
+        |samp AS (
+        |  SELECT k.doc_id, k.source, k.n_tokens
+        |  FROM kept k JOIN plan USING (source)
+        |  WHERE CAST(list_sum(list_transform(generate_series(1, 6),
+        |          i -> (strpos('0123456789abcdef',
+        |                       substr(md5(CAST(k.doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |               * CAST(16 ** (6 - i) AS BIGINT))) AS BIGINT) * t_tokens
+        |        < token_budget * CAST(16777216 AS BIGINT)),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - n_tokens AS BIGINT) AS stream_offset
+        |  FROM samp)
+        |SELECT doc_id, source, n_tokens, stream_offset,
+        |       CAST(stream_offset // 256 AS BIGINT) AS pack_id,
+        |       CAST(stream_offset % 256 AS BIGINT) AS pack_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
     // Temperature mixture: per-source token mass → sqrt weights rounded
     // to 4 decimals → integer token budgets → integer bucket-vs-budget
     // verdict per row. Shares every numeric step with the Spark side
