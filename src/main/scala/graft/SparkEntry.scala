@@ -1238,6 +1238,33 @@ object SparkEntry {
         .toDF()
         .orderBy("id", "window")
     }),
+    // Perceptual audio dedup: the same WAV fixtures through the REAL
+    // PCM16 decoder, 48-bit sample-vs-prefix-mean fingerprint
+    // (volume-scale invariant, integer-only), identical hashes
+    // grouped — completing the text/image/audio dedup matrix. The
+    // oracle recomputes every fingerprint from the 2-byte LE samples.
+    "multimodal_audio_dedup" -> ((s, d) => {
+      def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+      val header: Array[Byte] = (
+        "RIFF".getBytes("US-ASCII").toSeq ++ le32(132) ++
+          "WAVE".getBytes("US-ASCII").toSeq ++
+          "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII").toSeq ++ le32(96)).toArray
+      val payloads = table(s, d, "documents")
+        .filter(length(col("text")) >= 96)
+        .select(col("doc_id"),
+          concat(lit(header), substring(col("text"), 1, 96).cast("binary"))
+            .as("payload"))
+      graft.multimodal.Multimodal.audioFingerprint(payloads, "doc_id", "payload",
+        nBits = 48)
+        .toDF()
+        .groupBy("afp")
+        .agg(count(lit(1)).as("n_clips"), min("id").as("keep_id"))
+        .filter(col("n_clips") > 1)
+        .orderBy("afp")
+    }),
     // REAL video decode + frame sampling (pure-Scala YUV4MPEG2/Y4M
     // decoder): each document's first 96 bytes become the luma planes
     // of a valid 4-frame 4x6 monochrome Y4M stream (header + FRAME
@@ -2843,6 +2870,27 @@ object SparkEntry {
         |SELECT ahash, CAST(count(*) AS BIGINT) AS n_imgs, min(id) AS keep_id
         |FROM h GROUP BY ahash HAVING count(*) > 1
         |ORDER BY ahash""".stripMargin,
+    // Audio fingerprint re-derived per clip from the same 96 fixture
+    // bytes: signed-LE samples, integer prefix-mean sign bits.
+    "multimodal_audio_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 96) AS px
+        |  FROM documents WHERE length(text) >= 96),
+        |samples AS (
+        |  SELECT id, CAST(i - 1 AS BIGINT) AS bit,
+        |         CAST(ascii(substr(px, CAST(2*i - 1 AS INT), 1)) +
+        |              256 * ascii(substr(px, CAST(2*i AS INT), 1)) AS BIGINT) AS s
+        |  FROM docs, unnest(generate_series(1, 48)) t(i)),
+        |t AS (SELECT id, sum(s) AS total FROM samples GROUP BY id),
+        |h AS (
+        |  SELECT samples.id,
+        |         CAST(sum(CASE WHEN s * 48 > t.total
+        |                       THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+        |                       ELSE 0 END) AS BIGINT) AS afp
+        |  FROM samples JOIN t USING (id) GROUP BY samples.id)
+        |SELECT afp, CAST(count(*) AS BIGINT) AS n_clips, min(id) AS keep_id
+        |FROM h GROUP BY afp HAVING count(*) > 1
+        |ORDER BY afp""".stripMargin,
     "multimodal_audio_decode" ->
       """WITH docs AS (
         |  SELECT doc_id AS id, substr(text, 1, 96) AS px

@@ -159,6 +159,46 @@ object Multimodal {
       }
   }
 
+  final case class AudioHashRow(id: Long, afp: Long)
+
+  /**
+   * Audio fingerprint over decoded PCM — the audio member of the
+   * perceptual-dedup family: bit i is set iff sample i (of the first
+   * `nBits` mono samples) exceeds the mean of that prefix. The
+   * comparison `sample·n > Σsamples` is pure integer arithmetic AND
+   * invariant to positive volume scaling (both sides scale together),
+   * so re-encodes of the same clip at different gains collide while
+   * distinct audio does not. Decode + hash in one `mapPartitions`
+   * pass; grouping identical fingerprints is one hash aggregate —
+   * the same shape as [[imageAHash]] and text SimHash.
+   */
+  def audioFingerprint(
+      df: DataFrame, idCol: String, payloadCol: String,
+      nBits: Int = 48): Dataset[AudioHashRow] = {
+    require(nBits > 0 && nBits <= 63, s"nBits must fit a long: $nBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, payload) =>
+          decodeWavPcm16(payload).map { pcm =>
+            val n = math.min(nBits, pcm.samples.length)
+            var total = 0L
+            var i = 0
+            while (i < n) { total += pcm.samples(i); i += 1 }
+            var hash = 0L
+            i = 0
+            while (i < n) {
+              if (pcm.samples(i).toLong * n > total) hash |= (1L << i)
+              i += 1
+            }
+            AudioHashRow(id, hash)
+          }
+        }
+      }
+  }
+
   final case class ImageHashRow(id: Long, ahash: Long)
 
   /**

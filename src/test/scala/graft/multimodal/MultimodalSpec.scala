@@ -144,6 +144,25 @@ class MultimodalSpec extends SparkFunSuite {
       "data".getBytes("US-ASCII").toSeq ++ le32b(data.length) ++ data).toArray
   }
 
+  test("audioFingerprint: volume-scale invariant, pattern-sensitive, non-audio dropped") {
+    import spark.implicits._
+    val pattern = Seq.tabulate(48)(i => if (i % 4 == 0) 900 else 100)
+    val louder = pattern.map(_ * 3)          // same clip, 3x gain
+    val other = Seq.tabulate(48)(i => if (i % 4 == 0) 100 else 900)
+    val rows = Seq(
+      (1L, wav(pattern)), (2L, wav(louder)), (3L, wav(other)),
+      (4L, "not audio".getBytes)).toDF("doc_id", "payload")
+    val h = Multimodal.audioFingerprint(rows, "doc_id", "payload", nBits = 48)
+      .collect().map(r => r.id -> r.afp).toMap
+    assert(h.size === 3)
+    assert(h(1L) === h(2L))   // s·n > Σs is gain-invariant
+    assert(h(1L) !== h(3L))
+    val total = pattern.map(_.toLong).sum
+    val expect = pattern.zipWithIndex
+      .collect { case (s, i) if s * 48L > total => 1L << i }.sum
+    assert(h(1L) === expect)
+  }
+
   test("WAV decode: mono PCM16 samples round-trip, negatives included") {
     val s = Seq(0, 1000, -1000, 32767, -32768, 42)
     val audio = Multimodal.decodeWavPcm16(wav(s)).get
