@@ -1288,6 +1288,27 @@ object SparkEntry {
         .toDF()
         .orderBy("id", "frame_idx")
     }),
+    // Perceptual video dedup: the same Y4M fixtures through the REAL
+    // decoder, per-frame integer aHash folded over the ordered frame
+    // sequence with an FNV-prime polynomial — container-robust video
+    // dedup, completing the modality matrix. The oracle recomputes
+    // every frame hash and the fold in HUGEINT arithmetic.
+    "multimodal_video_dedup" -> ((s, d) => {
+      val frames = (0 until 4).map(f =>
+        concat(lit("FRAME\n").cast("binary"),
+          substring(col("text"), f * 24 + 1, 24).cast("binary")))
+      val payloads = table(s, d, "documents")
+        .filter(length(col("text")) >= 96)
+        .select(col("doc_id"),
+          concat(lit("YUV4MPEG2 W4 H6 F25:1 Cmono\n").cast("binary") +: frames: _*)
+            .as("payload"))
+      graft.multimodal.Multimodal.videoFingerprint(payloads, "doc_id", "payload")
+        .toDF()
+        .groupBy("vfp")
+        .agg(count(lit(1)).as("n_videos"), min("id").as("keep_id"))
+        .filter(col("n_videos") > 1)
+        .orderBy("vfp")
+    }),
     // Byte-payload dedup via content-defined chunking (rows-only: the
     // Gear/FNV fingerprints are engine-defined; CDC properties are
     // pinned in ScalaTest).
@@ -2919,6 +2940,34 @@ object SparkEntry {
          |       CAST(bin AS BIGINT) AS bin, CAST(c AS BIGINT) AS n_in_bin
          |FROM (VALUES ${rows.mkString(", ")}) t(fix_id, w, h, n, bin, c)
          |ORDER BY fix_id, bin""".stripMargin
+    },
+    // Per-frame aHash bits + the ordered FNV-prime polynomial fold,
+    // re-derived per video in HUGEINT mod-2^64 arithmetic.
+    "multimodal_video_dedup" -> {
+      s"""WITH docs AS (
+         |  SELECT doc_id AS id, substr(text, 1, 96) AS px
+         |  FROM documents WHERE length(text) >= 96),
+         |fr AS (
+         |  SELECT id, f,
+         |         list_transform(generate_series(1, 24),
+         |           i -> CAST(ascii(substr(px, CAST(f * 24 + i AS INT), 1)) AS BIGINT)) AS b
+         |  FROM docs, unnest([0, 1, 2, 3]) t(f)),
+         |ah AS (
+         |  SELECT id, f,
+         |         CAST(list_sum(list_transform(generate_series(1, 24),
+         |           i -> CASE WHEN b[i] * 24 > list_sum(b)
+         |                     THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+         |                     ELSE 0 END)) AS HUGEINT) AS a
+         |  FROM fr),
+         |v AS (
+         |  SELECT id,
+         |         list_reduce(list_prepend(CAST(0 AS HUGEINT), list(a ORDER BY f)),
+         |           (h, a) -> (h * 1099511628211 + a) % 18446744073709551616) AS hu
+         |  FROM ah GROUP BY id)
+         |SELECT ${toSignedSql("hu")} AS vfp,
+         |       CAST(count(*) AS BIGINT) AS n_videos, min(id) AS keep_id
+         |FROM v GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY vfp""".stripMargin
     },
     "multimodal_video_frames" ->
       """WITH docs AS (

@@ -199,6 +199,49 @@ object Multimodal {
       }
   }
 
+  final case class VideoHashRow(id: Long, vfp: Long)
+
+  /**
+   * Video fingerprint over decoded frames — the video member of the
+   * perceptual-dedup family: each frame gets the integer
+   * brighter-than-mean aHash (over its first ≤63 pixels, the
+   * [[imageAHash]] rule), and the ORDERED frame-hash sequence folds
+   * into one 64-bit value with an FNV-prime polynomial
+   * (`h = h·0x100000001b3 + frameHash` in wrapping Long arithmetic ≡
+   * mod 2^64, so the DuckDB oracle reproduces it in HUGEINT). Two
+   * files with the same frames in the same order collide regardless
+   * of container/header differences; reordered or different frames
+   * do not. One `mapPartitions` decode pass, group-by-hash dedup.
+   */
+  def videoFingerprint(
+      df: DataFrame, idCol: String, payloadCol: String): Dataset[VideoHashRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, payload) =>
+          decodeY4m(payload).map { video =>
+            var h = 0L
+            video.frames.foreach { frame =>
+              val n = math.min(63, frame.length)
+              var total = 0L
+              var i = 0
+              while (i < n) { total += frame(i); i += 1 }
+              var ah = 0L
+              i = 0
+              while (i < n) {
+                if (frame(i).toLong * n > total) ah |= (1L << i)
+                i += 1
+              }
+              h = h * 0x100000001b3L + ah
+            }
+            VideoHashRow(id, h)
+          }
+        }
+      }
+  }
+
   final case class ImageHashRow(id: Long, ahash: Long)
 
   /**

@@ -144,6 +144,24 @@ class MultimodalSpec extends SparkFunSuite {
       "data".getBytes("US-ASCII").toSeq ++ le32b(data.length) ++ data).toArray
   }
 
+  test("videoFingerprint: container-robust, frame-order sensitive, non-video dropped") {
+    import spark.implicits._
+    val f1 = Array.tabulate(24)(i => (if (i % 3 == 0) 200 else 20).toByte)
+    val f2 = Array.tabulate(24)(i => (if (i % 3 == 1) 200 else 20).toByte)
+    val rows = Seq(
+      (1L, y4m("YUV4MPEG2 W4 H6 F25:1 Cmono\n", Seq(f1, f2))),
+      // same frames, different header metadata (frame rate) → collide
+      (2L, y4m("YUV4MPEG2 W4 H6 F30:1 Cmono\n", Seq(f1, f2))),
+      // same frames, swapped order → differ
+      (3L, y4m("YUV4MPEG2 W4 H6 F25:1 Cmono\n", Seq(f2, f1))),
+      (4L, "not a video".getBytes)).toDF("doc_id", "payload")
+    val h = Multimodal.videoFingerprint(rows, "doc_id", "payload")
+      .collect().map(r => r.id -> r.vfp).toMap
+    assert(h.size === 3)
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+  }
+
   test("audioFingerprint: volume-scale invariant, pattern-sensitive, non-audio dropped") {
     import spark.implicits._
     val pattern = Seq.tabulate(48)(i => if (i % 4 == 0) 900 else 100)
