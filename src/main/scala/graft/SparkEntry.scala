@@ -315,6 +315,19 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashGroups(table(s, d, "documents"), "doc_id", "text")
         .orderBy("sh")),
+    // SimHash NEAR-match pairs (Manku et al. WWW'07 block scheme):
+    // Hamming ≤ 3 over 4 blocks — pigeonhole recall 1 by construction,
+    // so the oracle is the exact all-pairs Hamming join over the same
+    // SQL-recomputed simhashes. Candidates are (block, value) equality
+    // collisions, capped; bit_count(xor) verifies in-stage.
+    "dedup_simhash_near" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.hammingNearPairs(
+        table(s, d, "documents")
+          .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sh")),
+        "doc_id", "sh", nBlocks = 4, maxHamming = 3, maxBucket = Some(1024))
+        .orderBy("a_id", "b_id")
+    }),
     // Cross-document duplicated-span scan (the token-n-gram formulation
     // of Lee-et-al substring dedup): per document, the fraction of its
     // token-8-gram instances occurring in >= 2 distinct documents —
@@ -1211,6 +1224,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_imgs"), min("id").as("keep_id"))
         .filter(col("n_imgs") > 1)
         .orderBy("ahash")
+    }),
+    // Image NEAR-dup pairs: the 48-bit aHashes through the same Manku
+    // block scheme (4×12-bit blocks, Hamming ≤ 3 — pigeonhole recall 1,
+    // exact all-pairs oracle): small pixel edits that flip a couple of
+    // brighter-than-mean bits still pair up.
+    "multimodal_image_near_dedup" -> ((s, d) => {
+      val payloads = table(s, d, "documents")
+        .filter(length(col("text")) >= 48)
+        .select(col("doc_id"),
+          concat(lit("P5\n6 8\n255\n").cast("binary"),
+            substring(col("text"), 1, 48).cast("binary")).as("payload"))
+      Dedup.hammingNearPairs(
+        graft.multimodal.Multimodal.imageAHash(payloads, "doc_id", "payload",
+          hashW = 6, hashH = 8).toDF(),
+        "id", "ahash", nBlocks = 4, maxHamming = 3,
+        maxBucket = Some(1024), bits = 48)
+        .orderBy("a_id", "b_id")
     }),
     // REAL audio decode (pure-Scala RIFF/WAV PCM16 decoder): each
     // document's first 96 bytes become the sample data of a valid mono
@@ -2442,6 +2472,34 @@ object SparkEntry {
          |SELECT ${toSignedSql("shu")} AS sh,
          |       count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM allsh GROUP BY 1 HAVING count(*) > 1 ORDER BY sh""".stripMargin,
+    // The same SQL-recomputed simhashes, joined all-pairs on exact
+    // Hamming distance — the block scheme's pigeonhole recall is 1 by
+    // construction, so no approximation enters the oracle.
+    "dedup_simhash_near" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    ${fnvSql("list_transform(generate_series(1, length(tok)), i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))")} AS h
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id, bit,
+         |         sum(CASE WHEN (CAST(h AS UBIGINT) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, unnest(generate_series(0, 63)) AS t(bit)
+         |  GROUP BY doc_id, bit),
+         |sh AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS shu
+         |  FROM votes GROUP BY doc_id),
+         |allsh AS (
+         |  SELECT d.doc_id, CAST(COALESCE(s.shu, 0) AS UBIGINT) AS shu
+         |  FROM documents d LEFT JOIN sh s USING (doc_id))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.shu, b.shu)) AS BIGINT) AS hamming
+         |FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.shu, b.shu)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
     // Exact cosine threshold join over ALL pairs — the banded LSH query
     // has recall 1 on this corpus (see the queries entry), so its output
     // is exactly this join.
@@ -2891,6 +2949,27 @@ object SparkEntry {
         |SELECT ahash, CAST(count(*) AS BIGINT) AS n_imgs, min(id) AS keep_id
         |FROM h GROUP BY ahash HAVING count(*) > 1
         |ORDER BY ahash""".stripMargin,
+    // The same 48-bit aHashes, all-pairs on exact Hamming distance.
+    "multimodal_image_near_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 48) AS px
+        |  FROM documents WHERE length(text) >= 48),
+        |p AS (
+        |  SELECT id, CAST(i - 1 AS BIGINT) AS bit,
+        |         CAST(ascii(substr(px, CAST(i AS INT), 1)) AS BIGINT) AS v
+        |  FROM docs, unnest(generate_series(1, 48)) t(i)),
+        |t AS (SELECT id, sum(v) AS total FROM p GROUP BY id),
+        |h AS (
+        |  SELECT p.id,
+        |         CAST(sum(CASE WHEN p.v * 48 > t.total
+        |                       THEN CAST(1 AS BIGINT) << CAST(p.bit AS INT)
+        |                       ELSE 0 END) AS UBIGINT) AS ahash
+        |  FROM p JOIN t USING (id) GROUP BY p.id)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     // Audio fingerprint re-derived per clip from the same 96 fixture
     // bytes: signed-LE samples, integer prefix-mean sign bits.
     "multimodal_audio_dedup" ->

@@ -453,6 +453,55 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /**
+   * Hamming near-pairs over any 64-bit fingerprint column — the
+   * Manku-Jain-Das Sarma (WWW 2007) block-permutation scheme that
+   * upgrades fingerprint dedup from exact-equality to near-match:
+   * split the 64 bits into `nBlocks` contiguous blocks; by pigeonhole,
+   * two hashes within Hamming distance < `nBlocks` agree on at least
+   * one whole block, so candidates are (block index, block value)
+   * equality-join collisions — never all pairs — and the exact
+   * `bit_count(xor)` verifies each candidate in the same codegen
+   * stage. With `maxHamming ≤ nBlocks - 1` recall is 1 BY
+   * CONSTRUCTION (not measured), so the driver oracle is the exact
+   * all-pairs Hamming join. Works for any 64-bit fingerprint: text
+   * SimHash, image aHash, audio/video fingerprints, sign-bit
+   * sketches. `maxBucket` caps viral block values ([[capBuckets]]).
+   *
+   * Output: (a_id, b_id, hamming), a_id < b_id.
+   */
+  def hammingNearPairs(
+      rows: DataFrame, idCol: String, hashCol: String,
+      nBlocks: Int = 4, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None,
+      bits: Int = 64): DataFrame = {
+    // `bits` = the fingerprint's actual width: for sub-64-bit hashes
+    // (48-bit image aHash), blocking the full 64 bits would make the
+    // constant-zero top block a universal collision key — all pairs.
+    require(bits > 0 && bits <= 64, s"bits must be 1..64: $bits")
+    require(nBlocks > 0 && bits % nBlocks == 0,
+      s"nBlocks must divide bits=$bits: $nBlocks")
+    require(maxHamming >= 0 && maxHamming < nBlocks,
+      s"pigeonhole guarantee needs maxHamming < nBlocks: $maxHamming/$nBlocks")
+    val w = bits / nBlocks
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val blocks = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        (shiftright(col(hashCol), b * w).bitwiseAND(lit(mask))).as("key"))
+    }
+    val keyed = capBuckets(
+      rows.select(col(idCol).as("id"), col(hashCol).as("h"),
+        explode(array(blocks: _*)).as("bk")),
+      Seq("bk"), maxBucket)
+    keyed.alias("a").join(keyed.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        call_function("bit_count",
+          col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
+  }
+
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"), GraftFunctions.simhash64(col(textCol)).as("sh"))

@@ -74,6 +74,37 @@ class DedupSpec extends SparkFunSuite {
     assert(pairs.get((1L, 5L)).contains(1.0))
   }
 
+  test("hammingNearPairs: pigeonhole recall 1 within maxHamming, none beyond") {
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val rows = Seq(
+      (1L, base),
+      (2L, base ^ 1L),                      // hamming 1
+      (3L, base ^ ((1L << 5) | (1L << 40) | (1L << 63))), // hamming 3
+      (4L, base ^ ((1L << 1) | (1L << 17) | (1L << 33) | (1L << 49))), // 4: one flip PER block
+      (5L, ~base)                           // hamming 64
+    ).toDF("id", "h")
+    val got = Dedup.hammingNearPairs(rows, "id", "h", nBlocks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all pairs within hamming <= 3 found (pigeonhole: some block intact),
+    // including the (2,3) pair at hamming 4 NOT reported, and id 4 —
+    // differing in every block from base — correctly absent vs 1
+    assert(got.contains((1L, 2L, 1L)))
+    assert(got.contains((1L, 3L, 3L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    // exhaustive check vs brute force
+    val all = Seq(1L -> base, 2L -> (base ^ 1L),
+      3L -> (base ^ ((1L << 5) | (1L << 40) | (1L << 63))),
+      4L -> (base ^ ((1L << 1) | (1L << 17) | (1L << 33) | (1L << 49))),
+      5L -> ~base)
+    val brute = (for {
+      (i, hi) <- all; (j, hj) <- all if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d.toLong)).toSet
+    assert(got === brute)
+  }
+
   test("simhashGroups: identical texts collide, distinct text does not appear") {
     val g = Dedup.simhashGroups(toyDocs, "doc_id", "text")
       .collect().map(r => (r.getLong(1), r.getLong(2)))
