@@ -105,6 +105,30 @@ class DedupSpec extends SparkFunSuite {
     assert(got === brute)
   }
 
+  test("hammingNearPairs: randomized exhaustive equality with brute force") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      // random hashes plus planted near-dups at distances 1..4
+      val base = Seq.fill(30)(rnd.nextLong())
+      val planted = base.take(8).zipWithIndex.map { case (h, i) =>
+        var x = h
+        (0 to i % 4).foreach(_ => x ^= (1L << rnd.nextInt(64)))
+        x
+      }
+      val all = (base ++ planted).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val got = Dedup.hammingNearPairs(all.toDF("id", "h"), "id", "h",
+        nBlocks = 4, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        (i, hi) <- all; (j, hj) <- all if i < j
+        d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+      } yield (i, j, d.toLong)).toSet
+      assert(got === brute, s"seed=$seed")
+      assert(brute.nonEmpty, s"seed=$seed fixture must plant near pairs")
+    }
+  }
+
   test("simhashGroups: identical texts collide, distinct text does not appear") {
     val g = Dedup.simhashGroups(toyDocs, "doc_id", "text")
       .collect().map(r => (r.getLong(1), r.getLong(2)))
