@@ -369,15 +369,25 @@ object SparkEntry {
         .orderBy("id")
     }),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
+    // maxBucket ENGAGED: `label` is a coarse key by construction (its
+    // cardinality doesn't grow with the corpus), so at 100× one label
+    // block would dominate and the within-block join is quadratic. The
+    // cap bounds any block at 1024 rows (1024²/2 pairs); at test scale
+    // the largest label block is far under the cap, so output is
+    // byte-identical to the uncapped exact join — which is what the
+    // DuckDB oracle checks.
     "sim_join_label" -> ((s, d) =>
       SimilarityJoin.blockedCosinePairs(table(s, d, "embeddings"), "vec_id",
-        "embedding", "label", threshold = 0.3, scale = Scale)
+        "embedding", "label", threshold = 0.3, scale = Scale,
+        maxBucket = Some(1024))
         .orderBy("a_id", "b_id")),
     // Embedding-cosine near-dup dedup: pairs above threshold (blocked on
     // label) collapse to keep-the-min-id; output = removed id → kept id.
+    // Same coarse-key hazard, same cap (see sim_join_label above).
     "dedup_embedding" -> ((s, d) =>
       SimilarityJoin.blockedCosinePairs(table(s, d, "embeddings"), "vec_id",
-        "embedding", "label", threshold = 0.3, scale = Scale)
+        "embedding", "label", threshold = 0.3, scale = Scale,
+        maxBucket = Some(1024))
         .groupBy(col("b_id").as("removed_id"))
         .agg(min("a_id").as("kept_id"))
         .orderBy("removed_id")),

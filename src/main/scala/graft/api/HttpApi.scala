@@ -342,9 +342,9 @@ private object SearchHttpServer {
       |    </div>
       |    <div class="row">
       |      <div><label for="k">k (top results)</label>
-      |        <input type="number" id="k" value="4" min="1"></div>
+      |        <input type="number" id="k" value="4" min="1" max="100"></div>
       |      <div><label for="ts">index_tree_search_top_size (optional)</label>
-      |        <input type="number" id="ts" min="1" placeholder="index default"></div>
+      |        <input type="number" id="ts" min="1" max="1000" placeholder="index default"></div>
       |    </div>
       |  </fieldset>
       |  <button type="submit" id="go">Search</button>

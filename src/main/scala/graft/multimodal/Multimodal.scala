@@ -260,7 +260,11 @@ object Multimodal {
   def imageAHash(
       df: DataFrame, idCol: String, payloadCol: String,
       hashW: Int = 8, hashH: Int = 8): Dataset[ImageHashRow] = {
-    require(hashW * hashH <= 63, s"hash grid must fit a long: ${hashW}x$hashH")
+    // All 64 bits of the Long are usable: hashes are compared for
+    // equality / Hamming distance, never for order, so the sign bit
+    // (grid cell 63 of the classic 8×8 aHash) carries information
+    // like any other.
+    require(hashW * hashH <= 64, s"hash grid must fit a long: ${hashW}x$hashH")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
@@ -509,9 +513,6 @@ object Multimodal {
   /** One extracted-feature row. */
   final case class FeatureRow(id: Long, n_bytes: Long, features: Array[Float])
 
-  /** One sampled frame (video/audio chunking). */
-  final case class FrameRow(id: Long, frame_idx: Int, frame_bytes: Array[Byte])
-
   /**
    * Content-agnostic byte-distribution features: the normalized byte
    * histogram of an opaque payload — a real, useful signal (entropy /
@@ -557,32 +558,4 @@ object Multimodal {
       }
   }
 
-  /**
-   * Frame sampling (video → frames, audio → windows): STUB splits the
-   * payload into `nFrames` contiguous chunks; a real implementation
-   * would seek keyframes. One input row → up to `nFrames` output rows,
-   * still shuffle-free (flatMap within partitions).
-   */
-  def sampleFrames(
-      df: DataFrame,
-      idCol: String,
-      payloadCol: String,
-      nFrames: Int): Dataset[FrameRow] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, payload) =>
-        if (payload == null || payload.isEmpty) Iterator.empty
-        else {
-          val chunk = math.max(1, payload.length / nFrames)
-          (0 until math.min(nFrames, payload.length)).iterator.map { i =>
-            val from = i * chunk
-            val until = if (i == nFrames - 1) payload.length
-                        else math.min(payload.length, from + chunk)
-            FrameRow(id, i, java.util.Arrays.copyOfRange(payload, from, until))
-          }
-        }
-      }
-  }
 }

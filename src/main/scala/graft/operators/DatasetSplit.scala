@@ -133,14 +133,26 @@ object DatasetSplit {
         val cutoff = math.ceil(256.0 * p / 100).toLong
         val pre = withH.filter(
           conv(substring(col("__h"), 1, 2), 16, 10).cast("long") < cutoff)
+        // Null-safe (<=>) joins throughout: a NULL stratum is a
+        // stratum like any other (the None path ranks it as one
+        // window partition), so the prefilter routing must carry it
+        // too — a plain equality join would silently drop every
+        // null-stratum row and turn the performance knob into a
+        // semantics knob.
         val okStrata = pre.groupBy(col(stratumCol))
           .agg(count(lit(1)).as("__c"))
           .filter(col("__c") >= n)
-          .select(stratumCol)
-        val shortStrata = df.select(stratumCol).distinct()
-          .join(okStrata, Seq(stratumCol), "left_anti")
-        ranked(pre.join(broadcast(okStrata), Seq(stratumCol)))
-          .unionAll(ranked(withH.join(broadcast(shortStrata), Seq(stratumCol))))
+          .select(col(stratumCol).as("__graft_stratum"))
+        val shortStrata = df.select(col(stratumCol).as("__graft_stratum"))
+          .distinct()
+          .join(
+            broadcast(okStrata.withColumnRenamed("__graft_stratum", "__graft_ok")),
+            col("__graft_stratum") <=> col("__graft_ok"), "left_anti")
+        def keep(in: DataFrame, strata: DataFrame): DataFrame =
+          in.join(broadcast(strata),
+            col(stratumCol) <=> col("__graft_stratum"), "left_semi")
+        ranked(keep(pre, okStrata))
+          .unionAll(ranked(keep(withH, shortStrata)))
     }
   }
 

@@ -275,7 +275,15 @@ object Dedup {
         array_sort(collect_list(struct(col("pos"), col("tok")))).as("__arr"))
       .select(col("id"), col("__n_kept"),
         concat_ws(" ", transform(col("__arr"), x => x.getField("tok"))).as("text_clean"))
-    docs.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"))
+    // Output domain matches the rebuild domain: null-id rows are
+    // excluded on BOTH sides (they were never rebuilt, so starting
+    // from all `docs` would surface them as "fully removed"), and a
+    // null text counts 0 tokens rather than the legacy size(null)=-1
+    // sentinel corrupting n_removed.
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(toks).cast("long")).as("n_tokens"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
@@ -337,7 +345,7 @@ object Dedup {
    *
    * Shape at scale: component labels from the pair graph (pointer
    * doubling, O(log d) rounds), then ONE hash aggregate picks each
-   * cluster's argmax via `max_by(id, (score, -id))` — map-side
+   * cluster's argmax via `min_by(id, (-score, id))` — map-side
    * partials, no window over members, no per-cluster sort — and a
    * broadcast-able join-back stamps the verdict on every row.
    * Singleton rows never enter the aggregate's shuffle (they join to
@@ -350,9 +358,14 @@ object Dedup {
     val scored = rows.select(col(idCol).as("id"), score.as("__graft_score"))
       .join(comps, Seq("id"), "left")
     val clustered = scored.filter(col("component").isNotNull)
+    // min_by on (-score, id) ≡ argmax score, ties → lowest id — and
+    // unlike `max_by(id, (score, -id))` it never negates the id, so
+    // string doc ids order correctly instead of casting to NULL and
+    // making ties non-deterministic. Only the score (numeric by
+    // contract) is negated.
     val best = clustered.groupBy("component")
-      .agg(max_by(col("id"),
-        struct(col("__graft_score"), negate(col("id")))).as("kept_id"))
+      .agg(min_by(col("id"),
+        struct(negate(col("__graft_score")), col("id"))).as("kept_id"))
     clustered.join(best, Seq("component"))
       .select(col("id"), col("kept_id"),
         (col("id") === col("kept_id")).as("is_kept"))

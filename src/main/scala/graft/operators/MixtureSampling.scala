@@ -80,14 +80,29 @@ object MixtureSampling {
   /** Materialize the sample: keep a row iff its bucket falls under its
     * source's keep fraction budget_s / T_s (sources with
     * budget_s ≥ T_s keep everything). Scan-local — the plan relation
-    * broadcasts, the corpus never shuffles. */
+    * broadcasts, the corpus never shuffles.
+    *
+    * The verdict `bucket24(id)·T_s < budget_s·2^24` is exact in
+    * unbounded integers but the row-level Long multiply wraps once a
+    * source's token mass passes 2^39 (~5.5e11 tokens) — far below
+    * 100 TB corpora (~1e13 tokens). So the ratio is folded ONCE, on
+    * the broadcast plan relation, into a per-source cutoff
+    * `⌈budget_s·2^24 / T_s⌉` via exact DECIMAL(38) ceil-division
+    * (budget clamped to mass first, so the cutoff tops out at 2^24
+    * = keep-everything and always fits a Long). Per-row work is then
+    * a single Long compare `bucket24(id) < cutoff` — same kept set
+    * as the unbounded-integer verdict at every scale, still pure
+    * integer arithmetic, still engine-portable. */
   def sampleByPlan(
       docs: DataFrame, idCol: String, stratumCol: String,
-      plan: DataFrame): DataFrame =
-    docs.join(broadcast(plan), Seq(stratumCol))
-      .filter(bucket24(col(idCol)) * col("t_tokens") <
-        col("token_budget") * lit(1L << 24))
-      .drop("t_tokens", "weight", "token_budget")
+      plan: DataFrame): DataFrame = {
+    val limits = plan.withColumn("__graft_bucket_limit",
+      expr("""(CAST(least(token_budget, t_tokens) AS DECIMAL(38,0))
+             | * 16777216 + t_tokens - 1) div t_tokens""".stripMargin))
+    docs.join(broadcast(limits), Seq(stratumCol))
+      .filter(bucket24(col(idCol)) < col("__graft_bucket_limit"))
+      .drop("t_tokens", "weight", "token_budget", "__graft_bucket_limit")
+  }
 
   /**
    * Fractional-epoch upsampling — the other half of the recipe knob:

@@ -140,6 +140,10 @@ class HttpApiSpec extends SparkFunSuite {
       Seq("name=mode", "id=\"emb\"", "id=\"q\"", "id=\"k\"", "id=\"ts\"",
         "fetch('/search'", "index_tree_search_top_size", "toFixed(4)")
         .foreach(frag => assert(html.contains(frag), frag))
+      // input caps mirror the reference UI (templates/index.html:295,306):
+      // k ≤ 100, topSize ≤ 1000
+      assert(html.contains("id=\"k\" value=\"4\" min=\"1\" max=\"100\""))
+      assert(html.contains("id=\"ts\" min=\"1\" max=\"1000\""))
       assert(get(port, "/nope").statusCode() === 404)
       assert(get(port, "/search").statusCode() === 405)
     }

@@ -29,15 +29,16 @@ class MultimodalSpec extends SparkFunSuite {
     assert(rows.forall(_.n_bytes === 64 * 4 + 1)) // 64-dim f32 + tag
   }
 
-  test("sampleFrames: chunks reassemble to the original payload") {
+  test("imageAHash documented defaults (8x8 = 64 bits) work; bit 63 carries signal") {
     import spark.implicits._
-    val payload = Array.tabulate(100)(_.toByte)
-    val df = Seq((7L, payload)).toDF("id", "payload")
-    val frames = Multimodal.sampleFrames(df, "id", "payload", nFrames = 4)
-      .collect().sortBy(_.frame_idx)
-    assert(frames.length === 4)
-    val reassembled = frames.flatMap(_.frame_bytes)
-    assert(reassembled.toSeq === payload.toSeq)
+    // 8x8 image, only the LAST cell bright: every bit clear except grid
+    // cell 63 — the Long's sign bit. Hashes compare for equality /
+    // Hamming distance, never order, so all 64 bits are usable.
+    val px = Array.fill(63)(0) :+ 255
+    val df = Seq((1L, pgm(8, 8, px))).toDF("id", "payload")
+    val rows = Multimodal.imageAHash(df, "id", "payload").collect()
+    assert(rows.length === 1)
+    assert(rows(0).ahash === (1L << 63)) // == Long.MinValue: sign bit set
   }
 
   private def pgm(w: Int, h: Int, pixels: Array[Int],

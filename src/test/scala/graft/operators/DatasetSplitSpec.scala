@@ -127,6 +127,24 @@ class DatasetSplitSpec extends SparkFunSuite {
     }
   }
 
+  test("balancedSample: a NULL stratum routes identically on both paths") {
+    // A null stratum is one window partition on the None path; the
+    // prefilter path must carry it through its (null-safe) stratum
+    // joins rather than silently dropping every null-stratum row.
+    val df = ((0L until 200L).map(i => (i, if (i % 2 == 0) "a" else null)))
+      .toDF("id", "src")
+    val naive = DatasetSplit.balancedSample(df, "id", "src", n = 7)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(naive.nonEmpty)
+    for (pct <- Seq(10, 50, 100)) {
+      val pre = DatasetSplit.balancedSample(df, "id", "src", n = 7,
+        prefilterPct = Some(pct))
+      assert(pre.select("id").as[Long].collect().sorted.toSeq === naive,
+        s"pct=$pct")
+      assert(pre.filter(col("src").isNull).count() === 7L, s"pct=$pct")
+    }
+  }
+
   test("shardKey matches shuffleOrder's shard for every row") {
     val df = (0L until 300L).toDF("id")
     val mismatch = DatasetSplit.shuffleOrder(df, "id", numShards = 16)

@@ -320,6 +320,39 @@ class DedupSpec extends SparkFunSuite {
       (4L, 4L, true), (5L, 4L, false)))
   }
 
+  test("removeDuplicateSpans: null ids excluded, null text counts zero tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "one two three four"),
+      (java.lang.Long.valueOf(2L), "one two three four"),
+      (null.asInstanceOf[java.lang.Long], "one two three four"),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // the null-id row never enters the rebuild, so it must not surface
+    // in the output as "fully removed"; null text is 0 tokens, not the
+    // legacy size(null) = -1 sentinel.
+    assert(got.toSeq === Seq(
+      (1L, 4L, 4L, ""), (2L, 4L, 4L, ""), (4L, 0L, 0L, "")))
+  }
+
+  test("keepBestVerdict: string ids — tie-break is still lowest id, deterministic") {
+    import spark.implicits._
+    // negate(string) casts to NULL, so the old max_by(id, (score, -id))
+    // tie-break picked an arbitrary member for string ids. All three
+    // scores tie here; the kept id must be the lexicographically lowest.
+    val corpus = Seq(("docB", 5L), ("docC", 5L), ("docA", 5L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq(("docA", "docB"), ("docB", "docC")).toDF("a_id", "b_id")
+    val got = Dedup.keepBestVerdict(corpus, "doc_id", col("quality"), pairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("docA", "docA", true), ("docB", "docA", false), ("docC", "docA", false)))
+  }
+
   test("keepBestVerdict: highest score wins, ties break to lowest id, singletons survive") {
     import spark.implicits._
     val corpus = Seq(

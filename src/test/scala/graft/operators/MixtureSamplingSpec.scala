@@ -170,4 +170,37 @@ class MixtureSamplingSpec extends SparkFunSuite {
     assert(!explained.contains("ShuffleExchange"),
       s"unexpected shuffle in:\n$explained")
   }
+
+  test("sampleByPlan verdict is exact past Long-overflow token masses (>2^39)") {
+    import spark.implicits._
+    // The per-source stats on the plan relation drive the verdict, so a
+    // hand-set mass of 2^45 tokens exercises the 100-TB regime without
+    // 100 TB of rows. The old row-level verdict `bucket24·T < B·2^24`
+    // wrapped its Long multiply at T > 2^39 and flipped verdicts; the
+    // cutoff form must match unbounded-integer arithmetic exactly.
+    val docs = (1L to 1000L).toDF("doc_id").withColumn("source", lit("big"))
+    val t = 1L << 45
+    val budget = 3L * (1L << 42) // 3/8 of the mass
+    val plan = Seq(("big", t, 0.375, budget))
+      .toDF("source", "t_tokens", "weight", "token_budget")
+    val kept = MixtureSampling.sampleByPlan(docs, "doc_id", "source", plan)
+      .select("doc_id").as[Long].collect().toSet
+    val expect = docs
+      .select(col("doc_id"), MixtureSampling.bucket24(col("doc_id")).as("b"))
+      .collect()
+      .collect { case r if BigInt(r.getLong(1)) * BigInt(t) <
+          BigInt(budget) * BigInt(1L << 24) => r.getLong(0) }
+      .toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < 1000) // the cut actually bites
+  }
+
+  test("sampleByPlan: budget >= mass keeps every row at overflow-scale masses") {
+    import spark.implicits._
+    val docs = (1L to 100L).toDF("doc_id").withColumn("source", lit("big"))
+    val plan = Seq(("big", 1L << 45, 1.0, 1L << 45))
+      .toDF("source", "t_tokens", "weight", "token_budget")
+    assert(MixtureSampling.sampleByPlan(docs, "doc_id", "source", plan)
+      .count() === 100L)
+  }
 }

@@ -44,6 +44,29 @@ class SimilarityJoinSpec extends SparkFunSuite {
     assert(capped === 0L) // every label block has > 1 row ⇒ all dropped
   }
 
+  test("maxBucket bounds a viral label block without touching organic pairs") {
+    // The coarse-key hazard the driver entries guard against: `label`
+    // cardinality doesn't grow with the corpus, so one label can go
+    // viral (here: 500 copies of vec 0 under a fresh label 9999) and
+    // the within-block join is quadratic in its size.
+    val viral = emb.where(col("vec_id") === 0)
+      .select(explode(expr("sequence(10000L, 10499L)")).as("vec_id"),
+        col("embedding"), lit(9999).as("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").union(viral)
+    def run(df: org.apache.spark.sql.DataFrame, cap: Option[Int]) =
+      SimilarityJoin.blockedCosinePairs(df, "vec_id", "embedding", "label",
+        threshold = 0.3, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(corpus, None)
+    assert(uncapped.size >= 500 * 499 / 2) // quadratic blowup is real
+    // Cap above every organic label block but below the viral one: the
+    // viral block is dropped wholesale before the self-join, organic
+    // pairs are byte-identical to the no-viral baseline.
+    val capped = run(corpus, Some(200))
+    assert(capped.forall { case (a, b) => a < 10000 && b < 10000 })
+    assert(capped === run(emb, None))
+  }
+
   test("no cartesian product in either plan") {
     Seq(
       SimilarityJoin.blockedCosinePairs(emb, "vec_id", "embedding", "label", 0.3),
