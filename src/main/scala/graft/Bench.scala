@@ -82,6 +82,34 @@ object Bench {
     val results = timedPass(sfDir)
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // Isolated re-measurement of the slowest queries. Sweep numbers for
+    // sub-~2 s queries run ~1.5× hot under full-suite load (r6's
+    // sim_join_label read 1.44 s in the sweep vs 0.914 s in a fresh
+    // BenchOne), so each round's apparent regressions needed a manual
+    // re-run to adjudicate. Record the adjudication IN the artifact:
+    // after the sweep, settle the session (double GC around a drain
+    // pause for the ContextCleaner's reference queue) and re-time each
+    // of the slowest queries back-to-back with nothing else running —
+    // the same discipline BenchOne applies, minus the fresh JVM. A
+    // sweep/isolated ratio > 2 is flagged as "isolated_alerts": the
+    // sweep number for that query is load, not plan cost.
+    val isolated = results.filter(_._2 > 0).sortBy(-_._2).take(8)
+      .map { case (name, sweepSec) =>
+        System.gc(); Thread.sleep(250); System.gc()
+        val fn = SparkEntry.queries(name)
+        val times = Seq.fill(3)(run(s"isolated:$name", (s, _) => fn(s, sfDir)))
+        val iso = if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min
+        (name, sweepSec, iso)
+      }
+    val isolatedJson = isolated.map { case (name, sweep, iso) =>
+      val ratio = if (iso > 0) math.rint(sweep / iso * 100) / 100 else -1.0
+      "\"" + name + s"""":{"sweep":$sweep,"isolated":$iso,"sweep_over_isolated":$ratio}"""
+    }.mkString("{", ",", "}")
+    val isolatedAlerts = isolated.collect {
+      case (name, sweep, iso) if iso > 0 && sweep / iso > 2.0 =>
+        "\"" + name + "\":" + (math.rint(sweep / iso * 100) / 100)
+    }.mkString("{", ",", "}")
+
     // Second, 10×-smaller scale when available, for the scaling report.
     val smallDir = Seq("sf0.1" -> "sf0.01", "sf0.01" -> "sf0.001").collectFirst {
       case (big, small) if sfDir.endsWith(big) =>
@@ -118,7 +146,8 @@ object Bench {
 
     // Full-precision detail (both scales + scaling factors) → file.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results, full)},"sf":"$sfDir"$smallDetail}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results, full)},"sf":"$sfDir"""" +
+        s""","isolated":$isolatedJson,"isolated_alerts":$isolatedAlerts$smallDetail}"""
     try {
       val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
