@@ -328,6 +328,21 @@ object SparkEntry {
         "doc_id", "sh", nBlocks = 4, maxHamming = 3, maxBucket = Some(1024))
         .orderBy("a_id", "b_id")
     }),
+    // Crawl-scale Hamming near-match: identical semantics and oracle to
+    // dedup_simhash_near, through the multi-block key scheme — C(6,3) =
+    // 20 tables on ~32-bit packed keys instead of 4 tables on 16-bit
+    // blocks, so random-fingerprint block collisions fall from n/2^16
+    // to n/2^32 per key (the crawl-scale difference; measured by
+    // graft.tools.HammingBlockProbe, table in SCALING.md). Recall is 1
+    // by the same pigeonhole, so both entries return identical rows.
+    "dedup_simhash_near_wide" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.hammingNearPairsWide(
+        table(s, d, "documents")
+          .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sh")),
+        "doc_id", "sh", nBlocks = 6, maxHamming = 3, maxBucket = Some(1024))
+        .orderBy("a_id", "b_id")
+    }),
     // Cross-document duplicated-span scan (the token-n-gram formulation
     // of Lee-et-al substring dedup): per document, the fraction of its
     // token-8-gram instances occurring in >= 2 distinct documents —
@@ -1401,6 +1416,37 @@ object SparkEntry {
        |ORDER BY score $dir NULLS LAST, id
        |LIMIT $k""".stripMargin
   }
+
+  /** Exact all-pairs Hamming-≤3 join over SQL-recomputed simhashes —
+    * shared by `dedup_simhash_near` (4-block scheme) and
+    * `dedup_simhash_near_wide` (multi-block scheme): both candidate
+    * generators have recall 1 by pigeonhole, so no approximation
+    * enters the oracle. */
+  private lazy val simhashNearHammingOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    ${fnvSql("list_transform(generate_series(1, length(tok)), i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))")} AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |         sum(CASE WHEN (CAST(h AS UBIGINT) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, unnest(generate_series(0, 63)) AS t(bit)
+       |  GROUP BY doc_id, bit),
+       |sh AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS shu
+       |  FROM votes GROUP BY doc_id),
+       |allsh AS (
+       |  SELECT d.doc_id, CAST(COALESCE(s.shu, 0) AS UBIGINT) AS shu
+       |  FROM documents d LEFT JOIN sh s USING (doc_id))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(bit_count(xor(a.shu, b.shu)) AS BIGINT) AS hamming
+       |FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.shu, b.shu)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "knn_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
@@ -2485,31 +2531,10 @@ object SparkEntry {
     // The same SQL-recomputed simhashes, joined all-pairs on exact
     // Hamming distance — the block scheme's pigeonhole recall is 1 by
     // construction, so no approximation enters the oracle.
-    "dedup_simhash_near" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
-         |  FROM documents),
-         |th AS (
-         |  SELECT doc_id,
-         |    ${fnvSql("list_transform(generate_series(1, length(tok)), i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))")} AS h
-         |  FROM toks),
-         |votes AS (
-         |  SELECT doc_id, bit,
-         |         sum(CASE WHEN (CAST(h AS UBIGINT) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM th, unnest(generate_series(0, 63)) AS t(bit)
-         |  GROUP BY doc_id, bit),
-         |sh AS (
-         |  SELECT doc_id,
-         |         sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS shu
-         |  FROM votes GROUP BY doc_id),
-         |allsh AS (
-         |  SELECT d.doc_id, CAST(COALESCE(s.shu, 0) AS UBIGINT) AS shu
-         |  FROM documents d LEFT JOIN sh s USING (doc_id))
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |       CAST(bit_count(xor(a.shu, b.shu)) AS BIGINT) AS hamming
-         |FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.shu, b.shu)) <= 3
-         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_simhash_near" -> simhashNearHammingOracle,
+    // Same exact all-pairs oracle: the wide (multi-block) candidate
+    // scheme is recall-1 by the same pigeonhole argument.
+    "dedup_simhash_near_wide" -> simhashNearHammingOracle,
     // Exact cosine threshold join over ALL pairs — the banded LSH query
     // has recall 1 on this corpus (see the queries entry), so its output
     // is exactly this join.

@@ -496,15 +496,9 @@ object Dedup {
       s"nBlocks must divide bits=$bits: $nBlocks")
     require(maxHamming >= 0 && maxHamming < nBlocks,
       s"pigeonhole guarantee needs maxHamming < nBlocks: $maxHamming/$nBlocks")
-    val w = bits / nBlocks
-    val mask = if (w == 64) -1L else (1L << w) - 1L
-    val blocks = (0 until nBlocks).map { b =>
-      struct(lit(b).as("blk"),
-        (shiftright(col(hashCol), b * w).bitwiseAND(lit(mask))).as("key"))
-    }
     val keyed = capBuckets(
       rows.select(col(idCol).as("id"), col(hashCol).as("h"),
-        explode(array(blocks: _*)).as("bk")),
+        explode(array(hammingNarrowKeys(col(hashCol), nBlocks, bits): _*)).as("bk")),
       Seq("bk"), maxBucket)
     keyed.alias("a").join(keyed.alias("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
@@ -513,6 +507,98 @@ object Dedup {
           col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("a_id", "b_id")
+  }
+
+  /**
+   * Crawl-scale variant of [[hammingNearPairs]]: multi-block keys.
+   *
+   * The single-block scheme's keys are `bits / nBlocks` wide — 16 bits
+   * at the 4-block default — so at crawl scale RANDOM fingerprints
+   * collide on a block with p ≈ n/2^16 per block value and the
+   * candidate stage drifts quadratic. The fix (named in Manku et al.
+   * WWW'07 §3: increase blocks, require agreement on combinations):
+   * split into `nBlocks` blocks; a pair within Hamming distance
+   * `maxHamming` flips bits in at most `maxHamming` blocks, so it
+   * agrees on EVERY block of some (nBlocks − maxHamming)-subset —
+   * enumerate all C(nBlocks, nBlocks − maxHamming) subsets as tables
+   * whose key packs the subset's block values into one Long. Key
+   * width grows from bits/nBlocks to bits·(1 − maxHamming/nBlocks):
+   * the 6-block/Hamming-3 default joins a 64-bit fingerprint on
+   * ~32-bit keys (20 tables) instead of 16-bit keys (4 tables) —
+   * random collisions per key drop from n/2^16 to n/2^32, the
+   * difference between "melts at 10^8 rows" and "fine at 10^10"
+   * (measured: `graft.tools.HammingBlockProbe`, table in SCALING.md).
+   * Recall is still 1 BY CONSTRUCTION (pigeonhole), so the driver
+   * oracle stays the exact all-pairs Hamming join. The trade is
+   * shuffle volume: n·C(b, b−k) slim keyed rows vs n·b — bounded and
+   * linear, the right side of the trade once random block collisions
+   * stop being rare.
+   *
+   * Output: (a_id, b_id, hamming), a_id < b_id — identical contract
+   * to [[hammingNearPairs]].
+   */
+  def hammingNearPairsWide(
+      rows: DataFrame, idCol: String, hashCol: String,
+      nBlocks: Int = 6, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None,
+      bits: Int = 64): DataFrame = {
+    require(bits > 0 && bits <= 64, s"bits must be 1..64: $bits")
+    require(maxHamming >= 0 && maxHamming < nBlocks,
+      s"pigeonhole guarantee needs maxHamming < nBlocks: $maxHamming/$nBlocks")
+    require(nBlocks <= bits, s"nBlocks must be <= bits=$bits: $nBlocks")
+    val keyed = capBuckets(
+      rows.select(col(idCol).as("id"), col(hashCol).as("h"),
+        explode(array(
+          hammingWideKeys(col(hashCol), nBlocks, maxHamming, bits): _*)).as("bk")),
+      Seq("bk"), maxBucket)
+    keyed.alias("a").join(keyed.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        call_function("bit_count",
+          col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** The single-block join keys of [[hammingNearPairs]]: one
+    * struct(blk, key) per contiguous block. Exposed within the package
+    * so the measurement probe (`graft.tools.HammingBlockProbe`) counts
+    * candidates over EXACTLY the operator's keys. */
+  private[graft] def hammingNarrowKeys(
+      hash: Column, nBlocks: Int, bits: Int): Seq[Column] = {
+    val w = bits / nBlocks
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        (shiftright(hash, b * w).bitwiseAND(lit(mask))).as("key"))
+    }
+  }
+
+  /** The multi-block join keys of [[hammingNearPairsWide]]: one
+    * struct(blk, key) per (nBlocks − maxHamming)-subset of block
+    * indices, the subset's block values packed into a single Long
+    * (total width ≤ bits ≤ 64 since the blocks are disjoint). Block i
+    * covers bit range [lo(i), lo(i+1)); widths differ by at most 1,
+    * so `bits` need not divide `nBlocks`. */
+  private[graft] def hammingWideKeys(
+      hash: Column, nBlocks: Int, maxHamming: Int, bits: Int): Seq[Column] = {
+    val keep = nBlocks - maxHamming
+    val combos = (0 until nBlocks).combinations(keep).toSeq
+    require(combos.size <= 64,
+      s"C($nBlocks, $keep) = ${combos.size} tables — too many; lower nBlocks")
+    def lo(i: Int): Int = i * bits / nBlocks
+    def blockVal(i: Int): Column = {
+      val w = lo(i + 1) - lo(i)
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftright(hash, lo(i)).bitwiseAND(lit(mask))
+    }
+    combos.zipWithIndex.map { case (combo, t) =>
+      val packed = combo.foldLeft((lit(0L), 0)) { case ((acc, shift), i) =>
+        (acc.bitwiseOR(shiftleft(blockVal(i), shift)),
+          shift + (lo(i + 1) - lo(i)))
+      }._1
+      struct(lit(t).as("blk"), packed.as("key"))
+    }
   }
 
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -129,6 +129,66 @@ class DedupSpec extends SparkFunSuite {
     }
   }
 
+  test("hammingNearPairsWide: exhaustive equality with brute force, planted distances") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 101L)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Seq.fill(30)(rnd.nextLong())
+      val planted = base.take(8).zipWithIndex.map { case (h, i) =>
+        var x = h
+        (0 to i % 4).foreach(_ => x ^= (1L << rnd.nextInt(64)))
+        x
+      }
+      val all = (base ++ planted).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val brute = (for {
+        (i, hi) <- all; (j, hj) <- all if i < j
+        d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+      } yield (i, j, d.toLong)).toSet
+      assert(brute.nonEmpty, s"seed=$seed fixture must plant near pairs")
+      // default 6-block/20-table geometry AND a non-dividing geometry
+      // (64 bits over 5 blocks → widths 13/13/13/13/12)
+      for ((b, k) <- Seq((6, 3), (5, 3), (4, 2))) {
+        val got = Dedup.hammingNearPairsWide(all.toDF("id", "h"), "id", "h",
+          nBlocks = b, maxHamming = k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val bruteK = brute.filter(_._3 <= k)
+        assert(got === bruteK, s"seed=$seed blocks=$b maxHamming=$k")
+      }
+    }
+  }
+
+  test("hammingNearPairsWide: sub-64-bit fingerprints and viral-bucket cap") {
+    import spark.implicits._
+    // 48-bit hashes (image aHash width): top 16 bits constant zero must
+    // not become a universal collision key.
+    val rnd = new scala.util.Random(3L)
+    val hs = Seq.fill(40)(rnd.nextLong() & ((1L << 48) - 1))
+    // planted: hamming-2 off hs(0) (id 40) and hamming-2 off hs(1) (id 41)
+    val all = (hs ++ Seq(hs.head ^ 5L, hs(1) ^ 3L))
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val got = Dedup.hammingNearPairsWide(all.toDF("id", "h"), "id", "h",
+      nBlocks = 6, maxHamming = 3, bits = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (i, hi) <- all; (j, hj) <- all if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d.toLong)).toSet
+    assert(got === brute)
+    assert(got.exists(p => p._2 === 40L)) // planted pair (0, 40)
+    assert(got.exists(p => p._2 === 41L)) // planted pair (1, 41)
+    // viral value: 500 identical copies of hs(0) collide in EVERY
+    // table; the cap drops those buckets wholesale (including the
+    // organic (0, 40) pair whose every bucket went viral — exact-dedup
+    // territory), while the untouched (1, 41) pair survives.
+    val viral = (100L until 600L).map(i => (i, hs.head))
+    val capped = Dedup.hammingNearPairsWide(
+      (all ++ viral).toDF("id", "h"), "id", "h",
+      nBlocks = 6, maxHamming = 3, bits = 48, maxBucket = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.forall { case (a, b) => a < 100L && b < 100L })
+    assert(capped.contains((1L, 41L)))
+  }
+
   test("simhashGroups: identical texts collide, distinct text does not appear") {
     val g = Dedup.simhashGroups(toyDocs, "doc_id", "text")
       .collect().map(r => (r.getLong(1), r.getLong(2)))
