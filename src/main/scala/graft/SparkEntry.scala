@@ -1165,6 +1165,37 @@ object SparkEntry {
           round(col("col").cast("double") * col("n_bytes")).cast("long").as("n_in_bin"))
         .orderBy("id", "bin")
     }),
+    // The documented compressed-codec FALLBACK, contract-tested: each
+    // document's first 32 bytes wrapped in a progressive-JPEG envelope
+    // (SOI + SOF2 — the marker class the baseline T.81 decoder
+    // rejects by design, JpegDecoder.scala). The decode attempt must
+    // yield ZERO rows (`decoded` = false for every payload — asserted
+    // by the oracle, not just observed), and the byte-histogram
+    // fallback must be total and deterministic over the same payloads
+    // — the oracle recomputes it from the envelope constants plus the
+    // raw text bytes.
+    "multimodal_progressive_fallback" -> ((s, d) => {
+      val payloads = table(s, d, "documents")
+        .filter(length(col("text")) >= 32)
+        .select(col("doc_id"),
+          concat(
+            lit(Array(0xFF, 0xD8, 0xFF, 0xC2).map(_.toByte)),
+            substring(col("text").cast("binary"), 1, 32)).as("payload"))
+      val decoded = graft.multimodal.Multimodal
+        .extractImageFeatures(payloads, "doc_id", "payload").toDF()
+        .select(col("id"), lit(1).as("__dec"))
+      val feats = graft.multimodal.Multimodal
+        .extractFeatures(payloads, "doc_id", "payload", bins = 16).toDF()
+      feats.join(decoded, Seq("id"), "left")
+        .select(col("id"), col("n_bytes"),
+          col("__dec").isNotNull.as("decoded"),
+          posexplode(col("features")))
+        .select(col("id"), col("n_bytes"), col("decoded"),
+          col("pos").cast("long").as("bin"),
+          round(col("col").cast("double") * col("n_bytes")).cast("long")
+            .as("n_in_bin"))
+        .orderBy("id", "bin")
+    }),
     // REAL image decode (pure-Scala Netpbm/PGM decoder, no codec libs
     // needed): each document's first 48 bytes become the pixel buffer
     // of a valid 6x8 P5 image (header built in-plan), the decoder
@@ -2928,6 +2959,28 @@ object SparkEntry {
         |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
         |  GROUP BY id, bin)
         |SELECT d.id, d.n_bytes, b.bin, CAST(COALESCE(c.c, 0) AS BIGINT) AS n_in_bin
+        |FROM docs d CROSS JOIN bins b
+        |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
+        |ORDER BY d.id, b.bin""".stripMargin,
+    // The fallback contract in SQL: `decoded` is literal FALSE for
+    // every row (a single decoded payload would hash-mismatch), and
+    // the histogram is the envelope's four constant bytes (FF D8 FF C2
+    // → bins 15, 13, 15, 12) plus the 32 raw text bytes.
+    "multimodal_progressive_fallback" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, substr(text, 1, 32) AS px
+        |  FROM documents WHERE length(text) >= 32),
+        |bins AS (SELECT CAST(g - 1 AS BIGINT) AS bin
+        |         FROM unnest(generate_series(1, 16)) t(g)),
+        |counts AS (
+        |  SELECT id, ascii(substr(px, CAST(i AS INT), 1)) // 16 AS bin, count(*) AS c
+        |  FROM docs, unnest(generate_series(1, 32)) t(i)
+        |  GROUP BY id, bin)
+        |SELECT d.id, CAST(36 AS BIGINT) AS n_bytes, FALSE AS decoded, b.bin,
+        |       CAST(COALESCE(c.c, 0)
+        |            + CASE WHEN b.bin = 15 THEN 2
+        |                   WHEN b.bin = 13 THEN 1
+        |                   WHEN b.bin = 12 THEN 1 ELSE 0 END AS BIGINT) AS n_in_bin
         |FROM docs d CROSS JOIN bins b
         |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
         |ORDER BY d.id, b.bin""".stripMargin,

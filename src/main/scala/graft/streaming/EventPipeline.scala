@@ -198,6 +198,48 @@ object EventPipeline {
   }
 
   /**
+   * [[userRunningTotals]] with the production state-ageing discipline
+   * its scaladoc promises: same running totals, but a key idle for
+   * `idleSeconds` past the watermark is REMOVED from the state store
+   * (its final total re-emits once as the flush record), so an
+   * unbounded user space cannot accumulate forever. A returning user
+   * then starts a FRESH count — pinned in EventPipelineSpec against
+   * the NoTimeout variant, where the same fixture keeps counting on
+   * the abandoned state (the failing-without-timeout contrast).
+   */
+  def userRunningTotalsAged(
+      events: DataFrame, watermark: String, idleSeconds: Long): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    normalizeTs(events).withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[UserTotal]) => {
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            out
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+            var n = prev.n_events
+            var total = prev.total_value
+            var last = 0L
+            rows.foreach { case (_, ts, v) =>
+              n += 1; total += v
+              if (ts.getTime > last) last = ts.getTime
+            }
+            val next = UserTotal(user, n, total)
+            state.update(next)
+            state.setTimeoutTimestamp(last + idleSeconds * 1000L)
+            next
+          }
+        })
+  }
+
+  /**
    * Stream-stream inner join with watermarks: each click joins the
    * same user's views at most `horizonSeconds` older. Both sides carry
    * watermarks and the join condition bounds event-time distance, so

@@ -118,6 +118,57 @@ class EventPipelineSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState ageing: idle keys removed under event-time timeout; " +
+      "NoTimeout keeps them forever (the contrast that makes the timeout load-bearing)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // --- aged variant: user 100 accumulates, goes idle past the
+    //     watermark → final total flushes and state is REMOVED, so a
+    //     returning user 100 starts a FRESH count.
+    val aged = MemoryStream[Ev]
+    val q1 = EventPipeline.userRunningTotalsAged(aged.toDF(),
+        watermark = "10 minutes", idleSeconds = 1800)
+      .writeStream.format("memory").queryName("ev_aged")
+      .outputMode("update").start()
+    try {
+      aged.addData(toyEvents.take(2)) // user 100 at 0:10/0:20, total 4.0
+      q1.processAllAvailable()
+      // 2:30 event advances the watermark to 2:20; user 100 idle since
+      // 0:50 (< 2:20) → timed out, state removed
+      aged.addData(Ev(99, t(2, 30), 200, "view", 0.0, "{}"))
+      q1.processAllAvailable()
+      aged.addData(Ev(5, t(3, 0), 100, "view", 7.0, "{}")) // user 100 returns
+      q1.processAllAvailable()
+      val perBatchMax = spark.table("ev_aged")
+        .filter(col("user_id") === 100L)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      // history: (2, 4.0) running, (2, 4.0) flush, then the FRESH (1, 7.0)
+      assert(perBatchMax === Set((2L, 4.0), (1L, 7.0)))
+    } finally q1.stop()
+
+    // --- the failing-without-timeout contrast: identical fixture
+    //     through the NoTimeout operator — abandoned state survives and
+    //     the returning event CONTINUES the old count.
+    val kept = MemoryStream[Ev]
+    val q2 = EventPipeline.userRunningTotals(kept.toDF())
+      .writeStream.format("memory").queryName("ev_kept")
+      .outputMode("update").start()
+    try {
+      kept.addData(toyEvents.take(2))
+      q2.processAllAvailable()
+      kept.addData(Ev(99, t(2, 30), 200, "view", 0.0, "{}"))
+      q2.processAllAvailable()
+      kept.addData(Ev(5, t(3, 0), 100, "view", 7.0, "{}"))
+      q2.processAllAvailable()
+      val last = spark.table("ev_kept")
+        .filter(col("user_id") === 100L)
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("tv"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(last === Set((3L, 11.0))) // state never aged: 2 + 1 events
+    } finally q2.stop()
+  }
+
   test("batch and streaming window aggregation agree on the events table") {
     val events = spark.read.parquet(s"$Sf0001/events.parquet")
     val batch = EventPipeline.windowedTypeStats(events, "1 hour")
