@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
  *    intervals, dequant, IDCT), luma-plane rasterization, validated
  *    bit-for-bit against the JDK's independent ImageIO codec on
  *    DC-only rasters and within IDCT tolerance elsewhere.
- *  - '''Remaining compressed formats (PNG/progressive JPEG/MP3/
- *    H.264)''': no decoder here; [[byteHistogram]] is the honest
- *    content-agnostic feature over such payloads, and a production
- *    JNI/javacpp decoder drops into the same per-row signature.
+ *  - '''Remaining compressed formats (progressive JPEG/MP3/H.264)''':
+ *    no decoder here (PNG has a real one — [[PngDecoder]]);
+ *    [[byteHistogram]] is the honest content-agnostic feature over
+ *    such payloads, and a production JNI/javacpp decoder drops into
+ *    the same per-row signature. The fallback is contract-tested by
+ *    the `multimodal_progressive_fallback` driver row.
  *
  * Either way the operator shape is the same: `mapPartitions` over
  * binary payloads — no driver involvement, no shuffle, vectorized
