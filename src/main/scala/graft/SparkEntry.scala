@@ -516,6 +516,21 @@ object SparkEntry {
         "doc_id", "text", minShingles = 2L)
         .orderBy("train_id", "eval_id")
     }),
+    // Paraphrase-level (embedding) contamination — the leakage the
+    // verbatim n-gram scan can't see: training vectors (vec_id >= 50)
+    // cosine-0.4-close to any eval vector (vec_id < 50), with the
+    // closest eval doc as evidence. Candidates are train×eval bucket
+    // collisions only (6×64 = the measured recall-1 parameters, so the
+    // output equals the oracle's exact quadratic join); the corpus is
+    // never shuffled.
+    "contamination_semantic" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      ContaminationCheck.semanticOverlap(
+        emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", threshold = 0.4, scale = Scale,
+        maxBucket = Some(1024))
+        .orderBy("train_id")
+    }),
     // Corpus snapshot diff by content fingerprint: docs < 250 as v1,
     // >= 250 as v2 → added/removed/retained classes with distinct-text
     // and doc counts. Only 32-hex fingerprints ever shuffle.
@@ -2425,6 +2440,30 @@ object SparkEntry {
         |GROUP BY train_id, eval_id
         |HAVING count(*) >= 2
         |ORDER BY train_id, eval_id""".stripMargin,
+    // Exact quadratic train×eval cosine join (= the LSH between-join
+    // at measured recall 1); closest eval doc via the rank-1 window,
+    // ties → lowest eval id — the same tie rule as the Spark min_by.
+    "contamination_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+        |         round(list_inner_product(t.v, e.v) /
+        |               (sqrt(list_inner_product(t.v, t.v)) *
+        |                sqrt(list_inner_product(e.v, e.v))), 6) AS cos_sim
+        |  FROM base t, base e
+        |  WHERE t.vec_id >= 50 AND e.vec_id < 50),
+        |r AS (
+        |  SELECT train_id, eval_id, cos_sim,
+        |         row_number() OVER (PARTITION BY train_id
+        |                            ORDER BY cos_sim DESC, eval_id) AS rk
+        |  FROM p WHERE cos_sim >= 0.4)
+        |SELECT train_id,
+        |       CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |       CAST(min(CASE WHEN rk = 1 THEN eval_id END) AS BIGINT)
+        |         AS closest_eval_id,
+        |       max(cos_sim) AS max_cos_sim
+        |FROM r GROUP BY train_id ORDER BY train_id""".stripMargin,
     // Fingerprint-level full outer join re-derived per class.
     "corpus_diff" ->
       """WITH o AS (

@@ -46,6 +46,40 @@ object ContaminationCheck {
   }
 
   /**
+   * Paraphrase-level (embedding) contamination — the semantic member
+   * of the family, catching eval leakage the verbatim n-gram scan
+   * cannot (reworded questions, translated passages): training rows
+   * whose embedding is cosine-≥ `threshold` close to ANY eval row,
+   * each with its closest eval doc as removal/audit evidence.
+   *
+   * Shape at scale: candidates come from
+   * [[SimilarityJoin.lshCosinePairsBetween]], so the corpus is probed
+   * only through eval-bucket collisions (the eval side is thousands
+   * of rows by definition) — corpus×corpus pairs are never generated
+   * and the corpus is never shuffled, the same shape as the
+   * incremental semantic gate. The per-doc argmax is one map-side
+   * `min_by(eval_id, (−cos_sim, eval_id))` hash aggregate (ties →
+   * lowest eval id), never a window sort. At the shipped 6×64 LSH
+   * parameters recall is the measured 1 at threshold 0.4, so the
+   * driver oracle is the exact quadratic join.
+   */
+  def semanticOverlap(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String,
+      bitsPerTable: Int = 6, nTables: Int = 64,
+      threshold: Double = 0.4, scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame =
+    SimilarityJoin.lshCosinePairsBetween(train, eval, idCol, vecCol,
+      bitsPerTable, nTables, threshold, seed = 42L, scale = scale,
+      maxBucket = maxBucket)
+      .groupBy(col("a_id").as("train_id"))
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        min_by(col("b_id"), struct(negate(col("cos_sim")), col("b_id")))
+          .as("closest_eval_id"),
+        max(col("cos_sim")).as("max_cos_sim"))
+
+  /**
    * The release-gate rollup of [[ngramOverlap]]: per training-corpus
    * stratum (source, snapshot, ...), how many documents are
    * contaminated and at what rate — the table a "cleared for

@@ -304,6 +304,35 @@ class DedupSpec extends SparkFunSuite {
       ("crawl", 2L, 1L, 0.5)))
   }
 
+  test("semanticOverlap: equals the exact train×eval join; ties break to lowest eval id") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val train = emb.filter(col("vec_id") >= 50)
+    val evalSet = emb.filter(col("vec_id") < 50)
+    val got = ContaminationCheck.semanticOverlap(train, evalSet,
+      "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // exact quadratic join computed with the engine's own cosine kernel
+    val exact = train.select(col("vec_id").as("tid"), col("embedding").as("tv"))
+      .crossJoin(evalSet.select(col("vec_id").as("eid"), col("embedding").as("ev")))
+      .select(col("tid"), col("eid"),
+        round(GraftFunctions.knnCosineSimilarity(col("tv"), col("ev")), 6).as("s"))
+      .filter(col("s") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = exact.groupBy(_._1).map { case (tid, hits) =>
+      val best = hits.minBy { case (_, eid, s) => (-s, eid) }
+      (tid, hits.length.toLong, best._2, hits.map(_._3).max)
+    }.toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+    // the viral-bucket cap is plumbed through the between-join
+    val capped = ContaminationCheck.semanticOverlap(train, evalSet,
+      "vec_id", "embedding", threshold = 0.4, maxBucket = Some(1))
+    assert(capped.count() === 0L) // every bucket has > 1 row ⇒ all dropped
+  }
+
   test("duplicateNgramStats: hand-computed duplicated-span fractions") {
     import spark.implicits._
     // n = 3 grams. doc 1 and doc 2 share their first 4 tokens
