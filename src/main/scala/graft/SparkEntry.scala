@@ -1180,15 +1180,16 @@ object SparkEntry {
           round(col("col").cast("double") * col("n_bytes")).cast("long").as("n_in_bin"))
         .orderBy("id", "bin")
     }),
-    // The documented compressed-codec FALLBACK, contract-tested: each
-    // document's first 32 bytes wrapped in a progressive-JPEG envelope
-    // (SOI + SOF2 — the marker class the baseline T.81 decoder
-    // rejects by design, JpegDecoder.scala). The decode attempt must
-    // yield ZERO rows (`decoded` = false for every payload — asserted
-    // by the oracle, not just observed), and the byte-histogram
-    // fallback must be total and deterministic over the same payloads
-    // — the oracle recomputes it from the envelope constants plus the
-    // raw text bytes.
+    // The documented undecodable-media FALLBACK, contract-tested: each
+    // document's first 32 bytes wrapped in a JPEG-looking envelope
+    // (SOI + SOF2 followed by text bytes — structurally MALFORMED:
+    // well-formed progressive JPEG now decodes for real, see
+    // multimodal_progressive_decode). The decode attempt must yield
+    // ZERO rows (`decoded` = false for every payload — asserted by
+    // the oracle, not just observed), and the byte-histogram fallback
+    // must be total and deterministic over the same payloads — the
+    // oracle recomputes it from the envelope constants plus the raw
+    // text bytes.
     "multimodal_progressive_fallback" -> ((s, d) => {
       val payloads = table(s, d, "documents")
         .filter(length(col("text")) >= 32)
@@ -1229,6 +1230,29 @@ object SparkEntry {
     "multimodal_jpeg_decode" -> ((s, d) => {
       import s.implicits._
       val payloads = graft.multimodal.JpegFixtures.payloads
+        .toDF("fix_id", "payload")
+      graft.multimodal.Multimodal
+        .extractImageFeatures(payloads, "fix_id", "payload", bins = 16)
+        .toDF()
+        .select(col("id").as("fix_id"), col("width"), col("height"),
+          col("n_pixels"), posexplode(col("hist")))
+        .select(col("fix_id"), col("width"), col("height"), col("n_pixels"),
+          col("pos").cast("long").as("bin"), col("col").as("n_in_bin"))
+        .orderBy("fix_id", "bin")
+    }),
+    // REAL progressive-JPEG decode (T.81 Annex G: multi-scan
+    // successive-approximation coefficient refinement — DC first/refine,
+    // AC first with EOB runs, AC refinement correction bits): the SAME
+    // three block-uniform rasters as multimodal_jpeg_decode, written
+    // with ImageIO's progressive scan script. DC-only blocks
+    // reconstruct exactly through successive approximation, so the
+    // pinned histograms are identical to the baseline fixtures' —
+    // quantized coefficients don't change with entropy-coding order —
+    // and JpegDecoderSpec pins the gray decodes bit-identical to the
+    // JDK's independent progressive decoder.
+    "multimodal_progressive_decode" -> ((s, d) => {
+      import s.implicits._
+      val payloads = graft.multimodal.JpegFixtures.progressivePayloads
         .toDF("fix_id", "payload")
       graft.multimodal.Multimodal
         .extractImageFeatures(payloads, "fix_id", "payload", bins = 16)
@@ -1461,6 +1485,23 @@ object SparkEntry {
        |$where
        |ORDER BY score $dir NULLS LAST, id
        |LIMIT $k""".stripMargin
+  }
+
+  /** Pinned decoder-independent truth for the block-uniform JPEG
+    * fixtures — shared by `multimodal_jpeg_decode` (baseline encodes)
+    * and `multimodal_progressive_decode` (progressive encodes of the
+    * same rasters at the same quality: identical quantized
+    * coefficients, so identical histograms). */
+  private lazy val jpegFixtureOracle: String = {
+    val rows = for {
+      (fid, w, h, n, fullBins) <- graft.multimodal.JpegFixtures.expected
+      b <- 0 until 16
+    } yield s"($fid, $w, $h, $n, $b, ${if (fullBins(b)) 64 else 0})"
+    s"""SELECT CAST(fix_id AS BIGINT) AS fix_id, CAST(w AS INT) AS width,
+       |       CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
+       |       CAST(bin AS BIGINT) AS bin, CAST(c AS BIGINT) AS n_in_bin
+       |FROM (VALUES ${rows.mkString(", ")}) t(fix_id, w, h, n, bin, c)
+       |ORDER BY fix_id, bin""".stripMargin
   }
 
   /** Exact all-pairs Hamming-≤3 join over SQL-recomputed simhashes —
@@ -3136,17 +3177,12 @@ object SparkEntry {
     // SQL-expressible): block-uniform fixtures decode exactly, and the
     // spec proves our decode of this family bit-identical to the JDK's
     // own JPEG codec. One uniform 8x8 block = one full 64-pixel bin.
-    "multimodal_jpeg_decode" -> {
-      val rows = for {
-        (fid, w, h, n, fullBins) <- graft.multimodal.JpegFixtures.expected
-        b <- 0 until 16
-      } yield s"($fid, $w, $h, $n, $b, ${if (fullBins(b)) 64 else 0})"
-      s"""SELECT CAST(fix_id AS BIGINT) AS fix_id, CAST(w AS INT) AS width,
-         |       CAST(h AS INT) AS height, CAST(n AS BIGINT) AS n_pixels,
-         |       CAST(bin AS BIGINT) AS bin, CAST(c AS BIGINT) AS n_in_bin
-         |FROM (VALUES ${rows.mkString(", ")}) t(fix_id, w, h, n, bin, c)
-         |ORDER BY fix_id, bin""".stripMargin
-    },
+    "multimodal_jpeg_decode" -> jpegFixtureOracle,
+    // Identical pinned truth: the progressive encodes carry the same
+    // quantized coefficients as the baseline ones (same rasters, same
+    // quality/tables — only the entropy-coding order differs), and
+    // DC-only blocks reconstruct exactly.
+    "multimodal_progressive_decode" -> jpegFixtureOracle,
     // Per-frame aHash bits + the ordered FNV-prime polynomial fold,
     // re-derived per video in HUGEINT mod-2^64 arithmetic.
     "multimodal_video_dedup" -> {

@@ -62,4 +62,43 @@ object JpegFixtures {
     (0, 16, 16, 256, Set(2, 6, 10, 14)),
     (1, 24, 8, 192, Set(0, 8, 15)),
     (2, 32, 16, 512, Set(4, 5, 6, 7, 8, 9, 11, 15)))
+
+  /**
+   * The SAME three rasters written with ImageIO's PROGRESSIVE (SOF2)
+   * scan script, for `multimodal_progressive_decode` — frozen from the
+   * same generator, which asserts the gray payloads decode bit-exactly
+   * to ImageIO's own progressive decode before printing. DC-only
+   * blocks reconstruct exactly through successive approximation, so
+   * the pinned stats are [[expected]] verbatim: the quantized
+   * coefficients are identical to the baseline encodes (same quality,
+   * same tables), only the entropy-coding order differs.
+   */
+  val progressivePayloads: Seq[(Long, Array[Byte])] = Seq(
+    0L -> b64(
+      "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof" +
+      "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wgALCAAQABABAREA/8QAFAAB" +
+      "AAAAAAAAAAAAAAAAAAAABv/aAAgBAQAAAAEegQIP/8QAFBABAAAAAAAAAAAAAAAAAAAAIP/a" +
+      "AAgBAQABBQIf/8QAFBABAAAAAAAAAAAAAAAAAAAAIP/aAAgBAQAGPwIf/8QAFBABAAAAAAAA" +
+      "AAAAAAAAAAAAIP/aAAgBAQABPyEf/9oACAEBAAAAEA//xAAUEAEAAAAAAAAAAAAAAAAAAAAg" +
+      "/9oACAEBAAE/EB//2Q=="),
+    1L -> b64(
+      "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAMCAgMCAgMDAwMEAwMEBQgFBQQEBQoHBwYIDAoM" +
+      "DAsKCwsNDhIQDQ4RDgsLEBYQERMUFRUVDA8XGBYUGBIUFRT/wgALCAAIABgBAREA/8QAFAAB" +
+      "AAAAAAAAAAAAAAAAAAAACP/aAAgBAQAAAAEqKtU//8QAFBABAAAAAAAAAAAAAAAAAAAAEP/a" +
+      "AAgBAQABBQJ//8QAFBABAAAAAAAAAAAAAAAAAAAAEP/aAAgBAQAGPwJ//8QAFBABAAAAAAAA" +
+      "AAAAAAAAAAAAEP/aAAgBAQABPyF//9oACAEBAAAAEL//xAAUEAEAAAAAAAAAAAAAAAAAAAAQ" +
+      "/9oACAEBAAE/EH//2Q=="),
+    2L -> b64(
+      "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAUDBAQEAwUEBAQFBQUGBwwIBwcHBw8KCwkMEQ8S" +
+      "EhEPERATFhwXExQaFRARGCEYGhwdHx8fExciJCIeJBweHx7/2wBDAQUFBQcGBw4ICA4eFBEU" +
+      "Hh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh4eHh7/wgAR" +
+      "CAAQACADASIAAhEBAxEB/8QAFwAAAwEAAAAAAAAAAAAAAAAABQYHBP/EABcBAAMBAAAAAAAA" +
+      "AAAAAAAAAAECAwT/2gAMAwEAAhADEAAAAQDPsWLgNWUu2Zl//8QAFBABAAAAAAAAAAAAAAAA" +
+      "AAAAMP/aAAgBAQABBQIP/8QAHhEAAAQHAAAAAAAAAAAAAAAAAAIREwMSFlFjgpH/2gAIAQMB" +
+      "AT8BcqrG3ss3LCAVlR//xAAgEQABAgUFAAAAAAAAAAAAAAARABICBRVCYRMxUXHh/9oACAEC" +
+      "AQE/AaPr3gY9U9hqzLWnO464X//EABQQAQAAAAAAAAAAAAAAAAAAADD/2gAIAQEABj8CD//E" +
+      "ABQQAQAAAAAAAAAAAAAAAAAAADD/2gAIAQEAAT8hD//aAAwDAQACAAMAAAAQAU//xAAbEQEA" +
+      "AgIDAAAAAAAAAAAAAAARQWEAITFx8P/aAAgBAwEBPxCn2KndYNzilcOf/8QAHBEAAQMFAAAA" +
+      "AAAAAAAAAAAAABExoUFRcYHx/9oACAECAQE/EO4PpYqM5ATJz//EABQQAQAAAAAAAAAAAAAA" +
+      "AAAAADD/2gAIAQEAAT8QD//Z"))
 }

@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
  *    intervals, dequant, IDCT), luma-plane rasterization, validated
  *    bit-for-bit against the JDK's independent ImageIO codec on
  *    DC-only rasters and within IDCT tolerance elsewhere.
- *  - '''Remaining compressed formats (progressive JPEG/MP3/H.264)''':
- *    no decoder here (PNG has a real one — [[PngDecoder]]);
+ *  - '''Progressive JPEG — REAL decoder''' ([[JpegDecoder]], T.81
+ *    Annex G): multi-scan successive-approximation coefficient
+ *    refinement, validated against the JDK's independent progressive
+ *    decode (bit-identical on DC-only rasters).
+ *  - '''PNG — REAL decoder''' ([[PngDecoder]]): chunks, CRCs,
+ *    filters, JDK inflate.
+ *  - '''Remaining compressed formats (MP3/H.264)''': no decoder here;
  *    [[byteHistogram]] is the honest content-agnostic feature over
- *    such payloads, and a production JNI/javacpp decoder drops into
- *    the same per-row signature. The fallback is contract-tested by
- *    the `multimodal_progressive_fallback` driver row.
+ *    such payloads (and over malformed media of any format), and a
+ *    production JNI/javacpp decoder drops into the same per-row
+ *    signature. The fallback is contract-tested by the
+ *    `multimodal_progressive_fallback` driver row.
  *
  * Either way the operator shape is the same: `mapPartitions` over
  * binary payloads — no driver involvement, no shuffle, vectorized
@@ -94,13 +100,13 @@ object Multimodal {
     }
   }
 
-  /** Format-sniffing image decode: Netpbm (P5/P6), baseline JPEG
-    * ([[JpegDecoder]] — pure Scala, T.81), or PNG ([[PngDecoder]] —
-    * pure Scala + JDK zlib), whichever the magic bytes say. None for
-    * anything else — never throws. */
+  /** Format-sniffing image decode: Netpbm (P5/P6), JPEG (baseline or
+    * progressive — [[JpegDecoder]], pure Scala, T.81 incl. Annex G),
+    * or PNG ([[PngDecoder]] — pure Scala + JDK zlib), whichever the
+    * magic bytes say. None for anything else — never throws. */
   def decodeImage(payload: Array[Byte]): Option[RasterImage] =
     decodeNetpbm(payload)
-      .orElse(JpegDecoder.decodeJpegBaseline(payload))
+      .orElse(JpegDecoder.decodeJpeg(payload))
       .orElse(PngDecoder.decodePng(payload))
 
   /** Nearest-neighbor downsample to (outW × outH) — the resize step of

@@ -127,20 +127,116 @@ class JpegDecoderSpec extends AnyFunSuite {
     assert(JpegDecoder.decodeJpegBaseline(corrupted).isEmpty)
   }
 
-  test("progressive JPEG is honestly refused (None), not mis-decoded") {
+  private def encodeProgressive(img: BufferedImage, quality: Float = -1f): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val params = writer.getDefaultWriteParam
     params.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    if (quality >= 0) {
+      params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+    }
     val bos = new ByteArrayOutputStream()
     val out = new MemoryCacheImageOutputStream(bos)
     writer.setOutput(out)
-    writer.write(null, new IIOImage(grayImage(16, 16)((x, y) => x + y), null, null), params)
+    writer.write(null, new IIOImage(img, null, null), params)
     out.close()
     writer.dispose()
-    val bytes = bos.toByteArray
-    // sanity: it really is progressive (SOF2 present)
-    assert(bytes.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2))
+    bos.toByteArray
+  }
+
+  private def isProgressive(bytes: Array[Byte]): Boolean =
+    bytes.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2)
+
+  test("the strict-baseline entry still refuses progressive payloads") {
+    val bytes = encodeProgressive(grayImage(16, 16)((x, y) => x + y))
+    assert(isProgressive(bytes)) // sanity: SOF2 present
     assert(JpegDecoder.decodeJpegBaseline(bytes).isEmpty)
+    // ...and the progressive entry refuses baseline payloads
+    val base = encodeJpeg(grayImage(16, 16)((x, y) => x + y), 0.8f)
+    assert(JpegDecoder.decodeJpegProgressive(base).isEmpty)
+  }
+
+  test("progressive block-uniform grayscale decodes EXACTLY (DC-only blocks)") {
+    // Same block-uniform family as the baseline fixtures: every AC
+    // coefficient is zero, so the multi-scan successive-approximation
+    // reconstruction must land on the identical flat raster.
+    val levels = Array(32, 96, 160, 224)
+    val img = grayImage(16, 16)((x, y) => levels((y / 8) * 2 + (x / 8)))
+    for (q <- Seq(0.75f, 0.9f)) {
+      val bytes = encodeProgressive(img, q)
+      assert(isProgressive(bytes))
+      val got = JpegDecoder.decodeJpegProgressive(bytes).get
+      val (w, h, expect) = imageIoLuma(bytes)
+      assert((got.width, got.height) === ((w, h)))
+      assert(got.gray === expect, s"quality $q")
+    }
+  }
+
+  test("progressive grayscale gradient within IDCT tolerance of the JDK decoder") {
+    // Gradients make the JDK's default progressive scan script do real
+    // work in every scan class: DC first with successive approximation,
+    // DC refinement, AC first with EOB runs, AC refinement bits.
+    val img = grayImage(40, 24)((x, y) => (x * 5 + y * 3) % 256)
+    for (q <- Seq(-1f, 0.5f, 0.9f)) { // -1 = writer default quality
+      val bytes = encodeProgressive(img, q)
+      assert(isProgressive(bytes))
+      val got = JpegDecoder.decodeJpegProgressive(bytes).get
+      val (w, h, expect) = imageIoLuma(bytes)
+      assert((got.width, got.height) === ((w, h)))
+      assert(maxAbsDiff(got.gray, expect) <= 2, s"quality $q")
+    }
+  }
+
+  test("progressive noise image matches the JDK decoder (deep EOB-run coverage)") {
+    val rnd = new scala.util.Random(42)
+    val img = grayImage(48, 32)((_, _) => rnd.nextInt(256))
+    val bytes = encodeProgressive(img, 0.6f)
+    assert(isProgressive(bytes))
+    val got = JpegDecoder.decodeJpegProgressive(bytes).get
+    val (w, h, expect) = imageIoLuma(bytes)
+    assert((got.width, got.height) === ((w, h)))
+    assert(maxAbsDiff(got.gray, expect) <= 2)
+  }
+
+  test("progressive color (YCbCr, subsampled) decodes the luma plane within tolerance") {
+    val img = new BufferedImage(32, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 15) << 8) | ((x * y) & 0xff))
+    val bytes = encodeProgressive(img, 0.85f)
+    assert(isProgressive(bytes))
+    val got = JpegDecoder.decodeJpegProgressive(bytes).get
+    val (w, h, expect) = imageIoLuma(bytes)
+    assert((got.width, got.height) === ((w, h)))
+    assert(maxAbsDiff(got.gray, expect) <= 4) // Y→RGB→gray slack, as baseline
+  }
+
+  test("progressive non-multiple-of-8 dimensions decode at exact size") {
+    val img = grayImage(13, 9)((x, y) => x * 17 + y * 11)
+    val got = JpegDecoder.decodeJpegProgressive(encodeProgressive(img, 0.8f)).get
+    assert((got.width, got.height) === ((13, 9)))
+  }
+
+  test("progressive malformed inputs return None, never throw") {
+    val valid = encodeProgressive(grayImage(16, 16)((x, y) => x * y), 0.8f)
+    assert(JpegDecoder.decodeJpegProgressive(null).isEmpty)
+    assert(JpegDecoder.decodeJpegProgressive(Array[Byte]()).isEmpty)
+    assert(JpegDecoder.decodeJpegProgressive("not a jpeg".getBytes).isEmpty)
+    assert(JpegDecoder.decodeJpegProgressive(valid.take(20)).isEmpty)
+    for (cut <- Seq(10, 40, 100, 200))
+      assert(JpegDecoder.decodeJpegProgressive(valid.dropRight(cut)).isEmpty,
+        s"cut $cut") // truncated mid-scan: missing EOI / missing data
+    val corrupted = valid.clone()
+    corrupted(2) = 0x00
+    assert(JpegDecoder.decodeJpegProgressive(corrupted).isEmpty)
+  }
+
+  test("decodeJpeg sniffs both flavors") {
+    val img = grayImage(16, 8)((x, y) => 7 * x + y)
+    val base = encodeJpeg(img, 0.9f)
+    val prog = encodeProgressive(img, 0.9f)
+    assert(JpegDecoder.decodeJpeg(base).exists(i => i.width == 16 && i.height == 8))
+    assert(JpegDecoder.decodeJpeg(prog).exists(i => i.width == 16 && i.height == 8))
+    assert(Multimodal.decodeImage(prog).exists(i => i.width == 16 && i.height == 8))
   }
 
   test("netpbm-or-jpeg combined decode picks the right decoder") {
