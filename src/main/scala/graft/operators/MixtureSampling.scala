@@ -96,9 +96,17 @@ object MixtureSampling {
   def sampleByPlan(
       docs: DataFrame, idCol: String, stratumCol: String,
       plan: DataFrame): DataFrame = {
+    // The T_s = 0 guard preserves the unbounded-integer verdict's own
+    // degenerate cases (and keeps ANSI mode from throwing on the
+    // integral division): a zero-mass source keeps everything when its
+    // budget is positive (0·bucket < B·2^24) and nothing when the
+    // budget is 0 too — engine-made plans always land in the latter.
     val limits = plan.withColumn("__graft_bucket_limit",
-      expr("""(CAST(least(token_budget, t_tokens) AS DECIMAL(38,0))
-             | * 16777216 + t_tokens - 1) div t_tokens""".stripMargin))
+      when(col("t_tokens") > 0,
+        expr("""(CAST(least(token_budget, t_tokens) AS DECIMAL(38,0))
+               | * 16777216 + t_tokens - 1) div t_tokens""".stripMargin))
+        .when(col("token_budget") > 0, lit(1L << 24))
+        .otherwise(lit(0L)))
     docs.join(broadcast(limits), Seq(stratumCol))
       .filter(bucket24(col(idCol)) < col("__graft_bucket_limit"))
       .drop("t_tokens", "weight", "token_budget", "__graft_bucket_limit")

@@ -230,6 +230,23 @@ class JpegDecoderSpec extends AnyFunSuite {
     assert(JpegDecoder.decodeJpegProgressive(corrupted).isEmpty)
   }
 
+  test("decoder is total under deterministic byte fuzzing (crawl-grade malformed media)") {
+    // At 100 TB the decoder sees arbitrarily corrupted bytes claiming
+    // to be JPEG; every mutation must return (Some or None), never
+    // throw, never hang. Deterministic seed → reproducible failures.
+    val validProg = encodeProgressive(grayImage(24, 24)((x, y) => (x * y) % 256), 0.7f)
+    val validBase = encodeJpeg(grayImage(24, 24)((x, y) => (x * y) % 256), 0.7f)
+    val rnd = new scala.util.Random(1234)
+    for (valid <- Seq(validProg, validBase); _ <- 0 until 200) {
+      val mutated = valid.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      JpegDecoder.decodeJpeg(mutated) // any result — just no throw/hang
+    }
+    for (valid <- Seq(validProg, validBase); len <- 1 until valid.length by 7)
+      JpegDecoder.decodeJpeg(valid.take(len))
+  }
+
   test("decodeJpeg sniffs both flavors") {
     val img = grayImage(16, 8)((x, y) => 7 * x + y)
     val base = encodeJpeg(img, 0.9f)

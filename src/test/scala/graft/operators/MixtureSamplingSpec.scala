@@ -203,4 +203,19 @@ class MixtureSamplingSpec extends SparkFunSuite {
     assert(MixtureSampling.sampleByPlan(docs, "doc_id", "source", plan)
       .count() === 100L)
   }
+
+  test("sampleByPlan: a zero-token source never divides by zero (ANSI-safe)") {
+    import spark.implicits._
+    val docs = (1L to 10L).toDF("doc_id").withColumn("source", lit("empty"))
+    // engine-made plans give zero-mass sources zero budget → drop all
+    val dropAll = Seq(("empty", 0L, 0.0, 0L))
+      .toDF("source", "t_tokens", "weight", "token_budget")
+    assert(MixtureSampling.sampleByPlan(docs, "doc_id", "source", dropAll)
+      .count() === 0L)
+    // hand-made plan with positive budget: 0·bucket < B·2^24 keeps all
+    val keepAll = Seq(("empty", 0L, 1.0, 5L))
+      .toDF("source", "t_tokens", "weight", "token_budget")
+    assert(MixtureSampling.sampleByPlan(docs, "doc_id", "source", keepAll)
+      .count() === 10L)
+  }
 }
