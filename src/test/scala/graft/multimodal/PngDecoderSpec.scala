@@ -189,6 +189,23 @@ class PngDecoderSpec extends AnyFunSuite {
       buildPng(2, 2, 0, rows.toByteArray, interlace = 1)).isEmpty)
   }
 
+  test("decoder is total under deterministic byte fuzzing") {
+    // same crawl-grade contract as the JPEG fuzz spec: corrupted bytes
+    // claiming to be PNG must return (Some or None), never throw/hang
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, (x * y) % 256)
+    val valid = encodePng(img)
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 300) {
+      val mutated = valid.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      PngDecoder.decodePng(mutated)
+    }
+    for (len <- 1 until valid.length by 5) PngDecoder.decodePng(valid.take(len))
+  }
+
   test("decodeImage sniffs PNG alongside Netpbm and JPEG") {
     val img = new BufferedImage(6, 4, BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until 4; x <- 0 until 6) img.getRaster.setSample(x, y, 0, x + y)
