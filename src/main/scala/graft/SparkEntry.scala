@@ -531,6 +531,29 @@ object SparkEntry {
         maxBucket = Some(1024))
         .orderBy("train_id")
     }),
+    // WARC (ISO 28500) round trip — the web-crawl wire format: the
+    // documents table exports as 16 sharded .warc.gz images (warcinfo
+    // lead record + one gzip-member HTTP response record per doc),
+    // then the reader parses them back via Content-Length framing.
+    // Every field must come back byte-identical, so the oracle is the
+    // documents table itself — a data-dependent identity proof with
+    // zero pinned constants, the same strongest-form oracle as the
+    // PNG round trip. The parse itself is the 100 TB ingest path
+    // (binaryFile scan → per-file parse, shuffle-free); only the
+    // export side shuffles, once, to form shards.
+    "warc_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+      graft.sources.WarcCodec.exportWarcShards(docs, "doc_id", "text", nShards = 16)
+        .as[(Int, Array[Byte])]
+        .flatMap { case (_, blob) => graft.sources.WarcCodec.parseWarc(blob) }
+        .toDF()
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("http_status"),
+          decode(col("body"), "UTF-8").as("text_back"))
+        .orderBy("doc_id")
+    }),
     // Corpus snapshot diff by content fingerprint: docs < 250 as v1,
     // >= 250 as v2 → added/removed/retained classes with distinct-text
     // and doc counts. Only 32-hex fingerprints ever shuffle.
@@ -2505,6 +2528,13 @@ object SparkEntry {
         |         AS closest_eval_id,
         |       max(cos_sim) AS max_cos_sim
         |FROM r GROUP BY train_id ORDER BY train_id""".stripMargin,
+    // Identity: the WARC export→parse round trip must reproduce the
+    // documents table byte-for-byte (status 200 is the writer's
+    // constant; null text encodes as the empty body).
+    "warc_roundtrip" ->
+      """SELECT doc_id, CAST(200 AS INT) AS http_status,
+        |       COALESCE(text, '') AS text_back
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Fingerprint-level full outer join re-derived per class.
     "corpus_diff" ->
       """WITH o AS (
