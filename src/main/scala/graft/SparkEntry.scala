@@ -1311,6 +1311,47 @@ object SparkEntry {
           col("pos").cast("long").as("bin"), col("col").as("n"))
         .orderBy("id", "bin")
     }),
+    // REAL GIF round trip over corpus data: the same 6x8 rasters,
+    // encoded executor-side by the JDK's INDEPENDENT ImageIO GIF
+    // writer (LZW + interlace — the JDK's own reader mis-decodes its
+    // tiny interlaced output; ours doesn't, see GifDecoderSpec), then
+    // decoded back through our pure-Scala LZW decoder. Gray GIF is
+    // lossless (r=g=b palette entries, exact BT.601 luma), so the
+    // same string-function histogram oracles the full round trip —
+    // zero pinned constants, and the encoder is not our own code.
+    "multimodal_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val gif = table(s, d, "documents")
+        .filter(length(col("text")) >= 48)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 48).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          it.map { case (id, px) =>
+            val img = new java.awt.image.BufferedImage(
+              6, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var p = 0
+            while (p < 48) {
+              img.getRaster.setSample(p % 6, p / 6, 0, px(p) & 0xff)
+              p += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+            writer.setOutput(out)
+            writer.write(new javax.imageio.IIOImage(img, null, null))
+            out.close()
+            (id, bos.toByteArray)
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractImageFeatures(gif, "doc_id", "payload", bins = 16)
+        .toDF()
+        .select(col("id"), col("width"), col("height"), posexplode(col("hist")))
+        .select(col("id"), col("width"), col("height"),
+          col("pos").cast("long").as("bin"), col("col").as("n"))
+        .orderBy("id", "bin")
+    }),
     "multimodal_image_decode" -> ((s, d) => {
       val payloads = table(s, d, "documents")
         .filter(length(col("text")) >= 48)
@@ -1509,6 +1550,28 @@ object SparkEntry {
        |ORDER BY score $dir NULLS LAST, id
        |LIMIT $k""".stripMargin
   }
+
+  /** The luminance histogram of each document's first 48 bytes laid
+    * out as a 6x8 gray raster — recomputed with DuckDB string
+    * functions. Shared by every LOSSLESS image path (`multimodal_image_decode`'s
+    * in-plan Netpbm build, and the PNG / GIF encode→decode round
+    * trips): decoded pixels must BE the raw bytes, zero pinned
+    * constants. */
+  private lazy val gray6x8HistogramOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id AS id, substr(text, 1, 48) AS px
+      |  FROM documents WHERE length(text) >= 48),
+      |bins AS (SELECT CAST(g - 1 AS BIGINT) AS bin
+      |         FROM unnest(generate_series(1, 16)) t(g)),
+      |counts AS (
+      |  SELECT id, ascii(substr(px, CAST(i AS INT), 1)) // 16 AS bin, count(*) AS c
+      |  FROM docs, unnest(generate_series(1, 48)) t(i)
+      |  GROUP BY id, bin)
+      |SELECT d.id, CAST(6 AS INT) AS width, CAST(8 AS INT) AS height, b.bin,
+      |       CAST(COALESCE(c.c, 0) AS BIGINT) AS n
+      |FROM docs d CROSS JOIN bins b
+      |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
+      |ORDER BY d.id, b.bin""".stripMargin
 
   /** Pinned decoder-independent truth for the block-uniform JPEG
     * fixtures — shared by `multimodal_jpeg_decode` (baseline encodes)
@@ -3094,39 +3157,12 @@ object SparkEntry {
         |FROM docs d CROSS JOIN bins b
         |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
         |ORDER BY d.id, b.bin""".stripMargin,
-    // PNG is lossless: decoded pixels ARE the text bytes, so the same
-    // string-function histogram that oracles the Netpbm query also
-    // oracles the full PNG encode→decode round trip.
-    "multimodal_png_decode" ->
-      """WITH docs AS (
-        |  SELECT doc_id AS id, substr(text, 1, 48) AS px
-        |  FROM documents WHERE length(text) >= 48),
-        |bins AS (SELECT CAST(g - 1 AS BIGINT) AS bin
-        |         FROM unnest(generate_series(1, 16)) t(g)),
-        |counts AS (
-        |  SELECT id, ascii(substr(px, CAST(i AS INT), 1)) // 16 AS bin, count(*) AS c
-        |  FROM docs, unnest(generate_series(1, 48)) t(i)
-        |  GROUP BY id, bin)
-        |SELECT d.id, CAST(6 AS INT) AS width, CAST(8 AS INT) AS height, b.bin,
-        |       CAST(COALESCE(c.c, 0) AS BIGINT) AS n
-        |FROM docs d CROSS JOIN bins b
-        |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
-        |ORDER BY d.id, b.bin""".stripMargin,
-    "multimodal_image_decode" ->
-      """WITH docs AS (
-        |  SELECT doc_id AS id, substr(text, 1, 48) AS px
-        |  FROM documents WHERE length(text) >= 48),
-        |bins AS (SELECT CAST(g - 1 AS BIGINT) AS bin
-        |         FROM unnest(generate_series(1, 16)) t(g)),
-        |counts AS (
-        |  SELECT id, ascii(substr(px, CAST(i AS INT), 1)) // 16 AS bin, count(*) AS c
-        |  FROM docs, unnest(generate_series(1, 48)) t(i)
-        |  GROUP BY id, bin)
-        |SELECT d.id, CAST(6 AS INT) AS width, CAST(8 AS INT) AS height, b.bin,
-        |       CAST(COALESCE(c.c, 0) AS BIGINT) AS n
-        |FROM docs d CROSS JOIN bins b
-        |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
-        |ORDER BY d.id, b.bin""".stripMargin,
+    // Lossless formats: decoded pixels ARE the text bytes, so ONE
+    // string-function histogram oracles the raw Netpbm parse and the
+    // full PNG and GIF encode→decode round trips alike.
+    "multimodal_png_decode" -> gray6x8HistogramOracle,
+    "multimodal_gif_decode" -> gray6x8HistogramOracle,
+    "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.
     "multimodal_image_dedup" ->
