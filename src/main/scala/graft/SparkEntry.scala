@@ -1235,6 +1235,43 @@ object SparkEntry {
             .as("n_in_bin"))
         .orderBy("id", "bin")
     }),
+    // REAL BMP round trip: same shape as GIF — the JDK's independent
+    // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
+    // palette, padded bottom-up rows), our pure-Scala decoder reads
+    // it back byte-identical; same shared lossless histogram oracle.
+    "multimodal_bmp_decode" -> ((s, d) => {
+      import s.implicits._
+      val bmp = table(s, d, "documents")
+        .filter(length(col("text")) >= 48)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 48).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+          it.map { case (id, px) =>
+            val img = new java.awt.image.BufferedImage(
+              6, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var p = 0
+            while (p < 48) {
+              img.getRaster.setSample(p % 6, p / 6, 0, px(p) & 0xff)
+              p += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+            writer.setOutput(out)
+            writer.write(new javax.imageio.IIOImage(img, null, null))
+            out.close()
+            (id, bos.toByteArray)
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractImageFeatures(bmp, "doc_id", "payload", bins = 16)
+        .toDF()
+        .select(col("id"), col("width"), col("height"), posexplode(col("hist")))
+        .select(col("id"), col("width"), col("height"),
+          col("pos").cast("long").as("bin"), col("col").as("n"))
+        .orderBy("id", "bin")
+    }),
     // REAL image decode (pure-Scala Netpbm/PGM decoder, no codec libs
     // needed): each document's first 48 bytes become the pixel buffer
     // of a valid 6x8 P5 image (header built in-plan), the decoder
@@ -3162,6 +3199,7 @@ object SparkEntry {
     // full PNG and GIF encode→decode round trips alike.
     "multimodal_png_decode" -> gray6x8HistogramOracle,
     "multimodal_gif_decode" -> gray6x8HistogramOracle,
+    "multimodal_bmp_decode" -> gray6x8HistogramOracle,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.

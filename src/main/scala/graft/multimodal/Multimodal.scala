@@ -102,14 +102,16 @@ object Multimodal {
 
   /** Format-sniffing image decode: Netpbm (P5/P6), JPEG (baseline or
     * progressive — [[JpegDecoder]], pure Scala, T.81 incl. Annex G),
-    * PNG ([[PngDecoder]] — pure Scala + JDK zlib), or GIF
-    * ([[GifDecoder]] — pure Scala, LZW), whichever the magic bytes
-    * say. None for anything else — never throws. */
+    * PNG ([[PngDecoder]] — pure Scala + JDK zlib), GIF
+    * ([[GifDecoder]] — pure Scala, LZW), or BMP ([[BmpDecoder]]),
+    * whichever the magic bytes say. None for anything else — never
+    * throws. */
   def decodeImage(payload: Array[Byte]): Option[RasterImage] =
     decodeNetpbm(payload)
       .orElse(JpegDecoder.decodeJpeg(payload))
       .orElse(PngDecoder.decodePng(payload))
       .orElse(GifDecoder.decodeGif(payload))
+      .orElse(BmpDecoder.decodeBmp(payload))
 
   /** Nearest-neighbor downsample to (outW × outH) — the resize step of
     * an image-preprocessing pipeline, integer arithmetic only. */
