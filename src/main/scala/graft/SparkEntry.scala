@@ -928,6 +928,35 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
+    // Okapi BM25 lexical retrieval top-10 for a 3-term query (one
+    // corpus-rare term + two ubiquitous ones — the realistic shape:
+    // the rare term's idf dominates). Per-term contributions rounded
+    // then summed in DECIMAL; final top-k is TakeOrderedAndProject.
+    "retrieval_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(table(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "hash", "merge"), k = 10)
+        .orderBy("rnk")),
+    // Hybrid RAG retrieval: BM25 top-20 ∪ cosine top-20 fused by
+    // reciprocal-rank fusion (1/(60+rank)), top-10 out. The two
+    // k-bounded rank lists join in constant space; absent-in-one-list
+    // docs carry rank 0 and contribute nothing from that list.
+    "retrieval_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val lex = Retrieval.bm25TopK(table(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "hash", "merge"), k = 20)
+        .select(col("doc_id"), col("rnk").as("lex_rnk"))
+      val wv = Window.orderBy(col("cos").desc, col("doc_id"))
+      val vec = table(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          round(GraftFunctions.knnCosineSimilarity(col("embedding"),
+            typedLit(queryVec(s, d).toSeq)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .withColumn("vec_rnk", row_number().over(wv).cast("long"))
+        .select("doc_id", "vec_rnk")
+      Retrieval.rrfFuse(lex, vec, "doc_id", "lex_rnk", "vec_rnk", k = 10)
+        .orderBy("rnk")
+    }),
     // Zipf-frequency document quality: mean log10 corpus frequency of
     // each doc's tokens (rare-token-heavy docs — OCR noise, gibberish —
     // score low). Per-token logs rounded then summed in DECIMAL, so the
@@ -1575,6 +1604,35 @@ object SparkEntry {
     "list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) / " +
       "(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
       "sqrt(list_inner_product(qv.q, qv.q)))"
+
+  /** Shared BM25 CTE chain (query = dup/hash/merge, the driver rows'
+    * fixed query): mirrors [[graft.operators.Retrieval.bm25TopK]]
+    * op-for-op. Every fractional constant is e-notation so DuckDB
+    * parses it as DOUBLE — a bare `2.2` is DECIMAL there, and exact
+    * decimal arithmetic rounds differently from Spark's doubles. */
+  private lazy val bm25Ctes: String =
+    """WITH stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tfq AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('dup', 'hash', 'merge') GROUP BY doc_id, dl, term),
+      |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+      |bm25 AS (
+      |  SELECT t.doc_id, count(*) AS n_terms,
+      |         CAST(sum(CAST(round(
+      |           ln(1.0e0 + (s.n - d.df + 0.5e0) / (d.df + 0.5e0)) *
+      |           ((t.tf * 2.2e0) /
+      |            (t.tf + 1.2e0 * ((1.0e0 - 0.75e0) +
+      |             ((0.75e0 * t.dl) / (CAST(s.sumdl AS DOUBLE) / s.n))))),
+      |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
+      |  FROM tfq t JOIN dfq d USING (term), stats s
+      |  GROUP BY t.doc_id)""".stripMargin
 
   private def knnOracle(scoreExpr: String, desc: Boolean, k: Int,
       where: String = ""): String = {
@@ -2984,6 +3042,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // Okapi BM25 recomputed op-for-op: smoothed idf, dl/avgdl length
+    // norm with avgdl from an exact integer token sum, contributions
+    // rounded @6 then summed in DECIMAL — same determinism convention
+    // as doc_logfreq.
+    "retrieval_bm25" ->
+      s"""$bm25Ctes
+         |SELECT doc_id, n_terms, score,
+         |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |FROM bm25 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // RRF fusion of the exact BM25 top-20 and the exact cosine top-20
+    // (CosExpr — the same kernel mirror every knn oracle uses).
+    "retrieval_hybrid_rrf" ->
+      s"""$bm25Ctes,
+         |lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
+         |  FROM bm25 ORDER BY score DESC, doc_id LIMIT 20),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+         |vscore AS (
+         |  SELECT e.vec_id AS doc_id, round($CosExpr, 6) AS cos
+         |  FROM embeddings e, qv),
+         |vec AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rnk
+         |  FROM vscore ORDER BY cos DESC, doc_id LIMIT 20),
+         |fused AS (
+         |  SELECT doc_id,
+         |         COALESCE(l.lex_rnk, 0) AS lex_rnk,
+         |         COALESCE(v.vec_rnk, 0) AS vec_rnk,
+         |         round(COALESCE(1.0 / (60 + l.lex_rnk), 0.0) +
+         |               COALESCE(1.0 / (60 + v.vec_rnk), 0.0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v USING (doc_id))
+         |SELECT doc_id, lex_rnk, vec_rnk, rrf,
+         |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "top_docs_per_lang" ->
       """SELECT lang, doc_id, n_chars, rnk FROM (
         |  SELECT lang, doc_id, n_chars,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.tokens
+
+/**
+ * Lexical retrieval and rank fusion — the keyword-side complement to
+ * the engine's vector search (reference: the search API's embedding
+ * top-k, `/root/reference/app.py:113-161`). A RAG data pipeline needs
+ * both retrievers plus a fuser; BM25 + reciprocal-rank fusion is the
+ * standard public recipe (Robertson & Zaragoza 2009; Cormack et al.
+ * SIGIR 2009).
+ *
+ * Shape at 100 TB: the corpus is scanned twice, both passes cheap and
+ * shuffle-light — pass 1 is a scan-local aggregate to ONE row (N,
+ * Σdl); pass 2 explodes tokens but filters to the handful of query
+ * terms BEFORE anything shuffles, so only matching (doc, term)
+ * instances leave the scan. Document frequencies aggregate from the
+ * slim per-(doc, term) relation (≤ |terms| rows out) and broadcast
+ * back; the final top-k is `TakeOrderedAndProject`, never a global
+ * sort. Nothing driver-side except the k-row result boundary.
+ */
+object Retrieval {
+
+  /**
+   * Okapi BM25 top-k: score(d) = Σ_t idf(t) · tf·(k1+1) /
+   * (tf + k1·(1 − b + b·dl/avgdl)) with the Lucene-style smoothed
+   * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (always positive, so
+   * matching a ubiquitous term never penalizes).
+   *
+   * Determinism: each term's contribution is rounded to 6 decimals
+   * then summed EXACTLY in DECIMAL (the [[TextAnalysis.tokenLogFreqScore]]
+   * convention), so partition/merge order cannot perturb the score;
+   * ties break on id. avgdl is derived from an exact integer token-sum
+   * in one final division — engines agree bit-for-bit.
+   */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    // Pass 1: corpus size + exact token-count sum, one row, broadcast.
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(size(tokens(col(textCol))).cast("long")).as("__sumdl"))
+    // Pass 2: per-(doc, term) frequencies for query terms only — the
+    // isin filter sits between explode and the aggregate, so the
+    // exchange carries |query terms| × matching docs rows, not the
+    // corpus's token instances. dl rides the same scan (functionally
+    // dependent on the id, so keying by it adds no groups).
+    val tf = docs.select(
+        col(idCol),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df from the slim relation: one row per (doc, term) ⇒ count(*) IS
+    // the document frequency. ≤ |query terms| rows — broadcast.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val idf =
+      log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfc = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(round(idf * tfc, 6).cast("decimal(28,6)")).as("__s"))
+      .select(col(idCol), col("n_terms"), col("__s").cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k) // TakeOrderedAndProject — the window below sorts ≤ k rows
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /**
+   * Reciprocal-rank fusion of two ranked lists (Cormack et al. 2009):
+   * rrf(d) = Σ_lists 1/(rrfK + rank_list(d)), absent ⇒ contributes 0.
+   * Both inputs are already k-bounded rank lists (columns `idCol`,
+   * `rankCol`), so the fusion is a tiny full-outer join — constant
+   * work however large the corpus behind the lists.
+   */
+  def rrfFuse(
+      a: DataFrame, b: DataFrame, idCol: String,
+      aRank: String, bRank: String, k: Int, rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.orderBy(col("rrf").desc, col(idCol))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(
+        col(idCol),
+        coalesce(col(aRank), lit(0L)).as(aRank),
+        coalesce(col(bRank), lit(0L)).as(bRank),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(aRank)), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(bRank)), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+}

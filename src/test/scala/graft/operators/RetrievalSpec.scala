@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkFunSuite {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "rare alpha beta beta"),          // rare + 2 common
+      (2L, "alpha beta alpha beta alpha beta alpha beta"), // long, common only
+      (3L, "alpha beta"),                    // short, common only
+      (4L, "gamma gamma gamma"),             // no query terms
+      (5L, "rare rare alpha")                // rare-heavy, short
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25: rare-term docs outrank common-only docs; ranks dense from 1") {
+    val r = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("rare", "alpha", "beta"), k = 10).collect()
+    assert(r.map(_.getLong(3)).toSeq === (1L to r.length))
+    val rankOf = r.map(x => x.getLong(0) -> x.getLong(3)).toMap
+    // docs 1 and 5 contain "rare" (df=2 of 5) — idf dwarfs the common terms'
+    assert(rankOf(1L) <= 2 && rankOf(5L) <= 2)
+    assert(!rankOf.contains(4L)) // zero matching terms → absent, not scored 0
+    // saturation: doc 2 has 4x the "alpha" tf of doc 3 but is also 4x
+    // longer — its per-term tf component must stay bounded by k1+1
+    val scores = r.map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(scores.values.forall(s => s > 0.0 && s.isFinite))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "term pad pad pad pad pad pad pad"),
+      (2L, "term pad")
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(d, "doc_id", "text", Seq("term"), k = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(2L) > r(1L))
+  }
+
+  test("bm25: k bounds the result and the plan takes ordered-project, not a global sort") {
+    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("alpha"), k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("alpha"), k = 2)
+      .count() === 2)
+  }
+
+  test("rrfFuse: overlap beats single-list, absent side carries rank 0") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "a_rnk")
+    val b = Seq((11L, 1L), (13L, 2L)).toDF("id", "b_rnk")
+    val r = Retrieval.rrfFuse(a, b, "id", "a_rnk", "b_rnk", k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toList
+    val byId = r.map(t => t._1 -> t).toMap
+    // 11 is in both lists → strictly larger than any single-list doc
+    assert(r.head._1 === 11L)
+    assert(byId(11L)._4 > byId(10L)._4)
+    // absent ranks surface as 0, not null
+    assert(byId(10L)._3 === 0L && byId(13L)._2 === 0L)
+    // exact rrf values: 1/(60+r) terms
+    assert(math.abs(byId(11L)._4 - math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(byId(12L)._4 - math.rint(1.0 / 63 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("rrfFuse: equal-rrf ties break on id; k truncates after fusion") {
+    import spark.implicits._
+    // 20 and 30 each appear only in one list at the same rank → equal rrf
+    val a = Seq((30L, 1L)).toDF("id", "a_rnk")
+    val b = Seq((20L, 1L)).toDF("id", "b_rnk")
+    val all = Retrieval.rrfFuse(a, b, "id", "a_rnk", "b_rnk", k = 10).collect()
+    assert(all.map(_.getLong(0)).toSeq === Seq(20L, 30L))
+    val cut = Retrieval.rrfFuse(a, b, "id", "a_rnk", "b_rnk", k = 1).collect()
+    assert(cut.map(_.getLong(0)).toSeq === Seq(20L))
+  }
+}
