@@ -61,6 +61,9 @@ object SparkEntry {
     * pre-existing index build, not part of each search. */
   private val pcaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Pca.PcaModel]()
+  /** Fitted SQ8 grid per sf dir — 2·dim doubles, an offline fit. */
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SqAnn.SqModel]()
   /** Bucketed catalog tables per sf dir — the bucketed layout is a
     * one-time write (like the IVF store), not part of each query. */
   private val bucketedCache =
@@ -159,6 +162,18 @@ object SparkEntry {
         dir => Pca.fit(table(s, dir, "embeddings"), "embedding", d = 32))
       PcaAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
         queryVec(s, d), model, k = 10, candidates = 128, scale = Scale)
+    }),
+    // SQ8 scalar-quantized ANN (the fifth index family): int8 codes
+    // scored by reconstructed cosine against a per-query coefficient
+    // table (the SQ analogue of the ADC LUT), exact re-rank of 64
+    // candidates. Quantization error ≤ Δ/2 per dim makes the candidate
+    // ranking near-exact, so the output IS brute force = the oracle;
+    // recall itself is pinned in Sq8AnnSpec's measured grid.
+    "ann_sq8_topk" -> ((s, d) => {
+      val model = sqCache.computeIfAbsent(d,
+        dir => SqAnn.fit(table(s, dir, "embeddings"), "embedding"))
+      SqAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
+        queryVec(s, d), model, k = 10, candidates = 64, scale = Scale)
     }),
     // R2 — IVF/ANN index path; searchTopSize = numClusters ⇒ exact.
     "ann_ivf_topk" -> ((s, d) => {
@@ -1763,6 +1778,17 @@ object SparkEntry {
     // Exact brute-force cosine — valid because (d=32, candidates=128)
     // is a measured full-recall operating point on this corpus.
     "ann_pca_topk" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /
+        |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(qv.q, qv.q))), 6) AS score
+        |FROM embeddings e, qv
+        |ORDER BY score DESC NULLS LAST, id
+        |LIMIT 10""".stripMargin,
+    // SQ8 re-rank is exact at (candidates=64) — measured recall grid in
+    // Sq8AnnSpec — so the oracle is brute-force cosine top-10.
+    "ann_sq8_topk" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
         |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /

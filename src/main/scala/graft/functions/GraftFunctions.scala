@@ -104,6 +104,12 @@ object GraftFunctions {
         PqAdcScoreExpr(es(0), es(1), intLitArg(es(2), "pq_adc_score k"))
       },
       "_FUNC_(codes, lut, k) - asymmetric-distance score of PQ codes against a per-query table."),
+    ("sq8_encode",
+      (es: Seq[Expression]) => { requireArity(es, 3, "sq8_encode"); Sq8EncodeExpr(es(0), es(1), es(2)) },
+      "_FUNC_(vec, mins, deltas) - per-dimension affine 8-bit scalar-quantization codes (binary)."),
+    ("sq8_cos_score",
+      (es: Seq[Expression]) => { requireArity(es, 2, "sq8_cos_score"); Sq8CosScoreExpr(es(0), es(1)) },
+      "_FUNC_(codes, flat) - reconstructed-cosine score of SQ8 codes against a per-query coefficient table."),
     ("cosine_lsh_keys",
       (es: Seq[Expression]) => {
         requireArity(es, 4, "cosine_lsh_keys")
@@ -224,6 +230,10 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(m), org.apache.spark.sql.functions.lit(k))
   def pqAdcScore(codes: Column, lut: Column, k: Int): Column =
     call_function("pq_adc_score", codes, lut, org.apache.spark.sql.functions.lit(k))
+  def sq8Encode(vec: Column, mins: Column, deltas: Column): Column =
+    call_function("sq8_encode", vec, mins, deltas)
+  def sq8CosScore(codes: Column, flat: Column): Column =
+    call_function("sq8_cos_score", codes, flat)
   def cosineLshKeys(vec: Column, bitsPerTable: Int, nTables: Int, seed: Long): Column =
     call_function("cosine_lsh_keys", vec,
       org.apache.spark.sql.functions.lit(bitsPerTable),

@@ -469,3 +469,73 @@ case class VectorNormalizeExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `sq8_encode(vec, mins, deltas)` → binary: per-dimension affine 8-bit
+ * scalar quantization (faiss SQ8 layout). See [[VectorKernels.sq8Encode]].
+ */
+case class Sq8EncodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sq8_encode requires (array<float>, array<double>, array<double>), got $other")
+    }
+
+  override def nullSafeEval(vec: Any, mins: Any, deltas: Any): Any =
+    VectorKernels.sq8Encode(vec.asInstanceOf[ArrayData],
+      mins.asInstanceOf[ArrayData], deltas.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, lo, dl) => {
+      val res = ctx.freshName("sqCodes")
+      s"""
+         |byte[] $res = graft.functions.VectorKernels.sq8Encode($v, $lo, $dl);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "sq8_encode"
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/**
+ * `sq8_cos_score(codes, flat)` → double: reconstructed-cosine score of
+ * an SQ8 code against the per-query coefficient table
+ * [biasDot, biasN] ++ w ++ a ++ b. See [[VectorKernels.sq8CosScore]].
+ */
+case class Sq8CosScoreExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_cos_score requires (binary, array<double>), got $other")
+  }
+
+  override def nullSafeEval(codes: Any, flat: Any): Any =
+    VectorKernels.sq8CosScore(codes.asInstanceOf[Array[Byte]], flat.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, f) => {
+      val res = ctx.freshName("sqScore")
+      s"""
+         |java.lang.Double $res = graft.functions.VectorKernels.sq8CosScore($c, $f);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "sq8_cos_score"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -378,4 +378,65 @@ object VectorKernels {
     while (i < n) { out(i) = v.getFloat(i).toDouble / norm; i += 1 }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  // ------------------------------------------------ scalar quantization
+
+  /**
+   * SQ8 encode: per-dimension affine 8-bit quantization,
+   * code(i) = clamp(rint((v(i) − mins(i)) / deltas(i)), 0, 255) with
+   * deltas(i) = (max(i) − min(i))/255 fitted over the corpus
+   * ([[graft.operators.SqAnn.fit]]). One byte per dimension — a 4×
+   * compression of float32 storage, the faiss `SQ8` layout. Degenerate
+   * dimensions (delta ≤ 0: constant across the corpus) encode as 0 and
+   * reconstruct to their min — exact. Null on null elements or a
+   * model-dimension mismatch.
+   */
+  def sq8Encode(vec: ArrayData, mins: ArrayData, deltas: ArrayData): Array[Byte] = {
+    val dim = vec.numElements()
+    if (mins.numElements() != dim || deltas.numElements() != dim) return null
+    val out = new Array[Byte](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      val d = deltas.getDouble(i)
+      val c =
+        if (d <= 0.0) 0
+        else {
+          val t = math.rint((vec.getFloat(i).toDouble - mins.getDouble(i)) / d).toInt
+          if (t < 0) 0 else if (t > 255) 255 else t
+        }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Reconstructed-cosine score of an SQ8 code against a per-query
+   * coefficient table, without touching any float vector at scan time:
+   * with v̂(i) = min(i) + c(i)·Δ(i),
+   *   dot  = Σ v̂(i)·q(i) = biasDot + Σ c(i)·w(i)      (w = Δ·q)
+   *   ‖v̂‖² = biasN + Σ c(i)·a(i) + Σ c(i)²·b(i)       (a = 2·min·Δ, b = Δ²)
+   * score = dot/√‖v̂‖² — proportional to cosine(v̂, q) (the constant ‖q‖
+   * drops out of the ranking). `flat` is [biasDot, biasN] ++ w ++ a ++ b
+   * (2 + 3·dim doubles), built ONCE per query on the driver
+   * ([[graft.operators.SqAnn.topK]]) — the SQ analogue of the ADC LUT.
+   * Null on a size mismatch or non-positive reconstructed norm.
+   */
+  def sq8CosScore(codes: Array[Byte], flat: ArrayData): java.lang.Double = {
+    if (codes == null) return null
+    val m = codes.length
+    if (flat.numElements() != 2 + 3 * m) return null
+    var dot = flat.getDouble(0)
+    var nrm = flat.getDouble(1)
+    var i = 0
+    while (i < m) {
+      val c = (codes(i) & 0xff).toDouble
+      dot += c * flat.getDouble(2 + i)
+      nrm += c * flat.getDouble(2 + m + i) + c * c * flat.getDouble(2 + 2 * m + i)
+      i += 1
+    }
+    if (nrm <= 0.0 || java.lang.Double.isNaN(nrm)) return null
+    java.lang.Double.valueOf(dot / math.sqrt(nrm))
+  }
 }
