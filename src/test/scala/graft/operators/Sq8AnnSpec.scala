@@ -124,6 +124,31 @@ class Sq8AnnSpec extends SparkFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"store-side shuffle join in:\n$plan")
   }
 
+  test("composes with IVF: prune clusters, SQ8-scan survivors, exact re-rank") {
+    import graft.operators.{IvfIndex, SearchStrategy}
+    GraftFunctions.register(spark)
+    val (assigned, ivf) = IvfIndex.build(emb, "embedding", numClusters = 4)
+    val sq = SqAnn.fit(emb, "embedding")
+    val q = emb.where(col("vec_id") === 0).select("embedding").head.getSeq[Float](0).toArray
+    val top = ivf.rankClusters(q, SearchStrategy.CosineSimilarity).take(2)
+    val pruned = assigned.filter(col(IvfIndex.ClusterCol)
+      .isin(top.toIndexedSeq.map(Integer.valueOf): _*))
+    val prunedN = pruned.count()
+    assert(prunedN < emb.count(), "pruning must drop at least one cluster")
+    val got = SqAnn.topK(pruned.drop(IvfIndex.ClusterCol), "vec_id", "embedding",
+      q, sq, k = 8, candidates = 32).collect()
+    // exactness WITHIN the pruned subset: SQ8 over the survivors equals
+    // brute force over the survivors (candidate budget = 32 of ≤ half
+    // the corpus — same near-exact regime as the full-corpus grid)
+    val qv = typedLit(q.toSeq)
+    val brute = pruned.select(col("vec_id"),
+        round(GraftFunctions.knnCosineSimilarity(col("embedding"), qv), 6).as("s"))
+      .orderBy(col("s").desc_nulls_last, col("vec_id")).limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.map(_.getLong(0)).toSeq === brute)
+    assert(got.head.getLong(0) === 0L) // self lives in the top-ranked cluster
+  }
+
   test("validation: k, candidates, and model dimension") {
     val model = SqAnn.SqModel(Array(0.0, 0.0), Array(0.1, 0.1))
     val q2 = Array(0.1f, 0.2f)
