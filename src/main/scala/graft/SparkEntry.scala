@@ -951,6 +951,17 @@ object SparkEntry {
       Retrieval.bm25TopK(table(s, d, "documents"), "doc_id", "text",
         Seq("dup", "hash", "merge"), k = 10)
         .orderBy("rnk")),
+    // Batched BM25: three queries amortize ONE corpus scan (the shape
+    // that matters when the scan dominates); per-query top-5 via the
+    // bounded topk_by_score aggregate, never a window sort. Scores are
+    // bit-identical to the single-query path (shared contribution
+    // expression).
+    "retrieval_bm25_batch" -> ((s, d) =>
+      Retrieval.bm25BatchTopK(table(s, d, "documents"), "doc_id", "text",
+        Seq(1L -> Seq("dup", "hash", "merge"),
+            2L -> Seq("vector", "spark", "window"),
+            3L -> Seq("dup", "slow")), k = 5)
+        .orderBy("query_id", "rnk")),
     // Hybrid RAG retrieval: BM25 top-20 ∪ cosine top-20 fused by
     // reciprocal-rank fusion (1/(60+rank)), top-10 out. The two
     // k-bounded rank lists join in constant space; absent-in-one-list
@@ -3077,6 +3088,43 @@ object SparkEntry {
          |SELECT doc_id, n_terms, score,
          |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
          |FROM bm25 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Batched BM25 mirror: same contribution arithmetic as
+    // retrieval_bm25 with the (query, term) map as a VALUES relation;
+    // df stays per-term over the corpus (independent of the queries).
+    "retrieval_bm25_batch" ->
+      """WITH qt(query_id, term) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'dup'), (1, 'hash'), (1, 'merge'),
+        |  (2, 'vector'), (2, 'spark'), (2, 'window'),
+        |  (3, 'dup'), (3, 'slow')),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfd AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
+        |dfd AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ln(1.0e0 + (s.n - d.df + 0.5e0) / (d.df + 0.5e0)) *
+        |           ((t.tf * 2.2e0) /
+        |            (t.tf + 1.2e0 * ((1.0e0 - 0.75e0) +
+        |             ((0.75e0 * t.dl) / (CAST(s.sumdl AS DOUBLE) / s.n))))),
+        |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
+        |  FROM tfd t JOIN dfd d USING (term) JOIN qt q USING (term), stats s
+        |  GROUP BY q.query_id, t.doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, doc_id, score, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // RRF fusion of the exact BM25 top-20 and the exact cosine top-20
     // (CosExpr — the same kernel mirror every knn oracle uses).
     "retrieval_hybrid_rrf" ->

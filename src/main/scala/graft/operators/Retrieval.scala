@@ -25,6 +25,20 @@ import graft.operators.TextAnalysis.tokens
  */
 object Retrieval {
 
+  /** Per-(doc, term) BM25 contribution, shared verbatim by the single-
+    * and batched-query paths so their scores are bit-identical:
+    * idf·tfc with the Lucene-smoothed idf and dl/avgdl length norm,
+    * rounded to 6 decimals for the exact DECIMAL summation. Expects
+    * columns tf, df, dl and the broadcast stats row (__n, __sumdl). */
+  private def contrib(k1: Double, b: Double): org.apache.spark.sql.Column = {
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val idf =
+      log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfc = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    round(idf * tfc, 6).cast("decimal(28,6)")
+  }
+
   /**
    * Okapi BM25 top-k: score(d) = Σ_t idf(t) · tf·(k1+1) /
    * (tf + k1·(1 − b + b·dl/avgdl)) with the Lucene-style smoothed
@@ -62,22 +76,80 @@ object Retrieval {
     // df from the slim relation: one row per (doc, term) ⇒ count(*) IS
     // the document frequency. ≤ |query terms| rows — broadcast.
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val avgdl = col("__sumdl").cast("double") / col("__n")
-    val idf =
-      log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfc = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
     val w = Window.orderBy(col("score").desc, col(idCol))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_terms"),
-        sum(round(idf * tfc, 6).cast("decimal(28,6)")).as("__s"))
+        sum(contrib(k1, b)).as("__s"))
       .select(col(idCol), col("n_terms"), col("__s").cast("double").as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k) // TakeOrderedAndProject — the window below sorts ≤ k rows
       .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /**
+   * Batched BM25: score a SET of queries in ONE corpus pass — the
+   * shape that matters at 100 TB, where the scan dominates and Q
+   * queries must amortize it (offline retrieval evals, hard-negative
+   * mining, RAG batch jobs). Scores are bit-identical to running
+   * [[bm25TopK]] per query (same [[contrib]] expression, same DECIMAL
+   * summation); only the execution is shared.
+   *
+   * Shape at scale: the token explode + per-(doc, term) aggregate runs
+   * ONCE over the union of all query terms (the same slim subtree
+   * feeds df and the scoring branch — ReuseExchange collapses the
+   * second scan exactly as in [[TextAnalysis.tfIdfTopTerms]]); the
+   * (query, term) map is a broadcast fan-out AFTER the aggregate, so a
+   * term shared by q queries replicates slim rows, never token
+   * instances. Per-query top-k is the bounded `topk_by_score`
+   * aggregate — ≤ k rows per query ride the final exchange, never a
+   * window sort over all scored docs.
+   *
+   * Output: (query_id, `idCol`, score, rnk), k rows per query, ordered
+   * by (query_id, rnk). `idCol` values must be long-typed (the
+   * `topk_by_score` id contract).
+   */
+  def bm25BatchTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size, "query ids must be unique")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(size(tokens(col(textCol))).cast("long")).as("__sumdl"))
+    val tf = docs.select(
+        col(idCol),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(qt), "term") // fan out per query AFTER the slim agg
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(contrib(k1, b)).as("__s"))
+      .select(col("query_id"), col(idCol), col("__s").cast("double").as("score"))
+      .groupBy("query_id")
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        col("score"), col(idCol).cast("long"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as(idCol),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /**

@@ -49,6 +49,44 @@ class RetrievalSpec extends SparkFunSuite {
       .count() === 2)
   }
 
+  test("bm25BatchTopK: scores are bit-identical to the single-query path") {
+    val queries = Seq(
+      1L -> Seq("rare", "alpha"),
+      2L -> Seq("beta"),
+      3L -> Seq("rare", "gamma"))
+    val batch = Retrieval.bm25BatchTopK(corpus, "doc_id", "text", queries, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    queries.foreach { case (qid, terms) =>
+      val single = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+        .collect()
+      assert(single.nonEmpty, s"query $qid")
+      single.foreach { r =>
+        val got = batch((qid, r.getLong(0)))
+        assert(got._1 === r.getDouble(2), s"query $qid doc ${r.getLong(0)} score")
+        assert(got._2 === r.getLong(3), s"query $qid doc ${r.getLong(0)} rank")
+      }
+      assert(batch.keys.count(_._1 == qid) === single.length, s"query $qid row count")
+    }
+  }
+
+  test("bm25BatchTopK: per-query top-k is a bounded aggregate, not a window sort") {
+    val plan = Retrieval.bm25BatchTopK(corpus, "doc_id", "text",
+      Seq(1L -> Seq("alpha"), 2L -> Seq("beta")), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"), s"no bounded top-k aggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"window sort crept in:\n$plan")
+    // validation
+    intercept[IllegalArgumentException](
+      Retrieval.bm25BatchTopK(corpus, "doc_id", "text", Seq.empty, k = 2))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25BatchTopK(corpus, "doc_id", "text", Seq(1L -> Seq()), k = 2))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25BatchTopK(corpus, "doc_id", "text",
+        Seq(1L -> Seq("alpha"), 1L -> Seq("beta")), k = 2))
+  }
+
   test("rrfFuse: overlap beats single-list, absent side carries rank 0") {
     import spark.implicits._
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "a_rnk")
