@@ -1290,6 +1290,49 @@ object SparkEntry {
             .as("n_in_bin"))
         .orderBy("id", "bin")
     }),
+    // MP3 metadata census WITHOUT decode — the triage pass a 100 TB
+    // audio corpus runs before any expensive stage. Each document's
+    // first bytes pick a bitrate index / frame count / ID3v2 pad;
+    // valid MPEG-1 Layer III streams are built in-plan and the parser
+    // must recover the parameters by actually walking frame headers
+    // (ID3 skip, sync, tabulated bitrate/samplerate, recomputed frame
+    // lengths). The oracle re-derives the census from the same bytes
+    // through the public bitrate table — the parser can't cheat.
+    "multimodal_mp3_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val kbpsTable = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+          it.map { case (id, b) =>
+            val bidx = 1 + (b(0) & 0xff) % 14
+            val frames = 2 + (b(1) & 0xff) % 3
+            val tagPad = (b(0) & 0xff) % 32
+            val frameLen = 144 * kbpsTable(bidx - 1) * 1000 / 44100
+            val bos = new java.io.ByteArrayOutputStream()
+            bos.write('I'); bos.write('D'); bos.write('3')      // ID3v2 tag
+            bos.write(4); bos.write(0); bos.write(0)            // version, flags
+            bos.write(0); bos.write(0); bos.write(0); bos.write(tagPad) // syncsafe size
+            var i = 0
+            while (i < tagPad) { bos.write(0); i += 1 }
+            var f = 0
+            while (f < frames) {
+              bos.write(0xff); bos.write(0xfb)                  // sync, MPEG1 L3 no-CRC
+              bos.write(bidx << 4); bos.write(0)                // bitrate idx, 44100, no pad
+              var j = 4
+              while (j < frameLen) { bos.write(0); j += 1 }
+              f += 1
+            }
+            val m = graft.multimodal.Mp3Parser.parseMp3(bos.toByteArray).get
+            (id, m.version, m.layer, m.bitrateKbps, m.sampleRate, m.frames, m.durationMs)
+          }
+        }
+        .toDF("id", "version", "layer", "bitrate_kbps", "sample_rate", "frames", "duration_ms")
+        .orderBy("id")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -3365,6 +3408,24 @@ object SparkEntry {
     "multimodal_png_decode" -> gray6x8HistogramOracle,
     "multimodal_gif_decode" -> gray6x8HistogramOracle,
     "multimodal_bmp_decode" -> gray6x8HistogramOracle,
+    // The census re-derived from the same document bytes through the
+    // public MPEG-1 Layer III bitrate table; duration is exact integer
+    // floor(frames·1152·1000 / 44100) on both sides.
+    "multimodal_mp3_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         1 + ascii(substr(text, 1, 1)) % 14 AS bidx,
+        |         CAST(2 + ascii(substr(text, 2, 1)) % 3 AS INT) AS frames
+        |  FROM documents WHERE length(text) >= 2),
+        |br(bidx, kbps) AS (VALUES
+        |  (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),(7,96),
+        |  (8,112),(9,128),(10,160),(11,192),(12,224),(13,256),(14,320))
+        |SELECT s.id, 'MPEG1' AS version, CAST(3 AS INT) AS layer,
+        |       CAST(b.kbps AS INT) AS bitrate_kbps,
+        |       CAST(44100 AS INT) AS sample_rate, s.frames,
+        |       CAST((s.frames * 1152 * 1000) // 44100 AS BIGINT) AS duration_ms
+        |FROM src s JOIN br b USING (bidx)
+        |ORDER BY id""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.

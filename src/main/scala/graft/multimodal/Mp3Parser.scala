@@ -1,0 +1,151 @@
+package graft.multimodal
+
+/**
+ * MPEG audio (MP3) frame-header parser — metadata extraction WITHOUT
+ * decode. The engine's documented boundary is that MP3 payload decode
+ * falls back to byte histograms (no independent codec exists to
+ * validate a pure-Scala polyphase/MDCT against); but corpus TRIAGE at
+ * 100 TB never decodes anyway: it walks frame headers to census
+ * bitrate/samplerate/duration and route/filter/bucket files before any
+ * expensive stage. That walk is pure public structure (ISO 11172-3
+ * frame sync + the tabulated bitrate/samplerate indices), exact, and
+ * cheap — this parser provides it.
+ *
+ *  - optional ID3v2 tag skip ('ID3' + 4-byte syncsafe size);
+ *  - per frame: 11-bit sync, MPEG version (1/2/2.5), layer (I/II/III),
+ *    bitrate index, samplerate index, padding bit;
+ *  - frame length recomputed from the tables (Layer I:
+ *    (12·kbps·1000/rate + pad)·4; II/III: coef·kbps·1000/rate + pad
+ *    with coef 144 (MPEG-1) or 72 (MPEG-2/2.5 Layer III));
+ *  - walks every frame, requires ≥ `minFrames` valid frames and
+ *    consistent version/layer, sums exact sample counts;
+ *  - None on anything malformed — never throws (fuzz-pinned).
+ */
+object Mp3Parser {
+
+  /** Census row: everything integer-exact. `bitrateKbps` is the FIRST
+    * frame's nominal bitrate; `vbr` reports whether any later frame
+    * declares a different index (triage needs the flag, not the mean).
+    * `durationMs` = floor(totalSamples·1000 / sampleRate). */
+  final case class Mp3Meta(
+      version: String, layer: Int, bitrateKbps: Int, sampleRate: Int,
+      frames: Int, vbr: Boolean, durationMs: Long)
+
+  // MPEG-1 bitrate tables (kbps) by layer, index 1-14 (0 = free, 15 = bad).
+  private val BitrateV1L1 =
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BitrateV1L2 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  // MPEG-2/2.5 tables.
+  private val BitrateV2L1 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BitrateV2L23 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  private val SampleRateV1 = Array(44100, 48000, 32000, 0)
+  private val SampleRateV2 = Array(22050, 24000, 16000, 0)
+  private val SampleRateV25 = Array(11025, 12000, 8000, 0)
+
+  /** Samples per frame by (version, layer). */
+  private def samplesPerFrame(v: Int, layer: Int): Int = layer match {
+    case 1 => 384
+    case 2 => 1152
+    case 3 => if (v == 1) 1152 else 576
+    case _ => 0
+  }
+
+  def parseMp3(payload: Array[Byte], minFrames: Int = 1): Option[Mp3Meta] = {
+    if (payload == null || payload.length < 4) return None
+    try {
+      var p = 0
+      // ID3v2 prefix: 'ID3' + version(2) + flags(1) + syncsafe size(4).
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+          payload(2) == '3') {
+        var size = 0
+        var i = 0
+        while (i < 4) {
+          val b = payload(6 + i) & 0xff
+          if (b >= 0x80) return None // syncsafe bytes have bit 7 clear
+          size = (size << 7) | b
+          i += 1
+        }
+        p = 10 + size
+        if (p >= payload.length) return None
+      }
+      var version = 0 // 1, 2, or 25 (for 2.5)
+      var layer = 0
+      var firstBitrate = -1
+      var sampleRate = 0
+      var vbr = false
+      var frames = 0
+      var totalSamples = 0L
+      while (p + 4 <= payload.length) {
+        val b0 = payload(p) & 0xff
+        val b1 = payload(p + 1) & 0xff
+        if (b0 != 0xff || (b1 & 0xe0) != 0xe0) {
+          // first non-frame byte ends the walk (tag/garbage trailer)
+          return result(version, layer, firstBitrate, sampleRate, frames, vbr,
+            totalSamples, minFrames)
+        }
+        val v = ((b1 >> 3) & 0x3) match {
+          case 3 => 1
+          case 2 => 2
+          case 0 => 25
+          case _ => return None // reserved
+        }
+        val l = ((b1 >> 1) & 0x3) match {
+          case 3 => 1
+          case 2 => 2
+          case 1 => 3
+          case _ => return None // reserved
+        }
+        if (frames == 0) { version = v; layer = l }
+        else if (v != version || l != layer) return None // inconsistent stream
+        val b2 = payload(p + 2) & 0xff
+        val bitrateIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 0x3
+        val padding = (b2 >> 1) & 0x1
+        if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+        val kbps = (v, l) match {
+          case (1, 1) => BitrateV1L1(bitrateIdx)
+          case (1, 2) => BitrateV1L2(bitrateIdx)
+          case (1, 3) => BitrateV1L3(bitrateIdx)
+          case (_, 1) => BitrateV2L1(bitrateIdx)
+          case _      => BitrateV2L23(bitrateIdx)
+        }
+        val sr = v match {
+          case 1  => SampleRateV1(srIdx)
+          case 2  => SampleRateV2(srIdx)
+          case 25 => SampleRateV25(srIdx)
+        }
+        if (frames == 0) { firstBitrate = kbps; sampleRate = sr }
+        else if (sr != sampleRate) return None // mixed rates: not one stream
+        else if (kbps != firstBitrate) vbr = true
+        val frameLen =
+          if (l == 1) (12 * kbps * 1000 / sr + padding) * 4
+          else {
+            val coef = if (l == 3 && v != 1) 72 else 144
+            coef * kbps * 1000 / sr + padding
+          }
+        if (frameLen <= 4) return None
+        if (p + frameLen > payload.length) return None // truncated final frame
+        totalSamples += samplesPerFrame(v, l)
+        frames += 1
+        p += frameLen
+      }
+      result(version, layer, firstBitrate, sampleRate, frames, vbr,
+        totalSamples, minFrames)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def result(
+      version: Int, layer: Int, bitrate: Int, sampleRate: Int, frames: Int,
+      vbr: Boolean, totalSamples: Long, minFrames: Int): Option[Mp3Meta] =
+    if (frames < minFrames || sampleRate <= 0) None
+    else Some(Mp3Meta(
+      version match { case 1 => "MPEG1"; case 2 => "MPEG2"; case _ => "MPEG2.5" },
+      layer, bitrate, sampleRate, frames, vbr,
+      totalSamples * 1000L / sampleRate))
+}
