@@ -1333,6 +1333,63 @@ object SparkEntry {
         .toDF("id", "version", "layer", "bitrate_kbps", "sample_rate", "frames", "duration_ms")
         .orderBy("id")
     }),
+    // MP4/ISO-BMFF container census — the video counterpart of the MP3
+    // triage row. Real ISO 14496-12 files (ftyp + moov{mvhd,trak...} +
+    // a size==0 trailing mdat) are assembled in-plan from each
+    // document's first bytes; the parser must recover movie timescale/
+    // duration, track count, handler fourccs, and stsd codec ids by
+    // walking the box tree (v0 AND v1 mvhd layouts both exercised).
+    // The oracle re-derives the same integers from the same bytes.
+    "multimodal_mp4_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          def u32(v: Long): Array[Byte] = Array(
+            ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+          def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+          def cc(x: String): Array[Byte] =
+            x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          def bx(t: String, body: Array[Byte]): Array[Byte] =
+            u32(body.length + 8L) ++ cc(t) ++ body
+          def trak(handler: String, fmt: String): Array[Byte] = {
+            val hdlr = bx("hdlr",
+              u32(0) ++ u32(0) ++ cc(handler) ++ Array.fill[Byte](12)(0))
+            val stsd = bx("stsd",
+              u32(0) ++ u32(1) ++ (u32(16) ++ cc(fmt) ++ Array.fill[Byte](8)(0)))
+            bx("trak", bx("mdia", hdlr ++ bx("minf", bx("stbl", stsd))))
+          }
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val timescale = 600L * (1 + b0 % 3)
+            val duration = 1001L + b1 * 97L
+            val mvhd =
+              if (b0 % 2 == 1) // version 1: 64-bit creation/modification/duration
+                bx("mvhd", Array[Byte](1, 0, 0, 0) ++ u64(0) ++ u64(0) ++
+                  u32(timescale) ++ u64(duration))
+              else
+                bx("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+                  u32(timescale) ++ u32(duration))
+            val traks =
+              if (b1 % 2 == 1) trak("vide", "avc1") ++ trak("soun", "mp4a")
+              else trak("vide", "avc1")
+            val bytes =
+              bx("ftyp", cc("isom") ++ u32(0) ++ cc("isom")) ++
+                bx("moov", mvhd ++ traks) ++
+                (u32(0) ++ cc("mdat") ++ Array.fill[Byte](b1 % 7)(0))
+            val m = graft.multimodal.Mp4Parser.parseMp4(bytes).get
+            (id, m.majorBrand, m.timescale, m.duration, m.durationMs,
+              m.tracks, m.handlers.mkString(","), m.codecs.mkString(","))
+          }
+        }
+        .toDF("id", "brand", "timescale", "duration", "duration_ms",
+          "tracks", "handlers", "codecs")
+        .orderBy("id")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -3426,6 +3483,24 @@ object SparkEntry {
         |       CAST((s.frames * 1152 * 1000) // 44100 AS BIGINT) AS duration_ms
         |FROM src s JOIN br b USING (bidx)
         |ORDER BY id""".stripMargin,
+    // The MP4 census re-derived arithmetically from the same document
+    // bytes the in-plan box builder consumed; duration_ms is exact
+    // integer floor(duration*1000 / timescale) on both sides.
+    "multimodal_mp4_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2)
+        |SELECT id, 'isom' AS brand,
+        |       CAST(600 * (1 + b0 % 3) AS BIGINT) AS timescale,
+        |       CAST(1001 + b1 * 97 AS BIGINT) AS duration,
+        |       CAST((1001 + b1 * 97) * 1000 // (600 * (1 + b0 % 3)) AS BIGINT)
+        |         AS duration_ms,
+        |       CAST(1 + b1 % 2 AS INT) AS tracks,
+        |       CASE WHEN b1 % 2 = 1 THEN 'soun,vide' ELSE 'vide' END AS handlers,
+        |       CASE WHEN b1 % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs
+        |FROM src ORDER BY id""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.
