@@ -1390,6 +1390,43 @@ object SparkEntry {
           "tracks", "handlers", "codecs")
         .orderBy("id")
     }),
+    // HTML → text extraction — the curation stage between WARC ingest
+    // and every text operator. A full page (comment, title, script
+    // and style with NESTED fake markup, nav, quote-guarded '>' in
+    // attributes, named+numeric entities, footer) is built in-plan
+    // around each document's HTML-ESCAPED text; the extractor must
+    // drop the boilerplate machinery and recover the exact original
+    // text (escape→extract is the identity), title, and link count.
+    // Scan-local and shuffle-free — the 100 TB pass is one map.
+    "html_extract_clean" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val nLinks = (1 + id % 3).toInt
+            val links = (0 until nLinks)
+              .map(k => s"""<a href="/l$k" data-q="a>b">More</a>""")
+              .mkString(" ")
+            val html =
+              s"""<!-- crawl fixture --><html><head><title>Doc $id</title>
+                 |<script type="text/javascript">var x = "<p>not text</p>";</script>
+                 |<style>.m { content: "<b>x</b>" }</style></head><body>
+                 |<nav>Top Nav</nav>
+                 |<p>${graft.operators.HtmlExtract.escapeHtml(text)}</p>
+                 |$links
+                 |<div>&#65;&#x42;&amp;&lt;tag&gt;</div>
+                 |<footer>(c) corp</footer>
+                 |</body></html>""".stripMargin
+            val e = graft.operators.HtmlExtract.extract(html)
+            (id, e.title, e.text, e.nLinks)
+          }
+        }
+        .toDF("id", "title", "text_clean", "n_links")
+        .orderBy("id")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -3500,6 +3537,20 @@ object SparkEntry {
         |       CAST(1 + b1 % 2 AS INT) AS tracks,
         |       CASE WHEN b1 % 2 = 1 THEN 'soun,vide' ELSE 'vide' END AS handlers,
         |       CASE WHEN b1 % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs
+        |FROM src ORDER BY id""".stripMargin,
+    // The fixture page's text content re-assembled from the raw
+    // document text (escape→extract is the identity) plus the fixed
+    // boilerplate strings, whitespace-collapsed exactly like the
+    // extractor's final pass.
+    "html_extract_clean" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id, text, CAST(1 + doc_id % 3 AS INT) AS n_links
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT id, 'Doc ' || id AS title,
+        |       trim(regexp_replace(
+        |         'Top Nav ' || text || ' ' || repeat('More ', n_links) ||
+        |         'AB&<tag> (c) corp', '[ \t\n\r\f]+', ' ', 'g')) AS text_clean,
+        |       n_links
         |FROM src ORDER BY id""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:

@@ -1,0 +1,189 @@
+package graft.operators
+
+/**
+ * HTML → text extraction — the curation stage between the WARC ingest
+ * path ([[graft.sources.WarcCodec]] reads the crawl wire format, its
+ * HTTP payloads are HTML) and every downstream text operator
+ * (quality, dedup, lang-id). C4 / CCNet-style pipelines run exactly
+ * this pass over the whole crawl, so it must be a scan-local,
+ * shuffle-free, total function of the page bytes.
+ *
+ * Reference scope note: the reference app ingests pre-extracted text
+ * (`/root/reference/app.py` reads `text` straight from its store);
+ * this operator is part of the beyond-reference LLM-pipeline surface
+ * that produces such text from raw crawl HTML at 100 TB.
+ *
+ * Design constraints, in order:
+ *  - TOTAL: any byte soup in → some string out, never throws. Crawl
+ *    HTML is adversarially malformed; a thrown exception on one page
+ *    kills a 10k-page task.
+ *  - Single pass, no DOM: a real crawl page is ~100 KB and a DOM
+ *    allocates ~10× that; this walk is O(n) with two StringBuilders.
+ *  - `<script>`/`<style>` content is DROPPED WHOLE (scanning for the
+ *    matching close tag, case-insensitive) — JS strings routinely
+ *    contain `"<p>"` markup that a naive tag-stripper would leak.
+ *  - Tag scan is QUOTE-AWARE: `<a title="a>b">` ends at the real
+ *    `>`, not the one inside the attribute value.
+ *  - Entities: the named set that dominates crawl text (amp, lt, gt,
+ *    quot, apos, nbsp → plain space) plus full numeric `&#NNN;` /
+ *    `&#xHH;` decode; an invalid entity is kept literally (crawl
+ *    text contains bare `&`).
+ *  - Block-level tags separate words; inline tags (b, i, em, span,
+ *    a, …) do not split `con<b>cat</b>`; unknown tags are treated as
+ *    block (safer to over-separate than to glue words).
+ *  - All whitespace collapses to single spaces at the end, so the
+ *    output is stable under reformatting of the source page.
+ */
+object HtmlExtract {
+
+  /** `title` = text inside `<title>`, excluded from `text`;
+    * `nLinks` = count of `<a` opening tags. */
+  final case class Extracted(title: String, text: String, nLinks: Int)
+
+  private val InlineTags = Set(
+    "a", "b", "i", "u", "em", "strong", "span", "code", "small",
+    "sub", "sup", "abbr", "cite", "q", "s", "mark", "time", "wbr")
+
+  private val NamedEntities = Map(
+    "amp" -> '&', "lt" -> '<', "gt" -> '>',
+    "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ')
+
+  def extract(html: String): Extracted = {
+    if (html == null) return Extracted("", "", 0)
+    val n = html.length
+    val text = new StringBuilder
+    val title = new StringBuilder
+    var inTitle = false
+    var nLinks = 0
+    var i = 0
+
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+
+    // end index just past the tag's real '>' (quote-aware); n if unterminated
+    def tagEnd(from: Int): Int = {
+      var p = from
+      var quote: Char = 0
+      while (p < n) {
+        val c = html.charAt(p)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return p + 1
+        p += 1
+      }
+      n
+    }
+
+    def tagNameAt(p0: Int): String = {
+      var p = p0
+      val sb = new StringBuilder
+      while (p < n && sb.length < 12 && {
+          val c = html.charAt(p)
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9')
+        }) { sb.append(Character.toLowerCase(html.charAt(p))); p += 1 }
+      sb.toString
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          val name = tagNameAt(if (closing) i + 2 else i + 1)
+          // a name boundary: next char may not extend the name
+          // (`<scripty>` is NOT `<script>`)
+          if (!closing && (name == "script" || name == "style")) {
+            val open = tagEnd(i)
+            var p = open
+            var end = n
+            var done = false
+            while (!done && p < n) {
+              // boundary check: "</scripty>" must not close "<script>"
+              val q = p + 2 + name.length
+              if (lowerAt(p, "</" + name) &&
+                  (q >= n || !Character.isLetterOrDigit(html.charAt(q)))) {
+                end = tagEnd(p); done = true
+              } else p += 1
+            }
+            i = end
+          } else {
+            if (name == "title") inTitle = !closing
+            if (!closing && name == "a") nLinks += 1
+            if (!InlineTags.contains(name))
+              (if (inTitle) title else text).append(' ')
+            i = tagEnd(i)
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        val out = if (inTitle) title else text
+        var decoded = false
+        if (semi > i && semi - i <= 10) {
+          val body = html.substring(i + 1, semi)
+          if (body.startsWith("#")) {
+            val num = body.substring(1)
+            val cp =
+              try {
+                if (num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+                  Integer.parseInt(num.substring(1), 16)
+                else Integer.parseInt(num, 10)
+              } catch { case _: NumberFormatException => -1 }
+            if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) {
+              out.appendAll(Character.toChars(cp)); decoded = true
+            }
+          } else NamedEntities.get(body.toLowerCase) match {
+            case Some(ch) => out.append(ch); decoded = true
+            case None     => ()
+          }
+        }
+        if (decoded) i = semi + 1
+        else { out.append('&'); i += 1 }
+      } else {
+        (if (inTitle) title else text).append(c)
+        i += 1
+      }
+    }
+    Extracted(collapseWs(title.toString), collapseWs(text.toString), nLinks)
+  }
+
+  /** Collapse runs of ASCII whitespace to single spaces and trim —
+    * keeps the output independent of source-page formatting. */
+  def collapseWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+        if (sb.nonEmpty) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Minimal escape for embedding arbitrary text in an HTML text node
+    * — the builder half of the round-trip driver row. */
+  def escapeHtml(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlExtractSpec extends AnyFunSuite {
+  import HtmlExtract._
+
+  test("basic tag strip with block separation and ws collapse") {
+    val e = extract("<html><body><p>Hello</p>\n  <p>World</p></body></html>")
+    assert(e.text === "Hello World" && e.title === "" && e.nLinks === 0)
+  }
+
+  test("inline tags do not split words; block tags do") {
+    assert(extract("<p>con<b>cat</b>enate</p>").text === "concatenate")
+    assert(extract("<div>a</div><div>b</div>").text === "a b")
+    assert(extract("x<br>y").text === "x y")
+    // unknown tags are treated as block (over-separate, never glue)
+    assert(extract("a<custom>b</custom>").text === "a b")
+  }
+
+  test("script and style content dropped whole, even with nested markup") {
+    val html = """<script>var x = "<p>leak</p>";</script><p>kept</p>""" +
+      """<style>p:before { content: "<b>no</b>" }</style>"""
+    assert(extract(html).text === "kept")
+    // case-insensitive close, attributes on the open tag
+    assert(extract("""<SCRIPT type="a">x</ScRiPt>ok""").text === "ok")
+    // "</scripty>" must not close "<script>"
+    assert(extract("<script>a</scripty>b</script>c").text === "c")
+  }
+
+  test("comments dropped; unterminated comment/script/tag are total") {
+    assert(extract("a<!-- <p>gone</p> -->b").text === "ab")
+    assert(extract("a<!-- never closed").text === "a")
+    assert(extract("a<script>never closed").text === "a")
+    assert(extract("a<p attr=").text === "a")
+  }
+
+  test("quote-aware tag scan: '>' inside attribute values") {
+    val e = extract("""<a href="/x" title="a>b">More</a> text""")
+    assert(e.text === "More text" && e.nLinks === 1)
+    assert(extract("""<img alt='2>1'>after""").text === "after")
+  }
+
+  test("entities: named, numeric decimal and hex, invalid kept literal") {
+    assert(extract("&amp;&lt;tag&gt; &quot;q&quot; &apos;a&apos;").text ===
+      "&<tag> \"q\" 'a'")
+    assert(extract("&#65;&#x42;&#X43;").text === "ABC")
+    assert(extract("a&nbsp;b").text === "a b") // nbsp → plain space
+    assert(extract("AT&T &bogus; &#xZZ; 5 &gt 3").text ===
+      "AT&T &bogus; &#xZZ; 5 &gt 3")
+  }
+
+  test("title captured separately, excluded from text") {
+    val e = extract("<head><title> My  Page </title></head><body>body</body>")
+    assert(e.title === "My Page" && e.text === "body")
+  }
+
+  test("link census counts opening <a> tags only") {
+    val e = extract("""<a href="/1">x</a><a href="/2">y</a><abbr>z</abbr>""")
+    assert(e.nLinks === 2) // <abbr> is not <a>
+  }
+
+  test("escapeHtml → extract is the identity on arbitrary text") {
+    val nasty = """5 < 6 && "x" > 'y' <script>alert(1)</script> &amp;"""
+    assert(extract("<p>" + escapeHtml(nasty) + "</p>").text ===
+      collapseWs(nasty))
+  }
+
+  test("null and empty input are total") {
+    assert(extract(null) === Extracted("", "", 0))
+    assert(extract("") === Extracted("", "", 0))
+  }
+
+  test("fuzz totality: random byte soup never throws") {
+    val rnd = new scala.util.Random(707)
+    val alphabet = "<>&;/=\"' abAB#x-!".toCharArray
+    (0 until 3000).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length)))
+      extract(new String(s)) // must not throw
+    }
+  }
+}
