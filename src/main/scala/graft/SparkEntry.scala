@@ -1427,6 +1427,34 @@ object SparkEntry {
         .toDF("id", "title", "text_clean", "n_links")
         .orderBy("id")
     }),
+    // URL canonicalization — the dedup key / per-domain grouping key
+    // of a crawl corpus. Hostile raw URLs (uppercase scheme+host,
+    // default ports, dot-segments, unreserved percent-escapes,
+    // utm_/fbclid tracking params, unsorted query, fragment) are
+    // built in-plan per document; the normalizer must produce the
+    // exact canonical form and the registered-domain heuristic must
+    // cross the two-part-suffix (co.uk) boundary correctly.
+    "url_normalize" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val tld = if ((id % 10) % 3 == 0) "co.uk" else "com"
+            val raw = (if (id % 2 == 0) "HTTP" else "HTTPS") +
+              s"://WWW.Site${id % 10}.$tld" +
+              (if (id % 2 == 0) ":80" else ":443") +
+              s"/d${id % 7}/./sk%41ip/../p%41ge" +
+              s"?utm_source=feed&id=$id&b=2&a=1&fbclid=XYZ#top"
+            val norm = graft.operators.UrlOps.normalize(raw).get
+            val host = graft.operators.UrlOps.parse(raw).get.host.toLowerCase
+            (id, norm, host, graft.operators.UrlOps.registeredDomain(host))
+          }
+        }
+        .toDF("id", "url_norm", "host", "domain")
+        .orderBy("id")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -3552,6 +3580,27 @@ object SparkEntry {
         |         'AB&<tag> (c) corp', '[ \t\n\r\f]+', ' ', 'g')) AS text_clean,
         |       n_links
         |FROM src ORDER BY id""".stripMargin,
+    // The canonical form re-assembled arithmetically from the same
+    // id the fixture builder used: lowercase scheme/host, default
+    // port gone, /d{k}/./sk%41ip/../p%41ge → /d{k}/pAge, tracking
+    // params gone, survivors sorted (a=1&b=2&id=N), fragment gone.
+    "url_normalize" ->
+      """WITH src AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |d AS (
+        |  SELECT id,
+        |         CASE WHEN id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+        |         'www.site' || (id % 10) ||
+        |           CASE WHEN (id % 10) % 3 = 0 THEN '.co.uk' ELSE '.com' END
+        |           AS host,
+        |         'site' || (id % 10) ||
+        |           CASE WHEN (id % 10) % 3 = 0 THEN '.co.uk' ELSE '.com' END
+        |           AS domain
+        |  FROM src)
+        |SELECT id,
+        |       scheme || '://' || host || '/d' || (id % 7) || '/pAge?a=1&b=2&id='
+        |         || id AS url_norm,
+        |       host, domain
+        |FROM d ORDER BY id""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.

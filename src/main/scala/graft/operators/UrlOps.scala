@@ -1,0 +1,169 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * URL parsing and canonicalization — crawl-curation primitives next
+ * to [[HtmlExtract]]: per-domain corpus stats, URL-level dedup keys,
+ * and link-graph edges all start from a NORMALIZED url. Pure Scala,
+ * scan-local, total (None on malformed — a crawl's URL column is
+ * hostile). Deliberately not `java.net.URL` (whose equals/hashCode
+ * resolve DNS) and not `java.net.URI` (throws on half the crawl).
+ *
+ * Normalization follows RFC 3986 §6 plus the crawl-standard extras:
+ *  - scheme and host lowercased; userinfo and fragment dropped;
+ *  - default ports stripped (http:80, https:443), others kept;
+ *  - percent-encodings of UNRESERVED chars decoded (`%41` → `A`),
+ *    all other escapes kept with uppercase hex (`%2f` → `%2F`);
+ *  - dot-segments removed (`/a/./b/../c` → `/a/c`), empty path → `/`;
+ *  - tracking params dropped (`utm_*`, fbclid, gclid, msclkid, ref),
+ *    remaining query params sorted by (key, value) for a stable
+ *    dedup key; empty query drops the `?`.
+ */
+object UrlOps {
+
+  /** `port` = -1 when absent; `query`/`fragment` empty when absent. */
+  final case class ParsedUrl(
+      scheme: String, host: String, port: Int,
+      path: String, query: String, fragment: String)
+
+  private val DefaultPorts = Map("http" -> 80, "https" -> 443, "ftp" -> 21)
+
+  private val TrackingParams =
+    Set("fbclid", "gclid", "msclkid", "ref", "ref_src", "igshid")
+
+  /** Two-part public suffixes for [[registeredDomain]] — an embedded
+    * subset of the Mozilla Public Suffix List covering the common
+    * crawl mass; the full PSL drops into this set unchanged. */
+  private val TwoPartSuffixes = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "co.in", "co.kr",
+    "co.za", "com.ar", "github.io", "gitlab.io", "blogspot.com")
+
+  def parse(url: String): Option[ParsedUrl] = {
+    if (url == null) return None
+    val ss = url.indexOf("://")
+    if (ss <= 0) return None
+    val scheme = url.substring(0, ss)
+    if (!scheme.forall(c => Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.')
+        || !Character.isLetter(scheme.charAt(0))) return None
+    var p = ss + 3
+    val n = url.length
+    // authority: up to the first '/', '?' or '#'
+    var ae = p
+    while (ae < n && url.charAt(ae) != '/' && url.charAt(ae) != '?' &&
+        url.charAt(ae) != '#') ae += 1
+    var auth = url.substring(p, ae)
+    val at = auth.lastIndexOf('@') // userinfo dropped
+    if (at >= 0) auth = auth.substring(at + 1)
+    val colon = auth.lastIndexOf(':')
+    val (host, port) =
+      if (colon < 0) (auth, -1)
+      else {
+        val ps = auth.substring(colon + 1)
+        if (ps.isEmpty || ps.length > 5 || !ps.forall(Character.isDigit))
+          return None
+        val pv = ps.toInt
+        if (pv > 65535) return None
+        (auth.substring(0, colon), pv)
+      }
+    if (host.isEmpty) return None
+    p = ae
+    var pe = p
+    while (pe < n && url.charAt(pe) != '?' && url.charAt(pe) != '#') pe += 1
+    val path = url.substring(p, pe)
+    p = pe
+    var qe = p
+    if (p < n && url.charAt(p) == '?') {
+      qe = p + 1
+      while (qe < n && url.charAt(qe) != '#') qe += 1
+    }
+    val query = if (p < n && url.charAt(p) == '?') url.substring(p + 1, qe) else ""
+    val fragment = if (qe < n && url.charAt(qe) == '#') url.substring(qe + 1) else ""
+    Some(ParsedUrl(scheme, host, port, path, query, fragment))
+  }
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** Decode `%XX` of unreserved chars, uppercase the hex of the rest;
+    * malformed escapes pass through literally (totality). */
+  def normalizePercent(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        val v = (Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16)
+        if (isUnreserved(v.toChar)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.4; `/a/b/..` keeps its directory slash (`/a/`). */
+  def removeDotSegments(path: String): String = {
+    if (path.isEmpty) return "/"
+    val out = ArrayBuffer.empty[String]
+    path.split("/", -1).foreach {
+      case "" | "." => ()
+      case ".."     => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg      => out += seg
+    }
+    val trail = path.endsWith("/") || path.endsWith("/.") || path.endsWith("/..")
+    if (out.isEmpty) "/"
+    else "/" + out.mkString("/") + (if (trail) "/" else "")
+  }
+
+  private def isTracking(key: String): Boolean =
+    key.startsWith("utm_") || TrackingParams.contains(key)
+
+  /** Strip tracking params, sort the rest by (key, value). */
+  def normalizeQuery(query: String): String =
+    if (query.isEmpty) ""
+    else query.split("&", -1).toSeq
+      .filter(_.nonEmpty)
+      .map { kv => // (key, value, verbatim) — verbatim keeps `k` vs `k=`
+        val eq = kv.indexOf('=')
+        if (eq < 0) (kv, "", kv)
+        else (kv.substring(0, eq), kv.substring(eq + 1), kv)
+      }
+      .filterNot { case (k, _, _) => isTracking(k.toLowerCase) }
+      .sortBy { case (k, v, _) => (k, v) }
+      .map(_._3)
+      .mkString("&")
+
+  def normalize(url: String): Option[String] = parse(url).map { u =>
+    val scheme = u.scheme.toLowerCase
+    val host = u.host.toLowerCase.stripSuffix(".")
+    val portPart =
+      if (u.port < 0 || DefaultPorts.get(scheme).contains(u.port)) ""
+      else ":" + u.port
+    val path = removeDotSegments(normalizePercent(u.path))
+    val q = normalizeQuery(normalizePercent(u.query))
+    scheme + "://" + host + portPart + path + (if (q.isEmpty) "" else "?" + q)
+  }
+
+  /** `www.blog.site3.co.uk` → `site3.co.uk`; unknown suffixes take the
+    * last two labels; single-label hosts pass through. */
+  def registeredDomain(host: String): String = {
+    val h = host.toLowerCase.stripSuffix(".")
+    val labels = h.split('.')
+    if (labels.length <= 1) h
+    else {
+      val last2 = labels.takeRight(2).mkString(".")
+      if (TwoPartSuffixes.contains(last2) && labels.length >= 3)
+        labels.takeRight(3).mkString(".")
+      else last2
+    }
+  }
+}
