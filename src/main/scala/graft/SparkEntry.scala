@@ -1455,6 +1455,52 @@ object SparkEntry {
         .toDF("id", "url_norm", "host", "domain")
         .orderBy("id")
     }),
+    // END-TO-END crawl pipeline: render each document as a hostile
+    // HTML page keyed by a hostile raw URL → shard into real .warc.gz
+    // file images (gzip-per-record, warcinfo lead) → parse the WARC
+    // back → HTML-extract the text and canonicalize the URL. This is
+    // the exact composition a 100 TB crawl runs: after the one
+    // shard-shuffle, parse+extract+normalize all fuse into the read
+    // task — scan-local, nothing but (url, page) ever moves.
+    "crawl_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val shards = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 % 16)
+        .mapGroups { (shard, rows) =>
+          val recs = rows.toSeq.sortBy(_._1).map { case (id, text) =>
+            val tld = if ((id % 10) % 3 == 0) "co.uk" else "com"
+            val raw = (if (id % 2 == 0) "HTTP" else "HTTPS") +
+              s"://WWW.Site${id % 10}.$tld" +
+              (if (id % 2 == 0) ":80" else ":443") +
+              s"/d${id % 7}/./page?utm_source=feed&id=$id#top"
+            val html =
+              s"""<html><head><title>Doc $id</title>
+                 |<script>var x = "<p>not text</p>";</script></head>
+                 |<body><p>${graft.operators.HtmlExtract.escapeHtml(text)}</p>
+                 |<a href="/next">next</a></body></html>""".stripMargin
+            (raw, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          (shard, graft.sources.WarcCodec.buildWarcGz(recs))
+        }
+        .toDF("shard", "warc_gz")
+      shards.select(col("warc_gz")).as[Array[Byte]]
+        .flatMap(blob => graft.sources.WarcCodec.parseWarc(blob))
+        .map { doc =>
+          val html = new String(doc.body, java.nio.charset.StandardCharsets.UTF_8)
+          val e = graft.operators.HtmlExtract.extract(html)
+          val norm = graft.operators.UrlOps.normalize(doc.url).getOrElse("")
+          val host = graft.operators.UrlOps.parse(doc.url)
+            .map(_.host.toLowerCase).getOrElse("")
+          (e.title.stripPrefix("Doc ").toLong, norm,
+            graft.operators.UrlOps.registeredDomain(host),
+            e.text, e.nLinks, doc.http_status)
+        }
+        .toDF("id", "url_norm", "domain", "text_clean", "n_links", "status")
+        .orderBy("id")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -3601,6 +3647,28 @@ object SparkEntry {
         |         || id AS url_norm,
         |       host, domain
         |FROM d ORDER BY id""".stripMargin,
+    // The whole pipeline's output re-derived arithmetically: the WARC
+    // wrap/unwrap is the identity on (url, page), the page's only
+    // text is the escaped document text plus the anchor word, and the
+    // URL canonicalizes as in url_normalize (here with /./ removal
+    // and only the id param surviving).
+    "crawl_pipeline" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT id,
+        |       CASE WHEN id % 2 = 0 THEN 'http' ELSE 'https' END ||
+        |         '://www.site' || (id % 10) ||
+        |         CASE WHEN (id % 10) % 3 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |         '/d' || (id % 7) || '/page?id=' || id AS url_norm,
+        |       'site' || (id % 10) ||
+        |         CASE WHEN (id % 10) % 3 = 0 THEN '.co.uk' ELSE '.com' END
+        |         AS domain,
+        |       trim(regexp_replace(text || ' next', '[ \t\n\r\f]+', ' ', 'g'))
+        |         AS text_clean,
+        |       CAST(1 AS INT) AS n_links,
+        |       CAST(200 AS INT) AS status
+        |FROM src ORDER BY id""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.
