@@ -972,7 +972,9 @@ object SparkEntry {
       val lex = Retrieval.bm25TopK(table(s, d, "documents"), "doc_id", "text",
         Seq("dup", "hash", "merge"), k = 20)
         .select(col("doc_id"), col("rnk").as("lex_rnk"))
-      val wv = Window.orderBy(col("cos").desc, col("doc_id"))
+      val wv = Window
+        .partitionBy(Retrieval.singlePartitionKey(col("doc_id")))
+        .orderBy(col("cos").desc, col("doc_id"))
       val vec = table(s, d, "embeddings")
         .select(col("vec_id").as("doc_id"),
           round(GraftFunctions.knnCosineSimilarity(col("embedding"),
@@ -1274,7 +1276,10 @@ object SparkEntry {
         .select(col("doc_id"),
           concat(
             lit(Array(0xFF, 0xD8, 0xFF, 0xC2).map(_.toByte)),
-            substring(col("text").cast("binary"), 1, 32)).as("payload"))
+            // char-slice THEN cast, matching both the oracle's
+            // substr(text,1,32) and every other multimodal row's
+            // convention (byte-slicing diverges on non-ASCII text)
+            substring(col("text"), 1, 32).cast("binary")).as("payload"))
       val decoded = graft.multimodal.Multimodal
         .extractImageFeatures(payloads, "doc_id", "payload").toDF()
         .select(col("id"), lit(1).as("__dec"))

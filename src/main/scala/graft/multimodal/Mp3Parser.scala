@@ -61,8 +61,12 @@ object Mp3Parser {
     try {
       var p = 0
       // ID3v2 prefix: 'ID3' + version(2) + flags(1) + syncsafe size(4).
+      // The size field excludes the 10-byte header AND the 10-byte
+      // footer; flags bit 4 declares the footer, so a tagged-with-
+      // footer file skips 10 + size + 10 bytes (ID3v2.4 §3.1).
       if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
           payload(2) == '3') {
+        val flags = payload(5) & 0xff
         var size = 0
         var i = 0
         while (i < 4) {
@@ -71,7 +75,7 @@ object Mp3Parser {
           size = (size << 7) | b
           i += 1
         }
-        p = 10 + size
+        p = 10 + size + (if ((flags & 0x10) != 0) 10 else 0)
         if (p >= payload.length) return None
       }
       var version = 0 // 1, 2, or 25 (for 2.5)

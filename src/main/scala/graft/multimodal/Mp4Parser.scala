@@ -76,25 +76,36 @@ object Mp4Parser {
         val typ = fourcc(p + 4)
         val body = p + header
         val bodyEnd = (p + size).toInt
+        // leaf-box field reads must stay inside the box's OWN body — a
+        // truncated leaf whose fields would overrun into a sibling box
+        // is malformed, not a source of garbage Some(...)
+        def need(bytes: Int): Unit = if (body + bytes > bodyEnd) fail()
         typ match {
           case "ftyp" =>
+            need(4)
             if (st.brand == null) st.brand = fourcc(body)
           case "mvhd" =>
-            val version = if (body < b.length) b(body) & 0xff else fail()
+            need(1)
+            val version = b(body) & 0xff
             if (version == 1) {
+              need(32) // v1: ver/flags 4 + times 8+8 + timescale 4 + duration 8
               st.timescale = u32(body + 20)
               st.duration = u64(body + 24)
             } else {
+              need(20) // v0: ver/flags 4 + times 4+4 + timescale 4 + duration 4
               st.timescale = u32(body + 12)
               st.duration = u32(body + 16)
             }
           case "hdlr" =>
+            need(12) // ver/flags 4 + pre_defined 4 + handler_type 4
             st.handlers += fourcc(body + 8)
           case "stsd" =>
+            need(8) // ver/flags 4 + entry_count 4
             val entries = u32(body + 4)
             var q = body + 8
             var e = 0L
             while (e < entries) {
+              if (q + 8 > bodyEnd) fail() // entry header inside stsd body
               val esize = u32(q)
               if (esize < 8 || q + esize > bodyEnd) fail()
               st.codecs += fourcc(q + 4)

@@ -25,6 +25,18 @@ import graft.operators.TextAnalysis.tokens
  */
 object Retrieval {
 
+  /** A constant-valued but NON-FOLDABLE partition key for the ≤ k-row
+    * post-limit rank windows: `lit(0)` gets stripped by Catalyst's
+    * `EliminateWindowPartitions` (foldable keys are dropped), putting
+    * the window back on an empty partition spec whose WindowExec
+    * warning would mask a REAL unpartitioned window in a bench log.
+    * `coalesce(length(id)·0, 0)` is always 0 but anchored on a column,
+    * so it survives the optimizer; the hash exchange it adds moves
+    * only the ≤ k post-limit rows. */
+  private[graft] def singlePartitionKey(anchor: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    coalesce(length(anchor.cast("string")) * lit(0), lit(0))
+
   /** Per-(doc, term) BM25 contribution, shared verbatim by the single-
     * and batched-query paths so their scores are bit-identical:
     * idf·tfc with the Lucene-smoothed idf and dl/avgdl length norm,
@@ -76,7 +88,12 @@ object Retrieval {
     // df from the slim relation: one row per (doc, term) ⇒ count(*) IS
     // the document frequency. ≤ |query terms| rows — broadcast.
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.orderBy(col("score").desc, col(idCol))
+    // partitioned by a constant: the window input is the ≤ k post-limit
+    // rows, and a non-empty partition spec keeps WindowExec's
+    // "No Partition Defined" warning from masking a REAL unpartitioned
+    // window elsewhere in a bench log
+    val w = Window.partitionBy(singlePartitionKey(col(idCol)))
+      .orderBy(col("score").desc, col(idCol))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
@@ -163,7 +180,9 @@ object Retrieval {
       a: DataFrame, b: DataFrame, idCol: String,
       aRank: String, bRank: String, k: Int, rrfK: Int = 60): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val w = Window.orderBy(col("rrf").desc, col(idCol))
+    // constant partition for the same reason as bm25TopK's rank window
+    val w = Window.partitionBy(singlePartitionKey(col(idCol)))
+      .orderBy(col("rrf").desc, col(idCol))
     a.join(b, Seq(idCol), "full_outer")
       .select(
         col(idCol),

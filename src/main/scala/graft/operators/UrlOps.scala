@@ -29,8 +29,12 @@ object UrlOps {
 
   private val DefaultPorts = Map("http" -> 80, "https" -> 443, "ftp" -> 21)
 
+  /** Click-tracking params safe to strip globally. Bare `ref` is NOT
+    * here: on some sites (`?ref=docs`) it selects content, so dropping
+    * it would merge distinct pages — only the `utm_*` family and the
+    * ad-network click ids are universally safe. */
   private val TrackingParams =
-    Set("fbclid", "gclid", "msclkid", "ref", "ref_src", "igshid")
+    Set("fbclid", "gclid", "msclkid", "ref_src", "igshid")
 
   /** Two-part public suffixes for [[registeredDomain]] — an embedded
     * subset of the Mozilla Public Suffix List covering the common
@@ -40,6 +44,10 @@ object UrlOps {
     "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
     "com.br", "com.cn", "com.mx", "com.tr", "co.in", "co.kr",
     "co.za", "com.ar", "github.io", "gitlab.io", "blogspot.com")
+
+  private def parsePort(ps: String): Option[Int] =
+    if (ps.isEmpty || ps.length > 5 || !ps.forall(Character.isDigit)) None
+    else Some(ps.toInt).filter(_ <= 65535)
 
   def parse(url: String): Option[ParsedUrl] = {
     if (url == null) return None
@@ -57,18 +65,29 @@ object UrlOps {
     var auth = url.substring(p, ae)
     val at = auth.lastIndexOf('@') // userinfo dropped
     if (at >= 0) auth = auth.substring(at + 1)
-    val colon = auth.lastIndexOf(':')
+    // RFC 3986 §3.2.2 IP-literal: `[::1]` / `[::1]:8080` — the colons
+    // inside the brackets are NOT a port separator.
     val (host, port) =
-      if (colon < 0) (auth, -1)
-      else {
-        val ps = auth.substring(colon + 1)
-        if (ps.isEmpty || ps.length > 5 || !ps.forall(Character.isDigit))
-          return None
-        val pv = ps.toInt
-        if (pv > 65535) return None
-        (auth.substring(0, colon), pv)
+      if (auth.startsWith("[")) {
+        val close = auth.indexOf(']')
+        if (close < 0) return None
+        val h = auth.substring(0, close + 1)
+        val rest = auth.substring(close + 1)
+        if (rest.isEmpty) (h, -1)
+        else if (rest.charAt(0) != ':') return None
+        else parsePort(rest.substring(1)) match {
+          case Some(pv) => (h, pv)
+          case None     => return None
+        }
+      } else {
+        val colon = auth.lastIndexOf(':')
+        if (colon < 0) (auth, -1)
+        else parsePort(auth.substring(colon + 1)) match {
+          case Some(pv) => (auth.substring(0, colon), pv)
+          case None     => return None
+        }
       }
-    if (host.isEmpty) return None
+    if (host.isEmpty || host == "[]") return None
     p = ae
     var pe = p
     while (pe < n && url.charAt(pe) != '?' && url.charAt(pe) != '#') pe += 1

@@ -76,6 +76,21 @@ class Mp3ParserSpec extends AnyFunSuite {
     assert(m.frames === 2 && m.bitrateKbps === 128)
   }
 
+  test("ID3v2 footer flag adds 10 bytes to the tag skip") {
+    // flags bit 4 (0x10) declares a footer: total tag = 10 header +
+    // size + 10 footer (ID3v2.4 §3.1). Without the footer skip the
+    // walk would land on the footer's '3DI' magic and parse nothing.
+    val tag = new ByteArrayOutputStream()
+    tag.write("ID3".getBytes); tag.write(4); tag.write(0); tag.write(0x10)
+    tag.write(0); tag.write(0); tag.write(0); tag.write(20) // size = 20
+    (0 until 20).foreach(_ => tag.write(0x55))
+    tag.write("3DI".getBytes); tag.write(4); tag.write(0); tag.write(0x10)
+    tag.write(0); tag.write(0); tag.write(0); tag.write(20) // footer mirror
+    val f = frame(3, 1, 9, 0, 0, 417)
+    val m = Mp3Parser.parseMp3(stream(tag.toByteArray, f, f)).get
+    assert(m.frames === 2 && m.bitrateKbps === 128)
+  }
+
   test("trailing garbage after valid frames ends the walk cleanly") {
     val f = frame(3, 1, 9, 0, 0, 417)
     val m = Mp3Parser.parseMp3(stream(f, f, "APETAGEX trailer".getBytes)).get

@@ -102,6 +102,34 @@ class Mp4ParserSpec extends AnyFunSuite {
     assert(Mp4Parser.parseMp4(tiny).isEmpty)
   }
 
+  test("truncated leaf boxes fail instead of reading sibling bytes") {
+    // an mvhd whose declared size is too small for its v0 fields: the
+    // timescale/duration reads would land in the NEXT box's bytes —
+    // must be None, not garbage Some(...)
+    val shortMvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32(0)) // 8 < 20
+    val bytes = ftyp() ++ box("moov", shortMvhd ++ trak("vide", "avc1"))
+    assert(Mp4Parser.parseMp4(bytes).isEmpty)
+    // v1 mvhd needs 32 body bytes; give it a v0-sized body
+    val shortV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ u32(0) ++ u32(0) ++
+      u32(600) ++ u32(60)) // 20 < 32
+    assert(Mp4Parser.parseMp4(
+      ftyp() ++ box("moov", shortV1 ++ trak("vide", "avc1"))).isEmpty)
+    // hdlr with body < 12: handler_type would come from the sibling
+    val shortHdlr = box("trak", box("mdia", box("hdlr", u32(0)) ++
+      box("minf", Array.empty[Byte])))
+    assert(Mp4Parser.parseMp4(
+      ftyp() ++ box("moov", mvhdV0(600, 60) ++ shortHdlr)).isEmpty)
+    // stsd with body < 8: entry_count would come from outside the box
+    val shortStsd = box("trak", box("mdia", box("minf", box("stbl",
+      box("stsd", u32(0))))))
+    assert(Mp4Parser.parseMp4(
+      ftyp() ++ box("moov", mvhdV0(600, 60) ++ shortStsd)).isEmpty)
+    // empty ftyp: no room for the brand fourcc
+    assert(Mp4Parser.parseMp4(
+      box("ftyp", Array.empty[Byte]) ++
+        box("moov", mvhdV0(600, 60) ++ trak("vide", "avc1"))).isEmpty)
+  }
+
   test("fuzz totality: arbitrary bytes parse to Some or None, no throw") {
     val rnd = new scala.util.Random(414)
     (0 until 2000).foreach { _ =>

@@ -60,6 +60,23 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(normalize("http://h/p?flag&z=&a=1").get === "http://h/p?a=1&flag&z=")
   }
 
+  test("parse: bracketed IPv6 literals keep their colons out of the port") {
+    val u = parse("http://[::1]:8080/p").get
+    assert(u.host === "[::1]" && u.port === 8080 && u.path === "/p")
+    val v = parse("https://[2001:DB8::1]/x").get
+    assert(v.host === "[2001:DB8::1]" && v.port === -1)
+    assert(normalize("HTTP://[2001:DB8::1]:80/x").get === "http://[2001:db8::1]/x")
+    assert(parse("http://[::1/p").isEmpty)      // unclosed bracket
+    assert(parse("http://[]/p").isEmpty)        // empty literal
+    assert(parse("http://[::1]8080/p").isEmpty) // junk between ] and port
+  }
+
+  test("normalize: bare ref= survives (content-selecting, not tracking)") {
+    assert(normalize("http://h/p?ref=docs&utm_source=x").get ===
+      "http://h/p?ref=docs")
+    assert(normalize("http://h/p?ref_src=twsrc&id=1").get === "http://h/p?id=1")
+  }
+
   test("registeredDomain: two-part suffixes, unknown TLDs, edge shapes") {
     assert(registeredDomain("www.blog.site3.co.uk") === "site3.co.uk")
     assert(registeredDomain("a.b.example.com") === "example.com")
