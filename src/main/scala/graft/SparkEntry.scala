@@ -1469,33 +1469,57 @@ object SparkEntry {
     // task — scan-local, nothing but (url, page) ever moves.
     "crawl_pipeline" -> ((s, d) => {
       import s.implicits._
+      // write half: one exchange on the shard key, rows sorted
+      // (shard, id) within partitions, then each shard RUN streams
+      // record-by-record into the gzip writer — the heap never holds
+      // a shard's uncompressed rows, only the compressed image (the
+      // product). A mis-sized shard count degrades to big files, not
+      // an executor OOM.
       val shards = table(s, d, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)]
-        .groupByKey(_._1 % 16)
-        .mapGroups { (shard, rows) =>
-          val recs = rows.toSeq.sortBy(_._1).map { case (id, text) =>
-            val tld = if ((id % 10) % 3 == 0) "co.uk" else "com"
-            val raw = (if (id % 2 == 0) "HTTP" else "HTTPS") +
-              s"://WWW.Site${id % 10}.$tld" +
-              (if (id % 2 == 0) ":80" else ":443") +
-              s"/d${id % 7}/./page?utm_source=feed&id=$id#top"
-            val html =
-              s"""<html><head><title>Doc $id</title>
-                 |<script>var x = "<p>not text</p>";</script></head>
-                 |<body><p>${graft.operators.HtmlExtract.escapeHtml(text)}</p>
-                 |<a href="/next">next</a></body></html>""".stripMargin
-            (raw, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .select((col("doc_id").cast("long") % 16).cast("int").as("shard"),
+          col("doc_id").cast("long").as("id"), col("text"))
+        .repartition(16, col("shard"))
+        .sortWithinPartitions("shard", "id")
+        .as[(Int, Long, String)]
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[(Int, Array[Byte])] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): (Int, Array[Byte]) = {
+              val shard = buf.head._1
+              val run = new Iterator[(String, Array[Byte], String)] {
+                def hasNext: Boolean = buf.hasNext && buf.head._1 == shard
+                def next(): (String, Array[Byte], String) = {
+                  val (_, id, text) = buf.next()
+                  val tld = if ((id % 10) % 3 == 0) "co.uk" else "com"
+                  val raw = (if (id % 2 == 0) "HTTP" else "HTTPS") +
+                    s"://WWW.Site${id % 10}.$tld" +
+                    (if (id % 2 == 0) ":80" else ":443") +
+                    s"/d${id % 7}/./page?utm_source=feed&id=$id#top"
+                  val html =
+                    s"""<html><head><title>Doc $id</title>
+                       |<script>var x = "<p>not text</p>";</script></head>
+                       |<body><p>${graft.operators.HtmlExtract.escapeHtml(text)}</p>
+                       |<a href="/next">next</a></body></html>""".stripMargin
+                  (raw, html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                    "text/html; charset=utf-8")
+                }
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              graft.sources.WarcCodec.writeWarcGz(bos, run)
+              (shard, bos.toByteArray)
+            }
           }
-          (shard, graft.sources.WarcCodec.buildWarcGz(recs))
         }
         .toDF("shard", "warc_gz")
       shards.select(col("warc_gz")).as[Array[Byte]]
         .flatMap(blob => graft.sources.WarcCodec.parseWarc(blob))
         .map { doc =>
-          val html = new String(doc.body, java.nio.charset.StandardCharsets.UTF_8)
-          val e = graft.operators.HtmlExtract.extract(html)
+          // charset-aware decode off the framed Content-Type — no
+          // hardcoded UTF-8 anywhere in the read path
+          val dec = graft.operators.CharsetSniff.decode(doc.body, doc.content_type)
+          val e = graft.operators.HtmlExtract.extract(dec.text)
           val norm = graft.operators.UrlOps.normalize(doc.url).getOrElse("")
           val host = graft.operators.UrlOps.parse(doc.url)
             .map(_.host.toLowerCase).getOrElse("")
@@ -1504,6 +1528,58 @@ object SparkEntry {
             e.text, e.nLinks, doc.http_status)
         }
         .toDF("id", "url_norm", "domain", "text_clean", "n_links", "status")
+        .orderBy("id")
+    }),
+    // CHARSET-aware crawl decode: real crawls are ~10–20% legacy-
+    // charset, so each document becomes a page in one of five
+    // authoring conventions — UTF-8 declared by the HTTP header
+    // (with a LYING meta tag the header must outrank), Latin-1 via
+    // <meta charset>, Windows-1251 via http-equiv, undeclared
+    // (→ ISO-8859-1 fallback), and UTF-8-BOM'd with a lying meta
+    // (BOM outranks everything). Pages carry non-ASCII marker chars
+    // whose survival PROVES the right codec ran; the bytes travel
+    // through real WARC response framing so the Content-Type is
+    // parsed off the wire, not passed around in memory.
+    "crawl_charset" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val cls = (id % 5).toInt
+            val (marker, csName, httpCt, metaTag, bom) = cls match {
+              case 0 => ("café Ж", "UTF-8", "text/html; charset=utf-8",
+                "<meta http-equiv=\"Content-Type\" " +
+                  "content=\"text/html; charset=windows-1251\">", false)
+              case 1 => ("é±", "ISO-8859-1", "text/html",
+                "<meta charset=\"iso-8859-1\">", false)
+              case 2 => ("Дж", "windows-1251", "text/html",
+                "<meta http-equiv=\"Content-Type\" " +
+                  "content=\"text/html; charset=windows-1251\">", false)
+              case 3 => ("éü", "ISO-8859-1", "text/html", "", false)
+              case _ => ("Ωπ", "UTF-8", "text/html",
+                "<meta charset=\"iso-8859-1\">", true)
+            }
+            val html =
+              s"""<html><head>$metaTag<title>Doc $id</title></head>
+                 |<body><p>${graft.operators.HtmlExtract.escapeHtml(text)} $marker</p>
+                 |</body></html>""".stripMargin
+            val enc = html.getBytes(java.nio.charset.Charset.forName(csName))
+            val body =
+              if (bom) Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ enc
+              else enc
+            val bos = new java.io.ByteArrayOutputStream()
+            graft.sources.WarcCodec.writeWarcGz(bos,
+              Iterator((s"https://crawl.example/p/$id", body, httpCt)))
+            val doc = graft.sources.WarcCodec.parseWarc(bos.toByteArray).head
+            val dec = graft.operators.CharsetSniff.decode(doc.body, doc.content_type)
+            val e = graft.operators.HtmlExtract.extract(dec.text)
+            (id, dec.charset, dec.source, e.title, e.text)
+          }
+        }
+        .toDF("id", "charset", "src", "title", "text_clean")
         .orderBy("id")
     }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
@@ -3674,6 +3750,34 @@ object SparkEntry {
         |       CAST(1 AS INT) AS n_links,
         |       CAST(200 AS INT) AS status
         |FROM src ORDER BY id""".stripMargin,
+    // The decoded page re-derived arithmetically: per class the
+    // charset/provenance are fixed by the fixture's declaration
+    // convention, and the non-ASCII markers are rebuilt from their
+    // Unicode codepoints with chr() — if the wrong codec ran on the
+    // Spark side the markers come back as mojibake and the hash
+    // diverges. Text = document text + marker, whitespace-collapsed
+    // exactly like the extractor.
+    "crawl_charset" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT id, text, id % 5 AS cls FROM src)
+        |SELECT id,
+        |       CASE cls WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'ISO-8859-1'
+        |            WHEN 2 THEN 'windows-1251' WHEN 3 THEN 'ISO-8859-1'
+        |            ELSE 'UTF-8' END AS charset,
+        |       CASE cls WHEN 0 THEN 'http' WHEN 1 THEN 'meta'
+        |            WHEN 2 THEN 'meta' WHEN 3 THEN 'fallback'
+        |            ELSE 'bom' END AS src,
+        |       'Doc ' || id AS title,
+        |       trim(regexp_replace(text || ' ' ||
+        |         CASE cls WHEN 0 THEN 'caf' || chr(233) || ' ' || chr(1046)
+        |              WHEN 1 THEN chr(233) || chr(177)
+        |              WHEN 2 THEN chr(1044) || chr(1078)
+        |              WHEN 3 THEN chr(233) || chr(252)
+        |              ELSE chr(937) || chr(960) END,
+        |         '[ \t\n\r\f]+', ' ', 'g')) AS text_clean
+        |FROM d ORDER BY id""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.

@@ -40,15 +40,25 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
  */
 object WarcCodec {
 
-  /** One parsed crawl document: target URI + HTTP body (the page). */
-  final case class WarcDoc(url: String, http_status: Int, body: Array[Byte])
+  /** One parsed crawl document: target URI, HTTP status, the raw
+    * `Content-Type` header value ("" when absent — it carries the
+    * transport-layer charset parameter the decode step needs), and
+    * the HTTP body (the page BYTES; decoding them to text is a
+    * separate, charset-aware step — see
+    * [[graft.operators.CharsetSniff]]). */
+  final case class WarcDoc(
+      url: String, http_status: Int, content_type: String, body: Array[Byte])
 
   private val CrLf = "\r\n"
 
+  private[sources] val DefaultContentType = "text/plain; charset=utf-8"
+
   /** Encode one `response` record (uncompressed bytes). */
-  private[sources] def responseRecord(url: String, body: Array[Byte]): Array[Byte] = {
+  private[sources] def responseRecord(
+      url: String, body: Array[Byte],
+      contentType: String = DefaultContentType): Array[Byte] = {
     val http =
-      (s"HTTP/1.1 200 OK${CrLf}Content-Type: text/plain; charset=utf-8$CrLf" +
+      (s"HTTP/1.1 200 OK${CrLf}Content-Type: $contentType$CrLf" +
         s"Content-Length: ${body.length}$CrLf$CrLf").getBytes(UTF_8) ++ body
     val header =
       (s"WARC/1.0${CrLf}WARC-Type: response${CrLf}WARC-Target-URI: $url$CrLf" +
@@ -74,13 +84,30 @@ object WarcCodec {
     bos.toByteArray
   }
 
-  /** Build one `.warc.gz` file image: warcinfo + a response record per
-    * (url, body), each record its own gzip member (the standard
-    * layout). */
+  /**
+   * STREAMING shard writer — the export primitive: warcinfo lead, then
+   * one gzip member per `(url, body, contentType)` record, written to
+   * `out` as the iterator is consumed. Heap holds ONE record at a
+   * time, never the shard: a mis-sized `numShards` against a 100 TB
+   * corpus degrades to a big FILE, not an executor OOM. Everything
+   * else ([[buildWarcGz]], [[exportWarcShards]]) layers on this.
+   */
+  def writeWarcGz(
+      out: java.io.OutputStream,
+      docs: Iterator[(String, Array[Byte], String)],
+      info: String = "graft-export"): Unit = {
+    out.write(gzipMember(warcinfoRecord(info)))
+    docs.foreach { case (url, body, ct) =>
+      out.write(gzipMember(responseRecord(url, body, ct)))
+    }
+  }
+
+  /** Build one `.warc.gz` file image in memory (fixture-sized inputs;
+    * the scale path streams via [[writeWarcGz]]). */
   def buildWarcGz(docs: Seq[(String, Array[Byte])], info: String = "graft-export"): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    bos.write(gzipMember(warcinfoRecord(info)))
-    docs.foreach { case (url, body) => bos.write(gzipMember(responseRecord(url, body))) }
+    writeWarcGz(bos,
+      docs.iterator.map { case (u, b) => (u, b, DefaultContentType) }, info)
     bos.toByteArray
   }
 
@@ -175,14 +202,19 @@ object WarcCodec {
                 if (status > 0) {
                   var blank = false
                   var hOk = true
+                  var contentType = ""
                   while (!blank && hOk) line() match {
                     case Some("") => blank = true
-                    case Some(_) => ()
+                    case Some(h) =>
+                      val ci = h.indexOf(':')
+                      if (ci > 0 &&
+                          h.substring(0, ci).trim.equalsIgnoreCase("content-type"))
+                        contentType = h.substring(ci + 1).trim
                     case None => hOk = false
                   }
                   if (hOk && pos <= save) {
                     val body = java.util.Arrays.copyOfRange(bytes, pos, save)
-                    out += WarcDoc(uri, status, body)
+                    out += WarcDoc(uri, status, contentType, body)
                   }
                 }
                 pos = save
@@ -212,22 +244,45 @@ object WarcCodec {
    * records ordered by id within the shard — deterministic). The blobs
    * land in a DataFrame so the caller picks the sink (files via
    * binary write, a table, or the round-trip check).
+   *
+   * Write-side shape: the one exchange hash-partitions on the shard
+   * key; `sortWithinPartitions` then orders rows (shard, id) so each
+   * task's iterator is a concatenation of complete shard RUNS — the
+   * run iterator feeds [[writeWarcGz]] record by record. Nothing
+   * materializes per shard except the compressed output image itself
+   * (the product); the uncompressed rows stream straight through,
+   * exactly like a sort-based aggregate.
    */
   def exportWarcShards(
       docs: DataFrame, idCol: String, textCol: String, nShards: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nShards > 0, s"nShards must be positive: $nShards")
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .groupByKey(r => (r._1 % nShards).toInt)
-      .mapGroups { (shard: Int, rows: Iterator[(Long, String)]) =>
-        val sorted = rows.toSeq.sortBy(_._1)
-        val recs = sorted.map { case (id, text) =>
-          (s"https://graft.example/doc/$id",
-            (if (text == null) "" else text).getBytes(UTF_8))
+    docs.select((col(idCol).cast("long") % nShards).cast("int").as("shard"),
+        col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Int, Long, String)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Int, Array[Byte])] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Int, Array[Byte]) = {
+            val shard = buf.head._1
+            val run = new Iterator[(String, Array[Byte], String)] {
+              def hasNext: Boolean = buf.hasNext && buf.head._1 == shard
+              def next(): (String, Array[Byte], String) = {
+                val (_, id, text) = buf.next()
+                (s"https://graft.example/doc/$id",
+                  (if (text == null) "" else text).getBytes(UTF_8),
+                  DefaultContentType)
+              }
+            }
+            val bos = new ByteArrayOutputStream()
+            writeWarcGz(bos, run)
+            (shard, bos.toByteArray)
+          }
         }
-        (shard, buildWarcGz(recs))
       }
       .toDF("shard", "warc_gz")
   }

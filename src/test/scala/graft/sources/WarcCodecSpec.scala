@@ -30,6 +30,38 @@ class WarcCodecSpec extends SparkFunSuite {
     assert(got.map(_.url) === docs.map(_._1))
   }
 
+  test("HTTP Content-Type travels the record and comes back verbatim") {
+    val ct = "text/html; charset=windows-1251"
+    val rec = WarcCodec.responseRecord("https://a.example/ct", "x".getBytes(UTF_8), ct)
+    val got = WarcCodec.parseWarc(rec)
+    assert(got.size === 1 && got.head.content_type === ct)
+    // default writer declares its own charset; absent header → ""
+    assert(WarcCodec.parseWarc(
+      WarcCodec.responseRecord("https://a.example/d", "y".getBytes(UTF_8)))
+      .head.content_type === "text/plain; charset=utf-8")
+  }
+
+  test("writeWarcGz streams records without materializing the shard") {
+    // the writer must pull from the iterator lazily — record N is
+    // compressed and written to the stream before record N+1 is even
+    // produced, so the output size observed at each production grows
+    // strictly (no buffering of the record set)
+    val bos = new java.io.ByteArrayOutputStream()
+    val sizeAtProduction = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val it = (0 until 50).iterator.map { i =>
+      sizeAtProduction += bos.size()
+      (s"https://a.example/$i", s"body $i".getBytes(UTF_8), "text/plain")
+    }
+    WarcCodec.writeWarcGz(bos, it)
+    assert(sizeAtProduction.size === 50)
+    assert(sizeAtProduction.sliding(2).forall { w => w(0) < w(1) },
+      sizeAtProduction.take(5).toString)
+    val got = WarcCodec.parseWarc(bos.toByteArray)
+    assert(got.map(_.url) === (0 until 50).map(i => s"https://a.example/$i"))
+    assert(got.map(d => new String(d.body, UTF_8)) ===
+      (0 until 50).map(i => s"body $i"))
+  }
+
   test("truncation is total: records before the damage survive, tail drops") {
     val blob = WarcCodec.buildWarcGz(docs)
     for (cut <- Seq(1, 10, blob.length / 3, blob.length / 2, blob.length - 5)) {
