@@ -1582,6 +1582,52 @@ object SparkEntry {
         .toDF("id", "charset", "src", "title", "text_clean")
         .orderBy("id")
     }),
+    // LINK GRAPH edges — the standard domain-quality signal of crawl
+    // curation (a domain linked from many registered domains ranks
+    // above one only it links to). Each document's page carries every
+    // href form a crawl meets (absolute, protocol-relative with an
+    // entity-encoded query, absolute-path, relative with dot-segments,
+    // query-only, fragment-only, and an href-less named anchor);
+    // extraction → RFC 3986 resolution against the page URL →
+    // canonicalization → registered-domain edges. Shape at 100 TB:
+    // extract+resolve are scan-local flatMap work; the only exchange
+    // is the final (src, dst) count aggregate — edges shuffle as two
+    // short strings, never pages.
+    "crawl_links" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val q = id % 4
+          val tld = if (h % 3 == 0) "co.uk" else "com"
+          val pageUrl = s"HTTPS://WWW.Site$h.$tld/d${id % 7}/page"
+          val html =
+            s"""<html><body>
+               |<a href="https://partner$q.example/x">p</a>
+               |<a href="//cdn.site$h.com/img?a=1&amp;b=2">c</a>
+               |<a href="/about">a</a> <a href="../up">u</a>
+               |<a href='?page=2'>n</a> <a href=#sec>s</a>
+               |<a name="top">anchor</a>
+               |</body></html>""".stripMargin
+          val e = graft.operators.HtmlExtract.extract(html)
+          val src = graft.operators.UrlOps.parse(pageUrl)
+            .map(u => graft.operators.UrlOps.registeredDomain(u.host))
+            .getOrElse("")
+          e.links.flatMap { href =>
+            graft.operators.UrlOps.resolve(pageUrl, href)
+              .flatMap(graft.operators.UrlOps.normalize)
+              .flatMap(graft.operators.UrlOps.parse)
+              .map(u => (src, graft.operators.UrlOps.registeredDomain(u.host)))
+          }
+        }
+        .toDF("src_domain", "dst_domain")
+        .groupBy("src_domain", "dst_domain")
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_domain", "dst_domain")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -3778,6 +3824,34 @@ object SparkEntry {
         |              ELSE chr(937) || chr(960) END,
         |         '[ \t\n\r\f]+', ' ', 'g')) AS text_clean
         |FROM d ORDER BY id""".stripMargin,
+    // The edge multiset re-derived arithmetically: per doc the six
+    // hrefs resolve to partner{q}.example, site{h}.com (the cdn), and
+    // four self-edges (absolute-path, dot-segment relative,
+    // query-only, fragment-only); the href-less named anchor emits
+    // nothing.
+    "crawl_links" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT id % 10 AS h, id % 4 AS q,
+        |        CASE WHEN (id % 10) % 3 = 0 THEN 'co.uk' ELSE 'com' END AS tld
+        |      FROM src),
+        |e AS (
+        |  SELECT 'site' || h || '.' || tld AS src_domain,
+        |         'partner' || q || '.example' AS dst_domain FROM d
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.com' FROM d
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.' || tld FROM d
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.' || tld FROM d
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.' || tld FROM d
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.' || tld FROM d)
+        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e GROUP BY src_domain, dst_domain
+        |ORDER BY src_domain, dst_domain""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.

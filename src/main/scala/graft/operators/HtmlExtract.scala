@@ -37,8 +37,14 @@ package graft.operators
 object HtmlExtract {
 
   /** `title` = text inside `<title>`, excluded from `text`;
-    * `nLinks` = count of `<a` opening tags. */
-  final case class Extracted(title: String, text: String, nLinks: Int)
+    * `nLinks` = count of `<a` opening tags; `links` = the non-empty
+    * `href` attribute values of those tags, in document order, with
+    * entities decoded (`&amp;` is routine inside crawl URLs) — the raw
+    * material of the link graph ([[UrlOps.resolve]] turns them
+    * absolute against the page URL). An anchor without an href (a
+    * named anchor) counts in `nLinks` but contributes no link. */
+  final case class Extracted(
+      title: String, text: String, nLinks: Int, links: Seq[String])
 
   private val InlineTags = Set(
     "a", "b", "i", "u", "em", "strong", "span", "code", "small",
@@ -48,11 +54,95 @@ object HtmlExtract {
     "amp" -> '&', "lt" -> '<', "gt" -> '>',
     "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ')
 
+  /** Decode one entity body (the part between `&` and `;`): the named
+    * set or numeric `#NNN` / `#xHH`; None = not a valid entity (the
+    * caller keeps the raw text — crawl HTML contains bare `&`). */
+  private def decodeEntityBody(body: String): Option[String] = {
+    if (body.startsWith("#")) {
+      val num = body.substring(1)
+      val cp =
+        try {
+          if (num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+            Integer.parseInt(num.substring(1), 16)
+          else Integer.parseInt(num, 10)
+        } catch { case _: NumberFormatException => -1 }
+      if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp))
+        Some(new String(Character.toChars(cp)))
+      else None
+    } else NamedEntities.get(body.toLowerCase).map(_.toString)
+  }
+
+  /** Entity-decode a whole string (attribute values); invalid
+    * entities stay literal. */
+  def decodeEntities(s: String): String = {
+    if (s == null || s.indexOf('&') < 0) return if (s == null) "" else s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          decodeEntityBody(s.substring(i + 1, semi)) match {
+            case Some(str) => sb.append(str); i = semi + 1
+            case None      => sb.append('&'); i += 1
+          }
+        } else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Value of attribute `attrName` inside the tag span
+    * `[lt, end)` (`lt` at `<`, `end` just past `>`): quote-aware —
+    * other attributes' quoted values are skipped whole, so
+    * `title="href=x"` can never shadow the real href; supports
+    * double-quoted, single-quoted, and unquoted values. None when the
+    * attribute is absent. */
+  private def attrValue(
+      html: String, lt: Int, end: Int, attrName: String): Option[String] = {
+    var p = lt + 1
+    while (p < end) {
+      val c = html.charAt(p)
+      if (c == '"' || c == '\'') { // not our attr's value: skip it whole
+        p += 1
+        while (p < end && html.charAt(p) != c) p += 1
+        p += 1
+      } else if (html.regionMatches(true, p, attrName, 0, attrName.length) &&
+          p > lt + 1 && {
+            val before = html.charAt(p - 1)
+            before == ' ' || before == '\t' || before == '\n' ||
+              before == '\r' || before == '\f' || before == '/'
+          }) {
+        var q = p + attrName.length
+        while (q < end && Character.isWhitespace(html.charAt(q))) q += 1
+        if (q < end && html.charAt(q) == '=') {
+          q += 1
+          while (q < end && Character.isWhitespace(html.charAt(q))) q += 1
+          if (q >= end) return None
+          val qc = html.charAt(q)
+          if (qc == '"' || qc == '\'') {
+            var ve = q + 1
+            while (ve < end && html.charAt(ve) != qc) ve += 1
+            return Some(html.substring(q + 1, math.min(ve, end)))
+          } else {
+            var ve = q
+            while (ve < end && !Character.isWhitespace(html.charAt(ve)) &&
+              html.charAt(ve) != '>') ve += 1
+            return Some(html.substring(q, ve))
+          }
+        } else p = q
+      } else p += 1
+    }
+    None
+  }
+
   def extract(html: String): Extracted = {
-    if (html == null) return Extracted("", "", 0)
+    if (html == null) return Extracted("", "", 0, Nil)
     val n = html.length
     val text = new StringBuilder
     val title = new StringBuilder
+    val links = scala.collection.mutable.ArrayBuffer.empty[String]
     var inTitle = false
     var nLinks = 0
     var i = 0
@@ -111,11 +201,17 @@ object HtmlExtract {
             }
             i = end
           } else {
+            val te = tagEnd(i)
             if (name == "title") inTitle = !closing
-            if (!closing && name == "a") nLinks += 1
+            if (!closing && name == "a") {
+              nLinks += 1
+              attrValue(html, i, te, "href")
+                .map(v => decodeEntities(v.trim)).filter(_.nonEmpty)
+                .foreach(links += _)
+            }
             if (!InlineTags.contains(name))
               (if (inTitle) title else text).append(' ')
-            i = tagEnd(i)
+            i = te
           }
         }
       } else if (c == '&') {
@@ -123,21 +219,9 @@ object HtmlExtract {
         val out = if (inTitle) title else text
         var decoded = false
         if (semi > i && semi - i <= 10) {
-          val body = html.substring(i + 1, semi)
-          if (body.startsWith("#")) {
-            val num = body.substring(1)
-            val cp =
-              try {
-                if (num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
-                  Integer.parseInt(num.substring(1), 16)
-                else Integer.parseInt(num, 10)
-              } catch { case _: NumberFormatException => -1 }
-            if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) {
-              out.appendAll(Character.toChars(cp)); decoded = true
-            }
-          } else NamedEntities.get(body.toLowerCase) match {
-            case Some(ch) => out.append(ch); decoded = true
-            case None     => ()
+          decodeEntityBody(html.substring(i + 1, semi)) match {
+            case Some(str) => out.append(str); decoded = true
+            case None      => ()
           }
         }
         if (decoded) i = semi + 1
@@ -147,7 +231,8 @@ object HtmlExtract {
         i += 1
       }
     }
-    Extracted(collapseWs(title.toString), collapseWs(text.toString), nLinks)
+    Extracted(collapseWs(title.toString), collapseWs(text.toString), nLinks,
+      links.toSeq)
   }
 
   /** Collapse runs of ASCII whitespace to single spaces and trim —

@@ -161,6 +161,56 @@ object UrlOps {
       .map(_._3)
       .mkString("&")
 
+  /** `^scheme:` prefix test — the RFC 3986 §4.2 absolute/relative
+    * discriminator (also catches `mailto:`/`javascript:` pseudo-links,
+    * which then fail [[parse]]'s `://` requirement and drop out). */
+  private def hasScheme(ref: String): Boolean = {
+    if (ref.isEmpty || !Character.isLetter(ref.charAt(0))) return false
+    var i = 1
+    while (i < ref.length && {
+        val c = ref.charAt(i)
+        Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.'
+      }) i += 1
+    i < ref.length && ref.charAt(i) == ':'
+  }
+
+  /**
+   * RFC 3986 §5.2 reference resolution — hrefs scraped from a page
+   * ([[HtmlExtract.Extracted.links]]) become absolute URLs against the
+   * page URL, the step between link extraction and the link graph.
+   * Handles every reference form a crawl meets: absolute (returned
+   * as-is), protocol-relative (`//host/…`), absolute-path, relative
+   * path (merged with the base directory, dot-segments removed),
+   * query-only (`?…`), fragment-only (`#…`), and empty. None when the
+   * BASE itself does not parse (hostile crawl URLs).
+   */
+  def resolve(base: String, ref: String): Option[String] = {
+    if (ref == null) return None
+    val r = ref.trim
+    if (hasScheme(r)) return Some(r)
+    parse(base).map { b =>
+      val prefix = b.scheme + "://" + b.host +
+        (if (b.port >= 0) ":" + b.port else "")
+      val basePath = if (b.path.isEmpty) "/" else b.path
+      if (r.startsWith("//")) b.scheme + ":" + r
+      else if (r.startsWith("/")) prefix + r
+      else if (r.startsWith("?")) prefix + basePath + r
+      else if (r.startsWith("#"))
+        prefix + basePath + (if (b.query.nonEmpty) "?" + b.query else "") + r
+      else if (r.isEmpty)
+        prefix + basePath + (if (b.query.nonEmpty) "?" + b.query else "")
+      else {
+        // §5.2.3 merge: base directory (up to the last '/') + ref's
+        // path part; ref's own query/fragment ride along untouched
+        val cut = r.indexWhere(c => c == '?' || c == '#')
+        val (rPath, rRest) =
+          if (cut < 0) (r, "") else (r.substring(0, cut), r.substring(cut))
+        val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+        prefix + removeDotSegments(dir + rPath) + rRest
+      }
+    }
+  }
+
   def normalize(url: String): Option[String] = parse(url).map { u =>
     val scheme = u.scheme.toLowerCase
     val host = u.host.toLowerCase.stripSuffix(".")

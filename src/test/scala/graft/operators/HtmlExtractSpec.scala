@@ -35,6 +35,38 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(extract("a<p attr=").text === "a")
   }
 
+  test("links: href values collected in order, entities decoded") {
+    val e = extract(
+      """<a href="https://x.example/a">1</a>
+        |<a href='/rel/path'>2</a>
+        |<a href=bare?q=1>3</a>
+        |<a class="nav" href="/y?a=1&amp;b=2">4</a>
+        |<a name="top">no href</a>""".stripMargin)
+    assert(e.links === Seq(
+      "https://x.example/a", "/rel/path", "bare?q=1", "/y?a=1&b=2"))
+    assert(e.nLinks === 5) // the named anchor counts, contributes no link
+  }
+
+  test("links: href can't be shadowed by other attributes' values") {
+    // 'href=' inside title's VALUE must not be read as the attribute;
+    // the real href follows
+    val e = extract("""<a title="href=/fake" href="/real">x</a>""")
+    assert(e.links === Seq("/real"))
+    // attribute-name boundary: data-href is not href
+    assert(extract("""<a data-href="/no">x</a>""").links === Nil)
+    // empty href drops out; whitespace-only too
+    assert(extract("""<a href="">x</a><a href="  ">y</a>""").links === Nil)
+    // unterminated quote stays total
+    assert(extract("""<a href="/unclosed x""").links === Seq("/unclosed x"))
+  }
+
+  test("decodeEntities: named, numeric, invalid kept literal") {
+    assert(decodeEntities("a=1&amp;b=2") === "a=1&b=2")
+    assert(decodeEntities("&#65;&#x42;") === "AB")
+    assert(decodeEntities("AT&T &bogus; &#xZZ;") === "AT&T &bogus; &#xZZ;")
+    assert(decodeEntities("") === "" && decodeEntities(null) === "")
+  }
+
   test("quote-aware tag scan: '>' inside attribute values") {
     val e = extract("""<a href="/x" title="a>b">More</a> text""")
     assert(e.text === "More text" && e.nLinks === 1)
@@ -67,8 +99,8 @@ class HtmlExtractSpec extends AnyFunSuite {
   }
 
   test("null and empty input are total") {
-    assert(extract(null) === Extracted("", "", 0))
-    assert(extract("") === Extracted("", "", 0))
+    assert(extract(null) === Extracted("", "", 0, Nil))
+    assert(extract("") === Extracted("", "", 0, Nil))
   }
 
   test("fuzz totality: random byte soup never throws") {

@@ -86,13 +86,38 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(registeredDomain("co.uk") === "co.uk") // the suffix itself: 2 labels
   }
 
+  test("resolve: every reference form against a base page URL") {
+    val base = "https://www.ex.com:8443/a/b/page?q=1#frag"
+    assert(resolve(base, "https://other.org/z") === Some("https://other.org/z"))
+    assert(resolve(base, "//cdn.ex.com/img") === Some("https://cdn.ex.com/img"))
+    assert(resolve(base, "/root/x") === Some("https://www.ex.com:8443/root/x"))
+    assert(resolve(base, "sib") === Some("https://www.ex.com:8443/a/b/sib"))
+    assert(resolve(base, "../up?x=2") === Some("https://www.ex.com:8443/a/up?x=2"))
+    assert(resolve(base, "./same") === Some("https://www.ex.com:8443/a/b/same"))
+    assert(resolve(base, "?page=2") ===
+      Some("https://www.ex.com:8443/a/b/page?page=2"))
+    assert(resolve(base, "#sec") ===
+      Some("https://www.ex.com:8443/a/b/page?q=1#sec"))
+    assert(resolve(base, "") === Some("https://www.ex.com:8443/a/b/page?q=1"))
+    // pseudo-links come back as-is (and then fail parse/normalize)
+    assert(resolve(base, "mailto:x@y.z") === Some("mailto:x@y.z"))
+    assert(resolve(base, "javascript:void(0)") === Some("javascript:void(0)"))
+    // pathless base: merge against "/"
+    assert(resolve("http://h", "x") === Some("http://h/x"))
+    // unparseable base
+    assert(resolve("not a url", "/x") === None)
+    assert(resolve(base, null) === None)
+  }
+
   test("fuzz totality: arbitrary strings never throw") {
     val rnd = new scala.util.Random(909)
     val alphabet = ":/?#@&=%.ab12~_-".toCharArray
     (0 until 3000).foreach { _ =>
       val s = Array.fill(rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length)))
       val str = new String(s)
-      parse(str); normalize(str) // must not throw
+      parse(str); normalize(str)                       // must not throw
+      resolve("https://h.example/a/b?q=1", str)        // ref fuzz
+      resolve(str, "../x")                             // base fuzz
     }
   }
 }
