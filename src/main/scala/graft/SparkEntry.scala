@@ -1628,6 +1628,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_links"))
         .orderBy("src_domain", "dst_domain")
     }),
+    // URL-level dedup — the FIRST dedup pass of every crawl pipeline:
+    // the same page fetched repeatedly under scheme/host case noise,
+    // default ports, dot-segments, shuffled params, per-fetch tracking
+    // ids, and fragments collapses onto ONE canonical URL, keeping the
+    // best capture (longest text, ties → lowest id — the
+    // keep-best convention of Dedup.keepBestVerdict). Shape at
+    // 100 TB: normalization is scan-local; the only exchange carries
+    // (canonical url, id, n_chars) — one hash aggregate, no pages.
+    "crawl_url_dedup" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nChars) =>
+            val g = id % 120 // ~4 fetches of each canonical page
+            val scheme = if (g % 2 == 0) "http" else "https"
+            val schemeRaw = if (id % 2 == 0) scheme.toUpperCase else scheme
+            val host = (if (id % 3 == 0) s"WWW.Page${g % 10}"
+              else s"www.page${g % 10}") + ".com"
+            val port =
+              if (id % 2 == 0) { if (g % 2 == 0) ":80" else ":443" } else ""
+            val path = if (id % 3 == 0) s"/a${g % 5}/./x" else s"/a${g % 5}/x"
+            val qs =
+              if (id % 2 == 0) s"?k=$g&b=1&utm_source=f$id"
+              else s"?b=1&fbclid=Z$id&k=$g"
+            val raw = s"$schemeRaw://$host$port$path$qs#frag$id"
+            (id, nChars, graft.operators.UrlOps.normalize(raw).get)
+          }
+        }
+        .toDF("id", "n_chars", "url_norm")
+        .groupBy("url_norm")
+        .agg(count(lit(1)).as("n_fetches"),
+          min_by(col("id"), struct(negate(col("n_chars")), col("id")))
+            .as("keep_id"),
+          max(col("n_chars")).as("max_len"))
+        .orderBy("url_norm")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -3852,6 +3891,33 @@ object SparkEntry {
         |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
         |FROM e GROUP BY src_domain, dst_domain
         |ORDER BY src_domain, dst_domain""".stripMargin,
+    // The canonical URL re-derived arithmetically from g = id % 120
+    // (everything per-fetch — case, port, dot-segment, tracking ids,
+    // param order, fragment — normalizes away); keep-best via the
+    // window-max + min-id idiom of the dedup_keep_best oracle.
+    "crawl_url_dedup" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         CAST(n_chars AS BIGINT) AS n_chars,
+        |         CAST(doc_id % 120 AS BIGINT) AS g
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (
+        |  SELECT id, n_chars,
+        |         CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END ||
+        |           '://www.page' || (g % 10) || '.com/a' || (g % 5) ||
+        |           '/x?b=1&k=' || g AS url_norm
+        |  FROM src),
+        |best AS (
+        |  SELECT url_norm, min(id) AS keep_id FROM (
+        |    SELECT url_norm, id, n_chars,
+        |           max(n_chars) OVER (PARTITION BY url_norm) AS mx
+        |    FROM u)
+        |  WHERE n_chars = mx GROUP BY url_norm)
+        |SELECT u.url_norm, CAST(count(*) AS BIGINT) AS n_fetches,
+        |       b.keep_id, max(u.n_chars) AS max_len
+        |FROM u JOIN best b USING (url_norm)
+        |GROUP BY u.url_norm, b.keep_id
+        |ORDER BY u.url_norm""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.

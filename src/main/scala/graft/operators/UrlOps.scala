@@ -36,15 +36,6 @@ object UrlOps {
   private val TrackingParams =
     Set("fbclid", "gclid", "msclkid", "ref_src", "igshid")
 
-  /** Two-part public suffixes for [[registeredDomain]] — an embedded
-    * subset of the Mozilla Public Suffix List covering the common
-    * crawl mass; the full PSL drops into this set unchanged. */
-  private val TwoPartSuffixes = Set(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
-    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
-    "com.br", "com.cn", "com.mx", "com.tr", "co.in", "co.kr",
-    "co.za", "com.ar", "github.io", "gitlab.io", "blogspot.com")
-
   private def parsePort(ps: String): Option[Int] =
     if (ps.isEmpty || ps.length > 5 || !ps.forall(Character.isDigit)) None
     else Some(ps.toInt).filter(_ <= 65535)
@@ -222,17 +213,12 @@ object UrlOps {
     scheme + "://" + host + portPart + path + (if (q.isEmpty) "" else "?" + q)
   }
 
-  /** `www.blog.site3.co.uk` → `site3.co.uk`; unknown suffixes take the
-    * last two labels; single-label hosts pass through. */
+  /** `www.blog.site3.co.uk` → `site3.co.uk` — the registrable domain
+    * under the full [[PublicSuffix]] rule walk (longest match,
+    * wildcard and exception rules, implicit `*` default for unknown
+    * TLDs); single-label hosts and IP literals pass through. */
   def registeredDomain(host: String): String = {
-    val h = host.toLowerCase.stripSuffix(".")
-    val labels = h.split('.')
-    if (labels.length <= 1) h
-    else {
-      val last2 = labels.takeRight(2).mkString(".")
-      if (TwoPartSuffixes.contains(last2) && labels.length >= 3)
-        labels.takeRight(3).mkString(".")
-      else last2
-    }
+    if (host == null) return ""
+    PublicSuffix.registeredDomain(host.toLowerCase.stripSuffix("."))
   }
 }
