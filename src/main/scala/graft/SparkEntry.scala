@@ -1667,6 +1667,85 @@ object SparkEntry {
           max(col("n_chars")).as("max_len"))
         .orderBy("url_norm")
     }),
+    // Robots fetch-policy gate (RFC 9309) — the step between link
+    // discovery and the fetch queue. One fixture policy exercises the
+    // semantics that decide real crawls: named-group EXCLUSIVITY
+    // (graftbot does not inherit the * group's /tmp* ban),
+    // longest-pattern precedence with Allow winning ties, `$` end
+    // anchors out-ranking shorter Disallows, and `*` prefix-anchored
+    // wildcards. Six path classes per document; both a named crawler
+    // and a defaulting one are decided. Scan-local: the policy is a
+    // per-domain broadcast-sized object, the decision a pure map.
+    "crawl_robots" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions { it =>
+          val robots = graft.operators.RobotsTxt.parse(
+            """# graft fixture policy
+              |User-agent: graftbot
+              |Allow: /private/graft/
+              |Disallow: /private/
+              |
+              |User-agent: *
+              |Disallow: /private/
+              |Disallow: /tmp*
+              |Allow: /private/ok$
+              |Crawl-delay: 2
+              |Sitemap: https://www.example.com/sitemap.xml""".stripMargin)
+          it.map { id =>
+            val path = (id % 6) match {
+              case 0 => s"/public/p$id"
+              case 1 => s"/private/p$id"
+              case 2 => s"/private/graft/p$id"
+              case 3 => s"/tmpfile$id"
+              case 4 => "/private/ok"
+              case _ => s"/ok/tmp$id"
+            }
+            (id, path,
+              graft.operators.RobotsTxt.isAllowed(robots, "graftbot/1.0", path),
+              graft.operators.RobotsTxt.isAllowed(robots, "otherbot/2.0", path))
+          }
+        }
+        .toDF("id", "path", "allowed_graft", "allowed_other")
+        .orderBy("id")
+    }),
+    // Sitemap ingestion — frontier SEEDING, the other half of the
+    // policy loop crawl_robots gates: each document becomes a
+    // urlset with 1–3 entries (entity-encoded locs, lastmod,
+    // priority), parsed back by the DOM-free total scanner and
+    // exploded to frontier rows. Scan-local flatMap; nothing but the
+    // seeded rows ever moves.
+    "crawl_sitemap" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val k = (1 + id % 3).toInt
+          val urls = (0 until k).map { j =>
+            s"""  <url>
+               |    <loc>https://www.site${id % 10}.com/page$id/$j?a=1&amp;b=$j</loc>
+               |    <lastmod>2026-0${1 + id % 9}-01</lastmod>
+               |    <changefreq>weekly</changefreq>
+               |    <priority>0.${id % 10}</priority>
+               |  </url>""".stripMargin
+          }.mkString("\n")
+          val xml =
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+               |$urls
+               |</urlset>""".stripMargin
+          graft.operators.Sitemap.parse(xml).entries.zipWithIndex.map {
+            case (e, j) => (id, j.toLong, e.loc, e.lastmod, e.priority)
+          }
+        }
+        .toDF("id", "pos", "loc", "lastmod", "priority")
+        .orderBy("id", "pos")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -3918,6 +3997,43 @@ object SparkEntry {
         |FROM u JOIN best b USING (url_norm)
         |GROUP BY u.url_norm, b.keep_id
         |ORDER BY u.url_norm""".stripMargin,
+    // Each class's verdict derived BY HAND from RFC 9309 §2.2.2
+    // against the fixture policy: graftbot allowed = {no-match,
+    // graft-carve-out wins by length, tmp* not in its group,
+    // no-match}; otherbot allowed = {no-match, $-anchored Allow
+    // out-ranks Disallow, no-match} — closed-form, zero re-derivation
+    // of the matcher.
+    "crawl_robots" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT id, id % 6 AS cls FROM src)
+        |SELECT id,
+        |       CASE cls WHEN 0 THEN '/public/p' || id
+        |            WHEN 1 THEN '/private/p' || id
+        |            WHEN 2 THEN '/private/graft/p' || id
+        |            WHEN 3 THEN '/tmpfile' || id
+        |            WHEN 4 THEN '/private/ok'
+        |            ELSE '/ok/tmp' || id END AS path,
+        |       cls IN (0, 2, 3, 5) AS allowed_graft,
+        |       cls IN (0, 4, 5) AS allowed_other
+        |FROM d ORDER BY id""".stripMargin,
+    // The seeded frontier re-derived arithmetically: k = 1 + id%3
+    // entries per document, loc rebuilt with the DECODED ampersand,
+    // priority re-parsed from the same decimal string both engines
+    // turn into the identical nearest double.
+    "crawl_sitemap" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT id, CAST(j - 1 AS BIGINT) AS pos
+        |      FROM src, unnest(generate_series(1, CAST(1 + id % 3 AS INT))) t(j))
+        |SELECT id, pos,
+        |       'https://www.site' || (id % 10) || '.com/page' || id || '/' ||
+        |         pos || '?a=1&b=' || pos AS loc,
+        |       '2026-0' || (1 + id % 9) || '-01' AS lastmod,
+        |       CAST('0.' || (id % 10) AS DOUBLE) AS priority
+        |FROM d ORDER BY id, pos""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.
