@@ -1746,6 +1746,35 @@ object SparkEntry {
         .toDF("id", "pos", "loc", "lastmod", "priority")
         .orderBy("id", "pos")
     }),
+    // IDN canonicalization: crawled URLs carry internationalized
+    // hosts both ways (Unicode in hrefs, xn-- on the wire); the
+    // normalizer's RFC 3492 punycode makes them ONE dedup/grouping
+    // key. Three Unicode host classes (plus an ASCII control) built
+    // in-plan with uppercase noise; the oracle pins the published
+    // xn-- encodings, which the spec independently validates against
+    // java.net.IDN over 3000 fuzz labels.
+    "crawl_idn" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val raw = (id % 4) match {
+              case 0 => s"HTTP://WWW.Site${id % 10}.COM/p$id"
+              case 1 => s"HTTP://WWW.MÜNCHEN.DE/p$id" // MÜNCHEN
+              case 2 => s"HTTPS://Shop.Bücher.example/p$id" // Bücher
+              case _ => s"HTTP://www.café.com/p$id" // café
+            }
+            val norm = graft.operators.UrlOps.normalize(raw).get
+            val host = graft.operators.UrlOps.parse(raw).get.host
+            (id, norm, graft.operators.UrlOps.registeredDomain(host))
+          }
+        }
+        .toDF("id", "url_norm", "domain")
+        .orderBy("id")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -4034,6 +4063,27 @@ object SparkEntry {
         |       '2026-0' || (1 + id % 9) || '-01' AS lastmod,
         |       CAST('0.' || (id % 10) AS DOUBLE) AS priority
         |FROM d ORDER BY id, pos""".stripMargin,
+    // Pinned ground truth: the xn-- forms are the PUBLISHED encodings
+    // of these labels (and the spec re-derives them against the JDK's
+    // independent IDNA implementation), so the oracle simply states
+    // them — punycode itself is not SQL-expressible.
+    "crawl_idn" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT id, id % 4 AS cls FROM src)
+        |SELECT id,
+        |       CASE cls
+        |         WHEN 0 THEN 'http://www.site' || (id % 10) || '.com/p' || id
+        |         WHEN 1 THEN 'http://www.xn--mnchen-3ya.de/p' || id
+        |         WHEN 2 THEN 'https://shop.xn--bcher-kva.example/p' || id
+        |         ELSE 'http://www.xn--caf-dma.com/p' || id END AS url_norm,
+        |       CASE cls
+        |         WHEN 0 THEN 'site' || (id % 10) || '.com'
+        |         WHEN 1 THEN 'xn--mnchen-3ya.de'
+        |         WHEN 2 THEN 'xn--bcher-kva.example'
+        |         ELSE 'xn--caf-dma.com' END AS domain
+        |FROM d ORDER BY id""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.

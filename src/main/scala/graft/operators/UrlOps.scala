@@ -202,9 +202,21 @@ object UrlOps {
     }
   }
 
+  /** Lowercased host in its IDNA ASCII form: non-ASCII labels become
+    * `xn--` punycode (RFC 3492), so `MÜNCHEN.de`, `münchen.de`, and
+    * `xn--mnchen-3ya.de` all canonicalize to the last — one dedup/
+    * grouping key per registrable name, the way crawlers see hosts on
+    * the wire. Punycode overflow (impossible within DNS label limits)
+    * keeps the Unicode form rather than dropping the URL. */
+  private def asciiHost(raw: String): String = {
+    val h = raw.toLowerCase.stripSuffix(".")
+    if (h.forall(_ < 128)) h
+    else Punycode.hostToAscii(h).getOrElse(h)
+  }
+
   def normalize(url: String): Option[String] = parse(url).map { u =>
     val scheme = u.scheme.toLowerCase
-    val host = u.host.toLowerCase.stripSuffix(".")
+    val host = asciiHost(u.host)
     val portPart =
       if (u.port < 0 || DefaultPorts.get(scheme).contains(u.port)) ""
       else ":" + u.port
@@ -219,6 +231,6 @@ object UrlOps {
     * TLDs); single-label hosts and IP literals pass through. */
   def registeredDomain(host: String): String = {
     if (host == null) return ""
-    PublicSuffix.registeredDomain(host.toLowerCase.stripSuffix("."))
+    PublicSuffix.registeredDomain(asciiHost(host))
   }
 }
