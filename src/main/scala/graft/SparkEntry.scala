@@ -1775,6 +1775,58 @@ object SparkEntry {
         .toDF("id", "url_norm", "domain")
         .orderBy("id")
     }),
+    // Domain PageRank — the RANKING stage of crawl curation, over the
+    // same domain universe crawl_links discovers (sites → partners/
+    // cdns/self). Integer micro-rank arithmetic (r' = 150000 +
+    // 85·Σ(r div outdeg) div 100) makes 5 iterations of shuffled
+    // joins BITWISE deterministic under any partitioning — the
+    // property float PageRank can't give a reproducible pipeline.
+    // Danglers (partner/cdn domains with no out-links) leak mass by
+    // the documented variant; duplicate edges collapse (simple graph).
+    "crawl_rank" -> ((s, d) => {
+      import s.implicits._
+      val edges = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val q = id % 4
+          val tld = if (h % 3 == 0) "co.uk" else "com"
+          val src = s"site$h.$tld"
+          Seq((src, s"partner$q.example"), (src, s"site$h.com"), (src, src))
+        }
+        .toDF("src", "dst")
+      graft.operators.LinkRank.pageRank(edges, iters = 5)
+        .orderBy("domain")
+    }),
+    // Frontier scheduling — the crawl control plane's LAST stage:
+    // per-host top-k candidates by (priority DESC, id ASC) via the
+    // bounded topk_by_score aggregate (k pairs per host ride the
+    // shuffle, never the viral host's millions), slot s fetched at
+    // s·crawl_delay. Politeness makes per-host grouping inherent;
+    // the oracle re-derives the schedule with a window (fine at
+    // oracle scale; the aggregate is the 100 TB shape).
+    "crawl_frontier" -> ((s, d) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val cand = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val h = id % 7
+            (s"site$h.com", id, (id / 7) % 10, 1000L * (1 + h % 3))
+          }
+        }
+        .toDF("host", "url_id", "priority", "delay_ms")
+      graft.operators.Frontier.schedule(cand, k = 5)
+        .withColumn("url",
+          concat(lit("https://"), col("host"), lit("/p"), col("url_id")))
+        .select("host", "slot", "url_id", "url", "priority", "fetch_at_ms")
+        .orderBy("host", "slot")
+    }),
     // REAL BMP round trip: same shape as GIF — the JDK's independent
     // ImageIO BMP writer encodes each document's 6x8 raster (8-bit
     // palette, padded bottom-up rows), our pure-Scala decoder reads
@@ -2178,6 +2230,43 @@ object SparkEntry {
       |FROM docs d CROSS JOIN bins b
       |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
       |ORDER BY d.id, b.bin""".stripMargin
+
+  /** crawl_rank's oracle, one chained CTE per PageRank iteration. The
+    * recurrence is pure integer arithmetic (`//` floor-division equals
+    * Spark's `div` truncation on the non-negative ranks), so DuckDB
+    * re-derives the engine's result exactly — no float tolerance. */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |dd AS (
+        |  SELECT DISTINCT id % 10 AS h, id % 4 AS q,
+        |         CASE WHEN (id % 10) % 3 = 0 THEN 'co.uk' ELSE 'com' END AS tld
+        |  FROM src),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT 'site' || h || '.' || tld AS src,
+        |         'partner' || q || '.example' AS dst FROM dd
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.com' FROM dd
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.' || tld FROM dd)),
+        |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r${i - 1}.r // deg.outdeg) AS s
+         |    FROM e JOIN r${i - 1} ON r${i - 1}.v = e.src
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c ON c.v = verts.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS domain, CAST(r AS BIGINT) AS rank_micros " +
+      s"FROM r$iters ORDER BY domain"
+  }
 
   /** Pinned decoder-independent truth for the block-uniform JPEG
     * fixtures — shared by `multimodal_jpeg_decode` (baseline encodes)
@@ -4084,6 +4173,34 @@ object SparkEntry {
         |         WHEN 2 THEN 'xn--bcher-kva.example'
         |         ELSE 'xn--caf-dma.com' END AS domain
         |FROM d ORDER BY id""".stripMargin,
+    // The exact integer recurrence mirrored: edge set re-derived (and
+    // DISTINCT'd) from the same residues, then 5 chained iteration
+    // CTEs of r' = 150000 + (85·Σ(r // outdeg)) // 100 — all integral,
+    // so both engines agree bitwise (see pageRankOracle).
+    "crawl_rank" -> pageRankOracle(5),
+    // The schedule re-derived with a window (fine at oracle scale —
+    // the engine side uses the bounded aggregate): per-host
+    // row_number over (priority DESC, url_id), kept ≤ 5, slot·delay.
+    "crawl_frontier" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT 'site' || (id % 7) || '.com' AS host, id AS url_id,
+        |         (id // 7) % 10 AS priority,
+        |         1000 * (1 + (id % 7) % 3) AS delay_ms
+        |  FROM src),
+        |r AS (
+        |  SELECT host, url_id, priority, delay_ms,
+        |         row_number() OVER (
+        |           PARTITION BY host
+        |           ORDER BY priority DESC, url_id) AS rn
+        |  FROM c)
+        |SELECT host, CAST(rn - 1 AS BIGINT) AS slot, url_id,
+        |       'https://' || host || '/p' || url_id AS url,
+        |       CAST(priority AS BIGINT) AS priority,
+        |       CAST((rn - 1) * delay_ms AS BIGINT) AS fetch_at_ms
+        |FROM r WHERE rn <= 5 ORDER BY host, slot""".stripMargin,
     "multimodal_image_decode" -> gray6x8HistogramOracle,
     // aHash re-derived per image from the same 48 fixture bytes:
     // integer brighter-than-mean bits (v·48 > Σv) packed into a BIGINT.

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+/** Ground truth: an independent in-memory re-implementation of the
+  * integer PageRank recurrence (plain Maps, no Spark), checked on a
+  * hand-analyzable triangle and on random graphs. Determinism is
+  * checked by re-running under a different partitioning. */
+class LinkRankSpec extends SparkFunSuite {
+
+  /** Reference: same recurrence, driver-side. */
+  private def referenceRank(
+      edges: Seq[(String, String)], iters: Int,
+      unit: Long = 1000000L): Map[String, Long] = {
+    val simple = edges.distinct
+    val verts = simple.flatMap(e => Seq(e._1, e._2)).distinct
+    val out = simple.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = verts.map(_ -> unit).toMap
+    val base = unit * 15 / 100
+    (1 to iters).foreach { _ =>
+      val recv = simple
+        .groupBy(_._2)
+        .map { case (d, es) =>
+          d -> es.map(e => r(e._1) / out(e._1)).sum
+        }
+      r = verts.map(v => v -> (base + 85 * recv.getOrElse(v, 0L) / 100)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int,
+      parts: Int = 4): Map[String, Long] = {
+    val s = spark
+    import s.implicits._
+    LinkRank.pageRank(
+        edges.toDF("src", "dst").repartition(parts), iters = iters)
+      .collect()
+      .map(row => row.getString(0) -> row.getLong(1))
+      .toMap
+  }
+
+  test("triangle with a dangler matches the hand recurrence") {
+    // a -> b -> c -> a, plus c -> d where d dangles (mass leaks).
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    val got = run(edges, iters = 3)
+    assert(got === referenceRank(edges, iters = 3))
+    // After round 1: a,b get 150000+850000=1000000; c's senders split.
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    // d only ever receives half of c's share — strictly the smallest.
+    assert(got("d") < got.values.max)
+  }
+
+  test("duplicate edges collapse to a simple graph") {
+    val dup = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"))
+    val got = run(dup, iters = 2)
+    assert(got === referenceRank(dup, iters = 2))
+    // b must NOT out-rank c by edge multiplicity: a's share splits 50/50.
+    assert(got("b") === got("c"))
+  }
+
+  test("matches the reference on random graphs, any partitioning") {
+    val rnd = new scala.util.Random(909)
+    (0 until 5).foreach { trial =>
+      val n = 6 + rnd.nextInt(12)
+      val edges = (0 until 3 * n).map { _ =>
+        (s"d${rnd.nextInt(n)}", s"d${rnd.nextInt(n)}")
+      }
+      val want = referenceRank(edges, iters = 4)
+      assert(run(edges, 4, parts = 1) === want, s"trial $trial parts=1")
+      assert(run(edges, 4, parts = 7) === want, s"trial $trial parts=7")
+    }
+  }
+
+  test("self-loops and isolated receivers are ranked, never dropped") {
+    val edges = Seq(("a", "a"), ("a", "b"))
+    val got = run(edges, iters = 2)
+    assert(got === referenceRank(edges, iters = 2))
+    assert(got.keySet === Set("a", "b"))
+  }
+}
