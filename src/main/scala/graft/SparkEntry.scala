@@ -879,6 +879,34 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // CCNet-style fluency signal: count-based trigram LM (stupid
+    // backoff, Brants et al. 2007) trained on the corpus, then each
+    // document scored under it — the perplexity ranking CCNet uses to
+    // keep the fluent tail of a crawl. Model card first, per-doc
+    // perplexity second.
+    // RefinedWeb/CCNet boilerplate pass: pages assembled in-plan with a
+    // per-source copyright header, a global nav line, the document body
+    // and a low-frequency promo line; lines recurring in ≥3 distinct
+    // docs of a source are template chrome and get deleted, prose and
+    // rare promos survive. Output = per-doc removal summary + cleaned
+    // fingerprint (order-preserving).
+    "line_boilerplate" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val page = concat(
+        lit("c "), col("source"), lit(" all rights reserved\n"),
+        lit("nav home about\n"),
+        col("text"), lit("\n"),
+        lit("promo "), (col("doc_id") % 250).cast("string"))
+      Boilerplate.removeBoilerplate(
+        docs.select(col("doc_id"), col("source"), page.as("page")),
+        "doc_id", "source", "page", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+    "lm_ngram_stats" -> ((s, d) =>
+      LanguageModel.modelStats(table(s, d, "documents"), "doc_id", "text")),
+    "doc_perplexity" -> ((s, d) =>
+      LanguageModel.selfPerplexity(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // Per-source distinct-content cardinality: exact count_distinct
     // (oracle-matched) next to the HLL++ sketch — the 100 TB path,
     // whose map-side register-merge never shuffles values — verified
@@ -3110,6 +3138,108 @@ object SparkEntry {
         |             / length(text) AS punct_ratio
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // Count-LM oracles: the same one-explode trigram-window relation,
+    // re-derived in DuckDB as (a, b, c) position triples; backoff keys
+    // are string concatenations, which equal the Spark side's
+    // substring_index slices exactly because tokens are space-free
+    // split fields. Trigram pruning (HAVING cnt >= 2) and the stupid-
+    // backoff CASE ladder mirror LanguageModel.docPerplexity branch for
+    // branch; float sums round to 4 (repo determinism convention).
+    // Boilerplate oracle: rebuild the same in-plan pages, explode
+    // numbered lines, re-derive the ≥3-distinct-doc verdict per
+    // (source, line), and fingerprint the kept lines in order.
+    "line_boilerplate" ->
+      """WITH pages AS (
+        |  SELECT doc_id, source,
+        |         'c ' || source || ' all rights reserved' || chr(10) ||
+        |         'nav home about' || chr(10) || text || chr(10) ||
+        |         'promo ' || CAST(doc_id % 250 AS VARCHAR) AS page
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, source, g.pos AS pos, g.line AS line FROM (
+        |    SELECT doc_id, source,
+        |           unnest(list_transform(generate_series(1, len(parts)),
+        |             i -> struct_pack(pos := i, line := parts[i]))) AS g
+        |    FROM (SELECT doc_id, source, string_split(page, chr(10)) AS parts
+        |          FROM pages))),
+        |boiler AS (
+        |  SELECT source, line FROM ls
+        |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+        |flagged AS (
+        |  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_b
+        |  FROM ls l LEFT JOIN boiler b
+        |    ON l.source = b.source AND l.line = b.line)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(coalesce(sum(CASE WHEN is_b THEN 1 END), 0) AS BIGINT)
+        |         AS n_removed,
+        |       md5(coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+        |                               chr(10) ORDER BY pos), '')) AS clean_fp
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "lm_ngram_stats" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (
+        |  SELECT doc_id, g.nw AS nw, g.a AS a, g.b AS b, g.c AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+        |      i -> struct_pack(
+        |        nw := least(i, 3),
+        |        a := CASE WHEN i >= 3 THEN toks[i-2] END,
+        |        b := CASE WHEN i >= 2 THEN toks[i-1] END,
+        |        c := toks[i]))) AS g
+        |    FROM tok)),
+        |uni AS (SELECT c AS g, count(*) AS cnt FROM pos GROUP BY 1),
+        |bi AS (SELECT b || ' ' || c AS g, count(*) AS cnt FROM pos
+        |       WHERE nw >= 2 GROUP BY 1),
+        |tri AS (SELECT a || ' ' || b || ' ' || c AS g, count(*) AS cnt FROM pos
+        |        WHERE nw = 3 GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT CAST(1 AS BIGINT) AS ord, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total_occ FROM uni
+        |UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM bi
+        |UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |       CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM tri
+        |ORDER BY ord""".stripMargin,
+    "doc_perplexity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (
+        |  SELECT doc_id, g.nw AS nw, g.a AS a, g.b AS b, g.c AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+        |      i -> struct_pack(
+        |        nw := least(i, 3),
+        |        a := CASE WHEN i >= 3 THEN toks[i-2] END,
+        |        b := CASE WHEN i >= 2 THEN toks[i-1] END,
+        |        c := toks[i]))) AS g
+        |    FROM tok)),
+        |uni AS (SELECT c AS g, count(*) AS cnt FROM pos GROUP BY 1),
+        |bi AS (SELECT b || ' ' || c AS g, count(*) AS cnt FROM pos
+        |       WHERE nw >= 2 GROUP BY 1),
+        |tri AS (SELECT a || ' ' || b || ' ' || c AS g, count(*) AS cnt FROM pos
+        |        WHERE nw = 3 GROUP BY 1 HAVING count(*) >= 2),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pos),
+        |probe AS (
+        |  SELECT doc_id, nw, a, b, c, count(*) AS k FROM pos
+        |  GROUP BY doc_id, nw, a, b, c),
+        |sc AS (
+        |  SELECT p.doc_id, p.k,
+        |    CASE WHEN t.cnt IS NOT NULL
+        |           THEN CAST(t.cnt AS DOUBLE) / CAST(coalesce(cb.cnt, 1) AS DOUBLE)
+        |         WHEN bg.cnt IS NOT NULL
+        |           THEN (CASE WHEN p.nw = 3 THEN 0.4 ELSE 1.0 END) *
+        |                CAST(bg.cnt AS DOUBLE) / CAST(coalesce(cu.cnt, 1) AS DOUBLE)
+        |         ELSE (CASE WHEN p.nw = 3 THEN 0.4 * 0.4
+        |                    WHEN p.nw = 2 THEN 0.4 ELSE 1.0 END) *
+        |              CAST(coalesce(u.cnt, 1) AS DOUBLE) / tot.n
+        |    END AS s
+        |  FROM probe p
+        |  LEFT JOIN tri t ON p.nw = 3 AND t.g = p.a || ' ' || p.b || ' ' || p.c
+        |  LEFT JOIN bi cb ON p.nw = 3 AND cb.g = p.a || ' ' || p.b
+        |  LEFT JOIN bi bg ON p.nw >= 2 AND bg.g = p.b || ' ' || p.c
+        |  LEFT JOIN uni cu ON p.nw >= 2 AND cu.g = p.b
+        |  LEFT JOIN uni u ON u.g = p.c
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |       round(sum(k * ln(s)), 4) AS logprob,
+        |       round(exp(-sum(k * ln(s)) / sum(k)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same per-doc expressions as the doc_quality oracle, rolled up by
     // source; ratios are single divisions of integer aggregates.
     "source_scorecard" ->

@@ -76,6 +76,9 @@ object GraftFunctions {
     ("token_hits",
       (es: Seq[Expression]) => { requireArity(es, 2, "token_hits"); TokenHitsExpr(es(0), es(1)) },
       "_FUNC_(text, words) - count of whitespace tokens equal to any of words."),
+    ("gram_windows",
+      (es: Seq[Expression]) => { requireArity(es, 1, "gram_windows"); GramWindowsExpr(es(0)) },
+      "_FUNC_(text) - per-position trigram windows (array<string>) for n-gram LM training/scoring."),
     ("repetition_counts",
       (es: Seq[Expression]) => { requireArity(es, 1, "repetition_counts"); RepetitionCountsExpr(es(0)) },
       "_FUNC_(text) - [n_tokens, n_shingles, distinct_shingles, distinct_tokens, max_multiplicity]."),

@@ -92,6 +92,33 @@ case class ShingleSetExpr(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * `gram_windows(text)` → array<string>: per-position trigram windows
+ * (last ≤3 space-split tokens ending at each position) — the single
+ * exploded relation behind count-based language-model training AND
+ * stupid-backoff scoring (see [[TextHashKernels.gramWindows]]).
+ */
+case class GramWindowsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_windows requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.gramWindows(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.gramWindows($c)")
+
+  override def prettyName: String = "gram_windows"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `token_hits(text, words)` → bigint: whitespace tokens equal to any of
  * `words` (see [[TextHashKernels.tokenHits]]) — the codegen'd
  * marker/stopword counter for language ID and quality scoring.

@@ -395,6 +395,44 @@ object TextHashKernels {
   }
 
   /**
+   * Per-position n-gram windows for count-based language modelling:
+   * element i (1-based over the SQL-`split`-on-' ' fields, empties
+   * kept) is the last `min(i, 3)` tokens ending at token i, joined by
+   * single spaces — "c", "b c", "a b c", "b c d", … Because fields are
+   * delimited by exactly one space, every window is a CONTIGUOUS byte
+   * slice of the source text, so the kernel emits zero-copy slices: one
+   * O(n) boundary scan, no string rebuilding. The scoring plan derives
+   * every backoff key from the window with `substring_index` (first/last
+   * k fields), keeping the whole trigram pipeline inside codegen'd
+   * string ops — no higher-order functions.
+   */
+  def gramWindows(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](32)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](32)
+    var fieldStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        starts += fieldStart
+        ends += i
+        fieldStart = i + 1
+      }
+      i += 1
+    }
+    val m = starts.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val from = starts(math.max(0, j - 2))
+      out(j) = UTF8String.fromBytes(bytes, from, ends(j) - from)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
    * Count whitespace tokens (SQL-`split` semantics, empties kept)
    * that equal any of `words` — the marker/stopword counter behind
    * language ID and the quality score. One pass, no token array

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Count-based n-gram language model with stupid backoff — the CCNet /
+ * "Large Language Models in Machine Translation" (Brants et al., EMNLP
+ * 2007) corpus-quality signal, which that paper designed SPECIFICALLY
+ * for distributed count-based training: the model IS three count
+ * tables, so training is nothing but hash aggregates with map-side
+ * partials, and scoring is equality joins — both shapes that survive a
+ * 1000-executor 100 TB corpus unchanged. CCNet-style pipelines rank
+ * web documents by LM perplexity and keep the low-perplexity (fluent)
+ * tail; this operator pair provides exactly that signal.
+ *
+ * Beyond-reference scope (the reference has no text functions at all,
+ * SURVEY.md §2.2).
+ *
+ * Semantics (deterministic, engine-reproducible):
+ *  - Tokens are SQL-`split`-on-single-space fields (empties kept),
+ *    matching `string_split(text, ' ')` in the DuckDB oracle.
+ *  - One kernel call per document ([[graft.functions.TextHashKernels
+ *    .gramWindows]]) yields the per-position trigram windows "c",
+ *    "b c", "a b c", …; ONE explode serves unigram, bigram and trigram
+ *    counting AND scoring — every backoff key is a codegen'd
+ *    `substring_index` of the window, so nothing tokenizes twice.
+ *  - Stupid backoff (α = 0.4): S(c|a b) = f(abc)/f(ab) when the
+ *    trigram was seen, else 0.4·S(c|b); S(c|b) = f(bc)/f(b) when seen,
+ *    else 0.4·S(c); S(c) = f(c)/N, with a 1/N out-of-vocabulary floor
+ *    so scoring is total on unseen text. Positions 1 and 2 of each
+ *    document start at the deepest AVAILABLE order (no sentence
+ *    padding), taking no penalty for context that cannot exist.
+ *  - Trigram counts below `minTriCount` are pruned (standard count
+ *    pruning; the bigram/unigram tables stay unpruned because they are
+ *    also the backoff DENOMINATORS — f(ab) ≥ f(abc) keeps every ratio
+ *    well-defined).
+ *
+ * Scale shape: training = three hash aggregates over the exploded
+ * windows (partials map-side; the relation is never wider than
+ * (window, count)). In production the three tables are written once
+ * and reused across scoring runs — KenLM-style — and count pruning
+ * makes the trigram table broadcastable for most corpora; the scoring
+ * joins below are plain equality joins, so Catalyst/AQE picks
+ * broadcast vs shuffle per table, with skew handling on the zipfian
+ * head for free. Scoring collapses per-document repeated windows to a
+ * multiplicity first, so the join probe side is the DISTINCT
+ * (doc, window) relation, not raw token positions.
+ */
+object LanguageModel {
+
+  /** Backoff penalty per order skipped (Brants et al. 2007's α). */
+  val Alpha = 0.4
+
+  /** Exploded per-position windows: (doc_id, w, nw) where `w` is the
+    * last min(i,3) tokens ending at position i and `nw` its order. */
+  def positions(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(call_function("gram_windows", col(textCol))).as(Seq("p", "w")))
+      .select(col("doc_id"), col("w"), least(col("p") + 1, lit(3)).as("nw"))
+  }
+
+  /** Unigram counts: (g, cnt) over every position's last token. */
+  def uniCounts(pos: DataFrame): DataFrame =
+    pos.groupBy(substring_index(col("w"), " ", -1).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Bigram counts: (g, cnt) over the last two tokens of every
+    * order-≥2 window. Unpruned — also the trigram backoff denominator. */
+  def biCounts(pos: DataFrame): DataFrame =
+    pos.filter(col("nw") >= 2)
+      .groupBy(substring_index(col("w"), " ", -2).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Trigram counts pruned at `minTriCount` (standard count pruning). */
+  def triCounts(pos: DataFrame, minTriCount: Int): DataFrame =
+    pos.filter(col("nw") === 3)
+      .groupBy(col("w").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minTriCount)
+
+  /** Per-order model summary after pruning: (ord, n_grams, total_occ) —
+    * the "model card" of a trained count LM. */
+  def modelStats(docs: DataFrame, idCol: String, textCol: String,
+      minTriCount: Int = 2): DataFrame = {
+    val pos = positions(docs, idCol, textCol)
+    def s(counts: DataFrame, ord: Int): DataFrame =
+      counts.agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(col("cnt")), lit(0L)).as("total_occ"))
+        .select(lit(ord.toLong).as("ord"), col("n_grams"), col("total_occ"))
+    s(uniCounts(pos), 1)
+      .unionAll(s(biCounts(pos), 2))
+      .unionAll(s(triCounts(pos, minTriCount), 3))
+      .orderBy("ord")
+  }
+
+  /**
+   * Per-document stupid-backoff log-probability and perplexity under a
+   * trigram model trained on `model` (often the corpus itself — the
+   * CCNet arrangement trains on a reference corpus and scores the
+   * crawl; both are this one operator with different arguments).
+   *
+   * Output: (doc_id, n_tokens, logprob, ppl) with logprob = Σ ln S and
+   * ppl = exp(−logprob / n_tokens), both rounded to 4 places (the
+   * repo-wide float-determinism convention: double-sum reorderings
+   * across partitionings land well inside the rounding).
+   */
+  def docPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, modelIdCol: String, modelTextCol: String,
+      minTriCount: Int = 2): DataFrame = {
+    val pos = positions(docs, idCol, textCol)
+    val mpos = positions(model, modelIdCol, modelTextCol)
+    val uni = uniCounts(mpos)
+    val bi = biCounts(mpos)
+    val tri = triCounts(mpos, minTriCount)
+    // Corpus token mass N stays IN the plan as a 1-row broadcast cross
+    // join (repo convention — a driver-side count() would force an
+    // extra full pass at plan-build time).
+    val total = mpos.agg(count(lit(1)).cast("double").as("n_total"))
+
+    // Collapse repeated windows per document before probing the model:
+    // the join side shrinks from |tokens| to |distinct (doc, window)|
+    // rows — a large factor on zipfian text — and the per-position
+    // ln(s) rides back out as a multiplicity-weighted sum.
+    val probe = pos.groupBy(col("doc_id"), col("w"), col("nw"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("uni_key", substring_index(col("w"), " ", -1))
+      .withColumn("bi_key", when(col("nw") >= 2, substring_index(col("w"), " ", -2)))
+      .withColumn("ctx_uni_key", when(col("nw") >= 2, substring_index(col("bi_key"), " ", 1)))
+      .withColumn("tri_key", when(col("nw") === 3, col("w")))
+      .withColumn("ctx_bi_key", when(col("nw") === 3, substring_index(col("w"), " ", 2)))
+
+    val joined = probe
+      .join(tri.select(col("g").as("tri_key"), col("cnt").as("c_tri")),
+        Seq("tri_key"), "left")
+      .join(bi.select(col("g").as("ctx_bi_key"), col("cnt").as("c_ctx_bi")),
+        Seq("ctx_bi_key"), "left")
+      .join(bi.select(col("g").as("bi_key"), col("cnt").as("c_bi")),
+        Seq("bi_key"), "left")
+      .join(uni.select(col("g").as("ctx_uni_key"), col("cnt").as("c_ctx_uni")),
+        Seq("ctx_uni_key"), "left")
+      .join(uni.select(col("g").as("uni_key"), col("cnt").as("c_uni")),
+        Seq("uni_key"), "left")
+      .crossJoin(broadcast(total))
+
+    // Denominators coalesce to 1 for totality only: when a kept trigram
+    // (bigram) exists its context bigram (unigram) count is ≥ it, so
+    // the fallback never fires on a self-trained model.
+    val s =
+      when(col("c_tri").isNotNull,
+        col("c_tri").cast("double") / coalesce(col("c_ctx_bi"), lit(1L)).cast("double"))
+      .when(col("c_bi").isNotNull,
+        when(col("nw") === 3, lit(Alpha)).otherwise(lit(1.0)) *
+          col("c_bi").cast("double") / coalesce(col("c_ctx_uni"), lit(1L)).cast("double"))
+      .otherwise(
+        when(col("nw") === 3, lit(Alpha * Alpha))
+          .when(col("nw") === 2, lit(Alpha)).otherwise(lit(1.0)) *
+          coalesce(col("c_uni"), lit(1L)).cast("double") / col("n_total"))
+
+    joined
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_tokens"),
+        sum(col("k").cast("double") * log(s)).as("lp"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("lp"), 4).as("logprob"),
+        round(exp(-col("lp") / col("n_tokens").cast("double")), 4).as("ppl"))
+  }
+
+  /** Self-scoring convenience: train on `docs`, score `docs`. */
+  def selfPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      minTriCount: Int = 2): DataFrame =
+    docPerplexity(docs, idCol, textCol, docs, idCol, textCol, minTriCount)
+}
