@@ -907,6 +907,18 @@ object SparkEntry {
     "doc_perplexity" -> ((s, d) =>
       LanguageModel.selfPerplexity(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // fastText/FineWeb-Edu-style quality classifier: logistic regression
+    // distilling the Gopher rule gate, trained by 3 full-batch GD
+    // iterations where each iteration is ONE map-side-partial aggregate
+    // and the weights are EXACT micro-integers (the oracle re-runs the
+    // whole descent in SQL and matches them bit-for-bit).
+    "quality_classifier_fit" -> ((s, d) =>
+      QualityClassifier.fitSummary(table(s, d, "documents"), "doc_id", "text")),
+    "quality_classifier" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val m = QualityClassifier.fit(docs, "doc_id", "text")
+      QualityClassifier.score(docs, "doc_id", "text", m).orderBy("doc_id")
+    }),
     // Per-source distinct-content cardinality: exact count_distinct
     // (oracle-matched) next to the HLL++ sketch — the 100 TB path,
     // whose map-side register-merge never shuffles values — verified
@@ -2344,7 +2356,115 @@ object SparkEntry {
        |WHERE bit_count(xor(a.shu, b.shu)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Shared CTE chain of the quality-classifier oracles: re-runs the
+    * ENTIRE training pipeline in SQL — micro-quantized features, exact
+    * integer moments, standardization, class weights and all
+    * QualityClassifier.Iters gradient-descent steps (the iteration
+    * blocks are GENERATED below, one (p, g, w) CTE triple per step).
+    * Exactness contract (mirrors QualityClassifier): per-doc features
+    * and gradient terms are quantized with floor(v*1e6 + 0.5) BEFORE
+    * any sum, sums are BIGINT/DECIMAL(38) (exact under partitioning),
+    * mean/sd/weights derive by correctly-rounded single ops, and every
+    * float expression is written in the same association order as the
+    * Scala side — so the learned weights match bit-for-bit. */
+  private val ClassifierFitCtes: String = {
+    val base =
+      """WITH fm AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |         CAST(floor(ln(CAST(nt AS DOUBLE) + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS xm1,
+        |         CAST(floor(sr * 1000000.0 + 0.5) AS BIGINT) AS xm2,
+        |         CAST(floor(pr * 1000000.0 + 0.5) AS BIGINT) AS xm3,
+        |         CAST(floor(mwl / 10.0 * 1000000.0 + 0.5) AS BIGINT) AS xm4
+        |  FROM (
+        |    SELECT doc_id, nt, mwl, sr, pr,
+        |           CASE WHEN (CASE WHEN nt >= 20 AND nt <= 100000 THEN 1 ELSE 0 END +
+        |                      CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END +
+        |                      CASE WHEN sr >= 0.01 THEN 1 ELSE 0 END +
+        |                      CASE WHEN pr <= 0.2 THEN 1 ELSE 0 END) >= 3
+        |                THEN 1.0 ELSE 0.0 END AS y
+        |    FROM (
+        |      SELECT doc_id, nt,
+        |             CAST(nc - (nt - 1) AS DOUBLE) / nt AS mwl,
+        |             CAST(st AS DOUBLE) / nt AS sr,
+        |             CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END AS pr
+        |      FROM (
+        |        SELECT doc_id,
+        |               len(string_split(text, ' ')) AS nt,
+        |               length(text) AS nc,
+        |               len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS np,
+        |               len(list_filter(string_split(text, ' '),
+        |                   t -> t IN ('the', 'a', 'of', 'and'))) AS st
+        |        FROM documents)))),
+        |st AS MATERIALIZED (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(xm1) AS BIGINT) AS sx1, sum(CAST(xm1 AS DECIMAL(38,0)) * xm1) AS qx1,
+        |         CAST(sum(xm2) AS BIGINT) AS sx2, sum(CAST(xm2 AS DECIMAL(38,0)) * xm2) AS qx2,
+        |         CAST(sum(xm3) AS BIGINT) AS sx3, sum(CAST(xm3 AS DECIMAL(38,0)) * xm3) AS qx3,
+        |         CAST(sum(xm4) AS BIGINT) AS sx4, sum(CAST(xm4 AS DECIMAL(38,0)) * xm4) AS qx4
+        |  FROM fm),
+        |sd AS MATERIALIZED (
+        |  SELECT n, n1, m1, m2, m3, m4,
+        |         CASE WHEN v1 <= 0 THEN 1.0 ELSE sqrt(v1) END AS s1,
+        |         CASE WHEN v2 <= 0 THEN 1.0 ELSE sqrt(v2) END AS s2,
+        |         CASE WHEN v3 <= 0 THEN 1.0 ELSE sqrt(v3) END AS s3,
+        |         CASE WHEN v4 <= 0 THEN 1.0 ELSE sqrt(v4) END AS s4
+        |  FROM (
+        |    SELECT n, n1,
+        |           sx1 / n AS m1, CAST(qx1 AS DOUBLE) / n - sx1 / n * (sx1 / n) AS v1,
+        |           sx2 / n AS m2, CAST(qx2 AS DOUBLE) / n - sx2 / n * (sx2 / n) AS v2,
+        |           sx3 / n AS m3, CAST(qx3 AS DOUBLE) / n - sx3 / n * (sx3 / n) AS v3,
+        |           sx4 / n AS m4, CAST(qx4 AS DOUBLE) / n - sx4 / n * (sx4 / n) AS v4
+        |    FROM st)),
+        |f2 AS MATERIALIZED (
+        |  SELECT doc_id, y,
+        |         CASE WHEN y = 1.0 THEN (n - n1) * 2.0 / n ELSE n1 * 2.0 / n END AS cw,
+        |         (xm1 - m1) / s1 AS x1, (xm2 - m2) / s2 AS x2,
+        |         (xm3 - m3) / s3 AS x3, (xm4 - m4) / s4 AS x4
+        |  FROM fm CROSS JOIN sd),
+        |w0 AS MATERIALIZED (
+        |  SELECT CAST(0 AS BIGINT) AS w1m, CAST(0 AS BIGINT) AS w2m,
+        |         CAST(0 AS BIGINT) AS w3m, CAST(0 AS BIGINT) AS w4m,
+        |         CAST(0 AS BIGINT) AS bm)""".stripMargin
+    val steps = (1 to QualityClassifier.Iters).map { i =>
+      val pw = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT f2.*, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +
+         |    x2 * (w2m / 1000000.0) + x3 * (w3m / 1000000.0) +
+         |    x4 * (w4m / 1000000.0) + bm / 1000000.0))) AS p
+         |  FROM f2 CROSS JOIN $pw),
+         |g$i AS MATERIALIZED (
+         |  SELECT count(*) AS n,
+         |         sum(CAST(floor(cw * (p - y) * x1 * 1000000.0 + 0.5) AS BIGINT)) AS s1,
+         |         sum(CAST(floor(cw * (p - y) * x2 * 1000000.0 + 0.5) AS BIGINT)) AS s2,
+         |         sum(CAST(floor(cw * (p - y) * x3 * 1000000.0 + 0.5) AS BIGINT)) AS s3,
+         |         sum(CAST(floor(cw * (p - y) * x4 * 1000000.0 + 0.5) AS BIGINT)) AS s4,
+         |         sum(CAST(floor(cw * (p - y) * 1000000.0 + 0.5) AS BIGINT)) AS sb
+         |  FROM p$i),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.w1m - CAST(floor(2.0 * g.s1 / g.n + 0.5) AS BIGINT) AS w1m,
+         |         w.w2m - CAST(floor(2.0 * g.s2 / g.n + 0.5) AS BIGINT) AS w2m,
+         |         w.w3m - CAST(floor(2.0 * g.s3 / g.n + 0.5) AS BIGINT) AS w3m,
+         |         w.w4m - CAST(floor(2.0 * g.s4 / g.n + 0.5) AS BIGINT) AS w4m,
+         |         w.bm - CAST(floor(2.0 * g.sb / g.n + 0.5) AS BIGINT) AS bm
+         |  FROM g$i g CROSS JOIN $pw w)""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + steps
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "quality_classifier_fit" -> (ClassifierFitCtes +
+      s"\nSELECT st.n AS n, st.n1 AS n_pos, w1m, w2m, w3m, w4m, bm " +
+      s"FROM w${QualityClassifier.Iters} CROSS JOIN st"),
+    "quality_classifier" -> (ClassifierFitCtes + s"""
+      |, scored AS (
+      |  SELECT f2.doc_id, f2.y, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +
+      |    x2 * (w2m / 1000000.0) + x3 * (w3m / 1000000.0) +
+      |    x4 * (w4m / 1000000.0) + bm / 1000000.0))) AS p
+      |  FROM f2 CROSS JOIN w${QualityClassifier.Iters})
+      |SELECT doc_id, round(p, 4) AS score, p >= 0.5 AS label,
+      |       CAST(y AS BIGINT) AS rule_label
+      |FROM scored ORDER BY doc_id""".stripMargin),
     "knn_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
     "knn_topk_inner_product" -> knnOracle(
       "list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q)", desc = true, k = 4),

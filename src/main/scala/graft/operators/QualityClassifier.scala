@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed linear quality classifier — the fastText-style model
+ * behind CCNet / FineWeb-Edu corpus filtering: a class-weighted
+ * logistic regression over cheap per-document features, trained by
+ * full-batch gradient descent where EACH ITERATION IS ONE
+ * MAP-SIDE-PARTIAL AGGREGATE over the corpus and the model state is
+ * five numbers on the driver. That is the canonical 100 TB training
+ * shape: k iterations = k scans of the persisted feature relation,
+ * gradients merge associatively, and nothing driver-side ever holds
+ * data.
+ *
+ * Cross-engine reproducibility (the driver's DuckDB oracle re-derives
+ * the ENTIRE training run, standardization included) rests on exact
+ * integer arithmetic at every accumulation point:
+ *  - per-document features are quantized to 1e-6 micro units with
+ *    `floor(x·1e6 + 0.5)`, so feature moments are BIGINT/DECIMAL(38)
+ *    sums — exact under any partitioning and engine;
+ *  - mean/stddev/class weights derive from those exact sums by single
+ *    IEEE operations (division, sqrt are correctly rounded — unlike
+ *    libm exp/ln, they cannot differ between engines);
+ *  - per-document gradient terms are micro-quantized BEFORE the sum
+ *    (libm ulp differences are ~1e-11 of the quantum), summed exactly
+ *    as BIGINT, and the weight update uses the same floor rule —
+ *    weights are therefore bit-identical integers on any engine.
+ *
+ * Standardization + class weighting are not decoration: raw features
+ * leave fixed-step GD hopelessly ill-conditioned (the bias soaks up
+ * everything), and the bootstrap labels are ~95% positive, so the
+ * unweighted optimum is the majority predictor. With both, 20
+ * iterations reach ~0.9 balanced accuracy against the rule gate.
+ *
+ * Features (all codegen'd, one scan): ln(1+tokens), stopword ratio,
+ * punctuation ratio, mean word length / 10. The training label is the
+ * Gopher-style rule gate ([[TextAnalysis.qualityScore]] passing ≥3 of
+ * 4 checks) — distilling the rule filter into a calibrated score, the
+ * usual bootstrap when no human labels exist.
+ */
+object QualityClassifier {
+
+  /** Fixed step of the full-batch descent (standardized features). */
+  val LearningRate = 2.0
+
+  /** Training iterations — one corpus aggregate each. */
+  val Iters = 20
+
+  /** Micro-unit scale: weights, features and gradients live at 1e-6. */
+  val Micro = 1000000.0
+
+  case class Model(
+      n: Long, nPos: Long,
+      mean: Array[Double], sd: Array[Double],
+      wMicro: Array[Long], bMicro: Long) {
+    def posWeight: Double = (n - nPos) * 2.0 / n
+    def negWeight: Double = nPos * 2.0 / n
+  }
+
+  /** Per-document raw features + bootstrap label, one codegen'd scan.
+    * Expression shapes mirror [[TextAnalysis.qualityScore]] exactly so
+    * the oracle re-derives them with the doc_quality conventions. */
+  def features(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = split(col(textCol), " ")
+    val nTokens = size(toks).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val nPunct = size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+    val meanWordLen = (nChars - (nTokens - lit(1L))).cast("double") / nTokens
+    val stopRatio = call_function("token_hits", col(textCol),
+      typedLit(TextAnalysis.StopWords)).cast("double") / nTokens
+    val punctRatio = when(nChars === 0L, 0.0).otherwise(nPunct.cast("double") / nChars)
+    val checks = Seq(
+      nTokens >= 20L && nTokens <= 100000L,
+      meanWordLen >= 3.0 && meanWordLen <= 10.0,
+      stopRatio >= 0.01,
+      punctRatio <= 0.2)
+    val passed = checks.map(c => when(c, 1).otherwise(0)).reduce(_ + _)
+    docs.select(
+      col(idCol).as("doc_id"),
+      log(nTokens.cast("double") + lit(1.0)).as("x1"),
+      stopRatio.as("x2"),
+      punctRatio.as("x3"),
+      (meanWordLen / lit(10.0)).as("x4"),
+      when(passed >= 3, 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** floor(v·1e6 + 0.5) — the engine-invariant micro quantizer. */
+  private def q(v: Column): Column = floor(v * lit(Micro) + lit(0.5))
+
+  /** Micro-quantized features: doc_id, xm1..xm4 (BIGINT), y. */
+  def quantizedFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    features(docs, idCol, textCol).select(
+      col("doc_id"),
+      q(col("x1")).as("xm1"), q(col("x2")).as("xm2"),
+      q(col("x3")).as("xm3"), q(col("x4")).as("xm4"),
+      col("y"))
+
+  /** Exact feature moments → (n, nPos, mean, sd) per feature, all
+    * derived from BIGINT/DECIMAL(38) sums by correctly-rounded ops. */
+  private def fitStats(fm: DataFrame): (Long, Long, Array[Double], Array[Double]) = {
+    val sums = (1 to 4).flatMap { j =>
+      Seq(sum(col(s"xm$j")).as(s"sx$j"),
+        sum(col(s"xm$j").cast("decimal(38,0)") * col(s"xm$j")).as(s"qx$j"))
+    }
+    val row = fm.agg(
+      count(lit(1)).as("n"),
+      (sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n1") +: sums): _*).collect()(0)
+    val n = row.getLong(0)
+    val n1 = row.getLong(1)
+    val mean = new Array[Double](4)
+    val sd = new Array[Double](4)
+    for (j <- 0 until 4) {
+      val sx = row.getLong(2 + 2 * j)
+      val qx = row.getDecimal(3 + 2 * j).doubleValue()
+      mean(j) = sx.toDouble / n
+      val v = qx / n - mean(j) * mean(j)
+      sd(j) = if (v <= 0) 1.0 else math.sqrt(v)
+    }
+    (n, n1, mean, sd)
+  }
+
+  /** Standardized features with the per-class loss weight attached. */
+  private def standardized(fm: DataFrame, n: Long, n1: Long,
+      mean: Array[Double], sd: Array[Double]): DataFrame = {
+    val cw = when(col("y") === 1.0, lit((n - n1) * 2.0 / n))
+      .otherwise(lit(n1 * 2.0 / n))
+    fm.select(
+      col("doc_id"), col("y"), cw.as("cw"),
+      ((col("xm1") - lit(mean(0))) / lit(sd(0))).as("x1"),
+      ((col("xm2") - lit(mean(1))) / lit(sd(1))).as("x2"),
+      ((col("xm3") - lit(mean(2))) / lit(sd(2))).as("x3"),
+      ((col("xm4") - lit(mean(3))) / lit(sd(3))).as("x4"))
+  }
+
+  /** σ(w·x + b) with micro-integer weights; the z expression is built
+    * left-associated to match the oracle's textual order exactly. */
+  private def sigma(wMicro: Array[Long], bMicro: Long): Column = {
+    val z = col("x1") * lit(wMicro(0) / Micro) +
+      col("x2") * lit(wMicro(1) / Micro) +
+      col("x3") * lit(wMicro(2) / Micro) +
+      col("x4") * lit(wMicro(3) / Micro) +
+      lit(bMicro / Micro)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /**
+   * Class-weighted full-batch gradient descent: `iters` + 1 aggregates
+   * over the persisted quantized-feature relation (one for the moments,
+   * one per step). The collect()s are the k-double model-fit boundary
+   * (same class as the PCA/SQ8 fits — never data).
+   */
+  def fit(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int = Iters): Model = {
+    val fm = quantizedFeatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (n, n1, mean, sd) = fitStats(fm)
+      val f2 = standardized(fm, n, n1, mean, sd)
+      var w = Array(0L, 0L, 0L, 0L)
+      var b = 0L
+      for (_ <- 1 to iters) {
+        val p = sigma(w, b)
+        val row = f2.agg(
+          sum(q(col("cw") * (p - col("y")) * col("x1"))).as("s1"),
+          sum(q(col("cw") * (p - col("y")) * col("x2"))).as("s2"),
+          sum(q(col("cw") * (p - col("y")) * col("x3"))).as("s3"),
+          sum(q(col("cw") * (p - col("y")) * col("x4"))).as("s4"),
+          sum(q(col("cw") * (p - col("y")))).as("sb")).collect()(0)
+        def delta(s: Long): Long =
+          math.floor(LearningRate * s.toDouble / n + 0.5).toLong
+        w = Array(
+          w(0) - delta(row.getLong(0)), w(1) - delta(row.getLong(1)),
+          w(2) - delta(row.getLong(2)), w(3) - delta(row.getLong(3)))
+        b = b - delta(row.getLong(4))
+      }
+      Model(n, n1, mean, sd, w, b)
+    } finally fm.unpersist()
+  }
+
+  /** One-row training card: corpus size, positives and the exact
+    * micro-integer weights — pure BIGINTs, bit-compared by the gate. */
+  def fitSummary(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int = Iters): DataFrame = {
+    val m = fit(docs, idCol, textCol, iters)
+    docs.sparkSession.range(1).select(
+      lit(m.n).as("n"), lit(m.nPos).as("n_pos"),
+      lit(m.wMicro(0)).as("w1m"), lit(m.wMicro(1)).as("w2m"),
+      lit(m.wMicro(2)).as("w3m"), lit(m.wMicro(3)).as("w4m"),
+      lit(m.bMicro).as("bm"))
+  }
+
+  /** Per-document calibrated quality score under a trained model. */
+  def score(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
+    val fm = quantizedFeatures(docs, idCol, textCol)
+    standardized(fm, m.n, m.nPos, m.mean, m.sd).select(
+      col("doc_id"),
+      round(sigma(m.wMicro, m.bMicro), 4).as("score"),
+      (sigma(m.wMicro, m.bMicro) >= 0.5).as("label"),
+      col("y").cast("long").as("rule_label"))
+  }
+}
