@@ -907,6 +907,15 @@ object SparkEntry {
     "doc_perplexity" -> ((s, d) =>
       LanguageModel.selfPerplexity(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Built-in format surface: documents → ORC / CSV / JSON-lines →
+    // read back with explicit schema → identical per-format summaries
+    // ⇔ lossless roundtrip (oracle states the expected summary once
+    // per format from the parquet source).
+    "format_roundtrip" -> ((s, d) => {
+      val p = java.nio.file.Files.createTempDirectory("graft_formats").toString
+      graft.sources.FormatSinks.roundtripSummary(
+        table(s, d, "documents"), Seq("csv", "json", "orc"), p)
+    }),
     // fastText/FineWeb-Edu-style quality classifier: logistic regression
     // distilling the Gopher rule gate, trained by 3 full-batch GD
     // iterations where each iteration is ONE map-side-partial aggregate
@@ -3265,6 +3274,21 @@ object SparkEntry {
     // split fields. Trigram pruning (HAVING cnt >= 2) and the stupid-
     // backoff CASE ladder mirror LanguageModel.docPerplexity branch for
     // branch; float sums round to 4 (repo determinism convention).
+    // Roundtrip oracle: the per-format summary must equal the parquet
+    // source's summary for every format — stated once per format.
+    "format_roundtrip" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents)
+        |SELECT 'csv' AS format, n_docs, n_distinct_texts, total_chars, id_sum FROM s
+        |UNION ALL
+        |SELECT 'json', n_docs, n_distinct_texts, total_chars, id_sum FROM s
+        |UNION ALL
+        |SELECT 'orc', n_docs, n_distinct_texts, total_chars, id_sum FROM s
+        |ORDER BY format""".stripMargin,
     // Boilerplate oracle: rebuild the same in-plan pages, explode
     // numbered lines, re-derive the ≥3-distinct-doc verdict per
     // (source, line), and fingerprint the kept lines in order.
