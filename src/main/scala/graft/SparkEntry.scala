@@ -73,6 +73,14 @@ object SparkEntry {
     * partition, executor-side, no driver collect). */
   private val blobStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Trained BPE merge list per sf dir — the tokenizer fit is a
+    * one-time offline pass (one word-count aggregate + a driver loop
+    * over ≤ Bpe.TopWords rows), shared by the fit/vocab/tokenize rows. */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+
+  private def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
+    bpeCache.computeIfAbsent(d, dir => Bpe.train(table(s, dir, "documents"), "text"))
 
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
@@ -992,6 +1000,21 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
+    // BPE subword tokenizer (Sennrich 2016): corpus-trained merge
+    // table (the model card), the learned subword vocabulary, and
+    // per-doc segmentation stats. Training = ONE distributed
+    // word-count aggregate + a driver loop over the capped top-512
+    // word relation; application = codegen bpe_apply over DISTINCT
+    // words joined back (the zipfian corpus pays per word TYPE). The
+    // oracle re-runs the full 16-round training loop as unrolled SQL
+    // CTEs and the application as a recursive CTE — bit-for-bit.
+    "bpe_fit" -> ((s, d) => Bpe.fitTable(s, bpeMerges(s, d)).orderBy("rank")),
+    "bpe_vocab" -> ((s, d) =>
+      Bpe.vocab(table(s, d, "documents"), "text", bpeMerges(s, d))
+        .orderBy(col("freq").desc, col("token").asc)),
+    "bpe_tokenize" -> ((s, d) =>
+      Bpe.tokenize(table(s, d, "documents"), "doc_id", "text", bpeMerges(s, d))
+        .orderBy("doc_id")),
     // Okapi BM25 lexical retrieval top-10 for a 3-term query (one
     // corpus-rare term + two ubiquitous ones — the realistic shape:
     // the rare term's idf dominates). Per-term contributions rounded
@@ -2376,6 +2399,52 @@ object SparkEntry {
     * mean/sd/weights derive by correctly-rounded single ops, and every
     * float expression is written in the same association order as the
     * Scala side — so the learned weights match bit-for-bit. */
+  /** Generated CTE chain re-running the full BPE training loop
+    * (operators/Bpe.scala) in SQL: w0 = per-codepoint split of the
+    * capped top-word relation, then one (p, b, w) CTE triple per merge
+    * round — pair counts over adjacent positions (overlaps included),
+    * argmax with (count DESC, lhs, rhs) tie-break, and a greedy
+    * left-to-right merge as a `list_reduce` fold. The fold is exactly
+    * `TextHashKernels.mergeOnce`: a merged symbol lhs||rhs is strictly
+    * longer than lhs, so `acc` can only end in a bare lhs when that
+    * symbol is un-merged this round — the non-overlap guarantee. The
+    * `(?s)` dotall flag keeps the per-codepoint split total for words
+    * carrying newlines (RE2's `.` excludes \n by default). */
+  private val BpeCtes: String = {
+    val rounds = (1 to Bpe.MergeRounds).map { k =>
+      val prev = s"w${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s[i] AS l, s[i + 1] AS r, sum(cnt) AS c
+         |  FROM (
+         |    SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i
+         |    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.word, w.cnt,
+         |         list_reduce(string_split(w.seq, ' '), (acc, x) ->
+         |           CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l))
+         |                THEN acc || b.r ELSE acc || ' ' || x END) AS seq
+         |  FROM $prev w CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |bpe_tk AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+       |  FROM documents),
+       |bpe_wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM bpe_tk GROUP BY word),
+       |w0 AS MATERIALIZED (
+       |  SELECT word, cnt, rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g'), ' ') AS seq
+       |  FROM (SELECT word, cnt FROM bpe_wc ORDER BY cnt DESC, word LIMIT ${Bpe.TopWords})),
+       |$rounds""".stripMargin
+  }
+
+  /** The trained merge table (rank, lhs, rhs, merged, freq) as a UNION
+    * over the per-round argmax CTEs. */
+  private val BpeMergesSelect: String =
+    (1 to Bpe.MergeRounds).map { k =>
+      s"SELECT $k AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS freq FROM b$k"
+    }.mkString("\n UNION ALL ")
+
   private val ClassifierFitCtes: String = {
     val base =
       """WITH fm AS MATERIALIZED (
@@ -3927,6 +3996,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "bpe_fit" -> s"""$BpeCtes
+       |SELECT * FROM ($BpeMergesSelect)
+       |ORDER BY rank""".stripMargin,
+    "bpe_vocab" -> s"""$BpeCtes
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(string_split(seq, ' ')) AS token, cnt FROM w${Bpe.MergeRounds})
+       |GROUP BY token ORDER BY freq DESC, token LIMIT ${Bpe.VocabLimit}""".stripMargin,
+    // Application as a recursive CTE over the merge ranks: each step is
+    // the same list_reduce fold the training rounds use, driven by the
+    // b1..bN argmax rows — so segmentation in SQL replays the Scala
+    // kernel decision-for-decision over the DISTINCT-words relation.
+    "bpe_tokenize" -> s"""$BpeCtes,
+       |bpe_mg AS MATERIALIZED (
+       |${(1 to Bpe.MergeRounds).map(k => s"  SELECT $k AS rk, l AS ml, r AS mr FROM b$k").mkString("\n  UNION ALL\n")}),
+       |bpe_dw AS MATERIALIZED (SELECT DISTINCT word FROM bpe_tk),
+       |bpe_rec AS (
+       |  SELECT word, rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g'), ' ') AS seq, 0 AS k
+       |  FROM bpe_dw
+       |  UNION ALL
+       |  SELECT q.word,
+       |         list_reduce(string_split(q.seq, ' '), (acc, x) ->
+       |           CASE WHEN x = m.mr AND (acc = m.ml OR ends_with(acc, ' ' || m.ml))
+       |                THEN acc || m.mr ELSE acc || ' ' || x END) AS seq,
+       |         q.k + 1
+       |  FROM bpe_rec q JOIN bpe_mg m ON m.rk = q.k + 1),
+       |bpe_seg AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS nsub
+       |  FROM bpe_rec WHERE k = ${Bpe.MergeRounds})
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(s.nsub) AS BIGINT) AS n_subwords,
+       |       round(sum(s.nsub) * 1.0 / count(*), 6) AS fertility
+       |FROM bpe_tk t JOIN bpe_seg s USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // Okapi BM25 recomputed op-for-op: smoothed idf, dl/avgdl length
     // norm with avgdl from an exact integer token sum, contributions
     // rounded @6 then summed in DECIMAL — same determinism convention

@@ -175,7 +175,13 @@ object GraftFunctions {
           intLitArg(es(1), "winnow_fingerprints n"),
           intLitArg(es(2), "winnow_fingerprints w"))
       },
-      "_FUNC_(text, n, w) - winnowing-selected token n-gram FNV-1a fingerprints (array<bigint>).")
+      "_FUNC_(text, n, w) - winnowing-selected token n-gram FNV-1a fingerprints (array<bigint>)."),
+    ("bpe_apply",
+      (es: Seq[Expression]) => { requireArity(es, 2, "bpe_apply"); BpeApplyExpr(es(0), es(1)) },
+      "_FUNC_(word, merges) - apply rank-ordered BPE merges (\"l r\" strings) to a word; space-joined subwords."),
+    ("nearest_centroid",
+      (es: Seq[Expression]) => { requireArity(es, 2, "nearest_centroid"); NearestCentroidExpr(es(0), es(1)) },
+      "_FUNC_(qv, flat) - integer-L2 argmin over k row-major micro-unit centroids; [cid, dist2].")
   )
 
   private def requireArity(es: Seq[Expression], n: Int, name: String): Unit =
@@ -228,6 +234,10 @@ object GraftFunctions {
   def winnowFingerprints(text: Column, n: Int, w: Int): Column =
     call_function("winnow_fingerprints", text,
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(w))
+  def bpeApply(word: Column, merges: Column): Column =
+    call_function("bpe_apply", word, merges)
+  def nearestCentroid(qv: Column, flat: Column): Column =
+    call_function("nearest_centroid", qv, flat)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =
     call_function("pq_encode", vec, codebook,
       org.apache.spark.sql.functions.lit(m), org.apache.spark.sql.functions.lit(k))

@@ -264,3 +264,33 @@ case class WinnowFingerprintsExpr(child: Expression, n: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `bpe_apply(word, merges)` → string: apply a trained BPE merge list
+ * (rank-ordered "l r" pair strings) to one word, returning the
+ * space-joined subword sequence (see [[TextHashKernels.bpeApply]]).
+ * Designed to run over the DISTINCT-words relation so the zipfian
+ * corpus pays the merge loop once per word type, not per token.
+ */
+case class BpeApplyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply requires (string, array<string>), got $other")
+  }
+
+  override def nullSafeEval(word: Any, merges: Any): Any =
+    TextHashKernels.bpeApply(word.asInstanceOf[UTF8String], merges.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, m) => s"graft.functions.TextHashKernels.bpeApply($w, $m)")
+
+  override def prettyName: String = "bpe_apply"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

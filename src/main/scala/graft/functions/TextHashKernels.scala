@@ -432,6 +432,54 @@ object TextHashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Codepoint split — the initial BPE symbol sequence of a word.
+    * Codepoints (not UTF-16 units) so Scala matches the oracle's
+    * per-character `substr` semantics beyond the BMP. */
+  def splitCodepoints(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** One BPE merge round: greedy left-to-right non-overlapping
+    * replacement of adjacent (l, r) with l+r — the apply semantics of
+    * Sennrich et al. 2016, shared verbatim by the tokenize kernel and
+    * the training loop so train/apply can never diverge. */
+  def mergeOnce(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+        out += (l + r); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /**
+   * Apply a trained merge list (rank order, "l r" strings) to one word
+   * and return the space-joined subword sequence. Called on the
+   * DISTINCT-words relation, never per token instance — the zipfian
+   * corpus probes each word once.
+   */
+  def bpeApply(word: UTF8String, merges: ArrayData): UTF8String = {
+    var syms = splitCodepoints(word.toString)
+    val nm = merges.numElements()
+    var m = 0
+    while (m < nm && syms.length > 1) {
+      val pair = merges.getUTF8String(m).toString
+      val sp = pair.indexOf(' ')
+      if (sp > 0) syms = mergeOnce(syms, pair.substring(0, sp), pair.substring(sp + 1))
+      m += 1
+    }
+    UTF8String.fromString(syms.mkString(" "))
+  }
+
   /**
    * Count whitespace tokens (SQL-`split` semantics, empties kept)
    * that equal any of `words` — the marker/stopword counter behind

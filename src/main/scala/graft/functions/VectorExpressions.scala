@@ -361,6 +361,44 @@ case class MatVecExpr(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/**
+ * `nearest_centroid(qv, flat)` → array<long> `[cid, dist2]`: exact
+ * integer-L2² argmin over k row-major micro-unit centroids (see
+ * [[VectorKernels.nearestCentroidL2]]) — the Lloyd's-assignment step of
+ * [[graft.operators.KMeansExact]], bit-reproducible by construction.
+ */
+case class NearestCentroidExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires (array<bigint>, array<bigint>), got $other")
+  }
+
+  override def nullSafeEval(qv: Any, flat: Any): Any =
+    VectorKernels.nearestCentroidL2(
+      qv.asInstanceOf[ArrayData], flat.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, f) => {
+      val res = ctx.freshName("nearestCentroid")
+      val arrayCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |$arrayCls $res = graft.functions.VectorKernels.nearestCentroidL2($q, $f);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+       """.stripMargin
+    })
+
+  override def prettyName: String = "nearest_centroid"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class PqAdcScoreExpr(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

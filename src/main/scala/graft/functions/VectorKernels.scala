@@ -176,6 +176,41 @@ object VectorKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Nearest centroid under exact integer L2²: vectors pre-quantized to
+    * micro-units (BIGINT), `flat` = k row-major centroids of the same
+    * dimension. Returns `[cid, dist2]` (array<long>); the argmin keeps
+    * the SMALLEST cid on distance ties (strict `<` while scanning
+    * ascending), matching the oracle's `ORDER BY dist2, cid` pick.
+    * Integer arithmetic end-to-end — the whole Lloyd's assignment is
+    * bit-reproducible across engines and partitionings, which float
+    * k-means (MLlib) cannot promise. Null on empty input or a
+    * flat-length mismatch. Bound: |µ| ≤ 2²⁰ and dim ≤ 2¹² keep dist2
+    * under 2⁵³ — embeddings quantized at 1e-6 are far inside. */
+  def nearestCentroidL2(qv: ArrayData, flat: ArrayData): ArrayData = {
+    val dim = qv.numElements()
+    if (dim == 0) return null
+    val total = flat.numElements()
+    if (total == 0 || total % dim != 0) return null
+    val k = total / dim
+    var best = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0L
+      var j = 0
+      while (j < dim) {
+        if (qv.isNullAt(j) || flat.isNullAt(off + j)) return null
+        val t = qv.getLong(j) - flat.getLong(off + j)
+        d += t * t
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(best.toLong, bestD))
+  }
+
   // ----------------------------------------------------------------- codec
 
   /** Encode a float vector to the reference wire format: n little-endian
