@@ -14,9 +14,12 @@ import org.apache.spark.sql.SparkSession
  *  - `spark.sql.files.maxPartitionBytes` (default 128m): with 64-dim
  *    float embeddings ≈ 270 B/row, a scan task holds ~500k rows —
  *    comfortable; raise only for wide multimodal payload columns.
- *  - Parquet TIMESTAMP(NANOS) columns (the events table) are read as
- *    epoch-nanos longs (`nanosAsLong`) and normalized by the consuming
- *    operator.
+ *  - Event-time columns normalize through `EventPipeline.normalizeTs`:
+ *    Parquet TIMESTAMP(NANOS) reads as epoch-nanos longs
+ *    (`nanosAsLong`), TIMESTAMP(isAdjustedToUTC=false) reads as
+ *    TIMESTAMP_NTZ — both convert to TimestampType under the pinned
+ *    UTC session zone, so operators see ONE type whichever writer
+ *    produced the table.
  */
 object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

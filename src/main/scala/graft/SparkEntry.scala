@@ -82,6 +82,15 @@ object SparkEntry {
   private def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
     bpeCache.computeIfAbsent(d, dir => Bpe.train(table(s, dir, "documents"), "text"))
 
+  /** Trained exact-k-means model per sf dir — the fit is a one-time
+    * offline pass (Iters distributed rounds, k·dim-long driver
+    * state), shared by the fit/assign rows. */
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, KMeansExact.Model]()
+  private def kmeansModel(s: SparkSession, d: String): KMeansExact.Model =
+    kmeansCache.computeIfAbsent(d, dir =>
+      KMeansExact.fit(table(s, dir, "embeddings"), "vec_id", "embedding"))
+
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
       spark: SparkSession, dir: String): DataFrame =
@@ -1015,6 +1024,21 @@ object SparkEntry {
     "bpe_tokenize" -> ((s, d) =>
       Bpe.tokenize(table(s, d, "documents"), "doc_id", "text", bpeMerges(s, d))
         .orderBy("doc_id")),
+    // Exact integer k-means (Lloyd's) over the embedding corpus: the
+    // clustering primitive under SemDeDup / cluster-balanced mixing /
+    // IVF coarse quantizers, run entirely in µ-integer arithmetic so
+    // the model is bit-reproducible under ANY partitioning (float
+    // k-means is not). Per iteration: one scan-local codegen
+    // assignment pass + one (cluster, dim)-keyed BIGINT-sum aggregate
+    // whose k·dim-row output is the only driver state. The oracle
+    // re-runs all Iters Lloyd's rounds as unrolled CTEs — bit-for-bit
+    // centroids, sizes, and assignments.
+    "kmeans_fit" -> ((s, d) =>
+      KMeansExact.fitTable(table(s, d, "embeddings"), "vec_id", "embedding",
+        kmeansModel(s, d)).orderBy("cluster", "dim")),
+    "kmeans_assign" -> ((s, d) =>
+      KMeansExact.assign(table(s, d, "embeddings"), "vec_id", "embedding",
+        kmeansModel(s, d)).orderBy("vec_id")),
     // Okapi BM25 lexical retrieval top-10 for a 3-term query (one
     // corpus-rare term + two ubiquitous ones — the realistic shape:
     // the rare term's idf dominates). Per-term contributions rounded
@@ -2444,6 +2468,48 @@ object SparkEntry {
     (1 to Bpe.MergeRounds).map { k =>
       s"SELECT $k AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS freq FROM b$k"
     }.mkString("\n UNION ALL ")
+
+  /** Generated CTE chain re-running KMeansExact's full training loop
+    * in SQL: µ-quantized (id, pos, v) triples, first-K-by-id init,
+    * then one (a, s, c) CTE triple per Lloyd's round — integer-L2²
+    * argmin with (dist2, cid) tie-break, BIGINT coordinate sums, and
+    * the correctly-rounded mean re-quantization
+    * `floor(sv·1.0/n + 0.5)`; an empty cluster's LEFT-JOIN miss keeps
+    * the previous centroid. `afin` is the final assignment under the
+    * trained model. Bit-for-bit vs operators/KMeansExact.scala. */
+  private val KMeansCtes: String = {
+    val rounds = (0 until KMeansExact.Iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT id, cluster FROM (
+         |    SELECT qd.id, c.cluster, sum((qd.v - c.v) * (qd.v - c.v)) AS d2
+         |    FROM qd JOIN c$i c ON qd.pos = c.pos
+         |    GROUP BY qd.id, c.cluster)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT a.cluster, qd.pos, sum(qd.v) AS sv, count(*) AS n
+         |  FROM a$i a JOIN qd USING (id) GROUP BY a.cluster, qd.pos),
+         |c${i + 1} AS MATERIALIZED (
+         |  SELECT c.cluster, c.pos,
+         |         CASE WHEN s.sv IS NULL THEN c.v
+         |              ELSE CAST(floor(s.sv * 1.0 / s.n + 0.5) AS BIGINT) END AS v
+         |  FROM c$i c LEFT JOIN s$i s ON c.cluster = s.cluster AND c.pos = s.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qd AS MATERIALIZED (
+       |  SELECT vec_id AS id, i - 1 AS pos,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+       |ini AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cluster
+       |  FROM (SELECT DISTINCT id FROM qd) ORDER BY id LIMIT ${KMeansExact.K}),
+       |c0 AS MATERIALIZED (SELECT ini.cluster, qd.pos, qd.v FROM ini JOIN qd USING (id)),
+       |$rounds,
+       |afin AS MATERIALIZED (
+       |  SELECT id, cluster, d2 FROM (
+       |    SELECT qd.id, c.cluster, sum((qd.v - c.v) * (qd.v - c.v)) AS d2
+       |    FROM qd JOIN c${KMeansExact.Iters} c ON qd.pos = c.pos
+       |    GROUP BY qd.id, c.cluster)
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)""".stripMargin
+  }
 
   private val ClassifierFitCtes: String = {
     val base =
@@ -4029,6 +4095,19 @@ object SparkEntry {
        |       round(sum(s.nsub) * 1.0 / count(*), 6) AS fertility
        |FROM bpe_tk t JOIN bpe_seg s USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Exact integer k-means re-run move-for-move (KMeansCtes): the
+    // model card joins the trained centroids to final-assignment
+    // sizes (empty cluster → 0 members, centroid retained).
+    "kmeans_fit" -> s"""$KMeansCtes
+       |SELECT c.cluster, CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_members,
+       |       c.pos AS dim, c.v AS c_micro
+       |FROM c${KMeansExact.Iters} c
+       |LEFT JOIN (SELECT cluster, count(*) AS n FROM afin GROUP BY cluster) sz
+       |  ON c.cluster = sz.cluster
+       |ORDER BY c.cluster, dim""".stripMargin,
+    "kmeans_assign" -> s"""$KMeansCtes
+       |SELECT id AS vec_id, cluster, CAST(d2 AS BIGINT) AS dist2
+       |FROM afin ORDER BY vec_id""".stripMargin,
     // Okapi BM25 recomputed op-for-op: smoothed idf, dl/avgdl length
     // norm with avgdl from an exact integer token sum, contributions
     // rounded @6 then summed in DECIMAL — same determinism convention

@@ -19,16 +19,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object EventPipeline {
 
-  /** Normalize the event-time column: a LongType `ts` (epoch nanos, the
-    * `nanosAsLong` reading of a TIMESTAMP(NANOS) Parquet column) becomes
-    * a proper TimestampType at microsecond precision; a TimestampType
-    * `ts` passes through. */
+  /** Normalize the event-time column to TimestampType: a LongType `ts`
+    * (epoch nanos, the `nanosAsLong` reading of a TIMESTAMP(NANOS)
+    * Parquet column) converts at microsecond precision; a
+    * TimestampNTZType `ts` (a TIMESTAMP(isAdjustedToUTC=false) Parquet
+    * column) casts through the session timezone — the engine pins UTC
+    * (GraftSession), so the naive value IS the UTC instant and the
+    * cast is epoch-exact; a TimestampType `ts` passes through. Every
+    * downstream `unix_micros`/window/watermark then sees one type
+    * regardless of which writer produced the table. */
   def normalizeTs(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, NOT `/`: epoch nanos exceed double's 53-bit
         // mantissa, so float division is off by ±1 µs
         events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => events
     }
 
