@@ -586,6 +586,40 @@ object SparkEntry {
           decode(col("body"), "UTF-8").as("text_back"))
         .orderBy("doc_id")
     }),
+    // Archive census: documents → sharded TAR / ZIP images →
+    // decode-free member walk (tar header blocks with payloads skipped
+    // by size arithmetic; zip central directory only, located from the
+    // file tail) → per-doc size fields vs a closed-form oracle. The
+    // triage pass a code-corpus drop (GitHub tars, Kaggle zips) needs
+    // before any extraction at 100 TB: payload bytes are never
+    // scanned, so census cost is O(members), not O(archive bytes).
+    "tar_census" -> ((s, d) => {
+      import s.implicits._
+      graft.sources.ArchiveExport
+        .exportTarShards(table(s, d, "documents"), "doc_id", "text", 16)
+        .as[(Int, Array[Byte])]
+        .flatMap { case (_, blob) => graft.sources.ArchiveCodec.parseTar(blob) }
+        .toDF()
+        .select(
+          regexp_extract(col("name"), "^doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("size").as("n_bytes"), col("type_flag"), col("mtime"))
+        .orderBy("doc_id")
+    }),
+    "zip_census" -> ((s, d) => {
+      import s.implicits._
+      graft.sources.ArchiveExport
+        .exportZipShards(table(s, d, "documents"), "doc_id", "text", 16)
+        .as[(Int, Array[Byte])]
+        .flatMap { case (_, blob) => graft.sources.ArchiveCodec.parseZip(blob) }
+        .toDF()
+        .select(
+          regexp_extract(col("name"), "^doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("method").cast("long").as("method"),
+          col("csize").as("c_bytes"), col("usize").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
     // Corpus snapshot diff by content fingerprint: docs < 250 as v1,
     // >= 250 as v2 → added/removed/retained classes with distinct-text
     // and doc counts. Only 32-hex fingerprints ever shuffle.
@@ -3712,6 +3746,18 @@ object SparkEntry {
     "warc_roundtrip" ->
       """SELECT doc_id, CAST(200 AS INT) AS http_status,
         |       COALESCE(text, '') AS text_back
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Closed-form archive oracles: member sizes are the documents'
+    // UTF-8 byte lengths (DuckDB strlen = bytes), STORED zip means
+    // csize = usize, and the builders pin mtime 0 / typeflag '0'.
+    "tar_census" ->
+      """SELECT doc_id, CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+        |       '0' AS type_flag, CAST(0 AS BIGINT) AS mtime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "zip_census" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS method,
+        |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
+        |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Fingerprint-level full outer join re-derived per class.
     "corpus_diff" ->
