@@ -1043,6 +1043,37 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
+    // Unicode canonicalization (the C4/CCNet pre-pass): NFC compose +
+    // accent-strip through the codegen UnicodeKernels, which every
+    // fingerprint operator needs upstream (composed é and decomposed
+    // e+U+0301 are different bytes, so un-normalized corpora defeat
+    // exact AND near dedup). The corpus is extended in-plan with a
+    // mixed composed/decomposed suffix so the row exercises REAL
+    // normalization on every document — the synthetic corpus is pure
+    // ASCII, where NFC is the identity. Oracle = DuckDB's utf8proc
+    // implementations of the same UAX #15 forms.
+    "text_normalize" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val suffix = " caf\u00e9 cafe\u0301 n\u0303o \u212b"
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(suffix)).as("s"))
+        .select(col("doc_id"),
+          length(col("s")).cast("long").as("raw_chars"),
+          length(GraftFunctions.nfcNormalize(col("s"))).cast("long").as("nfc_chars"),
+          (GraftFunctions.nfcNormalize(col("s")) =!= col("s")).as("changed"),
+          md5(GraftFunctions.nfcNormalize(col("s")).cast("binary")).as("nfc_md5"),
+          md5(GraftFunctions.stripAccents(col("s")).cast("binary")).as("plain_md5"))
+        .orderBy("doc_id")
+    }),
+    // Corpus diversity card: distinct-n ratios for n=1..3 (n=1 is the
+    // type-token ratio; falling 2/3-gram ratios flag template spam and
+    // synthetic mode collapse). Grams shuffle as MD5 fingerprints —
+    // bounded key width at any n; the 100 TB variant swaps exact
+    // count(distinct) for approx_count_distinct (spec-pinned).
+    "corpus_diversity" -> ((s, d) =>
+      TextAnalysis.ngramDiversity(table(s, d, "documents"), "text")
+        .orderBy("n")),
     // BPE subword tokenizer (Sennrich 2016): corpus-trained merge
     // table (the model card), the learned subword vocabulary, and
     // per-doc segmentation stats. Training = ONE distributed
@@ -3759,6 +3790,37 @@ object SparkEntry {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same UAX #15 forms via utf8proc; the suffix is spelled with
+    // chr() so no SQL-literal encoding ambiguity can creep in.
+    "text_normalize" ->
+      """WITH sx AS (SELECT doc_id,
+        |    COALESCE(text, '') || ' caf' || chr(233) || ' cafe' || chr(769) ||
+        |    ' n' || chr(771) || 'o ' || chr(8491) AS s FROM documents)
+        |SELECT doc_id, CAST(length(s) AS BIGINT) AS raw_chars,
+        |       CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_chars,
+        |       (nfc_normalize(s) <> s) AS changed,
+        |       md5(nfc_normalize(s)) AS nfc_md5,
+        |       md5(strip_accents(s)) AS plain_md5
+        |FROM sx ORDER BY doc_id""".stripMargin,
+    "corpus_diversity" -> {
+      val perN = Seq(1, 2, 3).map { n =>
+        s"""SELECT $n AS n,
+           |  unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+           |    i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram FROM tk"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH tk AS (
+         |  SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+         |                     t -> t != '') AS toks
+         |  FROM documents),
+         |g AS (
+         |$perN)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       CAST(count(*) AS BIGINT) AS total_ngrams,
+         |       CAST(count(DISTINCT md5(gram)) AS BIGINT) AS distinct_ngrams,
+         |       round(count(DISTINCT md5(gram)) * 1.0 / count(*), 6) AS distinct_ratio
+         |FROM g GROUP BY n ORDER BY n""".stripMargin
+    },
     // Fingerprint-level full outer join re-derived per class.
     "corpus_diff" ->
       """WITH o AS (

@@ -181,7 +181,13 @@ object GraftFunctions {
       "_FUNC_(word, merges) - apply rank-ordered BPE merges (\"l r\" strings) to a word; space-joined subwords."),
     ("nearest_centroid",
       (es: Seq[Expression]) => { requireArity(es, 2, "nearest_centroid"); NearestCentroidExpr(es(0), es(1)) },
-      "_FUNC_(qv, flat) - integer-L2 argmin over k row-major micro-unit centroids; [cid, dist2].")
+      "_FUNC_(qv, flat) - integer-L2 argmin over k row-major micro-unit centroids; [cid, dist2]."),
+    ("nfc_normalize",
+      (es: Seq[Expression]) => { requireArity(es, 1, "nfc_normalize"); NfcNormalizeExpr(es(0)) },
+      "_FUNC_(text) - Unicode NFC canonicalization (UAX #15)."),
+    ("strip_accents",
+      (es: Seq[Expression]) => { requireArity(es, 1, "strip_accents"); StripAccentsExpr(es(0)) },
+      "_FUNC_(text) - NFD decomposition with combining marks removed.")
   )
 
   private def requireArity(es: Seq[Expression], n: Int, name: String): Unit =
@@ -238,6 +244,8 @@ object GraftFunctions {
     call_function("bpe_apply", word, merges)
   def nearestCentroid(qv: Column, flat: Column): Column =
     call_function("nearest_centroid", qv, flat)
+  def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
+  def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =
     call_function("pq_encode", vec, codebook,
       org.apache.spark.sql.functions.lit(m), org.apache.spark.sql.functions.lit(k))

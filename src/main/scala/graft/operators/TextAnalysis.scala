@@ -502,4 +502,70 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+
+  /**
+   * Corpus diversity card: per n ∈ `ns`, total within-document token
+   * n-grams, distinct n-grams, and the distinct ratio (n=1 is the
+   * classic type-token ratio; falling distinct-2/3 ratios are the
+   * standard signal of template spam or synthetic-data mode collapse).
+   *
+   * Shape: one `transform`+`explode` per n off the shared token split
+   * (scan-local, codegen), then ONE aggregate; grams shuffle as 32-hex
+   * MD5 fingerprints, never the raw strings, so key width is bounded
+   * regardless of n. Exact distinct is the oracle contract at test
+   * scale; at 100 TB the same plan swaps `count(distinct)` for an HLL
+   * sketch (`approx_count_distinct`) — engine-defined, so pinned
+   * against this exact operator in the spec rather than the driver
+   * oracle.
+   */
+  def ngramDiversity(
+      docs: DataFrame, textCol: String, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), s"n must be positive: $ns")
+    val toksDf = docs.select(
+      filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+    ns.map { n =>
+      // guard short docs explicitly: Spark's sequence(1, 0) counts DOWN
+      // ([1, 0]), it is not empty like DuckDB's generate_series(1, 0)
+      val grams = when(size(col("toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+      toksDf.select(explode(grams).as("gram"))
+        .select(md5(col("gram").cast("binary")).as("fp"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("fp")).as("distinct_ngrams"))
+        .select(lit(n).cast("long").as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ngrams") * 1.0 / col("total_ngrams"), 6)
+            .as("distinct_ratio"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The 100 TB diversity card: same plan with an HLL sketch
+    * (`approx_count_distinct`, mergeable map-side partials, bounded
+    * error) in place of the exact distinct — a billion-row exact
+    * distinct shuffles every unique gram once, the sketch ships a few
+    * KB per partition. Sketch results are engine-defined, so this is
+    * pinned against [[ngramDiversity]] in the spec, not the oracle. */
+  def ngramDiversityApprox(
+      docs: DataFrame, textCol: String, ns: Seq[Int] = Seq(1, 2, 3),
+      rsd: Double = 0.05): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), s"n must be positive: $ns")
+    val toksDf = docs.select(
+      filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+    ns.map { n =>
+      val grams = when(size(col("toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+      toksDf.select(explode(grams).as("gram"))
+        .select(md5(col("gram").cast("binary")).as("fp"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          approx_count_distinct(col("fp"), rsd).as("distinct_ngrams"))
+        .select(lit(n).cast("long").as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ngrams") * 1.0 / col("total_ngrams"), 6)
+            .as("distinct_ratio"))
+    }.reduce(_ unionAll _)
+  }
 }
