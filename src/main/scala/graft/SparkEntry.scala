@@ -1074,6 +1074,23 @@ object SparkEntry {
     "corpus_diversity" -> ((s, d) =>
       TextAnalysis.ngramDiversity(table(s, d, "documents"), "text")
         .orderBy("n")),
+    // Per-dimension embedding profile — the encoder-drift monitor:
+    // exact µ-integer moments (DECIMAL(38) sums, integer-division
+    // variance), ONE aggregate to dim rows. A shifted mean or
+    // collapsed variance flags an encoder regression before any
+    // downstream metric moves.
+    "embedding_profile" -> ((s, d) =>
+      EmbeddingQuality.dimProfile(table(s, d, "embeddings"), "embedding")
+        .orderBy("dim")),
+    // Chi-square drift card between corpus snapshots (doc_id halves,
+    // the corpus_diff split) over token-count buckets: integer counts
+    // + one identical-shape double expression → oracle-exact.
+    "corpus_drift" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.bucketDrift(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "text").orderBy("bucket")
+    }),
     // BPE subword tokenizer (Sennrich 2016): corpus-trained merge
     // table (the model card), the learned subword vocabulary, and
     // per-doc segmentation stats. Training = ONE distributed
@@ -1146,6 +1163,17 @@ object SparkEntry {
       Retrieval.rrfFuse(lex, vec, "doc_id", "lex_rnk", "vec_rnk", k = 10)
         .orderBy("rnk")
     }),
+    // Positional retrieval — exact phrase and term proximity, the
+    // capability bag-of-words BM25 cannot express. Positions are
+    // derived IN the scan (array HOFs over the token split); no
+    // positional postings ever shuffle — the only exchange is the
+    // k-row TakeOrderedAndProject boundary.
+    "retrieval_phrase" -> ((s, d) =>
+      Retrieval.phraseTopK(table(s, d, "documents"), "doc_id", "text",
+        Seq("table", "hash"), k = 10).orderBy("rnk")),
+    "retrieval_proximity" -> ((s, d) =>
+      Retrieval.proximityTopK(table(s, d, "documents"), "doc_id", "text",
+        "vector", "join", window = 5, k = 10).orderBy("rnk")),
     // Zipf-frequency document quality: mean log10 corpus frequency of
     // each doc's tokens (rare-token-heavy docs — OCR noise, gibberish —
     // score low). Per-token logs rounded then summed in DECIMAL, so the
@@ -3821,6 +3849,46 @@ object SparkEntry {
          |       round(count(DISTINCT md5(gram)) * 1.0 / count(*), 6) AS distinct_ratio
          |FROM g GROUP BY n ORDER BY n""".stripMargin
     },
+    // Exact µ-integer moments in HUGEINT; `//` floor-division equals
+    // Spark's truncating `div` because the variance numerator is ≥ 0.
+    "embedding_profile" ->
+      """WITH qd AS (
+        |  SELECT i - 1 AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+        |a AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(v AS HUGEINT)) AS s,
+        |         sum(CAST(v AS HUGEINT) * v) AS s2,
+        |         min(v) AS min_micro, max(v) AS max_micro
+        |  FROM qd GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |       CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS mean_micro,
+        |       min_micro, max_micro,
+        |       CAST((n * s2 - s * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2
+        |FROM a ORDER BY dim""".stripMargin,
+    "corpus_drift" ->
+      """WITH ob AS (
+        |  SELECT CAST(LEAST(floor(len(string_split(text, ' ')) * 1.0 / 10), 20) AS BIGINT) AS bucket,
+        |         count(*) AS n_old
+        |  FROM documents WHERE doc_id < 250 GROUP BY 1),
+        |nb AS (
+        |  SELECT CAST(LEAST(floor(len(string_split(text, ' ')) * 1.0 / 10), 20) AS BIGINT) AS bucket,
+        |         count(*) AS n_new
+        |  FROM documents WHERE doc_id >= 250 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ob.bucket, nb.bucket) AS bucket,
+        |         CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+        |         CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+        |  FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket),
+        |t AS (SELECT sum(n_old) AS toto, sum(n_new) AS totn FROM j)
+        |SELECT bucket, n_old, n_new,
+        |       CASE WHEN n_old > 0 THEN
+        |         round((n_new - n_old * (CAST(totn AS DOUBLE) / toto)) *
+        |               (n_new - n_old * (CAST(totn AS DOUBLE) / toto)) /
+        |               (n_old * (CAST(totn AS DOUBLE) / toto)), 6)
+        |       END AS contrib
+        |FROM j, t ORDER BY bucket""".stripMargin,
     // Fingerprint-level full outer join re-derived per class.
     "corpus_diff" ->
       """WITH o AS (
@@ -4286,6 +4354,42 @@ object SparkEntry {
          |SELECT doc_id, lex_rnk, vec_rnk, rrf,
          |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
          |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // Positional retrieval re-derived over DuckDB's indexed lambdas
+    // (1-based, matching the Spark side's i+1).
+    "retrieval_phrase" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+        |                             t -> t != '') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    list_transform(generate_series(1, len(toks) - 1),
+        |                   i -> array_to_string(toks[i:i+1], ' ')),
+        |    g -> g = 'table hash')) AS BIGINT) AS n_hits
+        |  FROM tk)
+        |SELECT doc_id, n_hits,
+        |       CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rnk
+        |FROM h WHERE n_hits > 0 ORDER BY n_hits DESC, doc_id LIMIT 10""".stripMargin,
+    "retrieval_proximity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(COALESCE(text, ''), ' '),
+        |                             t -> t != '') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(toks,
+        |      (x, i) -> CASE WHEN x = 'vector' THEN i ELSE -1 END), q -> q != -1) AS pa,
+        |    list_filter(list_transform(toks,
+        |      (x, i) -> CASE WHEN x = 'join' THEN i ELSE -1 END), q -> q != -1) AS pb
+        |  FROM tk),
+        |dd AS (
+        |  SELECT doc_id, flatten(list_transform(pa,
+        |    i -> list_transform(pb, j -> abs(i - j)))) AS dists FROM p),
+        |m AS (
+        |  SELECT doc_id, CAST(list_min(dists) AS BIGINT) AS min_dist,
+        |         CAST(len(list_filter(dists, x -> x <= 5)) AS BIGINT) AS n_pairs
+        |  FROM dd)
+        |SELECT doc_id, min_dist, n_pairs,
+        |       CAST(row_number() OVER (ORDER BY min_dist, doc_id) AS BIGINT) AS rnk
+        |FROM m WHERE min_dist <= 5 ORDER BY min_dist, doc_id LIMIT 10""".stripMargin,
     "top_docs_per_lang" ->
       """SELECT lang, doc_id, n_chars, rnk FROM (
         |  SELECT lang, doc_id, n_chars,

@@ -74,4 +74,48 @@ object EmbeddingQuality {
       .filter(col("z") >= zThreshold)
       .select(col(idCol), col(groupCol), col("dist"), col("z"))
   }
+
+  /**
+   * Per-dimension profile card: (dim, n, mean_micro, min_micro,
+   * max_micro, var_micro2) over the µ-quantized vector column — the
+   * drift monitor an embedding pipeline checks between encoder
+   * versions or corpus snapshots (a shifted per-dim mean or collapsed
+   * variance is the first symptom of an encoder regression, before
+   * any downstream metric moves).
+   *
+   * Exactness: values quantize to µ-integers at the scan
+   * (`floor(v·1e6 + 0.5)`, the [[KMeansExact]] convention), all sums
+   * accumulate in DECIMAL(38) (exact under any partitioning, safe past
+   * 2⁶³ where BIGINT sums of v² would wrap at ~10⁹ rows), and the
+   * variance derives by INTEGER division of the exact numerator:
+   * var = (n·Σv² − (Σv)²) div n² — no float accumulation anywhere, so
+   * the card is bit-reproducible and engine-portable. The mean's one
+   * double division matches the kmeans mean convention. Output is
+   * dim rows: ONE aggregate with map-side partials; nothing else
+   * shuffles.
+   */
+  def dimProfile(vecs: DataFrame, vecCol: String): DataFrame = {
+    val q = vecs.select(posexplode(
+        transform(col(vecCol),
+          v => floor(v.cast("double") * lit(1000000.0) + lit(0.5))))
+      .as(Seq("dim", "v")))
+    q.groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("__s"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("__s2"),
+        min(col("v")).as("min_micro"),
+        max(col("v")).as("max_micro"))
+      .select(
+        col("dim").cast("long").as("dim"),
+        col("n"),
+        floor(col("__s").cast("double") / col("n") + lit(0.5))
+          .cast("long").as("mean_micro"),
+        col("min_micro"), col("max_micro"),
+        // SQL `div` (integral divide) over DECIMAL(38) operands: the
+        // numerator is exact and ≥ 0, and both n-factors are decimal
+        // so n² cannot wrap BIGINT at extreme row counts
+        expr("(CAST(n AS DECIMAL(38,0)) * __s2 - __s * __s) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n)").cast("long").as("var_micro2"))
+  }
 }

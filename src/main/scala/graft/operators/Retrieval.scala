@@ -30,12 +30,14 @@ object Retrieval {
     * `EliminateWindowPartitions` (foldable keys are dropped), putting
     * the window back on an empty partition spec whose WindowExec
     * warning would mask a REAL unpartitioned window in a bench log.
-    * `coalesce(length(id)·0, 0)` is always 0 but anchored on a column,
-    * so it survives the optimizer; the hash exchange it adds moves
-    * only the ≤ k post-limit rows. */
+    * `pmod(xxhash64(x), 1)` is always 0 but no optimizer rule can
+    * prove it (unlike the earlier `length(x)·0`, which Catalyst's
+    * multiply-by-zero simplification folds whenever the anchor column
+    * is non-nullable — true of every in-memory test relation); the
+    * hash exchange it adds moves only the ≤ k post-limit rows. */
   private[graft] def singlePartitionKey(anchor: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    coalesce(length(anchor.cast("string")) * lit(0), lit(0))
+    pmod(xxhash64(anchor), lit(1L))
 
   /** Per-(doc, term) BM25 contribution, shared verbatim by the single-
     * and batched-query paths so their scores are bit-identical:
@@ -193,6 +195,78 @@ object Retrieval {
             coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(bRank)), lit(0.0)),
           6).as("rrf"))
       .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /**
+   * Exact-phrase top-k — the positional capability bag-of-words BM25
+   * cannot express ("new york" ≠ "york new"). The phrase test is
+   * SCAN-LOCAL: each document's token array is sliced into n-grams
+   * and compared in place (codegen array HOFs), so no positional
+   * postings ever shuffle — the only exchange is the k-row
+   * `TakeOrderedAndProject` boundary. The inverted-index alternative
+   * ships per-term position lists through a join; at 100 TB,
+   * re-deriving positions from the scan beats shuffling them (the
+   * same argument as bm25TopK's filter-before-exchange).
+   * Rank: occurrence count desc, then id.
+   */
+  def phraseTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two tokens")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      s"phrase tokens must be non-empty and space-free: $phrase")
+    require(k > 0, s"k must be positive, got $k")
+    val n = phrase.size
+    val phraseStr = phrase.mkString(" ")
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    val w = Window.partitionBy(singlePartitionKey(col(idCol)))
+      .orderBy(col("n_hits").desc, col(idCol))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    docs.select(col(idCol),
+        size(filter(grams, g => g === phraseStr)).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .orderBy(col("n_hits").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /**
+   * Proximity top-k: documents where `termA` and `termB` co-occur
+   * within `window` tokens, ranked by the closest pair (min |i−j|
+   * ascending, then id), with the count of within-window pairs
+   * carried as evidence. Position lists are per-document arrays
+   * computed in the scan (two-arg `transform` exposes the element
+   * index); the |pa|·|pb| distance set is bounded by the terms'
+   * per-document frequencies, never corpus size, and reduces to two
+   * scalars before anything leaves the scan — the same no-postings-
+   * shuffle shape as [[phraseTopK]].
+   */
+  def proximityTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, window: Int, k: Int): DataFrame = {
+    require(termA != termB, "proximity terms must differ")
+    require(window > 0, s"window must be positive, got $window")
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(singlePartitionKey(col(idCol)))
+      .orderBy(col("min_dist").asc, col(idCol))
+    def positions(term: String) =
+      filter(
+        transform(col("toks"), (x, i) => when(x === term, i + 1).otherwise(-1)),
+        p => p =!= -1)
+    docs.select(col(idCol),
+        filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+      .select(col(idCol),
+        flatten(transform(positions(termA),
+          i => transform(positions(termB), j => abs(i - j)))).as("dists"))
+      .select(col(idCol),
+        array_min(col("dists")).cast("long").as("min_dist"),
+        size(filter(col("dists"), d => d <= window)).cast("long").as("n_pairs"))
+      .filter(col("min_dist") <= window)
+      .orderBy(col("min_dist").asc, col(idCol))
       .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
   }

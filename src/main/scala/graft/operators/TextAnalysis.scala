@@ -541,6 +541,43 @@ object TextAnalysis {
     }.reduce(_ unionAll _)
   }
 
+  /**
+   * Distribution-drift card between two corpus snapshots: Pearson
+   * chi-square contributions over token-count buckets — the standard
+   * "did the new crawl/encoder change the data?" gate a training
+   * pipeline runs before mixing a refreshed source in. Per bucket b:
+   * expected e_b = n_old_b · (N_new/N_old), contribution
+   * (n_new_b − e_b)²/e_b (rounded @6; a bucket unseen in the old
+   * snapshot has no expectation — contribution is null and the bucket
+   * row itself is the signal). Everything derives from two integer
+   * count aggregates and one broadcast totals row; the double
+   * expression is written identically on both engines, so the card is
+   * oracle-exact.
+   */
+  def bucketDrift(
+      oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
+      bucketWidth: Int = 10, maxBucket: Int = 20): DataFrame = {
+    require(bucketWidth > 0 && maxBucket > 0, "bucketWidth/maxBucket must be positive")
+    def buckets(df: DataFrame, as: String) = df
+      .select(least(
+          floor(size(tokens(col(textCol))).cast("double") / bucketWidth),
+          lit(maxBucket.toDouble)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val o = buckets(oldDocs, "n_old")
+    val n = buckets(newDocs, "n_new")
+    val joined = o.join(n, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(
+      sum(col("n_old")).as("__to"), sum(col("n_new")).as("__tn"))
+    val e = col("n_old") * (col("__tn").cast("double") / col("__to"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        when(col("n_old") > 0,
+          round((col("n_new") - e) * (col("n_new") - e) / e, 6)).as("contrib"))
+  }
+
   /** The 100 TB diversity card: same plan with an HLL sketch
     * (`approx_count_distinct`, mergeable map-side partials, bounded
     * error) in place of the exact distinct — a billion-row exact

@@ -54,4 +54,27 @@ class EmbeddingQualitySpec extends SparkFunSuite {
       assert(math.abs(z - math.rint(z * 1e6) / 1e6) < 1e-9)
     }
   }
+
+  test("dimProfile: hand-computed µ-integer moments") {
+    // dim 0: values 1.0, 2.0, 3.0 → µ {1e6, 2e6, 3e6}: mean 2e6,
+    // var = (3·14e12 − 36e12)/9 µ² = 666666666666
+    // dim 1: constant 0.5 → var 0
+    val df = Seq(
+      (1L, vec(1.0f, 0.5f)), (2L, vec(2.0f, 0.5f)), (3L, vec(3.0f, 0.5f))
+    ).toDF("id", "v")
+    val got = EmbeddingQuality.dimProfile(df, "v").orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, 2000000L, 1000000L, 3000000L, 666666666666L),
+      (1L, 3L, 500000L, 500000L, 500000L, 0L)))
+  }
+
+  test("dimProfile: bitwise identical across partitionings") {
+    val rows = (0 until 60).map(i => (i.toLong, vec(i * 0.017f, -i * 0.01f, 0.3f)))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EmbeddingQuality.dimProfile(d, "v").orderBy("dim").collect().toSeq
+    assert(run(rows.toDF("id", "v").repartition(1)) ===
+      run(rows.toDF("id", "v").orderBy(rand(3)).repartition(7)))
+  }
 }

@@ -114,4 +114,40 @@ class RetrievalSpec extends SparkFunSuite {
     val cut = Retrieval.rrfFuse(a, b, "id", "a_rnk", "b_rnk", k = 1).collect()
     assert(cut.map(_.getLong(0)).toSeq === Seq(20L))
   }
+
+  test("phraseTopK: adjacency only, overlaps count, order insensitive to bag") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "new york new york city"), // 2 overlapping-window hits
+      (2L, "york new"),               // reversed — NOT the phrase
+      (3L, "new pad york"),           // gapped — NOT the phrase
+      (4L, "new york"),               // 1 hit
+      (5L, "a a a")                   // self-overlap control corpus
+    ).toDF("doc_id", "text")
+    val r = Retrieval.phraseTopK(d, "doc_id", "text", Seq("new", "york"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1L, 2L, 1L), (4L, 1L, 2L)))
+    // overlapping occurrences of a self-similar phrase all count
+    val s = Retrieval.phraseTopK(d, "doc_id", "text", Seq("a", "a"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(s.toSeq === Seq((5L, 2L)))
+  }
+
+  test("proximityTopK: min pair distance ranks; window boundary inclusive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x pad pad y"),        // dist 3
+      (2L, "x y"),                // dist 1
+      (3L, "y pad x"),            // dist 2 (order-free)
+      (4L, "x pad pad pad pad y"),// dist 5 = window → included
+      (5L, "x pad pad pad pad pad y"), // dist 6 → excluded
+      (6L, "x only here"),        // no y → excluded
+      (7L, "x y x y")             // dists {1,1,3,1} → min 1, 4 pairs ≤ 5
+    ).toDF("doc_id", "text")
+    val r = Retrieval.proximityTopK(d, "doc_id", "text", "x", "y", window = 5, k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq(
+      (2L, 1L, 1L, 1L), (7L, 1L, 4L, 2L), (3L, 2L, 1L, 3L),
+      (1L, 3L, 1L, 4L), (4L, 5L, 1L, 5L)))
+  }
 }

@@ -348,4 +348,29 @@ class TextAnalysisSpec extends SparkFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("bucketDrift: identical distributions → zero contributions") {
+    import spark.implicits._
+    val docs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(i % 4 * 10 + 5)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bucketDrift(docs, docs, "text").orderBy("bucket").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2))     // n_old == n_new
+      assert(r.getDouble(3) === 0.0)            // (n_new - e)²/e with e = n_new
+    }
+  }
+
+  test("bucketDrift: hand-computed chi-square contribution and null expectation") {
+    import spark.implicits._
+    // old: 2 docs in bucket 0; new: 1 doc bucket 0 + 1 doc bucket 2
+    val old = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val neu = Seq((3L, "a b c"), (4L, Seq.fill(25)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.bucketDrift(old, neu, "text").orderBy("bucket").collect()
+    // bucket 0: e = 2·(2/2) = 2, contrib = (1-2)²/2 = 0.5
+    assert(got(0).getLong(0) === 0L && got(0).getDouble(3) === 0.5)
+    // bucket 2: unseen in old → null contribution, row still present
+    assert(got(1).getLong(0) === 2L && got(1).getLong(1) === 0L &&
+      got(1).getLong(2) === 1L && got(1).isNullAt(3))
+  }
 }
