@@ -1534,6 +1534,53 @@ object SparkEntry {
     // duration, track count, handler fourccs, and stsd codec ids by
     // walking the box tree (v0 AND v1 mvhd layouts both exercised).
     // The oracle re-derives the same integers from the same bytes.
+    // WEBP/TIFF container censuses — decode-free dimension recovery
+    // from RIFF chunk headers / IFD entries, built in-plan from each
+    // document's leading bytes like the MP3/MP4 rows; the oracle
+    // re-derives the same integers arithmetically.
+    "multimodal_webp_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, b) =>
+            val w = 1 + (b(0) & 0xff) % 1000
+            val h = 1 + (b(1) & 0xff) % 800
+            val alpha = (b(0) & 1) == 1
+            val exif = (b(1) & 0xff) % 64
+            val m = graft.multimodal.ImageContainers.parseWebp(
+              graft.multimodal.ImageContainers
+                .buildWebpLossless(w, h, alpha, exif)).get
+            (id, m.format, m.width, m.height, m.n_chunks, m.has_alpha)
+          }
+        }
+        .toDF("id", "format", "width", "height", "n_chunks", "has_alpha")
+        .orderBy("id")
+    }),
+    "multimodal_tiff_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, b) =>
+            val a0 = b(0) & 0xff
+            val a1 = b(1) & 0xff
+            val m = graft.multimodal.ImageContainers.parseTiff(
+              graft.multimodal.ImageContainers.buildTiff(
+                1L + (a0 * 256 + a1) % 5000, 1L + (a0 + a1 * 7) % 3000,
+                bigEndian = (a0 & 1) == 1)).get
+            (id, m.big_endian, m.width, m.height, m.n_entries)
+          }
+        }
+        .toDF("id", "big_endian", "width", "height", "n_entries")
+        .orderBy("id")
+    }),
     "multimodal_mp4_meta" -> ((s, d) => {
       import s.implicits._
       table(s, d, "documents")
@@ -4624,6 +4671,20 @@ object SparkEntry {
         |       CAST((s.frames * 1152 * 1000) // 44100 AS BIGINT) AS duration_ms
         |FROM src s JOIN br b USING (bidx)
         |ORDER BY id""".stripMargin,
+    "multimodal_webp_meta" ->
+      """SELECT doc_id AS id, 'VP8L' AS format,
+        |       CAST(1 + ascii(substr(text, 1, 1)) % 1000 AS INT) AS width,
+        |       CAST(1 + ascii(substr(text, 2, 1)) % 800 AS INT) AS height,
+        |       CAST(CASE WHEN ascii(substr(text, 2, 1)) % 64 > 0 THEN 2 ELSE 1 END AS INT) AS n_chunks,
+        |       (ascii(substr(text, 1, 1)) % 2 = 1) AS has_alpha
+        |FROM documents WHERE length(text) >= 2 ORDER BY id""".stripMargin,
+    "multimodal_tiff_meta" ->
+      """SELECT doc_id AS id,
+        |       (ascii(substr(text, 1, 1)) % 2 = 1) AS big_endian,
+        |       CAST(1 + (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 5000 AS BIGINT) AS width,
+        |       CAST(1 + (ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1)) * 7) % 3000 AS BIGINT) AS height,
+        |       CAST(3 AS INT) AS n_entries
+        |FROM documents WHERE length(text) >= 2 ORDER BY id""".stripMargin,
     // The MP4 census re-derived arithmetically from the same document
     // bytes the in-plan box builder consumed; duration_ms is exact
     // integer floor(duration*1000 / timescale) on both sides.
