@@ -1417,6 +1417,21 @@ object SparkEntry {
           DataLayout.zorderKey(Seq(userQ, timeQ), bits = 8).as("zkey"))
         .orderBy("event_id")
     }),
+    // Hilbert layout key over the same (user, time-of-day) quantization
+    // as events_zorder — the stronger clustering key: every unit step
+    // along the curve is a grid-neighbor step, so range predicates
+    // touch fewer, more contiguous files than Morton order. The oracle
+    // unrolls the same 8 rotate/reflect bit-plane iterations as CTEs.
+    "events_hilbert" -> ((s, d) => {
+      val ev = graft.streaming.EventPipeline.normalizeTs(table(s, d, "events"))
+      val userQ = pmod(col("user_id"), lit(256L))
+      val timeQ = floor((hour(col("ts")) * 60 + minute(col("ts"))) / 6) // 0..239
+      DataLayout.withHilbertKey(
+          ev.select(col("event_id"), userQ.as("__u"), timeQ.as("__t")),
+          col("__u"), col("__t"), bits = 8, out = "hkey")
+        .select("event_id", "hkey")
+        .orderBy("event_id")
+    }),
     // JSON property extraction + rollup.
     "events_json_rollup" -> ((s, d) =>
       graft.streaming.EventPipeline.propsRollup(table(s, d, "events"))
@@ -5130,6 +5145,31 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY k ORDER BY k""".stripMargin
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
+    // to-oldest (h8 = quantized input, h0 = final indices).
+    "events_hilbert" -> {
+      val base =
+        """WITH h8 AS (
+          |  SELECT event_id, user_id % 256 AS x,
+          |         (date_part('hour', CAST(ts AS TIMESTAMP)) * 60 +
+          |          date_part('minute', CAST(ts AS TIMESTAMP))) // 6 AS y,
+          |         CAST(0 AS BIGINT) AS d
+          |  FROM events)""".stripMargin
+      val steps = (7 to 0 by -1).map { i =>
+        val s = 1L << i
+        s"""h$i AS (
+           |  SELECT event_id,
+           |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END ELSE y END AS y,
+           |    d + ${s * s} * xor(3 * rx, ry) AS d
+           |  FROM (SELECT event_id, x, y, d,
+           |               CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |               CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |        FROM h${i + 1}))""".stripMargin
+      }.mkString(",\n")
+      s"$base,\n$steps\n" +
+        "SELECT event_id, CAST(d AS BIGINT) AS hkey FROM h0 ORDER BY event_id"
+    }
   )
 }

@@ -51,4 +51,54 @@ object DataLayout {
       .sortWithinPartitions("__graft_zkey")
       .drop("__graft_zkey")
       .write.mode("overwrite").parquet(path)
+
+  /**
+   * 2-D Hilbert curve index (`bits` bits per dimension) appended as
+   * column `out` — the stronger clustering key: unlike Morton order,
+   * EVERY unit step along the Hilbert curve is a grid-neighbor step
+   * (no diagonal jumps across the key space), so range predicates on
+   * either dimension touch fewer, more contiguous files (Faloutsos &
+   * Roumeliotis' classic result; the reason Hilbert beats Z-order for
+   * clustering whenever the extra arithmetic is affordable — and at
+   * write time it always is).
+   *
+   * The classic iterative xy2d walk (one rotate/reflect per bit
+   * plane) unrolls into `bits` NAMED per-stage projections —
+   * expression-tree size stays linear (a single nested expression
+   * would double per stage), Catalyst collapses the chain into one
+   * ProjectExec, and whole-stage codegen CSEs the stage locals. Both
+   * input columns must already be quantized to [0, 2^bits).
+   */
+  def withHilbertKey(
+      df: DataFrame, x: Column, y: Column, bits: Int, out: String): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"2 * bits must fit a signed long, got bits = $bits")
+    val (xc, yc, rxc, ryc, nxc) = ("__h_x", "__h_y", "__h_rx", "__h_ry", "__h_nx")
+    var cur = df
+      .withColumn(xc, x.cast("long"))
+      .withColumn(yc, y.cast("long"))
+      .withColumn(out, lit(0L))
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      cur = cur
+        .withColumn(rxc, when(col(xc).bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(ryc, when(col(yc).bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out, col(out) +
+          lit(s * s) * (lit(3L) * col(rxc)).bitwiseXOR(col(ryc)))
+        // rotate/reflect the quadrant frame: reflect when rx=1, then
+        // swap axes — only in the ry=0 half-planes
+        .withColumn(nxc,
+          when(col(ryc) === 0,
+            when(col(rxc) === 1, lit(s - 1) - col(yc)).otherwise(col(yc)))
+            .otherwise(col(xc)))
+        .withColumn(yc,
+          when(col(ryc) === 0,
+            when(col(rxc) === 1, lit(s - 1) - col(xc)).otherwise(col(xc)))
+            .otherwise(col(yc)))
+        .withColumn(xc, col(nxc))
+      i -= 1
+    }
+    cur.drop(xc, yc, rxc, ryc, nxc)
+  }
 }

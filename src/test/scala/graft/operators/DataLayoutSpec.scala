@@ -61,4 +61,50 @@ class DataLayoutSpec extends SparkFunSuite {
     // and the z-ordered write preserved the data
     assert(spark.read.parquet(zDir).count() === ev.count())
   }
+
+  test("hilbert: bijection on the full 16x16 grid and unit-step adjacency") {
+    import spark.implicits._
+    val grid = for { x <- 0 until 16; y <- 0 until 16 } yield (x, y)
+    val got = DataLayout.withHilbertKey(
+        grid.toDF("x", "y"), col("x"), col("y"), bits = 4, out = "h")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // bijection: every cell gets a distinct index in [0, 256)
+    assert(got.map(_._3).sorted.toSeq === (0L until 256L))
+    // THE Hilbert property: consecutive indices are grid neighbors
+    val byD = got.map { case (x, y, d) => d -> (x, y) }.toMap
+    for (d <- 0L until 255L) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbert: matches an independent recursive reference at bits=8") {
+    import spark.implicits._
+    // classic xy2d, written recursively (vs the operator's unrolled
+    // iterative form) — an independent derivation of the same curve
+    def ref(order: Int, x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = order / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.fill(200)((rnd.nextInt(256), rnd.nextInt(256)))
+    val got = DataLayout.withHilbertKey(
+        pts.toDF("x", "y"), col("x"), col("y"), bits = 8, out = "h")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(256, x, y), s"at ($x,$y)")
+    }
+  }
 }
