@@ -1013,6 +1013,21 @@ object SparkEntry {
     // natural PII, so a deterministic augmentation step (emails/phones/
     // IPv4s derived from doc_id) is part of the fixture IN the plan —
     // both engines build the identical text, then scrub it.
+    // Release-gate governance beside the PII text pass: k-anonymity
+    // over the (lang, source) quasi-identifiers — the risk card
+    // (sizes, at-risk flags, distinct-content l-diversity evidence)
+    // and the standard suppression rewrite (QIs of sub-k groups
+    // blanked, payload kept). The group-size relation is |groups|
+    // rows, broadcast back; the rewrite itself is scan-local.
+    "privacy_k_anonymity" -> ((s, d) =>
+      Anonymity.kAnonymityCard(table(s, d, "documents"),
+        Seq("lang", "source"), "text", k = 5)
+        .orderBy("lang", "source")),
+    "privacy_suppress" -> ((s, d) =>
+      Anonymity.suppressSmallGroups(table(s, d, "documents"),
+        Seq("lang", "source"), k = 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
     "pii_redact" -> ((s, d) => {
       val aug = concat(col("text"),
         when(col("doc_id") % 3 === 0,
@@ -3501,6 +3516,17 @@ object SparkEntry {
         |         AS chunk_text
         |FROM starts
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "privacy_k_anonymity" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS l_distinct,
+        |       (count(*) < 5) AS at_risk
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "privacy_suppress" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CASE WHEN n < 5 THEN '*' ELSE d.lang END AS lang,
+        |       CASE WHEN n < 5 THEN '*' ELSE d.source END AS source
+        |FROM documents d JOIN g USING (lang, source) ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -182,6 +182,9 @@ object GraftFunctions {
     ("nearest_centroid",
       (es: Seq[Expression]) => { requireArity(es, 2, "nearest_centroid"); NearestCentroidExpr(es(0), es(1)) },
       "_FUNC_(qv, flat) - integer-L2 argmin over k row-major micro-unit centroids; [cid, dist2]."),
+    ("phrase_count",
+      (es: Seq[Expression]) => { requireArity(es, 2, "phrase_count"); PhraseCountExpr(es(0), es(1)) },
+      "_FUNC_(text, phrase) - occurrences of the consecutive-token phrase (array<string>), overlaps included."),
     ("nfc_normalize",
       (es: Seq[Expression]) => { requireArity(es, 1, "nfc_normalize"); NfcNormalizeExpr(es(0)) },
       "_FUNC_(text) - Unicode NFC canonicalization (UAX #15)."),
@@ -244,6 +247,8 @@ object GraftFunctions {
     call_function("bpe_apply", word, merges)
   def nearestCentroid(qv: Column, flat: Column): Column =
     call_function("nearest_centroid", qv, flat)
+  def phraseCount(text: Column, phrase: Column): Column =
+    call_function("phrase_count", text, phrase)
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =

@@ -272,6 +272,33 @@ case class WinnowFingerprintsExpr(child: Expression, n: Int, w: Int)
  * Designed to run over the DISTINCT-words relation so the zipfian
  * corpus pays the merge loop once per word type, not per token.
  */
+/** `phrase_count(text, phrase)` → count of consecutive-token matches
+  * of `phrase` (array<string>) in the whitespace tokenization of
+  * `text`, overlaps included — [[TextHashKernels.phraseCount]]. */
+case class PhraseCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"phrase_count requires (string, array<string>), got $other")
+  }
+
+  override def nullSafeEval(text: Any, phrase: Any): Any =
+    TextHashKernels.phraseCount(
+      text.asInstanceOf[UTF8String], phrase.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.functions.TextHashKernels.phraseCount($t, $p)")
+
+  override def prettyName: String = "phrase_count"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BpeApplyExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = StringType

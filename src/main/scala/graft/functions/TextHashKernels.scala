@@ -487,6 +487,65 @@ object TextHashKernels {
    * materialized; a kernel because `filter(toks, _.isin(...))` is a
    * `CodegenFallback` higher-order function (interpreted per row).
    */
+  /**
+   * Count occurrences (overlaps included) of a token PHRASE — m
+   * consecutive non-empty whitespace tokens equal to `phrase` — in
+   * one pass over the text bytes: a ring buffer of the last m token
+   * spans, compared byte-wise against the phrase at each step. No
+   * token array, no gram strings (the `transform`+`concat_ws` HOF
+   * formulation allocates a string per corpus token and runs
+   * interpreted — measured 6× slower at sf0.1). Empty tokens (double
+   * spaces) are skipped, matching the filtered-token semantics of the
+   * retrieval operators.
+   */
+  def phraseCount(text: UTF8String, phrase: ArrayData): Long = {
+    val m = phrase.numElements()
+    if (m == 0) return 0L
+    val pb = new Array[Array[Byte]](m)
+    var j = 0
+    while (j < m) {
+      val p = phrase.getUTF8String(j)
+      if (p == null) return 0L
+      pb(j) = p.getBytes
+      j += 1
+    }
+    val bytes = text.getBytes
+    val n = bytes.length
+    val starts = new Array[Int](m)
+    val lens = new Array[Int](m)
+    var seen = 0
+    var cnt = 0L
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val len = i - start
+        if (len > 0) {
+          starts(seen % m) = start
+          lens(seen % m) = len
+          seen += 1
+          if (seen >= m) {
+            var k = 0
+            var ok = true
+            while (k < m && ok) {
+              val idx = (seen - m + k) % m
+              val p = pb(k)
+              ok = lens(idx) == p.length
+              var b = 0
+              val s0 = starts(idx)
+              while (ok && b < p.length) { ok = bytes(s0 + b) == p(b); b += 1 }
+              k += 1
+            }
+            if (ok) cnt += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
   def tokenHits(text: UTF8String, words: ArrayData): Long = {
     val bytes = text.getBytes
     val n = bytes.length

@@ -218,16 +218,16 @@ object Retrieval {
     require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
       s"phrase tokens must be non-empty and space-free: $phrase")
     require(k > 0, s"k must be positive, got $k")
-    val n = phrase.size
-    val phraseStr = phrase.mkString(" ")
-    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = Window.partitionBy(singlePartitionKey(col(idCol)))
       .orderBy(col("n_hits").desc, col(idCol))
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // one codegen kernel pass over the text bytes (ring buffer of the
+    // last m token spans) — the HOF formulations run interpreted and
+    // allocate per position (gram strings: measured 6× slower at
+    // sf0.1); the kernel allocates nothing per token
     docs.select(col(idCol),
-        size(filter(grams, g => g === phraseStr)).cast("long").as("n_hits"))
+        graft.functions.GraftFunctions.phraseCount(
+          col(textCol), typedLit(phrase)).as("n_hits"))
       .filter(col("n_hits") > 0)
       .orderBy(col("n_hits").desc, col(idCol))
       .limit(k)
