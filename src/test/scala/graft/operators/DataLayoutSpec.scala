@@ -60,6 +60,23 @@ class DataLayoutSpec extends SparkFunSuite {
     assert(zT < 0.6, s"t coverage $zT")
     // and the z-ordered write preserved the data
     assert(spark.read.parquet(zDir).count() === ev.count())
+
+    // Hilbert layout on the same data: at least as tight on both
+    // dimensions IN AGGREGATE as Morton (no diagonal jumps), within
+    // noise per-dimension — the measured comparison behind choosing
+    // the curve when the extra arithmetic is affordable
+    val hDir = java.nio.file.Files.createTempDirectory("graft_h").toString
+    val hEv = DataLayout.withHilbertKey(ev, col("v"), col("t"), bits = 8, out = "hkey")
+    hEv.repartitionByRange(16, col("hkey")).sortWithinPartitions("hkey")
+      .drop("hkey").write.mode("overwrite").parquet(hDir)
+    val hV = coverage(hDir, "v", 256.0)
+    val hT = coverage(hDir, "t", 240.0)
+    assert(hV < 0.6, s"hilbert v coverage $hV")
+    assert(hT < 0.6, s"hilbert t coverage $hT")
+    assert(hV + hT <= (zV + zT) * 1.10, // aggregate: Hilbert ≤ Morton (+noise)
+      s"hilbert $hV+$hT vs zorder $zV+$zT")
+    assert(spark.read.parquet(hDir).count() === ev.count())
+    info(f"coverage v/t — zorder: $zV%.3f/$zT%.3f  hilbert: $hV%.3f/$hT%.3f")
   }
 
   test("hilbert: bijection on the full 16x16 grid and unit-step adjacency") {
