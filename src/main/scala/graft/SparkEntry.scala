@@ -91,6 +91,24 @@ object SparkEntry {
     kmeansCache.computeIfAbsent(d, dir =>
       KMeansExact.fit(table(s, dir, "embeddings"), "vec_id", "embedding"))
 
+  /** Entity-resolution fixture: each document's 24-char title plus a
+    * corrupted copy (the char after position 4 + doc_id % 16 deleted,
+    * id offset by 1,000,000) — the linkage the fuzzy join must
+    * rediscover. Derivation is pure column arithmetic so the DuckDB
+    * oracle rebuilds the identical relation. */
+  private def erRecords(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "documents")
+      .filter(length(col("text")) >= 24)
+      .select(col("doc_id").cast("long").as("id"),
+        substring(col("text"), 1, 24).as("name"))
+    val pos = (col("id") % 16 + lit(4)).cast("int")
+    val corrupted = base.select(
+      (col("id") + 1000000L).as("id"),
+      concat(col("name").substr(lit(1), pos),
+        col("name").substr(pos + lit(2), lit(24))).as("name"))
+    base.unionByName(corrupted)
+  }
+
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
       spark: SparkSession, dir: String): DataFrame =
@@ -414,6 +432,23 @@ object SparkEntry {
         Dedup.blockedJaccardPairs(docs, "doc_id", "text",
           blockLen = 16, threshold = 0.3, scale = Scale))
         .orderBy("id")
+    }),
+    // Entity resolution (record linkage): multi-pass prefix/suffix
+    // blocking → equality join on block keys → levenshtein only within
+    // blocks → connected components for entity ids. The fixture links
+    // each 24-char document title to a deterministically corrupted
+    // copy (one char deleted); blocking recall is 1 by pigeonhole
+    // (an edit keeps the prefix-6 OR the suffix-6 key intact), which
+    // the exact DuckDB oracle confirms. maxBucket caps viral blocks.
+    "er_fuzzy_join" -> ((s, d) => {
+      EntityResolution.fuzzyPairs(erRecords(s, d), "id", "name",
+        maxDist = 2, blockKeyLen = 6, maxBucket = Some(1024))
+        .orderBy("a_id", "b_id")
+    }),
+    "er_entities" -> ((s, d) => {
+      EntityResolution.resolveEntities(erRecords(s, d), "id", "name",
+        maxDist = 2, blockKeyLen = 6, maxBucket = Some(1024))
+        .orderBy("record_id")
     }),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
     // maxBucket ENGAGED: `label` is a coarse key by construction (its
@@ -1659,6 +1694,61 @@ object SparkEntry {
         }
         .toDF("id", "brand", "timescale", "duration", "duration_ms",
           "tracks", "handlers", "codecs")
+        .orderBy("id")
+    }),
+    // FLAC / OGG container censuses — the audio members of the
+    // decode-free triage family. Real containers (fLaC STREAMINFO +
+    // PADDING; OggS page chains with a Vorbis ident header) are
+    // assembled in-plan from each document's first bytes; the parsers
+    // recover rate/channels/duration by walking metadata blocks /
+    // page lacing, and the oracles re-derive the same integers.
+    "multimodal_flac_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val rates = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val rate = rates(b0 % 7)
+            val samples = 1000L + (b0 * 256L + b1) * 31L
+            val pad = b1 % 100
+            val m = graft.multimodal.AudioContainers.parseFlac(
+              graft.multimodal.AudioContainers.buildFlac(
+                rate, 1 + b1 % 8, 16 + 8 * (b0 % 3), samples, pad)).get
+            (id, m.sample_rate, m.channels, m.bits_per_sample,
+              m.total_samples, m.n_blocks, m.duration_ms)
+          }
+        }
+        .toDF("id", "sample_rate", "channels", "bits_per_sample",
+          "total_samples", "n_blocks", "duration_ms")
+        .orderBy("id")
+    }),
+    "multimodal_ogg_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val rates = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val rate = rates(b1 % 7).toLong
+            val granule = 960L * (1L + b1 * 13L)
+            val m = graft.multimodal.AudioContainers.parseOgg(
+              graft.multimodal.AudioContainers.buildOggVorbis(
+                1 + b0 % 2, rate, 1 + b0 % 4, granule)).get
+            (id, m.codec, m.channels, m.sample_rate, m.n_pages,
+              m.last_granule, m.duration_ms)
+          }
+        }
+        .toDF("id", "codec", "channels", "sample_rate", "n_pages",
+          "last_granule", "duration_ms")
         .orderBy("id")
     }),
     // HTML → text extraction — the curation stage between WARC ingest
@@ -2959,6 +3049,69 @@ object SparkEntry {
         |  FROM base a JOIN base b ON a.label = b.label AND a.id < b.id)
         |WHERE cos_sim >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    // Entity-resolution oracles rebuild the identical fixture relation
+    // (24-char titles + one-char-deleted copies), replicate the
+    // prefix/suffix blocking with the 1024 viral-block cap, and verify
+    // with DuckDB's own levenshtein; the similarity is the same
+    // single-division double expression on both sides.
+    "er_fuzzy_join" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 24) AS name
+        |  FROM documents WHERE length(text) >= 24),
+        |pos AS (SELECT id, name, CAST(id % 16 + 4 AS INT) AS p FROM base),
+        |records AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, substr(name, 1, p) || substr(name, p + 2, 24)
+        |  FROM pos),
+        |keys AS (
+        |  SELECT 'p:' || substr(name, 1, 6) AS blk, id, name FROM records
+        |  UNION ALL
+        |  SELECT 's:' || substr(name, -6, 6) AS blk, id, name FROM records),
+        |keep AS (SELECT blk FROM keys GROUP BY blk HAVING count(*) <= 1024),
+        |k2 AS (SELECT k.* FROM keys k JOIN keep USING (blk)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+        |         a.name AS a_name, b.name AS b_name
+        |  FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT a_id, b_id, a_name, b_name,
+        |       CAST(levenshtein(a_name, b_name) AS INT) AS dist,
+        |       1.0 - CAST(levenshtein(a_name, b_name) AS DOUBLE) /
+        |             CAST(greatest(length(a_name), length(b_name)) AS DOUBLE) AS sim
+        |FROM cand WHERE levenshtein(a_name, b_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+    "er_entities" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 24) AS name
+        |  FROM documents WHERE length(text) >= 24),
+        |pos AS (SELECT id, name, CAST(id % 16 + 4 AS INT) AS p FROM base),
+        |records AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, substr(name, 1, p) || substr(name, p + 2, 24)
+        |  FROM pos),
+        |keys AS (
+        |  SELECT 'p:' || substr(name, 1, 6) AS blk, id, name FROM records
+        |  UNION ALL
+        |  SELECT 's:' || substr(name, -6, 6) AS blk, id, name FROM records),
+        |keep AS (SELECT blk FROM keys GROUP BY blk HAVING count(*) <= 1024),
+        |k2 AS (SELECT k.* FROM keys k JOIN keep USING (blk)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lbl AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        |SELECT r.id AS record_id, r.name,
+        |       least(r.id, coalesce(l.mn, r.id)) AS entity_id
+        |FROM records r LEFT JOIN lbl l ON l.src = r.id
+        |ORDER BY record_id""".stripMargin,
     "corpus_curation" ->
       """WITH qual AS (
         |  SELECT doc_id, round((c1 + c2 + c3 + c4) / 4.0, 6) AS quality
@@ -4744,6 +4897,42 @@ object SparkEntry {
         |       CASE WHEN b1 % 2 = 1 THEN 'soun,vide' ELSE 'vide' END AS handlers,
         |       CASE WHEN b1 % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs
         |FROM src ORDER BY id""".stripMargin,
+    // FLAC/OGG censuses re-derived arithmetically from the same
+    // document bytes the in-plan container builders consumed;
+    // duration_ms is exact integer floor on both sides.
+    "multimodal_flac_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2),
+        |r(idx, rate) AS (VALUES
+        |  (0,8000),(1,16000),(2,22050),(3,24000),(4,32000),(5,44100),(6,48000))
+        |SELECT s.id, CAST(r.rate AS INT) AS sample_rate,
+        |       CAST(1 + b1 % 8 AS INT) AS channels,
+        |       CAST(16 + 8 * (b0 % 3) AS INT) AS bits_per_sample,
+        |       CAST(1000 + (b0 * 256 + b1) * 31 AS BIGINT) AS total_samples,
+        |       CAST(CASE WHEN b1 % 100 > 0 THEN 2 ELSE 1 END AS INT) AS n_blocks,
+        |       CAST((1000 + (b0 * 256 + b1) * 31) * 1000 // r.rate AS BIGINT)
+        |         AS duration_ms
+        |FROM src s JOIN r ON r.idx = s.b0 % 7
+        |ORDER BY id""".stripMargin,
+    "multimodal_ogg_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2),
+        |r(idx, rate) AS (VALUES
+        |  (0,8000),(1,16000),(2,22050),(3,24000),(4,32000),(5,44100),(6,48000))
+        |SELECT s.id, 'vorbis' AS codec,
+        |       CAST(1 + b0 % 2 AS INT) AS channels,
+        |       CAST(r.rate AS BIGINT) AS sample_rate,
+        |       CAST(2 + b0 % 4 AS INT) AS n_pages,
+        |       CAST(960 * (1 + b1 * 13) AS BIGINT) AS last_granule,
+        |       CAST(960 * (1 + b1 * 13) * 1000 // r.rate AS BIGINT) AS duration_ms
+        |FROM src s JOIN r ON r.idx = s.b1 % 7
+        |ORDER BY id""".stripMargin,
     // The fixture page's text content re-assembled from the raw
     // document text (escape→extract is the identity) plus the fixed
     // boilerplate strings, whitespace-collapsed exactly like the
