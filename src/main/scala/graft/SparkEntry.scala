@@ -450,6 +450,64 @@ object SparkEntry {
         maxDist = 2, blockKeyLen = 6, maxBucket = Some(1024))
         .orderBy("record_id")
     }),
+    // Data-quality expectation suites (the Deequ pattern): a whole
+    // constraint card — uniqueness, completeness, domains, ranges,
+    // formats — compiled into ONE aggregate pass; verdicts compare
+    // integer violation counts, so the card is exact at any scale.
+    "data_expectations" -> ((s, d) => {
+      import Expectations._
+      validate(table(s, d, "orders"), Seq(
+        UniqueRule("orderkey_unique", "o_orderkey"),
+        RowRule("custkey_complete", "o_custkey", col("o_custkey").isNull),
+        RowRule("totalprice_positive", "o_totalprice",
+          !(col("o_totalprice") > 0)),
+        RowRule("totalprice_le_100k", "o_totalprice",
+          col("o_totalprice") > 100000, maxViolations = 100),
+        RowRule("status_domain", "o_orderstatus",
+          !col("o_orderstatus").isin("O", "F", "P")),
+        RowRule("priority_format", "o_orderpriority",
+          !col("o_orderpriority").rlike("^[1-5]-"))))
+        .orderBy("check")
+    }),
+    "corpus_expectations" -> ((s, d) => {
+      import Expectations._
+      validate(table(s, d, "documents"), Seq(
+        UniqueRule("doc_id_unique", "doc_id"),
+        RowRule("text_complete", "text", col("text").isNull),
+        RowRule("n_chars_consistent", "n_chars",
+          col("n_chars") =!= length(col("text"))),
+        RowRule("lang_domain", "lang",
+          !col("lang").isin("en", "de", "zh", "fr", "es")),
+        RowRule("source_format", "source",
+          !col("source").rlike("^src[0-9]+$")),
+        RowRule("text_min_len", "text",
+          length(col("text")) < 50, maxViolations = 1000)))
+        .orderBy("check")
+    }),
+    // Flesch readability card: reading-ease + grade level from three
+    // codegen regexp_count integers, scan-local, no shuffle.
+    "doc_readability" -> ((s, d) =>
+      TextAnalysis.readability(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Per-user hourly gap-filled resampling (dense training series);
+    // values as exact integer cents. maxSpanHours guards runaway grids.
+    "events_resample" -> ((s, d) =>
+      graft.streaming.EventPipeline.resampleHourly(table(s, d, "events"))
+        .orderBy("user_id", "hour")),
+    // Count-Min point-frequency estimates for the exact top-20 terms:
+    // the sketch is a (j, bucket, cnt) relation, the estimate a min
+    // over d md5-seeded cells — deterministic, so the oracle rebuilds
+    // the identical sketch and checks estimate ≥ truth cell by cell.
+    "sketch_cms_topk" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val tc = CountMinSketch.termCounts(docs, "text")
+      val sketch = CountMinSketch.build(docs, "text", depth = 4, width = 256)
+      val top = tc.orderBy(col("cnt").desc, col("term")).limit(20)
+      CountMinSketch.estimate(sketch, top.select("term"), depth = 4, width = 256)
+        .join(broadcast(top), Seq("term"))
+        .select(col("term"), col("cnt").as("exact"), col("estimate"))
+        .orderBy(col("exact").desc, col("term"))
+    }),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
     // maxBucket ENGAGED: `label` is a coarse key by construction (its
     // cardinality doesn't grow with the corpus), so at 100× one label
@@ -3112,6 +3170,119 @@ object SparkEntry {
         |       least(r.id, coalesce(l.mn, r.id)) AS entity_id
         |FROM records r LEFT JOIN lbl l ON l.src = r.id
         |ORDER BY record_id""".stripMargin,
+    // Expectation cards: one scalar-aggregate CTE re-derives every
+    // violation count; verdicts are integer-count comparisons.
+    "data_expectations" ->
+      """WITH t AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v0,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |  CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v5
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'orderkey_unique' AS "check", 'o_orderkey' AS "column",
+        |         v0 AS violations, total, v0 <= 0 AS passed FROM t
+        |  UNION ALL SELECT 'custkey_complete', 'o_custkey', v1, total, v1 <= 0 FROM t
+        |  UNION ALL SELECT 'totalprice_positive', 'o_totalprice', v2, total, v2 <= 0 FROM t
+        |  UNION ALL SELECT 'totalprice_le_100k', 'o_totalprice', v3, total, v3 <= 100 FROM t
+        |  UNION ALL SELECT 'status_domain', 'o_orderstatus', v4, total, v4 <= 0 FROM t
+        |  UNION ALL SELECT 'priority_format', 'o_orderpriority', v5, total, v5 <= 0 FROM t)
+        |ORDER BY "check"""".stripMargin,
+    "corpus_expectations" ->
+      """WITH t AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS v0,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN NOT (lang IN ('en','de','zh','fr','es')) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |  CAST(sum(CASE WHEN length(text) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS v5
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id_unique' AS "check", 'doc_id' AS "column",
+        |         v0 AS violations, total, v0 <= 0 AS passed FROM t
+        |  UNION ALL SELECT 'text_complete', 'text', v1, total, v1 <= 0 FROM t
+        |  UNION ALL SELECT 'n_chars_consistent', 'n_chars', v2, total, v2 <= 0 FROM t
+        |  UNION ALL SELECT 'lang_domain', 'lang', v3, total, v3 <= 0 FROM t
+        |  UNION ALL SELECT 'source_format', 'source', v4, total, v4 <= 0 FROM t
+        |  UNION ALL SELECT 'text_min_len', 'text', v5, total, v5 <= 1000 FROM t)
+        |ORDER BY "check"""".stripMargin,
+    // Readability re-derived from the same three regex counts; the
+    // float scores are the identical expression shape on both sides,
+    // computed per row from integers (no accumulation order).
+    "doc_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+        |         greatest(1, len(regexp_extract_all(text, '[A-Za-z]+'))) AS w,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(s AS BIGINT) AS n_sentences,
+        |       CAST(w AS BIGINT) AS n_words,
+        |       CAST(y AS BIGINT) AS n_syllables,
+        |       CAST(w AS DOUBLE) / CAST(s AS DOUBLE) AS words_per_sentence,
+        |       CAST(y AS DOUBLE) / CAST(w AS DOUBLE) AS syllables_per_word,
+        |       206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |               - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) AS flesch,
+        |       0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |         + 11.8 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59 AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // The dense per-user hour grid rebuilt with generate_series
+    // (inclusive ends, like Spark's sequence); values in exact cents.
+    "events_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |counts AS (
+        |  SELECT user_id, h, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS vc
+        |  FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM spans)
+        |SELECT g.user_id, g.h AS hour,
+        |       coalesce(c.n, 0) AS n_events, coalesce(c.vc, 0) AS value_cents
+        |FROM grid g LEFT JOIN counts c ON c.user_id = g.user_id AND c.h = g.h
+        |ORDER BY g.user_id, hour""".stripMargin,
+    // The CMS rebuilt cell by cell from the same md5-seeded buckets
+    // (first two digest nibbles, width 256, depth 4): estimates must
+    // match exactly, not just bound the truth.
+    "sketch_cms_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE term != '' GROUP BY term),
+        |js(j) AS (VALUES (0), (1), (2), (3)),
+        |cells AS (
+        |  SELECT js.j,
+        |         ((strpos('0123456789abcdef',
+        |             substr(md5('cms:' || js.j || ':' || tc.term), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef',
+        |             substr(md5('cms:' || js.j || ':' || tc.term), 2, 1)) - 1) % 256
+        |           AS bucket,
+        |         CAST(sum(tc.cnt) AS BIGINT) AS cnt
+        |  FROM tc CROSS JOIN js GROUP BY 1, 2),
+        |top AS (SELECT term, cnt AS exact FROM tc ORDER BY cnt DESC, term LIMIT 20),
+        |probes AS (
+        |  SELECT t.term, t.exact, js.j,
+        |         ((strpos('0123456789abcdef',
+        |             substr(md5('cms:' || js.j || ':' || t.term), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef',
+        |             substr(md5('cms:' || js.j || ':' || t.term), 2, 1)) - 1) % 256
+        |           AS bucket
+        |  FROM top t CROSS JOIN js)
+        |SELECT p.term, p.exact,
+        |       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS estimate
+        |FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+        |GROUP BY p.term, p.exact
+        |ORDER BY exact DESC, term""".stripMargin,
     "corpus_curation" ->
       """WITH qual AS (
         |  SELECT doc_id, round((c1 + c2 + c3 + c4) / 4.0, 6) AS quality

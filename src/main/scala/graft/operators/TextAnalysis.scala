@@ -393,6 +393,38 @@ object TextAnalysis {
   }
 
   /**
+   * Flesch readability card — the classic surface-statistics quality
+   * signal (alongside the Gopher/C4 rules in [[qualityScore]]):
+   * reading-ease and grade-level per document from three integer
+   * counts. Sentences = runs of terminal punctuation, words = letter
+   * runs, syllables = vowel-group runs (the standard regex
+   * approximation; a no-vowel token contributes 0 — documented
+   * deviation from per-word max(1,·), which would need a per-word
+   * explode for no curation benefit). All three are codegen'd
+   * `regexp_count`s in ONE scan-local projection — no shuffle, no UDF;
+   * the float scores derive from the integers per row, so distributed
+   * evaluation order cannot perturb them.
+   */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nSent = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val nWords = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[A-Za-z]+")).cast("long"))
+    val nSyll = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyll.cast("double") / nWords.cast("double")
+    docs.select(
+      col(idCol),
+      nSent.as("n_sentences"),
+      nWords.as("n_words"),
+      nSyll.as("n_syllables"),
+      wps.as("words_per_sentence"),
+      spw.as("syllables_per_word"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+      (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+  }
+
+  /**
    * Corpus datacard: the one-row summary a dataset release ships with —
    * document/token volumes, language/source diversity, and the
    * exact-duplicate surplus (docs minus distinct canonical texts).

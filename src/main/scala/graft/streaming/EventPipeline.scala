@@ -84,6 +84,39 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("event_id")
 
   /**
+   * Per-user hourly resampling with gap filling — the time-series
+   * regularization step (training on activity series needs DENSE
+   * buckets; a missing hour is a zero observation, not a missing row).
+   * Each user's grid spans their own [min, max] hour; `sequence` +
+   * `explode` materializes it executor-side from a per-user 2-row
+   * aggregate, then one equality join attaches the observed counts.
+   * Values aggregate as exact integer cents (order-independent).
+   *
+   * `maxSpanHours` is the runaway-grid guard (same role as the
+   * similarity joins' maxBucket): a user whose span exceeds it — a
+   * corrupted timestamp decades out — is dropped rather than exploding
+   * a billion-row grid in one task. 100 TB shape: the grid relation is
+   * |users|·span rows of three columns, the join is a standard
+   * (user, hour) equality shuffle, AQE handles the skewed heavy user.
+   */
+  def resampleHourly(events: DataFrame, maxSpanHours: Long = 24L * 366): DataFrame = {
+    val ev = normalizeTs(events)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val counts = ev.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+    val grid = ev.groupBy("user_id").agg(min("h").as("h0"), max("h").as("h1"))
+      .filter((unix_micros(col("h1")) - unix_micros(col("h0"))) <=
+        maxSpanHours * 3600L * 1000000L)
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    grid.join(counts, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+  }
+
+  /**
    * Gap-based sessionization: a new session starts when the gap to the
    * user's previous event exceeds `gapSeconds`. Built from lag +
    * running sum over one (user, time) window — a single shuffle by

@@ -373,4 +373,32 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got(1).getLong(0) === 2L && got(1).getLong(1) === 0L &&
       got(1).getLong(2) === 1L && got(1).isNullAt(3))
   }
+
+  test("readability: hand-computed Flesch on a known sentence pair") {
+    import spark.implicits._
+    // "The cat sat. It ran away!" → 2 sentences, 6 words,
+    // vowel groups: e,a,a,i,a,a,ay → the|1 cat|1 sat|1 it|1 ran|1 away|2 = 7
+    val got = TextAnalysis.readability(
+      Seq((1L, "The cat sat. It ran away!")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(got.getLong(1) === 2L) // sentences
+    assert(got.getLong(2) === 6L) // words
+    assert(got.getLong(3) === 7L) // syllable groups
+    val wps = 6.0 / 2.0
+    val spw = 7.0 / 6.0
+    assert(got.getDouble(4) === wps)
+    assert(got.getDouble(5) === spw)
+    assert(got.getDouble(6) === 206.835 - 1.015 * wps - 84.6 * spw)
+    assert(got.getDouble(7) === 0.39 * wps + 11.8 * spw - 15.59)
+  }
+
+  test("readability: punctuation-free text clamps sentences to 1; empty text to 1 word") {
+    import spark.implicits._
+    val got = TextAnalysis.readability(
+      Seq((1L, "no terminal punctuation here"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(got(0).getLong(1) === 1L && got(0).getLong(2) === 4L)
+    assert(got(1).getLong(1) === 1L && got(1).getLong(2) === 1L &&
+      got(1).getLong(3) === 0L)
+  }
 }

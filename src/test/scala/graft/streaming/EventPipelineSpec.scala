@@ -37,6 +37,28 @@ class EventPipelineSpec extends SparkFunSuite {
       (1L, 2L, 4.0), (2L, 2L, 14.0)))
   }
 
+  test("resampleHourly: gaps fill with zero rows; cents are exact; span guard drops") {
+    import spark.implicits._
+    // user 100 spans hours 0..3 with nothing in hours 1..2; user 101 one hour
+    val ev = Seq(
+      Ev(1, t(0, 10), 100, "view", 1.25, "{}"),
+      Ev(2, t(0, 50), 100, "view", 2.50, "{}"),
+      Ev(3, t(3, 5), 100, "click", 0.25, "{}"),
+      Ev(4, t(2, 0), 101, "view", 9.99, "{}")).toDF()
+    val got = EventPipeline.resampleHourly(ev).orderBy("user_id", "hour").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (100L, t(0), 2L, 375L),
+      (100L, t(1), 0L, 0L),
+      (100L, t(2), 0L, 0L),
+      (100L, t(3), 1L, 25L),
+      (101L, t(2), 1L, 999L)))
+    // a 2-hour guard drops user 100 (3-hour span), keeps user 101
+    val guarded = EventPipeline.resampleHourly(ev, maxSpanHours = 2)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(guarded === Set(101L))
+  }
+
   test("streaming windowed agg: append emits a window once the watermark passes it") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
