@@ -508,6 +508,13 @@ object SparkEntry {
         .select(col("term"), col("cnt").as("exact"), col("estimate"))
         .orderBy(col("exact").desc, col("term"))
     }),
+    // Bottom-k source-similarity sketches: per-source k-min md5
+    // digests → pairwise Jaccard estimates beside the exact values.
+    // Deterministic end to end, so the oracle rebuilds the sketches.
+    "sketch_kmin_jaccard" -> ((s, d) =>
+      BottomKSketch.pairwiseJaccard(table(s, d, "documents"),
+        "source", "text", k = 64)
+        .orderBy("src_a", "src_b")),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
     // maxBucket ENGAGED: `label` is a coarse key by construction (its
     // cardinality doesn't grow with the corpus), so at 100× one label
@@ -1807,6 +1814,39 @@ object SparkEntry {
         }
         .toDF("id", "codec", "channels", "sample_rate", "n_pages",
           "last_granule", "duration_ms")
+        .orderBy("id")
+    }),
+    // WebM/Matroska (EBML) census — with multimodal_mp4_meta this
+    // covers both web video containers; real EBML element trees are
+    // assembled in-plan (VINT sizes, Void filler, default-vs-explicit
+    // timestamp scale) and the walker recovers doc type, scale, and
+    // the track/codec inventory.
+    "multimodal_webm_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val tracks = b0 % 4 match {
+              case 0 => Seq((2, "A_OPUS"))
+              case 1 => Seq((1, "V_VP9"))
+              case 2 => Seq((1, "V_VP9"), (2, "A_OPUS"))
+              case _ => Seq((1, "V_VP8"), (2, "A_VORBIS"), (17, "S_TEXT/UTF8"))
+            }
+            val m = graft.multimodal.WebmParser.parseWebm(
+              graft.multimodal.WebmParser.buildWebm(
+                if (b1 % 2 == 0) "webm" else "matroska",
+                100000L * (1 + b1 % 20), tracks, fillerBytes = b1 % 64)).get
+            (id, m.doc_type, m.timestamp_scale, m.n_tracks,
+              m.track_types.mkString(","), m.codec_ids.mkString(","))
+          }
+        }
+        .toDF("id", "doc_type", "timestamp_scale", "n_tracks",
+          "track_types", "codec_ids")
         .orderBy("id")
     }),
     // HTML → text extraction — the curation stage between WARC ingest
@@ -3283,6 +3323,55 @@ object SparkEntry {
         |FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
         |GROUP BY p.term, p.exact
         |ORDER BY exact DESC, term""".stripMargin,
+    // Bottom-k sketches rebuilt digest by digest: same md5 order, same
+    // row_number cut, same integer counts, same single divisions.
+    "sketch_kmin_jaccard" ->
+      """WITH allh AS (SELECT DISTINCT source AS src, md5(text) AS h FROM documents),
+        |srcs AS (SELECT DISTINCT src FROM allh),
+        |pairs AS (
+        |  SELECT a.src AS src_a, b.src AS src_b
+        |  FROM srcs a, srcs b WHERE a.src < b.src),
+        |sk AS (SELECT src, h FROM (
+        |  SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rk
+        |  FROM allh) WHERE rk <= 64),
+        |u AS (
+        |  SELECT p.src_a, p.src_b, s.h
+        |  FROM pairs p JOIN sk s ON s.src = p.src_a
+        |  UNION
+        |  SELECT p.src_a, p.src_b, s.h
+        |  FROM pairs p JOIN sk s ON s.src = p.src_b),
+        |m AS (SELECT src_a, src_b, h FROM (
+        |  SELECT src_a, src_b, h,
+        |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+        |  FROM u) WHERE rk <= 64),
+        |msize AS (
+        |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS m_size
+        |  FROM m GROUP BY 1, 2),
+        |estn AS (
+        |  SELECT m.src_a, m.src_b, CAST(count(*) AS BIGINT) AS est_num
+        |  FROM m JOIN sk sa ON sa.src = m.src_a AND sa.h = m.h
+        |         JOIN sk sb ON sb.src = m.src_b AND sb.h = m.h
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM allh GROUP BY 1),
+        |intr AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM allh a JOIN allh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |       coalesce(e.est_num, 0) AS est_num,
+        |       coalesce(ms.m_size, 0) AS m_size,
+        |       CAST(coalesce(e.est_num, 0) AS DOUBLE) / CAST(ms.m_size AS DOUBLE)
+        |         AS est_jaccard,
+        |       coalesce(i.inter, 0) AS inter,
+        |       sa.n + sb.n - coalesce(i.inter, 0) AS uni,
+        |       CAST(coalesce(i.inter, 0) AS DOUBLE) /
+        |         CAST(sa.n + sb.n - coalesce(i.inter, 0) AS DOUBLE) AS exact_jaccard
+        |FROM pairs p
+        |LEFT JOIN msize ms ON ms.src_a = p.src_a AND ms.src_b = p.src_b
+        |LEFT JOIN estn e ON e.src_a = p.src_a AND e.src_b = p.src_b
+        |JOIN sizes sa ON sa.src = p.src_a
+        |JOIN sizes sb ON sb.src = p.src_b
+        |LEFT JOIN intr i ON i.src_a = p.src_a AND i.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
     "corpus_curation" ->
       """WITH qual AS (
         |  SELECT doc_id, round((c1 + c2 + c3 + c4) / 4.0, 6) AS quality
@@ -5104,6 +5193,24 @@ object SparkEntry {
         |       CAST(960 * (1 + b1 * 13) * 1000 // r.rate AS BIGINT) AS duration_ms
         |FROM src s JOIN r ON r.idx = s.b1 % 7
         |ORDER BY id""".stripMargin,
+    "multimodal_webm_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) % 4 AS cfg,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2)
+        |SELECT id,
+        |       CASE WHEN b1 % 2 = 0 THEN 'webm' ELSE 'matroska' END AS doc_type,
+        |       CAST(100000 * (1 + b1 % 20) AS BIGINT) AS timestamp_scale,
+        |       CAST(CASE cfg WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 3 END AS INT)
+        |         AS n_tracks,
+        |       CASE cfg WHEN 0 THEN 'audio' WHEN 1 THEN 'video'
+        |                WHEN 2 THEN 'video,audio'
+        |                ELSE 'video,audio,subtitle' END AS track_types,
+        |       CASE cfg WHEN 0 THEN 'A_OPUS' WHEN 1 THEN 'V_VP9'
+        |                WHEN 2 THEN 'V_VP9,A_OPUS'
+        |                ELSE 'V_VP8,A_VORBIS,S_TEXT/UTF8' END AS codec_ids
+        |FROM src ORDER BY id""".stripMargin,
     // The fixture page's text content re-assembled from the raw
     // document text (escape→extract is the identity) plus the fixed
     // boilerplate strings, whitespace-collapsed exactly like the

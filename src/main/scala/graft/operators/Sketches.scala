@@ -68,3 +68,96 @@ object CountMinSketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
   }
 }
+
+/**
+ * Bottom-k (k-minimum-values) set sketches for pairwise source
+ * similarity — "which of my 10 000 crawl sources duplicate each
+ * other?" answered from k-row sketches instead of an all-pairs join
+ * over corpus-sized sets (Broder's min-wise estimator in its
+ * one-permutation bottom-k form, the same family as [[Dedup]]'s
+ * MinHash but sketching whole SOURCES, not documents).
+ *
+ * Per source: the k lexicographically-smallest md5(text) digests of
+ * its distinct documents. For a source pair, with M = the k smallest
+ * of the sketch union, Ĵ = |M ∩ S_a ∩ S_b| / |M| is an unbiased
+ * Jaccard estimate. Everything is deterministic (md5 order, integer
+ * counts, one final division), so the DuckDB oracle rebuilds the
+ * sketches and estimates bit-for-bit.
+ *
+ * 100 TB shape: building sketches is one shuffle of distinct
+ * (source, digest) pairs (the per-source window is the simple
+ * formulation; a bounded bottom-k TypedImperativeAggregate à la
+ * `topk_by_score` is the drop-in when one source's distinct set
+ * dwarfs a partition). Everything pairwise then runs on P·k-row
+ * relations — broadcast-sized even at millions of documents per
+ * source. The EXACT Jaccard columns exist for verification; at scale
+ * one runs the estimator alone — that is the point of the sketch.
+ */
+object BottomKSketch {
+
+  /** (src, h): the k smallest distinct md5 digests per source. */
+  def sourceSketches(
+      docs: DataFrame, srcCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(srcCol).as("src"), md5(col(textCol)).as("h")).distinct()
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy("src").orderBy("h")))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Pairwise source similarity: per (src_a < src_b) the bottom-k
+    * estimate next to the exact Jaccard of the distinct-digest sets. */
+  def pairwiseJaccard(
+      docs: DataFrame, srcCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = docs.select(col(srcCol).as("src"), md5(col(textCol)).as("h")).distinct()
+    val sk = sourceSketches(docs, srcCol, textCol, k)
+    // all source pairs: a deliberate P×P cross of the tiny distinct-
+    // source relation (P sources, not P docs)
+    val srcs = all.select("src").distinct()
+    val pairs = srcs.select(col("src").as("src_a"))
+      .crossJoin(srcs.select(col("src").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // M: bottom-k of the sketch UNION per pair
+    val u = pairs.join(sk.withColumnRenamed("src", "src_a"), Seq("src_a"))
+      .select("src_a", "src_b", "h")
+      .unionByName(
+        pairs.join(sk.withColumnRenamed("src", "src_b"), Seq("src_b"))
+          .select("src_a", "src_b", "h"))
+      .distinct()
+    val m = u.withColumn("__rk", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .filter(col("__rk") <= k)
+    val mSize = m.groupBy("src_a", "src_b").agg(count(lit(1)).as("m_size"))
+    val estNum = m
+      .join(sk.select(col("src").as("src_a"), col("h")), Seq("src_a", "h"))
+      .join(sk.select(col("src").as("src_b"), col("h")), Seq("src_b", "h"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("est_num"))
+    // exact side (verification / small-P ground truth)
+    val sizes = all.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = all.select(col("src").as("src_a"), col("h"))
+      .join(all.select(col("src").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(mSize, Seq("src_a", "src_b"), "left")
+      .join(estNum, Seq("src_a", "src_b"), "left")
+      .join(sizes.withColumnRenamed("src", "src_a").withColumnRenamed("n", "na"),
+        Seq("src_a"))
+      .join(sizes.withColumnRenamed("src", "src_b").withColumnRenamed("n", "nb"),
+        Seq("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(
+        col("src_a"), col("src_b"),
+        coalesce(col("est_num"), lit(0L)).as("est_num"),
+        coalesce(col("m_size"), lit(0L)).as("m_size"),
+        (coalesce(col("est_num"), lit(0L)).cast("double") /
+          col("m_size").cast("double")).as("est_jaccard"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("uni"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"))
+          .as("exact_jaccard"))
+  }
+}

@@ -53,4 +53,49 @@ class SketchesSpec extends SparkFunSuite {
     assert(s1.orderBy("j", "bucket").collect().toSeq ===
       s2.orderBy("j", "bucket").collect().toSeq)
   }
+
+  // ------------------------------------------------------- bottom-k
+
+  private def srcDocs(rows: (String, String)*) = rows.toDF("source", "text")
+
+  test("bottom-k: identical sources estimate 1.0; disjoint estimate 0.0") {
+    val df = BottomKSketch.pairwiseJaccard(srcDocs(
+      ("a", "x1"), ("a", "x2"), ("b", "x1"), ("b", "x2"),
+      ("c", "y1"), ("c", "y2")), "source", "text", k = 8)
+      .orderBy("src_a", "src_b").collect()
+    val byPair = df.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getDouble(4), r.getDouble(7)))).toMap
+    assert(byPair(("a", "b")) === ((1.0, 1.0)))
+    assert(byPair(("a", "c")) === ((0.0, 0.0)))
+    assert(byPair(("b", "c")) === ((0.0, 0.0)))
+  }
+
+  test("bottom-k: k >= |union| makes the estimate exact; hand-computed overlap") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: J = 2/6
+    val df = BottomKSketch.pairwiseJaccard(srcDocs(
+      ("a", "1"), ("a", "2"), ("a", "3"), ("a", "4"),
+      ("b", "3"), ("b", "4"), ("b", "5"), ("b", "6")), "source", "text", k = 16)
+      .collect().head
+    assert(df.getAs[Long]("est_num") === 2L)
+    assert(df.getAs[Long]("m_size") === 6L)
+    assert(df.getAs[Long]("inter") === 2L)
+    assert(df.getAs[Long]("uni") === 6L)
+    assert(df.getAs[Double]("est_jaccard") === 2.0 / 6.0)
+    assert(df.getAs[Double]("exact_jaccard") === 2.0 / 6.0)
+  }
+
+  test("bottom-k: small k bounds the sketch; estimate stays in [0,1] and is deterministic") {
+    val rows = (0 until 40).map(i => ("a", s"t$i")) ++
+      (20 until 60).map(i => ("b", s"t$i"))
+    val r1 = BottomKSketch.pairwiseJaccard(srcDocs(rows: _*), "source", "text", k = 8)
+      .collect().head
+    assert(r1.getAs[Long]("m_size") === 8L)
+    val e = r1.getAs[Double]("est_jaccard")
+    assert(e >= 0.0 && e <= 1.0)
+    val r2 = BottomKSketch.pairwiseJaccard(
+      srcDocs(scala.util.Random.shuffle(rows): _*).repartition(5),
+      "source", "text", k = 8).collect().head
+    assert(r2.getAs[Long]("est_num") === r1.getAs[Long]("est_num"))
+    assert(r2.getAs[Double]("est_jaccard") === e)
+  }
 }
