@@ -515,6 +515,50 @@ object SparkEntry {
       BottomKSketch.pairwiseJaccard(table(s, d, "documents"),
         "source", "text", k = 64)
         .orderBy("src_a", "src_b")),
+    // SFT conversation prep: render a turns relation through the
+    // ChatML-shaped template with the loss-mask boundary (train on the
+    // final assistant response only). The turns fixture derives from
+    // document text slices; the oracle re-renders with string_agg and
+    // re-derives the boundary from integer turn lengths.
+    "chat_render" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(length(col("text")) >= 80)
+      val t = docs.select(col("doc_id").as("conv_id"), col("doc_id"),
+        explode(array(
+          struct(lit(0L).as("turn_idx"), lit("system").as("role"),
+            lit("You are helpful.").as("content")),
+          struct(lit(1L).as("turn_idx"), lit("user").as("role"),
+            substring(col("text"), 1, 40).as("content")),
+          struct(lit(2L).as("turn_idx"), lit("assistant").as("role"),
+            substring(col("text"), 41, 40).as("content")),
+          struct(lit(3L).as("turn_idx"), lit("user").as("role"),
+            substring(col("text"), 17, 25).as("content")),
+          struct(lit(4L).as("turn_idx"), lit("assistant").as("role"),
+            substring(col("text"), 5, 30).as("content")))).as("t"))
+        .filter(col("t.turn_idx") <= 2 || col("doc_id") % 3 === 0)
+        .select(col("conv_id"), col("t.turn_idx").as("turn_idx"),
+          col("t.role").as("role"), col("t.content").as("content"))
+      ChatFormat.render(t, "conv_id", "turn_idx", "role", "content")
+        .orderBy("conv_id")
+    }),
+    // Incremental corpus refresh: MERGE a derived changeset (updates,
+    // deletes, inserts keyed off doc_id residues) into the snapshot —
+    // one full-outer join, exactly reproduced by the oracle's set SQL.
+    "corpus_merge" -> ((s, d) => {
+      val snap = table(s, d, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val u = snap.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), col("lang"),
+          col("source"), col("n_chars"), lit("U").as("op"))
+      val del = snap.filter(col("doc_id") % 7 === 1)
+        .withColumn("op", lit("D"))
+      val ins = snap.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("copy: "), col("text")).as("text"),
+          lit("xx").as("lang"), lit("srcNew").as("source"),
+          (col("n_chars") + 6L).as("n_chars"), lit("I").as("op"))
+      Snapshot.merge(snap, u.unionByName(del).unionByName(ins), "doc_id")
+        .orderBy("doc_id")
+    }),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
     // maxBucket ENGAGED: `label` is a coarse key by construction (its
     // cardinality doesn't grow with the corpus), so at 100× one label
@@ -3372,6 +3416,58 @@ object SparkEntry {
         |JOIN sizes sb ON sb.src = p.src_b
         |LEFT JOIN intr i ON i.src_a = p.src_a AND i.src_b = p.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
+    // The conversation re-rendered with string_agg in turn order; the
+    // mask boundary re-derived from integer turn lengths: chars of all
+    // turns before the last assistant turn + its 22-char header + 1.
+    "chat_render" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 80),
+        |turns AS (
+        |  SELECT doc_id AS conv_id, 0 AS i, 'system' AS r,
+        |         'You are helpful.' AS c FROM docs
+        |  UNION ALL SELECT doc_id, 1, 'user', substr(text, 1, 40) FROM docs
+        |  UNION ALL SELECT doc_id, 2, 'assistant', substr(text, 41, 40) FROM docs
+        |  UNION ALL SELECT doc_id, 3, 'user', substr(text, 17, 25)
+        |            FROM docs WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 4, 'assistant', substr(text, 5, 30)
+        |            FROM docs WHERE doc_id % 3 = 0),
+        |agg AS (
+        |  SELECT conv_id,
+        |         CAST(count(*) AS BIGINT) AS n_turns,
+        |         string_agg('<|im_start|>' || r || chr(10) || c || '<|im_end|>'
+        |                    || chr(10), '' ORDER BY i) AS text,
+        |         max(CASE WHEN r = 'assistant' THEN i END) AS la
+        |  FROM turns GROUP BY conv_id),
+        |bounds AS (
+        |  SELECT t.conv_id,
+        |         CAST(sum(CASE WHEN t.i < a.la
+        |              THEN 24 + length(t.r) + length(t.c) ELSE 0 END) AS BIGINT)
+        |           AS prefix_chars,
+        |         CAST(max(CASE WHEN t.i = a.la THEN length(t.c) END) AS BIGINT)
+        |           AS tlen
+        |  FROM turns t JOIN agg a ON a.conv_id = t.conv_id
+        |  GROUP BY t.conv_id)
+        |SELECT a.conv_id, a.n_turns, a.text,
+        |       CAST(b.prefix_chars + 23 AS BIGINT) AS mask_from,
+        |       b.tlen AS target_len
+        |FROM agg a JOIN bounds b ON b.conv_id = a.conv_id
+        |ORDER BY a.conv_id""".stripMargin,
+    // The merge's set semantics re-derived directly: untouched rows,
+    // updated payloads, inserts; deleted residues absent.
+    "corpus_merge" ->
+      """WITH up AS (
+        |  SELECT doc_id, upper(text) AS text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |keep AS (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 1)),
+        |ins AS (
+        |  SELECT doc_id + 1000000 AS doc_id, 'copy: ' || text AS text,
+        |         'xx' AS lang, 'srcNew' AS source, n_chars + 6 AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 2)
+        |SELECT * FROM keep
+        |UNION ALL SELECT * FROM up
+        |UNION ALL SELECT * FROM ins
+        |ORDER BY doc_id""".stripMargin,
     "corpus_curation" ->
       """WITH qual AS (
         |  SELECT doc_id, round((c1 + c2 + c3 + c4) / 4.0, 6) AS quality

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Snapshot MERGE: insert/update/delete semantics, pass-through of
+  * untouched rows, rejection of ill-formed changes (with the snapshot
+  * side preserved), and the single-join plan shape. */
+class SnapshotSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val snap = Seq(
+    (1L, "one", 10), (2L, "two", 20), (3L, "three", 30)
+  ).toDF("id", "name", "v")
+
+  private def changes(rows: (Long, String, Int, String)*) =
+    rows.toDF("id", "name", "v", "op")
+
+  test("I/U/D apply; untouched rows pass through") {
+    val next = Snapshot.merge(snap,
+      changes((2L, "TWO", 22, "U"), (3L, "", 0, "D"), (4L, "four", 40, "I")),
+      "id").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(next.toSeq === Seq((1L, "one", 10), (2L, "TWO", 22), (4L, "four", 40)))
+  }
+
+  test("ill-formed changes reject; snapshot side survives") {
+    val (next, rejected) = Snapshot.mergeWithRejects(snap,
+      changes(
+        (1L, "dup", 99, "I"),  // I on existing id
+        (8L, "nope", 0, "U"),  // U on missing id
+        (9L, "nope", 0, "D")), // D on missing id
+      "id")
+    assert(next.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "one"), (2L, "two"), (3L, "three")))
+    assert(rejected.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "I"), (8L, "U"), (9L, "D")))
+  }
+
+  test("empty changeset is the identity") {
+    val next = Snapshot.merge(snap, changes(), "id")
+    assert(next.orderBy("id").collect().toSeq ===
+      snap.orderBy("id").collect().toSeq)
+  }
+
+  test("plan: ONE full-outer equality join, no window, no second join") {
+    val plan = Snapshot.merge(snap,
+      changes((2L, "TWO", 22, "U")), "id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.sliding(4).count(_ == "Join") <= 2) // kept + rejected-snap union
+    assert(!plan.contains("Window"))
+  }
+}
