@@ -562,6 +562,55 @@ object SparkEntry {
       Snapshot.merge(snap, u.unionByName(del).unionByName(ins), "doc_id")
         .orderBy("doc_id")
     }),
+    // Language-ID eval card: the marker-word classifier's predictions
+    // cross-tabulated against the labeled language.
+    "lang_confusion" -> ((s, d) =>
+      TextAnalysis.langConfusion(table(s, d, "documents"), "lang", "text")
+        .orderBy("lang_true", "lang_pred")),
+    // Wilson lower confidence bound on per-source good-doc rate — the
+    // statistically honest release ranking (3/3 must not beat
+    // 960/1000). Derived per source from two integer counts through
+    // one fixed double expression, identical on both sides.
+    "source_quality_wilson" -> ((s, d) =>
+      TextAnalysis.sourceWilson(table(s, d, "documents"), "source",
+        col("n_chars") >= 200)
+        .orderBy("source")),
+    // Conversion funnel signup → view → purchase: users reaching each
+    // step with strictly-increasing event times.
+    "events_funnel" -> ((s, d) =>
+      graft.streaming.EventPipeline.funnel(table(s, d, "events"),
+        Seq("signup", "view", "purchase"))
+        .orderBy("step_idx")),
+    // Exact median + MAD per event type (robust dispersion; same
+    // (n-1)q interpolation as the quantile rows).
+    "events_mad" -> ((s, d) =>
+      graft.streaming.EventPipeline.typeValueMad(table(s, d, "events"))
+        .select(col("event_type"), round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"))
+        .orderBy("event_type")),
+    // Checksum-validated PII: 16-digit card candidates (synthesized
+    // in-plan with a correct Luhn check digit iff doc_id % 3 == 0) are
+    // extracted and validated by the ISO 7812 mod-10 sum. The oracle
+    // derives the verdict from the CONSTRUCTION (valid ⟺ residue 0),
+    // so Spark's checksum arithmetic is checked independently.
+    "pii_luhn" -> ((s, d) => {
+      val base = lpad((col("doc_id") * 7919L % 1000000000000000L)
+        .cast("string"), 15, "0")
+      val revB = reverse(base)
+      val s15 = aggregate(
+        transform(sequence(lit(1), lit(15)), j => {
+          val dg = ascii(revB.substr(j, lit(1))) - lit(48)
+          when(j % 2 === 1,
+            when(dg * 2 > 9, dg * 2 - 9).otherwise(dg * 2)).otherwise(dg)
+        }),
+        lit(0), (acc, v) => acc + v)
+      val check = ((lit(10) - s15 % 10) % 10 +
+        when(col("doc_id") % 3 === 0, 0).otherwise(5)) % 10
+      val fixture = table(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), base, check.cast("string")).as("text"))
+      Pii.luhnAudit(fixture, "doc_id", "text").orderBy("doc_id")
+    }),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
     // maxBucket ENGAGED: `label` is a coarse key by construction (its
     // cardinality doesn't grow with the corpus), so at 100× one label
@@ -3471,6 +3520,98 @@ object SparkEntry {
         |UNION ALL SELECT * FROM up
         |UNION ALL SELECT * FROM ins
         |ORDER BY doc_id""".stripMargin,
+    // The confusion matrix over the same marker-word hit counters and
+    // tie-break chain as the lang_id oracle.
+    "lang_confusion" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'and', 'of'))) AS en_hits,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und'))) AS de_hits,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'les', 'et'))) AS fr_hits,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las', 'y'))) AS es_hits
+        |  FROM documents)
+        |SELECT lang AS lang_true,
+        |       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |            WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |            WHEN fr_hits >= es_hits THEN 'fr'
+        |            ELSE 'es' END AS lang_pred,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin,
+    // Wilson bound re-derived from the same (n, k) integers with the
+    // identically-shaped double expression (z cast to DOUBLE so the
+    // decimal literal cannot change the arithmetic).
+    "source_quality_wilson" ->
+      """WITH a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents GROUP BY source),
+        |c AS (
+        |  SELECT source, n, k,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         CAST(n AS DOUBLE) AS nd,
+        |         CAST(1.96 AS DOUBLE) AS z
+        |  FROM a)
+        |SELECT source, n, k, p AS p_hat,
+        |       (p + z * z / (2.0 * nd) -
+        |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+        |       (1.0 + z * z / nd) AS wilson_lower
+        |FROM c ORDER BY source""".stripMargin,
+    // Median + MAD from the same exact interpolated percentile
+    // definition as the quantile rows; round(6) on both sides.
+    "events_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |       round(max(m.med), 6) AS median,
+        |       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |FROM events e JOIN med m ON m.event_type = e.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    // The funnel re-derived step by step with the same strictly-after
+    // semantics; scalar-subquery counts per step.
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'signup' AS step,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'view', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
+    // The fixture's check digit is correct iff doc_id % 3 = 0, so the
+    // oracle states the verdict from the construction — Spark's Luhn
+    // arithmetic must reach the same booleans on its own.
+    "pii_luhn" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR), 15, '0')
+        |           AS b
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, b,
+        |         list_sum(list_transform(generate_series(1, 15), j ->
+        |           CASE WHEN j % 2 = 1 THEN
+        |             CASE WHEN 2 * (ascii(substr(reverse(b), CAST(j AS INT), 1)) - 48) > 9
+        |                  THEN 2 * (ascii(substr(reverse(b), CAST(j AS INT), 1)) - 48) - 9
+        |                  ELSE 2 * (ascii(substr(reverse(b), CAST(j AS INT), 1)) - 48) END
+        |           ELSE ascii(substr(reverse(b), CAST(j AS INT), 1)) - 48 END)) AS s15
+        |  FROM f)
+        |SELECT doc_id,
+        |       b || CAST(((10 - s15 % 10) % 10 +
+        |                  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 5 END) % 10
+        |                 AS VARCHAR) AS candidate,
+        |       (doc_id % 3 = 0) AS luhn_valid
+        |FROM s ORDER BY doc_id""".stripMargin,
     "corpus_curation" ->
       """WITH qual AS (
         |  SELECT doc_id, round((c1 + c2 + c3 + c4) / 4.0, 6) AS quality

@@ -56,4 +56,35 @@ object Pii {
     * composition surface ([[scrub]] is the audit surface). */
   def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), redactText(col(textCol)).as(textCol))
+
+  val CardPattern = "[0-9]{16}"
+
+  /** Luhn mod-10 check over a digit-string column — TRUE iff the ISO
+    * 7812 checksum holds. Pure array-HOF arithmetic (no UDF): from the
+    * rightmost digit, every second digit doubles (minus 9 past 9) and
+    * the total must divide by 10. Candidates are rare per corpus, so
+    * the interpreted HOF is off the hot path by construction. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val total = aggregate(
+      transform(sequence(lit(1), length(digits)), i => {
+        val d = ascii(rev.substr(i, lit(1))) - lit(48)
+        when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, v) => acc + v)
+    total % 10 === 0
+  }
+
+  /** Card-number candidate audit: extract 16-digit runs and validate
+    * each with [[luhnValid]] — the checksum pass that separates real
+    * card numbers from order ids, cutting the regex detector's false
+    * positives before anything is redacted. One scan-local projection
+    * + explode; output is (id, candidate, luhn_valid) per candidate. */
+  def luhnAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(CardPattern), lit(0)))
+          .as("candidate"))
+      .withColumn("luhn_valid", luhnValid(col("candidate")))
 }

@@ -86,6 +86,53 @@ object TextAnalysis {
         pred.as("lang_pred"): _*)
   }
 
+  /**
+   * Language-ID confusion matrix: the n-gram heuristic's predictions
+   * cross-tabulated against the labeled language — the eval card that
+   * tells you whether the cheap classifier is good enough to route on
+   * (and where it fails: zh has no Latin marker words, so its row
+   * lands wherever the tie-break sends zero-hit docs). ONE hash
+   * aggregate over the same scan-local hit counters as [[languageId]].
+   */
+  def langConfusion(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> hitCount(col(textCol), words)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    docs.groupBy(col(langCol).as("lang_true"), pred.as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Wilson-score lower confidence bound on a per-source "good
+   * document" rate — the release gate's statistically honest form: a
+   * source with 3/3 good docs must NOT outrank one with 960/1000, and
+   * the plain ratio says it does. The bound derives per source from
+   * TWO integers (n, k) through one fixed double expression (z=1.96),
+   * so distributed evaluation cannot perturb it; `good` is any
+   * row-local boolean column.
+   */
+  def sourceWilson(
+      docs: DataFrame, srcCol: String, good: Column): DataFrame = {
+    val agg = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(good, 1L).otherwise(0L)).as("k"))
+    val nd = col("n").cast("double")
+    val p = col("k").cast("double") / nd
+    val z = lit(1.96)
+    val lower =
+      (p + z * z / (lit(2.0) * nd) -
+        z * sqrt(p * (lit(1.0) - p) / nd + z * z / (lit(4.0) * nd * nd))) /
+        (lit(1.0) + z * z / nd)
+    agg.select(col("source"), col("n"), col("k"),
+      p.as("p_hat"), lower.as("wilson_lower"))
+  }
+
   /** Per-language corpus statistics — hash aggregate, partials map-side. */
   def langStats(docs: DataFrame, langCol: String, textCol: String): DataFrame =
     docs.groupBy(col(langCol).as("lang"))

@@ -84,6 +84,55 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("event_id")
 
   /**
+   * Ordered funnel analysis: how many users reach each step of an
+   * event-type sequence, where step i+1 counts only events STRICTLY
+   * AFTER the user's step-i time (the classic conversion funnel — a
+   * purchase before the signup does not convert). Each step is one
+   * filter + one equality join against the previous step's (user, t)
+   * relation + one min-aggregate — k small shuffles on user_id for a
+   * k-step funnel; with the event log bucketed by user they are all
+   * co-located, and the per-step relations only ever shrink.
+   */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "empty funnel")
+    val ev = normalizeTs(events).select(col("user_id"), col("event_type"), col("ts"))
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = ev.filter(col("event_type") === step)
+        val eligible = prev match {
+          case None => hits
+          case Some(p) => hits.join(p.withColumnRenamed("t", "__pt"), "user_id")
+            .filter(col("ts") > col("__pt"))
+        }
+        Some(eligible.groupBy("user_id").agg(min(col("ts")).as("t")))
+    }.flatten
+    steps.zip(reached).zipWithIndex.map { case ((step, r), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Robust dispersion per event type: median and median absolute
+   * deviation (MAD), both EXACT interpolated percentiles — the
+   * outlier-resistant spread statistic (a fat-tailed `value` makes
+   * stddev useless; MAD is what monitoring thresholds want). Two
+   * passes by construction (the second percentile needs the first's
+   * result); the per-type median relation is tiny and broadcasts back
+   * for the deviation pass. Same (n−1)·q interpolation as
+   * [[typeValueQuantiles]], which is what makes it oracle-checkable.
+   */
+  def typeValueMad(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    events.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("med")).as("median"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+  }
+
+  /**
    * Per-user hourly resampling with gap filling — the time-series
    * regularization step (training on activity series needs DENSE
    * buckets; a missing hour is a zero observation, not a missing row).

@@ -392,6 +392,39 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got.getDouble(7) === 0.39 * wps + 11.8 * spw - 15.59)
   }
 
+  test("langConfusion: diagonal for marker-bearing docs, tie-break routes zero-hit docs to en") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat and the dog"),
+      ("de", "der hund und die katze"),
+      ("zh", "xx yy zz")). // no Latin markers → all-zero hits → 'en' tie-break
+      toDF("lang", "text")
+    val got = TextAnalysis.langConfusion(docs, "lang", "text")
+      .orderBy("lang_true").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("de", "de", 1L), ("en", "en", 1L), ("zh", "en", 1L)))
+  }
+
+  test("sourceWilson: hand-computed bound; 3/3 ranks below 960/1000") {
+    import spark.implicits._
+    val docs = (1 to 3).map(i => ("tiny", 300L)) ++
+      (1 to 1000).map(i => ("big", if (i <= 960) 300L else 10L))
+    val got = TextAnalysis.sourceWilson(docs.toDF("source", "n_chars"),
+      "source", col("n_chars") >= 200).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    val (n1, k1, w1) = got("tiny")
+    val (n2, k2, w2) = got("big")
+    assert((n1, k1) === ((3L, 3L)) && (n2, k2) === ((1000L, 960L)))
+    // p̂(tiny)=1.0 > p̂(big)=0.96, but the bound must flip the order
+    assert(w1 < w2)
+    // hand-computed Wilson lower bound for k=3, n=3, z=1.96
+    val z = 1.96; val p = 1.0; val nd = 3.0
+    val expect = (p + z * z / (2.0 * nd) -
+      z * math.sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+      (1.0 + z * z / nd)
+    assert(math.abs(w1 - expect) < 1e-12)
+  }
+
   test("readability: punctuation-free text clamps sentences to 1; empty text to 1 word") {
     import spark.implicits._
     val got = TextAnalysis.readability(

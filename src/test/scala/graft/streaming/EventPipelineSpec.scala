@@ -59,6 +59,48 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(guarded === Set(101L))
   }
 
+  test("funnel: strictly-after ordering; out-of-order events don't convert") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 converts fully in order
+      Ev(1, t(0), 1L, "signup", 0, "{}"),
+      Ev(2, t(1), 1L, "view", 0, "{}"),
+      Ev(3, t(2), 1L, "purchase", 0, "{}"),
+      // user 2: purchase BEFORE view → reaches step 2 only
+      Ev(4, t(0), 2L, "signup", 0, "{}"),
+      Ev(5, t(3), 2L, "view", 0, "{}"),
+      Ev(6, t(1), 2L, "purchase", 0, "{}"),
+      // user 3: no signup → reaches nothing
+      Ev(7, t(0), 3L, "view", 0, "{}"),
+      Ev(8, t(1), 3L, "purchase", 0, "{}"),
+      // user 4: simultaneous signup+view → strict > rejects the view
+      Ev(9, t(4), 4L, "signup", 0, "{}"),
+      Ev(10, t(4), 4L, "view", 0, "{}")).toDF()
+    val got = EventPipeline.funnel(ev, Seq("signup", "view", "purchase"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1, "signup", 3L), (2, "view", 2L), (3, "purchase", 1L)))
+  }
+
+  test("typeValueMad: hand-computed median and MAD, outlier-resistant") {
+    import spark.implicits._
+    // values 1,2,3,4,100: median 3, |x-3| = 2,1,0,1,97 → MAD 1
+    val ev = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+      Ev(i.toLong, t(0, i), 1L, "x", v, "{}")
+    }
+    val got = EventPipeline.typeValueMad(ev.toDF()).collect().head
+    assert(got.getDouble(1) === 3.0)
+    assert(got.getDouble(2) === 1.0)
+    // even count interpolates: 1,2,3,10 → median 2.5, devs 1.5,0.5,0.5,7.5 → MAD 1.0
+    val ev2 = Seq(1.0, 2.0, 3.0, 10.0).zipWithIndex.map { case (v, i) =>
+      Ev(i.toLong, t(1, i), 1L, "y", v, "{}")
+    }
+    val got2 = EventPipeline.typeValueMad(ev2.toDF()).collect().head
+    assert(got2.getDouble(1) === 2.5)
+    assert(got2.getDouble(2) === 1.0)
+  }
+
   test("streaming windowed agg: append emits a window once the watermark passes it") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
