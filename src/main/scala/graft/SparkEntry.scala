@@ -575,6 +575,42 @@ object SparkEntry {
       TextAnalysis.sourceWilson(table(s, d, "documents"), "source",
         col("n_chars") >= 200)
         .orderBy("source")),
+    // Batched multi-query KNN — the ANN counterpart of
+    // retrieval_bm25_batch: Q=8 broadcast query vectors amortize ONE
+    // corpus scan; per-query top-k is the bounded topk_by_score
+    // aggregate (k slots per query ride the exchange, never a sort).
+    "knn_topk_batch" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = table(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      emb.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          round(expr("knn_cosine_similarity(embedding, qv)"), 6).as("score"))
+        .groupBy("query_id")
+        .agg(expr("topk_by_score(score, vec_id, 4)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("id"), col("col.score").as("score"))
+        .orderBy("query_id", "rank")
+    }),
+    // Matryoshka-truncated search: cosine top-4 on the leading 16 of
+    // 64 dims (truncate-then-cosine ≡ truncate-renormalize-dot) — the
+    // standard cheap first-stage for MRL-trained embeddings; 4× less
+    // scan arithmetic and bandwidth at the cost of recall the exact
+    // rows measure.
+    "ann_matryoshka_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = table(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(slice(col("embedding"), 1, 16).as("qv"))
+      emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          round(expr("knn_cosine_similarity(slice(embedding, 1, 16), qv)"), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(4)
+    }),
     // Conversion funnel signup → view → purchase: users reaching each
     // step with strictly-increasing event times.
     "events_funnel" -> ((s, d) =>
@@ -1943,6 +1979,28 @@ object SparkEntry {
         }
         .toDF("id", "doc_type", "timestamp_scale", "n_tracks",
           "track_types", "codec_ids")
+        .orderBy("id")
+    }),
+    // AVIF census — the ISO-BMFF image side (meta is a FULL box; the
+    // ispe property carries the dims). Completes the web image family.
+    "multimodal_avif_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val m = graft.multimodal.AvifParser.parseAvif(
+              graft.multimodal.AvifParser.buildAvif(
+                1L + (b0 * 256L + b1) % 4000L, 1L + (b0 + b1 * 3L) % 3000L,
+                withPixi = b1 % 2 == 1)).get
+            (id, m.brand, m.width, m.height, m.n_props)
+          }
+        }
+        .toDF("id", "brand", "width", "height", "n_props")
         .orderBy("id")
     }),
     // HTML → text extraction — the curation stage between WARC ingest
@@ -3568,6 +3626,38 @@ object SparkEntry {
         |FROM events e JOIN med m ON m.event_type = e.event_type
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
+    // Batched KNN re-ranked with a window over the exact scored cross;
+    // same rounded cosine, same (score DESC, id) order.
+    "knn_topk_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS id,
+        |         round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+        |               (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(e.embedding AS DOUBLE[]))) *
+        |                sqrt(list_inner_product(q.qv, q.qv))), 6) AS score
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT query_id, id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, score
+        |FROM ranked WHERE rank <= 4
+        |ORDER BY query_id, rank""".stripMargin,
+    "ann_matryoshka_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_inner_product(CAST(e.embedding[1:16] AS DOUBLE[]), q.qv) /
+        |             (sqrt(list_inner_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+        |                                      CAST(e.embedding[1:16] AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(q.qv, q.qv))), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, id LIMIT 4""".stripMargin,
     // The funnel re-derived step by step with the same strictly-after
     // semantics; scalar-subquery counts per step.
     "events_funnel" ->
@@ -5433,6 +5523,12 @@ object SparkEntry {
         |       CAST(960 * (1 + b1 * 13) * 1000 // r.rate AS BIGINT) AS duration_ms
         |FROM src s JOIN r ON r.idx = s.b1 % 7
         |ORDER BY id""".stripMargin,
+    "multimodal_avif_meta" ->
+      """SELECT doc_id AS id, 'avif' AS brand,
+        |       CAST(1 + (ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 4000 AS BIGINT) AS width,
+        |       CAST(1 + (ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1)) * 3) % 3000 AS BIGINT) AS height,
+        |       CAST(CASE WHEN ascii(substr(text, 2, 1)) % 2 = 1 THEN 2 ELSE 1 END AS INT) AS n_props
+        |FROM documents WHERE length(text) >= 2 ORDER BY id""".stripMargin,
     "multimodal_webm_meta" ->
       """WITH src AS (
         |  SELECT doc_id AS id,
