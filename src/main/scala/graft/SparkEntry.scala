@@ -617,6 +617,19 @@ object SparkEntry {
       graft.streaming.EventPipeline.funnel(table(s, d, "events"),
         Seq("signup", "view", "purchase"))
         .orderBy("step_idx")),
+    // Winsorization card: exact p01/p99 fences + clamp counts.
+    "events_winsorize" -> ((s, d) =>
+      graft.streaming.EventPipeline.typeValueWinsorize(table(s, d, "events"))
+        .select(col("event_type"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("n_below"), col("n_above"),
+          col("n"))
+        .orderBy("event_type")),
+    // Robust outliers by modified z-score (|v − med| > 3.5·MAD).
+    "events_outliers" -> ((s, d) =>
+      graft.streaming.EventPipeline.typeValueOutliers(table(s, d, "events"), 3.5)
+        .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"),
+          round(col("median"), 6).as("median"), round(col("mad"), 6).as("mad"))
+        .orderBy("event_id")),
     // Exact median + MAD per event type (robust dispersion; same
     // (n-1)q interpolation as the quantile rows).
     "events_mad" -> ((s, d) =>
@@ -3614,6 +3627,36 @@ object SparkEntry {
         |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
         |       (1.0 + z * z / nd) AS wilson_lower
         |FROM c ORDER BY source""".stripMargin,
+    // Winsorize fences from the same exact percentile definition;
+    // clamp counts are integer comparisons against identical doubles.
+    "events_winsorize" ->
+      """WITH f AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
+        |         quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, round(max(f.lo), 6) AS lo, round(max(f.hi), 6) AS hi,
+        |       CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_below,
+        |       CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_above,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events e JOIN f ON f.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // The same modified-z rule over identical median/MAD doubles.
+    "events_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, max(m.med) AS median,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m ON m.event_type = e.event_type
+        |  GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+        |       round(s.median, 6) AS median, round(s.mad, 6) AS mad
+        |FROM events e JOIN mad s ON s.event_type = e.event_type
+        |WHERE abs(e.value - s.median) > 3.5 * s.mad
+        |ORDER BY e.event_id""".stripMargin,
     // Median + MAD from the same exact interpolated percentile
     // definition as the quantile rows; round(6) on both sides.
     "events_mad" ->

@@ -133,6 +133,44 @@ object EventPipeline {
   }
 
   /**
+   * Winsorization card per event type: exact p01/p99 fences and the
+   * count of rows each fence would clamp — the standard outlier
+   * treatment BEFORE a value column feeds a model. Two passes like
+   * [[typeValueMad]] (fences first, then one counting scan with the
+   * tiny fence relation broadcast back); the clamped rewrite itself
+   * is the trivial `least(greatest(value, lo), hi)` projection the
+   * caller composes.
+   */
+  def typeValueWinsorize(events: DataFrame): DataFrame = {
+    val fences = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.01)").as("lo"),
+        expr("percentile(value, 0.99)").as("hi"))
+    events.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n"))
+  }
+
+  /**
+   * Robust outlier flags: events whose modified z-score
+   * |value − median| > k·MAD (the Iglewicz–Hoaglin rule with the
+   * conventional k=3.5 at the caller) — MAD-based so a heavy tail
+   * cannot hide its own outliers by inflating the stddev. Emits the
+   * flagged events only; both statistics come from
+   * [[typeValueMad]]'s exact percentiles, broadcast back for one
+   * scan-local comparison pass.
+   */
+  def typeValueOutliers(events: DataFrame, k: Double): DataFrame = {
+    val stats = typeValueMad(events)
+    events.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("median")) > lit(k) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("median"), col("mad"))
+  }
+
+  /**
    * Per-user hourly resampling with gap filling — the time-series
    * regularization step (training on activity series needs DENSE
    * buckets; a missing hour is a zero observation, not a missing row).

@@ -101,6 +101,21 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(got2.getDouble(2) === 1.0)
   }
 
+  test("winsorize card and MAD outliers: hand-computed fences and flags") {
+    import spark.implicits._
+    // 100 values 1..99 plus one 1000: p01/p99 interpolated fences,
+    // the 1000 is both clamped and a 3.5-MAD outlier
+    val ev = ((1 to 99).map(_.toDouble) :+ 1000.0).zipWithIndex.map {
+      case (v, i) => Ev(i.toLong, t(0, i % 60), 1L, "x", v, "{}")
+    }
+    val w = EventPipeline.typeValueWinsorize(ev.toDF()).collect().head
+    assert(w.getAs[Long]("n") === 100L)
+    assert(w.getAs[Long]("n_below") === 1L) // value 1 sits below p01
+    assert(w.getAs[Long]("n_above") === 1L) // the 1000
+    val o = EventPipeline.typeValueOutliers(ev.toDF(), 3.5).collect()
+    assert(o.map(_.getAs[Long]("event_id")).toSeq === Seq(99L))
+  }
+
   test("streaming windowed agg: append emits a window once the watermark passes it") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
