@@ -109,6 +109,18 @@ object SparkEntry {
     base.unionByName(corrupted)
   }
 
+  /** Materialized ER records store per sf dir (the registered relation
+    * the fuzzy-join SQL rewrite fires on) — a one-time offline write,
+    * like the blob/bucketed stores. */
+  private val erStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def erStore(s: SparkSession, d: String): String =
+    erStoreCache.computeIfAbsent(d, dir => {
+      val path = java.nio.file.Files.createTempDirectory("graft_er_store").toString
+      erRecords(s, dir).write.mode("overwrite").parquet(path)
+      path
+    })
+
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
       spark: SparkSession, dir: String): DataFrame =
@@ -452,6 +464,23 @@ object SparkEntry {
       EntityResolution.resolveEntities(erRecords(s, d), "id", "name",
         maxDist = 2, blockKeyLen = 8, maxBucket = Some(1024))
         .orderBy("record_id")
+    }),
+    // Naive O(n²) edit-distance SQL self-join auto-rewritten into the
+    // blocked ER subtree (third rewrite rule beside the ANN and LSH
+    // rewrites). maxDist=1 is lossless by pigeonhole on ≥16-char
+    // names, so the oracle is the EXACT naive join.
+    "sql_fuzzy_join_rewrite" -> ((s, d) => {
+      import graft.plans.{FuzzyJoinCatalog, FuzzyJoinRewrite}
+      FuzzyJoinRewrite.install(s)
+      val path = erStore(s, d)
+      FuzzyJoinCatalog.register(path, FuzzyJoinCatalog.Params(
+        "id", "name", blockKeyLen = 8, maxBucket = Some(1024)))
+      s.sql(
+        s"""SELECT a.id AS a_id, b.id AS b_id,
+           |       levenshtein(a.name, b.name) AS dist
+           |FROM parquet.`$path` a JOIN parquet.`$path` b
+           |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+           |ORDER BY a_id, b_id""".stripMargin)
     }),
     // Data-quality expectation suites (the Deequ pattern): a whole
     // constraint card — uniqueness, completeness, domains, ranges,
@@ -3377,6 +3406,23 @@ object SparkEntry {
         |       least(r.id, coalesce(l.mn, r.id)) AS entity_id
         |FROM records r LEFT JOIN lbl l ON l.src = r.id
         |ORDER BY record_id""".stripMargin,
+    // The rewrite's oracle is the NAIVE exact join itself — the
+    // strongest possible statement of the dist≤1 losslessness claim.
+    "sql_fuzzy_join_rewrite" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 24) AS name
+        |  FROM documents WHERE length(text) >= 24),
+        |pos AS (SELECT id, name, CAST(id % 16 + 4 AS INT) AS p FROM base),
+        |records AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, substr(name, 1, p) || substr(name, p + 2, 24)
+        |  FROM pos)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM records a JOIN records b
+        |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
     // Expectation cards: one scalar-aggregate CTE re-derives every
     // violation count; verdicts are integer-count comparisons.
     "data_expectations" ->
