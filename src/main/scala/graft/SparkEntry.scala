@@ -646,6 +646,22 @@ object SparkEntry {
       graft.streaming.EventPipeline.funnel(table(s, d, "events"),
         Seq("signup", "view", "purchase"))
         .orderBy("step_idx")),
+    // TPC-H Q13: customer order-count distribution (left outer join
+    // keeps zero-order customers in the c_count=0 bucket).
+    "tpch_q13_custdist" -> ((s, d) =>
+      RelationalAnalytics.customerOrderDistribution(
+        table(s, d, "customer"), table(s, d, "orders"))),
+    // Join-skew diagnostics: distinct keys, heaviest keys (bounded
+    // top-k aggregate), and the max/avg frequency ratio that predicts
+    // whether the next join on this key needs salting.
+    "skew_diagnostics" -> ((s, d) =>
+      RelationalAnalytics.skewDiagnostics(table(s, d, "orders"),
+        "o_custkey", k = 10)),
+    // Rolling 7-day activity per (user, day): RANGE frame over integer
+    // day numbers on the daily pre-aggregate.
+    "events_rolling_7d" -> ((s, d) =>
+      graft.streaming.EventPipeline.rolling7dActivity(table(s, d, "events"))
+        .orderBy("user_id", "day")),
     // Winsorization card: exact p01/p99 fences + clamp counts.
     "events_winsorize" -> ((s, d) =>
       graft.streaming.EventPipeline.typeValueWinsorize(table(s, d, "events"))
@@ -3673,6 +3689,41 @@ object SparkEntry {
         |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
         |       (1.0 + z * z / nd) AS wilson_lower
         |FROM c ORDER BY source""".stripMargin,
+    "tpch_q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "skew_diagnostics" ->
+      """WITH freq AS (
+        |  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |top AS (SELECT key, cnt FROM freq ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM freq) AS n_keys,
+        |       (SELECT CAST(sum(cnt) AS BIGINT) FROM freq) AS n_rows,
+        |       (SELECT CAST(max(cnt) AS BIGINT) FROM freq) AS max_freq,
+        |       (SELECT CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE) /
+        |               CAST(sum(cnt) AS DOUBLE) FROM freq) AS skew_ratio,
+        |       (SELECT string_agg(CAST(key AS VARCHAR), ','
+        |                          ORDER BY cnt DESC, key) FROM top) AS top_keys""".stripMargin,
+    // Rolling window re-derived with the identical RANGE frame over
+    // epoch-day numbers.
+    "events_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))
+        |           AS day_num
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n,
+        |       CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day_num
+        |                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS n_7d
+        |FROM daily ORDER BY user_id, day""".stripMargin,
     // Winsorize fences from the same exact percentile definition;
     // clamp counts are integer comparisons against identical doubles.
     "events_winsorize" ->

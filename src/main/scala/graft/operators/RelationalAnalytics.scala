@@ -146,6 +146,52 @@ object RelationalAnalytics {
       .orderBy("o_orderpriority")
 
   /**
+   * TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+   * join so zero-order customers land in the c_count=0 bucket, then a
+   * histogram over the per-customer counts. Two aggregates, both on
+   * keys the data is naturally keyed by; the first reduces |orders| →
+   * |customers| before anything wide happens — the standard
+   * "aggregate-then-histogram" shape that survives a fact table 10⁶×
+   * the dimension.
+   */
+  def customerOrderDistribution(
+      customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /**
+   * Join-skew diagnostics card for a key column: total rows, distinct
+   * keys, the exact top-k heaviest keys (bounded `topk_by_score`
+   * aggregate — never a global sort), and the max/avg frequency ratio
+   * — the number that predicts whether the next join on this key needs
+   * salting or AQE skew handling. ONE pre-aggregate to |keys| rows;
+   * everything after runs on the reduced relation.
+   */
+  def skewDiagnostics(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val freq = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    freq.agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_freq"),
+        expr(s"topk_by_score(CAST(cnt AS DOUBLE), key, $k)").as("top"))
+      .select(col("n_keys"), col("n_rows"), col("max_freq"),
+        (col("max_freq").cast("double") *
+          col("n_keys").cast("double") / col("n_rows").cast("double"))
+          .as("skew_ratio"),
+        // comma-joined string, not an array: flat schema survives any
+        // downstream comparator/exporter
+        expr("concat_ws(',', transform(top, t -> CAST(t.id AS STRING)))")
+          .as("top_keys"))
+  }
+
+  /**
    * Top-k parts by revenue within each brand: broadcast dimension join
    * (part) + one shuffled aggregation on partkey + a per-brand window.
    * The window partitions by brand over the ALREADY-aggregated relation

@@ -133,6 +133,29 @@ object EventPipeline {
   }
 
   /**
+   * Rolling 7-day activity per (user, day): the trailing-window count
+   * that powers retention/engagement curves. Daily pre-aggregation
+   * FIRST (|user·days| rows, not |events|), then a RANGE window frame
+   * on integer day numbers — the frame is value-based, so absent days
+   * weigh zero without materializing them (the dense-grid
+   * [[resampleHourly]] is the complementary shape when the zeros
+   * themselves must be rows).
+   */
+  def rolling7dActivity(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = normalizeTs(events)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_num",
+        datediff(col("day").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+      .rangeBetween(-6, Window.currentRow)
+    daily.select(col("user_id"), col("day"), col("n"),
+      sum("n").over(w).as("n_7d"))
+  }
+
+  /**
    * Winsorization card per event type: exact p01/p99 fences and the
    * count of rows each fence would clamp — the standard outlier
    * treatment BEFORE a value column feeds a model. Two passes like

@@ -115,6 +115,31 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("customerOrderDistribution: zero-order customers land in the 0 bucket") {
+    import spark.implicits._
+    val cust = Seq((1L, "a", 0, 0.0, "B"), (2L, "b", 0, 0.0, "B"),
+      (3L, "c", 0, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = RelationalAnalytics.customerOrderDistribution(cust, ord)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(2L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
+
+  test("skewDiagnostics: hand-computed ratio, ordered heavy keys, one row") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(7L) ++ Seq.fill(3)(8L) ++ Seq(9L)).toDF("k")
+    val got = RelationalAnalytics.skewDiagnostics(df, "k", k = 2).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("max_freq") === 6L)
+    assert(r.getAs[Double]("skew_ratio") === 6.0 * 3.0 / 10.0)
+    assert(r.getAs[String]("top_keys") === "7,8")
+  }
+
   test("pricingSummary pushes the shipdate filter and prunes columns at the scan") {
     val df = RelationalAnalytics.pricingSummary(t("lineitem"), "2000-09-01")
     val scan = df.queryExecution.executedPlan.collectLeaves()

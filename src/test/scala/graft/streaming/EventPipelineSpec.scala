@@ -101,6 +101,22 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(got2.getDouble(2) === 1.0)
   }
 
+  test("rolling7dActivity: value-based frame skips absent days correctly") {
+    import spark.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // user 1: events on days 1, 2, 9 — day 9's window must NOT see days 1-2
+    val ev = Seq(
+      Ev(1, day(1), 1L, "x", 0, "{}"), Ev(2, day(1), 1L, "x", 0, "{}"),
+      Ev(3, day(2), 1L, "x", 0, "{}"),
+      Ev(4, day(9), 1L, "x", 0, "{}")).toDF()
+    val got = EventPipeline.rolling7dActivity(ev).orderBy("day").collect()
+      .map(r => (r.getTimestamp(1).toString.take(10), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-02", 1L, 3L), // day 1 within 6 days
+      ("2024-01-09", 1L, 1L))) // days 1-2 aged out (> 6 days back)
+  }
+
   test("winsorize card and MAD outliers: hand-computed fences and flags") {
     import spark.implicits._
     // 100 values 1..99 plus one 1000: p01/p99 interpolated fences,
