@@ -646,6 +646,35 @@ object SparkEntry {
       graft.streaming.EventPipeline.funnel(table(s, d, "events"),
         Seq("signup", "view", "purchase"))
         .orderBy("step_idx")),
+    // Retrieval quality card: MRR / P@5 / recall@10 for the BM25
+    // ranking against a deterministic relevance rule (doc contains ALL
+    // query terms) — integer counts and single divisions, so the card
+    // is exact; the relevance judge is independent of the ranker.
+    "retrieval_eval" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val terms = Seq("dup", "hash", "merge")
+      val isRel = terms.map(t => array_contains(split(col("text"), " "), t))
+        .reduce(_ && _)
+      val rel = docs.select(col("doc_id"), isRel.as("rel"))
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .join(rel, Seq("doc_id"))
+      val tot = rel.agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_corpus"))
+      ranked.agg(
+          count(lit(1)).as("n_results"),
+          sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_top10"),
+          sum(when(col("rel") && col("rnk") <= 5, 1L).otherwise(0L))
+            .as("n_rel_top5"),
+          min(when(col("rel"), col("rnk"))).as("first_rel_rank"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_results"), col("n_rel_top10"), col("n_rel_top5"),
+          col("first_rel_rank"), col("n_rel_corpus"),
+          coalesce(lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0))
+            .as("mrr"),
+          (col("n_rel_top5").cast("double") / lit(5.0)).as("p_at_5"),
+          (col("n_rel_top10").cast("double") / col("n_rel_corpus").cast("double"))
+            .as("recall_at_10"))
+    }),
     // TPC-H Q13: customer order-count distribution (left outer join
     // keeps zero-order customers in the c_count=0 bucket).
     "tpch_q13_custdist" -> ((s, d) =>
@@ -3689,6 +3718,40 @@ object SparkEntry {
         |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
         |       (1.0 + z * z / nd) AS wilson_lower
         |FROM c ORDER BY source""".stripMargin,
+    // Same ranking CTE as retrieval_bm25; the relevance rule and all
+    // metrics re-derived from integers and single divisions.
+    "retrieval_eval" ->
+      s"""$bm25Ctes,
+         |ranked AS (
+         |  SELECT doc_id, rnk FROM (
+         |    SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |             AS rnk
+         |    FROM bm25) WHERE rnk <= 10),
+         |rel AS (
+         |  SELECT doc_id,
+         |         (list_contains(string_split(text, ' '), 'dup') AND
+         |          list_contains(string_split(text, ' '), 'hash') AND
+         |          list_contains(string_split(text, ' '), 'merge')) AS rel
+         |  FROM documents),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_results,
+         |         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10,
+         |         CAST(sum(CASE WHEN rel AND rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_rel_top5,
+         |         CAST(min(CASE WHEN rel THEN rnk END) AS BIGINT) AS first_rel_rank
+         |  FROM ranked JOIN rel USING (doc_id)),
+         |tot AS (
+         |  SELECT CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_rel_corpus
+         |  FROM rel)
+         |SELECT a.n_results, a.n_rel_top10, a.n_rel_top5, a.first_rel_rank,
+         |       t.n_rel_corpus,
+         |       coalesce(1.0e0 / CAST(a.first_rel_rank AS DOUBLE), 0.0e0) AS mrr,
+         |       CAST(a.n_rel_top5 AS DOUBLE) / 5.0e0 AS p_at_5,
+         |       CAST(a.n_rel_top10 AS DOUBLE) / CAST(t.n_rel_corpus AS DOUBLE)
+         |         AS recall_at_10
+         |FROM agg a, tot t""".stripMargin,
     "tpch_q13_custdist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (

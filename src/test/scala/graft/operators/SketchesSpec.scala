@@ -54,6 +54,34 @@ class SketchesSpec extends SparkFunSuite {
       s2.orderBy("j", "bucket").collect().toSeq)
   }
 
+  test("CMS under streaming aggregation: final cells equal the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    // the sketch build IS a grouped sum, so it runs unchanged as a
+    // streaming aggregation in complete mode — the incremental sketch
+    // a live ingest keeps warm
+    val input = MemoryStream[String]
+    val cells = (0 until 3).map(j =>
+      struct(lit(j).as("j"), CountMinSketch.bucket(col("term"), j, 8).as("bucket")))
+    val q = input.toDF().select(explode(split(col("value"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(explode(array(cells: _*)).as("cell"))
+      .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val texts = docs.collect().map(_.getString(0))
+      input.addData(texts.take(2)); q.processAllAvailable()
+      input.addData(texts.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batch = CountMinSketch.build(docs, "text", depth = 3, width = 8)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------- bottom-k
 
   private def srcDocs(rows: (String, String)*) = rows.toDF("source", "text")
