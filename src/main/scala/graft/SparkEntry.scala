@@ -646,6 +646,13 @@ object SparkEntry {
       graft.streaming.EventPipeline.funnel(table(s, d, "events"),
         Seq("signup", "view", "purchase"))
         .orderBy("step_idx")),
+    // Masked-LM corruption (denoising objective prep): deterministic
+    // seeded-hash mask positions, [MASK] input + position-ordered
+    // target, one scan-local HOF projection.
+    "mlm_corruption" -> ((s, d) =>
+      ObjectivePrep.mlmCorruption(table(s, d, "documents"),
+        "doc_id", "text", oneIn = 7)
+        .orderBy("doc_id")),
     // Retrieval quality card: MRR / P@5 / recall@10 for the BM25
     // ranking against a deterministic relevance rule (doc contains ALL
     // query terms) — integer counts and single divisions, so the card
@@ -3718,6 +3725,31 @@ object SparkEntry {
         |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
         |       (1.0 + z * z / nd) AS wilson_lower
         |FROM c ORDER BY source""".stripMargin,
+    // The mask positions re-derived nibble by nibble from the same
+    // md5(id:pos) seed (the dataset_split pattern), the input/target
+    // rebuilt with ordered list transforms.
+    "mlm_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT id, toks,
+        |         list_transform(generate_series(1, len(toks)), p ->
+        |           (list_sum(list_transform(generate_series(1, 4), i ->
+        |              (strpos('0123456789abcdef',
+        |                 substr(md5(CAST(id AS VARCHAR) || ':' || CAST(p AS VARCHAR)),
+        |                        CAST(i AS INT), 1)) - 1)
+        |              * CAST(16 ** (4 - i) AS BIGINT))) % 7 = 0)) AS flags
+        |  FROM t)
+        |SELECT id AS doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_masked,
+        |       array_to_string(list_transform(generate_series(1, len(toks)), p ->
+        |         CASE WHEN flags[CAST(p AS INT)] THEN '[MASK]'
+        |              ELSE toks[CAST(p AS INT)] END), ' ') AS input_text,
+        |       coalesce(array_to_string(list_filter(
+        |         list_transform(generate_series(1, len(toks)), p ->
+        |           CASE WHEN flags[CAST(p AS INT)] THEN toks[CAST(p AS INT)] END),
+        |         x -> x IS NOT NULL), ' '), '') AS target_text
+        |FROM f ORDER BY id""".stripMargin,
     // Same ranking CTE as retrieval_bm25; the relevance rule and all
     // metrics re-derived from integers and single divisions.
     "retrieval_eval" ->
