@@ -121,6 +121,26 @@ object SparkEntry {
       path
     })
 
+  /** Registered catalog table + materialized rollup per sf dir for the
+    * rollup-rewrite row — both one-time offline writes (the summary
+    * build is the single full scan every later rollup query
+    * amortizes). A dedicated table copy keeps the registration scoped
+    * to this row: other driver rows over documents.parquet keep their
+    * own plans. */
+  private val rollupCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.plans.RollupCatalog.Params)]()
+  private def rollupStore(s: SparkSession, d: String)
+      : (String, graft.plans.RollupCatalog.Params) =
+    rollupCache.computeIfAbsent(d, dir => {
+      val base = java.nio.file.Files.createTempDirectory("graft_rollup_base").toString
+      table(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(base)
+      val summary = java.nio.file.Files.createTempDirectory("graft_rollup_sum").toString
+      (base, graft.plans.RollupCatalog.buildSummary(
+        s, base, summary, Seq("lang", "source"), Seq("n_chars")))
+    })
+
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
       spark: SparkSession, dir: String): DataFrame =
@@ -482,6 +502,30 @@ object SparkEntry {
            |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
            |ORDER BY a_id, b_id""".stripMargin)
     }),
+    // Materialized-rollup auto-rewrite (FOURTH rewrite rule): repeated
+    // corpus rollups are served from a registered pre-aggregate
+    // instead of rescanning the base. count/sum/min/max are
+    // MERGE-CLOSED, so the naive GROUP BY re-plans as a merge
+    // aggregate over the (lang, source) summary — here with a coarser
+    // grain (lang) AND a commuting WHERE on a grain column, the two
+    // transforms that make a rollup reusable. At 100 TB this turns a
+    // datacard refresh from a corpus scan into a few-thousand-row
+    // read. The oracle runs the SAME naive SQL on the base table: the
+    // rewrite must be semantically invisible (float sums, avg,
+    // count(col), DISTINCT and non-grain predicates all REFUSE —
+    // pinned by RollupRewriteSpec).
+    "sql_rollup_rewrite" -> ((s, d) => {
+      import graft.plans.{RollupCatalog, RollupRewrite}
+      RollupRewrite.install(s)
+      val (base, params) = rollupStore(s, d)
+      RollupCatalog.register(base, params)
+      s.sql(
+        s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+           |FROM parquet.`$base`
+           |WHERE source <> 'src0'
+           |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
     // Data-quality expectation suites (the Deequ pattern): a whole
     // constraint card — uniqueness, completeness, domains, ranges,
     // formats — compiled into ONE aggregate pass; verdicts compare
@@ -653,6 +697,38 @@ object SparkEntry {
       ObjectivePrep.mlmCorruption(table(s, d, "documents"),
         "doc_id", "text", oneIn = 7)
         .orderBy("doc_id")),
+    // DPO preference-pair prep (the third objective beside causal-LM
+    // packing and masked-LM corruption): 4 candidate completions per
+    // prompt (doc_id div 4), ranked by an integer token-count score;
+    // best/worst become (chosen, rejected) via ONE max_by/min_by hash
+    // aggregate over a total ranking key — no per-group window sort.
+    // Zero-margin groups emit nothing.
+    "dpo_pairs" -> ((s, d) => {
+      val cands = table(s, d, "documents").select(
+        expr("doc_id div 4").as("prompt_id"),
+        col("doc_id").as("cand_id"),
+        substring(col("text"), 1, 64).as("resp"),
+        size(split(col("text"), " ")).cast("long").as("score"))
+      ObjectivePrep.dpoPairs(cands, "prompt_id", "cand_id", "resp", "score")
+        .orderBy("prompt_id")
+    }),
+    // Incremental stats maintenance — the write-side twin of the
+    // rollup rewrite: state(old) ⊕ state(delta) == state(old ∪ delta)
+    // for merge-closed statistics (cnt/sum/sumsq/min/max; sumsq is
+    // DECIMAL(38,0) so the second moment survives 100 TB), so the
+    // datacard refresh scans ONLY the delta. The oracle is the full
+    // rescan the merge replaces.
+    "stats_incremental" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      IncrementalStats.card(
+        IncrementalStats.merge(Seq(
+          IncrementalStats.summarize(old, Seq("lang"), "n_chars"),
+          IncrementalStats.summarize(delta, Seq("lang"), "n_chars")),
+          Seq("lang")), Scale)
+        .orderBy("lang")
+    }),
     // Retrieval quality card: MRR / P@5 / recall@10 for the BM25
     // ranking against a deterministic relevance rule (doc contains ALL
     // query terms) — integer counts and single divisions, so the card
@@ -2040,6 +2116,37 @@ object SparkEntry {
         }
         .toDF("id", "codec", "channels", "sample_rate", "n_pages",
           "last_granule", "duration_ms")
+        .orderBy("id")
+    }),
+    // H.264/AVC Annex-B NAL census — ELEMENTARY-STREAM triage below
+    // the container censuses (MP4/WebM say which codec; this says
+    // what the bitstream holds: parameter sets, random-access IDR vs
+    // predicted slices, profile/level). Spec-shaped streams with both
+    // start-code forms are assembled in-plan from each document's
+    // bytes; the parser must recover the census by actually framing
+    // NAL units. The oracle re-derives the same integers.
+    "multimodal_h264_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val profiles = Array(66, 77, 100)
+          val levels = Array(30, 31, 40, 41, 50)
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val m = graft.multimodal.H264Parser.parseAnnexB(
+              graft.multimodal.H264Parser.buildAnnexB(
+                profiles(b0 % 3), levels(b1 % 5),
+                1 + b0 % 3, 2 + b1 % 5)).get
+            (id, m.profile, m.profileIdc, m.levelIdc,
+              m.nNal, m.nSps, m.nPps, m.nIdr, m.nNonIdr)
+          }
+        }
+        .toDF("id", "profile", "profile_idc", "level_idc",
+          "n_nal", "n_sps", "n_pps", "n_idr", "n_non_idr")
         .orderBy("id")
     }),
     // WebM/Matroska (EBML) census — with multimodal_mp4_meta this
@@ -3475,6 +3582,15 @@ object SparkEntry {
         |FROM records a JOIN records b
         |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
+    // The naive rollup SQL over the BASE table: the materialized-
+    // rollup rewrite must be semantically invisible, so the oracle is
+    // the un-rewritten aggregate itself (exact integer sums).
+    "sql_rollup_rewrite" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents WHERE source <> 'src0'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Expectation cards: one scalar-aggregate CTE re-derives every
     // violation count; verdicts are integer-count comparisons.
     "data_expectations" ->
@@ -3750,6 +3866,35 @@ object SparkEntry {
         |           CASE WHEN flags[CAST(p AS INT)] THEN toks[CAST(p AS INT)] END),
         |         x -> x IS NOT NULL), ' '), '') AS target_text
         |FROM f ORDER BY id""".stripMargin,
+    // Preference pairs re-derived via arg_max/arg_min over the same
+    // total ranking key (score·2^20 + id mod 2^20) — exact integers,
+    // so the tie-break contract is checked, not just the values.
+    "dpo_pairs" ->
+      """WITH cands AS (
+        |  SELECT doc_id // 4 AS prompt_id, doc_id AS cand_id,
+        |         substr(text, 1, 64) AS resp,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT *, score * 1048576 + cand_id % 1048576 AS k FROM cands)
+        |SELECT prompt_id,
+        |       arg_max(cand_id, k) AS chosen_id, arg_max(resp, k) AS chosen,
+        |       arg_min(cand_id, k) AS rejected_id, arg_min(resp, k) AS rejected,
+        |       CAST(max(score) - min(score) AS BIGINT) AS margin,
+        |       count(*) AS n_cands
+        |FROM keyed GROUP BY prompt_id
+        |HAVING max(score) - min(score) > 0
+        |ORDER BY prompt_id""".stripMargin,
+    // The full rescan the incremental merge replaces: cnt/sum/sumsq/
+    // min/max per lang plus mean as one final division.
+    "stats_incremental" ->
+      """SELECT lang, count(*) AS cnt,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |       CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DECIMAL(38,0))
+        |         AS sumsq_v,
+        |       min(n_chars) AS min_v, max(n_chars) AS max_v,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_v
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Same ranking CTE as retrieval_bm25; the relevance rule and all
     // metrics re-derived from integers and single divisions.
     "retrieval_eval" ->
@@ -5721,6 +5866,27 @@ object SparkEntry {
         |       CAST(1 + b1 % 2 AS INT) AS tracks,
         |       CASE WHEN b1 % 2 = 1 THEN 'soun,vide' ELSE 'vide' END AS handlers,
         |       CASE WHEN b1 % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs
+        |FROM src ORDER BY id""".stripMargin,
+    // The NAL census re-derived arithmetically from the same document
+    // bytes the in-plan Annex-B builder consumed (1 SPS + 1 PPS +
+    // nIdr + nNonIdr framed units).
+    "multimodal_h264_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2)
+        |SELECT id,
+        |       CASE b0 % 3 WHEN 0 THEN 'Baseline' WHEN 1 THEN 'Main'
+        |            ELSE 'High' END AS profile,
+        |       CAST(CASE b0 % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+        |            ELSE 100 END AS INT) AS profile_idc,
+        |       CAST(CASE b1 % 5 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
+        |            WHEN 3 THEN 41 ELSE 50 END AS INT) AS level_idc,
+        |       CAST(5 + b0 % 3 + b1 % 5 AS INT) AS n_nal,
+        |       CAST(1 AS INT) AS n_sps, CAST(1 AS INT) AS n_pps,
+        |       CAST(1 + b0 % 3 AS INT) AS n_idr,
+        |       CAST(2 + b1 % 5 AS INT) AS n_non_idr
         |FROM src ORDER BY id""".stripMargin,
     // FLAC/OGG censuses re-derived arithmetically from the same
     // document bytes the in-plan container builders consumed;

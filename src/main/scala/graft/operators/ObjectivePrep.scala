@@ -53,4 +53,36 @@ object ObjectivePrep {
       concat_ws(" ", masked).as("input_text"),
       concat_ws(" ", filter(targets, t => t.isNotNull)).as("target_text"))
   }
+
+  /**
+   * DPO/RLHF preference-pair prep: per prompt group, the best- and
+   * worst-ranked candidates become (chosen, rejected); groups without
+   * a strict score margin emit nothing (no preference signal — a pair
+   * with margin 0 teaches the wrong thing). ONE hash aggregate with
+   * `max_by`/`min_by` over a TOTAL ranking key — no per-group window
+   * sort, so the shape is a single exchange on promptCol at any scale.
+   *
+   * Determinism contract: `max_by`/`min_by` are tie-nondeterministic,
+   * so ranking uses rankKey = score·2^20 + (id mod 2^20), a TOTAL
+   * order whenever ids are unique within a group (ties on score
+   * resolve to the larger id for chosen, smaller for rejected —
+   * documented, engine-portable arithmetic).
+   *
+   * Output: (promptCol, chosen_id, chosen, rejected_id, rejected,
+   * margin, n_cands) where margin = max(score) − min(score) — exact
+   * integers end to end.
+   */
+  def dpoPairs(
+      cands: DataFrame, promptCol: String, idCol: String,
+      textCol: String, scoreCol: String): DataFrame = {
+    val key = col(scoreCol) * lit(1048576L) + col(idCol) % lit(1048576L)
+    cands.groupBy(col(promptCol)).agg(
+      max_by(col(idCol), key).as("chosen_id"),
+      max_by(col(textCol), key).as("chosen"),
+      min_by(col(idCol), key).as("rejected_id"),
+      min_by(col(textCol), key).as("rejected"),
+      (max(col(scoreCol)) - min(col(scoreCol))).as("margin"),
+      count(lit(1)).as("n_cands"))
+      .filter(col("margin") > 0)
+  }
 }

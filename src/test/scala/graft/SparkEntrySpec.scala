@@ -17,6 +17,13 @@ class SparkEntrySpec extends SparkFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("sql_rollup_rewrite driver row is served from the summary, not the base") {
+    val df = SparkEntry.queries("sql_rollup_rewrite")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_rollup_sum"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("graft_rollup_base"), s"base still scanned:\n$plan")
+  }
+
   test("all queries run at sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, Sf0001).count()

@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H.264 Annex-B census: builder round trip over a parameter grid,
+  * both start-code forms, and fuzz totality. */
+class H264ParserSpec extends AnyFunSuite {
+
+  test("builder round trip recovers profile/level and slice census") {
+    for {
+      (pidc, pname) <- Seq(66 -> "Baseline", 77 -> "Main", 100 -> "High")
+      lvl <- Seq(30, 31, 40, 41, 50)
+      nIdr <- Seq(1, 3)
+      nNonIdr <- Seq(0, 2, 7)
+    } {
+      val m = H264Parser.parseAnnexB(
+        H264Parser.buildAnnexB(pidc, lvl, nIdr, nNonIdr)).get
+      assert(m.profile === pname)
+      assert(m.profileIdc === pidc && m.levelIdc === lvl)
+      assert(m.nSps === 1 && m.nPps === 1)
+      assert(m.nIdr === nIdr && m.nNonIdr === nNonIdr)
+      assert(m.nNal === 2 + nIdr + nNonIdr)
+    }
+  }
+
+  test("3-byte and 4-byte start codes both frame NAL units") {
+    // builder emits 4-byte codes for SPS/PPS and 3-byte for slices —
+    // the round trip above exercises both; here pin the exact framing
+    val b = H264Parser.buildAnnexB(66, 30, 1, 1)
+    assert((b(0), b(1), b(2), b(3)) === (0, 0, 0, 1)) // SPS: long form
+    val m = H264Parser.parseAnnexB(b).get
+    assert(m.nNal === 4)
+  }
+
+  test("uncommon profile idc gets the numeric fallback name") {
+    val m = H264Parser.parseAnnexB(H264Parser.buildAnnexB(144, 30, 1, 0)).get
+    assert(m.profile === "P144")
+  }
+
+  test("malformed inputs return None, never throw; fuzz totality") {
+    assert(H264Parser.parseAnnexB(null).isEmpty)
+    assert(H264Parser.parseAnnexB(Array.empty[Byte]).isEmpty)
+    assert(H264Parser.parseAnnexB(Array[Byte](1, 2, 3, 4, 5, 6)).isEmpty)
+    // does not begin with a start code
+    val good = H264Parser.buildAnnexB(66, 30, 1, 1)
+    assert(H264Parser.parseAnnexB(0x55.toByte +: good).isEmpty)
+    // forbidden_zero_bit set on the first NAL header
+    val forbidden = good.clone(); forbidden(4) = (forbidden(4) | 0x80).toByte
+    assert(H264Parser.parseAnnexB(forbidden).isEmpty)
+    // SPS truncated before level_idc: header byte then next start code
+    val trunc = Array[Byte](0, 0, 0, 1, 0x67, 0, 0, 1, 0x68, 0xce.toByte)
+    assert(H264Parser.parseAnnexB(trunc).isEmpty)
+    // stream with slices but no SPS: profile unknown → None
+    val noSps = Array[Byte](0, 0, 1, 0x65, 0x25, 0x11)
+    assert(H264Parser.parseAnnexB(noSps).isEmpty)
+    // deterministic fuzz: parser is total on arbitrary bytes
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val len = rnd.nextInt(64)
+      val bytes = Array.fill(len)(rnd.nextInt(256).toByte)
+      H264Parser.parseAnnexB(bytes) // must not throw
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.DataFrame
+
+/** Materialized-rollup rewrite: merge-closed aggregates over a
+  * registered base re-plan against the summary (exact-grain, coarser
+  * regroup, commuting WHERE, global aggregate); anything outside the
+  * merge algebra — avg, count(col), float sums, non-grain predicates —
+  * refuses and falls back to the base scan. */
+class RollupRewriteSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val basePath: String = {
+    val p = java.nio.file.Files.createTempDirectory("rollup_rw_base").toString
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"lang${i % 3}", s"src${i % 5}", (i * 7 % 101).toLong,
+        i * 0.25)
+    }
+    rows.toDF("id", "lang", "source", "n_chars", "score")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private lazy val params: RollupCatalog.Params = {
+    val sp = java.nio.file.Files.createTempDirectory("rollup_rw_sum").toString
+    val p = RollupCatalog.buildSummary(spark, basePath, sp,
+      Seq("lang", "source"), Seq("n_chars", "score"))
+    p
+  }
+
+  private def scansSummary(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("rollup_rw_sum") && !plan.contains("rollup_rw_base")
+  }
+  private def scansBase(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("rollup_rw_base")
+
+  private def withRegistered[T](f: => T): T = {
+    RollupRewrite.install(spark)
+    RollupCatalog.register(basePath, params)
+    try f finally RollupCatalog.unregister(basePath)
+  }
+
+  private def sql(q: String) = spark.sql(q.replace("BASE", s"parquet.`$basePath`"))
+
+  test("exact-grain query rewrites to the summary scan and stays exact") {
+    val q = """SELECT lang, source, count(*) AS n, sum(n_chars) AS total,
+              |       min(n_chars) AS lo, max(n_chars) AS hi
+              |FROM BASE GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    val exact = sql(q).collect().toSeq
+    withRegistered {
+      val rw = sql(q)
+      assert(scansSummary(rw), rw.queryExecution.executedPlan.toString)
+      assert(rw.collect().toSeq === exact)
+    }
+  }
+
+  test("coarser regroup + commuting WHERE rewrites and stays exact") {
+    val q = """SELECT lang, count(*) AS n, sum(n_chars) AS total
+              |FROM BASE WHERE source <> 'src0'
+              |GROUP BY lang ORDER BY lang""".stripMargin
+    val exact = sql(q).collect().toSeq
+    withRegistered {
+      val rw = sql(q)
+      assert(scansSummary(rw), rw.queryExecution.executedPlan.toString)
+      assert(rw.collect().toSeq === exact)
+    }
+  }
+
+  test("global aggregate (no GROUP BY) rewrites and stays exact") {
+    val q = "SELECT count(*) AS n, max(n_chars) AS hi FROM BASE"
+    val exact = sql(q).collect().toSeq
+    withRegistered {
+      val rw = sql(q)
+      assert(scansSummary(rw), rw.queryExecution.executedPlan.toString)
+      assert(rw.collect().toSeq === exact)
+    }
+  }
+
+  test("avg is not merge-registered: NOT rewritten") {
+    withRegistered {
+      assert(scansBase(sql(
+        "SELECT lang, avg(n_chars) AS m FROM BASE GROUP BY lang")))
+    }
+  }
+
+  test("count(col) counts non-nulls, not rows: NOT rewritten") {
+    withRegistered {
+      assert(scansBase(sql(
+        "SELECT lang, count(source) AS n FROM BASE GROUP BY lang")))
+    }
+  }
+
+  test("float sums are order-dependent: NOT rewritten") {
+    withRegistered {
+      assert(scansBase(sql(
+        "SELECT lang, sum(score) AS s FROM BASE GROUP BY lang")))
+    }
+  }
+
+  test("WHERE on a non-grain column does not commute: NOT rewritten") {
+    withRegistered {
+      assert(scansBase(sql(
+        "SELECT lang, count(*) AS n FROM BASE WHERE n_chars > 50 GROUP BY lang")))
+    }
+  }
+
+  test("count DISTINCT is never merge-closed: NOT rewritten") {
+    withRegistered {
+      assert(scansBase(sql(
+        "SELECT lang, count(DISTINCT source) AS n FROM BASE GROUP BY lang")))
+    }
+  }
+
+  test("unregistered base: NOT rewritten") {
+    RollupRewrite.install(spark)
+    assert(scansBase(sql(
+      "SELECT lang, count(*) AS n FROM BASE GROUP BY lang")))
+  }
+}
