@@ -521,7 +521,8 @@ object SparkEntry {
       RollupCatalog.register(base, params)
       s.sql(
         s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-           |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+           |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           |       round(avg(n_chars), 6) AS avg_chars
            |FROM parquet.`$base`
            |WHERE source <> 'src0'
            |GROUP BY lang ORDER BY lang""".stripMargin)
@@ -1021,6 +1022,41 @@ object SparkEntry {
           col("method").cast("long").as("method"),
           col("csize").as("c_bytes"), col("usize").as("n_bytes"))
         .orderBy("doc_id")
+    }),
+    // Zstd frame census — the decode-free triage for .zst corpus
+    // drops (how web-scale text dumps actually ship): frame/block
+    // structure, declared content size, dictionary id and checksum
+    // presence from HEADERS only, payload bytes skipped. Legal frames
+    // (raw + RLE blocks, optional skippable prefix, 2-byte dict ids)
+    // are assembled in-plan from each document's bytes; the oracle
+    // re-derives the census arithmetically (ceil-div block counts).
+    "zstd_census" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 250)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 250).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+            val clen = 50 + b0 % 200
+            val rleLen = if (b0 % 2 == 1) 1 + b1 % 32 else 0
+            val dictId = if (b0 % 5 == 0) 1000 + b1 else 0
+            val frame = graft.sources.ZstdCodec.buildZstd(
+              bytes.take(clen), 1 + b1 % 64, rleLen, 0x41, dictId)
+            val stream =
+              if (b1 % 3 == 0)
+                graft.sources.ZstdCodec.buildSkippable(bytes.take(11)) ++ frame
+              else frame
+            val m = graft.sources.ZstdCodec.parseZstd(stream).get
+            (id, m.n_frames, m.n_skippable, m.n_blocks, m.n_raw, m.n_rle,
+              m.content_bytes, m.dict_id, m.has_checksum)
+          }
+        }
+        .toDF("id", "n_frames", "n_skippable", "n_blocks", "n_raw",
+          "n_rle", "content_bytes", "dict_id", "has_checksum")
+        .orderBy("id")
     }),
     // Corpus snapshot diff by content fingerprint: docs < 250 as v1,
     // >= 250 as v2 → added/removed/retained classes with distinct-text
@@ -1655,6 +1691,13 @@ object SparkEntry {
       RelationalAnalytics.topRevenueOrders(
         table(s, d, "customer"), table(s, d, "orders"), table(s, d, "lineitem"),
         segment = "BUILDING", cutoff = "1996-03-15", k = 10)),
+    // TPC-H Q18 shape: the IN-(HAVING) subquery computed ONCE and
+    // reused as the probe side — one lineitem scan, AQE-broadcast
+    // detail joins, exact decimal quantity sums.
+    "tpch_q18_large_orders" -> ((s, d) =>
+      RelationalAnalytics.largeVolumeCustomers(
+        table(s, d, "customer"), table(s, d, "orders"),
+        table(s, d, "lineitem"), minTotalQty = 150.0, k = 100)),
     "tpch_q5_region_volume" -> ((s, d) =>
       RelationalAnalytics.regionalSupplierVolume(
         table(s, d, "region"), table(s, d, "nation"), table(s, d, "customer"),
@@ -3588,7 +3631,9 @@ object SparkEntry {
     "sql_rollup_rewrite" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 6)
+        |         AS avg_chars
         |FROM documents WHERE source <> 'src0'
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Expectation cards: one scalar-aggregate CTE re-derives every
@@ -5029,6 +5074,31 @@ object SparkEntry {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The zstd census re-derived arithmetically from the same document
+    // bytes the in-plan frame builder consumed (ceil-div raw-block
+    // count, RFC 8878 layout).
+    "zstd_census" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 250)
+        |SELECT id, CAST(1 AS INT) AS n_frames,
+        |       CAST(CASE WHEN b1 % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        |         AS n_skippable,
+        |       CAST((50 + b0 % 200 + b1 % 64) // (1 + b1 % 64)
+        |            + CASE WHEN b0 % 2 = 1 THEN 1 ELSE 0 END AS INT)
+        |         AS n_blocks,
+        |       CAST((50 + b0 % 200 + b1 % 64) // (1 + b1 % 64) AS INT)
+        |         AS n_raw,
+        |       CAST(CASE WHEN b0 % 2 = 1 THEN 1 ELSE 0 END AS INT) AS n_rle,
+        |       CAST(50 + b0 % 200 +
+        |            CASE WHEN b0 % 2 = 1 THEN 1 + b1 % 32 ELSE 0 END AS BIGINT)
+        |         AS content_bytes,
+        |       CAST(CASE WHEN b0 % 5 = 0 THEN 1000 + b1 ELSE 0 END AS BIGINT)
+        |         AS dict_id,
+        |       false AS has_checksum
+        |FROM src ORDER BY id""".stripMargin,
     // Same UAX #15 forms via utf8proc; the suffix is spelled with
     // chr() so no SQL-literal encoding ambiguity can creep in.
     "text_normalize" ->
@@ -5652,6 +5722,22 @@ object SparkEntry {
         |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
         |ORDER BY rev DESC, o.o_orderkey
         |LIMIT 10""".stripMargin,
+    // The classic Q18 formulation (IN + HAVING subquery) — the engine
+    // side must be plan-better but answer-identical.
+    "tpch_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |           AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150.0)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice, b.total_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
     "tpch_q5_region_volume" ->
       """SELECT n.n_name,
         |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev

@@ -231,4 +231,35 @@ object RelationalAnalytics {
       .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_price"))
       .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderstatus"))
   }
+
+  /**
+   * TPC-H Q18 shape: large-volume customers — orders whose total line
+   * quantity exceeds `minTotalQty`, with customer and order detail.
+   *
+   * Scale: the reference SQL's `o_orderkey IN (SELECT ... HAVING)`
+   * subquery IS the per-order aggregate, so it is computed ONCE and
+   * reused as the probe side — lineitem is scanned a single time, not
+   * twice (aggregate once, then join; never aggregate-in-subquery +
+   * re-join-lineitem). The surviving order set is tiny (the HAVING
+   * cut), so AQE broadcast-converts both detail joins; orders and
+   * customer never shuffle. Quantities accumulate in exact decimal
+   * (one final double), and the top-k is orderBy+limit →
+   * TakeOrderedAndProject with a total tie-break.
+   */
+  def largeVolumeCustomers(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minTotalQty: Double, k: Int): DataFrame = {
+    val bigOrders = lineitem
+      .groupBy("l_orderkey")
+      .agg(decSum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minTotalQty)
+    bigOrders
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
 }

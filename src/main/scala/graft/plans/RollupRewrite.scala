@@ -24,18 +24,25 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
  * EXACTNESS contract: the rewrite fires only when every aggregate in
  * the query is merge-closed over a registered partial —
  *   count(*)        → sum(summary.cnt)
+ *   count(c)        → sum(summary.nn_c)    (the non-null partial)
  *   sum(c)          → sum(summary.sum_c)   (integral/decimal c only —
  *                     float sums are order-dependent, so the rule
  *                     REFUSES them rather than silently re-associating)
  *   min(c) / max(c) → min/max of the stored partial
- * — the query's GROUP BY columns are a subset of the summary's
- * grouping (coarser rollups re-aggregate), and any WHERE predicate
- * references summary grouping columns only (such a filter commutes
- * with the aggregate, so it is applied to the summary rows). Anything
- * else — count(col), avg, count(DISTINCT), a predicate on a
- * non-grouping column — leaves the plan untouched and the query falls
- * back to the base scan. DISTINCT aggregates can never be served:
- * distinctness is not merge-closed over a rollup.
+ *   avg(c)          → sum(sum_c) / sum(nn_c), one double division over
+ *                     exact integers (integral c only; exact while the
+ *                     global sum stays below 2^53 — the same bound
+ *                     Spark's own Average carries for longs)
+ * and every result column is an arbitrary expression OVER such
+ * aggregates and grouping columns (round(avg(c), 6), sum(c)/count(*),
+ * ... all serve). The query's GROUP BY columns are a subset of the
+ * summary's grouping (coarser rollups re-aggregate), and any WHERE
+ * predicate references summary grouping columns only (such a filter
+ * commutes with the aggregate, so it is applied to the summary rows).
+ * Anything else — float sums, count(DISTINCT), agg FILTER clauses, a
+ * predicate on a non-grouping column — leaves the plan untouched and
+ * the query falls back to the base scan. DISTINCT aggregates can
+ * never be served: distinctness is not merge-closed over a rollup.
  *
  * The summary itself is the user's assertion (built by
  * [[RollupCatalog.buildSummary]] from the same base relation); the
@@ -50,6 +57,9 @@ object RollupCatalog {
    * @param sums        base column -> summary column with sum partials
    * @param mins        base column -> summary column with min partials
    * @param maxs        base column -> summary column with max partials
+   * @param nns         base column -> summary column with count(col)
+   *                    (non-null) partials — serves count(c) and the
+   *                    avg(c) denominator
    */
   final case class Params(
       summaryPath: String,
@@ -57,7 +67,8 @@ object RollupCatalog {
       cntCol: String,
       sums: Map[String, String] = Map.empty,
       mins: Map[String, String] = Map.empty,
-      maxs: Map[String, String] = Map.empty)
+      maxs: Map[String, String] = Map.empty,
+      nns: Map[String, String] = Map.empty)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Params]()
@@ -85,13 +96,15 @@ object RollupCatalog {
       statCols.flatMap(c => Seq(
         sum(col(c)).as(s"sum_$c"),
         min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c")))
+        max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"nn_$c")))
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(summaryPath)
     Params(summaryPath, groupCols, "cnt",
       sums = statCols.map(c => c -> s"sum_$c").toMap,
       mins = statCols.map(c => c -> s"min_$c").toMap,
-      maxs = statCols.map(c => c -> s"max_$c").toMap)
+      maxs = statCols.map(c => c -> s"max_$c").toMap,
+      nns = statCols.map(c => c -> s"nn_$c").toMap)
   }
 }
 
@@ -124,6 +137,40 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => true // integral types
   }
 
+  /** Is this aggregate call servable from the registered partials? */
+  private def mergeable(params: RollupCatalog.Params)
+      (ae: AggregateExpression): Boolean = ae match {
+    case AggregateExpression(f, Complete, false, None, _) => f match {
+      case Count(Seq(Literal(_, _))) => true
+      case Count(Seq(a: AttributeReference)) => params.nns.contains(a.name)
+      case Sum(a: AttributeReference, _) =>
+        params.sums.contains(a.name) && sumMergeSafe(a)
+      case Min(a: AttributeReference) => params.mins.contains(a.name)
+      case Max(a: AttributeReference) => params.maxs.contains(a.name)
+      case Average(a: AttributeReference, _) =>
+        params.sums.contains(a.name) && params.nns.contains(a.name) &&
+          integral(a)
+      case _ => false
+    }
+    case _ => false // Partial/Distinct/FILTER forms are never served
+  }
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Attribute references that sit OUTSIDE any aggregate call — these
+    * must be grouping columns for the expression to survive regroup. */
+  private def bareAttrs(e: Expression): Seq[AttributeReference] = e match {
+    case _: AggregateExpression => Nil
+    case a: AttributeReference => Seq(a)
+    case other => other.children.flatMap(bareAttrs)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(groupExprs, resultExprs, child, _)
         if agg.getTagValue(rewritten).isEmpty =>
@@ -138,20 +185,13 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if gAttrs.forall(a => params.groupCols.contains(a.name))
         // predicates must commute with the aggregate: summary-grain cols only
         if conds.forall(_.references.forall(a => params.groupCols.contains(a.name)))
-        // every output is a grouping column or a merge-closed aggregate
-        if resultExprs.forall {
-          case _: AttributeReference => true
-          case Alias(_: AttributeReference, _) => true
-          case Alias(AggregateExpression(f, Complete, false, None, _), _) =>
-            f match {
-              case Count(Seq(Literal(_, _))) => true
-              case Sum(a: AttributeReference, _) =>
-                params.sums.contains(a.name) && sumMergeSafe(a)
-              case Min(a: AttributeReference) => params.mins.contains(a.name)
-              case Max(a: AttributeReference) => params.maxs.contains(a.name)
-              case _ => false
-            }
-          case _ => false
+        // every output: an expression over merge-closed aggregates and
+        // grouping columns only
+        if resultExprs.forall { ne =>
+          (ne.isInstanceOf[Alias] || ne.isInstanceOf[AttributeReference]) &&
+          ne.collect { case ae: AggregateExpression => ae }
+            .forall(mergeable(params)) &&
+          bareAttrs(ne).forall(a => params.groupCols.contains(a.name))
         }
       } yield {
         val summary = spark.read.parquet(params.summaryPath)
@@ -168,30 +208,47 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (p, c) => Filter(c, p))
 
         val newGroup = gAttrs.map(a => sAttr(a.name))
+
+        def mergedFor(f: AggregateFunction): Expression = f match {
+          case Count(Seq(Literal(_, _))) =>
+            Sum(sAttr(params.cntCol)).toAggregateExpression()
+          case Count(Seq(a: AttributeReference)) =>
+            Sum(sAttr(params.nns(a.name))).toAggregateExpression()
+          case Sum(a: AttributeReference, _) =>
+            Sum(sAttr(params.sums(a.name))).toAggregateExpression()
+          case Min(a: AttributeReference) =>
+            Min(sAttr(params.mins(a.name))).toAggregateExpression()
+          case Max(a: AttributeReference) =>
+            Max(sAttr(params.maxs(a.name))).toAggregateExpression()
+          case Average(a: AttributeReference, _) =>
+            // one double division over exact integer partial sums —
+            // the same arithmetic (and 2^53 bound) as Spark's Average
+            Divide(
+              Cast(Sum(sAttr(params.sums(a.name))).toAggregateExpression(),
+                DoubleType),
+              Cast(Sum(sAttr(params.nns(a.name))).toAggregateExpression(),
+                DoubleType))
+          case other =>
+            throw new IllegalStateException(s"unreachable: $other")
+        }
+        // manual recursion, NOT transform: replacement subtrees carry
+        // summary attrs and must never be re-matched
+        def remap(e: Expression): Expression = e match {
+          case AggregateExpression(f, _, _, _, _) => mergedFor(f)
+          case a: AttributeReference => sAttr(a.name)
+          case other => other.mapChildren(remap)
+        }
         // one merged output per original result expression, in order
-        val merged: Seq[NamedExpression] = resultExprs.map { ne =>
-            def realias(e: Expression): NamedExpression = {
-              val cast =
-                if (e.dataType == ne.dataType) e
-                else Cast(e, ne.dataType)
-              Alias(cast, ne.name)(exprId = ne.exprId)
-            }
-            ne match {
-              case a: AttributeReference => realias(sAttr(a.name))
-              case Alias(a: AttributeReference, _) => realias(sAttr(a.name))
-              case Alias(AggregateExpression(f, _, _, _, _), _) =>
-                val mf: AggregateFunction = f match {
-                  case Count(_) => Sum(sAttr(params.cntCol))
-                  case Sum(a: AttributeReference, _) => Sum(sAttr(params.sums(a.name)))
-                  case Min(a: AttributeReference) => Min(sAttr(params.mins(a.name)))
-                  case Max(a: AttributeReference) => Max(sAttr(params.maxs(a.name)))
-                  case other =>
-                    throw new IllegalStateException(s"unreachable: $other")
-                }
-                realias(mf.toAggregateExpression())
-              case other =>
-                throw new IllegalStateException(s"unreachable: $other")
-            }
+        val merged: Seq[NamedExpression] = resultExprs.map {
+          case a: AttributeReference =>
+            Alias(sAttr(a.name), a.name)(exprId = a.exprId)
+          case al @ Alias(childE, name) =>
+            val re = remap(childE)
+            val cast = if (re.dataType == al.dataType) re
+              else Cast(re, al.dataType)
+            Alias(cast, name)(exprId = al.exprId)
+          case other =>
+            throw new IllegalStateException(s"unreachable: $other")
         }
         val out = Aggregate(newGroup, merged, filtered, None)
         out.setTagValue(rewritten, true)

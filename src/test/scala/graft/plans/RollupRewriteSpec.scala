@@ -15,9 +15,10 @@ class RollupRewriteSpec extends SparkFunSuite {
     val p = java.nio.file.Files.createTempDirectory("rollup_rw_base").toString
     val rows = (0 until 400).map { i =>
       (i.toLong, s"lang${i % 3}", s"src${i % 5}", (i * 7 % 101).toLong,
-        i * 0.25)
+        i * 0.25,
+        if (i % 7 == 0) None else Some((i * 13 % 37).toLong))
     }
-    rows.toDF("id", "lang", "source", "n_chars", "score")
+    rows.toDF("id", "lang", "source", "n_chars", "score", "opt")
       .write.mode("overwrite").parquet(p)
     p
   }
@@ -25,7 +26,7 @@ class RollupRewriteSpec extends SparkFunSuite {
   private lazy val params: RollupCatalog.Params = {
     val sp = java.nio.file.Files.createTempDirectory("rollup_rw_sum").toString
     val p = RollupCatalog.buildSummary(spark, basePath, sp,
-      Seq("lang", "source"), Seq("n_chars", "score"))
+      Seq("lang", "source"), Seq("n_chars", "score", "opt"))
     p
   }
 
@@ -78,17 +79,41 @@ class RollupRewriteSpec extends SparkFunSuite {
     }
   }
 
-  test("avg is not merge-registered: NOT rewritten") {
+  test("avg and count(col) serve from the nn/sum partials, nulls respected") {
+    val q = """SELECT lang, count(opt) AS n_opt, avg(opt) AS mean_opt,
+              |       avg(n_chars) AS mean_chars
+              |FROM BASE GROUP BY lang ORDER BY lang""".stripMargin
+    val exact = sql(q).collect().toSeq
     withRegistered {
-      assert(scansBase(sql(
-        "SELECT lang, avg(n_chars) AS m FROM BASE GROUP BY lang")))
+      val rw = sql(q)
+      assert(scansSummary(rw), rw.queryExecution.executedPlan.toString)
+      assert(rw.collect().toSeq === exact)
     }
   }
 
-  test("count(col) counts non-nulls, not rows: NOT rewritten") {
+  test("expressions OVER merge-closed aggregates serve: round(avg), sum/count") {
+    val q = """SELECT lang, round(avg(n_chars), 6) AS m,
+              |       sum(n_chars) + count(*) AS oddity
+              |FROM BASE GROUP BY lang ORDER BY lang""".stripMargin
+    val exact = sql(q).collect().toSeq
+    withRegistered {
+      val rw = sql(q)
+      assert(scansSummary(rw), rw.queryExecution.executedPlan.toString)
+      assert(rw.collect().toSeq === exact)
+    }
+  }
+
+  test("count of an UNREGISTERED column: NOT rewritten") {
     withRegistered {
       assert(scansBase(sql(
         "SELECT lang, count(source) AS n FROM BASE GROUP BY lang")))
+    }
+  }
+
+  test("avg over a float column is order-dependent: NOT rewritten") {
+    withRegistered {
+      assert(scansBase(sql(
+        "SELECT lang, avg(score) AS m FROM BASE GROUP BY lang")))
     }
   }
 
