@@ -1058,6 +1058,43 @@ object SparkEntry {
           "n_rle", "content_bytes", "dict_id", "has_checksum")
         .orderBy("id")
     }),
+    // LZ4 frame census — completes the storage-codec triage pair with
+    // zstd_census, and goes one step further: LZ4's XXH32 header /
+    // block / content checksums are computed for REAL (reference
+    // algorithm, vector-pinned), so the census VALIDATES integrity
+    // instead of skipping bytes. Legal uncompressed-block frames are
+    // assembled in-plan; the oracle re-derives the census
+    // arithmetically with content_ok necessarily true.
+    "lz4_census" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 250)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 250).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+            val clen = 50 + b0 % 200
+            val frame = graft.sources.Lz4Codec.buildLz4(
+              bytes.take(clen), 1 + b1 % 64,
+              blockChecksums = b1 % 2 == 1,
+              dictId = if (b0 % 5 == 0) 70000L + b1 else 0L,
+              bmCode = 4 + b0 % 4)
+            val stream =
+              if (b0 % 3 == 0)
+                graft.sources.Lz4Codec.buildSkippable(bytes.take(13)) ++ frame
+              else frame
+            val m = graft.sources.Lz4Codec.parseLz4(stream).get
+            (id, m.n_frames, m.n_skippable, m.n_blocks, m.n_uncompressed,
+              m.content_bytes, m.block_max_kb, m.dict_id, m.content_ok)
+          }
+        }
+        .toDF("id", "n_frames", "n_skippable", "n_blocks",
+          "n_uncompressed", "content_bytes", "block_max_kb", "dict_id",
+          "content_ok")
+        .orderBy("id")
+    }),
     // Corpus snapshot diff by content fingerprint: docs < 250 as v1,
     // >= 250 as v2 → added/removed/retained classes with distinct-text
     // and doc counts. Only 32-hex fingerprints ever shuffle.
@@ -5074,6 +5111,29 @@ object SparkEntry {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The LZ4 census re-derived arithmetically; content_ok is
+    // necessarily true because the in-plan builder computes real
+    // XXH32 checksums that the parser validates.
+    "lz4_census" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 250)
+        |SELECT id, CAST(1 AS INT) AS n_frames,
+        |       CAST(CASE WHEN b0 % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        |         AS n_skippable,
+        |       CAST((50 + b0 % 200 + b1 % 64) // (1 + b1 % 64) AS INT)
+        |         AS n_blocks,
+        |       CAST((50 + b0 % 200 + b1 % 64) // (1 + b1 % 64) AS INT)
+        |         AS n_uncompressed,
+        |       CAST(50 + b0 % 200 AS BIGINT) AS content_bytes,
+        |       CAST(CASE b0 % 4 WHEN 0 THEN 64 WHEN 1 THEN 256
+        |            WHEN 2 THEN 1024 ELSE 4096 END AS INT) AS block_max_kb,
+        |       CAST(CASE WHEN b0 % 5 = 0 THEN 70000 + b1 ELSE 0 END AS BIGINT)
+        |         AS dict_id,
+        |       true AS content_ok
+        |FROM src ORDER BY id""".stripMargin,
     // The zstd census re-derived arithmetically from the same document
     // bytes the in-plan frame builder consumed (ceil-div raw-block
     // count, RFC 8878 layout).
