@@ -141,6 +141,26 @@ object SparkEntry {
         s, base, summary, Seq("lang", "source"), Seq("n_chars")))
     })
 
+  /** Hourly event rollup per sf dir — the time-grain twin of
+    * [[rollupStore]]: the registered table is the normalized event
+    * stream with exact integer cents, the summary is keyed by
+    * (event_type, hour grain). One-time offline writes. */
+  private val rollupTimeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.plans.RollupCatalog.Params)]()
+  private def rollupTimeStore(s: SparkSession, d: String)
+      : (String, graft.plans.RollupCatalog.Params) =
+    rollupTimeCache.computeIfAbsent(d, dir => {
+      val base = java.nio.file.Files.createTempDirectory("graft_rolltime_base").toString
+      graft.streaming.EventPipeline.normalizeTs(table(s, dir, "events"))
+        .select(col("event_id"), col("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").parquet(base)
+      val summary = java.nio.file.Files.createTempDirectory("graft_rolltime_sum").toString
+      (base, graft.plans.RollupCatalog.buildSummary(
+        s, base, summary, Seq("event_type"), Seq("cents"),
+        timeGrain = Some(("ts", "HOUR", "grain_hour"))))
+    })
+
   private def knn(strategy: SearchStrategy, k: Int,
       filter: Map[String, String] = Map.empty)(
       spark: SparkSession, dir: String): DataFrame =
@@ -526,6 +546,26 @@ object SparkEntry {
            |FROM parquet.`$base`
            |WHERE source <> 'src0'
            |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+    // Time-grain rollup serving: the HOURLY event summary answers the
+    // DAILY dashboard because date_trunc('DAY', date_trunc('HOUR',
+    // ts)) == date_trunc('DAY', ts) — the rule re-truncates the
+    // stored grain instead of rescanning the stream. At 100 TB this
+    // is the whole point of keeping an hourly cube: every coarser
+    // time rollup reads |types × hours| rows, never the corpus. The
+    // oracle is the same naive SQL over the raw events.
+    "sql_rollup_time_rewrite" -> ((s, d) => {
+      import graft.plans.{RollupCatalog, RollupRewrite}
+      RollupRewrite.install(s)
+      val (base, params) = rollupTimeStore(s, d)
+      RollupCatalog.register(base, params)
+      s.sql(
+        s"""SELECT event_type, date_trunc('DAY', ts) AS day,
+           |       count(*) AS n_events, sum(cents) AS total_cents,
+           |       round(avg(cents), 6) AS avg_cents
+           |FROM parquet.`$base`
+           |GROUP BY event_type, date_trunc('DAY', ts)
+           |ORDER BY event_type, day""".stripMargin)
     }),
     // Data-quality expectation suites (the Deequ pattern): a whole
     // constraint card — uniqueness, completeness, domains, ranges,
@@ -3673,6 +3713,20 @@ object SparkEntry {
         |         AS avg_chars
         |FROM documents WHERE source <> 'src0'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // The naive daily rollup over the raw event stream — what the
+    // hourly-summary re-truncation must reproduce exactly.
+    "sql_rollup_time_rewrite" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |       count(*) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       round(CAST(sum(cents) AS DOUBLE) / count(cents), 6)
+        |         AS avg_cents
+        |FROM ev GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
     // Expectation cards: one scalar-aggregate CTE re-derives every
     // violation count; verdicts are integer-count comparisons.
     "data_expectations" ->

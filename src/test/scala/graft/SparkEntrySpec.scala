@@ -24,6 +24,13 @@ class SparkEntrySpec extends SparkFunSuite {
     assert(!plan.contains("graft_rollup_base"), s"base still scanned:\n$plan")
   }
 
+  test("sql_rollup_time_rewrite is served by re-truncating the hourly summary") {
+    val df = SparkEntry.queries("sql_rollup_time_rewrite")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_rolltime_sum"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("graft_rolltime_base"), s"base still scanned:\n$plan")
+  }
+
   test("all queries run at sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, Sf0001).count()

@@ -143,4 +143,68 @@ class RollupRewriteSpec extends SparkFunSuite {
     assert(scansBase(sql(
       "SELECT lang, count(*) AS n FROM BASE GROUP BY lang")))
   }
+
+  // ------------------------------------------------- time-grain serving
+
+  private lazy val tsBasePath: String = {
+    val p = java.nio.file.Files.createTempDirectory("rollup_rw_tsbase").toString
+    val rows = (0 until 500).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-${1 + i % 3}%02d-${1 + i % 27}%02d ${i % 24}%02d:${i % 60}%02d:00"),
+        s"t${i % 2}", (i * 11 % 97).toLong)
+    }
+    rows.toDF("id", "ts", "typ", "cents").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private lazy val tsParams: RollupCatalog.Params = {
+    val sp = java.nio.file.Files.createTempDirectory("rollup_rw_tssum").toString
+    RollupCatalog.buildSummary(spark, tsBasePath, sp, Seq("typ"),
+      Seq("cents"), timeGrain = Some(("ts", "HOUR", "grain_hour")))
+  }
+
+  private def withTsRegistered[T](f: => T): T = {
+    RollupRewrite.install(spark)
+    RollupCatalog.register(tsBasePath, tsParams)
+    try f finally RollupCatalog.unregister(tsBasePath)
+  }
+  private def tsSql(q: String) =
+    spark.sql(q.replace("TSBASE", s"parquet.`$tsBasePath`"))
+  private def tsScansSummary(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("rollup_rw_tssum") && !plan.contains("rollup_rw_tsbase")
+  }
+
+  test("hourly summary serves same-grain and coarser time rollups exactly") {
+    for (lvl <- Seq("HOUR", "DAY", "WEEK", "MONTH", "YEAR")) {
+      val q = s"""SELECT typ, date_trunc('$lvl', ts) AS g, count(*) AS n,
+                 |       sum(cents) AS total, round(avg(cents), 6) AS m
+                 |FROM TSBASE GROUP BY typ, date_trunc('$lvl', ts)
+                 |ORDER BY typ, g""".stripMargin
+      val exact = tsSql(q).collect().toSeq
+      withTsRegistered {
+        val rw = tsSql(q)
+        assert(tsScansSummary(rw),
+          s"$lvl:\n" + rw.queryExecution.executedPlan.toString)
+        assert(rw.collect().toSeq === exact, lvl)
+      }
+    }
+  }
+
+  test("finer-than-stored grain (MINUTE vs HOUR summary): NOT rewritten") {
+    withTsRegistered {
+      val df = tsSql("""SELECT date_trunc('MINUTE', ts) AS g, count(*) AS n
+                       |FROM TSBASE GROUP BY date_trunc('MINUTE', ts)""".stripMargin)
+      assert(df.queryExecution.executedPlan.toString.contains("rollup_rw_tsbase"))
+    }
+  }
+
+  test("other uses of the timestamp (year(ts) projection): NOT rewritten") {
+    withTsRegistered {
+      val df = tsSql("""SELECT year(ts) AS y, count(*) AS n
+                       |FROM TSBASE GROUP BY year(ts)""".stripMargin)
+      assert(df.queryExecution.executedPlan.toString.contains("rollup_rw_tsbase"))
+    }
+  }
 }
