@@ -799,6 +799,25 @@ object SparkEntry {
           (col("n_rel_top10").cast("double") / col("n_rel_corpus").cast("double"))
             .as("recall_at_10"))
     }),
+    // Hard-negative mining — the standard "BM25 negatives" recipe for
+    // embedding-model training: the top-k lexical hits that are NOT
+    // relevant under the independent judge are exactly the confusable
+    // examples a bi-encoder must learn to push away. One bounded
+    // bm25TopK subtree + a broadcast relevance anti-filter; at 100 TB
+    // the batched-BM25 variant amortizes the corpus scan over the
+    // whole training-query set.
+    "retrieval_hard_negatives" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val terms = Seq("dup", "hash", "merge")
+      val isRel = terms.map(t => array_contains(split(col("text"), " "), t))
+        .reduce(_ && _)
+      val rel = docs.select(col("doc_id"), isRel.as("rel"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+        .join(rel, Seq("doc_id"))
+        .filter(!col("rel"))
+        .select(col("rnk"), col("doc_id").as("neg_id"), col("score"))
+        .orderBy("rnk")
+    }),
     // TPC-H Q13: customer order-count distribution (left outer join
     // keeps zero-order customers in the c_count=0 bucket).
     "tpch_q13_custdist" -> ((s, d) =>
@@ -5688,6 +5707,23 @@ object SparkEntry {
          |SELECT doc_id, n_terms, score,
          |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
          |FROM bm25 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Top-20 BM25 ranking minus the all-terms relevance set = the
+    // hard negatives, re-derived with the same scoring CTEs.
+    "retrieval_hard_negatives" ->
+      s"""$bm25Ctes,
+         |ranked AS (
+         |  SELECT doc_id, score,
+         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM bm25 ORDER BY score DESC, doc_id LIMIT 20),
+         |rel AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE list_contains(string_split(text, ' '), 'dup')
+         |    AND list_contains(string_split(text, ' '), 'hash')
+         |    AND list_contains(string_split(text, ' '), 'merge'))
+         |SELECT r.rnk, r.doc_id AS neg_id, r.score
+         |FROM ranked r
+         |WHERE r.doc_id NOT IN (SELECT doc_id FROM rel)
+         |ORDER BY rnk""".stripMargin,
     // Batched BM25 mirror: same contribution arithmetic as
     // retrieval_bm25 with the (query, term) map as a VALUES relation;
     // df stays per-term over the corpus (independent of the queries).
