@@ -1154,6 +1154,37 @@ object SparkEntry {
           "content_ok")
         .orderBy("id")
     }),
+    // OPTIMIZE planner: small-file compaction groups from a file
+    // inventory (one METADATA row per file) via per-partition
+    // cumulative-size binning — the Delta/Iceberg bin-packer as one
+    // window cumsum, no sequential driver loop. The plan relation
+    // then drives the real rewrite jobs.
+    "layout_compaction" -> ((s, d) => {
+      val inv = table(s, d, "documents").select(
+        col("lang"),
+        concat(lit("part-"), lpad(col("doc_id").cast("string"), 8, "0"),
+          lit(".parquet")).as("file"),
+        col("n_chars").as("bytes"))
+      DataLayout.compactionPlan(inv, "file", "bytes",
+        targetBytes = 4096, partitionCols = Seq("lang"))
+        .orderBy("lang", "group_id")
+    }),
+    // Change data feed derived from plain snapshots (the inverse of
+    // corpus_merge): one full-outer join on the storage key emits the
+    // insert/delete/update stream a CDC consumer replays — unchanged
+    // rows emit nothing. Snapshots and the update rule are pure
+    // column arithmetic, so the oracle rebuilds both sides.
+    "snapshot_cdf" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 10 > 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text")).as("text"))
+      Snapshot.changeDataFeed(old, nw, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    }),
     // Corpus snapshot diff by content fingerprint: docs < 250 as v1,
     // >= 250 as v2 → added/removed/retained classes with distinct-text
     // and doc counts. Only 32-hex fingerprints ever shuffle.
@@ -5184,6 +5215,45 @@ object SparkEntry {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The same cumulative-size binning as one DuckDB window cumsum.
+    "layout_compaction" ->
+      """WITH inv AS (
+        |  SELECT lang,
+        |         'part-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+        |           || '.parquet' AS file,
+        |         n_chars AS bytes
+        |  FROM documents),
+        |cum AS (
+        |  SELECT lang, file, bytes,
+        |         sum(bytes) OVER (PARTITION BY lang ORDER BY file
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM inv)
+        |SELECT lang, CAST((cum - bytes) // 4096 AS BIGINT) AS group_id,
+        |       count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       min(file) AS first_file, max(file) AS last_file
+        |FROM cum GROUP BY lang, group_id
+        |ORDER BY lang, group_id""".stripMargin,
+    // Both snapshots and the update rule rebuilt in SQL; unchanged
+    // rows must emit nothing.
+    "snapshot_cdf" ->
+      """WITH oldt AS (
+        |  SELECT doc_id, md5(text) AS old_fp FROM documents
+        |  WHERE doc_id % 10 < 8),
+        |newt AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 3 = 0 THEN text || '!' ELSE text END)
+        |           AS new_fp
+        |  FROM documents WHERE doc_id % 10 > 1)
+        |SELECT doc_id,
+        |       CASE WHEN old_fp IS NULL THEN 'insert'
+        |            WHEN new_fp IS NULL THEN 'delete'
+        |            WHEN old_fp <> new_fp THEN 'update' END AS change_type,
+        |       old_fp, new_fp
+        |FROM oldt FULL OUTER JOIN newt USING (doc_id)
+        |WHERE (CASE WHEN old_fp IS NULL THEN 'insert'
+        |            WHEN new_fp IS NULL THEN 'delete'
+        |            WHEN old_fp <> new_fp THEN 'update' END) IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // The LZ4 census re-derived arithmetically; content_ok is
     // necessarily true because the in-plan builder computes real
     // XXH32 checksums that the parser validates.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -100,5 +101,46 @@ object DataLayout {
       i -= 1
     }
     cur.drop(xc, yc, rxc, ryc, nxc)
+  }
+
+  /**
+   * Small-file compaction planner — the OPTIMIZE bin-packer every
+   * lakehouse table needs once streaming/incremental writers have
+   * littered it with kilobyte files: assign files to target-size
+   * output groups by CUMULATIVE-SIZE binning in a deterministic
+   * per-partition order (a file's group is the target-multiple its
+   * START offset falls in — Delta/Iceberg OPTIMIZE's per-partition
+   * packing, expressible as one window cumsum, no sequential driver
+   * loop). Oversized files own their groups naturally.
+   *
+   * Scale: the inventory is METADATA — one row per file (~10⁵–10⁶
+   * rows at 100 TB), never per record — so the per-partition window
+   * sort is trivial; the plan's group relation then drives however
+   * many real rewrite jobs.
+   *
+   * Output: one row per (partitionCols..., group_id) with n_files,
+   * total_bytes, first_file, last_file.
+   */
+  def compactionPlan(
+      inventory: DataFrame, fileCol: String, bytesCol: String,
+      targetBytes: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = (if (partitionCols.isEmpty)
+        Window.partitionBy(lit(0))
+      else Window.partitionBy(partitionCols.map(col): _*))
+      .orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withGroup = inventory
+      .withColumn("__graft_cum", sum(col(bytesCol)).over(w))
+      .withColumn("__graft_grp",
+        ((col("__graft_cum") - col(bytesCol)) / lit(targetBytes))
+          .cast("long"))
+    withGroup
+      .groupBy((partitionCols.map(col) :+ col("__graft_grp").as("group_id")): _*)
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).cast("long").as("total_bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
   }
 }

@@ -66,4 +66,31 @@ object Snapshot {
       .select(col(idCol) +: payload.map(p => col(s"__s_$p").as(p)): _*)
     (kept.unionByName(rejectedSnapshotRows), rejected)
   }
+
+  /**
+   * Change data feed between two keyed snapshots — the inverse of
+   * [[merge]]: derive the (id, change_type) stream a CDC consumer
+   * would replay, from plain snapshots, with ONE full-outer join on
+   * the id both sides are stored by (AQE broadcast-converts when one
+   * side is a small incremental snapshot). Payload comparison is by
+   * md5 over the concatenated payload columns (unit-separator
+   * delimited so ("ab","c") never collides with ("a","bc")); rows
+   * with identical payloads emit NOTHING — a CDF is changes only.
+   *
+   * Output: (id, change_type ∈ insert/delete/update, old_fp, new_fp).
+   */
+  def changeDataFeed(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    def fp(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("\u001f", payloadCols.map(col): _*).cast("binary")).as(as))
+    fp(oldSnap, "old_fp").join(fp(newSnap, "new_fp"), Seq(idCol), "full_outer")
+      .withColumn("change_type",
+        when(col("old_fp").isNull, "insert")
+          .when(col("new_fp").isNull, "delete")
+          .when(col("old_fp") =!= col("new_fp"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col(idCol), col("change_type"), col("old_fp"), col("new_fp"))
+  }
 }

@@ -14,6 +14,38 @@ class DataLayoutSpec extends SparkFunSuite {
     assert(df.head.getLong(0) === 39L)
   }
 
+  test("compactionPlan: cumulative-size binning, oversized files, partitions") {
+    import spark.implicits._
+    // partition p: files of 60,60,60 bytes at target 100 →
+    //   starts 0,60,120 → groups 0,0,1
+    // partition q: a 250-byte file then a 10-byte one at target 100 →
+    //   starts 0,250 → groups 0,2 (the oversized file owns group 0)
+    val inv = Seq(
+      ("p", "f1", 60L), ("p", "f2", 60L), ("p", "f3", 60L),
+      ("q", "g1", 250L), ("q", "g2", 10L)
+    ).toDF("part", "file", "bytes")
+    val plan = DataLayout.compactionPlan(inv, "file", "bytes",
+      targetBytes = 100, partitionCols = Seq("part"))
+      .orderBy("part", "group_id").collect()
+    assert(plan.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4), r.getString(5))).toSeq === Seq(
+      ("p", 0L, 2L, 120L, "f1", "f2"),
+      ("p", 1L, 1L, 60L, "f3", "f3"),
+      ("q", 0L, 1L, 250L, "g1", "g1"),
+      ("q", 2L, 1L, 10L, "g2", "g2")))
+  }
+
+  test("compactionPlan without partition columns bins globally") {
+    import spark.implicits._
+    val inv = (1 to 10).map(i => (f"f$i%02d", 30L)).toDF("file", "bytes")
+    val plan = DataLayout.compactionPlan(inv, "file", "bytes", targetBytes = 90)
+      .orderBy("group_id").collect()
+    // starts 0,30,60,90,... → ceil(10*30/90)=4 groups of ≤3 files
+    assert(plan.map(_.getLong(1)).sum === 10L)
+    assert(plan.length === 4)
+    assert(plan.forall(_.getLong(2) <= 90L))
+  }
+
   test("zorderKey rejects impossible widths") {
     intercept[IllegalArgumentException] {
       DataLayout.zorderKey(Seq(lit(1L), lit(2L)), bits = 40)

@@ -13,6 +13,27 @@ class SnapshotSpec extends SparkFunSuite {
     (1L, "one", 10), (2L, "two", 20), (3L, "three", 30)
   ).toDF("id", "name", "v")
 
+  test("changeDataFeed: insert/delete/update classes; unchanged rows silent") {
+    val old = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("id", "p1", "p2")
+    val nw = Seq((2L, "b", "y"), (3L, "c", "CHANGED"), (4L, "d", "w"))
+      .toDF("id", "p1", "p2")
+    val cdf = Snapshot.changeDataFeed(old, nw, "id", Seq("p1", "p2"))
+      .orderBy("id").collect()
+    assert(cdf.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq(
+      (1L, "delete"), (3L, "update"), (4L, "insert")))
+    // delete carries only the old fingerprint; insert only the new
+    assert(cdf(0).isNullAt(3) && !cdf(0).isNullAt(2))
+    assert(cdf(2).isNullAt(2) && !cdf(2).isNullAt(3))
+  }
+
+  test("changeDataFeed: multi-column payloads never collide across boundaries") {
+    val old = Seq((1L, "ab", "c")).toDF("id", "p1", "p2")
+    val nw = Seq((1L, "a", "bc")).toDF("id", "p1", "p2")
+    val cdf = Snapshot.changeDataFeed(old, nw, "id", Seq("p1", "p2")).collect()
+    assert(cdf.length === 1 && cdf(0).getString(1) === "update")
+  }
+
   private def changes(rows: (Long, String, Int, String)*) =
     rows.toDF("id", "name", "v", "op")
 
