@@ -1154,6 +1154,34 @@ object SparkEntry {
           "content_ok")
         .orderBy("id")
     }),
+    // Deterministic Poisson bootstrap (Chamandy et al.) over a
+    // per-example eval metric: 32 replicas resampled via the seeded
+    // 16-bit md5 → Poisson(1) inverse-CDF multiplicity — no indexing,
+    // no RNG state, one scan fanning out to B exact integer
+    // aggregates. The oracle re-derives every replica.
+    "eval_bootstrap" -> ((s, d) => {
+      val ex = table(s, d, "documents")
+        .filter(col("lang") === "de")
+        .select(col("doc_id"), (col("n_chars") % 2).as("score"))
+      Bootstrap.poissonBootstrap(ex, "doc_id", "score", reps = 32)
+        .orderBy("rep")
+    }),
+    // Code-corpus license gate (the-Stack-style): a canonical notice
+    // chosen by doc_id arithmetic is prepended in-plan; the regex
+    // cascade must rediscover it — spdx id, family, keep verdict —
+    // while the oracle re-derives the ground truth arithmetically,
+    // so the detector is tested against truth it never saw. Priority
+    // order resolves multi-license files conservatively (spec-pinned).
+    "code_license_scan" -> ((s, d) => {
+      val idx = col("doc_id") % 10
+      val header = CodeCorpus.Licenses.map(_._4).zipWithIndex
+        .foldRight(lit(""): org.apache.spark.sql.Column) {
+          case ((txt, i), rest) => when(idx === i, lit(txt + "\n")).otherwise(rest)
+        }
+      val fixed = table(s, d, "documents")
+        .select(col("doc_id"), concat(header, col("text")).as("text"))
+      CodeCorpus.licenseScan(fixed, "doc_id", "text").orderBy("doc_id")
+    }),
     // OPTIMIZE planner: small-file compaction groups from a file
     // inventory (one METADATA row per file) via per-partition
     // cumulative-size binning — the Delta/Iceberg bin-packer as one
@@ -5214,6 +5242,53 @@ object SparkEntry {
       """SELECT doc_id, CAST(0 AS BIGINT) AS method,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Every replica re-derived: same md5(id:rep) 16-bit value, same
+    // Poisson(1) inverse-CDF table, exact integer sums.
+    "eval_bootstrap" ->
+      """WITH ex AS (
+        |  SELECT doc_id AS id, CAST(n_chars % 2 AS BIGINT) AS score
+        |  FROM documents WHERE lang = 'de'),
+        |grid AS (
+        |  SELECT id, score, CAST(r AS BIGINT) AS rep
+        |  FROM ex, unnest(generate_series(0, 31)) t(r)),
+        |h AS (
+        |  SELECT rep, score,
+        |         list_sum(list_transform(generate_series(1, 4), i ->
+        |           (strpos('0123456789abcdef',
+        |              substr(md5(CAST(id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)),
+        |                     CAST(i AS INT), 1)) - 1)
+        |           * CAST(16 ** (4 - i) AS BIGINT))) AS hv
+        |  FROM grid),
+        |m AS (
+        |  SELECT rep, score,
+        |         CASE WHEN hv < 24113 THEN 0 WHEN hv < 48226 THEN 1
+        |              WHEN hv < 60273 THEN 2 WHEN hv < 64292 THEN 3
+        |              WHEN hv < 65296 THEN 4 WHEN hv < 65497 THEN 5
+        |              WHEN hv < 65531 THEN 6 WHEN hv < 65535 THEN 7
+        |              ELSE 8 END AS mult
+        |  FROM h)
+        |SELECT rep, CAST(sum(mult) AS BIGINT) AS n_eff,
+        |       CAST(sum(mult * score) AS BIGINT) AS sum_score,
+        |       round(CAST(sum(mult * score) AS DOUBLE) / sum(mult), 6)
+        |         AS mean_score
+        |FROM m GROUP BY rep ORDER BY rep""".stripMargin,
+    // Ground truth by doc_id arithmetic — the regex cascade never
+    // informs the oracle.
+    "code_license_scan" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 10
+        |    WHEN 0 THEN 'AGPL-3.0' WHEN 1 THEN 'GPL-3.0'
+        |    WHEN 2 THEN 'GPL-2.0' WHEN 3 THEN 'LGPL-2.1'
+        |    WHEN 4 THEN 'MPL-2.0' WHEN 5 THEN 'Apache-2.0'
+        |    WHEN 6 THEN 'MIT' WHEN 7 THEN 'BSD-3-Clause'
+        |    WHEN 8 THEN 'Unlicense' ELSE 'unknown' END AS license,
+        |  CASE WHEN doc_id % 10 IN (0, 1, 2) THEN 'copyleft'
+        |       WHEN doc_id % 10 IN (3, 4) THEN 'weak-copyleft'
+        |       WHEN doc_id % 10 IN (5, 6, 7) THEN 'permissive'
+        |       WHEN doc_id % 10 = 8 THEN 'public-domain'
+        |       ELSE 'unknown' END AS family,
+        |  (doc_id % 10 IN (5, 6, 7, 8)) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
     // The same cumulative-size binning as one DuckDB window cumsum.
     "layout_compaction" ->

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Poisson bootstrap: inverse-CDF table correctness, replica mass
+  * near Poisson(1) expectations, exactness and determinism. */
+class BootstrapSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("multiplicity thresholds follow the published table") {
+    // boundary probes: h just below/at each threshold
+    val cases = Seq(0L -> 0, 24112L -> 0, 24113L -> 1, 48225L -> 1,
+      48226L -> 2, 60273L -> 3, 65530L -> 6, 65534L -> 7, 65535L -> 8)
+    val out = cases.map(_._1).toDF("h")
+      .select(Bootstrap.multiplicityFor(col("h")).as("m"))
+      .collect().map(_.getInt(0))
+    assert(out.toSeq === cases.map(_._2))
+  }
+
+  test("replica mass is Poisson(1)-shaped: mean n_eff ~ n, variance > 0") {
+    val n = 2000
+    val ex = (0 until n).map(i => (i.toLong, (i % 2).toLong)).toDF("id", "score")
+    val reps = Bootstrap.poissonBootstrap(ex, "id", "score", reps = 16).collect()
+    assert(reps.length === 16)
+    val effs = reps.map(_.getAs[Long]("n_eff"))
+    val meanEff = effs.sum.toDouble / effs.length
+    // E[n_eff] = n, sd(n_eff) = sqrt(n) ~ 45: mean of 16 reps within 5 sd
+    assert(math.abs(meanEff - n) < 5 * math.sqrt(n.toDouble),
+      s"meanEff=$meanEff")
+    assert(effs.distinct.length > 1) // replicas genuinely differ
+  }
+
+  test("deterministic: identical replicas across runs and partitionings") {
+    val ex = (0 until 500).map(i => (i.toLong, (i % 3 == 0))).map {
+      case (i, b) => (i, if (b) 1L else 0L)
+    }.toDF("id", "score")
+    val a = Bootstrap.poissonBootstrap(ex, "id", "score", 8)
+      .orderBy("rep").collect().toSeq
+    val b = Bootstrap.poissonBootstrap(ex.repartition(13), "id", "score", 8)
+      .orderBy("rep").collect().toSeq
+    assert(a === b)
+  }
+
+  test("mean_score is sum/n_eff exactly") {
+    val ex = (0 until 100).map(i => (i.toLong, 1L)).toDF("id", "score")
+    // constant score 1 → every replica mean is exactly 1.0
+    val reps = Bootstrap.poissonBootstrap(ex, "id", "score", 8).collect()
+    assert(reps.forall(r => r.getAs[Double]("mean_score") === 1.0))
+  }
+}

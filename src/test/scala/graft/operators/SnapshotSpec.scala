@@ -59,6 +59,23 @@ class SnapshotSpec extends SparkFunSuite {
       Seq((1L, "I"), (8L, "U"), (9L, "D")))
   }
 
+  test("replayed changeset is safe: updates idempotent, inserts rejected, snapshot stable") {
+    // the exactly-once concern: a retried batch must not corrupt the
+    // table — U re-applies to the same value, I on the now-existing id
+    // REJECTS (surfaced, not applied), D on the now-missing id rejects
+    val changes = Seq(
+      (2L, "two2", 22, "U"), (4L, "four", 40, "I"), (3L, "three", 30, "D")
+    ).toDF("id", "name", "v", "op")
+    val once = Snapshot.merge(snap, changes, "id")
+    val (twice, rejected) = Snapshot.mergeWithRejects(once, changes, "id")
+    assert(twice.orderBy("id").collect().toSeq ===
+      once.orderBy("id").collect().toSeq)
+    // the replayed insert and delete surface as rejects; the update does not
+    assert(rejected.select("id", "op").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((3L, "D"), (4L, "I")))
+  }
+
   test("empty changeset is the identity") {
     val next = Snapshot.merge(snap, changes(), "id")
     assert(next.orderBy("id").collect().toSeq ===
