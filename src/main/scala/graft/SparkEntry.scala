@@ -3141,7 +3141,50 @@ object SparkEntry {
       Dedup.chunkDedupStats(
         table(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload", avgBits = 5)
-        .orderBy("chunk"))
+        .orderBy("chunk")),
+    // TPC-H Q6 shape: ONE filtered scan, ONE scalar aggregate, zero
+    // joins — all three predicates land in PushedFilters, row-group
+    // stats on l_shipdate skip most files, decimal-exact revenue sum.
+    "tpch_q6_forecast" -> ((s, d) =>
+      RelationalAnalytics.forecastRevenue(table(s, d, "lineitem"),
+        "1996-01-01", "1997-01-01", discLo = 0.02, discHi = 0.04,
+        qtyCap = 24.0)),
+    // HyperLogLog distinct sketch: 256 md5-derived registers per key
+    // column, raw harmonic-mean estimate beside the exact count. The
+    // 2^-rho terms are exact powers of two, so the double sum is
+    // partition-order independent and the oracle matches bit-exactly.
+    "sketch_hll_distinct" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      HyperLogLog.estimateWithTruth(ev, "user_id")
+        .withColumn("key_col", lit("user_id"))
+        .unionByName(
+          HyperLogLog.estimateWithTruth(ev, "event_id")
+            .withColumn("key_col", lit("event_id")))
+        .select("key_col", "m", "v_zero", "est_distinct", "exact_distinct")
+        .orderBy("key_col")
+    }),
+    // SCD2 dimension history: per-customer order-count tier at three
+    // cut dates (cumulative snapshots derived in-plan from orders)
+    // collapses into validity intervals via one keyed window — lag
+    // marks change points, lead closes intervals.
+    "snapshot_scd2" -> ((s, d) => {
+      val cuts = Seq("1997-01-01", "1999-01-01", "2001-01-01")
+      val nCols = cuts.zipWithIndex.map { case (c, i) =>
+        sum(when(col("o_orderdate") < lit(c).cast("timestamp"), 1L)
+          .otherwise(0L)).as(s"n$i")
+      }
+      val counts = table(s, d, "orders")
+        .groupBy("o_custkey").agg(nCols.head, nCols.tail: _*)
+      val versioned = counts
+        .select(col("o_custkey"), explode(array(cuts.indices.map(i =>
+          struct(lit(i + 1L).as("version"), col(s"n$i").as("n"))): _*)).as("v"))
+        .filter(col("v.n") > 0)
+        .select(col("o_custkey"), col("v.version").as("version"),
+          when(col("v.n") >= 8, "high").when(col("v.n") >= 4, "mid")
+            .otherwise("low").as("tier"))
+      Snapshot.scd2(versioned, "o_custkey", "version", Seq("tier"))
+        .orderBy("o_custkey", "valid_from")
+    })
   )
 
   // ------------------------------------------------------------- oracles
@@ -6759,6 +6802,85 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    "tpch_q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |         AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    // HLL registers rebuilt nibble by nibble (bucket = first two md5
+    // nibbles, rho = 1 + leading zero bits of the next 48), then the
+    // identical alpha literal and exact power-of-two harmonic sum.
+    "sketch_hll_distinct" ->
+      """WITH keys AS (
+        |  SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS k FROM events
+        |  UNION ALL
+        |  SELECT 'event_id', CAST(event_id AS VARCHAR) FROM events),
+        |parts AS (
+        |  SELECT key_col, k,
+        |         (strpos('0123456789abcdef', substr(md5(k), 1, 1)) - 1) * 16 +
+        |          strpos('0123456789abcdef', substr(md5(k), 2, 1)) - 1 AS bucket,
+        |         substr(md5(k), 3, 12) AS w
+        |  FROM keys),
+        |rhos AS (
+        |  SELECT key_col, bucket,
+        |         length(regexp_extract(w, '^0*')) AS zn,
+        |         strpos('0123456789abcdef',
+        |           substr(w || 'f', length(regexp_extract(w, '^0*')) + 1, 1)) - 1
+        |           AS fnz
+        |  FROM parts),
+        |regs AS (
+        |  SELECT key_col, bucket,
+        |         max(CASE WHEN zn = 12 THEN 49
+        |             ELSE zn * 4 + CASE WHEN fnz >= 8 THEN 0 WHEN fnz >= 4 THEN 1
+        |                                WHEN fnz >= 2 THEN 2 ELSE 3 END + 1 END)
+        |           AS rho
+        |  FROM rhos GROUP BY 1, 2),
+        |summary AS (
+        |  SELECT key_col, sum(pow(2.0, -rho)) AS sum_inv,
+        |         CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM regs GROUP BY 1),
+        |exact AS (
+        |  SELECT key_col, CAST(count(DISTINCT k) AS BIGINT) AS exact_distinct
+        |  FROM keys GROUP BY 1)
+        |SELECT s.key_col, CAST(256 AS INTEGER) AS m,
+        |       CAST(256 - n_hit AS BIGINT) AS v_zero,
+        |       (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |         (sum_inv + CAST(256 - n_hit AS DOUBLE)) AS est_distinct,
+        |       e.exact_distinct
+        |FROM summary s JOIN exact e USING (key_col)
+        |ORDER BY key_col""".stripMargin,
+    // SCD2 rebuilt from the same three cumulative snapshots: zipped
+    // unnest fans versions out, lag marks change points, lead closes
+    // intervals — tier strings compare directly (no fp needed).
+    "snapshot_scd2" ->
+      """WITH counts AS (
+        |  SELECT o_custkey,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END) AS n2
+        |  FROM orders GROUP BY 1),
+        |versioned AS (
+        |  SELECT o_custkey, CAST(ver AS BIGINT) AS version,
+        |         CASE WHEN n >= 8 THEN 'high' WHEN n >= 4 THEN 'mid'
+        |              ELSE 'low' END AS tier
+        |  FROM (SELECT o_custkey, unnest([1, 2, 3]) AS ver,
+        |               unnest([n0, n1, n2]) AS n FROM counts)
+        |  WHERE n > 0),
+        |marked AS (
+        |  SELECT o_custkey, version, tier,
+        |         CASE WHEN lag(tier) OVER w IS NULL
+        |                OR lag(tier) OVER w != tier THEN 1 ELSE 0 END AS chg
+        |  FROM versioned WINDOW w AS (PARTITION BY o_custkey ORDER BY version))
+        |SELECT o_custkey, tier, version AS valid_from,
+        |       lead(version) OVER w2 - 1 AS valid_to,
+        |       lead(version) OVER w2 IS NULL AS is_current
+        |FROM marked WHERE chg = 1
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+        |ORDER BY o_custkey, valid_from""".stripMargin,
     "events_hilbert" -> {
       val base =
         """WITH h8 AS (

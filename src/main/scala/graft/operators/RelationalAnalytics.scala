@@ -60,6 +60,34 @@ object RelationalAnalytics {
       .orderBy("l_returnflag", "l_linestatus")
 
   /**
+   * TPC-H Q6 shape: forecast-revenue-change — ONE filtered scan, ONE
+   * scalar aggregate, zero joins. The whole query is a predicate
+   * (`shipdate` range ∧ `discount` band ∧ `quantity` cap) over three
+   * columns plus a two-column product sum, so the RIGHT plan is a
+   * Parquet scan with all three predicates in `PushedFilters`, the
+   * five referenced columns in `ReadSchema`, map-side partial sums,
+   * and a 1-row exchange. At 100 TB this is the canonical
+   * "scan-bound" query: row-group min/max statistics on `l_shipdate`
+   * skip ~6/7 of the files before a byte is read.
+   *
+   * Reference scope note: the reference's SQL surface is YDB `SELECT`
+   * over its vector table (`/root/reference/app.py:159-175`); the
+   * TPC-H rows exercise this engine's general relational surface at
+   * the shapes the benchmark standardizes.
+   */
+  def forecastRevenue(
+      lineitem: DataFrame, yearStart: String, yearEnd: String,
+      discLo: Double, discHi: Double, qtyCap: Double): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(yearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(yearEnd).cast("timestamp") &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < qtyCap)
+      .agg(
+        decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /**
    * TPC-H Q3 shape: top-k unshipped orders by revenue for one market
    * segment.
    *

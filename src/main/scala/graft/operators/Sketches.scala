@@ -161,3 +161,82 @@ object BottomKSketch {
           .as("exact_jaccard"))
   }
 }
+
+/**
+ * HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+ * mergeable cardinality estimator every corpus datacard needs at
+ * 100 TB, where `count(distinct user_id)` is itself a full shuffle of
+ * the distinct keys but an HLL is m bytes, merged associatively by
+ * per-register max. Beside the CMS (point frequency) and bottom-k
+ * (set similarity) families this completes the classic sketch trio.
+ *
+ * Deterministic relational construction, no sketch library and no
+ * RNG: the 56-bit hash is the first 14 hex nibbles of md5(key); the
+ * first 2 nibbles select one of m = 256 registers, the remaining 12
+ * nibbles (48 bits) yield rho = 1 + count of leading zero bits
+ * (49 when all 48 are zero). Registers are a (bucket, max rho)
+ * relation — ONE hash aggregate with map-side partials; the merge of
+ * two sketches is the same aggregate over their union.
+ *
+ * The estimate E = alpha_m * m^2 / sum_j 2^(-M_j) is reproduced
+ * BIT-EXACTLY by the SQL oracle: each 2^(-rho) is an exact IEEE
+ * double (a power of two, exponents 0..-49 spanning < 53 bits), so
+ * the sum is exact regardless of partition order, and alpha_m is the
+ * same literal expression `0.7213 / (1 + 1.079 / m)` evaluated by
+ * both engines' correctly-rounded double division. The small-range
+ * (linear counting) and large-range corrections need `ln`, whose
+ * last-ulp behavior is libm-specific — they are deliberately NOT
+ * applied here; instead the correction INPUTS (`v_zero`, `m`) ride
+ * along so a consumer applies its own. Empty input estimates 0 (the
+ * uncorrected formula would put all mass on empty registers).
+ */
+object HyperLogLog {
+
+  val NumRegisters = 256 // p = 8 bucket bits
+
+  /** alpha_256, the identical literal expression the oracle uses. */
+  val Alpha: Double = 0.7213 / (1.0 + 1.079 / 256.0)
+
+  /** The (bucket, rho) register relation: one aggregate, mergeable.
+    * Leading zeros are counted per NIBBLE (zero nibbles via a `^0*`
+    * regexp over the 12-char hex window, then a 4-way CASE inside the
+    * first non-zero nibble) so the identical arithmetic runs in any
+    * SQL engine without 64-bit integer-conversion support. */
+  def registers(df: DataFrame, keyCol: String): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val w = substring(h, 3, 12)
+    val zn = length(regexp_extract(w, "^0*", 0))
+    val fnz = conv(substr(concat(w, lit("f")), zn + lit(1), lit(1)), 16, 10)
+      .cast("int")
+    val rho = when(zn === 12, lit(49))
+      .otherwise(zn * 4 + when(fnz >= 8, 0).when(fnz >= 4, 1)
+        .when(fnz >= 2, 2).otherwise(3) + 1)
+    df.select(conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** One-row summary: raw estimate, correction inputs, exact truth
+    * (the verification column a 100 TB run omits). */
+  def estimateWithTruth(df: DataFrame, keyCol: String): DataFrame = {
+    val regs = registers(df, keyCol)
+    val m = NumRegisters
+    val summary = regs.agg(
+      sum(pow(lit(2.0), -col("rho"))).as("sum_inv"),
+      count(lit(1)).as("n_hit"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    summary.crossJoin(exact)
+      .select(
+        lit(m).as("m"),
+        (lit(m.toLong) - col("n_hit")).as("v_zero"),
+        // empty registers contribute 2^0 = 1 each to the harmonic sum;
+        // a fully-empty sketch short-circuits to 0 (the raw formula
+        // would report alpha*m from the all-empty register mass)
+        when(col("n_hit") === 0, lit(0.0))
+          .otherwise(lit(Alpha) * lit(m.toDouble) * lit(m.toDouble) /
+            (coalesce(col("sum_inv"), lit(0.0)) +
+              (lit(m.toLong) - col("n_hit")).cast("double")))
+          .as("est_distinct"),
+        col("exact_distinct"))
+  }
+}

@@ -93,4 +93,49 @@ object Snapshot {
       .filter(col("change_type").isNotNull)
       .select(col(idCol), col("change_type"), col("old_fp"), col("new_fp"))
   }
+
+  /**
+   * Slowly-changing-dimension type-2 history from versioned snapshots
+   * — the third leg of the snapshot toolkit beside [[merge]] (apply a
+   * changeset) and [[changeDataFeed]] (diff two snapshots): given one
+   * row per (key, version) for every version where the key exists,
+   * collapse runs of identical payloads into validity intervals
+   * `[valid_from, valid_to]` with `is_current` on the open interval.
+   * This is how a dimension that arrives as periodic full snapshots
+   * (the common case for crawl-source metadata, user segments,
+   * supplier catalogs) becomes a point-in-time joinable history.
+   *
+   * Shape at scale: ONE shuffle on the key (the window partition);
+   * within each key the versions sort locally (bounded by the number
+   * of snapshot versions, not data size), `lag` marks change points,
+   * `lead` closes intervals. No self-join, no driver state.
+   *
+   * Contract: a key absent from some versions simply contributes no
+   * row there; an interval runs to the next CHANGE (absence between
+   * two identical observations is invisible — for cumulative or
+   * full-snapshot feeds absence means deletion, which callers model
+   * by feeding an explicit tombstone payload).
+   */
+  def scd2(
+      versions: DataFrame, keyCol: String, versionCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "need at least one payload column")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCol).orderBy(versionCol)
+    // unit-separator fingerprint: ("ab","c") never collides ("a","bc")
+    val fp = md5(concat_ws("\u001f",
+      payloadCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    val marked = versions
+      .withColumn("__fp", fp)
+      .withColumn("__changed",
+        lag(col("__fp"), 1).over(byKey).isNull ||
+          lag(col("__fp"), 1).over(byKey) =!= col("__fp"))
+    val changePoints = marked.filter(col("__changed"))
+    changePoints
+      .withColumn("valid_to", lead(col(versionCol), 1).over(byKey) - 1)
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol) +: payloadCols.map(col) :+
+        col(versionCol).as("valid_from") :+ col("valid_to") :+
+        col("is_current"): _*)
+  }
 }

@@ -149,4 +149,34 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(!scan.contains("l_orderkey"), scan)
     assert(!scan.contains("l_partkey"), scan)
   }
+
+  test("forecastRevenue (Q6): hand-computed decimal-exact revenue; filters all push to the scan") {
+    import spark.implicits._
+    val li = Seq(
+      // in range, in band, under cap: 100*0.03 + 200*0.02 = 7.0
+      ("1996-02-01", 0.03, 10.0, 100.0),
+      ("1996-07-15", 0.02, 23.0, 200.0),
+      ("1996-03-01", 0.05, 10.0, 400.0), // discount above band
+      ("1995-12-31", 0.03, 10.0, 400.0), // before yearStart
+      ("1997-01-01", 0.03, 10.0, 400.0), // at yearEnd (exclusive)
+      ("1996-06-01", 0.03, 24.0, 400.0)  // at qty cap (exclusive)
+    ).toDF("d", "l_discount", "l_quantity", "l_extendedprice")
+      .select(col("d").cast("timestamp").as("l_shipdate"),
+        col("l_discount"), col("l_quantity"), col("l_extendedprice"))
+    val row = RelationalAnalytics.forecastRevenue(
+      li, "1996-01-01", "1997-01-01", 0.02, 0.04, 24.0).collect().head
+    assert(row.getAs[Double]("revenue") === 7.0)
+    assert(row.getAs[Long]("n_rows") === 2L)
+
+    // formatted explain prints the full PushedFilters list (the leaf
+    // toString truncates it)
+    val scan = RelationalAnalytics.forecastRevenue(
+      t("lineitem"), "1996-01-01", "1997-01-01", 0.02, 0.04, 24.0)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(scan.contains("GreaterThanOrEqual(l_shipdate"), scan)
+    assert(scan.contains("LessThan(l_quantity"), scan)
+    assert(scan.contains("GreaterThanOrEqual(l_discount"), scan)
+    assert(!scan.contains("l_orderkey"), scan)
+  }
 }

@@ -126,4 +126,69 @@ class SketchesSpec extends SparkFunSuite {
     assert(r2.getAs[Long]("est_num") === r1.getAs[Long]("est_num"))
     assert(r2.getAs[Double]("est_jaccard") === e)
   }
+
+  // ----------------------------------------------------------- HLL
+
+  test("hll: registers are (bucket 0..255, rho 1..49); deterministic under repartition") {
+    val df = (0 until 500).map(i => s"k$i").toDF("k")
+    val regs = HyperLogLog.registers(df, "k").collect()
+    assert(regs.nonEmpty && regs.length <= 256)
+    regs.foreach { r =>
+      val b = r.getInt(0); val rho = r.getInt(1)
+      assert(b >= 0 && b < 256, s"bucket $b")
+      assert(rho >= 1 && rho <= 49, s"rho $rho")
+    }
+    val again = HyperLogLog.registers(df.repartition(7), "k").collect()
+    assert(regs.map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq ===
+      again.map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq)
+  }
+
+  test("hll: rho matches an independent bit-count of the md5 window") {
+    val keys = (0 until 64).map(i => s"key-$i")
+    val regs = HyperLogLog.registers(keys.toDF("k"), "k").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // independent reconstruction: JDK MessageDigest, BigInteger bit math
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val byBucket = scala.collection.mutable.Map.empty[Int, Int]
+    keys.foreach { k =>
+      val hex = md.digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+      val w = new java.math.BigInteger(hex.substring(2, 14), 16)
+      val rho = if (w.signum == 0) 49 else 48 - w.bitLength + 1
+      byBucket(bucket) = math.max(byBucket.getOrElse(bucket, 0), rho)
+    }
+    assert(regs === byBucket.toMap)
+  }
+
+  test("hll: estimate within 3 standard errors of truth (n=2000)") {
+    val df = (0 until 2000).map(i => s"user-$i").toDF("k")
+    val row = HyperLogLog.estimateWithTruth(df, "k").collect().head
+    val est = row.getAs[Double]("est_distinct")
+    val exact = row.getAs[Long]("exact_distinct")
+    assert(exact === 2000L)
+    // sigma ~ 1.04/sqrt(256) ~ 6.5% relative
+    assert(math.abs(est - exact) <= 3 * 0.065 * exact,
+      s"est=$est exact=$exact")
+  }
+
+  test("hll: sketches merge by per-register max (union = merged estimate)") {
+    val a = (0 until 300).map(i => s"u$i").toDF("k")
+    val b = (150 until 450).map(i => s"u$i").toDF("k")
+    val merged = HyperLogLog.registers(a, "k")
+      .unionByName(HyperLogLog.registers(b, "k"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+    val direct = HyperLogLog.registers(a.unionByName(b), "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(merged === direct)
+  }
+
+  test("hll: empty input estimates 0 with all registers empty") {
+    val empty = Seq.empty[String].toDF("k")
+    val row = HyperLogLog.estimateWithTruth(empty, "k").collect().head
+    assert(row.getAs[Int]("m") === 256)
+    assert(row.getAs[Long]("v_zero") === 256L)
+    assert(row.getAs[Double]("est_distinct") === 0.0)
+    assert(row.getAs[Long]("exact_distinct") === 0L)
+  }
 }

@@ -89,4 +89,54 @@ class SnapshotSpec extends SparkFunSuite {
     assert(plan.sliding(4).count(_ == "Join") <= 2) // kept + rejected-snap union
     assert(!plan.contains("Window"))
   }
+
+  // ----------------------------------------------------------- SCD2
+
+  private def hist(rows: (Long, Long, String)*) =
+    Snapshot.scd2(rows.toDF("id", "version", "tier"), "id", "version",
+      Seq("tier")).orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSeq
+
+  test("scd2: unchanged payload collapses to one open interval") {
+    assert(hist((1L, 1L, "low"), (1L, 2L, "low"), (1L, 3L, "low")) ===
+      Seq((1L, "low", 1L, None, true)))
+  }
+
+  test("scd2: each change opens a new interval and closes the prior") {
+    assert(hist((1L, 1L, "low"), (1L, 2L, "mid"), (1L, 3L, "mid"), (1L, 4L, "high")) ===
+      Seq((1L, "low", 1L, Some(1L), false),
+          (1L, "mid", 2L, Some(3L), false),
+          (1L, "high", 4L, None, true)))
+  }
+
+  test("scd2: a key appearing late starts at its first observed version") {
+    assert(hist((1L, 1L, "a"), (2L, 3L, "b"), (2L, 4L, "c")) ===
+      Seq((1L, "a", 1L, None, true),
+          (2L, "b", 3L, Some(3L), false),
+          (2L, "c", 4L, None, true)))
+  }
+
+  test("scd2: payload returning to an old value is a NEW interval (type 2, not type 1)") {
+    assert(hist((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a")) ===
+      Seq((1L, "a", 1L, Some(1L), false),
+          (1L, "b", 2L, Some(2L), false),
+          (1L, "a", 3L, None, true)))
+  }
+
+  test("scd2: null payload is a distinct state from any string") {
+    val rows = Seq((1L, 1L, "x"), (1L, 2L, null), (1L, 3L, "x"))
+      .toDF("id", "version", "tier")
+    val out = Snapshot.scd2(rows, "id", "version", Seq("tier"))
+      .orderBy("valid_from").collect()
+    assert(out.length === 3) // x -> null -> x = three intervals
+    assert(out(1).isNullAt(1) && out(1).getLong(2) === 2L)
+  }
+
+  test("scd2: plan has no self-join — one shuffle, window-based") {
+    val rows = Seq((1L, 1L, "x")).toDF("id", "version", "tier")
+    val plan = Snapshot.scd2(rows, "id", "version", Seq("tier"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
 }
