@@ -3142,6 +3142,142 @@ object SparkEntry {
         table(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload", avgBits = 5)
         .orderBy("chunk")),
+    // PDF structural census: in-plan builder (catalog + page tree +
+    // per-page content streams, classic xref with exact offsets) →
+    // decode-free parse (header, LAST startxref, xref walk, trailer,
+    // dict-region-only page/stream scan). Page count and slice bytes
+    // re-derived arithmetically by the oracle. Char slicing happens in
+    // Spark SQL substring (code-point semantics, same as DuckDB
+    // substr) BEFORE the byte-assembly stage.
+    "multimodal_pdf_meta" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id").cast("long"),
+          array((0 until 3).map(i =>
+            substring(col("text"), 1 + 20 * i, 20)): _*),
+          ascii(substring(col("text"), 1, 1)).cast("int"))
+        .as[(Long, Seq[String], Int)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, slices, b0) =>
+            val p = 1 + b0 % 3
+            val contents = slices.take(p)
+              .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            graft.multimodal.PdfParser.parse(
+              graft.multimodal.PdfParser.build(contents)).map(m =>
+              (id, m.version, m.nObjects, m.nFree, m.size, m.nPages,
+                m.streamBytes, m.encrypted, m.hasEof))
+          }
+        }
+        .toDF("id", "version", "n_objects", "n_free", "size", "n_pages",
+          "stream_bytes", "encrypted", "has_eof")
+        .orderBy("id")
+    }),
+    // Relational pivot: per-user event-type counts as COLUMNS. The
+    // pivot value list is explicit (deterministic schema — never let
+    // the engine discover pivot columns from data at 100 TB: that is
+    // an extra distinct scan and a nondeterministic column order).
+    "events_pivot" -> ((s, d) => {
+      val types = Seq("click", "view", "purchase", "signup")
+      table(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("user_id")
+    }),
+    // Unpivot/melt: the three lineitem money columns as (metric,
+    // amount) rows — the inverse reshape, one scan, no shuffle
+    // (ids stay on their partitions; output is 3x rows, narrower).
+    "lineitem_unpivot" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "amount")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+    // Per-user EWMA smoothing (alpha = 1/2): collect+sort+fold per
+    // key — sequential by construction, so the per-step double
+    // rounding is identical to the oracle's recursive CTE.
+    "events_ewma" -> ((s, d) =>
+      graft.streaming.EventPipeline.ewmaSmoothed(table(s, d, "events"))
+        .orderBy("user_id", "event_id")),
+    // Benford first-digit audit over order totals: magnitude-band
+    // CASE digits (no log10, no cast-to-string at query time),
+    // micro-integer chi-square, expected probabilities interpolated
+    // from the SAME precomputed literal table as the oracle.
+    "audit_benford" -> ((s, d) =>
+      BenfordAudit.benfordCard(table(s, d, "orders"), "o_totalprice")),
+    // IVF-PQ: the composed billion-scale index (coarse cluster prune →
+    // ADC over m-byte codes → exact re-rank, faiss's default shape).
+    // Full breadth here ⇒ the prune is a no-op and the oracle replays
+    // ADC → cut → euclidean re-rank exactly; PRUNED recall is pinned
+    // in PqIndexSpec (same convention as ann_tree_topk).
+    "ann_ivfpq_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val (assigned, ivf) = ivfCache.computeIfAbsent(d, dir => {
+        val store = table(s, dir, "embeddings")
+          .join(table(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        val (a, m) = IvfIndex.build(store, "embedding", numClusters = 8)
+        (a.cache(), m)
+      })
+      val m = 8; val k = 4; val dsub = 8
+      val cb: Array[Float] = Array.tabulate(m * k * dsub) { idx =>
+        val t = idx % dsub
+        val c = (idx / dsub) % k
+        ((c - 1.5) + t * 0.01).toFloat
+      }
+      val pq = PqIndex.PqModel(m, k, 64, cb)
+      val encoded = PqIndex.encode(assigned, "embedding", pq)
+      PqIndex.ivfPqSearch(encoded, ivf, pq, "vec_id", "embedding",
+        queryVec(s, d), k = 10, searchTopSize = 8, candidates = 64,
+        scoreScale = Some(Scale))
+        .withColumnRenamed("vec_id", "id")
+    }),
+    // Native session_window (Catalyst SessionWindow operator — the
+    // same definition runs under Structured Streaming with watermark
+    // state): gap semantics are half-open [start, last+gap), so an
+    // event at exactly gap distance starts a NEW session (vs the
+    // hand-rolled events_sessions row's closed `> gap` — both
+    // conventions exist; the oracle replays `>=`).
+    "events_session_window" -> ((s, d) =>
+      graft.streaming.EventPipeline.normalizeTs(table(s, d, "events"))
+        .groupBy(col("user_id"), session_window(col("ts"), "600 seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")),
+    // TPC-H Q10 shape: returned-item revenue by customer for one
+    // quarter — fact⋈fact on orderkey (the one shuffle), dimensions
+    // broadcast, top-20 via TakeOrderedAndProject.
+    "tpch_q10_returns" -> ((s, d) =>
+      RelationalAnalytics.returnedItemReport(
+        table(s, d, "customer"), table(s, d, "orders"),
+        table(s, d, "lineitem"), table(s, d, "nation"),
+        quarterStart = "1996-10-01", quarterEnd = "1997-01-01", k = 20)),
+    // Reliability card over the trained quality classifier: score
+    // deciles vs observed positive rate + ECE. All aggregation is
+    // exact-integer (scores re-quantized from their 4-dp rounding);
+    // doubles only in final divisions, 6-dp rounded.
+    "classifier_calibration" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val m = QualityClassifier.fit(docs, "doc_id", "text")
+      QualityClassifier.calibration(
+        QualityClassifier.score(docs, "doc_id", "text", m),
+        "score", "rule_label")
+    }),
+    // eps-DP noisy group counts (truncated geometric mechanism): the
+    // noise is a pure function of the group key — a seeded 16-bit
+    // md5 uniform through precomputed integer inverse-CDF thresholds,
+    // so the oracle replays the identical CASE over the identical
+    // integers. True n rides along for the gate only.
+    "privacy_dp_counts" -> ((s, d) =>
+      DifferentialPrivacy.noisyCounts(
+        table(s, d, "documents"), Seq("lang", "source"))
+        .orderBy("lang", "source")),
     // TPC-H Q6 shape: ONE filtered scan, ONE scalar aggregate, zero
     // joins — all three predicates land in PushedFilters, row-group
     // stats on l_shipdate skip most files, decimal-exact revenue sum.
@@ -6802,6 +6938,217 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    // Pivot = conditional aggregation; the explicit value list means
+    // 'error' events are deliberately absent from both sides.
+    "events_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "lineitem_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.metric,
+        |       CASE m.metric
+        |         WHEN 'l_extendedprice' THEN l_extendedprice
+        |         WHEN 'l_discount' THEN l_discount
+        |         ELSE l_tax END AS amount
+        |FROM lineitem,
+        |     (VALUES ('l_extendedprice'), ('l_discount'), ('l_tax')) m(metric)
+        |WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    // EWMA re-derived by a recursive CTE: the same x*0.5 + prev*0.5
+    // expression in the same sequential order -> identical doubles.
+    "events_ewma" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, x, rn, x AS ewma FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.event_id, ev.x, ev.rn,
+        |         ev.x * 0.5 + r.ewma * 0.5
+        |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+        |SELECT user_id, event_id, x AS value, ewma
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // Benford card: same band CASE, same probability literals, same
+    // micro-integer chi-square — all generated from one source of
+    // truth in BenfordAudit.
+    "audit_benford" -> {
+      val pList = BenfordAudit.P.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      val fd = BenfordAudit.firstDigitSql("v", 9)
+      s"""WITH vals AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+         |digits AS (SELECT CASE WHEN v >= 1 THEN $fd ELSE NULL END AS digit
+         |           FROM vals),
+         |obs AS (
+         |  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM digits WHERE digit IS NOT NULL GROUP BY 1),
+         |exc AS (
+         |  SELECT CAST(sum(CASE WHEN digit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_excluded,
+         |         CAST(sum(CASE WHEN digit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_total
+         |  FROM digits),
+         |expect AS (
+         |  SELECT digit, CAST(p AS DOUBLE) AS p
+         |  FROM (VALUES $pList) t(digit, p)),
+         |pd AS (
+         |  SELECT e.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+         |         e.p, x.n_total, x.n_excluded,
+         |         CAST(round((COALESCE(o.n_obs, 0) - e.p * x.n_total) *
+         |                    (COALESCE(o.n_obs, 0) - e.p * x.n_total) /
+         |                    (e.p * x.n_total) * 1000000.0) AS BIGINT) AS cm
+         |  FROM expect e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN exc x),
+         |c AS (SELECT round(sum(cm) / 1000000.0, 6) AS chi2 FROM pd)
+         |SELECT pd.digit, pd.n_obs, round(pd.p, 6) AS p_expected,
+         |       round(pd.p * pd.n_total, 6) AS n_expected,
+         |       pd.n_total, pd.n_excluded, c.chi2
+         |FROM pd CROSS JOIN c ORDER BY digit""".stripMargin
+    },
+    // IVF-PQ at full breadth = the ADC pipeline + euclidean re-rank,
+    // replayed stage for stage (same fixed codebook literals as
+    // ann_adc_rerank, same round-then-cut discipline).
+    "ann_ivfpq_topk" ->
+      """WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT e.vec_id AS id,
+        |    round(list_sum(list_transform(generate_series(0, 7), j ->
+        |      list_transform(
+        |        [list_transform(generate_series(0, 3), c ->
+        |           list_sum(list_transform(generate_series(0, 7), t ->
+        |             (CAST(e.embedding[j*8 + t + 1] AS DOUBLE) -
+        |              CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)) *
+        |             (CAST(e.embedding[j*8 + t + 1] AS DOUBLE) -
+        |              CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)))))],
+        |        dl ->
+        |          list_transform(generate_series(0, 3), c ->
+        |            list_sum(list_transform(generate_series(0, 7), t ->
+        |              (CAST(qv.q[j*8 + t + 1] AS DOUBLE) -
+        |               CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)) *
+        |              (CAST(qv.q[j*8 + t + 1] AS DOUBLE) -
+        |               CAST(CAST((c - 1.5) + t * 0.01 AS FLOAT) AS DOUBLE)))))
+        |          [list_position(dl, list_min(dl))]
+        |      )[1])), 6) AS adc
+        |  FROM embeddings e, qv),
+        |cand AS (SELECT id FROM adc ORDER BY adc, id LIMIT 64)
+        |SELECT e.vec_id AS id,
+        |       round(list_distance(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(qv.q AS DOUBLE[])), 6) AS dist
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.id, qv
+        |ORDER BY dist, id LIMIT 10""".stripMargin,
+    // Native session_window gaps are half-open: >= gap starts a new
+    // session; session_end = last event + gap.
+    "events_session_window" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR ts - lag(ts) OVER w >= INTERVAL 600 SECOND
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 600 SECOND AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
+    "tpch_q10_returns" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Calibration card rebuilt on the oracle's own classifier refit:
+    // same integer-quantized scores, same decile binning, same
+    // integer-weighted ECE.
+    "classifier_calibration" -> (ClassifierFitCtes + s"""
+      |, scored AS (
+      |  SELECT f2.doc_id, f2.y, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +
+      |    x2 * (w2m / 1000000.0) + x3 * (w3m / 1000000.0) +
+      |    x4 * (w4m / 1000000.0) + bm / 1000000.0))) AS p
+      |  FROM f2 CROSS JOIN w${QualityClassifier.Iters}),
+      |sc AS (SELECT round(p, 4) AS score, CAST(y AS BIGINT) AS y FROM scored),
+      |b AS (
+      |  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, y,
+      |         CAST(floor(score * 10000 + 0.5) AS BIGINT) AS sci
+      |  FROM sc),
+      |pb AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y) AS BIGINT) AS n_pos,
+      |         CAST(sum(sci) AS BIGINT) AS sum_sc
+      |  FROM b GROUP BY 1),
+      |pb2 AS (
+      |  SELECT bin, n, n_pos,
+      |         round(sum_sc / (n * 10000.0), 6) AS mean_pred,
+      |         round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos
+      |  FROM pb),
+      |pb3 AS (SELECT *, round(frac_pos - mean_pred, 6) AS gap FROM pb2),
+      |e AS (
+      |  SELECT round(sum(n * CAST(round(abs(gap) * 1000000) AS BIGINT)) /
+      |           (sum(n) * 1000000.0), 6) AS ece
+      |  FROM pb3)
+      |SELECT pb3.*, e.ece FROM pb3 CROSS JOIN e ORDER BY bin""".stripMargin),
+    // The DP noise CASE is generated from the SAME precomputed integer
+    // thresholds the Spark expression uses — one source of truth, no
+    // transcendental at query time on either engine.
+    "privacy_dp_counts" -> {
+      val u16 =
+        """((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+          | (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+          | (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+          |  strpos('0123456789abcdef', substr(h, 4, 1)) - 1)""".stripMargin
+      s"""WITH g AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |gh AS (
+         |  SELECT lang, source, n,
+         |         md5('dp:' || lang || ':' || source) AS h
+         |  FROM g),
+         |u AS (
+         |  SELECT lang, source, n, CAST($u16 AS BIGINT) AS u16 FROM gh),
+         |z AS (
+         |  SELECT lang, source, n, u16,
+         |         CAST(${DifferentialPrivacy.noiseCaseSql("u16")} AS BIGINT)
+         |           AS noise
+         |  FROM u)
+         |SELECT lang, source, n, u16, noise,
+         |       greatest(n + noise, 0) AS noisy_n,
+         |       ${DifferentialPrivacy.Eps} AS eps
+         |FROM z ORDER BY lang, source""".stripMargin
+    },
+    // PDF census re-derived arithmetically: the builder makes
+    // 1 + (first-char codepoint % 3) pages from 20-char slices, so
+    // objects = 2 + 2p (+1 free), /Size = 3 + 2p, stream bytes = the
+    // UTF-8 byte lengths of the slices (DuckDB strlen = bytes).
+    "multimodal_pdf_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id, 1 + ascii(substr(text, 1, 1)) % 3 AS np, text
+        |  FROM documents WHERE length(text) >= 1)
+        |SELECT id, '1.4' AS version,
+        |       CAST(2 + 2 * np AS INT) AS n_objects,
+        |       CAST(1 AS INT) AS n_free,
+        |       CAST(3 + 2 * np AS INT) AS size,
+        |       CAST(np AS INT) AS n_pages,
+        |       CAST(list_sum(list_transform(generate_series(0, np - 1),
+        |         i -> strlen(substr(text, 1 + 20 * CAST(i AS INT), 20))))
+        |         AS BIGINT) AS stream_bytes,
+        |       false AS encrypted, true AS has_eof
+        |FROM src ORDER BY id""".stripMargin,
     "tpch_q6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
         |         AS DOUBLE) AS revenue,

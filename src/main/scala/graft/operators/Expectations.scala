@@ -62,3 +62,97 @@ object Expectations {
     wide.select(explode(array(verdicts: _*)).as("e")).select("e.*")
   }
 }
+
+/**
+ * Benford first-significant-digit audit — the classic anomaly screen
+ * for value columns (prices, revenues, counts): natural multi-scale
+ * data follows P(d) = log10(1 + 1/d); fabricated, truncated, or
+ * unit-capped feeds do not, so a large chi-square statistic flags a
+ * source worth inspecting BEFORE it trains anything. Routine in
+ * financial-data QA (Nigrini); here it joins the data-quality rows
+ * (expectations, drift, outlier fences) as a one-scan audit card.
+ *
+ * Determinism discipline (bit-exact vs the SQL oracle):
+ *  - the first digit comes from a magnitude-band CASE (floor(v/10^k)
+ *    for the band holding v) — pure double arithmetic both engines
+ *    share; no log10, no cast-to-string (whose formatting is
+ *    engine-specific);
+ *  - the expected probabilities are literals from [[BenfordAudit.P]],
+ *    precomputed once here (the only place log10 runs) and
+ *    interpolated into the oracle SQL — one source of truth;
+ *  - the chi-square statistic is summed as per-digit MICRO-integer
+ *    contributions (round(contrib * 1e6) as BIGINT), so the 9-term
+ *    sum is exact and partition-order independent.
+ *
+ * One aggregate scan to 9 rows; the statistic is a broadcast
+ * join-back of a 1-row aggregate. Values ≤ 0 are excluded (Benford
+ * is defined on positive magnitudes) and reported via n_excluded.
+ */
+object BenfordAudit {
+
+  /** log10(1 + 1/d) for d = 1..9 — the cross-engine literal table. */
+  val P: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Magnitude bands covering (0, 10^maxExp): first digit of v =
+    * floor(v / 10^k) for the k with 10^k <= v < 10^(k+1). */
+  private def firstDigit(v: Column, maxExp: Int): Column = {
+    // ascending fold so the LARGEST band ends up outermost — the CASE
+    // must test v >= 10^(maxExp-1) before v >= 10^(maxExp-2), etc.
+    // Values at or above 10^maxExp are EXCLUDED (null), not mis-binned
+    // (and under ANSI mode a huge floor would overflow the int cast).
+    val banded = (1 until maxExp).foldLeft(
+      when(v >= 1, floor(v)).otherwise(lit(null))) { (rest, k) =>
+      when(v >= math.pow(10.0, k), floor(v / lit(math.pow(10.0, k))))
+        .otherwise(rest)
+    }
+    when(v >= math.pow(10.0, maxExp), lit(null)).otherwise(banded).cast("int")
+  }
+
+  /** SQL rendering of the same band CASE — the oracle half. */
+  def firstDigitSql(vExpr: String, maxExp: Int): String = {
+    val bands = (maxExp - 1 to 1 by -1).map { k =>
+      s"WHEN $vExpr >= 1e$k THEN CAST(floor($vExpr / 1e$k) AS INT)"
+    }
+    (s"WHEN $vExpr >= 1e$maxExp THEN NULL" +: bands :+
+      s"WHEN $vExpr >= 1 THEN CAST(floor($vExpr) AS INT)")
+      .mkString("CASE ", " ", " ELSE NULL END")
+  }
+
+  /**
+   * The audit card: per digit (1..9) observed count, expected
+   * probability and count, micro-exact chi-square contribution, plus
+   * the total statistic and the sub-1 / non-positive exclusion count
+   * as constant columns. `maxExp`: values >= 10^maxExp are excluded
+   * like non-positives (counted in n_excluded) — size it to the
+   * column.
+   */
+  def benfordCard(df: DataFrame, valueCol: String, maxExp: Int = 9): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digits = df.select(
+      when(v >= 1, firstDigit(v, maxExp)).otherwise(lit(null)).as("digit"))
+    val obs = digits.filter(col("digit").isNotNull)
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val excluded = digits.agg(
+      sum(when(col("digit").isNull, 1L).otherwise(0L)).as("n_excluded"),
+      sum(when(col("digit").isNotNull, 1L).otherwise(0L)).as("n_total"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expect = P.zipWithIndex.map { case (p, i) => (i + 1, p) }
+      .toDF("digit", "p_expected")
+    val perDigit = expect.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(excluded))
+      .withColumn("n_expected", round(col("p_expected") * col("n_total"), 6))
+      .withColumn("chi2_micro",
+        round((col("n_obs") - col("p_expected") * col("n_total")) *
+          (col("n_obs") - col("p_expected") * col("n_total")) /
+          (col("p_expected") * col("n_total")) * 1e6).cast("long"))
+    val chi2 = perDigit.agg(sum("chi2_micro").as("cm"))
+      .select(round(col("cm") / 1e6, 6).as("chi2"))
+    perDigit
+      .crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"), round(col("p_expected"), 6).as("p_expected"),
+        col("n_expected"), col("n_total"), col("n_excluded"), col("chi2"))
+      .orderBy("digit")
+  }
+}

@@ -112,11 +112,16 @@ object PqIndex {
    * column.
    */
   def search(encoded: DataFrame, idCol: String, model: PqModel,
-      query: Array[Float], k: Int): DataFrame = {
+      query: Array[Float], k: Int,
+      scoreScale: Option[Int] = None): DataFrame = {
     GraftFunctions.register(encoded.sparkSession)
+    val adc = GraftFunctions.pqAdcScore(col("codes"),
+      typedLit(adcLut(model, query).toSeq), model.k)
+    // round-THEN-order when a scale is given (the driver-row
+    // determinism convention: the oracle replays the same rounding, so
+    // cut-boundary ties resolve identically on both engines)
     encoded.select(col(idCol),
-        GraftFunctions.pqAdcScore(col("codes"), typedLit(adcLut(model, query).toSeq),
-          model.k).as("adc"))
+        scoreScale.map(sc => round(adc, sc)).getOrElse(adc).as("adc"))
       .orderBy(col("adc"), col(idCol))
       .limit(k)
   }
@@ -134,11 +139,12 @@ object PqIndex {
   def ivfPqSearch(
       encodedAssigned: DataFrame, ivf: IvfIndex.IvfModel, pq: PqModel,
       idCol: String, vecCol: String, query: Array[Float],
-      k: Int, searchTopSize: Int, candidates: Int): DataFrame = {
+      k: Int, searchTopSize: Int, candidates: Int,
+      scoreScale: Option[Int] = None): DataFrame = {
     val top = ivf.rankClusters(query, SearchStrategy.EuclideanDistance)
       .take(searchTopSize).toSeq
     val pruned = encodedAssigned.filter(col("cluster_id").isin(top: _*))
-    searchRerank(pruned, idCol, vecCol, pq, query, k, candidates)
+    searchRerank(pruned, idCol, vecCol, pq, query, k, candidates, scoreScale)
   }
 
   /**
@@ -148,12 +154,15 @@ object PqIndex {
    * candidate set.
    */
   def searchRerank(encoded: DataFrame, idCol: String, vecCol: String,
-      model: PqModel, query: Array[Float], k: Int, candidates: Int): DataFrame = {
-    val cand = search(encoded, idCol, model, query, candidates).select(idCol)
+      model: PqModel, query: Array[Float], k: Int, candidates: Int,
+      scoreScale: Option[Int] = None): DataFrame = {
+    val cand = search(encoded, idCol, model, query, candidates, scoreScale)
+      .select(idCol)
+    val dist = GraftFunctions.knnEuclideanDistance(col(vecCol),
+      typedLit(query.toSeq))
     encoded.join(broadcast(cand), idCol)
       .select(col(idCol),
-        GraftFunctions.knnEuclideanDistance(col(vecCol), typedLit(query.toSeq))
-          .as("dist"))
+        scoreScale.map(sc => round(dist, sc)).getOrElse(dist).as("dist"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }

@@ -201,4 +201,49 @@ object QualityClassifier {
       (sigma(m.wMicro, m.bMicro) >= 0.5).as("label"),
       col("y").cast("long").as("rule_label"))
   }
+
+  /**
+   * Reliability card (calibration curve + ECE) for any scored
+   * relation — the standard check before a classifier's scores become
+   * corpus sampling weights: a model that says "0.9" should be right
+   * ~90% of the time, and if it is not, mixture recipes built on its
+   * scores are silently mis-weighted. Deciles of the predicted score
+   * vs the observed positive rate, plus the expected calibration
+   * error (Naeini et al. 2015) as a constant column.
+   *
+   * Determinism discipline (the gate compares bit-exact): scores
+   * enter as 4-dp-rounded doubles, so `floor(score * 10^4 + 0.5)`
+   * recovers an EXACT integer — all aggregation is integer sums;
+   * doubles reappear only in final divisions of exact integers,
+   * rounded to 6 dp. The ECE weighting runs on `n * round(|gap|*10^6)`
+   * — an exact integer sum — never on per-bin double products.
+   *
+   * Shape at scale: one hash aggregate to ≤ `bins` rows (map-side
+   * partials), one broadcast join-back of the 1-row ECE — no window,
+   * no second scan of the scored relation.
+   */
+  def calibration(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins: $bins")
+    val sc = floor(col(scoreCol) * 10000 + 0.5).cast("long")
+    val perBin = scored
+      .select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int").as("bin"),
+        col(labelCol).cast("long").as("y"), sc.as("sc"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"), sum("sc").as("sum_sc"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_sc") / (col("n") * lit(10000.0)), 6).as("mean_pred"),
+        round(col("n_pos") / col("n").cast("double"), 6).as("frac_pos"))
+      .withColumn("gap", round(col("frac_pos") - col("mean_pred"), 6))
+    val ece = perBin
+      .select(col("n"),
+        (col("n") * round(abs(col("gap")) * 1000000).cast("long"))
+          .as("w_gap_micro"))
+      .agg(sum("n").as("total"), sum("w_gap_micro").as("sum_micro"))
+      .select(round(col("sum_micro") /
+        (col("total") * lit(1000000.0)), 6).as("ece"))
+    perBin.crossJoin(broadcast(ece)).orderBy("bin")
+  }
 }

@@ -88,6 +88,34 @@ object RelationalAnalytics {
         count(lit(1)).as("n_rows"))
 
   /**
+   * TPC-H Q10 shape: returned-item reporting — which customers
+   * returned the most revenue in a quarter. The classic
+   * fact-to-fact-to-dimension chain: lineitem filtered to returns ⋈
+   * orders filtered to the quarter (the ONE shuffled join, on
+   * orderkey), then customer and nation broadcast (dimensions never
+   * shuffle the fact), a grouped decimal-exact revenue sum, and
+   * `TakeOrderedAndProject` for the top-k (k rows to the driver, not
+   * the group set). `c_custkey` tie-breaks equal revenues so the cut
+   * is total.
+   */
+  def returnedItemReport(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, quarterStart: String, quarterEnd: String,
+      k: Int): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.filter(
+          col("o_orderdate") >= lit(quarterStart).cast("timestamp") &&
+          col("o_orderdate") < lit(quarterEnd).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(decSum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /**
    * TPC-H Q3 shape: top-k unshipped orders by revenue for one market
    * segment.
    *

@@ -460,6 +460,50 @@ object EventPipeline {
         })
   }
 
+  /**
+   * Per-user EWMA smoothing of the value series — the standard
+   * time-series baseline for anomaly/drift flags. alpha is FIXED at
+   * 1/2 deliberately: `ewma_i = value_i * 0.5 + ewma_{i-1} * 0.5`
+   * multiplies by an exact power of two at every step, so each step
+   * is two exact scalings and ONE rounding — and because both this
+   * fold and the oracle's recursive CTE evaluate the identical
+   * expression in the identical sequential order, the doubles match
+   * bit-for-bit (an arbitrary alpha would too, but 1/2 keeps the
+   * per-step error to the single addition).
+   *
+   * Shape: ONE shuffle on user_id; each user's series is gathered
+   * with `collect_list` + `sort_array` ((ts, event_id) total order —
+   * the same tie-break discipline as [[sessionize]]) and folded by
+   * the `aggregate` higher-order function — sequential by
+   * construction, linear work, no quadratic window. The per-key
+   * gather bounds state by the per-user event count (the same
+   * contract as `sessionize`/`resampleHourly`); a key whose history
+   * exceeds memory needs the streaming state variant
+   * ([[userRunningTotalsAged]]'s discipline), not a bigger array.
+   */
+  def ewmaSmoothed(events: DataFrame): DataFrame = {
+    val ev = normalizeTs(events)
+    ev.select(col("user_id"), struct(col("ts"), col("event_id"),
+        col("value").cast("double").as("value")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .withColumn("ewmas", expr(
+        """aggregate(evs, cast(array() as array<double>),
+          |  (acc, e) -> array_append(acc,
+          |    CASE WHEN size(acc) = 0 THEN e.value
+          |         ELSE e.value * 0.5D + element_at(acc, -1) * 0.5D END))
+          |""".stripMargin))
+      .select(col("user_id"), posexplode(arrays_zip(col("evs"), col("ewmas"))))
+      .select(col("user_id"),
+        col("col.evs.event_id").as("event_id"),
+        col("col.evs.value").as("value"),
+        // RAW double, deliberately unrounded: alpha = 1/2 produces
+        // dyadic rationals that land EXACTLY on 6-dp .5 boundaries,
+        // where Spark's HALF_UP and a float-multiply round disagree;
+        // the unrounded doubles are bit-identical across engines
+        col("col.ewmas").as("ewma"))
+  }
+
   /** Output-mode helper: windowed aggregations append once the
     * watermark passes the window end. */
   val WindowedOutputMode: OutputMode = OutputMode.Append()

@@ -63,4 +63,44 @@ class ExpectationsSpec extends SparkFunSuite {
     assert(!plan.contains("Join"))
     assert(plan.sliding("LocalTableScan".length).count(_ == "LocalTableScan") <= 1)
   }
+
+  // -------------------------------------------------------- Benford
+
+  test("benford: first digits from magnitude bands; sub-1 and non-positive excluded") {
+    import spark.implicits._
+    val df = Seq(123456.0, 500.0, 5.9, 1.0, 9.99, 0.5, 0.0, -3.0)
+      .toDF("v")
+    val out = BenfordAudit.benfordCard(df, "v").collect()
+    val byDigit = out.map(r => r.getInt(0) -> r.getAs[Long]("n_obs")).toMap
+    assert(byDigit(1) === 2L) // 123456, 1.0
+    assert(byDigit(5) === 2L) // 500, 5.9
+    assert(byDigit(9) === 1L) // 9.99
+    assert((2 to 4).map(byDigit(_)).sum + byDigit(6) + byDigit(7) + byDigit(8) === 0L)
+    assert(out.head.getAs[Long]("n_excluded") === 3L) // 0.5, 0, -3
+    assert(out.head.getAs[Long]("n_total") === 5L)
+    assert(out.length === 9) // all 9 digits present even when unobserved
+  }
+
+  test("benford: chi-square matches a hand computation (micro-integer sum)") {
+    import spark.implicits._
+    val df = Seq.fill(30)(1.0) ++ Seq.fill(70)(9.0)
+    val out = BenfordAudit.benfordCard(df.toDF("v"), "v").collect()
+    val n = 100.0
+    val expected = BenfordAudit.P.zipWithIndex.map { case (p, i) =>
+      val obs = if (i == 0) 30.0 else if (i == 8) 70.0 else 0.0
+      math.round((obs - p * n) * (obs - p * n) / (p * n) * 1e6)
+    }.sum / 1e6
+    assert(math.abs(out.head.getAs[Double]("chi2") -
+      math.rint(expected * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("benford: a Benford-ish geometric sample scores far lower than a uniform one") {
+    import spark.implicits._
+    // powers of 2 are classic Benford-conformant; uniform 100..999 is not
+    val benfordish = (0 until 200).map(i => math.pow(2.0, i % 29 + 1)).toDF("v")
+    val uniform = (0 until 200).map(i => 100.0 + (i * 4.5)).toDF("v")
+    val cb = BenfordAudit.benfordCard(benfordish, "v").collect().head.getAs[Double]("chi2")
+    val cu = BenfordAudit.benfordCard(uniform, "v", maxExp = 4).collect().head.getAs[Double]("chi2")
+    assert(cb < cu, s"benford-ish $cb should beat uniform $cu")
+  }
 }

@@ -64,4 +64,50 @@ class QualityClassifierSpec extends SparkFunSuite {
     assert(m.nPos === 75L && m.n === 100L)
     assert(m.posWeight === 25 * 2.0 / 100 && m.negWeight === 75 * 2.0 / 100)
   }
+
+  // ----------------------------------------------------- calibration
+
+  test("calibration: perfectly calibrated bins have zero gap and zero ECE") {
+    import spark.implicits._
+    // bin 2 (score .25): 1 of 4 positive -> frac_pos 0.25 == mean_pred
+    // bin 7 (score .75): 3 of 4 positive
+    val scored = (Seq.fill(3)((0.25, 0L)) ++ Seq((0.25, 1L)) ++
+      Seq.fill(3)((0.75, 1L)) ++ Seq((0.75, 0L)))
+      .toDF("score", "rule_label")
+    val out = QualityClassifier.calibration(scored, "score", "rule_label")
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(2, 7))
+    out.foreach { r =>
+      assert(r.getAs[Double]("gap") === 0.0)
+      assert(r.getAs[Double]("ece") === 0.0)
+      assert(r.getAs[Long]("n") === 4L)
+    }
+  }
+
+  test("calibration: hand-computed miscalibration and weighted ECE") {
+    import spark.implicits._
+    // bin 9: predicted 0.9 but only half positive -> gap -0.4
+    // bin 0: predicted 0.05, all negative -> gap -0.05
+    // (NB 0.1 would land in bin 1: 0.1 * 10 == 1.0000000000000002 in
+    // IEEE doubles — identically in Spark and the SQL oracle)
+    val scored = (Seq((0.9, 1L), (0.9, 0L)) ++ Seq.fill(2)((0.05, 0L)))
+      .toDF("score", "rule_label")
+    val out = QualityClassifier.calibration(scored, "score", "rule_label")
+      .orderBy("bin").collect()
+    val byBin = out.map(r => r.getInt(0) -> r).toMap
+    assert(byBin(0).getAs[Double]("gap") === -0.05)
+    assert(byBin(9).getAs[Double]("gap") === -0.4)
+    assert(byBin(9).getAs[Double]("mean_pred") === 0.9)
+    assert(byBin(9).getAs[Double]("frac_pos") === 0.5)
+    // ECE = (2*0.05 + 2*0.4) / 4 = 0.225
+    assert(out.head.getAs[Double]("ece") === 0.225)
+  }
+
+  test("calibration: score 1.0 clamps into the top bin") {
+    import spark.implicits._
+    val scored = Seq((1.0, 1L), (0.0, 0L)).toDF("score", "rule_label")
+    val bins = QualityClassifier.calibration(scored, "score", "rule_label")
+      .orderBy("bin").collect().map(_.getInt(0)).toSeq
+    assert(bins === Seq(0, 9))
+  }
 }

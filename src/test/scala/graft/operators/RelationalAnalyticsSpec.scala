@@ -179,4 +179,34 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(scan.contains("GreaterThanOrEqual(l_discount"), scan)
     assert(!scan.contains("l_orderkey"), scan)
   }
+
+  test("returnedItemReport (Q10): only R-flag lineitems in the quarter count; dims broadcast") {
+    import spark.implicits._
+    val cust = Seq((1L, "alice", 10L, 5.0), (2L, "bob", 11L, 6.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nat = Seq((10L, "DE"), (11L, "FR")).toDF("n_nationkey", "n_name")
+    val ord = Seq((100L, 1L, "1996-11-01"), (101L, 2L, "1996-12-01"),
+      (102L, 1L, "1997-02-01")) // outside the quarter
+      .toDF("o_orderkey", "o_custkey", "d")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("timestamp").as("o_orderdate"))
+    val li = Seq(
+      (100L, "R", 100.0, 0.1), // alice: 90
+      (100L, "N", 500.0, 0.0), // not returned
+      (101L, "R", 200.0, 0.5), // bob: 100
+      (102L, "R", 999.0, 0.0)  // order outside quarter
+    ).toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val out = RelationalAnalytics.returnedItemReport(
+      cust, ord, li, nat, "1996-10-01", "1997-01-01", k = 10).collect()
+    assert(out.map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("n_name"),
+      r.getAs[Double]("revenue"))).toSeq ===
+      Seq((2L, "FR", 100.0), (1L, "DE", 90.0))) // ordered by revenue desc
+
+    val plan = RelationalAnalytics.returnedItemReport(
+      t("customer"), t("orders"), t("lineitem"), t("nation"),
+      "1996-10-01", "1997-01-01", k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -400,4 +400,40 @@ class EventPipelineSpec extends SparkFunSuite {
       assert(got === Set((10L, 1L), (10L, 2L)))
     } finally q.stop()
   }
+
+  test("ewmaSmoothed: hand series, dyadic-exact, partitioning-invariant") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "1970-01-01 00:00:01", 10L, 4.0),
+      (2L, "1970-01-01 00:00:02", 10L, 8.0),
+      (3L, "1970-01-01 00:00:03", 10L, 2.0),
+      (4L, "1970-01-01 00:00:01", 20L, 6.0)
+    ).toDF("event_id", "t", "user_id", "value")
+      .select(col("event_id"), col("t").cast("timestamp").as("ts"),
+        col("user_id"), col("value"))
+    val out = EventPipeline.ewmaSmoothed(ev)
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("ewma"))).toSeq
+    // 4 -> (8+4)/2 = 6 -> (2+6)/2 = 4 ; user 20 seeds at 6
+    assert(out === Seq((10L, 1L, 4.0), (10L, 2L, 6.0), (10L, 3L, 4.0),
+      (20L, 4L, 6.0)))
+    val re = EventPipeline.ewmaSmoothed(ev.repartition(5))
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("ewma"))).toSeq
+    assert(re === out)
+  }
+
+  test("ewmaSmoothed: duplicate timestamps order by event_id (total order)") {
+    import spark.implicits._
+    val ev = Seq(
+      (2L, "1970-01-01 00:00:01", 1L, 8.0),
+      (1L, "1970-01-01 00:00:01", 1L, 4.0)
+    ).toDF("event_id", "t", "user_id", "value")
+      .select(col("event_id"), col("t").cast("timestamp").as("ts"),
+        col("user_id"), col("value"))
+    val out = EventPipeline.ewmaSmoothed(ev).orderBy("event_id").collect()
+    assert(out.map(_.getAs[Double]("ewma")).toSeq === Seq(4.0, 6.0))
+  }
 }
