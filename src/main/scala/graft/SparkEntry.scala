@@ -3173,6 +3173,27 @@ object SparkEntry {
           "stream_bytes", "encrypted", "has_eof")
         .orderBy("id")
     }),
+    // Minified/generated-code gate: even doc_ids become single-line
+    // space-stripped "bundles" (tripled to trip the avg-line cap),
+    // odd ones become one-word-per-line "formatted" files; the
+    // detector recomputes the three features per row and the oracle
+    // replays them arithmetically.
+    "code_minified_scan" -> ((s, d) => {
+      val fixed = table(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            repeat(regexp_replace(col("text"), " ", ""), 3))
+            .otherwise(translate(col("text"), " ", "\n")).as("text"))
+      CodeCorpus.minifiedStats(fixed, "doc_id", "text").orderBy("doc_id")
+    }),
+    // RFM segmentation WITHOUT the global-ntile anti-pattern:
+    // quartile fences from one exact-percentile aggregate, broadcast
+    // back, CASE per score — no unpartitioned window, no global sort.
+    "customer_rfm" -> ((s, d) =>
+      RelationalAnalytics.rfmSegmentation(
+        table(s, d, "orders"), refDate = "2001-09-01")
+        .orderBy("o_custkey")),
     // Relational pivot: per-user event-type counts as COLUMNS. The
     // pivot value list is explicit (deterministic schema — never let
     // the engine discover pivot columns from data at 100 TB: that is
@@ -6938,6 +6959,66 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    // Minified features replayed arithmetically over the same fixture
+    // (explicit [ \t\n\r] class — \s coverage differs Java vs RE2).
+    "code_minified_scan" ->
+      """WITH fixed AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN repeat(replace(text, ' ', ''), 3)
+        |              ELSE translate(text, ' ', chr(10)) END AS t
+        |  FROM documents WHERE length(text) >= 1),
+        |f AS (
+        |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |         CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |         CAST(list_max(list_transform(string_split(t, chr(10)),
+        |           x -> length(x))) AS BIGINT) AS max_line,
+        |         CAST(length(t) - length(regexp_replace(t,
+        |           '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g'))
+        |           AS BIGINT) AS n_ws
+        |  FROM fixed),
+        |g AS (
+        |  SELECT doc_id, n_chars, n_lines, max_line,
+        |         round(CAST(n_chars - (n_lines - 1) AS DOUBLE) / n_lines, 6)
+        |           AS avg_line,
+        |         round(CAST(n_ws AS DOUBLE) / n_chars, 6) AS ws_ratio
+        |  FROM f)
+        |SELECT doc_id, n_chars, n_lines, max_line, avg_line, ws_ratio,
+        |       (avg_line > 200.0 OR (max_line > 500 AND ws_ratio < 0.05))
+        |         AS minified
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // RFM: same exact-percentile fences (quantile_cont == Spark
+    // percentile interpolation), same CASE scores, same inversion.
+    "customer_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |           DATE '2001-09-01') AS BIGINT) AS r_days,
+        |         CAST(count(*) AS BIGINT) AS f_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |           AS m_value
+        |  FROM orders GROUP BY 1),
+        |q AS (
+        |  SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
+        |         quantile_cont(f_orders, [0.25, 0.5, 0.75]) AS fq,
+        |         quantile_cont(m_value, [0.25, 0.5, 0.75]) AS mq
+        |  FROM per),
+        |scored AS (
+        |  SELECT o_custkey, r_days, f_orders, m_value,
+        |         5 - (CASE WHEN r_days <= rq[1] THEN 1
+        |                   WHEN r_days <= rq[2] THEN 2
+        |                   WHEN r_days <= rq[3] THEN 3 ELSE 4 END) AS r_score,
+        |         CASE WHEN f_orders <= fq[1] THEN 1
+        |              WHEN f_orders <= fq[2] THEN 2
+        |              WHEN f_orders <= fq[3] THEN 3 ELSE 4 END AS f_score,
+        |         CASE WHEN m_value <= mq[1] THEN 1
+        |              WHEN m_value <= mq[2] THEN 2
+        |              WHEN m_value <= mq[3] THEN 3 ELSE 4 END AS m_score
+        |  FROM per CROSS JOIN q)
+        |SELECT o_custkey, r_days, f_orders, round(m_value, 2) AS m_value,
+        |       r_score, f_score, m_score,
+        |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |         CAST(m_score AS VARCHAR) AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
     // Pivot = conditional aggregation; the explicit value list means
     // 'error' events are deliberately absent from both sides.
     "events_pivot" ->

@@ -73,4 +73,44 @@ object CodeCorpus {
       .withColumn("keep",
         KeepFamilies.map(col("family") === _).reduce(_ || _))
   }
+
+  /**
+   * Minified/generated-code detector — the other standard code-corpus
+   * gate beside the license scan (The Stack and CodeParrot both drop
+   * minified/compiled-asset files before training: they are dense,
+   * near-duplicate token soup that inflates loss and leaks bundled
+   * third-party code). Three scan-local features decide:
+   * average line length (total chars minus newlines over line count),
+   * longest line, and whitespace ratio; the verdict is
+   * `avg > avgLineCap OR (max > maxLineCap AND ws < wsFloor)` — a
+   * single-line 50 KB bundle.js trips the first clause, a few-line
+   * one the second.
+   *
+   * All features are codegen string kernels (length / split /
+   * array_max / regexp_replace with the EXPLICIT class `[ \t\n\r]`
+   * — not `\s`, whose ASCII coverage differs between Java regex and
+   * RE2-based engines); ratios are exact-integer divisions rounded at
+   * 6 dp. One scan, no shuffle, no UDF.
+   */
+  def minifiedStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      avgLineCap: Double = 200.0, maxLineCap: Long = 500L,
+      wsFloor: Double = 0.05): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val lines = split(t, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val maxLine = array_max(transform(lines, l => length(l))).cast("long")
+    val nWs = (nChars -
+      length(regexp_replace(t, "[ \t\n\r]", ""))).cast("long")
+    docs.select(
+        col(idCol), nChars.as("n_chars"), nLines.as("n_lines"),
+        maxLine.as("max_line"),
+        round((nChars - (nLines - 1)).cast("double") /
+          nLines.cast("double"), 6).as("avg_line"),
+        round(nWs.cast("double") / nChars.cast("double"), 6).as("ws_ratio"))
+      .withColumn("minified",
+        col("avg_line") > avgLineCap ||
+          (col("max_line") > maxLineCap && col("ws_ratio") < wsFloor))
+  }
 }

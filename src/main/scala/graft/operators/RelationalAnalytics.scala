@@ -88,6 +88,49 @@ object RelationalAnalytics {
         count(lit(1)).as("n_rows"))
 
   /**
+   * RFM segmentation (recency / frequency / monetary) — the classic
+   * customer-value card, and deliberately NOT the textbook
+   * global-ntile formulation: `ntile(4)` over the whole relation is
+   * an unpartitioned window (every row through ONE task — the exact
+   * anti-pattern the bench log polices). Instead the three quartile
+   * fences come from one exact-percentile aggregate (a 1-row
+   * relation, broadcast back) and each score is a CASE against the
+   * fences — two scans, no global sort, unchanged at 10⁹ customers.
+   * Scores are 1..4 with 4 best (recency inverts: fewer days since
+   * the last order is better). Fence ties resolve by the comparison
+   * (`<=` lower fence wins), identically in the oracle's
+   * `quantile_cont` — the same interpolated-percentile definition
+   * Spark's `percentile` uses.
+   */
+  def rfmSegmentation(
+      orders: DataFrame, refDate: String): DataFrame = {
+    val per = orders.groupBy("o_custkey").agg(
+      datediff(lit(refDate).cast("date"), max(col("o_orderdate")).cast("date"))
+        .cast("long").as("r_days"),
+      count(lit(1)).as("f_orders"),
+      decSum(col("o_totalprice")).as("m_value"))
+    val fences = per.agg(
+      expr("percentile(r_days, array(0.25, 0.5, 0.75))").as("rq"),
+      expr("percentile(f_orders, array(0.25, 0.5, 0.75))").as("fq"),
+      expr("percentile(m_value, array(0.25, 0.5, 0.75))").as("mq"))
+    def score(v: Column, q: Column, invert: Boolean): Column = {
+      val s = when(v <= element_at(q, 1), 1)
+        .when(v <= element_at(q, 2), 2)
+        .when(v <= element_at(q, 3), 3)
+        .otherwise(4)
+      if (invert) lit(5) - s else s
+    }
+    per.crossJoin(broadcast(fences))
+      .select(col("o_custkey"), col("r_days"), col("f_orders"),
+        round(col("m_value"), 2).as("m_value"),
+        score(col("r_days"), col("rq"), invert = true).as("r_score"),
+        score(col("f_orders").cast("double"), col("fq"), invert = false)
+          .as("f_score"),
+        score(col("m_value"), col("mq"), invert = false).as("m_score"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
+  /**
    * TPC-H Q10 shape: returned-item reporting — which customers
    * returned the most revenue in a quarter. The classic
    * fact-to-fact-to-dimension chain: lineitem filtered to returns ⋈

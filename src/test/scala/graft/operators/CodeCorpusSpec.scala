@@ -44,4 +44,48 @@ class CodeCorpusSpec extends SparkFunSuite {
     assert(out(0).getString(1) === "unknown" &&
       out(0).getString(2) === "unknown" && !out(0).getBoolean(3))
   }
+
+  // ------------------------------------------------------- minified
+
+  test("minifiedStats: single-line dense bundle flags; formatted multi-line does not") {
+    import spark.implicits._
+    val bundle = "function(){var a=1;b=2;" * 20 // one long line, no ws
+    val pretty = (1 to 30).map(i => s"line number $i").mkString("\n")
+    val out = CodeCorpus.minifiedStats(
+      Seq((1L, bundle), (2L, pretty)).toDF("id", "text"), "id", "text")
+      .orderBy("id").collect()
+    val b = out(0); val p = out(1)
+    assert(b.getAs[Boolean]("minified"))
+    assert(b.getAs[Long]("n_lines") === 1L)
+    assert(b.getAs[Double]("avg_line") === bundle.length.toDouble)
+    assert(!p.getAs[Boolean]("minified"))
+    assert(p.getAs[Long]("n_lines") === 30L)
+  }
+
+  test("minifiedStats: hand-computed features on a tiny file") {
+    import spark.implicits._
+    val t = "ab cd\nefgh\n x" // 3 lines: "ab cd", "efgh", " x"
+    val r = CodeCorpus.minifiedStats(Seq((1L, t)).toDF("id", "text"),
+      "id", "text").collect().head
+    assert(r.getAs[Long]("n_chars") === t.length.toLong)
+    assert(r.getAs[Long]("n_lines") === 3L)
+    assert(r.getAs[Long]("max_line") === 5L)
+    // chars excluding the 2 newlines = 11, over 3 lines
+    assert(math.abs(r.getAs[Double]("avg_line") - 11.0 / 3.0) < 1e-6)
+    // whitespace: 2 spaces + 2 newlines = 4 of 13
+    assert(math.abs(r.getAs[Double]("ws_ratio") - 4.0 / 13.0) < 1e-6)
+  }
+
+  test("minifiedStats: few-line long-line low-ws file trips the second clause") {
+    import spark.implicits._
+    val t = ("x" * 600) + "\n" + ("y" * 600) + "\n" + ("z" * 600) + "\n" +
+      ("w" * 600) // avg 600 > 200 anyway; force clause 2 with smaller avg
+    val t2 = ("x" * 501) + "\n" + ("y" * 400) // ws = 1/902 < 0.05
+    val r = CodeCorpus.minifiedStats(Seq((1L, t2)).toDF("id", "text"),
+      "id", "text", avgLineCap = 10000.0).collect().head
+    assert(r.getAs[Long]("max_line") === 501L)
+    assert(r.getAs[Boolean]("minified")) // max>500 and ws tiny
+    assert(CodeCorpus.minifiedStats(Seq((1L, t)).toDF("id", "text"),
+      "id", "text").collect().head.getAs[Boolean]("minified"))
+  }
 }

@@ -209,4 +209,35 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("rfmSegmentation: fences from percentiles, scores 1..4, recency inverted, no global window") {
+    import spark.implicits._
+    val ord = Seq(
+      // cust 1: recent + frequent + big spender -> high scores
+      (1L, 1L, "2001-08-01", 900.0), (2L, 1L, "2001-07-01", 900.0),
+      (3L, 1L, "2001-06-01", 900.0), (4L, 1L, "2001-05-01", 900.0),
+      // cust 2: middling
+      (5L, 2L, "2000-06-01", 300.0), (6L, 2L, "2000-05-01", 300.0),
+      // cust 3: one old small order
+      (7L, 3L, "1996-01-01", 50.0)
+    ).toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+    val out = RelationalAnalytics.rfmSegmentation(ord, "2001-09-01")
+      .orderBy("o_custkey").collect()
+    val c1 = out(0); val c3 = out(2)
+    assert(c1.getAs[Int]("r_score") === 4) // most recent -> best
+    assert(c1.getAs[Int]("f_score") === 4)
+    assert(c1.getAs[Int]("m_score") === 4)
+    assert(c1.getAs[String]("segment") === "444")
+    assert(c3.getAs[Int]("r_score") === 1)
+    assert(c3.getAs[Int]("f_score") === 1)
+    assert(c3.getAs[Int]("m_score") === 1)
+    assert(c1.getAs[Long]("r_days") === 31L)
+    assert(c1.getAs[Double]("m_value") === 3600.0)
+    // the plan must not contain an unpartitioned (global) window
+    val plan = RelationalAnalytics.rfmSegmentation(ord, "2001-09-01")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
