@@ -3173,6 +3173,24 @@ object SparkEntry {
           "stream_bytes", "encrypted", "has_eof")
         .orderBy("id")
     }),
+    // Incremental per-source HLL datacard: registers built separately
+    // over the old corpus and a delta batch, union-MERGED by
+    // per-register max — the refresh path that never rescans history.
+    // The oracle rebuilds registers over the FULL table: merge(old,
+    // delta) == direct build is exactly the claim under test.
+    "sketch_hll_incremental" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("text").isNotNull)
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      val merged = HyperLogLog.mergeRegisters(Seq("source"),
+        HyperLogLog.registersPer(old, "text", Seq("source")),
+        HyperLogLog.registersPer(delta, "text", Seq("source")))
+      val exact = docs.groupBy("source")
+        .agg(countDistinct(col("text")).as("exact_distinct"))
+      HyperLogLog.estimatePer(merged, Seq("source"))
+        .join(exact, Seq("source"))
+        .orderBy("source")
+    }),
     // Minified/generated-code gate: even doc_ids become single-line
     // space-stripped "bundles" (tripled to trip the avg-line cap),
     // odd ones become one-word-per-line "formatted" files; the
@@ -6959,6 +6977,41 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    // The incremental merge's oracle is the DIRECT build over the full
+    // table — merge(old, delta) == direct is the contract under test.
+    "sketch_hll_incremental" ->
+      """WITH parts AS (
+        |  SELECT source, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+        |rhos AS (
+        |  SELECT source,
+        |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |          strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+        |         length(regexp_extract(substr(h, 3, 12), '^0*')) AS zn,
+        |         strpos('0123456789abcdef',
+        |           substr(substr(h, 3, 12) || 'f',
+        |             length(regexp_extract(substr(h, 3, 12), '^0*')) + 1, 1)) - 1
+        |           AS fnz
+        |  FROM parts),
+        |regs AS (
+        |  SELECT source, bucket,
+        |         max(CASE WHEN zn = 12 THEN 49
+        |             ELSE zn * 4 + CASE WHEN fnz >= 8 THEN 0 WHEN fnz >= 4 THEN 1
+        |                                WHEN fnz >= 2 THEN 2 ELSE 3 END + 1 END)
+        |           AS rho
+        |  FROM rhos GROUP BY 1, 2),
+        |summary AS (
+        |  SELECT source, sum(pow(2.0, -rho)) AS sum_inv,
+        |         CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM regs GROUP BY 1),
+        |exact AS (
+        |  SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        |SELECT s.source, CAST(256 - n_hit AS BIGINT) AS v_zero,
+        |       (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |         (sum_inv + CAST(256 - n_hit AS DOUBLE)) AS est_distinct,
+        |       e.exact_distinct
+        |FROM summary s JOIN exact e USING (source)
+        |ORDER BY source""".stripMargin,
     // Minified features replayed arithmetically over the same fixture
     // (explicit [ \t\n\r] class — \s coverage differs Java vs RE2).
     "code_minified_scan" ->

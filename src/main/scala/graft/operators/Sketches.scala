@@ -216,6 +216,50 @@ object HyperLogLog {
       .groupBy("bucket").agg(max("rho").as("rho"))
   }
 
+  /** Per-group register relations: (groupCols..., bucket, rho) — the
+    * sharded/datacard form. Merging an old sketch with a delta
+    * batch's sketch is the SAME aggregate over their union
+    * ([[mergeRegisters]]), which is the whole point: a daily corpus
+    * refresh updates per-source cardinality cards without rescanning
+    * history (the register relation is ≤ |groups|·m rows — metadata,
+    * not data). */
+  def registersPer(
+      df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val w = substring(h, 3, 12)
+    val zn = length(regexp_extract(w, "^0*", 0))
+    val fnz = conv(substr(concat(w, lit("f")), zn + lit(1), lit(1)), 16, 10)
+      .cast("int")
+    val rho = when(zn === 12, lit(49))
+      .otherwise(zn * 4 + when(fnz >= 8, 0).when(fnz >= 4, 1)
+        .when(fnz >= 2, 2).otherwise(3) + 1)
+    df.select(groupCols.map(col) :+
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket") :+
+        rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("rho").as("rho"))
+  }
+
+  /** Union-merge of register relations (associative, idempotent). */
+  def mergeRegisters(groupCols: Seq[String], sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("rho").as("rho"))
+
+  /** Per-group raw estimate from a register relation. */
+  def estimatePer(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = NumRegisters
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("rho"))).as("sum_inv"),
+        count(lit(1)).as("n_hit"))
+      .select(groupCols.map(col) :+
+        (lit(m.toLong) - col("n_hit")).as("v_zero") :+
+        (lit(Alpha) * lit(m.toDouble) * lit(m.toDouble) /
+          (col("sum_inv") +
+            (lit(m.toLong) - col("n_hit")).cast("double")))
+          .as("est_distinct"): _*)
+  }
+
   /** One-row summary: raw estimate, correction inputs, exact truth
     * (the verification column a 100 TB run omits). */
   def estimateWithTruth(df: DataFrame, keyCol: String): DataFrame = {

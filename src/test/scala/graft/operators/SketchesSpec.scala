@@ -191,4 +191,27 @@ class SketchesSpec extends SparkFunSuite {
     assert(row.getAs[Double]("est_distinct") === 0.0)
     assert(row.getAs[Long]("exact_distinct") === 0L)
   }
+
+  test("hll per-group: merge(old, delta) == direct build; estimates follow") {
+    // 1000 distinct per group: the RAW estimator is only unbiased for
+    // n >> m (below ~2.5m the linear-counting correction is needed —
+    // which is why v_zero rides along in the driver row)
+    val rows = (0 until 3000).map(i => (s"src${i % 3}", s"key-$i"))
+    val df = rows.toDF("src", "k")
+    val old = df.filter(col("k").substr(5, 9).cast("int") % 5 =!= 0)
+    val delta = df.filter(col("k").substr(5, 9).cast("int") % 5 === 0)
+    val direct = HyperLogLog.registersPer(df, "k", Seq("src"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(x => (x._1, x._2)).toSeq
+    val merged = HyperLogLog.mergeRegisters(Seq("src"),
+      HyperLogLog.registersPer(old, "k", Seq("src")),
+      HyperLogLog.registersPer(delta, "k", Seq("src")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(merged === direct)
+    val est = HyperLogLog.estimatePer(
+      HyperLogLog.registersPer(df, "k", Seq("src")), Seq("src"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    // 1000 distinct per src; 3-sigma at m=256 is ~20%
+    est.values.foreach(e => assert(e > 800 && e < 1200, est))
+    assert(est.keySet === Set("src0", "src1", "src2"))
+  }
 }

@@ -90,6 +90,42 @@ object AnnScaleProbe {
         q => BitSketchAnn.topK(emb, "vec_id", "embedding", q, k = k,
           candidates = cand).collect().map(_.getLong(0)).toSet)
     }
+
+    // --- IVF-PQ (the composed billion-scale shape): C=320 coarse
+    //     prune + LEARNED m=8/k=16 codebook ADC + exact re-rank.
+    //     Truth here is EUCLIDEAN top-10 (the re-rank metric); the
+    //     grid sweeps probe breadth × candidate budget to show which
+    //     knob recall actually follows at constant scan fraction.
+    {
+      def exactTopKEuc(q: Array[Float]): Set[Long] =
+        emb.select(col("vec_id"),
+            GraftFunctions.knnEuclideanDistance(col("embedding"), typedLit(q.toSeq)).as("s"))
+          .orderBy(col("s").asc_nulls_last, col("vec_id")).limit(k)
+          .collect().map(_.getLong(0)).toSet
+      val truthEuc = queries.map { case (id, q) => id -> exactTopKEuc(q) }.toMap
+      def gridEuc(name: String, run: Array[Float] => Set[Long]): Unit = {
+        run(queries.head._2)
+        val t0 = System.nanoTime()
+        val recalls = queries.map { case (qid, q) =>
+          (truthEuc(qid) & run(q)).size.toDouble / k
+        }
+        val ms = (System.nanoTime() - t0) / 1e6 / queries.length
+        println(f"[ann-probe] $name%-34s recall@$k=${recalls.sum / recalls.length}%.3f latency=$ms%8.1f ms/query")
+      }
+      val c = 320
+      val (assigned, ivf) = IvfIndex.build(emb, "embedding", numClusters = c)
+      val pq = graft.operators.PqIndex.train(emb, "embedding", m = 8, k = 16)
+      val encoded = graft.operators.PqIndex.encode(assigned, "embedding", pq)
+        .cache()
+      encoded.count()
+      for (top <- Seq(8, 32, 320); cand <- Seq(32, 128)) {
+        gridEuc(s"ivfpq C=$c top=$top cand=$cand",
+          q => graft.operators.PqIndex.ivfPqSearch(encoded, ivf, pq,
+            "vec_id", "embedding", q, k = k, searchTopSize = top,
+            candidates = cand).collect().map(_.getLong(0)).toSet)
+      }
+      encoded.unpersist()
+    }
     spark.stop()
   }
 }
