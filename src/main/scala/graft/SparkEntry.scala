@@ -2807,6 +2807,69 @@ object SparkEntry {
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy("domain")
     }),
+    // Canonical-link dedup — the page's SELF-DECLARED dedup key:
+    // in-plan pages carry <link rel="canonical" href="/item..">
+    // (relative, as real sites emit); the pipeline extracts it
+    // (HtmlExtract.canonical), resolves it against the fetch URL
+    // (UrlOps.resolve), normalizes, and collapses fetch variants.
+    // Pages without a canonical fall back to their normalized fetch
+    // URL. The oracle re-derives every key arithmetically.
+    "crawl_canonical_dedup" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val g = id % 120
+            val v = (id / 120) % 4
+            val url = s"https://www.page${g % 10}.com/v$v/item$g"
+            val canonTag =
+              if (id % 5 == 0) ""
+              else s"""<link rel="canonical" href="/item$g">"""
+            val html = s"<html><head><title>T</title>$canonTag</head>" +
+              s"<body>body $id</body></html>"
+            val e = graft.operators.HtmlExtract.extract(html)
+            val key =
+              if (e.canonical.nonEmpty)
+                graft.operators.UrlOps.resolve(url, e.canonical)
+                  .flatMap(graft.operators.UrlOps.normalize)
+                  .getOrElse(url)
+              else graft.operators.UrlOps.normalize(url).getOrElse(url)
+            (id, url, key)
+          }
+        }
+        .toDF("id", "url", "key")
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_fetches"),
+          countDistinct(col("url")).as("n_urls"),
+          min(col("id")).as("keep_id"))
+        .orderBy("key")
+    }),
+    // HITS hubs & authorities over the same domain graph — the
+    // complementary ranking signal (authorities weight sources, hubs
+    // seed discovery). Unnormalized integer iterations: the L2
+    // normalization is a positive scalar, so the RANKING — all
+    // curation consumes — is identical, and Long sums stay bitwise
+    // deterministic under any partitioning.
+    "crawl_hits" -> ((s, d) => {
+      import s.implicits._
+      val edges = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val q = id % 4
+          val tld = if (h % 3 == 0) "co.uk" else "com"
+          val src = s"site$h.$tld"
+          Seq((src, s"partner$q.example"), (src, s"site$h.com"), (src, src))
+        }
+        .toDF("src", "dst")
+      graft.operators.LinkRank.hits(edges, iters = 4)
+        .orderBy("domain")
+    }),
     // Frontier scheduling — the crawl control plane's LAST stage:
     // per-host top-k candidates by (priority DESC, id ASC) via the
     // bounded topk_by_score aggregate (k pairs per host ride the
@@ -3491,6 +3554,45 @@ object SparkEntry {
     (head +: steps).mkString(",\n") +
       s"\nSELECT v AS domain, CAST(r AS BIGINT) AS rank_micros " +
       s"FROM r$iters ORDER BY domain"
+  }
+
+  /** crawl_hits' oracle: the pageRankOracle edge CTEs, then `iters`
+    * chained unnormalized integer HITS rounds. */
+  private def hitsOracle(iters: Int): String = {
+    val head =
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |dd AS (
+        |  SELECT DISTINCT id % 10 AS h, id % 4 AS q,
+        |         CASE WHEN (id % 10) % 3 = 0 THEN 'co.uk' ELSE 'com' END AS tld
+        |  FROM src),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT 'site' || h || '.' || tld AS src,
+        |         'partner' || q || '.example' AS dst FROM dd
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.com' FROM dd
+        |  UNION ALL SELECT 'site' || h || '.' || tld,
+        |         'site' || h || '.' || tld FROM dd)),
+        |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT v, CAST(1 AS BIGINT) AS h FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT verts.v, CAST(COALESCE(c.s, 0) AS BIGINT) AS a
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(h${i - 1}.h) AS s
+         |    FROM e JOIN h${i - 1} ON h${i - 1}.v = e.src
+         |    GROUP BY e.dst) c ON c.v = verts.v),
+         |h$i AS (
+         |  SELECT verts.v, CAST(COALESCE(c.s, 0) AS BIGINT) AS h
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.src AS v, SUM(a$i.a) AS s
+         |    FROM e JOIN a$i ON a$i.v = e.dst
+         |    GROUP BY e.src) c ON c.v = verts.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT h$iters.v AS domain, h$iters.h AS hub, a$iters.a AS auth " +
+      s"FROM h$iters JOIN a$iters ON a$iters.v = h$iters.v ORDER BY domain"
   }
 
   /** Pinned decoder-independent truth for the block-uniform JPEG
@@ -6750,6 +6852,32 @@ object SparkEntry {
     // CTEs of r' = 150000 + (85·Σ(r // outdeg)) // 100 — all integral,
     // so both engines agree bitwise (see pageRankOracle).
     "crawl_rank" -> pageRankOracle(5),
+    // Same edge CTEs, then 4 unnormalized integer HITS rounds: auth
+    // from current hubs, hub from the NEW auths — both engines run
+    // the identical Long recurrence.
+    "crawl_hits" -> hitsOracle(4),
+    // Canonical keys re-derived arithmetically: with canonical ->
+    // resolved /item<g>; without (id % 5 = 0) -> the normalized fetch
+    // URL (already in normal form by construction).
+    "crawl_canonical_dedup" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        |  WHERE text IS NOT NULL),
+        |k AS (
+        |  SELECT id,
+        |         'https://www.page' || (id % 120) % 10 || '.com/v' ||
+        |           (id // 120) % 4 || '/item' || id % 120 AS url,
+        |         CASE WHEN id % 5 = 0 THEN
+        |           'https://www.page' || (id % 120) % 10 || '.com/v' ||
+        |             (id // 120) % 4 || '/item' || id % 120
+        |         ELSE
+        |           'https://www.page' || (id % 120) % 10 || '.com/item' ||
+        |             id % 120 END AS key
+        |  FROM src)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_fetches,
+        |       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+        |       min(id) AS keep_id
+        |FROM k GROUP BY key ORDER BY key""".stripMargin,
     // The schedule re-derived with a window (fine at oracle scale —
     // the engine side uses the bounded aggregate): per-host
     // row_number over (priority DESC, url_id), kept ≤ 5, slot·delay.

@@ -42,9 +42,15 @@ object HtmlExtract {
     * entities decoded (`&amp;` is routine inside crawl URLs) — the raw
     * material of the link graph ([[UrlOps.resolve]] turns them
     * absolute against the page URL). An anchor without an href (a
-    * named anchor) counts in `nLinks` but contributes no link. */
+    * named anchor) counts in `nLinks` but contributes no link.
+    * `canonical` = the FIRST `<link rel="canonical" href=…>` value
+    * ("" when absent) — the page's self-declared dedup key, the
+    * strongest single signal crawl dedup has (two fetch URLs naming
+    * the same canonical ARE the same page, by the site's own word;
+    * resolve it against the page URL before grouping). */
   final case class Extracted(
-      title: String, text: String, nLinks: Int, links: Seq[String])
+      title: String, text: String, nLinks: Int, links: Seq[String],
+      canonical: String = "")
 
   private val InlineTags = Set(
     "a", "b", "i", "u", "em", "strong", "span", "code", "small",
@@ -145,6 +151,7 @@ object HtmlExtract {
     val links = scala.collection.mutable.ArrayBuffer.empty[String]
     var inTitle = false
     var nLinks = 0
+    var canonical = ""
     var i = 0
 
     def lowerAt(p: Int, s: String): Boolean =
@@ -209,6 +216,12 @@ object HtmlExtract {
                 .map(v => decodeEntities(v.trim)).filter(_.nonEmpty)
                 .foreach(links += _)
             }
+            if (!closing && name == "link" && canonical.isEmpty &&
+                attrValue(html, i, te, "rel").exists(_.trim
+                  .equalsIgnoreCase("canonical")))
+              attrValue(html, i, te, "href")
+                .map(v => decodeEntities(v.trim)).filter(_.nonEmpty)
+                .foreach(canonical = _)
             if (!InlineTags.contains(name))
               (if (inTitle) title else text).append(' ')
             i = te
@@ -232,7 +245,7 @@ object HtmlExtract {
       }
     }
     Extracted(collapseWs(title.toString), collapseWs(text.toString), nLinks,
-      links.toSeq)
+      links.toSeq, canonical)
   }
 
   /** Collapse runs of ASCII whitespace to single spaces and trim —

@@ -96,4 +96,64 @@ object LinkRank {
     }
     ranks.select(col("v").as("domain"), col("r").as("rank_micros"))
   }
+
+  /**
+   * HITS hubs & authorities (Kleinberg 1999) — the complementary
+   * crawl-ranking signal to [[pageRank]]: an AUTHORITY is a page many
+   * hubs point to (where the content is), a HUB is a page pointing to
+   * many authorities (where the links are). Crawl curation uses both:
+   * authorities up-weight sources, hubs seed frontier discovery.
+   *
+   * INTEGER-EXACT like [[pageRank]], with the same rationale, taken
+   * further: HITS' usual per-iteration L2 normalization exists only
+   * to stop float overflow and needs sqrt — instead the iteration
+   * runs UNNORMALIZED in Long arithmetic (auth' = Σ_in hub,
+   * hub' = Σ_out auth'), which computes the same RANKING (the
+   * normalization is a positive scalar; ordering is invariant).
+   * Growth bounds the iteration count: values grow ≤ (d_max²)^iters,
+   * so `iters` ≤ ~6 at web degree scales keeps Longs safe — and
+   * 3–5 rounds is all the ordering needs (same as PageRank).
+   *
+   * Shape: two equality joins + two sum-aggregates per round on the
+   * DISTINCT'd domain graph, Long map-side partials, lineage
+   * truncated per round. Bitwise deterministic under any
+   * partitioning.
+   */
+  def hits(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var hub = verts.select(col("v"), lit(1L).as("h"))
+    var auth = verts.select(col("v"), lit(0L).as("a"))
+    var i = 0
+    while (i < iters) {
+      // auth from CURRENT hubs, then hub from the NEW auths — the
+      // classic in-round update order.
+      auth = verts
+        .join(e.join(hub.select(col("v").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("v")).agg(sum("h").as("s")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      hub = verts
+        .join(e.join(auth.select(col("v").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("v")).agg(sum("a").as("s")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    hub.join(auth, Seq("v"))
+      .select(col("v").as("domain"), col("h").as("hub"), col("a").as("auth"))
+  }
 }

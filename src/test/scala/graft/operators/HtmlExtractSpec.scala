@@ -111,4 +111,39 @@ class HtmlExtractSpec extends AnyFunSuite {
       extract(new String(s)) // must not throw
     }
   }
+
+  // -------------------------------------------------------- canonical
+
+  test("canonical: <link rel=canonical href> extracted, entities decoded") {
+    val e = extract("""<head><link rel="canonical" href="/a?x=1&amp;y=2"></head>""")
+    assert(e.canonical === "/a?x=1&y=2")
+  }
+
+  test("canonical: first one wins; non-canonical links ignored; case-insensitive rel") {
+    val html = """<link rel="stylesheet" href="/s.css">
+      |<link rel="Canonical" href="/first">
+      |<link rel="canonical" href="/second">""".stripMargin
+    assert(extract(html).canonical === "/first")
+    assert(extract("""<link href="/x">""").canonical === "")
+    assert(extract("no links at all").canonical === "")
+  }
+
+  test("canonical: single-quoted and unquoted attribute forms; script regions excluded") {
+    assert(extract("<link rel='canonical' href='/sq'>").canonical === "/sq")
+    assert(extract("<link rel=canonical href=/uq>").canonical === "/uq")
+    val inScript =
+      """<script>var s = '<link rel="canonical" href="/evil">';</script>
+        |<link rel="canonical" href="/real">""".stripMargin
+    assert(extract(inScript).canonical === "/real")
+    val inComment =
+      """<!-- <link rel="canonical" href="/old"> -->
+        |<link rel="canonical" href="/live">""".stripMargin
+    assert(extract(inComment).canonical === "/live")
+  }
+
+  test("canonical: resolves against the page URL through UrlOps") {
+    val e = extract("""<link rel="canonical" href="/item7">""")
+    assert(UrlOps.resolve("https://www.page1.com/v2/item7", e.canonical)
+      === Some("https://www.page1.com/item7"))
+  }
 }

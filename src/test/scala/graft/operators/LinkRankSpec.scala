@@ -77,4 +77,48 @@ class LinkRankSpec extends SparkFunSuite {
     assert(got === referenceRank(edges, iters = 2))
     assert(got.keySet === Set("a", "b"))
   }
+
+  // ----------------------------------------------------------- HITS
+
+  test("hits: star graph — the center is the hub, leaves are the authorities") {
+    import spark.implicits._
+    val edges = Seq(("hub", "a1"), ("hub", "a2"), ("hub", "a3"))
+      .toDF("src", "dst")
+    val out = LinkRank.hits(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1: auth(leaf) = hub0(hub) = 1; hub(hub) = sum of new auths = 3
+    assert(out("hub") === ((3L, 0L)))
+    assert(out("a1") === ((0L, 1L)) && out("a2") === ((0L, 1L)) &&
+      out("a3") === ((0L, 1L)))
+  }
+
+  test("hits: two rounds on a hand graph match the manual recurrence") {
+    import spark.implicits._
+    // h -> {x, y}; z -> {x}
+    val edges = Seq(("h", "x"), ("h", "y"), ("z", "x")).toDF("src", "dst")
+    val out = LinkRank.hits(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1: a(x)=2, a(y)=1; h(h)=3, h(z)=2
+    // round 2: a(x)=h(h)+h(z)=5, a(y)=h(h)=3; h(h)=a(x)+a(y)=8, h(z)=a(x)=5
+    assert(out("x") === ((0L, 5L)))
+    assert(out("y") === ((0L, 3L)))
+    assert(out("h") === ((8L, 0L)))
+    assert(out("z") === ((5L, 0L)))
+  }
+
+  test("hits: duplicate edges collapse; bitwise deterministic under repartition") {
+    import spark.implicits._
+    val edges = (Seq.fill(7)(("h", "x")) ++ Seq(("h", "y"), ("z", "x")))
+      .toDF("src", "dst")
+    val a = LinkRank.hits(edges, iters = 3).orderBy("domain")
+      .collect().map(_.toSeq).toSeq
+    val b = LinkRank.hits(edges.repartition(5), iters = 3).orderBy("domain")
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // same as the simple graph (dup edge counted once)
+    val simple = LinkRank.hits(
+      Seq(("h", "x"), ("h", "y"), ("z", "x")).toDF("src", "dst"), iters = 3)
+      .orderBy("domain").collect().map(_.toSeq).toSeq
+    assert(a === simple)
+  }
 }
