@@ -121,6 +121,19 @@ object SparkEntry {
       path
     })
 
+  private val hllStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dedicated documents copy for the HLL rewrite row, so the
+    * HllCatalog registration never touches the shared parquet path. */
+  private def hllStore(s: SparkSession, d: String): String =
+    hllStoreCache.computeIfAbsent(d, dir => {
+      val path = java.nio.file.Files.createTempDirectory("graft_hll_store").toString
+      table(s, dir, "documents").select("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Registered catalog table + materialized rollup per sf dir for the
     * rollup-rewrite row — both one-time offline writes (the summary
     * build is the single full scan every later rollup query
@@ -2806,6 +2819,23 @@ object SparkEntry {
         .toDF("src", "dst")
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy("domain")
+    }),
+    // FIFTH optimizer rewrite: count(DISTINCT x) over an HllCatalog-
+    // registered path re-plans as the HLL register pipeline — the one
+    // OPT-IN approximate rewrite (registration is explicit consent;
+    // unregistered paths keep the exact distinct aggregate). The
+    // oracle replays the register arithmetic and the same rounding.
+    "sql_hll_rewrite" -> ((s, d) => {
+      graft.plans.HllRewrite.install(s)
+      // dedicated table copy (the rollup row's discipline): the
+      // registration stays scoped to THIS row — other driver rows
+      // over documents.parquet keep their exact distinct plans.
+      val path = hllStore(s, d)
+      graft.plans.HllCatalog.register(path)
+      s.sql(
+        s"""SELECT source, count(DISTINCT text) AS n_distinct
+           |FROM parquet.`$path`
+           |GROUP BY source ORDER BY source""".stripMargin)
     }),
     // Canonical-link dedup — the page's SELF-DECLARED dedup key:
     // in-plan pages carry <link rel="canonical" href="/item..">
@@ -7105,6 +7135,37 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    // The rewritten SQL answers with the register estimate — the
+    // oracle replays registers + harmonic mean + the BIGINT rounding.
+    "sql_hll_rewrite" ->
+      """WITH parts AS (
+        |  SELECT source, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+        |rhos AS (
+        |  SELECT source,
+        |         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |          strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+        |         length(regexp_extract(substr(h, 3, 12), '^0*')) AS zn,
+        |         strpos('0123456789abcdef',
+        |           substr(substr(h, 3, 12) || 'f',
+        |             length(regexp_extract(substr(h, 3, 12), '^0*')) + 1, 1)) - 1
+        |           AS fnz
+        |  FROM parts),
+        |regs AS (
+        |  SELECT source, bucket,
+        |         max(CASE WHEN zn = 12 THEN 49
+        |             ELSE zn * 4 + CASE WHEN fnz >= 8 THEN 0 WHEN fnz >= 4 THEN 1
+        |                                WHEN fnz >= 2 THEN 2 ELSE 3 END + 1 END)
+        |           AS rho
+        |  FROM rhos GROUP BY 1, 2),
+        |summary AS (
+        |  SELECT source, sum(pow(2.0, -rho)) AS sum_inv,
+        |         CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM regs GROUP BY 1)
+        |SELECT source,
+        |       CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |         (sum_inv + CAST(256 - n_hit AS DOUBLE))) AS BIGINT)
+        |         AS n_distinct
+        |FROM summary ORDER BY source""".stripMargin,
     // The incremental merge's oracle is the DIRECT build over the full
     // table — merge(old, delta) == direct is the contract under test.
     "sketch_hll_incremental" ->
