@@ -436,4 +436,36 @@ class EventPipelineSpec extends SparkFunSuite {
     val out = EventPipeline.ewmaSmoothed(ev).orderBy("event_id").collect()
     assert(out.map(_.getAs[Double]("ewma")).toSeq === Seq(4.0, 6.0))
   }
+
+  test("streaming session_window: a session appends once the watermark passes its end; in-gap events merge") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = EventPipeline.normalizeTs(input.toDF())
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "600 seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("ev_sessions")
+      .outputMode("append").start()
+    try {
+      // two events 5 min apart -> ONE session (gap 10 min)
+      input.addData(Ev(1, t(0), 7, "click", 0.0, "{}"),
+        Ev(2, t(0, 5), 7, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("ev_sessions").isEmpty) // watermark not past end
+      // an event far in the future closes and emits the session
+      input.addData(Ev(3, t(5), 7, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("ev_sessions").collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") === 7L)
+      assert(r.getAs[Long]("n_events") === 2L)
+      assert(r.getAs[java.sql.Timestamp]("session_start") === t(0))
+      // end = last event + gap = 00:05 + 10 min
+      assert(r.getAs[java.sql.Timestamp]("session_end") === t(0, 15))
+    } finally q.stop()
+  }
 }
