@@ -2820,6 +2820,15 @@ object SparkEntry {
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy("domain")
     }),
+    // Cohort retention grid: acquisition month x months-since —
+    // integer-exact distinct-active counts over cohort sizes, one
+    // 6-dp division.
+    "orders_cohort_retention" -> ((s, d) =>
+      RelationalAnalytics.cohortRetention(table(s, d, "orders"))),
+    // Event-type transition matrix (first-order Markov view): keyed
+    // lag bigrams -> hash-aggregate counts -> per-prev probabilities.
+    "events_transitions" -> ((s, d) =>
+      graft.streaming.EventPipeline.typeTransitions(table(s, d, "events"))),
     // FIFTH optimizer rewrite: count(DISTINCT x) over an HllCatalog-
     // registered path re-plans as the HLL register pipeline — the one
     // OPT-IN approximate rewrite (registration is explicit consent;
@@ -7135,6 +7144,43 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    "orders_cohort_retention" ->
+      """WITH om AS (
+        |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, min(m) AS cohort_month FROM om GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_month,
+        |         CAST(date_diff('month', c.cohort_month, om.m) AS INT) AS k,
+        |         om.o_custkey
+        |  FROM om JOIN cohort c USING (o_custkey)),
+        |counts AS (
+        |  SELECT cohort_month, k,
+        |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+        |  FROM act GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY 1)
+        |SELECT c.cohort_month, c.k, c.n_active, s.cohort_size,
+        |       round(c.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+        |FROM counts c JOIN sizes s USING (cohort_month)
+        |ORDER BY cohort_month, k""".stripMargin,
+    "events_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |bi AS (
+        |  SELECT lag(event_type) OVER w AS prev, event_type AS cur
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |counts AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+        |  FROM bi WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |totals AS (SELECT prev, CAST(sum(n) AS BIGINT) AS total
+        |           FROM counts GROUP BY 1)
+        |SELECT c.prev, c.cur, c.n, t.total,
+        |       round(c.n / CAST(t.total AS DOUBLE), 6) AS p
+        |FROM counts c JOIN totals t USING (prev)
+        |ORDER BY prev, cur""".stripMargin,
     // The rewritten SQL answers with the register estimate — the
     // oracle replays registers + harmonic mean + the BIGINT rounding.
     "sql_hll_rewrite" ->

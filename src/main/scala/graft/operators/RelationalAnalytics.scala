@@ -88,6 +88,39 @@ object RelationalAnalytics {
         count(lit(1)).as("n_rows"))
 
   /**
+   * Cohort retention — the acquisition-month × months-since grid
+   * every growth/engagement dashboard is built on: of the customers
+   * whose FIRST order fell in month M, what fraction ordered again
+   * k months later. Three aggregates, one keyed join: distinct
+   * (customer, month) activity, per-customer min month (the cohort),
+   * then (cohort, k) distinct-active counts against cohort sizes.
+   * All counts integer-exact; the single retention division rounds
+   * at 6 dp. Shapes at 100 TB: every aggregate has map-side
+   * partials; the join key (custkey) is the natural bucket column.
+   */
+  def cohortRetention(orders: DataFrame): DataFrame = {
+    val om = orders
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .distinct()
+    val cohort = om.groupBy("o_custkey").agg(min(col("m")).as("cohort_month"))
+    val act = om.join(cohort, "o_custkey")
+      .select(col("cohort_month"),
+        months_between(col("m"), col("cohort_month")).cast("int").as("k"),
+        col("o_custkey"))
+    val counts = act.groupBy("cohort_month", "k")
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+    val sizes = cohort.groupBy("cohort_month")
+      .agg(count(lit(1)).as("cohort_size"))
+    counts.join(sizes, "cohort_month")
+      .select(col("cohort_month"), col("k"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+      .orderBy("cohort_month", "k")
+  }
+
+  /**
    * RFM segmentation (recency / frequency / monetary) — the classic
    * customer-value card, and deliberately NOT the textbook
    * global-ntile formulation: `ntile(4)` over the whole relation is

@@ -504,6 +504,31 @@ object EventPipeline {
         col("col.ewmas").as("ewma"))
   }
 
+  /**
+   * First-order event-type transition matrix per the user population —
+   * the Markov-chain view of behavior (what follows a click?) that
+   * powers next-event prediction features and funnel design. One
+   * keyed window produces (prev, cur) bigrams with the (ts, event_id)
+   * total order; one hash aggregate counts them; transition
+   * probabilities are a single 6-dp-rounded division of exact
+   * integers against the per-prev row totals (broadcast join-back).
+   */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bigrams = normalizeTs(events)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("n"))
+    val totals = bigrams.groupBy("prev").agg(sum("n").as("total"))
+    bigrams.join(broadcast(totals), "prev")
+      .select(col("prev"), col("cur"), col("n"), col("total"),
+        round(col("n") / col("total").cast("double"), 6).as("p"))
+      .orderBy("prev", "cur")
+  }
+
   /** Output-mode helper: windowed aggregations append once the
     * watermark passes the window end. */
   val WindowedOutputMode: OutputMode = OutputMode.Append()

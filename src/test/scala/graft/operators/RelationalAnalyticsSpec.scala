@@ -240,4 +240,26 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  test("cohortRetention: hand-built cohorts, k offsets and fractions") {
+    import spark.implicits._
+    // cust 1: Jan + Mar (cohort Jan, k=0 and k=2)
+    // cust 2: Jan only   (cohort Jan, k=0)
+    // cust 3: Feb + Mar  (cohort Feb, k=0 and k=1)
+    val ord = Seq(
+      (1L, 1L, "1996-01-10"), (2L, 1L, "1996-01-20"), (3L, 1L, "1996-03-05"),
+      (4L, 2L, "1996-01-15"),
+      (5L, 3L, "1996-02-01"), (6L, 3L, "1996-03-30")
+    ).toDF("o_orderkey", "o_custkey", "d")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("timestamp").as("o_orderdate"))
+    val out = RelationalAnalytics.cohortRetention(ord).collect()
+      .map(r => (r.getTimestamp(0).toString.take(7), r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(out === Seq(
+      ("1996-01", 0, 2L, 2L, 1.0),
+      ("1996-01", 2, 1L, 2L, 0.5),
+      ("1996-02", 0, 1L, 1L, 1.0),
+      ("1996-02", 1, 1L, 1L, 1.0)))
+  }
 }

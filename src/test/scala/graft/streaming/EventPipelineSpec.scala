@@ -468,4 +468,22 @@ class EventPipelineSpec extends SparkFunSuite {
       assert(r.getAs[java.sql.Timestamp]("session_end") === t(0, 15))
     } finally q.stop()
   }
+
+  test("typeTransitions: hand bigrams with tie-broken order and per-prev probabilities") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click -> view -> view  (same ts for 2,3: event_id breaks tie)
+      (1L, t(0), 1L, "click"), (2L, t(0, 5), 1L, "view"), (3L, t(0, 5), 1L, "view"),
+      // user 2: click -> purchase
+      (4L, t(1), 2L, "click"), (5L, t(1, 30), 2L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val out = EventPipeline.typeTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out === Seq(
+      ("click", "purchase", 1L, 2L, 0.5),
+      ("click", "view", 1L, 2L, 0.5),
+      ("view", "view", 1L, 1L, 1.0)))
+  }
 }
