@@ -121,6 +121,26 @@ object SparkEntry {
       path
     })
 
+  /** Shared fixture for the SCD2 rows: per-customer order-count tier
+    * at three cut dates, collapsed into validity intervals. */
+  private def scd2TierHistory(s: SparkSession, d: String): DataFrame = {
+    val cuts = Seq("1997-01-01", "1999-01-01", "2001-01-01")
+    val nCols = cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("o_orderdate") < lit(c).cast("timestamp"), 1L)
+        .otherwise(0L)).as(s"n$i")
+    }
+    val counts = table(s, d, "orders")
+      .groupBy("o_custkey").agg(nCols.head, nCols.tail: _*)
+    val versioned = counts
+      .select(col("o_custkey"), explode(array(cuts.indices.map(i =>
+        struct(lit(i + 1L).as("version"), col(s"n$i").as("n"))): _*)).as("v"))
+      .filter(col("v.n") > 0)
+      .select(col("o_custkey"), col("v.version").as("version"),
+        when(col("v.n") >= 8, "high").when(col("v.n") >= 4, "mid")
+          .otherwise("low").as("tier"))
+    Snapshot.scd2(versioned, "o_custkey", "version", Seq("tier"))
+  }
+
   private val hllStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3444,23 +3464,25 @@ object SparkEntry {
     // cut dates (cumulative snapshots derived in-plan from orders)
     // collapses into validity intervals via one keyed window — lag
     // marks change points, lead closes intervals.
-    "snapshot_scd2" -> ((s, d) => {
-      val cuts = Seq("1997-01-01", "1999-01-01", "2001-01-01")
-      val nCols = cuts.zipWithIndex.map { case (c, i) =>
-        sum(when(col("o_orderdate") < lit(c).cast("timestamp"), 1L)
-          .otherwise(0L)).as(s"n$i")
-      }
-      val counts = table(s, d, "orders")
-        .groupBy("o_custkey").agg(nCols.head, nCols.tail: _*)
-      val versioned = counts
-        .select(col("o_custkey"), explode(array(cuts.indices.map(i =>
-          struct(lit(i + 1L).as("version"), col(s"n$i").as("n"))): _*)).as("v"))
-        .filter(col("v.n") > 0)
-        .select(col("o_custkey"), col("v.version").as("version"),
-          when(col("v.n") >= 8, "high").when(col("v.n") >= 4, "mid")
-            .otherwise("low").as("tier"))
-      Snapshot.scd2(versioned, "o_custkey", "version", Seq("tier"))
-        .orderBy("o_custkey", "valid_from")
+    "snapshot_scd2" -> ((s, d) =>
+      scd2TierHistory(s, d).orderBy("o_custkey", "valid_from")),
+    // Point-in-time lookup against that history — the consumer side
+    // of SCD2: each order joins the tier interval valid at its own
+    // version (equality on custkey + interval residual; no
+    // nested-loop). Facts past the last cut hit the open current
+    // interval.
+    "snapshot_scd2_pit" -> ((s, d) => {
+      val facts = table(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderdate") < lit("1997-01-01").cast("timestamp"), 1L)
+          .when(col("o_orderdate") < lit("1999-01-01").cast("timestamp"), 2L)
+          .when(col("o_orderdate") < lit("2001-01-01").cast("timestamp"), 3L)
+          .otherwise(4L).as("version"))
+      Snapshot.scd2Lookup(facts, scd2TierHistory(s, d),
+        "o_custkey", "version")
+        .select("o_orderkey", "o_custkey", "version", "tier",
+          "valid_from", "valid_to")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -7597,6 +7619,46 @@ object SparkEntry {
         |FROM marked WHERE chg = 1
         |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
         |ORDER BY o_custkey, valid_from""".stripMargin,
+    // The PIT lookup replayed: the same SCD2 CTEs as a `hist`
+    // relation, facts versioned by the same cut CASE, one left join
+    // with the interval residual.
+    "snapshot_scd2_pit" ->
+      """WITH counts AS (
+        |  SELECT o_custkey,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END) AS n2
+        |  FROM orders GROUP BY 1),
+        |versioned AS (
+        |  SELECT o_custkey, CAST(ver AS BIGINT) AS version,
+        |         CASE WHEN n >= 8 THEN 'high' WHEN n >= 4 THEN 'mid'
+        |              ELSE 'low' END AS tier
+        |  FROM (SELECT o_custkey, unnest([1, 2, 3]) AS ver,
+        |               unnest([n0, n1, n2]) AS n FROM counts)
+        |  WHERE n > 0),
+        |marked AS (
+        |  SELECT o_custkey, version, tier,
+        |         CASE WHEN lag(tier) OVER w IS NULL
+        |                OR lag(tier) OVER w != tier THEN 1 ELSE 0 END AS chg
+        |  FROM versioned WINDOW w AS (PARTITION BY o_custkey ORDER BY version)),
+        |hist AS (
+        |  SELECT o_custkey, tier, version AS valid_from,
+        |         lead(version) OVER w2 - 1 AS valid_to
+        |  FROM marked WHERE chg = 1
+        |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)),
+        |facts AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1
+        |              WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 2
+        |              WHEN o_orderdate < TIMESTAMP '2001-01-01' THEN 3
+        |              ELSE 4 END AS BIGINT) AS version
+        |  FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey, f.version,
+        |       h.tier, h.valid_from, h.valid_to
+        |FROM facts f LEFT JOIN hist h ON h.o_custkey = f.o_custkey
+        |  AND f.version >= h.valid_from
+        |  AND (h.valid_to IS NULL OR f.version <= h.valid_to)
+        |ORDER BY f.o_orderkey""".stripMargin,
     "events_hilbert" -> {
       val base =
         """WITH h8 AS (

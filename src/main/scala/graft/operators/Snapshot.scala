@@ -138,4 +138,29 @@ object Snapshot {
         col(versionCol).as("valid_from") :+ col("valid_to") :+
         col("is_current"): _*)
   }
+
+  /**
+   * Point-in-time (AS OF) lookup against an [[scd2]] history — the
+   * consumer side of type-2 dimensions: each fact joins the ONE
+   * dimension interval valid at its version
+   * (`valid_from <= v <= valid_to`, open-ended for the current row).
+   * The join keeps its EQUALITY key (the dimension key), so Spark
+   * plans a hash join with the interval bounds as a residual
+   * condition — never a nested-loop cross; with the history
+   * broadcast-sized (it usually is: change points only) the fact
+   * table doesn't even shuffle. Facts before the key's first
+   * interval, or with no matching key, keep nulls (left join) — the
+   * audit surface, not a silent drop.
+   */
+  def scd2Lookup(
+      facts: DataFrame, history: DataFrame, keyCol: String,
+      versionCol: String): DataFrame = {
+    val h = history.withColumnRenamed(keyCol, "__hk")
+    facts.join(h,
+      facts(keyCol) === h("__hk") &&
+        facts(versionCol) >= h("valid_from") &&
+        (h("valid_to").isNull || facts(versionCol) <= h("valid_to")),
+      "left")
+      .drop("__hk")
+  }
 }

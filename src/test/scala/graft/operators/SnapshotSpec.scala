@@ -139,4 +139,35 @@ class SnapshotSpec extends SparkFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"), plan)
   }
+
+  test("scd2Lookup: facts pick the interval valid at their version; misses keep nulls") {
+    val hist = Snapshot.scd2(
+      Seq((1L, 1L, "low"), (1L, 3L, "mid"), (2L, 2L, "high"))
+        .toDF("id", "version", "tier"),
+      "id", "version", Seq("tier"))
+    val facts = Seq((10L, 1L, 1L), (11L, 1L, 2L), (12L, 1L, 5L),
+      (13L, 2L, 1L), (14L, 2L, 9L), (15L, 3L, 2L))
+      .toDF("fact_id", "id", "version")
+    val out = Snapshot.scd2Lookup(facts, hist, "id", "version")
+      .orderBy("fact_id")
+      .collect().map(r => (r.getAs[Long]("fact_id"),
+        Option(r.getAs[String]("tier")))).toSeq
+    assert(out === Seq(
+      (10L, Some("low")),   // v=1 in [1,2]
+      (11L, Some("low")),   // v=2 in [1,2]
+      (12L, Some("mid")),   // v=5 in [3,null)
+      (13L, None),          // before key 2's first interval
+      (14L, Some("high")),  // open current interval
+      (15L, None)))         // unknown key
+  }
+
+  test("scd2Lookup plans a hash join (equality key + interval residual), never a nested loop") {
+    val hist = Snapshot.scd2(Seq((1L, 1L, "x")).toDF("id", "version", "tier"),
+      "id", "version", Seq("tier"))
+    val facts = Seq((10L, 1L, 1L)).toDF("fact_id", "id", "version")
+    val plan = Snapshot.scd2Lookup(facts, hist, "id", "version")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
 }
