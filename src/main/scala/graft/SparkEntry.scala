@@ -3439,6 +3439,34 @@ object SparkEntry {
       DifferentialPrivacy.noisyCounts(
         table(s, d, "documents"), Seq("lang", "source"))
         .orderBy("lang", "source")),
+    // PDF text extraction (the stage after the census): content
+    // streams read back by xref offset + declared /Length and joined
+    // in document order — the round trip recovers exactly the
+    // contiguous char slices the builder embedded, so the oracle is
+    // one substr.
+    "multimodal_pdf_text" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id").cast("long"),
+          array((0 until 3).map(i =>
+            substring(col("text"), 1 + 20 * i, 20)): _*),
+          ascii(substring(col("text"), 1, 1)).cast("int"))
+        .as[(Long, Seq[String], Int)]
+        .mapPartitions { it =>
+          it.map { case (id, slices, b0) =>
+            val p = 1 + b0 % 3
+            val pdf = graft.multimodal.PdfParser.build(slices.take(p)
+              .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            val streams = graft.multimodal.PdfParser.extractStreams(pdf)
+            (id, streams.length,
+              streams.map(new String(_,
+                java.nio.charset.StandardCharsets.UTF_8)).mkString(""))
+          }
+        }
+        .toDF("id", "n_streams", "text_out")
+        .orderBy("id")
+    }),
     // TPC-H Q6 shape: ONE filtered scan, ONE scalar aggregate, zero
     // joins — all three predicates land in PushedFilters, row-group
     // stats on l_shipdate skip most files, decimal-exact revenue sum.
@@ -7539,6 +7567,15 @@ object SparkEntry {
         |         i -> strlen(substr(text, 1 + 20 * CAST(i AS INT), 20))))
         |         AS BIGINT) AS stream_bytes,
         |       false AS encrypted, true AS has_eof
+        |FROM src ORDER BY id""".stripMargin,
+    // Contiguous slices concatenate back to one substr — the whole
+    // round trip in a single expression.
+    "multimodal_pdf_text" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id, 1 + ascii(substr(text, 1, 1)) % 3 AS np, text
+        |  FROM documents WHERE length(text) >= 1)
+        |SELECT id, CAST(np AS INT) AS n_streams,
+        |       substr(text, 1, 20 * np) AS text_out
         |FROM src ORDER BY id""".stripMargin,
     "tpch_q6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))

@@ -129,6 +129,78 @@ object PdfParser {
   }
 
   /**
+   * Content-stream payload extraction — the stage AFTER the census
+   * routes a PDF to text extraction: per in-use object carrying a
+   * `stream`, return the raw payload bytes, located by xref offset
+   * and framed by the declared `/Length` (§7.3.8 — streams are
+   * length-framed, so payloads containing `endstream` or any other
+   * keyword extract intact). Objects are visited in xref-offset
+   * order, which for a well-formed writer is document order. Total:
+   * malformed files return what the xref supports, never throw.
+   * (No filter decoding here: corpus PDFs' FlateDecode streams would
+   * need inflate — the census's `/Filter`-free builder emits raw
+   * streams, and a production path plugs `Inflater` in per stream.)
+   */
+  def extractStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null) return Seq.empty
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sx = s.lastIndexOf("startxref")
+    if (sx < 0 || !s.startsWith("%PDF-")) return Seq.empty
+    // reuse the census walk for offsets: parse() validated framing
+    parse(bytes) match {
+      case None => Seq.empty
+      case Some(_) =>
+        val afterSx = s.substring(sx + 9).dropWhile(c => c == '\r' || c == '\n')
+        val offStr = afterSx.takeWhile(_.isDigit)
+        var p = offStr.toLong.toInt
+        val out = Seq.newBuilder[Array[Byte]]
+        def word(): String = {
+          while (p < s.length && s.charAt(p).isWhitespace) p += 1
+          val start = p
+          while (p < s.length && !s.charAt(p).isWhitespace) p += 1
+          s.substring(start, p)
+        }
+        if (word() != "xref") return Seq.empty
+        var done = false
+        try while (!done) {
+          val w1 = word()
+          if (w1 == "trailer" || w1.isEmpty) done = true
+          else {
+            val count = word().toInt
+            (0 until count).foreach { _ =>
+              val off = word(); word(); val flag = word()
+              if (flag == "n") {
+                val o = off.toLong.toInt
+                if (o < s.length) {
+                  val window = s.substring(o, math.min(o + 512, s.length))
+                  val streamAt = window.indexOf("stream")
+                  val endobjAt = window.indexOf("endobj")
+                  if (streamAt >= 0 && (endobjAt < 0 || streamAt < endobjAt)) {
+                    LengthKey.findFirstMatchIn(
+                      window.substring(0, streamAt)).foreach { m =>
+                      val len = m.group(1).toInt
+                      // payload starts after "stream" + EOL (§7.3.8)
+                      var ds = o + streamAt + 6
+                      if (ds < bytes.length && bytes(ds) == '\r') ds += 1
+                      if (ds < bytes.length && bytes(ds) == '\n') ds += 1
+                      if (ds + len <= bytes.length)
+                        out += java.util.Arrays.copyOfRange(bytes, ds, ds + len)
+                    }
+                  }
+                }
+              }
+            }
+          }
+        } catch {
+          // parse() succeeding makes this unreachable for the xref
+          // walk itself; belt-and-braces for adversarial bytes
+          case scala.util.control.NonFatal(_) => ()
+        }
+        out.result()
+    }
+  }
+
+  /**
    * Minimal-but-valid PDF builder (fixture half of the census round
    * trip): catalog + page tree + `nPages` (page, content-stream)
    * pairs, classic xref with exact byte offsets, trailer, startxref.

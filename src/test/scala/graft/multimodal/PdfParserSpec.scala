@@ -84,4 +84,33 @@ class PdfParserSpec extends AnyFunSuite {
       .getBytes(UTF_8)
     assert(PdfParser.parse(broken) === None)
   }
+
+  test("extractStreams: payloads come back byte-identical, in document order") {
+    val contents = Seq("first page", "second page", "third")
+      .map(_.getBytes(UTF_8))
+    val got = PdfParser.extractStreams(PdfParser.build(contents))
+    assert(got.map(new String(_, UTF_8)) ===
+      Seq("first page", "second page", "third"))
+  }
+
+  test("extractStreams: length framing survives 'endstream'/'stream' inside payloads") {
+    val tricky = Seq("x endstream y", "stream\nxref 0 3 trailer")
+      .map(_.getBytes(UTF_8))
+    val got = PdfParser.extractStreams(PdfParser.build(tricky))
+    assert(got.map(new String(_, UTF_8)) ===
+      Seq("x endstream y", "stream\nxref 0 3 trailer"))
+  }
+
+  test("extractStreams: empty stream, binary bytes, and totality on garbage") {
+    val bin = Array[Byte](0, 1, 2, -1, -128, 127)
+    val got = PdfParser.extractStreams(PdfParser.build(Seq(Array.emptyByteArray, bin)))
+    assert(got.length === 2)
+    assert(got(0).isEmpty && got(1).toSeq === bin.toSeq)
+    assert(PdfParser.extractStreams(null) === Seq.empty)
+    assert(PdfParser.extractStreams("junk".getBytes(UTF_8)) === Seq.empty)
+    val whole = PdfParser.build(Seq("abc".getBytes(UTF_8)))
+    (0 until whole.length by 11).foreach { cut =>
+      PdfParser.extractStreams(java.util.Arrays.copyOf(whole, cut))
+    }
+  }
 }
