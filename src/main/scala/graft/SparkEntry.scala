@@ -2840,6 +2840,17 @@ object SparkEntry {
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy("domain")
     }),
+    // Market-basket frequent pairs: order-bounded self-join (equality
+    // on the basket key, a<b on the item), exact support counts,
+    // lift from one rounded division.
+    "orders_basket_pairs" -> ((s, d) =>
+      RelationalAnalytics.basketPairs(table(s, d, "lineitem"),
+        minSupport = 2L)),
+    // Engagement card: DAU / trailing-7 WAU / stickiness — the WAU
+    // side is a 7-way explode to an equality aggregate (constant
+    // blow-up), never an interval join or a distinct-over-window.
+    "events_dau_wau" -> ((s, d) =>
+      graft.streaming.EventPipeline.dauWau(table(s, d, "events"))),
     // Cohort retention grid: acquisition month x months-since —
     // integer-exact distinct-active counts over cohort sizes, one
     // 6-dp division.
@@ -7194,6 +7205,40 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    "orders_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+        |ic AS (SELECT part, CAST(count(*) AS BIGINT) AS n_item
+        |       FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.part AS part_a, b.part AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.part_a, p.part_b, p.n_ab,
+        |       ia.n_item AS n_a, ib.n_item AS n_b, n.n_orders,
+        |       round(p.n_ab * n.n_orders /
+        |         CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+        |FROM pairs p
+        |JOIN ic ia ON ia.part = p.part_a
+        |JOIN ic ib ON ib.part = p.part_b
+        |CROSS JOIN n
+        |ORDER BY part_a, part_b""".stripMargin,
+    "events_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |contrib AS (
+        |  SELECT user_id, day + CAST(k AS INTEGER) AS day
+        |  FROM ud, unnest(generate_series(0, 6)) t(k)),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM contrib GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |       round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
     "orders_cohort_retention" ->
       """WITH om AS (
         |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m

@@ -88,6 +88,44 @@ object RelationalAnalytics {
         count(lit(1)).as("n_rows"))
 
   /**
+   * Market-basket pair mining (frequent itemsets, k=2): which parts
+   * co-occur in the same order more often than chance — support
+   * counts and the lift ratio that separates real affinity from two
+   * independently-popular items. The pair generator is the
+   * ORDER-BOUNDED self-join: equality on the order key, `a < b` on
+   * the item, so a basket of m items emits m·(m−1)/2 pairs —
+   * scan-shaped when baskets are small (TPC-H ~4, retail ~20), and
+   * the `minSupport` cut keeps the output to genuinely frequent
+   * pairs. Lift = n_ab·N / (n_a·n_b) computed from exact integer
+   * counts with one 6-dp-rounded division at the end.
+   */
+  def basketPairs(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("okey"),
+      col("l_partkey").as("part")).distinct()
+    val n = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = items.groupBy("part")
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = items.join(
+        items.select(col("okey"), col("part").as("part_b")), "okey")
+      .filter(col("part") < col("part_b"))
+      .groupBy(col("part").as("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("part").as("part_a"), col("n_item").as("n_a")),
+        "part_a")
+      .join(itemCounts.select(col("part").as("part_b"), col("n_item").as("n_b")),
+        "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_orders"),
+        round(col("n_ab") * col("n_orders") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /**
    * Cohort retention — the acquisition-month × months-since grid
    * every growth/engagement dashboard is built on: of the customers
    * whose FIRST order fell in month M, what fraction ordered again

@@ -529,6 +529,33 @@ object EventPipeline {
       .orderBy("prev", "cur")
   }
 
+  /**
+   * DAU / trailing-7-day WAU / stickiness per calendar day — the
+   * engagement card. The WAU side deliberately avoids BOTH the
+   * interval join (inequality-only → nested loop) and a
+   * distinct-over-RANGE-window (unsupported): each (user, active day)
+   * fact contributes to the 7 window-end days it falls inside, via a
+   * 7-way `sequence` explode — an EQUALITY aggregate shape whose
+   * blow-up factor is the constant window length, not data. Output
+   * keeps only days with actual activity (the dau join);
+   * stickiness = dau/wau rounded at 6 dp from exact integer counts.
+   */
+  def dauWau(events: DataFrame): DataFrame = {
+    val ud = normalizeTs(events)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Output-mode helper: windowed aggregations append once the
     * watermark passes the window end. */
   val WindowedOutputMode: OutputMode = OutputMode.Append()

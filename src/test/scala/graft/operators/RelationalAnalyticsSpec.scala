@@ -262,4 +262,23 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
       ("1996-02", 0, 1L, 1L, 1.0),
       ("1996-02", 1, 1L, 1L, 1.0)))
   }
+
+  test("basketPairs: hand-computed support and lift; duplicate lineitems collapse") {
+    import spark.implicits._
+    // baskets: {A,B,C}, {A,B}, {A,C}, {D}; A-B support 2, A-C support 2
+    val li = Seq(
+      (1L, 100L), (1L, 200L), (1L, 300L), (1L, 100L), // dup A in basket 1
+      (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 300L),
+      (4L, 400L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = RelationalAnalytics.basketPairs(li, minSupport = 2L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(6))))
+      .toMap
+    // n_orders = 4; A appears in 3, B in 2, C in 2
+    // lift(A,B) = 2*4/(3*2) = 1.333333; lift(A,C) same
+    assert(out.keySet === Set((100L, 200L), (100L, 300L)))
+    assert(out((100L, 200L)) === ((2L, 1.333333)))
+    assert(out((100L, 300L)) === ((2L, 1.333333)))
+  }
 }

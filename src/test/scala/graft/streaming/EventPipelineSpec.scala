@@ -486,4 +486,21 @@ class EventPipelineSpec extends SparkFunSuite {
       ("click", "view", 1L, 2L, 0.5),
       ("view", "view", 1L, 1L, 1.0)))
   }
+
+  test("dauWau: trailing-7 windows, stickiness, only observed days emitted") {
+    import spark.implicits._
+    // user 1 active day 0 and day 3; user 2 active day 3
+    val ev = Seq(
+      (1L, t(0), 10L), (2L, t(24 * 3), 10L), (3L, t(24 * 3, 30), 20L)
+    ).toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val out = EventPipeline.dauWau(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // day0: dau 1, wau 1; day3: dau 2, wau (u1 from day0+day3, u2) = 2
+    assert(out === Seq(
+      ("2024-01-01", 1L, 1L, 1.0),
+      ("2024-01-04", 2L, 2L, 1.0)))
+  }
 }
