@@ -2840,6 +2840,11 @@ object SparkEntry {
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy("domain")
     }),
+    // Equi-width value histogram: min/max pass broadcasts, bucketing
+    // pass counts — edges emitted as data, counts integer-exact.
+    "orders_price_histogram" -> ((s, d) =>
+      RelationalAnalytics.equiWidthHistogram(
+        table(s, d, "orders"), "o_totalprice", nBuckets = 16)),
     // Market-basket frequent pairs: order-bounded self-join (equality
     // on the basket key, a<b on the item), exact support counts,
     // lift from one rounded division.
@@ -7205,6 +7210,26 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    "orders_price_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
+        |mm AS (
+        |  SELECT min(x) AS v_min, max(x) AS v_max,
+        |         CAST(count(*) AS BIGINT) AS n_total FROM v),
+        |b AS (
+        |  SELECT CAST(CASE WHEN mm.v_max = mm.v_min THEN 0
+        |         ELSE least(floor((x - mm.v_min) /
+        |                ((mm.v_max - mm.v_min) / 16)), 15) END AS INT)
+        |           AS bucket,
+        |         mm.v_min, mm.v_max, mm.n_total
+        |  FROM v CROSS JOIN mm)
+        |SELECT bucket,
+        |       round(v_min + bucket * ((v_max - v_min) / 16), 6) AS lo,
+        |       round(v_min + (bucket + 1) * ((v_max - v_min) / 16), 6) AS hi,
+        |       CAST(count(*) AS BIGINT) AS n, n_total
+        |FROM b GROUP BY bucket, v_min, v_max, n_total
+        |ORDER BY bucket""".stripMargin,
     "orders_basket_pairs" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),

@@ -88,6 +88,41 @@ object RelationalAnalytics {
         count(lit(1)).as("n_rows"))
 
   /**
+   * Equi-width histogram of a numeric column — the value-distribution
+   * card (order totals, doc lengths, scores) as two passes: one
+   * min/max aggregate (a 1-row broadcast), then one bucketing
+   * aggregate with `least(floor((v - min)/w), nb-1)` so the max
+   * value lands in the last bucket instead of one past it. Bucket
+   * EDGES are emitted as data (lo/hi per row), so the card is
+   * self-describing; all counts integer-exact, the only doubles are
+   * the shared IEEE width division both engines compute identically.
+   */
+  def equiWidthHistogram(
+      df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 10000, s"nBuckets: $nBuckets")
+    val v = col(valueCol).cast("double")
+    val mm = df.filter(v.isNotNull)
+      .agg(min(v).as("v_min"), max(v).as("v_max"), count(lit(1)).as("n_total"))
+    val w = (col("v_max") - col("v_min")) / nBuckets
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("v_max") === col("v_min"), 0)
+          .otherwise(least(floor((v - col("v_min")) / w), lit(nBuckets - 1)))
+          .cast("int").as("bucket"),
+        col("v_min"), col("v_max"), col("n_total"))
+      .groupBy("bucket", "v_min", "v_max", "n_total")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        round(col("v_min") + col("bucket") *
+          ((col("v_max") - col("v_min")) / nBuckets), 6).as("lo"),
+        round(col("v_min") + (col("bucket") + 1) *
+          ((col("v_max") - col("v_min")) / nBuckets), 6).as("hi"),
+        col("n"), col("n_total"))
+      .orderBy("bucket")
+  }
+
+  /**
    * Market-basket pair mining (frequent itemsets, k=2): which parts
    * co-occur in the same order more often than chance — support
    * counts and the lift ratio that separates real affinity from two

@@ -281,4 +281,21 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(out((100L, 200L)) === ((2L, 1.333333)))
     assert(out((100L, 300L)) === ((2L, 1.333333)))
   }
+
+  test("equiWidthHistogram: hand buckets, max lands in last bucket, constant column") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 2.5, 5.0, 10.0).toDF("v")
+    val out = RelationalAnalytics.equiWidthHistogram(df, "v", 4).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    // width 2.5: [0,2.5)x2, [2.5,5)x1, [5,7.5)x1, [7.5,10]x1 (max clamps)
+    assert(out === Seq(
+      (0, 0.0, 2.5, 2L), (1, 2.5, 5.0, 1L), (2, 5.0, 7.5, 1L),
+      (3, 7.5, 10.0, 1L)))
+    assert(out.map(_._4).sum === 5L)
+    val const = RelationalAnalytics.equiWidthHistogram(
+      Seq(3.0, 3.0, 3.0).toDF("v"), "v", 4).collect()
+    assert(const.length === 1 && const.head.getInt(0) === 0 &&
+      const.head.getLong(3) === 3L)
+  }
 }
