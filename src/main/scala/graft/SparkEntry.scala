@@ -2840,6 +2840,20 @@ object SparkEntry {
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy("domain")
     }),
+    // Unicode script-mix card: per-doc counts over explicit BMP
+    // ranges (no \p{Script=} classes — engine availability differs),
+    // dominant script with declared tie order. The fixture appends
+    // known script runs so every block exercises.
+    "text_script_mix" -> ((s, d) => {
+      val fixed = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, lit(" абвг αβ 漢字数 ١٢"))
+              .when(col("doc_id") % 3 === 1, lit(" नमस्ते 12"))
+              .otherwise(lit(""))).as("text"))
+      TextAnalysis.scriptMix(fixed, "doc_id", "text").orderBy("doc_id")
+    }),
     // Equi-width value histogram: min/max pass broadcasts, bucketing
     // pass counts — edges emitted as data, counts integer-exact.
     "orders_price_histogram" -> ((s, d) =>
@@ -7210,6 +7224,43 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    // Same explicit ranges via RE2's \x{hhhh} escapes; dominant CASE
+    // replays the declared tie order.
+    "text_script_mix" -> {
+      val scripts = Seq(
+        "latin" -> "[A-Za-z]",
+        "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+        "greek" -> "[\\x{0370}-\\x{03FF}]",
+        "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+        "arabic" -> "[\\x{0600}-\\x{06FF}]",
+        "devanagari" -> "[\\x{0900}-\\x{097F}]",
+        "digit" -> "[0-9]")
+      val counts = scripts.map { case (n, cls) =>
+        s"CAST(len(regexp_extract_all(t, '$cls')) AS BIGINT) AS n_$n"
+      }.mkString(",\n         ")
+      val total = scripts.map(sc => s"n_${sc._1}").mkString(" + ")
+      val domChain = scripts.init.map { case (n, _) =>
+        val geAll = scripts.filter(_._1 != n)
+          .map(o => s"n_$n >= n_${o._1}").mkString(" AND ")
+        s"WHEN $geAll AND n_$n > 0 THEN '$n'"
+      }.mkString("\n              ")
+      s"""WITH fixed AS (
+         |  SELECT doc_id,
+         |         text || CASE WHEN doc_id % 3 = 0 THEN ' абвг αβ 漢字数 ١٢'
+         |                      WHEN doc_id % 3 = 1 THEN ' नमस्ते 12'
+         |                      ELSE '' END AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id,
+         |         $counts
+         |  FROM fixed)
+         |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+         |       n_devanagari, n_digit,
+         |       CASE WHEN $total = 0 THEN 'none'
+         |              $domChain
+         |              ELSE 'digit' END AS dominant
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "orders_price_histogram" ->
       """WITH v AS (
         |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders

@@ -684,4 +684,44 @@ object TextAnalysis {
             .as("distinct_ratio"))
     }.reduce(_ unionAll _)
   }
+
+  /**
+   * Unicode script-mix card — the multilingual curation signal the
+   * lang-ID router needs as a prior and a sanity check: per document,
+   * counts of characters in the major script blocks (Latin, Cyrillic,
+   * Greek, CJK unified ideographs, Arabic, Devanagari) plus digits,
+   * as codegen `regexp_count` integers over EXPLICIT BMP ranges — no
+   * `\\p{Script=...}` classes, whose availability and semantics
+   * differ across regex engines (Java supports them, RE2 partially) —
+   * and the dominant script by count with a fixed tie order. One
+   * scan-local projection, no shuffle, no UDF.
+   */
+  def scriptMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scripts = Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> "[\u0400-\u04FF]",
+      "greek" -> "[\u0370-\u03FF]",
+      "cjk" -> "[\u4E00-\u9FFF]",
+      "arabic" -> "[\u0600-\u06FF]",
+      "devanagari" -> "[\u0900-\u097F]",
+      "digit" -> "[0-9]")
+    val counted = scripts.foldLeft(docs.select(col(idCol), t.as("__t"))) {
+      case (df, (name, cls)) =>
+        df.withColumn(s"n_$name",
+          regexp_count(col("__t"), lit(cls)).cast("long"))
+    }
+    // dominant: max count wins, ties resolve in the declared order
+    val dominant = scripts.init.reverse.foldLeft(
+      lit(scripts.last._1): Column) { case (rest, (name, _)) =>
+      when(scripts.filter(_._1 != name).map(o =>
+          col(s"n_$name") >= col(s"n_${o._1}")).reduce(_ && _) &&
+          col(s"n_$name") > 0, name).otherwise(rest)
+    }
+    counted
+      .withColumn("dominant",
+        when(scripts.map(sc => col(s"n_${sc._1}")).reduce(_ + _) === 0,
+          lit("none")).otherwise(dominant))
+      .drop("__t")
+  }
 }

@@ -434,4 +434,31 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got(1).getLong(1) === 1L && got(1).getLong(2) === 1L &&
       got(1).getLong(3) === 0L)
   }
+
+  test("scriptMix: hand counts per block, dominant with declared tie order, none on empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello мир"),       // latin 5, cyrillic 3 -> latin
+      (2L, "абв abc"),         // tie 3-3 -> latin (declared order)
+      (3L, "漢字 123 4"),       // cjk 2, digit 4 -> digit
+      (4L, ""),                // none
+      (5L, "Ωμέγα"),           // greek only
+      (6L, "١٢٣ नमस")          // arabic 3, devanagari 3 -> arabic (order)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def dom(i: Int) = out(i).getAs[String]("dominant")
+    assert(out(0).getAs[Long]("n_latin") === 5L)
+    assert(out(0).getAs[Long]("n_cyrillic") === 3L)
+    assert(dom(0) === "latin")
+    assert(dom(1) === "latin") // tie resolves by declared order
+    assert(out(2).getAs[Long]("n_cjk") === 2L)
+    assert(out(2).getAs[Long]("n_digit") === 4L)
+    assert(dom(2) === "digit")
+    assert(dom(3) === "none")
+    assert(dom(4) === "greek")
+    assert(out(5).getAs[Long]("n_arabic") === 3L)
+    assert(out(5).getAs[Long]("n_devanagari") === 3L)
+    assert(dom(5) === "arabic")
+  }
 }
