@@ -2840,6 +2840,17 @@ object SparkEntry {
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy("domain")
     }),
+    // Hour-of-day reliability card: Wilson lower bound on the
+    // non-error event fraction per ingestion hour — 3/3 clean cannot
+    // outrank 960/1000 clean (same generic sourceWilson operator, a
+    // different grouping + predicate).
+    "events_hour_reliability" -> ((s, d) =>
+      TextAnalysis.sourceWilson(
+        graft.streaming.EventPipeline.normalizeTs(table(s, d, "events"))
+          .withColumn("hr", hour(col("ts")).cast("long")),
+        "hr", col("event_type") =!= "error")
+        .withColumnRenamed("source", "hr")
+        .orderBy("hr")),
     // Unicode script-mix card: per-doc counts over explicit BMP
     // ranges (no \p{Script=} classes — engine availability differs),
     // dominant script with declared tie order. The fixture appends
@@ -7224,6 +7235,24 @@ object SparkEntry {
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     // The same 8 Hilbert rotate/reflect iterations, unrolled newest-
     // to-oldest (h8 = quantized input, h0 = final indices).
+    "events_hour_reliability" ->
+      """WITH a AS (
+        |  SELECT CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT hr, n, k,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         CAST(n AS DOUBLE) AS nd,
+        |         CAST(1.96 AS DOUBLE) AS z
+        |  FROM a)
+        |SELECT hr, n, k, p AS p_hat,
+        |       (p + z * z / (2.0 * nd) -
+        |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
+        |       (1.0 + z * z / nd) AS wilson_lower
+        |FROM c ORDER BY hr""".stripMargin,
     // Same explicit ranges via RE2's \x{hhhh} escapes; dominant CASE
     // replays the declared tie order.
     "text_script_mix" -> {
