@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val Scale = 6
+
+  /** The HLL small-range (linear-counting) table as a SQL list
+    * literal — the SAME precomputed integers the rewrite plan embeds
+    * ([[graft.operators.HyperLogLog.LinearCountingTable]]), so the
+    * correction is cross-engine bit-exact with no query-time `ln`. */
+  private lazy val HllLcList: String =
+    graft.operators.HyperLogLog.LinearCountingTable.mkString(", ")
+
   private val cfg = StoreConfig(
     idCol = "vec_id", titleCol = "source", vendorCol = "lang",
     descriptionCol = "text", embeddingCol = "embedding")
@@ -791,7 +799,11 @@ object SparkEntry {
     // for merge-closed statistics (cnt/sum/sumsq/min/max; sumsq is
     // DECIMAL(38,0) so the second moment survives 100 TB), so the
     // datacard refresh scans ONLY the delta. The oracle is the full
-    // rescan the merge replaces.
+    // rescan the merge replaces. The card emits sumsq_v as a canonical
+    // decimal STRING: the internal accumulator stays exact DECIMAL(38),
+    // but a decimal-typed OUTPUT column hash-mismatches in the driver
+    // comparator (pandas object-Decimal vs DuckDB float64), so the
+    // boundary serializes it losslessly instead of down-casting.
     "stats_incremental" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val old = docs.filter(col("doc_id") % 10 =!= 0)
@@ -801,6 +813,7 @@ object SparkEntry {
           IncrementalStats.summarize(old, Seq("lang"), "n_chars"),
           IncrementalStats.summarize(delta, Seq("lang"), "n_chars")),
           Seq("lang")), Scale)
+        .withColumn("sumsq_v", col("sumsq_v").cast("string"))
         .orderBy("lang")
     }),
     // Retrieval quality card: MRR / P@5 / recall@10 for the BM25
@@ -3471,14 +3484,17 @@ object SparkEntry {
         QualityClassifier.score(docs, "doc_id", "text", m),
         "score", "rule_label")
     }),
-    // eps-DP noisy group counts (truncated geometric mechanism): the
-    // noise is a pure function of the group key — a seeded 16-bit
-    // md5 uniform through precomputed integer inverse-CDF thresholds,
-    // so the oracle replays the identical CASE over the identical
-    // integers. True n rides along for the gate only.
+    // Noisy group counts (truncated geometric mechanism) as a
+    // deterministic SIMULATION: the seed is fixed and visible here so
+    // the oracle can replay the noise — a 16-bit md5 uniform of the
+    // unit-separator-encoded key through precomputed integer
+    // inverse-CDF thresholds (eps-DP requires a secret seed; see
+    // DifferentialPrivacy's class doc). True n rides along for the
+    // gate only.
     "privacy_dp_counts" -> ((s, d) =>
       DifferentialPrivacy.noisyCounts(
-        table(s, d, "documents"), Seq("lang", "source"))
+        table(s, d, "documents"), Seq("lang", "source"),
+        secretSeed = "dp")
         .orderBy("lang", "source")),
     // PDF text extraction (the stage after the census): content
     // streams read back by xref offset + declared /Length and joined
@@ -3550,7 +3566,7 @@ object SparkEntry {
       Snapshot.scd2Lookup(facts, scd2TierHistory(s, d),
         "o_custkey", "version")
         .select("o_orderkey", "o_custkey", "version", "tier",
-          "valid_from", "valid_to")
+          "valid_from", "valid_to_excl")
         .orderBy("o_orderkey")
     })
   )
@@ -4554,8 +4570,8 @@ object SparkEntry {
     "stats_incremental" ->
       """SELECT lang, count(*) AS cnt,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_v,
-        |       CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DECIMAL(38,0))
-        |         AS sumsq_v,
+        |       CAST(CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+        |                 AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_v,
         |       min(n_chars) AS min_v, max(n_chars) AS max_v,
         |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_v
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -7384,7 +7400,7 @@ object SparkEntry {
     // The rewritten SQL answers with the register estimate — the
     // oracle replays registers + harmonic mean + the BIGINT rounding.
     "sql_hll_rewrite" ->
-      """WITH parts AS (
+      s"""WITH parts AS (
         |  SELECT source, md5(text) AS h FROM documents WHERE text IS NOT NULL),
         |rhos AS (
         |  SELECT source,
@@ -7406,12 +7422,18 @@ object SparkEntry {
         |summary AS (
         |  SELECT source, sum(pow(2.0, -rho)) AS sum_inv,
         |         CAST(count(*) AS BIGINT) AS n_hit
-        |  FROM regs GROUP BY 1)
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT source, CAST(256 - n_hit AS BIGINT) AS v_zero, n_hit,
+        |         (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |           (sum_inv + CAST(256 - n_hit AS DOUBLE)) AS est_raw
+        |  FROM summary)
         |SELECT source,
-        |       CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
-        |         (sum_inv + CAST(256 - n_hit AS DOUBLE))) AS BIGINT)
-        |         AS n_distinct
-        |FROM summary ORDER BY source""".stripMargin,
+        |       CASE WHEN n_hit = 0 THEN CAST(0 AS BIGINT)
+        |            WHEN v_zero > 0 AND est_raw < 640.0
+        |              THEN CAST(([$HllLcList])[CAST(v_zero AS INT)] AS BIGINT)
+        |            ELSE CAST(round(est_raw) AS BIGINT) END AS n_distinct
+        |FROM est ORDER BY source""".stripMargin,
     // The incremental merge's oracle is the DIRECT build over the full
     // table — merge(old, delta) == direct is the contract under test.
     "sketch_hll_incremental" ->
@@ -7686,7 +7708,9 @@ object SparkEntry {
          |  FROM documents GROUP BY 1, 2),
          |gh AS (
          |  SELECT lang, source, n,
-         |         md5('dp:' || lang || ':' || source) AS h
+         |         md5('dp' || chr(31) ||
+         |             coalesce(CAST(lang AS VARCHAR), chr(0)) || chr(31) ||
+         |             coalesce(CAST(source AS VARCHAR), chr(0))) AS h
          |  FROM g),
          |u AS (
          |  SELECT lang, source, n, CAST($u16 AS BIGINT) AS u16 FROM gh),
@@ -7801,7 +7825,7 @@ object SparkEntry {
         |                OR lag(tier) OVER w != tier THEN 1 ELSE 0 END AS chg
         |  FROM versioned WINDOW w AS (PARTITION BY o_custkey ORDER BY version))
         |SELECT o_custkey, tier, version AS valid_from,
-        |       lead(version) OVER w2 - 1 AS valid_to,
+        |       lead(version) OVER w2 AS valid_to_excl,
         |       lead(version) OVER w2 IS NULL AS is_current
         |FROM marked WHERE chg = 1
         |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
@@ -7830,7 +7854,7 @@ object SparkEntry {
         |  FROM versioned WINDOW w AS (PARTITION BY o_custkey ORDER BY version)),
         |hist AS (
         |  SELECT o_custkey, tier, version AS valid_from,
-        |         lead(version) OVER w2 - 1 AS valid_to
+        |         lead(version) OVER w2 AS valid_to_excl
         |  FROM marked WHERE chg = 1
         |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)),
         |facts AS (
@@ -7841,10 +7865,10 @@ object SparkEntry {
         |              ELSE 4 END AS BIGINT) AS version
         |  FROM orders)
         |SELECT f.o_orderkey, f.o_custkey, f.version,
-        |       h.tier, h.valid_from, h.valid_to
+        |       h.tier, h.valid_from, h.valid_to_excl
         |FROM facts f LEFT JOIN hist h ON h.o_custkey = f.o_custkey
         |  AND f.version >= h.valid_from
-        |  AND (h.valid_to IS NULL OR f.version <= h.valid_to)
+        |  AND (h.valid_to_excl IS NULL OR f.version < h.valid_to_excl)
         |ORDER BY f.o_orderkey""".stripMargin,
     "events_hilbert" -> {
       val base =

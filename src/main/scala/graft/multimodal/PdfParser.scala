@@ -39,7 +39,15 @@ object PdfParser {
   private val LengthKey = """/Length\s+(\d+)""".r
   private val SizeKey = """/Size\s+(\d+)""".r
 
-  def parse(bytes: Array[Byte]): Option[PdfMeta] = {
+  /** Totality is enforced here, not proven walk-by-walk: a census
+    * over crawled byte soup must NEVER throw, so any escape from the
+    * structural walk (e.g. a crafted xref offset that places the
+    * table AFTER the final `startxref`) degrades to None. */
+  def parse(bytes: Array[Byte]): Option[PdfMeta] =
+    try parseImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseImpl(bytes: Array[Byte]): Option[PdfMeta] = {
     if (bytes == null || bytes.length < 16) return None
     // ISO-8859-1: every byte maps to one char — offsets stay exact
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -101,7 +109,11 @@ object PdfParser {
     }
     if (!ok) return None
 
-    // trailer dict: up to the closing `startxref`
+    // trailer dict: up to the closing `startxref`. A crafted xref
+    // offset can place the table AFTER the final startxref (p > sx) —
+    // that is not a well-formed PDF (§7.5.5 puts startxref last);
+    // refuse rather than throw on the inverted slice.
+    if (p >= sx) return None
     val trailer = s.substring(p, math.min(s.length, sx))
     val size = SizeKey.findFirstMatchIn(trailer).map(_.group(1).toInt)
       .getOrElse(-1)

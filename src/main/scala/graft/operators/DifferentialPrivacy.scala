@@ -4,33 +4,46 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
- * Differentially-private count release via the (truncated) geometric
- * mechanism — the discrete analogue of Laplace noise and the standard
- * mechanism for integer counts (Ghosh, Roughgarden & Sundararajan
- * 2009): releasing per-group corpus statistics (docs per source,
- * users per cohort) without exposing any single row's presence is a
- * routine governance requirement once corpus datacards leave the
- * building. Sits beside the k-anonymity/suppression rows
- * ([[Anonymity]]) as the perturbation (vs generalization) branch of
- * the privacy toolkit.
+ * Truncated-geometric noisy counts — the discrete analogue of Laplace
+ * noise and the standard mechanism for integer counts (Ghosh,
+ * Roughgarden & Sundararajan 2009): releasing per-group corpus
+ * statistics (docs per source, users per cohort) without exposing any
+ * single row's presence is a routine governance requirement once
+ * corpus datacards leave the building. Sits beside the
+ * k-anonymity/suppression rows ([[Anonymity]]) as the perturbation
+ * (vs generalization) branch of the privacy toolkit.
  *
- * Determinism discipline: nothing samples at runtime. The noise for a
- * group is a pure function of its key — a 16-bit uniform from the
- * md5 of `"dp:" + key`, pushed through the mechanism's inverse CDF.
- * The CDF itself is precomputed ONCE here (in [[thresholds]], the
- * only place `exp` runs) into exact integer thresholds on the u16
- * grid; both the Spark expression and the SQL oracle consume those
- * INTEGERS, so engines never evaluate a transcendental at query time
- * and results are bit-identical. (A production release would swap
- * the seeded hash for a drawn-once secret seed; the mechanism,
- * truncation, and integer-threshold evaluation are unchanged.)
+ * PRIVACY CONTRACT — read this first: the noise for a group is a
+ * keyed hash of `secretSeed + key`, so the release is eps-DP ONLY
+ * while `secretSeed` stays secret (an adversary who knows the seed
+ * recomputes the noise exactly and subtracts it — zero privacy). A
+ * production release draws the seed once from a CSPRNG and never
+ * publishes it. The driver/oracle rows in this repo pass a FIXED,
+ * VISIBLE seed so the cross-engine gate can replay the noise — those
+ * rows are a deterministic mechanism SIMULATION (they verify the
+ * mechanism's arithmetic, not a privacy guarantee), which is why the
+ * true `n` rides along in the output there.
+ *
+ * Determinism discipline: nothing samples at runtime. A 16-bit
+ * uniform comes from the md5 of the seeded key and is pushed through
+ * the mechanism's inverse CDF. The CDF itself is precomputed ONCE
+ * here (in [[thresholds]], the only place `exp` runs) into exact
+ * integer thresholds on the u16 grid; both the Spark expression and
+ * the SQL oracle consume those INTEGERS, so engines never evaluate a
+ * transcendental at query time and results are bit-identical.
+ *
+ * Key encoding: group columns join on the 0x1F unit separator with a
+ * 0x00 sentinel for NULL (the same collision-free scheme as
+ * [[Snapshot]]'s SCD2 fingerprint) — `("a:b","c")` never collides
+ * with `("a","b:c")`, and a NULL column yields a distinct key
+ * instead of silently vanishing from the hash.
  *
  * Noise distribution: two-sided geometric with P(k) ∝ alpha^|k|,
  * alpha = exp(-eps), truncated to |k| ≤ [[MaxNoise]] and
  * renormalized (truncation at 4/eps keeps the clipped tail mass
  * < 2·alpha^(K+1)/(1+alpha) ≈ 0.03% at eps = 0.5). Sensitivity of a
- * partition-disjoint count query is 1, so the release is
- * eps-DP up to the documented truncation.
+ * partition-disjoint count query is 1, so with a secret seed the
+ * release is eps-DP up to the documented truncation.
  *
  * Shape at scale: the true counts are one hash aggregate; the noise
  * is a scan-local projection over the ≤|groups| aggregate rows. No
@@ -57,11 +70,23 @@ object DifferentialPrivacy {
     }
   }
 
+  /** Collision-free key encoding for the seeded hash: columns joined
+    * on the 0x1F unit separator, NULL mapped to the 0x00 sentinel
+    * (never collides with a real string; a NULL column changes the
+    * key instead of vanishing — unlike `concat_ws(":")`). */
+  def keyEncoding(keyCols: Seq[String]): Column =
+    concat_ws("\u001f",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+
   /** 16-bit seeded uniform for a group key: first 4 md5 nibbles of
-    * `"dp:" + key` (the same md5-seeding family as the bootstrap and
-    * CMS rows). */
-  def u16(key: Column): Column =
-    conv(substring(md5(concat(lit("dp:"), key)), 1, 4), 16, 10).cast("long")
+    * `secretSeed <US> key` (the same md5-seeding family as the
+    * bootstrap and CMS rows). The seed is REQUIRED: pass a
+    * drawn-once secret for a real release; a fixed visible seed
+    * makes this a replayable simulation (see the class doc). */
+  def u16(key: Column, secretSeed: String): Column =
+    conv(substring(
+      md5(concat(lit(secretSeed), lit("\u001f"), key)), 1, 4), 16, 10)
+      .cast("long")
 
   /** Chained-threshold inverse CDF as a codegen CASE expression. */
   def noise(u: Column): Column =
@@ -77,16 +102,18 @@ object DifferentialPrivacy {
     }.mkString("CASE ", " ", s" ELSE $MaxNoise END")
 
   /**
-   * eps-DP noisy counts per group: (group key, true n, u16, noise,
-   * noisy_n, eps). `noisy_n` is clamped at 0 (a count release is
-   * non-negative by post-processing, which preserves DP). The true
-   * `n` column exists for the verification gate; a real release
-   * drops it — that is the point of the mechanism.
+   * Noisy counts per group: (group key, true n, u16, noise, noisy_n,
+   * eps). `noisy_n` is clamped at 0 (a count release is non-negative
+   * by post-processing, which preserves DP). The true `n` column
+   * exists for the verification gate; a real release drops it — that
+   * is the point of the mechanism. eps-DP only while `secretSeed`
+   * stays secret (class doc); a visible seed makes this a replayable
+   * mechanism simulation.
    */
-  def noisyCounts(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def noisyCounts(df: DataFrame, keyCols: Seq[String],
+      secretSeed: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one group column")
-    val key = concat_ws(":", keyCols.map(c => col(c).cast("string")): _*)
-    val u = u16(key)
+    val u = u16(keyEncoding(keyCols), secretSeed)
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("u16", u)

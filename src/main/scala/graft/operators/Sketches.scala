@@ -197,6 +197,30 @@ object HyperLogLog {
   /** alpha_256, the identical literal expression the oracle uses. */
   val Alpha: Double = 0.7213 / (1.0 + 1.079 / 256.0)
 
+  /** Small-range (linear-counting) correction, PRECOMPUTED: entry
+    * v-1 holds round(m * ln(m / v)) for v_zero = v in 1..m. The `ln`
+    * is evaluated ONCE here in the JVM and the resulting integers are
+    * shipped as literals to both the engine plan and the SQL oracle —
+    * so the correction is cross-engine bit-exact (no query-time
+    * transcendentals, whose last-ulp behavior is libm-specific; same
+    * discipline as the DP inverse-CDF and Benford tables). */
+  val LinearCountingTable: Array[Long] =
+    (1 to NumRegisters).map(v =>
+      math.round(NumRegisters.toDouble *
+        math.log(NumRegisters.toDouble / v))).toArray
+
+  /** The standard HLL small-range switch threshold, 2.5 * m. */
+  val SmallRangeThreshold: Double = 2.5 * NumRegisters
+
+  /** The corrected BIGINT estimate from the raw harmonic estimate and
+    * its correction inputs — the exact branch structure the HLL
+    * count-DISTINCT rewrite plan and its SQL oracle both embed. */
+  def corrected(vZero: Long, estRaw: Double): Long =
+    if (vZero >= NumRegisters) 0L // no register hit: empty input
+    else if (vZero > 0 && estRaw < SmallRangeThreshold)
+      LinearCountingTable((vZero - 1).toInt)
+    else math.round(estRaw)
+
   /** The (bucket, rho) register relation: one aggregate, mergeable.
     * Leading zeros are counted per NIBBLE (zero nibbles via a `^0*`
     * regexp over the 12-char hex window, then a 4-way CASE inside the

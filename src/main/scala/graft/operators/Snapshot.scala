@@ -99,11 +99,16 @@ object Snapshot {
    * — the third leg of the snapshot toolkit beside [[merge]] (apply a
    * changeset) and [[changeDataFeed]] (diff two snapshots): given one
    * row per (key, version) for every version where the key exists,
-   * collapse runs of identical payloads into validity intervals
-   * `[valid_from, valid_to]` with `is_current` on the open interval.
-   * This is how a dimension that arrives as periodic full snapshots
-   * (the common case for crawl-source metadata, user segments,
-   * supplier catalogs) becomes a point-in-time joinable history.
+   * collapse runs of identical payloads into HALF-OPEN validity
+   * intervals `[valid_from, valid_to_excl)` with `is_current` on the
+   * open interval. Half-open bounds make the history correct for ANY
+   * ordered version domain — integers, dates, timestamps, even
+   * strings — because no `- 1` arithmetic is ever applied to the
+   * version: the interval simply ends where the next change begins,
+   * so non-contiguous domains leave no unmatched gap. This is how a
+   * dimension that arrives as periodic full snapshots (the common
+   * case for crawl-source metadata, user segments, supplier
+   * catalogs) becomes a point-in-time joinable history.
    *
    * Shape at scale: ONE shuffle on the key (the window partition);
    * within each key the versions sort locally (bounded by the number
@@ -132,10 +137,10 @@ object Snapshot {
           lag(col("__fp"), 1).over(byKey) =!= col("__fp"))
     val changePoints = marked.filter(col("__changed"))
     changePoints
-      .withColumn("valid_to", lead(col(versionCol), 1).over(byKey) - 1)
-      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("valid_to_excl", lead(col(versionCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to_excl").isNull)
       .select(col(keyCol) +: payloadCols.map(col) :+
-        col(versionCol).as("valid_from") :+ col("valid_to") :+
+        col(versionCol).as("valid_from") :+ col("valid_to_excl") :+
         col("is_current"): _*)
   }
 
@@ -143,7 +148,9 @@ object Snapshot {
    * Point-in-time (AS OF) lookup against an [[scd2]] history — the
    * consumer side of type-2 dimensions: each fact joins the ONE
    * dimension interval valid at its version
-   * (`valid_from <= v <= valid_to`, open-ended for the current row).
+   * (`valid_from <= v < valid_to_excl`, open-ended for the current
+   * row — the half-open match that is exact for any ordered version
+   * domain).
    * The join keeps its EQUALITY key (the dimension key), so Spark
    * plans a hash join with the interval bounds as a residual
    * condition — never a nested-loop cross; with the history
@@ -159,7 +166,7 @@ object Snapshot {
     facts.join(h,
       facts(keyCol) === h("__hk") &&
         facts(versionCol) >= h("valid_from") &&
-        (h("valid_to").isNull || facts(versionCol) <= h("valid_to")),
+        (h("valid_to_excl").isNull || facts(versionCol) < h("valid_to_excl")),
       "left")
       .drop("__hk")
   }

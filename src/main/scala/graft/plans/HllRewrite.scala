@@ -15,10 +15,15 @@ import org.apache.spark.sql.types._
  * beside ANN top-k, LSH similarity joins, blocked fuzzy joins, and
  * materialized rollups. Registration ([[HllCatalog.register]]) is the
  * user's EXPLICIT consent to an approximate answer: unlike the other
- * four rewrites this one changes results (est ≈ exact, σ ≈
- * 1.04/√256 ≈ 6.5%), so it must never fire implicitly — an
- * unregistered path always keeps Spark's exact expand + two-phase
- * distinct aggregate.
+ * four rewrites this one changes results, so it must never fire
+ * implicitly — an unregistered path always keeps Spark's exact
+ * expand + two-phase distinct aggregate. Accuracy: σ ≈ 1.04/√256 ≈
+ * 6.5% in the mid range; below 2.5·m the estimator switches to the
+ * linear-counting correction (near-exact for few distincts — a
+ * 1-distinct group estimates 1, not the raw formula's ~184), using
+ * the PRECOMPUTED integer table
+ * [[graft.operators.HyperLogLog.LinearCountingTable]] so no
+ * query-time `ln` runs in either engine; an empty input estimates 0.
  *
  * Why it exists at 100 TB: exact `count(DISTINCT url)` per group
  * shuffles every distinct key; the rewritten plan shuffles at most
@@ -150,11 +155,28 @@ class HllRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Cast(UnaryMinus(rhoMax.toAttribute), DoubleType)))
           .toAggregateExpression()
         val nHit = Count(Seq(lit(1))).toAggregateExpression()
-        val est = Divide(
+        // Raw harmonic estimate: empty registers contribute 2^0 = 1
+        // each; sum_inv is NULL over an empty input, so coalesce.
+        val estRaw = Divide(
           Multiply(Multiply(lit(alpha), lit(m.toDouble)), lit(m.toDouble)),
-          Add(sumInv,
+          Add(Coalesce(Seq(sumInv, lit(0.0))),
             Cast(Subtract(lit(m.toLong), nHit), DoubleType)))
-        val estLong = Cast(Round(est, lit(0)), LongType)
+        val vZero = Subtract(lit(m.toLong), nHit)
+        // Small-range correction from the precomputed integer table
+        // (index v_zero-1 holds round(m*ln(m/v_zero))) — the `ln` ran
+        // once in the JVM, so engine and oracle share exact literals.
+        val lcTable = Literal.create(
+          graft.operators.HyperLogLog.LinearCountingTable.toSeq,
+          ArrayType(LongType, containsNull = false))
+        val lcEst = GetArrayItem(lcTable,
+          Cast(Subtract(vZero, lit(1L)), IntegerType))
+        val estLong = CaseWhen(Seq(
+          (EqualTo(nHit, lit(0L)), lit(0L)),
+          (And(GreaterThan(vZero, lit(0L)),
+            LessThan(estRaw,
+              lit(graft.operators.HyperLogLog.SmallRangeThreshold))),
+            lcEst)),
+          Some(Cast(Round(estRaw, lit(0)), LongType)))
         val outExprs: Seq[NamedExpression] = resultExprs.map {
           case a: AttributeReference => a
           case al @ Alias(_, name) =>

@@ -37,4 +37,20 @@ class SparkEntrySpec extends SparkFunSuite {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("no query output column is DecimalType (driver dtype contract)") {
+    // The driver reads the Spark parquet with pandas (decimal128 ->
+    // object Decimal) but materializes the DuckDB oracle via .df()
+    // (DECIMAL -> float64): equal values, different dtype, different
+    // hash (r8: stats_incremental.sumsq_v). Decimals are for internal
+    // accumulation only; outputs must be long/double/string.
+    import org.apache.spark.sql.types.{DecimalType, StructField}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, Sf0001).schema.fields.collect {
+        case StructField(f, _: DecimalType, _, _) => s"$name.$f"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"decimal-typed output columns (hash-unstable in the driver): $offenders")
+  }
 }

@@ -85,6 +85,20 @@ class PdfParserSpec extends AnyFunSuite {
     assert(PdfParser.parse(broken) === None)
   }
 
+  test("xref table placed AFTER the final startxref returns None, not a throw") {
+    // crafted/truncated shape: the startxref pointer targets an xref
+    // table that physically FOLLOWS the startxref keyword, so the
+    // trailer slice would be inverted (p > sx). §7.5.5 puts startxref
+    // last in a well-formed file — this must refuse, not crash.
+    val head = "%PDF-1.4\n"
+    val sxBlock = "startxref\nOFFSETXX\n%%EOF\n"
+    val xrefBlock = "xref\n0 1\n0000000000 65535 f \ntrailer\n<< /Size 1 >>\n"
+    val off = (head + sxBlock).length
+    val doc = head + sxBlock.replace("OFFSETXX", f"$off%08d") + xrefBlock
+    assert(PdfParser.parse(doc.getBytes(UTF_8)) === None)
+    assert(PdfParser.extractStreams(doc.getBytes(UTF_8)) === Seq.empty)
+  }
+
   test("extractStreams: payloads come back byte-identical, in document order") {
     val contents = Seq("first page", "second page", "third")
       .map(_.getBytes(UTF_8))

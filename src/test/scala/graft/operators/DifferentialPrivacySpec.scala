@@ -39,7 +39,8 @@ class DifferentialPrivacySpec extends SparkFunSuite {
   test("noise: bounded, deterministic per key, zero is the modal value") {
     val keys = (0 until 2000).map(i => s"group-$i").toDF("k")
     val out = keys.select(
-      DifferentialPrivacy.noise(DifferentialPrivacy.u16(col("k"))).as("noise"))
+      DifferentialPrivacy.noise(
+        DifferentialPrivacy.u16(col("k"), "dp")).as("noise"))
       .groupBy("noise").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keys.forall(k => k >= -16 && k <= 16))
@@ -53,9 +54,9 @@ class DifferentialPrivacySpec extends SparkFunSuite {
 
   test("noisyCounts: deterministic, clamped at 0, n preserved") {
     val df = Seq.tabulate(40)(i => (s"s${i % 4}", i)).toDF("src", "v")
-    val a = DifferentialPrivacy.noisyCounts(df, Seq("src"))
+    val a = DifferentialPrivacy.noisyCounts(df, Seq("src"), "dp")
       .orderBy("src").collect()
-    val b = DifferentialPrivacy.noisyCounts(df.repartition(7), Seq("src"))
+    val b = DifferentialPrivacy.noisyCounts(df.repartition(7), Seq("src"), "dp")
       .orderBy("src").collect()
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     a.foreach { r =>
@@ -66,8 +67,33 @@ class DifferentialPrivacySpec extends SparkFunSuite {
     }
     // tiny groups can clamp: count 1 with noise -16 -> 0
     val tiny = Seq(("only", 1)).toDF("src", "v")
-    val t = DifferentialPrivacy.noisyCounts(tiny, Seq("src")).collect().head
+    val t = DifferentialPrivacy.noisyCounts(tiny, Seq("src"), "dp")
+      .collect().head
     assert(t.getAs[Long]("noisy_n") >= 0L)
+  }
+
+  test("seed changes the noise; key encoding is null-safe and unambiguous") {
+    val df = Seq.tabulate(400)(i => (s"s$i", i)).toDF("src", "v")
+    val a = DifferentialPrivacy.noisyCounts(df, Seq("src"), "dp")
+      .select("src", "noise").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = DifferentialPrivacy.noisyCounts(df, Seq("src"), "other-seed")
+      .select("src", "noise").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.keySet === b.keySet)
+    assert(a.exists { case (k, n) => b(k) != n }, "seed had no effect")
+    // ("a:b","c") and ("a","b:c") collide under concat_ws(":") — they
+    // must hash differently under the unit-separator encoding
+    val amb = Seq(("a:b", "c", 1), ("a", "b:c", 2)).toDF("x", "y", "v")
+    val u = amb.select(DifferentialPrivacy.u16(
+      DifferentialPrivacy.keyEncoding(Seq("x", "y")), "dp").as("u"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(u.distinct.size === 2, u)
+    // a NULL column yields a key distinct from the empty string's
+    val nulls = Seq((Option.empty[String], "c", 1), (Some(""), "c", 2))
+      .toDF("x", "y", "v")
+    val un = nulls.select(DifferentialPrivacy.u16(
+      DifferentialPrivacy.keyEncoding(Seq("x", "y")), "dp").as("u"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(un.distinct.size === 2, un)
   }
 
   test("noiseCaseSql carries the identical integer thresholds") {

@@ -105,22 +105,22 @@ class SnapshotSpec extends SparkFunSuite {
 
   test("scd2: each change opens a new interval and closes the prior") {
     assert(hist((1L, 1L, "low"), (1L, 2L, "mid"), (1L, 3L, "mid"), (1L, 4L, "high")) ===
-      Seq((1L, "low", 1L, Some(1L), false),
-          (1L, "mid", 2L, Some(3L), false),
+      Seq((1L, "low", 1L, Some(2L), false),
+          (1L, "mid", 2L, Some(4L), false),
           (1L, "high", 4L, None, true)))
   }
 
   test("scd2: a key appearing late starts at its first observed version") {
     assert(hist((1L, 1L, "a"), (2L, 3L, "b"), (2L, 4L, "c")) ===
       Seq((1L, "a", 1L, None, true),
-          (2L, "b", 3L, Some(3L), false),
+          (2L, "b", 3L, Some(4L), false),
           (2L, "c", 4L, None, true)))
   }
 
   test("scd2: payload returning to an old value is a NEW interval (type 2, not type 1)") {
     assert(hist((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a")) ===
-      Seq((1L, "a", 1L, Some(1L), false),
-          (1L, "b", 2L, Some(2L), false),
+      Seq((1L, "a", 1L, Some(2L), false),
+          (1L, "b", 2L, Some(3L), false),
           (1L, "a", 3L, None, true)))
   }
 
@@ -153,12 +153,37 @@ class SnapshotSpec extends SparkFunSuite {
       .collect().map(r => (r.getAs[Long]("fact_id"),
         Option(r.getAs[String]("tier")))).toSeq
     assert(out === Seq(
-      (10L, Some("low")),   // v=1 in [1,2]
-      (11L, Some("low")),   // v=2 in [1,2]
+      (10L, Some("low")),   // v=1 in [1,3)
+      (11L, Some("low")),   // v=2 in [1,3)
       (12L, Some("mid")),   // v=5 in [3,null)
       (13L, None),          // before key 2's first interval
       (14L, Some("high")),  // open current interval
       (15L, None)))         // unknown key
+  }
+
+  test("scd2 + lookup on a DATE version domain: half-open intervals leave no gap") {
+    // the old closed-interval form computed valid_to = lead - 1, which
+    // only works for contiguous integers; dates/timestamps between two
+    // change points fell in no interval. Half-open bounds fix that.
+    import java.sql.Date
+    val dims = Seq(
+      (1L, Date.valueOf("2024-01-01"), "low"),
+      (1L, Date.valueOf("2024-03-01"), "mid"))
+      .toDF("id", "version", "tier")
+    val h = Snapshot.scd2(dims, "id", "version", Seq("tier"))
+    val rows = h.orderBy("valid_from").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Date]("valid_to_excl") === Date.valueOf("2024-03-01"))
+    assert(rows(1).get(rows(1).fieldIndex("valid_to_excl")) === null)
+    val facts = Seq(
+      (10L, 1L, Date.valueOf("2024-02-10")), // strictly between changes
+      (11L, 1L, Date.valueOf("2024-03-01")), // exactly at the change
+      (12L, 1L, Date.valueOf("2023-12-31"))) // before first interval
+      .toDF("fact_id", "id", "version")
+    val out = Snapshot.scd2Lookup(facts, h, "id", "version")
+      .orderBy("fact_id")
+      .collect().map(r => Option(r.getAs[String]("tier"))).toSeq
+    assert(out === Seq(Some("low"), Some("mid"), None))
   }
 
   test("scd2Lookup plans a hash join (equality key + interval residual), never a nested loop") {

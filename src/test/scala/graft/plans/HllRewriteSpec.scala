@@ -37,12 +37,14 @@ class HllRewriteSpec extends SparkFunSuite {
       val got = q(s"""SELECT grp, count(DISTINCT uid) AS n
                      |FROM parquet.`$path` GROUP BY grp ORDER BY grp""".stripMargin)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // reference: the explicit operator's estimate, same rounding
+      // reference: the explicit operator's estimate + the shared
+      // small-range/empty correction the rewrite embeds
       val ref = HyperLogLog.estimatePer(
         HyperLogLog.registersPer(
           spark.read.parquet(path), "uid", Seq("grp")), Seq("grp"))
         .collect()
-        .map(r => r.getString(0) -> math.round(r.getAs[Double]("est_distinct")))
+        .map(r => r.getString(0) -> HyperLogLog.corrected(
+          r.getAs[Long]("v_zero"), r.getAs[Double]("est_distinct")))
         .toMap
       assert(got === ref)
       got.foreach { case (g, est) =>
@@ -91,9 +93,44 @@ class HllRewriteSpec extends SparkFunSuite {
           spark.read.parquet(path).filter(col("v") < 2500), "uid",
           Seq("grp")), Seq("grp"))
         .collect()
-        .map(r => r.getString(0) -> math.round(r.getAs[Double]("est_distinct")))
+        .map(r => r.getString(0) -> HyperLogLog.corrected(
+          r.getAs[Long]("v_zero"), r.getAs[Double]("est_distinct")))
         .toMap
       assert(filtered === refF)
+    } finally HllCatalog.deregister(path)
+  }
+
+  test("small range: linear counting makes few-distinct groups near-exact") {
+    // The raw harmonic estimate reports ~alpha*m ≈ 184 for ONE
+    // distinct value; the linear-counting branch must report 1.
+    val p = java.nio.file.Files.createTempDirectory("hll_rw_small").toString
+    (0 until 400).map(i => (s"g${i % 4}", s"only-${i % 4}"))
+      .toDF("grp", "uid").write.mode("overwrite").parquet(p)
+    HllCatalog.register(p)
+    try {
+      val got = q(s"""SELECT grp, count(DISTINCT uid) AS n
+                     |FROM parquet.`$p` GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.values.forall(_ == 1L), got) // each group has exactly 1
+      // a handful of distincts stays near-exact too (LC regime):
+      // ungrouped, 4 distinct uids, raw formula would say ~187
+      val df4 = q(s"""SELECT count(DISTINCT uid) AS n
+                     |FROM parquet.`$p`""".stripMargin)
+      assert(df4.queryExecution.optimizedPlan.toString.contains("__hll_bucket"))
+      val got4 = df4.collect().head.getLong(0)
+      assert(math.abs(got4 - 4L) <= 1, got4)
+    } finally HllCatalog.deregister(p)
+  }
+
+  test("empty input: ungrouped rewritten count(DISTINCT) returns 0, not NULL") {
+    HllCatalog.register(path)
+    try {
+      val df = q(s"""SELECT count(DISTINCT uid) AS n
+                    |FROM parquet.`$path` WHERE v < -1""".stripMargin)
+      // the rewrite DID fire (data-dependent filter is not folded away)
+      assert(df.queryExecution.optimizedPlan.toString.contains("__hll_bucket"))
+      val row = df.collect().head
+      assert(!row.isNullAt(0) && row.getLong(0) === 0L, row)
     } finally HllCatalog.deregister(path)
   }
 
