@@ -29,6 +29,14 @@ object Bench {
     * adding an entry is a reviewed declaration that a plan regressed. */
   private val ExpectedScaling: Map[String, Double] = Map.empty
 
+  /** Always-isolated watchlist, beyond the slowest-8: queries whose
+    * sweep times drifted 1.3–1.5× in the r7→r8 suite growth while
+    * their isolated times held — recording sweep AND isolated for
+    * these each round adjudicates "plan regressed" vs "shared-JVM
+    * suite got bigger" without a manual re-run. */
+  private val IsolatedWatchlist: Seq[String] = Seq(
+    "knn_graph", "sim_join_lsh", "orders_salted_join", "tpch_q1_pricing")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,8 +101,13 @@ object Bench {
     // the same discipline BenchOne applies, minus the fresh JVM. A
     // sweep/isolated ratio > 2 is flagged as "isolated_alerts": the
     // sweep number for that query is load, not plan cost.
-    val isolated = results.filter(_._2 > 0).sortBy(-_._2).take(8)
-      .map { case (name, sweepSec) =>
+    val slowest8 = results.filter(_._2 > 0).sortBy(-_._2).take(8).map(_._1)
+    val byName = results.toMap
+    val isolatedSet = (slowest8 ++
+      IsolatedWatchlist.filter(n => byName.get(n).exists(_ > 0))).distinct
+    val isolated = isolatedSet
+      .map { case name =>
+        val sweepSec = byName(name)
         System.gc(); Thread.sleep(250); System.gc()
         val fn = SparkEntry.queries(name)
         val times = Seq.fill(3)(run(s"isolated:$name", (s, _) => fn(s, sfDir)))

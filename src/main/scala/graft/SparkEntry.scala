@@ -1128,6 +1128,52 @@ object SparkEntry {
           col("csize").as("c_bytes"), col("usize").as("n_bytes"))
         .orderBy("doc_id")
     }),
+    // ZIP64 census — the same shards emitted with the 64-bit
+    // structures a >4 GiB archive carries (saturated 32-bit EOCD
+    // fields routing through the ZIP64 EOCD locator + record, sizes
+    // resolved from each entry's 0x0001 extended-information extra
+    // field, APPNOTE 4.3.14/4.5.3). Values must come back identical
+    // to the 32-bit census — which is exactly what the shared oracle
+    // asserts.
+    "zip64_census" -> ((s, d) => {
+      import s.implicits._
+      graft.sources.ArchiveExport
+        .exportZipShards(table(s, d, "documents"), "doc_id", "text", 16,
+          forceZip64 = true)
+        .as[(Int, Array[Byte])]
+        .flatMap { case (_, blob) => graft.sources.ArchiveCodec.parseZip(blob) }
+        .toDF()
+        .select(
+          regexp_extract(col("name"), "^doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("method").cast("long").as("method"),
+          col("csize").as("c_bytes"), col("usize").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+    // Long-name tar census — names over the ustar 100-byte field,
+    // carried as GNU 'L' longname entries (even ids) and PAX 'x'
+    // `path=` records (odd ids); the census must consume the metadata
+    // entry and surface the member under its FULL name (tar-lister
+    // semantics). The oracle rebuilds every name arithmetically.
+    "tar_longname_census" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .select(col("doc_id").cast("long"),
+          coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val name = s"deep/${"p" * (96 + (id % 8)).toInt}/doc_$id.txt"
+            val tar = graft.sources.ArchiveCodec.buildTar(
+              Iterator(name -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+              paxLongNames = id % 2 == 1)
+            val e = graft.sources.ArchiveCodec.parseTar(tar).head
+            (id, e.name, e.name.length.toLong, e.size)
+          }
+        }
+        .toDF("doc_id", "member_name", "name_len", "n_bytes")
+        .orderBy("doc_id")
+    }),
     // Zstd frame census — the decode-free triage for .zst corpus
     // drops (how web-scale text dumps actually ship): frame/block
     // structure, declared content size, dictionary id and checksum
@@ -2365,10 +2411,11 @@ object SparkEntry {
     // H.264/AVC Annex-B NAL census — ELEMENTARY-STREAM triage below
     // the container censuses (MP4/WebM say which codec; this says
     // what the bitstream holds: parameter sets, random-access IDR vs
-    // predicted slices, profile/level). Spec-shaped streams with both
-    // start-code forms are assembled in-plan from each document's
-    // bytes; the parser must recover the census by actually framing
-    // NAL units. The oracle re-derives the same integers.
+    // predicted slices, profile/level, and the SPS's coded+cropped
+    // dimensions via the real §7.3.2.1.1 Exp-Golomb walk — a third of
+    // the rows exercise frame_cropping, and the High-profile rows the
+    // chroma-format branch). The oracle re-derives every integer
+    // arithmetically from the same document bytes.
     "multimodal_h264_meta" -> ((s, d) => {
       import s.implicits._
       table(s, d, "documents")
@@ -2381,16 +2428,19 @@ object SparkEntry {
           val levels = Array(30, 31, 40, 41, 50)
           it.map { case (id, b) =>
             val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val cropped = b1 % 3 == 0
             val m = graft.multimodal.H264Parser.parseAnnexB(
               graft.multimodal.H264Parser.buildAnnexB(
                 profiles(b0 % 3), levels(b1 % 5),
-                1 + b0 % 3, 2 + b1 % 5)).get
-            (id, m.profile, m.profileIdc, m.levelIdc,
+                1 + b0 % 3, 2 + b1 % 5,
+                width = 176 + 16 * (b0 % 20) - (if (cropped) 8 else 0),
+                height = 144 + 16 * (b1 % 15) - (if (cropped) 4 else 0))).get
+            (id, m.profile, m.profileIdc, m.levelIdc, m.width, m.height,
               m.nNal, m.nSps, m.nPps, m.nIdr, m.nNonIdr)
           }
         }
         .toDF("id", "profile", "profile_idc", "level_idc",
-          "n_nal", "n_sps", "n_pps", "n_idr", "n_non_idr")
+          "width", "height", "n_nal", "n_sps", "n_pps", "n_idr", "n_non_idr")
         .orderBy("id")
     }),
     // WebM/Matroska (EBML) census — with multimodal_mp4_meta this
@@ -5709,6 +5759,23 @@ object SparkEntry {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ZIP64 must census to the SAME values as the 32-bit layout — the
+    // oracle is deliberately identical to zip_census.
+    "zip64_census" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS method,
+        |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
+        |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Long names rebuilt arithmetically: deep/ + 96+(id%8) p's +
+    // /doc_<id>.txt; payload bytes are the documents' UTF-8 lengths.
+    "tar_longname_census" ->
+      """SELECT doc_id,
+        |       'deep/' || repeat('p', CAST(96 + doc_id % 8 AS INT)) ||
+        |         '/doc_' || doc_id || '.txt' AS member_name,
+        |       CAST(strlen('deep/' || repeat('p', CAST(96 + doc_id % 8 AS INT)) ||
+        |         '/doc_' || doc_id || '.txt') AS BIGINT) AS name_len,
+        |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Every replica re-derived: same md5(id:rep) 16-bit value, same
     // Poisson(1) inverse-CDF table, exact integer sums.
     "eval_bootstrap" ->
@@ -6716,7 +6783,9 @@ object SparkEntry {
         |FROM src ORDER BY id""".stripMargin,
     // The NAL census re-derived arithmetically from the same document
     // bytes the in-plan Annex-B builder consumed (1 SPS + 1 PPS +
-    // nIdr + nNonIdr framed units).
+    // nIdr + nNonIdr framed units); width/height replay the builder's
+    // dimension arithmetic, which the engine must recover through the
+    // actual Exp-Golomb SPS walk (incl. the cropping rows).
     "multimodal_h264_meta" ->
       """WITH src AS (
         |  SELECT doc_id AS id,
@@ -6730,6 +6799,10 @@ object SparkEntry {
         |            ELSE 100 END AS INT) AS profile_idc,
         |       CAST(CASE b1 % 5 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
         |            WHEN 3 THEN 41 ELSE 50 END AS INT) AS level_idc,
+        |       CAST(176 + 16 * (b0 % 20)
+        |            - CASE WHEN b1 % 3 = 0 THEN 8 ELSE 0 END AS INT) AS width,
+        |       CAST(144 + 16 * (b1 % 15)
+        |            - CASE WHEN b1 % 3 = 0 THEN 4 ELSE 0 END AS INT) AS height,
         |       CAST(5 + b0 % 3 + b1 % 5 AS INT) AS n_nal,
         |       CAST(1 AS INT) AS n_sps, CAST(1 AS INT) AS n_pps,
         |       CAST(1 + b0 % 3 AS INT) AS n_idr,

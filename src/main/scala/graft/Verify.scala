@@ -23,6 +23,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // name first, THEN execute: engine warnings (large task binary,
+      // codegen fallback…) land after the name in the log, so a grep
+      // attributes them to the right query.
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -169,11 +169,89 @@ case class BloomBuildAgg(
 }
 
 /**
+ * Driver-side registry of broadcast Bloom filters. The function
+ * registry's plan builders only accept Expressions, so a Broadcast
+ * handle cannot ride the SQL surface directly; instead the caller
+ * broadcasts the filter bytes, registers the handle here, and passes
+ * the returned TAG as a string literal — the builder resolves the tag
+ * back to the handle at PLAN time (driver-side). The task binary then
+ * carries a ~100-byte broadcast reference instead of the filter
+ * bytes: executors fetch the blob ONCE via the broadcast manager
+ * rather than per-stage inside every task closure (a 240 KB filter as
+ * a plan literal was re-serializing into each of the join's stages —
+ * the "large task binary" class; at 1000 executors × many stages that
+ * is real driver egress).
+ */
+object BloomBroadcastRegistry {
+  private val tags = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+  private val ctr = new java.util.concurrent.atomic.AtomicLong()
+
+  def register(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): String = {
+    val tag = s"bloom-bc-${ctr.incrementAndGet()}"
+    tags.put(tag, bc)
+    tag
+  }
+
+  def lookup(tag: String): org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
+    val bc = tags.get(tag)
+    require(bc != null, s"unknown bloom broadcast tag: $tag")
+    bc
+  }
+
+  /** Drop a tag (the Broadcast itself is the caller's to destroy). */
+  def deregister(tag: String): Unit = tags.remove(tag)
+}
+
+/**
+ * `bloom_probe_broadcast(tag, keyHash)` resolves to this: the probe of
+ * [[BloomMightContainExpr]] with the filter held as a BROADCAST handle
+ * instead of a plan literal. Codegen caches `bc.value()` in a mutable
+ * state slot, so per row it is the same O(numHashes) byte reads — the
+ * only difference is where the bytes live (broadcast block manager,
+ * fetched once per executor, vs inline in every task binary).
+ */
+case class BloomMightContainBroadcast(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_probe_broadcast expects a bigint key hash, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(hash: Any): Any =
+    BloomKernels.mightContain(bc.value, hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val filterVar = ctx.addMutableState("byte[]", "graftBloomBytes",
+      v => s"$v = (byte[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = graft.functions.BloomKernels.mightContain($filterVar, $h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_probe_broadcast"
+}
+
+/**
  * `bloom_might_contain(filter, keyHash)` — true iff the key MAY be in
  * the filter (no false negatives). Codegen'd: the generated code calls
  * the static kernel probe, so the filter (typically a literal — one
  * broadcast reference object per task) costs O(numHashes) byte reads
- * per row inside WholeStageCodegen.
+ * per row inside WholeStageCodegen. For filters past ~100 KB prefer
+ * the broadcast form ([[BloomMightContainBroadcast]] via
+ * `bloom_probe_broadcast`): a large literal re-serializes into every
+ * stage's task binary.
  */
 case class BloomMightContainExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -156,6 +156,20 @@ object GraftFunctions {
     ("bloom_might_contain",
       (es: Seq[Expression]) => { requireArity(es, 2, "bloom_might_contain"); BloomMightContainExpr(es(0), es(1)) },
       "_FUNC_(filter, keyHash) - true iff the key may be in the Bloom filter (no false negatives)."),
+    ("bloom_probe_broadcast",
+      (es: Seq[Expression]) => {
+        requireArity(es, 2, "bloom_probe_broadcast")
+        val tag = es(0) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.StringType =>
+            e.eval().toString
+          case _ => throw new IllegalArgumentException(
+            "bloom_probe_broadcast tag must be a string literal")
+        }
+        // tag -> Broadcast handle, resolved at PLAN time on the driver;
+        // the expression serializes the handle, never the filter bytes
+        BloomMightContainBroadcast(BloomBroadcastRegistry.lookup(tag), es(1))
+      },
+      "_FUNC_(tag, keyHash) - Bloom probe against a registered BROADCAST filter (task binary carries the handle, not the bytes)."),
     ("content_chunk_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 2, "content_chunk_hashes")
@@ -275,6 +289,13 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
   def bloomMightContain(filter: Column, keyHash: Column): Column =
     call_function("bloom_might_contain", filter, keyHash)
+
+  /** Probe against a broadcast filter registered in
+    * [[BloomBroadcastRegistry]] — use for filters past ~100 KB so the
+    * bytes ship once per executor, not once per stage per task binary. */
+  def bloomProbeBroadcast(tag: String, keyHash: Column): Column =
+    call_function("bloom_probe_broadcast",
+      org.apache.spark.sql.functions.lit(tag), keyHash)
 }
 
 /**

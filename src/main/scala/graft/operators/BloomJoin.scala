@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
  * row filters AQE injects when statistics allow; owning it makes the
  * behavior deterministic and configurable per pipeline.
  *
- * The filter travels driver→executors as a literal (one broadcast
- * reference object, numBits/8 bytes) — same driver-side footprint as
- * the IVF centroid ranking: bounded by the knob, never by the data.
+ * The filter travels driver→executors as a BROADCAST variable: the
+ * plan (and every stage's task binary) carries only the ~100-byte
+ * broadcast handle, and executors fetch the numBits/8-byte blob once
+ * via the broadcast manager. (The earlier literal form re-serialized
+ * the filter into each stage's task closure — Spark's "Broadcasting
+ * large task binary" warning; at 1000 executors × several stages that
+ * is filter-size × stages of driver egress per query, for no reason.)
+ * Driver-side footprint stays bounded by the knob, never by the data.
  * Null fact keys may pass the probe (xxhash64 hashes null to its
  * seed) and are then dropped by the exact equi-join, exactly as they
  * would be without pruning.
@@ -47,7 +52,9 @@ object BloomJoin {
     val filter = dim
       .agg(GraftFunctions.bloomBuild(xxhash64(col(dimKey)), numBits, numHashes).as("bf"))
       .head().getAs[Array[Byte]](0)
-    fact.filter(GraftFunctions.bloomMightContain(lit(filter), xxhash64(col(factKey))))
+    val bc = fact.sparkSession.sparkContext.broadcast(filter)
+    val tag = graft.functions.BloomBroadcastRegistry.register(bc)
+    fact.filter(GraftFunctions.bloomProbeBroadcast(tag, xxhash64(col(factKey))))
   }
 
   /**

@@ -59,8 +59,11 @@ object ArchiveExport {
       nShards: Int): DataFrame =
     runs(sharded(docs, idCol, textCol, nShards))(ArchiveCodec.buildTar(_))
 
-  /** documents → one zip image per shard (STORED): (shard, archive). */
+  /** documents → one zip image per shard (STORED): (shard, archive).
+    * `forceZip64` emits the 64-bit structures a >4 GiB shard would
+    * (saturated EOCD + locator/record + per-entry 0x0001 extras). */
   def exportZipShards(docs: DataFrame, idCol: String, textCol: String,
-      nShards: Int): DataFrame =
-    runs(sharded(docs, idCol, textCol, nShards))(ArchiveCodec.buildZip)
+      nShards: Int, forceZip64: Boolean = false): DataFrame =
+    runs(sharded(docs, idCol, textCol, nShards))(
+      ArchiveCodec.buildZip(_, forceZip64))
 }

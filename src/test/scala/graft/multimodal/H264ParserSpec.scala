@@ -17,10 +17,33 @@ class H264ParserSpec extends AnyFunSuite {
         H264Parser.buildAnnexB(pidc, lvl, nIdr, nNonIdr)).get
       assert(m.profile === pname)
       assert(m.profileIdc === pidc && m.levelIdc === lvl)
+      assert(m.width === 320 && m.height === 240) // builder default
       assert(m.nSps === 1 && m.nPps === 1)
       assert(m.nIdr === nIdr && m.nNonIdr === nNonIdr)
       assert(m.nNal === 2 + nIdr + nNonIdr)
     }
+  }
+
+  test("SPS Exp-Golomb walk recovers dimensions across mb-grid and crop shapes") {
+    for {
+      pidc <- Seq(66, 77, 100) // 100 exercises the chroma-format branch
+      (w, h) <- Seq((16, 16), (176, 144), (320, 240), (1280, 720),
+        (1920, 1080), (3840, 2160), // 1080 = 68 mbs * 16 - 8: cropping
+        (426, 240), (854, 480)) // non-multiple-of-16 both axes
+    } {
+      val m = H264Parser.parseAnnexB(
+        H264Parser.buildAnnexB(pidc, 40, 1, 1, width = w, height = h)).get
+      assert(m.width === w && m.height === h, s"pidc=$pidc ${w}x$h")
+    }
+  }
+
+  test("emulation prevention: large mb counts with 00 00 runs still round-trip") {
+    // a wide frame makes pic_width_in_mbs_minus1's Golomb prefix long
+    // (many zero bits -> 00 00 byte runs), forcing escapeRbsp/deEscape
+    // to actually fire; 8192/16 - 1 = 511 = 10 zero-bit prefix
+    val m = H264Parser.parseAnnexB(
+      H264Parser.buildAnnexB(66, 50, 1, 0, width = 8192, height = 4320)).get
+    assert(m.width === 8192 && m.height === 4320)
   }
 
   test("3-byte and 4-byte start codes both frame NAL units") {

@@ -75,6 +75,44 @@ class BloomJoinSpec extends SparkFunSuite {
       s"probe pruned nothing: $surviving of $total rows survived")
   }
 
+  test("broadcast probe: identical verdicts to the literal probe, codegen-fused") {
+    GraftFunctions.register(spark)
+    val filter = BloomKernels.create(BloomKernels.optimalNumBits(500, 0.01),
+      BloomKernels.optimalNumHashes(500, BloomKernels.optimalNumBits(500, 0.01)))
+    (0L until 500L).foreach(i => BloomKernels.put(filter, i * 31L))
+    val bc = spark.sparkContext.broadcast(filter)
+    val tag = graft.functions.BloomBroadcastRegistry.register(bc)
+    try {
+      val hashes = spark.range(2000).select((col("id") * 7L).as("h"))
+      val viaLit = hashes
+        .filter(GraftFunctions.bloomMightContain(lit(filter), col("h")))
+        .as[Long].collect().sorted
+      val dfBc = hashes
+        .filter(GraftFunctions.bloomProbeBroadcast(tag, col("h")))
+      val viaBc = dfBc.as[Long].collect().sorted
+      assert(viaBc === viaLit)
+      // the filter BYTES must not appear in the plan (only the handle)
+      val plan = dfBc.queryExecution.executedPlan
+      val codegen = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          w.collect { case f: org.apache.spark.sql.execution.FilterExec => f }
+      }.flatten
+      assert(codegen.nonEmpty, s"broadcast probe fell out of codegen:\n$plan")
+      assert(!plan.toString.contains("0x"), "filter bytes leaked into the plan")
+    } finally graft.functions.BloomBroadcastRegistry.deregister(tag)
+  }
+
+  test("unknown broadcast tag fails at plan time with a clear message") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.range(1)
+        .filter(GraftFunctions.bloomProbeBroadcast("no-such-tag", col("id")))
+        .collect()
+    }
+    assert(e.getMessage.contains("no-such-tag") ||
+      e.getCause != null && e.getCause.getMessage.contains("no-such-tag"), e)
+  }
+
   test("probe stays inside WholeStageCodegen (no interpreted filter barrier)") {
     GraftFunctions.register(spark)
     val filter = BloomKernels.create(1024, 3)

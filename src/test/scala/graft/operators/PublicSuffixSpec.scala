@@ -62,4 +62,47 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(registeredDomain("myblog.blogspot.com") === "myblog.blogspot.com")
     assert(registeredDomain("app.herokuapp.com") === "app.herokuapp.com")
   }
+
+  test("full rule set loaded: thousands of rules, all three kinds") {
+    assert(PublicSuffix.Rules.size > 8000, PublicSuffix.Rules.size)
+    assert(PublicSuffix.Wildcards.size > 20, PublicSuffix.Wildcards.size)
+    assert(PublicSuffix.Exceptions.size >= 8, PublicSuffix.Exceptions.size)
+    // multi-label wildcard parents and their exception carve-outs
+    assert(PublicSuffix.Wildcards.contains("kawasaki.jp"))
+    assert(PublicSuffix.Exceptions.contains("city.kawasaki.jp"))
+    assert(registeredDomain("foo.anything.kawasaki.jp") === "foo.anything.kawasaki.jp")
+    assert(registeredDomain("sub.city.kawasaki.jp") === "city.kawasaki.jp")
+    // a rare ccTLD registry the hand-audited subset lacked
+    assert(registeredDomain("shop.example.com.bn") === "example.com.bn")
+  }
+
+  test("official publicsuffix.org test vectors (checkPublicSuffix file)") {
+    // The published test file, verbatim from the PSL distribution.
+    // Semantics mapping: checkPublicSuffix(host, null) means the host
+    // has NO registrable domain (it IS a public suffix, a single
+    // label, or malformed) — our total function returns such hosts
+    // unchanged, so null-expected well-formed hosts assert identity,
+    // and malformed hosts (leading dot = empty label) are skipped as
+    // un-parseable by the upstream URL layer. Unicode vectors run in
+    // A-label space (UrlOps punycodes hosts before the PSL walk).
+    val in = getClass.getResourceAsStream("/graft/test_psl.txt")
+    assert(in != null, "missing test resource graft/test_psl.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val Vec = """checkPublicSuffix\('?([^',]*)'?,\s*'?([^');]*)'?\);""".r
+    var ran = 0
+    try src.getLines().map(_.trim).filter(_.startsWith("checkPublicSuffix")).foreach {
+      case Vec(rawIn, rawExp) if rawIn != "null" && !rawIn.startsWith(".") =>
+        def ascii(h: String) = {
+          val lc = h.toLowerCase
+          if (lc.exists(_ > 0x7f)) Punycode.hostToAscii(lc).getOrElse(lc) else lc
+        }
+        val host = ascii(rawIn)
+        val got = registeredDomain(host)
+        if (rawExp == "null") assert(got === host, s"vector $rawIn -> null")
+        else assert(got === ascii(rawExp), s"vector $rawIn -> $rawExp")
+        ran += 1
+      case _ => () // null input, leading-dot (malformed host), comments
+    } finally src.close()
+    assert(ran > 60, s"only $ran vectors ran — parse regression?")
+  }
 }

@@ -103,4 +103,69 @@ class ArchiveCodecSpec extends AnyFunSuite {
     for (n <- Seq(0, 21, 22, 100, 4096))
       ArchiveCodec.parseZip(Array.fill[Byte](n)(rnd.nextInt().toByte))
   }
+
+  test("tar: GNU 'L' longname round trip — member surfaces under its full name") {
+    val long = "very/deep/" + ("d" * 120) + "/leaf.txt" // 139 bytes > 100
+    val tar = ArchiveCodec.buildTar(Iterator(
+      "short.txt" -> "a".getBytes(UTF_8),
+      long -> "payload".getBytes(UTF_8)), mtime = 99L)
+    val got = ArchiveCodec.parseTar(tar)
+    // the 'L' metadata entry does NOT surface; the member carries the name
+    assert(got.map(_.name) === Seq("short.txt", long))
+    assert(got.map(_.type_flag) === Seq("0", "0"))
+    assert(got(1).size === 7L && got(1).mtime === 99L)
+  }
+
+  test("tar: PAX 'x' path record round trip, and the system tar agrees") {
+    val long = "pax/" + ("p" * 110) + "/file.bin" // 123 bytes > 100
+    val tar = ArchiveCodec.buildTar(Iterator(
+      long -> "12345".getBytes(UTF_8)), paxLongNames = true)
+    val got = ArchiveCodec.parseTar(tar)
+    assert(got.map(_.name) === Seq(long))
+    assert(got.head.size === 5L)
+  }
+
+  test("tar: system GNU tar lists our long-name archives identically") {
+    // cross-validate against an independent implementation, both forms
+    val long = "x/" + ("q" * 150) + "/z.txt"
+    for (pax <- Seq(false, true)) {
+      val tar = ArchiveCodec.buildTar(Iterator(
+        long -> "abc".getBytes(UTF_8)), paxLongNames = pax)
+      val f = java.io.File.createTempFile("graft_ln", ".tar")
+      try {
+        java.nio.file.Files.write(f.toPath, tar)
+        val proc = new ProcessBuilder("tar", "-tf", f.getAbsolutePath)
+          .redirectErrorStream(true).start()
+        val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+        assert(proc.waitFor() === 0, s"tar -tf failed (pax=$pax): $out")
+        assert(out.trim === long, s"pax=$pax listed: $out")
+      } finally f.delete()
+    }
+  }
+
+  test("zip: ZIP64 structures (EOCD locator/record + 0x0001 extra) census exactly") {
+    val zip = ArchiveCodec.buildZip(members.iterator, forceZip64 = true)
+    val got = ArchiveCodec.parseZip(zip)
+    assert(got.map(e => (e.name, e.method, e.csize, e.usize)) ===
+      members.map { case (n, p) =>
+        (n, 0, p.length.toLong, p.length.toLong) })
+    // and the JDK agrees the archive is readable end-to-end
+    val zis = new ZipInputStream(new java.io.ByteArrayInputStream(zip))
+    val names = Iterator.continually(zis.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toSeq
+    assert(names === members.map(_._1))
+  }
+
+  test("zip: saturated EOCD with a corrupt ZIP64 record yields empty, not garbage") {
+    val zip = ArchiveCodec.buildZip(members.iterator, forceZip64 = true)
+    // break the ZIP64 EOCD record signature the locator points to
+    val locator = zip.length - 22 - 20
+    val z64Off = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (zip(locator + 8 + i) & 0xffL); i -= 1 }
+      v.toInt
+    }
+    val bad = zip.clone(); bad(z64Off + 3) = 0x55
+    assert(ArchiveCodec.parseZip(bad) === Seq.empty)
+  }
 }
