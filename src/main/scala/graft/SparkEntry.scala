@@ -2903,6 +2903,144 @@ object SparkEntry {
       graft.operators.LinkRank.pageRank(edges, iters = 5)
         .orderBy("domain")
     }),
+    // Link communities — deterministic synchronous label propagation
+    // over the same domain graph crawl_rank ranks: each round every
+    // domain adopts its neighbors' most frequent label (least label
+    // on ties), pure count/min aggregates, so three shuffled rounds
+    // are exact under any partitioning (the textbook random-order LPA
+    // is non-reproducible by construction). Curation treats a
+    // community — mirror ring, partner cluster — as one unit.
+    "crawl_communities" -> ((s, d) => {
+      import s.implicits._
+      val edges = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val q = id % 4
+          val tld = if (h % 3 == 0) "co.uk" else "com"
+          val src = s"site$h.$tld"
+          Seq((src, s"partner$q.example"), (src, s"site$h.com"), (src, src))
+        }
+        .toDF("src", "dst")
+      graft.operators.LinkRank.labelPropagation(edges, iters = 3)
+        .orderBy("domain")
+    }),
+    // Anchor-text aggregation — the link graph's EDGE LABELS: inbound
+    // anchor text is the classic third-party description of the
+    // TARGET (the signal early web search weighted above on-page
+    // words). Extraction handles entity-encoded text, markup nested
+    // inside the anchor, and named anchors; hrefs resolve against the
+    // page URL and group by the target's registrable domain. Shape:
+    // scan-local extract+resolve flatMap, one (domain) hash aggregate
+    // — anchor strings shuffle, pages never do.
+    "crawl_anchor_text" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val q = id % 4
+          val tld = if (h % 3 == 0) "co.uk" else "com"
+          val pageUrl = s"https://www.site$h.$tld/d${id % 7}/page"
+          val html =
+            s"""<html><body>
+               |<a href="https://partner$q.example/x">review $q &amp; deals</a>
+               |<a href="/about"><b>about</b> site$h</a>
+               |<a href="//cdn.site$h.com/asset">cdn $h</a>
+               |<a name="top">not a link</a>
+               |</body></html>""".stripMargin
+          graft.operators.HtmlExtract.anchors(html).flatMap {
+            case (href, text) =>
+              graft.operators.UrlOps.resolve(pageUrl, href)
+                .flatMap(graft.operators.UrlOps.parse)
+                .map(u => (graft.operators.UrlOps.registeredDomain(u.host),
+                  text))
+          }
+        }
+        .toDF("dst_domain", "anchor")
+        .groupBy("dst_domain")
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("anchor")).as("n_texts"),
+          min(col("anchor")).as("top_text"))
+        .orderBy("dst_domain")
+    }),
+    // Crawl depth — BFS layers from a seed set over the directed
+    // domain graph (min-plus frontier iteration, integral depths):
+    // the "seeds + N hops" scope cut and the Frontier's scheduling
+    // prior. Unreached domains are absent, which IS the scope
+    // decision. The oracle replays each wave as a chained CTE.
+    "crawl_depth" -> ((s, d) => {
+      import s.implicits._
+      val edges = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val q = id % 4
+          val tld = if (h % 3 == 0) "co.uk" else "com"
+          val src = s"site$h.$tld"
+          Seq((src, s"partner$q.example"), (src, s"site$h.com"), (src, src))
+        }
+        .toDF("src", "dst")
+      val seeds = Seq("site0.co.uk", "site3.co.uk").toDF("domain")
+      graft.operators.LinkRank.bfsDepth(edges, seeds, maxDepth = 3)
+        .orderBy("domain")
+    }),
+    // Margin-based bitext mining (the CCMatrix/LASER recipe): en↔de
+    // translation-pair candidates scored by cosine normalized against
+    // each side's k-NN neighborhood mean, mutual-best + threshold.
+    // All post-cosine arithmetic runs on a micro-integer grid, so the
+    // mined set is bit-exact and the oracle replays it. Candidates
+    // here are the brute-force cross product (de side broadcast,
+    // scan-local codegen cosine kernels); at 100 TB the ANN family
+    // generates candidates instead — the operator only scores.
+    "bitext_mining" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = table(s, d, "documents")
+      val emb = table(s, d, "embeddings")
+      val a = docs.filter(col("lang") === "en")
+        .select(col("doc_id").as("x_id"))
+        .join(emb.select(col("vec_id").as("x_id"),
+          col("embedding").as("xv")), "x_id")
+      val b = docs.filter(col("lang") === "de")
+        .select(col("doc_id").as("y_id"))
+        .join(emb.select(col("vec_id").as("y_id"),
+          col("embedding").as("yv")), "y_id")
+      val cands = a.crossJoin(broadcast(b))
+        .select(col("x_id"), col("y_id"),
+          floor(GraftFunctions.knnCosineSimilarity(col("xv"), col("yv")) *
+            lit(1000000.0) + lit(0.5)).as("cos_micro"))
+      BitextMining.marginPairs(cands, "x_id", "y_id", "cos_micro")
+        .orderBy("x_id")
+    }),
+    // pass@k evaluation card (Chen et al. 2021, the unbiased
+    // estimator): per task with n samples and c correct,
+    // pass@k = 1 - C(n-c,k)/C(n,k). Both binomials reduce to falling
+    // factorials computed EXACTLY in BIGINT (a zero factor handles
+    // n-c < k), then one double division per k — cross-engine exact.
+    // The canonical model-eval aggregate: one hash aggregate over
+    // per-sample verdicts, driver state zero.
+    "eval_pass_at_k" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy(expr("doc_id div 8").as("task_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") % 3 === 0, 1L).otherwise(0L)).as("c"))
+        .filter(col("n") >= 4)
+        .select(col("task_id"), col("n"), col("c"),
+          round(col("c").cast("double") / col("n").cast("double"), Scale)
+            .as("pass_at_1"),
+          round(lit(1.0) -
+            ((col("n") - col("c")) * (col("n") - col("c") - 1) *
+              (col("n") - col("c") - 2) * (col("n") - col("c") - 3))
+              .cast("double") /
+            (col("n") * (col("n") - 1) * (col("n") - 2) * (col("n") - 3))
+              .cast("double"), Scale).as("pass_at_4"))
+        .orderBy("task_id")),
     // Hour-of-day reliability card: Wilson lower bound on the
     // non-error event fraction per ingestion hour — 3/3 clean cannot
     // outrank 960/1000 clean (same generic sourceWilson operator, a
@@ -3750,6 +3888,71 @@ object SparkEntry {
     (head +: steps).mkString(",\n") +
       s"\nSELECT v AS domain, CAST(r AS BIGINT) AS rank_micros " +
       s"FROM r$iters ORDER BY domain"
+  }
+
+  /** The crawl fixture's edge + vertex CTEs, shared by the four
+    * link-graph oracles (PageRank, HITS, label propagation, BFS). */
+  private val linkGraphCtes: String =
+    """WITH src AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id
+      |  FROM documents WHERE text IS NOT NULL),
+      |dd AS (
+      |  SELECT DISTINCT id % 10 AS h, id % 4 AS q,
+      |         CASE WHEN (id % 10) % 3 = 0 THEN 'co.uk' ELSE 'com' END AS tld
+      |  FROM src),
+      |e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT 'site' || h || '.' || tld AS src,
+      |         'partner' || q || '.example' AS dst FROM dd
+      |  UNION ALL SELECT 'site' || h || '.' || tld,
+      |         'site' || h || '.com' FROM dd
+      |  UNION ALL SELECT 'site' || h || '.' || tld,
+      |         'site' || h || '.' || tld FROM dd))""".stripMargin
+
+  /** crawl_communities' oracle: one chained CTE per synchronous LPA
+    * round — neighbor label counts, the per-vertex max, least label
+    * among the tied winners. Pure count/min: no tolerance. */
+  private def lpaOracle(iters: Int): String = {
+    val head = linkGraphCtes +
+      """,
+        |u AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e
+        |  UNION ALL SELECT dst, src FROM e) WHERE a != b),
+        |verts AS (SELECT DISTINCT a AS v FROM u),
+        |l0 AS (SELECT v, v AS label FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""cnt$i AS (
+         |  SELECT u.a AS v, l.label, count(*) AS cnt
+         |  FROM u JOIN l${i - 1} l ON l.v = u.b GROUP BY 1, 2),
+         |top$i AS (SELECT v, max(cnt) AS mc FROM cnt$i GROUP BY v),
+         |l$i AS (
+         |  SELECT verts.v, COALESCE(w.label, verts.v) AS label
+         |  FROM verts LEFT JOIN (
+         |    SELECT c.v, min(c.label) AS label
+         |    FROM cnt$i c JOIN top$i t ON t.v = c.v AND c.cnt = t.mc
+         |    GROUP BY c.v) w ON w.v = verts.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS domain, label AS community FROM l$iters ORDER BY domain"
+  }
+
+  /** crawl_depth's oracle: one chained CTE per BFS wave — frontier
+    * joins the edge list, already-reached vertices excluded, depths
+    * accumulate. Integral throughout. */
+  private def bfsOracle(maxDepth: Int): String = {
+    val head = linkGraphCtes +
+      """,
+        |seeds AS (SELECT 'site0.co.uk' AS v UNION ALL SELECT 'site3.co.uk'),
+        |f0 AS (SELECT DISTINCT v, CAST(0 AS BIGINT) AS d FROM seeds),
+        |d0 AS (SELECT * FROM f0)""".stripMargin
+    val steps = (1 to maxDepth).map { i =>
+      s"""f$i AS (
+         |  SELECT DISTINCT e.dst AS v, CAST($i AS BIGINT) AS d
+         |  FROM e JOIN f${i - 1} ON e.src = f${i - 1}.v
+         |  WHERE e.dst NOT IN (SELECT v FROM d${i - 1})),
+         |d$i AS (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM f$i)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS domain, d AS depth FROM d$maxDepth ORDER BY domain"
   }
 
   /** crawl_hits' oracle: the pageRankOracle edge CTEs, then `iters`
@@ -7075,6 +7278,103 @@ object SparkEntry {
     // from current hubs, hub from the NEW auths — both engines run
     // the identical Long recurrence.
     "crawl_hits" -> hitsOracle(4),
+    // Same edge CTEs, then 3 synchronous label-propagation rounds —
+    // neighbor-label counts, per-vertex max, least label among ties.
+    "crawl_communities" -> lpaOracle(3),
+    // Anchor rows re-derived from the residues: entity decoding
+    // ("&amp;" -> "&"), nested-markup stripping, URL resolution, and
+    // registrable-domain grouping all replayed arithmetically.
+    "crawl_anchor_text" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT id % 10 AS h, id % 4 AS q,
+        |         CASE WHEN (id % 10) % 3 = 0 THEN 'co.uk' ELSE 'com' END AS tld
+        |  FROM src),
+        |a AS (
+        |  SELECT 'partner' || q || '.example' AS dst_domain,
+        |         'review ' || q || ' & deals' AS anchor FROM r
+        |  UNION ALL
+        |  SELECT 'site' || h || '.' || tld, 'about site' || h FROM r
+        |  UNION ALL
+        |  SELECT 'site' || h || '.com', 'cdn ' || h FROM r)
+        |SELECT dst_domain, CAST(count(*) AS BIGINT) AS n_anchors,
+        |       CAST(count(DISTINCT anchor) AS BIGINT) AS n_texts,
+        |       min(anchor) AS top_text
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same edge CTEs, then 3 BFS waves from the two seeds — frontier
+    // join, reached-set exclusion, integral depths.
+    "crawl_depth" -> bfsOracle(3),
+    // Margin mining replayed: the identical micro-integer pipeline —
+    // floor(cos·1e6+0.5) quantization (list_inner_product cosine, the
+    // knn-proven replay), positive filter, per-side top-4 neighbor
+    // means (integral), ×2e6 margin ratio (// equals Spark's div on
+    // the non-negative grid), mutual-best, threshold.
+    "bitext_mining" ->
+      """WITH ae AS (
+        |  SELECT d.doc_id AS x_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.lang = 'en'),
+        |be AS (
+        |  SELECT d.doc_id AS y_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.lang = 'de'),
+        |pairs AS (
+        |  SELECT x_id, y_id,
+        |         CAST(floor(1000000.0 * (list_inner_product(a.v, b.v) /
+        |           (sqrt(list_inner_product(a.v, a.v)) *
+        |            sqrt(list_inner_product(b.v, b.v)))) + 0.5) AS BIGINT)
+        |           AS cos_micro
+        |  FROM ae a CROSS JOIN be b),
+        |pos AS (SELECT * FROM pairs WHERE cos_micro > 0),
+        |rx AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY x_id ORDER BY cos_micro DESC, y_id) AS rn FROM pos),
+        |mx AS (SELECT x_id, CAST(sum(cos_micro) // count(*) AS BIGINT) AS mnn_x
+        |       FROM rx WHERE rn <= 4 GROUP BY x_id),
+        |ry AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY y_id ORDER BY cos_micro DESC, x_id) AS rn FROM pos),
+        |my AS (SELECT y_id, CAST(sum(cos_micro) // count(*) AS BIGINT) AS mnn_y
+        |       FROM ry WHERE rn <= 4 GROUP BY y_id),
+        |scored AS (
+        |  SELECT p.x_id, p.y_id, p.cos_micro,
+        |         CAST((p.cos_micro * 2000000) // (mx.mnn_x + my.mnn_y)
+        |              AS BIGINT) AS margin_micro
+        |  FROM pos p JOIN mx USING (x_id) JOIN my USING (y_id)
+        |  WHERE mx.mnn_x + my.mnn_y > 0),
+        |bx AS (
+        |  SELECT x_id, y_id, cos_micro, margin_micro FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY x_id ORDER BY margin_micro DESC, y_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |by_ AS (
+        |  SELECT x_id, y_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY y_id ORDER BY margin_micro DESC, x_id) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT bx.x_id, bx.y_id, bx.cos_micro, bx.margin_micro,
+        |       (by_.x_id IS NOT NULL) AS mutual,
+        |       (by_.x_id IS NOT NULL AND bx.margin_micro > 1050000) AS is_mined
+        |FROM bx LEFT JOIN by_ ON by_.x_id = bx.x_id AND by_.y_id = bx.y_id
+        |ORDER BY bx.x_id""".stripMargin,
+    // pass@k replayed: the same falling-factorial BIGINT products and
+    // the single double division per k.
+    "eval_pass_at_k" ->
+      """WITH t AS (
+        |  SELECT doc_id // 8 AS task_id, count(*) AS n,
+        |         CAST(sum(CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c
+        |  FROM documents GROUP BY 1 HAVING count(*) >= 4)
+        |SELECT task_id, n, c,
+        |       round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pass_at_1,
+        |       round(1.0 -
+        |         CAST((n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3)
+        |              AS DOUBLE) /
+        |         CAST(n * (n - 1) * (n - 2) * (n - 3) AS DOUBLE), 6)
+        |         AS pass_at_4
+        |FROM t ORDER BY task_id""".stripMargin,
     // Canonical keys re-derived arithmetically: with canonical ->
     // resolved /item<g>; without (id % 5 = 0) -> the normalized fetch
     // URL (already in normal form by construction).

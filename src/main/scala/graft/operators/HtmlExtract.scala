@@ -143,6 +143,96 @@ object HtmlExtract {
     None
   }
 
+  /** (href, anchor text) pairs in document order — the link graph's
+    * EDGE LABELS: inbound anchor text is the classic description of
+    * the TARGET page (the signal early web search weighted above the
+    * page's own words), and aggregating it per target domain gives a
+    * keyword profile no on-page analysis can. Anchor text is the
+    * visible text between `<a href=…>` and `</a>` with nested markup
+    * stripped (`<a><b>bold</b></a>` → "bold"), entities decoded, and
+    * whitespace collapsed; named anchors (no href) contribute
+    * nothing; an unclosed anchor runs to the next `<a` or EOF
+    * (browser recovery). Scan-local like [[extract]]. */
+  def anchors(html: String): Seq[(String, String)] = {
+    if (html == null) return Nil
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var curHref: String = null
+    val curText = new StringBuilder
+    var i = 0
+
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    def tagEnd(from: Int): Int = {
+      var p = from
+      var quote: Char = 0
+      while (p < n) {
+        val c = html.charAt(p)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return p + 1
+        p += 1
+      }
+      n
+    }
+    def boundary(p: Int): Boolean =
+      p >= n || !Character.isLetterOrDigit(html.charAt(p))
+    def flush(): Unit = {
+      if (curHref != null) out += ((curHref, collapseWs(curText.toString)))
+      curHref = null
+      curText.setLength(0)
+    }
+
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if ((lowerAt(i, "<script") && boundary(i + 7)) ||
+            (lowerAt(i, "<style") && boundary(i + 6))) {
+          val name = if (lowerAt(i, "<script")) "script" else "style"
+          var p = tagEnd(i)
+          var end = n
+          var done = false
+          while (!done && p < n) {
+            if (lowerAt(p, "</" + name) && boundary(p + 2 + name.length)) {
+              end = tagEnd(p); done = true
+            } else p += 1
+          }
+          i = end
+        } else if (lowerAt(i, "<a") && boundary(i + 2)) {
+          flush() // a second <a> closes an unterminated one (browser rule)
+          val te = tagEnd(i)
+          curHref = attrValue(html, i, te, "href")
+            .map(v => decodeEntities(v.trim)).filter(_.nonEmpty).orNull
+          i = te
+        } else if (lowerAt(i, "</a") && boundary(i + 3)) {
+          flush()
+          i = tagEnd(i)
+        } else {
+          // other markup inside an anchor separates words, never glues
+          if (curHref != null) curText.append(' ')
+          i = tagEnd(i)
+        }
+      } else if (html.charAt(i) == '&' && curHref != null) {
+        val semi = html.indexOf(';', i + 1)
+        var decoded = false
+        if (semi > i && semi - i <= 10) {
+          decodeEntityBody(html.substring(i + 1, semi)) match {
+            case Some(str) => curText.append(str); decoded = true
+            case None      => ()
+          }
+        }
+        if (decoded) i = semi + 1 else { curText.append('&'); i += 1 }
+      } else {
+        if (curHref != null) curText.append(html.charAt(i))
+        i += 1
+      }
+    }
+    flush() // EOF closes an unterminated anchor
+    out.toSeq
+  }
+
   def extract(html: String): Extracted = {
     if (html == null) return Extracted("", "", 0, Nil)
     val n = html.length

@@ -156,4 +156,108 @@ object LinkRank {
     hub.join(auth, Seq("v"))
       .select(col("v").as("domain"), col("h").as("hub"), col("a").as("auth"))
   }
+
+  /**
+   * Synchronous label propagation (Raghavan et al. 2007) over the
+   * UNDIRECTED domain graph — the community-detection leg of the
+   * link-analysis toolkit: PageRank ranks domains, HITS separates
+   * hubs from authorities, and LPA groups them into link communities
+   * (mirror farms, forum rings, language clusters) that curation
+   * treats as units — down-weighting a whole mirror ring instead of
+   * rediscovering each member.
+   *
+   * DETERMINISTIC variant: the textbook algorithm visits vertices in
+   * random order with random tie-breaks, which is non-reproducible by
+   * construction. Here every vertex updates SIMULTANEOUSLY each round
+   * to the most frequent neighbor label, ties broken by the LEAST
+   * label string — pure count/min aggregates, so the result is exact
+   * under any partitioning. (Synchronous LPA can two-cycle on
+   * bipartite structures; a fixed iteration count makes that a
+   * bounded, reproducible artifact rather than nontermination.)
+   *
+   * Shape per round: one equality join (edges × labels) + one
+   * count aggregate + one max/min resolution aggregate — all
+   * shuffle-partial-friendly; lineage truncated per round.
+   */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    val dir = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // undirected simple graph, self-loops dropped (they vote for the
+    // incumbent label and only slow convergence)
+    val und = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val verts = und.select(col("a").as("v")).distinct().localCheckpoint(true)
+
+    var labels = verts.select(col("v"), col("v").as("label"))
+    var i = 0
+    while (i < iters) {
+      val nbr = und
+        .join(labels.select(col("v").as("b"), col("label")), "b")
+        .select(col("a").as("v"), col("label"))
+      val counts = nbr.groupBy("v", "label").agg(count(lit(1)).as("cnt"))
+      val top = counts.groupBy("v").agg(max(col("cnt")).as("mc"))
+      val winner = counts.join(top, "v")
+        .filter(col("cnt") === col("mc"))
+        .groupBy("v").agg(min(col("label")).as("label")) // least-label tie-break
+      labels = verts
+        .join(winner, Seq("v"), "left")
+        .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels.select(col("v").as("domain"), col("label").as("community"))
+  }
+
+  /**
+   * BFS depth from a seed set over the DIRECTED link graph — crawl
+   * depth: how many link hops a domain sits from the curated seeds.
+   * Depth is the frontier-scheduling prior ([[Frontier]]) and the
+   * standard crawl-scope cut ("seeds + 2 hops"); it is also the
+   * honest version of "discovery wave" metrics.
+   *
+   * Min-plus iteration, all integral: depth(v) = min over rounds of
+   * (1 + depth of any in-neighbor), seeds at 0. Exactly `maxDepth`
+   * rounds — a fixed, schedulable job graph; unreached domains are
+   * absent from the output (their depth is not ∞, it is "not in
+   * scope", which is the decision the cut needs). Each round is one
+   * equality join of the CURRENT frontier against the edge list plus
+   * one min-aggregate — the frontier (newly reached vertices only)
+   * shrinks monotonically, so late rounds are near-free.
+   */
+  def bfsDepth(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "domain",
+      maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"maxDepth must be in [1,16], got $maxDepth")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("v")).distinct()
+      .select(col("v"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var i = 1
+    while (i <= maxDepth) {
+      val reached = e
+        .join(frontier.select(col("v").as("src")), "src")
+        .select(col("dst").as("v"), lit(i.toLong).as("d"))
+        .distinct()
+      // keep only first-time discoveries: the new frontier
+      frontier = reached.join(dist.select(col("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier).localCheckpoint(true)
+      i += 1
+    }
+    dist.select(col("v").as("domain"), col("d").as("depth"))
+  }
 }

@@ -146,4 +146,37 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(UrlOps.resolve("https://www.page1.com/v2/item7", e.canonical)
       === Some("https://www.page1.com/item7"))
   }
+
+  test("anchors: href + visible text, entities decoded, nested markup stripped") {
+    val html =
+      """<a href="/a?x=1&amp;y=2">first &amp; best</a>
+        |<p>between</p>
+        |<a href='/b'><b>bold</b> tail</a>
+        |<a name="top">named, no href</a>""".stripMargin
+    assert(HtmlExtract.anchors(html) === Seq(
+      "/a?x=1&y=2" -> "first & best",
+      "/b" -> "bold tail"))
+  }
+
+  test("anchors: unclosed anchor ends at the next <a or EOF (browser recovery)") {
+    assert(HtmlExtract.anchors(
+      """<a href="/one">alpha <a href="/two">beta""") === Seq(
+      "/one" -> "alpha", "/two" -> "beta"))
+    // script/style bodies never leak into anchor text
+    assert(HtmlExtract.anchors(
+      """<a href="/x">ok<script>var a = "<a href=evil>";</script> done</a>""")
+      === Seq("/x" -> "ok done"))
+  }
+
+  test("anchors: totality on null/garbage; <abbr> is not an anchor") {
+    assert(HtmlExtract.anchors(null) === Nil)
+    assert(HtmlExtract.anchors("plain text & no tags") === Nil)
+    assert(HtmlExtract.anchors("""<abbr title="x">y</abbr>""") === Nil)
+    val rnd = new scala.util.Random(5)
+    (0 until 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(80)).map(_ =>
+        "<>&;/ab\"'=x".charAt(rnd.nextInt(11))).mkString
+      HtmlExtract.anchors(s) // must not throw
+    }
+  }
 }

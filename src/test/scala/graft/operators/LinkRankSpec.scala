@@ -121,4 +121,57 @@ class LinkRankSpec extends SparkFunSuite {
       .orderBy("domain").collect().map(_.toSeq).toSeq
     assert(a === simple)
   }
+
+  test("lpa: two cliques joined by one bridge edge settle into two communities") {
+    import spark.implicits._
+    // K4 {a1..a4} + K4 {b1..b4}, bridge a4->b1: the 3-vs-1 intra
+    // majority beats the bridge, so each clique converges to its
+    // least member's label and the communities stay separate. (K3
+    // cliques would NOT: their 2-2 ties let the min label cross the
+    // bridge — a real property of synchronous min-tie-break LPA.)
+    def k4(p: String) = for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield (s"$p$i", s"$p$j")
+    val out = LinkRank.labelPropagation(
+      (k4("a") ++ k4("b") :+ ("a4" -> "b1")).toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((1 to 4).forall(i => out(s"a$i") === "a1"), out)
+    assert((1 to 4).forall(i => out(s"b$i") === "b1"), out)
+  }
+
+  test("lpa: deterministic under repartition; least-label tie-break") {
+    import spark.implicits._
+    val edges = Seq(("m", "x"), ("m", "y"), ("n", "x"), ("n", "y"),
+      ("x", "y")).toDF("src", "dst")
+    val a = LinkRank.labelPropagation(edges, iters = 3)
+      .orderBy("domain").collect().map(_.toSeq).toSeq
+    val b = LinkRank.labelPropagation(edges.repartition(7), iters = 3)
+      .orderBy("domain").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // round 1: m's neighbors {x,y} tie 1-1 -> least label "x" wins
+    val r1 = LinkRank.labelPropagation(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1("m") === "x")
+  }
+
+  test("bfs: depths are shortest-path layers; unreached vertices absent") {
+    import spark.implicits._
+    // chain s -> a -> b -> c plus shortcut s -> b; d is unreachable
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("s", "b"),
+      ("d", "c")).toDF("src", "dst")
+    val out = LinkRank.bfsDepth(edges, Seq("s").toDF("domain"), maxDepth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("s" -> 0L, "a" -> 1L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("bfs: maxDepth truncates; multiple seeds take the minimum wave") {
+    import spark.implicits._
+    val edges = Seq(("s1", "a"), ("a", "b"), ("b", "c"), ("s2", "b"))
+      .toDF("src", "dst")
+    val out = LinkRank.bfsDepth(edges, Seq("s1", "s2").toDF("domain"),
+      maxDepth = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b is depth 1 via s2, never 2 via s1; c is beyond maxDepth
+    assert(out === Map("s1" -> 0L, "s2" -> 0L, "a" -> 1L, "b" -> 1L))
+  }
 }
