@@ -2991,6 +2991,81 @@ object SparkEntry {
       graft.operators.LinkRank.bfsDepth(edges, seeds, maxDepth = 3)
         .orderBy("domain")
     }),
+    // CSV dialect sniffing — the tabular ingestion gate: per-file
+    // delimiter (count-consistency scoring, quote-aware so embedded
+    // delimiters inside quoted fields don't fool it), quoting, header
+    // (two-row numeric heuristic), and column count from a bounded
+    // sample. Four dialects built in-plan per document — the quoted
+    // ones embed the delimiter INSIDE a quoted field, which a naive
+    // raw-count sniffer miscounts. The oracle pins every expected
+    // dialect arithmetically.
+    "csv_sniff" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .map { id =>
+          val nCols = (3 + id % 3).toInt
+          val (delim, quoted) = (id % 4) match {
+            case 0 => (",", true)
+            case 1 => (";", false)
+            case 2 => ("\t", false)
+            case _ => ("|", true)
+          }
+          val hasHeader = id % 2 == 0
+          def row(r: Int): String = (0 until nCols).map {
+            case 0 if quoted => "\"x" + delim + "y\"" // embedded delimiter
+            case 0 => s"x_$r"
+            case 1 => s"${id + r}" // numeric field
+            case j => s"t$j"
+          }.mkString(delim)
+          val header = (0 until nCols).map(j => s"c$j").mkString(delim)
+          val sample = ((if (hasHeader) Seq(header) else Nil) ++
+            (0 until 4).map(row)).mkString("\n")
+          val dd = graft.sources.CsvSniff.sniff(sample).get
+          (id, graft.sources.CsvSniff.delimiterName(dd.delimiter),
+            dd.quoted, dd.header, dd.nCols.toLong)
+        }
+        .toDF("id", "delimiter", "quoted", "header", "n_cols")
+        .orderBy("id")
+    }),
+    // Crawler-trap detection — URL-space amplification per host:
+    // URLs collapse to templates (digit runs → N, ≥8-char hex runs →
+    // H, query values dropped), and a host whose distinct URLs vastly
+    // outnumber its templates is GENERATING them (calendar, session
+    // id, tracking-param traps — all three built in-plan, next to
+    // honest article pages that stay under the threshold). Feeds
+    // Frontier as a per-host budget cap. The oracle replays every
+    // count arithmetically.
+    "crawl_trap_scores" -> ((s, d) => {
+      import s.implicits._
+      val urls = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .map { id =>
+          (id % 10) match {
+            case 0 => s"https://cal.example/events/${2000 + id % 20}/" +
+              s"${1 + id % 12}/${1 + id % 28}"
+            case 1 => s"https://shop.example/s/" +
+              f"${(id * 2654435761L) % 4294967296L}%08x/item"
+            case 2 => s"https://track.example/p?page=${id % 9}" +
+              s"&session=${id * 31 + 7}"
+            case h => s"https://site$h.example/article/${id % 5}"
+          }
+        }
+        .toDF("url")
+      graft.operators.CrawlTraps.trapScores(urls, "url").orderBy("host")
+    }),
+    // TextTiling topical segmentation (Hearst 1997, block form) —
+    // "semantic chunking" without a model: documents split where the
+    // Jaccard cohesion of adjacent 8-token blocks drops below the
+    // threshold, on the micro-integer grid. Chunks that respect topic
+    // boundaries embed/retrieve better than blind 512-token slices.
+    "text_tiling" -> ((s, d) =>
+      TextTiling.segments(table(s, d, "documents"), "doc_id", "text")
+        .orderBy("id", "seg_id")),
     // Margin-based bitext mining (the CCMatrix/LASER recipe): en↔de
     // translation-pair candidates scored by cosine normalized against
     // each side's k-NN neighborhood mean, mutual-best + threshold.
@@ -7306,6 +7381,76 @@ object SparkEntry {
     // Same edge CTEs, then 3 BFS waves from the two seeds — frontier
     // join, reached-set exclusion, integral depths.
     "crawl_depth" -> bfsOracle(3),
+    // Expected dialects pinned from the builder residues.
+    "csv_sniff" ->
+      """SELECT doc_id AS id,
+        |       CASE doc_id % 4 WHEN 0 THEN 'comma' WHEN 1 THEN 'semicolon'
+        |            WHEN 2 THEN 'tab' ELSE 'pipe' END AS delimiter,
+        |       (doc_id % 4 = 0 OR doc_id % 4 = 3) AS quoted,
+        |       (doc_id % 2 = 0) AS header,
+        |       CAST(3 + doc_id % 3 AS BIGINT) AS n_cols
+        |FROM documents WHERE text IS NOT NULL ORDER BY id""".stripMargin,
+    // Trap scores replayed: every host class collapses to ONE
+    // template by construction, so n_urls (distinct replay of the
+    // varying parts) IS the amplification; article hosts sit at 5.
+    "crawl_trap_scores" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |cal AS (
+        |  SELECT 'cal.example' AS host,
+        |         count(DISTINCT (2000 + id % 20) || '/' || (1 + id % 12) ||
+        |               '/' || (1 + id % 28)) AS n_urls
+        |  FROM src WHERE id % 10 = 0),
+        |ses AS (
+        |  SELECT 'shop.example' AS host, count(DISTINCT id) AS n_urls
+        |  FROM src WHERE id % 10 = 1),
+        |trk AS (
+        |  SELECT 'track.example' AS host, count(DISTINCT id) AS n_urls
+        |  FROM src WHERE id % 10 = 2),
+        |art AS (
+        |  SELECT 'site' || (id % 10) || '.example' AS host,
+        |         count(DISTINCT id % 5) AS n_urls
+        |  FROM src WHERE id % 10 >= 3 GROUP BY 1),
+        |allh AS (
+        |  SELECT * FROM cal UNION ALL SELECT * FROM ses
+        |  UNION ALL SELECT * FROM trk UNION ALL SELECT * FROM art)
+        |SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+        |       CAST(1 AS BIGINT) AS n_templates,
+        |       CAST(n_urls AS BIGINT) AS amplification,
+        |       n_urls >= 8 AS is_trap
+        |FROM allh ORDER BY host""".stripMargin,
+    // TextTiling replayed: same block slicing, distinct-set Jaccard
+    // on the micro grid (// = div on non-negatives), running boundary
+    // sum, per-segment aggregate.
+    "text_tiling" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, string_split(text, ' ') AS t,
+        |         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS nb
+        |  FROM documents WHERE text IS NOT NULL),
+        |blocks AS (
+        |  SELECT id, b - 1 AS block_idx,
+        |         t[(b-1)*8 + 1 : (b-1)*8 + 8] AS block
+        |  FROM toks, unnest(generate_series(1, nb)) g(b)),
+        |sets AS (
+        |  SELECT id, block_idx, len(block) AS n_tok,
+        |         list_distinct(block) AS tset FROM blocks),
+        |adj AS (
+        |  SELECT c.id, c.block_idx, c.n_tok, c.tset, p.tset AS prev_tset
+        |  FROM sets c LEFT JOIN sets p
+        |    ON p.id = c.id AND p.block_idx = c.block_idx - 1),
+        |fl AS (
+        |  SELECT *, CASE WHEN prev_tset IS NULL THEN 0
+        |    WHEN (1000000 * len(list_intersect(tset, prev_tset))) //
+        |         len(list_distinct(list_concat(tset, prev_tset))) < 150000
+        |    THEN 1 ELSE 0 END AS boundary FROM adj),
+        |seg AS (
+        |  SELECT *, sum(boundary) OVER
+        |    (PARTITION BY id ORDER BY block_idx) AS seg_id FROM fl)
+        |SELECT id, CAST(seg_id AS BIGINT) AS seg_id,
+        |       CAST(min(block_idx) AS BIGINT) AS first_block,
+        |       count(*) AS n_blocks, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM seg GROUP BY id, seg_id ORDER BY id, seg_id""".stripMargin,
     // Margin mining replayed: the identical micro-integer pipeline —
     // floor(cos·1e6+0.5) quantization (list_inner_product cosine, the
     // knn-proven replay), positive filter, per-side top-4 neighbor
