@@ -454,6 +454,15 @@ object SparkEntry {
       Dedup.minHashPairs(table(s, d, "documents"), "doc_id", "text",
         bands = 8, rowsPerBand = 4, threshold = 0.5, scale = Scale)
         .orderBy("a_id", "b_id")),
+    // LSH calibration card: per verified near-dup pair, the
+    // probability the 8×4 MinHash S-curve detects it — 1-(1-s^r)^b
+    // via fixed multiply chains on the micro-quantized exact Jaccard
+    // (no pow: libm differs across engines; multiply chains are
+    // bit-identical). Turns "our dedup knobs are fine" into numbers.
+    "lsh_calibration" -> ((s, d) =>
+      Dedup.lshCalibration(table(s, d, "documents"), "doc_id", "text",
+        blockLen = 16, threshold = 0.5, bands = 8, rowsPerBand = 4)
+        .orderBy("a_id", "b_id")),
     // SimHash exact-collision groups (rows-only).
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashGroups(table(s, d, "documents"), "doc_id", "text")
@@ -2991,6 +3000,44 @@ object SparkEntry {
       graft.operators.LinkRank.bfsDepth(edges, seeds, maxDepth = 3)
         .orderBy("domain")
     }),
+    // SIXTH optimizer rewrite: a 2500-element IN list (the routine
+    // "exclude these opted-out ids" blocklist filter) re-plans as a
+    // BROADCAST set probe — result-identical exact membership, but
+    // the plan carries a handle instead of re-serializing the set
+    // into every stage's task binary. The oracle replays the list's
+    // closed form arithmetically.
+    "sql_inset_rewrite" -> ((s, d) => {
+      graft.plans.InSetBroadcastRule.install(s)
+      val blocked = (0 until 2500).map(i => (i * 4 + 1).toLong)
+      table(s, d, "documents")
+        .filter(col("doc_id").isin(blocked: _*))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_blocked"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+    // Blocklist scan — Aho-Corasick multi-pattern matching: all
+    // patterns (words AND multi-word phrases, including one that is a
+    // substring of another) found in ONE text pass per document,
+    // O(text + matches) regardless of pattern count; the automaton is
+    // driver-built and broadcast (handle in the plan, payload fetched
+    // once per executor). The oracle re-counts each borderless
+    // pattern by replace-arithmetic and sums.
+    "blocklist_scan" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val patterns = Seq("dup", "hash", "scan", "slow scan", "table value")
+      val bc = s.sparkContext.broadcast(
+        graft.functions.AhoCorasick.build(patterns))
+      val tag = graft.functions.AcRegistry.register(bc)
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          GraftFunctions.acScan(tag, col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.total_matches").as("total_matches"),
+          col("r.distinct_patterns").as("distinct_patterns"))
+        .orderBy("doc_id")
+    }),
     // CSV dialect sniffing — the tabular ingestion gate: per-file
     // delimiter (count-consistency scoring, quote-aware so embedded
     // delimiters inside quoted fields don't fool it), quoting, header
@@ -4415,6 +4462,35 @@ object SparkEntry {
         |  FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id)
         |WHERE jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // The same pair CTE as dedup_ngram_jaccard, then the identical
+    // multiply chains: p^4 left-associated, (1-p^4)^8 left-associated.
+    "lsh_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, substr(text, 1, 16) AS bk,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.id AS a_id, b.id AS b_id,
+        |           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |                 len(list_distinct(list_cat(a.toks, b.toks))), 6)
+        |             AS jaccard
+        |    FROM base a JOIN base b ON a.bk = b.bk AND a.id < b.id)
+        |  WHERE jaccard >= 0.5),
+        |c AS (
+        |  SELECT a_id, b_id,
+        |         CAST(floor(jaccard * 1000000.0 + 0.5) AS BIGINT) AS jacc_micro
+        |  FROM pairs),
+        |e AS (
+        |  SELECT *, (1.0 - (((CAST(jacc_micro AS DOUBLE) / 1000000.0 *
+        |    (CAST(jacc_micro AS DOUBLE) / 1000000.0)) *
+        |    (CAST(jacc_micro AS DOUBLE) / 1000000.0)) *
+        |    (CAST(jacc_micro AS DOUBLE) / 1000000.0))) AS m1
+        |  FROM c)
+        |SELECT a_id, b_id, jacc_micro,
+        |       round(1.0 - (((((((m1*m1)*m1)*m1)*m1)*m1)*m1)*m1), 6)
+        |         AS detect_prob
+        |FROM e ORDER BY a_id, b_id""".stripMargin,
     "dedup_span_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -7381,6 +7457,28 @@ object SparkEntry {
     // Same edge CTEs, then 3 BFS waves from the two seeds — frontier
     // join, reached-set exclusion, integral depths.
     "crawl_depth" -> bfsOracle(3),
+    // The 2500-id blocklist is {4k+1 : k < 2500} — membership replays
+    // as residue arithmetic, no list literal needed.
+    "sql_inset_rewrite" ->
+      """SELECT lang, count(*) AS n_blocked,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 4 = 1 AND doc_id >= 1 AND doc_id < 10001
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Per-pattern occurrence counts by replace-arithmetic (exact for
+    // the borderless patterns used — no occurrence can self-overlap),
+    // summed for the total, thresholded for the distinct count.
+    "blocklist_scan" -> {
+      val pats = Seq("dup", "hash", "scan", "slow scan", "table value")
+      val cnts = pats.map(p =>
+        s"(strlen(text) - strlen(replace(text, '$p', ''))) // ${p.length}")
+      s"""SELECT doc_id,
+         |       CAST(${cnts.mkString(" + ")} AS BIGINT) AS total_matches,
+         |       CAST(${cnts.map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END")
+          .mkString(" + ")} AS BIGINT) AS distinct_patterns
+         |FROM documents WHERE text IS NOT NULL
+         |ORDER BY doc_id""".stripMargin
+    },
     // Expected dialects pinned from the builder residues.
     "csv_sniff" ->
       """SELECT doc_id AS id,

@@ -156,6 +156,18 @@ object GraftFunctions {
     ("bloom_might_contain",
       (es: Seq[Expression]) => { requireArity(es, 2, "bloom_might_contain"); BloomMightContainExpr(es(0), es(1)) },
       "_FUNC_(filter, keyHash) - true iff the key may be in the Bloom filter (no false negatives)."),
+    ("ac_scan",
+      (es: Seq[Expression]) => {
+        requireArity(es, 2, "ac_scan")
+        val tag = es(0) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.StringType =>
+            e.eval().toString
+          case _ => throw new IllegalArgumentException(
+            "ac_scan tag must be a string literal")
+        }
+        AcScanExpr(AcRegistry.lookup(tag), es(1))
+      },
+      "_FUNC_(tag, text) - Aho-Corasick scan against a registered broadcast automaton: struct(total_matches, distinct_patterns)."),
     ("bloom_probe_broadcast",
       (es: Seq[Expression]) => {
         requireArity(es, 2, "bloom_probe_broadcast")
@@ -296,6 +308,11 @@ object GraftFunctions {
   def bloomProbeBroadcast(tag: String, keyHash: Column): Column =
     call_function("bloom_probe_broadcast",
       org.apache.spark.sql.functions.lit(tag), keyHash)
+
+  /** One Aho-Corasick pass per row against an [[AcRegistry]]-registered
+    * broadcast automaton: struct(total_matches, distinct_patterns). */
+  def acScan(tag: String, text: Column): Column =
+    call_function("ac_scan", org.apache.spark.sql.functions.lit(tag), text)
 }
 
 /**

@@ -55,10 +55,14 @@ object BitextMining {
       cands: DataFrame, xCol: String, yCol: String, cosMicroCol: String,
       k: Int = 4, thresholdMicro: Long = 1050000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // materialized once: three consumers (both neighborhood means and
+    // the margin join) would otherwise re-derive the candidate
+    // cosines — at ANN-candidate scale that is the expensive part
     val pos = cands.select(
       col(xCol).as("x_id"), col(yCol).as("y_id"),
       col(cosMicroCol).as("cos_micro"))
       .filter(col("cos_micro") > 0)
+      .localCheckpoint(true)
 
     def meanNn(keyCol: String, otherCol: String, as: String) = {
       val w = Window.partitionBy(keyCol)
@@ -76,6 +80,7 @@ object BitextMining {
       .filter(col("mnn_x") + col("mnn_y") > 0)
       .withColumn("margin_micro",
         expr("(cos_micro * 2000000) div (mnn_x + mnn_y)"))
+      .localCheckpoint(true) // read twice (best-per-x, best-per-y)
 
     // best partner per side: max margin, least partner id on ties —
     // max(struct(margin, -partner)) keeps it one hash aggregate

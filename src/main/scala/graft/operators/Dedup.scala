@@ -117,6 +117,39 @@ object Dedup {
   }
 
   /**
+   * LSH parameter calibration card — "would our dedup knobs actually
+   * catch the near-dups this corpus has?": for each VERIFIED near-dup
+   * pair (exact Jaccard s), the probability the configured MinHash
+   * LSH (bands b × rowsPerBand r) detects it, 1 - (1 - s^r)^b. The
+   * powers are fixed chains of IEEE multiplications over the
+   * micro-quantized Jaccard — `pow` is libm-specific across engines,
+   * a multiply chain is bit-identical — so the card is exact and
+   * SQL-replayable. Pairs with detect_prob well under 1 are the
+   * S-curve's blind spot: either raise bands or accept the misses,
+   * but now it is a number, not folklore.
+   */
+  def lshCalibration(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockLen: Int, threshold: Double,
+      bands: Int, rowsPerBand: Int, scale: Int = 6): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, "bands/rows must be >= 1")
+    val pairs = blockedJaccardPairs(docs, idCol, textCol, blockLen,
+      threshold, scale)
+    val jm = floor(col("jaccard") * lit(1000000.0) + lit(0.5)).cast("long")
+    val p = col("jacc_micro").cast("double") / lit(1000000.0)
+    val sr = (1 to rowsPerBand).map(_ => p).reduce(_ * _)
+    val m1 = lit(1.0) - sr
+    pairs
+      .withColumn("jacc_micro", jm)
+      .withColumn("__m1", m1)
+      .withColumn("detect_prob",
+        round(lit(1.0) -
+          (1 to bands).map(_ => col("__m1")).reduce(_ * _), scale))
+      .select(col("a_id"), col("b_id"), col("jacc_micro"),
+        col("detect_prob"))
+  }
+
+  /**
    * MinHash + LSH near-dup pairs (the scale path for unknown-block
    * near-dups): signature → band buckets → equality join within buckets
    * → exact Jaccard verification of the candidates only.
