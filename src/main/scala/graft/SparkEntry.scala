@@ -3000,6 +3000,24 @@ object SparkEntry {
       graft.operators.LinkRank.bfsDepth(edges, seeds, maxDepth = 3)
         .orderBy("domain")
     }),
+    // Weighted priority sample (sequential Poisson): top-50 documents
+    // by priority = weight·65536 div (seeded-u16+1) — survival odds
+    // ~proportional to n_chars, reproducible (md5 uniform), and
+    // mergeable: one TakeOrderedAndProject, never a global sort. The
+    // oracle replays the integer priorities and the same total order.
+    "priority_sample" -> ((s, d) =>
+      DatasetSplit.prioritySample(
+        table(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)),
+    // Largest-remainder (Hamilton) apportionment of a 100-slot
+    // eval/annotation budget across languages: floor quotas plus
+    // largest remainders, integer-exact, sums to the budget by
+    // construction. Remainder rank via a strata-sized broadcast
+    // self-join — no unpartitioned window even at 5 rows.
+    "sample_allocation" -> ((s, d) =>
+      MixtureSampling.apportion(table(s, d, "documents"), "lang", n = 100)
+        .orderBy("stratum")),
     // SIXTH optimizer rewrite: a 2500-element IN list (the routine
     // "exclude these opted-out ids" blocklist filter) re-plans as a
     // BROADCAST set probe — result-identical exact membership, but
@@ -7457,6 +7475,54 @@ object SparkEntry {
     // Same edge CTEs, then 3 BFS waves from the two seeds — frontier
     // join, reached-set exclusion, integral depths.
     "crawl_depth" -> bfsOracle(3),
+    // Priorities replayed: same md5-u16 uniform (the DP/bootstrap
+    // seeding family), same integral division, same total order.
+    "priority_sample" -> {
+      val u16 =
+        """((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+          | (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+          | (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+          |  strpos('0123456789abcdef', substr(h, 4, 1)) - 1)""".stripMargin
+      s"""WITH src AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST((CAST(n_chars AS BIGINT) * 65536) //
+         |              (CAST($u16 AS BIGINT) + 1) AS BIGINT) AS priority
+         |  FROM src)
+         |SELECT doc_id, lang, n_chars, priority
+         |FROM p ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin
+    },
+    // Hamilton apportionment replayed: micro quotas, floor, largest
+    // remainders by correlated better-than count, +1 under leftover.
+    "sample_allocation" ->
+      """WITH c AS (
+        |  SELECT lang AS stratum, count(*) AS cnt FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |q AS (
+        |  SELECT stratum, cnt,
+        |         (100 * cnt * 1000000) // total AS quota_micro
+        |  FROM c, t),
+        |q2 AS (
+        |  SELECT *, quota_micro // 1000000 AS base,
+        |         quota_micro % 1000000 AS rem_micro FROM q),
+        |l AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM q2),
+        |r AS (
+        |  SELECT q2.*,
+        |         (SELECT count(*) FROM q2 o
+        |          WHERE o.rem_micro > q2.rem_micro
+        |             OR (o.rem_micro = q2.rem_micro AND o.stratum < q2.stratum))
+        |           AS nbetter
+        |  FROM q2)
+        |SELECT stratum, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(quota_micro AS BIGINT) AS quota_micro,
+        |       CAST(base AS BIGINT) AS base,
+        |       CAST(rem_micro AS BIGINT) AS rem_micro,
+        |       CAST(base + CASE WHEN nbetter < (SELECT leftover FROM l)
+        |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY stratum""".stripMargin,
     // The 2500-id blocklist is {4k+1 : k < 2500} — membership replays
     // as residue arithmetic, no list literal needed.
     "sql_inset_rewrite" ->

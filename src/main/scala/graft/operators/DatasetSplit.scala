@@ -157,6 +157,37 @@ object DatasetSplit {
   }
 
   /**
+   * Weighted priority sampling (Ohlsson's sequential Poisson /
+   * Duffield–Lund–Thorup priority sampling): keep the k items with the
+   * largest priority q_i = w_i / u_i, u_i a per-item uniform — items
+   * survive with probability ~proportional to weight, and the sample
+   * supports unbiased subset-sum estimation. Two properties make it
+   * the 100 TB weighted sample: it is MERGEABLE (top-k of a union =
+   * top-k of per-partition top-ks — one `TakeOrderedAndProject`, no
+   * global sort of the corpus) and, with the uniform derived from a
+   * seeded md5 instead of an RNG, fully REPRODUCIBLE.
+   *
+   * Integer grid: u16+1 ∈ [1, 65536] is the uniform's numerator and
+   * priority = w·65536 div (u16+1) — exact BIGINT, so the selected
+   * set is bit-stable under any partitioning and SQL-replayable.
+   * Weights must be non-negative integers (token counts, byte sizes).
+   */
+  def prioritySample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u16 = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("long")
+    df.withColumn("__u", u16 + lit(1L))
+      .withColumn("priority",
+        expr(s"(cast($weightCol as bigint) * 65536) div __u"))
+      .drop("__u")
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Stratified deterministic sampling — the data-mixture knob of a
    * training pipeline (keep 100% of a high-quality source, 10% of a
    * crawl): a row survives iff its id-bucket falls under its stratum's

@@ -172,4 +172,51 @@ object MixtureSampling {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
+
+  /**
+   * Largest-remainder (Hamilton) apportionment — allocate an integer
+   * budget of `n` slots across strata proportionally to their counts,
+   * EXACTLY using up the budget: quota = n·cnt/total on the micro
+   * grid, every stratum gets floor(quota), and the leftover slots go
+   * to the largest remainders (ties to the lexicographically least
+   * stratum). The standard answer to "this eval/annotation budget is
+   * 100 documents; how many from each language?" — deterministic,
+   * integer-exact, and sums to n by construction.
+   *
+   * Shape: one count aggregate to |strata| rows, a broadcast total,
+   * and a |strata|² broadcast self-join for the remainder rank —
+   * strata are metadata-sized, so no window (an unpartitioned window
+   * is the anti-pattern this repo polices even when the input is
+   * tiny).
+   */
+  def apportion(
+      docs: DataFrame, stratumCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val counts = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .withColumn("quota_micro",
+        expr(s"($n * cnt * 1000000) div __total"))
+      .withColumn("base", expr("quota_micro div 1000000"))
+      .withColumn("rem_micro", expr("quota_micro % 1000000"))
+      .drop("__total")
+    val leftover = quotas.agg(
+      (lit(n.toLong) - sum("base")).as("__left"))
+    // remainder rank without a window: count strictly-better strata
+    val better = quotas.select(col("stratum").as("__s2"),
+      col("rem_micro").as("__r2"))
+    val ranked = quotas.join(broadcast(better),
+        col("__r2") > col("rem_micro") ||
+          (col("__r2") === col("rem_micro") && col("__s2") < col("stratum")),
+        "left")
+      .groupBy("stratum", "cnt", "quota_micro", "base", "rem_micro")
+      .agg(count(col("__s2")).as("__nbetter"))
+    ranked.crossJoin(broadcast(leftover))
+      .withColumn("alloc",
+        col("base") + when(col("__nbetter") < col("__left"), 1L)
+          .otherwise(0L))
+      .select(col("stratum"), col("cnt"), col("quota_micro"),
+        col("base"), col("rem_micro"), col("alloc"))
+  }
 }
