@@ -3000,6 +3000,47 @@ object SparkEntry {
       graft.operators.LinkRank.bfsDepth(edges, seeds, maxDepth = 3)
         .orderBy("domain")
     }),
+    // Change-rate recrawl schedule — the freshness half of frontier
+    // policy: pages stable for r consecutive fetches back off to
+    // base·2^r seconds (capped); each document contributes a 6-fetch
+    // history whose fingerprint stops changing at fetch id%6. All
+    // integral; the oracle replays the backoff arithmetic.
+    "crawl_recrawl" -> ((s, d) => {
+      val fetches = table(s, d, "documents")
+        .select(col("doc_id"))
+        .withColumn("fetch_idx", explode(sequence(lit(0L), lit(5L))))
+        .withColumn("fp", concat(lit("f"),
+          least(col("fetch_idx"), col("doc_id") % 6)))
+        .withColumn("fetch_s", lit(1700000000L) + col("doc_id"))
+      Frontier.recrawlSchedule(fetches, "doc_id", "fetch_idx", "fp",
+        "fetch_s").orderBy("page")
+    }),
+    // Homoglyph spoof-domain card — UTS #39-style skeletons: Cyrillic
+    // а and digit-1 variants of falcon<h>.example must flag as spoofs
+    // of the legit domain (which itself stays clean). One scan-local
+    // skeleton map + one equality self-join on the skeleton key.
+    "crawl_spoof_domains" -> ((s, d) => {
+      import s.implicits._
+      val domains = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .map { id =>
+          // letter suffix, not a digit: the skeleton's classic
+          // digit substitutions ('0'->'o','1'->'l') are PART of the
+          // transform, so legit fixture names must not carry digits.
+          // id%3 is coprime with the id%10 residue, so every suffix
+          // sees all three variants (id%5 would be constant — gcd trap)
+          val suffix = ('a' + (id % 10)).toChar
+          (id % 3) match {
+            case 0 => s"fаlcon$suffix.example" // Cyrillic а
+            case 1 => s"fa1con$suffix.example"      // digit 1 for l
+            case _ => s"falcon$suffix.example"
+          }
+        }
+        .toDF("domain")
+      Homoglyph.spoofCandidates(domains, "domain").orderBy("domain")
+    }),
     // Weighted priority sample (sequential Poisson): top-50 documents
     // by priority = weight·65536 div (seeded-u16+1) — survival odds
     // ~proportional to n_chars, reproducible (md5 uniform), and
@@ -7475,6 +7516,37 @@ object SparkEntry {
     // Same edge CTEs, then 3 BFS waves from the two seeds — frontier
     // join, reached-set exclusion, integral depths.
     "crawl_depth" -> bfsOracle(3),
+    // Backoff replayed: stable_run = 5 - (id%6), interval = 3600·2^run
+    // (all under the 7-day cap on this fixture).
+    "crawl_recrawl" ->
+      """SELECT doc_id AS page, CAST(6 AS BIGINT) AS n_fetches,
+        |       CAST(doc_id % 6 AS BIGINT) AS last_change_idx,
+        |       CAST(5 - doc_id % 6 AS BIGINT) AS stable_run,
+        |       CAST(3600 * (2 ** (5 - doc_id % 6)) AS BIGINT) AS interval_s,
+        |       CAST(1700000000 + doc_id +
+        |            3600 * (2 ** (5 - doc_id % 6)) AS BIGINT) AS next_fetch_s
+        |FROM documents ORDER BY page""".stripMargin,
+    // Spoof card replayed: the three domain variants per h, with the
+    // two confusable classes flagged (their skeleton IS the legit
+    // domain, which exists for every h) and the legit domain clean.
+    "crawl_spoof_domains" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT DISTINCT
+        |         CASE id % 3
+        |           WHEN 0 THEN 'fаlcon' || chr(97 + CAST(id % 10 AS INT)) || '.example'
+        |           WHEN 1 THEN 'fa1con' || chr(97 + CAST(id % 10 AS INT)) || '.example'
+        |           ELSE 'falcon' || chr(97 + CAST(id % 10 AS INT)) || '.example' END AS domain,
+        |         CASE WHEN id % 3 <= 1 THEN true ELSE false END AS spoofed,
+        |         chr(97 + CAST(id % 10 AS INT)) AS sfx
+        |  FROM src)
+        |SELECT domain,
+        |       CASE WHEN spoofed THEN 'falcon' || sfx || '.example'
+        |            ELSE domain END AS skeleton,
+        |       spoofed AS is_spoof
+        |FROM d ORDER BY domain""".stripMargin,
     // Priorities replayed: same md5-u16 uniform (the DP/bootstrap
     // seeding family), same integral division, same total order.
     "priority_sample" -> {

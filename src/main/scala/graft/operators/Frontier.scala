@@ -62,4 +62,59 @@ object Frontier {
         col("pair.score").cast("long").as("priority"),
         (col("slot").cast("long") * col("delay_ms")).as("fetch_at_ms"))
   }
+
+  /**
+   * Change-rate recrawl scheduling — the freshness half of frontier
+   * policy ([[schedule]] is the politeness half): pages that keep
+   * changing are refetched soon, pages that have been stable back off
+   * EXPONENTIALLY (the standard crawler freshness heuristic, binary
+   * backoff capped at `maxIntervalS`). The input is the fetch
+   * history a crawl already has — (page, fetch_idx, content
+   * fingerprint) — so the schedule derives from observations, not
+   * configuration.
+   *
+   * stable_run = fetches since the last OBSERVED change (0 when the
+   * newest fetch changed; n_fetches-1 when nothing ever changed after
+   * fetch 0); interval = min(baseIntervalS << stable_run,
+   * maxIntervalS); next_fetch_s = last_fetch_s + interval. All
+   * integral — the schedule is reproducible and SQL-replayable.
+   *
+   * Shape: one partitioned window (lag of the fingerprint within a
+   * page's bounded history) + one hash aggregate per page. Histories
+   * are short (a crawler keeps the last dozen observations), so the
+   * window partition is bounded by policy, not data.
+   */
+  def recrawlSchedule(
+      fetches: DataFrame, pageCol: String, idxCol: String, fpCol: String,
+      lastFetchSCol: String,
+      baseIntervalS: Long = 3600L,
+      maxIntervalS: Long = 7L * 86400L): DataFrame = {
+    require(baseIntervalS > 0 && maxIntervalS >= baseIntervalS,
+      "need 0 < baseIntervalS <= maxIntervalS")
+    require(baseIntervalS <= (Long.MaxValue >> 25),
+      s"baseIntervalS too large to shift safely: $baseIntervalS")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pageCol).orderBy(idxCol)
+    val marked = fetches
+      .withColumn("__changed",
+        lag(col(fpCol), 1).over(w).isNotNull &&
+          lag(col(fpCol), 1).over(w) =!= col(fpCol))
+    marked.groupBy(col(pageCol).as("page"))
+      .agg(count(lit(1)).as("n_fetches"),
+        max(when(col("__changed"), col(idxCol)).otherwise(lit(0L)))
+          .cast("long").as("last_change_idx"),
+        max(col(idxCol)).cast("long").as("last_idx"),
+        max(col(lastFetchSCol)).cast("long").as("last_fetch_s"))
+      .withColumn("stable_run", col("last_idx") - col("last_change_idx"))
+      // shift cap 24 keeps base<<run far under Long overflow while
+      // any realistic maxIntervalS is reached long before it
+      .withColumn("interval_s",
+        least(
+          expr(s"${baseIntervalS}L * shiftleft(1L, " +
+            "cast(least(stable_run, 24L) as int))"),
+          lit(maxIntervalS)))
+      .withColumn("next_fetch_s", col("last_fetch_s") + col("interval_s"))
+      .select("page", "n_fetches", "last_change_idx", "stable_run",
+        "interval_s", "next_fetch_s")
+  }
 }
