@@ -2858,6 +2858,54 @@ object SparkEntry {
         .toDF("id", "pos", "loc", "lastmod", "priority")
         .orderBy("id", "pos")
     }),
+    // Sitemap INDEX expansion — the two-level protocol shape real
+    // sites use (a <sitemapindex> pointing at child urlsets): the
+    // index parses to child locs, each child "fetches" (built
+    // in-plan from the same residues) and parses to pages, flattened
+    // to frontier rows with the child provenance kept. Scan-local
+    // flatMap; the oracle re-derives every row arithmetically.
+    "crawl_sitemap_index" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val k = (1 + id % 3).toInt
+          def childXml(j: Int): String = {
+            val m = (1 + (id + j) % 2).toInt
+            val urls = (0 until m).map { u =>
+              s"""  <url><loc>https://www.site$h.com/p$id/c$j/u$u</loc>
+                 |    <lastmod>2026-0${1 + (id + j + u) % 9}-02</lastmod>
+                 |  </url>""".stripMargin
+            }.mkString("\n")
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+               |$urls
+               |</urlset>""".stripMargin
+          }
+          val children = (0 until k).map(j =>
+            s"""  <sitemap><loc>https://www.site$h.com/maps/sm$j.xml</loc>
+               |  </sitemap>""".stripMargin).mkString("\n")
+          val indexXml =
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+               |$children
+               |</sitemapindex>""".stripMargin
+          val idx = graft.operators.Sitemap.parse(indexXml)
+          if (!idx.isIndex) Seq.empty
+          else idx.entries.zipWithIndex.flatMap { case (child, j) =>
+            // the "fetch" of the child loc, deterministic in-plan
+            graft.operators.Sitemap.parse(childXml(j)).entries.zipWithIndex
+              .map { case (e, u) =>
+                (id, j.toLong, u.toLong, child.loc, e.loc, e.lastmod)
+              }
+          }
+        }
+        .toDF("id", "child_idx", "pos", "child_loc", "loc", "lastmod")
+        .orderBy("id", "child_idx", "pos")
+    }),
     // IDN canonicalization: crawled URLs carry internationalized
     // hosts both ways (Unicode in hrefs, xn-- on the wire); the
     // normalizer's RFC 3492 punycode makes them ONE dedup/grouping
@@ -7458,6 +7506,26 @@ object SparkEntry {
         |       '2026-0' || (1 + id % 9) || '-01' AS lastmod,
         |       CAST('0.' || (id % 10) AS DOUBLE) AS priority
         |FROM d ORDER BY id, pos""".stripMargin,
+    // The two-level expansion re-derived: k = 1+id%3 children, child
+    // j holds m = 1+(id+j)%2 pages with the same loc/lastmod residues.
+    "crawl_sitemap_index" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT id, CAST(j - 1 AS BIGINT) AS child_idx
+        |  FROM src, unnest(generate_series(1, CAST(1 + id % 3 AS INT))) t(j)),
+        |pg AS (
+        |  SELECT id, child_idx, CAST(u - 1 AS BIGINT) AS pos
+        |  FROM ch, unnest(generate_series(1,
+        |       CAST(1 + (id + child_idx) % 2 AS INT))) t(u))
+        |SELECT id, child_idx, pos,
+        |       'https://www.site' || (id % 10) || '.com/maps/sm' ||
+        |         child_idx || '.xml' AS child_loc,
+        |       'https://www.site' || (id % 10) || '.com/p' || id || '/c' ||
+        |         child_idx || '/u' || pos AS loc,
+        |       '2026-0' || (1 + (id + child_idx + pos) % 9) || '-02' AS lastmod
+        |FROM pg ORDER BY id, child_idx, pos""".stripMargin,
     // Pinned ground truth: the xn-- forms are the PUBLISHED encodings
     // of these labels (and the spec re-derives them against the JDK's
     // independent IDNA implementation), so the oracle simply states

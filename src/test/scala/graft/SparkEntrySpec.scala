@@ -38,6 +38,22 @@ class SparkEntrySpec extends SparkFunSuite {
     }
   }
 
+  test("bitext candidates cross join is BROADCAST (the de side never shuffles the en side)") {
+    // the driver row's candidate shape, pre-checkpoint (the final
+    // marginPairs plan reads the materialized candidates, so the
+    // join must be asserted where it lives)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val a = docs.filter(col("lang") === "en").select(col("doc_id").as("x_id"))
+      .join(emb.select(col("vec_id").as("x_id"), col("embedding").as("xv")), "x_id")
+    val b = docs.filter(col("lang") === "de").select(col("doc_id").as("y_id"))
+      .join(emb.select(col("vec_id").as("y_id"), col("embedding").as("yv")), "y_id")
+    val plan = a.crossJoin(broadcast(b)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate join not broadcast:\n$plan")
+  }
+
   test("no query output column is DecimalType (driver dtype contract)") {
     // The driver reads the Spark parquet with pandas (decimal128 ->
     // object Decimal) but materializes the DuckDB oracle via .df()
