@@ -3048,6 +3048,21 @@ object SparkEntry {
       graft.operators.LinkRank.bfsDepth(edges, seeds, maxDepth = 3)
         .orderBy("domain")
     }),
+    // Code-switch segmentation: per-8-token-block language id (the
+    // lang_id marker heuristic) with same-language runs collapsed —
+    // the fixture appends a German and a French marker run to every
+    // document, so each one ends in real language switches whatever
+    // its body predicts. Same block/boundary/window mechanics as
+    // text_tiling; integer hits, deterministic tie order.
+    "lang_segments" -> ((s, d) => {
+      val fixed = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" der die das und der die das und" +
+            " le la les et le la les et")).as("text"))
+      TextAnalysis.languageSegments(fixed, "doc_id", "text")
+        .orderBy("id", "seg_id")
+    }),
     // Change-rate recrawl schedule — the freshness half of frontier
     // policy: pages stable for r consecutive fetches back off to
     // base·2^r seconds (capped); each document contributes a 6-fetch
@@ -7584,6 +7599,42 @@ object SparkEntry {
     // Same edge CTEs, then 3 BFS waves from the two seeds — frontier
     // join, reached-set exclusion, integral depths.
     "crawl_depth" -> bfsOracle(3),
+    // Per-block marker counts + the same CASE + the same run collapse.
+    "lang_segments" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         string_split(text || ' der die das und der die das und' ||
+        |           ' le la les et le la les et', ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tk AS (SELECT id, t, CAST(ceil(len(t) / 8.0) AS INT) AS nb FROM toks),
+        |blocks AS (
+        |  SELECT id, b - 1 AS block_idx, t[(b-1)*8 + 1 : (b-1)*8 + 8] AS blk
+        |  FROM tk, unnest(generate_series(1, nb)) g(b)),
+        |sc AS (
+        |  SELECT id, block_idx,
+        |    len(list_filter(blk, x -> x IN ('the','a','and','of'))) AS en,
+        |    len(list_filter(blk, x -> x IN ('der','die','das','und'))) AS de,
+        |    len(list_filter(blk, x -> x IN ('le','la','les','et'))) AS fr,
+        |    len(list_filter(blk, x -> x IN ('el','los','las','y'))) AS es
+        |  FROM blocks),
+        |pred AS (
+        |  SELECT id, block_idx,
+        |         CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |              WHEN de >= fr AND de >= es THEN 'de'
+        |              WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang
+        |  FROM sc),
+        |fl AS (
+        |  SELECT *, CASE WHEN lag(lang) OVER w IS NULL
+        |                   OR lag(lang) OVER w != lang THEN 1 ELSE 0 END
+        |            AS boundary
+        |  FROM pred WINDOW w AS (PARTITION BY id ORDER BY block_idx)),
+        |seg AS (
+        |  SELECT *, sum(boundary) OVER
+        |    (PARTITION BY id ORDER BY block_idx) - 1 AS seg_id FROM fl)
+        |SELECT id, CAST(seg_id AS BIGINT) AS seg_id, min(lang) AS lang,
+        |       CAST(min(block_idx) AS BIGINT) AS first_block,
+        |       count(*) AS n_blocks
+        |FROM seg GROUP BY id, seg_id ORDER BY id, seg_id""".stripMargin,
     // Backoff replayed: stable_run = 5 - (id%6), interval = 3600·2^run
     // (all under the 7-day cap on this fixture).
     "crawl_recrawl" ->

@@ -87,6 +87,57 @@ object TextAnalysis {
   }
 
   /**
+   * Code-switch segmentation — [[languageId]] applied PER TOKEN BLOCK
+   * with consecutive same-language runs collapsed: multilingual web
+   * documents routinely switch language mid-page (quoted sources,
+   * boilerplate, comment sections), and a document-level label
+   * mis-routes every minority span. Segments feed per-language
+   * pipelines the way [[TextTiling]] segments feed chunking — same
+   * mechanics (block grid, boundary flags, run collapse via one
+   * PARTITIONED window), different boundary signal (marker-word
+   * argmax with the fixed en>de>fr>es tie order instead of Jaccard
+   * cohesion). Integer hits + a deterministic CASE: SQL-replayable.
+   */
+  def languageSegments(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 8): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .withColumn("n_blocks",
+        ceil(size(col("toks")) / lit(blockTokens.toDouble)).cast("int"))
+      .filter(col("n_blocks") >= 1)
+    val blocks = toks
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), col("n_blocks") - 1)).as("block_idx"))
+      .withColumn("block_text", array_join(
+        expr(s"slice(toks, block_idx * $blockTokens + 1, $blockTokens)"), " "))
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> hitCount(col("block_text"), words)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("block_idx")
+    blocks
+      .withColumn("lang", pred)
+      .withColumn("boundary",
+        when(lag(col("lang"), 1).over(w).isNull, 1L)
+          .when(lag(col("lang"), 1).over(w) =!= col("lang"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("boundary")).over(w) - 1L)
+      .groupBy("id", "seg_id")
+      .agg(min(col("lang")).as("lang"), // constant within a segment
+        min(col("block_idx")).cast("long").as("first_block"),
+        count(lit(1)).as("n_blocks"))
+  }
+
+  /**
    * Language-ID confusion matrix: the n-gram heuristic's predictions
    * cross-tabulated against the labeled language — the eval card that
    * tells you whether the cheap classifier is good enough to route on

@@ -461,4 +461,38 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(out(5).getAs[Long]("n_devanagari") === 3L)
     assert(dom(5) === "arabic")
   }
+
+  test("languageSegments: code-switch runs collapse to labeled segments") {
+    import spark.implicits._
+    // 8 en-marker tokens, 8 de, 8 fr, then 8 en again: 4 segments,
+    // aligned on the block grid
+    val doc = Seq.fill(2)("the a and of").mkString(" ") + " " +
+      Seq.fill(2)("der die das und").mkString(" ") + " " +
+      Seq.fill(2)("le la les et").mkString(" ") + " " +
+      Seq.fill(2)("the a and of").mkString(" ")
+    val got = TextAnalysis.languageSegments(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("seg_id")
+      .collect().map(r => (r.getAs[Long]("seg_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("first_block"), r.getAs[Long]("n_blocks")))
+    assert(got.toSeq === Seq(
+      (0L, "en", 0L, 1L), (1L, "de", 1L, 1L),
+      (2L, "fr", 2L, 1L), (3L, "en", 3L, 1L)))
+  }
+
+  test("languageSegments: tie order en>de>fr>es; deterministic under repartition") {
+    import spark.implicits._
+    // a block with zero markers ties 0-0-0-0 -> 'en' by the fixed order
+    val df = Seq((1L, "xyz qqq www eee rrr ttt yyy uuu")).toDF("doc_id", "text")
+    val one = TextAnalysis.languageSegments(df, "doc_id", "text").collect()
+    assert(one.length === 1 && one.head.getAs[String]("lang") === "en")
+    val many = (0L until 40L).map(i =>
+      (i, ("w " * (i % 30 + 1).toInt).trim + " der die das und"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.languageSegments(many, "doc_id", "text")
+      .orderBy("id", "seg_id").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.languageSegments(many.repartition(7), "doc_id", "text")
+      .orderBy("id", "seg_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
