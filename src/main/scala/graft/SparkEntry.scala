@@ -49,6 +49,8 @@ object SparkEntry {
     * self-match at rank 1 is a free sanity check. Cached per dir: it is
     * a fixed query parameter, not part of the measured work. */
   private val qvCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  /** One broadcast automaton per fixed pattern set per session. */
+  private val acTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def queryVec(spark: SparkSession, dir: String): Array[Float] =
     qvCache.computeIfAbsent(dir, d =>
       table(spark, d, "embeddings").where(col("vec_id") === 0)
@@ -3147,10 +3149,14 @@ object SparkEntry {
     // pattern by replace-arithmetic and sums.
     "blocklist_scan" -> ((s, d) => {
       GraftFunctions.register(s)
-      val patterns = Seq("dup", "hash", "scan", "slow scan", "table value")
-      val bc = s.sparkContext.broadcast(
-        graft.functions.AhoCorasick.build(patterns))
-      val tag = graft.functions.AcRegistry.register(bc)
+      // the automaton is a fixed artifact: build/broadcast/register
+      // ONCE per session (bench reps and verify would otherwise mint
+      // a new never-destroyed broadcast per invocation)
+      val tag = acTagCache.computeIfAbsent("blocklist", _ => {
+        val patterns = Seq("dup", "hash", "scan", "slow scan", "table value")
+        graft.functions.AcRegistry.register(s.sparkContext.broadcast(
+          graft.functions.AhoCorasick.build(patterns)))
+      })
       table(s, d, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
@@ -3221,7 +3227,11 @@ object SparkEntry {
               f"${(id * 2654435761L) % 4294967296L}%08x/item"
             case 2 => s"https://track.example/p?page=${id % 9}" +
               s"&session=${id * 31 + 7}"
-            case h => s"https://site$h.example/article/${id % 5}"
+            // (id div 10) % 5 varies WITHIN a host (id % 5 would be
+            // constant per h — the gcd trap): each honest host gets
+            // ~5 distinct articles collapsing to one template, the
+            // under-threshold control case
+            case h => s"https://site$h.example/article/${(id / 10) % 5}"
           }
         }
         .toDF("url")
@@ -7765,7 +7775,7 @@ object SparkEntry {
         |  FROM src WHERE id % 10 = 2),
         |art AS (
         |  SELECT 'site' || (id % 10) || '.example' AS host,
-        |         count(DISTINCT id % 5) AS n_urls
+        |         count(DISTINCT (id // 10) % 5) AS n_urls
         |  FROM src WHERE id % 10 >= 3 GROUP BY 1),
         |allh AS (
         |  SELECT * FROM cal UNION ALL SELECT * FROM ses

@@ -52,9 +52,34 @@ object BloomJoin {
     val filter = dim
       .agg(GraftFunctions.bloomBuild(xxhash64(col(dimKey)), numBits, numHashes).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val bc = fact.sparkSession.sparkContext.broadcast(filter)
-    val tag = graft.functions.BloomBroadcastRegistry.register(bc)
-    fact.filter(GraftFunctions.bloomProbeBroadcast(tag, xxhash64(col(factKey))))
+    fact.filter(GraftFunctions.bloomProbeBroadcast(
+      BloomJoin.tagFor(fact.sparkSession, filter),
+      xxhash64(col(factKey))))
+  }
+
+  // Identical filters (the common case: the same pruned join re-run
+  // per action, bench rep, or pipeline stage) reuse ONE broadcast +
+  // registry tag instead of minting a never-destroyed pair per call.
+  // Keyed by content hash, equality-verified on hit; bounded by
+  // wholesale clearing (stale broadcasts are unreachable from new
+  // plans and small; churny workloads just fall back to per-call
+  // broadcasting, the pre-cache behavior).
+  private val tagCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, (Array[Byte], String)]()
+
+  private def tagFor(
+      spark: org.apache.spark.sql.SparkSession,
+      filter: Array[Byte]): String = {
+    val key = java.util.Arrays.hashCode(filter)
+    val hit = tagCache.get(key)
+    if (hit != null && java.util.Arrays.equals(hit._1, filter)) hit._2
+    else {
+      val bc = spark.sparkContext.broadcast(filter)
+      val tag = graft.functions.BloomBroadcastRegistry.register(bc)
+      if (tagCache.size > 64) tagCache.clear()
+      tagCache.put(key, (filter, tag))
+      tag
+    }
   }
 
   /**

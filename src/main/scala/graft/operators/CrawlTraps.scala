@@ -31,14 +31,19 @@ object CrawlTraps {
     * templates to itself, so garbage can't crash a census. */
   def template(url: String): String =
     UrlOps.parse(url) match {
-      case Some(u) =>
-        val path = DigitRun.replaceAllIn(
-          HexRun.replaceAllIn(u.path, "H"), "N")
-        val keys = u.query.split("&").iterator
-          .map(_.takeWhile(_ != '=')).filter(_.nonEmpty).toSeq.sorted
-        u.host + path + (if (keys.isEmpty) "" else "?" + keys.mkString(","))
+      case Some(u) => templateOf(u)
       case None => if (url == null) "" else url
     }
+
+  /** The template from an ALREADY-parsed URL — so pipelines that need
+    * host and template parse each URL once, not twice. */
+  def templateOf(u: UrlOps.ParsedUrl): String = {
+    val path = DigitRun.replaceAllIn(
+      HexRun.replaceAllIn(u.path, "H"), "N")
+    val keys = u.query.split("&").iterator
+      .map(_.takeWhile(_ != '=')).filter(_.nonEmpty).toSeq.sorted
+    u.host + path + (if (keys.isEmpty) "" else "?" + keys.mkString(","))
+  }
 
   /** Per-host amplification card over a (urlCol) relation:
     * (host, n_urls, n_templates, amplification, is_trap). */
@@ -48,8 +53,10 @@ object CrawlTraps {
     import spark.implicits._
     urls.select(col(urlCol).cast("string")).as[String]
       .map { u =>
-        val host = UrlOps.parse(u).map(_.host).getOrElse("")
-        (host, u, template(u))
+        UrlOps.parse(u) match { // parse ONCE: host and template share it
+          case Some(p) => (p.host, u, templateOf(p))
+          case None => ("", u, if (u == null) "" else u)
+        }
       }
       .toDF("host", "url", "tmpl")
       .filter(col("host") =!= "")

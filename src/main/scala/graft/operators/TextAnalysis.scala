@@ -70,20 +70,30 @@ object TextAnalysis {
    * candidate language by hits of its marker words, pick the argmax with
    * a fixed, deterministic preference order on ties (en > de > fr > es).
    */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val scores = LangMarkers.map { case (lang, words) =>
-      lang -> hitCount(col(textCol), words)
-    }
+  /** Per-language marker hit counts for a text column — the ONE
+    * source of the scores every language-id surface shares. */
+  private def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) => lang -> hitCount(text, words) }
+
+  /** The argmax with the FIXED en > de > fr > es tie order — shared
+    * by [[languageId]], [[langConfusion]], and [[languageSegments]]
+    * so the tie-break can never diverge between surfaces (each has a
+    * SQL oracle replaying this exact CASE). */
+  private def langPred(scores: Seq[(String, Column)]): Column = {
     val Seq(en, de, fr, es) = scores.map(_._2)
-    val pred = when(en >= de && en >= fr && en >= es, "en")
+    when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
+  }
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scores = langScores(col(textCol))
     docs.select(
       col(idCol) +:
         scores.map { case (lang, c) => c.as(s"${lang}_hits") } :+
-        pred.as("lang_pred"): _*)
+        langPred(scores).as("lang_pred"): _*)
   }
 
   /**
@@ -114,18 +124,10 @@ object TextAnalysis {
         explode(sequence(lit(0), col("n_blocks") - 1)).as("block_idx"))
       .withColumn("block_text", array_join(
         expr(s"slice(toks, block_idx * $blockTokens + 1, $blockTokens)"), " "))
-    val scores = LangMarkers.map { case (lang, words) =>
-      lang -> hitCount(col("block_text"), words)
-    }
-    val Seq(en, de, fr, es) = scores.map(_._2)
-    val pred = when(en >= de && en >= fr && en >= es, "en")
-      .when(de >= fr && de >= es, "de")
-      .when(fr >= es, "fr")
-      .otherwise("es")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("block_idx")
     blocks
-      .withColumn("lang", pred)
+      .withColumn("lang", langPred(langScores(col("block_text"))))
       .withColumn("boundary",
         when(lag(col("lang"), 1).over(w).isNull, 1L)
           .when(lag(col("lang"), 1).over(w) =!= col("lang"), 1L)
@@ -147,14 +149,7 @@ object TextAnalysis {
    */
   def langConfusion(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val scores = LangMarkers.map { case (lang, words) =>
-      lang -> hitCount(col(textCol), words)
-    }
-    val Seq(en, de, fr, es) = scores.map(_._2)
-    val pred = when(en >= de && en >= fr && en >= es, "en")
-      .when(de >= fr && de >= es, "de")
-      .when(fr >= es, "fr")
-      .otherwise("es")
+    val pred = langPred(langScores(col(textCol)))
     docs.groupBy(col(langCol).as("lang_true"), pred.as("lang_pred"))
       .agg(count(lit(1)).as("n"))
   }

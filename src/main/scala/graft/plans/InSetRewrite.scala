@@ -62,6 +62,31 @@ object InSetBroadcast {
 class InSetBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import InSetBroadcast._
 
+  // The optimizer re-runs per action/DataFrame, and the same IN list
+  // (a fixed blocklist) recurs across queries in a session — without
+  // a cache every pass would mint a new never-destroyed broadcast
+  // (driver+executor memory growing per query). Key by content hash,
+  // verify by full equality on hit (hash collisions must not alias
+  // different lists), bound the cache by wholesale clearing — the
+  // rare churn case re-broadcasts, which is the pre-cache behavior.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Int, (Set[Any], org.apache.spark.broadcast.Broadcast[java.util.HashSet[Any]])]()
+
+  private def broadcastFor(
+      hset: Set[Any]): org.apache.spark.broadcast.Broadcast[java.util.HashSet[Any]] = {
+    val key = hset.##
+    val hit = cache.get(key)
+    if (hit != null && hit._1 == hset) hit._2
+    else {
+      val set = new java.util.HashSet[Any](hset.size * 2)
+      hset.foreach(v => set.add(v))
+      val bc = spark.sparkContext.broadcast(set)
+      if (cache.size > 64) cache.clear()
+      cache.put(key, (hset, bc))
+      bc
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       // a null IN the list makes non-matches evaluate to NULL (three-
@@ -69,9 +94,7 @@ class InSetBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case InSet(child, hset)
           if hset.size >= InSetBroadcastRule.Threshold &&
             !hset.contains(null) =>
-        val set = new java.util.HashSet[Any](hset.size * 2)
-        hset.foreach(v => set.add(v))
-        InSetBroadcastExpr(spark.sparkContext.broadcast(set), child)
+        InSetBroadcastExpr(broadcastFor(hset), child)
     }
 }
 

@@ -194,7 +194,11 @@ object ArchiveCodec {
       while (q < payload.length && payload(q) != ' ') q += 1
       val lenStr = new String(payload, p, q - p, UTF_8)
       val len = try lenStr.toInt catch { case _: NumberFormatException => -1 }
-      if (len <= 0 || p + len > payload.length || q >= payload.length) ok = false
+      // a record must cover its digits + space + at least the \n:
+      // len < (q-p)+2 (e.g. a crafted "2 x") would make the body
+      // count negative — refuse, keeping the never-throw contract
+      if (len < (q - p) + 2 || p + len > payload.length ||
+        q >= payload.length) ok = false
       else {
         // record body: between the space and the trailing \n
         val body = new String(payload, q + 1, len - (q - p) - 2, UTF_8)

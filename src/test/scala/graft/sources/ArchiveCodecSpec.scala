@@ -125,6 +125,24 @@ class ArchiveCodecSpec extends AnyFunSuite {
     assert(got.head.size === 5L)
   }
 
+  test("tar: a crafted PAX record with an undersized length never throws") {
+    // "2 x": declared length 2 cannot cover digits + space + \n — the
+    // body count would be negative; the walk must refuse, not crash,
+    // and the member still surfaces under its header name
+    val long = "p/" + ("z" * 110) + "/f.txt"
+    val tar = ArchiveCodec.buildTar(Iterator(long -> "ab".getBytes(UTF_8)),
+      paxLongNames = true)
+    // locate the PAX payload (block after the first 'x' header) and
+    // replace its record with the crafted bytes
+    val bad = tar.clone()
+    val crafted = "2 x".getBytes(UTF_8)
+    java.util.Arrays.fill(bad, 512, 1024, 0.toByte)
+    System.arraycopy(crafted, 0, bad, 512, crafted.length)
+    val got = ArchiveCodec.parseTar(bad) // must not throw
+    assert(got.map(_.size) === Seq(2L)) // member survives, header name
+    assert(got.head.name != long)
+  }
+
   test("tar: system GNU tar lists our long-name archives identically") {
     // cross-validate against an independent implementation, both forms
     val long = "x/" + ("q" * 150) + "/z.txt"
