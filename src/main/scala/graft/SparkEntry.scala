@@ -3050,6 +3050,36 @@ object SparkEntry {
       graft.operators.LinkRank.bfsDepth(edges, seeds, maxDepth = 3)
         .orderBy("domain")
     }),
+    // hreflang translation clusters — the page's SELF-DECLARED
+    // language variants (<link rel=alternate hreflang>): free
+    // aligned-document candidates, extracted (entity decoding,
+    // relative hrefs), resolved against the fetch URL, one row per
+    // (page, lang). Bitext mining then SCORES what sites declare.
+    "crawl_hreflang" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val p = id % 7
+          val pageUrl = s"https://www.site$h.com/en/p$p"
+          val langs = Seq("en", "de") ++ (if (id % 2 == 0) Seq("fr") else Nil)
+          val links = langs.map(l =>
+            s"""<link rel="alternate" hreflang="$l" href="/$l/p$p?x=1&amp;y=2">""")
+            .mkString("\n")
+          val html = s"<html><head>$links" +
+            "<link rel=\"stylesheet\" href=\"/css\"></head><body>b</body></html>"
+          graft.operators.HtmlExtract.hreflangs(html).flatMap {
+            case (lang, href) =>
+              graft.operators.UrlOps.resolve(pageUrl, href)
+                .map(u => (id, lang, u))
+          }
+        }
+        .toDF("id", "lang", "url")
+        .orderBy("id", "lang")
+    }),
     // Code-switch segmentation: per-8-token-block language id (the
     // lang_id marker heuristic) with same-language runs collapsed —
     // the fixture appends a German and a French marker run to every
@@ -7609,6 +7639,20 @@ object SparkEntry {
     // Same edge CTEs, then 3 BFS waves from the two seeds — frontier
     // join, reached-set exclusion, integral depths.
     "crawl_depth" -> bfsOracle(3),
+    // One row per declared variant, entity decoding and resolution
+    // replayed arithmetically (fr only on even ids).
+    "crawl_hreflang" ->
+      """WITH src AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (
+        |  SELECT id, l.lang
+        |  FROM src, (VALUES ('en'), ('de'), ('fr')) l(lang)
+        |  WHERE l.lang != 'fr' OR id % 2 = 0)
+        |SELECT id, lang,
+        |       'https://www.site' || (id % 10) || '.com/' || lang ||
+        |         '/p' || (id % 7) || '?x=1&y=2' AS url
+        |FROM v ORDER BY id, lang""".stripMargin,
     // Per-block marker counts + the same CASE + the same run collapse.
     "lang_segments" ->
       """WITH toks AS (

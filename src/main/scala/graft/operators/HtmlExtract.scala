@@ -233,6 +233,56 @@ object HtmlExtract {
     out.toSeq
   }
 
+  /** `<link rel="alternate" hreflang=… href=…>` pairs in document
+    * order — the page's SELF-DECLARED translation set: sites publish
+    * their language variants (the hreflang annotations search engines
+    * consume), and a multilingual pipeline that reads them gets
+    * aligned-document candidates for free, BEFORE any embedding model
+    * runs ([[BitextMining]] then scores them). Same scan discipline
+    * as [[anchors]]; entities decoded, empty values dropped. */
+  def hreflangs(html: String): Seq[(String, String)] = {
+    if (html == null) return Nil
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    def tagEnd(from: Int): Int = {
+      var p = from
+      var quote: Char = 0
+      while (p < n) {
+        val c = html.charAt(p)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return p + 1
+        p += 1
+      }
+      n
+    }
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (lowerAt(i, "<link") &&
+            (i + 5 >= n || !Character.isLetterOrDigit(html.charAt(i + 5)))) {
+          val te = tagEnd(i)
+          if (attrValue(html, i, te, "rel")
+              .exists(_.trim.equalsIgnoreCase("alternate"))) {
+            for {
+              lang <- attrValue(html, i, te, "hreflang")
+                .map(_.trim.toLowerCase).filter(_.nonEmpty)
+              href <- attrValue(html, i, te, "href")
+                .map(v => decodeEntities(v.trim)).filter(_.nonEmpty)
+            } out += ((lang, href))
+          }
+          i = te
+        } else i = tagEnd(i)
+      } else i += 1
+    }
+    out.toSeq
+  }
+
   def extract(html: String): Extracted = {
     if (html == null) return Extracted("", "", 0, Nil)
     val n = html.length

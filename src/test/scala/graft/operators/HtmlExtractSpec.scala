@@ -168,6 +168,19 @@ class HtmlExtractSpec extends AnyFunSuite {
       === Seq("/x" -> "ok done"))
   }
 
+  test("hreflangs: alternate links only, entities decoded, case-folded langs") {
+    val html =
+      """<link rel="alternate" hreflang="EN" href="/en/p?a=1&amp;b=2">
+        |<link rel='alternate' hreflang='de-AT' href='/de/p'>
+        |<link rel="stylesheet" href="/css">
+        |<link rel="alternate" href="/no-lang">
+        |<link rel="alternate" hreflang="fr" href="">""".stripMargin
+    assert(HtmlExtract.hreflangs(html) === Seq(
+      "en" -> "/en/p?a=1&b=2", "de-at" -> "/de/p"))
+    assert(HtmlExtract.hreflangs(null) === Nil)
+    assert(HtmlExtract.hreflangs("<linkage hreflang=x href=y>") === Nil)
+  }
+
   test("anchors: totality on null/garbage; <abbr> is not an anchor") {
     assert(HtmlExtract.anchors(null) === Nil)
     assert(HtmlExtract.anchors("plain text & no tags") === Nil)
