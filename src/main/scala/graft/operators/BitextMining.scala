@@ -41,6 +41,57 @@ import org.apache.spark.sql.functions._
  */
 object BitextMining {
 
+  /**
+   * Scale-path candidate generation: the two-relation banded LSH
+   * join, micro-quantized. Candidates are (x, y) rows sharing any
+   * hyperplane-LSH bucket — each side is keyed once with the same
+   * seeds, the join is a plain bucket-equality shuffle join, and
+   * corpus × corpus pairs NEVER materialize (the [[marginPairs]]
+   * scaladoc's "candidates come from the ANN family" path, made
+   * concrete). `maxBucket` drops viral buckets, bounding any bucket's
+   * contribution at capL × capR; `thresholdMicro` is the candidate
+   * floor and is PART OF THE ROW'S SEMANTICS — the margin neighborhood
+   * means range over candidates with cos_micro >= thresholdMicro,
+   * exactly the ANN-top-candidates recipe of Artetxe & Schwenk §3.2
+   * (neighborhoods come from the retrieved candidate set, not the full
+   * corpus). At recall-1 LSH parameters the candidate set equals the
+   * exact threshold relation, which is how the driver oracle replays
+   * it with a plain cross join + WHERE.
+   *
+   * @return (x_id, y_id, cos_micro) with cos_micro =
+   *         floor(cos·1e6 + 0.5) >= thresholdMicro
+   */
+  def candidatesBetween(
+      left: DataFrame, right: DataFrame, idCol: String, vecCol: String,
+      thresholdMicro: Long,
+      bitsPerTable: Int = 3, nTables: Int = 64, seed: Long = 42L,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(thresholdMicro > 0,
+      s"candidate floor must be positive (got $thresholdMicro): the " +
+        "margin is only defined on positive-cosine candidates")
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    def keyed(df: DataFrame) = Dedup.capBuckets(
+      df.select(
+        col(idCol).as("id"),
+        explode(graft.functions.GraftFunctions.cosineLshKeys(
+          col(vecCol), bitsPerTable, nTables, seed)).as("bkt")),
+      Seq("bkt"), maxBucket)
+    val cands = keyed(left).alias("a")
+      .join(keyed(right).alias("b"), col("a.bkt") === col("b.bkt"))
+      .select(col("a.id").as("x_id"), col("b.id").as("y_id"))
+      .dropDuplicates("x_id", "y_id")
+    val lv = left.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val rv = right.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(lv.as("va"), col("x_id") === col("va.id"))
+      .join(rv.as("vb"), col("y_id") === col("vb.id"))
+      .select(col("x_id"), col("y_id"),
+        floor(graft.functions.GraftFunctions.knnCosineSimilarity(
+          col("va.v"), col("vb.v")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= thresholdMicro)
+  }
+
   /** Score candidate pairs and pick each side's best partner.
     *
     * @param cands (xCol, yCol, cosMicroCol) candidate relation —
@@ -83,17 +134,20 @@ object BitextMining {
       .localCheckpoint(true) // read twice (best-per-x, best-per-y)
 
     // best partner per side: max margin, least partner id on ties —
-    // max(struct(margin, -partner)) keeps it one hash aggregate
+    // min_by over struct(-margin, partner) keeps it one hash
+    // aggregate and works for ANY orderable partner-id type (string
+    // ids, Long.MinValue): only margin_micro is negated, and that
+    // column is the operator's own BIGINT on the micro grid
     val bestX = scored.groupBy("x_id").agg(
-      max(struct(col("margin_micro"), (-col("y_id")).as("ny"),
-        col("y_id"), col("cos_micro"))).as("b"))
+      min_by(struct(col("y_id"), col("cos_micro"), col("margin_micro")),
+        struct((-col("margin_micro")).as("nm"), col("y_id"))).as("b"))
       .select(col("x_id"), col("b.y_id").as("y_id"),
         col("b.cos_micro").as("cos_micro"),
         col("b.margin_micro").as("margin_micro"))
     val bestY = scored.groupBy("y_id").agg(
-      max(struct(col("margin_micro"), (-col("x_id")).as("nx"),
-        col("x_id"))).as("b"))
-      .select(col("y_id"), col("b.x_id").as("x_id"))
+      min_by(col("x_id"),
+        struct((-col("margin_micro")).as("nm"), col("x_id"))).as("x_id"))
+      .select(col("y_id"), col("x_id"))
 
     bestX
       .join(bestY.withColumn("__mutual", lit(true)), Seq("x_id", "y_id"), "left")

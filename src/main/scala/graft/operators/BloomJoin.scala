@@ -60,10 +60,14 @@ object BloomJoin {
   // Identical filters (the common case: the same pruned join re-run
   // per action, bench rep, or pipeline stage) reuse ONE broadcast +
   // registry tag instead of minting a never-destroyed pair per call.
-  // Keyed by content hash, equality-verified on hit; bounded by
-  // wholesale clearing (stale broadcasts are unreachable from new
-  // plans and small; churny workloads just fall back to per-call
-  // broadcasting, the pre-cache behavior).
+  // Keyed by content hash, equality-verified on hit. Eviction is
+  // wholesale AND RECLAIMS: each dropped entry's tag is deregistered
+  // and its Broadcast destroyed, so a churny workload (>64 distinct
+  // dim sides) holds at most one generation of blobs on driver and
+  // executors — the r9 ADVICE leak. The cost: a plan built before an
+  // eviction and executed after it loses its broadcast (rebuild it
+  // through the operator API); live plans within one generation are
+  // unaffected.
   private val tagCache = new java.util.concurrent.ConcurrentHashMap[
     Int, (Array[Byte], String)]()
 
@@ -76,10 +80,25 @@ object BloomJoin {
     else {
       val bc = spark.sparkContext.broadcast(filter)
       val tag = graft.functions.BloomBroadcastRegistry.register(bc)
-      if (tagCache.size > 64) tagCache.clear()
+      if (tagCache.size > 64) evictAll()
       tagCache.put(key, (filter, tag))
       tag
     }
+  }
+
+  /** Destroy every cached broadcast and drop its registry tag. Also
+    * the test/app shutdown hook for a fully clean session. */
+  private[graft] def evictAll(): Unit = {
+    val it = tagCache.values().iterator()
+    while (it.hasNext) {
+      val tag = it.next()._2
+      try {
+        val bc = graft.functions.BloomBroadcastRegistry.lookup(tag)
+        graft.functions.BloomBroadcastRegistry.deregister(tag)
+        bc.destroy()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    tagCache.clear()
   }
 
   /**

@@ -195,9 +195,14 @@ object MixtureSampling {
     val counts = docs.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("__total"))
+    // quota product in DECIMAL(38,0): n·cnt·1e6 in BIGINT silently
+    // wraps past ~9.2e18/(n·1e6) rows per stratum (reachable at the
+    // 100 TB target) — the decimal widening keeps the product exact
+    // to 38 digits and `div` lands back on BIGINT, so no decimal
+    // reaches the output schema (the r8 dtype lesson)
     val quotas = counts.crossJoin(broadcast(total))
       .withColumn("quota_micro",
-        expr(s"($n * cnt * 1000000) div __total"))
+        expr(s"(CAST($n AS DECIMAL(38,0)) * cnt * 1000000) div __total"))
       .withColumn("base", expr("quota_micro div 1000000"))
       .withColumn("rem_micro", expr("quota_micro % 1000000"))
       .drop("__total")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -269,5 +269,27 @@ object Retrieval {
       .orderBy(col("min_dist").asc, col(idCol))
       .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /**
+   * pass@k — the unbiased estimator of Chen et al. 2021 ("Evaluating
+   * Large Language Models Trained on Code", eq. 1):
+   * pass@k = 1 − C(n−c, k)/C(n, k), for a task with `n` samples of
+   * which `c` passed. Both binomials reduce to one falling factorial
+   * each — Π_{i<k}(n−c−i) / Π_{i<k}(n−i) — built here as an
+   * expression PRODUCT LOOP of exact BIGINT factors (k is a plan-time
+   * constant; a zero factor lands exactly when n−c < k, collapsing
+   * the numerator and making pass@k = 1 with no special case), then
+   * ONE double division. NULL when k > n (the estimator is undefined;
+   * a 0/0 would otherwise surface as NaN). Cross-engine exact: every
+   * engine multiplies the same integers and divides once.
+   */
+  def passAtK(n: Column, c: Column, k: Int, scale: Int = 6): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def falling(base: Column): Column =
+      (0 until k).map(i => base - lit(i.toLong)).reduce(_ * _)
+    when(n >= k,
+      round(lit(1.0) -
+        falling(n - c).cast("double") / falling(n).cast("double"), scale))
   }
 }

@@ -67,8 +67,11 @@ class InSetBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
   // a cache every pass would mint a new never-destroyed broadcast
   // (driver+executor memory growing per query). Key by content hash,
   // verify by full equality on hit (hash collisions must not alias
-  // different lists), bound the cache by wholesale clearing — the
-  // rare churn case re-broadcasts, which is the pre-cache behavior.
+  // different lists). Eviction is wholesale AND RECLAIMS: dropped
+  // entries' Broadcasts are destroyed (the r9 ADVICE leak — clear()
+  // alone pinned every generation's blobs forever). A plan optimized
+  // before an eviction and executed after it must be re-planned; one
+  // generation of ≤64 lists is always safe.
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     Int, (Set[Any], org.apache.spark.broadcast.Broadcast[java.util.HashSet[Any]])]()
 
@@ -81,10 +84,21 @@ class InSetBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val set = new java.util.HashSet[Any](hset.size * 2)
       hset.foreach(v => set.add(v))
       val bc = spark.sparkContext.broadcast(set)
-      if (cache.size > 64) cache.clear()
+      if (cache.size > 64) evictAll()
       cache.put(key, (hset, bc))
       bc
     }
+  }
+
+  /** Destroy every cached broadcast and empty the cache. */
+  private[graft] def evictAll(): Unit = {
+    val it = cache.values().iterator()
+    while (it.hasNext) {
+      val bc = it.next()._2
+      try bc.destroy()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    cache.clear()
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

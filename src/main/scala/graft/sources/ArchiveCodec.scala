@@ -129,6 +129,22 @@ object ArchiveCodec {
     * name — or the PAX way (`paxLongNames = true`): an 'x' extended
     * header with a `path=` record. Deterministic byte-for-byte given
     * the input order. */
+  /** Longest prefix of `name` whose UTF-8 encoding fits `maxBytes`:
+    * truncate BY BYTES at a char boundary (back up over 10xxxxxx
+    * continuation bytes), so re-encoding can never exceed the budget.
+    * Char-count `take` or byte-split decoding both over-shoot on
+    * multibyte names — a >100-byte non-ASCII member name used to make
+    * buildTar throw instead of emitting the truncated header. */
+  private def truncUtf8(name: String, maxBytes: Int): String = {
+    val b = name.getBytes(UTF_8)
+    if (b.length <= maxBytes) name
+    else {
+      var end = maxBytes
+      while (end > 0 && (b(end) & 0xc0) == 0x80) end -= 1
+      new String(b, 0, end, UTF_8)
+    }
+  }
+
   def buildTar(
       members: Iterator[(String, Array[Byte])], mtime: Long = 0L,
       paxLongNames: Boolean = false): Array[Byte] = {
@@ -137,7 +153,7 @@ object ArchiveCodec {
       val nameB = name.getBytes(UTF_8)
       val headerName =
         if (nameB.length <= 100) name
-        else new String(nameB, 0, 100, UTF_8) // truncated fallback field
+        else truncUtf8(name, 100) // truncated fallback field
       if (nameB.length > 100) {
         if (paxLongNames) {
           // PAX record: "<len> path=<name>\n", len = total record bytes
@@ -147,7 +163,7 @@ object ArchiveCodec {
             len = s"$len".getBytes(UTF_8).length + body.length
           val rec = (s"$len" + new String(body, UTF_8)).getBytes(UTF_8)
           out.write(tarHeaderTyped("PaxHeaders/" +
-            headerName.take(88), rec.length.toLong, mtime, 'x'))
+            truncUtf8(headerName, 88), rec.length.toLong, mtime, 'x'))
           writePadded(out, rec)
         } else {
           val full = nameB :+ 0.toByte // GNU longname is NUL-terminated

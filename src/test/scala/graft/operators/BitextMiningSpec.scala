@@ -77,4 +77,55 @@ class BitextMiningSpec extends SparkFunSuite {
       thr = 0L)
     assert(tie(1L)._1 === 200L)
   }
+
+  test("string ids: tie-break and mutual-best survive non-numeric ids") {
+    // the r9 ADVICE finding: -col(partner) broke for string ids; the
+    // min_by(struct(-margin, partner)) form must order strings too
+    val cands = Seq(
+      ("enA", "deZ", 700000L), ("enA", "deB", 700000L),
+      ("enB", "deB", 400000L))
+      .toDF("x_id", "y_id", "cos_micro")
+    val out = BitextMining.marginPairs(cands, "x_id", "y_id", "cos_micro",
+      k = 2, thresholdMicro = 0L)
+      .collect().map(r => r.getAs[String]("x_id") ->
+        ((r.getAs[String]("y_id"), r.getAs[Boolean]("mutual")))).toMap
+    assert(out("enA")._1 === "deB") // margin tie -> lexicographically least
+    assert(out("enA")._2 === true)  // deB's best x is enA -> mutual
+  }
+
+  test("candidatesBetween == exact threshold relation at recall-1 params") {
+    // the driver row's contract: at 3x64 the LSH bucket join finds
+    // EVERY pair with cos_micro >= floor on the fixture, so the exact
+    // cross-product oracle replays it
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    import org.apache.spark.sql.functions._
+    def side(lang: String) = docs.filter(col("lang") === lang)
+      .select(col("doc_id").as("id"))
+      .join(emb.select(col("vec_id").as("id"), col("embedding").as("v")), "id")
+    val en = side("en"); val de = side("de")
+    val lsh = BitextMining.candidatesBetween(en, de, "id", "v", 300000L)
+      .orderBy("x_id", "y_id").collect().map(_.toSeq).toSeq
+    val exact = en.select(col("id").as("x_id"), col("v").as("xv"))
+      .crossJoin(de.select(col("id").as("y_id"), col("v").as("yv")))
+      .select(col("x_id"), col("y_id"),
+        floor(GraftFunctions.knnCosineSimilarity(col("xv"), col("yv")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= 300000L)
+      .orderBy("x_id", "y_id").collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("driver row plan has no cartesian / broadcast-nested-loop join") {
+    // the r9 verdict's one scale-killer: candidate generation must be
+    // the bucket-equality join — assert it structurally on the
+    // entry's own physical plan
+    val df = graft.SparkEntry.queries("bitext_mining")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

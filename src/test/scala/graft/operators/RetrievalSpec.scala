@@ -150,4 +150,37 @@ class RetrievalSpec extends SparkFunSuite {
       (2L, 1L, 1L, 1L), (7L, 1L, 4L, 2L), (3L, 2L, 1L, 3L),
       (1L, 3L, 1L, 4L), (4L, 5L, 1L, 5L)))
   }
+
+  test("passAtK: closed form, n-c < k collapse, k > n undefined, any k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def binom(n: Long, k: Long): Double =
+      if (k > n) 0.0
+      else (0L until k).map(i => (n - i).toDouble / (k - i)).product
+    val cases = Seq((10L, 3L), (16L, 16L), (16L, 0L), (5L, 2L), (8L, 7L))
+    val df = cases.toDF("n", "c")
+    for (k <- Seq(1, 2, 4, 7, 10)) {
+      val got = df.select(col("n"), col("c"),
+          Retrieval.passAtK(col("n"), col("c"), k).as("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      for ((n, c) <- cases) {
+        val expected =
+          if (k > n) None
+          else Some(math.rint((1.0 - binom(n - c, k) / binom(n, k)) * 1e6) / 1e6)
+        val g = got((n, c))
+        assert((g, expected) match {
+          case (None, None) => true
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case _ => false
+        }, s"k=$k n=$n c=$c got=$g want=$expected")
+      }
+    }
+    // n-c < k exactly -> pass@k = 1 (zero numerator factor, no special case)
+    val collapse = Seq((12L, 9L)).toDF("n", "c")
+      .select(Retrieval.passAtK(col("n"), col("c"), 4).as("p"))
+      .head().getDouble(0)
+    assert(collapse === 1.0)
+    intercept[IllegalArgumentException](Retrieval.passAtK(col("n"), col("c"), 0))
+  }
 }

@@ -143,6 +143,35 @@ class ArchiveCodecSpec extends AnyFunSuite {
     assert(got.head.name != long)
   }
 
+  test("tar: multibyte >100-byte names — byte-boundary truncation, both forms") {
+    // the r9 ADVICE crash: 'ü' is 2 UTF-8 bytes, so a 100-byte split
+    // lands mid-char and the replacement-char re-encoding blew the
+    // tarHeader require; PaxHeaders/ + 88 CHARS could reach 264 bytes.
+    // Both forms must build, round-trip the FULL name, and list under
+    // the system tar.
+    val long = "ü" * 70 + "/" + "名" * 20 + ".txt" // 205 bytes, 96 chars
+    assert(long.getBytes(UTF_8).length > 100)
+    for (pax <- Seq(false, true)) {
+      val tar = ArchiveCodec.buildTar(
+        Iterator(long -> "xyz".getBytes(UTF_8)), paxLongNames = pax)
+      val got = ArchiveCodec.parseTar(tar)
+      assert(got.map(_.name) === Seq(long), s"pax=$pax")
+      assert(got.head.size === 3L)
+      val f = java.io.File.createTempFile("graft_mb", ".tar")
+      try {
+        java.nio.file.Files.write(f.toPath, tar)
+        // literal quoting: GNU tar octal-escapes non-ASCII bytes in
+        // listings by default, which would fail the comparison
+        val proc = new ProcessBuilder(
+          "tar", "--quoting-style=literal", "-tf", f.getAbsolutePath)
+          .redirectErrorStream(true).start()
+        val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+        assert(proc.waitFor() === 0, s"tar -tf failed (pax=$pax): $out")
+        assert(out.trim === long, s"pax=$pax listed: $out")
+      } finally f.delete()
+    }
+  }
+
   test("tar: system GNU tar lists our long-name archives identically") {
     // cross-validate against an independent implementation, both forms
     val long = "x/" + ("q" * 150) + "/z.txt"
