@@ -18,6 +18,40 @@ class HomoglyphSpec extends SparkFunSuite {
     assert(Homoglyph.skeleton("web20.example") === "web2o.example")
   }
 
+  test("skeleton: fullwidth / math-alphanumeric / enclosed / armenian classes") {
+    // fullwidth ASCII mirror (U+FF01..FF5E): ｅｘａｍｐｌｅ -> example
+    assert(Homoglyph.skeleton("ｅｘａｍｐｌｅ")
+      === "example")
+    // fullwidth capitals lowercase (hosts are normalized lowercase)
+    assert(Homoglyph.skeleton("ＥＸ") === "ex")
+    // fullwidth digits chain through the digit substitutions: ０ -> 0 -> o
+    assert(Homoglyph.skeleton("０１") === "ol")
+    // math sans-serif 𝖾𝗑𝖺𝗆𝗉𝗅𝖾 (supplementary plane; style offset 8*52)
+    val mathSans = "example".map(c =>
+      new String(Character.toChars(0x1D400 + 8 * 52 + 26 + (c - 'a')))).mkString
+    assert(Homoglyph.skeleton(mathSans) === "example")
+    // math bold capitals 𝐄𝐗 -> ex; math monospace digit 𝟽 -> 7
+    assert(Homoglyph.skeleton(
+      new String(Character.toChars(0x1D404)) +
+        new String(Character.toChars(0x1D417))) === "ex")
+    assert(Homoglyph.skeleton(new String(Character.toChars(0x1D7FD))) === "7")
+    // math double-struck zero 𝟘 resolves transitively: -> '0' -> 'o'
+    assert(Homoglyph.skeleton(new String(Character.toChars(0x1D7D8))) === "o")
+    // enclosed: Ⓐⓐ⒜ all -> a
+    assert(Homoglyph.skeleton("Ⓐⓐ⒜") === "aaa")
+    // armenian: հոսt -> host (h/n/... wait: հ->h ո->n) — sequential vector
+    assert(Homoglyph.skeleton("հost.example") === "host.example")
+    assert(Homoglyph.skeleton("aոb") === "anb")
+    // kelvin sign + letterlike
+    assert(Homoglyph.skeleton("Kℓℯ") === "kle")
+    // the whole table is idempotent: skeleton(skeleton(x)) == skeleton(x)
+    for ((cp, a) <- Homoglyph.Table) {
+      assert(a >= 0x21 && a <= 0x7E, f"non-ASCII target for U+$cp%04X: $a")
+      val s = Homoglyph.skeleton(new String(Character.toChars(cp)))
+      assert(Homoglyph.skeleton(s) === s, f"not idempotent at U+$cp%04X")
+    }
+  }
+
   test("spoofCandidates: flags only domains whose skeleton is another domain") {
     val domains = Seq(
       "falcon.example",          // legit target

@@ -503,4 +503,25 @@ class EventPipelineSpec extends SparkFunSuite {
       ("2024-01-01", 1L, 1L, 1.0),
       ("2024-01-04", 2L, 2L, 1.0)))
   }
+
+  test("streamedWindowedTypeStats: real micro-batch run == closed batch windows") {
+    import org.apache.spark.sql.functions._
+    // the driver row's contract, asserted against the BATCH plan: the
+    // file-source -> watermarked agg -> file-sink execution emits
+    // exactly the windows with end <= max(ts) - delay
+    val streamed = EventPipeline.streamedWindowedTypeStats(
+        spark, s"$Sf0001/events.parquet", "1 hour", "30 minutes")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val ev = EventPipeline.normalizeTs(
+      spark.read.parquet(s"$Sf0001/events.parquet"))
+    val wm = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime -
+      30L * 60 * 1000
+    val batch = EventPipeline.windowedTypeStats(ev, "1 hour")
+      .filter((unix_millis(col("window_start")) + 3600L * 1000) <= wm)
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
