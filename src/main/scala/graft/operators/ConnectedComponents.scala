@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
  *   label(v) ← min(label(v), min over neighbors u of label(u),
  *                  label(label(v)))
  * repeated until a fixpoint. Propagation alone needs one round per unit
- * of graph diameter; the label(label(v)) hop halves label-chain length
- * every round on top of it, so convergence is O(log diameter) — exact
- * dedup graphs are small dense clusters (diameter ≤ 3-4), but
- * threshold-similarity graphs grow chain-shaped components (measured
- * diameter ~20 on the sf0.1 semantic graph), where the doubling hop is
- * the difference between 5 rounds and 20. `maxIters` is a safety bound.
+ * of graph diameter; the label(label(v)) hop compresses label chains on
+ * top of it. Worst-case O(log diameter) holds when labels form long
+ * parent chains, but on chain graphs with RANDOM id placement the min
+ * within a node's horizon is usually mid-horizon, so the measured gain
+ * is a constant factor (~2×), not a log: the sf0.1 semantic graph
+ * (1174 nodes, 910 edges, chain-shaped components) converges in 11
+ * rounds, not ~5 (r10 profile; a second chained jump per round was
+ * measured SLOWER — the extra join exceeds the round savings).
+ * `maxIters` is a safety bound. Exact dedup graphs are small dense
+ * clusters (diameter ≤ 3-4) and converge in 1-2 rounds.
  *
  * Scale design (100 TB): each round is TWO equality joins — edge list
  * with labels on the neighbor key, labels with itself on the label
@@ -47,10 +51,19 @@ object ConnectedComponents {
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
-    // Symmetrize once; cache — every round re-joins the same edge list.
+    // Symmetrize once; cache — every round re-joins the same edge
+    // list. Pre-partitioned on the JOIN KEY v before the checkpoint:
+    // LogicalRDD preserves the hash partitioning, so none of the
+    // rounds re-exchanges the edge list for its propagation join
+    // (labels arrive partitioned on u from their own groupBy — both
+    // sides pre-placed). At fixture scale this is ~15% of the CC
+    // stage; at cluster scale it deletes the one per-round shuffle
+    // whose size is O(|E|), leaving only the O(|V|) aggregate
+    // exchange (r10 profile, SCALING.md).
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
+      .repartition(col("v"))
       .localCheckpoint(true)
 
     // Round 0 fused into initialization: label(v) = min(v, min neighbor)
