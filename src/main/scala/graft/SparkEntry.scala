@@ -2271,6 +2271,68 @@ object SparkEntry {
         .toDF("id", "version", "layer", "bitrate_kbps", "sample_rate", "frames", "duration_ms")
         .orderBy("id")
     }),
+    // MP3 side-info parse — the CONTENT-bearing step beyond the frame
+    // census (the r9 verdict's stretch ask): per-granule global_gain
+    // (the quantizer step, a log-energy/loudness proxy),
+    // part2_3_length (encoder bit budget — spectral complexity) and
+    // big_values, read from the real ISO 11172-3 side-info bit layout
+    // with a bit reader (9+5+4 header bits, 59-bit granule blocks).
+    // The builder PLANTS values at the exact bit positions with an
+    // independent bit writer; the parser must walk the actual bits to
+    // recover them, and the oracle re-derives the planted arithmetic.
+    // Decode-free: silence detection / loudness routing at 100 TB
+    // without an MDCT.
+    "multimodal_mp3_gain" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val kbpsTable = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+          it.flatMap { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val bidx = 1 + b0 % 14
+            val frames = 2 + b1 % 3
+            val frameLen = 144 * kbpsTable(bidx - 1) * 1000 / 44100
+            val bos = new java.io.ByteArrayOutputStream()
+            var f = 0
+            while (f < frames) {
+              bos.write(0xff); bos.write(0xfb)          // MPEG1 L3, no CRC
+              bos.write(bidx << 4); bos.write(0xc0)     // 44.1k, mono
+              val side = new Array[Byte](17)
+              def put(bitOff: Int, width: Int, value: Int): Unit = {
+                var i = 0
+                while (i < width) {
+                  if (((value >> (width - 1 - i)) & 1) != 0) {
+                    val pos = bitOff + i
+                    side(pos >> 3) = (side(pos >> 3) | (1 << (7 - (pos & 7)))).toByte
+                  }
+                  i += 1
+                }
+              }
+              var g = 0
+              while (g < 2) {
+                val base = 18 + g * 59 // 9+5+4 header bits, 59-bit granules
+                put(base, 12, (b1 * 13 + 29 * f + 7 * g) % 4096)
+                put(base + 12, 9, (b0 + b1 + 3 * f + g) % 512)
+                put(base + 21, 8, (b0 + 17 * f + 11 * g) % 256)
+                g += 1
+              }
+              bos.write(side)
+              var j = 4 + 17
+              while (j < frameLen) { bos.write(0); j += 1 }
+              f += 1
+            }
+            graft.multimodal.Mp3Parser.parseGranules(bos.toByteArray).get
+              .map(gr => (id, gr.frameIdx, gr.granule,
+                gr.globalGain, gr.part23Length, gr.bigValues))
+          }
+        }
+        .toDF("id", "frame_idx", "granule", "global_gain", "part23_len", "big_values")
+        .orderBy("id", "frame_idx", "granule")
+    }),
     // MP4/ISO-BMFF container census — the video counterpart of the MP3
     // triage row. Real ISO 14496-12 files (ftyp + moov{mvhd,trak...} +
     // a size==0 trailing mdat) are assembled in-plan from each
@@ -7274,6 +7336,24 @@ object SparkEntry {
         |       CAST((s.frames * 1152 * 1000) // 44100 AS BIGINT) AS duration_ms
         |FROM src s JOIN br b USING (bidx)
         |ORDER BY id""".stripMargin,
+    // Side-info replay: the planted (gain, part2_3, big_values)
+    // arithmetic per (id, frame, granule) — the Spark side recovers
+    // the same integers by reading the real side-info bit layout.
+    "multimodal_mp3_gain" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2),
+        |f AS (
+        |  SELECT id, b0, b1, CAST(fr AS INT) AS frame_idx
+        |  FROM src, unnest(generate_series(0, 1 + b1 % 3)) t(fr)),
+        |g AS (SELECT *, CAST(gg AS INT) AS granule FROM f, unnest([0, 1]) u(gg))
+        |SELECT id, frame_idx, granule,
+        |       CAST((b0 + 17 * frame_idx + 11 * granule) % 256 AS INT) AS global_gain,
+        |       CAST((b1 * 13 + 29 * frame_idx + 7 * granule) % 4096 AS INT) AS part23_len,
+        |       CAST((b0 + b1 + 3 * frame_idx + granule) % 512 AS INT) AS big_values
+        |FROM g ORDER BY id, frame_idx, granule""".stripMargin,
     "multimodal_webp_meta" ->
       """SELECT doc_id AS id, 'VP8L' AS format,
         |       CAST(1 + ascii(substr(text, 1, 1)) % 1000 AS INT) AS width,

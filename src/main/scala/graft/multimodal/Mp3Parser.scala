@@ -152,4 +152,118 @@ object Mp3Parser {
       version match { case 1 => "MPEG1"; case 2 => "MPEG2"; case _ => "MPEG2.5" },
       layer, bitrate, sampleRate, frames, vbr,
       totalSamples * 1000L / sampleRate))
+
+  // ------------------------------------------------- side info (L3)
+
+  /** One granule-channel of MPEG-1 Layer III side information —
+    * the decode-free CONTENT features (ISO 11172-3 §2.4.1.7):
+    * `globalGain` is the granule's overall quantizer step, a direct
+    * log-energy/loudness proxy; `part23Length` is the bit budget the
+    * encoder spent (spectral complexity proxy); `bigValues` counts
+    * the coded high-amplitude spectral pairs. Together they give
+    * per-frame energy/complexity curves — silence detection, loudness
+    * normalization, speech/music routing — without any MDCT. */
+  final case class Mp3Granule(
+      frameIdx: Int, granule: Int, channel: Int,
+      part23Length: Int, bigValues: Int, globalGain: Int)
+
+  /** MSB-first bit reader over a byte range. */
+  private final class BitReader(buf: Array[Byte], off: Int) {
+    private var bit = 0
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIdx = off + ((bit + i) >> 3)
+        val shift = 7 - ((bit + i) & 7)
+        v = (v << 1) | ((buf(byteIdx) >> shift) & 1)
+        i += 1
+      }
+      bit += n
+      v
+    }
+    def skip(n: Int): Unit = bit += n
+  }
+
+  /**
+   * Walk an MPEG-1 Layer III stream (optionally ID3v2-tagged, no CRC)
+   * and parse every frame's side information. Returns one
+   * [[Mp3Granule]] per (frame, granule, channel) — 2 granules ×
+   * 1 (mono) or 2 (other modes) channels per frame. None on anything
+   * malformed, non-MPEG-1, non-Layer-III, or CRC-protected (the
+   * 2-byte CRC shifts the side info; triage skips those rather than
+   * guessing) — never throws.
+   */
+  def parseGranules(payload: Array[Byte]): Option[Seq[Mp3Granule]] = {
+    if (payload == null || payload.length < 4) return None
+    try {
+      var p = 0
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+          payload(2) == '3') {
+        val flags = payload(5) & 0xff
+        var size = 0
+        var i = 0
+        while (i < 4) {
+          val b = payload(6 + i) & 0xff
+          if (b >= 0x80) return None
+          size = (size << 7) | b
+          i += 1
+        }
+        p = 10 + size + (if ((flags & 0x10) != 0) 10 else 0)
+        if (p >= payload.length) return None
+      }
+      val out = Seq.newBuilder[Mp3Granule]
+      var frames = 0
+      while (p + 4 <= payload.length) {
+        val b0 = payload(p) & 0xff
+        val b1 = payload(p + 1) & 0xff
+        if (b0 != 0xff || (b1 & 0xe0) != 0xe0) {
+          return if (frames >= 1) Some(out.result()) else None
+        }
+        if (((b1 >> 3) & 0x3) != 3) return None    // MPEG-1 only
+        if (((b1 >> 1) & 0x3) != 1) return None    // Layer III only
+        if ((b1 & 0x1) == 0) return None           // CRC-protected: skip
+        val b2 = payload(p + 2) & 0xff
+        val bitrateIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 0x3
+        val padding = (b2 >> 1) & 0x1
+        if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+        val kbps = BitrateV1L3(bitrateIdx)
+        val sr = SampleRateV1(srIdx)
+        val mode = (payload(p + 3) >> 6) & 0x3
+        val nch = if (mode == 3) 1 else 2
+        val sideBytes = if (nch == 1) 17 else 32
+        if (p + 4 + sideBytes > payload.length) return None
+        val r = new BitReader(payload, p + 4)
+        r.skip(9)                                  // main_data_begin
+        r.skip(if (nch == 1) 5 else 3)             // private_bits
+        r.skip(4 * nch)                            // scfsi
+        var g = 0
+        while (g < 2) {
+          var ch = 0
+          while (ch < nch) {
+            val part23 = r.read(12)
+            val bigv = r.read(9)
+            val gain = r.read(8)
+            r.skip(4)                              // scalefac_compress
+            // window_switching_flag + either branch of the window
+            // layout — both are 22 bits (block_type 2 + mixed 1 +
+            // 2×5 tables + 3×3 subblock gains vs 3×5 tables +
+            // 4 region0 + 3 region1) — 23 bits total either way
+            r.skip(23)
+            r.skip(3)                              // preflag, sfscale, count1
+            out += Mp3Granule(frames, g, ch, part23, bigv, gain)
+            ch += 1
+          }
+          g += 1
+        }
+        val frameLen = 144 * kbps * 1000 / sr + padding
+        if (frameLen <= 4) return None
+        if (p + frameLen > payload.length) return None
+        frames += 1
+        p += frameLen
+      }
+      if (frames >= 1) Some(out.result()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

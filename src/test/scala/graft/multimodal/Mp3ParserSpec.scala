@@ -127,4 +127,66 @@ class Mp3ParserSpec extends AnyFunSuite {
     val sr48 = frame(3, 1, 9, 1, 0, 384)
     assert(Mp3Parser.parseMp3(stream(v1, sr48)).isEmpty)
   }
+
+  /** Frame with side info planted at explicit bit offsets (mono: 18
+    * header bits, then 59-bit granule blocks with part2_3 at +0,
+    * big_values at +12, global_gain at +21 — ISO 11172-3 §2.4.1.7),
+    * written by an independent bit placer. */
+  private def sideFrame(
+      mono: Boolean, vals: Seq[(Int, Int, Int)], frameLen: Int): Array[Byte] = {
+    val out = new Array[Byte](frameLen)
+    out(0) = 0xff.toByte
+    out(1) = 0xfb.toByte                      // MPEG-1 L3, no CRC
+    out(2) = (9 << 4).toByte                  // 128 kbps, 44.1 kHz
+    out(3) = (if (mono) 0xc0 else 0x00).toByte
+    val nch = if (mono) 1 else 2
+    val headerBits = 9 + (if (mono) 5 else 3) + 4 * nch
+    def put(bitOff: Int, width: Int, value: Int): Unit =
+      for (i <- 0 until width if ((value >> (width - 1 - i)) & 1) != 0) {
+        val pos = bitOff + i
+        out(4 + (pos >> 3)) = (out(4 + (pos >> 3)) | (1 << (7 - (pos & 7)))).toByte
+      }
+    vals.zipWithIndex.foreach { case ((p23, bv, gain), slot) =>
+      val base = headerBits + slot * 59
+      put(base, 12, p23); put(base + 12, 9, bv); put(base + 21, 8, gain)
+    }
+    out
+  }
+
+  test("parseGranules: mono and stereo side info recovered bit-exactly") {
+    // mono: 2 granules; values at the extremes of their fields
+    val m = sideFrame(mono = true,
+      Seq((4095, 511, 255), (1, 0, 210)), 417)
+    val got = Mp3Parser.parseGranules(m).get
+    assert(got === Seq(
+      Mp3Parser.Mp3Granule(0, 0, 0, 4095, 511, 255),
+      Mp3Parser.Mp3Granule(0, 1, 0, 1, 0, 210)))
+    // stereo: 4 slots in granule-major, channel-minor order
+    val s = sideFrame(mono = false,
+      Seq((100, 7, 1), (200, 8, 2), (300, 9, 3), (400, 10, 4)), 417)
+    val gotS = Mp3Parser.parseGranules(s).get
+    assert(gotS === Seq(
+      Mp3Parser.Mp3Granule(0, 0, 0, 100, 7, 1),
+      Mp3Parser.Mp3Granule(0, 0, 1, 200, 8, 2),
+      Mp3Parser.Mp3Granule(0, 1, 0, 300, 9, 3),
+      Mp3Parser.Mp3Granule(0, 1, 1, 400, 10, 4)))
+    // multi-frame: frame indices advance
+    val two = stream(m, m)
+    assert(Mp3Parser.parseGranules(two).get.map(_.frameIdx) === Seq(0, 0, 1, 1))
+  }
+
+  test("parseGranules: CRC-protected, non-L3, and malformed inputs -> None") {
+    val crc = sideFrame(mono = true, Seq((1, 1, 1), (1, 1, 1)), 417)
+    crc(1) = 0xfa.toByte // protection bit 0 = CRC present
+    assert(Mp3Parser.parseGranules(crc).isEmpty)
+    val l2 = frame(3, 2, 5, 0, 0, 261) // Layer II
+    assert(Mp3Parser.parseGranules(l2).isEmpty)
+    assert(Mp3Parser.parseGranules(null).isEmpty)
+    assert(Mp3Parser.parseGranules(Array[Byte](0xff.toByte)).isEmpty)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val buf = Array.fill[Byte](rnd.nextInt(600))(rnd.nextInt(256).toByte)
+      Mp3Parser.parseGranules(buf) // totality: no throw
+    }
+  }
 }
