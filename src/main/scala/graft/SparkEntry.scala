@@ -1269,6 +1269,58 @@ object SparkEntry {
       Bootstrap.poissonBootstrap(ex, "doc_id", "score", reps = 32)
         .orderBy("rep")
     }),
+    // Exact ROC-AUC per source via the Mann–Whitney rank-sum with
+    // midrank ties (Hanley–McNeil 1982): the classifier-quality gate
+    // a labeling pipeline runs per slice. Scores live on an integer
+    // grid (ties engineered via % 100) and labels lean +40 on the
+    // grid, so each source's AUC is informative but < 1. All-BIGINT
+    // until one division; the per-(source, score) relation is what
+    // shuffles, never per-row ranks.
+    "eval_auc" -> ((s, d) => {
+      val pos = col("doc_id") % 3 === 0
+      val scored = table(s, d, "documents").select(
+        col("source"),
+        pos.cast("long").as("label"),
+        ((col("n_chars") * 7 + col("doc_id") * 13) % 100 +
+          when(pos, 40).otherwise(0)).as("score"))
+      Evaluation.aucExact(scored, "source", "label", "score")
+        .orderBy("source")
+    }),
+    // Cohen's kappa per source: two simulated annotators over a
+    // 3-class truth (doc_id % 3), each corrupted on its own stride
+    // (every 7th / every 5th doc) — the inter-annotator agreement
+    // card a labeling QA pipeline reports. Confusion marginals from
+    // two slim per-(source, class) aggregates; exact integers until
+    // the one kappa division.
+    "eval_kappa" -> ((s, d) => {
+      val t = col("doc_id") % 3
+      val rated = table(s, d, "documents").select(
+        col("source"),
+        when(col("doc_id") % 7 === 0, (t + 1) % 3).otherwise(t).as("r1"),
+        when(col("doc_id") % 5 === 0, (t + 2) % 3).otherwise(t).as("r2"))
+      Evaluation.cohensKappa(rated, "source", "r1", "r2")
+        .orderBy("source")
+    }),
+    // Bradley–Terry strengths from a pairwise-preference log (the DPO
+    // data-QC card): 8 items whose simulated win odds follow
+    // strength ∝ item+1 — (doc_id + n_chars) % (a+b+2) <= a wins for
+    // a with probability (a+1)/(a+b+2), the BT model itself. Three
+    // micro-integer MM rounds (Hunter 2004) on the ≤ 8² pair-count
+    // relation; the preference log never leaves the scan unaggregated.
+    "eval_bradley_terry" -> ((s, d) => {
+      val prefs = table(s, d, "documents")
+        .select(
+          (col("doc_id") % 8).as("a"),
+          (expr("doc_id div 8") % 8).as("b"),
+          ((col("doc_id") + col("n_chars")) % (col("doc_id") % 8 +
+            expr("doc_id div 8") % 8 + 2)).as("roll"))
+        .filter(col("a") =!= col("b"))
+        .select(
+          when(col("roll") <= col("a"), col("a")).otherwise(col("b")).as("w"),
+          when(col("roll") <= col("a"), col("b")).otherwise(col("a")).as("l"))
+      Evaluation.bradleyTerry(prefs, "w", "l", iters = 3)
+        .orderBy("item")
+    }),
     // Code-corpus license gate (the-Stack-style): a canonical notice
     // chosen by doc_id arithmetic is prepended in-plan; the regex
     // cascade must rediscover it — spdx id, family, keep verdict —
@@ -4454,6 +4506,68 @@ object SparkEntry {
       s"SELECT $k AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS freq FROM b$k"
     }.mkString("\n UNION ALL ")
 
+  /** Generated CTE chain re-running Evaluation.bradleyTerry's three
+    * MM rounds in SQL: the ordered-pair count relation, symmetrized
+    * games, then one (d, r, p) CTE triple per round — the same
+    * greatest(p_i+p_j, 1) guard, exact HUGEINT products mirroring the
+    * Spark side's DECIMAL(38,0) `div`, and per-round floor
+    * renormalization to mean 1e6. Item ranking by strength desc then
+    * item. */
+  private val BradleyTerryOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH raw AS (
+        |  SELECT doc_id % 8 AS a, (doc_id // 8) % 8 AS b, doc_id, n_chars
+        |  FROM documents),
+        |games AS (
+        |  SELECT CASE WHEN (doc_id + n_chars) % (a + b + 2) <= a
+        |              THEN a ELSE b END AS w,
+        |         CASE WHEN (doc_id + n_chars) % (a + b + 2) <= a
+        |              THEN b ELSE a END AS l
+        |  FROM raw WHERE a <> b),
+        |dir AS (SELECT w AS i, l AS j, COUNT(*) AS wc FROM games GROUP BY 1, 2),
+        |nsym AS (SELECT i, j, CAST(SUM(wc) AS BIGINT) AS n_ij FROM
+        |           (SELECT i, j, wc FROM dir
+        |            UNION ALL SELECT j AS i, i AS j, wc FROM dir)
+        |         GROUP BY 1, 2),
+        |wins AS (SELECT n.i, CAST(COALESCE(MAX(d.wtot), 0) AS BIGINT) AS wins,
+        |           CAST(SUM(n.n_ij) AS BIGINT) AS games
+        |         FROM nsym n LEFT JOIN
+        |           (SELECT i, SUM(wc) AS wtot FROM dir GROUP BY 1) d USING (i)
+        |         GROUP BY 1),
+        |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM wins),
+        |p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM wins),
+        |""".stripMargin
+    for (t <- 1 to 3) {
+      sb ++=
+        s"""d$t AS (SELECT n.i,
+           |  CAST(SUM(CAST(n.n_ij AS HUGEINT) * 1000000000000 //
+           |    GREATEST(pi.p + pj.p, 1)) AS BIGINT) AS denom
+           |  FROM nsym n
+           |  JOIN p${t - 1} pi ON n.i = pi.i
+           |  JOIN p${t - 1} pj ON n.j = pj.i GROUP BY 1),
+           |r$t AS (SELECT w.i,
+           |  CASE WHEN d.denom > 0 THEN
+           |    CAST(CAST(w.wins AS HUGEINT) * 1000000000000 // d.denom AS BIGINT)
+           |  ELSE 0 END AS praw
+           |  FROM wins w JOIN d$t d USING (i)),
+           |p$t AS (SELECT r.i,
+           |  CASE WHEN t.tot > 0 THEN
+           |    CAST(CAST(r.praw AS HUGEINT) * k.kk * 1000000 // t.tot AS BIGINT)
+           |  ELSE 0 END AS p
+           |  FROM r$t r, (SELECT SUM(praw) AS tot FROM r$t) t, k),
+           |""".stripMargin
+    }
+    sb ++=
+      """fin AS (SELECT w.i AS item, w.wins, w.games, p.p AS strength_micro
+        |        FROM wins w JOIN p3 p USING (i))
+        |SELECT item, wins, games, strength_micro,
+        |       CAST(ROW_NUMBER() OVER
+        |         (ORDER BY strength_micro DESC, item) AS BIGINT) AS rnk
+        |FROM fin ORDER BY item""".stripMargin
+    sb.result()
+  }
+
   /** Generated CTE chain re-running KMeansExact's full training loop
     * in SQL: µ-quantized (id, pos, v) triples, first-K-by-id init,
     * then one (a, s, c) CTE triple per Lloyd's round — integer-L2²
@@ -6393,6 +6507,62 @@ object SparkEntry {
         |       round(CAST(sum(mult * score) AS DOUBLE) / sum(mult), 6)
         |         AS mean_score
         |FROM m GROUP BY rep ORDER BY rep""".stripMargin,
+    // Midrank rank-sum replayed on the per-(source, score) counts.
+    // The cumulative window is tie-free by construction (score is the
+    // grouping key), so DuckDB's RANGE default frame equals Spark's
+    // ROWS frame.
+    "eval_auc" ->
+      """WITH scored AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label,
+        |         (n_chars * 7 + doc_id * 13) % 100 +
+        |           CASE WHEN doc_id % 3 = 0 THEN 40 ELSE 0 END AS score
+        |  FROM documents),
+        |g AS (SELECT source, score, COUNT(*) AS cnt, SUM(label) AS pos
+        |      FROM scored GROUP BY 1, 2),
+        |r AS (SELECT source, cnt, pos,
+        |        SUM(cnt) OVER (PARTITION BY source ORDER BY score) AS cum
+        |      FROM g),
+        |a AS (SELECT source,
+        |        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |        CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+        |        CAST(SUM(pos * (2 * cum - cnt + 1)) AS BIGINT) AS r2
+        |      FROM r GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |         round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |               (2.0 * n_pos * n_neg), 6) END AS auc
+        |FROM a ORDER BY source""".stripMargin,
+    // Kappa from the confusion marginals; a class used by only one
+    // rater contributes 0 via the full-outer marginal join.
+    "eval_kappa" ->
+      """WITH rated AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3 + 1) % 3
+        |              ELSE doc_id % 3 END AS r1,
+        |         CASE WHEN doc_id % 5 = 0 THEN (doc_id % 3 + 2) % 3
+        |              ELSE doc_id % 3 END AS r2
+        |  FROM documents),
+        |base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |           CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS agree
+        |         FROM rated GROUP BY 1),
+        |ma AS (SELECT source, r1 AS k, COUNT(*) AS a_k FROM rated GROUP BY 1, 2),
+        |mb AS (SELECT source, r2 AS k, COUNT(*) AS b_k FROM rated GROUP BY 1, 2),
+        |pe AS (SELECT COALESCE(ma.source, mb.source) AS source,
+        |         CAST(SUM(COALESCE(a_k, 0) * COALESCE(b_k, 0)) AS BIGINT)
+        |           AS pe_num
+        |       FROM ma FULL OUTER JOIN mb
+        |         ON ma.source = mb.source AND ma.k = mb.k
+        |       GROUP BY 1)
+        |SELECT b.source, b.n, b.agree,
+        |       CASE WHEN b.n * b.n <> pe.pe_num THEN
+        |         round(CAST(b.n * b.agree - pe.pe_num AS DOUBLE) /
+        |               CAST(b.n * b.n - pe.pe_num AS DOUBLE), 6) END AS kappa
+        |FROM base b JOIN pe USING (source) ORDER BY source""".stripMargin,
+    // Three MM rounds unrolled as CTE stages; HUGEINT keeps the 1e12
+    // products exact where the Spark side runs DECIMAL(38,0) div.
+    "eval_bradley_terry" -> BradleyTerryOracle,
     // Ground truth by doc_id arithmetic — the regex cascade never
     // informs the oracle.
     "code_license_scan" ->

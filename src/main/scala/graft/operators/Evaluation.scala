@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Label-quality and ranking-quality evaluation for training-data
+ * pipelines — the measurement side of the corpus the engine curates
+ * (reference scope: the search API ranks candidates,
+ * `/root/reference/app.py:113-161`; a pipeline that mines labels and
+ * preference pairs from those rankings needs to grade them).
+ *
+ * All three metrics are exact-integer until one final division:
+ *  - [[aucExact]]: ROC-AUC via the Mann–Whitney rank-sum statistic
+ *    with midrank tie handling (Hanley & McNeil 1982), computed from
+ *    per-score-value counts — never a per-row global sort.
+ *  - [[cohensKappa]]: inter-annotator agreement (Cohen 1960) from the
+ *    confusion marginals.
+ *  - [[bradleyTerry]]: pairwise-preference strengths (Bradley & Terry
+ *    1952) via Hunter's (2004) MM iteration, run on a micro-integer
+ *    grid so every engine reproduces the fixed point of the truncated
+ *    iteration bit-for-bit.
+ *
+ * Shape at 100 TB: each metric first collapses the raw relation
+ * scan-locally — AUC to one row per (group, distinct score), kappa to
+ * one row per (group, class), Bradley–Terry to one row per ordered
+ * item pair — and all downstream arithmetic runs on those slim
+ * relations. Nothing driver-side; no unpartitioned windows (AUC's
+ * cumulative window partitions by the group key).
+ */
+object Evaluation {
+
+  /**
+   * Exact ROC-AUC per group. `labelCol` must be 0/1 (long-castable),
+   * `scoreCol` integral (quantize scores to a micro grid upstream —
+   * floats would make tie structure engine-dependent).
+   *
+   * AUC = (R⁺ − P(P+1)/2) / (P·N) where R⁺ is the positive class's
+   * rank sum under midranks. Doubling clears the half-integers:
+   * 2·midrank of a tie bucket = 2·cum − cnt + 1 (cum = inclusive
+   * cumulative count in score order), so
+   * AUC = (Σ pos·(2·cum − cnt + 1) − P(P+1)) / (2·P·N) — all BIGINT
+   * until the one division. NULL when a group lacks both classes.
+   *
+   * The distinct-score relation is what shuffles (bounded by the
+   * score grid, not row count); the cumulative window partitions by
+   * `groupCol`.
+   */
+  def aucExact(
+      df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val byScore = df.groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(labelCol).cast("long")).as("pos"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        (sum(col("cnt")) - sum(col("pos"))).as("n_neg"),
+        sum(col("pos") * (lit(2) * col("cum") - col("cnt") + lit(1)))
+          .as("__r2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__r2") - col("n_pos") * (col("n_pos") + lit(1)))
+            .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /**
+   * Cohen's kappa per group from two rater columns over the same
+   * items. κ = (p_o − p_e)/(1 − p_e); clearing denominators,
+   * κ = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) with a_k, b_k
+   * the per-class marginals — exact BIGINT until one division. NULL
+   * when the raters are degenerate (denominator 0: both assign one
+   * identical class).
+   *
+   * Marginals come from two slim per-(group, class) aggregates joined
+   * full-outer on the class (a class used by only one rater
+   * contributes 0) — the confusion matrix itself never materializes.
+   */
+  def cohensKappa(
+      df: DataFrame, groupCol: String, raterA: String,
+      raterB: String): DataFrame = {
+    val base = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col(raterA) === col(raterB), 1L).otherwise(0L)).as("agree"))
+    val ma = df.groupBy(col(groupCol), col(raterA).as("__k"))
+      .agg(count(lit(1)).as("a_k"))
+    val mb = df.groupBy(col(groupCol), col(raterB).as("__k"))
+      .agg(count(lit(1)).as("b_k"))
+    val pe = ma.join(mb, Seq(groupCol, "__k"), "full_outer")
+      .groupBy(col(groupCol))
+      .agg(sum(coalesce(col("a_k"), lit(0L)) * coalesce(col("b_k"), lit(0L)))
+        .as("pe_num"))
+    base.join(pe, groupCol)
+      .select(col(groupCol), col("n"), col("agree"),
+        when(col("n") * col("n") =!= col("pe_num"),
+          round((col("n") * col("agree") - col("pe_num")).cast("double") /
+            (col("n") * col("n") - col("pe_num")).cast("double"), 6))
+          .as("kappa"))
+  }
+
+  /** Micro-integer scale for Bradley–Terry strengths. */
+  val BtScale = 1000000L
+  /** Fixed-point factor for the MM denominator terms (strengths are
+    * micro, so a term n/(p_i+p_j) carries ~1e-6 resolution ⇒ 1e12
+    * keeps six significant digits after the division). */
+  val BtFactor = 1000000000000L
+
+  /**
+   * Bradley–Terry strengths from a preference log via `iters` rounds
+   * of Hunter's MM update p_i ← W_i / Σ_j n_ij/(p_i+p_j), normalized
+   * each round to mean [[BtScale]]. Every quantity is integral:
+   * products run in DECIMAL(38,0) (BIGINT would wrap once pair counts
+   * pass ~9·10⁶ at the 1e12 factor) and divisions are exact floors,
+   * so the truncated iteration's fixed sequence is engine-independent
+   * — the determinism contract that lets a DPO-pair mining job grade
+   * its preference data identically everywhere.
+   *
+   * Input: one row per game, `winnerCol`/`loserCol` item ids (any
+   * orderable type). Output: (item, wins, games, strength_micro,
+   * rnk) — rnk by strength desc then item asc. Items that never win
+   * keep strength 0 after round 1 (W_i = 0 is the MM fixed point).
+   *
+   * Shape at 100 TB: the game log collapses scan-locally to the
+   * ordered-pair count relation (≤ K² rows for K items); all `iters`
+   * rounds run on that slim relation with broadcast strength maps.
+   */
+  def bradleyTerry(
+      prefs: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // ordered-pair counts, then symmetrize: n_ij = games between i, j
+    val dir = prefs.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
+      .agg(count(lit(1)).as("w"))
+    val nsym = dir.select(col("i"), col("j"), col("w"))
+      .unionAll(dir.select(col("j").as("i"), col("i").as("j"), col("w")))
+      .groupBy("i", "j").agg(sum("w").as("n_ij"))
+    val wins = nsym.join(
+        dir.groupBy("i").agg(sum("w").as("wins")), Seq("i"), "left")
+      .groupBy("i").agg(
+        first(coalesce(col("wins"), lit(0L))).as("wins"),
+        sum("n_ij").as("games"))
+    val nItems = wins.select(count(lit(1)).as("__k"))
+    var p = wins.select(col("i"), lit(BtScale).as("p"))
+    for (_ <- 1 to iters) {
+      // every product is cast to DECIMAL(38,0) BEFORE the 1e12
+      // blow-up (BIGINT wraps past n_ij ~9e6) and divided with the
+      // integral `div` — exact truncation, no rounded decimal scale
+      // (plain decimal `/` rounds at scale 6, which can disagree with
+      // an exact floor at half-way boundaries). greatest(…, 1) guards
+      // the all-zero-strength corner (two never-winning items).
+      val denom = nsym
+        .join(p.select(col("i"), col("p").as("p_i")), "i")
+        .join(p.select(col("i").as("j"), col("p").as("p_j")), "j")
+        .groupBy("i")
+        .agg(sum(expr(
+          s"(CAST(n_ij AS DECIMAL(38,0)) * $BtFactor) div " +
+            "greatest(p_i + p_j, 1L)")).as("denom"))
+      val raw = wins.join(denom, "i")
+        .select(col("i"),
+          when(col("denom") > 0, expr(
+            s"(CAST(wins AS DECIMAL(38,0)) * $BtFactor) div denom"))
+            .otherwise(lit(0L)).as("praw"))
+      val total = raw.agg(sum("praw").as("__t"))
+      p = raw.crossJoin(broadcast(total)).crossJoin(broadcast(nItems))
+        .select(col("i"),
+          when(col("__t") > 0, expr(
+            s"(CAST(praw AS DECIMAL(38,0)) * __k * $BtScale) div __t"))
+            .otherwise(lit(0L)).as("p"))
+    }
+    val w = Window.partitionBy(Retrieval.singlePartitionKey(col("item")))
+      .orderBy(col("strength_micro").desc, col("item").asc)
+    wins.join(p, "i")
+      .select(col("i").as("item"), col("wins"), col("games"),
+        col("p").as("strength_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+}
