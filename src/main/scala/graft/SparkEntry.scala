@@ -33,6 +33,37 @@ object SparkEntry {
   private lazy val HllLcList: String =
     graft.operators.HyperLogLog.LinearCountingTable.mkString(", ")
 
+  /** Render a Scala string as a DuckDB expression, ASCII runs as
+    * plain literals and everything else as chr(codepoint) — the
+    * text_normalize oracle's technique, generalized, so planted
+    * non-ASCII fixtures keep ONE source of truth and the SQL dump
+    * stays pure ASCII. */
+  private def sqlChrLit(s: String): String = {
+    if (s.isEmpty) return "''"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new StringBuilder
+    def flush(): Unit = if (run.nonEmpty) {
+      parts += "'" + run.result().replace("'", "''") + "'"
+      run.clear()
+    }
+    s.foreach { ch =>
+      if (ch >= 0x20 && ch < 0x7f) run += ch
+      else { flush(); parts += s"chr(${ch.toInt})" }
+    }
+    flush()
+    parts.mkString(" || ")
+  }
+
+  /** Planted mojibake variants (single source of truth for the
+    * text_mojibake row AND its oracle SQL): Latin-1 misdecodes of
+    * "café déjà", curly-quote/em-dash punctuation, "naïve über", and
+    * a decoy lead (Ã before ASCII) that must NOT flag. */
+  private val MojiAccents = " caf\u00C3\u00A9 d\u00C3\u00A9j\u00C3\u00A0"
+  private val MojiPunct =
+    " \u00E2\u0080\u009Cq\u00E2\u0080\u009D em\u00E2\u0080\u0094dash"
+  private val MojiUmlaut = " na\u00C3\u00AFve \u00C3\u00BCber"
+  private val MojiDecoy = " \u00C3 x"
+
   private val cfg = StoreConfig(
     idCol = "vec_id", titleCol = "source", vendorCol = "lang",
     descriptionCol = "text", embeddingCol = "embedding")
@@ -1829,6 +1860,26 @@ object SparkEntry {
           md5(GraftFunctions.stripAccents(col("s")).cast("binary")).as("plain_md5"))
         .orderBy("doc_id")
     }),
+    // Mojibake (encoding-damage) triage — the ftfy-class routing pass:
+    // UTF-8-misdecoded-as-Latin-1 signatures (lead Â/Ã/â + a
+    // continuation-range char) are planted in-plan on four id strides
+    // (2-byte accents, the 3-byte punctuation block, a repeat, and a
+    // DECOY lead with no continuation that must NOT flag); the card
+    // counts signature bigrams + raw continuation chars scan-locally.
+    // The oracle runs the same regex class in DuckDB's RE2 — an
+    // independent engine's detector must agree hit-for-hit.
+    "text_mojibake" -> ((s, d) => {
+      val v = col("doc_id") % 5
+      val planted = table(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          concat(coalesce(col("text"), lit("")),
+            when(v === 1, lit(MojiAccents))
+              .when(v === 2, lit(MojiPunct))
+              .when(v === 3, lit(MojiUmlaut))
+              .when(v === 4, lit(MojiDecoy))
+              .otherwise(lit(""))).as("text"))
+      Mojibake.card(planted, "id", "text").orderBy("id")
+    }),
     // Corpus diversity card: distinct-n ratios for n=1..3 (n=1 is the
     // type-token ratio; falling 2/3-gram ratios flag template spam and
     // synthetic mode collapse). Grams shuffle as MD5 fingerprints —
@@ -2437,6 +2488,36 @@ object SparkEntry {
           }
         }
         .toDF("id", "big_endian", "width", "height", "n_entries")
+        .orderBy("id")
+    }),
+    // JPEG APP1/EXIF census: orientation (tag 0x0112 — ignore it and
+    // you train on sideways images), make and DateTimeOriginal parsed
+    // from real EXIF TIFF structures in both byte orders, behind a
+    // JFIF APP0 the walker must skip. Short makes ride IN the value
+    // field, long ones are offset-stored — both TIFF rules exercised
+    // in-plan. The oracle re-derives the planted arithmetic.
+    "multimodal_exif" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val make =
+              if (b1 % 3 == 0) "AB" // <=4 bytes with NUL: in-field ASCII
+              else "CAMERA" + (b1 % 100)
+            val dt = f"2021:${1 + b1 % 12}%02d:${1 + b0 % 28}%02d " +
+              f"${b0 % 24}%02d:${b1 % 60}%02d:00"
+            val m = graft.multimodal.ExifParser.parseExif(
+              graft.multimodal.ExifParser.buildJpegExif(
+                1 + b0 % 8, make, dt, bigEndian = (b0 & 1) == 1)).get
+            (id, m.big_endian, m.orientation, m.make, m.dt_original)
+          }
+        }
+        .toDF("id", "big_endian", "orientation", "make", "dt_original")
         .orderBy("id")
     }),
     "multimodal_mp4_meta" -> ((s, d) => {
@@ -6679,6 +6760,31 @@ object SparkEntry {
         |       md5(nfc_normalize(s)) AS nfc_md5,
         |       md5(strip_accents(s)) AS plain_md5
         |FROM sx ORDER BY doc_id""".stripMargin,
+    // The same signature class in DuckDB's RE2 over the same planted
+    // text (chr()-built from the shared constants) — an independent
+    // detector must agree hit-for-hit.
+    "text_mojibake" -> {
+      val sig = "[\\x{00C2}\\x{00C3}\\x{00E2}][\\x{0080}-\\x{00BF}]"
+      val cont = "[\\x{0080}-\\x{00BF}]"
+      s"""WITH planted AS (
+         |  SELECT doc_id AS id,
+         |         COALESCE(text, '') ||
+         |           CASE doc_id % 5
+         |             WHEN 1 THEN ${sqlChrLit(MojiAccents)}
+         |             WHEN 2 THEN ${sqlChrLit(MojiPunct)}
+         |             WHEN 3 THEN ${sqlChrLit(MojiUmlaut)}
+         |             WHEN 4 THEN ${sqlChrLit(MojiDecoy)}
+         |             ELSE '' END AS text
+         |  FROM documents)
+         |SELECT id,
+         |       CAST(len(regexp_extract_all(text, '$sig')) AS BIGINT)
+         |         AS moji_hits,
+         |       CAST(length(text) -
+         |         length(regexp_replace(text, '$cont', '', 'g')) AS BIGINT)
+         |         AS cont_chars,
+         |       len(regexp_extract_all(text, '$sig')) >= 1 AS flagged
+         |FROM planted ORDER BY id""".stripMargin
+    },
     "corpus_diversity" -> {
       val perN = Seq(1, 2, 3).map { n =>
         s"""SELECT $n AS n,
@@ -7538,6 +7644,24 @@ object SparkEntry {
         |       CAST(1 + (ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1)) * 7) % 3000 AS BIGINT) AS height,
         |       CAST(3 AS INT) AS n_entries
         |FROM documents WHERE length(text) >= 2 ORDER BY id""".stripMargin,
+    // EXIF replay: the planted (orientation, make, datetime)
+    // arithmetic — the Spark side recovers the same values by walking
+    // the real APP1/TIFF structure in both byte orders.
+    "multimodal_exif" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2)
+        |SELECT id,
+        |       (b0 % 2 = 1) AS big_endian,
+        |       CAST(1 + b0 % 8 AS INT) AS orientation,
+        |       CASE WHEN b1 % 3 = 0 THEN 'AB'
+        |            ELSE 'CAMERA' || CAST(b1 % 100 AS VARCHAR) END AS make,
+        |       printf('2021:%02d:%02d %02d:%02d:00',
+        |              1 + b1 % 12, 1 + b0 % 28, b0 % 24, b1 % 60)
+        |         AS dt_original
+        |FROM src ORDER BY id""".stripMargin,
     // The MP4 census re-derived arithmetically from the same document
     // bytes the in-plan box builder consumed; duration_ms is exact
     // integer floor(duration*1000 / timescale) on both sides.
