@@ -1977,6 +1977,32 @@ object SparkEntry {
       Retrieval.rrfFuse(lex, vec, "doc_id", "lex_rnk", "vec_rnk", k = 10)
         .orderBy("rnk")
     }),
+    // MMR diversified re-ranking (Carbonell–Goldstein 1998): 4 query
+    // groups (vec_id % 4, query = the group's own lowest-id vector),
+    // top-6 candidate pools by 6-dp cosine, then the greedy
+    // λ=0.7 pick-3 — the post-retrieval pass that keeps RAG contexts
+    // from being k near-copies of the best hit. The pool is k-bounded
+    // BEFORE the sequential selection (the scale contract); the
+    // oracle unrolls the same three picks as CTE stages with
+    // identical one-op IEEE arithmetic.
+    "retrieval_mmr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val emb = table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("g"), col("embedding").as("qv"))
+      val w = Window.partitionBy("g").orderBy(col("rel").desc, col("vec_id"))
+      val pool = emb
+        .select((col("vec_id") % 4).as("g"), col("vec_id"), col("embedding"))
+        .join(broadcast(q), "g")
+        .select(col("g"), col("vec_id"), col("embedding"),
+          round(GraftFunctions.knnCosineSimilarity(col("embedding"),
+            col("qv")), 6).as("rel"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 6).drop("rn")
+      Retrieval.mmrRerank(pool, "g", "vec_id", "embedding", "rel", k = 3)
+        .orderBy("g", "rnk")
+    }),
     // Positional retrieval — exact phrase and term proximity, the
     // capability bag-of-words BM25 cannot express. Positions are
     // derived IN the scan (array HOFs over the token split); no
@@ -7326,6 +7352,65 @@ object SparkEntry {
          |SELECT doc_id, lex_rnk, vec_rnk, rrf,
          |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
          |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // The three greedy picks unrolled as CTE stages. Every MMR score
+    // is ONE multiply-subtract on 6-dp doubles with (1 - 0.7)
+    // COMPUTED (never a 0.3 literal), so the arithmetic is
+    // bit-identical to the Spark side's.
+    "retrieval_mmr" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS g, v AS qv FROM base WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT b.vec_id % 4 AS g, b.vec_id, b.v,
+        |         round(list_inner_product(b.v, q.qv) /
+        |               (sqrt(list_inner_product(b.v, b.v)) *
+        |                sqrt(list_inner_product(q.qv, q.qv))), 6) AS rel
+        |  FROM base b JOIN q ON b.vec_id % 4 = q.g),
+        |pool AS (
+        |  SELECT g, vec_id, v, rel FROM scored
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY g ORDER BY rel DESC, vec_id) <= 6),
+        |p1 AS (
+        |  SELECT g, vec_id AS id1, v AS v1, rel AS rel1 FROM pool
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY g ORDER BY rel DESC, vec_id) = 1),
+        |r2 AS (
+        |  SELECT c.g, c.vec_id, c.v, c.rel,
+        |         round(list_inner_product(c.v, p.v1) /
+        |               (sqrt(list_inner_product(c.v, c.v)) *
+        |                sqrt(list_inner_product(p.v1, p.v1))), 6) AS ms
+        |  FROM pool c JOIN p1 p USING (g) WHERE c.vec_id <> p.id1),
+        |p2 AS (
+        |  SELECT g, vec_id AS id2, v AS v2, rel AS rel2, ms AS ms2 FROM r2
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY g ORDER BY 0.7e0 * rel - (1e0 - 0.7e0) * ms DESC, vec_id)
+        |    = 1),
+        |r3 AS (
+        |  SELECT c.g, c.vec_id, c.v, c.rel,
+        |         greatest(
+        |           round(list_inner_product(c.v, a.v1) /
+        |                 (sqrt(list_inner_product(c.v, c.v)) *
+        |                  sqrt(list_inner_product(a.v1, a.v1))), 6),
+        |           round(list_inner_product(c.v, b.v2) /
+        |                 (sqrt(list_inner_product(c.v, c.v)) *
+        |                  sqrt(list_inner_product(b.v2, b.v2))), 6)) AS ms
+        |  FROM pool c JOIN p1 a USING (g) JOIN p2 b USING (g)
+        |  WHERE c.vec_id <> a.id1 AND c.vec_id <> b.id2),
+        |p3 AS (
+        |  SELECT g, vec_id AS id3, rel AS rel3, ms AS ms3 FROM r3
+        |  QUALIFY row_number() OVER
+        |    (PARTITION BY g ORDER BY 0.7e0 * rel - (1e0 - 0.7e0) * ms DESC, vec_id)
+        |    = 1),
+        |allp AS (
+        |  SELECT g, CAST(1 AS BIGINT) AS rnk, id1 AS vec_id, rel1 AS rel,
+        |         0.0 AS max_sim, 0.7e0 * rel1 - (1e0 - 0.7e0) * 0.0 AS mmr_score
+        |  FROM p1
+        |  UNION ALL
+        |  SELECT g, 2, id2, rel2, ms2, 0.7e0 * rel2 - (1e0 - 0.7e0) * ms2 FROM p2
+        |  UNION ALL
+        |  SELECT g, 3, id3, rel3, ms3, 0.7e0 * rel3 - (1e0 - 0.7e0) * ms3 FROM p3)
+        |SELECT g, rnk, vec_id, rel, max_sim, mmr_score
+        |FROM allp ORDER BY g, rnk""".stripMargin,
     // Positional retrieval re-derived over DuckDB's indexed lambdas
     // (1-based, matching the Spark side's i+1).
     "retrieval_phrase" ->

@@ -292,4 +292,100 @@ object Retrieval {
       round(lit(1.0) -
         falling(n - c).cast("double") / falling(n).cast("double"), scale))
   }
+
+  /** Cosine at the repo's 6-decimal score convention: float-promoted
+    * double accumulation in element order (the [[graft.functions
+    * .VectorKernels.cosineSimilarity]] arithmetic) then the exact
+    * binary-value HALF_UP round Spark's `round(_, 6)` applies — so a
+    * driver-side replica and the codegen expression agree bit-for-bit.
+    * Zero-norm inputs score 0. */
+  private[operators] def cosRound6(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+   * SIGIR 1998): greedily pick k results maximizing
+   * λ·rel(i) − (1−λ)·max_{j∈picked} sim(i, j) — the diversity pass a
+   * RAG pipeline runs AFTER retrieval so the k passages aren't k
+   * near-copies of the best hit.
+   *
+   * Input is the per-query CANDIDATE relation (groupCol, idCol,
+   * vecCol, relCol with 6-dp cosine relevances) — already k-bounded
+   * by the upstream top-k, which is the scale contract: the greedy
+   * selection is genuinely sequential (pick r depends on picks
+   * 1..r−1), so it runs per group over that bounded pool via typed
+   * flatMapGroups — O(k·pool) work and O(pool) state per query,
+   * constant in corpus size; this is the documented last-resort tier
+   * (a sequential algorithm no relational composition expresses).
+   *
+   * Determinism: rel and sim are 6-dp doubles; each MMR score is one
+   * multiply-subtract on them (bit-identical IEEE in any engine —
+   * 1−λ is COMPUTED, never a second literal); ties break on least id.
+   * The first pick's max-sim term is 0.0, so pick 1 is argmax rel.
+   * Output: (groupCol, rnk, idCol, rel, max_sim, mmr_score), k rows
+   * per group (fewer when the pool is smaller).
+   */
+  def mmrRerank(
+      candidates: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, relCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val w2 = 1.0 - lambda
+    candidates
+      .select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        col(relCol).cast("double"), col(vecCol).cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val cand = it.toArray.sortBy(c => (c._2, c._3))
+        val picked = Array.newBuilder[(Long, Long, Long, Double, Double, Double)]
+        val chosenVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val used = new Array[Boolean](cand.length)
+        var r = 1
+        while (r <= math.min(k, cand.length)) {
+          var bestI = -1
+          var bestMmr = Double.NegativeInfinity
+          var bestMax = 0.0
+          var i = 0
+          while (i < cand.length) {
+            if (!used(i)) {
+              // true max over picked sims (can be negative); only the
+              // empty set pins to 0.0
+              var maxSim =
+                if (chosenVecs.isEmpty) 0.0 else Double.NegativeInfinity
+              chosenVecs.foreach { v =>
+                val s = cosRound6(cand(i)._4, v)
+                if (s > maxSim) maxSim = s
+              }
+              val mmr = lambda * cand(i)._3 - w2 * maxSim
+              // strict >: equal scores keep the earlier (least-id)
+              // candidate — cand is sorted by id
+              if (mmr > bestMmr) { bestI = i; bestMmr = mmr; bestMax = maxSim }
+            }
+            i += 1
+          }
+          used(bestI) = true
+          chosenVecs += cand(bestI)._4
+          picked += ((g, r.toLong, cand(bestI)._2, cand(bestI)._3,
+            bestMax, bestMmr))
+          r += 1
+        }
+        picked.result().iterator
+      }
+      .toDF(groupCol, "rnk", idCol, "rel", "max_sim", "mmr_score")
+  }
 }

@@ -183,4 +183,51 @@ class RetrievalSpec extends SparkFunSuite {
     assert(collapse === 1.0)
     intercept[IllegalArgumentException](Retrieval.passAtK(col("n"), col("c"), 0))
   }
+
+  test("mmrRerank: diversity beats redundancy; rank 1 is argmax rel") {
+    import spark.implicits._
+    // candidates in one group: ids 1,2 are near-duplicates (sim ~1),
+    // id 3 is orthogonal with modest relevance. With lambda=0.7 the
+    // redundant id 2 (rel .90 but max_sim ~1) must lose rank 2 to the
+    // diverse id 3 (rel .50, max_sim 0).
+    val cand = Seq(
+      (0L, 1L, 0.99, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.90, Array(1.0f, 0.001f)),
+      (0L, 3L, 0.50, Array(0.0f, 1.0f)))
+      .toDF("g", "id", "rel", "vec")
+    val r = Retrieval.mmrRerank(cand, "g", "id", "vec", "rel", k = 3)
+      .orderBy("rnk").collect()
+    assert(r.map(_.getLong(2)).toSeq === Seq(1L, 3L, 2L))
+    assert(r(0).getDouble(4) === 0.0)        // first pick: max_sim pinned 0
+    assert(r(0).getDouble(5) === 0.7 * 0.99) // and mmr = lambda * rel
+    assert(r(1).getDouble(4) === 0.0)        // orthogonal pick: sim 0
+    assert(r(2).getDouble(4) > 0.99)         // the near-dup's penalty
+  }
+
+  test("mmrRerank: ties break on least id; short pools emit fewer rows") {
+    import spark.implicits._
+    val cand = Seq(
+      (0L, 7L, 0.5, Array(1.0f, 0.0f)),
+      (0L, 4L, 0.5, Array(1.0f, 0.0f))) // identical rel AND vector
+      .toDF("g", "id", "rel", "vec")
+    val r = Retrieval.mmrRerank(cand, "g", "id", "vec", "rel", k = 5)
+      .orderBy("rnk").collect()
+    assert(r.length === 2)
+    assert(r.map(_.getLong(2)).toSeq === Seq(4L, 7L))
+  }
+
+  test("mmrRerank: negative similarities are not clamped after pick 1") {
+    import spark.implicits._
+    // id 2 points AWAY from pick 1 -> max_sim is negative, boosting it
+    val cand = Seq(
+      (0L, 1L, 0.9, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.1, Array(-1.0f, 0.0f)),
+      (0L, 3L, 0.2, Array(1.0f, 0.0f)))
+      .toDF("g", "id", "rel", "vec")
+    val r = Retrieval.mmrRerank(cand, "g", "id", "vec", "rel", k = 2)
+      .orderBy("rnk").collect()
+    // id 2: 0.7*0.1 - 0.3*(-1) = 0.37 > id 3: 0.7*0.2 - 0.3*1 = -0.16
+    assert(r.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+    assert(r(1).getDouble(4) === -1.0)
+  }
 }
