@@ -1156,6 +1156,46 @@ object SparkEntry {
           col("size").as("n_bytes"), col("type_flag"), col("mtime"))
         .orderBy("doc_id")
     }),
+    // Parquet footer census — the engine's own file format read from
+    // scratch: Spark writes a 3-bucket partitioned copy of documents,
+    // then the thrift-COMPACT footer parser recovers per-file
+    // version / row counts / row-group layout / schema leaves from
+    // RAW BYTES (payload untouched). The oracle re-derives every
+    // field from table arithmetic (bucket counts) + the pinned writer
+    // facts (version 1, 1 row group, 5 leaf columns) — and the spec
+    // cross-validates the parser against parquet-mr's own reader,
+    // including multi-row-group and nested-schema files.
+    "parquet_footer_census" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pq_census")
+      table(s, d, "documents")
+        .withColumn("bucket", col("doc_id") % 3)
+        .repartition(3, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      val files = (0L until 3L).map { bkt =>
+        val dir = tmp.resolve(s"bucket=$bkt")
+        val fs = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+        require(fs.size == 1, s"expected 1 parquet file per bucket, got $fs")
+        (bkt, fs.head.toString)
+      }
+      files.toDF("bucket", "path").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (bkt, p) =>
+            val m = graft.sources.ParquetFooter.parse(
+              java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(p))).get
+            (bkt, m.version.toLong, m.num_rows,
+              m.row_groups.length.toLong, m.schema_leaves.toLong,
+              m.row_groups.head.num_rows,
+              m.row_groups.head.n_columns.toLong, m.created_by)
+          }
+        }
+        .toDF("bucket", "version", "file_rows", "n_row_groups",
+          "schema_leaves", "rg0_rows", "n_columns", "has_created_by")
+        .orderBy("bucket")
+    }),
     "zip_census" -> ((s, d) => {
       import s.implicits._
       graft.sources.ArchiveExport
@@ -6567,6 +6607,20 @@ object SparkEntry {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Footer facts re-derived: per-bucket row counts from table
+    // arithmetic; version 1 / single row group / 5 leaf columns /
+    // created_by are the pinned Spark-writer facts the spec
+    // cross-validates against parquet-mr.
+    "parquet_footer_census" ->
+      """SELECT CAST(doc_id % 3 AS BIGINT) AS bucket,
+        |       CAST(1 AS BIGINT) AS version,
+        |       CAST(COUNT(*) AS BIGINT) AS file_rows,
+        |       CAST(1 AS BIGINT) AS n_row_groups,
+        |       CAST(5 AS BIGINT) AS schema_leaves,
+        |       CAST(COUNT(*) AS BIGINT) AS rg0_rows,
+        |       CAST(5 AS BIGINT) AS n_columns,
+        |       TRUE AS has_created_by
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
     // ZIP64 must census to the SAME values as the 32-bit layout — the
     // oracle is deliberately identical to zip_census.
     "zip64_census" ->
