@@ -821,6 +821,14 @@ object SparkEntry {
       ObjectivePrep.mlmCorruption(table(s, d, "documents"),
         "doc_id", "text", oneIn = 7)
         .orderBy("doc_id")),
+    // Fill-in-the-Middle corruption (the fourth objective): PSM
+    // reordering on the md5-seeded half of the corpus, cut points by
+    // per-doc hash arithmetic — scan-local, byte-deterministic. The
+    // oracle rebuilds every PSM string and matches the md5.
+    "objective_fim" -> ((s, d) =>
+      ObjectivePrep.fimCorruption(table(s, d, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id")),
     // DPO preference-pair prep (the third objective beside causal-LM
     // packing and masked-LM corruption): 4 candidate completions per
     // prompt (doc_id div 4), ranked by an integer token-count score;
@@ -5444,6 +5452,46 @@ object SparkEntry {
         |           CASE WHEN flags[CAST(p AS INT)] THEN toks[CAST(p AS INT)] END),
         |         x -> x IS NOT NULL), ' '), '') AS target_text
         |FROM f ORDER BY id""".stripMargin,
+    // Every PSM string rebuilt from the same md5 cut-point arithmetic
+    // and re-hashed — byte-level agreement, not just lengths.
+    "objective_fim" -> {
+      def nib4(salt: Int): String =
+        s"""list_sum(list_transform(generate_series(1, 4), i ->
+           |           (strpos('0123456789abcdef',
+           |              substr(md5(CAST(id AS VARCHAR) || ':fim:$salt'),
+           |                     CAST(i AS INT), 1)) - 1)
+           |           * CAST(16 ** (4 - i) AS BIGINT)))""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT id, text, toks, CAST(len(toks) AS BIGINT) AS n,
+         |         CAST(${nib4(0)} AS BIGINT) AS h0,
+         |         CAST(${nib4(1)} AS BIGINT) AS h1,
+         |         CAST(${nib4(2)} AS BIGINT) AS h2
+         |  FROM t),
+         |c AS (SELECT *, (n >= 3 AND h0 % 2 = 0) AS applied, h1 % n AS a
+         |      FROM h),
+         |c2 AS (SELECT *, a + h2 % (n - a) AS b FROM c),
+         |p AS (
+         |  SELECT id, text, applied, n, a, b,
+         |         concat_ws(' ', '<PRE>',
+         |           COALESCE(array_to_string(toks[1:CAST(a AS INT)], ' '), ''),
+         |           '<SUF>',
+         |           COALESCE(array_to_string(
+         |             toks[CAST(b + 1 AS INT):CAST(n AS INT)], ' '), ''),
+         |           '<MID>',
+         |           COALESCE(array_to_string(
+         |             toks[CAST(a + 1 AS INT):CAST(b AS INT)], ' '), ''))
+         |           AS psm
+         |  FROM c2)
+         |SELECT id AS doc_id, applied AS fim_applied, n AS n_tokens,
+         |       CASE WHEN applied THEN a ELSE 0 END AS p_len,
+         |       CASE WHEN applied THEN b - a ELSE 0 END AS m_len,
+         |       CASE WHEN applied THEN n - b ELSE 0 END AS s_len,
+         |       md5(CASE WHEN applied THEN psm ELSE text END) AS out_md5
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     // Preference pairs re-derived via arg_max/arg_min over the same
     // total ranking key (score·2^20 + id mod 2^20) — exact integers,
     // so the tie-break contract is checked, not just the values.

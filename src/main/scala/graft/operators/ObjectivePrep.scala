@@ -54,6 +54,58 @@ object ObjectivePrep {
       concat_ws(" ", filter(targets, t => t.isNotNull)).as("target_text"))
   }
 
+  /** FIM sentinels (public-recipe spelling, Bavarian et al. 2022). */
+  val FimPre = "<PRE>"
+  val FimSuf = "<SUF>"
+  val FimMid = "<MID>"
+
+  /** Salted 4-nibble doc hash for FIM decisions: md5(id:fim:k). */
+  private def fimHash(id: org.apache.spark.sql.Column, k: Int) =
+    conv(substring(md5(concat(id.cast("string"), lit(s":fim:$k"))),
+      1, 4), 16, 10).cast("long")
+
+  /**
+   * Fill-in-the-Middle corruption (Bavarian et al. 2022, "Efficient
+   * Training of Language Models to Fill in the Middle"): on a
+   * deterministic half of the corpus (md5-seeded, like every split in
+   * this package), pick token cut points 0 ≤ a ≤ b ≤ n−1 and emit the
+   * PSM reordering `<PRE> prefix <SUF> suffix <MID> middle`; the
+   * other half passes through verbatim — the standard 50/50 FIM-rate
+   * recipe. Cut points are per-document md5 arithmetic (a = h1 mod n,
+   * b = a + h2 mod (n−a)), so reruns, engines and partitionings agree
+   * on every byte; the suffix is never empty by construction.
+   *
+   * Scan-local projection — array slices of the token split, no
+   * shuffle, no state. Output: (id, fim_applied, n_tokens, p_len,
+   * m_len, s_len, out_md5) — the md5 stands in for the transformed
+   * text so downstream hashes stay narrow; swap it for the string
+   * column when materializing.
+   */
+  def fimCorruption(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks).cast("long")
+    val apply = n >= 3 && fimHash(col(idCol), 0) % 2 === 0
+    val a = fimHash(col(idCol), 1) % n
+    val b = a + fimHash(col(idCol), 2) % (n - a)
+    val pstr = concat_ws(" ", slice(toks, lit(1), a.cast("int")))
+    val mstr = concat_ws(" ",
+      slice(toks, (a + 1).cast("int"), (b - a).cast("int")))
+    val sstr = concat_ws(" ",
+      slice(toks, (b + 1).cast("int"), (n - b).cast("int")))
+    val psm = concat_ws(" ", lit(FimPre), pstr, lit(FimSuf), sstr,
+      lit(FimMid), mstr)
+    docs.select(
+      col(idCol),
+      apply.as("fim_applied"),
+      n.as("n_tokens"),
+      when(apply, a).otherwise(0L).as("p_len"),
+      when(apply, b - a).otherwise(0L).as("m_len"),
+      when(apply, n - b).otherwise(0L).as("s_len"),
+      md5(when(apply, psm).otherwise(col(textCol)).cast("binary"))
+        .as("out_md5"))
+  }
+
   /**
    * DPO/RLHF preference-pair prep: per prompt group, the best- and
    * worst-ranked candidates become (chosen, rejected); groups without

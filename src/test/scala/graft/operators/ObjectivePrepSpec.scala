@@ -48,4 +48,57 @@ class ObjectivePrepSpec extends SparkFunSuite {
     assert(got(0).getAs[String]("input_text") !==
       got(1).getAs[String]("input_text"))
   }
+
+  test("fimCorruption: PSM segments partition the tokens; suffix never empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 400L).map(i =>
+      (i, (1 to (2 + (i % 9)).toInt).map(k => s"t$k").mkString(" ")))
+      .toDF("id", "text")
+    val r = ObjectivePrep.fimCorruption(docs, "id", "text").collect()
+    r.foreach { row =>
+      val (applied, n, pl, ml, sl) = (row.getBoolean(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5))
+      if (applied) {
+        assert(pl + ml + sl === n, s"partition: $row")
+        assert(sl >= 1, s"suffix empty: $row")
+        assert(pl >= 0 && ml >= 0)
+      } else assert(pl === 0 && ml === 0 && sl === 0)
+    }
+    // ~half the (n>=3) docs transform
+    val eligible = r.filter(_.getLong(2) >= 3)
+    val applied = eligible.count(_.getBoolean(1))
+    assert(applied > eligible.length / 4 && applied < eligible.length * 3 / 4)
+    // n < 3 never transforms
+    assert(r.filter(_.getLong(2) < 3).forall(!_.getBoolean(1)))
+  }
+
+  test("fimCorruption: transformed text is the exact PSM reordering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map(i => (i, "a b c d e f g h")).toDF("id", "text")
+    val r = ObjectivePrep.fimCorruption(docs, "id", "text")
+      .filter(col("fim_applied")).collect()
+    assert(r.nonEmpty)
+    val toks = "a b c d e f g h".split(" ")
+    r.foreach { row =>
+      val (pl, ml) = (row.getLong(3).toInt, row.getLong(4).toInt)
+      val psm = Seq("<PRE>", toks.take(pl).mkString(" "),
+        "<SUF>", toks.drop(pl + ml).mkString(" "),
+        "<MID>", toks.slice(pl, pl + ml).mkString(" ")).mkString(" ")
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(psm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(row.getString(6) === want, s"id=${row.getLong(0)} psm=[$psm]")
+    }
+  }
+
+  test("fimCorruption: deterministic across partitionings") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"w${i} x y z q r")).toDF("id", "text")
+    val a = ObjectivePrep.fimCorruption(docs.repartition(1), "id", "text")
+      .orderBy("id").collect().toSeq
+    val b = ObjectivePrep.fimCorruption(docs.repartition(13), "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
 }
