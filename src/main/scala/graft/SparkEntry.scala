@@ -1806,6 +1806,24 @@ object SparkEntry {
       val m = QualityClassifier.fit(docs, "doc_id", "text")
       QualityClassifier.score(docs, "doc_id", "text", m).orderBy("doc_id")
     }),
+    // Confident-learning label-noise card (Northcutt et al. 2021):
+    // the rule labels are FLIPPED on a 1-in-11 stride, the trained
+    // classifier's 4-dp scores stand in for out-of-sample probs, and
+    // the confident joint estimates which slice of each source is
+    // mislabeled — the relabel/drop queue of a labeling pipeline.
+    // Thresholds compare as cross-multiplied integer rationals; the
+    // oracle re-runs the descent AND the joint in SQL.
+    "label_noise_card" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val m = QualityClassifier.fit(docs, "doc_id", "text")
+      val noisy = QualityClassifier.score(docs, "doc_id", "text", m)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("noisy_label",
+          when(col("doc_id") % 11 === 0, lit(1L) - col("rule_label"))
+            .otherwise(col("rule_label")))
+      Evaluation.confidentLearningCard(noisy, "source", "score", "noisy_label")
+        .orderBy("source")
+    }),
     // Per-source distinct-content cardinality: exact count_distinct
     // (oracle-matched) next to the HLL++ sketch — the 100 TB path,
     // whose map-side register-merge never shuffles values — verified
@@ -4863,6 +4881,51 @@ object SparkEntry {
       |SELECT doc_id, round(p, 4) AS score, p >= 0.5 AS label,
       |       CAST(y AS BIGINT) AS rule_label
       |FROM scored ORDER BY doc_id""".stripMargin),
+    // The same descent, then the confident joint on the 1e4 integer
+    // grid — thresholds as cross-multiplied rationals, midpoint tie
+    // to class 1, exactly the operator's arithmetic.
+    "label_noise_card" -> (ClassifierFitCtes + s"""
+      |, scored AS (
+      |  SELECT f2.doc_id, f2.y, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +
+      |    x2 * (w2m / 1000000.0) + x3 * (w3m / 1000000.0) +
+      |    x4 * (w4m / 1000000.0) + bm / 1000000.0))) AS p
+      |  FROM f2 CROSS JOIN w${QualityClassifier.Iters}),
+      |lab AS (
+      |  SELECT s.doc_id, d.source,
+      |         CAST(floor(round(s.p, 4) * 10000 + 0.5) AS BIGINT) AS p1,
+      |         CASE WHEN s.doc_id % 11 = 0 THEN 1 - s.y ELSE s.y END AS yt
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |m2 AS (SELECT source, yt, p1, 10000 - p1 AS p0 FROM lab),
+      |th AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN yt = 1 THEN p1 END), 0) AS BIGINT)
+      |           AS sum1,
+      |         CAST(COUNT(CASE WHEN yt = 1 THEN 1 END) AS BIGINT) AS n1,
+      |         CAST(COALESCE(SUM(CASE WHEN yt = 0 THEN p0 END), 0) AS BIGINT)
+      |           AS sum0,
+      |         CAST(COUNT(CASE WHEN yt = 0 THEN 1 END) AS BIGINT) AS n0
+      |  FROM m2),
+      |a AS (
+      |  SELECT m.source, m.yt, m.p1,
+      |         (t.n1 > 0 AND m.p1 * t.n1 >= t.sum1) AS q1,
+      |         (t.n0 > 0 AND m.p0 * t.n0 >= t.sum0) AS q0
+      |  FROM m2 m, th t),
+      |cj AS (
+      |  SELECT source, yt,
+      |         CASE WHEN q1 AND q0 THEN
+      |                (CASE WHEN 2 * p1 >= 10000 THEN 1 ELSE 0 END)
+      |              WHEN q1 THEN 1 WHEN q0 THEN 0 END AS cj
+      |  FROM a)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CASE WHEN yt = 0 AND cj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c00,
+      |       CAST(SUM(CASE WHEN yt = 0 AND cj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c01,
+      |       CAST(SUM(CASE WHEN yt = 1 AND cj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+      |       CAST(SUM(CASE WHEN yt = 1 AND cj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c11,
+      |       CAST(SUM(CASE WHEN cj IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS unassigned,
+      |       CAST(SUM(CASE WHEN yt = 0 AND cj = 1 THEN 1 ELSE 0 END) +
+      |            SUM(CASE WHEN yt = 1 AND cj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS est_errors
+      |FROM cj GROUP BY source ORDER BY source""".stripMargin),
     "knn_topk_cosine" -> knnOracle(CosExpr, desc = true, k = 4),
     "knn_topk_inner_product" -> knnOracle(
       "list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q)", desc = true, k = 4),

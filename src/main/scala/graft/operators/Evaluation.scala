@@ -181,4 +181,58 @@ object Evaluation {
         col("p").as("strength_micro"))
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
+
+  /**
+   * Confident-learning label-noise card (Northcutt, Jiang & Chuang,
+   * JAIR 2021) for BINARY labels: estimate which rows of a noisily
+   * labeled corpus are mislabeled, from the labels and a classifier's
+   * probabilities alone. Class thresholds are the per-class mean
+   * self-confidences t_j = E[p_j | ỹ=j]; a row joins confident-joint
+   * cell C[ỹ][j] when p_j ≥ t_j (both-qualify → argmax, the exact
+   * 2·p1 ≥ 10⁴ midpoint tying to class 1; neither → unassigned). The
+   * off-diagonal mass is the label-error estimate that drives
+   * relabel/drop queues in a labeling pipeline.
+   *
+   * Determinism: `probCol` must be a 4-dp-rounded probability (the
+   * [[QualityClassifier]] score convention) — `floor(p·10⁴ + 0.5)`
+   * recovers exact integers, thresholds compare as cross-multiplied
+   * rationals (p1·n1 ≥ Σp1, never a divided mean), so every verdict
+   * is integer arithmetic.
+   *
+   * Shape at 100 TB: one aggregate to a 1-row global threshold
+   * relation (broadcast back), one scan-local verdict projection, one
+   * hash aggregate to the per-group card. Output per group: (n, c00,
+   * c01, c10, c11, est_errors, unassigned).
+   */
+  def confidentLearningCard(
+      df: DataFrame, groupCol: String, probCol: String,
+      noisyCol: String): DataFrame = {
+    val base = df.select(
+      col(groupCol),
+      col(noisyCol).cast("long").as("yt"),
+      floor(col(probCol) * 10000 + 0.5).cast("long").as("p1"))
+      .withColumn("p0", lit(10000L) - col("p1"))
+    val th = base.agg(
+      coalesce(sum(when(col("yt") === 1, col("p1"))), lit(0L)).as("sum1"),
+      count(when(col("yt") === 1, lit(1))).as("n1"),
+      coalesce(sum(when(col("yt") === 0, col("p0"))), lit(0L)).as("sum0"),
+      count(when(col("yt") === 0, lit(1))).as("n0"))
+    val assigned = base.crossJoin(broadcast(th))
+      .withColumn("q1", col("n1") > 0 && col("p1") * col("n1") >= col("sum1"))
+      .withColumn("q0", col("n0") > 0 && col("p0") * col("n0") >= col("sum0"))
+      .withColumn("cj",
+        when(col("q1") && col("q0"),
+          when(lit(2L) * col("p1") >= 10000L, 1L).otherwise(0L))
+          .when(col("q1"), 1L)
+          .when(col("q0"), 0L))
+    def cell(i: Int, j: Int) =
+      sum(when(col("yt") === i && col("cj") === j, 1L).otherwise(0L))
+    assigned.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        cell(0, 0).as("c00"), cell(0, 1).as("c01"),
+        cell(1, 0).as("c10"), cell(1, 1).as("c11"),
+        sum(when(col("cj").isNull, 1L).otherwise(0L)).as("unassigned"))
+      .withColumn("est_errors", col("c01") + col("c10"))
+  }
 }

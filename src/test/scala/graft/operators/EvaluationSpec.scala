@@ -121,4 +121,47 @@ class EvaluationSpec extends SparkFunSuite {
       .orderBy("item").collect().toSeq
     assert(a === b)
   }
+
+  // ------------------------------------------- confident learning
+
+  test("confidentLearningCard: clean confident labels are all diagonal") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, 0.9), ("g", 1L, 0.8), ("g", 0L, 0.1), ("g", 0L, 0.2))
+      .toDF("grp", "yt", "p")
+    val r = Evaluation.confidentLearningCard(df, "grp", "p", "yt")
+      .collect().head
+    // t1 = mean(.9,.8) = .85 -> only .9 qualifies for 1; t0 = mean(.9,.8
+    // of p0) = .85 -> only .9 (p=.1) qualifies for 0; both diagonal
+    assert(r.getAs[Long]("c01") === 0L && r.getAs[Long]("c10") === 0L)
+    assert(r.getAs[Long]("c11") === 1L && r.getAs[Long]("c00") === 1L)
+    assert(r.getAs[Long]("unassigned") === 2L)
+    assert(r.getAs[Long]("est_errors") === 0L)
+  }
+
+  test("confidentLearningCard: a confidently mislabeled row lands off-diagonal") {
+    import spark.implicits._
+    // labeled 0 but the model is sure it is 1 (p = .95 >= t1)
+    val df = Seq(
+      ("g", 1L, 0.9), ("g", 1L, 0.9), ("g", 0L, 0.95),
+      ("g", 0L, 0.05), ("g", 0L, 0.05))
+      .toDF("grp", "yt", "p")
+    val r = Evaluation.confidentLearningCard(df, "grp", "p", "yt")
+      .collect().head
+    assert(r.getAs[Long]("c01") === 1L)
+    assert(r.getAs[Long]("est_errors") === 1L)
+    assert(r.getAs[Long]("c00") === 2L && r.getAs[Long]("c11") === 2L)
+  }
+
+  test("confidentLearningCard: exact midpoint 2*p1 = 1e4 ties to class 1") {
+    import spark.implicits._
+    // p = .5 qualifies for both classes when thresholds allow; the
+    // argmax midpoint rule must pin class 1 deterministically
+    val df = Seq(("g", 1L, 0.5), ("g", 0L, 0.5)).toDF("grp", "yt", "p")
+    val r = Evaluation.confidentLearningCard(df, "grp", "p", "yt")
+      .collect().head
+    // t1 = t0 = .5 -> every row double-qualifies -> all assigned to 1
+    assert(r.getAs[Long]("c11") === 1L && r.getAs[Long]("c01") === 1L)
+    assert(r.getAs[Long]("c00") === 0L && r.getAs[Long]("c10") === 0L)
+  }
 }
