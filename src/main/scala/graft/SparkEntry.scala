@@ -1903,6 +1903,15 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
+    // PMI-lift collocation mining: adjacent-pair counts vs unigram
+    // marginals in exact DECIMAL integral arithmetic (no cross-engine
+    // log; lift is PMI's monotone transform, so the ranking is PMI's).
+    // Vocab-sized count relations, broadcast totals, top-k via
+    // TakeOrderedAndProject.
+    "text_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(table(s, d, "documents"), "doc_id", "text",
+        minCount = 5, k = 20)
+        .orderBy("rnk")),
     // Unicode canonicalization (the C4/CCNet pre-pass): NFC compose +
     // accent-strip through the codegen UnicodeKernels, which every
     // fingerprint operator needs upstream (composed é and decomposed
@@ -7368,6 +7377,35 @@ object SparkEntry {
         |                 ELSE 2 END AS BIGINT) AS bucket
         |FROM scored s JOIN thr t USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    // Bigram/unigram counts and the HUGEINT lift mirror of the
+    // DECIMAL(38,0) integral division on the Spark side.
+    "text_collocations" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+        |                     t -> t != '') AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS term FROM tk),
+        |uc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM uni GROUP BY 1),
+        |bg AS (
+        |  SELECT toks[CAST(i AS INT)] AS term_a,
+        |         toks[CAST(i + 1 AS INT)] AS term_b
+        |  FROM tk, unnest(generate_series(1, len(toks) - 1)) t(i)),
+        |bc AS (SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM uc) AS n,
+        |               (SELECT CAST(SUM(n_ab) AS BIGINT) FROM bc) AS b),
+        |l AS (
+        |  SELECT bc.term_a, bc.term_b, bc.n_ab, ua.cnt AS n_a, ub.cnt AS n_b,
+        |         CAST(CAST(bc.n_ab AS HUGEINT) * t.n * t.n * 1000000 //
+        |              (CAST(t.b AS HUGEINT) * ua.cnt * ub.cnt) AS BIGINT)
+        |           AS lift_micro
+        |  FROM bc
+        |  JOIN uc ua ON bc.term_a = ua.term
+        |  JOIN uc ub ON bc.term_b = ub.term, tot t
+        |  WHERE bc.n_ab >= 5)
+        |SELECT term_a, term_b, n_ab, n_a, n_b, lift_micro,
+        |       CAST(row_number() OVER
+        |         (ORDER BY lift_micro DESC, term_a, term_b) AS BIGINT) AS rnk
+        |FROM l ORDER BY lift_micro DESC, term_a, term_b LIMIT 20""".stripMargin,
     "tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

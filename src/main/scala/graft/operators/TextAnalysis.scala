@@ -770,4 +770,59 @@ object TextAnalysis {
           lit("none")).otherwise(dominant))
       .drop("__t")
   }
+
+  /**
+   * Collocation mining by pointwise-mutual-information LIFT: for
+   * adjacent token pairs with corpus count >= `minCount`, score
+   * lift = P(a,b) / (P(a)·P(b)) = c_ab·N² / (B·c_a·c_b) — the
+   * monotone transform of PMI (log of it), kept in EXACT micro-integer
+   * arithmetic instead of a cross-engine log. Top-k by lift (ties:
+   * term pair asc) surfaces multi-word expressions ("new york",
+   * "machine learning") for tokenizer vocab seeding and boilerplate
+   * phrase discovery.
+   *
+   * Shape at 100 TB: bigrams and unigrams reduce scan-locally to
+   * count relations (vocab-sized, hash-aggregated with map-side
+   * partials); totals are a 1-row broadcast; the lift join is
+   * vocab×1 hash joins; the final top-k is TakeOrderedAndProject.
+   * The lift product runs in DECIMAL(38,0) integral division — exact
+   * up to ~10¹⁵ total tokens (beyond that, move to the log domain;
+   * the ranking is the same).
+   *
+   * Output: (term_a, term_b, n_ab, n_a, n_b, lift_micro, rnk).
+   */
+  def collocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"k must be positive, got $k")
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    // zip the array with its own 1-shift (greatest() keeps the slice
+    // length non-negative for empty/1-token docs — sequence(1, 0)
+    // would REVERSE and index 0)
+    val nm1 = greatest(size(toks) - 1, lit(0))
+    val pairs = docs.select(explode(
+      zip_with(slice(toks, lit(1), nm1), slice(toks, lit(2), nm1),
+        (x, y) => struct(x.as("term_a"), y.as("term_b")))).as("p"))
+      .select(col("p.term_a"), col("p.term_b"))
+    val uni = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val big = pairs.groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+    val totals = uni.agg(sum("cnt").as("__n"))
+      .crossJoin(big.agg(sum("n_ab").as("__b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Retrieval.singlePartitionKey(col("term_a")))
+      .orderBy(col("lift_micro").desc, col("term_a"), col("term_b"))
+    big.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("term").as("term_a"), col("cnt").as("n_a")), "term_a")
+      .join(uni.select(col("term").as("term_b"), col("cnt").as("n_b")), "term_b")
+      .crossJoin(broadcast(totals))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("(CAST(n_ab AS DECIMAL(38,0)) * __n * __n * 1000000) div " +
+          "(CAST(__b AS DECIMAL(38,0)) * n_a * n_b)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("term_a"), col("term_b"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
 }

@@ -495,4 +495,57 @@ class TextAnalysisSpec extends SparkFunSuite {
       .orderBy("id", "seg_id").collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("collocations: exclusive bonds outrank diluted pairs; ties break asc") {
+    import spark.implicits._
+    // (cat, sat) and (sat, on) are exclusive bonds of 40-count terms;
+    // "the" appears twice per doc so (the, cat)'s lift halves, and
+    // "new"/"york" appear 80 times so (new, york) halves too — PMI
+    // rewards exclusivity, not raw frequency
+    val docs = (1L to 40L).map { i =>
+      val filler = s"the w$i the cat sat on w${i + 1}"
+      (i, s"new york $filler new york")
+    }.toDF("id", "text")
+    val r = TextAnalysis.collocations(docs, "id", "text", minCount = 5, k = 10)
+      .orderBy("rnk").collect()
+    val ranked = r.map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(ranked.take(2) === Seq(("cat", "sat"), ("sat", "on")))
+    val lift = r.map(x =>
+      (x.getString(0), x.getString(1)) -> x.getLong(5)).toMap
+    assert(lift(("cat", "sat")) === lift(("sat", "on"))) // tie, asc order
+    assert(lift(("new", "york")) === lift(("the", "cat")))
+    assert(lift(("new", "york")) < lift(("cat", "sat")))
+    // equal-lift tie breaks on term pair asc
+    assert(ranked.indexOf(("new", "york")) < ranked.indexOf(("the", "cat")))
+    // every emitted pair respects the min count and rnk is dense
+    assert(r.forall(_.getLong(2) >= 5L))
+    assert(r.map(_.getLong(6)).toSeq === (1L to r.length))
+  }
+
+  test("collocations: empty and 1-token docs contribute no pairs, no crash") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "solo"), (3L, null.asInstanceOf[String])) ++
+      (4L to 20L).map(i => (i, "x y"))
+    val r = TextAnalysis.collocations(docs.toDF("id", "text"), "id", "text",
+      minCount = 5, k = 5).collect()
+    assert(r.length === 1)
+    assert((r.head.getString(0), r.head.getString(1)) === (("x", "y")))
+    assert(r.head.getLong(2) === 17L)
+  }
+
+  test("collocations: deterministic across partitionings; lift exact") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, "a b a b c d")).toDF("id", "text")
+    val one = TextAnalysis.collocations(docs.repartition(1), "id", "text",
+      minCount = 2, k = 5).collect().toSeq
+    val many = TextAnalysis.collocations(docs.repartition(11), "id", "text",
+      minCount = 2, k = 5).collect().toSeq
+    assert(one === many)
+    // hand-check one lift: tokens per doc = 6 -> N = 360, bigrams per
+    // doc = 5 -> B = 300. c(a,b): "a b" twice per doc = 120;
+    // c(a) = 120, c(b) = 120. lift = 120*360*360*1e6/(300*120*120)
+    val ab = one.find(x => x.getString(0) == "a" && x.getString(1) == "b").get
+    val want = (BigInt(120) * 360 * 360 * 1000000) / (BigInt(300) * 120 * 120)
+    assert(ab.getLong(5) === want.toLong)
+  }
 }
