@@ -1903,6 +1903,39 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
+    // Rank-biased overlap between the lexical and vector top-10 for
+    // the same information need — the retriever-agreement card
+    // (Webber et al. 2010). Chained p-powers, nano-quantized terms,
+    // exact integer sum; the oracle rebuilds both lists and the sum.
+    "retrieval_rbo" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val lex = Retrieval.bm25TopK(table(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "hash", "merge"), k = 10)
+        .select(lit(0L).as("query_id"), col("doc_id"),
+          col("rnk").as("lex_rnk"))
+      val wv = Window
+        .partitionBy(Retrieval.singlePartitionKey(col("doc_id")))
+        .orderBy(col("cos").desc, col("doc_id"))
+      val vec = table(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          round(GraftFunctions.knnCosineSimilarity(col("embedding"),
+            typedLit(queryVec(s, d).toSeq)), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(10)
+        .withColumn("vec_rnk", row_number().over(wv).cast("long"))
+        .select(lit(0L).as("query_id"), col("doc_id"), col("vec_rnk"))
+      Retrieval.rankBiasedOverlap(lex, vec, "query_id", "doc_id",
+        "lex_rnk", "vec_rnk", k = 10)
+        .orderBy("query_id")
+    }),
+    // Postings-at-rest census: per-term df/cf/doc-range and the max
+    // doc-id gap (the delta-encoding width driver) for the vocabulary
+    // head — gaps via a term-partitioned lag window, top-k via
+    // TakeOrderedAndProject.
+    "retrieval_postings" -> ((s, d) =>
+      Retrieval.postingsStats(table(s, d, "documents"), "doc_id", "text",
+        k = 20)
+        .orderBy("rnk")),
     // PMI-lift collocation mining: adjacent-pair counts vs unigram
     // marginals in exact DECIMAL integral arithmetic (no cross-engine
     // log; lift is PMI's monotone transform, so the ranking is PMI's).
@@ -2536,6 +2569,68 @@ object SparkEntry {
         }
         .toDF("id", "frame_idx", "granule", "global_gain", "part23_len", "big_values")
         .orderBy("id", "frame_idx", "granule")
+    }),
+    // H.264 GOP-structure census: REAL §7.3.3 slice-header prefixes
+    // (Exp-Golomb first_mb/slice_type) planted per an arithmetic GOP
+    // cadence and recovered by the bit walk — I-frame spacing and
+    // B-usage without decoding a single macroblock. The oracle
+    // re-derives the cadence on a generate_series grid.
+    "multimodal_h264_gop" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val gopLen = 2 + b0 % 5
+            val nSlices = 4 + b1 % 6
+            val types = (0 until nSlices).map { j =>
+              if (j % gopLen == 0) 2 else if (j % 3 == 2) 1 else 0
+            }
+            val sl = graft.multimodal.H264Parser.parseSliceHeaders(
+              graft.multimodal.H264Parser.buildAnnexBGop(66, 30, types)).get
+            val iPos = sl.filter(_.kind == "I").map(_.idx)
+            val maxGap =
+              if (iPos.size < 2) 0L
+              else iPos.sliding(2).map(p => (p(1) - p(0)).toLong).max
+            (id, sl.size.toLong,
+              sl.count(_.kind == "I").toLong, sl.count(_.kind == "P").toLong,
+              sl.count(_.kind == "B").toLong, sl.head.kind, maxGap)
+          }
+        }
+        .toDF("id", "n_slices", "n_i", "n_p", "n_b", "first_kind",
+          "max_i_gap")
+        .orderBy("id")
+    }),
+    // ID3v2 tag census — the metadata layer the frame/side-info rows
+    // skip over: TIT2/TPE1/TALB text frames in BOTH tag versions
+    // (v2.3 plain big-endian frame sizes vs v2.4 syncsafe — the
+    // compatibility trap), values planted by id arithmetic and
+    // re-derived by the oracle.
+    "multimodal_id3" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, b) =>
+            val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+            val m = graft.multimodal.Mp3Parser.parseId3(
+              graft.multimodal.Mp3Parser.buildId3(
+                "T" + (b0 % 100), "A" + (b1 % 50),
+                "AL" + ((b0 + b1) % 30),
+                v24 = b1 % 2 == 1, Array[Byte](0x55))).get
+            (id, m.version.toLong, m.title, m.artist, m.album,
+              m.n_frames.toLong)
+          }
+        }
+        .toDF("id", "version", "title", "artist", "album", "n_frames")
+        .orderBy("id")
     }),
     // MP4/ISO-BMFF container census — the video counterpart of the MP3
     // triage row. Real ISO 14496-12 files (ftyp + moov{mvhd,trak...} +
@@ -7377,6 +7472,74 @@ object SparkEntry {
         |                 ELSE 2 END AS BIGINT) AS bucket
         |FROM scored s JOIN thr t USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    // Both lists rebuilt, then the RBO sum with the SAME chained
+    // p-powers (left-multiplied 0.9e0 chains — no pow()) and
+    // nano-quantized terms.
+    "retrieval_rbo" -> {
+      val pwCase = (1 to 10).map { d =>
+        val chain =
+          if (d == 1) "1e0" else Seq.fill(d - 1)("0.9e0").mkString(" * ")
+        s"WHEN $d THEN $chain"
+      }.mkString(" ")
+      s"""$bm25Ctes,
+         |lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
+         |  FROM bm25 ORDER BY score DESC, doc_id LIMIT 10),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+         |       WHERE vec_id = 0),
+         |vscore AS (
+         |  SELECT e.vec_id AS doc_id, round($CosExpr, 6) AS cos
+         |  FROM embeddings e, qv),
+         |vec AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rnk
+         |  FROM vscore ORDER BY cos DESC, doc_id LIMIT 10),
+         |j AS (
+         |  SELECT CAST(GREATEST(l.lex_rnk, v.vec_rnk) AS BIGINT) AS m
+         |  FROM lex l JOIN vec v USING (doc_id)
+         |  WHERE GREATEST(l.lex_rnk, v.vec_rnk) <= 10),
+         |xd AS (
+         |  SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM j, unnest(generate_series(CAST(m AS INT), 10)) t(d)
+         |  GROUP BY 1),
+         |terms AS (
+         |  SELECT d, x,
+         |         CASE WHEN d = 10 THEN x ELSE 0 END AS xk,
+         |         CAST(floor((CASE d $pwCase END) * x / d * 1e9 + 0.5)
+         |              AS BIGINT) AS term_nano
+         |  FROM xd),
+         |agg AS (SELECT CAST(COALESCE(SUM(xk), 0) AS BIGINT) AS n_common,
+         |               CAST(COALESCE(SUM(term_nano), 0) AS BIGINT) AS s
+         |        FROM terms)
+         |SELECT CAST(0 AS BIGINT) AS query_id, n_common,
+         |       round((1e0 - 0.9e0) * (CAST(s AS DOUBLE) / 1e9), 6) AS rbo
+         |FROM agg""".stripMargin
+    },
+    // Postings stats replayed: the same term-partitioned lag window.
+    "retrieval_postings" ->
+      """WITH posting AS (
+        |  SELECT term, doc, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id AS doc,
+        |           unnest(list_filter(string_split(COALESCE(text, ''), ' '),
+        |                              t -> t != '')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |g AS (
+        |  SELECT term, doc, tf,
+        |         doc - COALESCE(lag(doc) OVER
+        |           (PARTITION BY term ORDER BY doc), doc) AS gap
+        |  FROM posting),
+        |a AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |         CAST(SUM(tf) AS BIGINT) AS cf,
+        |         CAST(MIN(doc) AS BIGINT) AS first_doc,
+        |         CAST(MAX(doc) AS BIGINT) AS last_doc,
+        |         CAST(MAX(gap) AS BIGINT) AS max_gap
+        |  FROM g GROUP BY 1)
+        |SELECT term, df, cf, first_doc, last_doc, max_gap,
+        |       CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT)
+        |         AS rnk
+        |FROM a ORDER BY df DESC, term LIMIT 20""".stripMargin,
     // Bigram/unigram counts and the HUGEINT lift mirror of the
     // DECIMAL(38,0) integral division on the Spark side.
     "text_collocations" ->
@@ -7932,6 +8095,52 @@ object SparkEntry {
         |       CAST(1 + (ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1)) * 7) % 3000 AS BIGINT) AS height,
         |       CAST(3 AS INT) AS n_entries
         |FROM documents WHERE length(text) >= 2 ORDER BY id""".stripMargin,
+    // GOP cadence replayed on a slice grid; max I-gap via lag.
+    "multimodal_h264_gop" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2),
+        |g AS (SELECT id, 2 + b0 % 5 AS gl, 4 + b1 % 6 AS ns FROM src),
+        |typed AS (
+        |  SELECT id, CAST(j AS BIGINT) AS j,
+        |         CASE WHEN j % gl = 0 THEN 'I'
+        |              WHEN j % 3 = 2 THEN 'B' ELSE 'P' END AS kind
+        |  FROM g, unnest(generate_series(0, ns - 1)) t(j)),
+        |ipos AS (
+        |  SELECT id, j - lag(j) OVER (PARTITION BY id ORDER BY j) AS gap
+        |  FROM typed WHERE kind = 'I'),
+        |gaps AS (SELECT id, CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_i_gap
+        |         FROM ipos GROUP BY id),
+        |agg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_slices,
+        |         CAST(SUM(CASE WHEN kind = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_i,
+        |         CAST(SUM(CASE WHEN kind = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_p,
+        |         CAST(SUM(CASE WHEN kind = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_b,
+        |         MIN(CASE WHEN j = 0 THEN kind END) AS first_kind
+        |  FROM typed GROUP BY id)
+        |SELECT a.id, a.n_slices, a.n_i, a.n_p, a.n_b, a.first_kind,
+        |       g.max_i_gap
+        |FROM agg a JOIN gaps g USING (id) ORDER BY id""".stripMargin,
+    // ID3 replay: the planted tag-frame arithmetic per id.
+    "multimodal_id3" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2)
+        |SELECT id,
+        |       CAST(CASE WHEN b1 % 2 = 1 THEN 4 ELSE 3 END AS BIGINT)
+        |         AS version,
+        |       'T' || CAST(b0 % 100 AS VARCHAR) AS title,
+        |       'A' || CAST(b1 % 50 AS VARCHAR) AS artist,
+        |       'AL' || CAST((b0 + b1) % 30 AS VARCHAR) AS album,
+        |       CAST(3 AS BIGINT) AS n_frames
+        |FROM src ORDER BY id""".stripMargin,
     // EXIF replay: the planted (orientation, make, datetime)
     // arithmetic — the Spark side recovers the same values by walking
     // the real APP1/TIFF structure in both byte orders.

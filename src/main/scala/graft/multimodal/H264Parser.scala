@@ -355,4 +355,94 @@ object H264Parser {
     }
     bos.toByteArray
   }
+
+  // ----------------------------------------------------- slice headers
+
+  /** One coded slice's header prefix (§7.3.3): stream index among
+    * slice NALs, nal_unit_type (1/5), slice_type, and its kind letter
+    * (P/B/I/SP/SI — slice_type mod 5 per §7.4.3 Table 7-6). */
+  final case class SliceInfo(
+      idx: Int, nalType: Int, sliceType: Int, kind: String)
+
+  /** Parse every coded-slice NAL's header prefix: first_mb_in_slice
+    * (ue), slice_type (ue) — the decode-free GOP-structure signal
+    * (I-frame cadence, B-frame usage) a video corpus routes on.
+    * Returns slices in stream order; None when the stream is not
+    * well-formed Annex-B or a slice header is truncated. */
+  def parseSliceHeaders(payload: Array[Byte]): Option[Seq[SliceInfo]] = {
+    if (payload == null || payload.length < 5) return None
+    try {
+      val starts = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      val n = payload.length
+      while (i + 3 <= n) {
+        if (payload(i) == 0 && payload(i + 1) == 0) {
+          if (payload(i + 2) == 1) { starts += i + 3; i += 3 }
+          else if (i + 4 <= n && payload(i + 2) == 0 && payload(i + 3) == 1) {
+            starts += i + 4; i += 4
+          } else i += 1
+        } else i += 1
+      }
+      if (starts.isEmpty || (starts.head != 3 && starts.head != 4)) return None
+      val out = Seq.newBuilder[SliceInfo]
+      var idx = 0
+      var k = 0
+      while (k < starts.length) {
+        val s = starts(k)
+        if (s >= n) return None
+        val header = payload(s) & 0xff
+        if ((header & 0x80) != 0) return None
+        val typ = header & 0x1f
+        if (typ == 1 || typ == 5) {
+          val end = if (k + 1 < starts.length) {
+            val next = starts(k + 1)
+            next - (if (next >= 4 && payload(next - 4) == 0) 4 else 3)
+          } else n
+          val r = new BitReader(deEscape(payload, s + 1, end))
+          r.ue() // first_mb_in_slice
+          val st = r.ue()
+          if (st > 9) return None // §7.4.3: slice_type in 0..9
+          val kind = (st % 5) match {
+            case 0 => "P"; case 1 => "B"; case 2 => "I"
+            case 3 => "SP"; case _ => "SI"
+          }
+          out += SliceInfo(idx, typ, st, kind)
+          idx += 1
+        }
+        k += 1
+      }
+      val slices = out.result()
+      if (slices.isEmpty) None else Some(slices)
+    } catch { case _: Exception => None }
+  }
+
+  /** Build an Annex-B stream whose coded slices carry REAL §7.3.3
+    * header prefixes (Exp-Golomb first_mb_in_slice=0, the given
+    * slice_type, pps_id=0, then RBSP trailing) — slice_type mod 5 == 2
+    * emits an IDR NAL (type 5), everything else non-IDR (type 1). */
+  def buildAnnexBGop(
+      profileIdc: Int, levelIdc: Int, sliceTypes: Seq[Int]): Array[Byte] = {
+    require(sliceTypes.forall(t => t >= 0 && t <= 9), s"bad types $sliceTypes")
+    val bos = new java.io.ByteArrayOutputStream()
+    def nal(longCode: Boolean, refIdc: Int, typ: Int, body: Array[Byte]): Unit = {
+      if (longCode) bos.write(0)
+      bos.write(0); bos.write(0); bos.write(1)
+      bos.write(((refIdc & 3) << 5) | (typ & 0x1f))
+      body.foreach(b => bos.write(b & 0xff))
+    }
+    nal(longCode = true, 3, 7,
+      encodeSps(profileIdc, levelIdc, 320, 240).map(b => (b & 0xff).toByte))
+    nal(longCode = true, 3, 8, Array(0xce.toByte, 0x38.toByte, 0x80.toByte))
+    sliceTypes.foreach { st =>
+      val w = new BitWriter
+      w.ue(0)  // first_mb_in_slice
+      w.ue(st) // slice_type
+      w.ue(0)  // pic_parameter_set_id
+      w.rbspTrailing()
+      val isI = st % 5 == 2
+      nal(longCode = false, if (isI) 3 else 2, if (isI) 5 else 1,
+        escapeRbsp(w.bytes))
+    }
+    bos.toByteArray
+  }
 }

@@ -266,4 +266,101 @@ object Mp3Parser {
       if (frames >= 1) Some(out.result()) else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  // ---------------------------------------------------------- ID3v2
+
+  /** ID3v2 text metadata: the tag census the side-info rows skip.
+    * Values are the tag's text frames, Latin-1 or UTF-16 decoded. */
+  final case class Id3Meta(
+      version: Int, title: String, artist: String, album: String,
+      n_frames: Int)
+
+  /** Build an ID3v2.3 or v2.4 tag followed by `audio` bytes: header
+    * with syncsafe tag size, then TIT2/TPE1/TALB Latin-1 text frames
+    * (v2.3 plain big-endian frame sizes, v2.4 syncsafe — the
+    * compatibility trap this builder exists to exercise). */
+  def buildId3(
+      title: String, artist: String, album: String, v24: Boolean,
+      audio: Array[Byte]): Array[Byte] = {
+    def ss(v: Int): Array[Byte] = Array(
+      ((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+      ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    def be(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def frame(id: String, text: String): Array[Byte] = {
+      val payload = 0.toByte +: text.getBytes("ISO-8859-1") // enc 0
+      id.getBytes("ISO-8859-1") ++
+        (if (v24) ss(payload.length) else be(payload.length)) ++
+        Array[Byte](0, 0) ++ payload
+    }
+    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TALB", album)
+    "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](if (v24) 4 else 3, 0, 0) ++ ss(frames.length) ++
+      frames ++ audio
+  }
+
+  /**
+   * Parse the leading ID3v2.3/2.4 tag's text frames (TIT2 title,
+   * TPE1 artist, TALB album — encoding bytes 0/3 Latin-1|UTF-8 and
+   * 1 UTF-16-BOM handled). Frame sizes are syncsafe in v2.4, plain
+   * big-endian in v2.3 — mixing them up misframes everything after
+   * the first >127-byte frame, which is why the version switch is
+   * explicit. None when no well-formed tag leads the payload.
+   */
+  def parseId3(bytes: Array[Byte]): Option[Id3Meta] = {
+    if (bytes == null || bytes.length < 10) return None
+    if (bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3') return None
+    val ver = bytes(3) & 0xff
+    if (ver != 3 && ver != 4) return None
+    try {
+      def ss(off: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < 4) {
+          val b = bytes(off + i) & 0xff
+          if (b >= 0x80) return -1
+          v = (v << 7) | b
+          i += 1
+        }
+        v
+      }
+      def be(off: Int): Int =
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      val tagSize = ss(6)
+      if (tagSize < 0 || 10 + tagSize > bytes.length) return None
+      val end = 10 + tagSize
+      var p = 10
+      var title = ""; var artist = ""; var album = ""
+      var n = 0
+      while (p + 10 <= end && bytes(p) != 0) {
+        val id = new String(bytes, p, 4, "ISO-8859-1")
+        val fsize = if (ver == 4) ss(p + 4) else be(p + 4)
+        if (fsize < 0 || p + 10 + fsize > end) return None
+        if (id.startsWith("T") && fsize >= 1) {
+          val enc = bytes(p + 10) & 0xff
+          val txt = enc match {
+            case 0 => new String(bytes, p + 11, fsize - 1, "ISO-8859-1")
+            case 1 => new String(bytes, p + 11, fsize - 1, "UTF-16")
+            case 3 => new String(bytes, p + 11, fsize - 1, "UTF-8")
+            case _ => null
+          }
+          if (txt != null) {
+            val t = txt.takeWhile(_ != '\u0000')
+            id match {
+              case "TIT2" => title = t
+              case "TPE1" => artist = t
+              case "TALB" => album = t
+              case _ => ()
+            }
+          }
+        }
+        n += 1
+        p += 10 + fsize
+      }
+      if (n < 1) None else Some(Id3Meta(ver, title, artist, album, n))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

@@ -135,51 +135,76 @@ object Evaluation {
       prefs: DataFrame, winnerCol: String, loserCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // ordered-pair counts, then symmetrize: n_ij = games between i, j
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = prefs.sparkSession
+    // ordered-pair counts, then symmetrize: n_ij = games between i, j.
+    // The slim relations PERSIST across rounds (a lineage that chains
+    // the raw-scan aggregate through every round re-reads the
+    // preference log per round — measured 8 s vs sub-second at sf0.1);
+    // the K strength values are driver model state between rounds,
+    // the KMeansExact/QualityClassifier fit-boundary convention.
     val dir = prefs.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
       .agg(count(lit(1)).as("w"))
     val nsym = dir.select(col("i"), col("j"), col("w"))
       .unionAll(dir.select(col("j").as("i"), col("i").as("j"), col("w")))
       .groupBy("i", "j").agg(sum("w").as("n_ij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wins = nsym.join(
         dir.groupBy("i").agg(sum("w").as("wins")), Seq("i"), "left")
       .groupBy("i").agg(
         first(coalesce(col("wins"), lit(0L))).as("wins"),
         sum("n_ij").as("games"))
-    val nItems = wins.select(count(lit(1)).as("__k"))
-    var p = wins.select(col("i"), lit(BtScale).as("p"))
-    for (_ <- 1 to iters) {
-      // every product is cast to DECIMAL(38,0) BEFORE the 1e12
-      // blow-up (BIGINT wraps past n_ij ~9e6) and divided with the
-      // integral `div` — exact truncation, no rounded decimal scale
-      // (plain decimal `/` rounds at scale 6, which can disagree with
-      // an exact floor at half-way boundaries). greatest(…, 1) guards
-      // the all-zero-strength corner (two never-winning items).
-      val denom = nsym
-        .join(p.select(col("i"), col("p").as("p_i")), "i")
-        .join(p.select(col("i").as("j"), col("p").as("p_j")), "j")
-        .groupBy("i")
-        .agg(sum(expr(
-          s"(CAST(n_ij AS DECIMAL(38,0)) * $BtFactor) div " +
-            "greatest(p_i + p_j, 1L)")).as("denom"))
-      val raw = wins.join(denom, "i")
-        .select(col("i"),
-          when(col("denom") > 0, expr(
-            s"(CAST(wins AS DECIMAL(38,0)) * $BtFactor) div denom"))
-            .otherwise(lit(0L)).as("praw"))
-      val total = raw.agg(sum("praw").as("__t"))
-      p = raw.crossJoin(broadcast(total)).crossJoin(broadcast(nItems))
-        .select(col("i"),
-          when(col("__t") > 0, expr(
-            s"(CAST(praw AS DECIMAL(38,0)) * __k * $BtScale) div __t"))
-            .otherwise(lit(0L)).as("p"))
-    }
-    val w = Window.partitionBy(Retrieval.singlePartitionKey(col("item")))
-      .orderBy(col("strength_micro").desc, col("item").asc)
-    wins.join(p, "i")
-      .select(col("i").as("item"), col("wins"), col("games"),
-        col("p").as("strength_micro"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val itemType = nsym.schema("i").dataType
+      val pSchema = StructType(Seq(
+        StructField("__pk", itemType), StructField("p", LongType)))
+      val winsRows = wins.select("i", "wins").collect()
+      val items = winsRows.map(_.get(0)).toSeq
+      val winsM = winsRows.map(r => r.get(0) -> r.getLong(1)).toMap
+      val k = items.length
+      var p: Map[Any, Long] = items.map(_ -> BtScale).toMap
+      for (_ <- 1 to iters) {
+        val pDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            items.map(it => Row(it, p(it))), 1), pSchema)
+        // the division products run in DECIMAL(38,0)/BigInt — exact
+        // truncation (plain decimal `/` rounds at scale 6, which can
+        // disagree with a floor at half-way boundaries); BIGINT would
+        // wrap past n_ij ~9e6 at the 1e12 factor. greatest(…, 1)
+        // guards the all-zero-strength corner (two never-winning
+        // items playing each other).
+        val denom = nsym
+          .join(broadcast(pDf.select(col("__pk").as("i"), col("p").as("p_i"))), "i")
+          .join(broadcast(pDf.select(col("__pk").as("j"), col("p").as("p_j"))), "j")
+          .groupBy("i")
+          .agg(sum(expr(
+            s"(CAST(n_ij AS DECIMAL(38,0)) * $BtFactor) div " +
+              "greatest(p_i + p_j, 1L)")).as("denom"))
+          .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+        val praw = items.map { it =>
+          val d = denom.getOrElse(it, 0L)
+          it -> (if (d > 0) (BigInt(winsM(it)) * BtFactor / d).toLong else 0L)
+        }.toMap
+        val tot = praw.values.map(BigInt(_)).sum
+        p = items.map { it =>
+          it -> (if (tot > 0) (BigInt(praw(it)) * k * BtScale / tot).toLong
+                 else 0L)
+        }.toMap
+      }
+      val pDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          items.map(it => Row(it, p(it))), 1), pSchema)
+      val w = Window.partitionBy(Retrieval.singlePartitionKey(col("item")))
+        .orderBy(col("strength_micro").desc, col("item").asc)
+      wins.join(broadcast(pDf.withColumnRenamed("__pk", "i")), "i")
+        .select(col("i").as("item"), col("wins"), col("games"),
+          col("p").as("strength_micro"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        // materialize before the finally-unpersist drops the inputs
+        .localCheckpoint(eager = true)
+    } finally { nsym.unpersist(); wins.unpersist() }
   }
 
   /**

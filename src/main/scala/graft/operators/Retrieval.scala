@@ -293,6 +293,94 @@ object Retrieval {
         falling(n - c).cast("double") / falling(n).cast("double"), scale))
   }
 
+  /**
+   * Postings-at-rest census: the per-term statistics an inverted
+   * index stores — document frequency, collection frequency, doc-id
+   * range and the largest doc-id GAP (the quantity delta-encoded
+   * postings compression lives on: max_gap bounds the bit width a
+   * block needs). Top-k terms by df (ties: term asc) — the head of
+   * the vocabulary, where postings engineering matters.
+   *
+   * Shape at 100 TB: the (term, doc) relation aggregates scan-locally
+   * (map-side combine on the explode), gaps come from a lag window
+   * PARTITIONED BY TERM (each term's postings sort independently —
+   * no global order), and the final top-k is TakeOrderedAndProject.
+   */
+  def postingsStats(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val posting = docs
+      .select(col(idCol).cast("long").as("doc"),
+        explode(filter(tokens(col(textCol)), t => t =!= "")).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy("doc")
+    val rw = Window.partitionBy(singlePartitionKey(col("term")))
+      .orderBy(col("df").desc, col("term"))
+    posting
+      .withColumn("gap", col("doc") - coalesce(lag("doc", 1).over(w), col("doc")))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"),
+        min("doc").as("first_doc"), max("doc").as("last_doc"),
+        max("gap").as("max_gap"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+  }
+
+  /**
+   * Rank-biased overlap at depth k (Webber, Moffat & Zobel, TOIS
+   * 2010): RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·X_d/d, where X_d is the
+   * size of the two rankings' intersection at depth d — THE standard
+   * top-weighted similarity between two rankings (compare a new
+   * retriever against the incumbent, lexical vs vector lists, index
+   * builds before/after a change). p = 0.9 weights the top ~10.
+   *
+   * Inputs are two k-bounded rank lists (queryCol, idCol, rank).
+   * Determinism: X_d are integers from an equality join; each p^(d−1)
+   * is a LEFT-CHAINED product of the literal (the engines multiply
+   * the same doubles in the same order — the lsh_calibration
+   * convention, no pow()); each term is nano-quantized via
+   * floor(x·10⁹ + 0.5) on a bit-identical double, so the per-query
+   * SUM is an exact integer and aggregation order cannot perturb it.
+   * Queries with no overlap emit rbo = 0, not a missing row.
+   *
+   * Shape at scale: everything is k-bounded per query — the join, the
+   * d-grid explode (≤ k² rows per query), the aggregate. Output:
+   * (queryCol, n_common, rbo).
+   */
+  def rankBiasedOverlap(
+      a: DataFrame, b: DataFrame, queryCol: String, idCol: String,
+      aRank: String, bRank: String, k: Int, p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p in (0,1), got $p")
+    val pw = Array.iterate(1.0, k)(_ * p) // p^0 .. p^(k-1), chained
+    val joined = a.join(b, Seq(queryCol, idCol))
+      .select(col(queryCol),
+        greatest(col(aRank), col(bRank)).cast("long").as("m"))
+      .filter(col("m") <= k)
+      .groupBy(col(queryCol), col("m")).agg(count(lit(1)).as("c"))
+    val pwOf = (2 to k).foldLeft(when(col("d") === 1, lit(pw(0)))) {
+      (acc, d) => acc.when(col("d") === d, lit(pw(d - 1)))
+    }
+    val agg = joined
+      .select(col(queryCol),
+        explode(sequence(col("m").cast("int"), lit(k))).as("d"), col("c"))
+      .groupBy(col(queryCol), col("d")).agg(sum("c").as("x"))
+      .select(col(queryCol), col("d"),
+        when(col("d") === k, col("x")).otherwise(0L).as("xk"),
+        floor(pwOf * col("x") / col("d") * lit(1e9) + lit(0.5))
+          .cast("long").as("term_nano"))
+      .groupBy(col(queryCol))
+      .agg(sum("xk").as("n_common"), sum("term_nano").as("__s"))
+    a.select(col(queryCol)).distinct()
+      .join(agg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(
+          round(lit(1.0 - p) * (col("__s").cast("double") / lit(1e9)), 6),
+          lit(0.0)).as("rbo"))
+  }
+
   /** Cosine at the repo's 6-decimal score convention: float-promoted
     * double accumulation in element order (the [[graft.functions
     * .VectorKernels.cosineSimilarity]] arithmetic) then the exact

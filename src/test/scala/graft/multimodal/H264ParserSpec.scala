@@ -84,4 +84,34 @@ class H264ParserSpec extends AnyFunSuite {
       H264Parser.parseAnnexB(bytes) // must not throw
     }
   }
+
+  test("parseSliceHeaders: planted slice types recovered in stream order") {
+    val types = Seq(7, 0, 1, 5, 2, 6, 3, 4) // I P B P I B SP SI (mod 5)
+    val stream = H264Parser.buildAnnexBGop(66, 30, types)
+    val got = H264Parser.parseSliceHeaders(stream).get
+    assert(got.map(_.sliceType) === types)
+    assert(got.map(_.idx) === types.indices)
+    assert(got.map(_.kind) === Seq("I", "P", "B", "P", "I", "B", "SP", "SI"))
+    // IDR NAL type iff slice kind is I
+    assert(got.map(_.nalType) === Seq(5, 1, 1, 1, 5, 1, 1, 1))
+    // the SPS/PPS census still agrees on the same stream
+    val meta = H264Parser.parseAnnexB(stream).get
+    assert(meta.nIdr === 2 && meta.nNonIdr === 6)
+  }
+
+  test("parseSliceHeaders: out-of-range slice_type and malformed input -> None") {
+    assert(H264Parser.parseSliceHeaders(null).isEmpty)
+    assert(H264Parser.parseSliceHeaders(Array[Byte](0, 0, 1)).isEmpty)
+    // a stream with no coded slices (SPS+PPS only) has nothing to census
+    val bare = H264Parser.buildAnnexBGop(66, 30, Nil)
+    assert(H264Parser.parseSliceHeaders(bare).isEmpty)
+    val good = H264Parser.buildAnnexBGop(100, 41, Seq(2, 0, 0, 1))
+    for (cut <- 0 until good.length)
+      H264Parser.parseSliceHeaders(good.take(cut)) // totality
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 300) {
+      val buf = Array.fill[Byte](rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      H264Parser.parseSliceHeaders(buf)
+    }
+  }
 }

@@ -189,4 +189,52 @@ class Mp3ParserSpec extends AnyFunSuite {
       Mp3Parser.parseGranules(buf) // totality: no throw
     }
   }
+
+  test("parseId3: v2.3 (plain BE sizes) and v2.4 (syncsafe) round-trip") {
+    // a >127-byte title makes the size encodings DIFFER between
+    // versions - a parser using the wrong rule misframes what follows
+    val long = "T" * 200
+    for (v24 <- Seq(false, true)) {
+      val tag = Mp3Parser.buildId3(long, "Artist", "Album", v24,
+        Array[Byte](0x11, 0x22))
+      val m = Mp3Parser.parseId3(tag).get
+      assert(m.version === (if (v24) 4 else 3))
+      assert(m.title === long)
+      assert(m.artist === "Artist")
+      assert(m.album === "Album")
+      assert(m.n_frames === 3)
+    }
+  }
+
+  test("parseId3: UTF-16 text frames decode; unknown encodings skip") {
+    // hand-build one UTF-16 TIT2 (enc 1, BOM) inside a v2.3 tag
+    val txt = "caf\u00e9"
+    val payload = 1.toByte +: txt.getBytes("UTF-16") // BOM included
+    val frame = "TIT2".getBytes("ISO-8859-1") ++ Array[Byte](
+      ((payload.length >> 24) & 0xff).toByte,
+      ((payload.length >> 16) & 0xff).toByte,
+      ((payload.length >> 8) & 0xff).toByte,
+      (payload.length & 0xff).toByte, 0, 0) ++ payload
+    def ss(v: Int) = Array[Byte](((v >> 21) & 0x7f).toByte,
+      ((v >> 14) & 0x7f).toByte, ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    val tag = "ID3".getBytes("ISO-8859-1") ++ Array[Byte](3, 0, 0) ++
+      ss(frame.length) ++ frame
+    val m = Mp3Parser.parseId3(tag).get
+    assert(m.title === txt)
+    assert(m.n_frames === 1)
+  }
+
+  test("parseId3: malformed tags -> None, never a throw") {
+    assert(Mp3Parser.parseId3(null).isEmpty)
+    assert(Mp3Parser.parseId3("ID3".getBytes).isEmpty)
+    assert(Mp3Parser.parseId3("NOPE23456789".getBytes).isEmpty)
+    val good = Mp3Parser.buildId3("t", "a", "b", v24 = true, Array.empty)
+    for (cut <- 0 until good.length)
+      Mp3Parser.parseId3(good.take(cut)) // totality
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 300) {
+      val buf = Array.fill[Byte](rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      Mp3Parser.parseId3(buf)
+    }
+  }
 }

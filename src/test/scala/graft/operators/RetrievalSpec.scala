@@ -230,4 +230,71 @@ class RetrievalSpec extends SparkFunSuite {
     assert(r.map(_.getLong(2)).toSeq === Seq(1L, 2L))
     assert(r(1).getDouble(4) === -1.0)
   }
+
+  test("postingsStats: df/cf/gaps exact; df ties break on term asc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y"), (3L, "x x z"), (7L, "x w z"))
+      .toDF("doc_id", "text")
+    val r = Retrieval.postingsStats(docs, "doc_id", "text", k = 10)
+      .orderBy("rnk").collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    // x: df 3 (docs 1,3,7), cf 4, gaps 2 and 4 -> max 4
+    assert(r.head === ("x" -> ((3L, 4L, 1L, 7L, 4L))))
+    // z: df 2 (3,7) gap 4; w/y df 1 gap 0, tie on term asc
+    val order = r.map(_._1).toSeq
+    assert(order === Seq("x", "z", "w", "y"))
+    assert(r.toMap.apply("z") === ((2L, 2L, 3L, 7L, 4L)))
+    assert(r.toMap.apply("w")._5 === 0L) // single-posting gap is 0
+  }
+
+  test("rankBiasedOverlap: identical lists -> 1 - p^k; disjoint -> 0") {
+    import spark.implicits._
+    val a = (1L to 10L).map(r => (0L, r * 100, r)).toDF("q", "id", "ra")
+    val same = a.select(col("q"), col("id"), col("ra").as("rb"))
+    val r1 = Retrieval.rankBiasedOverlap(a, same, "q", "id", "ra", "rb",
+      k = 10).collect().head
+    // identical: X_d = d, term_d = p^(d-1), rbo = (1-p) * sum ~ 1 - p^10
+    // (replicate the operator's exact op order incl the (w*d)/d trip)
+    val pw = Iterator.iterate(1.0)(_ * 0.9).take(10).toSeq
+    val nano = (1 to 10).map(d =>
+      math.floor(pw(d - 1) * d / d * 1e9 + 0.5).toLong).sum
+    val want = BigDecimal((1.0 - 0.9) * (nano.toDouble / 1e9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(2) === want)
+    assert(math.abs(want - (1.0 - math.pow(0.9, 10))) < 1e-6)
+    assert(r1.getLong(1) === 10L)
+    val disj = (1L to 10L).map(r => (0L, r * 7 + 1, r)).toDF("q", "id", "rb")
+    val r0 = Retrieval.rankBiasedOverlap(a, disj, "q", "id", "ra", "rb",
+      k = 10).collect().head
+    assert(r0.getDouble(2) === 0.0 && r0.getLong(1) === 0L)
+  }
+
+  test("rankBiasedOverlap: top-weighted - early overlap beats late overlap") {
+    import spark.implicits._
+    val a = (1L to 10L).map(r => (0L, r, r)).toDF("q", "id", "ra")
+    // b1 agrees on ranks 1-2 only; b2 agrees on ranks 9-10 only
+    val b1 = Seq((0L, 1L, 1L), (0L, 2L, 2L)) ++
+      (3L to 10L).map(r => (0L, r + 50, r))
+    val b2 = Seq((0L, 9L, 9L), (0L, 10L, 10L)) ++
+      (1L to 8L).map(r => (0L, r + 50, r))
+    val e = Retrieval.rankBiasedOverlap(a, b1.toDF("q", "id", "rb"),
+      "q", "id", "ra", "rb", k = 10).collect().head.getDouble(2)
+    val l = Retrieval.rankBiasedOverlap(a, b2.toDF("q", "id", "rb"),
+      "q", "id", "ra", "rb", k = 10).collect().head.getDouble(2)
+    assert(e > l, s"early $e should beat late $l")
+    assert(e > 0.0 && l > 0.0)
+  }
+
+  test("rankBiasedOverlap: per-query rows survive zero overlap") {
+    import spark.implicits._
+    val a = Seq((0L, 1L, 1L), (1L, 2L, 1L)).toDF("q", "id", "ra")
+    val b = Seq((0L, 1L, 1L), (1L, 99L, 1L)).toDF("q", "id", "rb")
+    val r = Retrieval.rankBiasedOverlap(a, b, "q", "id", "ra", "rb", k = 5)
+      .orderBy("q").collect()
+    assert(r.length === 2)
+    assert(r(1).getDouble(2) === 0.0)
+    assert(r(0).getDouble(2) > 0.0)
+  }
 }
