@@ -212,6 +212,25 @@ object SparkEntry {
     * own plans. */
   private val rollupCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.plans.RollupCatalog.Params)]()
+  /** Dedicated table copies for the constraint rewrites — the rollup
+    * row's scoping discipline: uniqueness is registered on COPIES so
+    * no other query's plan can be affected by the catalog entry.
+    * One-time offline writes per sf dir. */
+  private val constraintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def constraintStore(s: SparkSession, d: String): (String, String) =
+    constraintCache.computeIfAbsent(d, dir => {
+      val docs = java.nio.file.Files.createTempDirectory("graft_uniq_docs").toString
+      table(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(docs)
+      val dim = java.nio.file.Files.createTempDirectory("graft_uniq_part").toString
+      table(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+        .write.mode("overwrite").parquet(dim)
+      graft.plans.ConstraintCatalog.registerUnique(docs, Seq("doc_id"))
+      graft.plans.ConstraintCatalog.registerUnique(dim, Seq("p_partkey"))
+      (docs, dim)
+    })
+
   private def rollupStore(s: SparkSession, d: String)
       : (String, graft.plans.RollupCatalog.Params) =
     rollupCache.computeIfAbsent(d, dir => {
@@ -626,6 +645,40 @@ object SparkEntry {
     // rewrite must be semantically invisible (float sums, avg,
     // count(col), DISTINCT and non-grain predicates all REFUSE —
     // pinned by RollupRewriteSpec).
+    // SEVENTH auto-rewrite: DISTINCT over a superset of a registered
+    // unique key deletes the Aggregate — at 100 TB that is a full
+    // shuffle of every distinct row, erased by a declared constraint
+    // Spark has no metadata channel for. Plan-asserted in-row; the
+    // oracle runs the REAL DISTINCT in DuckDB, so the rewrite must be
+    // result-identical.
+    "sql_distinct_elim_rewrite" -> ((s, d) => {
+      graft.plans.ConstraintRewriteRule.ensureRegistered(s)
+      val (docs, _) = constraintStore(s, d)
+      val df = s.read.parquet(docs).select("doc_id", "lang", "source")
+        .distinct()
+      require(df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isEmpty, "distinct elimination did not fire")
+      df.orderBy("doc_id")
+    }),
+    // EIGHTH auto-rewrite: a LEFT JOIN to an unreferenced unique
+    // dimension is multiplicity-preserving and is deleted — the
+    // star-schema query stops scanning the dimension entirely. The
+    // oracle executes the REAL left join in DuckDB.
+    "sql_join_elim_rewrite" -> ((s, d) => {
+      graft.plans.ConstraintRewriteRule.ensureRegistered(s)
+      val (_, dim) = constraintStore(s, d)
+      val l = table(s, d, "lineitem")
+      val p = s.read.parquet(dim)
+      val df = l.join(p, l("l_partkey") === p("p_partkey"), "left_outer")
+        .groupBy(l("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      require(df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "join elimination did not fire")
+      df.orderBy("l_returnflag")
+    }),
     "sql_rollup_rewrite" -> ((s, d) => {
       import graft.plans.{RollupCatalog, RollupRewrite}
       RollupRewrite.install(s)
@@ -5329,6 +5382,18 @@ object SparkEntry {
     // The naive rollup SQL over the BASE table: the materialized-
     // rollup rewrite must be semantically invisible, so the oracle is
     // the un-rewritten aggregate itself (exact integer sums).
+    // The REAL distinct/left-join executed by DuckDB — the rewrites
+    // must be result-identical to the unrewritten semantics.
+    "sql_distinct_elim_rewrite" ->
+      """SELECT DISTINCT doc_id, lang, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sql_join_elim_rewrite" ->
+      """SELECT l.l_returnflag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l LEFT OUTER JOIN part p
+        |  ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "sql_rollup_rewrite" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
