@@ -1266,6 +1266,41 @@ object SparkEntry {
           "schema_leaves", "rg0_rows", "n_columns", "has_created_by")
         .orderBy("bucket")
     }),
+    // Schema-drift card between two snapshot writes, detected from
+    // FOOTER BYTES alone (the ParquetFooter leaf names/types, now
+    // parquet-mr-cross-validated): a removed column, an added column
+    // and an INT64→INT32 narrowing — the contract check an ingestion
+    // pipeline runs before a snapshot swap. The oracle pins the
+    // expected verdict table.
+    "parquet_schema_drift" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      def writeAndLeaves(df: org.apache.spark.sql.DataFrame): Map[String, String] = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_drift")
+        df.repartition(1).write.mode("overwrite").parquet(dir.toString)
+        val f = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        graft.sources.ParquetFooter.parse(java.nio.file.Files.readAllBytes(f))
+          .get.leaves.map(l => l.name -> l.typeName).toMap
+      }
+      val docs = table(s, d, "documents")
+      val l1 = writeAndLeaves(
+        docs.select("doc_id", "text", "lang", "n_chars"))
+      val l2 = writeAndLeaves(docs.select(
+        col("doc_id"), col("lang"),
+        col("n_chars").cast("int").as("n_chars"),
+        (col("n_chars") % 100 / 100.0).as("quality")))
+      val names = (l1.keySet ++ l2.keySet).toSeq.sorted
+      names.map { n =>
+        val st = (l1.get(n), l2.get(n)) match {
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case (Some(_), Some(_)) => "type_changed"
+          case (Some(_), None) => "removed"
+          case _ => "added"
+        }
+        (n, l1.getOrElse(n, ""), l2.getOrElse(n, ""), st)
+      }.toDF("col", "v1_type", "v2_type", "status").orderBy("col")
+    }),
     "zip_census" -> ((s, d) => {
       import s.implicits._
       graft.sources.ArchiveExport
@@ -6894,6 +6929,17 @@ object SparkEntry {
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS c_bytes,
         |       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The pinned drift verdicts (both snapshot schemas are fixed by
+    // the row itself; the value is the footer-byte derivation).
+    "parquet_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id', 'INT64', 'INT64', 'unchanged'),
+        |  ('lang', 'BYTE_ARRAY', 'BYTE_ARRAY', 'unchanged'),
+        |  ('n_chars', 'INT64', 'INT32', 'type_changed'),
+        |  ('quality', '', 'DOUBLE', 'added'),
+        |  ('text', 'BYTE_ARRAY', '', 'removed'))
+        |  AS t(col, v1_type, v2_type, status)
+        |ORDER BY col""".stripMargin,
     // Footer facts re-derived: per-bucket row counts from table
     // arithmetic; version 1 / single row group / 5 leaf columns /
     // created_by are the pinned Spark-writer facts the spec

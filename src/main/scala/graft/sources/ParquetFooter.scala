@@ -29,9 +29,21 @@ object ParquetFooter {
 
   final case class RowGroupMeta(
       idx: Int, num_rows: Long, total_byte_size: Long, n_columns: Int)
+  /** One leaf (physical) column: its SchemaElement name and the
+    * parquet-format Type enum (0 BOOLEAN, 1 INT32, 2 INT64, 3 INT96,
+    * 4 FLOAT, 5 DOUBLE, 6 BYTE_ARRAY, 7 FIXED_LEN_BYTE_ARRAY). */
+  final case class LeafField(name: String, typeCode: Int) {
+    def typeName: String = typeCode match {
+      case 0 => "BOOLEAN"; case 1 => "INT32"; case 2 => "INT64"
+      case 3 => "INT96"; case 4 => "FLOAT"; case 5 => "DOUBLE"
+      case 6 => "BYTE_ARRAY"; case 7 => "FIXED_LEN_BYTE_ARRAY"
+      case _ => s"UNKNOWN($typeCode)"
+    }
+  }
   final case class FooterMeta(
       version: Int, num_rows: Long, schema_leaves: Int,
-      created_by: Boolean, row_groups: Seq[RowGroupMeta])
+      created_by: Boolean, row_groups: Seq[RowGroupMeta],
+      leaves: Seq[LeafField])
 
   // thrift compact type codes
   private val TBoolTrue = 1
@@ -67,6 +79,10 @@ object ParquetFooter {
     def skip(n: Long): Unit = {
       if (n < 0 || p + n > end) throw new IllegalStateException("skip oob")
       p += n.toInt
+    }
+    def str(len: Int): String = {
+      if (len < 0 || p + len > end) throw new IllegalStateException("str oob")
+      val s = new String(b, p, len, "UTF-8"); p += len; s
     }
   }
 
@@ -122,13 +138,22 @@ object ParquetFooter {
     }
   }
 
-  /** One SchemaElement: true iff it is a LEAF (no num_children). */
-  private def schemaElementIsLeaf(r: Reader): Boolean = {
+  /** One SchemaElement: Some(leaf) iff it has no num_children. */
+  private def schemaElementLeaf(r: Reader): Option[LeafField] = {
     var children = 0L
+    var typeCode = -1
+    var name = ""
     walkStruct(r) { (id, tpe, rr) =>
-      if (id == 5 && tpe == TI32) { children = rr.zigzag(); true } else false
+      (id, tpe) match {
+        case (1, TI32) => typeCode = rr.zigzag().toInt; true
+        case (4, TBinary) =>
+          name = rr.str(rr.varint().toInt)
+          true
+        case (5, TI32) => children = rr.zigzag(); true
+        case _ => false
+      }
     }
-    children == 0
+    if (children == 0) Some(LeafField(name, typeCode)) else None
   }
 
   private def parseRowGroup(r: Reader, idx: Int): RowGroupMeta = {
@@ -154,6 +179,7 @@ object ParquetFooter {
   private def parseFileMetaData(r: Reader): FooterMeta = {
     var version = -1
     var numRows = -1L
+    val leafFields = Seq.newBuilder[LeafField]
     var leaves = 0
     var createdBy = false
     val rgs = Seq.newBuilder[RowGroupMeta]
@@ -164,7 +190,12 @@ object ParquetFooter {
         case (2, TList) =>
           val (n, _) = listHeader(rr)
           var i = 0
-          while (i < n) { if (schemaElementIsLeaf(rr)) leaves += 1; i += 1 }
+          while (i < n) {
+            schemaElementLeaf(rr).foreach { lf =>
+              leaves += 1; leafFields += lf
+            }
+            i += 1
+          }
           true
         case (3, TI64) => numRows = rr.zigzag(); true
         case (4, TList) =>
@@ -176,7 +207,8 @@ object ParquetFooter {
         case _ => false
       }
     }
-    FooterMeta(version, numRows, leaves, createdBy, rgs.result())
+    FooterMeta(version, numRows, leaves, createdBy, rgs.result(),
+      leafFields.result())
   }
 
   /**

@@ -45,6 +45,14 @@ class ParquetFooterSpec extends SparkFunSuite {
       assert(g.total_byte_size === w.getTotalByteSize)
       assert(g.n_columns === w.getColumns.size)
     }
+    // leaf names and physical types, in schema order
+    val wantCols = want.getFileMetaData.getSchema.getColumns.asScala
+    assert(got.leaves.map(_.name) ===
+      wantCols.map(_.getPrimitiveType.getName).toSeq)
+    // parquet-mr spells the thrift BYTE_ARRAY enum "BINARY"
+    assert(got.leaves.map(_.typeName) ===
+      wantCols.map(_.getPrimitiveType.getPrimitiveTypeName.name)
+        .map { case "BINARY" => "BYTE_ARRAY"; case x => x }.toSeq)
   }
 
   test("multi-row-group files: every row group parsed in order") {
@@ -74,6 +82,8 @@ class ParquetFooterSpec extends SparkFunSuite {
     val want = mrFooter(dir)
     assert(got.schema_leaves === want.getFileMetaData.getSchema.getPaths.size)
     assert(got.schema_leaves === 3) // id, vec.list.element, tag
+    assert(got.leaves.map(l => (l.name, l.typeName)) ===
+      Seq(("id", "INT64"), ("element", "FLOAT"), ("tag", "BYTE_ARRAY")))
   }
 
   test("the real testdata files parse and agree with parquet-mr") {
