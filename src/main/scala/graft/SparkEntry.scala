@@ -3649,6 +3649,14 @@ object SparkEntry {
     // largest remainders, integer-exact, sums to the budget by
     // construction. Remainder rank via a strata-sized broadcast
     // self-join — no unpartitioned window even at 5 rows.
+    // Neyman (optimal) allocation: n_h ∝ N_h·σ_h with the weight kept
+    // as ONE integer square root of exact moments (N·Σv² − (Σv)²) —
+    // variance-aware budget splitting with no per-stratum float
+    // variance; zero-variance strata draw nothing.
+    "sample_neyman" -> ((s, d) =>
+      MixtureSampling.neymanAllocation(
+        table(s, d, "documents"), "lang", "n_chars", n = 200)
+        .orderBy("stratum")),
     "sample_allocation" -> ((s, d) =>
       MixtureSampling.apportion(table(s, d, "documents"), "lang", n = 100)
         .orderBy("stratum")),
@@ -8740,6 +8748,48 @@ object SparkEntry {
     },
     // Hamilton apportionment replayed: micro quotas, floor, largest
     // remainders by correlated better-than count, +1 under leftover.
+    // The same integer moments, the double-seeded corrected root and
+    // the Hamilton core in HUGEINT.
+    "sample_neyman" ->
+      """WITH m AS (
+        |  SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_h,
+        |         CAST(SUM(n_chars) AS BIGINT) AS s1,
+        |         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+        |  FROM documents GROUP BY 1),
+        |rad AS (SELECT stratum, n_h,
+        |          CAST(n_h AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS x
+        |        FROM m),
+        |sq AS (SELECT stratum, n_h, x,
+        |         CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS s0
+        |       FROM rad),
+        |sq2 AS (SELECT *, CASE WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS sa
+        |        FROM sq),
+        |sw AS (SELECT stratum, n_h,
+        |         CAST(CASE WHEN (sa + 1) * (sa + 1) <= x THEN sa + 1
+        |              ELSE sa END AS BIGINT) AS sigma_w
+        |       FROM sq2),
+        |wts AS (SELECT stratum, n_h,
+        |          CASE WHEN (SELECT SUM(sigma_w) FROM sw) > 0 THEN sigma_w
+        |               ELSE n_h END AS w
+        |        FROM sw),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM wts),
+        |q2 AS (SELECT stratum, n_h, w,
+        |         CAST(CAST(200 AS HUGEINT) * w * 1000000 // total AS BIGINT)
+        |           AS quota_micro
+        |       FROM wts, t),
+        |q3 AS (SELECT *, quota_micro // 1000000 AS base,
+        |         quota_micro % 1000000 AS rem_micro FROM q2),
+        |l AS (SELECT CAST(200 - SUM(base) AS BIGINT) AS leftover FROM q3),
+        |r AS (SELECT q3.*,
+        |        (SELECT COUNT(*) FROM q3 o
+        |         WHERE o.rem_micro > q3.rem_micro
+        |            OR (o.rem_micro = q3.rem_micro AND o.stratum < q3.stratum))
+        |          AS nbetter
+        |      FROM q3)
+        |SELECT stratum, n_h, CAST(w AS BIGINT) AS weight,
+        |       CAST(base + CASE WHEN nbetter < (SELECT leftover FROM l)
+        |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY stratum""".stripMargin,
     "sample_allocation" ->
       """WITH c AS (
         |  SELECT lang AS stratum, count(*) AS cnt FROM documents GROUP BY 1),

@@ -194,15 +194,25 @@ object MixtureSampling {
     require(n > 0, s"n must be positive, got $n")
     val counts = docs.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt").as("__total"))
-    // quota product in DECIMAL(38,0): n·cnt·1e6 in BIGINT silently
-    // wraps past ~9.2e18/(n·1e6) rows per stratum (reachable at the
-    // 100 TB target) — the decimal widening keeps the product exact
-    // to 38 digits and `div` lands back on BIGINT, so no decimal
-    // reaches the output schema (the r8 dtype lesson)
-    val quotas = counts.crossJoin(broadcast(total))
+    hamilton(counts.select(col("stratum"), col("cnt").as("w")), n)
+      .select(col("stratum"), col("w").as("cnt"), col("quota_micro"),
+        col("base"), col("rem_micro"), col("alloc"))
+  }
+
+  /** Hamilton core over an arbitrary non-negative weight relation
+    * (stratum, w): quota = n·w/Σw on the micro grid, floor + largest
+    * remainders (ties to the least stratum). Output: (stratum, w,
+    * quota_micro, base, rem_micro, alloc). */
+  private def hamilton(weights: DataFrame, n: Int): DataFrame = {
+    val total = weights.agg(sum("w").as("__total"))
+    // quota product in DECIMAL(38,0): n·w·1e6 in BIGINT silently
+    // wraps past ~9.2e18/(n·1e6) weight (reachable at the 100 TB
+    // target) — the decimal widening keeps the product exact to 38
+    // digits and `div` lands back on BIGINT, so no decimal reaches
+    // the output schema (the r8 dtype lesson)
+    val quotas = weights.crossJoin(broadcast(total))
       .withColumn("quota_micro",
-        expr(s"(CAST($n AS DECIMAL(38,0)) * cnt * 1000000) div __total"))
+        expr(s"(CAST($n AS DECIMAL(38,0)) * w * 1000000) div __total"))
       .withColumn("base", expr("quota_micro div 1000000"))
       .withColumn("rem_micro", expr("quota_micro % 1000000"))
       .drop("__total")
@@ -215,13 +225,66 @@ object MixtureSampling {
         col("__r2") > col("rem_micro") ||
           (col("__r2") === col("rem_micro") && col("__s2") < col("stratum")),
         "left")
-      .groupBy("stratum", "cnt", "quota_micro", "base", "rem_micro")
+      .groupBy("stratum", "w", "quota_micro", "base", "rem_micro")
       .agg(count(col("__s2")).as("__nbetter"))
     ranked.crossJoin(broadcast(leftover))
       .withColumn("alloc",
         col("base") + when(col("__nbetter") < col("__left"), 1L)
           .otherwise(0L))
-      .select(col("stratum"), col("cnt"), col("quota_micro"),
+      .select(col("stratum"), col("w"), col("quota_micro"),
         col("base"), col("rem_micro"), col("alloc"))
+  }
+
+  /** Deterministic integer square root seeded by the IEEE double root
+    * and corrected one step each way with exact DECIMAL compares:
+    * bitwise engine-identical ALWAYS (both engines take the same
+    * double), and the true ⌊√x⌋ whenever x fits the double-exact
+    * range (< 2^53). Returns BIGINT. */
+  private def isqrtDec(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("decimal(38,0)")
+    val s1 = when(s0 * s0 > x, s0 - lit(1)).otherwise(s0)
+    when((s1 + lit(1)) * (s1 + lit(1)) <= x, s1 + lit(1)).otherwise(s1)
+      .cast("long")
+  }
+
+  /**
+   * Neyman (optimal) allocation — the variance-aware refinement of
+   * proportional apportionment (Neyman 1934; Cochran, Sampling
+   * Techniques §5.5): a fixed sample budget n is split
+   * n_h ∝ N_h·σ_h, so high-variance strata get more of the budget and
+   * zero-variance strata (whose mean one sample pins) get none. The
+   * identity N_h·σ_h = √(N_h·Σv² − (Σv)²) keeps the weight a single
+   * integer square root of EXACT integer moments — no per-stratum
+   * float variance ever forms. When every stratum has zero variance
+   * the weights fall back to the counts (plain proportional
+   * allocation). `valueCol` must be integral (quantize upstream).
+   *
+   * Shape at 100 TB: one moment aggregate to |strata| rows (map-side
+   * partials over the scan), then the Hamilton core's metadata-sized
+   * broadcast joins. Output: (stratum, n_h, weight, alloc).
+   */
+  def neymanAllocation(
+      docs: DataFrame, stratumCol: String, valueCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val m = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        count(lit(1)).as("n_h"),
+        sum(col(valueCol).cast("long")).as("s1"),
+        sum(expr(s"CAST(CAST($valueCol AS BIGINT) AS DECIMAL(38,0)) * " +
+          s"CAST($valueCol AS BIGINT)")).as("s2"))
+      .withColumn("radicand",
+        expr("CAST(n_h AS DECIMAL(38,0)) * s2 - " +
+          "CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("sigma_w", isqrtDec(col("radicand")))
+    val anyVar = m.agg(sum("sigma_w").as("__sw"))
+    val weights = m.crossJoin(broadcast(anyVar))
+      .select(col("stratum"), col("n_h"),
+        when(col("__sw") > 0, col("sigma_w")).otherwise(col("n_h"))
+          .as("w"))
+    hamilton(weights.select("stratum", "w"), n)
+      .join(weights.select("stratum", "n_h"), "stratum")
+      .select(col("stratum"), col("n_h"), col("w").as("weight"),
+        col("alloc"))
   }
 }

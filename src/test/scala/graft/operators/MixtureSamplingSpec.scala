@@ -218,4 +218,43 @@ class MixtureSamplingSpec extends SparkFunSuite {
     assert(MixtureSampling.sampleByPlan(docs, "doc_id", "source", keepAll)
       .count() === 10L)
   }
+
+  test("neymanAllocation: budget flows to the high-variance stratum") {
+    import spark.implicits._
+    // A: 100 rows of constant 50 (variance 0); B: 100 rows alternating
+    // 0/100 (max variance at this mean)
+    val rows = (1 to 100).map(i => ("A", 50L)) ++
+      (1 to 100).map(i => ("B", if (i % 2 == 0) 0L else 100L))
+    val r = MixtureSampling.neymanAllocation(
+      rows.toDF("g", "v"), "g", "v", n = 20)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("A")._2 === 0L)  // sigma weight 0
+    assert(r("A")._3 === 0L)  // no budget to a zero-variance stratum
+    assert(r("B")._3 === 20L) // all of it to B
+    // weight identity: N*sum(v^2) - (sum v)^2 = 100*500000 - 5000^2
+    val want = math.sqrt(100.0 * 500000 - 5000.0 * 5000).toLong
+    assert(r("B")._2 === want)
+  }
+
+  test("neymanAllocation: all-constant strata fall back to proportional") {
+    import spark.implicits._
+    val rows = (1 to 30).map(_ => ("A", 7L)) ++ (1 to 90).map(_ => ("B", 9L))
+    val r = MixtureSampling.neymanAllocation(
+      rows.toDF("g", "v"), "g", "v", n = 12)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r("A") === 3L && r("B") === 9L)
+  }
+
+  test("neymanAllocation: allocations sum to n; deterministic") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (s"g${i % 5}", (i * 17 % 23).toLong))
+    val df = rows.toDF("g", "v")
+    val a = MixtureSampling.neymanAllocation(df.repartition(1), "g", "v", 37)
+      .orderBy("stratum").collect().toSeq
+    val b = MixtureSampling.neymanAllocation(df.repartition(9), "g", "v", 37)
+      .orderBy("stratum").collect().toSeq
+    assert(a === b)
+    assert(a.map(_.getLong(3)).sum === 37L)
+  }
 }
