@@ -2428,6 +2428,15 @@ object SparkEntry {
     // exactly the watermark-CLOSED windows, which the oracle replays
     // as HAVING window_end <= max(ts) - 30 min — the driver-level
     // streaming gate the r9 verdict asked for.
+    // Second end-to-end Structured Streaming row: the stateful DEDUP
+    // shape (per-key state, not windowed aggregation) run as a real
+    // file-source -> file-sink micro-batch over a DOUBLED copy of the
+    // event table; the sink must reproduce the clean table's per-type
+    // counts exactly (event ids are unique in the source).
+    "events_dedup_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.streamedDedupParity(
+        s, table(s, d, "events"), "10 minutes")
+        .orderBy("event_type")),
     "events_streamed_parity" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedWindowedTypeStats(
         s, s"$d/events.parquet", "1 hour", "30 minutes")
@@ -9165,6 +9174,11 @@ object SparkEntry {
     // watermark-CLOSED windows — window_end <= max(ts) - the 30 min
     // delay (append mode's emission rule; the trailing no-data batch
     // flushes exactly these).
+    // Dedup of exact duplicates recovers the original table - the
+    // oracle is the clean table's per-type counts.
+    "events_dedup_streamed" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "events_streamed_parity" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM ev)

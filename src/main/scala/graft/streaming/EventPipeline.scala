@@ -150,6 +150,47 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark("event_id")
 
   /**
+   * Structured Streaming dedup driven END TO END — the second
+   * driver-verified micro-batch execution beside
+   * [[streamedWindowedTypeStats]], exercising the OTHER stateful
+   * shape (per-key dedup state vs windowed aggregation state): the
+   * event table is doubled into a dirty file-source directory, the
+   * stream drops duplicate event ids within the watermark, and the
+   * file sink's rows must reproduce the CLEAN table's per-type counts
+   * exactly (event ids are unique in the source, so dedup must
+   * recover precisely the original rows — the exactly-once sink
+   * contract made observable). AvailableNow + a one-batch trigger
+   * keep the run deterministic.
+   */
+  def streamedDedupParity(
+      spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+      watermark: String): DataFrame = {
+    val dirty = java.nio.file.Files
+      .createTempDirectory("graft_dedup_src").toString
+    events.unionAll(events).write.mode("overwrite").parquet(dirty)
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_dedup_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dedup_ckpt").toString
+    val src = spark.readStream
+      .schema(spark.read.parquet(dirty).schema)
+      .option("maxFilesPerTrigger", "1000000") // whole input: one batch
+      .parquet(dirty)
+    val q = dedupEvents(src, watermark)
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /**
    * Ordered funnel analysis: how many users reach each step of an
    * event-type sequence, where step i+1 counts only events STRICTLY
    * AFTER the user's step-i time (the classic conversion funnel — a
