@@ -3562,6 +3562,37 @@ object SparkEntry {
     // aligned-document candidates, extracted (entity decoding,
     // relative hrefs), resolved against the fetch URL, one row per
     // (page, lang). Bitext mining then SCORES what sites declare.
+    // Meta-robots gate — the in-document half of the robots protocol
+    // (robots.txt is the other): page-level noindex/nofollow/
+    // noarchive (incl the `none` equivalence and a COMMENTED-OUT meta
+    // that must stay invisible) + link-level rel=nofollow counts.
+    // Five planted variants per id stride; arithmetic oracle.
+    "crawl_meta_robots" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .map { id =>
+          val meta = (id % 5) match {
+            case 1 => """<meta name="robots" content="noindex, follow">"""
+            case 2 => """<meta NAME="ROBOTS" CONTENT="NOFOLLOW,noarchive">"""
+            case 3 => """<meta name="robots" content="none">"""
+            case 4 => """<!-- <meta name="robots" content="noindex"> -->"""
+            case _ => """<meta name="description" content="noindex">"""
+          }
+          val nf = (id % 3).toInt
+          val links = (1 to nf).map(k =>
+            s"""<a href="/l$k" rel="nofollow">x</a>""").mkString +
+            """<a href="/plain">y</a>"""
+          val html =
+            s"<html><head>$meta<title>t</title></head><body>$links</body></html>"
+          val r = graft.operators.HtmlExtract.metaRobots(html)
+          (id, r.noindex, r.nofollow, r.noarchive, r.nofollowLinks.toLong)
+        }
+        .toDF("id", "noindex", "nofollow", "noarchive", "nofollow_links")
+        .orderBy("id")
+    }),
     "crawl_hreflang" -> ((s, d) => {
       import s.implicits._
       table(s, d, "documents")
@@ -8656,6 +8687,17 @@ object SparkEntry {
     "crawl_depth" -> bfsOracle(3),
     // One row per declared variant, entity decoding and resolution
     // replayed arithmetically (fr only on even ids).
+    // Planted robots-gate truth by id arithmetic: variant 1 noindex,
+    // 2 nofollow+noarchive, 3 none (= noindex+nofollow), 4 a
+    // commented-out meta (all false), 0 a non-robots meta (all
+    // false); nofollow links = id % 3.
+    "crawl_meta_robots" ->
+      """SELECT doc_id AS id,
+        |       (doc_id % 5 = 1 OR doc_id % 5 = 3) AS noindex,
+        |       (doc_id % 5 = 2 OR doc_id % 5 = 3) AS nofollow,
+        |       (doc_id % 5 = 2) AS noarchive,
+        |       CAST(doc_id % 3 AS BIGINT) AS nofollow_links
+        |FROM documents WHERE text IS NOT NULL ORDER BY id""".stripMargin,
     "crawl_hreflang" ->
       """WITH src AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id

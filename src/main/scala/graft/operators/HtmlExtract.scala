@@ -424,4 +424,76 @@ object HtmlExtract {
     }
     sb.toString
   }
+
+  /** Robots directives as a crawl/index gate sees them. */
+  final case class RobotsDirectives(
+      noindex: Boolean, nofollow: Boolean, noarchive: Boolean,
+      nofollowLinks: Int)
+
+  /**
+   * `<meta name="robots">` directives + per-link `rel="nofollow"`
+   * counts — the in-document half of the robots protocol (the
+   * robots.txt operator covers the other half). `content` tokens are
+   * comma-separated, case-insensitive; `none` means
+   * noindex+nofollow (the Google/Bing documented equivalence). A
+   * page-level nofollow and link-level rel=nofollow are DIFFERENT
+   * signals (frontier suppression vs edge suppression), so both are
+   * reported. Same scan-local single-pass walk as [[hreflangs]];
+   * comments skipped, attribute quoting handled by the shared
+   * [[attrValue]].
+   */
+  def metaRobots(html: String): RobotsDirectives = {
+    if (html == null) return RobotsDirectives(false, false, false, 0)
+    val n = html.length
+    var noindex = false; var nofollow = false; var noarchive = false
+    var nfLinks = 0
+    var i = 0
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    def tagEnd(from: Int): Int = {
+      var p = from
+      var quote: Char = 0
+      while (p < n) {
+        val c = html.charAt(p)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return p + 1
+        p += 1
+      }
+      n
+    }
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (lowerAt(i, "<meta") &&
+            (i + 5 >= n || !Character.isLetterOrDigit(html.charAt(i + 5)))) {
+          val te = tagEnd(i)
+          if (attrValue(html, i, te, "name")
+              .exists(_.trim.equalsIgnoreCase("robots"))) {
+            attrValue(html, i, te, "content").foreach { c =>
+              c.split(',').map(_.trim.toLowerCase).foreach {
+                case "noindex" => noindex = true
+                case "nofollow" => nofollow = true
+                case "noarchive" => noarchive = true
+                case "none" => noindex = true; nofollow = true
+                case _ => ()
+              }
+            }
+          }
+          i = te
+        } else if (lowerAt(i, "<a") &&
+            (i + 2 >= n || !Character.isLetterOrDigit(html.charAt(i + 2)))) {
+          val te = tagEnd(i)
+          if (attrValue(html, i, te, "rel").exists(
+              _.split(Array(' ', '\t', '\n', '\r'))
+                .exists(_.equalsIgnoreCase("nofollow"))))
+            nfLinks += 1
+          i = te
+        } else i = tagEnd(i)
+      } else i += 1
+    }
+    RobotsDirectives(noindex, nofollow, noarchive, nfLinks)
+  }
 }

@@ -192,4 +192,24 @@ class HtmlExtractSpec extends AnyFunSuite {
       HtmlExtract.anchors(s) // must not throw
     }
   }
+
+  test("metaRobots: directives, none-equivalence, case, link-level nofollow") {
+    import graft.operators.HtmlExtract.{metaRobots, RobotsDirectives}
+    assert(metaRobots("""<html><head><meta name="robots" content="noindex, follow"></head></html>""")
+      === RobotsDirectives(true, false, false, 0))
+    assert(metaRobots("""<meta NAME="ROBOTS" CONTENT="NOFOLLOW,noarchive">""")
+      === RobotsDirectives(false, true, true, 0))
+    assert(metaRobots("""<meta name="robots" content="none">""")
+      === RobotsDirectives(true, true, false, 0))
+    // a non-robots meta must not trip it; description content ignored
+    assert(metaRobots("""<meta name="description" content="noindex">""")
+      === RobotsDirectives(false, false, false, 0))
+    val links = """<a href="/a" rel="nofollow">x</a>
+      <a href="/b" rel="ugc NOFOLLOW">y</a> <a href="/c">z</a>"""
+    assert(metaRobots(links) === RobotsDirectives(false, false, false, 2))
+    // commented-out meta is invisible
+    assert(metaRobots("""<!-- <meta name="robots" content="noindex"> -->""")
+      === RobotsDirectives(false, false, false, 0))
+    assert(metaRobots(null) === RobotsDirectives(false, false, false, 0))
+  }
 }
