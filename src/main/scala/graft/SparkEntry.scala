@@ -1910,6 +1910,21 @@ object SparkEntry {
     // mislabeled — the relabel/drop queue of a labeling pipeline.
     // Thresholds compare as cross-multiplied integer rationals; the
     // oracle re-runs the descent AND the joint in SQL.
+    // McNemar's paired test per source: the trained classifier vs a
+    // crude length heuristic against the rule truth — only the
+    // discordant cells carry signal; continuity-corrected χ² on the
+    // micro grid with the 3.841459 (p<.05, 1 df) gate as data.
+    "eval_mcnemar" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val lab = QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d))
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id")
+        .select(col("source"), col("rule_label").as("y"),
+          col("label").cast("long").as("pa"),
+          (col("n_chars") >= 400).cast("long").as("pb"))
+      Evaluation.mcnemarCard(lab, "source", "y", "pa", "pb")
+        .orderBy("source")
+    }),
     "label_noise_card" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val noisy = QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d))
@@ -5128,6 +5143,36 @@ object SparkEntry {
       |SELECT doc_id, round(p, 4) AS score, p >= 0.5 AS label,
       |       CAST(y AS BIGINT) AS rule_label
       |FROM scored ORDER BY doc_id""".stripMargin),
+    // The same descent, then McNemar's discordant cells + corrected
+    // χ² in HUGEINT.
+    "eval_mcnemar" -> (ClassifierFitCtes + s"""
+      |, scored AS (
+      |  SELECT f2.doc_id, f2.y, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +
+      |    x2 * (w2m / 1000000.0) + x3 * (w3m / 1000000.0) +
+      |    x4 * (w4m / 1000000.0) + bm / 1000000.0))) AS p
+      |  FROM f2 CROSS JOIN w${QualityClassifier.Iters}),
+      |lab AS (
+      |  SELECT d.source, s.y,
+      |         CASE WHEN s.p >= 0.5 THEN 1 ELSE 0 END AS pa,
+      |         CASE WHEN d.n_chars >= 400 THEN 1 ELSE 0 END AS pb
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |a AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS b,
+      |         CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS c
+      |  FROM lab GROUP BY 1),
+      |c2 AS (
+      |  SELECT source, n, b, c,
+      |         CAST(CASE WHEN b + c > 0 THEN
+      |           CAST(GREATEST(ABS(b - c) - 1, 0) AS HUGEINT) *
+      |             GREATEST(ABS(b - c) - 1, 0) * 1000000 // (b + c)
+      |         ELSE 0 END AS BIGINT) AS chi2_micro
+      |  FROM a)
+      |SELECT source, n, b, c, chi2_micro,
+      |       chi2_micro >= 3841459 AS significant_05
+      |FROM c2 ORDER BY source""".stripMargin),
     // The same descent, then the confident joint on the 1e4 integer
     // grid — thresholds as cross-multiplied rationals, midpoint tie
     // to class 1, exactly the operator's arithmetic.

@@ -229,6 +229,34 @@ object Evaluation {
    * hash aggregate to the per-group card. Output per group: (n, c00,
    * c01, c10, c11, est_errors, unassigned).
    */
+  /**
+   * McNemar's paired test (McNemar 1947) per group — THE statistic
+   * for "is model B actually better than model A on the same
+   * examples": only the DISCORDANT pairs carry signal (b = A right,
+   * B wrong; c = A wrong, B right), and the continuity-corrected
+   * statistic (|b−c|−1)²/(b+c) is χ²₁-distributed under H₀ (≥ 3.84
+   * ⇒ p < 0.05). Exact integers until one integral division to the
+   * micro grid; b+c = 0 (no disagreements) reports 0. One scan-local
+   * verdict projection, one hash aggregate per group.
+   */
+  def mcnemarCard(
+      df: DataFrame, groupCol: String, truthCol: String,
+      predACol: String, predBCol: String): DataFrame = {
+    val aOk = col(predACol) === col(truthCol)
+    val bOk = col(predBCol) === col(truthCol)
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(aOk && !bOk, 1L).otherwise(0L)).as("b"),
+        sum(when(!aOk && bOk, 1L).otherwise(0L)).as("c"))
+      .withColumn("chi2_micro",
+        when(col("b") + col("c") > 0, expr(
+          "(CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0) " +
+            "AS DECIMAL(38,0)) * 1000000) div (b + c)"))
+          .otherwise(lit(0L)))
+      .withColumn("significant_05", col("chi2_micro") >= 3841459L)
+  }
+
   def confidentLearningCard(
       df: DataFrame, groupCol: String, probCol: String,
       noisyCol: String): DataFrame = {

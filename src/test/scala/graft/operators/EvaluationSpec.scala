@@ -164,4 +164,41 @@ class EvaluationSpec extends SparkFunSuite {
     assert(r.getAs[Long]("c11") === 1L && r.getAs[Long]("c01") === 1L)
     assert(r.getAs[Long]("c00") === 0L && r.getAs[Long]("c10") === 0L)
   }
+
+  // --------------------------------------------------------- McNemar
+
+  test("mcnemarCard: discordant cells, correction, significance gate") {
+    import spark.implicits._
+    // truth all 1; A right on 60, B right on 30 of those 60 plus 10
+    // others -> b = 30 (A right, B wrong), c = 10
+    val rows =
+      (1 to 30).map(_ => ("g", 1L, 1L, 1L)) ++  // both right
+      (1 to 30).map(_ => ("g", 1L, 1L, 0L)) ++  // A right, B wrong (b)
+      (1 to 10).map(_ => ("g", 1L, 0L, 1L)) ++  // A wrong, B right (c)
+      (1 to 5).map(_ => ("g", 1L, 0L, 0L))      // both wrong
+    val r = Evaluation.mcnemarCard(
+      rows.toDF("grp", "y", "pa", "pb"), "grp", "y", "pa", "pb")
+      .collect().head
+    assert(r.getAs[Long]("b") === 30L && r.getAs[Long]("c") === 10L)
+    // chi2 = (|30-10|-1)^2/40 = 361/40 = 9.025 -> 9025000 micro
+    assert(r.getAs[Long]("chi2_micro") === 9025000L)
+    assert(r.getAs[Boolean]("significant_05"))
+  }
+
+  test("mcnemarCard: b = c clamps to 0; no disagreement reports 0") {
+    import spark.implicits._
+    val tied = (1 to 5).flatMap(_ =>
+      Seq(("g", 1L, 1L, 0L), ("g", 1L, 0L, 1L)))
+    val r1 = Evaluation.mcnemarCard(
+      tied.toDF("grp", "y", "pa", "pb"), "grp", "y", "pa", "pb")
+      .collect().head
+    assert(r1.getAs[Long]("chi2_micro") === 0L) // |b-c|=0 -> clamp
+    assert(!r1.getAs[Boolean]("significant_05"))
+    val agree = (1 to 8).map(_ => ("g", 1L, 1L, 1L))
+    val r2 = Evaluation.mcnemarCard(
+      agree.toDF("grp", "y", "pa", "pb"), "grp", "y", "pa", "pb")
+      .collect().head
+    assert(r2.getAs[Long]("b") === 0L && r2.getAs[Long]("c") === 0L)
+    assert(r2.getAs[Long]("chi2_micro") === 0L)
+  }
 }
