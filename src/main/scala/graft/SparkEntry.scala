@@ -4136,6 +4136,32 @@ object SparkEntry {
     // lossless, so the oracle recomputes the histogram from the raw
     // text bytes with string functions — a data-dependent proof that
     // encode→decode is the identity, with zero pinned constants.
+    // PNG textual-metadata census (tEXt/zTXt/iTXt, spec §11.3.4):
+    // real chunks with real CRC32s and REAL deflate for zTXt,
+    // inserted after IHDR and recovered without touching IDAT — the
+    // third metadata family beside EXIF and ID3. The oracle replays
+    // the planted values.
+    "multimodal_png_text" -> ((s, d) => {
+      import s.implicits._
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id").cast("long"),
+          substring(col("text"), 1, 2).cast("binary"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, b) =>
+          val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+          val base = graft.multimodal.PngDecoder.encodeGray(
+            2, 2, Array.fill[Byte](4)((b0 % 7).toByte))
+          val png = graft.multimodal.PngDecoder.withTextChunks(base, Seq(
+            ("tEXt", "Title", "T" + (b0 % 100)),
+            ("zTXt", "Author", ("A" + (b1 % 50)) * (1 + b0 % 3)),
+            ("iTXt", "Comment", "C" + ((b0 + b1) % 30))))
+          graft.multimodal.PngDecoder.textChunks(png).get
+            .map(t => (id, t.kind, t.keyword, t.value, t.crc_ok))
+        }
+        .toDF("id", "kind", "keyword", "value", "crc_ok")
+        .orderBy("id", "kind")
+    }),
     "multimodal_png_decode" -> ((s, d) => {
       import s.implicits._
       val png = table(s, d, "documents")
@@ -8254,6 +8280,25 @@ object SparkEntry {
     // string-function histogram oracles the raw Netpbm parse and the
     // full PNG and GIF encode→decode round trips alike.
     "multimodal_png_decode" -> gray6x8HistogramOracle,
+    // Planted text-chunk values replayed per id; kinds sort
+    // iTXt < tEXt < zTXt in binary order on both engines.
+    "multimodal_png_text" ->
+      """WITH src AS (
+        |  SELECT doc_id AS id,
+        |         ascii(substr(text, 1, 1)) AS b0,
+        |         ascii(substr(text, 2, 1)) AS b1
+        |  FROM documents WHERE length(text) >= 2)
+        |SELECT id, kind, keyword, value, TRUE AS crc_ok FROM (
+        |  SELECT id, 'tEXt' AS kind, 'Title' AS keyword,
+        |         'T' || CAST(b0 % 100 AS VARCHAR) AS value FROM src
+        |  UNION ALL
+        |  SELECT id, 'zTXt', 'Author',
+        |         repeat('A' || CAST(b1 % 50 AS VARCHAR),
+        |                CAST(1 + b0 % 3 AS INT)) FROM src
+        |  UNION ALL
+        |  SELECT id, 'iTXt', 'Comment',
+        |         'C' || CAST((b0 + b1) % 30 AS VARCHAR) FROM src)
+        |ORDER BY id, kind""".stripMargin,
     "multimodal_gif_decode" -> gray6x8HistogramOracle,
     "multimodal_bmp_decode" -> gray6x8HistogramOracle,
     // The census re-derived from the same document bytes through the

@@ -250,4 +250,152 @@ object PngDecoder {
       case _: java.util.zip.DataFormatException => fail()
     } finally inflater.end()
   }
+
+  // ----------------------------------------------------- text chunks
+
+  /** One PNG textual-metadata entry in chunk order (spec §11.3.4):
+    * kind is tEXt / zTXt / iTXt, value decoded per the chunk's rules
+    * (Latin-1, zlib+Latin-1, UTF-8), crc_ok from the real CRC32. */
+  final case class PngText(
+      kind: String, keyword: String, value: String, crc_ok: Boolean)
+
+  /**
+   * Census a PNG's textual metadata WITHOUT decoding pixels: walk the
+   * chunk stream, validate each text chunk's CRC32 (the JDK CRC is
+   * the cross-validator), and decode tEXt (Latin-1), zTXt
+   * (deflate-compressed Latin-1, method 0) and iTXt (UTF-8, optional
+   * deflate) payloads. Non-text chunks are SKIPPED by size arithmetic
+   * — IDAT is never inflated. None when the signature/stream is not
+   * well-formed PNG; individual corrupt text chunks surface with
+   * crc_ok = false rather than killing the walk.
+   */
+  def textChunks(payload: Array[Byte]): Option[Seq[PngText]] = {
+    if (payload == null || payload.length < Signature.length + 12) return None
+    var i = 0
+    while (i < Signature.length) {
+      if (payload(i) != Signature(i)) return None
+      i += 1
+    }
+    try {
+      val out = Seq.newBuilder[PngText]
+      var p = Signature.length
+      var sawIhdr = false
+      def inflate(b: Array[Byte], from: Int, to: Int): String = {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(b, from, to - from)
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1024)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput()) throw new IllegalStateException("trunc")
+          bos.write(buf, 0, n)
+          if (bos.size() > (1 << 20)) throw new IllegalStateException("bomb")
+        }
+        inf.end()
+        new String(bos.toByteArray, "ISO-8859-1")
+      }
+      while (p + 12 <= payload.length) {
+        val len = ((payload(p) & 0xff) << 24) | ((payload(p + 1) & 0xff) << 16) |
+          ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+        if (len < 0 || p + 12 + len > payload.length) return None
+        val ctype = new String(payload, p + 4, 4, "US-ASCII")
+        if (!sawIhdr && ctype != "IHDR") return None
+        sawIhdr = true
+        val dataFrom = p + 8
+        val dataTo = dataFrom + len
+        val crc = new java.util.zip.CRC32()
+        crc.update(payload, p + 4, 4 + len)
+        val stored = ((payload(dataTo) & 0xffL) << 24) |
+          ((payload(dataTo + 1) & 0xffL) << 16) |
+          ((payload(dataTo + 2) & 0xffL) << 8) | (payload(dataTo + 3) & 0xffL)
+        val crcOk = (crc.getValue & 0xffffffffL) == stored
+        def nul(from: Int): Int = {
+          var q = from
+          while (q < dataTo && payload(q) != 0) q += 1
+          q
+        }
+        ctype match {
+          case "tEXt" =>
+            val kEnd = nul(dataFrom)
+            val kw = new String(payload, dataFrom, kEnd - dataFrom, "ISO-8859-1")
+            val v =
+              if (kEnd >= dataTo) ""
+              else new String(payload, kEnd + 1, dataTo - kEnd - 1, "ISO-8859-1")
+            out += PngText("tEXt", kw, v, crcOk)
+          case "zTXt" =>
+            val kEnd = nul(dataFrom)
+            val kw = new String(payload, dataFrom, kEnd - dataFrom, "ISO-8859-1")
+            val v =
+              if (kEnd + 2 > dataTo || payload(kEnd + 1) != 0) "" // method != 0
+              else inflate(payload, kEnd + 2, dataTo)
+            out += PngText("zTXt", kw, v, crcOk)
+          case "iTXt" =>
+            val kEnd = nul(dataFrom)
+            val kw = new String(payload, dataFrom, kEnd - dataFrom, "ISO-8859-1")
+            // kw NUL compFlag compMethod langTag NUL translatedKw NUL text
+            if (kEnd + 3 <= dataTo) {
+              val compFlag = payload(kEnd + 1) & 0xff
+              val langEnd = nul(kEnd + 3)
+              val trEnd = nul(langEnd + 1)
+              val tFrom = trEnd + 1
+              val v =
+                if (tFrom > dataTo) ""
+                else if (compFlag == 0)
+                  new String(payload, tFrom, dataTo - tFrom, "UTF-8")
+                else new String(
+                  inflate(payload, tFrom, dataTo).getBytes("ISO-8859-1"), "UTF-8")
+              out += PngText("iTXt", kw, v, crcOk)
+            } else out += PngText("iTXt", kw, "", crcOk)
+          case _ => () // skipped by size arithmetic, payload untouched
+        }
+        if (ctype == "IEND") return Some(out.result())
+        p = dataTo + 4
+      }
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Insert text chunks (kind, keyword, value) right after IHDR of an
+    * existing PNG — the builder half of the round trip. zTXt values
+    * are REALLY deflated; iTXt carries UTF-8 with empty lang tags. */
+  def withTextChunks(
+      png: Array[Byte], texts: Seq[(String, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val t = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    // signature + IHDR chunk = 8 + (12 + 13) bytes
+    val cut = Signature.length + 25
+    require(png.length >= cut, "not a gray-encodePng payload")
+    out.write(png, 0, cut)
+    texts.foreach { case (kind, kw, v) =>
+      val kwB = kw.getBytes("ISO-8859-1")
+      kind match {
+        case "tEXt" =>
+          chunk("tEXt", kwB ++ Array[Byte](0) ++ v.getBytes("ISO-8859-1"))
+        case "zTXt" =>
+          val d = new java.util.zip.Deflater()
+          val in = v.getBytes("ISO-8859-1")
+          d.setInput(in); d.finish()
+          val buf = new Array[Byte](in.length + 64)
+          val n = d.deflate(buf); d.end()
+          chunk("zTXt", kwB ++ Array[Byte](0, 0) ++
+            java.util.Arrays.copyOf(buf, n))
+        case "iTXt" =>
+          chunk("iTXt", kwB ++ Array[Byte](0, 0, 0, 0, 0) ++
+            v.getBytes("UTF-8"))
+        case other => throw new IllegalArgumentException(s"kind $other")
+      }
+    }
+    out.write(png, cut, png.length - cut)
+    out.toByteArray
+  }
 }

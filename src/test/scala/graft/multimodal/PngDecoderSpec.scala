@@ -213,4 +213,42 @@ class PngDecoderSpec extends AnyFunSuite {
       r.width == 6 && r.height == 4 && r.gray.toSeq ==
         (for (y <- 0 until 4; x <- 0 until 6) yield x + y)))
   }
+
+  test("textChunks: tEXt/zTXt/iTXt round-trip with real CRC and deflate") {
+    val base = PngDecoder.encodeGray(4, 4, Array.fill[Byte](16)(7))
+    val png = PngDecoder.withTextChunks(base, Seq(
+      ("tEXt", "Title", "plain value"),
+      ("zTXt", "Author", "compressed value with repetition repetition"),
+      ("iTXt", "Comment", "utf8 \u00e9\u4e2d")))
+    val got = PngDecoder.textChunks(png).get
+    assert(got.map(t => (t.kind, t.keyword, t.value)) === Seq(
+      ("tEXt", "Title", "plain value"),
+      ("zTXt", "Author", "compressed value with repetition repetition"),
+      ("iTXt", "Comment", "utf8 \u00e9\u4e2d")))
+    assert(got.forall(_.crc_ok))
+    // the image still decodes (text chunks are ancillary)
+    assert(PngDecoder.decodePng(png).isDefined)
+  }
+
+  test("textChunks: corrupt text CRC flags crc_ok=false, walk continues") {
+    val base = PngDecoder.encodeGray(2, 2, Array.fill[Byte](4)(1))
+    val png = PngDecoder.withTextChunks(base,
+      Seq(("tEXt", "K1", "v1"), ("tEXt", "K2", "v2")))
+    // flip one byte inside the FIRST tEXt payload (after sig+IHDR+8)
+    val off = 8 + 25 + 8 + 2 // into "K1\0v1"
+    val bad = png.clone(); bad(off) = (bad(off) ^ 0x01).toByte
+    val got = PngDecoder.textChunks(bad).get
+    assert(got.length === 2)
+    assert(!got.head.crc_ok)
+    assert(got(1).crc_ok && got(1).keyword === "K2")
+  }
+
+  test("textChunks: non-PNG and truncated inputs -> None") {
+    assert(PngDecoder.textChunks(null).isEmpty)
+    assert(PngDecoder.textChunks("not a png at all".getBytes).isEmpty)
+    val base = PngDecoder.encodeGray(2, 2, Array.fill[Byte](4)(1))
+    val png = PngDecoder.withTextChunks(base, Seq(("tEXt", "K", "v")))
+    for (cut <- 0 until png.length by 3)
+      PngDecoder.textChunks(png.take(cut)) // totality
+  }
 }
