@@ -3920,6 +3920,13 @@ object SparkEntry {
     "orders_basket_pairs" -> ((s, d) =>
       RelationalAnalytics.basketPairs(table(s, d, "lineitem"),
         minSupport = 2L)),
+    // Directional association rules: confidence(a→b) vs (b→a) on the
+    // micro grid + an exact-integral lift ranking — the asymmetric
+    // signal the symmetric lift card hides.
+    "orders_assoc_rules" -> ((s, d) =>
+      RelationalAnalytics.assocRules(table(s, d, "lineitem"),
+        minSupport = 2L, k = 25)
+        .orderBy("rnk")),
     // Engagement card: DAU / trailing-7 WAU / stickiness — the WAU
     // side is a 7-way explode to an equality aggregate (constant
     // blow-up), never an interval join or a distinct-over-window.
@@ -9484,6 +9491,38 @@ object SparkEntry {
         |JOIN ic ib ON ib.part = p.part_b
         |CROSS JOIN n
         |ORDER BY part_a, part_b""".stripMargin,
+    // The same pair relation with HUGEINT confidences/lift and the
+    // lift-desc/pair-asc top-k.
+    "orders_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+        |ic AS (SELECT part, CAST(count(*) AS BIGINT) AS n_item
+        |       FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.part AS part_a, b.part AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT p.part_a, p.part_b, p.n_ab,
+        |         ia.n_item AS n_a, ib.n_item AS n_b,
+        |         CAST(CAST(p.n_ab AS HUGEINT) * 1000000 // ia.n_item AS BIGINT)
+        |           AS conf_ab_micro,
+        |         CAST(CAST(p.n_ab AS HUGEINT) * 1000000 // ib.n_item AS BIGINT)
+        |           AS conf_ba_micro,
+        |         CAST(CAST(p.n_ab AS HUGEINT) * n.n_orders * 1000000 //
+        |              (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT)
+        |           AS lift_micro
+        |  FROM pairs p
+        |  JOIN ic ia ON ia.part = p.part_a
+        |  JOIN ic ib ON ib.part = p.part_b
+        |  CROSS JOIN n)
+        |SELECT part_a, part_b, n_ab, n_a, n_b, conf_ab_micro,
+        |       conf_ba_micro, lift_micro,
+        |       CAST(row_number() OVER
+        |         (ORDER BY lift_micro DESC, part_a, part_b) AS BIGINT) AS rnk
+        |FROM r ORDER BY lift_micro DESC, part_a, part_b LIMIT 25""".stripMargin,
     "events_dau_wau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

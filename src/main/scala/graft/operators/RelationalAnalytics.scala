@@ -161,6 +161,55 @@ object RelationalAnalytics {
   }
 
   /**
+   * Directional association rules over the basket-pair relation —
+   * [[basketPairs]] plus the asymmetric signal lift alone hides:
+   * confidence(a→b) = n_ab/n_a vs confidence(b→a) = n_ab/n_b ("diaper
+   * buyers buy beer" is actionable in one direction only). Both
+   * confidences ride the micro grid (one integral division each);
+   * ranking is lift-micro desc (exact DECIMAL integral — the same
+   * quantity basketPairs rounds for display) with the pair as
+   * tie-break, so the ordering never touches a float. Same shape as
+   * basketPairs: order-bounded self-join, vocab-sized aggregates,
+   * TakeOrderedAndProject top-k.
+   */
+  def assocRules(
+      lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val items = lineitem.select(col("l_orderkey").as("okey"),
+      col("l_partkey").as("part")).distinct()
+    val n = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = items.groupBy("part")
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = items.join(
+        items.select(col("okey"), col("part").as("part_b")), "okey")
+      .filter(col("part") < col("part_b"))
+      .groupBy(col("part").as("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.operators.Retrieval.singlePartitionKey(col("part_a")))
+      .orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
+    pairs
+      .join(itemCounts.select(col("part").as("part_a"), col("n_item").as("n_a")),
+        "part_a")
+      .join(itemCounts.select(col("part").as("part_b"), col("n_item").as("n_b")),
+        "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("(CAST(n_ab AS DECIMAL(38,0)) * 1000000) div n_a")
+          .as("conf_ab_micro"),
+        expr("(CAST(n_ab AS DECIMAL(38,0)) * 1000000) div n_b")
+          .as("conf_ba_micro"),
+        expr("(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /**
    * Cohort retention — the acquisition-month × months-since grid
    * every growth/engagement dashboard is built on: of the customers
    * whose FIRST order fell in month M, what fraction ordered again

@@ -298,4 +298,26 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(const.length === 1 && const.head.getInt(0) === 0 &&
       const.head.getLong(3) === 3L)
   }
+
+  test("assocRules: asymmetric confidences; rank by exact lift") {
+    import spark.implicits._
+    // 10 orders: A in all 10, B in the 4 orders {1..4}, C in {1,2}
+    val rows =
+      (1L to 10L).map(o => (o, 100L)) ++
+      (1L to 4L).map(o => (o, 200L)) ++
+      (1L to 2L).map(o => (o, 300L))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val r = RelationalAnalytics.assocRules(li, minSupport = 2, k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    // A(100)+B(200): n_ab=4, conf A->B = 4/10, conf B->A = 4/4 = 1
+    val ab = r((100L, 200L))
+    assert(ab.getAs[Long]("conf_ab_micro") === 400000L)
+    assert(ab.getAs[Long]("conf_ba_micro") === 1000000L)
+    // lift(A,B) = 4*10/(10*4) = 1 -> 1000000
+    assert(ab.getAs[Long]("lift_micro") === 1000000L)
+    // B+C: n_ab=2, lift = 2*10/(4*2) = 2.5 -> top rank
+    val bc = r((200L, 300L))
+    assert(bc.getAs[Long]("lift_micro") === 2500000L)
+    assert(bc.getAs[Long]("rnk") === 1L)
+  }
 }
