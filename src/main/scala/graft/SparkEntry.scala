@@ -2014,6 +2014,14 @@ object SparkEntry {
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(table(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "rnk")),
+    // Corpus 3-gram saturation curve over 10 arrival-order buckets:
+    // new-vs-seen distinct grams per bucket — the "is more data still
+    // new data" card behind collect-more vs dedup-harder decisions.
+    // Grams shuffle as md5 fingerprints; exact integer counts.
+    "corpus_saturation" -> ((s, d) =>
+      TextAnalysis.saturationCurve(table(s, d, "documents"),
+        "doc_id", "text", n = 3, buckets = 10)
+        .orderBy("bucket")),
     // Rank-biased overlap between the lexical and vector top-10 for
     // the same information need — the retriever-agreement card
     // (Webber et al. 2010). Chained p-powers, nano-quantized terms,
@@ -7760,6 +7768,33 @@ object SparkEntry {
          |       round((1e0 - 0.9e0) * (CAST(s AS DOUBLE) / 1e9), 6) AS rbo
          |FROM agg""".stripMargin
     },
+    // The same buckets/fingerprints; tie-free window (bucket is the
+    // group key) so RANGE == ROWS.
+    "corpus_saturation" ->
+      """WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents),
+        |tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(COALESCE(text, ''), ' '),
+        |                     t -> t != '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT (doc_id * 10) // (mx.m + 1) AS b,
+        |         md5(array_to_string(
+        |           toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' ')) AS g
+        |  FROM tk, mx, unnest(generate_series(1, len(toks) - 2)) t(i)),
+        |pb AS (SELECT DISTINCT b, g FROM g),
+        |ib AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_grams FROM pb GROUP BY 1),
+        |fs AS (SELECT g, MIN(b) AS b FROM pb GROUP BY 1),
+        |ng AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS new_grams FROM fs GROUP BY 1),
+        |j AS (
+        |  SELECT ib.b AS bucket, ib.n_grams,
+        |         CAST(COALESCE(ng.new_grams, 0) AS BIGINT) AS new_grams
+        |  FROM ib LEFT JOIN ng ON ib.b = ng.b)
+        |SELECT bucket, n_grams, new_grams,
+        |       CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS cum_new,
+        |       CAST(CAST(new_grams AS HUGEINT) * 1000000 // n_grams AS BIGINT)
+        |         AS novelty_micro
+        |FROM j ORDER BY bucket""".stripMargin,
     // Postings stats replayed: the same term-partitioned lag window.
     "retrieval_postings" ->
       """WITH posting AS (

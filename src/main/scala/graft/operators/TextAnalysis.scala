@@ -825,4 +825,58 @@ object TextAnalysis {
       .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
   }
+
+  /**
+   * Corpus n-gram saturation curve — the "is more data still new
+   * data" signal that drives collect-more vs dedup-harder decisions
+   * (the Chinchilla-era question asked of the corpus itself): the
+   * corpus is split into `buckets` equal doc-id ranges (arrival
+   * order), and for each bucket the card reports how many distinct
+   * n-grams it contains, how many are NEW (first bucket of
+   * occurrence), the cumulative distinct total, and the novelty rate
+   * on the micro grid. A healthy growing corpus keeps novelty high;
+   * a crawl that started recrawling itself decays toward 0.
+   *
+   * Grams shuffle as md5 fingerprints (bounded key width at any n,
+   * the corpus_diversity convention); per-(bucket, gram) distinctness
+   * collapses scan-locally before the two slim aggregates; the
+   * 10-row cumulative window is constant-size. All counts exact.
+   */
+  def saturationCurve(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, buckets: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    // n-grams by zip_with-folding n shifted slices (greatest() keeps
+    // the slice length non-negative for short docs — sequence(1, 0)
+    // would REVERSE, the collocations lesson)
+    val nm = greatest(size(toks) - (n - 1), lit(0))
+    val gramTexts = (1 until n).foldLeft(slice(toks, lit(1), nm)) {
+      (acc, off) =>
+        zip_with(acc, slice(toks, lit(1 + off), nm),
+          (a, b) => concat(a, lit(" "), b))
+    }
+    val grams = docs
+      .crossJoin(broadcast(docs.agg(max(col(idCol)).as("__mx"))))
+      .select(
+        expr(s"($idCol * $buckets) div (__mx + 1)").as("b"),
+        explode(transform(gramTexts, g => md5(g.cast("binary")))).as("g"))
+    val perBucket = grams.groupBy("b", "g").agg(count(lit(1)).as("__c"))
+    val inBucket = perBucket.groupBy("b")
+      .agg(count(lit(1)).as("n_grams"))
+    val firstSeen = perBucket.groupBy("g").agg(min("b").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("new_grams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Retrieval.singlePartitionKey(col("bucket")))
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    inBucket.join(firstSeen, Seq("b"), "left")
+      .select(col("b").as("bucket"), col("n_grams"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("cum_new", sum("new_grams").over(w))
+      .withColumn("novelty_micro",
+        expr("(CAST(new_grams AS DECIMAL(38,0)) * 1000000) div n_grams"))
+  }
 }

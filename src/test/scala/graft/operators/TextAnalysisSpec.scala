@@ -548,4 +548,52 @@ class TextAnalysisSpec extends SparkFunSuite {
     val want = (BigInt(120) * 360 * 360 * 1000000) / (BigInt(300) * 120 * 120)
     assert(ab.getLong(5) === want.toLong)
   }
+
+  test("saturationCurve: repeats stop being new; counts exact") {
+    import spark.implicits._
+    // ids 0..99 in 10 buckets; buckets 0-4 all share one text (one
+    // 3-gram after the first bucket is no longer new), buckets 5-9
+    // each introduce a per-bucket gram
+    val docs = (0L until 100L).map { i =>
+      val b = i / 10
+      if (b < 5) (i, "a b c d")     // grams: "a b c", "b c d"
+      else (i, s"x$b y$b z$b")      // one new gram per bucket
+    }.toDF("id", "text")
+    val r = TextAnalysis.saturationCurve(docs, "id", "text", n = 3)
+      .orderBy("bucket").collect()
+    assert(r.length === 10)
+    assert(r(0).getLong(1) === 2L && r(0).getLong(2) === 2L) // both new
+    for (b <- 1 to 4) {
+      assert(r(b).getLong(1) === 2L, s"bucket $b n_grams")
+      assert(r(b).getLong(2) === 0L, s"bucket $b new")  // all repeats
+      assert(r(b).getLong(4) === 0L)                    // novelty 0
+    }
+    for (b <- 5 to 9) {
+      assert(r(b).getLong(1) === 1L && r(b).getLong(2) === 1L)
+      assert(r(b).getLong(4) === 1000000L)              // fully novel
+    }
+    assert(r(9).getLong(3) === 2L + 5L) // cumulative distinct grams
+  }
+
+  test("saturationCurve: short and empty docs contribute no grams") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (5L, ""), (10L, null.asInstanceOf[String])) ++
+      (20L to 99L).map(i => (i, "p q r s"))
+    val r = TextAnalysis.saturationCurve(docs.toDF("id", "text"), "id", "text")
+      .orderBy("bucket").collect()
+    // buckets 0/1 hold only short docs -> absent (no grams at all)
+    assert(r.forall(_.getLong(1) > 0L))
+    assert(r.map(_.getLong(2)).sum === 2L) // "p q r", "q r s" once each
+  }
+
+  test("saturationCurve: deterministic across partitionings") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"w${i % 37} q${i % 11} r s t"))
+      .toDF("id", "text")
+    val a = TextAnalysis.saturationCurve(docs.repartition(1), "id", "text")
+      .orderBy("bucket").collect().toSeq
+    val b = TextAnalysis.saturationCurve(docs.repartition(13), "id", "text")
+      .orderBy("bucket").collect().toSeq
+    assert(a === b)
+  }
 }
