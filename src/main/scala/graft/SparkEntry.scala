@@ -2147,6 +2147,27 @@ object SparkEntry {
     "bpe_tokenize" -> ((s, d) =>
       Bpe.tokenize(table(s, d, "documents"), "doc_id", "text", bpeMerges(s, d))
         .orderBy("doc_id")),
+    // Tokenizer fertility per language — the multilingual-equity card
+    // (Petrov et al., "Language Model Tokenizers Introduce Unfairness"):
+    // subwords-per-word and bytes-per-token by lang under the SAME
+    // trained BPE; a language paying 2× the tokens pays 2× the compute
+    // and gets half the context. Exact integer sums, micro divisions.
+    "bpe_fertility_lang" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      Bpe.tokenize(docs, "doc_id", "text", bpeMerges(s, d))
+        .join(docs.select(col("doc_id"), col("lang"),
+          octet_length(col("text")).cast("long").as("n_bytes")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_subwords").as("n_subwords"),
+          sum("n_bytes").as("n_bytes"))
+        .withColumn("fertility_micro",
+          expr("(CAST(n_subwords AS DECIMAL(38,0)) * 1000000) div n_words"))
+        .withColumn("bytes_per_token_micro",
+          expr("(CAST(n_bytes AS DECIMAL(38,0)) * 1000000) div n_subwords"))
+        .orderBy("lang")
+    }),
     // Exact integer k-means (Lloyd's) over the embedding corpus: the
     // clustering primitive under SemDeDup / cluster-balanced mixing /
     // IVF coarse quantizers, run entirely in µ-integer arithmetic so
@@ -7897,6 +7918,39 @@ object SparkEntry {
        |       round(sum(s.nsub) * 1.0 / count(*), 6) AS fertility
        |FROM bpe_tk t JOIN bpe_seg s USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Same segmentation replay, rolled up per language with byte
+    // counts (DuckDB strlen = bytes).
+    "bpe_fertility_lang" -> s"""$BpeCtes,
+       |bpe_mg AS MATERIALIZED (
+       |${(1 to Bpe.MergeRounds).map(k => s"  SELECT $k AS rk, l AS ml, r AS mr FROM b$k").mkString("\n  UNION ALL\n")}),
+       |bpe_dw AS MATERIALIZED (SELECT DISTINCT word FROM bpe_tk),
+       |bpe_rec AS (
+       |  SELECT word, rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g'), ' ') AS seq, 0 AS k
+       |  FROM bpe_dw
+       |  UNION ALL
+       |  SELECT q.word,
+       |         list_reduce(string_split(q.seq, ' '), (acc, x) ->
+       |           CASE WHEN x = m.mr AND (acc = m.ml OR ends_with(acc, ' ' || m.ml))
+       |                THEN acc || m.mr ELSE acc || ' ' || x END) AS seq,
+       |         q.k + 1
+       |  FROM bpe_rec q JOIN bpe_mg m ON m.rk = q.k + 1),
+       |bpe_seg AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS nsub
+       |  FROM bpe_rec WHERE k = ${Bpe.MergeRounds}),
+       |per_doc AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(s.nsub) AS BIGINT) AS n_subwords
+       |  FROM bpe_tk t JOIN bpe_seg s USING (word) GROUP BY t.doc_id)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(p.n_subwords) AS BIGINT) AS n_subwords,
+       |       CAST(SUM(strlen(d.text)) AS BIGINT) AS n_bytes,
+       |       CAST(CAST(SUM(p.n_subwords) AS HUGEINT) * 1000000 //
+       |            SUM(p.n_words) AS BIGINT) AS fertility_micro,
+       |       CAST(CAST(SUM(strlen(d.text)) AS HUGEINT) * 1000000 //
+       |            SUM(p.n_subwords) AS BIGINT) AS bytes_per_token_micro
+       |FROM per_doc p JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY lang""".stripMargin,
     // Exact integer k-means re-run move-for-move (KMeansCtes): the
     // model card joins the trained centroids to final-assignment
     // sizes (empty cluster → 0 members, centroid retained).
