@@ -1445,6 +1445,17 @@ object SparkEntry {
       Bootstrap.poissonBootstrap(ex, "doc_id", "score", reps = 32)
         .orderBy("rep")
     }),
+    // Paired permutation (sign-flip) test per source — the
+    // continuous-metric sibling of eval_mcnemar: md5-seeded flips
+    // regenerate the null identically on any engine; add-one p on the
+    // micro grid never reports 0.
+    "eval_permutation" -> ((s, d) =>
+      Bootstrap.permutationTest(
+        table(s, d, "documents").select(col("source"), col("doc_id"),
+          ((col("n_chars") % 5) - 2 +
+            when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("d")),
+        "source", "doc_id", "d", reps = 64)
+        .orderBy("source")),
     // Exact ROC-AUC per source via the Mann–Whitney rank-sum with
     // midrank ties (Hanley–McNeil 1982): the classifier-quality gate
     // a labeling pipeline runs per slice. Scores live on an integer
@@ -7156,6 +7167,39 @@ object SparkEntry {
         |       round(CAST(sum(mult * score) AS DOUBLE) / sum(mult), 6)
         |         AS mean_score
         |FROM m GROUP BY rep ORDER BY rep""".stripMargin,
+    // Every flip re-derived from the same md5(id:rep) bit.
+    "eval_permutation" ->
+      """WITH ex AS (
+        |  SELECT source, doc_id AS id,
+        |         (n_chars % 5) - 2 +
+        |           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS d
+        |  FROM documents),
+        |obs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(ABS(SUM(d)) AS BIGINT) AS obs_abs
+        |        FROM ex GROUP BY 1),
+        |grid AS (SELECT source, id, d, CAST(r AS BIGINT) AS rep
+        |         FROM ex, unnest(generate_series(0, 63)) t(r)),
+        |h AS (
+        |  SELECT source, rep, d,
+        |         list_sum(list_transform(generate_series(1, 4), i ->
+        |           (strpos('0123456789abcdef',
+        |              substr(md5(CAST(id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)),
+        |                     CAST(i AS INT), 1)) - 1)
+        |           * CAST(16 ** (4 - i) AS BIGINT))) AS hv
+        |  FROM grid),
+        |p AS (SELECT source, rep,
+        |        CAST(ABS(SUM(CASE WHEN hv % 2 = 0 THEN d ELSE -d END))
+        |          AS BIGINT) AS perm_abs
+        |      FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT p.source, o.n, o.obs_abs,
+        |         CAST(SUM(CASE WHEN p.perm_abs >= o.obs_abs THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_ge
+        |  FROM p JOIN obs o USING (source) GROUP BY 1, 2, 3)
+        |SELECT source, n, obs_abs, n_ge, CAST(64 AS BIGINT) AS reps,
+        |       CAST(CAST(n_ge + 1 AS HUGEINT) * 1000000 // 65 AS BIGINT)
+        |         AS p_micro
+        |FROM agg ORDER BY source""".stripMargin,
     // Midrank rank-sum replayed on the per-(source, score) counts.
     // The cumulative window is tie-free by construction (score is the
     // grouping key), so DuckDB's RANGE default frame equals Spark's

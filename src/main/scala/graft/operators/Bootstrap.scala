@@ -64,4 +64,48 @@ object Bootstrap {
       .withColumn("mean_score",
         round(col("sum_score").cast("double") / col("n_eff").cast("double"), 6))
   }
+
+  /**
+   * Paired permutation (sign-flip) test per group — the
+   * distribution-free significance test for "did metric B beat metric
+   * A on the same items" when the metric is a NUMBER (McNemar covers
+   * the boolean case): under H₀ each paired difference d_i is
+   * symmetric around 0, so flipping signs at random regenerates the
+   * null. The flips are the md5 seeded-hash trick (bit of
+   * hash16(id, rep)), so every engine/rerun/partitioning permutes
+   * IDENTICALLY and the SQL oracle re-derives the whole card. The
+   * add-one p-value (Phipson & Smyth 2010) never reports 0.
+   *
+   * All-integer: |Σ ± d_i| per rep is an exact sum; the p-value is
+   * one integral division to the micro grid. Shape: the |items| × B
+   * grid rides the scan with map-side partials into B·|groups| rows —
+   * the poissonBootstrap contract.
+   *
+   * Output per group: (n, obs_abs, n_ge, reps, p_micro).
+   */
+  def permutationTest(
+      pairs: DataFrame, groupCol: String, idCol: String,
+      diffCol: String, reps: Int): DataFrame = {
+    require(reps > 0, s"reps must be positive, got $reps")
+    val obs = pairs
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        abs(sum(col(diffCol).cast("long"))).as("obs_abs"))
+    val flip = when(hash16(col(idCol), col("rep")) % 2 === 0, 1L)
+      .otherwise(-1L)
+    val perms = pairs
+      .select(col(groupCol), col(idCol),
+        col(diffCol).cast("long").as("__d"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("rep"))
+      .groupBy(col(groupCol), col("rep"))
+      .agg(abs(sum(flip * col("__d"))).as("perm_abs"))
+    perms.join(broadcast(obs), groupCol.toString :: Nil)
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"), first(col("obs_abs")).as("obs_abs"),
+        sum(when(col("perm_abs") >= col("obs_abs"), 1L).otherwise(0L))
+          .as("n_ge"))
+      .withColumn("reps", lit(reps.toLong))
+      .withColumn("p_micro", expr(
+        s"(CAST(n_ge + 1 AS DECIMAL(38,0)) * 1000000) div (reps + 1)"))
+  }
 }

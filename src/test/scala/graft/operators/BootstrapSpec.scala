@@ -48,4 +48,33 @@ class BootstrapSpec extends SparkFunSuite {
     val reps = Bootstrap.poissonBootstrap(ex, "id", "score", 8).collect()
     assert(reps.forall(r => r.getAs[Double]("mean_score") === 1.0))
   }
+
+  test("permutationTest: a real effect is significant, noise is not") {
+    import spark.implicits._
+    // strong effect: every pair favors B by 5
+    val effect = (1L to 200L).map(i => ("g", i, 5L)).toDF("grp", "id", "d")
+    val r1 = Evaluation_permutation(effect)
+    assert(r1.getAs[Long]("obs_abs") === 1000L)
+    assert(r1.getAs[Long]("p_micro") <= 100000L, s"p=${r1}") // p <~ 0.1
+    // pure noise: alternating +/-1 differences
+    val noise = (1L to 200L).map(i =>
+      ("g", i, if (i % 2 == 0) 1L else -1L)).toDF("grp", "id", "d")
+    val r0 = Evaluation_permutation(noise)
+    assert(r0.getAs[Long]("p_micro") > 100000L)
+    assert(r0.getAs[Long]("reps") === 64L)
+  }
+
+  private def Evaluation_permutation(df: org.apache.spark.sql.DataFrame) =
+    Bootstrap.permutationTest(df, "grp", "id", "d", reps = 64).collect().head
+
+  test("permutationTest: deterministic across partitionings; p never 0") {
+    import spark.implicits._
+    val pairs = (1L to 150L).map(i => ("g", i, (i % 7) - 3)).toDF("grp", "id", "d")
+    val a = Bootstrap.permutationTest(pairs.repartition(1), "grp", "id", "d", 64)
+      .collect().head
+    val b = Bootstrap.permutationTest(pairs.repartition(13), "grp", "id", "d", 64)
+      .collect().head
+    assert(a.toSeq === b.toSeq)
+    assert(a.getAs[Long]("p_micro") >= 15384L) // 1/(64+1) on the micro grid
+  }
 }
