@@ -1995,6 +1995,19 @@ object SparkEntry {
         Seq("lang", "source"), k = 5)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // t-closeness (Li et al. 2007) — the third rung of the release
+    // ladder after k-anonymity (size) and l-diversity (variety): a
+    // group whose length distribution sits in one tail of the
+    // corpus-wide distribution leaks even when large and varied.
+    // Ordered-bin EMD in EXACT integer arithmetic (cum sums in
+    // DECIMAL(38,0), micro result by integral division) — the oracle
+    // replays the identical sums in HUGEINT. One corpus-sized
+    // aggregate; everything after runs on the |groups|x|bins| grid.
+    "privacy_t_closeness" -> ((s, d) =>
+      Anonymity.tClosenessCard(table(s, d, "documents"),
+        Seq("lang", "source"), "n_chars", bucketWidth = 64L,
+        tMicro = 150000L)
+        .orderBy("lang", "source")),
     "pii_redact" -> ((s, d) => {
       val aug = concat(col("text"),
         when(col("doc_id") % 3 === 0,
@@ -6716,6 +6729,38 @@ object SparkEntry {
         |       CASE WHEN n < 5 THEN '*' ELSE d.lang END AS lang,
         |       CASE WHEN n < 5 THEN '*' ELSE d.source END AS source
         |FROM documents d JOIN g USING (lang, source) ORDER BY doc_id""".stripMargin,
+    "privacy_t_closeness" ->
+      """WITH cell AS (
+        |  SELECT lang, source, n_chars // 64 AS bk, CAST(count(*) AS HUGEINT) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, source, sum(c) AS n_g FROM cell GROUP BY 1, 2),
+        |gl AS (SELECT bk, sum(c) AS cb FROM cell GROUP BY 1),
+        |t AS (SELECT sum(cb) AS n_total, CAST(count(*) AS HUGEINT) AS m FROM gl),
+        |grid AS (
+        |  SELECT g.lang, g.source, gl.bk, g.n_g, gl.cb,
+        |         coalesce(cell.c, 0) AS c
+        |  FROM g CROSS JOIN gl
+        |  LEFT JOIN cell ON cell.lang = g.lang AND cell.source = g.source
+        |                AND cell.bk = gl.bk),
+        |cum AS (
+        |  SELECT lang, source, n_g,
+        |         sum(c * (SELECT n_total FROM t) - cb * n_g)
+        |           OVER (PARTITION BY lang, source ORDER BY bk) AS cu
+        |  FROM grid),
+        |agg AS (
+        |  SELECT lang, source, max(n_g) AS n_g, sum(abs(cu)) AS s
+        |  FROM cum GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT lang, source, n_g,
+        |         CASE WHEN (SELECT m FROM t) > 1
+        |              THEN (1000000 * s) //
+        |                   (((SELECT m FROM t) - 1) * n_g * (SELECT n_total FROM t))
+        |              ELSE 0 END AS emd
+        |  FROM agg)
+        |SELECT lang, source, CAST(n_g AS BIGINT) AS n_docs,
+        |       CAST(emd AS BIGINT) AS emd_micro,
+        |       emd > 150000 AS exceeds_t
+        |FROM fin ORDER BY lang, source""".stripMargin,
     "pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -40,6 +41,69 @@ object Anonymity {
         countDistinct(md5(col(contentCol).cast("binary"))).as("l_distinct"))
       .select(qiCols.map(col) :+ col("n_docs") :+ col("l_distinct") :+
         (col("n_docs") < k).as("at_risk"): _*)
+  }
+
+  /** t-closeness card (Li, Li & Venkatasubramanian, ICDE 2007): for
+    * each quasi-identifier group, the Earth Mover's Distance between
+    * the group's distribution over an ORDERED sensitive attribute and
+    * the whole table's distribution. k-anonymity bounds group SIZE and
+    * l-diversity bounds distinct VALUES, but a group whose sensitive
+    * values are all drawn from one tail still leaks — t-closeness is
+    * the release gate that catches it.
+    *
+    * The sensitive attribute is bucketed (`sensitive div bucketWidth`)
+    * into an ordered domain of m bins; for equal-spaced ordered bins
+    * EMD has the closed form `(1/(m-1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|`.
+    * All arithmetic is EXACT: with group size n_g, table size N and
+    * per-bin counts c_j (group) / C_j (table), the inner cumulative
+    * sum is the integer `Σ_{j≤i} (c_j·N − C_j·n_g)` carried in
+    * DECIMAL(38,0), and the reported value is
+    * `emd_micro = (10^6 · Σ_i |cum_i|) div ((m−1)·n_g·N)` — a BIGINT
+    * both engines reproduce bitwise (the DuckDB oracle replays the
+    * same sums in HUGEINT).
+    *
+    * Shape at 100 TB: ONE corpus-sized map-side-partial aggregate
+    * builds the (QI × bin) cell relation; every later step — bin
+    * domain, group totals, the cumulative window — runs on that
+    * metadata-sized relation (|groups|·|bins| rows), with the bin
+    * domain and the 1-row total broadcast. The per-group window is
+    * partitioned by the QI columns, so no global sort exists.
+    */
+  def tClosenessCard(
+      docs: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      bucketWidth: Long, tMicro: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(tMicro >= 0, s"tMicro must be >= 0, got $tMicro")
+    val qi = qiCols.map(col)
+    val base = docs.select(qi :+
+      expr(s"CAST($sensitiveCol AS BIGINT) div $bucketWidth").as("__b"): _*)
+    // The one corpus-sized aggregate: per (QI, bin) counts.
+    val cell = base.groupBy(qi :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = cell.groupBy(qi: _*).agg(sum("__c").as("__n_g"))
+    val bins = cell.groupBy("__b").agg(sum("__c").as("__cb"))
+    val totals = bins.agg(sum("__cb").as("__n_total"),
+      count(lit(1)).as("__m"))
+    val dec = "DECIMAL(38,0)"
+    val grid = groups
+      .crossJoin(broadcast(bins))
+      .join(cell, qiCols :+ "__b", "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(totals))
+    val w = Window.partitionBy(qi: _*).orderBy("__b")
+    val cum = grid.withColumn("__cum",
+      sum(expr(s"CAST(__c AS $dec) * __n_total - CAST(__cb AS $dec) * __n_g"))
+        .over(w))
+    val agg = cum.groupBy(qi: _*).agg(
+      max("__n_g").as("__n_g"), max("__m").as("__m"),
+      max("__n_total").as("__n_total"),
+      sum(abs(col("__cum"))).as("__s"))
+    val emd = expr(s"CASE WHEN __m > 1 THEN CAST((1000000 * __s) div " +
+      s"((__m - 1) * CAST(__n_g AS $dec) * __n_total) AS BIGINT) " +
+      "ELSE 0 END")
+    agg.select(qi :+ col("__n_g").cast("long").as("n_docs") :+
+      emd.as("emd_micro") :+ (emd > tMicro).as("exceeds_t"): _*)
   }
 
   /** Suppression rewrite: rows in quasi-identifier groups smaller

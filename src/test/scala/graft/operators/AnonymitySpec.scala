@@ -44,4 +44,54 @@ class AnonymitySpec extends SparkFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
+
+  // --- t-closeness -------------------------------------------------
+
+  private def tRows(rows: Seq[(String, Long)]) =
+    rows.toDF("g", "v")
+
+  private def tCard(rows: Seq[(String, Long)], tMicro: Long = 200000L) =
+    Anonymity.tClosenessCard(tRows(rows), Seq("g"), "v",
+      bucketWidth = 64L, tMicro = tMicro)
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+
+  test("t-closeness: symmetric two-bin case, exact micro EMD") {
+    // A: bins (3,1), B: bins (1,3); global (4,4), N=8, m=2.
+    // EMD(A) = |3/4 - 1/2| = 1/4 → 250000 micro; same for B by symmetry.
+    val rows = Seq(
+      ("A", 0L), ("A", 1L), ("A", 63L), ("A", 64L),
+      ("B", 0L), ("B", 64L), ("B", 100L), ("B", 127L))
+    assert(tCard(rows).toSeq === Seq(
+      ("A", 4L, 250000L, true), ("B", 4L, 250000L, true)))
+    assert(tCard(rows, tMicro = 300000L).map(_._4).toSeq ===
+      Seq(false, false))
+  }
+
+  test("t-closeness: missing bins fill as zero, truncating division") {
+    // A: 2 rows in bin0 only; B: (1,1,2) across bins 0..2.
+    // N=6, C=(3,1,2), m=3.
+    // A: cums (6,4,0) → s=10 → 1e7 div (2*2*6) = 416666 (truncated)
+    // B: cums (-6,-4,0) → s=10 → 1e7 div (2*4*6) = 208333
+    val rows = Seq(
+      ("A", 0L), ("A", 10L),
+      ("B", 0L), ("B", 64L), ("B", 128L), ("B", 130L))
+    assert(tCard(rows).toSeq === Seq(
+      ("A", 2L, 416666L, true), ("B", 4L, 208333L, true)))
+  }
+
+  test("t-closeness: single global bin → EMD 0 for every group") {
+    val rows = Seq(("A", 0L), ("A", 1L), ("B", 2L))
+    assert(tCard(rows).toSeq === Seq(
+      ("A", 2L, 0L, false), ("B", 1L, 0L, false)))
+  }
+
+  test("t-closeness: bin domain and totals ride broadcasts (plan)") {
+    val plan = Anonymity.tClosenessCard(
+      tRows(Seq(("A", 0L), ("B", 64L))), Seq("g"), "v", 64L, 100000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"no broadcast in:\n$plan")
+  }
 }
