@@ -3561,6 +3561,46 @@ object SparkEntry {
       graft.operators.LinkRank.labelPropagation(edges, iters = 3)
         .orderBy("domain")
     }),
+    // Triangle counting + local clustering over a denser synthetic
+    // domain graph (97 nodes, 3 pseudo-random out-edges each) — the
+    // link-farm signal: cliques close into triangles, organic link
+    // neighborhoods don't. Degree-ordered orientation (Suri &
+    // Vassilvitskii 2011) bounds every vertex's wedge fan-out by
+    // √|E|, so the hub-vertex d² blowup cannot happen; the oracle
+    // replays the same orientation joins in SQL.
+    "crawl_triangles" -> ((s, d) => {
+      def node(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("d"), lpad(c.cast("string"), 2, "0"), lit(".example"))
+      val n = col("doc_id") % 97
+      val edges = table(s, d, "documents")
+        .select(explode(array(
+          struct(node(n).as("src"), node((n * 3 + 1) % 97).as("dst")),
+          struct(node(n).as("src"), node((n * 7 + 2) % 97).as("dst")),
+          struct(node(n).as("src"), node((n + 1) % 97).as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+      graft.operators.LinkRank.triangles(edges).orderBy("domain")
+    }),
+    // Mirror-host detection — hosts with IDENTICAL distinct outlink
+    // sets alias to one representative before fetch budget is spent
+    // (the host-level dedup every crawl does before page dedup).
+    // Fixture: hosts m0..m9 whose link sets depend only on h%5, so
+    // h and h+5 are exact mirrors. Only the 32-byte fingerprint
+    // travels past the one per-host aggregate.
+    "crawl_mirrors" -> ((s, d) => {
+      val h = col("doc_id") % 10
+      val k = h % 5
+      val src = concat(lit("m"), h.cast("string"), lit(".example"))
+      val edges = table(s, d, "documents")
+        .select(explode(array(
+          struct(src.as("src"),
+            concat(lit("asset"), k.cast("string"), lit(".cdn")).as("dst")),
+          struct(src.as("src"),
+            concat(lit("page"), ((k * 3 + 1) % 7).cast("string"),
+              lit(".example")).as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+      graft.operators.LinkRank.mirrorGroups(edges)
+        .orderBy("group_rep", "host")
+    }),
     // Anchor-text aggregation — the link graph's EDGE LABELS: inbound
     // anchor text is the classic third-party description of the
     // TARGET (the signal early web search weighted above on-page
@@ -8935,6 +8975,80 @@ object SparkEntry {
     // Same edge CTEs, then 3 synchronous label-propagation rounds —
     // neighbor-label counts, per-vertex max, least label among ties.
     "crawl_communities" -> lpaOracle(3),
+    "crawl_triangles" ->
+      """WITH raw AS (SELECT doc_id % 97 AS n FROM documents),
+        |e0 AS (
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example' AS src,
+        |         'd' || lpad(CAST((n*3+1) % 97 AS VARCHAR), 2, '0') || '.example' AS dst
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+        |         'd' || lpad(CAST((n*7+2) % 97 AS VARCHAR), 2, '0') || '.example'
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+        |         'd' || lpad(CAST((n+1) % 97 AS VARCHAR), 2, '0') || '.example'
+        |  FROM raw),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (
+        |  SELECT v, count(*) AS dg
+        |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY v),
+        |o AS (
+        |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |              THEN a ELSE b END AS u,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |              THEN b ELSE a END AS w,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |              THEN db.dg ELSE da.dg END AS dw
+        |  FROM und
+        |  JOIN deg da ON da.v = und.a
+        |  JOIN deg db ON db.v = und.b),
+        |wed AS (
+        |  SELECT e1.u AS u, e1.w AS x, e2.w AS y
+        |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+        |  WHERE e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w)),
+        |tri AS (
+        |  SELECT wed.u AS u, wed.x AS x, wed.y AS y
+        |  FROM wed JOIN o ON o.u = wed.x AND o.w = wed.y),
+        |pn AS (
+        |  SELECT v, count(*) AS n_tri
+        |  FROM (SELECT u AS v FROM tri UNION ALL SELECT x FROM tri
+        |        UNION ALL SELECT y FROM tri)
+        |  GROUP BY v)
+        |SELECT deg.v AS domain, CAST(deg.dg AS BIGINT) AS degree,
+        |       CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(CASE WHEN deg.dg > 1
+        |                 THEN (1000000 * 2 * coalesce(pn.n_tri, 0)) //
+        |                      (deg.dg * (deg.dg - 1))
+        |                 ELSE 0 END AS BIGINT) AS clustering_micro
+        |FROM deg LEFT JOIN pn ON pn.v = deg.v
+        |ORDER BY domain""".stripMargin,
+    "crawl_mirrors" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 10 AS h, (doc_id % 10) % 5 AS k FROM documents),
+        |e0 AS (
+        |  SELECT 'm' || CAST(h AS VARCHAR) || '.example' AS src,
+        |         'asset' || CAST(k AS VARCHAR) || '.cdn' AS dst FROM raw
+        |  UNION ALL
+        |  SELECT 'm' || CAST(h AS VARCHAR) || '.example',
+        |         'page' || CAST((k*3+1) % 7 AS VARCHAR) || '.example' FROM raw),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |fp AS (
+        |  SELECT src, md5(string_agg(dst, chr(1) ORDER BY dst)) AS fpv,
+        |         count(*) AS n_links
+        |  FROM e GROUP BY src),
+        |g AS (
+        |  SELECT fpv, count(*) AS n_hosts, min(src) AS group_rep
+        |  FROM fp GROUP BY fpv)
+        |SELECT fp.src AS host, g.group_rep,
+        |       CAST(g.n_hosts AS BIGINT) AS n_hosts,
+        |       CAST(fp.n_links AS BIGINT) AS n_links
+        |FROM fp JOIN g USING (fpv)
+        |WHERE g.n_hosts >= 2
+        |ORDER BY group_rep, host""".stripMargin,
     // Anchor rows re-derived from the residues: entity decoding
     // ("&amp;" -> "&"), nested-markup stripping, URL resolution, and
     // registrable-domain grouping all replayed arithmetically.

@@ -260,4 +260,121 @@ object LinkRank {
     }
     dist.select(col("v").as("domain"), col("d").as("depth"))
   }
+
+  /**
+   * Per-domain triangle count and local clustering coefficient over
+   * the undirected simple link graph — the link-farm / tight-ring
+   * signal: organic link neighborhoods are sparse (clustering near
+   * 0), reciprocal-link schemes and mirror rings close into cliques
+   * (clustering near 1). The CURATION use: a high-clustering,
+   * high-degree domain's inlinks are self-endorsement, not
+   * independent endorsement, and its rank/priority should discount
+   * them (the same reason HITS/TrustRank literature weights by
+   * neighborhood diversity).
+   *
+   * Algorithm: degree-ordered orientation (Suri & Vassilvitskii,
+   * WWW 2011 "Counting triangles and the curse of the last reducer"):
+   * each undirected edge is directed toward its HIGHER (degree, name)
+   * endpoint, wedges are enumerated only at an edge's lower endpoint,
+   * and a wedge closes iff its (v, w) candidate exists as an oriented
+   * edge. Every triangle is found exactly once, and the wedge count
+   * at a vertex is O(d_oriented²) where d_oriented ≤ √|E| for EVERY
+   * vertex — the celebrity-vertex blowup (d² wedges at a hub) cannot
+   * happen, which is precisely what makes the shape safe at crawl
+   * scale.
+   *
+   * Shape: canonicalize+distinct (one shuffle), a degree aggregate,
+   * two equality joins (wedge build on the low endpoint, closure
+   * probe on (v, w)), one per-vertex count — all hash joins on
+   * bounded keys; no cartesian anywhere.
+   *
+   * Exact integer output: `clustering_micro =
+   * (10^6 · 2 · n_tri) div (deg · (deg − 1))`, 0 for deg ≤ 1.
+   */
+  def triangles(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // orient toward the higher (degree, name) endpoint
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("w"),
+      when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
+    // wedges at the low endpoint: two oriented edges u→v, u→w with
+    // (deg, name)(v) < (deg, name)(w); the closing edge, if present,
+    // is oriented v→w by transitivity of the total order.
+    val e1 = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+    val e2 = oriented.select(col("u"), col("w").as("y"), col("dw").as("dy"))
+    val wedges = e1.join(e2, "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val closed = wedges.join(
+      oriented.select(col("u").as("x"), col("w").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    val perNode = closed
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("v").as("domain"), col("deg").cast("long").as("degree"),
+        col("n_tri").cast("long").as("n_tri"),
+        when(col("deg") > 1,
+          expr("(1000000 * 2 * n_tri) div (deg * (deg - 1))"))
+          .otherwise(0L).as("clustering_micro"))
+  }
+
+  /**
+   * Mirror-host detection: hosts whose DISTINCT outlink sets are
+   * identical are almost always the same site served under several
+   * names (mirrors, CDNs, parked duplicates, staging copies) — the
+   * host-level analogue of document dedup, and the standard crawl
+   * deduplication step BEFORE per-page fetching: one representative
+   * host is crawled, the rest are aliased to it.
+   *
+   * Fingerprint: md5 of the host's sorted distinct outlink list
+   * (0x01-separated). The per-host link set materializes once inside
+   * a single aggregate (outlink fan-out per host is bounded in
+   * practice — cap upstream if a host exceeds memory), and after
+   * that only the 32-byte fingerprint travels: the group-size
+   * relation is |hosts| rows of (fp, n), and membership joins back
+   * by fingerprint equality. A commutative alternative (sum of
+   * per-link hashes — fully map-side combinable, no sorted list) is
+   * the drop-in upgrade if a host's outlink list itself outgrows a
+   * task; the sorted-list form is kept because the SQL oracle
+   * replays it verbatim.
+   *
+   * Output: one row per host that HAS a mirror (group size ≥ 2):
+   * (host, group_rep = least member name, n_hosts, n_links).
+   */
+  def mirrorGroups(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val fp = e.groupBy("src").agg(
+      md5(concat_ws("\u0001", sort_array(collect_set(col("dst"))))
+        .cast("binary")).as("fp"),
+      count(lit(1)).as("n_links"))
+    val groups = fp.groupBy("fp").agg(
+      count(lit(1)).as("n_hosts"), min("src").as("group_rep"))
+    fp.join(groups, "fp")
+      .filter(col("n_hosts") >= 2)
+      .select(col("src").as("host"), col("group_rep"),
+        col("n_hosts").cast("long").as("n_hosts"),
+        col("n_links").cast("long").as("n_links"))
+  }
 }

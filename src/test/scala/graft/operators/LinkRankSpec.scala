@@ -174,4 +174,53 @@ class LinkRankSpec extends SparkFunSuite {
     // b is depth 1 via s2, never 2 via s1; c is beyond maxDepth
     assert(out === Map("s1" -> 0L, "s2" -> 0L, "a" -> 1L, "b" -> 1L))
   }
+
+  test("triangles: K4 plus a pendant — counts and clustering exact") {
+    import spark.implicits._
+    // 4-clique a,b,c,d (4 triangles, each vertex in 3) + pendant e—a.
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "e" -> "a")
+    val out = LinkRank.triangles(k4.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: deg 4, 3 triangles → 2·3·1e6 div (4·3) = 500000
+    assert(out("a") === ((4L, 3L, 500000L)))
+    // b,c,d: deg 3, 3 triangles → 6e6 div 6 = 1000000
+    Seq("b", "c", "d").foreach(v => assert(out(v) === ((3L, 3L, 1000000L))))
+    // pendant: deg 1, no triangles, clustering 0
+    assert(out("e") === ((1L, 0L, 0L)))
+  }
+
+  test("triangles: duplicate/reversed/self edges collapse first") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "b" -> "a", "a" -> "b", "a" -> "a",
+      "b" -> "c", "c" -> "a").toDF("src", "dst")
+    val out = LinkRank.triangles(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("mirrors: identical outlink sets group; near-miss does not") {
+    import spark.implicits._
+    // x and y share {p, q} exactly (y's dup row collapses); z adds r.
+    val edges = Seq(
+      ("x", "p"), ("x", "q"),
+      ("y", "q"), ("y", "p"), ("y", "p"),
+      ("z", "p"), ("z", "q"), ("z", "r"),
+      ("w", "p")).toDF("src", "dst")
+    val rows = LinkRank.mirrorGroups(edges)
+      .orderBy("group_rep", "host")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.toSeq === Seq(("x", "x", 2L, 2L), ("y", "x", 2L, 2L)))
+  }
+
+  test("mirrors: separator blocks concatenation collisions") {
+    import spark.implicits._
+    // {"ab","c"} vs {"a","bc"} concatenate identically without the
+    // 0x01 separator — they must NOT group.
+    val edges = Seq(("x", "ab"), ("x", "c"), ("y", "a"), ("y", "bc"))
+      .toDF("src", "dst")
+    assert(LinkRank.mirrorGroups(edges).count() === 0L)
+  }
 }
