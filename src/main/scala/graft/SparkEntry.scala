@@ -204,6 +204,20 @@ object SparkEntry {
       path
     })
 
+  private val footerCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dedicated multi-file documents copy for the footer-count rewrite
+    * row — registration scoped to the copy, and 4 files so the
+    * distributed footer fan-out is real. */
+  private def footerCountStore(s: SparkSession, d: String): String =
+    footerCountCache.computeIfAbsent(d, dir => {
+      val path = java.nio.file.Files.createTempDirectory("graft_fc_store").toString
+      table(s, dir, "documents").repartition(4)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Registered catalog table + materialized rollup per sf dir for the
     * rollup-rewrite row — both one-time offline writes (the summary
     * build is the single full scan every later rollup query
@@ -4039,6 +4053,25 @@ object SparkEntry {
     // OPT-IN approximate rewrite (registration is explicit consent;
     // unregistered paths keep the exact distinct aggregate). The
     // oracle replays the register arithmetic and the same rounding.
+    // NINTH optimizer rewrite: unfiltered count(*) over a REGISTERED
+    // parquet table answers from FOOTERS ONLY — |files| tail reads of
+    // a few KB replace the table-sized data scan (the first query
+    // every ingestion check runs, at 100 TB the most wasteful one).
+    // Distributed mapPartitions footer parse (graft's own thrift
+    // reader), loud failure on an unreadable footer, in-row plan
+    // assertions that the rewrite fired and no data scan survived.
+    "sql_count_footer_rewrite" -> ((s, d) => {
+      graft.plans.FooterCountRewrite.install(s)
+      val path = footerCountStore(s, d)
+      graft.plans.FooterCountCatalog.register(path)
+      val out = s.sql(s"SELECT count(*) AS n_docs FROM parquet.`$path`")
+      val phys = out.queryExecution.executedPlan.toString
+      require(phys.contains("MapPartitions"),
+        s"footer-count rewrite did not fire:\n$phys")
+      require(!phys.contains("Scan parquet"),
+        s"parquet data scan survived the rewrite:\n$phys")
+      out
+    }),
     "sql_hll_rewrite" -> ((s, d) => {
       graft.plans.HllRewrite.install(s)
       // dedicated table copy (the rollup row's discipline): the
@@ -9868,6 +9901,8 @@ object SparkEntry {
         |ORDER BY prev, cur""".stripMargin,
     // The rewritten SQL answers with the register estimate — the
     // oracle replays registers + harmonic mean + the BIGINT rounding.
+    "sql_count_footer_rewrite" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
     "sql_hll_rewrite" ->
       s"""WITH parts AS (
         |  SELECT source, md5(text) AS h FROM documents WHERE text IS NOT NULL),
