@@ -971,6 +971,23 @@ object SparkEntry {
           (col("n_rel_top10").cast("double") / col("n_rel_corpus").cast("double"))
             .as("recall_at_10"))
     }),
+    // nDCG@10 over the same BM25 ranking — the graded-position metric
+    // beside MRR/P@5/recall. The irrational log2 gains were computed
+    // ONCE in the JVM (Retrieval.DcgGainMicro); plan and oracle share
+    // the exact integer literals, so dcg/idcg/ndcg are BIGINT-exact
+    // (the HLL linear-counting discipline applied to ranking).
+    "retrieval_ndcg" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val terms = Seq("dup", "hash", "merge")
+      val isRel = terms.map(t => array_contains(split(col("text"), " "), t))
+        .reduce(_ && _)
+      val rel = docs.select(col("doc_id"), isRel.as("rel"))
+      val ranked = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .join(rel, Seq("doc_id"))
+      val tot = rel.agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_corpus"))
+      Retrieval.ndcgCard(ranked, "rnk", "rel", k = 10, tot)
+    }),
     // Hard-negative mining — the standard "BM25 negatives" recipe for
     // embedding-model training: the top-k lexical hits that are NOT
     // relevant under the independent judge are exactly the confusable
@@ -6081,6 +6098,46 @@ object SparkEntry {
          |       CAST(a.n_rel_top10 AS DOUBLE) / CAST(t.n_rel_corpus AS DOUBLE)
          |         AS recall_at_10
          |FROM agg a, tot t""".stripMargin,
+    "retrieval_ndcg" -> {
+      val gains = graft.operators.Retrieval.DcgGainMicro
+        .mkString("[", ", ", "]")
+      val prefix = graft.operators.Retrieval.DcgPrefixMicro
+        .mkString("[", ", ", "]")
+      s"""$bm25Ctes,
+         |ranked AS (
+         |  SELECT doc_id, rnk FROM (
+         |    SELECT doc_id,
+         |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |             AS rnk
+         |    FROM bm25) WHERE rnk <= 10),
+         |rel AS (
+         |  SELECT doc_id,
+         |         (list_contains(string_split(text, ' '), 'dup') AND
+         |          list_contains(string_split(text, ' '), 'hash') AND
+         |          list_contains(string_split(text, ' '), 'merge')) AS rel
+         |  FROM documents),
+         |tot AS (
+         |  SELECT CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_rel_corpus
+         |  FROM rel),
+         |d AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN rel AND rnk <= 10
+         |                                THEN ($gains)[CAST(rnk AS INT)]
+         |                                ELSE 0 END), 0) AS BIGINT) AS dcg_micro
+         |  FROM ranked JOIN rel USING (doc_id)),
+         |i AS (
+         |  SELECT n_rel_corpus,
+         |         CASE WHEN n_rel_corpus > 0
+         |              THEN ($prefix)[CAST(least(n_rel_corpus, 10) AS INT)]
+         |              ELSE 0 END AS idcg_micro
+         |  FROM tot)
+         |SELECT i.n_rel_corpus, d.dcg_micro,
+         |       CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+         |       CAST(CASE WHEN i.idcg_micro > 0
+         |                 THEN (1000 * d.dcg_micro) // i.idcg_micro
+         |                 ELSE 0 END AS BIGINT) AS ndcg_milli
+         |FROM d, i""".stripMargin
+    },
     "tpch_q13_custdist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM (

@@ -293,6 +293,67 @@ object Retrieval {
         falling(n - c).cast("double") / falling(n).cast("double"), scale))
   }
 
+  /** Largest rank the nDCG gain table covers. */
+  val MaxNdcgRank = 100
+
+  /**
+   * Per-rank DCG gain in micro-units: `round(10^6 / log2(r + 1))` for
+   * r = 1..[[MaxNdcgRank]]. The irrational `log2` runs ONCE here in
+   * the JVM; engine and SQL oracle then share the exact same integer
+   * literals — the [[graft.operators.HyperLogLog.LinearCountingTable]]
+   * discipline applied to ranking metrics, which is what makes nDCG
+   * bitwise-reproducible across engines.
+   */
+  val DcgGainMicro: Array[Long] =
+    Array.tabulate(MaxNdcgRank)(i =>
+      math.round(1e6 / (math.log(i + 2) / math.log(2))))
+
+  /** Ideal-DCG prefix sums: entry i (1-based) = DCG of i relevant
+    * docs in the top i ranks. */
+  val DcgPrefixMicro: Array[Long] =
+    DcgGainMicro.scanLeft(0L)(_ + _).tail
+
+  /**
+   * nDCG@k card (Järvelin & Kekäläinen 2002, binary relevance) over
+   * an already-ranked result list: `dcg_micro` sums the gain-table
+   * entry at each relevant rank ≤ k, `idcg_micro` is the prefix-sum
+   * entry at `min(k, n_rel_corpus)` (the ideal ranking puts every
+   * relevant doc first), and `ndcg_milli = (1000·dcg) div idcg` — all
+   * BIGINT, zero when the corpus has no relevant docs.
+   *
+   * Shape: one aggregate over the k-row ranked relation plus a 1-row
+   * broadcast of the corpus relevant-count — nothing corpus-sized
+   * moves here (the ranking upstream already did that work).
+   *
+   * @param ranked   result list with rank and relevance columns
+   * @param totalRel 1-row relation with column `n_rel_corpus`
+   */
+  def ndcgCard(
+      ranked: DataFrame, rnkCol: String, relCol: String, k: Int,
+      totalRel: DataFrame): DataFrame = {
+    require(k >= 1 && k <= MaxNdcgRank,
+      s"k must be in [1, $MaxNdcgRank], got $k")
+    val gains = typedLit(DcgGainMicro.toSeq)
+    val prefix = typedLit(DcgPrefixMicro.toSeq)
+    val dcg = ranked.agg(
+      coalesce(sum(when(col(relCol) && col(rnkCol) <= k,
+        element_at(gains, col(rnkCol).cast("int"))).otherwise(0L)),
+        lit(0L)).as("dcg_micro"))
+    dcg.crossJoin(broadcast(totalRel))
+      .withColumn("idcg_micro",
+        when(col("n_rel_corpus") > 0,
+          element_at(prefix,
+            least(col("n_rel_corpus"), lit(k.toLong)).cast("int")))
+          .otherwise(0L))
+      .select(
+        col("n_rel_corpus").cast("long").as("n_rel_corpus"),
+        col("dcg_micro").cast("long").as("dcg_micro"),
+        col("idcg_micro").cast("long").as("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          expr("(1000 * dcg_micro) div idcg_micro"))
+          .otherwise(0L).as("ndcg_milli"))
+  }
+
   /**
    * Postings-at-rest census: the per-term statistics an inverted
    * index stores — document frequency, collection frequency, doc-id

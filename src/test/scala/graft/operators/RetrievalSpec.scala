@@ -297,4 +297,49 @@ class RetrievalSpec extends SparkFunSuite {
     assert(r(1).getDouble(2) === 0.0)
     assert(r(0).getDouble(2) > 0.0)
   }
+
+  test("ndcg: gain table pins log2 exactly once; prefix sums consistent") {
+    assert(Retrieval.DcgGainMicro(0) === 1000000L)          // 1/log2(2)
+    assert(Retrieval.DcgGainMicro(1) === 630930L)           // 1/log2(3)
+    assert(Retrieval.DcgGainMicro(2) === 500000L)           // 1/log2(4)
+    assert(Retrieval.DcgPrefixMicro(1) ===
+      Retrieval.DcgGainMicro(0) + Retrieval.DcgGainMicro(1))
+    assert(Retrieval.DcgPrefixMicro.length === Retrieval.MaxNdcgRank)
+  }
+
+  test("ndcg: relevant at ranks 1 and 3 of a 2-relevant corpus") {
+    import spark.implicits._
+    val ranked = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("rnk", "rel")
+    val tot = Seq(Tuple1(2L)).toDF("n_rel_corpus")
+    val r = Retrieval.ndcgCard(ranked, "rnk", "rel", k = 10, tot)
+      .collect().head
+    val dcg = 1000000L + 500000L
+    val idcg = 1000000L + 630930L
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === dcg)
+    assert(r.getLong(2) === idcg)
+    assert(r.getLong(3) === (1000L * dcg) / idcg)
+  }
+
+  test("ndcg: no relevant docs → all-zero card, not nulls") {
+    import spark.implicits._
+    val ranked = Seq((1L, false), (2L, false)).toDF("rnk", "rel")
+    val tot = Seq(Tuple1(0L)).toDF("n_rel_corpus")
+    val r = Retrieval.ndcgCard(ranked, "rnk", "rel", k = 10, tot)
+      .collect().head
+    assert((0 to 3).map(r.getLong) === Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("ndcg: corpus with more relevant than k caps the ideal at k") {
+    import spark.implicits._
+    val ranked = (1L to 10L).map(r => (r, true)).toDF("rnk", "rel")
+    val tot = Seq(Tuple1(50L)).toDF("n_rel_corpus")
+    val r = Retrieval.ndcgCard(ranked, "rnk", "rel", k = 10, tot)
+      .collect().head
+    // perfect ranking of 10 relevant in top-10 vs ideal capped at 10
+    assert(r.getLong(1) === Retrieval.DcgPrefixMicro(9))
+    assert(r.getLong(2) === Retrieval.DcgPrefixMicro(9))
+    assert(r.getLong(3) === 1000L)
+  }
 }
