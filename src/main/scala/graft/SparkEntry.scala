@@ -4690,6 +4690,18 @@ object SparkEntry {
         QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d)),
         "score", "rule_label")
     }),
+    // Murphy decomposition of the Brier score over the same scored
+    // relation — brier = reliability − resolution + uncertainty, all
+    // micro-BIGINTs from denominator-cleared integer algebra (scores
+    // enter 4-dp-exact). The one-number-per-concern card behind the
+    // calibration curve: can scores be sampling weights (reliability)
+    // and do they carry signal at all (resolution)?
+    "classifier_brier" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      QualityClassifier.brierDecomposition(
+        QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d)),
+        "score", "rule_label")
+    }),
     // Noisy group counts (truncated geometric mechanism) as a
     // deterministic SIMULATION: the seed is fixed and visible here so
     // the oracle can replay the noise — a 16-bit md5 uniform of the
@@ -10228,6 +10240,41 @@ object SparkEntry {
     // Calibration card rebuilt on the oracle's own classifier refit:
     // same integer-quantized scores, same decile binning, same
     // integer-weighted ECE.
+    "classifier_brier" -> (ClassifierFitCtes + s"""
+      |, scored AS (
+      |  SELECT f2.doc_id, f2.y, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +
+      |    x2 * (w2m / 1000000.0) + x3 * (w3m / 1000000.0) +
+      |    x4 * (w4m / 1000000.0) + bm / 1000000.0))) AS p
+      |  FROM f2 CROSS JOIN w${QualityClassifier.Iters}),
+      |sc AS (SELECT round(p, 4) AS score, CAST(y AS BIGINT) AS y FROM scored),
+      |b AS (
+      |  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+      |         CAST(y AS HUGEINT) AS y,
+      |         CAST(floor(score * 10000 + 0.5) AS HUGEINT) AS p4
+      |  FROM sc),
+      |pb AS (
+      |  SELECT bin, CAST(count(*) AS HUGEINT) AS n_b, sum(y) AS y_b,
+      |         sum(p4) AS s_b,
+      |         sum((p4 - 10000 * y) * (p4 - 10000 * y)) AS se_b
+      |  FROM b GROUP BY 1),
+      |t AS (
+      |  SELECT sum(n_b) AS n, sum(y_b) AS y_tot, sum(se_b) AS se,
+      |         sum(((s_b - 10000 * y_b) * (s_b - 10000 * y_b)) // n_b)
+      |           AS rel_num
+      |  FROM pb),
+      |r AS (
+      |  SELECT sum(((y_b * (SELECT n FROM t) - (SELECT y_tot FROM t) * n_b) *
+      |              (y_b * (SELECT n FROM t) - (SELECT y_tot FROM t) * n_b))
+      |             // n_b) AS res_num
+      |  FROM pb)
+      |SELECT CAST(t.n AS BIGINT) AS n,
+      |       CAST(t.se // (100 * t.n) AS BIGINT) AS brier_micro,
+      |       CAST(t.rel_num // (100 * t.n) AS BIGINT) AS reliability_micro,
+      |       CAST((1000000 * r.res_num) // (t.n * t.n * t.n) AS BIGINT)
+      |         AS resolution_micro,
+      |       CAST((1000000 * t.y_tot * (t.n - t.y_tot)) // (t.n * t.n)
+      |            AS BIGINT) AS uncertainty_micro
+      |FROM t, r""".stripMargin),
     "classifier_calibration" -> (ClassifierFitCtes + s"""
       |, scored AS (
       |  SELECT f2.doc_id, f2.y, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +

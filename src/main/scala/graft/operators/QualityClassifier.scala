@@ -246,4 +246,61 @@ object QualityClassifier {
         (col("total") * lit(1000000.0)), 6).as("ece"))
     perBin.crossJoin(broadcast(ece)).orderBy("bin")
   }
+
+  /**
+   * Murphy (1973) decomposition of the Brier score —
+   * `brier = reliability − resolution + uncertainty` — the summary
+   * card behind [[calibration]]'s curve: RELIABILITY is the
+   * calibration error proper (how far bin confidence sits from bin
+   * accuracy; lower better), RESOLUTION is how much the bins separate
+   * outcomes (higher better), UNCERTAINTY is the outcome base-rate
+   * variance the classifier can't remove. A sampling pipeline reads
+   * it as: reliability says whether scores can be trusted as weights,
+   * resolution says whether they carry signal at all.
+   *
+   * Exactness contract: scores enter 4-dp-rounded, so
+   * `P = floor(score·10⁴ + 0.5)` is an exact integer; every term is
+   * then integer arithmetic over (P, y) sums — squared errors and the
+   * denominator-cleared bin gaps `(S_b − 10⁴·Y_b)² div n_b` /
+   * `(Y_b·N − Y·n_b)² div n_b` in DECIMAL(38,0), finished by one
+   * integral division into micro units. The per-bin `div` truncates
+   * (error < 10⁻⁸ per bin — far below the micro output grain), and
+   * both engines replay the same truncation bit-for-bit.
+   *
+   * Shape: one hash aggregate to ≤ bins rows (map-side partials),
+   * then 1-row algebra — same scan economics as [[calibration]].
+   */
+  def brierDecomposition(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins: $bins")
+    val dec = "DECIMAL(38,0)"
+    val base = scored.select(
+      least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int").as("bin"),
+      col(labelCol).cast("long").as("y"),
+      floor(col(scoreCol) * 10000 + 0.5).cast("long").as("p4"))
+    val perBin = base.groupBy("bin").agg(
+      count(lit(1)).as("n_b"),
+      sum("y").as("y_b"),
+      sum("p4").as("s_b"),
+      sum(expr(s"CAST(p4 - 10000 * y AS $dec) * (p4 - 10000 * y)"))
+        .as("se_b"))
+    val tot = perBin.agg(
+      sum("n_b").as("n"), sum("y_b").as("y_tot"), sum("se_b").as("se"),
+      sum(expr(s"((CAST(s_b AS $dec) - 10000 * y_b) * " +
+        s"(CAST(s_b AS $dec) - 10000 * y_b)) div n_b")).as("rel_num"))
+    val res = perBin.crossJoin(broadcast(
+        perBin.agg(sum("n_b").as("nn"), sum("y_b").as("yy"))))
+      .agg(sum(expr(s"((CAST(y_b AS $dec) * nn - CAST(yy AS $dec) * n_b) * " +
+        s"(CAST(y_b AS $dec) * nn - CAST(yy AS $dec) * n_b)) div n_b"))
+        .as("res_num"))
+    tot.crossJoin(broadcast(res)).select(
+      col("n").cast("long").as("n"),
+      expr(s"CAST(se AS $dec) div (100 * n)").as("brier_micro"),
+      expr(s"CAST(rel_num AS $dec) div (100 * n)").as("reliability_micro"),
+      expr(s"(1000000 * CAST(res_num AS $dec)) div " +
+        s"(CAST(n AS $dec) * n * n)").as("resolution_micro"),
+      expr(s"(1000000 * CAST(y_tot AS $dec) * (n - y_tot)) div " +
+        s"(CAST(n AS $dec) * n)").as("uncertainty_micro"))
+  }
 }

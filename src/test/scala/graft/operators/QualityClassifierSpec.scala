@@ -110,4 +110,37 @@ class QualityClassifierSpec extends SparkFunSuite {
       .orderBy("bin").collect().map(_.getInt(0)).toSeq
     assert(bins === Seq(0, 9))
   }
+
+  test("brier decomposition: hand case, identity holds exactly") {
+    import spark.implicits._
+    // two per bin with constant in-bin forecasts: p=0.1 (y: 0,1) and
+    // p=0.9 (y: 1,1). Hand-computed micro values:
+    //   brier = 0.21, rel = 0.085, res = 0.0625, unc = 0.1875
+    //   and 0.085 - 0.0625 + 0.1875 = 0.21 (identity exact here)
+    val scored = Seq((0.1, 0L), (0.1, 1L), (0.9, 1L), (0.9, 1L))
+      .toDF("score", "rule_label")
+    val r = QualityClassifier
+      .brierDecomposition(scored, "score", "rule_label", bins = 2)
+      .collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 210000L)
+    assert(r.getLong(2) === 85000L)
+    assert(r.getLong(3) === 62500L)
+    assert(r.getLong(4) === 187500L)
+    assert(r.getLong(2) - r.getLong(3) + r.getLong(4) === r.getLong(1))
+  }
+
+  test("brier decomposition: perfect confident classifier → all zero but unc") {
+    import spark.implicits._
+    val scored = Seq((1.0, 1L), (1.0, 1L), (0.0, 0L), (0.0, 0L))
+      .toDF("score", "rule_label")
+    val r = QualityClassifier
+      .brierDecomposition(scored, "score", "rule_label")
+      .collect().head
+    // brier 0, reliability 0, resolution = uncertainty = 0.25
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(3) === 250000L)
+    assert(r.getLong(4) === 250000L)
+  }
 }
