@@ -1066,6 +1066,22 @@ object SparkEntry {
           concat(col("text"), lit(" "), base, check.cast("string")).as("text"))
       Pii.luhnAudit(fixture, "doc_id", "text").orderBy("doc_id")
     }),
+    // IBAN audit — the account-number analogue of pii_luhn: extract
+    // ISO 13616-shaped candidates and gate them on the ISO 7064
+    // mod-97-10 checksum, folded char-by-char in int arithmetic (the
+    // big number never materializes; acc stays < 97). Fixture IBANs
+    // carry id-derived check digits, so ~1/100 validate — exactly the
+    // false-positive separation the checksum exists for. Scan-local
+    // HOF projection; the oracle replays the fold with list_reduce.
+    "pii_iban" -> ((s, d) => {
+      val fixture = table(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" iban DE"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lpad((col("doc_id") * 7919L % 100000000000L).cast("string"),
+              11, "0")).as("text"))
+      Pii.ibanAudit(fixture, "doc_id", "text").orderBy("doc_id")
+    }),
     // Embedding similarity join, blocked on label (exact, oracle-checked).
     // maxBucket ENGAGED: `label` is a coarse key by construction (its
     // cardinality doesn't grow with the corpus), so at 100× one label
@@ -6303,6 +6319,28 @@ object SparkEntry {
         |                 AS VARCHAR) AS candidate,
         |       (doc_id % 3 = 0) AS luhn_valid
         |FROM s ORDER BY doc_id""".stripMargin,
+    "pii_iban" ->
+      """WITH cand AS (
+        |  SELECT doc_id,
+        |         'DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |         lpad(CAST(doc_id * 7919 % 100000000000 AS VARCHAR), 11, '0')
+        |           AS candidate
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, candidate,
+        |         substr(candidate, 5) || substr(candidate, 1, 4) AS re
+        |  FROM cand)
+        |SELECT doc_id, candidate,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(re) + 1),
+        |             i -> CAST(CASE WHEN ascii(substr(re, CAST(i AS INT), 1)) >= 65
+        |                       THEN 65536 + ascii(substr(re, CAST(i AS INT), 1)) - 55
+        |                       ELSE ascii(substr(re, CAST(i AS INT), 1)) - 48 END
+        |                       AS BIGINT))),
+        |         (acc, x) -> (acc * (CASE WHEN x >= 65536 THEN 100 ELSE 10 END)
+        |                      + x % 65536) % 97) = 1 AS iban_valid
+        |FROM r ORDER BY doc_id""".stripMargin,
     "corpus_curation" ->
       """WITH qual AS (
         |  SELECT doc_id, round((c1 + c2 + c3 + c4) / 4.0, 6) AS quality

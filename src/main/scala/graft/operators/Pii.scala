@@ -87,4 +87,42 @@ object Pii {
         explode(regexp_extract_all(col(textCol), lit(CardPattern), lit(0)))
           .as("candidate"))
       .withColumn("luhn_valid", luhnValid(col("candidate")))
+
+  /** IBAN candidate shape (ISO 13616): 2 uppercase country letters,
+    * 2 check digits, 11–30 alphanumeric BBAN chars. Engine-portable
+    * (no lookaround), same contract as the other patterns. */
+  val IbanPattern = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+  /** ISO 7064 mod-97-10 IBAN checksum (ISO 13616): move the first 4
+    * chars to the end, expand letters to two digits (A=10..Z=35), and
+    * the resulting number mod 97 must equal 1. The big number never
+    * materializes — the fold keeps `acc < 97` and multiplies by 10
+    * per digit / 100 per letter, all int arithmetic in one
+    * `aggregate` HOF (no UDF; same discipline as [[luhnValid]]).
+    * Letters encode as `65536 + value` so one int carries both the
+    * multiplier flag and the value through the fold. Country-specific
+    * BBAN lengths are NOT checked — this is the checksum gate, which
+    * alone removes ~99% of random digit-run false positives. */
+  def ibanValid(iban: Column): Column = {
+    val r = concat(substring(iban, 5, 30), substring(iban, 1, 4))
+    val rem = aggregate(
+      transform(sequence(lit(1), length(r)), i => {
+        val c = ascii(r.substr(i, lit(1)))
+        when(c >= 65, c - 55 + 65536).otherwise(c - 48)
+      }),
+      lit(0),
+      (acc, x) =>
+        (acc * when(x >= 65536, 100).otherwise(10) + x % 65536) % 97)
+    rem === 1
+  }
+
+  /** IBAN candidate audit — extraction + checksum, the account-number
+    * analogue of [[luhnAudit]]: (id, candidate, iban_valid) per
+    * candidate, scan-local. */
+  def ibanAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(IbanPattern), lit(0)))
+          .as("candidate"))
+      .withColumn("iban_valid", ibanValid(col("candidate")))
 }

@@ -37,4 +37,25 @@ class PiiLuhnSpec extends SparkFunSuite {
       "id", "text")
     assert(df.count() === 0L)
   }
+
+  test("iban: published examples validate; one-digit corruption fails") {
+    val docs = Seq(
+      (1L, "pay GB82WEST12345698765432 now"),   // canonical valid example
+      (2L, "sepa DE89370400440532013000 ok"),   // valid
+      (3L, "ref DE89370400440532013001 bad"),   // corrupted last digit
+      (4L, "FR1420041010050500013M02606 fr"),   // valid, mixed letter BBAN
+      (5L, "nothing here")
+    ).toDF("id", "text")
+    val got = Pii.ibanAudit(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  test("iban: lowercase and short runs are not candidates") {
+    val docs = Seq(
+      (1L, "gb82west12345698765432"),          // lowercase → no match
+      (2L, "DE893704004405")                   // 10-char BBAN → no match
+    ).toDF("id", "text")
+    assert(Pii.ibanAudit(docs, "id", "text").count() === 0L)
+  }
 }
