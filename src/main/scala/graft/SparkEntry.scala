@@ -4105,6 +4105,29 @@ object SparkEntry {
         s"parquet data scan survived the rewrite:\n$phys")
       out
     }),
+    // TENTH optimizer rewrite: unfiltered min/max/count over a
+    // registered parquet table answers from COLUMN-CHUNK STATISTICS
+    // in the footers — the "freshness check" queries every ingestion
+    // monitor schedules (SELECT min(id), max(id), count(*)), at
+    // 100 TB the difference between KBs of tail reads and a full
+    // scan. INT32/INT64 only (fixed width → stats never truncated,
+    // and no NaN divergence); nulls exact via null_count.
+    "sql_minmax_footer_rewrite" -> ((s, d) => {
+      graft.plans.FooterStatsRewrite.install(s)
+      val path = footerCountStore(s, d)
+      graft.plans.FooterCountCatalog.register(path)
+      val out = s.sql(
+        s"""SELECT min(doc_id) AS min_id, max(doc_id) AS max_id,
+           |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           |       count(*) AS n_docs
+           |FROM parquet.`$path`""".stripMargin)
+      val phys = out.queryExecution.executedPlan.toString
+      require(phys.contains("MapPartitions"),
+        s"footer-stats rewrite did not fire:\n$phys")
+      require(!phys.contains("Scan parquet"),
+        s"parquet data scan survived the rewrite:\n$phys")
+      out
+    }),
     "sql_hll_rewrite" -> ((s, d) => {
       graft.plans.HllRewrite.install(s)
       // dedicated table copy (the rollup row's discipline): the
@@ -10010,6 +10033,13 @@ object SparkEntry {
     // oracle replays registers + harmonic mean + the BIGINT rounding.
     "sql_count_footer_rewrite" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
+    "sql_minmax_footer_rewrite" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS min_id,
+        |       CAST(max(doc_id) AS BIGINT) AS max_id,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents""".stripMargin,
     "sql_hll_rewrite" ->
       s"""WITH parts AS (
         |  SELECT source, md5(text) AS h FROM documents WHERE text IS NOT NULL),

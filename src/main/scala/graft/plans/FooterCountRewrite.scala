@@ -69,7 +69,13 @@ object FooterCountRewrite {
    * resolve through the executor's core-site defaults, which is where
    * a cluster's HDFS/S3 credentials live anyway.
    */
-  def footerRows(pathStr: String): Option[Long] = {
+  def footerRows(pathStr: String): Option[Long] =
+    footerRowsMeta(pathStr).map(_.num_rows)
+
+  /** Full parsed footer from the tail-only read — shared by the
+    * count and min/max ([[FooterStatsRule]]) rewrites. */
+  def footerRowsMeta(
+      pathStr: String): Option[graft.sources.ParquetFooter.FooterMeta] = {
     try {
       val conf = new org.apache.hadoop.conf.Configuration()
       val p = new org.apache.hadoop.fs.Path(pathStr)
@@ -86,7 +92,7 @@ object FooterCountRewrite {
         val t = len + 12
         val buf = new Array[Byte](t)
         in.readFully(size - t, buf)
-        graft.sources.ParquetFooter.parse(buf).map(_.num_rows)
+        graft.sources.ParquetFooter.parse(buf)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -27,8 +27,19 @@ package graft.sources
  */
 object ParquetFooter {
 
+  /** Per-column-chunk statistics from ColumnMetaData: the dotted
+    * path, physical type, value count (INCLUDING nulls), and the
+    * OPTIONAL Statistics fields — `min_value`/`max_value` raw bytes
+    * (plain-encoded LE for fixed-width types) and `null_count`. The
+    * deprecated min/max (fields 1/2) are ignored. */
+  final case class ColumnStats(
+      path: String, typeCode: Int, numValues: Long,
+      nullCount: Option[Long], minValue: Option[Array[Byte]],
+      maxValue: Option[Array[Byte]])
+
   final case class RowGroupMeta(
-      idx: Int, num_rows: Long, total_byte_size: Long, n_columns: Int)
+      idx: Int, num_rows: Long, total_byte_size: Long, n_columns: Int,
+      columns: Seq[ColumnStats] = Nil)
   /** One leaf (physical) column: its SchemaElement name and the
     * parquet-format Type enum (0 BOOLEAN, 1 INT32, 2 INT64, 3 INT96,
     * 4 FLOAT, 5 DOUBLE, 6 BYTE_ARRAY, 7 FIXED_LEN_BYTE_ARRAY). */
@@ -83,6 +94,10 @@ object ParquetFooter {
     def str(len: Int): String = {
       if (len < 0 || p + len > end) throw new IllegalStateException("str oob")
       val s = new String(b, p, len, "UTF-8"); p += len; s
+    }
+    def bin(len: Int): Array[Byte] = {
+      if (len < 0 || p + len > end) throw new IllegalStateException("bin oob")
+      val out = java.util.Arrays.copyOfRange(b, p, p + len); p += len; out
     }
   }
 
@@ -156,23 +171,91 @@ object ParquetFooter {
     if (children == 0) Some(LeafField(name, typeCode)) else None
   }
 
+  /** Statistics struct (field 12 of ColumnMetaData): null_count (3),
+    * max_value (5), min_value (6). */
+  private def parseStatistics(r: Reader): (Option[Long],
+      Option[Array[Byte]], Option[Array[Byte]]) = {
+    var nullCount: Option[Long] = None
+    var minV: Option[Array[Byte]] = None
+    var maxV: Option[Array[Byte]] = None
+    walkStruct(r) { (id, tpe, rr) =>
+      (id, tpe) match {
+        case (3, TI64) => nullCount = Some(rr.zigzag()); true
+        case (5, TBinary) => maxV = Some(rr.bin(rr.varint().toInt)); true
+        case (6, TBinary) => minV = Some(rr.bin(rr.varint().toInt)); true
+        case _ => false
+      }
+    }
+    (nullCount, minV, maxV)
+  }
+
+  /** ColumnMetaData: type (1), path_in_schema (3, joined with '.'),
+    * num_values (5), statistics (12). */
+  private def parseColumnMetaData(r: Reader): Option[ColumnStats] = {
+    var typeCode = -1
+    val path = Seq.newBuilder[String]
+    var numValues = -1L
+    var stats: (Option[Long], Option[Array[Byte]], Option[Array[Byte]]) =
+      (None, None, None)
+    walkStruct(r) { (id, tpe, rr) =>
+      (id, tpe) match {
+        case (1, TI32) => typeCode = rr.zigzag().toInt; true
+        case (3, TList) =>
+          val (n, et) = listHeader(rr)
+          var i = 0
+          while (i < n) {
+            if (et == TBinary) path += rr.str(rr.varint().toInt)
+            else skipValue(rr, et)
+            i += 1
+          }
+          true
+        case (5, TI64) => numValues = rr.zigzag(); true
+        case (12, TStruct) => stats = parseStatistics(rr); true
+        case _ => false
+      }
+    }
+    val p = path.result()
+    if (typeCode >= 0 && p.nonEmpty)
+      Some(ColumnStats(p.mkString("."), typeCode, numValues,
+        stats._1, stats._2, stats._3))
+    else None
+  }
+
+  /** ColumnChunk: meta_data (field 3). */
+  private def parseColumnChunk(r: Reader): Option[ColumnStats] = {
+    var out: Option[ColumnStats] = None
+    walkStruct(r) { (id, tpe, rr) =>
+      (id, tpe) match {
+        case (3, TStruct) => out = parseColumnMetaData(rr); true
+        case _ => false
+      }
+    }
+    out
+  }
+
   private def parseRowGroup(r: Reader, idx: Int): RowGroupMeta = {
     var nCols = 0
     var bytes = -1L
     var rows = -1L
+    val cols = Seq.newBuilder[ColumnStats]
     walkStruct(r) { (id, tpe, rr) =>
       (id, tpe) match {
         case (1, TList) =>
           val (n, et) = listHeader(rr)
           nCols = n
-          var i = 0; while (i < n) { skipValue(rr, et); i += 1 }
+          var i = 0
+          while (i < n) {
+            if (et == TStruct) parseColumnChunk(rr).foreach(cols += _)
+            else skipValue(rr, et)
+            i += 1
+          }
           true
         case (2, TI64) => bytes = rr.zigzag(); true
         case (3, TI64) => rows = rr.zigzag(); true
         case _ => false
       }
     }
-    RowGroupMeta(idx, rows, bytes, nCols)
+    RowGroupMeta(idx, rows, bytes, nCols, cols.result())
   }
 
   /** Parse a bare FileMetaData thrift blob (already sliced). */
