@@ -4119,7 +4119,7 @@ object SparkEntry {
       val out = s.sql(
         s"""SELECT min(doc_id) AS min_id, max(doc_id) AS max_id,
            |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-           |       count(*) AS n_docs
+           |       count(*) AS n_docs, count(lang) AS n_langs
            |FROM parquet.`$path`""".stripMargin)
       val phys = out.queryExecution.executedPlan.toString
       require(phys.contains("MapPartitions"),
@@ -10038,7 +10038,8 @@ object SparkEntry {
         |       CAST(max(doc_id) AS BIGINT) AS max_id,
         |       CAST(min(n_chars) AS BIGINT) AS min_chars,
         |       CAST(max(n_chars) AS BIGINT) AS max_chars,
-        |       CAST(count(*) AS BIGINT) AS n_docs
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(lang) AS BIGINT) AS n_langs
         |FROM documents""".stripMargin,
     "sql_hll_rewrite" ->
       s"""WITH parts AS (

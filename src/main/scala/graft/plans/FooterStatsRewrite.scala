@@ -46,18 +46,21 @@ object FooterStatsRewrite {
     * each requested column its decoded min and max, null when every
     * chunk is all-null). Throws on missing stats / type mismatch. */
   private[plans] def fileStats(
-      pathStr: String, cols: Seq[(String, DataType)]): Row = {
+      pathStr: String, cols: Seq[(String, DataType)],
+      cntCols: Seq[String]): Row = {
     val meta = FooterCountRewrite.footerRowsMeta(pathStr).getOrElse(
       throw new IllegalStateException(
         s"footer-stats: unreadable parquet footer in $pathStr"))
+    def chunk(rg: graft.sources.ParquetFooter.RowGroupMeta, name: String) =
+      rg.columns.find(_.path == name).getOrElse(
+        throw new IllegalStateException(
+          s"footer-stats: no column chunk for '$name' in $pathStr"))
     val values = cols.flatMap { case (name, dt) =>
       var mn: Any = null
       var mx: Any = null
       meta.row_groups.foreach { rg =>
         if (rg.num_rows > 0) {
-          val cs = rg.columns.find(_.path == name).getOrElse(
-            throw new IllegalStateException(
-              s"footer-stats: no column chunk for '$name' in $pathStr"))
+          val cs = chunk(rg, name)
           val allNull = cs.nullCount.contains(cs.numValues)
           (cs.minValue, cs.maxValue) match {
             case (Some(mnB), Some(mxB)) =>
@@ -75,7 +78,21 @@ object FooterStatsRewrite {
       }
       Seq(mn, mx)
     }
-    Row.fromSeq(meta.num_rows +: values)
+    // count(col) = Σ chunks (num_values − null_count); null_count must
+    // be recorded — a writer that omits it gets a refusal, not a guess.
+    val counts = cntCols.map { name =>
+      var c = 0L
+      meta.row_groups.foreach { rg =>
+        if (rg.num_rows > 0) {
+          val cs = chunk(rg, name)
+          val nulls = cs.nullCount.getOrElse(throw new IllegalStateException(
+            s"footer-stats: no null_count for '$name' in $pathStr"))
+          c += cs.numValues - nulls
+        }
+      }
+      c
+    }
+    Row.fromSeq((meta.num_rows +: values) ++ counts)
   }
 
   private def decode(name: String, dt: DataType, typeCode: Int,
@@ -137,13 +154,23 @@ class FooterStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case object CountStar extends Item
   private case class MinOf(a: AttributeReference) extends Item
   private case class MaxOf(a: AttributeReference) extends Item
+  private case class CountOf(a: AttributeReference) extends Item
 
   private def statsType(dt: DataType): Boolean =
     dt == IntegerType || dt == LongType
 
+  /** count(col) needs leaf values ≡ rows: flat atomic columns only
+    * (a repeated leaf's num_values counts elements, not rows). */
+  private def flatType(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
   private def classify(ae: AggregateExpression): Option[Item] = ae match {
     case AggregateExpression(Count(Seq(Literal(v, _))), Complete, false,
         None, _) if v != null => Some(CountStar)
+    case AggregateExpression(Count(Seq(a: AttributeReference)), Complete,
+        false, None, _) if flatType(a.dataType) => Some(CountOf(a))
     case AggregateExpression(Min(a: AttributeReference), Complete, _,
         None, _) if statsType(a.dataType) => Some(MinOf(a))
     case AggregateExpression(Max(a: AttributeReference), Complete, _,
@@ -173,27 +200,36 @@ class FooterStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case (_, MinOf(a)) => (a.name, a.dataType)
           case (_, MaxOf(a)) => (a.name, a.dataType)
         }.distinct
+        val cntNeeded: Seq[String] = items.collect {
+          case (_, CountOf(a)) => a.name
+        }.distinct
         val files = rel.location.inputFiles.toSeq
         val schema = StructType(
-          StructField("__rows", LongType, nullable = false) +:
+          (StructField("__rows", LongType, nullable = false) +:
             needed.flatMap { case (n, dt) => Seq(
               StructField(s"__min_$n", dt, nullable = true),
               StructField(s"__max_$n", dt, nullable = true))
-            })
+            }) ++
+            cntNeeded.map(n =>
+              StructField(s"__cnt_$n", LongType, nullable = false)))
         import spark.implicits._
         val parts = math.max(1, math.min(files.size,
           spark.sparkContext.defaultParallelism))
         val perFile = spark.createDataset(files)
           .repartition(parts)
           .mapPartitions(_.map(p =>
-            FooterStatsRewrite.fileStats(p, needed)))(Encoders.row(schema))
+            FooterStatsRewrite.fileStats(p, needed, cntNeeded)))(
+            Encoders.row(schema))
         val aggCols = items.zipWithIndex.map {
-          case ((al, CountStar), i) =>
+          case ((_, CountStar), i) =>
             coalesce(sum(col("__rows")), lit(0L)).cast("long")
               .as(s"__out_$i")
-          case ((al, MinOf(a)), i) => min(col(s"__min_${a.name}"))
+          case ((_, CountOf(a)), i) =>
+            coalesce(sum(col(s"__cnt_${a.name}")), lit(0L)).cast("long")
+              .as(s"__out_$i")
+          case ((_, MinOf(a)), i) => min(col(s"__min_${a.name}"))
             .as(s"__out_$i")
-          case ((al, MaxOf(a)), i) => max(col(s"__max_${a.name}"))
+          case ((_, MaxOf(a)), i) => max(col(s"__max_${a.name}"))
             .as(s"__out_$i")
         }
         val summed = perFile.agg(aggCols.head, aggCols.tail: _*)

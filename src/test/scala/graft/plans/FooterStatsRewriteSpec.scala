@@ -49,6 +49,31 @@ class FooterStatsRewriteSpec extends SparkFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("count(col) from null_count: exact with nulls, strings included") {
+    installed
+    val base = spark.range(200).select(col("id"),
+      when(col("id") % 3 === 0, concat(lit("s"), col("id"))).as("s"),
+      when(col("id") % 5 =!= 0, col("id")).as("gaps"))
+    val dir = write(base, 3)
+    val df = spark.read.parquet(dir).agg(
+      count(col("s")).as("ns"), count(col("gaps")).as("ng"),
+      count(lit(1)).as("n"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("MapPartitions"), s"rewrite did not fire:\n$phys")
+    assert(!phys.contains("Scan parquet"), s"data scan survived:\n$phys")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((67L, 160L, 200L)))
+  }
+
+  test("count over an array column is refused (values ≠ rows)") {
+    installed
+    val dir = write(spark.range(10).select(col("id"),
+      array(col("id"), col("id") + 1).as("arr")), 1)
+    val df = spark.read.parquet(dir).agg(count(col("arr")))
+    assert(df.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    assert(df.collect().head.getLong(0) === 10L)
+  }
+
   test("results match the scan plan on every file layout") {
     installed
     for (parts <- Seq(1, 2, 7)) {
