@@ -2556,6 +2556,16 @@ object SparkEntry {
       graft.streaming.EventPipeline.streamedWindowedTypeStats(
         s, s"$d/events.parquet", "1 hour", "30 minutes")
         .orderBy("window_start", "event_type")),
+    // THIRD end-to-end streaming row: the watermarked stream-stream
+    // click←view join through real file sources + parquet sink
+    // (AvailableNow). Inner joins emit on match — the watermark only
+    // bounds state — so the streamed output equals the batch join
+    // row-for-row against the same DuckDB oracle as
+    // events_stream_join.
+    "events_join_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.streamedClickViewParity(
+        s, table(s, d, "events"), "10 minutes", horizonSeconds = 600)
+        .orderBy("click_id", "view_id")),
     // As-of join: each click matched to the user's most recent prior
     // view (oracle = DuckDB's native ASOF JOIN).
     "events_asof" -> ((s, d) => {
@@ -9824,6 +9834,16 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |       v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+        |       v.value AS view_value
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 600 SECOND
+        |ORDER BY click_id, view_id""".stripMargin,
+    "events_join_streamed" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |       CAST(c.ts AS TIMESTAMP) AS click_ts,
         |       v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,

@@ -521,6 +521,51 @@ object EventPipeline {
       .select("click_id", "user_id", "click_ts", "view_id", "view_ts", "view_value")
   }
 
+  /**
+   * Third end-to-end Structured Streaming surface: the watermarked
+   * click←view STREAM-STREAM JOIN ([[clickViewJoin]]) executed
+   * through REAL file sources (one parquet dir per stream) and a
+   * parquet file sink with a checkpoint, `Trigger.AvailableNow`.
+   * Inner stream-stream joins emit a pair in the micro-batch that
+   * matches it (the watermark only bounds join STATE), so the
+   * streamed result equals the batch join exactly — which is what the
+   * driver row's DuckDB oracle asserts. At production scale the same
+   * topology runs continuously: the watermark evicts view state older
+   * than the horizon, keeping state proportional to the horizon, not
+   * the stream.
+   */
+  def streamedClickViewParity(
+      spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+      watermark: String, horizonSeconds: Long): DataFrame = {
+    val clicksDir = java.nio.file.Files
+      .createTempDirectory("graft_ssj_clicks").toString
+    val viewsDir = java.nio.file.Files
+      .createTempDirectory("graft_ssj_views").toString
+    events.filter(col("event_type") === "click")
+      .write.mode("overwrite").parquet(clicksDir)
+    events.filter(col("event_type") === "view")
+      .write.mode("overwrite").parquet(viewsDir)
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_ssj_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ssj_ckpt").toString
+    def src(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1000000") // whole input: one batch
+      .parquet(dir)
+    val q = clickViewJoin(src(clicksDir), src(viewsDir),
+      watermark, horizonSeconds)
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   final case class UserSessionSummary(
       user_id: Long, n_events: Long, total_value: Double,
       last_ts: java.sql.Timestamp)

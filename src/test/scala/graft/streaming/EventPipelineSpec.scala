@@ -524,4 +524,21 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streamedClickViewParity: file-to-file stream-stream join == batch join") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$Sf0001/events.parquet")
+    val streamed = EventPipeline.streamedClickViewParity(
+        spark, events, "10 minutes", horizonSeconds = 600)
+      .orderBy("click_id", "view_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventPipeline.clickViewJoin(
+        events.filter(col("event_type") === "click"),
+        events.filter(col("event_type") === "view"),
+        "10 minutes", horizonSeconds = 600)
+      .orderBy("click_id", "view_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
