@@ -3637,6 +3637,23 @@ object SparkEntry {
         .select("e.src", "e.dst")
       graft.operators.LinkRank.triangles(edges).orderBy("domain")
     }),
+    // Link reciprocity over the same 97-node graph — the
+    // link-exchange discount signal beside clustering: 6 of its 286
+    // directed edges are mutual, so the card separates exchange
+    // participants from organic linkers. One self-join on the
+    // reversed key + one aggregate.
+    "crawl_reciprocity" -> ((s, d) => {
+      def node(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("d"), lpad(c.cast("string"), 2, "0"), lit(".example"))
+      val n = col("doc_id") % 97
+      val edges = table(s, d, "documents")
+        .select(explode(array(
+          struct(node(n).as("src"), node((n * 3 + 1) % 97).as("dst")),
+          struct(node(n).as("src"), node((n * 7 + 2) % 97).as("dst")),
+          struct(node(n).as("src"), node((n + 1) % 97).as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+      graft.operators.LinkRank.reciprocity(edges).orderBy("domain")
+    }),
     // Mirror-host detection — hosts with IDENTICAL distinct outlink
     // sets alias to one representative before fetch budget is spent
     // (the host-level dedup every crawl does before page dedup).
@@ -9199,6 +9216,30 @@ object SparkEntry {
         |                 ELSE 0 END AS BIGINT) AS clustering_micro
         |FROM deg LEFT JOIN pn ON pn.v = deg.v
         |ORDER BY domain""".stripMargin,
+    "crawl_reciprocity" ->
+      """WITH raw AS (SELECT doc_id % 97 AS n FROM documents),
+        |e0 AS (
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example' AS src,
+        |         'd' || lpad(CAST((n*3+1) % 97 AS VARCHAR), 2, '0') || '.example' AS dst
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+        |         'd' || lpad(CAST((n*7+2) % 97 AS VARCHAR), 2, '0') || '.example'
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+        |         'd' || lpad(CAST((n+1) % 97 AS VARCHAR), 2, '0') || '.example'
+        |  FROM raw),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |f AS (
+        |  SELECT e.src, e.dst,
+        |         CASE WHEN r.src IS NULL THEN 0 ELSE 1 END AS back
+        |  FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src)
+        |SELECT src AS domain, CAST(count(*) AS BIGINT) AS out_deg,
+        |       CAST(sum(back) AS BIGINT) AS n_reciprocal,
+        |       CAST((1000000 * sum(back)) // count(*) AS BIGINT)
+        |         AS reciprocity_micro
+        |FROM f GROUP BY src ORDER BY domain""".stripMargin,
     "crawl_mirrors" ->
       """WITH raw AS (
         |  SELECT doc_id % 10 AS h, (doc_id % 10) % 5 AS k FROM documents),

@@ -337,6 +337,43 @@ object LinkRank {
   }
 
   /**
+   * Per-domain link reciprocity — the link-exchange signal: organic
+   * web linking is overwhelmingly one-directional (a page cites a
+   * source; the source doesn't cite back), so a domain whose
+   * out-links are mostly RECIPROCATED (u→v and v→u) is in a link
+   * exchange — the oldest rank-inflation scheme, and with
+   * [[triangles]]' clustering coefficient the second curation
+   * discount signal. Newman (2002) "Assortative mixing in networks"
+   * frames reciprocity as the first-order graph correlation.
+   *
+   * Shape: distinct directed edges (one shuffle), one self-join on
+   * the reversed key pair to flag reciprocated edges, one per-source
+   * aggregate — all equality hash joins.
+   *
+   * Output per domain: out_deg, n_reciprocal, reciprocity_micro =
+   * (10^6 · n_reciprocal) div out_deg.
+   */
+  def reciprocity(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val flagged = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst"),
+        lit(1L).as("__back")),
+      Seq("src", "dst"), "left")
+    flagged.groupBy("src").agg(
+        count(lit(1)).as("out_deg"),
+        sum(coalesce(col("__back"), lit(0L))).as("n_reciprocal"))
+      .select(col("src").as("domain"),
+        col("out_deg").cast("long").as("out_deg"),
+        col("n_reciprocal").cast("long").as("n_reciprocal"),
+        expr("(1000000 * n_reciprocal) div out_deg").as("reciprocity_micro"))
+  }
+
+  /**
    * Mirror-host detection: hosts whose DISTINCT outlink sets are
    * identical are almost always the same site served under several
    * names (mirrors, CDNs, parked duplicates, staging copies) — the

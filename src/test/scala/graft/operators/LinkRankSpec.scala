@@ -215,6 +215,19 @@ class LinkRankSpec extends SparkFunSuite {
     assert(rows.toSeq === Seq(("x", "x", 2L, 2L), ("y", "x", 2L, 2L)))
   }
 
+  test("reciprocity: mutual pair flagged, one-way and self edges not") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"),
+      ("a", "b")).toDF("src", "dst")
+    val out = LinkRank.reciprocity(edges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a: out {b, c}, reciprocated {b} → 500000 micro
+    assert(out("a") === ((2L, 1L, 500000L)))
+    assert(out("b") === ((1L, 1L, 1000000L)))
+    assert(!out.contains("c")) // self-loop only → no out-edges
+  }
+
   test("mirrors: separator blocks concatenation collisions") {
     import spark.implicits._
     // {"ab","c"} vs {"a","bc"} concatenate identically without the
