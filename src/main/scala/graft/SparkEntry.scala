@@ -2050,6 +2050,15 @@ object SparkEntry {
     // DECIMAL(38,0), micro result by integral division) — the oracle
     // replays the identical sums in HUGEINT. One corpus-sized
     // aggregate; everything after runs on the |groups|x|bins| grid.
+    // Corpus-relative percentile rank WITHOUT the global sort SQL
+    // percent_rank demands: bounded-domain counting (histogram +
+    // two-level cumulate + broadcast rank table). The oracle computes
+    // the same number with the window it CAN afford at sf scale —
+    // the plans differ by design, the integers match bitwise.
+    "quality_percentile" -> ((s, d) =>
+      RelationalAnalytics.percentileRank(
+        table(s, d, "documents"), "doc_id", "n_chars", bucketWidth = 64L)
+        .orderBy("doc_id")),
     "privacy_t_closeness" -> ((s, d) =>
       Anonymity.tClosenessCard(table(s, d, "documents"),
         Seq("lang", "source"), "n_chars", bucketWidth = 64L,
@@ -6959,6 +6968,16 @@ object SparkEntry {
         |       CASE WHEN n < 5 THEN '*' ELSE d.lang END AS lang,
         |       CASE WHEN n < 5 THEN '*' ELSE d.source END AS source
         |FROM documents d JOIN g USING (lang, source) ORDER BY doc_id""".stripMargin,
+    "quality_percentile" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         rank() OVER (ORDER BY n_chars) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       CAST(CASE WHEN n > 1 THEN (1000000 * (rk - 1)) // (n - 1)
+        |                 ELSE 0 END AS BIGINT) AS pct_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
     "privacy_t_closeness" ->
       """WITH cell AS (
         |  SELECT lang, source, n_chars // 64 AS bk, CAST(count(*) AS HUGEINT) AS c

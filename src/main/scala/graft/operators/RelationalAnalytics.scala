@@ -516,4 +516,60 @@ object RelationalAnalytics {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
   }
+
+  /**
+   * Corpus-relative percentile rank WITHOUT a global sort, for
+   * BOUNDED-DOMAIN integer scores (quantized quality scores 0..10⁴,
+   * token counts, byte sizes under a cap): the standard SQL
+   * `percent_rank()` is an unpartitioned window — a single-reducer
+   * global sort, the one plan shape this repo bans — but over a
+   * bounded domain the same number is pure COUNTING:
+   *
+   *   pct_micro(s) = (10⁶ · |{rows < s}|) div (N − 1)
+   *
+   * Build the score histogram (one map-side-combined aggregate to
+   * ≤ |domain| rows), cumulate it two-level — within `score div
+   * bucketWidth` blocks by a PARTITIONED window, across blocks by a
+   * driver prefix over ≤ |domain|/bucketWidth totals (a bounded
+   * model-boundary collect, same contract as the classifier fits) —
+   * and broadcast-join the ≤|domain|-row rank table back to the
+   * corpus. No corpus-sized sort or shuffle anywhere; the corpus is
+   * touched by exactly two scans (histogram + join-back).
+   */
+  def percentileRank(
+      df: DataFrame, idCol: String, scoreCol: String,
+      bucketWidth: Long = 100L, maxBlocks: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth: $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(scoreCol).cast("long").as("__s"))
+      .groupBy("__s").agg(count(lit(1)).as("__c"))
+      .withColumn("__hi", expr(s"__s div $bucketWidth"))
+    // across-block prefix: bounded collect (≤ maxBlocks rows) at the
+    // driver — refuse loudly if the domain is wider than declared.
+    val blocks = hist.groupBy("__hi").agg(sum("__c").as("__bc"))
+      .orderBy("__hi").collect()
+    require(blocks.length <= maxBlocks,
+      s"percentileRank: ${blocks.length} blocks exceed maxBlocks=" +
+        s"$maxBlocks — the score domain is not bounded enough for " +
+        "counting ranks; raise bucketWidth or pre-quantize")
+    var acc = 0L
+    val prefixRows = blocks.map { r =>
+      val p = acc; acc += r.getLong(1); (r.getLong(0), p)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prefix = prefixRows.toDF("__hi", "__p")
+    val w = Window.partitionBy("__hi").orderBy("__s")
+    val ranks = hist
+      .withColumn("__cum", sum("__c").over(w))
+      .join(broadcast(prefix), "__hi")
+      .select(col("__s"),
+        (col("__p") + col("__cum") - col("__c")).as("__less"))
+    val n = acc
+    df.join(broadcast(ranks),
+        df(scoreCol).cast("long") === ranks("__s"))
+      .select(col(idCol), col(scoreCol),
+        (if (n > 1) expr(s"(1000000 * __less) div ${n - 1}")
+         else lit(0L)).as("pct_micro"))
+  }
 }

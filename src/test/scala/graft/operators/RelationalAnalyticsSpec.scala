@@ -320,4 +320,38 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(bc.getAs[Long]("lift_micro") === 2500000L)
     assert(bc.getAs[Long]("rnk") === 1L)
   }
+
+  test("percentileRank: counting equals percent_rank, ties get min rank") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L))
+      .toDF("id", "score")
+    val got = RelationalAnalytics.percentileRank(df, "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // n_less: 10→0, 20→1 (both ties), 30→3; denominator N-1 = 3
+    assert(got === Map(1L -> 0L, 2L -> 333333L, 3L -> 333333L,
+      4L -> 1000000L))
+  }
+
+  test("percentileRank: invariant to the block width") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, (i * 37) % 23)).toDF("id", "score")
+    val a = RelationalAnalytics.percentileRank(df, "id", "score", 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = RelationalAnalytics.percentileRank(df, "id", "score", 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
+  test("percentileRank: single row → 0; too-wide domain refuses loudly") {
+    import spark.implicits._
+    val one = Seq((1L, 42L)).toDF("id", "score")
+    assert(RelationalAnalytics.percentileRank(one, "id", "score")
+      .collect().head.getLong(2) === 0L)
+    val wide = (1L to 11L).map(i => (i, i * 1000L)).toDF("id", "score")
+    val ex = intercept[IllegalArgumentException] {
+      RelationalAnalytics.percentileRank(wide, "id", "score", 1L,
+        maxBlocks = 10)
+    }
+    assert(ex.getMessage.contains("bounded"))
+  }
 }
