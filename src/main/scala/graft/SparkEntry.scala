@@ -1066,6 +1066,36 @@ object SparkEntry {
           concat(col("text"), lit(" "), base, check.cast("string")).as("text"))
       Pii.luhnAudit(fixture, "doc_id", "text").orderBy("doc_id")
     }),
+    // Type-2 code clone groups — the dedup class exact hashing can't
+    // see: forks that renamed every variable and changed every
+    // literal. Fixture: four code templates whose identifiers/
+    // literals vary per doc (incl. a string literal carrying the doc
+    // source — normalized away), so normalization collapses the
+    // corpus to exactly the four structural classes; the oracle pins
+    // that group structure arithmetically (doc_id % 4), the
+    // normalization itself is spec-pinned. Exact-dedup economics: one
+    // 32-byte-key hash aggregate.
+    "code_clone_groups" -> ((s, d) => {
+      val a = (col("doc_id") % 7).cast("string")
+      val b = (col("doc_id") % 5).cast("string")
+      val c = (col("doc_id") % 13).cast("string")
+      val codeText = when(col("doc_id") % 4 === 0,
+          concat(lit("def f"), a, lit("(x"), b, lit("): if x"), b,
+            lit(" > "), c, lit(": return x"), b, lit(" * "), c))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("for i"), a, lit(" in range("), c, lit("): s"), b,
+            lit(" = s"), b, lit(" + i"), a))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("while n"), a, lit(" < "), c, lit(": n"), a,
+            lit(" = n"), a, lit(" * 2")))
+        .otherwise(
+          concat(lit("class C"), a, lit(": val y"), b, lit(" = \""),
+            col("source"), lit("\"")))
+      CodeCorpus.cloneGroups(
+        table(s, d, "documents").select(col("doc_id"),
+          codeText.as("text")),
+        "doc_id", "text").orderBy("doc_id")
+    }),
     // IBAN audit — the account-number analogue of pii_luhn: extract
     // ISO 13616-shaped candidates and gate them on the ISO 7064
     // mod-97-10 checksum, folded char-by-char in int arithmetic (the
@@ -6378,6 +6408,14 @@ object SparkEntry {
         |                 AS VARCHAR) AS candidate,
         |       (doc_id % 3 = 0) AS luhn_valid
         |FROM s ORDER BY doc_id""".stripMargin,
+    "code_clone_groups" ->
+      """WITH g AS (
+        |  SELECT doc_id % 4 AS t, CAST(count(*) AS BIGINT) AS n_clones,
+        |         min(doc_id) AS clone_rep
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, g.clone_rep, g.n_clones
+        |FROM documents d JOIN g ON d.doc_id % 4 = g.t
+        |ORDER BY d.doc_id""".stripMargin,
     "pii_iban" ->
       """WITH cand AS (
         |  SELECT doc_id,

@@ -113,4 +113,60 @@ object CodeCorpus {
         col("avg_line") > avgLineCap ||
           (col("max_line") > maxLineCap && col("ws_ratio") < wsFloor))
   }
+
+  /** Keywords PRESERVED by the Type-2 normalization (mapped to
+    * per-keyword placeholders, not to ID): renaming a variable keeps
+    * a clone a clone, but swapping `if` for `while` is a different
+    * program. Small multi-language core, longest-match-irrelevant
+    * (each is replaced on word boundaries). */
+  val CloneKeywords: Seq[String] = Seq(
+    "if", "else", "for", "while", "return", "def", "class", "val",
+    "var", "function", "in", "range")
+
+  /**
+   * Type-2 clone normal form (Baker 1995 "parameterized duplication";
+   * the token normalization SourcererCC/CCFinder apply before
+   * hashing): string literals → `S`, numeric literals → `N`,
+   * identifiers → `ID`, keywords kept (as placeholders), whitespace
+   * collapsed. Two fragments that differ ONLY by renaming
+   * identifiers / changing literals normalize identically; any
+   * structural edit (operator, keyword, punctuation) does not.
+   *
+   * Order matters and is part of the contract: strings first (their
+   * contents must not leak tokens), then numbers (so the digit-bearing
+   * keyword placeholders inserted NEXT are never re-matched), then
+   * keywords, then identifiers, then whitespace. Every pattern is
+   * lookaround-free so Java regex (Spark) and RE2 (the oracle's
+   * engine) agree byte-for-byte.
+   */
+  def type2NormalForm(text: Column): Column = {
+    var t = regexp_replace(text, "'[^']*'|\"[^\"]*\"", " S ")
+    t = regexp_replace(t, "\\b[0-9][0-9a-zA-Z_]*", " N ")
+    CloneKeywords.zipWithIndex.foreach { case (kw, i) =>
+      t = regexp_replace(t, s"\\b$kw\\b", s"⟨$i⟩")
+    }
+    t = regexp_replace(t, "[A-Za-z_][A-Za-z0-9_]*", " ID ")
+    trim(regexp_replace(t, "\\s+", " "))
+  }
+
+  /**
+   * Type-2 clone groups over a code corpus: normalize
+   * ([[type2NormalForm]]), fingerprint (md5), group — exact-dedup
+   * economics (one hash aggregate on a 32-byte key; the group-size
+   * relation is |distinct forms| rows) for the clone class exact
+   * dedup cannot see: the fork that renamed every variable. Output:
+   * one row per document that HAS a clone (group ≥ 2) —
+   * (id, clone_rep = least member id, n_clones).
+   */
+  def cloneGroups(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol),
+      md5(type2NormalForm(col(textCol)).cast("binary")).as("__fp"))
+    val groups = fp.groupBy("__fp").agg(
+      count(lit(1)).as("n_clones"), min(col(idCol)).as("clone_rep"))
+    fp.join(groups, "__fp")
+      .filter(col("n_clones") >= 2)
+      .select(col(idCol), col("clone_rep"),
+        col("n_clones").cast("long").as("n_clones"))
+  }
 }

@@ -88,4 +88,50 @@ class CodeCorpusSpec extends SparkFunSuite {
     assert(CodeCorpus.minifiedStats(Seq((1L, t)).toDF("id", "text"),
       "id", "text").collect().head.getAs[Boolean]("minified"))
   }
+
+  test("type2: renamed identifiers and changed literals normalize equal") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "def foo(x): if x > 10: return x * 2"),
+      (2L, "def bar(total): if total > 999: return total * 7"))
+      .toDF("id", "text")
+    val forms = df.select(CodeCorpus.type2NormalForm(col("text")))
+      .collect().map(_.getString(0)).distinct
+    assert(forms.length === 1, forms.toSeq)
+  }
+
+  test("type2: keyword and operator changes are NOT clones") {
+    import org.apache.spark.sql.functions.col
+    val forms = Seq(
+      (1L, "if x > 2: y = 1"),
+      (2L, "while x > 2: y = 1"),   // keyword differs
+      (3L, "if x < 2: y = 1"))      // operator differs
+      .toDF("id", "text")
+      .select(CodeCorpus.type2NormalForm(col("text")))
+      .collect().map(_.getString(0)).distinct
+    assert(forms.length === 3, forms.toSeq)
+  }
+
+  test("type2: string contents never leak tokens into the form") {
+    import org.apache.spark.sql.functions.col
+    val forms = Seq(
+      (1L, "s = \"if x then 99\""),
+      (2L, "s = 'completely different literal'"))
+      .toDF("id", "text")
+      .select(CodeCorpus.type2NormalForm(col("text")))
+      .collect().map(_.getString(0)).distinct
+    assert(forms.length === 1, forms.toSeq)
+  }
+
+  test("cloneGroups: groups of renamed twins, singletons absent") {
+    val docs = Seq(
+      (10L, "for i in range(9): acc = acc + i"),
+      (20L, "for k in range(42): total = total + k"),
+      (30L, "while q < 5: q = q * 3"))
+      .toDF("id", "text")
+    val rows = CodeCorpus.cloneGroups(docs, "id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((10L, 10L, 2L), (20L, 10L, 2L)))
+  }
 }
