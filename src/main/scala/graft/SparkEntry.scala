@@ -2550,6 +2550,16 @@ object SparkEntry {
     "embedding_outliers" -> ((s, d) =>
       EmbeddingQuality.outliers(table(s, d, "embeddings"), "vec_id", "embedding",
         "label", zThreshold = 2.0, scale = Scale).orderBy("vec_id")),
+    // Greedy k-center coreset (Gonzalez 1985; Sener & Savarese 2018)
+    // — k maximally diverse exemplars: where k-means summarizes MASS,
+    // k-center covers EXTENT. Deterministic farthest-point traversal
+    // on the shared micro-cosine grid, argmin (maxsim, id) per round;
+    // k scans + k 1-row collects, the bounded-model-state shape. The
+    // radius_micro column is the coverage curve.
+    "embedding_kcenter" -> ((s, d) =>
+      graft.operators.Coreset.kCenterSeeds(
+        table(s, d, "embeddings"), "vec_id", "embedding", k = 6)
+        .orderBy("rank")),
     // Corpus second-moment (uncentered covariance) matrix — the
     // one-pass PCA/whitening input (operators/Pca.scala): map-side
     // 16 KB GramMatrix buffers, exact micro-unit accumulation, one
@@ -4987,6 +4997,40 @@ object SparkEntry {
       |FROM docs d CROSS JOIN bins b
       |LEFT JOIN counts c ON c.id = d.id AND c.bin = b.bin
       |ORDER BY d.id, b.bin""".stripMargin
+
+  /** embedding_kcenter's oracle: the greedy farthest-point traversal
+    * replayed round by round in chained CTEs — same micro-cosine
+    * grid, same (maxsim, id) argmin order. */
+  private def kCenterOracle(k: Int): String = {
+    def cosExpr(av: String, bv: String) =
+      s"CAST(floor(1000000.0 * (list_inner_product($av, $bv) / " +
+        s"(sqrt(list_inner_product($av, $av)) * " +
+        s"sqrt(list_inner_product($bv, $bv)))) + 0.5) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= "WITH v AS (SELECT vec_id AS id, " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= "c1 AS (SELECT min(id) AS id FROM v),\n"
+    sb ++= "s1 AS (SELECT x.id, x.v, " + cosExpr("x.v", "cv.v") +
+      " AS maxsim FROM v x, (SELECT v.v FROM v, c1 WHERE v.id = c1.id) cv" +
+      " WHERE x.id <> (SELECT id FROM c1)),\n"
+    for (r <- 2 to k) {
+      sb ++= s"c$r AS (SELECT id, maxsim FROM s${r - 1} " +
+        "ORDER BY maxsim, id LIMIT 1),\n"
+      if (r < k)
+        sb ++= s"s$r AS (SELECT x.id, x.v, greatest(x.maxsim, " +
+          cosExpr("x.v", "cv.v") + s") AS maxsim FROM s${r - 1} x, " +
+          s"(SELECT s.v FROM s${r - 1} s, c$r WHERE s.id = c$r.id) cv " +
+          s"WHERE x.id <> (SELECT id FROM c$r)),\n"
+    }
+    sb ++= "sel AS (\n  SELECT CAST(1 AS BIGINT) AS rank, " +
+      "(SELECT id FROM c1) AS vec_id, " +
+      "CAST(-1000000 AS BIGINT) AS radius_micro\n"
+    for (r <- 2 to k)
+      sb ++= s"  UNION ALL SELECT $r, (SELECT id FROM c$r), " +
+        s"(SELECT maxsim FROM c$r)\n"
+    sb ++= ")\nSELECT rank, vec_id, radius_micro FROM sel ORDER BY rank"
+    sb.toString
+  }
 
   /** crawl_rank's oracle, one chained CTE per PageRank iteration. The
     * recurrence is pure integer arithmetic (`//` floor-division equals
@@ -8683,6 +8727,7 @@ object SparkEntry {
     // Full z-score pipeline rebuilt: rounded centroid, rounded per-row
     // distance, DECIMAL-exact moment sums (addition order cannot move
     // them), then the identical double-precision mean/std/z derivation.
+    "embedding_kcenter" -> kCenterOracle(6),
     "embedding_outliers" ->
       """WITH c AS (
         |  SELECT label, t.i AS i,
