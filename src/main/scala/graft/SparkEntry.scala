@@ -2080,6 +2080,15 @@ object SparkEntry {
     // DECIMAL(38,0), micro result by integral division) — the oracle
     // replays the identical sums in HUGEINT. One corpus-sized
     // aggregate; everything after runs on the |groups|x|bins| grid.
+    // Per-source Gini concentration of document volume — "is this
+    // source many documents or three giant crawls and dust?" — the
+    // mixture-weighting / dedup-priority signal. Exact grouped-data
+    // rank formula on the (source, length) histogram; partitioned
+    // window only.
+    "source_gini" -> ((s, d) =>
+      RelationalAnalytics.giniByGroup(
+        table(s, d, "documents"), "source", "n_chars")
+        .orderBy("source")),
     // Corpus-relative percentile rank WITHOUT the global sort SQL
     // percent_rank demands: bounded-domain counting (histogram +
     // two-level cumulate + broadcast rank table). The oracle computes
@@ -7050,6 +7059,24 @@ object SparkEntry {
         |       CASE WHEN n < 5 THEN '*' ELSE d.lang END AS lang,
         |       CASE WHEN n < 5 THEN '*' ELSE d.source END AS source
         |FROM documents d JOIN g USING (lang, source) ORDER BY doc_id""".stripMargin,
+    "source_gini" ->
+      """WITH h AS (
+        |  SELECT source, n_chars AS v, CAST(count(*) AS HUGEINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, v, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY v) AS r
+        |  FROM h),
+        |a AS (
+        |  SELECT source, sum(c) AS n, sum(CAST(v AS HUGEINT) * c) AS s0,
+        |         sum(CAST(v AS HUGEINT) * c * (2 * r - c + 1)) AS s1x2
+        |  FROM cum GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(s0 AS BIGINT) AS total,
+        |       CAST(CASE WHEN s0 > 0
+        |                 THEN (1000000 * (s1x2 - (n + 1) * s0)) // (n * s0)
+        |                 ELSE 0 END AS BIGINT) AS gini_micro
+        |FROM a ORDER BY source""".stripMargin,
     "quality_percentile" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,

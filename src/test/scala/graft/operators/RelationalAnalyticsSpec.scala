@@ -321,6 +321,29 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(bc.getAs[Long]("rnk") === 1L)
   }
 
+  test("giniByGroup: hand case, equality → 0, concentration → high") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 2L),          // G = 1/6
+      ("b", 5L), ("b", 5L), ("b", 5L),          // perfectly equal → 0
+      ("c", 0L), ("c", 0L), ("c", 0L), ("c", 100L)) // one owner
+      .toDF("g", "v")
+    val got = RelationalAnalytics.giniByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(got("a") === ((3L, 166666L)))
+    assert(got("b") === ((3L, 0L)))
+    // n=4, all mass at rank 4: G = (2·4·100 − 5·100)/(4·100) = 3/4
+    assert(got("c") === ((4L, 750000L)))
+  }
+
+  test("giniByGroup: all-zero group yields 0, not a division error") {
+    import spark.implicits._
+    val df = Seq(("z", 0L), ("z", 0L)).toDF("g", "v")
+    assert(RelationalAnalytics.giniByGroup(df, "g", "v")
+      .collect().head.getLong(3) === 0L)
+  }
+
   test("percentileRank: counting equals percent_rank, ties get min rank") {
     import spark.implicits._
     val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L))
