@@ -2166,6 +2166,18 @@ object SparkEntry {
         "lex_rnk", "vec_rnk", k = 10)
         .orderBy("query_id")
     }),
+    // Term burstiness (Church & Gale 1995): exact variance-to-mean
+    // ratio of per-doc counts, zeros included — the content-word vs
+    // function-word separation IDF only approximates. One explode
+    // aggregate + per-term moments; top-25 by cf.
+    "term_burstiness" -> ((s, d) =>
+      TextAnalysis.termBurstiness(table(s, d, "documents"),
+        "doc_id", "text", k = 25)),
+    // Per-source hapax rate — vocabulary richness: templates collapse
+    // it toward 0, noise inflates it toward 1, prose sits between.
+    "source_hapax" -> ((s, d) =>
+      TextAnalysis.hapaxRate(table(s, d, "documents"), "source", "text")
+        .orderBy("source")),
     // Postings-at-rest census: per-term df/cf/doc-range and the max
     // doc-id gap (the delta-encoding width driver) for the vocabulary
     // head — gaps via a term-partitioned lag window, top-k via
@@ -7059,6 +7071,36 @@ object SparkEntry {
         |       CASE WHEN n < 5 THEN '*' ELSE d.lang END AS lang,
         |       CASE WHEN n < 5 THEN '*' ELSE d.source END AS source
         |FROM documents d JOIN g USING (lang, source) ORDER BY doc_id""".stripMargin,
+    "term_burstiness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pd AS (
+        |  SELECT term, doc_id, CAST(count(*) AS HUGEINT) AS x
+        |  FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+        |t AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |         sum(x) AS cf, sum(x * x) AS sx2
+        |  FROM pd GROUP BY 1)
+        |SELECT term, df, CAST(cf AS BIGINT) AS cf,
+        |       CAST((1000000 * ((SELECT n FROM n) * sx2 - cf * cf)) //
+        |            ((SELECT n FROM n) * cf) AS BIGINT) AS vmr_micro
+        |FROM t ORDER BY cf DESC, term LIMIT 25""".stripMargin,
+    "source_hapax" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pt AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks WHERE length(term) > 0 GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) //
+        |            count(*) AS BIGINT) AS hapax_micro
+        |FROM pt GROUP BY source ORDER BY source""".stripMargin,
     "source_gini" ->
       """WITH h AS (
         |  SELECT source, n_chars AS v, CAST(count(*) AS HUGEINT) AS c

@@ -879,4 +879,67 @@ object TextAnalysis {
       .withColumn("novelty_micro",
         expr("(CAST(new_grams AS DECIMAL(38,0)) * 1000000) div n_grams"))
   }
+
+  /**
+   * Term burstiness (Church & Gale 1995): the variance-to-mean ratio
+   * of a term's per-document counts, zeros included — function words
+   * spread evenly (VMR near 0 here, since their count barely varies),
+   * content words CLUMP (one doc mentions "tokenizer" twelve times,
+   * most never). The keyword/topicality signal IDF approximates;
+   * exact form: with per-doc counts x over N docs,
+   * `vmr_micro = 10⁶·(N·Σx² − (Σx)²) div (N·Σx)` — integer-exact
+   * because the all-zero docs contribute nothing to either sum.
+   *
+   * Shape: one explode → (term, doc) count aggregate (map-side
+   * combined), one per-term moment aggregate, top-k by collection
+   * frequency via TakeOrderedAndProject. The corpus-size N rides a
+   * 1-row broadcast.
+   */
+  def termBurstiness(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dec = "DECIMAL(38,0)"
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "__id").agg(count(lit(1)).as("__x"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("__x").as("cf"),
+        sum(expr(s"CAST(__x AS $dec) * __x")).as("__sx2"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df").cast("long").as("df"),
+        col("cf").cast("long").as("cf"),
+        expr(s"(1000000 * (__n * __sx2 - CAST(cf AS $dec) * cf)) div " +
+          s"(__n * CAST(cf AS $dec))").as("vmr_micro"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(k)
+  }
+
+  /**
+   * Per-group hapax legomena rate — the vocabulary-richness /
+   * boilerplate detector: natural prose keeps ~40–60% of its types
+   * as one-offs (Zipf's tail); template-generated or heavily
+   * duplicated text collapses the rate toward 0, and OCR noise or
+   * mojibake inflates it toward 1. One (group, term) aggregate, one
+   * per-group rollup.
+   */
+  def hapaxRate(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val perTerm = docs
+      .select(col(groupCol).as("__g"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("__g", "term").agg(count(lit(1)).as("__c"))
+    perTerm.groupBy("__g")
+      .agg(count(lit(1)).as("n_types"),
+        sum("__c").as("n_tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("__g").as(groupCol),
+        col("n_types").cast("long").as("n_types"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_hapax").cast("long").as("n_hapax"),
+        expr("(1000000 * n_hapax) div n_types").as("hapax_micro"))
+  }
 }

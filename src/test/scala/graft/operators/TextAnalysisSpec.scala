@@ -596,4 +596,31 @@ class TextAnalysisSpec extends SparkFunSuite {
       .orderBy("bucket").collect().toSeq
     assert(a === b)
   }
+
+  test("burstiness: clumped term high VMR, uniform term zero") {
+    import spark.implicits._
+    // 4 docs; "the" once everywhere (VMR 0); "x" four times in one doc:
+    // N·Σx² − cf² = 4·16 − 16 = 48 → 1e6·48 div (4·4) = 3000000
+    val docs = Seq(
+      (1L, "the x x x x"), (2L, "the"), (3L, "the"), (4L, "the"))
+      .toDF("id", "text")
+    val got = TextAnalysis.termBurstiness(docs, "id", "text", k = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("the") === ((4L, 4L, 0L)))
+    assert(got("x") === ((1L, 4L, 3000000L)))
+  }
+
+  test("hapax: rate separates varied prose from repeated template") {
+    import spark.implicits._
+    val docs = Seq(
+      ("fresh", "alpha beta gamma delta alpha"), // types 4, hapax 3
+      ("tmpl", "buy now buy now buy now"))       // types 2, hapax 0
+      .toDF("g", "text")
+    val got = TextAnalysis.hapaxRate(docs, "g", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("fresh") === ((4L, 5L, 3L, 750000L)))
+    assert(got("tmpl") === ((2L, 6L, 0L, 0L)))
+  }
 }
