@@ -3707,6 +3707,22 @@ object SparkEntry {
         .select("e.src", "e.dst")
       graft.operators.LinkRank.triangles(edges).orderBy("domain")
     }),
+    // Top co-citation pairs over the same 97-node graph — the
+    // related-pages signal (Small 1973; Dean & Henzinger): domains
+    // many distinct sources link to TOGETHER. One capped self-join on
+    // src + one pair count; TakeOrdered(15).
+    "crawl_cocitation" -> ((s, d) => {
+      def node(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("d"), lpad(c.cast("string"), 2, "0"), lit(".example"))
+      val n = col("doc_id") % 97
+      val edges = table(s, d, "documents")
+        .select(explode(array(
+          struct(node(n).as("src"), node((n * 3 + 1) % 97).as("dst")),
+          struct(node(n).as("src"), node((n * 7 + 2) % 97).as("dst")),
+          struct(node(n).as("src"), node((n + 1) % 97).as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+      graft.operators.LinkRank.coCitation(edges, k = 15)
+    }),
     // Link reciprocity over the same 97-node graph — the
     // link-exchange discount signal beside clustering: 6 of its 286
     // directed edges are mutual, so the card separates exchange
@@ -9387,6 +9403,28 @@ object SparkEntry {
         |                 ELSE 0 END AS BIGINT) AS clustering_micro
         |FROM deg LEFT JOIN pn ON pn.v = deg.v
         |ORDER BY domain""".stripMargin,
+    "crawl_cocitation" ->
+      """WITH raw AS (SELECT doc_id % 97 AS n FROM documents),
+        |e0 AS (
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example' AS src,
+        |         'd' || lpad(CAST((n*3+1) % 97 AS VARCHAR), 2, '0') || '.example' AS dst
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+        |         'd' || lpad(CAST((n*7+2) % 97 AS VARCHAR), 2, '0') || '.example'
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+        |         'd' || lpad(CAST((n+1) % 97 AS VARCHAR), 2, '0') || '.example'
+        |  FROM raw),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |c AS (SELECT e.src, e.dst FROM e JOIN deg USING (src) WHERE od <= 64)
+        |SELECT a.dst AS dom_a, b.dst AS dom_b,
+        |       CAST(count(*) AS BIGINT) AS n_cociting
+        |FROM c a JOIN c b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2
+        |ORDER BY n_cociting DESC, dom_a, dom_b LIMIT 15""".stripMargin,
     "crawl_reciprocity" ->
       """WITH raw AS (SELECT doc_id % 97 AS n FROM documents),
         |e0 AS (

@@ -374,6 +374,43 @@ object LinkRank {
   }
 
   /**
+   * Top-k CO-CITATION pairs (Small 1973; Dean & Henzinger 1999's
+   * related-pages signal): two domains are related when many distinct
+   * sources link to BOTH — the link-graph analogue of "users who
+   * bought X also bought Y", and the standard related-sites feature
+   * a crawl exports to ranking. Distinct (src, dst) edges, one
+   * self-join on src with dst_a < dst_b (each unordered pair once),
+   * one count aggregate, TakeOrdered(k).
+   *
+   * Scale note: the self-join fans out quadratically in a single
+   * source's out-degree — cap fan-out upstream with `maxOutDeg`
+   * (sources above the cap are dropped: a directory page linking to
+   * 10⁵ sites co-cites everything and carries no signal — the same
+   * argument as Dedup's maxBucket).
+   */
+  def coCitation(
+      edges: DataFrame, k: Int,
+      maxOutDeg: Int = 64,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxOutDeg > 1, s"maxOutDeg must be > 1, got $maxOutDeg")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val capped = e.join(deg.filter(col("__od") <= maxOutDeg), "src")
+    capped.as("a").join(capped.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("dom_a"), col("b.dst").as("dom_b"))
+      .agg(count(lit(1)).as("n_cociting"))
+      .select(col("dom_a"), col("dom_b"),
+        col("n_cociting").cast("long").as("n_cociting"))
+      .orderBy(col("n_cociting").desc, col("dom_a"), col("dom_b"))
+      .limit(k)
+  }
+
+  /**
    * Mirror-host detection: hosts whose DISTINCT outlink sets are
    * identical are almost always the same site served under several
    * names (mirrors, CDNs, parked duplicates, staging copies) — the

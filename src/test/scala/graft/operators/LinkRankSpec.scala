@@ -215,6 +215,23 @@ class LinkRankSpec extends SparkFunSuite {
     assert(rows.toSeq === Seq(("x", "x", 2L, 2L), ("y", "x", 2L, 2L)))
   }
 
+  test("cocitation: pair counts, ordering, and the out-degree cap") {
+    import spark.implicits._
+    // s1 and s2 both link {x, y}; s3 links {x, z}; hub links everything
+    val edges = Seq(
+      ("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "y"), ("s3", "x"),
+      ("s3", "z"),
+      ("hub", "x"), ("hub", "y"), ("hub", "z"), ("hub", "w")).toDF("src", "dst")
+    val top = LinkRank.coCitation(edges, k = 10, maxOutDeg = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // hub (out-degree 4 > 3) is dropped entirely
+    assert(top.toSeq === Seq(("x", "y", 2L), ("x", "z", 1L)))
+    val withHub = LinkRank.coCitation(edges, k = 1, maxOutDeg = 10)
+      .collect().head
+    assert((withHub.getString(0), withHub.getString(1),
+      withHub.getLong(2)) === (("x", "y", 3L)))
+  }
+
   test("reciprocity: mutual pair flagged, one-way and self edges not") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"),
