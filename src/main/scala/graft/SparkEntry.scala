@@ -1533,6 +1533,19 @@ object SparkEntry {
             when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("d")),
         "source", "doc_id", "d", reps = 64)
         .orderBy("source")),
+    // Delete-one-USER jackknife variance of the clicks-per-view
+    // ratio — the cluster-correct error bar for ratio metrics that
+    // completes the inferential kit (bootstrap CI, McNemar,
+    // permutation): both numerator and denominator vary per user, so
+    // the binomial formula is wrong and deleting whole users is the
+    // correction. Micro-grid integers end to end; variance (micro²)
+    // rather than SE, keeping sqrt out of the contract.
+    "eval_jackknife_ratio" -> ((s, d) =>
+      Bootstrap.jackknifeRatio(
+        table(s, d, "events").select(col("user_id"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("num"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("den")),
+        "user_id", "num", "den")),
     // Exact ROC-AUC per source via the Mann–Whitney rank-sum with
     // midrank ties (Hanley–McNeil 1982): the classifier-quality gate
     // a labeling pipeline runs per slice. Scores live on an integer
@@ -7629,6 +7642,39 @@ object SparkEntry {
         |         AS mean_score
         |FROM m GROUP BY rep ORDER BY rep""".stripMargin,
     // Every flip re-derived from the same md5(id:rep) bit.
+    "eval_jackknife_ratio" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |              AS HUGEINT) AS a,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |              AS HUGEINT) AS b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(a) AS ta, sum(b) AS tb,
+        |             CAST(count(*) AS HUGEINT) AS n_groups FROM g),
+        |loo AS (
+        |  SELECT (1000000 * ((SELECT ta FROM t) - a)) //
+        |         ((SELECT tb FROM t) - b) AS r_loo
+        |  FROM g WHERE (SELECT tb FROM t) - b > 0),
+        |u AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n_used,
+        |         (1000000 * (SELECT ta FROM t)) // (SELECT tb FROM t)
+        |           AS ratio_micro
+        |  FROM loo),
+        |p AS (
+        |  SELECT (SELECT n_used FROM u) * (SELECT ratio_micro FROM u) -
+        |         ((SELECT n_used FROM u) - 1) * r_loo AS p
+        |  FROM loo),
+        |m AS (SELECT sum(p) AS sp, sum(p * p) AS sp2 FROM p)
+        |SELECT CAST((SELECT n_groups FROM t) AS BIGINT) AS n_groups,
+        |       CAST(u.n_used AS BIGINT) AS n_used,
+        |       CAST(u.ratio_micro AS BIGINT) AS ratio_micro,
+        |       CAST(m.sp // u.n_used AS BIGINT) AS jack_mean_micro,
+        |       CAST(CASE WHEN u.n_used > 1
+        |                 THEN (u.n_used * m.sp2 - m.sp * m.sp) //
+        |                      (u.n_used * u.n_used * (u.n_used - 1))
+        |                 ELSE 0 END AS BIGINT) AS var_jack_micro2
+        |FROM u, m""".stripMargin,
     "eval_permutation" ->
       """WITH ex AS (
         |  SELECT source, doc_id AS id,

@@ -108,4 +108,61 @@ object Bootstrap {
       .withColumn("p_micro", expr(
         s"(CAST(n_ge + 1 AS DECIMAL(38,0)) * 1000000) div (reps + 1)"))
   }
+
+  /**
+   * Delete-one-GROUP jackknife (Quenouille 1956 / Tukey 1958) for a
+   * RATIO metric — the variance tool the bootstrap family here
+   * doesn't cover: ratio estimators (clicks-per-view, tokens-per-doc,
+   * dup-rate) are biased and their variance is NOT the binomial
+   * formula, because both numerator and denominator vary together and
+   * observations correlate WITHIN a group (a user, a domain).
+   * Deleting whole groups respects that correlation — the "cluster
+   * jackknife" every A/B platform ships.
+   *
+   * All integer arithmetic on the micro grid: per-group sums (a_g,
+   * b_g), totals (A, B, n); the leave-one-out ratio
+   * `r_g = (10⁶·(A−a_g)) div (B−b_g)`; pseudo-values
+   * `p_g = n_used·R − (n_used−1)·r_g`; and the jackknife variance
+   * `(n·Σp² − (Σp)²) div (n²(n−1))` in DECIMAL(38,0) — micro² units,
+   * deliberately variance (not SE): the square root is irrational and
+   * would break the exactness contract. Groups whose deletion empties
+   * the denominator are excluded and counted (`n_groups` vs
+   * `n_used`).
+   *
+   * Shape: one corpus aggregate to |groups| rows, a 1-row broadcast
+   * of totals, scan-local pseudo-values, one final 1-row aggregate.
+   */
+  def jackknifeRatio(
+      df: DataFrame, groupCol: String, numCol: String,
+      denCol: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val g = df.groupBy(col(groupCol).as("__g")).agg(
+      sum(col(numCol).cast("long")).as("a"),
+      sum(col(denCol).cast("long")).as("b"))
+    val tot = g.agg(sum("a").as("ta"), sum("b").as("tb"),
+      count(lit(1)).as("n_groups"))
+    val loo = g.crossJoin(broadcast(tot))
+      .filter(col("tb") - col("b") > 0)
+      .withColumn("r_loo",
+        expr(s"(1000000 * CAST(ta - a AS $dec)) div (tb - b)"))
+    val used = loo.agg(count(lit(1)).as("n_used")).crossJoin(broadcast(tot))
+      .withColumn("ratio_micro", expr(s"(1000000 * CAST(ta AS $dec)) div tb"))
+    val pseudo = loo.crossJoin(broadcast(
+        used.select("n_used", "ratio_micro")))
+      .withColumn("p",
+        expr(s"CAST(n_used AS $dec) * ratio_micro - (n_used - 1) * r_loo"))
+    pseudo.agg(
+        sum(expr(s"CAST(p AS $dec)")).as("sp"),
+        sum(expr(s"CAST(p AS $dec) * p")).as("sp2"))
+      .crossJoin(broadcast(used))
+      .select(
+        col("n_groups").cast("long").as("n_groups"),
+        col("n_used").cast("long").as("n_used"),
+        col("ratio_micro").cast("long").as("ratio_micro"),
+        expr("CAST(sp AS DECIMAL(38,0)) div n_used").as("jack_mean_micro"),
+        when(col("n_used") > 1,
+          expr(s"(CAST(n_used AS $dec) * sp2 - sp * sp) div " +
+            s"(CAST(n_used AS $dec) * n_used * (n_used - 1))"))
+          .otherwise(0L).as("var_jack_micro2"))
+  }
 }

@@ -77,4 +77,40 @@ class BootstrapSpec extends SparkFunSuite {
     assert(a.toSeq === b.toSeq)
     assert(a.getAs[Long]("p_micro") >= 15384L) // 1/(64+1) on the micro grid
   }
+
+  test("jackknifeRatio: hand case — pseudo-values and variance exact") {
+    import spark.implicits._
+    // groups (a,b): u1 (2,4), u2 (3,3), u3 (0,3) → R = 5/10
+    val rows = Seq(
+      (1L, 1L, 1L), (1L, 1L, 1L), (1L, 0L, 1L), (1L, 0L, 1L),
+      (2L, 1L, 1L), (2L, 1L, 1L), (2L, 1L, 1L),
+      (3L, 0L, 1L), (3L, 0L, 1L), (3L, 0L, 1L))
+      .toDF("u", "num", "den")
+    val r = Bootstrap.jackknifeRatio(rows, "u", "num", "den")
+      .collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 500000L)
+    assert(r.getLong(3) === 500000L)
+    assert(r.getLong(4) === 61224367347L)
+  }
+
+  test("jackknifeRatio: homogeneous groups → zero variance") {
+    import spark.implicits._
+    val rows = (1L to 4L).flatMap(u =>
+      Seq((u, 1L, 1L), (u, 0L, 1L))).toDF("u", "num", "den")
+    val r = Bootstrap.jackknifeRatio(rows, "u", "num", "den")
+      .collect().head
+    assert(r.getLong(2) === 500000L)
+    assert(r.getLong(4) === 0L)
+  }
+
+  test("jackknifeRatio: a group owning the whole denominator is excluded") {
+    import spark.implicits._
+    val rows = Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 0L))
+      .toDF("u", "num", "den")
+    val r = Bootstrap.jackknifeRatio(rows, "u", "num", "den")
+      .collect().head
+    // deleting u1 empties the denominator → only u2, u3 usable
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+  }
 }
