@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
  * table-sized scan collapses to |files| tail reads of a few KB each.
  *
  * Why it exists at 100 TB: `SELECT count(*)` is the first query every
- * ingestion check, snapshot validation, and progress monitor runs, and
- * the naive plan reads EVERY data page of a petabyte lake to add up a
- * number the writer already recorded per file. The rewritten job ships
+ * ingestion check, snapshot validation, and progress monitor runs.
+ * Honest accounting (measured in `graft.FooterProbe`, see SCALING.md):
+ * Spark's vectorized parquet reader already answers count(*) from
+ * row-group metadata without decoding columns, so this rewrite's win
+ * is NOT decode — it is request volume (one ~KB tail read per file
+ * vs per-split row-group walks across the lake) and composability
+ * (the same footer pass also answers min/max/count(col) via
+ * [[FooterStatsRule]], where the scan DOES read full column chunks
+ * and the footer path is measured 2× and widening). The rewritten job
+ * ships
  * the file list to executors (the listing itself comes from the
  * relation's FileIndex, already materialized for planning) and each
  * task reads 8 trailing bytes + the footer — IO proportional to file
