@@ -218,6 +218,30 @@ object SparkEntry {
       path
     })
 
+  private val footerEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dedicated events copy (TIMESTAMP_MICROS so footer stats carry a
+    * verifiable unit) for the freshness-card rewrite row. */
+  private def footerEventsStore(s: SparkSession, d: String): String =
+    footerEventsCache.computeIfAbsent(d, dir => {
+      val prev = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_fce_store").toString
+        graft.streaming.EventPipeline.normalizeTs(table(s, dir, "events"))
+          .select("event_id", "user_id", "ts")
+          .repartition(4).write.mode("overwrite").parquet(path)
+        path
+      } finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None =>
+          s.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    })
+
   /** Registered catalog table + materialized rollup per sf dir for the
     * rollup-rewrite row — both one-time offline writes (the summary
     * build is the single full scan every later rollup query
@@ -4250,6 +4274,25 @@ object SparkEntry {
       val phys = out.queryExecution.executedPlan.toString
       require(phys.contains("MapPartitions"),
         s"footer-stats rewrite did not fire:\n$phys")
+      require(!phys.contains("Scan parquet"),
+        s"parquet data scan survived the rewrite:\n$phys")
+      out
+    }),
+    // The freshness card proper: min/max of the EVENT-TIME column —
+    // the query every ingestion monitor schedules — answered from
+    // footer timestamp statistics (INT64 micros, unit VERIFIED from
+    // the schema's converted_type, never assumed; INT96 refuses).
+    "sql_freshness_footer_rewrite" -> ((s, d) => {
+      graft.plans.FooterStatsRewrite.install(s)
+      val path = footerEventsStore(s, d)
+      graft.plans.FooterCountCatalog.register(path)
+      val out = s.sql(
+        s"""SELECT min(ts) AS first_ts, max(ts) AS last_ts,
+           |       count(*) AS n_events
+           |FROM parquet.`$path`""".stripMargin)
+      val phys = out.queryExecution.executedPlan.toString
+      require(phys.contains("MapPartitions"),
+        s"freshness footer rewrite did not fire:\n$phys")
       require(!phys.contains("Scan parquet"),
         s"parquet data scan survived the rewrite:\n$phys")
       out
@@ -10349,6 +10392,11 @@ object SparkEntry {
     // oracle replays registers + harmonic mean + the BIGINT rounding.
     "sql_count_footer_rewrite" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents",
+    "sql_freshness_footer_rewrite" ->
+      """SELECT CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        |       CAST(max(ts) AS TIMESTAMP) AS last_ts,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events""".stripMargin,
     "sql_minmax_footer_rewrite" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS min_id,
         |       CAST(max(doc_id) AS BIGINT) AS max_id,

@@ -28,7 +28,11 @@ import org.apache.spark.sql.types._
  * layer on top).
  *
  * Soundness restrictions (each refusal keeps the exact scan):
- *  - INT32/INT64 columns only (Spark IntegerType/LongType). Fixed
+ *  - Fixed-width integer-backed columns only: IntegerType, LongType,
+ *    DateType (INT32/DATE) and TimestampType (INT64, converted_type
+ *    MICROS or MILLIS — the unit is read from the schema, never
+ *    assumed; INT96 and nano timestamps refuse). `max(event_ts)` —
+ *    THE freshness query — is the point of the extension. Fixed
  *    width means stats bytes are never TRUNCATED (string stats may
  *    be), and refusing FLOAT/DOUBLE dodges the NaN divergence: parquet
  *    stats ignore NaN while Spark's max() sorts NaN above everything.
@@ -56,18 +60,20 @@ object FooterStatsRewrite {
         throw new IllegalStateException(
           s"footer-stats: no column chunk for '$name' in $pathStr"))
     val values = cols.flatMap { case (name, dt) =>
-      var mn: Any = null
-      var mx: Any = null
+      val converted = meta.leaves.find(_.name == name)
+        .map(_.convertedType).getOrElse(-1)
+      var mn: Option[Long] = None
+      var mx: Option[Long] = None
       meta.row_groups.foreach { rg =>
         if (rg.num_rows > 0) {
           val cs = chunk(rg, name)
           val allNull = cs.nullCount.contains(cs.numValues)
           (cs.minValue, cs.maxValue) match {
             case (Some(mnB), Some(mxB)) =>
-              val lo = decode(name, dt, cs.typeCode, mnB, pathStr)
-              val hi = decode(name, dt, cs.typeCode, mxB, pathStr)
-              mn = if (mn == null) lo else minOf(dt, mn, lo)
-              mx = if (mx == null) hi else maxOf(dt, mx, hi)
+              val lo = decode(name, dt, converted, cs.typeCode, mnB, pathStr)
+              val hi = decode(name, dt, converted, cs.typeCode, mxB, pathStr)
+              mn = Some(mn.fold(lo)(math.min(_, lo)))
+              mx = Some(mx.fold(hi)(math.max(_, hi)))
             case _ if allNull => () // legitimately contributes nothing
             case _ =>
               throw new IllegalStateException(
@@ -76,7 +82,7 @@ object FooterStatsRewrite {
           }
         }
       }
-      Seq(mn, mx)
+      Seq(mn.map(toExternal(dt, _)).orNull, mx.map(toExternal(dt, _)).orNull)
     }
     // count(col) = Σ chunks (num_values − null_count); null_count must
     // be recorded — a writer that omits it gets a refusal, not a guess.
@@ -95,27 +101,39 @@ object FooterStatsRewrite {
     Row.fromSeq((meta.num_rows +: values) ++ counts)
   }
 
-  private def decode(name: String, dt: DataType, typeCode: Int,
-      bytes: Array[Byte], path: String): Any = {
+  /** Decode one plain-encoded stats value to a comparable Long.
+    * Units are VERIFIED from the schema's converted_type, never
+    * assumed: DATE requires converted 6; TIMESTAMP accepts micros
+    * (10) as-is and millis (9) scaled ×1000; an unannotated or
+    * nano-annotated INT64 under a TimestampType column refuses. */
+  private def decode(name: String, dt: DataType, converted: Int,
+      typeCode: Int, bytes: Array[Byte], path: String): Long = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     (dt, typeCode) match {
-      case (IntegerType, 1) if bytes.length == 4 => bb.getInt
+      case (IntegerType, 1) if bytes.length == 4 => bb.getInt.toLong
+      case (DateType, 1) if bytes.length == 4 && converted == 6 =>
+        bb.getInt.toLong
       case (LongType, 2) if bytes.length == 8 => bb.getLong
+      case (TimestampType, 2) if bytes.length == 8 && converted == 10 =>
+        bb.getLong
+      case (TimestampType, 2) if bytes.length == 8 && converted == 9 =>
+        math.multiplyExact(bb.getLong, 1000L) // millis → micros
       case _ =>
         throw new IllegalStateException(
           s"footer-stats: column '$name' is $dt but the chunk in $path " +
-            s"has physical type $typeCode with ${bytes.length}-byte stats")
+            s"has physical type $typeCode (converted $converted) with " +
+            s"${bytes.length}-byte stats")
     }
   }
 
-  private def minOf(dt: DataType, a: Any, b: Any): Any = dt match {
-    case IntegerType => math.min(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case _ => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
-  }
-  private def maxOf(dt: DataType, a: Any, b: Any): Any = dt match {
-    case IntegerType => math.max(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case _ => math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  private def toExternal(dt: DataType, v: Long): Any = dt match {
+    case IntegerType => v.toInt
+    case DateType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(v.toInt)
+    case TimestampType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v)
+    case _ => v
   }
 
   /** Install the rewrite rule into a session (idempotent). */
@@ -157,7 +175,8 @@ class FooterStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class CountOf(a: AttributeReference) extends Item
 
   private def statsType(dt: DataType): Boolean =
-    dt == IntegerType || dt == LongType
+    dt == IntegerType || dt == LongType ||
+      dt == DateType || dt == TimestampType
 
   /** count(col) needs leaf values ≡ rows: flat atomic columns only
     * (a repeated leaf's num_values counts elements, not rows). */

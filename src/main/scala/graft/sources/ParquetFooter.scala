@@ -43,7 +43,8 @@ object ParquetFooter {
   /** One leaf (physical) column: its SchemaElement name and the
     * parquet-format Type enum (0 BOOLEAN, 1 INT32, 2 INT64, 3 INT96,
     * 4 FLOAT, 5 DOUBLE, 6 BYTE_ARRAY, 7 FIXED_LEN_BYTE_ARRAY). */
-  final case class LeafField(name: String, typeCode: Int) {
+  final case class LeafField(name: String, typeCode: Int,
+      convertedType: Int = -1) {
     def typeName: String = typeCode match {
       case 0 => "BOOLEAN"; case 1 => "INT32"; case 2 => "INT64"
       case 3 => "INT96"; case 4 => "FLOAT"; case 5 => "DOUBLE"
@@ -153,10 +154,14 @@ object ParquetFooter {
     }
   }
 
-  /** One SchemaElement: Some(leaf) iff it has no num_children. */
+  /** One SchemaElement: Some(leaf) iff it has no num_children. The
+    * converted_type (field 6; TIMESTAMP_MILLIS=9, TIMESTAMP_MICROS=10,
+    * DATE=6, ...) rides along so stats consumers can verify UNITS
+    * instead of assuming them. */
   private def schemaElementLeaf(r: Reader): Option[LeafField] = {
     var children = 0L
     var typeCode = -1
+    var converted = -1
     var name = ""
     walkStruct(r) { (id, tpe, rr) =>
       (id, tpe) match {
@@ -165,10 +170,11 @@ object ParquetFooter {
           name = rr.str(rr.varint().toInt)
           true
         case (5, TI32) => children = rr.zigzag(); true
+        case (6, TI32) => converted = rr.zigzag().toInt; true
         case _ => false
       }
     }
-    if (children == 0) Some(LeafField(name, typeCode)) else None
+    if (children == 0) Some(LeafField(name, typeCode, converted)) else None
   }
 
   /** Statistics struct (field 12 of ColumnMetaData): null_count (3),

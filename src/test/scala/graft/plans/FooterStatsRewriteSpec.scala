@@ -49,6 +49,55 @@ class FooterStatsRewriteSpec extends SparkFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("max(ts)/min(date): the freshness card answers from footers") {
+    installed
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val base = spark.range(1000).select(
+        expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id)")
+          .as("ts"),
+        expr("date'2024-01-01' + CAST(id % 90 AS INT)").as("d"))
+      val dir = write(base, 3)
+      val df = spark.read.parquet(dir).agg(
+        min("ts").as("lo"), max("ts").as("hi"),
+        min("d").as("dlo"), max("d").as("dhi"))
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("MapPartitions"), s"rewrite did not fire:\n$phys")
+      assert(!phys.contains("Scan parquet"), s"data scan survived:\n$phys")
+      val r = df.collect().head
+      assert(r.getTimestamp(0) ===
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+      assert(r.getTimestamp(1) ===
+        java.sql.Timestamp.valueOf("2024-03-01 00:16:39"))
+      assert(r.getDate(2) === java.sql.Date.valueOf("2024-01-01"))
+      assert(r.getDate(3) === java.sql.Date.valueOf("2024-03-30"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  test("INT96 timestamps refuse loudly rather than mis-decode") {
+    installed
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val dir = write(spark.range(10).select(
+        expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id)")
+          .as("ts")), 1)
+      val df = spark.read.parquet(dir).agg(max("ts"))
+      val ex = intercept[Exception] { df.collect() }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("footer-stats")),
+        ex.getMessage)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   test("count(col) from null_count: exact with nulls, strings included") {
     installed
     val base = spark.range(200).select(col("id"),
