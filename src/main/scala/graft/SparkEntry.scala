@@ -2675,6 +2675,16 @@ object SparkEntry {
         .orderBy("click_id", "view_id")),
     // As-of join: each click matched to the user's most recent prior
     // view (oracle = DuckDB's native ASOF JOIN).
+    // CUSUM change-point card (Page 1954) over the hourly event rate
+    // — accumulates small sustained drifts EWMA's level threshold
+    // misses. Sequential recurrence re-expressed as the closed form
+    // c_t − min(0, running-min c) so it's two windows on the BOUNDED
+    // hours relation, never a corpus sort. Drift allowance k=15/h,
+    // alarm h=30.
+    "events_cusum" -> ((s, d) =>
+      graft.streaming.EventPipeline.cusumHourly(
+        table(s, d, "events"), driftK = 15L, alarmH = 30L)
+        .orderBy("hour_ts")),
     "events_asof" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.streaming.EventPipeline.normalizeTs(table(s, d, "events"))
@@ -10182,6 +10192,23 @@ object SparkEntry {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 600 SECOND
         |ORDER BY click_id, view_id""".stripMargin,
+    "events_cusum" ->
+      """WITH hx AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT hour_ts, n_events,
+        |         sum(n_events - 15) OVER (ORDER BY hour_ts) AS cum
+        |  FROM hx),
+        |m AS (
+        |  SELECT hour_ts, n_events, cum,
+        |         min(cum) OVER (ORDER BY hour_ts) AS mn
+        |  FROM c)
+        |SELECT hour_ts, n_events,
+        |       CAST(cum - least(mn, 0) AS BIGINT) AS cusum,
+        |       (cum - least(mn, 0)) > 30 AS alarm
+        |FROM m ORDER BY hour_ts""".stripMargin,
     "events_join_streamed" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |       CAST(c.ts AS TIMESTAMP) AS click_ts,

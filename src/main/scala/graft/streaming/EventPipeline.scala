@@ -191,6 +191,43 @@ object EventPipeline {
   }
 
   /**
+   * One-sided upper CUSUM (Page 1954) over the hourly event rate —
+   * the change-point detector behind "ingestion volume shifted":
+   * EWMA smooths and thresholds LEVEL, CUSUM accumulates small
+   * sustained drifts that no single hour would flag. The recurrence
+   * `S_t = max(0, S_{t−1} + (x_t − k))` is sequential, but has the
+   * closed form `S_t = c_t − min(0, min_{j≤t} c_j)` over the drift-
+   * adjusted cumulative sum `c_t = Σ(x_i − k)` — two running windows
+   * instead of a sequential loop.
+   *
+   * Shape: one map-side-combined hourly aggregate first, so the
+   * windows run on the BOUNDED hours relation (720 rows/month), on
+   * the pinned single-partition key — the corpus never sorts. Hours
+   * with zero events are absent from the log and therefore from the
+   * statistic (documented; densify upstream if gaps must count as
+   * drift). All integer: k is the per-hour allowance, h the alarm
+   * threshold.
+   */
+  def cusumHourly(
+      events: DataFrame, driftK: Long, alarmH: Long): DataFrame = {
+    require(driftK >= 0, s"driftK must be >= 0, got $driftK")
+    require(alarmH > 0, s"alarmH must be > 0, got $alarmH")
+    import org.apache.spark.sql.expressions.Window
+    val hourly = normalizeTs(events)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window
+      .partitionBy(graft.operators.Retrieval.singlePartitionKey(col("hour_ts")))
+      .orderBy("hour_ts")
+    hourly
+      .withColumn("__cum", sum(col("n_events") - lit(driftK)).over(w))
+      .withColumn("__mn", min("__cum").over(w))
+      .select(col("hour_ts"), col("n_events").cast("long").as("n_events"),
+        (col("__cum") - least(col("__mn"), lit(0L))).cast("long").as("cusum"))
+      .withColumn("alarm", col("cusum") > alarmH)
+  }
+
+  /**
    * Ordered funnel analysis: how many users reach each step of an
    * event-type sequence, where step i+1 counts only events STRICTLY
    * AFTER the user's step-i time (the classic conversion funnel — a

@@ -525,6 +525,27 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(streamed === batch)
   }
 
+  test("cusumHourly: closed form equals the sequential recurrence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hourly counts 5,5,9,9,2 with k=6 → S = 0,0,3,6,2 (by hand);
+    // events get distinct minutes inside each hour
+    val ev = Seq(
+      ("2024-01-01 00:00:00", 5), ("2024-01-01 01:00:00", 5),
+      ("2024-01-01 02:00:00", 9), ("2024-01-01 03:00:00", 9),
+      ("2024-01-01 04:00:00", 2)).flatMap { case (h, n) =>
+      (0 until n).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(h).getTime + i * 60000L))
+    }.map { case (id, ms) => (id, new java.sql.Timestamp(ms)) }
+      .toDF("event_id", "ts")
+    val out = EventPipeline.cusumHourly(ev, driftK = 6L, alarmH = 5L)
+      .orderBy("hour_ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (5L, 0L, false), (5L, 0L, false), (9L, 3L, false),
+      (9L, 6L, true), (2L, 2L, false)))
+  }
+
   test("streamedClickViewParity: file-to-file stream-stream join == batch join") {
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet(s"$Sf0001/events.parquet")
