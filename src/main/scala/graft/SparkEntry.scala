@@ -2215,6 +2215,13 @@ object SparkEntry {
     "source_hapax" -> ((s, d) =>
       TextAnalysis.hapaxRate(table(s, d, "documents"), "source", "text")
         .orderBy("source")),
+    // Yule's K + Simpson repeat-rate per source — the inverse signal
+    // of hapax from the same term relation: lexical CONCENTRATION
+    // (authorship/genre constant; boilerplate rises, prose sits low).
+    "source_yule" -> ((s, d) =>
+      TextAnalysis.lexicalConcentration(
+        table(s, d, "documents"), "source", "text")
+        .orderBy("source")),
     // Postings-at-rest census: per-term df/cf/doc-range and the max
     // doc-id gap (the delta-encoding width driver) for the vocabulary
     // head — gaps via a term-partitioned lag window, top-k via
@@ -7183,6 +7190,23 @@ object SparkEntry {
         |       CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) //
         |            count(*) AS BIGINT) AS hapax_micro
         |FROM pt GROUP BY source ORDER BY source""".stripMargin,
+    "source_yule" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pt AS (
+        |  SELECT source, term, CAST(count(*) AS HUGEINT) AS c
+        |  FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |         sum(c) AS n, sum(c * c) AS s2, sum(c * (c - 1)) AS rep
+        |  FROM pt GROUP BY 1)
+        |SELECT source, n_types, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(CASE WHEN n > 1 THEN (10000000 * (s2 - n)) // (n * n)
+        |                 ELSE 0 END AS BIGINT) AS yule_k_milli,
+        |       CAST(CASE WHEN n > 1 THEN (1000000 * rep) // (n * (n - 1))
+        |                 ELSE 0 END AS BIGINT) AS simpson_micro
+        |FROM a ORDER BY source""".stripMargin,
     "source_gini" ->
       """WITH h AS (
         |  SELECT source, n_chars AS v, CAST(count(*) AS HUGEINT) AS c

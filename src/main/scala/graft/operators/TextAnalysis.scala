@@ -925,6 +925,42 @@ object TextAnalysis {
    * mojibake inflates it toward 1. One (group, term) aggregate, one
    * per-group rollup.
    */
+  /**
+   * Per-group lexical concentration: Yule's characteristic K
+   * (Yule 1944, `10⁴·(Σc² − N)/N²` — repeat-rate of the vocabulary,
+   * stable under corpus growth, the classic authorship/genre
+   * constant) and the unbiased Simpson repeat probability
+   * `Σc(c−1)/(N(N−1))` — the chance two sampled tokens are the same
+   * type. High values = template/boilerplate-heavy text; the inverse
+   * signal of [[hapaxRate]], from the same (group, term) relation.
+   * Integer-exact: `yule_k_milli = (10⁷·(S2 − N)) div N²`,
+   * `simpson_micro = (10⁶·Σc(c−1)) div (N(N−1))`, DECIMAL(38,0)
+   * sums. Groups with N ≤ 1 report 0.
+   */
+  def lexicalConcentration(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val perTerm = docs
+      .select(col(groupCol).as("__g"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("__g", "term").agg(count(lit(1)).as("__c"))
+    perTerm.groupBy("__g")
+      .agg(count(lit(1)).as("n_types"),
+        sum("__c").as("__n"),
+        sum(expr(s"CAST(__c AS $dec) * __c")).as("__s2"),
+        sum(expr(s"CAST(__c AS $dec) * (__c - 1)")).as("__rep"))
+      .select(col("__g").as(groupCol),
+        col("n_types").cast("long").as("n_types"),
+        col("__n").cast("long").as("n_tokens"),
+        when(col("__n") > 1,
+          expr(s"(10000000 * (__s2 - __n)) div (CAST(__n AS $dec) * __n)"))
+          .otherwise(0L).as("yule_k_milli"),
+        when(col("__n") > 1,
+          expr(s"(1000000 * __rep) div (CAST(__n AS $dec) * (__n - 1))"))
+          .otherwise(0L).as("simpson_micro"))
+  }
+
   def hapaxRate(
       docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val perTerm = docs

@@ -611,6 +611,17 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got("x") === ((1L, 4L, 3000000L)))
   }
 
+  test("lexical concentration: Yule's K and Simpson repeat-rate exact") {
+    import spark.implicits._
+    // "a a a b b c": N=6, S2=14, rep=8 → K = 1e7·8/36, λ = 1e6·8/30
+    val docs = Seq(("x", "a a a b b c"), ("y", "a b c")).toDF("g", "text")
+    val got = TextAnalysis.lexicalConcentration(docs, "g", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("x") === ((3L, 6L, 2222222L, 266666L)))
+    assert(got("y") === ((3L, 3L, 0L, 0L)))
+  }
+
   test("hapax: rate separates varied prose from repeated template") {
     import spark.implicits._
     val docs = Seq(
