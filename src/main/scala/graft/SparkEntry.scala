@@ -2526,6 +2526,49 @@ object SparkEntry {
     "top_parts_per_brand" -> ((s, d) =>
       RelationalAnalytics.topPartsPerBrand(
         table(s, d, "part"), table(s, d, "lineitem"), k = 3)),
+    // TPC-H Q7: bilateral nation-pair trade volume by ship year —
+    // both nation maps broadcast, facts join on keys only.
+    "tpch_q7_volume_shipping" -> ((s, d) =>
+      RelationalAnalytics.volumeShipping(
+        table(s, d, "nation"), table(s, d, "customer"),
+        table(s, d, "supplier"), table(s, d, "orders"),
+        table(s, d, "lineitem"), "NATION_3", "NATION_7",
+        from = "1996-01-01", until = "1998-01-01")),
+    // TPC-H Q8: one nation's market share of a region's PROMO-part
+    // spend by order year — exact DECIMAL sums, one rounded division.
+    "tpch_q8_market_share" -> ((s, d) =>
+      RelationalAnalytics.marketShare(
+        table(s, d, "region"), table(s, d, "nation"),
+        table(s, d, "customer"), table(s, d, "supplier"),
+        table(s, d, "orders"), table(s, d, "lineitem"),
+        table(s, d, "part"), regionName = "ASIA", partType = "PROMO",
+        targetNation = "NATION_5",
+        from = "1996-01-01", until = "1998-01-01")),
+    // TPC-H Q14: promotion share of one month's revenue.
+    "tpch_q14_promo" -> ((s, d) =>
+      RelationalAnalytics.promoRevenue(
+        table(s, d, "lineitem"), table(s, d, "part"),
+        from = "1996-03-01", until = "1996-04-01")),
+    // TPC-H Q15: supplier(s) at the quarter's max revenue (ties all
+    // surface) — one aggregate + a 1-row max broadcast.
+    "tpch_q15_top_supplier" -> ((s, d) =>
+      RelationalAnalytics.topSupplier(
+        table(s, d, "supplier"), table(s, d, "lineitem"),
+        from = "1996-01-01", until = "1996-04-01")),
+    // TPC-H Q17: revenue lost to small-quantity orders of one brand's
+    // small parts; the 20%-of-average filter is exact
+    // cross-multiplication, no division in the comparison.
+    "tpch_q17_small_qty" -> ((s, d) =>
+      RelationalAnalytics.smallQuantityRevenue(
+        table(s, d, "lineitem"), table(s, d, "part"),
+        brand = "Brand#3", sizeCap = 15)),
+    // TPC-H Q19: disjunctive brand × size × quantity bands in ONE
+    // scan — the predicate-pushdown-of-ORs query.
+    "tpch_q19_disjunct" -> ((s, d) =>
+      RelationalAnalytics.discountedRevenue(
+        table(s, d, "lineitem"), table(s, d, "part"),
+        Seq(("Brand#1", 5, 1L, 11L), ("Brand#2", 10, 10L, 20L),
+          ("Brand#3", 15, 20L, 30L)))),
     // Skew-salted fact⋈fact join (hot orderkeys split across 4 salt
     // buckets, cold remainder joined plainly) — result must equal the
     // plain join, which is exactly what the oracle checks. The TPC-H
@@ -8854,6 +8897,107 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n.n_name
         |ORDER BY rev DESC, n.n_name""".stripMargin,
+    "tpch_q7_volume_shipping" ->
+      """WITH cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7')),
+        |sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7'))
+        |SELECT sn.supp_nation, cn.cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN cn ON o.o_custkey = cn.c_custkey
+        |JOIN sn ON l.l_suppkey = sn.s_suppkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.supp_nation = 'NATION_3' AND cn.cust_nation = 'NATION_7')
+        |    OR (sn.supp_nation = 'NATION_7' AND cn.cust_nation = 'NATION_3'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "tpch_q8_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |         CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |              AS DECIMAL(18,6)) AS rev,
+        |         CAST(CASE WHEN sn.n_name = 'NATION_5'
+        |                   THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                   ELSE 0.0 END AS DECIMAL(18,6)) AS nrev
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cnn ON c.c_nationkey = cnn.n_nationkey
+        |  JOIN region r ON cnn.n_regionkey = r.r_regionkey
+        |                AND r.r_name = 'ASIA'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |       round(CAST(sum(nrev) AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6)
+        |         AS mkt_share,
+        |       round(CAST(sum(rev) AS DOUBLE), 6) AS total_rev
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q14_promo" ->
+      """SELECT round(CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+        |                     THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                     ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |             * 100.0 /
+        |             CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |                           AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS promo_pct,
+        |       round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |                           AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS total_rev
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l.l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                       AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_revenue) AS m FROM rev)
+        |SELECT s.s_suppkey, s.s_name,
+        |       round(r.total_revenue, 6) AS total_revenue
+        |FROM rev r, mx, supplier s
+        |WHERE r.total_revenue = mx.m AND s.s_suppkey = r.supplier_no
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "tpch_q17_small_qty" ->
+      """WITH pp AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#3' AND p_size <= 15),
+        |li AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey),
+        |aq AS (
+        |  SELECT l_partkey AS pk,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM li GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,6)))
+        |                  AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM li JOIN aq ON li.l_partkey = aq.pk
+        |WHERE CAST(li.l_quantity AS DECIMAL(18,6)) * 5 * aq.n < aq.sq""".stripMargin,
+    "tpch_q19_disjunct" ->
+      """SELECT CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "cust_no_orders_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE NOT EXISTS (

@@ -518,6 +518,175 @@ object RelationalAnalytics {
   }
 
   /**
+   * TPC-H Q7 shape (volume shipping): bilateral trade — revenue
+   * between a SUPPLIER nation and a CUSTOMER nation, both directions,
+   * by ship year. Both nation maps broadcast; the fact tables join on
+   * their keys only.
+   */
+  def volumeShipping(
+      nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      nation1: String, nation2: String,
+      from: String, until: String): DataFrame = {
+    val n = nation.filter(col("n_name").isin(nation1, nation2))
+      .select("n_nationkey", "n_name")
+    val cust = customer.join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val supp = supplier.join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === nation1 && col("cust_nation") === nation2) ||
+        (col("supp_nation") === nation2 && col("cust_nation") === nation1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(decSum(revenue).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /**
+   * TPC-H Q8 shape (national market share): of the revenue a REGION's
+   * customers spend on a part type, the share supplied by one target
+   * nation, by order year. Exact DECIMAL sums; the share is one
+   * double division rounded to 6 dp (both engines divide the same
+   * exact sums).
+   */
+  def marketShare(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      part: DataFrame, regionName: String, partType: String,
+      targetNation: String, from: String, until: String): DataFrame = {
+    val regionNations = nation.join(
+        broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = customer.join(broadcast(regionNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppN = supplier.join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val parts = part.filter(col("p_type") === partType).select("p_partkey")
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        decSum(when(col("supp_nation") === targetNation, revenue)
+          .otherwise(lit(0.0))).as("nation_rev"),
+        decSum(revenue).as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"),
+        round(col("total_rev"), 6).as("total_rev"))
+      .orderBy("o_year")
+  }
+
+  /**
+   * TPC-H Q14 shape (promotion effect): the percentage of a month's
+   * lineitem revenue from PROMO-type parts. Part map broadcast; one
+   * aggregate; percentage as one rounded division of exact sums.
+   */
+  def promoRevenue(
+      lineitem: DataFrame, part: DataFrame,
+      from: String, until: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(broadcast(part.select(col("p_partkey"),
+        (col("p_type") === "PROMO").as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        decSum(when(col("is_promo"), revenue).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        decSum(revenue).as("total_rev"))
+      .select(
+        round(col("promo_rev") * 100.0 / col("total_rev"), 6)
+          .as("promo_pct"),
+        round(col("total_rev"), 6).as("total_rev"))
+
+  /**
+   * TPC-H Q15 shape (top supplier): the supplier(s) whose revenue
+   * over a window equals the maximum — the "view + max" query, here
+   * as one aggregate and a 1-row broadcast of the max (ties all
+   * surface, as in the spec query).
+   */
+  def topSupplier(
+      supplier: DataFrame, lineitem: DataFrame,
+      from: String, until: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(decSum(revenue).as("total_revenue"))
+    val mx = rev.agg(max("total_revenue").as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("__mx"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_revenue"), 6).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /**
+   * TPC-H Q17 shape (small-quantity-order revenue): average yearly
+   * revenue lost if small orders (< 20% of a part's average quantity)
+   * of one brand's small parts were not stocked. The quantity filter
+   * is EXACT cross-multiplication (`5·n·qty < Σqty`) — no division
+   * enters the comparison. (The spec's container predicate has no
+   * column here; p_size ≤ sizeCap stands in, declared, not hidden.)
+   */
+  def smallQuantityRevenue(
+      lineitem: DataFrame, part: DataFrame,
+      brand: String, sizeCap: Int): DataFrame = {
+    val parts = part
+      .filter(col("p_brand") === brand && col("p_size") <= sizeCap)
+      .select("p_partkey")
+    val li = lineitem.join(broadcast(parts),
+      col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("p_partkey").as("__pk"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("__sq"),
+        count(lit(1)).as("__n"))
+    li.join(broadcast(avgQ), col("p_partkey") === col("__pk"))
+      .filter(col("l_quantity").cast("decimal(18,6)") * 5 * col("__n") <
+        col("__sq"))
+      .agg(decSum(col("l_extendedprice")).as("__s"))
+      .select(round(col("__s") / 7.0, 6).as("avg_yearly"))
+  }
+
+  /**
+   * TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+   * three brand × size × quantity bands OR-ed together — the query
+   * whose point is that the OR of selective conjuncts must still
+   * push into ONE scan (a union of three scans triples the IO).
+   */
+  def discountedRevenue(
+      lineitem: DataFrame, part: DataFrame,
+      bands: Seq[(String, Int, Long, Long)]): DataFrame = {
+    require(bands.nonEmpty, "need at least one (brand, maxSize, qLo, qHi) band")
+    val p = broadcast(part.select("p_partkey", "p_brand", "p_size"))
+    val cond = bands.map { case (b, sz, qLo, qHi) =>
+      col("p_brand") === b && col("p_size").between(1, sz) &&
+        col("l_quantity").between(qLo, qHi)
+    }.reduce(_ || _)
+    lineitem.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(decSum(revenue).as("revenue"))
+  }
+
+  /**
    * Per-group Gini coefficient of a non-negative integer measure —
    * the concentration card: is a source's volume spread across many
    * documents or dominated by a few huge ones? (A near-1 Gini on

@@ -321,6 +321,56 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(bc.getAs[Long]("rnk") === 1L)
   }
 
+  test("q15: revenue ties all surface; q17 filter is exact cross-mult") {
+    import spark.implicits._
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val ts = java.sql.Timestamp.valueOf("1996-02-01 00:00:00")
+    // suppliers 1 and 2 tie at 200.0, supplier 3 trails
+    val li = Seq(
+      (1L, 100.0, 0.0), (1L, 100.0, 0.0),
+      (2L, 200.0, 0.0), (3L, 50.0, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", lit(ts))
+    val top = RelationalAnalytics.topSupplier(supplier, li,
+        "1996-01-01", "1996-04-01")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(1L, 2L))
+
+    // q17: part avg qty = (1+4+10)/3 = 5 → 0.2·avg = 1 → only qty<1
+    // would pass... with qty 1 the exact form 5·3·1 < 15 is FALSE
+    // (strict), so nothing passes; lower one qty to make one row pass
+    val part = Seq((7L, "Brand#3", 5)).toDF("p_partkey", "p_brand", "p_size")
+    val li17 = Seq((7L, 1.0, 700.0), (7L, 4.0, 1.0), (7L, 10.0, 1.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val none = RelationalAnalytics.smallQuantityRevenue(li17, part,
+      "Brand#3", sizeCap = 15).collect().head
+    assert(none.isNullAt(0)) // 5·3·1 = 15 is NOT < 15 — boundary exact
+    val li17b = Seq((7L, 0.5, 700.0), (7L, 4.5, 1.0), (7L, 10.0, 1.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val one = RelationalAnalytics.smallQuantityRevenue(li17b, part,
+      "Brand#3", sizeCap = 15).collect().head
+    assert(one.getDouble(0) === 100.0) // 700/7
+  }
+
+  test("q19: disjunctive bands run as ONE scan of lineitem") {
+    import spark.implicits._
+    val part = Seq((1L, "Brand#1", 3), (2L, "Brand#2", 8),
+      (3L, "Brand#3", 12), (4L, "Brand#1", 40))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq((1L, 5.0, 100.0, 0.0), (2L, 15.0, 10.0, 0.0),
+      (3L, 25.0, 1.0, 0.0), (4L, 5.0, 1000.0, 0.0), (1L, 40.0, 999.0, 0.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val df = RelationalAnalytics.discountedRevenue(li, part,
+      Seq(("Brand#1", 5, 1L, 11L), ("Brand#2", 10, 10L, 20L),
+        ("Brand#3", 15, 20L, 30L)))
+    // rows 1,2,3 match; size-40 part and qty-40 line do not
+    assert(df.collect().head.getDouble(0) === 111.0)
+    val scans = df.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Scan ExistingRDD"))
+    assert(scans <= 2, s"expected one scan per table:\n$scans")
+  }
+
   test("giniByGroup: hand case, equality → 0, concentration → high") {
     import spark.implicits._
     val df = Seq(
