@@ -2562,6 +2562,14 @@ object SparkEntry {
       RelationalAnalytics.smallQuantityRevenue(
         table(s, d, "lineitem"), table(s, d, "part"),
         brand = "Brand#3", sizeCap = 15)),
+    // TPC-H Q22 (adapted — nation stands in for the phone country
+    // code this schema lacks): rich inactive customers per nation;
+    // scalar-average broadcast + anti join + group count.
+    "tpch_q22_global_sales" -> ((s, d) =>
+      RelationalAnalytics.globalSalesOpportunity(
+        table(s, d, "customer"), table(s, d, "orders"),
+        table(s, d, "nation"),
+        from = "1996-01-01", until = "1998-01-01")),
     // TPC-H Q19: disjunctive brand × size × quantity bands in ONE
     // scan — the predicate-pushdown-of-ORs query.
     "tpch_q19_disjunct" -> ((s, d) =>
@@ -2725,6 +2733,14 @@ object SparkEntry {
         .orderBy("click_id", "view_id")),
     // As-of join: each click matched to the user's most recent prior
     // view (oracle = DuckDB's native ASOF JOIN).
+    // Seasonal hour-of-week outliers — hours breaking their own
+    // weekly rhythm: exact-median baselines per hour-of-week class,
+    // residual gate at 3× the global residual MAD. CUSUM's
+    // level-drift complement.
+    "events_seasonal_outliers" -> ((s, d) =>
+      graft.streaming.EventPipeline.seasonalOutliers(
+        table(s, d, "events"), k = 3)
+        .orderBy("hour_ts")),
     // CUSUM change-point card (Page 1954) over the hourly event rate
     // — accumulates small sustained drifts EWMA's level threshold
     // misses. Sequential recurrence re-expressed as the closed form
@@ -8988,6 +9004,27 @@ object SparkEntry {
         |                  AS DOUBLE) / 7.0, 6) AS avg_yearly
         |FROM li JOIN aq ON li.l_partkey = aq.pk
         |WHERE CAST(li.l_quantity AS DECIMAL(18,6)) * 5 * aq.n < aq.sq""".stripMargin,
+    "tpch_q22_global_sales" ->
+      """WITH a AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |el AS (
+        |  SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
+        |  FROM customer c, a
+        |  WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * a.n > a.s),
+        |noord AS (
+        |  SELECT el.* FROM el
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = el.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |      AND o.o_orderdate < TIMESTAMP '1998-01-01'))
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS totacctbal
+        |FROM noord JOIN nation n ON noord.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "tpch_q19_disjunct" ->
       """SELECT CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
         |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -10360,6 +10397,27 @@ object SparkEntry {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 600 SECOND
         |ORDER BY click_id, view_id""".stripMargin,
+    "events_seasonal_outliers" ->
+      """WITH hx AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |hw AS (
+        |  SELECT hour_ts, n_events,
+        |         CAST(dayofweek(hour_ts) * 24 + hour(hour_ts) AS INT) AS how
+        |  FROM hx),
+        |b AS (
+        |  SELECT how, quantile_cont(n_events, 0.5) AS baseline
+        |  FROM hw GROUP BY 1),
+        |r AS (
+        |  SELECT hw.hour_ts, hw.n_events, b.baseline,
+        |         hw.n_events - b.baseline AS resid
+        |  FROM hw JOIN b USING (how)),
+        |m AS (SELECT quantile_cont(abs(resid), 0.5) AS mad FROM r)
+        |SELECT hour_ts, n_events, round(baseline, 6) AS baseline,
+        |       round(resid, 6) AS resid,
+        |       abs(resid) > (SELECT mad FROM m) * 3 AS outlier
+        |FROM r ORDER BY hour_ts""".stripMargin,
     "events_cusum" ->
       """WITH hx AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,

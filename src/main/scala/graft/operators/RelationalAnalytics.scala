@@ -687,6 +687,42 @@ object RelationalAnalytics {
   }
 
   /**
+   * TPC-H Q22 shape (global sales opportunity): customers with
+   * above-average positive account balances who have NOT ordered in a
+   * window, grouped — the spec groups by phone country code, which
+   * this schema doesn't carry, so the customer's nation stands in
+   * (declared adaptation, same plan shape: scalar-subquery average
+   * broadcast + anti join + group count). DECIMAL-exact balance sums.
+   */
+  def globalSalesOpportunity(
+      customer: DataFrame, orders: DataFrame, nation: DataFrame,
+      from: String, until: String): DataFrame = {
+    // `bal > avg` as exact cross-multiplication `bal·n > Σbal` — the
+    // engines' decimal-average intermediates differ in their last
+    // bits, the cross-product does not.
+    val posStats = customer.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,6)")).as("__sum"),
+        count(lit(1)).as("__n"))
+    val eligible = customer.crossJoin(broadcast(posStats))
+      .filter(col("c_acctbal").cast("decimal(18,6)") * col("__n") >
+        col("__sum"))
+    val noOrders = eligible.join(
+      orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+        .select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    noOrders
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        decSum(col("c_acctbal")).as("totacctbal"))
+      .select(col("n_name"), col("numcust").cast("long").as("numcust"),
+        round(col("totacctbal"), 6).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  /**
    * Per-group Gini coefficient of a non-negative integer measure —
    * the concentration card: is a source's volume spread across many
    * documents or dominated by a few huge ones? (A near-1 Gini on

@@ -228,6 +228,40 @@ object EventPipeline {
   }
 
   /**
+   * Seasonal (hour-of-week) volume outliers — the monitoring card
+   * [[cusumHourly]] complements: CUSUM finds sustained LEVEL drift,
+   * this finds hours that break their own WEEKLY rhythm (Friday
+   * 18:00 is normally busy; a quiet one is the incident). Baseline =
+   * exact interpolated median of each hour-of-week class's hourly
+   * counts; an hour is an outlier when |count − baseline| exceeds
+   * `k` × the global MAD of residuals (median-based, so one broken
+   * day can't drag its own threshold).
+   *
+   * Shape: one hourly aggregate (bounded relation), a 168-row
+   * baseline join, a 1-row MAD broadcast — all on metadata-sized
+   * relations; same exact-percentile discipline as `typeValueMad`.
+   */
+  def seasonalOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hourly = normalizeTs(events)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("how",
+        (dayofweek(col("hour_ts")) * 24 + hour(col("hour_ts"))).cast("int"))
+    val base = hourly.groupBy("how")
+      .agg(expr("percentile(n_events, 0.5)").as("baseline"))
+    val withResid = hourly.join(broadcast(base), "how")
+      .withColumn("resid", col("n_events") - col("baseline"))
+    val mad = withResid.agg(
+      expr("percentile(abs(resid), 0.5)").as("__mad"))
+    withResid.crossJoin(broadcast(mad))
+      .select(col("hour_ts"), col("n_events").cast("long").as("n_events"),
+        round(col("baseline"), 6).as("baseline"),
+        round(col("resid"), 6).as("resid"),
+        (abs(col("resid")) > col("__mad") * k).as("outlier"))
+  }
+
+  /**
    * Ordered funnel analysis: how many users reach each step of an
    * event-type sequence, where step i+1 counts only events STRICTLY
    * AFTER the user's step-i time (the classic conversion funnel — a

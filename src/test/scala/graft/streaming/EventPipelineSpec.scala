@@ -525,6 +525,27 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(streamed === batch)
   }
 
+  test("seasonalOutliers: baseline is per hour-of-week, gate is global MAD") {
+    import spark.implicits._
+    // three weeks of a daily 09:00 slot at 10 events, one broken day
+    // at 2 — three samples per weekday class, so the class median
+    // (10) resists its own broken member
+    val days = (0 until 21)
+    val ev = days.flatMap { d =>
+      val n = if (d == 6) 2 else 10
+      (0 until n).map(i => (d.toLong * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 09:${i}%02d:00")))
+    }.toDF("event_id", "ts")
+    val out = EventPipeline.seasonalOutliers(ev, k = 3)
+      .orderBy("hour_ts").collect()
+    assert(out.length === 21)
+    val flagged = out.filter(_.getBoolean(4))
+    assert(flagged.length === 1)
+    assert(flagged.head.getLong(1) === 2L)
+    // the broken day's baseline comes from its own weekday class
+    assert(flagged.head.getDouble(2) === 10.0)
+  }
+
   test("cusumHourly: closed form equals the sequential recurrence") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
