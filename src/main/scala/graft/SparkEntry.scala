@@ -2733,6 +2733,19 @@ object SparkEntry {
         .orderBy("click_id", "view_id")),
     // As-of join: each click matched to the user's most recent prior
     // view (oracle = DuckDB's native ASOF JOIN).
+    // Discrete return-hazard life table over inter-activity gaps —
+    // hazard(k) = returns at day k / users still silent at k; the
+    // where-are-users-lost curve DAU/WAU can't localize. Censoring
+    // explicit: long gaps stay in every denominator.
+    "events_return_hazard" -> ((s, d) =>
+      graft.streaming.EventPipeline.returnHazard(
+        table(s, d, "events"), maxDays = 14)),
+    // Whale concentration: top-10-user share of each type's volume —
+    // the sampling-weight and salting-threshold warning.
+    "events_whales" -> ((s, d) =>
+      graft.streaming.EventPipeline.whaleConcentration(
+        table(s, d, "events"), k = 10)
+        .orderBy("event_type")),
     // Seasonal hour-of-week outliers — hours breaking their own
     // weekly rhythm: exact-median baselines per hour-of-week class,
     // residual gate at 3× the global residual MAD. CUSUM's
@@ -10397,6 +10410,45 @@ object SparkEntry {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 600 SECOND
         |ORDER BY click_id, view_id""".stripMargin,
+    "events_return_hazard" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT CAST(date_diff('day',
+        |           lag(day) OVER (PARTITION BY user_id ORDER BY day), day)
+        |         AS BIGINT) AS gap
+        |  FROM days),
+        |h AS (
+        |  SELECT gap, CAST(count(*) AS BIGINT) AS n_return
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT gap, n_return,
+        |         CAST(sum(n_return) OVER (ORDER BY gap DESC) AS BIGINT)
+        |           AS n_at_risk
+        |  FROM h)
+        |SELECT gap AS day_gap, n_return, n_at_risk,
+        |       CAST((1000000 * n_return) // n_at_risk AS BIGINT)
+        |         AS hazard_micro
+        |FROM r WHERE gap <= 14 ORDER BY day_gap""".stripMargin,
+    "events_whales" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, n,
+        |         row_number() OVER
+        |           (PARTITION BY event_type ORDER BY n DESC, user_id)
+        |           AS rnk
+        |  FROM per)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN rnk <= 10 THEN n ELSE 0 END) AS BIGINT)
+        |         AS n_top,
+        |       CAST((1000000 * sum(CASE WHEN rnk <= 10 THEN n ELSE 0 END)) //
+        |            sum(n) AS BIGINT) AS share_micro
+        |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_seasonal_outliers" ->
       """WITH hx AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,

@@ -262,6 +262,72 @@ object EventPipeline {
   }
 
   /**
+   * Discrete return-hazard curve — survival analysis's life table
+   * applied to user return gaps: over all inter-activity gaps (days
+   * between a user's consecutive ACTIVE days),
+   * `hazard(k) = #(gap = k) / #(gap ≥ k)` — "given silence of k days
+   * so far, the chance the user comes back today". The retention
+   * statistic DAU/WAU can't give: it localizes WHERE users are lost
+   * (a day-2 cliff vs a slow week-2 bleed). All integers; censoring
+   * is explicit (gaps longer than `maxDays` stay in every at-risk
+   * denominator, they just don't get output rows).
+   *
+   * Shape: per-user active days (one distinct), a lag window
+   * PARTITIONED per user, then a bounded gap histogram whose suffix
+   * sum runs on the pinned single-partition key — ≤ a few hundred
+   * rows, never the corpus.
+   */
+  def returnHazard(events: DataFrame, maxDays: Int = 30): DataFrame = {
+    require(maxDays >= 1, s"maxDays must be >= 1, got $maxDays")
+    import org.apache.spark.sql.expressions.Window
+    val days = normalizeTs(events)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val gaps = days
+      .withColumn("__prev", lag("day", 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(datediff(col("day"), col("__prev")).cast("long").as("gap"))
+    val hist = gaps.groupBy("gap").agg(count(lit(1)).as("n_return"))
+    val w2 = Window
+      .partitionBy(graft.operators.Retrieval.singlePartitionKey(col("gap")))
+      .orderBy(col("gap").desc)
+    hist
+      .withColumn("n_at_risk", sum("n_return").over(w2))
+      .filter(col("gap") <= maxDays)
+      .select(col("gap").as("day_gap"),
+        col("n_return").cast("long").as("n_return"),
+        col("n_at_risk").cast("long").as("n_at_risk"),
+        expr("(1000000 * n_return) div n_at_risk").as("hazard_micro"))
+      .orderBy("day_gap")
+  }
+
+  /**
+   * Whale-concentration card: the share of each event type's volume
+   * produced by its top-k users — the "three users are your
+   * ingestion" warning that decides both sampling weights and the
+   * salting threshold for user-keyed joins. One (type, user)
+   * aggregate, a per-type rank window on THAT relation (users per
+   * type, not events), exact integer share.
+   */
+  def whaleConcentration(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val per = events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("__n").desc, col("user_id"))
+    per.withColumn("__rnk", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("__n").as("n_events"),
+        sum(when(col("__rnk") <= k, col("__n")).otherwise(0L)).as("n_top"))
+      .select(col("event_type"), col("n_users").cast("long").as("n_users"),
+        col("n_events").cast("long").as("n_events"),
+        col("n_top").cast("long").as("n_top"),
+        expr("(1000000 * n_top) div n_events").as("share_micro"))
+  }
+
+  /**
    * Ordered funnel analysis: how many users reach each step of an
    * event-type sequence, where step i+1 counts only events STRICTLY
    * AFTER the user's step-i time (the classic conversion funnel — a

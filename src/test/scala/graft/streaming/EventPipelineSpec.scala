@@ -546,6 +546,35 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(flagged.head.getDouble(2) === 10.0)
   }
 
+  test("returnHazard: life table from inter-activity gaps, exact") {
+    import spark.implicits._
+    // u1 active days 1,2,4 → gaps {1,2}; u2 active 1,3,6 → gaps {2,3}
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-04"),
+      (2L, "2024-01-01"), (2L, "2024-01-03"), (2L, "2024-01-06"))
+      .zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, u, java.sql.Timestamp.valueOf(s"$d 12:00:00"))
+      }.toDF("event_id", "user_id", "ts")
+    val out = EventPipeline.returnHazard(ev, maxDays = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // gaps {1,2,2,3}: at-risk suffix sums 4,3,1
+    assert(out.toSeq === Seq(
+      (1L, 1L, 4L, 250000L), (2L, 2L, 3L, 666666L),
+      (3L, 1L, 1L, 1000000L)))
+  }
+
+  test("whaleConcentration: top-k share with user-id tie-break") {
+    import spark.implicits._
+    val ev = (Seq.fill(6)(10L) ++ Seq.fill(3)(20L) ++ Seq(30L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u, "click") }
+      .toDF("event_id", "user_id", "event_type")
+    val r = EventPipeline.whaleConcentration(ev, k = 2)
+      .collect().head
+    // top-2 users (10→6, 20→3) own 9 of 10 events
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((3L, 10L, 9L, 900000L)))
+  }
+
   test("cusumHourly: closed form equals the sequential recurrence") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
