@@ -2526,6 +2526,29 @@ object SparkEntry {
     "top_parts_per_brand" -> ((s, d) =>
       RelationalAnalytics.topPartsPerBrand(
         table(s, d, "part"), table(s, d, "lineitem"), k = 3)),
+    // FD-discovery card (Papenbrock-style, cardinality algebra): does
+    // each LHS value determine one RHS? One check that holds (unique
+    // key) and two that fail with exact violation counts.
+    "profile_fds" -> ((s, d) => {
+      val fd = graft.operators.Profiling.functionalDependency _
+      fd(table(s, d, "orders"), "orders", "o_orderkey", "o_orderpriority")
+        .unionByName(fd(table(s, d, "lineitem"), "lineitem",
+          "l_orderkey", "l_returnflag"))
+        .unionByName(fd(table(s, d, "part"), "part", "p_brand", "p_type"))
+        .orderBy("relation", "dependency")
+    }),
+    // Referential-integrity card: orphan fact rows vanish silently
+    // from inner joins — count them per FK edge of the star schema.
+    "profile_ri" -> ((s, d) => {
+      val ri = graft.operators.Profiling.referentialIntegrity _
+      ri(table(s, d, "orders"), "o_custkey",
+        table(s, d, "customer"), "c_custkey", "orders->customer")
+        .unionByName(ri(table(s, d, "lineitem"), "l_orderkey",
+          table(s, d, "orders"), "o_orderkey", "lineitem->orders"))
+        .unionByName(ri(table(s, d, "lineitem"), "l_partkey",
+          table(s, d, "part"), "p_partkey", "lineitem->part"))
+        .orderBy("relation")
+    }),
     // TPC-H Q7: bilateral nation-pair trade volume by ship year —
     // both nation maps broadcast, facts join on keys only.
     "tpch_q7_volume_shipping" -> ((s, d) =>
@@ -8926,6 +8949,68 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n.n_name
         |ORDER BY rev DESC, n.n_name""".stripMargin,
+    "profile_fds" ->
+      """WITH checks AS (
+        |  SELECT 'orders' AS relation,
+        |         'o_orderkey -> o_orderpriority' AS dependency,
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_lhs,
+        |         CAST(count(DISTINCT (o_orderkey, o_orderpriority)) AS BIGINT)
+        |           AS n_pairs
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey -> l_returnflag',
+        |         CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |         CAST(count(DISTINCT (l_orderkey, l_returnflag)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'part', 'p_brand -> p_type',
+        |         CAST(count(DISTINCT p_brand) AS BIGINT),
+        |         CAST(count(DISTINCT (p_brand, p_type)) AS BIGINT)
+        |  FROM part)
+        |SELECT relation, dependency, n_lhs, n_pairs,
+        |       n_pairs = n_lhs AS holds,
+        |       n_pairs - n_lhs AS n_violating_keys
+        |FROM checks ORDER BY relation, dependency""".stripMargin,
+    "profile_ri" ->
+      """WITH checks AS (
+        |  SELECT 'orders->customer' AS relation,
+        |         CAST((SELECT count(*) FROM orders
+        |               WHERE o_custkey IS NOT NULL) AS BIGINT) AS n_child_rows,
+        |         CAST((SELECT count(*) FROM orders
+        |               WHERE o_custkey IS NOT NULL
+        |                 AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |              AS BIGINT) AS n_orphan_rows,
+        |         CAST((SELECT count(DISTINCT o_custkey) FROM orders
+        |               WHERE o_custkey IS NOT NULL
+        |                 AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |              AS BIGINT) AS n_orphan_keys
+        |  UNION ALL
+        |  SELECT 'lineitem->orders',
+        |         CAST((SELECT count(*) FROM lineitem
+        |               WHERE l_orderkey IS NOT NULL) AS BIGINT),
+        |         CAST((SELECT count(*) FROM lineitem
+        |               WHERE l_orderkey IS NOT NULL
+        |                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |              AS BIGINT),
+        |         CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |               WHERE l_orderkey IS NOT NULL
+        |                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |              AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem->part',
+        |         CAST((SELECT count(*) FROM lineitem
+        |               WHERE l_partkey IS NOT NULL) AS BIGINT),
+        |         CAST((SELECT count(*) FROM lineitem
+        |               WHERE l_partkey IS NOT NULL
+        |                 AND l_partkey NOT IN (SELECT p_partkey FROM part))
+        |              AS BIGINT),
+        |         CAST((SELECT count(DISTINCT l_partkey) FROM lineitem
+        |               WHERE l_partkey IS NOT NULL
+        |                 AND l_partkey NOT IN (SELECT p_partkey FROM part))
+        |              AS BIGINT))
+        |SELECT relation, n_child_rows, n_orphan_rows, n_orphan_keys,
+        |       n_orphan_rows = 0 AS intact
+        |FROM checks ORDER BY relation""".stripMargin,
     "tpch_q7_volume_shipping" ->
       """WITH cn AS (
         |  SELECT c_custkey, n_name AS cust_nation FROM customer
