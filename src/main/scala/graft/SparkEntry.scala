@@ -269,6 +269,25 @@ object SparkEntry {
       (docs, dim)
     })
 
+  private val fkStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dedicated lineitem copy with a VERIFIED foreign key onto the
+    * constraint dim copy (l_partkey ⊆ p_partkey, no NULLs — the
+    * profile_ri facts), for the inner-join elimination row. */
+  private def fkStore(s: SparkSession, d: String): String =
+    fkStoreCache.computeIfAbsent(d, dir => {
+      val (_, dim) = constraintStore(s, dir)
+      val facts = java.nio.file.Files
+        .createTempDirectory("graft_fk_lineitem").toString
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").parquet(facts)
+      graft.plans.ConstraintCatalog.registerForeignKey(
+        facts, "l_partkey", dim, "p_partkey")
+      facts
+    })
+
   private def rollupStore(s: SparkSession, d: String)
       : (String, graft.plans.RollupCatalog.Params) =
     rollupCache.computeIfAbsent(d, dir => {
@@ -715,6 +734,27 @@ object SparkEntry {
       require(df.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
       }.isEmpty, "join elimination did not fire")
+      df.orderBy("l_returnflag")
+    }),
+    // ELEVENTH auto-rewrite: INNER join to an unreferenced dimension
+    // deletes when the fk is a REGISTERED verified foreign key onto
+    // the dim's unique key — unlike the left-join case this needs
+    // containment + no-null-fk, which is exactly what the profile_ri
+    // card verifies (run the card, then register). The oracle runs
+    // the REAL inner join in DuckDB.
+    "sql_fk_join_elim_rewrite" -> ((s, d) => {
+      graft.plans.ConstraintRewriteRule.ensureRegistered(s)
+      val (_, dim) = constraintStore(s, d)
+      val facts = fkStore(s, d)
+      val l = s.read.parquet(facts)
+      val p = s.read.parquet(dim)
+      val df = l.join(p, l("l_partkey") === p("p_partkey"), "inner")
+        .groupBy(l("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      require(df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "fk inner-join elimination did not fire")
       df.orderBy("l_returnflag")
     }),
     "sql_rollup_rewrite" -> ((s, d) => {
@@ -6062,6 +6102,13 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_items,
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem l LEFT OUTER JOIN part p
+        |  ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "sql_fk_join_elim_rewrite" ->
+      """SELECT l.l_returnflag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN part p
         |  ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "sql_rollup_rewrite" ->

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -24,8 +24,9 @@ import scala.collection.concurrent.TrieMap
  */
 object ConstraintCatalog {
   private val keys = TrieMap.empty[String, Seq[Seq[String]]]
+  private val fks = TrieMap.empty[(String, String), (String, String)]
 
-  private def normalize(p: String): String =
+  private[plans] def normalize(p: String): String =
     p.stripSuffix("/").replaceFirst("^file:", "")
 
   /** Declare `cols` a unique key of the table at `path`. */
@@ -38,7 +39,23 @@ object ConstraintCatalog {
   def uniqueKeysFor(path: String): Seq[Seq[String]] =
     keys.getOrElse(normalize(path), Nil)
 
-  def clear(): Unit = keys.clear()
+  /** Declare the VERIFIED foreign key `childPath.fkCol ⊆
+    * parentPath.pkCol` with fkCol containing no NULLs — exactly the
+    * two facts [[graft.operators.Profiling.referentialIntegrity]]
+    * checks (run the card, then register). Powers inner-join
+    * elimination, which unlike the left-join case NEEDS containment:
+    * an inner join drops orphan and null-fk child rows, so the
+    * assertion is what makes deletion lossless. */
+  def registerForeignKey(childPath: String, fkCol: String,
+      parentPath: String, pkCol: String): Unit =
+    fks.put((normalize(childPath), fkCol),
+      (normalize(parentPath), pkCol))
+
+  def foreignKeyFor(childPath: String, fkCol: String)
+      : Option[(String, String)] =
+    fks.get((normalize(childPath), fkCol))
+
+  def clear(): Unit = { keys.clear(); fks.clear() }
 }
 
 /**
@@ -133,6 +150,63 @@ class ConstraintRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     } yield true).getOrElse(false)
   }
 
+  /** The NINTH constraint shape (eleventh rewrite overall): an INNER
+    * join `child ⋈ parent ON fk = pk` where nothing from the parent is
+    * referenced, `pk` is a registered unique key, and (childPath,
+    * fk) → (parentPath, pk) is a REGISTERED verified foreign key —
+    * then every child row matches exactly one parent row and the join
+    * deletes. The parent side must be a bare Project-of-attributes
+    * chain (a parent-side Filter could drop child rows — refuse); the
+    * child side may carry Filters (they only shrink the child). */
+  private def innerJoinIsNoOp(
+      parentRefs: AttributeSet, join: Join): Boolean = {
+    val Join(left, right, _, cond, _) = join
+    // The optimizer infers `IsNotNull(pk)` below inner joins before
+    // this rule runs; dropping null-pk parent rows can never drop a
+    // match (equality never matches NULL), so exactly that filter —
+    // on the JOIN KEY only — is admissible on the parent side.
+    def bareScan(p: LogicalPlan, pk: AttributeReference): Option[String] =
+      p match {
+        case Project(pl, c)
+            if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          bareScan(c, pk)
+        case Filter(fc, c) if onlyNotNullOf(fc, pk) => bareScan(c, pk)
+        case lr: LogicalRelation =>
+          lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.headOption.map(_.toString)
+            case _ => None
+          }
+        case _ => None
+      }
+    val pair = cond.flatMap {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (left.outputSet.contains(a) && right.outputSet.contains(b))
+          Some((a, b))
+        else if (left.outputSet.contains(b) && right.outputSet.contains(a))
+          Some((b, a))
+        else None
+      case _ => None
+    }
+    (for {
+      (fk, pk) <- pair
+      if parentRefs.subsetOf(left.outputSet)
+      rPath <- bareScan(right, pk)
+      if ConstraintCatalog.uniqueKeysFor(rPath).contains(Seq(pk.name))
+      lPath <- scanThrough(left)
+      (pPath, pCol) <- ConstraintCatalog.foreignKeyFor(lPath, fk.name)
+      if pPath == ConstraintCatalog.normalize(rPath) && pCol == pk.name
+    } yield true).getOrElse(false)
+  }
+
+  /** Conjunctions of `IsNotNull(pk)` on exactly the join key. */
+  private def onlyNotNullOf(e: Expression, pk: AttributeReference): Boolean =
+    e match {
+      case IsNotNull(a: AttributeReference) => a.exprId == pk.exprId
+      case And(l, r) => onlyNotNullOf(l, pk) && onlyNotNullOf(r, pk)
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(_, j @ Join(left, _, LeftOuter, Some(_), _))
         if p.getTagValue(rewritten).isEmpty =>
@@ -142,6 +216,16 @@ class ConstraintRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if agg.getTagValue(rewritten).isEmpty =>
       agg.setTagValue(rewritten, true)
       if (joinIsNoOp(agg.references, j)) agg.copy(child = left)
+      else distinctElim(agg).getOrElse(agg)
+    case p @ Project(_, j @ Join(left, _, Inner, Some(_), _))
+        if p.getTagValue(rewritten).isEmpty =>
+      p.setTagValue(rewritten, true)
+      if (innerJoinIsNoOp(p.references, j)) Project(p.projectList, left)
+      else p
+    case agg @ Aggregate(_, _, j @ Join(left, _, Inner, Some(_), _), _)
+        if agg.getTagValue(rewritten).isEmpty =>
+      agg.setTagValue(rewritten, true)
+      if (innerJoinIsNoOp(agg.references, j)) agg.copy(child = left)
       else distinctElim(agg).getOrElse(agg)
     case agg: Aggregate if agg.getTagValue(rewritten).isEmpty =>
       agg.setTagValue(rewritten, true)

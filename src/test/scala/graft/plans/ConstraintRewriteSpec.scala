@@ -105,4 +105,43 @@ class ConstraintRewriteSpec extends SparkFunSuite {
     // have no dim match, so counts differ from the left-join row count
     assert(inner.count() === f.filter(col("fk") < 200).count())
   }
+
+  private lazy val containedFacts: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_factc").toString
+    (0L until 1000L).map(i => (i, i % 200, (i * 13) % 97))
+      .toDF("fid", "fk", "v") // fk 0..199 ⊆ dim pk 0..199, no nulls
+      .repartition(1).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("fk inner-join elimination: fires with a registered verified fk") {
+    installed
+    ConstraintCatalog.registerForeignKey(containedFacts, "fk", dims, "pk")
+    val f = spark.read.parquet(containedFacts)
+    val d = spark.read.parquet(dims)
+    val df = f.join(d, f("fk") === d("pk"), "inner")
+      .groupBy(f("fk")).agg(sum(f("v")).as("sv"))
+    assert(!hasJoin(df), df.queryExecution.optimizedPlan.toString)
+    val want = f.groupBy("fk").agg(sum("v").as("sv"))
+      .orderBy("fk").collect().toSeq
+    assert(df.orderBy("fk").collect().toSeq === want)
+  }
+
+  test("fk inner-join elimination refuses: parent filter, dim ref, wrong pk") {
+    installed
+    ConstraintCatalog.registerForeignKey(containedFacts, "fk", dims, "pk")
+    val f = spark.read.parquet(containedFacts)
+    val d = spark.read.parquet(dims)
+    // a parent-side filter could drop child rows — refuse
+    val filtered = f.join(d.filter(col("grp") =!= 3),
+      f("fk") === d("pk"), "inner").select(f("fid"))
+    assert(hasJoin(filtered))
+    // referenced dim column — refuse
+    val ref = f.join(d, f("fk") === d("pk"), "inner")
+      .select(f("fid"), d("name"))
+    assert(hasJoin(ref))
+    // join on a column that is not the registered pk — refuse
+    val wrong = f.join(d, f("fk") === d("grp"), "inner").select(f("fid"))
+    assert(hasJoin(wrong))
+  }
 }
