@@ -1160,6 +1160,21 @@ object SparkEntry {
           codeText.as("text")),
         "doc_id", "text").orderBy("doc_id")
     }),
+    // Redaction-span union — several detectors' half-open spans per
+    // doc merge by sweep (overlap/containment/adjacency become one
+    // cut) before any string surgery. Windows partitioned per doc;
+    // the oracle replays the identical sweep.
+    "pii_span_merge" -> ((s, d) => {
+      val a = (col("doc_id") * 7) % 50
+      val k = col("doc_id") % 4
+      val spans = table(s, d, "documents")
+        .select(col("doc_id"), explode(array(
+          struct(a.as("s"), (a + 5).as("e")),
+          struct((a + 3 + k).as("s"), (a + 9 + k).as("e")),
+          struct((a + 20).as("s"), (a + 24).as("e")))).as("sp"))
+        .select(col("doc_id"), col("sp.s").as("s"), col("sp.e").as("e"))
+      Pii.spanMergeCard(spans, "doc_id", "s", "e").orderBy("doc_id")
+    }),
     // IBAN audit — the account-number analogue of pii_luhn: extract
     // ISO 13616-shaped candidates and gate them on the ISO 7064
     // mod-97-10 checksum, folded char-by-char in int arithmetic (the
@@ -6712,6 +6727,36 @@ object SparkEntry {
         |SELECT d.doc_id, g.clone_rep, g.n_clones
         |FROM documents d JOIN g ON d.doc_id % 4 = g.t
         |ORDER BY d.doc_id""".stripMargin,
+    "pii_span_merge" ->
+      """WITH base AS (
+        |  SELECT doc_id, (doc_id * 7) % 50 AS a, doc_id % 4 AS k
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, a AS s, a + 5 AS e FROM base
+        |  UNION ALL
+        |  SELECT doc_id, a + 3 + k, a + 9 + k FROM base
+        |  UNION ALL
+        |  SELECT doc_id, a + 20, a + 24 FROM base),
+        |g AS (
+        |  SELECT doc_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              IS NULL
+        |           OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM sp),
+        |g2 AS (
+        |  SELECT doc_id, s, e,
+        |         sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+        |  FROM g2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_raw,
+        |       CAST(count(*) AS BIGINT) AS n_merged,
+        |       CAST(sum(me - ms) AS BIGINT) AS covered_chars
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pii_iban" ->
       """WITH cand AS (
         |  SELECT doc_id,

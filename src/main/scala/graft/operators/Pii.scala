@@ -125,4 +125,47 @@ object Pii {
         explode(regexp_extract_all(col(textCol), lit(IbanPattern), lit(0)))
           .as("candidate"))
       .withColumn("iban_valid", ibanValid(col("candidate")))
+
+  /**
+   * Redaction-span union: several detectors emit half-open character
+   * spans `[start, end)` per document; before surgery they must merge
+   * (overlapping `<EMAIL>`/`<PHONE>` cuts corrupt each other's
+   * offsets). Classic sweep: within each document order by (start,
+   * end); a span OPENS a new merged group iff its start exceeds the
+   * running max end of everything before it (touching spans merge —
+   * adjacent redactions become one cut). Output: one row per merged
+   * span (id, start, end).
+   *
+   * Shape: windows PARTITIONED per document (span counts per doc are
+   * detector-bounded); no cross-document anything.
+   */
+  def mergeSpans(
+      spans: DataFrame, idCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy(startCol, endCol)
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = spans
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__grp", sum("__new").over(w))
+    grouped.groupBy(col(idCol), col("__grp"))
+      .agg(min(startCol).as("start"), max(endCol).as("end"))
+      .drop("__grp")
+  }
+
+  /** Per-document span-merge card: raw span count, merged count, and
+    * covered character total after the union. */
+  def spanMergeCard(
+      spans: DataFrame, idCol: String, startCol: String,
+      endCol: String): DataFrame =
+    mergeSpans(spans, idCol, startCol, endCol)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("end") - col("start")).as("covered_chars"))
+      .join(spans.groupBy(idCol).agg(count(lit(1)).as("n_raw")), idCol)
+      .select(col(idCol), col("n_raw").cast("long").as("n_raw"),
+        col("n_merged").cast("long").as("n_merged"),
+        col("covered_chars").cast("long").as("covered_chars"))
 }

@@ -53,4 +53,24 @@ class PiiSpec extends SparkFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("mergeSpans: overlap, containment, adjacency, disjoint — exact") {
+    import spark.implicits._
+    val spans = Seq(
+      (1L, 0L, 5L), (1L, 3L, 9L),    // overlap → [0,9)
+      (1L, 9L, 12L),                 // adjacent → extends to [0,12)
+      (1L, 20L, 24L),                // disjoint
+      (2L, 10L, 30L), (2L, 12L, 15L) // containment → [10,30)
+    ).toDF("id", "s", "e")
+    val merged = Pii.mergeSpans(spans, "id", "s", "e")
+      .orderBy("id", "start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq === Seq((1L, 0L, 12L), (1L, 20L, 24L),
+      (2L, 10L, 30L)))
+    val card = Pii.spanMergeCard(spans, "id", "s", "e")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(card.toSeq === Seq((1L, 4L, 2L, 16L), (2L, 2L, 1L, 20L)))
+  }
 }
