@@ -969,6 +969,38 @@ object SparkEntry {
       ObjectivePrep.fimCorruption(table(s, d, "documents"),
         "doc_id", "text")
         .orderBy("doc_id")),
+    // Inverse Cloze Task pairs (Lee et al. 2019 — retriever
+    // pretraining): one 8-token block per doc becomes the pseudo-query
+    // (md5-seeded choice), the rest its context; 1-in-10 docs keep the
+    // query in context (the paper's lexical-overlap trick). One hash
+    // aggregate per doc over document-bounded segment lists.
+    "ict_pairs" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("text").isNotNull)
+      val toks = split(col("text"), " ")
+      val segs = docs
+        .select(col("doc_id"), toks.as("__toks"),
+          explode(sequence(lit(0),
+            ceil(size(toks) / lit(8.0)).cast("int") - 1)).as("seg_idx"))
+        .select(col("doc_id"), col("seg_idx"),
+          concat_ws(" ", expr("slice(__toks, seg_idx * 8 + 1, 8)"))
+            .as("seg_text"))
+      ObjectivePrep.ictPairs(segs, "doc_id", "seg_idx", "seg_text",
+        keepOneIn = 10).orderBy("doc_id")
+    }),
+    // DSIR importance weights (Xie et al. 2023): every non-English doc
+    // scored by how English-like its hashed-n-gram bag is — per-bucket
+    // count table (1024 rows, broadcast), 6-dp-rounded log10 deltas in
+    // exact DECIMAL. The published cheap stand-in for "select raw web
+    // data that looks like the target corpus".
+    "dsir_weights" -> ((s, d) =>
+      DataSelection.dsirWeights(table(s, d, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en")
+        .orderBy("doc_id")),
+    // DSIR selection: the 50 most target-like raw docs — one
+    // TakeOrderedAndProject over the weights, ties by id.
+    "dsir_select" -> ((s, d) =>
+      DataSelection.dsirSelect(table(s, d, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en", k = 50)),
     // DPO preference-pair prep (the third objective beside causal-LM
     // packing and masked-LM corruption): 4 candidate completions per
     // prompt (doc_id div 4), ranked by an integer token-count score;
@@ -2648,6 +2680,79 @@ object SparkEntry {
         table(s, d, "customer"), table(s, d, "orders"),
         table(s, d, "nation"),
         from = "1996-01-01", until = "1998-01-01")),
+    // TPC-H Q2 (adapted — the part-supplier catalog is derived from
+    // lineitem, supply cost = min observed extendedprice): for each
+    // STANDARD part of size ≤ 20, the EUROPE supplier(s) at the
+    // part's regional minimum cost. Correlated-min via aggregate +
+    // broadcast join-back; total-order top-100.
+    "tpch_q2_min_cost_supp" -> ((s, d) =>
+      RelationalAnalytics.minCostSupplier(
+        table(s, d, "region"), table(s, d, "nation"),
+        table(s, d, "supplier"), table(s, d, "part"),
+        table(s, d, "lineitem"), regionName = "EUROPE",
+        partType = "STANDARD", sizeCap = 20, k = 100)),
+    // TPC-H Q4 (adapted — late = shipped >60d after order date):
+    // orders in a quarter with at least one late line, by priority.
+    // The EXISTS predicate references both sides, so it stays a
+    // conditioned semi join, never a key-only one.
+    "tpch_q4_priority_check" -> ((s, d) =>
+      RelationalAnalytics.orderPriorityCheck(
+        table(s, d, "orders"), table(s, d, "lineitem"),
+        from = "1996-01-01", until = "1996-04-01", lateDays = 60)),
+    // TPC-H Q9 (adapted — unit supply cost proxied as 10% of
+    // p_retailprice): profit on 'red' parts by supplier nation and
+    // order year; the five-table join pyramid with a negative-capable
+    // measure, exact decimal sums.
+    "tpch_q9_product_profit" -> ((s, d) =>
+      RelationalAnalytics.productTypeProfit(
+        table(s, d, "nation"), table(s, d, "supplier"),
+        table(s, d, "part"), table(s, d, "orders"),
+        table(s, d, "lineitem"), nameContains = "red")),
+    // TPC-H Q11 (adapted — part value = exact decimal sum of the
+    // nation's lineitem extendedprice): parts above 1/800 of the
+    // nation total; scalar-subquery threshold as an exact
+    // cross-multiplied comparison against a 1-row broadcast.
+    "tpch_q11_important_parts" -> ((s, d) =>
+      RelationalAnalytics.importantParts(
+        table(s, d, "nation"), table(s, d, "supplier"),
+        table(s, d, "lineitem"), nationName = "NATION_3",
+        fracDen = 800)),
+    // TPC-H Q12 (adapted — shipmode derived from l_linenumber mod 3,
+    // late = the shipdate-lag proxy): urgent vs other late lines per
+    // mode over one ship year.
+    "tpch_q12_shipmode" -> ((s, d) =>
+      RelationalAnalytics.shipmodePriority(
+        table(s, d, "orders"), table(s, d, "lineitem"),
+        from = "1996-01-01", until = "1997-01-01", lateDays = 60)),
+    // TPC-H Q16 (adapted — partsupp = distinct fact-table pairs,
+    // complaints = negative balance): distinct-supplier counts per
+    // (brand, type, size) over the qualifying part grid.
+    "tpch_q16_supplier_counts" -> ((s, d) =>
+      RelationalAnalytics.partSupplierCounts(
+        table(s, d, "part"), table(s, d, "supplier"),
+        table(s, d, "lineitem"), excludeBrand = "Brand#5",
+        excludeType = "PROMO", sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35))),
+    // TPC-H Q20 (adapted — availability = all-time shipped quantity):
+    // suppliers of 'blue' parts whose 1996 shipments exceed half
+    // their all-time quantity, in three nations; nested aggregate +
+    // exact half-test + distinct semi join up the dimensions.
+    "tpch_q20_promotable_supp" -> ((s, d) =>
+      RelationalAnalytics.promotablePartSuppliers(
+        table(s, d, "nation"), table(s, d, "supplier"),
+        table(s, d, "part"), table(s, d, "lineitem"),
+        namePrefix = "blue",
+        nationNames = Seq("NATION_3", "NATION_8", "NATION_12"),
+        from = "1996-01-01", until = "1997-01-01")),
+    // TPC-H Q21 (adapted — late = the shipdate-lag proxy): suppliers
+    // in four nations who were the ONLY late supplier on finished
+    // multi-supplier orders — the exists/not-exists double
+    // correlation collapsed into one per-order aggregate join.
+    "tpch_q21_waiting_supp" -> ((s, d) =>
+      RelationalAnalytics.waitingSuppliers(
+        table(s, d, "nation"), table(s, d, "supplier"),
+        table(s, d, "orders"), table(s, d, "lineitem"),
+        nationNames = Seq("NATION_3", "NATION_8", "NATION_12", "NATION_13"),
+        lateDays = 60, k = 100)),
     // TPC-H Q19: disjunctive brand × size × quantity bands in ONE
     // scan — the predicate-pushdown-of-ORs query.
     "tpch_q19_disjunct" -> ((s, d) =>
@@ -6463,6 +6568,134 @@ object SparkEntry {
          |       md5(CASE WHEN applied THEN psm ELSE text END) AS out_md5
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    // ICT pairs re-derived: same 8-token blocks, same md5(id:ict:k)
+    // choice arithmetic, list ops instead of array HOFs.
+    "ict_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0,
+        |           CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS seg_idx,
+        |         toks
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, seg_idx,
+        |         array_to_string(
+        |           toks[CAST(seg_idx*8+1 AS INT):CAST(seg_idx*8+8 AS INT)],
+        |           ' ') AS seg_text
+        |  FROM s),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_segments,
+        |         list(struct_pack(i := seg_idx, t := seg_text)
+        |              ORDER BY seg_idx) AS ss
+        |  FROM g GROUP BY 1 HAVING count(*) >= 2),
+        |h AS (
+        |  SELECT doc_id, n_segments, ss,
+        |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR) || ':ict:0'),
+        |                CAST(i AS INT), 1)) - 1)
+        |      * CAST(16 ** (4 - i) AS BIGINT))) % n_segments AS INT)
+        |      AS qpos,
+        |    (list_sum(list_transform(generate_series(1, 4), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR) || ':ict:1'),
+        |                CAST(i AS INT), 1)) - 1)
+        |      * CAST(16 ** (4 - i) AS BIGINT))) % 10 = 0) AS keep
+        |  FROM d)
+        |SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+        |       CAST(ss[qpos + 1].i AS BIGINT) AS query_idx,
+        |       keep AS kept_in_context,
+        |       ss[qpos + 1].t AS query_text,
+        |       array_to_string(list_transform(
+        |         list_filter(ss, x -> x.i != ss[qpos + 1].i OR keep),
+        |         x -> x.t), ' ') AS context_text
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // DSIR weights re-derived: same md5-nibble buckets, same
+    // 6-dp-rounded log10 deltas in DECIMAL(28,6), same n·offset
+    // normalizer — bit-for-bit.
+    "dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (
+        |  SELECT doc_id, tgt,
+        |         unnest(list_concat(toks,
+        |           list_transform(generate_series(1, len(toks) - 1),
+        |             i -> toks[CAST(i AS INT)] || ' ' ||
+        |                  toks[CAST(i + 1 AS INT)]))) AS ng
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(ng), CAST(i AS INT), 1)) - 1)
+        |      * CAST(16 ** (4 - i) AS BIGINT))) % 1024 AS BIGINT) AS bk
+        |  FROM n),
+        |c AS (
+        |  SELECT bk, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
+        |  FROM b GROUP BY 1),
+        |lam AS (
+        |  SELECT bk,
+        |         CAST(round(log10(ct + 1), 6) AS DECIMAL(28,6)) -
+        |         CAST(round(log10(cq + 1), 6) AS DECIMAL(28,6)) AS l
+        |  FROM c),
+        |tot AS (
+        |  SELECT CAST(round(log10(sum(ct) + 1024), 6) AS DECIMAL(28,6)) -
+        |         CAST(round(log10(sum(cq) + 1024), 6) AS DECIMAL(28,6))
+        |           AS off
+        |  FROM c)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |       round(CAST(sum(lam.l) - count(*) * tot.off AS DOUBLE), 6)
+        |         AS logweight
+        |FROM b JOIN lam USING (bk), tot
+        |WHERE NOT b.tgt
+        |GROUP BY b.doc_id, tot.off ORDER BY doc_id""".stripMargin,
+    // Same derivation, top-50 by (logweight desc, id).
+    "dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (
+        |  SELECT doc_id, tgt,
+        |         unnest(list_concat(toks,
+        |           list_transform(generate_series(1, len(toks) - 1),
+        |             i -> toks[CAST(i AS INT)] || ' ' ||
+        |                  toks[CAST(i + 1 AS INT)]))) AS ng
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(ng), CAST(i AS INT), 1)) - 1)
+        |      * CAST(16 ** (4 - i) AS BIGINT))) % 1024 AS BIGINT) AS bk
+        |  FROM n),
+        |c AS (
+        |  SELECT bk, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
+        |  FROM b GROUP BY 1),
+        |lam AS (
+        |  SELECT bk,
+        |         CAST(round(log10(ct + 1), 6) AS DECIMAL(28,6)) -
+        |         CAST(round(log10(cq + 1), 6) AS DECIMAL(28,6)) AS l
+        |  FROM c),
+        |tot AS (
+        |  SELECT CAST(round(log10(sum(ct) + 1024), 6) AS DECIMAL(28,6)) -
+        |         CAST(round(log10(sum(cq) + 1024), 6) AS DECIMAL(28,6))
+        |           AS off
+        |  FROM c)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |       round(CAST(sum(lam.l) - count(*) * tot.off AS DOUBLE), 6)
+        |         AS logweight
+        |FROM b JOIN lam USING (bk), tot
+        |WHERE NOT b.tgt
+        |GROUP BY b.doc_id, tot.off
+        |ORDER BY logweight DESC, doc_id LIMIT 50""".stripMargin,
     // Preference pairs re-derived via arg_max/arg_min over the same
     // total ranking key (score·2^20 + id mod 2^20) — exact integers,
     // so the tie-break contract is checked, not just the values.
@@ -9215,6 +9448,137 @@ object SparkEntry {
         |         AS totacctbal
         |FROM noord JOIN nation n ON noord.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "tpch_q2_min_cost_supp" ->
+      """WITH rn AS (
+        |  SELECT n_nationkey, n_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |sp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN rn ON s_nationkey = n_nationkey),
+        |pp AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_type = 'STANDARD' AND p_size <= 20),
+        |cat AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+        |  FROM lineitem
+        |  JOIN pp ON l_partkey = p_partkey
+        |  JOIN sp ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS pk, min(supply_cost) AS m FROM cat GROUP BY 1)
+        |SELECT s.s_acctbal, s.s_name, s.n_name,
+        |       c.l_partkey AS p_partkey,
+        |       round(c.supply_cost, 6) AS supply_cost
+        |FROM cat c
+        |JOIN mc ON c.l_partkey = mc.pk AND c.supply_cost = mc.m
+        |JOIN sp s ON c.l_suppkey = s.s_suppkey
+        |ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q4_priority_check" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q9_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       round(CAST(sum(CAST(
+        |         l.l_extendedprice * (1.0 - l.l_discount)
+        |           - p.p_retailprice * l.l_quantity * 0.1
+        |         AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |            AND p.p_name LIKE '%red%'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "tpch_q11_important_parts" ->
+      """WITH sp AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |              AND n_name = 'NATION_3'),
+        |v AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+        |  FROM lineitem JOIN sp ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |t AS (SELECT sum(val) AS tot FROM v)
+        |SELECT ps_partkey, round(CAST(val AS DOUBLE), 6) AS value
+        |FROM v, t WHERE val * 800 > tot
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "tpch_q12_shipmode" ->
+      """SELECT CASE WHEN l.l_linenumber % 3 = 0 THEN 'MAIL'
+        |            WHEN l.l_linenumber % 3 = 1 THEN 'SHIP'
+        |            ELSE 'RAIL' END AS shipmode,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q16_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0.0)
+        |SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps
+        |JOIN part p ON ps.l_partkey = p.p_partkey
+        |JOIN ok ON ps.l_suppkey = ok.s_suppkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, 1, 2, 3""".stripMargin,
+    "tpch_q20_promotable_supp" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+        |q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty,
+        |         sum(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |                        AND l_shipdate < TIMESTAMP '1997-01-01'
+        |                       THEN l_quantity ELSE 0.0 END
+        |             AS DECIMAL(18,6))) AS window_qty
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |hot AS (SELECT DISTINCT l_suppkey FROM q
+        |        WHERE window_qty * 2 > total_qty)
+        |SELECT s.s_name
+        |FROM hot
+        |JOIN supplier s ON hot.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |              AND n.n_name IN ('NATION_3','NATION_8','NATION_12')
+        |ORDER BY s.s_name""".stripMargin,
+    "tpch_q21_waiting_supp" ->
+      """WITH li AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |              THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |                AND o.o_orderstatus = 'F'),
+        |po AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS supp_cnt,
+        |         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+        |           AS late_cnt
+        |  FROM li GROUP BY 1),
+        |lr AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late = 1)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lr
+        |JOIN po ON lr.l_orderkey = po.l_orderkey
+        |        AND po.supp_cnt > 1 AND po.late_cnt = 1
+        |JOIN supplier s ON lr.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |              AND n.n_name IN ('NATION_3','NATION_8',
+        |                                'NATION_12','NATION_13')
+        |GROUP BY 1 ORDER BY numwait DESC, s.s_name
+        |LIMIT 100""".stripMargin,
     "tpch_q19_disjunct" ->
       """SELECT CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
         |                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data selection for LM pretraining — DSIR (Data Selection with
+ * Importance Resampling, Xie et al. 2023): score every document in a
+ * RAW pool by how much more likely its hashed-n-gram bag is under a
+ * TARGET corpus' distribution than under the raw pool's own, then
+ * keep the top of the ranking. This is the published recipe behind
+ * "select web data that looks like Wikipedia/books": cheap bag-of-
+ * hashed-n-grams multinomials stand in for real LMs, and the log
+ * importance weight is a single sparse dot product per document.
+ *
+ *   features(d)  = unigrams(d) ++ bigrams(d), each hashed into one of
+ *                  B buckets (md5 → first 4 nibbles → mod B)
+ *   log w(d)     = Σ_ng [ log p̂_tgt(b(ng)) − log p̂_raw(b(ng)) ]
+ *   p̂_c(b)       = (cnt_c[b] + 1) / (N_c + B)   (add-one smoothing)
+ *
+ * Engine-portable exactness, the package discipline: the only
+ * transcendental is log10 of an INTEGER count, rounded to 6 dp before
+ * it enters arithmetic (the [[TextAnalysis]] logfreq convention), and
+ * every sum over those 6-dp values runs in DECIMAL(28,6) — so the
+ * weight is bit-identical under any partitioning and replayable by a
+ * SQL oracle. The normalizer term is constant per n-gram and is
+ * applied once as `n_ngrams · offset` instead of per feature.
+ *
+ * Scale shape (the reason DSIR beats classifier-based selection at
+ * 100 TB): the per-bucket count table is B rows (1024 here — a
+ * BROADCAST, not a model), built by ONE map-side-combinable aggregate
+ * over the exploded n-gram relation; scoring is explode → broadcast
+ * hash join → per-doc hash aggregate. No shuffle ever carries more
+ * than (doc_id, bucket) pairs, and the driver holds nothing.
+ */
+object DataSelection {
+
+  /** md5-based bucket of an n-gram string — first 4 nibbles mod B,
+    * identically computable in any engine with md5 + string ops. */
+  private def bucket(ng: Column, buckets: Int): Column =
+    conv(substring(md5(ng), 1, 4), 16, 10).cast("long") % buckets
+
+  /** round-to-6dp log10 of (count + `plus`), as exact DECIMAL — the
+    * one place a transcendental enters; 6-dp rounding of a log of an
+    * integer makes both engines agree bit-for-bit. */
+  private def dlog(cnt: Column, plus: Long): Column =
+    round(log10(cnt + lit(plus)), 6).cast("decimal(28,6)")
+
+  /**
+   * Per-document DSIR log importance weights for the raw (non-target)
+   * pool. `isTarget` marks the rows whose n-gram distribution defines
+   * the target; every other row is scored.
+   *
+   * @return (idCol, n_ngrams, logweight) for raw docs — logweight
+   *         rounded to 6 dp, higher = more target-like. Deterministic
+   *         ranking ties resolve by id downstream.
+   */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && 65536 % buckets == 0,
+      s"buckets must divide 16^4 for an unbiased md5-nibble bucket " +
+        s"(got $buckets)")
+    val toks = split(col(textCol), " ")
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array())
+    val feats = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), isTarget.as("__tgt"),
+        explode(concat(toks, bis)).as("__ng"))
+      .select(col("__id"), col("__tgt"),
+        bucket(col("__ng"), buckets).as("__b"))
+    // ONE aggregate feeds both multinomials: per-bucket target and
+    // raw counts (map-side partials; B distinct keys on the shuffle).
+    val counts = feats.groupBy("__b").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cq"))
+    val lam = counts.select(col("__b"),
+      (dlog(col("__ct"), 1L) - dlog(col("__cq"), 1L)).as("__lam"))
+    // smoothing normalizer: log10(N_tgt + B) − log10(N_raw + B),
+    // constant per n-gram — one row, broadcast.
+    val off = counts.agg(
+      (dlog(sum("__ct"), buckets.toLong) -
+        dlog(sum("__cq"), buckets.toLong)).as("__off"))
+    feats.filter(!col("__tgt"))
+      .join(broadcast(lam), "__b")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), sum("__lam").as("__s"))
+      .crossJoin(broadcast(off))
+      .select(col(idCol), col("n_ngrams"),
+        round((col("__s") - col("n_ngrams") * col("__off"))
+          .cast("double"), 6).as("logweight"))
+  }
+
+  /**
+   * DSIR selection card: the top-`k` raw documents by importance
+   * weight (ties by id — a total order), i.e. the documents that the
+   * resampling step keeps with the highest probability. One
+   * `TakeOrderedAndProject` over [[dsirWeights]] — k rows to the
+   * driver, never a global sort.
+   */
+  def dsirSelect(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      k: Int, buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    dsirWeights(docs, idCol, textCol, isTarget, buckets)
+      .orderBy(col("logweight").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -137,4 +137,58 @@ object ObjectivePrep {
       count(lit(1)).as("n_cands"))
       .filter(col("margin") > 0)
   }
+
+  /** Salted 4-nibble doc hash for ICT decisions: md5(id:ict:k). */
+  private def ictHash(id: org.apache.spark.sql.Column, k: Int) =
+    conv(substring(md5(concat(id.cast("string"), lit(s":ict:$k"))),
+      1, 4), 16, 10).cast("long")
+
+  /**
+   * Inverse Cloze Task pair generation (Lee et al. 2019, "Latent
+   * Retrieval for Weakly Supervised Open Domain Question Answering") —
+   * the retriever-pretraining objective: one segment of a document
+   * becomes the pseudo-QUERY, the remaining segments its
+   * pseudo-evidence CONTEXT. With probability 1/`keepOneIn` the query
+   * segment is also KEPT in the context (the paper's trick that
+   * teaches lexical overlap as well as abstract relevance; it uses
+   * 90% removal — `keepOneIn = 10`).
+   *
+   * Takes pre-segmented rows (id, segIdx, segText) — compose with any
+   * segmenter (fixed token blocks, [[TextTiling]]-style topical
+   * chunks, sentence splits). Query choice and keep flag are
+   * md5(id)-seeded column arithmetic, so every engine, rerun, and
+   * partitioning picks the same pair. ONE hash aggregate per document
+   * over `sort_array(collect_list(struct(...)))` — segment counts per
+   * doc are bounded (they partition the doc), so the collected list is
+   * document-sized, never corpus-sized.
+   *
+   * Output: (id, n_segments, query_idx, kept_in_context, query_text,
+   * context_text) — docs with a single segment emit nothing (their
+   * context would be empty supervision).
+   */
+  def ictPairs(
+      segs: DataFrame, idCol: String, segIdxCol: String,
+      segTextCol: String, keepOneIn: Int = 10): DataFrame = {
+    require(keepOneIn >= 1, s"keepOneIn must be >= 1, got $keepOneIn")
+    val perDoc = segs.groupBy(col(idCol).as("__id")).agg(
+      count(lit(1)).as("n_segments"),
+      sort_array(collect_list(struct(
+        col(segIdxCol).cast("long").as("i"),
+        col(segTextCol).as("t")))).as("__ss"))
+      .filter(col("n_segments") >= 2)
+    val qpos = (ictHash(col("__id"), 0) % col("n_segments")).cast("int")
+    val keep = ictHash(col("__id"), 1) % keepOneIn === 0
+    perDoc
+      .withColumn("__q", element_at(col("__ss"), qpos + 1))
+      .select(
+        col("__id").as(idCol),
+        col("n_segments"),
+        col("__q.i").as("query_idx"),
+        keep.as("kept_in_context"),
+        col("__q.t").as("query_text"),
+        concat_ws(" ", transform(
+          filter(col("__ss"), s =>
+            s.getField("i") =!= col("__q.i") || keep),
+          s => s.getField("t"))).as("context_text"))
+  }
 }

@@ -814,4 +814,286 @@ object RelationalAnalytics {
         (if (n > 1) expr(s"(1000000 * __less) div ${n - 1}")
          else lit(0L)).as("pct_micro"))
   }
+
+  /**
+   * TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+   * the region supplier(s) whose supply cost equals the part's
+   * regional minimum — the correlated-min-subquery query. This schema
+   * carries no partsupp, so the part-supplier catalog is DERIVED from
+   * the fact table (declared adaptation): supply cost of (part,
+   * supplier) = min observed `l_extendedprice` — a plain double min of
+   * parquet-resident values, no arithmetic, so the equality join back
+   * against the per-part minimum is bit-exact in any engine. Plan
+   * shape preserved: catalog aggregate → per-part min (broadcast) →
+   * equality join-back → dimension decorate → total-order top-k.
+   */
+  def minCostSupplier(
+      region: DataFrame, nation: DataFrame, supplier: DataFrame,
+      part: DataFrame, lineitem: DataFrame,
+      regionName: String, partType: String, sizeCap: Int,
+      k: Int): DataFrame = {
+    val regionNations = nation.join(
+        broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = supplier.join(broadcast(regionNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = part
+      .filter(col("p_type") === partType && col("p_size") <= sizeCap)
+      .select("p_partkey")
+    val catalog = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("l_extendedprice").as("supply_cost"))
+    val minCost = catalog.groupBy(col("l_partkey").as("__pk"))
+      .agg(min("supply_cost").as("__mc"))
+    catalog
+      .join(broadcast(minCost),
+        col("l_partkey") === col("__pk") &&
+          col("supply_cost") === col("__mc"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"),
+        round(col("supply_cost"), 6).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(k)
+  }
+
+  /**
+   * TPC-H Q4 shape (order-priority checking): orders placed in a
+   * window that had at least one LATE line, counted by priority — the
+   * semi-join-with-cross-table-predicate query. This schema has no
+   * commit/receipt dates, so "late" is `l_shipdate > o_orderdate +
+   * lateDays` (declared adaptation, same shape: the EXISTS predicate
+   * references BOTH sides, so it cannot collapse to a key semi join —
+   * the date rides the join). Only the two key+date columns shuffle.
+   */
+  def orderPriorityCheck(
+      orders: DataFrame, lineitem: DataFrame,
+      from: String, until: String, lateDays: Int): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+    o.join(lineitem.select("l_orderkey", "l_shipdate"),
+        o("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >
+            o("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /**
+   * TPC-H Q9 shape (product-type profit): profit on one name-family of
+   * parts by supplier nation and order year. No partsupp → unit supply
+   * cost is proxied as 10% of `p_retailprice` (declared adaptation;
+   * the join pyramid — part ⋈ lineitem ⋈ orders ⋈ supplier ⋈ nation —
+   * and the negative-capable profit measure are the point). Per-row
+   * profit is computed in double with a FIXED operation order
+   * (`rev − retail·qty·0.1`), cast to DECIMAL(18,6) once, summed
+   * exactly.
+   */
+  def productTypeProfit(
+      nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      nameContains: String): DataFrame = {
+    val parts = part.filter(col("p_name").contains(nameContains))
+      .select("p_partkey", "p_retailprice")
+    val suppN = supplier
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = revenue -
+      col("p_retailprice") * col("l_quantity") * lit(0.1)
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(decSum(amount).as("sum_profit"))
+      .select(col("nation"), col("o_year"),
+        round(col("sum_profit"), 6).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /**
+   * TPC-H Q11 shape (important stock): parts whose value from one
+   * nation's suppliers exceeds a fixed fraction of the total — the
+   * scalar-subquery-threshold query. Value is the exact DECIMAL sum of
+   * `l_extendedprice` over the nation's lineitems (partsupp proxy,
+   * declared); the threshold test multiplies BOTH sides into integers
+   * (`value·den > total`) so no division touches the comparison. One
+   * fact aggregate, a 1-row broadcast, a filtered projection.
+   */
+  def importantParts(
+      nation: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      nationName: String, fracDen: Int): DataFrame = {
+    val supp = supplier.join(
+        broadcast(nation.filter(col("n_name") === nationName)
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = lineitem
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("__v"))
+    val tot = vals.agg(sum("__v").as("__tot"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("__v") * fracDen > col("__tot"))
+      .select(col("ps_partkey"),
+        round(col("__v").cast("double"), 6).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /**
+   * TPC-H Q12 shape (shipping modes and order priority): late lines
+   * shipped in a window, split urgent/other per mode. The schema has
+   * no `l_shipmode`, so the mode is a declared derived column
+   * (`l_linenumber mod 3` → MAIL/SHIP/RAIL — deterministic, replayed
+   * verbatim by the oracle); "late" is the same shipdate-lag proxy as
+   * [[orderPriorityCheck]]. One fact ⋈ fact join on the order key,
+   * one hash aggregate of two conditional counts.
+   */
+  def shipmodePriority(
+      orders: DataFrame, lineitem: DataFrame,
+      from: String, until: String, lateDays: Int): DataFrame = {
+    val mode = when(col("l_linenumber") % 3 === 0, "MAIL")
+      .when(col("l_linenumber") % 3 === 1, "SHIP")
+      .otherwise("RAIL")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(mode.as("shipmode"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("shipmode")
+  }
+
+  /**
+   * TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+   * counts per (brand, type, size) over qualifying parts, excluding
+   * flagged suppliers. The part-supplier relation is the DISTINCT
+   * (l_partkey, l_suppkey) projection of the fact table (partsupp
+   * proxy) and "complaints" is `s_acctbal < 0` (both declared). The
+   * distinct runs map-side on two int keys; the count-distinct is the
+   * standard two-level aggregate.
+   */
+  def partSupplierCounts(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      excludeBrand: String, excludeType: String,
+      sizes: Seq[Int]): DataFrame = {
+    val ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    val okSupp = supplier.filter(col("s_acctbal") >= 0.0)
+      .select("s_suppkey")
+    val parts = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /**
+   * TPC-H Q20 shape (potential part promotion): suppliers of one part
+   * name-family whose shipments CONCENTRATE in a window — more than
+   * half their all-time quantity of the part shipped inside it. The
+   * spec's `ps_availqty > ½·window-qty` needs partsupp; with the
+   * catalog derived from lineitem the all-time quantity stands in for
+   * availability (declared adaptation, same nested-aggregate + semi
+   * join chain). The half test is exact cross-multiplication on
+   * DECIMAL sums (`2·window > total`), then one distinct-supplier semi
+   * join up to the nation dimension.
+   */
+  def promotablePartSuppliers(
+      nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      lineitem: DataFrame, namePrefix: String,
+      nationNames: Seq[String], from: String, until: String): DataFrame = {
+    val parts = part.filter(col("p_name").startsWith(namePrefix))
+      .select("p_partkey")
+    val inWindow =
+      col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp")
+    val qty = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).as("total_qty"),
+        sum(when(inWindow, col("l_quantity")).otherwise(lit(0.0))
+          .cast("decimal(18,6)")).as("window_qty"))
+      .filter(col("window_qty") * 2 > col("total_qty"))
+    val suppN = supplier
+      .join(broadcast(nation
+          .filter(col("n_name").isin(nationNames: _*))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    qty.select("l_suppkey").distinct()
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .select("s_name")
+      .orderBy("s_name")
+  }
+
+  /**
+   * TPC-H Q21 shape (suppliers who kept orders waiting): per supplier
+   * in the named nations, finished orders where THAT supplier was the
+   * only late one among several — the exists/not-exists double
+   * correlation. Late is the shipdate-lag proxy (declared). Rather
+   * than two correlated passes over the fact table, the plan computes
+   * ONE per-order aggregate (distinct suppliers, distinct late
+   * suppliers) and joins the late rows against it with
+   * `supp_cnt > 1 AND late_cnt = 1` — set-algebraically identical to
+   * the spec's EXISTS(other) AND NOT EXISTS(other late), in one
+   * shuffle instead of three.
+   */
+  def waitingSuppliers(
+      nation: DataFrame, supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nationNames: Seq[String],
+      lateDays: Int, k: Int): DataFrame = {
+    val li = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+          .as("late"))
+    val perOrder = li.groupBy(col("l_orderkey").as("__ok"))
+      .agg(countDistinct(col("l_suppkey")).as("supp_cnt"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("late_cnt"))
+    val lateRows = li.filter(col("late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val suppN = supplier
+      .join(broadcast(nation
+          .filter(col("n_name").isin(nationNames: _*))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    lateRows
+      .join(perOrder.filter(col("supp_cnt") > 1 && col("late_cnt") === 1),
+        col("l_orderkey") === col("__ok"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
 }

@@ -101,4 +101,47 @@ class ObjectivePrepSpec extends SparkFunSuite {
       .orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("ictPairs: query removed from context unless kept; singles drop") {
+    import spark.implicits._
+    val segs = Seq(
+      // doc 1: three segments; doc 2: single segment (must vanish)
+      (1L, 0L, "alpha beta"), (1L, 1L, "gamma delta"), (1L, 2L, "eps zeta"),
+      (2L, 0L, "lonely")) ++
+      (10L to 120L).flatMap(i => Seq((i, 0L, s"a$i"), (i, 1L, s"b$i"),
+        (i, 2L, s"c$i")))
+    val rows = ObjectivePrep.ictPairs(segs.toDF("id", "seg_idx", "seg_text"),
+      "id", "seg_idx", "seg_text", keepOneIn = 10).collect()
+    assert(!rows.map(_.getLong(0)).contains(2L))
+    val texts = Map(0L -> "alpha beta", 1L -> "gamma delta", 2L -> "eps zeta")
+    rows.foreach { r =>
+      val (id, n, qi, keep, qt, ctx) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3), r.getString(4), r.getString(5))
+      assert(qi >= 0 && qi < n, s"id=$id qi=$qi n=$n")
+      if (id == 1L) {
+        assert(qt === texts(qi))
+        val expect = (0L to 2L)
+          .filter(i => i != qi || keep).map(texts).mkString(" ")
+        assert(ctx === expect)
+      }
+      // the kept flag controls membership everywhere
+      if (keep) assert(ctx.contains(qt))
+    }
+    // some keeps and some removals across 112 docs (1-in-10 rate)
+    val keeps = rows.count(_.getBoolean(3))
+    assert(keeps > 0 && keeps < rows.length)
+  }
+
+  test("ictPairs: deterministic across partitionings") {
+    import spark.implicits._
+    val segs = (1L to 200L).flatMap(i =>
+      (0L until 1L + i % 4).map(j => (i, j, s"s$i-$j")))
+      .toDF("id", "seg_idx", "seg_text")
+    val a = ObjectivePrep.ictPairs(segs.repartition(1), "id", "seg_idx",
+      "seg_text").orderBy("id").collect().toSeq
+    val b = ObjectivePrep.ictPairs(segs.repartition(17), "id", "seg_idx",
+      "seg_text").orderBy("id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

@@ -427,4 +427,191 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     }
     assert(ex.getMessage.contains("bounded"))
   }
+
+  test("minCostSupplier (Q2): every row sits at its part's regional minimum") {
+    val df = RelationalAnalytics.minCostSupplier(
+      t("region"), t("nation"), t("supplier"), t("part"), t("lineitem"),
+      "EUROPE", "STANDARD", 20, 100)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent recompute: min extendedprice per (part, region supplier)
+    val regionSupp = t("supplier")
+      .join(t("nation").join(t("region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val stdParts = t("part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 20)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val minByPart = t("lineitem")
+      .filter(col("l_partkey").isin(stdParts.toSeq: _*) &&
+        col("l_suppkey").isin(regionSupp.toSeq: _*))
+      .groupBy("l_partkey").agg(min("l_extendedprice").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      assert(math.abs(r.getAs[Double]("supply_cost") - minByPart(pk)) < 1e-6)
+    }
+    // dims broadcast, no cartesian anywhere in the plan
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("orderPriorityCheck (Q4): matches the manual EXISTS computation") {
+    val got = RelationalAnalytics.orderPriorityCheck(
+      t("orders"), t("lineitem"), "1996-01-01", "1996-04-01", 60)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lateOrders = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("o_orderkey").distinct()
+    val expect = t("orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(lateOrders.withColumnRenamed("o_orderkey", "__k"),
+        col("o_orderkey") === col("__k"), "left_semi")
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.values.sum > 0)
+  }
+
+  test("productTypeProfit (Q9): partition-invariant exact sums") {
+    val a = RelationalAnalytics.productTypeProfit(
+      t("nation"), t("supplier"), t("part"), t("orders"), t("lineitem"),
+      "red").collect()
+    assert(a.nonEmpty)
+    val b = RelationalAnalytics.productTypeProfit(
+      t("nation"), t("supplier"), t("part"), t("orders"),
+      t("lineitem").repartition(17), "red").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // profit can be negative (cost proxy exceeds discounted revenue)
+    // but must be finite everywhere
+    a.foreach(r => assert(!r.getAs[Double]("sum_profit").isNaN))
+  }
+
+  test("importantParts (Q11): threshold exact, ordering total") {
+    // sf0.001 is tiny — pick a nation that actually has suppliers
+    val nationName = t("supplier")
+      .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").limit(1).collect().head.getString(0)
+    val df = RelationalAnalytics.importantParts(
+      t("nation"), t("supplier"), t("lineitem"), nationName, 800)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every kept part's decimal value × 800 must exceed the total
+    val supp = t("supplier")
+      .join(t("nation").filter(col("n_name") === nationName),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val byPart = t("lineitem")
+      .filter(col("l_suppkey").isin(supp.toSeq: _*))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val total = byPart.values.reduce(_ add _)
+    val kept = rows.map(_.getAs[Long]("ps_partkey")).toSet
+    val expectKept = byPart.filter { case (_, v) =>
+      v.multiply(new java.math.BigDecimal(800)).compareTo(total) > 0
+    }.keySet
+    assert(kept === expectKept)
+    // descending by value, ties by part key
+    val vals = rows.map(r => (r.getAs[Double]("value"), r.getAs[Long]("ps_partkey")))
+    assert(vals.sortBy { case (v, k) => (-v, k) }.toSeq === vals.toSeq)
+  }
+
+  test("shipmodePriority (Q12): counts partition by priority exactly") {
+    val rows = RelationalAnalytics.shipmodePriority(
+      t("orders"), t("lineitem"), "1996-01-01", "1997-01-01", 60).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("MAIL", "SHIP", "RAIL")))
+    val totalLate = t("lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === totalLate)
+  }
+
+  test("partSupplierCounts (Q16): distinct-supplier count matches one group") {
+    val rows = RelationalAnalytics.partSupplierCounts(
+      t("part"), t("supplier"), t("lineitem"),
+      "Brand#5", "PROMO", Seq(1, 5, 10, 15, 20, 25, 30, 35)).collect()
+    assert(rows.nonEmpty)
+    val r0 = rows.head
+    val (brand, ptype, size) = (r0.getString(0), r0.getString(1), r0.getLong(2))
+    val okSupp = t("supplier").filter(col("s_acctbal") >= 0.0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val parts = t("part")
+      .filter(col("p_brand") === brand && col("p_type") === ptype &&
+        col("p_size") === size)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val expect = t("lineitem")
+      .filter(col("l_partkey").isin(parts.toSeq: _*))
+      .select("l_partkey", "l_suppkey").distinct()
+      .collect().map(_.getLong(1)).filter(okSupp).toSet.size
+    assert(r0.getLong(3) === expect.toLong)
+  }
+
+  test("promotablePartSuppliers (Q20): membership matches the half test") {
+    val got = RelationalAnalytics.promotablePartSuppliers(
+      t("nation"), t("supplier"), t("part"), t("lineitem"),
+      "blue", Seq("NATION_9", "NATION_6", "NATION_11"),
+      "1996-01-01", "1997-01-01")
+      .collect().map(_.getString(0)).toSet
+    val parts = t("part").filter(col("p_name").startsWith("blue"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = t("lineitem")
+      .filter(col("l_partkey").isin(parts.toSeq: _*))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        (col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .as("in_win"))
+      .collect()
+    val hotSupp = li.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .collect { case ((_, sk), rs)
+        if 2 * rs.filter(_.getBoolean(3))
+          .map(_.getDouble(2)).sum > rs.map(_.getDouble(2)).sum => sk }
+      .toSet
+    val nationSupp = t("supplier")
+      .join(t("nation")
+          .filter(col("n_name").isin("NATION_9", "NATION_6", "NATION_11")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = hotSupp.flatMap(nationSupp.get)
+    assert(got === expect)
+  }
+
+  test("waitingSuppliers (Q21): equals the EXISTS/NOT-EXISTS formulation") {
+    val got = RelationalAnalytics.waitingSuppliers(
+      t("nation"), t("supplier"), t("orders"), t("lineitem"),
+      Seq("NATION_9", "NATION_6"), 60, 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute force on the driver: per finished order, supplier sets
+    val li = t("lineitem")
+      .join(t("orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+      .collect()
+    val byOrder = li.groupBy(_.getLong(0))
+    val nationSupp = t("supplier")
+      .join(t("nation").filter(col("n_name").isin("NATION_9", "NATION_6")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = scala.collection.mutable.Map[String, Long]()
+    byOrder.values.foreach { rs =>
+      val supps = rs.map(_.getLong(1)).toSet
+      val lateSupps = rs.filter(_.getBoolean(2)).map(_.getLong(1)).toSet
+      if (supps.size > 1 && lateSupps.size == 1)
+        nationSupp.get(lateSupps.head).foreach { n =>
+          counts(n) = counts.getOrElse(n, 0L) + 1L
+        }
+    }
+    assert(got === counts.toMap)
+  }
 }
