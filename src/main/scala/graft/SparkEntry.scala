@@ -4277,6 +4277,22 @@ object SparkEntry {
     "sample_allocation" -> ((s, d) =>
       MixtureSampling.apportion(table(s, d, "documents"), "lang", n = 100)
         .orderBy("stratum")),
+    // Temperature-scaled mixture (the mC4/XLM-R multilingual recipe):
+    // 1000 slots across sources ∝ cnt^0.3 — small sources up-sampled,
+    // Hamilton remainders spend the budget exactly. The one
+    // transcendental (pow) rounds to integer micros before any
+    // arithmetic, so the card replays exactly.
+    "mixture_temperature" -> ((s, d) =>
+      MixtureSampling.temperatureApportion(table(s, d, "documents"),
+        "source", n = 1000, alphaNum = 3, alphaDen = 10)),
+    // TextRank keyterms (Mihalcea & Tarau 2004): integer PageRank
+    // over the adjacent-token co-occurrence graph (length-≥4
+    // candidates), top-20 — centrality, not frequency. The iteration
+    // runs on the vocabulary-sized simple graph, independent of
+    // corpus row count.
+    "text_rank_terms" -> ((s, d) =>
+      TextAnalysis.textRankTerms(table(s, d, "documents"), "text",
+        k = 20, minLen = 4, iters = 4)),
     // SIXTH optimizer rewrite: a 2500-element IN list (the routine
     // "exclude these opted-out ids" blocklist filter) re-plans as a
     // BROADCAST set probe — result-identical exact membership, but
@@ -5432,6 +5448,41 @@ object SparkEntry {
     (head +: steps).mkString(",\n") +
       s"\nSELECT v AS domain, CAST(r AS BIGINT) AS rank_micros " +
       s"FROM r$iters ORDER BY domain"
+  }
+
+  /** text_rank_terms' oracle: the adjacent-token candidate graph
+    * (length ≥ 4, both directions, simple), then the same chained
+    * integer-PageRank CTEs as [[pageRankOracle]], top-k by rank. */
+  private def textRankOracle(iters: Int, k: Int): String = {
+    val head =
+      """WITH tt AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |pp AS (
+        |  SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i + 1 AS INT)] AS b
+        |  FROM (SELECT toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i FROM tt)
+        |  WHERE len(toks[CAST(i AS INT)]) >= 4
+        |    AND len(toks[CAST(i + 1 AS INT)]) >= 4
+        |    AND toks[CAST(i AS INT)] <> toks[CAST(i + 1 AS INT)]),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM pp
+        |  UNION ALL SELECT b, a FROM pp)),
+        |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT verts.v, 150000 + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM verts LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r${i - 1}.r // deg.outdeg) AS s
+         |    FROM e JOIN r${i - 1} ON r${i - 1}.v = e.src
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c ON c.v = verts.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS term, CAST(r AS BIGINT) AS rank_micros " +
+      s"FROM r$iters ORDER BY rank_micros DESC, term LIMIT $k"
   }
 
   /** The crawl fixture's edge + vertex CTEs, shared by the four
@@ -10537,6 +10588,43 @@ object SparkEntry {
         |       CAST(base + CASE WHEN nbetter < (SELECT leftover FROM l)
         |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY stratum""".stripMargin,
+    // Same Hamilton replay over cnt^0.3 micro weights — pow rounds to
+    // integer micros first, everything after is exact.
+    "mixture_temperature" ->
+      """WITH c AS (
+        |  SELECT source AS stratum, count(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT stratum, cnt,
+        |         CAST(round(pow(CAST(cnt AS DOUBLE),
+        |           CAST(3 AS DOUBLE) / CAST(10 AS DOUBLE)) * 1000000, 0)
+        |           AS BIGINT) AS w
+        |  FROM c),
+        |t AS (SELECT sum(w) AS total FROM w),
+        |q AS (
+        |  SELECT stratum, cnt, w,
+        |         (CAST(1000 AS DECIMAL(38,0)) * w * 1000000) // total
+        |           AS quota_micro
+        |  FROM w, t),
+        |q2 AS (
+        |  SELECT *, quota_micro // 1000000 AS base,
+        |         quota_micro % 1000000 AS rem_micro FROM q),
+        |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM q2),
+        |r AS (
+        |  SELECT q2.*,
+        |         (SELECT count(*) FROM q2 o
+        |          WHERE o.rem_micro > q2.rem_micro
+        |             OR (o.rem_micro = q2.rem_micro AND o.stratum < q2.stratum))
+        |           AS nbetter
+        |  FROM q2)
+        |SELECT stratum, CAST(cnt AS BIGINT) AS cnt,
+        |       w AS weight_micro,
+        |       CAST(base + CASE WHEN nbetter < (SELECT leftover FROM l)
+        |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY stratum""".stripMargin,
+    // TextRank replayed: token-pair edge CTEs, then the shared
+    // integer-PageRank recurrence (one CTE per iteration).
+    "text_rank_terms" -> textRankOracle(4, 20),
     // The 2500-id blocklist is {4k+1 : k < 2500} — membership replays
     // as residue arithmetic, no list literal needed.
     "sql_inset_rewrite" ->

@@ -199,6 +199,43 @@ object MixtureSampling {
         col("base"), col("rem_micro"), col("alloc"))
   }
 
+  /**
+   * Temperature-scaled apportionment — the multilingual-pretraining
+   * mixture recipe (mC4 / XLM-R): allocate a budget of `n` slots
+   * across strata proportionally to `cnt^α` with α < 1, which
+   * UP-samples small strata (languages, sources) relative to raw
+   * proportions — at α→0 every stratum gets an equal share, at α=1
+   * this is plain Hamilton apportionment by count.
+   *
+   * α is a rational `alphaNum/alphaDen`, evaluated as one double
+   * division (IEEE-identical in any engine); the weight
+   * `cnt^α` is the package's one sanctioned transcendental pattern:
+   * computed in double, scaled to integer micros with round(·, 0),
+   * then every downstream step (Hamilton quotas, remainders, ties)
+   * is exact integer/DECIMAL arithmetic. Same shape as [[apportion]]:
+   * one count aggregate to |strata| rows, broadcast total, |strata|²
+   * broadcast remainder rank — no windows, nothing driver-side.
+   */
+  def temperatureApportion(
+      docs: DataFrame, stratumCol: String, n: Int,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum <= alphaDen,
+      s"temperature must satisfy 0 < alphaNum/alphaDen <= 1, " +
+        s"got $alphaNum/$alphaDen")
+    val counts = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("cnt"))
+    val weighted = counts.select(col("stratum"), col("cnt"),
+      expr(s"CAST(round(pow(CAST(cnt AS DOUBLE), " +
+        s"CAST($alphaNum AS DOUBLE) / CAST($alphaDen AS DOUBLE)) " +
+        s"* 1000000, 0) AS BIGINT)").as("w"))
+    hamilton(weighted.select(col("stratum"), col("w")), n)
+      .join(weighted.select(col("stratum"), col("cnt")), "stratum")
+      .select(col("stratum"), col("cnt"), col("w").as("weight_micro"),
+        col("alloc"))
+      .orderBy("stratum")
+  }
+
   /** Hamilton core over an arbitrary non-negative weight relation
     * (stratum, w): quota = n·w/Σw on the micro grid, floor + largest
     * remainders (ties to the least stratum). Output: (stratum, w,

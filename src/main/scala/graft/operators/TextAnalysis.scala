@@ -978,4 +978,46 @@ object TextAnalysis {
         col("n_hapax").cast("long").as("n_hapax"),
         expr("(1000000 * n_hapax) div n_types").as("hapax_micro"))
   }
+
+  /**
+   * TextRank keyterm extraction (Mihalcea & Tarau 2004) — the
+   * unsupervised keyphrase recipe: build the word co-occurrence graph
+   * (adjacent-token pairs, both directions, candidate terms only) and
+   * rank terms by [[LinkRank.pageRank]]'s integer-exact PageRank.
+   * Terms central to many contexts outrank merely frequent ones —
+   * the corpus-vocabulary card TF-IDF can't give (TF-IDF needs a
+   * contrasting corpus; TextRank needs only the graph).
+   *
+   * Candidates stand in for the paper's POS filter with a declared
+   * length floor (`minLen`) — no tagger at 100 TB. Shape: one
+   * scan-local explode to adjacent pairs, a DISTINCT to the simple
+   * graph (vocabulary-sized, NOT corpus-sized — the iteration cost is
+   * independent of corpus row count), then the shared integer
+   * PageRank loop and one top-k.
+   *
+   * @return (term, rank_micros) — the `k` highest-ranked terms,
+   *         ties by term.
+   */
+  def textRankTerms(
+      docs: DataFrame, textCol: String, k: Int,
+      minLen: Int = 4, iters: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val toks = split(col(textCol), " ")
+    val pairs = docs
+      // size >= 2: Spark's sequence(1, 0) counts DOWN, not empty
+      .filter(col(textCol).isNotNull && size(toks) >= 2)
+      .select(toks.as("__t"),
+        explode(sequence(lit(1), size(toks) - 1)).as("__i"))
+      .select(element_at(col("__t"), col("__i")).as("src"),
+        element_at(col("__t"), col("__i") + 1).as("dst"))
+      .filter(length(col("src")) >= minLen &&
+        length(col("dst")) >= minLen && col("src") =!= col("dst"))
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    LinkRank.pageRank(edges, iters = iters)
+      .select(col("domain").as("term"), col("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("term"))
+      .limit(k)
+  }
 }

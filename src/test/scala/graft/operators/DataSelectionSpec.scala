@@ -62,4 +62,13 @@ class DataSelectionSpec extends SparkFunSuite {
       .collect().head
     assert(r.getLong(1) === 5L) // 3 unigrams + 2 bigrams
   }
+
+  test("dsirWeights plan: lambda join broadcast, no cartesian on facts") {
+    val plan = DataSelection.dsirWeights(corpus, "id", "text", col("tgt"))
+      .queryExecution.executedPlan.toString
+    // the B-row lambda table joins as a broadcast hash join; the only
+    // nested-loop is the documented 1-row normalizer crossJoin
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -257,4 +257,41 @@ class MixtureSamplingSpec extends SparkFunSuite {
     assert(a === b)
     assert(a.map(_.getLong(3)).sum === 37L)
   }
+
+  test("temperatureApportion: budget exact, small strata up-sampled") {
+    import spark.implicits._
+    // 900 docs in "big", 100 in "small": raw share 90/10; at alpha=0.3
+    // the small stratum's share must strictly exceed 10%
+    val df = ((1 to 900).map(i => ("big", i)) ++
+      (1 to 100).map(i => ("small", i))).toDF("g", "i")
+    val rows = MixtureSampling.temperatureApportion(df, "g", 100, 3, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows.values.sum === 100L)
+    assert(rows("small") > 10L, rows.toString)
+    assert(rows("big") + rows("small") === 100L)
+  }
+
+  test("temperatureApportion: alpha = 1 reduces to count apportionment") {
+    import spark.implicits._
+    val df = ((1 to 60).map(i => ("a", i)) ++ (1 to 30).map(i => ("b", i)) ++
+      (1 to 10).map(i => ("c", i))).toDF("g", "i")
+    val temp = MixtureSampling.temperatureApportion(df, "g", 50, 1, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val plain = MixtureSampling.apportion(df, "g", 50)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(temp === plain)
+  }
+
+  test("temperatureApportion: validation and determinism") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (s"g${i % 4}", i)).toDF("g", "i")
+    intercept[IllegalArgumentException] {
+      MixtureSampling.temperatureApportion(df, "g", 10, 11, 10)
+    }
+    val a = MixtureSampling.temperatureApportion(df.repartition(1), "g", 10, 3, 10)
+      .collect().toSeq
+    val b = MixtureSampling.temperatureApportion(df.repartition(7), "g", 10, 3, 10)
+      .collect().toSeq
+    assert(a === b)
+  }
 }

@@ -634,4 +634,27 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got("fresh") === ((4L, 5L, 3L, 750000L)))
     assert(got("tmpl") === ((2L, 6L, 0L, 0L)))
   }
+
+  test("textRankTerms: hub term outranks leaves on a star graph") {
+    import spark.implicits._
+    // every doc links a distinct leaf to the hub term "central":
+    // the co-occurrence graph is a star and PageRank must rank the
+    // hub first; short tokens are filtered out of candidacy
+    val docs = (1 to 8).map(i => s"leaf$i central ok").toDF("text")
+    val rows = TextAnalysis.textRankTerms(docs, "text", k = 20)
+      .collect()
+    assert(rows.head.getString(0) === "central")
+    assert(!rows.map(_.getString(0)).exists(_ == "ok")) // len 2 < 4
+    // descending rank, ties by term
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(keys.sortBy(identity).toSeq === keys.toSeq)
+  }
+
+  test("textRankTerms: single-token and null docs are safe") {
+    import spark.implicits._
+    val docs = Seq("solo", null, "alpha beta alpha").toDF("text")
+    val rows = TextAnalysis.textRankTerms(docs, "text", k = 5)
+      .collect().map(_.getString(0)).toSet
+    assert(rows === Set("alpha", "beta"))
+  }
 }
