@@ -2680,6 +2680,18 @@ object SparkEntry {
         table(s, d, "customer"), table(s, d, "orders"),
         table(s, d, "nation"),
         from = "1996-01-01", until = "1998-01-01")),
+    // Pre-flight join-size profile: exact per-key pair cardinality of
+    // a planned orders ⋈ lineitem join on a deliberately skewed key
+    // (residues 9..19 collapse onto 9, so one key is quadratically
+    // hot) — the salt/plain planning card, from two key-count
+    // aggregates; the fact tables never join.
+    "join_size_profile" -> ((s, d) =>
+      RelationalAnalytics.joinSizeProfile(
+        table(s, d, "orders")
+          .select(expr("least(o_orderkey % 20, 9)").as("key")), "key",
+        table(s, d, "lineitem")
+          .select(expr("least(l_orderkey % 20, 9)").as("key")), "key",
+        k = 10)),
     // TPC-H Q2 (adapted — the part-supplier catalog is derived from
     // lineitem, supply cost = min observed extendedprice): for each
     // STANDARD part of size ≤ 20, the EUROPE supplier(s) at the
@@ -9499,6 +9511,32 @@ object SparkEntry {
         |         AS totacctbal
         |FROM noord JOIN nation n ON noord.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "join_size_profile" ->
+      """WITH lc AS (
+        |  SELECT least(o_orderkey % 20, 9) AS key, count(*) AS cnt_left
+        |  FROM orders GROUP BY 1),
+        |rc AS (
+        |  SELECT least(l_orderkey % 20, 9) AS key, count(*) AS cnt_right
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT key, cnt_left, cnt_right,
+        |         CAST(cnt_left AS DECIMAL(38,0)) * cnt_right AS pd
+        |  FROM lc JOIN rc USING (key)),
+        |t AS (SELECT sum(pd) AS tot FROM p),
+        |-- DECIMAL // degrades to DOUBLE in this engine; HUGEINT
+        |-- division is the exact integral quotient Spark's div takes
+        |s AS (
+        |  SELECT key, cnt_left, cnt_right, pd,
+        |         CAST(CAST(1000000 * pd AS HUGEINT) //
+        |              CAST(tot AS HUGEINT) AS BIGINT) AS share_micro
+        |  FROM p, t)
+        |SELECT key, CAST(cnt_left AS BIGINT) AS cnt_left,
+        |       CAST(cnt_right AS BIGINT) AS cnt_right,
+        |       CAST(pd AS VARCHAR) AS pair_rows,
+        |       share_micro,
+        |       CASE WHEN share_micro > 200000
+        |            THEN 'salt' ELSE 'plain' END AS verdict
+        |FROM s ORDER BY share_micro DESC, key LIMIT 10""".stripMargin,
     "tpch_q2_min_cost_supp" ->
       """WITH rn AS (
         |  SELECT n_nationkey, n_name FROM nation

@@ -816,6 +816,54 @@ object RelationalAnalytics {
   }
 
   /**
+   * Pre-flight join-size profile — the planning card BEFORE a big
+   * fact ⋈ fact join: exact per-key output cardinality
+   * (`cnt_left(k) · cnt_right(k)`), each key's share of the total,
+   * and a salt/plain verdict against a declared share threshold.
+   * [[skewDiagnostics]] looks at ONE relation's key histogram; this
+   * profiles the JOIN — a key that is mildly hot on both sides is
+   * quadratically hot in the output, which is what melts an executor.
+   *
+   * Scale shape: two key-count aggregates (map-side partials, one row
+   * per distinct key), an inner join of the two key-domain-sized
+   * count relations, and a top-k — the fact tables are each scanned
+   * once and never joined. Products and the total accumulate in
+   * DECIMAL(38,0) (two 10-digit per-key counts already overflow a
+   * BIGINT product — the apportion lesson); the per-key output rides
+   * out as a canonical decimal STRING so no decimal type reaches the
+   * driver comparator.
+   *
+   * @return top-`k` keys by predicted pair count:
+   *         (key, cnt_left, cnt_right, pair_rows, share_micro,
+   *         verdict) — verdict = 'salt' when the key's share exceeds
+   *         `saltShareMicro`, else 'plain'.
+   */
+  def joinSizeProfile(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      k: Int = 10, saltShareMicro: Long = 200000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("cnt_left"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("cnt_right"))
+    val pairs = lc.join(rc, "key")
+      .select(col("key"), col("cnt_left"), col("cnt_right"),
+        expr("CAST(cnt_left AS DECIMAL(38,0)) * cnt_right").as("__p"))
+    val tot = pairs.agg(sum("__p").as("__tot"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt_left"), col("cnt_right"),
+        col("__p").cast("string").as("pair_rows"),
+        expr("CAST((1000000 * __p) div __tot AS BIGINT)")
+          .as("share_micro"))
+      .withColumn("verdict",
+        when(col("share_micro") > saltShareMicro, "salt")
+          .otherwise("plain"))
+      .orderBy(col("share_micro").desc, col("key"))
+      .limit(k)
+  }
+
+  /**
    * TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
    * the region supplier(s) whose supply cost equals the part's
    * regional minimum — the correlated-min-subquery query. This schema

@@ -428,6 +428,28 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     assert(ex.getMessage.contains("bounded"))
   }
 
+  test("joinSizeProfile: exact pair counts, hot key flagged for salting") {
+    import spark.implicits._
+    // key 1: 100×100 pairs (hot); keys 2..6: 4×4 each; key 9 only on
+    // the left (no output row — inner semantics)
+    val left = ((1 to 100).map(_ => 1L) ++
+      (2 to 6).flatMap(k => Seq.fill(4)(k.toLong)) ++ Seq(9L)).toDF("k")
+    val right = ((1 to 100).map(_ => 1L) ++
+      (2 to 6).flatMap(k => Seq.fill(4)(k.toLong))).toDF("k")
+    val rows = RelationalAnalytics.joinSizeProfile(left, "k", right, "k",
+      k = 10).collect()
+    assert(rows.map(_.getLong(0)).toSet === (1L to 6L).toSet)
+    val byKey = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+        r.getString(5)))).toMap
+    assert(byKey(1L) === ((100L, 100L, "10000",
+      10000L * 1000000L / 10080L, "salt")))
+    assert(byKey(2L)._3 === "16")
+    assert(byKey(2L)._5 === "plain")
+    // ordered by share desc: the hot key leads
+    assert(rows.head.getLong(0) === 1L)
+  }
+
   test("minCostSupplier (Q2): every row sits at its part's regional minimum") {
     val df = RelationalAnalytics.minCostSupplier(
       t("region"), t("nation"), t("supplier"), t("part"), t("lineitem"),
