@@ -987,6 +987,24 @@ object SparkEntry {
       ObjectivePrep.ictPairs(segs, "doc_id", "seg_idx", "seg_text",
         keepOneIn = 10).orderBy("doc_id")
     }),
+    // Unigram-LM (SentencePiece) vocabulary: all 1..4-char n-grams of
+    // corpus words with count >= 2 (1-char fallback always kept),
+    // scored as micro log-probs — the third tokenizer trainer beside
+    // BPE.
+    "unigram_vocab" -> ((s, d) =>
+      UnigramLm.fitVocab(table(s, d, "documents"), "text")
+        .orderBy("piece")),
+    // Unigram-LM Viterbi segmentation: per-doc piece counts and
+    // log-likelihood under the fitted vocab — the DP packs (logp,
+    // pieces) into ONE BIGINT per position, so the maximum-likelihood
+    // split replays bit-for-bit in the oracle's unrolled CTE chain.
+    // The DP runs over DISTINCT words (vocabulary-sized); docs join
+    // back through a broadcast.
+    "unigram_segment" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      UnigramLm.segmentCorpus(docs, "doc_id", "text",
+        UnigramLm.fitVocab(docs, "text")).orderBy("doc_id")
+    }),
     // DSIR importance weights (Xie et al. 2023): every non-English doc
     // scored by how English-like its hashed-n-gram bag is — per-bucket
     // count table (1024 rows, broadcast), 6-dp-rounded log10 deltas in
@@ -5462,6 +5480,73 @@ object SparkEntry {
       s"FROM r$iters ORDER BY domain"
   }
 
+  /** Shared vocab CTEs for the unigram-LM oracles: word explode,
+    * piece n-grams (two chained unnests — lengths depend on the
+    * position), counts with the 1-char fallback, micro log-prob
+    * scores on the 6-dp grid. */
+  private val unigramVocabCtes: String =
+    """WITH w0 AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |w2 AS (SELECT w FROM w0 WHERE len(w) >= 1),
+      |pi AS (SELECT w, unnest(generate_series(1, len(w))) AS i FROM w2),
+      |pl AS (SELECT w, i,
+      |         unnest(generate_series(1, least(4, len(w) - i + 1))) AS l
+      |       FROM pi),
+      |pc AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece
+      |       FROM pl),
+      |voc0 AS (
+      |  SELECT piece, count(*) AS cnt FROM pc GROUP BY 1
+      |  HAVING count(*) >= 2 OR len(piece) = 1),
+      |vt AS (SELECT sum(cnt) AS tt FROM voc0),
+      |voc AS (
+      |  SELECT piece, cnt,
+      |         CAST((CAST(round(log10(cnt), 6) AS DECIMAL(28,6)) -
+      |               CAST(round(log10(tt), 6) AS DECIMAL(28,6)))
+      |              * 1000000 AS BIGINT) AS score_micro
+      |  FROM voc0, vt)""".stripMargin
+
+  /** unigram_segment's oracle: the packed-BIGINT Viterbi DP unrolled
+    * as one chained CTE per word position (dp_i = greatest over piece
+    * lengths of dp_{i-l} + 32·score − 1), then the per-doc rollup
+    * with explicit NULL poisoning — exactly [[UnigramLm]]'s
+    * arithmetic. */
+  private def unigramSegmentOracle(maxPiece: Int, maxWordLen: Int): String = {
+    val head = unigramVocabCtes +
+      """,
+        |words AS (SELECT DISTINCT w AS word FROM w2),
+        |d0 AS (SELECT word, CAST(31 AS BIGINT) AS dp0 FROM words)""".stripMargin
+    val steps = (1 to maxWordLen).map { i =>
+      val cands = (1 to math.min(i, maxPiece)).map { l =>
+        s"dp${i - l} + 32 * (SELECT score_micro FROM voc " +
+          s"WHERE piece = substr(word, ${i - l + 1}, $l)) - 1"
+      }
+      val best = if (cands.size == 1) cands.head
+        else s"greatest(${cands.mkString(", ")})"
+      s"""d$i AS (SELECT *, CASE WHEN len(word) >= $i
+         |  THEN $best END AS dp$i FROM d${i - 1})""".stripMargin
+    }
+    val finalCase = (1 to maxWordLen)
+      .map(i => s"WHEN $i THEN dp$i").mkString(" ")
+    val tail =
+      s"""f AS (SELECT word, CASE len(word) $finalCase END AS f
+         |     FROM d$maxWordLen),
+         |g AS (SELECT word, f, ((f % 32) + 32) % 32 AS r FROM f),
+         |seg AS (SELECT word, 31 - r AS np, (f - r) // 32 AS lp FROM g),
+         |occ AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ2 AS (SELECT doc_id, word FROM occ WHERE len(word) >= 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(CASE WHEN sum(CASE WHEN s.np IS NULL THEN 1 ELSE 0 END) > 0
+         |       THEN NULL ELSE sum(s.np) END AS BIGINT) AS n_pieces,
+         |  CAST(CASE WHEN sum(CASE WHEN s.np IS NULL THEN 1 ELSE 0 END) > 0
+         |       THEN NULL ELSE sum(s.lp) END AS BIGINT) AS logp_micro
+         |FROM occ2 JOIN seg s USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    (head +: steps).mkString(",\n") + ",\n" + tail
+  }
+
   /** text_rank_terms' oracle: the adjacent-token candidate graph
     * (length ≥ 4, both directions, simple), then the same chained
     * integer-PageRank CTEs as [[pageRankOracle]], top-k by rank. */
@@ -6676,6 +6761,13 @@ object SparkEntry {
         |         list_filter(ss, x -> x.i != ss[qpos + 1].i OR keep),
         |         x -> x.t), ' ') AS context_text
         |FROM h ORDER BY doc_id""".stripMargin,
+    // Unigram vocab replayed: two chained unnests for the n-grams,
+    // the same 6-dp log-prob scores.
+    "unigram_vocab" -> (unigramVocabCtes +
+      "\nSELECT piece, CAST(cnt AS BIGINT) AS cnt, score_micro " +
+      "FROM voc ORDER BY piece"),
+    // The packed-BIGINT Viterbi replayed as 16 chained CTEs.
+    "unigram_segment" -> unigramSegmentOracle(4, 16),
     // DSIR weights re-derived: same md5-nibble buckets, same
     // 6-dp-rounded log10 deltas in DECIMAL(28,6), same n·offset
     // normalizer — bit-for-bit.
