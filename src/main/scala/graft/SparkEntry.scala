@@ -5480,6 +5480,50 @@ object SparkEntry {
       s"FROM r$iters ORDER BY domain"
   }
 
+  /** Shared CTE chain for the two DSIR oracles: md5-nibble buckets,
+    * per-bucket target/raw counts, 6-dp log10 lambda deltas, the
+    * n·offset normalizer — everything up to the final projection. */
+  private val dsirCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |n AS (
+      |  SELECT doc_id, tgt,
+      |         unnest(list_concat(toks,
+      |           list_transform(generate_series(1, len(toks) - 1),
+      |             i -> toks[CAST(i AS INT)] || ' ' ||
+      |                  toks[CAST(i + 1 AS INT)]))) AS ng
+      |  FROM t),
+      |b AS (
+      |  SELECT doc_id, tgt,
+      |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5(ng), CAST(i AS INT), 1)) - 1)
+      |      * CAST(16 ** (4 - i) AS BIGINT))) % 1024 AS BIGINT) AS bk
+      |  FROM n),
+      |c AS (
+      |  SELECT bk, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+      |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
+      |  FROM b GROUP BY 1),
+      |lam AS (
+      |  SELECT bk,
+      |         CAST(round(log10(ct + 1), 6) AS DECIMAL(28,6)) -
+      |         CAST(round(log10(cq + 1), 6) AS DECIMAL(28,6)) AS l
+      |  FROM c),
+      |tot AS (
+      |  SELECT CAST(round(log10(sum(ct) + 1024), 6) AS DECIMAL(28,6)) -
+      |         CAST(round(log10(sum(cq) + 1024), 6) AS DECIMAL(28,6))
+      |           AS off
+      |  FROM c),
+      |wgt AS (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+      |         round(CAST(sum(lam.l) - count(*) * tot.off AS DOUBLE), 6)
+      |           AS logweight
+      |  FROM b JOIN lam USING (bk), tot
+      |  WHERE NOT b.tgt
+      |  GROUP BY b.doc_id, tot.off)""".stripMargin
+
   /** Shared vocab CTEs for the unigram-LM oracles: word explode,
     * piece n-grams (two chained unnests — lengths depend on the
     * position), counts with the 1-char fallback, micro log-prob
@@ -6771,86 +6815,12 @@ object SparkEntry {
     // DSIR weights re-derived: same md5-nibble buckets, same
     // 6-dp-rounded log10 deltas in DECIMAL(28,6), same n·offset
     // normalizer — bit-for-bit.
-    "dsir_weights" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang = 'en' AS tgt,
-        |         string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |n AS (
-        |  SELECT doc_id, tgt,
-        |         unnest(list_concat(toks,
-        |           list_transform(generate_series(1, len(toks) - 1),
-        |             i -> toks[CAST(i AS INT)] || ' ' ||
-        |                  toks[CAST(i + 1 AS INT)]))) AS ng
-        |  FROM t),
-        |b AS (
-        |  SELECT doc_id, tgt,
-        |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
-        |      (strpos('0123456789abcdef',
-        |         substr(md5(ng), CAST(i AS INT), 1)) - 1)
-        |      * CAST(16 ** (4 - i) AS BIGINT))) % 1024 AS BIGINT) AS bk
-        |  FROM n),
-        |c AS (
-        |  SELECT bk, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
-        |  FROM b GROUP BY 1),
-        |lam AS (
-        |  SELECT bk,
-        |         CAST(round(log10(ct + 1), 6) AS DECIMAL(28,6)) -
-        |         CAST(round(log10(cq + 1), 6) AS DECIMAL(28,6)) AS l
-        |  FROM c),
-        |tot AS (
-        |  SELECT CAST(round(log10(sum(ct) + 1024), 6) AS DECIMAL(28,6)) -
-        |         CAST(round(log10(sum(cq) + 1024), 6) AS DECIMAL(28,6))
-        |           AS off
-        |  FROM c)
-        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
-        |       round(CAST(sum(lam.l) - count(*) * tot.off AS DOUBLE), 6)
-        |         AS logweight
-        |FROM b JOIN lam USING (bk), tot
-        |WHERE NOT b.tgt
-        |GROUP BY b.doc_id, tot.off ORDER BY doc_id""".stripMargin,
+    "dsir_weights" -> (dsirCtes +
+      "\nSELECT doc_id, n_ngrams, logweight FROM wgt ORDER BY doc_id"),
     // Same derivation, top-50 by (logweight desc, id).
-    "dsir_select" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang = 'en' AS tgt,
-        |         string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |n AS (
-        |  SELECT doc_id, tgt,
-        |         unnest(list_concat(toks,
-        |           list_transform(generate_series(1, len(toks) - 1),
-        |             i -> toks[CAST(i AS INT)] || ' ' ||
-        |                  toks[CAST(i + 1 AS INT)]))) AS ng
-        |  FROM t),
-        |b AS (
-        |  SELECT doc_id, tgt,
-        |    CAST(list_sum(list_transform(generate_series(1, 4), i ->
-        |      (strpos('0123456789abcdef',
-        |         substr(md5(ng), CAST(i AS INT), 1)) - 1)
-        |      * CAST(16 ** (4 - i) AS BIGINT))) % 1024 AS BIGINT) AS bk
-        |  FROM n),
-        |c AS (
-        |  SELECT bk, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cq
-        |  FROM b GROUP BY 1),
-        |lam AS (
-        |  SELECT bk,
-        |         CAST(round(log10(ct + 1), 6) AS DECIMAL(28,6)) -
-        |         CAST(round(log10(cq + 1), 6) AS DECIMAL(28,6)) AS l
-        |  FROM c),
-        |tot AS (
-        |  SELECT CAST(round(log10(sum(ct) + 1024), 6) AS DECIMAL(28,6)) -
-        |         CAST(round(log10(sum(cq) + 1024), 6) AS DECIMAL(28,6))
-        |           AS off
-        |  FROM c)
-        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
-        |       round(CAST(sum(lam.l) - count(*) * tot.off AS DOUBLE), 6)
-        |         AS logweight
-        |FROM b JOIN lam USING (bk), tot
-        |WHERE NOT b.tgt
-        |GROUP BY b.doc_id, tot.off
-        |ORDER BY logweight DESC, doc_id LIMIT 50""".stripMargin,
+    "dsir_select" -> (dsirCtes +
+      "\nSELECT doc_id, n_ngrams, logweight FROM wgt " +
+      "ORDER BY logweight DESC, doc_id LIMIT 50"),
     // Preference pairs re-derived via arg_max/arg_min over the same
     // total ranking key (score·2^20 + id mod 2^20) — exact integers,
     // so the tie-break contract is checked, not just the values.
@@ -10731,10 +10701,13 @@ object SparkEntry {
         |           AS BIGINT) AS w
         |  FROM c),
         |t AS (SELECT sum(w) AS total FROM w),
+        |-- HUGEINT division: DECIMAL // degrades to DOUBLE here and
+        |-- loses exactness past 2^53 (n*w*1e6 reaches that at ~1600
+        |-- docs per stratum); HUGEINT is the exact integral quotient
         |q AS (
         |  SELECT stratum, cnt, w,
-        |         (CAST(1000 AS DECIMAL(38,0)) * w * 1000000) // total
-        |           AS quota_micro
+        |         CAST(CAST(1000 AS HUGEINT) * w * 1000000 AS HUGEINT)
+        |           // CAST(total AS HUGEINT) AS quota_micro
         |  FROM w, t),
         |q2 AS (
         |  SELECT *, quota_micro // 1000000 AS base,

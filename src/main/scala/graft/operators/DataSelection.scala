@@ -38,7 +38,7 @@ object DataSelection {
   /** md5-based bucket of an n-gram string — first 4 nibbles mod B,
     * identically computable in any engine with md5 + string ops. */
   private def bucket(ng: Column, buckets: Int): Column =
-    conv(substring(md5(ng), 1, 4), 16, 10).cast("long") % buckets
+    SeededHash.md5Nibbles(ng, 4) % buckets
 
   /** round-to-6dp log10 of (count + `plus`), as exact DECIMAL — the
     * one place a transcendental enters; 6-dp rounding of a log of an

@@ -208,11 +208,17 @@ object MixtureSampling {
    * this is plain Hamilton apportionment by count.
    *
    * α is a rational `alphaNum/alphaDen`, evaluated as one double
-   * division (IEEE-identical in any engine); the weight
-   * `cnt^α` is the package's one sanctioned transcendental pattern:
+   * division (IEEE-identical in any engine); the weight `cnt^α`
+   * follows the package's quantize-the-transcendental discipline:
    * computed in double, scaled to integer micros with round(·, 0),
    * then every downstream step (Hamilton quotas, remainders, ties)
-   * is exact integer/DECIMAL arithmetic. Same shape as [[apportion]]:
+   * is exact integer/DECIMAL arithmetic. Caveat, shared with every
+   * log10 card: `pow` is not IEEE-correctly-rounded (unlike `sqrt`,
+   * which [[mixturePlan]]'s α = 0.5 path uses for that reason), so an
+   * engine pair can in principle disagree by one micro when
+   * `cnt^α·10⁶` lands within an ulp of a rounding boundary — same
+   * accepted risk class as the 6-dp log rounding. Same shape as
+   * [[apportion]]:
    * one count aggregate to |strata| rows, broadcast total, |strata|²
    * broadcast remainder rank — no windows, nothing driver-side.
    */

@@ -26,8 +26,8 @@ object ObjectivePrep {
     * identically computable in any engine with md5 + string ops. */
   private def posHash(id: org.apache.spark.sql.Column,
       pos: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(id.cast("string"), lit(":"), pos.cast("string"))),
-      1, 4), 16, 10).cast("long")
+    SeededHash.md5Nibbles(
+      concat(id.cast("string"), lit(":"), pos.cast("string")), 4)
 
   /**
    * BERT-style single-token masking at rate 1/`oneIn`: input keeps the
@@ -61,8 +61,7 @@ object ObjectivePrep {
 
   /** Salted 4-nibble doc hash for FIM decisions: md5(id:fim:k). */
   private def fimHash(id: org.apache.spark.sql.Column, k: Int) =
-    conv(substring(md5(concat(id.cast("string"), lit(s":fim:$k"))),
-      1, 4), 16, 10).cast("long")
+    SeededHash.md5Nibbles(concat(id.cast("string"), lit(s":fim:$k")), 4)
 
   /**
    * Fill-in-the-Middle corruption (Bavarian et al. 2022, "Efficient
@@ -140,8 +139,7 @@ object ObjectivePrep {
 
   /** Salted 4-nibble doc hash for ICT decisions: md5(id:ict:k). */
   private def ictHash(id: org.apache.spark.sql.Column, k: Int) =
-    conv(substring(md5(concat(id.cast("string"), lit(s":ict:$k"))),
-      1, 4), 16, 10).cast("long")
+    SeededHash.md5Nibbles(concat(id.cast("string"), lit(s":ict:$k")), 4)
 
   /**
    * Inverse Cloze Task pair generation (Lee et al. 2019, "Latent

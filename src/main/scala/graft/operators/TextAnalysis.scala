@@ -1004,17 +1004,22 @@ object TextAnalysis {
     require(k > 0, s"k must be positive, got $k")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     val toks = split(col(textCol), " ")
-    val pairs = docs
+    // both directions emitted in the SAME projection — a
+    // union(pairs, swap(pairs)) would instantiate the corpus explode
+    // twice (no exchange below it for ReuseExchange to dedup)
+    val edges = docs
       // size >= 2: Spark's sequence(1, 0) counts DOWN, not empty
       .filter(col(textCol).isNotNull && size(toks) >= 2)
       .select(toks.as("__t"),
         explode(sequence(lit(1), size(toks) - 1)).as("__i"))
-      .select(element_at(col("__t"), col("__i")).as("src"),
-        element_at(col("__t"), col("__i") + 1).as("dst"))
-      .filter(length(col("src")) >= minLen &&
-        length(col("dst")) >= minLen && col("src") =!= col("dst"))
-    val edges = pairs.union(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .select(element_at(col("__t"), col("__i")).as("a"),
+        element_at(col("__t"), col("__i") + 1).as("b"))
+      .filter(length(col("a")) >= minLen &&
+        length(col("b")) >= minLen && col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
     LinkRank.pageRank(edges, iters = iters)
       .select(col("domain").as("term"), col("rank_micros"))
       .orderBy(col("rank_micros").desc, col("term"))
