@@ -2926,6 +2926,20 @@ object SparkEntry {
     // file-source -> file-sink micro-batch over a DOUBLED copy of the
     // event table; the sink must reproduce the clean table's per-type
     // counts exactly (event ids are unique in the source).
+    // FOURTH end-to-end streaming mode: stream-static broadcast
+    // enrichment — events streamed through a real file source, joined
+    // per micro-batch against a static event_type→tier dimension
+    // (stateless: no watermark, no state store), parquet sink, then
+    // re-aggregated; must equal the batch join exactly.
+    "events_enrich_streamed" -> ((s, d) => {
+      val ev = table(s, d, "events")
+      val dim = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          (length(col("event_type")) % 3).cast("long").as("tier"))
+      graft.streaming.EventPipeline
+        .streamedStaticEnrichParity(s, ev, dim)
+        .orderBy("tier")
+    }),
     "events_dedup_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedDedupParity(
         s, table(s, d, "events"), "10 minutes")
@@ -11127,6 +11141,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    // The stream-static enrichment replayed as the plain batch join.
+    "events_enrich_streamed" ->
+      """SELECT len(event_type) % 3 AS tier,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_user_stats" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,

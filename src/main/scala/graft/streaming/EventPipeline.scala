@@ -703,6 +703,52 @@ object EventPipeline {
     spark.read.parquet(sink)
   }
 
+  /**
+   * STREAM-STATIC join parity — the fourth end-to-end streaming
+   * execution mode beside the windowed aggregate, keyed dedup, and
+   * stream-stream join rows: a micro-batch stream of events
+   * broadcast-joined against a STATIC dimension (the enrichment
+   * every streaming pipeline does to its facts). The static side is a
+   * plain DataFrame re-evaluated per micro-batch and the join is
+   * STATELESS — no watermark, no state store — which is exactly the
+   * contract this row pins: the streamed enriched rows, re-aggregated
+   * after the sink, must equal the batch join bit-for-bit.
+   *
+   * @param dim static (event_type, tier) dimension
+   * @return (tier, n_events, total_value) over the sink's contents
+   */
+  def streamedStaticEnrichParity(
+      spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+      dim: DataFrame): DataFrame = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_sse_src").toString
+    events.write.mode("overwrite").parquet(srcDir)
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_sse_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sse_ckpt").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(srcDir)
+    val q = stream
+      .join(broadcast(dim), "event_type")
+      .select(col("event_type"), col("tier"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+  }
+
   final case class UserSessionSummary(
       user_id: Long, n_events: Long, total_value: Double,
       last_ts: java.sql.Timestamp)

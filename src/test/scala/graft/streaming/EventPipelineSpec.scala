@@ -612,4 +612,22 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("stream-static enrichment parity: streamed join equals batch join") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+    val dim = ev.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        (length(col("event_type")) % 3).cast("long").as("tier"))
+    val streamed = EventPipeline.streamedStaticEnrichParity(spark, ev, dim)
+      .orderBy("tier").collect().toSeq
+    val batch = ev.join(dim, "event_type")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("tier").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
