@@ -1005,6 +1005,15 @@ object SparkEntry {
       UnigramLm.segmentCorpus(docs, "doc_id", "text",
         UnigramLm.fitVocab(docs, "text")).orderBy("doc_id")
     }),
+    // Unigram-LM hard-EM refit: backtrace every word's Viterbi split
+    // (columnar — one aggregate() fold walking p → p − l*(p) over the
+    // dp array), recount pieces weighted by word frequency, rescore.
+    // Pieces never chosen surface with viterbi_cnt = 0.
+    "unigram_refit" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      UnigramLm.refit(docs, "doc_id", "text",
+        UnigramLm.fitVocab(docs, "text")).orderBy("piece")
+    }),
     // DSIR importance weights (Xie et al. 2023): every non-English doc
     // scored by how English-like its hashed-n-gram bag is — per-bucket
     // count table (1024 rows, broadcast), 6-dp-rounded log10 deltas in
@@ -5569,7 +5578,9 @@ object SparkEntry {
     * lengths of dp_{i-l} + 32·score − 1), then the per-doc rollup
     * with explicit NULL poisoning — exactly [[UnigramLm]]'s
     * arithmetic. */
-  private def unigramSegmentOracle(maxPiece: Int, maxWordLen: Int): String = {
+  /** The unigram vocab + chained-dp CTE prefix (through d<maxWordLen>)
+    * shared by the segment and refit oracles. */
+  private def unigramDpCtes(maxPiece: Int, maxWordLen: Int): String = {
     val head = unigramVocabCtes +
       """,
         |words AS (SELECT DISTINCT w AS word FROM w2),
@@ -5584,6 +5595,10 @@ object SparkEntry {
       s"""d$i AS (SELECT *, CASE WHEN len(word) >= $i
          |  THEN $best END AS dp$i FROM d${i - 1})""".stripMargin
     }
+    (head +: steps).mkString(",\n")
+  }
+
+  private def unigramSegmentOracle(maxPiece: Int, maxWordLen: Int): String = {
     val finalCase = (1 to maxWordLen)
       .map(i => s"WHEN $i THEN dp$i").mkString(" ")
     val tail =
@@ -5602,7 +5617,60 @@ object SparkEntry {
          |       THEN NULL ELSE sum(s.lp) END AS BIGINT) AS logp_micro
          |FROM occ2 JOIN seg s USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    (head +: steps).mkString(",\n") + ",\n" + tail
+    unigramDpCtes(maxPiece, maxWordLen) + ",\n" + tail
+  }
+
+  /** unigram_refit's oracle: the dp CTEs, then the backtrace unrolled
+    * as one CTE per step (p → p − l*(p), l* = smallest piece length
+    * reproducing dp(p) exactly), viterbi piece recount weighted by
+    * word frequency, rescore — [[UnigramLm.refit]]'s arithmetic. */
+  private def unigramRefitOracle(maxPiece: Int, maxWordLen: Int): String = {
+    val dparr = (0 to maxWordLen).map(i => s"dp$i").mkString(", ")
+    def lstarCase(): String = (1 to maxPiece).map { l =>
+      s"CASE WHEN p >= $l AND da[CAST(p + 1 AS INT)] = " +
+        s"da[CAST(p - $l + 1 AS INT)] + 32 * (SELECT score_micro " +
+        s"FROM voc WHERE piece = substr(word, CAST(p - $l + 1 AS INT), $l)) " +
+        s"- 1 THEN $l END"
+    }.mkString("COALESCE(", ", ", ")")
+    val btSteps = (1 to maxWordLen).map { k =>
+      s"""bt$k AS (
+         |  SELECT word, da,
+         |    CASE WHEN p > 0 AND ls IS NOT NULL THEN p - ls
+         |         ELSE 0 END AS p,
+         |    CASE WHEN p > 0 AND ls IS NOT NULL
+         |         THEN list_append(ps,
+         |           substr(word, CAST(p - ls + 1 AS INT), CAST(ls AS INT)))
+         |         ELSE ps END AS ps
+         |  FROM (SELECT *, ${lstarCase()} AS ls FROM bt${k - 1}))""".stripMargin
+    }
+    val tail =
+      s"""pieces AS (
+         |  SELECT word, unnest(ps) AS piece FROM bt$maxWordLen),
+         |freq AS (
+         |  SELECT w AS word, count(*) AS f FROM w2
+         |  WHERE len(w) <= $maxWordLen GROUP BY 1),
+         |vc AS (
+         |  SELECT piece, sum(f) AS viterbi_cnt
+         |  FROM pieces JOIN freq USING (word) GROUP BY 1),
+         |j AS (
+         |  SELECT voc.piece, voc.cnt, voc.score_micro,
+         |         COALESCE(vc.viterbi_cnt, 0) AS viterbi_cnt
+         |  FROM voc LEFT JOIN vc USING (piece)),
+         |tv AS (SELECT sum(viterbi_cnt) AS t FROM j)
+         |SELECT piece, CAST(cnt AS BIGINT) AS cnt, score_micro,
+         |       CAST(viterbi_cnt AS BIGINT) AS viterbi_cnt,
+         |       CASE WHEN viterbi_cnt > 0 THEN CAST(
+         |         (CAST(round(log10(viterbi_cnt), 6) AS DECIMAL(28,6)) -
+         |          CAST(round(log10(t), 6) AS DECIMAL(28,6)))
+         |         * 1000000 AS BIGINT) END AS new_score_micro
+         |FROM j, tv ORDER BY piece""".stripMargin
+    unigramDpCtes(maxPiece, maxWordLen) + ",\n" +
+      s"""bt0 AS (
+         |  SELECT word, list_value($dparr) AS da,
+         |         CAST(len(word) AS BIGINT) AS p,
+         |         CAST([] AS VARCHAR[]) AS ps
+         |  FROM d$maxWordLen WHERE len(word) <= $maxWordLen)""".stripMargin +
+      ",\n" + btSteps.mkString(",\n") + ",\n" + tail
   }
 
   /** text_rank_terms' oracle: the adjacent-token candidate graph
@@ -6826,6 +6894,8 @@ object SparkEntry {
       "FROM voc ORDER BY piece"),
     // The packed-BIGINT Viterbi replayed as 16 chained CTEs.
     "unigram_segment" -> unigramSegmentOracle(4, 16),
+    // The backtrace replayed: 16 more CTEs walking p → p − l*(p).
+    "unigram_refit" -> unigramRefitOracle(4, 16),
     // DSIR weights re-derived: same md5-nibble buckets, same
     // 6-dp-rounded log10 deltas in DECIMAL(28,6), same n·offset
     // normalizer — bit-for-bit.

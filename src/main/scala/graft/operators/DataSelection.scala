@@ -66,17 +66,22 @@ object DataSelection {
       transform(sequence(lit(1), size(toks) - 1), i =>
         concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array())
-    val feats = docs
+    // ONE pass over the n-gram explode, reduced immediately to
+    // (doc, bucket) multiplicities — BOTH downstream consumers (the
+    // bucket multinomials and the per-doc scoring join) read this
+    // same aggregate, so the plan carries one ReusedExchange instead
+    // of scanning/exploding the corpus twice, and the scoring join's
+    // input is doc × distinct-buckets rows, not one row per n-gram.
+    val docBuckets = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), isTarget.as("__tgt"),
         explode(concat(toks, bis)).as("__ng"))
-      .select(col("__id"), col("__tgt"),
+      .groupBy(col("__id"), col("__tgt"),
         bucket(col("__ng"), buckets).as("__b"))
-    // ONE aggregate feeds both multinomials: per-bucket target and
-    // raw counts (map-side partials; B distinct keys on the shuffle).
-    val counts = feats.groupBy("__b").agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
-      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cq"))
+      .agg(count(lit(1)).as("__c"))
+    val counts = docBuckets.groupBy("__b").agg(
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__ct"),
+      sum(when(col("__tgt"), 0L).otherwise(col("__c"))).as("__cq"))
     val lam = counts.select(col("__b"),
       (dlog(col("__ct"), 1L) - dlog(col("__cq"), 1L)).as("__lam"))
     // smoothing normalizer: log10(N_tgt + B) − log10(N_raw + B),
@@ -84,10 +89,11 @@ object DataSelection {
     val off = counts.agg(
       (dlog(sum("__ct"), buckets.toLong) -
         dlog(sum("__cq"), buckets.toLong)).as("__off"))
-    feats.filter(!col("__tgt"))
+    docBuckets.filter(!col("__tgt"))
       .join(broadcast(lam), "__b")
       .groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_ngrams"), sum("__lam").as("__s"))
+      .agg(sum("__c").as("n_ngrams"),
+        sum(col("__lam") * col("__c")).as("__s"))
       .crossJoin(broadcast(off))
       .select(col(idCol), col("n_ngrams"),
         round((col("__s") - col("n_ngrams") * col("__off"))

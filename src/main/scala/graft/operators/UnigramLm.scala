@@ -82,9 +82,12 @@ object UnigramLm {
    *
    * @return (word, n_chars, n_pieces, logp_micro)
    */
-  def segmentWords(
+  /** Distinct words × broadcast vocab map, with the chained dp
+    * columns __dp0..__dpN — the shared front half of [[segmentWords]]
+    * and [[refit]]. */
+  private def withDpColumns(
       words: DataFrame, vocab: DataFrame,
-      maxPiece: Int = 4, maxWordLen: Int = 16): DataFrame = {
+      maxPiece: Int, maxWordLen: Int): DataFrame = {
     require(maxWordLen >= 1 && maxWordLen <= 31,
       s"maxWordLen must be in [1, 31] (5-bit piece headroom), " +
         s"got $maxWordLen")
@@ -94,7 +97,7 @@ object UnigramLm {
       .crossJoin(broadcast(vmap))
     // dp(0) = 31; dp(i) = greatest over piece lengths l of
     // dp(i-l) + 32·score(word[i-l+1 .. i]) − 1 (null candidates skip)
-    val withDp = (1 to maxWordLen).foldLeft(
+    (1 to maxWordLen).foldLeft(
       base.withColumn("__dp0", lit(31L))) { (df, i) =>
       val cands = (1 to math.min(i, maxPiece)).map { l =>
         col(s"__dp${i - l}") +
@@ -105,6 +108,12 @@ object UnigramLm {
       df.withColumn(s"__dp$i",
         when(length(col("word")) >= i, best).otherwise(lit(null)))
     }
+  }
+
+  def segmentWords(
+      words: DataFrame, vocab: DataFrame,
+      maxPiece: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val withDp = withDpColumns(words, vocab, maxPiece, maxWordLen)
     val finalDp = (1 to maxWordLen).foldLeft(lit(null).cast("long")) {
       (acc, i) => when(length(col("word")) === i, col(s"__dp$i"))
         .otherwise(acc)
@@ -118,6 +127,89 @@ object UnigramLm {
         // exact multiple of 32 after the mod subtraction, so
         // truncating div == floor in every engine, negatives included
         expr(s"(__f - __r) div $Base").as("logp_micro"))
+  }
+
+  /**
+   * One hard-EM (Viterbi-EM) refit step (Kudo 2018 §3.2, the
+   * M-step over 1-best segmentations): BACKTRACE each word's
+   * maximum-likelihood split into its actual pieces, recount pieces
+   * over word OCCURRENCES, and rescore. The backtrace is columnar
+   * like the forward pass: the dp values ride an array column, the
+   * chosen last-piece length at position p is the SMALLEST l whose
+   * candidate reproduces dp(p) exactly (deterministic in any engine —
+   * the packed key makes achievers bit-comparable), and `maxWordLen`
+   * chained position columns walk p → p − l*(p) back to zero.
+   *
+   * @return (piece, cnt, score_micro, viterbi_cnt, new_score_micro) —
+   *         pieces the 1-best segmentations never use keep their old
+   *         row with viterbi_cnt = 0 and a NULL new score (visible,
+   *         not resmoothed away).
+   */
+  def refit(
+      docs: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
+      maxPiece: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val occ = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1 &&
+        length(col("word")) <= maxWordLen)
+    val freq = occ.groupBy("word").agg(count(lit(1)).as("__wf"))
+    // materialize the dp columns before the backtrace references all
+    // of them at once: the words relation is vocabulary-sized, and
+    // the barrier keeps the optimizer from re-deriving the chained dp
+    // projections inside the fold's lambda (tree blow-up → OOM)
+    val withDp = withDpColumns(occ.select("word"), vocab,
+      maxPiece, maxWordLen)
+      .withColumn("__dparr",
+        array((0 to maxWordLen).map(i => col(s"__dp$i")): _*))
+      .select(col("word"), col("__vm"), col("__dparr"))
+      .localCheckpoint(true)
+    // l*(p): smallest piece length whose candidate equals dp(p) —
+    // element_at is 1-based, so dp(p) lives at __dparr[p + 1]
+    def dpAt(p: Column) = element_at(col("__dparr"), (p + 1).cast("int"))
+    def lstar(p: Column): Column =
+      (1 to maxPiece).foldLeft(lit(null).cast("int")) { (acc, l) =>
+        val piece = col("word").substr((p - l + 1).cast("int"), lit(l))
+        val cand = dpAt(p - l) +
+          call_function("try_element_at", col("__vm"), piece) * Base - 1L
+        coalesce(acc, when(p >= l && dpAt(p) === cand, lit(l)))
+      }
+    // walk back inside ONE aggregate() fold: p → p − l*(p), emitting
+    // the piece crossed at each step. The accumulator is a lambda
+    // variable — a LEAF — so each step's expression stays
+    // constant-sized (an iterated withColumn chain would inline the
+    // previous position expression ~8× per step under projection
+    // collapse: exponential tree growth, OOM at analysis)
+    val walked = withDp.withColumn("__pieces",
+      aggregate(
+        sequence(lit(1), lit(maxWordLen)),
+        struct(length(col("word")).cast("long").as("p"),
+          array().cast("array<string>").as("ps")),
+        (acc, _) => {
+          val p = acc.getField("p")
+          val l = lstar(p)
+          val piece = col("word").substr((p - l + 1).cast("int"), l)
+          when(p > 0 && l.isNotNull,
+            struct((p - l).cast("long").as("p"),
+              array_append(acc.getField("ps"), piece).as("ps")))
+            .otherwise(struct(lit(0L).as("p"),
+              acc.getField("ps").as("ps")))
+        }).getField("ps"))
+    val viterbiCounts = walked
+      .select(col("word"), explode(col("__pieces")).as("piece"))
+      .join(broadcast(freq), "word")
+      .groupBy("piece")
+      .agg(sum("__wf").as("viterbi_cnt"))
+    val joined = vocab.join(viterbiCounts, Seq("piece"), "left")
+      .select(col("piece"), col("cnt"), col("score_micro"),
+        coalesce(col("viterbi_cnt"), lit(0L)).as("viterbi_cnt"))
+    val tot = joined.agg(sum("viterbi_cnt").as("__t"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"), col("score_micro"),
+        col("viterbi_cnt"),
+        when(col("viterbi_cnt") > 0,
+          ((round(log10(col("viterbi_cnt")), 6).cast("decimal(28,6)") -
+            round(log10(col("__t")), 6).cast("decimal(28,6)")) *
+            lit(1000000)).cast("long")).as("new_score_micro"))
   }
 
   /**

@@ -75,4 +75,37 @@ class UnigramLmSpec extends SparkFunSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("refit: viterbi recount matches hand segmentation; unused pieces keep 0") {
+    val docs = Seq((1L, "ab ab b")).toDF("id", "text")
+    val vocab = UnigramLm.fitVocab(docs.select("text"), "text")
+    val rows = UnigramLm.refit(docs, "id", "text", vocab)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.isNullAt(4)))).toMap
+    // viterbi splits: "ab"→[ab] ×2 occurrences, "b"→[b] ×1
+    assert(rows("ab") === ((2L, false)))
+    assert(rows("b") === ((1L, false)))
+    assert(rows("a") === ((0L, true)))  // never chosen → 0, null score
+    // new scores re-normalize over viterbi mass (T = 3)
+    val ns = UnigramLm.refit(docs, "id", "text", vocab)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) 0L else r.getLong(4))).toMap
+    val exp = (BigDecimal(math.log10(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      - BigDecimal(math.log10(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) * 1000000
+    assert(ns("ab") === exp.toLong)
+  }
+
+  test("refit: multi-piece backtrace emits every crossed piece") {
+    // vocab without "abc" forces abc → [ab, c] or [a, bc]: the dp
+    // tie-break (max likelihood) decides; both pieces must be counted
+    val docs = Seq((1L, "abc ab bc c abc")).toDF("id", "text")
+    val vocab = UnigramLm.fitVocab(docs.select("text"), "text", maxPiece = 2)
+    val rows = UnigramLm.refit(docs, "id", "text", vocab, maxPiece = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // every occurrence of every word is segmented: total piece mass
+    // equals sum over words of their piece counts; "abc" (x2) yields
+    // exactly 2 pieces each under a 2-char-max vocab
+    val mass = rows.values.sum
+    assert(mass === 2L * 2 + 1 + 1 + 1) // abc x2 -> 2 pieces each; ab, bc, c -> 1 each
+  }
 }
