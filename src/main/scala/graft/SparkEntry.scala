@@ -987,6 +987,25 @@ object SparkEntry {
       ObjectivePrep.ictPairs(segs, "doc_id", "seg_idx", "seg_text",
         keepOneIn = 10).orderBy("doc_id")
     }),
+    // Token-level F1 (the SQuAD answer metric): multiset unigram
+    // overlap between a perturbed prediction and the reference —
+    // exact integral precision/recall/F1 per pair, one id-keyed join.
+    "eval_token_f1" -> ((s, d) =>
+      GenEval.overlapF1(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("replace(text, 'table', 'chair')").as("pred"),
+            col("text").as("gold")),
+        "doc_id", "pred", "gold", n = 1).orderBy("doc_id")),
+    // ROUGE-2 (Lin 2004): the same multiset overlap over bigrams —
+    // the summarization-eval standard.
+    "eval_rouge2" -> ((s, d) =>
+      GenEval.overlapF1(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("replace(text, 'table', 'chair')").as("pred"),
+            col("text").as("gold")),
+        "doc_id", "pred", "gold", n = 2).orderBy("doc_id")),
     // Unigram-LM (SentencePiece) vocabulary: all 1..4-char n-grams of
     // corpus words with count >= 2 (1-char fallback always kept),
     // scored as micro log-probs — the third tokenizer trainer beside
@@ -5547,6 +5566,61 @@ object SparkEntry {
       |  WHERE NOT b.tgt
       |  GROUP BY b.doc_id, tot.off)""".stripMargin
 
+  /** The two generation-eval oracles (token-F1, ROUGE-n): per-side
+    * multiset unit counts, least() overlap, integral micro scores —
+    * [[graft.operators.GenEval.overlapF1]]'s arithmetic with the same
+    * replace-perturbed fixture. */
+  private def genEvalOracle(n: Int): String = {
+    val unit =
+      if (n == 1) "unnest(string_split(t, ' '))"
+      else {
+        val parts = (0 until n)
+          .map(o => s"toks[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+        s"unnest(CASE WHEN len(string_split(t, ' ')) >= $n THEN " +
+          s"list_transform(generate_series(1, " +
+          s"len(string_split(t, ' ')) - ${n - 1}), i -> $parts) " +
+          "ELSE [] END)"
+      }
+    val tokAlias =
+      if (n == 1) "" else ", string_split(t, ' ') AS toks"
+    s"""WITH pairs AS (
+       |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
+       |         text AS gold
+       |  FROM documents WHERE text IS NOT NULL),
+       |pu AS (SELECT doc_id, $unit AS u FROM
+       |  (SELECT doc_id, pred AS t$tokAlias FROM pairs)),
+       |gu AS (SELECT doc_id, $unit AS u FROM
+       |  (SELECT doc_id, gold AS t$tokAlias FROM pairs)),
+       |pc AS (SELECT doc_id, u, count(*) AS cp FROM pu GROUP BY 1, 2),
+       |gc AS (SELECT doc_id, u, count(*) AS cg FROM gu GROUP BY 1, 2),
+       |ov AS (SELECT doc_id, sum(least(cp, cg)) AS overlap
+       |       FROM pc JOIN gc USING (doc_id, u) GROUP BY 1),
+       |tp AS (SELECT doc_id, sum(cp) AS n_pred FROM pc GROUP BY 1),
+       |tg AS (SELECT doc_id, sum(cg) AS n_gold FROM gc GROUP BY 1),
+       |m AS (
+       |  SELECT p.doc_id,
+       |         COALESCE(tp.n_pred, 0) AS n_pred,
+       |         COALESCE(tg.n_gold, 0) AS n_gold,
+       |         COALESCE(ov.overlap, 0) AS overlap
+       |  FROM pairs p
+       |  LEFT JOIN tp ON p.doc_id = tp.doc_id
+       |  LEFT JOIN tg ON p.doc_id = tg.doc_id
+       |  LEFT JOIN ov ON p.doc_id = ov.doc_id)
+       |SELECT doc_id, CAST(n_pred AS BIGINT) AS n_pred,
+       |       CAST(n_gold AS BIGINT) AS n_gold,
+       |       CAST(overlap AS BIGINT) AS overlap,
+       |       CAST(CASE WHEN n_pred > 0
+       |            THEN (1000000 * overlap) // n_pred ELSE 0 END
+       |            AS BIGINT) AS p_micro,
+       |       CAST(CASE WHEN n_gold > 0
+       |            THEN (1000000 * overlap) // n_gold ELSE 0 END
+       |            AS BIGINT) AS r_micro,
+       |       CAST(CASE WHEN n_pred + n_gold > 0
+       |            THEN (2000000 * overlap) // (n_pred + n_gold)
+       |            ELSE 0 END AS BIGINT) AS f1_micro
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared vocab CTEs for the unigram-LM oracles: word explode,
     * piece n-grams (two chained unnests — lengths depend on the
     * position), counts with the 1-char fallback, micro log-prob
@@ -6887,6 +6961,10 @@ object SparkEntry {
         |         list_filter(ss, x -> x.i != ss[qpos + 1].i OR keep),
         |         x -> x.t), ' ') AS context_text
         |FROM h ORDER BY doc_id""".stripMargin,
+    // Token-F1 replayed: per-side multiset counts, least() overlap.
+    "eval_token_f1" -> genEvalOracle(1),
+    // ROUGE-2: the same replay over bigram units.
+    "eval_rouge2" -> genEvalOracle(2),
     // Unigram vocab replayed: two chained unnests for the n-grams,
     // the same 6-dp log-prob scores.
     "unigram_vocab" -> (unigramVocabCtes +

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Generation-eval overlap metrics — the two standard lexical scores
+ * for model outputs against references: token-level F1 (the SQuAD
+ * answer metric) and ROUGE-n (the summarization metric, Lin 2004).
+ * Both are MULTISET overlaps: overlap = Σ_t min(cnt_pred(t),
+ * cnt_gold(t)) over tokens (F1) or n-grams (ROUGE-n), then precision
+ * = overlap/|pred|, recall = overlap/|gold| — reported on the micro
+ * grid via integral division, so every engine agrees exactly.
+ *
+ * Shape: explode each side to (id, unit) counts (map-side partials),
+ * ONE inner join on (id, unit), a per-id sum — everything partitions
+ * by the pair id; no global state, no windows. At 100 TB of eval
+ * pairs this is two scans and one id-keyed exchange.
+ */
+object GenEval {
+
+  /** (id, n-gram) counts of a text column: n = 1 gives tokens. */
+  private def unitCounts(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      cntName: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val units =
+      if (n == 1) explode(toks)
+      else explode(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o =>
+            element_at(toks, i + o)): _*)))
+        .otherwise(array()))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), units.as("__u"))
+      .groupBy("__id", "__u")
+      .agg(count(lit(1)).as(cntName))
+  }
+
+  /**
+   * Per-pair n-gram overlap F1 (n = 1 is token-F1). Output: (idCol,
+   * n_pred, n_gold, overlap, p_micro, r_micro, f1_micro) — pairs
+   * where either side has no n-grams score zero, not NULL (the
+   * standard convention: an empty prediction is a wrong prediction).
+   */
+  def overlapF1(
+      pairs: DataFrame, idCol: String, predCol: String, goldCol: String,
+      n: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val pc = unitCounts(pairs, idCol, predCol, n, "__cp")
+    val gc = unitCounts(pairs, idCol, goldCol, n, "__cg")
+    val joined = pc.join(gc, Seq("__id", "__u"))
+      .groupBy("__id")
+      .agg(sum(least(col("__cp"), col("__cg"))).as("overlap"))
+    val totals = pairs.select(col(idCol).as("__id"),
+      col(predCol), col(goldCol))
+      .join(pc.groupBy("__id").agg(sum("__cp").as("n_pred")), Seq("__id"), "left")
+      .join(gc.groupBy("__id").agg(sum("__cg").as("n_gold")), Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"))
+    totals.join(joined, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_pred"), col("n_gold"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("p_micro",
+        when(col("n_pred") > 0,
+          expr("(1000000 * overlap) div n_pred")).otherwise(0L))
+      .withColumn("r_micro",
+        when(col("n_gold") > 0,
+          expr("(1000000 * overlap) div n_gold")).otherwise(0L))
+      .withColumn("f1_micro",
+        when(col("n_pred") + col("n_gold") > 0,
+          expr("(2000000 * overlap) div (n_pred + n_gold)"))
+          .otherwise(0L))
+  }
+}
