@@ -1006,6 +1006,17 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", n = 2).orderBy("doc_id")),
+    // Corpus BLEU-4 (Papineni et al. 2002): clipped n-gram precisions
+    // and brevity penalty as exact integers, one 6-dp transcendental
+    // combination — the MT-eval standard, the natural companion of
+    // the bitext-mining card.
+    "eval_bleu4" -> ((s, d) =>
+      GenEval.corpusBleu(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("replace(text, 'table', 'chair')").as("pred"),
+            col("text").as("gold")),
+        "doc_id", "pred", "gold", maxN = 4)),
     // Unigram-LM (SentencePiece) vocabulary: all 1..4-char n-grams of
     // corpus words with count >= 2 (1-char fallback always kept),
     // scored as micro log-probs — the third tokenizer trainer beside
@@ -5566,6 +5577,55 @@ object SparkEntry {
       |  WHERE NOT b.tgt
       |  GROUP BY b.doc_id, tot.off)""".stripMargin
 
+  /** eval_bleu4's oracle: tagged per-n unit counts on both sides, the
+    * clipped-overlap join, scalar-subquery pivot, and the identical
+    * fixed-order bleu expression over the exact integers. */
+  private def bleuOracle(maxN: Int): String = {
+    def units(side: String): String = (1 to maxN).map { n =>
+      val parts = (0 until n)
+        .map(o => s"toks[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, $n AS n,
+         |  unnest(CASE WHEN len(toks) >= $n THEN
+         |    list_transform(generate_series(1, len(toks) - ${n - 1}),
+         |      i -> $parts) ELSE [] END) AS u
+         |FROM (SELECT doc_id, string_split($side, ' ') AS toks
+         |      FROM pairs)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val lnSum = (1 to maxN).map(n =>
+      s"ln((SELECT o FROM perN WHERE n = $n) * 1.0 / " +
+        s"(SELECT t FROM perN WHERE n = $n))").mkString(" + ")
+    val anyZero = (1 to maxN)
+      .map(n => s"(SELECT o FROM perN WHERE n = $n) = 0")
+      .mkString(" OR ")
+    val pCols = (1 to maxN).map(n =>
+      s"CAST((1000000 * (SELECT o FROM perN WHERE n = $n)) // " +
+        s"(SELECT t FROM perN WHERE n = $n) AS BIGINT) AS p${n}_micro")
+      .mkString(",\n       ")
+    s"""WITH pairs AS (
+       |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
+       |         text AS gold
+       |  FROM documents WHERE text IS NOT NULL),
+       |pu AS (${units("pred")}),
+       |gu AS (${units("gold")}),
+       |pc AS (SELECT doc_id, n, u, count(*) AS cp FROM pu GROUP BY 1, 2, 3),
+       |gc AS (SELECT doc_id, n, u, count(*) AS cg FROM gu GROUP BY 1, 2, 3),
+       |perN AS (
+       |  SELECT pc.n, sum(least(cp, COALESCE(cg, 0))) AS o,
+       |         sum(cp) AS t
+       |  FROM pc LEFT JOIN gc
+       |    ON pc.doc_id = gc.doc_id AND pc.n = gc.n AND pc.u = gc.u
+       |  GROUP BY pc.n),
+       |rr AS (SELECT sum(cg) AS r FROM gc WHERE n = 1)
+       |SELECT CAST((SELECT t FROM perN WHERE n = 1) AS BIGINT) AS c,
+       |       CAST(rr.r AS BIGINT) AS r,
+       |       $pCols,
+       |       round(CASE WHEN $anyZero THEN 0.0 ELSE
+       |         exp(least(0.0, 1.0 - rr.r * 1.0 /
+       |               (SELECT t FROM perN WHERE n = 1)) +
+       |             ($lnSum) / $maxN) END, 6) AS bleu
+       |FROM rr""".stripMargin
+  }
+
   /** The two generation-eval oracles (token-F1, ROUGE-n): per-side
     * multiset unit counts, least() overlap, integral micro scores —
     * [[graft.operators.GenEval.overlapF1]]'s arithmetic with the same
@@ -6961,6 +7021,9 @@ object SparkEntry {
         |         list_filter(ss, x -> x.i != ss[qpos + 1].i OR keep),
         |         x -> x.t), ' ') AS context_text
         |FROM h ORDER BY doc_id""".stripMargin,
+    // BLEU-4 replayed: tagged n-gram unions, clipped sums, the same
+    // fixed-order transcendental combination.
+    "eval_bleu4" -> bleuOracle(4),
     // Token-F1 replayed: per-side multiset counts, least() overlap.
     "eval_token_f1" -> genEvalOracle(1),
     // ROUGE-2: the same replay over bigram units.

@@ -38,6 +38,66 @@ object GenEval {
   }
 
   /**
+   * Corpus-level BLEU-`maxN` (Papineni et al. 2002): modified n-gram
+   * precisions p_n = Σ clipped matches / Σ candidate n-grams for
+   * n = 1..maxN, brevity penalty exp(min(0, 1 − r/c)), score =
+   * BP · exp(Σ ln p_n / maxN). Every COUNT (clipped overlaps, totals,
+   * candidate/reference lengths) is exact integer and exposed as
+   * micro precisions; the one transcendental combination runs on
+   * those integers in a FIXED expression order and rounds to 6 dp —
+   * the package's accepted log-rounding class. Zero matches at any
+   * order → bleu = 0 (the standard convention).
+   *
+   * Shape: one tagged explode per side ((id, n, unit) counts), ONE
+   * join, one corpus aggregate to a single row.
+   */
+  def corpusBleu(
+      pairs: DataFrame, idCol: String, predCol: String, goldCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    def tagged(textCol: String, cntName: String): DataFrame = {
+      val toks = split(col(textCol), " ")
+      val all = concat((1 to maxN).map { n =>
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+            struct(lit(n).as("n"),
+              concat_ws(" ", (0 until n).map(o =>
+                element_at(toks, i + o)): _*).as("u"))))
+          .otherwise(array().cast("array<struct<n:int,u:string>>"))
+      }: _*)
+      pairs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("__id"), explode(all).as("__e"))
+        .groupBy(col("__id"), col("__e.n").as("__n"),
+          col("__e.u").as("__u"))
+        .agg(count(lit(1)).as(cntName))
+    }
+    val pc = tagged(predCol, "__cp")
+    val gc = tagged(goldCol, "__cg")
+    val perN = pc.join(gc, Seq("__id", "__n", "__u"), "left")
+      .groupBy("__n")
+      .agg(sum(least(col("__cp"), coalesce(col("__cg"), lit(0L))))
+          .as("__o"),
+        sum("__cp").as("__t"))
+    val r = gc.filter(col("__n") === 1).agg(sum("__cg").as("r"))
+    val parts = (1 to maxN).map { n =>
+      perN.filter(col("__n") === n).select(
+        col("__o").as(s"o_$n"), col("__t").as(s"t_$n"))
+    }
+    val one = parts.reduce(_.crossJoin(_)).crossJoin(r)
+    val pCols = (1 to maxN).map(n =>
+      expr(s"(1000000 * o_$n) div t_$n").as(s"p${n}_micro"))
+    val lnSum = (1 to maxN).map(n =>
+      log(col(s"o_$n").cast("double") / col(s"t_$n").cast("double")))
+      .reduce(_ + _)
+    val anyZero = (1 to maxN).map(n => col(s"o_$n") === 0).reduce(_ || _)
+    val bp = least(lit(0.0),
+      lit(1.0) - col("r").cast("double") / col("t_1").cast("double"))
+    one.select((col("t_1").as("c") +: col("r").as("r") +: pCols) :+
+      round(when(anyZero, lit(0.0))
+        .otherwise(exp(bp + lnSum / maxN)), 6).as("bleu"): _*)
+  }
+
+  /**
    * Per-pair n-gram overlap F1 (n = 1 is token-F1). Output: (idCol,
    * n_pred, n_gold, overlap, p_micro, r_micro, f1_micro) — pairs
    * where either side has no n-grams score zero, not NULL (the

@@ -43,4 +43,38 @@ class GenEvalSpec extends SparkFunSuite {
       .orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("corpusBleu: hand-computed clipped precisions and brevity penalty") {
+    import org.apache.spark.sql.functions._
+    // pred "a b c d", gold "a b c e": p1 = 3/4, p2 = 2/3, p3 = 1/2,
+    // p4 = 0/1 → bleu = 0 (zero 4-gram matches, the convention)
+    val pairs = Seq((1L, "a b c d", "a b c e")).toDF("id", "pred", "gold")
+    val r4 = GenEval.corpusBleu(pairs, "id", "pred", "gold", maxN = 4)
+      .collect().head
+    assert(r4.getAs[Long]("c") === 4L)
+    assert(r4.getAs[Long]("r") === 4L)
+    assert(r4.getAs[Long]("p1_micro") === 750000L)
+    assert(r4.getAs[Long]("p2_micro") === 666666L)
+    assert(r4.getAs[Long]("p3_micro") === 500000L)
+    assert(r4.getAs[Long]("p4_micro") === 0L)
+    assert(r4.getAs[Double]("bleu") === 0.0)
+    // BLEU-2 on the same pair: exp(ln(3/4)/2 + ln(2/3)/2), BP = 1
+    val r2 = GenEval.corpusBleu(pairs, "id", "pred", "gold", maxN = 2)
+      .collect().head
+    val want = BigDecimal(math.exp((math.log(3.0 / 4) + math.log(2.0 / 3)) / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2.getAs[Double]("bleu") === want)
+    // clipping: pred repeats "a" 4x, gold has 2 → p1 = 2/4
+    val clip = Seq((1L, "a a a a", "a a")).toDF("id", "pred", "gold")
+    val rc = GenEval.corpusBleu(clip, "id", "pred", "gold", maxN = 1)
+      .collect().head
+    assert(rc.getAs[Long]("p1_micro") === 500000L)
+    // short pred vs long gold: BP < 1 (c=2, r=4)
+    val bp = Seq((1L, "a b", "a b c d")).toDF("id", "pred", "gold")
+    val rb = GenEval.corpusBleu(bp, "id", "pred", "gold", maxN = 1)
+      .collect().head
+    val wantBp = BigDecimal(math.exp((1.0 - 4.0 / 2) + math.log(1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rb.getAs[Double]("bleu") === wantBp)
+  }
 }
