@@ -1006,6 +1006,17 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", n = 2).orderBy("doc_id")),
+    // Min-k%-prob membership inference (Shi et al. 2023): mean
+    // log-prob of each doc's 20% least-likely windows under the
+    // corpus trigram LM — memorized/contaminated docs have no
+    // low-probability outliers, so a HIGH min-k mean is the flag.
+    // Window log-probs quantize once to the micro grid; selection is
+    // an exact ordered prefix sum per doc.
+    "contamination_min_k" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      LanguageModel.minKProb(docs, "doc_id", "text",
+        docs, "doc_id", "text", kPct = 20).orderBy("doc_id")
+    }),
     // Corpus BLEU-4 (Papineni et al. 2002): clipped n-gram precisions
     // and brevity penalty as exact integers, one 6-dp transcendental
     // combination — the MT-eval standard, the natural companion of
@@ -8210,6 +8221,72 @@ object SparkEntry {
         |       round(sum(k * ln(s)), 4) AS logprob,
         |       round(exp(-sum(k * ln(s)) / sum(k)), 4) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same probe CTEs as doc_perplexity, then the min-k selection:
+    // micro-quantized window log-probs, ordered prefix sum, exact
+    // integer take arithmetic, one rounded double mean.
+    "contamination_min_k" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (
+        |  SELECT doc_id, g.nw AS nw, g.a AS a, g.b AS b, g.c AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+        |      i -> struct_pack(
+        |        nw := least(i, 3),
+        |        a := CASE WHEN i >= 3 THEN toks[i-2] END,
+        |        b := CASE WHEN i >= 2 THEN toks[i-1] END,
+        |        c := toks[i]))) AS g
+        |    FROM tok)),
+        |uni AS (SELECT c AS g, count(*) AS cnt FROM pos GROUP BY 1),
+        |bi AS (SELECT b || ' ' || c AS g, count(*) AS cnt FROM pos
+        |       WHERE nw >= 2 GROUP BY 1),
+        |tri AS (SELECT a || ' ' || b || ' ' || c AS g, count(*) AS cnt FROM pos
+        |        WHERE nw = 3 GROUP BY 1 HAVING count(*) >= 2),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pos),
+        |probe AS (
+        |  SELECT doc_id, nw, a, b, c, count(*) AS k FROM pos
+        |  GROUP BY doc_id, nw, a, b, c),
+        |sc AS (
+        |  SELECT p.doc_id, p.k,
+        |    CASE WHEN p.nw = 3 THEN p.a || ' ' || p.b || ' ' || p.c
+        |         WHEN p.nw = 2 THEN p.b || ' ' || p.c
+        |         ELSE p.c END AS w,
+        |    CASE WHEN t.cnt IS NOT NULL
+        |           THEN CAST(t.cnt AS DOUBLE) / CAST(coalesce(cb.cnt, 1) AS DOUBLE)
+        |         WHEN bg.cnt IS NOT NULL
+        |           THEN (CASE WHEN p.nw = 3 THEN 0.4 ELSE 1.0 END) *
+        |                CAST(bg.cnt AS DOUBLE) / CAST(coalesce(cu.cnt, 1) AS DOUBLE)
+        |         ELSE (CASE WHEN p.nw = 3 THEN 0.4 * 0.4
+        |                    WHEN p.nw = 2 THEN 0.4 ELSE 1.0 END) *
+        |              CAST(coalesce(u.cnt, 1) AS DOUBLE) / tot.n
+        |    END AS s
+        |  FROM probe p
+        |  LEFT JOIN tri t ON p.nw = 3 AND t.g = p.a || ' ' || p.b || ' ' || p.c
+        |  LEFT JOIN bi cb ON p.nw = 3 AND cb.g = p.a || ' ' || p.b
+        |  LEFT JOIN bi bg ON p.nw >= 2 AND bg.g = p.b || ' ' || p.c
+        |  LEFT JOIN uni cu ON p.nw >= 2 AND cu.g = p.b
+        |  LEFT JOIN uni u ON u.g = p.c
+        |  CROSS JOIN tot),
+        |q AS (
+        |  SELECT doc_id, k, w,
+        |         CAST(CAST(round(log10(s), 6) AS DECIMAL(28,6)) * 1000000
+        |              AS BIGINT) AS lp
+        |  FROM sc),
+        |cum AS (
+        |  SELECT doc_id, k, lp,
+        |         sum(k) OVER (PARTITION BY doc_id ORDER BY lp, w
+        |                      ROWS UNBOUNDED PRECEDING) AS c,
+        |         sum(k) OVER (PARTITION BY doc_id) AS n
+        |  FROM q),
+        |sel AS (
+        |  SELECT doc_id, n, greatest(1, (n * 20) // 100) AS m,
+        |         greatest(0, least(k,
+        |           greatest(1, (n * 20) // 100) - (c - k))) AS take,
+        |         lp
+        |  FROM cum)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |       CAST(max(m) AS BIGINT) AS k_tokens,
+        |       round(CAST(sum(take * lp) AS DOUBLE) / max(m), 6)
+        |         AS mink_logp_micro_mean
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same per-doc expressions as the doc_quality oracle, rolled up by
     // source; ratios are single divisions of integer aggregates.
     "source_scorecard" ->

@@ -110,6 +110,24 @@ object LanguageModel {
    */
   def docPerplexity(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, modelIdCol: String, modelTextCol: String,
+      minTriCount: Int = 2): DataFrame =
+    windowScores(docs, idCol, textCol, model, modelIdCol, modelTextCol,
+      minTriCount)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_tokens"),
+        sum(col("k").cast("double") * log(col("s"))).as("lp"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("lp"), 4).as("logprob"),
+        round(exp(-col("lp") / col("n_tokens").cast("double")), 4).as("ppl"))
+
+  /** Shared probe of [[docPerplexity]] and [[minKProb]]: per distinct
+    * (doc, window) the stupid-backoff score `s` and multiplicity `k`.
+    * @return (doc_id, w, nw, k, s) */
+  def windowScores(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, modelIdCol: String, modelTextCol: String,
       minTriCount: Int = 2): DataFrame = {
     val pos = positions(docs, idCol, textCol)
     val mpos = positions(model, modelIdCol, modelTextCol)
@@ -160,16 +178,58 @@ object LanguageModel {
           .when(col("nw") === 2, lit(Alpha)).otherwise(lit(1.0)) *
           coalesce(col("c_uni"), lit(1L)).cast("double") / col("n_total"))
 
-    joined
+    joined.select(col("doc_id"), col("w"), col("nw"), col("k"),
+      s.as("s"))
+  }
+
+  /**
+   * Min-k%-prob membership inference (Shi et al. 2023, "Detecting
+   * Pretraining Data from Large Language Models") — the
+   * contamination/memorization detector: a document the model has
+   * MEMORIZED has no low-probability outlier tokens, so the mean
+   * log-prob of its k% LEAST likely tokens is anomalously high.
+   * Scored here under the same count trigram LM as [[docPerplexity]]
+   * (the published method is model-agnostic; any per-token log-prob
+   * source works).
+   *
+   * Exactness: each window's log-prob is quantized ONCE to the 6-dp
+   * micro grid, selection is an ordered prefix sum over the TOTAL
+   * order (lp_micro, window string) with integer take-arithmetic —
+   * bit-stable under any partitioning — and only the final mean is
+   * one rounded double division. Windows per document are bounded by
+   * the document (partitioned window functions only).
+   *
+   * @return (doc_id, n_tokens, k_tokens, mink_logp_micro_mean) —
+   *         HIGHER mean = more memorization-suspicious.
+   */
+  def minKProb(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, modelIdCol: String, modelTextCol: String,
+      kPct: Int = 20, minTriCount: Int = 2): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, s"kPct must be in [1,100], got $kPct")
+    import org.apache.spark.sql.expressions.Window
+    val scored = windowScores(docs, idCol, textCol, model, modelIdCol,
+      modelTextCol, minTriCount)
+      .withColumn("lp_micro",
+        (round(log10(col("s")), 6).cast("decimal(28,6)") * 1000000)
+          .cast("long"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ordered = Window.partitionBy("doc_id")
+      .orderBy(col("lp_micro"), col("w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("__cum", sum("k").over(ordered))
+      .withColumn("__n", sum("k").over(byDoc))
+      .withColumn("__m",
+        greatest(lit(1L), expr(s"(__n * $kPct) div 100")))
+      .withColumn("__take",
+        greatest(lit(0L),
+          least(col("k"), col("__m") - (col("__cum") - col("k")))))
       .groupBy(col("doc_id"))
-      .agg(
-        sum(col("k")).as("n_tokens"),
-        sum(col("k").cast("double") * log(s)).as("lp"))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        round(col("lp"), 4).as("logprob"),
-        round(exp(-col("lp") / col("n_tokens").cast("double")), 4).as("ppl"))
+      .agg(max("__n").as("n_tokens"), max("__m").as("k_tokens"),
+        sum(col("__take") * col("lp_micro")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("k_tokens"),
+        round(col("__s").cast("double") /
+          col("k_tokens").cast("double"), 6).as("mink_logp_micro_mean"))
   }
 
   /** Self-scoring convenience: train on `docs`, score `docs`. */

@@ -98,4 +98,34 @@ class LanguageModelSpec extends SparkFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("minKProb: memorized-looking docs score higher; selection exact") {
+    import spark.implicits._
+    // "common" docs repeat the same phrase (every window frequent —
+    // high min-k mean); the "rare" doc ends in hapax tokens (its
+    // bottom-20% windows are improbable — low min-k mean)
+    val docs = ((1L to 9L).map(i => (i, "the cat sat on the mat again and again")) :+
+      (10L, "the cat sat on qzx wvu jkl pqr mno")).toDF("doc_id", "text")
+    val rows = LanguageModel.minKProb(docs, "doc_id", "text",
+      docs, "doc_id", "text", kPct = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 9 tokens → k = max(1, 9*20 div 100) = 1 selected token
+    assert(rows(1L)._1 === 9L)
+    assert(rows(1L)._2 === 1L)
+    assert(rows(10L)._3 < rows(1L)._3,
+      s"rare-tail doc must score lower: ${rows(10L)} vs ${rows(1L)}")
+  }
+
+  test("minKProb: deterministic across partitionings") {
+    import spark.implicits._
+    val docs = (1L to 120L)
+      .map(i => (i, s"tok${i % 7} a b tok${i % 5} c d e f g"))
+      .toDF("doc_id", "text")
+    val a = LanguageModel.minKProb(docs.repartition(1), "doc_id", "text",
+      docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = LanguageModel.minKProb(docs.repartition(13), "doc_id", "text",
+      docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
