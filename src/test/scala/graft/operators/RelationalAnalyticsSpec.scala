@@ -636,4 +636,17 @@ class RelationalAnalyticsSpec extends SparkFunSuite {
     }
     assert(got === counts.toMap)
   }
+
+  test("joinSizeProfile plan: fact tables never join each other") {
+    import spark.implicits._
+    val left = (1L to 5000L).map(i => i % 40).toDF("k")
+    val right = (1L to 5000L).map(i => i % 25).toDF("k")
+    val df = RelationalAnalytics.joinSizeProfile(left, "k", right, "k", 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the join operands are the aggregated key-count relations: every
+    // join input must sit above a HashAggregate, and nothing cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(df.collect().length === 5)
+  }
 }

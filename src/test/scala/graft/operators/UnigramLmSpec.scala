@@ -108,4 +108,15 @@ class UnigramLmSpec extends SparkFunSuite {
     val mass = rows.values.sum
     assert(mass === 2L * 2 + 1 + 1 + 1) // abc x2 -> 2 pieces each; ab, bc, c -> 1 each
   }
+
+  test("segmentCorpus plan: word table broadcast, no shuffled fact join") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"tok${i % 5} ab")).toDF("id", "text")
+    val vocab = UnigramLm.fitVocab(docs.select("text"), "text")
+    val plan = UnigramLm.segmentCorpus(docs, "id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
