@@ -5215,6 +5215,12 @@ object SparkEntry {
     "events_ewma" -> ((s, d) =>
       graft.streaming.EventPipeline.ewmaSmoothed(table(s, d, "events"))
         .orderBy("user_id", "event_id")),
+    // Holt's linear smoothing (alpha = beta = 1/2): level + trend per
+    // user with a one-step forecast — the same sequential fold
+    // discipline as events_ewma, replayed by a recursive CTE.
+    "events_holt" -> ((s, d) =>
+      graft.streaming.EventPipeline.holtSmoothed(table(s, d, "events"))
+        .orderBy("user_id", "event_id")),
     // Benford first-digit audit over order totals: magnitude-band
     // CASE digits (no log10, no cast-to-string at query time),
     // micro-integer chi-square, expected probabilities interpolated
@@ -11915,6 +11921,28 @@ object SparkEntry {
         |         ev.x * 0.5 + r.ewma * 0.5
         |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
         |SELECT user_id, event_id, x AS value, ewma
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // Holt's recurrence replayed: the recursive CTE carries (level,
+    // trend); the trend recomputes the new level inline exactly as
+    // the engine-side fold does, pinning the operation order.
+    "events_holt" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, x, rn,
+        |         x AS level, CAST(0.0 AS DOUBLE) AS trend
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.event_id, ev.x, ev.rn,
+        |         ev.x * 0.5 + (r.level + r.trend) * 0.5,
+        |         ((ev.x * 0.5 + (r.level + r.trend) * 0.5) - r.level)
+        |           * 0.5 + r.trend * 0.5
+        |  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+        |SELECT user_id, event_id, x AS value, level, trend,
+        |       level + trend AS forecast_1
         |FROM r ORDER BY user_id, event_id""".stripMargin,
     // Benford card: same band CASE, same probability literals, same
     // micro-integer chi-square — all generated from one source of

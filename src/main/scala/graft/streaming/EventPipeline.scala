@@ -840,6 +840,50 @@ object EventPipeline {
   }
 
   /**
+   * Holt's linear (double exponential) smoothing per user — the
+   * trend-aware upgrade of [[ewmaSmoothed]] and the standard cheap
+   * forecaster: `level` tracks the series, `trend` its slope,
+   * one-step forecast = level + trend. α = β = 1/2 for the same
+   * reason as EWMA's α: halving is an exponent shift, and both
+   * engines evaluate the IDENTICAL expression in the identical
+   * sequential order, so the raw doubles match bit-for-bit (the
+   * trend recurrence recomputes the new level inline rather than
+   * binding it, keeping the operation order pinned). Initialization:
+   * level₁ = x₁, trend₁ = 0 (declared).
+   *
+   * Shape: one per-user hash aggregate collecting the user-bounded
+   * series, one aggregate() fold, one posexplode — no windows over
+   * the corpus.
+   */
+  def holtSmoothed(events: DataFrame): DataFrame = {
+    val ev = normalizeTs(events)
+    ev.select(col("user_id"), struct(col("ts"), col("event_id"),
+        col("value").cast("double").as("value")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .withColumn("st", expr(
+        """aggregate(evs, cast(array() as array<struct<l:double,t:double>>),
+          |  (acc, e) -> array_append(acc,
+          |    CASE WHEN size(acc) = 0
+          |      THEN named_struct('l', e.value, 't', cast(0.0 as double))
+          |      ELSE named_struct(
+          |        'l', e.value * 0.5D +
+          |             (element_at(acc, -1).l + element_at(acc, -1).t) * 0.5D,
+          |        't', ((e.value * 0.5D +
+          |               (element_at(acc, -1).l + element_at(acc, -1).t) * 0.5D)
+          |              - element_at(acc, -1).l) * 0.5D +
+          |             element_at(acc, -1).t * 0.5D)
+          |    END))""".stripMargin))
+      .select(col("user_id"), posexplode(arrays_zip(col("evs"), col("st"))))
+      .select(col("user_id"),
+        col("col.evs.event_id").as("event_id"),
+        col("col.evs.value").as("value"),
+        col("col.st.l").as("level"),
+        col("col.st.t").as("trend"),
+        (col("col.st.l") + col("col.st.t")).as("forecast_1"))
+  }
+
+  /**
    * First-order event-type transition matrix per the user population —
    * the Markov-chain view of behavior (what follows a click?) that
    * powers next-event prediction features and funnel design. One

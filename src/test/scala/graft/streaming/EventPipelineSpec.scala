@@ -630,4 +630,33 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("holtSmoothed: hand-computed level/trend recurrence") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "c", 4.0, "{}"),
+      (1L, ts(1), 11L, "c", 8.0, "{}"),
+      (1L, ts(2), 12L, "c", 6.0, "{}"))
+      .toDF("user_id", "ts", "event_id", "event_type", "value", "props")
+    val got = EventPipeline.holtSmoothed(ev)
+      .orderBy("event_id")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // l1=4, t1=0; l2=8*.5+(4+0)*.5=6, t2=(6-4)*.5+0*.5=1;
+    // l3=6*.5+(6+1)*.5=6.5, t3=(6.5-6)*.5+1*.5=0.75
+    assert(got(0) === ((4.0, 0.0, 4.0)))
+    assert(got(1) === ((6.0, 1.0, 7.0)))
+    assert(got(2) === ((6.5, 0.75, 7.25)))
+  }
+
+  test("holtSmoothed: deterministic across partitionings") {
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+    val a = EventPipeline.holtSmoothed(ev.repartition(1))
+      .orderBy("user_id", "event_id").collect().toSeq
+    val b = EventPipeline.holtSmoothed(ev.repartition(17))
+      .orderBy("user_id", "event_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
