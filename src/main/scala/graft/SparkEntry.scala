@@ -1006,6 +1006,16 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", n = 2).orderBy("doc_id")),
+    // Corpus chrF (Popović 2015): character n-gram F2 averaged over
+    // n = 1..6, whitespace stripped — the MT metric robust to
+    // tokenization; exact integral micros end to end.
+    "eval_chrf" -> ((s, d) =>
+      GenEval.corpusChrF(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("replace(text, 'table', 'chair')").as("pred"),
+            col("text").as("gold")),
+        "doc_id", "pred", "gold", maxN = 6, beta = 2)),
     // Min-k%-prob membership inference (Shi et al. 2023): mean
     // log-prob of each doc's 20% least-likely windows under the
     // corpus trigram LM — memorized/contaminated docs have no
@@ -5643,6 +5653,50 @@ object SparkEntry {
        |FROM rr""".stripMargin
   }
 
+  /** eval_chrf's oracle: whitespace-stripped char n-gram counts per
+    * side, full-outer clipped overlap per order, the same integral
+    * F-beta and mean. */
+  private def chrfOracle(maxN: Int, beta: Int): String = {
+    def units(side: String): String = (1 to maxN).map { n =>
+      s"""SELECT doc_id, $n AS n,
+         |  unnest(CASE WHEN len(s) >= $n THEN
+         |    list_transform(generate_series(1, len(s) - ${n - 1}),
+         |      i -> substr(s, CAST(i AS INT), $n)) ELSE [] END) AS u
+         |FROM (SELECT doc_id, replace($side, ' ', '') AS s FROM pairs)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val b2 = beta * beta
+    val fCols = (1 to maxN).map(n =>
+      s"CAST((SELECT f FROM perN WHERE n = $n) AS BIGINT) AS f${n}_micro")
+      .mkString(",\n       ")
+    val fSum = (1 to maxN)
+      .map(n => s"(SELECT f FROM perN WHERE n = $n)").mkString(" + ")
+    s"""WITH pairs AS (
+       |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
+       |         text AS gold
+       |  FROM documents WHERE text IS NOT NULL),
+       |pu AS (${units("pred")}),
+       |gu AS (${units("gold")}),
+       |pc AS (SELECT doc_id, n, u, count(*) AS cp FROM pu GROUP BY 1, 2, 3),
+       |gc AS (SELECT doc_id, n, u, count(*) AS cg FROM gu GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT COALESCE(pc.n, gc.n) AS n,
+       |         sum(least(COALESCE(cp, 0), COALESCE(cg, 0))) AS o,
+       |         sum(COALESCE(cp, 0)) AS tp,
+       |         sum(COALESCE(cg, 0)) AS tg
+       |  FROM pc FULL OUTER JOIN gc
+       |    ON pc.doc_id = gc.doc_id AND pc.n = gc.n AND pc.u = gc.u
+       |  GROUP BY 1),
+       |pr AS (
+       |  SELECT n, (1000000 * o) // tp AS p, (1000000 * o) // tg AS r
+       |  FROM agg),
+       |perN AS (
+       |  SELECT n, CASE WHEN $b2 * p + r > 0
+       |    THEN (${1 + b2} * p * r) // ($b2 * p + r) ELSE 0 END AS f
+       |  FROM pr)
+       |SELECT $fCols,
+       |       CAST(($fSum) // $maxN AS BIGINT) AS chrf_micro""".stripMargin
+  }
+
   /** The two generation-eval oracles (token-F1, ROUGE-n): per-side
     * multiset unit counts, least() overlap, integral micro scores —
     * [[graft.operators.GenEval.overlapF1]]'s arithmetic with the same
@@ -7041,6 +7095,8 @@ object SparkEntry {
     // BLEU-4 replayed: tagged n-gram unions, clipped sums, the same
     // fixed-order transcendental combination.
     "eval_bleu4" -> bleuOracle(4),
+    // chrF replayed: char n-gram unions, integral F-beta.
+    "eval_chrf" -> chrfOracle(6, 2),
     // Token-F1 replayed: per-side multiset counts, least() overlap.
     "eval_token_f1" -> genEvalOracle(1),
     // ROUGE-2: the same replay over bigram units.

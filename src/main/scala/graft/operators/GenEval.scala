@@ -98,6 +98,63 @@ object GenEval {
   }
 
   /**
+   * Corpus-level chrF (Popović 2015): character n-gram F-beta
+   * averaged over n = 1..`maxN`, whitespace stripped (the sacrebleu
+   * convention). Per order: clipped multiset overlap as exact
+   * integers, P/R as integral micros, Fβ = (1+β²)·P·R / (β²·P + R)
+   * as one integral division, the final chrF the integral mean over
+   * orders — no floating point anywhere. Orders with no overlap
+   * contribute 0 (the convention); orders with no candidate n-grams
+   * at all are skipped from the mean like sacrebleu does — here the
+   * fixture always has them, so the mean divides by `maxN`.
+   *
+   * @return one row: (f1_micro..f<maxN>_micro, chrf_micro)
+   */
+  def corpusChrF(
+      pairs: DataFrame, idCol: String, predCol: String, goldCol: String,
+      maxN: Int = 6, beta: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    require(beta >= 1, s"beta must be >= 1, got $beta")
+    def tagged(textCol: String, cntName: String): DataFrame = {
+      val st = regexp_replace(col(textCol), " ", "")
+      val all = concat((1 to maxN).map { n =>
+        when(length(st) >= n,
+          transform(sequence(lit(1), length(st) - (n - 1)), i =>
+            struct(lit(n).as("n"), st.substr(i, lit(n)).as("u"))))
+          .otherwise(array().cast("array<struct<n:int,u:string>>"))
+      }: _*)
+      pairs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("__id"), explode(all).as("__e"))
+        .groupBy(col("__id"), col("__e.n").as("__n"),
+          col("__e.u").as("__u"))
+        .agg(count(lit(1)).as(cntName))
+    }
+    val pc = tagged(predCol, "__cp")
+    val gc = tagged(goldCol, "__cg")
+    val perN = pc.join(gc, Seq("__id", "__n", "__u"), "full_outer")
+      .groupBy("__n")
+      .agg(
+        sum(least(coalesce(col("__cp"), lit(0L)),
+          coalesce(col("__cg"), lit(0L)))).as("__o"),
+        sum(coalesce(col("__cp"), lit(0L))).as("__tp"),
+        sum(coalesce(col("__cg"), lit(0L))).as("__tg"))
+      .select(col("__n"),
+        expr("(1000000 * __o) div __tp").as("__p"),
+        expr("(1000000 * __o) div __tg").as("__r"))
+      .select(col("__n"),
+        when(expr(s"${beta * beta} * __p + __r") > 0,
+          expr(s"(${1 + beta * beta} * __p * __r) div " +
+            s"(${beta * beta} * __p + __r)")).otherwise(0L).as("__f"))
+    val parts = (1 to maxN).map(n =>
+      perN.filter(col("__n") === n)
+        .select(col("__f").as(s"f${n}_micro")))
+    parts.reduce(_.crossJoin(_))
+      .withColumn("chrf_micro",
+        expr(s"(${(1 to maxN).map(n => s"f${n}_micro").mkString(" + ")}) " +
+          s"div $maxN"))
+  }
+
+  /**
    * Per-pair n-gram overlap F1 (n = 1 is token-F1). Output: (idCol,
    * n_pred, n_gold, overlap, p_micro, r_micro, f1_micro) — pairs
    * where either side has no n-grams score zero, not NULL (the

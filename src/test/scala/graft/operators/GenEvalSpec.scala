@@ -77,4 +77,28 @@ class GenEvalSpec extends SparkFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(rb.getAs[Double]("bleu") === wantBp)
   }
+
+  test("corpusChrF: hand-computed char n-gram F-beta") {
+    import org.apache.spark.sql.functions._
+    // identical strings → perfect at every order
+    val same = Seq((1L, "a b", "a b")).toDF("id", "pred", "gold")
+    val r1 = GenEval.corpusChrF(same, "id", "pred", "gold", maxN = 2)
+      .collect().head
+    assert(r1.getAs[Long]("f1_micro") === 1000000L)
+    assert(r1.getAs[Long]("f2_micro") === 1000000L)
+    assert(r1.getAs[Long]("chrf_micro") === 1000000L)
+    // transposition: unigrams perfect, bigrams disjoint ("ab" vs "ba")
+    val swap = Seq((1L, "ab", "ba")).toDF("id", "pred", "gold")
+    val r2 = GenEval.corpusChrF(swap, "id", "pred", "gold", maxN = 2)
+      .collect().head
+    assert(r2.getAs[Long]("f1_micro") === 1000000L)
+    assert(r2.getAs[Long]("f2_micro") === 0L)
+    assert(r2.getAs[Long]("chrf_micro") === 500000L)
+    // beta = 2 weights recall: pred "aab" vs gold "ab" at n = 1:
+    // P = 666666, R = 1e6 → F2 = 5PR div (4P + R) = 909090
+    val rec = Seq((1L, "aab", "ab")).toDF("id", "pred", "gold")
+    val r3 = GenEval.corpusChrF(rec, "id", "pred", "gold", maxN = 1)
+      .collect().head
+    assert(r3.getAs[Long]("f1_micro") === 909090L)
+  }
 }
