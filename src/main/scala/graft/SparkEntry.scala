@@ -4389,6 +4389,11 @@ object SparkEntry {
     "mixture_temperature" -> ((s, d) =>
       MixtureSampling.temperatureApportion(table(s, d, "documents"),
         "source", n = 1000, alphaNum = 3, alphaDen = 10)),
+    // Zipf-law fit: log-log OLS over the term-frequency table —
+    // slope ≈ −1 / r² near 1 for natural text; template floods bend
+    // the line. Exact decimal moments, fixed-order double divisions.
+    "corpus_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(table(s, d, "documents"), "text")),
     // TextRank keyterms (Mihalcea & Tarau 2004): integer PageRank
     // over the adjacent-token co-occurrence graph (length-≥4
     // candidates), top-20 — centrality, not frequency. The iteration
@@ -11089,6 +11094,44 @@ object SparkEntry {
         |       CAST(base + CASE WHEN nbetter < (SELECT leftover FROM l)
         |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY stratum""".stripMargin,
+    // Zipf fit replayed: same 6-dp log grid, DECIMAL moments, the
+    // identical fixed-order double formulas.
+    "corpus_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(term) >= 1 GROUP BY 1),
+        |xy AS (
+        |  SELECT cnt,
+        |    CAST(round(log10(row_number() OVER (ORDER BY cnt DESC, term)), 6)
+        |         AS DECIMAL(18,6)) AS x,
+        |    CAST(round(log10(cnt), 6) AS DECIMAL(18,6)) AS y
+        |  FROM f),
+        |m AS (
+        |  SELECT count(*) AS n, sum(cnt) AS n_tokens,
+        |         CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+        |         CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+        |         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx,
+        |         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS syy,
+        |         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxy
+        |  FROM xy),
+        |d AS (
+        |  SELECT CAST(n AS BIGINT) AS n_types,
+        |         CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |         CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(n AS DOUBLE) AS nd
+        |  FROM m)
+        |SELECT n_types, n_tokens,
+        |       round(CASE WHEN dx > 0 THEN num / dx END, 6) AS slope,
+        |       round(CASE WHEN dx > 0
+        |             THEN (syd - num / dx * sxd) / nd END, 6) AS intercept,
+        |       round(CASE WHEN dx * dy > 0
+        |             THEN num * num / (dx * dy) END, 6) AS r2
+        |FROM d""".stripMargin,
     // TextRank replayed: token-pair edge CTEs, then the shared
     // integer-PageRank recurrence (one CTE per iteration).
     "text_rank_terms" -> textRankOracle(4, 20),

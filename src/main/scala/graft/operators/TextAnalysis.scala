@@ -980,6 +980,71 @@ object TextAnalysis {
   }
 
   /**
+   * Zipf-law fit — the corpus-statistics card: ordinary least squares
+   * of log10(count) on log10(rank) over the term-frequency table. A
+   * natural-language corpus fits slope ≈ −1 with r² near 1; template
+   * spam, boilerplate floods, and synthetic text bend the line — a
+   * one-row distribution fingerprint.
+   *
+   * Exactness: both logs quantize to the 6-dp grid (the package
+   * discipline), ALL sums and cross-products accumulate in exact
+   * DECIMAL, and the slope/intercept/r² are single fixed-order double
+   * divisions of those exact moments, rounded to 6 dp. The frequency
+   * table is vocabulary-sized; its rank window runs on the pinned
+   * single-partition key (bounded-relation metadata, never a corpus
+   * sort).
+   *
+   * @return one row: (n_types, n_tokens, slope, intercept, r2)
+   */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) >= 1)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val w = Window
+      .partitionBy(Retrieval.singlePartitionKey(col("term")))
+      .orderBy(col("cnt").desc, col("term"))
+    val xy = freq.withColumn("rank", row_number().over(w))
+      .select(col("cnt"),
+        round(log10(col("rank")), 6).cast("decimal(18,6)").as("x"),
+        round(log10(col("cnt")), 6).cast("decimal(18,6)").as("y"))
+    val m = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("cnt")).as("n_tokens"),
+      sum(col("x")).cast("decimal(38,6)").as("sx"),
+      sum(col("y")).cast("decimal(38,6)").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").as("sxy"))
+    // exact decimal moments → fixed-order double arithmetic once
+    m.select(col("n").as("n_types"), col("n_tokens"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("__num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double").as("__dx"),
+        (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double").as("__dy"),
+        col("sx").cast("double").as("__sx"),
+        col("sy").cast("double").as("__sy"),
+        col("n").cast("double").as("__nd"))
+      .select(col("n_types"), col("n_tokens"),
+        // dx = 0 only for a 0/1-type corpus; dy = 0 for constant
+        // counts (then r² is undefined — NULL, visibly)
+        round(when(col("__dx") > 0, col("__num") / col("__dx")), 6)
+          .as("slope"),
+        round(when(col("__dx") > 0,
+          (col("__sy") - col("__num") / col("__dx") * col("__sx"))
+            / col("__nd")), 6).as("intercept"),
+        round(when(col("__dx") * col("__dy") > 0,
+          col("__num") * col("__num") / (col("__dx") * col("__dy"))), 6)
+          .as("r2"))
+  }
+
+  /**
    * TextRank keyterm extraction (Mihalcea & Tarau 2004) — the
    * unsupervised keyphrase recipe: build the word co-occurrence graph
    * (adjacent-token pairs, both directions, candidate terms only) and

@@ -657,4 +657,22 @@ class TextAnalysisSpec extends SparkFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(rows === Set("alpha", "beta"))
   }
+
+  test("zipfFit: a 1/rank corpus fits slope -1 with high r2") {
+    import spark.implicits._
+    // term r appears floor(2000/r) times: log cnt = log 2000 - log r
+    val words = (1 to 40).flatMap(r => Seq.fill(2000 / r)(s"term$r"))
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val row = TextAnalysis.zipfFit(docs, "text").collect().head
+    assert(row.getAs[Long]("n_types") === 40L)
+    val slope = row.getAs[Double]("slope")
+    val r2 = row.getAs[Double]("r2")
+    assert(slope > -1.05 && slope < -0.95, s"slope=$slope")
+    assert(r2 > 0.99, s"r2=$r2")
+    // a uniform corpus has slope ~ 0
+    val flat = (1 to 40).flatMap(r => Seq.fill(50)(s"u$r"))
+      .grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val fr = TextAnalysis.zipfFit(flat, "text").collect().head
+    assert(math.abs(fr.getAs[Double]("slope")) < 0.05)
+  }
 }
