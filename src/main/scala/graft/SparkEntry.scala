@@ -4389,6 +4389,16 @@ object SparkEntry {
     "mixture_temperature" -> ((s, d) =>
       MixtureSampling.temperatureApportion(table(s, d, "documents"),
         "source", n = 1000, alphaNum = 3, alphaDen = 10)),
+    // Heaps'-law fit: vocabulary growth V(2^j) at doubling prefixes
+    // of the deterministic corpus order, log-log OLS for beta —
+    // near-dup floods depress it, noise inflates it.
+    "corpus_heaps_fit" -> ((s, d) =>
+      TextAnalysis.heapsFit(table(s, d, "documents"), "doc_id", "text")),
+    // Good-Turing frequency-of-frequencies: N_r per count r and the
+    // r* re-estimate — the classical smoothing diagnostic; N_1/N is
+    // the unseen-mass estimate.
+    "lm_good_turing" -> ((s, d) =>
+      LanguageModel.goodTuring(table(s, d, "documents"), "text")),
     // Zipf-law fit: log-log OLS over the term-frequency table —
     // slope ≈ −1 / r² near 1 for natural text; template floods bend
     // the line. Exact decimal moments, fixed-order double divisions.
@@ -11094,6 +11104,76 @@ object SparkEntry {
         |       CAST(base + CASE WHEN nbetter < (SELECT leftover FROM l)
         |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY stratum""".stripMargin,
+    // Heaps replayed: doc-offset prefix sum, per-term first global
+    // position, V at power-of-two prefixes, the shared OLS formulas.
+    "corpus_heaps_fit" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |off AS (
+        |  SELECT doc_id,
+        |         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+        |           AS o
+        |  FROM sz),
+        |tot AS (SELECT sum(n) AS tt FROM sz),
+        |pos AS (
+        |  SELECT p.doc_id, p.i, p.toks[CAST(p.i AS INT)] AS term
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks))) AS i FROM t) p),
+        |fp AS (
+        |  SELECT term, min(off.o + pos.i) AS fp
+        |  FROM pos JOIN off ON pos.doc_id = off.doc_id
+        |  GROUP BY term),
+        |pts AS (
+        |  SELECT CAST(pow(2, j) AS BIGINT) AS m
+        |  FROM (SELECT unnest(generate_series(1, 62)) AS j), tot
+        |  WHERE CAST(pow(2, j) AS BIGINT) <= tot.tt),
+        |vn AS (
+        |  SELECT m, count(*) AS v FROM fp, pts
+        |  WHERE fp.fp <= pts.m GROUP BY m),
+        |xy AS (
+        |  SELECT CAST(round(log10(m), 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(log10(v), 6) AS DECIMAL(18,6)) AS y
+        |  FROM vn),
+        |mm AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+        |         CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+        |         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx,
+        |         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS syy,
+        |         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxy
+        |  FROM xy),
+        |d AS (
+        |  SELECT CAST(n AS BIGINT) AS n_points,
+        |         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+        |         CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(n AS DOUBLE) AS nd
+        |  FROM mm)
+        |SELECT n_points,
+        |       round(CASE WHEN dx > 0 THEN num / dx END, 6) AS beta,
+        |       round(CASE WHEN dx > 0
+        |             THEN (syd - num / dx * sxd) / nd END, 6) AS log10_k,
+        |       round(CASE WHEN dx * dy > 0
+        |             THEN num * num / (dx * dy) END, 6) AS r2
+        |FROM d""".stripMargin,
+    // Good-Turing replayed: FoF self-join, HUGEINT re-estimate.
+    "lm_good_turing" ->
+      """WITH f AS (
+        |  SELECT term, count(*) AS r FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(term) >= 1 GROUP BY 1),
+        |fof AS (SELECT r, count(*) AS n_r FROM f GROUP BY 1),
+        |nx AS (SELECT r - 1 AS r, n_r AS n1 FROM fof)
+        |SELECT fof.r, CAST(fof.n_r AS BIGINT) AS n_r,
+        |       CAST(CASE WHEN nx.n1 IS NOT NULL THEN
+        |         CAST(CAST(1000000 AS HUGEINT) * (fof.r + 1) * nx.n1
+        |              AS HUGEINT) // CAST(fof.n_r AS HUGEINT) END
+        |         AS BIGINT) AS r_star_micro
+        |FROM fof LEFT JOIN nx USING (r) ORDER BY r""".stripMargin,
     // Zipf fit replayed: same 6-dp log grid, DECIMAL moments, the
     // identical fixed-order double formulas.
     "corpus_zipf_fit" ->

@@ -232,6 +232,37 @@ object LanguageModel {
           col("k_tokens").cast("double"), 6).as("mink_logp_micro_mean"))
   }
 
+  /**
+   * Good-Turing frequency-of-frequencies card (Good 1953): for each
+   * observed token count r, the number of types N_r seen exactly r
+   * times and the GT re-estimated count r* = (r+1)·N_{r+1}/N_r — the
+   * classical smoothing diagnostic (how much probability mass belongs
+   * to unseen events = N_1/N). Exact integers; the re-estimate is a
+   * micro-integral division over a DECIMAL product (two counts can
+   * overflow a BIGINT product at corpus scale); ranks with no
+   * successor frequency emit NULL visibly.
+   *
+   * Shape: token counts (one hash aggregate), then the
+   * frequency-of-frequency aggregate — both map-side combinable; the
+   * self-join for N_{r+1} runs on the FoF relation, which is at most
+   * √(2·corpus-tokens) rows.
+   */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) >= 1)
+      .groupBy("term").agg(count(lit(1)).as("r"))
+    val fof = freq.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val next = fof.select((col("r") - 1).as("r"), col("n_r").as("__n1"))
+    fof.join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        when(col("__n1").isNotNull,
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (r + 1) * __n1 " +
+            "div (CAST(n_r AS DECIMAL(38,0))) AS BIGINT)"))
+          .as("r_star_micro"))
+      .orderBy("r")
+  }
+
   /** Self-scoring convenience: train on `docs`, score `docs`. */
   def selfPerplexity(docs: DataFrame, idCol: String, textCol: String,
       minTriCount: Int = 2): DataFrame =

@@ -1045,6 +1045,82 @@ object TextAnalysis {
   }
 
   /**
+   * Heaps'-law fit — [[zipfFit]]'s companion: vocabulary growth
+   * V(N) ≈ K·N^β measured at doubling corpus prefixes (N = 2^j), then
+   * log-log OLS for β (natural text: β ≈ 0.4–0.6; near-duplicate
+   * floods depress it, random noise pushes it toward 1). The corpus
+   * order is the deterministic (idCol, position) order.
+   *
+   * Shape: global token positions come from a doc-offset prefix sum
+   * over the DOC-COUNT-sized (id, n_tokens) relation (window on the
+   * pinned single-partition key — bounded metadata, never a corpus
+   * sort); each term reduces to its FIRST global position (one min
+   * aggregate); V(2^j) is one small join + aggregate over the
+   * sample-point relation.
+   *
+   * @return (n_points, beta, log10_k, r2) — one row.
+   */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__t"))
+    val sizes = toks.select(col("__id"), size(col("__t")).cast("long").as("__n"))
+    val w = Window.partitionBy(Retrieval.singlePartitionKey(col("__id")))
+      .orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sizes
+      .withColumn("__off", sum("__n").over(w) - col("__n"))
+    val firstPos = toks.join(offsets, "__id")
+      .select(posexplode(col("__t")).as(Seq("__p", "term")),
+        col("__off"))
+      .groupBy("term")
+      .agg(min(col("__off") + col("__p") + 1).as("__fp"))
+    val total = offsets.agg(sum("__n").as("__tot"))
+    // sample points 2^j ≤ total — a ≤64-row generated relation
+    val pts = firstPos.sparkSession.range(1, 63)
+      .select(expr("CAST(pow(2, id) AS BIGINT)").as("__m"))
+      .crossJoin(broadcast(total))
+      .filter(col("__m") <= col("__tot"))
+    // vocabulary × ≤64 sample points: the 64-row side broadcasts, so
+    // the inequality join is a bounded nested loop by construction
+    val vn = firstPos
+      .join(broadcast(pts.select("__m")), col("__fp") <= col("__m"))
+      .groupBy("__m").agg(count(lit(1)).as("__v"))
+    val xy = vn.select(
+      round(log10(col("__m")), 6).cast("decimal(18,6)").as("x"),
+      round(log10(col("__v")), 6).cast("decimal(18,6)").as("y"))
+    val m = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(38,6)").as("sx"),
+      sum(col("y")).cast("decimal(38,6)").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").as("sxy"))
+    m.select(col("n").as("n_points"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("__num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double").as("__dx"),
+        (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double").as("__dy"),
+        col("sx").cast("double").as("__sx"),
+        col("sy").cast("double").as("__sy"),
+        col("n").cast("double").as("__nd"))
+      .select(col("n_points"),
+        round(when(col("__dx") > 0, col("__num") / col("__dx")), 6)
+          .as("beta"),
+        round(when(col("__dx") > 0,
+          (col("__sy") - col("__num") / col("__dx") * col("__sx"))
+            / col("__nd")), 6).as("log10_k"),
+        round(when(col("__dx") * col("__dy") > 0,
+          col("__num") * col("__num") / (col("__dx") * col("__dy"))), 6)
+          .as("r2"))
+  }
+
+  /**
    * TextRank keyterm extraction (Mihalcea & Tarau 2004) — the
    * unsupervised keyphrase recipe: build the word co-occurrence graph
    * (adjacent-token pairs, both directions, candidate terms only) and

@@ -128,4 +128,22 @@ class LanguageModelSpec extends SparkFunSuite {
       docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("goodTuring: hand-computed FoF and re-estimates") {
+    import spark.implicits._
+    // counts: a,b,c seen once (N1=3); d seen twice (N2=1); e thrice (N3=1)
+    val docs = Seq("a b c d d e e e").toDF("text")
+    val rows = LanguageModel.goodTuring(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(rows(1L)._1 === 3L)
+    assert(rows(2L)._1 === 1L)
+    assert(rows(3L)._1 === 1L)
+    // r* for r=1: 2 * N2/N1 = 2/3 → 666666 micro
+    assert(rows(1L)._2 === 666666L)
+    // r* for r=2: 3 * N3/N2 = 3 → 3e6 micro
+    assert(rows(2L)._2 === 3000000L)
+    // r=3 has no N4 → NULL
+    assert(rows(3L)._2 === -1L)
+  }
 }

@@ -675,4 +675,19 @@ class TextAnalysisSpec extends SparkFunSuite {
     val fr = TextAnalysis.zipfFit(flat, "text").collect().head
     assert(math.abs(fr.getAs[Double]("slope")) < 0.05)
   }
+
+  test("heapsFit: sub-linear vocab growth on Zipfian text, sane on tiny input") {
+    import spark.implicits._
+    // Zipfian-ish corpus: new types keep arriving but ever more slowly
+    val words = (1 to 5000).map(i => s"t${(math.sqrt(i)).toInt}")
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = TextAnalysis.heapsFit(
+      docs.selectExpr("monotonically_increasing_id() AS id", "text"),
+      "id", "text").collect().head
+    val beta = r.getAs[Double]("beta")
+    // V(N) = sqrt(N) exactly here → beta ≈ 0.5 with near-perfect fit
+    assert(beta > 0.4 && beta < 0.6, s"beta=$beta")
+    assert(r.getAs[Double]("r2") > 0.98)
+    assert(r.getAs[Long]("n_points") >= 8L)
+  }
 }
