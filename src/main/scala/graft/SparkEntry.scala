@@ -2274,6 +2274,14 @@ object SparkEntry {
         Seq("lang", "source"), k = 5)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // l-diversity (Machanavajjhala et al. 2006) — the middle rung of
+    // the k-anon / l-div / t-closeness release ladder: per source
+    // group, distinct AND entropy l-diversity over the language
+    // attribute, the entropy on the exact 6-dp log grid.
+    "privacy_l_diversity" -> ((s, d) =>
+      Anonymity.lDiversityCard(table(s, d, "documents"),
+        Seq("source"), "lang", l = 3)
+        .orderBy("source")),
     // t-closeness (Li et al. 2007) — the third rung of the release
     // ladder after k-anonymity (size) and l-diversity (variety): a
     // group whose length distribution sits in one tail of the
@@ -8018,6 +8026,34 @@ object SparkEntry {
         |       CASE WHEN n < 5 THEN '*' ELSE d.lang END AS lang,
         |       CASE WHEN n < 5 THEN '*' ELSE d.source END AS source
         |FROM documents d JOIN g USING (lang, source) ORDER BY doc_id""".stripMargin,
+    // l-diversity replayed: (source × lang) cells, exact 6-dp-grid
+    // entropy, the SAME pinned log10(l) micro threshold literal.
+    "privacy_l_diversity" -> {
+      val thr = graft.operators.Anonymity.logLMicro(3)
+      s"""WITH cells AS (
+         |  SELECT source, lang, count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |g AS (
+         |  SELECT source, sum(c) AS n_docs, count(*) AS l_distinct
+         |  FROM cells GROUP BY 1),
+         |e AS (
+         |  SELECT cells.source,
+         |         CAST(sum(c * (CAST(round(log10(n_docs), 6) AS DECIMAL(28,6))
+         |                       - CAST(round(log10(c), 6) AS DECIMAL(28,6))))
+         |              AS DECIMAL(38,6)) AS es
+         |  FROM cells JOIN g ON cells.source = g.source
+         |  GROUP BY cells.source)
+         |SELECT g.source, CAST(g.n_docs AS BIGINT) AS n_docs,
+         |       CAST(g.l_distinct AS BIGINT) AS l_distinct,
+         |       CAST(CAST(e.es * 1000000 AS HUGEINT) //
+         |            CAST(g.n_docs AS HUGEINT) AS BIGINT) AS entropy_micro,
+         |       g.l_distinct >= 3 AS distinct_pass,
+         |       CAST(CAST(e.es * 1000000 AS HUGEINT) //
+         |            CAST(g.n_docs AS HUGEINT) AS BIGINT) >= $thr
+         |         AS entropy_pass
+         |FROM g JOIN e ON g.source = e.source
+         |ORDER BY g.source""".stripMargin
+    },
     "term_burstiness" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,58 @@ object Anonymity {
       .select(qiCols.map(col) :+ col("n_docs") :+ col("l_distinct") :+
         (col("n_docs") < k).as("at_risk"): _*)
   }
+
+  /**
+   * l-diversity card (Machanavajjhala et al. 2006) — the middle rung
+   * of the release ladder between k-anonymity (group SIZE) and
+   * t-closeness (distribution SHAPE): each quasi-identifier group
+   * must contain at least `l` "well-represented" sensitive values.
+   * Reports BOTH published variants: distinct l-diversity
+   * (|distinct sensitive| ≥ l) and the stronger entropy l-diversity
+   * (H(group) ≥ log l — a group with l−1 rare values and one dominant
+   * value passes distinct-l but still leaks).
+   *
+   * Entropy is exact on the package's log grid: per sensitive value
+   * with count c in a group of n, the contribution is
+   * c·(round(log10 n, 6) − round(log10 c, 6)) in DECIMAL, summed
+   * exactly, and `entropy_micro = (Σ·10⁶) div n` — bitwise identical
+   * in any engine. The pass threshold `log10(l)·10⁶` is pinned ONCE
+   * here and shared with the oracle as an integer literal.
+   *
+   * Shape: one corpus aggregate to (QI × sensitive) cells, then
+   * metadata-sized joins — the t-closeness economics.
+   */
+  def lDiversityCard(
+      docs: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l > 1, s"l must be > 1, got $l")
+    val cells = docs
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum("__c").as("n_docs"),
+        count(lit(1)).as("l_distinct"))
+    val dl = (c: Column) => round(log10(c), 6).cast("decimal(28,6)")
+    val ent = cells.join(groups, qiCols)
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c") * (dl(col("n_docs")) - dl(col("__c"))))
+        .cast("decimal(38,6)").as("__es"))
+    val thresholdMicro = logLMicro(l)
+    groups.join(ent, qiCols)
+      .select(qiCols.map(col) :+ col("n_docs") :+ col("l_distinct") :+
+        expr("CAST((__es * 1000000) div n_docs AS BIGINT)")
+          .as("entropy_micro"): _*)
+      .withColumn("distinct_pass", col("l_distinct") >= l)
+      .withColumn("entropy_pass", col("entropy_micro") >= thresholdMicro)
+  }
+
+  /** log10(l) on the 6-dp micro grid — the entropy l-diversity
+    * threshold, pinned once and shared with the SQL oracle. */
+  def logLMicro(l: Int): Long =
+    BigDecimal(math.log10(l.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(1000000)).toLong
 
   /** t-closeness card (Li, Li & Venkatasubramanian, ICDE 2007): for
     * each quasi-identifier group, the Earth Mover's Distance between

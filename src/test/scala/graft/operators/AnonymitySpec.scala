@@ -94,4 +94,27 @@ class AnonymitySpec extends SparkFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), s"no broadcast in:\n$plan")
   }
+
+  test("lDiversityCard: distinct-l passes but entropy-l catches skew") {
+    import spark.implicits._
+    // group "skewed": 3 distinct langs but 98% one value — distinct
+    // pass, entropy fail at l = 3; group "even": 3 equal values, both
+    // pass (entropy = log10(3) exactly on the grid)
+    val docs = (
+      (1 to 98).map(i => ("skewed", "en")) ++ Seq(("skewed", "de"), ("skewed", "fr")) ++
+      (1 to 30).flatMap(_ => Seq(("even", "en"), ("even", "de"), ("even", "fr"))))
+      .toDF("source", "lang")
+    val rows = Anonymity.lDiversityCard(docs, Seq("source"), "lang", l = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(rows("skewed") === ((3L, true, false)))
+    assert(rows("even")._2 === true)
+    assert(rows("even")._3 === true)
+    // even group entropy sits within one micro of the pinned
+    // threshold (each log rounds separately before the difference)
+    val ent = Anonymity.lDiversityCard(docs, Seq("source"), "lang", 3)
+      .filter(org.apache.spark.sql.functions.col("source") === "even")
+      .collect().head.getLong(3)
+    assert(math.abs(ent - Anonymity.logLMicro(3)) <= 1L, ent.toString)
+  }
 }
