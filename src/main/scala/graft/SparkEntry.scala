@@ -107,6 +107,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
+  private val ivfDeleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   /** Fitted PCA model per sf dir — like the IVF caches, the fit is the
     * pre-existing index build, not part of each search. */
   private val pcaCache =
@@ -480,6 +482,31 @@ object SparkEntry {
       })
       IvfIndex.search(s.read.parquet(path), model, cfg, queryVec(s, d),
         k = 12, searchTopSize = 8, scoreScale = Some(Scale))
+    }),
+    // Deletion path: same base-∪-appended store as ann_ivf_append, but
+    // ids ≡ 3 (mod 7) are TOMBSTONED — search prunes clusters, then
+    // drops tombstoned rows with a broadcast anti-join
+    // (IvfIndex.searchWithTombstones). Full breadth ⇒ brute force over
+    // the LIVE rows exactly, which is the oracle; compaction
+    // (search-after ≡ search-before, dead rows physically gone) is
+    // pinned in IvfIndexSpec.
+    "ann_ivf_delete" -> ((s, d) => {
+      val (path, model) = ivfDeleteCache.computeIfAbsent(d, dir => {
+        val store = table(s, dir, "embeddings")
+          .join(table(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        val (a, m) = IvfIndex.build(store.filter(col("vec_id") < 400),
+          "embedding", numClusters = 8)
+        val p = java.nio.file.Files.createTempDirectory("graft_ivf_delete").toString
+        IvfIndex.writePartitioned(a, p)
+        IvfIndex.appendPartitioned(
+          IvfIndex.assignBatch(store.filter(col("vec_id") >= 400), "embedding", m), p)
+        (p, m)
+      })
+      val tomb = table(s, d, "embeddings")
+        .filter(col("vec_id") % 7 === 3).select("vec_id")
+      IvfIndex.searchWithTombstones(s.read.parquet(path), model, cfg,
+        queryVec(s, d), k = 12, searchTopSize = 8,
+        tombstones = tomb, idCol = "vec_id", scoreScale = Some(Scale))
     }),
     // Catalyst optimizer rule: plain SQL top-k over an IVF-registered
     // store is auto-rewritten to cluster pruning (full breadth ⇒ exact,
@@ -1016,6 +1043,17 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", maxN = 6, beta = 2)),
+    // Corpus chrF++ (Popović 2017): chrF's char n-gram orders plus
+    // word 1/2-gram orders, equal-weight integral mean — the
+    // sacrebleu chrF++ shape on the same one-scan kernel (both
+    // kernel calls in a single projection; still no explode/join).
+    "eval_chrfpp" -> ((s, d) =>
+      GenEval.corpusChrFpp(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("replace(text, 'table', 'chair')").as("pred"),
+            col("text").as("gold")),
+        "doc_id", "pred", "gold", charMaxN = 6, wordMaxN = 2, beta = 2)),
     // Min-k%-prob membership inference (Shi et al. 2023): mean
     // log-prob of each doc's 20% least-likely windows under the
     // corpus trigram LM — memorized/contaminated docs have no
@@ -5720,6 +5758,73 @@ object SparkEntry {
        |       CAST(($fSum) // $maxN AS BIGINT) AS chrf_micro""".stripMargin
   }
 
+  /** eval_chrfpp's oracle: chrfOracle's char n-gram orders UNION'd
+    * with word n-gram orders (tagged 100+n so the two families share
+    * one per-order aggregate), the same integral F-beta per order,
+    * and the equal-weight mean over charMaxN + wordMaxN orders. */
+  private def chrfPpOracle(charMaxN: Int, wordMaxN: Int, beta: Int): String = {
+    def charUnits(side: String): String = (1 to charMaxN).map { n =>
+      s"""SELECT doc_id, $n AS n,
+         |  unnest(CASE WHEN len(s) >= $n THEN
+         |    list_transform(generate_series(1, len(s) - ${n - 1}),
+         |      i -> substr(s, CAST(i AS INT), $n)) ELSE [] END) AS u
+         |FROM (SELECT doc_id, replace($side, ' ', '') AS s FROM pairs)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    def wordUnits(side: String): String = (1 to wordMaxN).map { n =>
+      val parts = (0 until n)
+        .map(o => s"toks[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, ${100 + n} AS n,
+         |  unnest(CASE WHEN len(toks) >= $n THEN
+         |    list_transform(generate_series(1, len(toks) - ${n - 1}),
+         |      i -> $parts) ELSE [] END) AS u
+         |FROM (SELECT doc_id, string_split($side, ' ') AS toks
+         |      FROM pairs)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val b2 = beta * beta
+    val tags = (1 to charMaxN).map(n => (s"fc${n}_micro", n)) ++
+      (1 to wordMaxN).map(n => (s"fw${n}_micro", 100 + n))
+    // COALESCE: an order with no grams at all has no agg row — it
+    // contributes f = 0 to the fixed-denominator mean, matching the
+    // Spark side's total (ANSI-safe) convention
+    val fCols = tags.map { case (name, tag) =>
+      s"CAST(COALESCE((SELECT f FROM perN WHERE n = $tag), 0) AS BIGINT) AS $name"
+    }.mkString(",\n       ")
+    val fSum = tags.map { case (_, tag) =>
+      s"COALESCE((SELECT f FROM perN WHERE n = $tag), 0)"
+    }.mkString(" + ")
+    s"""WITH pairs AS (
+       |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
+       |         text AS gold
+       |  FROM documents WHERE text IS NOT NULL),
+       |pu AS (${charUnits("pred")}
+       |UNION ALL
+       |${wordUnits("pred")}),
+       |gu AS (${charUnits("gold")}
+       |UNION ALL
+       |${wordUnits("gold")}),
+       |pc AS (SELECT doc_id, n, u, count(*) AS cp FROM pu GROUP BY 1, 2, 3),
+       |gc AS (SELECT doc_id, n, u, count(*) AS cg FROM gu GROUP BY 1, 2, 3),
+       |agg AS (
+       |  SELECT COALESCE(pc.n, gc.n) AS n,
+       |         sum(least(COALESCE(cp, 0), COALESCE(cg, 0))) AS o,
+       |         sum(COALESCE(cp, 0)) AS tp,
+       |         sum(COALESCE(cg, 0)) AS tg
+       |  FROM pc FULL OUTER JOIN gc
+       |    ON pc.doc_id = gc.doc_id AND pc.n = gc.n AND pc.u = gc.u
+       |  GROUP BY 1),
+       |pr AS (
+       |  SELECT n,
+       |         CASE WHEN tp > 0 THEN (1000000 * o) // tp ELSE 0 END AS p,
+       |         CASE WHEN tg > 0 THEN (1000000 * o) // tg ELSE 0 END AS r
+       |  FROM agg),
+       |perN AS (
+       |  SELECT n, CASE WHEN $b2 * p + r > 0
+       |    THEN (${1 + b2} * p * r) // ($b2 * p + r) ELSE 0 END AS f
+       |  FROM pr)
+       |SELECT $fCols,
+       |       CAST(($fSum) // ${charMaxN + wordMaxN} AS BIGINT) AS chrfpp_micro""".stripMargin
+  }
+
   /** The two generation-eval oracles (token-F1, ROUGE-n): per-side
     * multiset unit counts, least() overlap, integral micro scores —
     * [[graft.operators.GenEval.overlapF1]]'s arithmetic with the same
@@ -6446,6 +6551,8 @@ object SparkEntry {
     "ann_ivf_topk" -> knnOracle(CosExpr, desc = true, k = 10),
     "ann_ivf_disk" -> knnOracle(CosExpr, desc = true, k = 12),
     "ann_ivf_append" -> knnOracle(CosExpr, desc = true, k = 12),
+    "ann_ivf_delete" -> knnOracle(CosExpr, desc = true, k = 12,
+      where = "WHERE e.vec_id % 7 <> 3"),
     "ann_tree_topk" -> knnOracle(CosExpr, desc = true, k = 9),
     // Same sign-sketch semantics via per-dimension sign comparisons
     // (= xor+popcount on the packed longs), then the exact re-rank.
@@ -7120,6 +7227,7 @@ object SparkEntry {
     "eval_bleu4" -> bleuOracle(4),
     // chrF replayed: char n-gram unions, integral F-beta.
     "eval_chrf" -> chrfOracle(6, 2),
+    "eval_chrfpp" -> chrfPpOracle(6, 2, 2),
     // Token-F1 replayed: per-side multiset counts, least() overlap.
     "eval_token_f1" -> genEvalOracle(1),
     // ROUGE-2: the same replay over bigram units.

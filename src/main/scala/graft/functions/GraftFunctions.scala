@@ -208,6 +208,19 @@ object GraftFunctions {
     ("nearest_centroid",
       (es: Seq[Expression]) => { requireArity(es, 2, "nearest_centroid"); NearestCentroidExpr(es(0), es(1)) },
       "_FUNC_(qv, flat) - integer-L2 argmin over k row-major micro-unit centroids; [cid, dist2]."),
+    ("ngram_overlap_counts",
+      (es: Seq[Expression]) => {
+        requireArity(es, 4, "ngram_overlap_counts")
+        val charLevel = es(3) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.BooleanType =>
+            e.eval().asInstanceOf[Boolean]
+          case _ => throw new IllegalArgumentException(
+            "ngram_overlap_counts charLevel must be a boolean literal")
+        }
+        NgramOverlapCountsExpr(es(0), es(1),
+          intLitArg(es(2), "ngram_overlap_counts maxN"), charLevel)
+      },
+      "_FUNC_(pred, gold, maxN, charLevel) - 3*maxN clipped n-gram [overlap, total_pred, total_gold] triples (array<bigint>) for n = 1..maxN."),
     ("phrase_count",
       (es: Seq[Expression]) => { requireArity(es, 2, "phrase_count"); PhraseCountExpr(es(0), es(1)) },
       "_FUNC_(text, phrase) - occurrences of the consecutive-token phrase (array<string>), overlaps included."),
@@ -275,6 +288,11 @@ object GraftFunctions {
     call_function("nearest_centroid", qv, flat)
   def phraseCount(text: Column, phrase: Column): Column =
     call_function("phrase_count", text, phrase)
+  def ngramOverlapCounts(pred: Column, gold: Column,
+      maxN: Int, charLevel: Boolean): Column =
+    call_function("ngram_overlap_counts", pred, gold,
+      org.apache.spark.sql.functions.lit(maxN),
+      org.apache.spark.sql.functions.lit(charLevel))
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =

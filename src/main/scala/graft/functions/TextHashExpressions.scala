@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -294,6 +296,65 @@ case class PhraseCountExpr(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (t, p) => s"graft.functions.TextHashKernels.phraseCount($t, $p)")
 
   override def prettyName: String = "phrase_count"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * `ngram_overlap_counts(pred, gold, maxN, charLevel)` → array<bigint>
+ * of 3·maxN clipped n-gram overlap counts `[overlap_n, total_pred_n,
+ * total_gold_n]` for n = 1..maxN — the scan-local core of the
+ * generation-eval metrics (BLEU, chrF, ROUGE-n, token-F1); see
+ * [[TextHashKernels.ngramOverlapCounts]] for the unit semantics and
+ * why this is a kernel, not an explode + join.
+ *
+ * NOT null-safe by design: a NULL side contributes zero units on that
+ * side while the other side still counts (the pre-kernel plans
+ * filtered NULLs per side before exploding), so `eval`/codegen handle
+ * nulls themselves and the output is never null.
+ */
+case class NgramOverlapCountsExpr(
+    left: Expression, right: Expression, maxN: Int, charLevel: Boolean)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if maxN >= 1 && maxN <= 8 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_overlap_counts maxN must be in [1, 8], got $maxN")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_overlap_counts requires (string, string), got $other")
+    }
+
+  override def eval(input: InternalRow): Any =
+    TextHashKernels.ngramOverlapCounts(
+      left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String],
+      maxN, charLevel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = left.genCode(ctx)
+    val g = right.genCode(ctx)
+    val pv =
+      if (left.nullable) s"(${p.isNull} ? null : ${p.value})" else s"${p.value}"
+    val gv =
+      if (right.nullable) s"(${g.isNull} ? null : ${g.value})" else s"${g.value}"
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(
+      code = p.code + g.code +
+        code"""
+          final $arrCls ${ev.value} =
+            graft.functions.TextHashKernels.ngramOverlapCounts(
+              $pv, $gv, $maxN, $charLevel);
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "ngram_overlap_counts"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

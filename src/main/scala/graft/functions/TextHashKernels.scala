@@ -616,6 +616,10 @@ object TextHashKernels {
   def ngramOverlapCounts(
       pred: UTF8String, gold: UTF8String,
       maxN: Int, charLevel: Boolean): ArrayData = {
+    // mirrors the GenEval operator guard: [1, 8] — a negative value
+    // would throw NegativeArraySizeException two lines down, and 0
+    // would silently return an empty array
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
     val (pb, ps, pe) = unitBoundaries(pred, charLevel)
     val (gb, gs, ge) = unitBoundaries(gold, charLevel)
     val out = new Array[Long](3 * maxN)

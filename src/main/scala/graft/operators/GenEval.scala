@@ -1,45 +1,45 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
- * Generation-eval overlap metrics — the two standard lexical scores
- * for model outputs against references: token-level F1 (the SQuAD
- * answer metric) and ROUGE-n (the summarization metric, Lin 2004).
- * Both are MULTISET overlaps: overlap = Σ_t min(cnt_pred(t),
- * cnt_gold(t)) over tokens (F1) or n-grams (ROUGE-n), then precision
- * = overlap/|pred|, recall = overlap/|gold| — reported on the micro
- * grid via integral division, so every engine agrees exactly.
+ * Generation-eval overlap metrics — the standard lexical scores for
+ * model outputs against references: corpus BLEU (Papineni et al.
+ * 2002), corpus chrF (Popović 2015), per-pair token-F1 (the SQuAD
+ * answer metric) and ROUGE-n (Lin 2004). All are MULTISET overlaps:
+ * overlap_n = Σ_gram min(cnt_pred(gram), cnt_gold(gram)) over order-n
+ * units, then precision = overlap/|pred grams|, recall =
+ * overlap/|gold grams| — reported on the micro grid via integral
+ * division, so every engine agrees exactly.
  *
- * Shape: explode each side to (id, unit) counts (map-side partials),
- * ONE inner join on (id, unit), a per-id sum — everything partitions
- * by the pair id; no global state, no windows. At 100 TB of eval
- * pairs this is two scans and one id-keyed exchange.
+ * Shape: pred and gold live in the SAME ROW, so the clipped overlap
+ * is scan-local — one `ngram_overlap_counts` codegen kernel call per
+ * pair emits the 3·maxN exact integers `[overlap_n, total_pred_n,
+ * total_gold_n]`, and the corpus metrics reduce them with ONE global
+ * sum (map-side partials, a single 1-row exchange). No explode, no
+ * per-gram shuffle, no join. At 100 TB of eval pairs each corpus
+ * metric is one scan and an 18-integer reduce; the per-pair metrics
+ * are a pure projection. (The previous formulation — per-order HOF
+ * explode to (id, n, gram) rows, hash aggregate, full-outer STRING
+ * join — shuffled every character position × order and went
+ * super-linear on the 10× scale step: 14–40 s at sf0.1 for chrF vs
+ * scan-bound now.)
+ *
+ * Pair identity: each ROW is one (pred, gold) pair and `idCol` is its
+ * unique key — duplicate ids are scored per row, not merged.
  */
 object GenEval {
 
-  /** (id, n-gram) counts of a text column: n = 1 gives tokens. The
-    * token split is PROJECTED before the transform — an expression
-    * inside a HOF lambda re-evaluates per element, so an unhoisted
-    * split would re-tokenize the text once per emitted n-gram. */
-  private def unitCounts(
-      df: DataFrame, idCol: String, textCol: String, n: Int,
-      cntName: String): DataFrame = {
-    val base = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__t"))
-    val toks = col("__t")
-    val units =
-      if (n == 1) explode(toks)
-      else explode(when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(o =>
-            element_at(toks, i + o)): _*)))
-        .otherwise(array()))
-    base
-      .select(col("__id"), units.as("__u"))
-      .groupBy("__id", "__u")
-      .agg(count(lit(1)).as(cntName))
+  /** Per-row 3·maxN clipped-overlap counts; registers the engine
+    * functions on the pairs' session first (idempotent). */
+  private def overlapCounts(
+      pairs: DataFrame, predCol: String, goldCol: String,
+      maxN: Int, charLevel: Boolean): Column = {
+    GraftFunctions.register(pairs.sparkSession)
+    GraftFunctions.ngramOverlapCounts(
+      col(predCol), col(goldCol), maxN, charLevel)
   }
 
   /**
@@ -53,49 +53,28 @@ object GenEval {
    * the package's accepted log-rounding class. Zero matches at any
    * order → bleu = 0 (the standard convention).
    *
-   * Shape: one tagged explode per side ((id, n, unit) counts), ONE
-   * join, one corpus aggregate to a single row.
+   * Units are the single-space-split fields with empties kept (SQL
+   * `split` semantics); a NULL side contributes zero n-grams on that
+   * side while the other side still counts.
    */
   def corpusBleu(
       pairs: DataFrame, idCol: String, predCol: String, goldCol: String,
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
-    def tagged(textCol: String, cntName: String): DataFrame = {
-      // split projected once per row — inside the HOF lambdas it
-      // would re-evaluate per emitted n-gram
-      val base = pairs.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("__id"),
-          split(col(textCol), " ").as("__t"))
-      val toks = col("__t")
-      val all = concat((1 to maxN).map { n =>
-        when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-            struct(lit(n).as("n"),
-              concat_ws(" ", (0 until n).map(o =>
-                element_at(toks, i + o)): _*).as("u"))))
-          .otherwise(array().cast("array<struct<n:int,u:string>>"))
-      }: _*)
-      base
-        .select(col("__id"), explode(all).as("__e"))
-        .groupBy(col("__id"), col("__e.n").as("__n"),
-          col("__e.u").as("__u"))
-        .agg(count(lit(1)).as(cntName))
-    }
-    val pc = tagged(predCol, "__cp")
-    val gc = tagged(goldCol, "__cg")
-    val perN = pc.join(gc, Seq("__id", "__n", "__u"), "left")
-      .groupBy("__n")
-      .agg(sum(least(col("__cp"), coalesce(col("__cg"), lit(0L))))
-          .as("__o"),
-        sum("__cp").as("__t"))
-    val r = gc.filter(col("__n") === 1).agg(sum("__cg").as("r"))
-    val parts = (1 to maxN).map { n =>
-      perN.filter(col("__n") === n).select(
-        col("__o").as(s"o_$n"), col("__t").as(s"t_$n"))
-    }
-    val one = parts.reduce(_.crossJoin(_)).crossJoin(r)
+    val oc = overlapCounts(pairs, predCol, goldCol, maxN, charLevel = false)
+    // one scan: 3·maxN integers per row, one global sum (+ total gold
+    // unigrams for the brevity penalty, which is counts index 3)
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(sum(element_at(col("__c"), 3 * (n - 1) + 1)).as(s"o_$n"),
+        sum(element_at(col("__c"), 3 * (n - 1) + 2)).as(s"t_$n"))
+    } :+ sum(element_at(col("__c"), 3)).as("r")
+    val one = pairs.select(oc.as("__c")).agg(aggs.head, aggs.tail: _*)
+    // t_n = 0 (no candidate n-grams anywhere) → p_n = 0, and o_n = 0
+    // forces bleu = 0 through anyZero — total under ANSI mode instead
+    // of an integral-division error
     val pCols = (1 to maxN).map(n =>
-      expr(s"(1000000 * o_$n) div t_$n").as(s"p${n}_micro"))
+      when(col(s"t_$n") > 0,
+        expr(s"(1000000 * o_$n) div t_$n")).otherwise(0L).as(s"p${n}_micro"))
     val lnSum = (1 to maxN).map(n =>
       log(col(s"o_$n").cast("double") / col(s"t_$n").cast("double")))
       .reduce(_ + _)
@@ -114,9 +93,7 @@ object GenEval {
    * integers, P/R as integral micros, Fβ = (1+β²)·P·R / (β²·P + R)
    * as one integral division, the final chrF the integral mean over
    * orders — no floating point anywhere. Orders with no overlap
-   * contribute 0 (the convention); orders with no candidate n-grams
-   * at all are skipped from the mean like sacrebleu does — here the
-   * fixture always has them, so the mean divides by `maxN`.
+   * contribute 0 (the convention).
    *
    * @return one row: (f1_micro..f<maxN>_micro, chrf_micro)
    */
@@ -125,49 +102,86 @@ object GenEval {
       maxN: Int = 6, beta: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
     require(beta >= 1, s"beta must be >= 1, got $beta")
-    def tagged(textCol: String, cntName: String): DataFrame = {
-      // the stripped string is projected once per row — inside the
-      // HOF lambdas the regexp_replace would re-run per emitted
-      // n-gram (measured: 47 s → ~2 s on the sf0.1 bench row)
-      val base = pairs.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("__id"),
-          regexp_replace(col(textCol), " ", "").as("__s"))
-      val st = col("__s")
-      val all = concat((1 to maxN).map { n =>
-        when(length(st) >= n,
-          transform(sequence(lit(1), length(st) - (n - 1)), i =>
-            struct(lit(n).as("n"), st.substr(i, lit(n)).as("u"))))
-          .otherwise(array().cast("array<struct<n:int,u:string>>"))
-      }: _*)
-      base
-        .select(col("__id"), explode(all).as("__e"))
-        .groupBy(col("__id"), col("__e.n").as("__n"),
-          col("__e.u").as("__u"))
-        .agg(count(lit(1)).as(cntName))
+    val oc = overlapCounts(pairs, predCol, goldCol, maxN, charLevel = true)
+    val aggs = (1 to maxN).flatMap { n =>
+      Seq(sum(element_at(col("__c"), 3 * (n - 1) + 1)).as(s"o_$n"),
+        sum(element_at(col("__c"), 3 * (n - 1) + 2)).as(s"tp_$n"),
+        sum(element_at(col("__c"), 3 * (n - 1) + 3)).as(s"tg_$n"))
     }
-    val pc = tagged(predCol, "__cp")
-    val gc = tagged(goldCol, "__cg")
-    val perN = pc.join(gc, Seq("__id", "__n", "__u"), "full_outer")
-      .groupBy("__n")
-      .agg(
-        sum(least(coalesce(col("__cp"), lit(0L)),
-          coalesce(col("__cg"), lit(0L)))).as("__o"),
-        sum(coalesce(col("__cp"), lit(0L))).as("__tp"),
-        sum(coalesce(col("__cg"), lit(0L))).as("__tg"))
-      .select(col("__n"),
-        expr("(1000000 * __o) div __tp").as("__p"),
-        expr("(1000000 * __o) div __tg").as("__r"))
-      .select(col("__n"),
-        when(expr(s"${beta * beta} * __p + __r") > 0,
-          expr(s"(${1 + beta * beta} * __p * __r) div " +
-            s"(${beta * beta} * __p + __r)")).otherwise(0L).as("__f"))
-    val parts = (1 to maxN).map(n =>
-      perN.filter(col("__n") === n)
-        .select(col("__f").as(s"f${n}_micro")))
-    parts.reduce(_.crossJoin(_))
+    val one = pairs.select(oc.as("__c")).agg(aggs.head, aggs.tail: _*)
+    val b2 = beta * beta
+    one
+      .select((1 to maxN).flatMap(n => Seq(
+        // an order with no grams on a side scores 0 on that axis —
+        // total under ANSI mode instead of a division error
+        when(col(s"tp_$n") > 0,
+          expr(s"(1000000 * o_$n) div tp_$n")).otherwise(0L).as(s"p_$n"),
+        when(col(s"tg_$n") > 0,
+          expr(s"(1000000 * o_$n) div tg_$n")).otherwise(0L).as(s"r_$n"))): _*)
+      .select((1 to maxN).map(n =>
+        when(expr(s"$b2 * p_$n + r_$n") > 0,
+          expr(s"(${1 + b2} * p_$n * r_$n) div ($b2 * p_$n + r_$n)"))
+          .otherwise(0L).as(s"f${n}_micro")): _*)
       .withColumn("chrf_micro",
         expr(s"(${(1 to maxN).map(n => s"f${n}_micro").mkString(" + ")}) " +
           s"div $maxN"))
+  }
+
+  /**
+   * Corpus-level chrF++ (Popović 2017): chrF's character n-gram
+   * F-beta orders (n = 1..`charMaxN`, whitespace stripped) PLUS word
+   * n-gram orders (n = 1..`wordMaxN`, single-space tokens — the
+   * package's tokenization convention; sacrebleu additionally splits
+   * punctuation, a documented deviation), all averaged with equal
+   * weight: chrf++ = (Σ f_char_n + Σ f_word_n) div (charMaxN +
+   * wordMaxN). Same exact-integer micro grid as [[corpusChrF]];
+   * same one-scan shape — BOTH kernels run in the same projection,
+   * so the whole metric is still a single pass and one global sum of
+   * 3·(charMaxN + wordMaxN) integers.
+   *
+   * @return one row: (fc1_micro..fc<charMaxN>_micro,
+   *         fw1_micro..fw<wordMaxN>_micro, chrfpp_micro)
+   */
+  def corpusChrFpp(
+      pairs: DataFrame, idCol: String, predCol: String, goldCol: String,
+      charMaxN: Int = 6, wordMaxN: Int = 2, beta: Int = 2): DataFrame = {
+    require(charMaxN >= 1 && charMaxN <= 8,
+      s"charMaxN must be in [1, 8], got $charMaxN")
+    require(wordMaxN >= 1 && wordMaxN <= 8,
+      s"wordMaxN must be in [1, 8], got $wordMaxN")
+    require(beta >= 1, s"beta must be >= 1, got $beta")
+    GraftFunctions.register(pairs.sparkSession)
+    val occ = GraftFunctions.ngramOverlapCounts(
+      col(predCol), col(goldCol), charMaxN, charLevel = true)
+    val ocw = GraftFunctions.ngramOverlapCounts(
+      col(predCol), col(goldCol), wordMaxN, charLevel = false)
+    // (tag, order) pairs: c = char orders, w = word orders — one
+    // flat list so the downstream select/F/mean code is shared
+    val orders = (1 to charMaxN).map(("c", _)) ++ (1 to wordMaxN).map(("w", _))
+    val aggs = orders.flatMap { case (t, n) =>
+      val src = col(s"__$t")
+      Seq(sum(element_at(src, 3 * (n - 1) + 1)).as(s"o_$t$n"),
+        sum(element_at(src, 3 * (n - 1) + 2)).as(s"tp_$t$n"),
+        sum(element_at(src, 3 * (n - 1) + 3)).as(s"tg_$t$n"))
+    }
+    val one = pairs.select(occ.as("__c"), ocw.as("__w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val b2 = beta * beta
+    val fNames = orders.map { case (t, n) => s"f$t${n}_micro" }
+    one
+      .select(orders.flatMap { case (t, n) => Seq(
+        // an order with no grams on a side scores 0 on that axis —
+        // total under ANSI mode instead of a division error
+        when(col(s"tp_$t$n") > 0,
+          expr(s"(1000000 * o_$t$n) div tp_$t$n")).otherwise(0L).as(s"p_$t$n"),
+        when(col(s"tg_$t$n") > 0,
+          expr(s"(1000000 * o_$t$n) div tg_$t$n")).otherwise(0L).as(s"r_$t$n")) }: _*)
+      .select(orders.map { case (t, n) =>
+        when(expr(s"$b2 * p_$t$n + r_$t$n") > 0,
+          expr(s"(${1 + b2} * p_$t$n * r_$t$n) div ($b2 * p_$t$n + r_$t$n)"))
+          .otherwise(0L).as(s"f$t${n}_micro") }: _*)
+      .withColumn("chrfpp_micro",
+        expr(s"(${fNames.mkString(" + ")}) div ${charMaxN + wordMaxN}"))
   }
 
   /**
@@ -175,26 +189,19 @@ object GenEval {
    * n_pred, n_gold, overlap, p_micro, r_micro, f1_micro) — pairs
    * where either side has no n-grams score zero, not NULL (the
    * standard convention: an empty prediction is a wrong prediction).
+   * Pure projection — no shuffle at all.
    */
   def overlapF1(
       pairs: DataFrame, idCol: String, predCol: String, goldCol: String,
       n: Int = 1): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val pc = unitCounts(pairs, idCol, predCol, n, "__cp")
-    val gc = unitCounts(pairs, idCol, goldCol, n, "__cg")
-    val joined = pc.join(gc, Seq("__id", "__u"))
-      .groupBy("__id")
-      .agg(sum(least(col("__cp"), col("__cg"))).as("overlap"))
-    val totals = pairs.select(col(idCol).as("__id"),
-      col(predCol), col(goldCol))
-      .join(pc.groupBy("__id").agg(sum("__cp").as("n_pred")), Seq("__id"), "left")
-      .join(gc.groupBy("__id").agg(sum("__cg").as("n_gold")), Seq("__id"), "left")
-      .select(col("__id"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
-        coalesce(col("n_gold"), lit(0L)).as("n_gold"))
-    totals.join(joined, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_pred"), col("n_gold"),
-        coalesce(col("overlap"), lit(0L)).as("overlap"))
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    val oc = overlapCounts(pairs, predCol, goldCol, n, charLevel = false)
+    pairs
+      .select(col(idCol), oc.as("__c"))
+      .select(col(idCol),
+        element_at(col("__c"), 3 * (n - 1) + 2).as("n_pred"),
+        element_at(col("__c"), 3 * (n - 1) + 3).as("n_gold"),
+        element_at(col("__c"), 3 * (n - 1) + 1).as("overlap"))
       .withColumn("p_micro",
         when(col("n_pred") > 0,
           expr("(1000000 * overlap) div n_pred")).otherwise(0L))

@@ -122,6 +122,73 @@ object IvfIndex {
     assigned.write.mode("append").partitionBy(ClusterCol).parquet(path)
 
   /**
+   * Deletion path. The partitioned store is immutable Parquet, so
+   * deletes are TOMBSTONES — a slim relation of deleted ids kept
+   * beside the index (GDPR erasure, TTL'd rows). Between compactions
+   * the tombstone set is broadcast-range by construction (thousands to
+   * low millions of ids — compaction bounds it), so search applies it
+   * AFTER cluster pruning as a broadcast LEFT ANTI join: one
+   * in-memory hash probe per candidate row, with the scan and the
+   * partition pruning untouched. Full-breadth search over
+   * base ∪ appended − deleted must equal brute force over the live
+   * rows — the driver's exact oracle for this path.
+   */
+  def searchWithTombstones(
+      assignedStore: DataFrame,
+      model: IvfModel,
+      cfg: StoreConfig,
+      queryVec: Array[Float],
+      k: Int,
+      searchTopSize: Int,
+      tombstones: DataFrame,
+      idCol: String,
+      scoreScale: Option[Int] = None): DataFrame = {
+    require(searchTopSize > 0,
+      s"index_tree_search_top_size must be a positive integer, got $searchTopSize")
+    val top = model.rankClusters(queryVec, cfg.strategy).take(searchTopSize)
+    val pruned = assignedStore
+      .filter(col(ClusterCol).isin(top.toIndexedSeq.map(Integer.valueOf): _*))
+      .join(broadcast(tombstones.select(col(idCol))), Seq(idCol), "left_anti")
+    VectorSearch.bruteForce(pruned.drop(ClusterCol), cfg.copy(indexEnabled = true),
+      queryVec, k, Map.empty, scoreScale)
+  }
+
+  /**
+   * Compaction: rewrite the store as a NEW generation at `path`,
+   * dropping tombstoned rows (after which the tombstone relation can
+   * be truncated). When `reassign` is given, each surviving row is
+   * also re-assigned to its nearest CURRENT centroid by the codegen
+   * m=1 pq_encode kernel — after an offline centroid refresh, rows
+   * appended under the old centroids may sit in a drifted cluster,
+   * and re-assignment re-tightens partition pruning (recall at full
+   * breadth is unaffected either way; only pruning efficiency).
+   *
+   * Distributed end-to-end: broadcast anti-join → optional codegen
+   * re-assign → partitioned write; the driver holds only the centroid
+   * matrix. Writing a fresh generation (rather than rewriting in
+   * place) keeps readers of the old path consistent until the catalog
+   * swaps — the standard lakehouse compaction discipline. When to
+   * compact: once the tombstone set approaches broadcast limits
+   * (~tens of MB of ids) or the dead fraction of scanned bytes is
+   * material (SCALING.md).
+   */
+  def compact(
+      store: DataFrame,
+      tombstones: DataFrame,
+      idCol: String,
+      path: String,
+      embCol: String = "embedding",
+      reassign: Option[IvfModel] = None): Unit = {
+    val live = store.join(
+      broadcast(tombstones.select(col(idCol))), Seq(idCol), "left_anti")
+    val out = reassign match {
+      case Some(m) => assignBatch(live.drop(ClusterCol), embCol, m)
+      case None    => live
+    }
+    writePartitioned(out, path)
+  }
+
+  /**
    * Two-level kmeans tree over a built index — the shape of YDB's
    * `vector_kmeans_tree` (reference: /root/reference/app.py:193-196):
    * level 1 clusters the CLUSTER CENTROIDS (driver-side Lloyd over a

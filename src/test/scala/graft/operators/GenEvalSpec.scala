@@ -101,4 +101,33 @@ class GenEvalSpec extends SparkFunSuite {
       .collect().head
     assert(r3.getAs[Long]("f1_micro") === 909090L)
   }
+
+  test("corpusChrFpp: char + word orders, equal-weight mean") {
+    // identical strings → perfect at every order, char and word
+    val same = Seq((1L, "ab cd", "ab cd")).toDF("id", "pred", "gold")
+    val r1 = GenEval.corpusChrFpp(same, "id", "pred", "gold",
+      charMaxN = 2, wordMaxN = 2).collect().head
+    assert(r1.getAs[Long]("fc1_micro") === 1000000L)
+    assert(r1.getAs[Long]("fc2_micro") === 1000000L)
+    assert(r1.getAs[Long]("fw1_micro") === 1000000L)
+    assert(r1.getAs[Long]("fw2_micro") === 1000000L)
+    assert(r1.getAs[Long]("chrfpp_micro") === 1000000L)
+    // transposed chars: fc1 perfect, fc2/fw1 disjoint, fw2 has no
+    // bigrams on either side (single token) → 0 — mean = 1e6 div 4
+    val swap = Seq((1L, "ab", "ba")).toDF("id", "pred", "gold")
+    val r2 = GenEval.corpusChrFpp(swap, "id", "pred", "gold",
+      charMaxN = 2, wordMaxN = 2).collect().head
+    assert(r2.getAs[Long]("fc1_micro") === 1000000L)
+    assert(r2.getAs[Long]("fc2_micro") === 0L)
+    assert(r2.getAs[Long]("fw1_micro") === 0L)
+    assert(r2.getAs[Long]("fw2_micro") === 0L)
+    assert(r2.getAs[Long]("chrfpp_micro") === 250000L)
+    // char F2 recall-weighting carries over; word order contributes 0
+    val rec = Seq((1L, "aab", "ab")).toDF("id", "pred", "gold")
+    val r3 = GenEval.corpusChrFpp(rec, "id", "pred", "gold",
+      charMaxN = 1, wordMaxN = 1).collect().head
+    assert(r3.getAs[Long]("fc1_micro") === 909090L)
+    assert(r3.getAs[Long]("fw1_micro") === 0L)
+    assert(r3.getAs[Long]("chrfpp_micro") === 454545L)
+  }
 }

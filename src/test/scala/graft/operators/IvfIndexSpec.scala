@@ -121,4 +121,51 @@ class IvfIndexSpec extends SparkFunSuite {
       .collect()
     assert(ivf.map(_.toSeq).toSeq === brute.map(_.toSeq).toSeq)
   }
+
+  test("tombstone search: deleted ids excluded, equals brute force over live rows") {
+    val (assigned, model) = built
+    val tombstones = store.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val deleted = tombstones.collect().map(_.getLong(0)).toSet
+    val got = IvfIndex.searchWithTombstones(assigned, model, cfg, qv(5),
+      k = 10, searchTopSize = model.numClusters,
+      tombstones = tombstones, idCol = "vec_id", scoreScale = Some(6)).collect()
+    assert(got.forall(r => !deleted.contains(r.getString(0).toLong)))
+    val brute = VectorSearch.bruteForce(
+      store.filter(col("vec_id") % 7 =!= 3), cfg, qv(5), 10, Map.empty, Some(6))
+      .collect()
+    assert(got.map(_.toSeq).toSeq === brute.map(_.toSeq).toSeq)
+  }
+
+  test("tombstone anti-join is broadcast, not shuffled") {
+    val (assigned, model) = built
+    val tombstones = store.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val plan = IvfIndex.searchWithTombstones(assigned, model, cfg, qv(5),
+      k = 10, searchTopSize = 2, tombstones = tombstones, idCol = "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("search after compaction equals tombstoned search before (with and without reassign)") {
+    val (assigned, model) = built
+    val tombstones = store.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val before = IvfIndex.searchWithTombstones(assigned, model, cfg, qv(6),
+      k = 10, searchTopSize = model.numClusters,
+      tombstones = tombstones, idCol = "vec_id", scoreScale = Some(6)).collect()
+    for (reassign <- Seq(None, Some(model))) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_compact_spec").toString
+      IvfIndex.compact(assigned, tombstones, "vec_id", path,
+        embCol = "embedding", reassign = reassign)
+      val compacted = spark.read.parquet(path)
+      // tombstoned rows are physically gone from the new generation
+      assert(compacted.count() ===
+        store.filter(col("vec_id") % 7 =!= 3).count())
+      assert(compacted.filter(col("vec_id") % 7 === 3).count() === 0L)
+      val after = IvfIndex.search(compacted, model, cfg, qv(6), k = 10,
+        searchTopSize = model.numClusters, scoreScale = Some(6)).collect()
+      assert(after.map(_.toSeq).toSeq === before.map(_.toSeq).toSeq,
+        s"reassign=${reassign.isDefined}")
+    }
+  }
 }
