@@ -1054,6 +1054,42 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", charMaxN = 6, wordMaxN = 2, beta = 2)),
+    // Per-pair sentence BLEU-4 with add-one smoothing (Lin & Och
+    // 2004): the segment-level bitext/generation quality filter —
+    // exact integer counts per pair, one fixed-order 6-dp
+    // transcendental, pure projection.
+    "eval_sentence_bleu" -> ((s, d) =>
+      GenEval.sentenceBleu(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("replace(text, 'table', 'chair')").as("pred"),
+            col("text").as("gold")),
+        "doc_id", "pred", "gold", maxN = 4).orderBy("doc_id")),
+    // Character error rate (byte units — bit-identical to DuckDB's
+    // byte-level levenshtein, so the oracle replays the DP exactly):
+    // the OCR/ASR eval standard, per pair, pure projection.
+    "eval_cer" -> ((s, d) =>
+      GenEval.editErrorRate(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("replace(text, 'table', 'chair')").as("pred"),
+            col("text").as("gold")),
+        "doc_id", "pred", "gold", unit = "byte").orderBy("doc_id")),
+    // Word error rate (token units). The oracle maps each pair's
+    // distinct tokens to single printable bytes (a bijection, so
+    // token-level Levenshtein equals DuckDB's byte-level levenshtein
+    // on the mapped strings); pairs with > 94 distinct tokens can't
+    // map into one printable byte each and are filtered on BOTH
+    // sides — a fixture bound, not an operator limit.
+    "eval_wer" -> ((s, d) =>
+      GenEval.editErrorRate(
+        table(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            expr("replace(text, 'table', 'chair')").as("pred"),
+            col("text").as("gold"))
+          .filter(size(array_distinct(concat(
+            split(col("pred"), " "), split(col("gold"), " ")))) <= 94),
+        "doc_id", "pred", "gold", unit = "token").orderBy("doc_id")),
     // Min-k%-prob membership inference (Shi et al. 2023): mean
     // log-prob of each doc's 20% least-likely windows under the
     // corpus trigram LM — memorized/contaminated docs have no
@@ -5825,6 +5861,127 @@ object SparkEntry {
        |       CAST(($fSum) // ${charMaxN + wordMaxN} AS BIGINT) AS chrfpp_micro""".stripMargin
   }
 
+  /** eval_sentence_bleu's oracle: bleuOracle's tagged per-n unit
+    * counts and clipped-overlap join, but grouped PER PAIR, with the
+    * (doc × order) grid filling absent orders with (o, t) = (0, 0),
+    * add-one-smoothed micros for n ≥ 2, and the identical fixed-order
+    * 6-dp bleu expression per row. */
+  private def sentenceBleuOracle(maxN: Int): String = {
+    def units(side: String): String = (1 to maxN).map { n =>
+      val parts = (0 until n)
+        .map(o => s"toks[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, $n AS n,
+         |  unnest(CASE WHEN len(toks) >= $n THEN
+         |    list_transform(generate_series(1, len(toks) - ${n - 1}),
+         |      i -> $parts) ELSE [] END) AS u
+         |FROM (SELECT doc_id, string_split($side, ' ') AS toks
+         |      FROM pairs)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val pivCols = (1 to maxN).map(n =>
+      s"max(CASE WHEN n = $n THEN o END) AS o$n, " +
+        s"max(CASE WHEN n = $n THEN t END) AS t$n").mkString(",\n  ")
+    val pCols = ((
+      "CAST(CASE WHEN t1 > 0 THEN (1000000 * o1) // t1 ELSE 0 END " +
+        "AS BIGINT) AS p1_micro") +:
+      (2 to maxN).map(n =>
+        s"CAST((1000000 * (o$n + 1)) // (t$n + 1) AS BIGINT) AS p${n}_micro"))
+      .mkString(",\n       ")
+    val lnSum = s"ln(o1 * 1.0 / t1)" +
+      (2 to maxN).map(n => s" + ln((o$n + 1.0) / (t$n + 1.0))").mkString
+    s"""WITH pairs AS (
+       |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
+       |         text AS gold
+       |  FROM documents WHERE text IS NOT NULL),
+       |pu AS (${units("pred")}),
+       |gu AS (${units("gold")}),
+       |pc AS (SELECT doc_id, n, u, count(*) AS cp FROM pu GROUP BY 1, 2, 3),
+       |gc AS (SELECT doc_id, n, u, count(*) AS cg FROM gu GROUP BY 1, 2, 3),
+       |perN AS (
+       |  SELECT pc.doc_id, pc.n, sum(least(cp, COALESCE(cg, 0))) AS o,
+       |         sum(cp) AS t
+       |  FROM pc LEFT JOIN gc
+       |    ON pc.doc_id = gc.doc_id AND pc.n = gc.n AND pc.u = gc.u
+       |  GROUP BY pc.doc_id, pc.n),
+       |grid AS (SELECT doc_id, unnest(generate_series(1, $maxN)) AS n
+       |         FROM pairs),
+       |filled AS (
+       |  SELECT g.doc_id, g.n, COALESCE(p.o, 0) AS o, COALESCE(p.t, 0) AS t
+       |  FROM grid g LEFT JOIN perN p ON g.doc_id = p.doc_id AND g.n = p.n),
+       |piv AS (SELECT doc_id,
+       |  $pivCols
+       |  FROM filled GROUP BY doc_id),
+       |sides AS (SELECT doc_id,
+       |  CAST(len(string_split(gold, ' ')) AS BIGINT) AS r FROM pairs)
+       |SELECT piv.doc_id, CAST(t1 AS BIGINT) AS c, sides.r AS r,
+       |       $pCols,
+       |       round(CASE WHEN o1 = 0 THEN 0.0 ELSE
+       |         exp(least(0.0, 1.0 - sides.r * 1.0 / t1) +
+       |             ($lnSum) / $maxN) END, 6) AS bleu
+       |FROM piv JOIN sides ON piv.doc_id = sides.doc_id""".stripMargin
+  }
+
+  /** eval_cer's oracle: DuckDB's levenshtein IS byte-level (verified:
+    * levenshtein('héllo','hello') = 2), which is exactly the kernel's
+    * UnitByte mode — the error rate replays on the same micro grid. */
+  private lazy val cerOracle: String =
+    """WITH pairs AS (
+      |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
+      |         text AS gold
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id,
+      |       CAST(levenshtein(pred, gold) AS BIGINT) AS edit_dist,
+      |       CAST(strlen(gold) AS BIGINT) AS n_gold,
+      |       CAST(CASE WHEN strlen(gold) > 0
+      |         THEN (1000000 * levenshtein(pred, gold)) // strlen(gold)
+      |         WHEN levenshtein(pred, gold) = 0 THEN 0
+      |         ELSE 1000000 END AS BIGINT) AS err_micro
+      |FROM pairs""".stripMargin
+
+  /** eval_wer's oracle: token-level Levenshtein via a bijection trick
+    * — each pair's distinct tokens map to single printable bytes
+    * (row_number 1..94 → chr(33..126)), the token sequences become
+    * byte strings, and DuckDB's byte-level levenshtein computes the
+    * token edit distance exactly (a bijection preserves unit
+    * equality). Pairs with > 94 distinct tokens are filtered on both
+    * sides — a fixture bound, not an operator limit. */
+  private lazy val werOracle: String =
+    """WITH pairs AS (
+      |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
+      |         text AS gold
+      |  FROM documents WHERE text IS NOT NULL),
+      |pp AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+      |       FROM (SELECT doc_id, string_split(pred, ' ') AS t FROM pairs)),
+      |gp AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+      |       FROM (SELECT doc_id, string_split(gold, ' ') AS t FROM pairs)),
+      |pu AS (SELECT doc_id, pos, t[CAST(pos AS INT)] AS u FROM pp),
+      |gu AS (SELECT doc_id, pos, t[CAST(pos AS INT)] AS u FROM gp),
+      |vocab AS (
+      |  SELECT doc_id, u,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY u) AS INT) AS r
+      |  FROM (SELECT DISTINCT doc_id, u FROM
+      |          (SELECT doc_id, u FROM pu UNION ALL SELECT doc_id, u FROM gu))),
+      |ok AS (SELECT doc_id FROM vocab GROUP BY doc_id HAVING max(r) <= 94),
+      |pm AS (SELECT pu.doc_id,
+      |              string_agg(chr(32 + v.r), '' ORDER BY pu.pos) AS s
+      |       FROM pu
+      |       JOIN vocab v ON pu.doc_id = v.doc_id AND pu.u = v.u
+      |       JOIN ok ON pu.doc_id = ok.doc_id
+      |       GROUP BY pu.doc_id),
+      |gm AS (SELECT gu.doc_id,
+      |              string_agg(chr(32 + v.r), '' ORDER BY gu.pos) AS s
+      |       FROM gu
+      |       JOIN vocab v ON gu.doc_id = v.doc_id AND gu.u = v.u
+      |       JOIN ok ON gu.doc_id = ok.doc_id
+      |       GROUP BY gu.doc_id)
+      |SELECT p.doc_id,
+      |       CAST(levenshtein(pm.s, gm.s) AS BIGINT) AS edit_dist,
+      |       CAST(len(string_split(p.gold, ' ')) AS BIGINT) AS n_gold,
+      |       CAST((1000000 * levenshtein(pm.s, gm.s)) //
+      |            len(string_split(p.gold, ' ')) AS BIGINT) AS err_micro
+      |FROM pairs p
+      |JOIN pm ON p.doc_id = pm.doc_id
+      |JOIN gm ON p.doc_id = gm.doc_id""".stripMargin
+
   /** The two generation-eval oracles (token-F1, ROUGE-n): per-side
     * multiset unit counts, least() overlap, integral micro scores —
     * [[graft.operators.GenEval.overlapF1]]'s arithmetic with the same
@@ -7228,6 +7385,9 @@ object SparkEntry {
     // chrF replayed: char n-gram unions, integral F-beta.
     "eval_chrf" -> chrfOracle(6, 2),
     "eval_chrfpp" -> chrfPpOracle(6, 2, 2),
+    "eval_cer" -> cerOracle,
+    "eval_wer" -> werOracle,
+    "eval_sentence_bleu" -> sentenceBleuOracle(4),
     // Token-F1 replayed: per-side multiset counts, least() overlap.
     "eval_token_f1" -> genEvalOracle(1),
     // ROUGE-2: the same replay over bigram units.

@@ -221,6 +221,24 @@ object GraftFunctions {
           intLitArg(es(2), "ngram_overlap_counts maxN"), charLevel)
       },
       "_FUNC_(pred, gold, maxN, charLevel) - 3*maxN clipped n-gram [overlap, total_pred, total_gold] triples (array<bigint>) for n = 1..maxN."),
+    ("edit_distance",
+      (es: Seq[Expression]) => {
+        requireArity(es, 3, "edit_distance")
+        val unit = es(2) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.StringType =>
+            e.eval().toString match {
+              case "byte"      => TextHashKernels.UnitByte
+              case "codepoint" => TextHashKernels.UnitCodepoint
+              case "token"     => TextHashKernels.UnitToken
+              case other => throw new IllegalArgumentException(
+                s"edit_distance unit must be 'byte', 'codepoint' or 'token', got '$other'")
+            }
+          case _ => throw new IllegalArgumentException(
+            "edit_distance unit must be a string literal")
+        }
+        EditDistanceExpr(es(0), es(1), unit)
+      },
+      "_FUNC_(a, b, unit) - Levenshtein distance over 'byte' (DuckDB parity), 'codepoint', or 'token' (WER) units."),
     ("phrase_count",
       (es: Seq[Expression]) => { requireArity(es, 2, "phrase_count"); PhraseCountExpr(es(0), es(1)) },
       "_FUNC_(text, phrase) - occurrences of the consecutive-token phrase (array<string>), overlaps included."),
@@ -293,6 +311,9 @@ object GraftFunctions {
     call_function("ngram_overlap_counts", pred, gold,
       org.apache.spark.sql.functions.lit(maxN),
       org.apache.spark.sql.functions.lit(charLevel))
+  def editDistance(a: Column, b: Column, unit: String): Column =
+    call_function("edit_distance", a, b,
+      org.apache.spark.sql.functions.lit(unit))
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =

@@ -360,6 +360,44 @@ case class NgramOverlapCountsExpr(
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `edit_distance(a, b, unit)` → bigint: Levenshtein distance over one
+ * of three unit alphabets — 'byte' (DuckDB/ClickHouse `levenshtein`
+ * parity), 'codepoint' (Spark builtin parity), 'token' (single-space
+ * fields — word error rate's unit). See
+ * [[TextHashKernels.editDistance]]. NULL on either side → NULL (the
+ * SQL `levenshtein` convention).
+ */
+case class EditDistanceExpr(left: Expression, right: Expression, unit: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType)
+          if unit >= TextHashKernels.UnitByte && unit <= TextHashKernels.UnitToken =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) => TypeCheckResult.TypeCheckFailure(
+        s"edit_distance unit must be 0 (byte), 1 (codepoint) or 2 (token), got $unit")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"edit_distance requires (string, string), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.editDistance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], unit)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHashKernels.editDistance($a, $b, $unit)")
+
+  override def prettyName: String = "edit_distance"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BpeApplyExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = StringType

@@ -656,6 +656,172 @@ object TextHashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Unit kinds for [[editDistance]]. */
+  final val UnitByte = 0
+  final val UnitCodepoint = 1
+  final val UnitToken = 2
+
+  /**
+   * Levenshtein edit distance between `a` and `b` over one of three
+   * unit alphabets:
+   *
+   *  - `UnitByte`: raw UTF-8 bytes — bit-identical to DuckDB /
+   *    ClickHouse `levenshtein`, which are byte-level (verified:
+   *    levenshtein('héllo','hello') = 2 there). The engine-exact
+   *    choice when an external byte-level oracle must replay it.
+   *  - `UnitCodepoint`: Unicode code points — the semantics of
+   *    Spark's own builtin `levenshtein` (pinned equal in the spec).
+   *  - `UnitToken`: single-space-split fields with empties kept (the
+   *    package's SQL `split` convention) — word error rate's unit.
+   *
+   * Myers' bit-parallel algorithm (Myers 1999, blocked per Hyyrö
+   * 2003 — the edlib formulation): the shorter side becomes the
+   * pattern, its unit-match masks pack 64 rows per machine word, and
+   * each text unit advances all ⌈m/64⌉ blocks with carry chains —
+   * O(mn/64) word ops instead of O(mn) cells (measured 10× on the
+   * 2 KB-doc CER bench row — 3.77 → 0.37 s at sf0.1 — vs the scalar
+   * two-row DP this replaced).
+   * Scan-local per row (pred and gold live in the same row), so
+   * CER/WER at 100 TB are a projection plus whatever reduce the
+   * caller adds; for long-document similarity use the dedup family,
+   * not edit distance.
+   */
+  def editDistance(a: UTF8String, b: UTF8String, unit: Int): Long = {
+    require(unit >= UnitByte && unit <= UnitToken,
+      s"unit must be 0 (byte), 1 (codepoint) or 2 (token), got $unit")
+    val ua = editUnits(a, unit)
+    val ub = editUnits(b, unit)
+    // shorter side = pattern (fewer blocks; distance is symmetric)
+    val ((pb, ps, pe), (tb, ts, te)) =
+      if (ua._2.length <= ub._2.length) (ua, ub) else (ub, ua)
+    val m = ps.length
+    val n = ts.length
+    if (m == 0) return n.toLong
+    val blocks = (m + 63) >>> 6
+    // Peq: per text-alphabet row, bit i set iff pattern unit i equals
+    // that symbol. Byte mode indexes a dense 256-row table; the other
+    // modes intern pattern units into ids (unknown text unit → the
+    // all-zero row 0).
+    val (peq, rowOf): (Array[Long], Int => Int) =
+      if (unit == UnitByte) {
+        val t = new Array[Long](256 * blocks)
+        var i = 0
+        while (i < m) {
+          val r = pb(ps(i)) & 0xFF
+          t(r * blocks + (i >>> 6)) |= 1L << (i & 63)
+          i += 1
+        }
+        (t, j => (tb(ts(j)) & 0xFF) * blocks)
+      } else {
+        val ids = new java.util.HashMap[UTF8String, Integer](m * 2)
+        val rows = new Array[Int](m)
+        var next = 1
+        var i = 0
+        while (i < m) {
+          val key = UTF8String.fromBytes(pb, ps(i), pe(i) - ps(i))
+          var id = ids.get(key)
+          if (id == null) { id = Integer.valueOf(next); ids.put(key, id); next += 1 }
+          rows(i) = id.intValue()
+          i += 1
+        }
+        val t = new Array[Long](next * blocks)
+        i = 0
+        while (i < m) {
+          t(rows(i) * blocks + (i >>> 6)) |= 1L << (i & 63)
+          i += 1
+        }
+        (t, { j: Int =>
+          val id = ids.get(UTF8String.fromBytes(tb, ts(j), te(j) - ts(j)))
+          (if (id == null) 0 else id.intValue()) * blocks
+        })
+      }
+    val pv = new Array[Long](blocks)
+    val mv = new Array[Long](blocks)
+    java.util.Arrays.fill(pv, -1L)
+    var score = m.toLong
+    val lastBit = (m - 1) & 63
+    var j = 0
+    while (j < n) {
+      val base = rowOf(j)
+      var hin = 1 // top boundary: D[0][j] − D[0][j−1] = +1
+      var k = 0
+      while (k < blocks) {
+        var eq = peq(base + k)
+        val pvk = pv(k)
+        val mvk = mv(k)
+        val xv = eq | mvk
+        if (hin < 0) eq |= 1L
+        val xh = (((eq & pvk) + pvk) ^ pvk) | eq
+        var ph = mvk | ~(xh | pvk)
+        var mh = pvk & xh
+        val hb = if (k == blocks - 1) lastBit else 63
+        val hout =
+          if (((ph >>> hb) & 1L) != 0) 1
+          else if (((mh >>> hb) & 1L) != 0) -1
+          else 0
+        ph <<= 1
+        mh <<= 1
+        if (hin < 0) mh |= 1L else if (hin > 0) ph |= 1L
+        pv(k) = mh | ~(xv | ph)
+        mv(k) = ph & xv
+        hin = hout
+        k += 1
+      }
+      score += hin
+      j += 1
+    }
+    score
+  }
+
+  /** Unit boundaries for [[editDistance]] — byte / code point / token
+    * segmentation of the raw UTF-8 bytes (no whitespace stripping;
+    * token mode splits on single spaces keeping empties). */
+  private def editUnits(
+      text: UTF8String, unit: Int): (Array[Byte], Array[Int], Array[Int]) = {
+    val raw = text.getBytes
+    unit match {
+      case UnitByte =>
+        val starts = new Array[Int](raw.length)
+        val ends = new Array[Int](raw.length)
+        var i = 0
+        while (i < raw.length) { starts(i) = i; ends(i) = i + 1; i += 1 }
+        (raw, starts, ends)
+      case UnitCodepoint =>
+        var cps = 0
+        var i = 0
+        while (i < raw.length) {
+          i += UTF8String.numBytesForFirstByte(raw(i)); cps += 1
+        }
+        val starts = new Array[Int](cps)
+        val ends = new Array[Int](cps)
+        i = 0
+        var k = 0
+        while (i < raw.length) {
+          starts(k) = i
+          i += UTF8String.numBytesForFirstByte(raw(i))
+          ends(k) = math.min(i, raw.length)
+          k += 1
+        }
+        (raw, starts, ends)
+      case _ =>
+        var spaces = 0
+        var i = 0
+        while (i < raw.length) { if (raw(i) == 0x20) spaces += 1; i += 1 }
+        val starts = new Array[Int](spaces + 1)
+        val ends = new Array[Int](spaces + 1)
+        var k = 0
+        var st = 0
+        i = 0
+        while (i <= raw.length) {
+          if (i == raw.length || raw(i) == 0x20) {
+            starts(k) = st; ends(k) = i; k += 1; st = i + 1
+          }
+          i += 1
+        }
+        (raw, starts, ends)
+    }
+  }
+
   /** Unit boundaries for [[ngramOverlapCounts]]: (bytes, unit byte
     * starts, unit byte ends). Char level strips 0x20 and walks code
     * points with Spark's own [[UTF8String.numBytesForFirstByte]] so

@@ -185,6 +185,82 @@ object GenEval {
   }
 
   /**
+   * Per-pair (sentence) BLEU-`maxN` with add-one smoothing (Lin &
+   * Och 2004): p_1 stays unsmoothed; for n ≥ 2, p_n = (o_n + 1) /
+   * (t_n + 1), so short segments score deterministically instead of
+   * zeroing on one missing high-order match — the standard
+   * segment-level quality filter for bitext/generation pairs. Zero
+   * unigram matches → bleu = 0 (the convention). Counts and micro
+   * precisions are exact integers; the one transcendental
+   * combination runs in a FIXED expression order and rounds to 6 dp,
+   * like [[corpusBleu]]. Pure projection — no shuffle; the clipped
+   * counts are scan-local per row.
+   *
+   * @return (idCol, c, r, p1_micro..p<maxN>_micro, bleu) per pair
+   */
+  def sentenceBleu(
+      pairs: DataFrame, idCol: String, predCol: String, goldCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val oc = overlapCounts(pairs, predCol, goldCol, maxN, charLevel = false)
+    val base = pairs
+      .select(col(idCol), oc.as("__c"))
+      .select(col(idCol) +:
+        (1 to maxN).flatMap(n => Seq(
+          element_at(col("__c"), 3 * (n - 1) + 1).as(s"o_$n"),
+          element_at(col("__c"), 3 * (n - 1) + 2).as(s"t_$n"))) :+
+        element_at(col("__c"), 3).as("r"): _*)
+    val pCols = (1 to maxN).map { n =>
+      if (n == 1)
+        when(col("t_1") > 0,
+          expr("(1000000 * o_1) div t_1")).otherwise(0L).as("p1_micro")
+      else
+        expr(s"(1000000 * (o_$n + 1)) div (t_$n + 1)").as(s"p${n}_micro")
+    }
+    val lnTerms = log(col("o_1").cast("double") / col("t_1").cast("double")) +:
+      (2 to maxN).map(n => log((col(s"o_$n") + 1).cast("double") /
+        (col(s"t_$n") + 1).cast("double")))
+    val lnSum = lnTerms.reduce(_ + _)
+    val bp = least(lit(0.0),
+      lit(1.0) - col("r").cast("double") / col("t_1").cast("double"))
+    base.select(col(idCol) +: col("t_1").as("c") +: col("r") +: pCols :+
+      round(when(col("o_1") === 0, lit(0.0))
+        .otherwise(exp(bp + lnSum / maxN)), 6).as("bleu"): _*)
+  }
+
+  /**
+   * Per-pair edit error rate — CER (`unit = "byte"` or
+   * `"codepoint"`) / WER (`unit = "token"`), the ASR/OCR eval
+   * standard: Levenshtein distance over the chosen units, normalized
+   * by the gold side's unit count on the exact micro grid. Byte mode
+   * is bit-identical to DuckDB/ClickHouse `levenshtein`; codepoint
+   * mode to Spark's builtin. Output: (idCol, edit_dist, n_gold,
+   * err_micro); an empty gold scores 0 against an empty pred and
+   * 1e6 (100%) otherwise; a NULL side yields NULL (the SQL
+   * `levenshtein` convention). Pure projection — no shuffle; the DP
+   * is scan-local per row ([[graft.functions.TextHashKernels.editDistance]]).
+   */
+  def editErrorRate(
+      pairs: DataFrame, idCol: String, predCol: String, goldCol: String,
+      unit: String = "token"): DataFrame = {
+    GraftFunctions.register(pairs.sparkSession)
+    val dist = GraftFunctions.editDistance(col(predCol), col(goldCol), unit)
+    val nGold = unit match {
+      case "byte"      => octet_length(col(goldCol)).cast("long")
+      case "codepoint" => length(col(goldCol)).cast("long")
+      case "token"     => size(split(col(goldCol), " ")).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"unit must be 'byte', 'codepoint' or 'token', got '$other'")
+    }
+    pairs
+      .select(col(idCol), dist.as("edit_dist"), nGold.as("n_gold"))
+      .withColumn("err_micro",
+        when(col("n_gold") > 0,
+          expr("(1000000 * edit_dist) div n_gold"))
+          .otherwise(when(col("edit_dist") === 0, 0L).otherwise(1000000L)))
+  }
+
+  /**
    * Per-pair n-gram overlap F1 (n = 1 is token-F1). Output: (idCol,
    * n_pred, n_gold, overlap, p_micro, r_micro, f1_micro) — pairs
    * where either side has no n-grams score zero, not NULL (the

@@ -150,7 +150,8 @@ class NgramOverlapSpec extends SparkFunSuite {
     // position × order into a string-keyed shuffle + full-outer join;
     // the kernel rewrite must keep all three plans scan-local
     for (q <- Seq("eval_chrf", "eval_chrfpp", "eval_bleu4",
-        "eval_token_f1", "eval_rouge2")) {
+        "eval_token_f1", "eval_rouge2", "eval_sentence_bleu",
+        "eval_cer", "eval_wer")) {
       val plan = graft.SparkEntry.queries(q)(spark, Sf0001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Generate"), s"$q:\n$plan")

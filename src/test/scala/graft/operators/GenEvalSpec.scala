@@ -102,6 +102,29 @@ class GenEvalSpec extends SparkFunSuite {
     assert(r3.getAs[Long]("f1_micro") === 909090L)
   }
 
+  test("sentenceBleu: add-one smoothing, hand-computed per pair") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c e"),  // o=[3,2,1,0], t=[4,3,2,1]
+      (2L, "x", "a"),              // zero unigram matches → bleu 0
+      (3L, "a", "a"))              // perfect; n≥2 all (0+1)/(0+1)
+      .toDF("id", "pred", "gold")
+    val got = GenEval.sentenceBleu(pairs, "id", "pred", "gold", maxN = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("c") === 4L && r1.getAs[Long]("r") === 4L)
+    assert(r1.getAs[Long]("p1_micro") === 750000L)
+    assert(r1.getAs[Long]("p2_micro") === 750000L)  // (2+1)/(3+1)
+    assert(r1.getAs[Long]("p3_micro") === 666666L)  // (1+1)/(2+1)
+    assert(r1.getAs[Long]("p4_micro") === 500000L)  // (0+1)/(1+1)
+    val want = BigDecimal(math.exp((math.log(3.0 / 4) + math.log(3.0 / 4) +
+      math.log(2.0 / 3) + math.log(1.0 / 2)) / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("bleu") === want)
+    assert(got(2L).getAs[Long]("p1_micro") === 0L)
+    assert(got(2L).getAs[Double]("bleu") === 0.0)
+    assert(got(3L).getAs[Double]("bleu") === 1.0)
+  }
+
   test("corpusChrFpp: char + word orders, equal-weight mean") {
     // identical strings → perfect at every order, char and word
     val same = Seq((1L, "ab cd", "ab cd")).toDF("id", "pred", "gold")
