@@ -1054,6 +1054,14 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", charMaxN = 6, wordMaxN = 2, beta = 2)),
+    // Edit-distance similarity self-join (τ = 1): deletion-
+    // neighborhood blocking (complete for τ = 1) + exact bit-parallel
+    // verify — output ≡ brute force, and the oracle IS the literal
+    // quadratic DuckDB self-join. The ER/spell-correction primitive.
+    "dedup_edit_join" -> ((s, d) =>
+      EditJoin.editSelfJoin(
+        table(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", tau = 1).orderBy("id_a", "id_b")),
     // Per-pair sentence BLEU-4 with add-one smoothing (Lin & Och
     // 2004): the segment-level bitext/generation quality filter —
     // exact integer counts per pair, one fixed-order 6-dp
@@ -7388,6 +7396,11 @@ object SparkEntry {
     "eval_cer" -> cerOracle,
     "eval_wer" -> werOracle,
     "eval_sentence_bleu" -> sentenceBleuOracle(4),
+    "dedup_edit_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     // Token-F1 replayed: per-side multiset counts, least() overlap.
     "eval_token_f1" -> genEvalOracle(1),
     // ROUGE-2: the same replay over bigram units.
