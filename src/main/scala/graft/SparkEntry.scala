@@ -1054,6 +1054,13 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", charMaxN = 6, wordMaxN = 2, beta = 2)),
+    // Two-pass exact heavy hitters: Misra–Gries candidates (bounded
+    // map-side partials — the exchange carries ≤ capacity pairs per
+    // task regardless of vocabulary size) + an exact recount of the
+    // candidates. Output exact ⇒ plain SQL oracle.
+    "corpus_heavy_hitters" -> ((s, d) =>
+      HeavyHitters.heavyTokens(table(s, d, "documents"), "text",
+        num = 1, den = 1000).orderBy("token")),
     // Edit-distance similarity self-join (τ = 1): deletion-
     // neighborhood blocking (complete for τ = 1) + exact bit-parallel
     // verify — output ≡ brute force, and the oracle IS the literal
@@ -7401,6 +7408,14 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "corpus_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM toks GROUP BY token)
+        |SELECT token, cnt FROM c, tot WHERE 1000 * cnt >= 1 * n""".stripMargin,
     // Token-F1 replayed: per-side multiset counts, least() overlap.
     "eval_token_f1" -> genEvalOracle(1),
     // ROUGE-2: the same replay over bigram units.

@@ -221,6 +221,13 @@ object GraftFunctions {
           intLitArg(es(2), "ngram_overlap_counts maxN"), charLevel)
       },
       "_FUNC_(pred, gold, maxN, charLevel) - 3*maxN clipped n-gram [overlap, total_pred, total_gold] triples (array<bigint>) for n = 1..maxN."),
+    ("frequent_items_sketch",
+      (es: Seq[Expression]) => {
+        requireArity(es, 2, "frequent_items_sketch")
+        MisraGriesAgg(es(0), intLitArg(es(1), "frequent_items_sketch capacity"))
+          .toAggregateExpression()
+      },
+      "_FUNC_(tokens, capacity) - Misra-Gries frequent-items summary of an array<string> column: array<struct<item,cnt>>, cnt undercounts by <= N/(capacity+1)."),
     ("edit_distance",
       (es: Seq[Expression]) => {
         requireArity(es, 3, "edit_distance")
@@ -314,6 +321,9 @@ object GraftFunctions {
   def editDistance(a: Column, b: Column, unit: String): Column =
     call_function("edit_distance", a, b,
       org.apache.spark.sql.functions.lit(unit))
+  def frequentItemsSketch(tokens: Column, capacity: Int): Column =
+    call_function("frequent_items_sketch", tokens,
+      org.apache.spark.sql.functions.lit(capacity))
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =
