@@ -1054,6 +1054,27 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", charMaxN = 6, wordMaxN = 2, beta = 2)),
+    // True Damerau–Levenshtein (Lowrance–Wagner) beside plain
+    // Levenshtein on a REAL transposition: pred = the 64-char window
+    // with its first two characters swapped, so damerau_dist = 1
+    // where lev_dist = 2 whenever they differ — the typo metric's
+    // defining separation, checked value-exact against DuckDB's
+    // damerau_levenshtein.
+    "eval_damerau" -> ((s, d) => {
+      GraftFunctions.register(s)
+      table(s, d, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 4)
+        .select(col("doc_id"),
+          expr("substring(text, 1, 64)").as("gold"),
+          expr("concat(substring(text, 2, 1), substring(text, 1, 1), " +
+            "substring(text, 3, 62))").as("pred"))
+        .select(col("doc_id"),
+          GraftFunctions.damerauDistance(col("pred"), col("gold"))
+            .as("damerau_dist"),
+          GraftFunctions.editDistance(col("pred"), col("gold"), "byte")
+            .as("lev_dist"))
+        .orderBy("doc_id")
+    }),
     // Two-pass exact heavy hitters: Misra–Gries candidates (bounded
     // map-side partials — the exchange carries ≤ capacity pairs per
     // task regardless of vocabulary size) + an exact recount of the
@@ -7408,6 +7429,15 @@ object SparkEntry {
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "eval_damerau" ->
+      """SELECT doc_id,
+        |  CAST(damerau_levenshtein(pred, gold) AS BIGINT) AS damerau_dist,
+        |  CAST(levenshtein(pred, gold) AS BIGINT) AS lev_dist
+        |FROM (SELECT doc_id, substr(text, 1, 64) AS gold,
+        |        substr(text, 2, 1) || substr(text, 1, 1) ||
+        |        substr(text, 3, 62) AS pred
+        |      FROM documents
+        |      WHERE text IS NOT NULL AND length(text) >= 4)""".stripMargin,
     "corpus_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS token

@@ -246,6 +246,9 @@ object GraftFunctions {
         EditDistanceExpr(es(0), es(1), unit)
       },
       "_FUNC_(a, b, unit) - Levenshtein distance over 'byte' (DuckDB parity), 'codepoint', or 'token' (WER) units."),
+    ("damerau_distance",
+      (es: Seq[Expression]) => { requireArity(es, 2, "damerau_distance"); DamerauDistanceExpr(es(0), es(1)) },
+      "_FUNC_(a, b) - true Damerau-Levenshtein distance over UTF-8 bytes (DuckDB damerau_levenshtein parity; <= 512 bytes per side)."),
     ("phrase_count",
       (es: Seq[Expression]) => { requireArity(es, 2, "phrase_count"); PhraseCountExpr(es(0), es(1)) },
       "_FUNC_(text, phrase) - occurrences of the consecutive-token phrase (array<string>), overlaps included."),
@@ -324,6 +327,8 @@ object GraftFunctions {
   def frequentItemsSketch(tokens: Column, capacity: Int): Column =
     call_function("frequent_items_sketch", tokens,
       org.apache.spark.sql.functions.lit(capacity))
+  def damerauDistance(a: Column, b: Column): Column =
+    call_function("damerau_distance", a, b)
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =

@@ -398,6 +398,38 @@ case class EditDistanceExpr(left: Expression, right: Expression, unit: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `damerau_distance(a, b)` → bigint: TRUE Damerau–Levenshtein
+ * distance over UTF-8 bytes — DuckDB `damerau_levenshtein` parity
+ * (see [[TextHashKernels.damerauDistance]]; inputs capped at 512
+ * bytes per side). NULL on either side → NULL.
+ */
+case class DamerauDistanceExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"damerau_distance requires (string, string), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.damerauDistance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHashKernels.damerauDistance($a, $b)")
+
+  override def prettyName: String = "damerau_distance"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BpeApplyExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = StringType

@@ -773,6 +773,56 @@ object TextHashKernels {
     score
   }
 
+  /**
+   * TRUE Damerau–Levenshtein distance (Lowrance & Wagner 1975 —
+   * unrestricted adjacent transposition, so 'ca' → 'abc' is 2, not
+   * OSA's 3) over raw UTF-8 BYTES — probed bit-identical to DuckDB's
+   * `damerau_levenshtein` ('héllo'→'hello' = 2, byte-level; 'ca'→
+   * 'abc' = 2). The spell-correction/ER metric for short strings:
+   * the full (m+2)×(n+2) matrix the transposition lookback needs is
+   * quadratic space, so inputs are capped at 512 bytes per side —
+   * names/titles territory; for long-text error rates use
+   * [[editDistance]] (bit-parallel, linear space).
+   */
+  def damerauDistance(a: UTF8String, b: UTF8String): Long = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val m = ab.length
+    val n = bb.length
+    require(m <= 512 && n <= 512,
+      s"damerau_distance supports strings up to 512 bytes per side " +
+        s"(names/titles); got $m and $n — use edit_distance for long text")
+    if (m == 0) return n.toLong
+    if (n == 0) return m.toLong
+    val inf = m + n
+    val d = Array.ofDim[Int](m + 2, n + 2)
+    val da = new Array[Int](256) // last row where each byte occurred in a
+    d(0)(0) = inf
+    var i = 0
+    while (i <= m) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= n) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    i = 1
+    while (i <= m) {
+      var db = 0
+      j = 1
+      while (j <= n) {
+        val k = da(bb(j - 1) & 0xFF)
+        val l = db
+        var cost = 1
+        if (ab(i - 1) == bb(j - 1)) { cost = 0; db = j }
+        val viaEdit = math.min(d(i)(j) + cost,
+          math.min(d(i + 1)(j) + 1, d(i)(j + 1) + 1))
+        val viaTrans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) = math.min(viaEdit, viaTrans)
+        j += 1
+      }
+      da(ab(i - 1) & 0xFF) = i
+      i += 1
+    }
+    d(m + 1)(n + 1).toLong
+  }
+
   /** Unit boundaries for [[editDistance]] — byte / code point / token
     * segmentation of the raw UTF-8 bytes (no whitespace stripping;
     * token mode splits on single spaces keeping empties). */

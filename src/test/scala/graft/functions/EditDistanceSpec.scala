@@ -97,6 +97,67 @@ class EditDistanceSpec extends SparkFunSuite {
     }
   }
 
+  test("damerau: DuckDB probe fixtures (true Damerau, byte-level)") {
+    def dam(a: String, b: String): Long =
+      TextHashKernels.damerauDistance(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // the exact probes run against DuckDB's damerau_levenshtein
+    assert(dam("ab", "ba") === 1L)
+    assert(dam("ca", "abc") === 2L)    // TRUE Damerau (OSA would say 3)
+    assert(dam("héllo", "hello") === 2L)
+    assert(dam("abcd", "acbd") === 1L)
+    assert(dam("kitten", "sitting") === 3L)
+    assert(dam("xy", "yxz") === 2L)
+    assert(dam("", "abc") === 3L)
+    intercept[IllegalArgumentException] { dam("x" * 513, "y") }
+  }
+
+  test("damerau equals BFS shortest-edit-path on small strings") {
+    // independent reference: true Damerau IS the shortest path in the
+    // string-rewrite graph with insert/delete/substitute/transpose-
+    // adjacent ops — BFS over strings bounded to length 6, alphabet ab
+    def bfs(src: String, dst: String): Long = {
+      if (src == dst) return 0L
+      val maxLen = math.max(src.length, dst.length) + 1
+      val seen = scala.collection.mutable.Set(src)
+      var frontier = List(src)
+      var dist = 0L
+      while (true) {
+        dist += 1
+        val next = scala.collection.mutable.ListBuffer.empty[String]
+        for (s <- frontier) {
+          val moves = scala.collection.mutable.ListBuffer.empty[String]
+          for (i <- 0 to s.length; c <- "ab")
+            moves += s.substring(0, i) + c + s.substring(i) // insert
+          for (i <- s.indices) {
+            moves += s.substring(0, i) + s.substring(i + 1) // delete
+            for (c <- "ab")
+              moves += s.substring(0, i) + c + s.substring(i + 1) // sub
+          }
+          for (i <- 0 until s.length - 1) // transpose adjacent
+            moves += s.substring(0, i) + s(i + 1) + s(i) + s.substring(i + 2)
+          for (t <- moves if t.length <= maxLen && !seen.contains(t)) {
+            if (t == dst) return dist
+            seen += t
+            next += t
+          }
+        }
+        frontier = next.toList
+        if (frontier.isEmpty) return Long.MaxValue
+      }
+      dist
+    }
+    val rng = new scala.util.Random(11)
+    def rand(): String =
+      (0 until rng.nextInt(5)).map(_ => ('a' + rng.nextInt(2)).toChar).mkString
+    for (_ <- 0 until 60) {
+      val (a, b) = (rand(), rand())
+      assert(TextHashKernels.damerauDistance(
+        UTF8String.fromString(a), UTF8String.fromString(b)) === bfs(a, b),
+        s"a=[$a] b=[$b]")
+    }
+  }
+
   test("NULL propagates through the plan; bad unit rejected") {
     val schema = StructType(Seq(
       StructField("a", StringType), StructField("b", StringType)))
