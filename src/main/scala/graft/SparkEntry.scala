@@ -3237,6 +3237,16 @@ object SparkEntry {
     "events_sessions" -> ((s, d) =>
       graft.streaming.EventPipeline.sessionize(table(s, d, "events"), gapSeconds = 600)
         .orderBy("user_id", "session_idx")),
+    // The SAME sessionization as a real micro-batch stream —
+    // flatMapGroupsWithState + event-time timeout, file source/sink,
+    // AvailableNow. Emits every session except a user's last when the
+    // stream quiets inside its timeout horizon; the oracle replays
+    // that closure rule (end + gap < max(ts) − delay, ms clock) over
+    // the batch sessionization CTE.
+    "events_sessions_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.sessionsStreamedParity(
+        s, s"$d/events.parquet", gapSeconds = 600, watermark = "30 minutes")
+        .orderBy("user_id", "session_start")),
     // Distinct aggregation (two-phase: partial sets map-side, exact).
     "events_user_stats" -> ((s, d) =>
       table(s, d, "events")
@@ -11976,6 +11986,37 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM sessions GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    // The streamed sessionization: the batch sessions CTE plus the
+    // stream's closure rule — Spark's event-time timeout fires when
+    // timeoutTimestamp < watermark, BOTH ON THE MILLISECOND CLOCK
+    // (epoch_ms truncates micros exactly like Timestamp.getTime and
+    // the watermark tracker), so a user's LAST session is absent when
+    // end + gap lands inside the final horizon.
+    "events_sessions_streamed" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS w FROM ev),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR ts - lag(ts) OVER w > INTERVAL 600 SECOND
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged),
+        |s AS (
+        |  SELECT user_id, session_idx, min(ts) AS session_start,
+        |         max(ts) AS session_end, count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM sessions GROUP BY user_id, session_idx),
+        |last AS (SELECT user_id, max(session_idx) AS mi FROM s GROUP BY user_id)
+        |SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.total_value
+        |FROM s JOIN last ON s.user_id = last.user_id, wm
+        |WHERE s.session_idx < last.mi
+        |   OR epoch_ms(s.session_end) + 600000 < wm.w
+        |ORDER BY s.user_id, s.session_start""".stripMargin,
     // The stream-static enrichment replayed as the plain batch join.
     "events_enrich_streamed" ->
       """SELECT len(event_type) % 3 AS tier,

@@ -795,6 +795,145 @@ object EventPipeline {
         })
   }
 
+  /** Open-session state for [[sessionizeStream]] (micros + cents so
+    * the fold is exact integers end to end). */
+  final case class OpenSession(
+      user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, cents: Long)
+
+  /** One emitted session (total_value = cents/100.0 — bit-equal to
+    * the batch DECIMAL(18,2) sum cast to double). */
+  final case class SessionOut(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /**
+   * Gap-based sessionization as a STREAM — the same semantics as the
+   * batch [[sessionize]] (split a user's event-time-ordered series
+   * wherever the gap exceeds `gapSeconds`), implemented with
+   * `flatMapGroupsWithState` + EVENT-TIME TIMEOUT: sessions closed by
+   * a later in-batch event emit immediately; the open session lives
+   * in state with its timeout at session_end + gap, emits when the
+   * watermark passes it (Spark's timeout predicate is STRICT:
+   * timeoutTimestamp < watermark, both in MILLISECONDS — the closure
+   * rule the driver oracle replays), and the state is then REMOVED —
+   * state is bounded by gap + watermark horizon per active user, not
+   * by history. Values fold as exact integer cents of the
+   * HALF_UP-rounded DECIMAL(18,2) cast, so the streamed totals are
+   * bit-equal to the batch decimal sums.
+   *
+   * The per-batch sort of a user's rows is bounded by that user's
+   * events per micro-batch (the batch operator's window has the same
+   * per-user contract over the whole history — strictly weaker).
+   */
+  def sessionizeStream(
+      events: DataFrame, gapSeconds: Long,
+      watermark: String): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    normalizeTs(events).withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[OpenSession]) => {
+          def emit(o: OpenSession): SessionOut = SessionOut(
+            o.user_id, microsTs(o.start_us), microsTs(o.end_us),
+            o.n_events, o.cents / 100.0)
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(emit(o))
+          } else {
+            // event-time order with the same (ts, event_id) tie-break
+            // as the batch window
+            val evs = rows.toArray.sortBy(r => (tsMicros(r._2), r._3))
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var open = state.getOption
+            evs.foreach { case (_, ts, _, v) =>
+              val us = tsMicros(ts)
+              // HALF_UP cents — exactly Spark's double → DECIMAL(18,2)
+              val cents = java.math.BigDecimal.valueOf(v)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+              open = open match {
+                case Some(o) if us - o.end_us > gapUs =>
+                  out += emit(o)
+                  Some(OpenSession(user, us, us, 1L, cents))
+                case Some(o) =>
+                  Some(o.copy(end_us = math.max(o.end_us, us),
+                    n_events = o.n_events + 1, cents = o.cents + cents))
+                case None =>
+                  Some(OpenSession(user, us, us, 1L, cents))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // ms, like Spark's watermark clock
+              state.setTimeoutTimestamp(o.end_us / 1000L + gapSeconds * 1000L)
+            }
+            out.iterator
+          }
+        })
+  }
+
+  /**
+   * Fifth end-to-end Structured Streaming surface: gap sessionization
+   * through a REAL micro-batch execution (file source → watermarked
+   * flatMapGroupsWithState → parquet sink, Trigger.AvailableNow).
+   * With the whole input as one data batch, in-batch-closed sessions
+   * emit in batch 1 and the no-data flush batch fires the timeouts
+   * whose session_end + gap (ms) < max(ts) − delay (ms) — every
+   * session EXCEPT each user's last one when the stream goes quiet
+   * inside its horizon. That closure rule is the driver oracle's
+   * WHERE clause over the batch sessionization CTE.
+   */
+  def sessionsStreamedParity(
+      spark: org.apache.spark.sql.SparkSession, eventsDir: String,
+      gapSeconds: Long, watermark: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_sess_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sess_ckpt").toString
+    val srcDir = {
+      val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
+      if (java.nio.file.Files.isDirectory(p)) eventsDir
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_sess_src")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+        d.toString
+      }
+    }
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1000000") // whole input: one batch
+      .parquet(srcDir)
+    val q = sessionizeStream(src, gapSeconds, watermark)
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /**
    * Per-user EWMA smoothing of the value series — the standard
    * time-series baseline for anomaly/drift flags. alpha is FIXED at

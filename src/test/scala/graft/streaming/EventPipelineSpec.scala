@@ -659,4 +659,44 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("sessionizeStream: in-batch closes emit immediately; timeout closure is strict ms") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // user 100: events at 0:10, 0:20 (one session), then 1:05 — gap
+    // 45 min > 600 s closes session 1 in-batch. user 101: one event.
+    val input = MemoryStream[Ev]
+    val q = EventPipeline.sessionizeStream(input.toDF(),
+        gapSeconds = 600, watermark = "0 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("ev_sess")
+      .outputMode("append").start()
+    try {
+      input.addData(toyEvents)
+      q.processAllAvailable()
+      val afterBatch = spark.table("ev_sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getLong(3), r.getDouble(4))).toSet
+      // only the in-batch-closed session emits: 100's (0:10..0:20);
+      // 100's open 1:05 and 101's 0:30 wait in state (watermark = 1:05,
+      // timeouts 1:15 / 0:40 — 0:40 < 1:05 fires for 101 in the no-data
+      // flush batch, which processAllAvailable includes)
+      assert(afterBatch === Set(
+        (100L, t(0, 10), 2L, 4.0),
+        (101L, t(0, 30), 1L, 10.0)))
+      // boundary pin: an event at exactly (last + gap) from another
+      // user puts the watermark AT 100's timeout — strict <, no fire
+      input.addData(Ev(9, t(1, 15), 102, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      assert(!spark.table("ev_sess").collect()
+        .exists(r => r.getLong(0) == 100L && r.getTimestamp(1) == t(1, 5)))
+      // one ms past the boundary → fires
+      input.addData(Ev(10, new Timestamp(t(1, 15).getTime + 1L),
+        102, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val fired = spark.table("ev_sess").collect()
+        .filter(r => r.getLong(0) == 100L && r.getTimestamp(1) == t(1, 5))
+      assert(fired.length === 1 && fired.head.getLong(3) === 1L)
+    } finally q.stop()
+  }
 }
