@@ -3247,6 +3247,15 @@ object SparkEntry {
       graft.streaming.EventPipeline.sessionsStreamedParity(
         s, s"$d/events.parquet", gapSeconds = 600, watermark = "30 minutes")
         .orderBy("user_id", "session_start")),
+    // The SAME sessionization on transformWithState (Spark 4's
+    // arbitrary-state API, SPARK-45939): typed ValueState + explicit
+    // event-time timers over the RocksDB provider — semantically
+    // identical closure rule, so the oracle is shared with
+    // events_sessions_streamed.
+    "events_sessions_tws" -> ((s, d) =>
+      graft.streaming.EventPipeline.sessionsTwsParity(
+        s, s"$d/events.parquet", gapSeconds = 600, watermark = "30 minutes")
+        .orderBy("user_id", "session_start")),
     // Distinct aggregation (two-phase: partial sets map-side, exact).
     "events_user_stats" -> ((s, d) =>
       table(s, d, "events")
@@ -12016,6 +12025,35 @@ object SparkEntry {
         |FROM s JOIN last ON s.user_id = last.user_id, wm
         |WHERE s.session_idx < last.mi
         |   OR epoch_ms(s.session_end) + 600000 < wm.w
+        |ORDER BY s.user_id, s.session_start""".stripMargin,
+    // transformWithState variant: identical closure rule, shared oracle.
+    "events_sessions_tws" ->
+      // NOTE the <=: transformWithState timers fire when expiry <=
+      // watermark (non-strict, pinned by the boundary spec), unlike
+      // flatMapGroupsWithState's strict < — a real API difference.
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS w FROM ev),
+        |flagged AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR ts - lag(ts) OVER w > INTERVAL 600 SECOND
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged),
+        |s AS (
+        |  SELECT user_id, session_idx, min(ts) AS session_start,
+        |         max(ts) AS session_end, count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM sessions GROUP BY user_id, session_idx),
+        |last AS (SELECT user_id, max(session_idx) AS mi FROM s GROUP BY user_id)
+        |SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.total_value
+        |FROM s JOIN last ON s.user_id = last.user_id, wm
+        |WHERE s.session_idx < last.mi
+        |   OR epoch_ms(s.session_end) + 600000 <= wm.w
         |ORDER BY s.user_id, s.session_start""".stripMargin,
     // The stream-static enrichment replayed as the plain batch join.
     "events_enrich_streamed" ->

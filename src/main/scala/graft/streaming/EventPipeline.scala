@@ -816,6 +816,10 @@ object EventPipeline {
     t
   }
 
+  // exposed for the transformWithState processor (a top-level class)
+  private[streaming] def tsMicrosPublic(ts: java.sql.Timestamp): Long = tsMicros(ts)
+  private[streaming] def microsTsPublic(us: Long): java.sql.Timestamp = microsTs(us)
+
   /**
    * Gap-based sessionization as a STREAM — the same semantics as the
    * batch [[sessionize]] (split a user's event-time-ordered series
@@ -1077,4 +1081,152 @@ object EventPipeline {
   /** Output-mode helper: windowed aggregations append once the
     * watermark passes the window end. */
   val WindowedOutputMode: OutputMode = OutputMode.Append()
+
+  /**
+   * The SAME gap sessionization on `transformWithState` — Spark 4's
+   * arbitrary-state API (SPARK-45939): typed `ValueState` + explicit
+   * event-time TIMERS instead of flatMapGroupsWithState's single
+   * timeout slot. Semantically identical to [[sessionizeStream]]
+   * (the boundary spec pins that TWS timers also fire on the strict
+   * `expiry < watermark` ms rule), so the driver oracle is shared.
+   * TWS requires the RocksDB state-store provider — the harness sets
+   * it for the query and restores the session conf after.
+   */
+  def sessionizeTws(
+      events: DataFrame, gapSeconds: Long,
+      watermark: String): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    normalizeTs(events).withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new GapSessionProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /**
+   * Sixth end-to-end Structured Streaming surface:
+   * [[sessionizeTws]] through a real micro-batch run (file source →
+   * RocksDB-backed transformWithState → parquet sink, AvailableNow),
+   * sharing `events_sessions_streamed`'s closure-rule oracle.
+   */
+  def sessionsTwsParity(
+      spark: org.apache.spark.sql.SparkSession, eventsDir: String,
+      gapSeconds: Long, watermark: String): DataFrame = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(eventsDir).schema
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_tws_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_tws_ckpt").toString
+      val srcDir = {
+        val p = java.nio.file.Paths.get(eventsDir.stripPrefix("file:"))
+        if (java.nio.file.Files.isDirectory(p)) eventsDir
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft_tws_src")
+          java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+          d.toString
+        }
+      }
+      val src = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1000000")
+        .parquet(srcDir)
+      val q = sessionizeTws(src, gapSeconds, watermark)
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sink)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+}
+
+/**
+ * `transformWithState` processor for gap sessionization: one
+ * `ValueState[OpenSession]` per user plus ONE live event-time timer
+ * at session_end + gap (stale timers are deleted on every update —
+ * an early timer firing would otherwise emit a LIVE session). Same
+ * exact-cents fold and (ts, event_id) ordering as the
+ * flatMapGroupsWithState implementation.
+ */
+class GapSessionProcessor(gapSeconds: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, Long, Double), EventPipeline.SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var open: ValueState[EventPipeline.OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[EventPipeline.OpenSession]("open",
+      org.apache.spark.sql.Encoders.product[EventPipeline.OpenSession],
+      TTLConfig.NONE)
+
+  private def emit(o: EventPipeline.OpenSession): EventPipeline.SessionOut =
+    EventPipeline.SessionOut(o.user_id,
+      EventPipeline.microsTsPublic(o.start_us),
+      EventPipeline.microsTsPublic(o.end_us),
+      o.n_events, o.cents / 100.0)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+      timerValues: TimerValues): Iterator[EventPipeline.SessionOut] = {
+    val gapUs = gapSeconds * 1000000L
+    val evs = rows.toArray.sortBy(r => (EventPipeline.tsMicrosPublic(r._2), r._3))
+    val out = scala.collection.mutable.ListBuffer.empty[EventPipeline.SessionOut]
+    var cur: Option[EventPipeline.OpenSession] =
+      if (open.exists()) Some(open.get()) else None
+    evs.foreach { case (_, ts, _, v) =>
+      val us = EventPipeline.tsMicrosPublic(ts)
+      val cents = java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+      cur = cur match {
+        case Some(o) if us - o.end_us > gapUs =>
+          out += emit(o)
+          Some(EventPipeline.OpenSession(user, us, us, 1L, cents))
+        case Some(o) =>
+          Some(o.copy(end_us = math.max(o.end_us, us),
+            n_events = o.n_events + 1, cents = o.cents + cents))
+        case None =>
+          Some(EventPipeline.OpenSession(user, us, us, 1L, cents))
+      }
+    }
+    cur.foreach { o =>
+      open.update(o)
+      val timers = getHandle.listTimers()
+      while (timers.hasNext) getHandle.deleteTimer(
+        timers.next().asInstanceOf[Long])
+      getHandle.registerTimer(o.end_us / 1000L + gapSeconds * 1000L)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(
+      user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[EventPipeline.SessionOut] = {
+    if (!open.exists()) return Iterator.empty
+    val o = open.get()
+    open.clear()
+    Iterator.single(emit(o))
+  }
 }

@@ -699,4 +699,42 @@ class EventPipelineSpec extends SparkFunSuite {
       assert(fired.length === 1 && fired.head.getLong(3) === 1L)
     } finally q.stop()
   }
+
+  test("sessionizeTws: transformWithState matches the flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    val q = EventPipeline.sessionizeTws(input.toDF(),
+        gapSeconds = 600, watermark = "0 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("ev_tws")
+      .outputMode("append").start()
+    try {
+      input.addData(toyEvents)
+      q.processAllAvailable()
+      val afterBatch = spark.table("ev_tws")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(afterBatch === Set(
+        (100L, t(0, 10), 2L, 4.0),
+        (101L, t(0, 30), 1L, 10.0)))
+      // boundary: unlike flatMapGroupsWithState's strict <, TWS timers
+      // fire when expiry <= watermark — AT equality the session emits.
+      // (A real API difference; each driver oracle encodes its own rule.)
+      input.addData(Ev(9, t(1, 15), 102, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("ev_tws").collect()
+        .count(r => r.getLong(0) == 100L && r.getTimestamp(1) == t(1, 5)) === 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
