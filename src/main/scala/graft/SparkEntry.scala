@@ -3256,6 +3256,17 @@ object SparkEntry {
       graft.streaming.EventPipeline.sessionsTwsParity(
         s, s"$d/events.parquet", gapSeconds = 600, watermark = "30 minutes")
         .orderBy("user_id", "session_start")),
+    // Theil–Sen robust trend: median of pairwise hourly-count slopes
+    // per type — the outlier-proof alternative to OLS; quadratic in
+    // HOURS only (grid-bounded), one scan of the data.
+    "events_theil_sen" -> ((s, d) =>
+      graft.streaming.EventPipeline.theilSenTrend(table(s, d, "events"))
+        .orderBy("event_type")),
+    // Mann–Kendall trend significance: exact-integer S and 18·Var(S)
+    // with tie correction; z and tau on the rounded-double grid.
+    "events_mann_kendall" -> ((s, d) =>
+      graft.streaming.EventPipeline.mannKendallTrend(table(s, d, "events"))
+        .orderBy("event_type")),
     // Distinct aggregation (two-phase: partial sets map-side, exact).
     "events_user_stats" -> ((s, d) =>
       table(s, d, "events")
@@ -12055,6 +12066,53 @@ object SparkEntry {
         |WHERE s.session_idx < last.mi
         |   OR epoch_ms(s.session_end) + 600000 <= wm.w
         |ORDER BY s.user_id, s.session_start""".stripMargin,
+    "events_theil_sen" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |h AS (SELECT event_type,
+        |        CAST(epoch(hr) // 3600 AS BIGINT) AS h, c FROM hourly),
+        |pairs AS (
+        |  SELECT a.event_type, (b.c - a.c) * 1.0 / (b.h - a.h) AS slope
+        |  FROM h a JOIN h b ON a.event_type = b.event_type AND b.h > a.h)
+        |SELECT event_type, round(median(slope), 6) AS theil_sen_slope,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_mann_kendall" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |h AS (SELECT event_type,
+        |        CAST(epoch(hr) // 3600 AS BIGINT) AS h, c FROM hourly),
+        |srel AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CASE WHEN b.c > a.c THEN 1
+        |                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM h a JOIN h b ON a.event_type = b.event_type AND b.h > a.h
+        |  GROUP BY 1),
+        |tg AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+        |       FROM h GROUP BY 1, 2),
+        |ties AS (
+        |  SELECT event_type,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+        |         CAST(sum(t) AS BIGINT) AS n
+        |  FROM tg GROUP BY 1),
+        |j AS (
+        |  SELECT s.event_type, s.s, t.n AS n_hours,
+        |         n * (n - 1) * (2 * n + 5) - tie18 AS var18
+        |  FROM srel s JOIN ties t USING (event_type))
+        |SELECT event_type, s, n_hours, var18,
+        |       round(CASE WHEN var18 > 0 AND s > 0
+        |                    THEN (s - 1) / sqrt(var18 / 18.0)
+        |                  WHEN var18 > 0 AND s < 0
+        |                    THEN (s + 1) / sqrt(var18 / 18.0)
+        |                  ELSE 0.0 END, 6) AS z,
+        |       round(2.0 * s / (n_hours * (n_hours - 1)), 6) AS tau
+        |FROM j ORDER BY event_type""".stripMargin,
     // The stream-static enrichment replayed as the plain batch join.
     "events_enrich_streamed" ->
       """SELECT len(event_type) % 3 AS tier,

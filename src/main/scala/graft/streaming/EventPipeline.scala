@@ -795,6 +795,103 @@ object EventPipeline {
         })
   }
 
+  /**
+   * Theil–Sen robust trend per event type: the median of all
+   * pairwise slopes of the hourly count series — the
+   * breakdown-point-29% alternative to OLS that one outlier hour
+   * can't drag (Theil 1950; Sen 1968). Slopes are exact-integer
+   * differences divided as doubles (identical IEEE op in any
+   * engine); the median interpolates at even counts (the
+   * `percentile`/`quantile_cont` shared definition) and rounds to
+   * 6 dp — the package's accepted class.
+   *
+   * Scale note: the classical estimator is quadratic in the number
+   * of HOURS (not events) — the pair join is grid-bounded (capped at
+   * 8,784 hourly points = one leap year per type, erroring loudly
+   * beyond, like [[resampleHourly]]); at 100 TB the hourly rollup is
+   * the only thing that scans the data, and the O(H²) pair relation
+   * stays ≤ ~39M slim rows per type regardless of corpus size.
+   */
+  def theilSenTrend(events: DataFrame, maxHours: Long = 8784L): DataFrame = {
+    val ev = normalizeTs(events)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h", expr("unix_timestamp(hr) div 3600"))
+    val spans = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nh")).filter(col("nh") > maxHours).count()
+    require(spans == 0L,
+      s"theilSenTrend: a type exceeds $maxHours hourly points — " +
+        "the quadratic pair grid needs repeated-median sampling past that")
+    val a = hourly.select(col("event_type"), col("h").as("h1"), col("c").as("c1"))
+    val b = hourly.select(col("event_type").as("__et2"),
+      col("h").as("h2"), col("c").as("c2"))
+    a.join(b, col("event_type") === col("__et2") && col("h2") > col("h1"))
+      .select(col("event_type"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("h2") - col("h1")).cast("double")).as("slope"))
+      .groupBy("event_type")
+      .agg(round(expr("percentile(slope, 0.5D)"), 6).as("theil_sen_slope"),
+        count(lit(1)).as("n_pairs"))
+  }
+
+  /**
+   * Mann–Kendall trend test per event type — the standard
+   * non-parametric significance companion to [[theilSenTrend]]'s
+   * slope (Mann 1945; Kendall 1975): S = Σ_{i<j} sign(c_j − c_i)
+   * over the hourly count series, with the tie-corrected variance
+   * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 and the
+   * continuity-corrected normal score z = (S∓1)/√Var(S). S, n and
+   * 18·Var(S) are EXACT integers (every engine agrees bit-for-bit);
+   * only z and Kendall's τ = 2S/(n(n−1)) touch floating point, in a
+   * fixed expression order rounded to 6 dp — the package's accepted
+   * class. All-tied series (Var = 0) score z = 0.
+   *
+   * Scale note: same grid-bounded shape as [[theilSenTrend]] — the
+   * hourly rollup is the only full scan; the O(H²) sign pairs and
+   * the tie census are over ≤ `maxHours` slim rows per type.
+   */
+  def mannKendallTrend(events: DataFrame, maxHours: Long = 8784L): DataFrame = {
+    val ev = normalizeTs(events)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h", expr("unix_timestamp(hr) div 3600"))
+    val spans = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nh")).filter(col("nh") > maxHours).count()
+    require(spans == 0L,
+      s"mannKendallTrend: a type exceeds $maxHours hourly points — " +
+        "the quadratic sign grid needs blocked variance accounting past that")
+    val a = hourly.select(col("event_type"), col("h").as("h1"), col("c").as("c1"))
+    val b = hourly.select(col("event_type").as("__et2"),
+      col("h").as("h2"), col("c").as("c2"))
+    // CASE sign, not signum(): exact integer ±1/0 in any engine
+    val sRel = a
+      .join(b, col("event_type") === col("__et2") && col("h2") > col("h1"))
+      .groupBy("event_type")
+      .agg(sum(when(col("c2") > col("c1"), 1L)
+        .when(col("c2") < col("c1"), -1L).otherwise(0L)).as("s"))
+    // tie census: groups of equal counts within a type
+    val ties = hourly.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"),
+        count(lit(1)).as("groups"),
+        sum(col("t")).as("n"))
+    sRel.join(ties, "event_type")
+      .withColumn("var18", expr("n * (n - 1) * (2 * n + 5) - tie18"))
+      .select(col("event_type"), col("s"), col("n").as("n_hours"),
+        col("var18"),
+        round(when(col("var18") > 0,
+          when(col("s") > 0,
+            (col("s") - 1) / sqrt(col("var18") / lit(18.0)))
+            .when(col("s") < 0,
+              (col("s") + 1) / sqrt(col("var18") / lit(18.0)))
+            .otherwise(lit(0.0)))
+          .otherwise(lit(0.0)), 6).as("z"),
+        round(lit(2.0) * col("s") / (col("n") * (col("n") - 1)), 6).as("tau"))
+  }
+
   /** Open-session state for [[sessionizeStream]] (micros + cents so
     * the fold is exact integers end to end). */
   final case class OpenSession(

@@ -660,6 +660,56 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("theilSenTrend: median pairwise slope shrugs off the outlier hour OLS can't") {
+    import spark.implicits._
+    // hourly counts 1,2,3,4,100 — 9 of 10 pairwise slopes touching
+    // only the linear part are 1.0, so the median is exactly 1.0;
+    // OLS through the same points would report slope ≈ 19
+    val evs = (0 until 5).flatMap { h =>
+      val n = if (h == 4) 100 else h + 1
+      (0 until n).map(i =>
+        Ev(h * 1000 + i, t(h, 1), 100, "view", 1.0, "{}"))
+    }
+    val got = EventPipeline.theilSenTrend(evs.toDF()).collect()
+    assert(got.length === 1)
+    assert(got.head.getDouble(1) === 1.0)
+    assert(got.head.getLong(2) === 10L)
+    // span guard errors loudly instead of building a silent 77M-pair grid
+    intercept[IllegalArgumentException] {
+      EventPipeline.theilSenTrend(evs.toDF(), maxHours = 2L)
+    }
+  }
+
+  test("mannKendallTrend: exact S/var18 with tie correction; all-tied series scores z = 0") {
+    import spark.implicits._
+    // "view": hourly counts 1,2,3,4,100 — every pair increases, so
+    // S = 10, no ties → var18 = 5·4·15 = 300, z = 9/sqrt(300/18),
+    // tau = 2·10/(5·4) = 1.  "click": counts 2,2,2 — one tie group of
+    // 3 → tie18 = 66 = n(n−1)(2n+5), var18 = 0 → z = 0 exactly.
+    val evs = (0 until 5).flatMap { h =>
+      val n = if (h == 4) 100 else h + 1
+      (0 until n).map(i => Ev(h * 1000 + i, t(h, 1), 100, "view", 1.0, "{}"))
+    } ++ (0 until 3).flatMap { h =>
+      (0 until 2).map(i => Ev(90000 + h * 10 + i, t(h, 1), 200, "click", 1.0, "{}"))
+    }
+    val got = EventPipeline.mannKendallTrend(evs.toDF())
+      .orderBy("event_type").collect()
+    assert(got.length === 2)
+    val click = got(0)
+    assert(click.getLong(1) === 0L)     // S
+    assert(click.getLong(2) === 3L)     // n_hours
+    assert(click.getLong(3) === 0L)     // var18
+    assert(click.getDouble(4) === 0.0)  // z
+    val view = got(1)
+    assert(view.getLong(1) === 10L)
+    assert(view.getLong(2) === 5L)
+    assert(view.getLong(3) === 300L)
+    assert(view.getDouble(4) ===
+      BigDecimal(9.0 / math.sqrt(300.0 / 18.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(view.getDouble(5) === 1.0)   // tau
+  }
+
   test("sessionizeStream: in-batch closes emit immediately; timeout closure is strict ms") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
