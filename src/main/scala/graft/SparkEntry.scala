@@ -2279,6 +2279,10 @@ object SparkEntry {
     }),
     "lm_ngram_stats" -> ((s, d) =>
       LanguageModel.modelStats(table(s, d, "documents"), "doc_id", "text")),
+    // Interpolated Kneser-Ney bigram smoothing: continuation-count
+    // backoff, exact integer counts, fixed-order double probability.
+    "lm_kneser_ney" -> ((s, d) =>
+      LanguageModel.kneserNey(table(s, d, "documents"), "doc_id", "text")),
     "doc_perplexity" -> ((s, d) =>
       LanguageModel.selfPerplexity(table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -8648,6 +8652,29 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
         |       CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM tri
         |ORDER BY ord""".stripMargin,
+    "lm_kneser_ney" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (
+        |  SELECT doc_id, g.nw AS nw, g.b AS b, g.c AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+        |      i -> struct_pack(
+        |        nw := least(i, 3),
+        |        b := CASE WHEN i >= 2 THEN toks[i-1] END,
+        |        c := toks[i]))) AS g
+        |    FROM tok)),
+        |bi AS (SELECT b AS w1, c AS w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM pos WHERE nw >= 2 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |               CAST(count(*) AS BIGINT) AS n1p_fwd FROM bi GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM bi GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM bi)
+        |SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, n_bigram_types,
+        |       round(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+        |           + ((0.75 * CAST(n1p_fwd AS DOUBLE)) / CAST(c1 AS DOUBLE))
+        |             * (CAST(n1p_bwd AS DOUBLE) / CAST(n_bigram_types AS DOUBLE)),
+        |             6) AS p_kn
+        |FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
     "doc_perplexity" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |pos AS (

@@ -263,6 +263,57 @@ object LanguageModel {
       .orderBy("r")
   }
 
+  /**
+   * Interpolated Kneser–Ney bigram card (Kneser & Ney 1995; Chen &
+   * Goodman 1998) — the standard n-gram LM smoothing, whose insight is
+   * that the backoff weight of a word should be its CONTEXT FERTILITY
+   * (how many distinct predecessors it follows), not its raw
+   * frequency:
+   *
+   *   P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+   *               + (D · N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··))
+   *
+   * with discount D = 0.75 (Chen & Goodman's fixed-discount variant;
+   * 0.75 is exact in binary, so the arithmetic is reproducible). All
+   * five counts are exact integers; the probability is double
+   * arithmetic in a FIXED expression order rounded to 6 dp — the
+   * package's accepted class. Reported for the top-`topK` bigrams by
+   * (count desc, w1, w2).
+   *
+   * Shape: ONE corpus scan (the shared [[positions]] explode) into a
+   * bigram hash aggregate; the context / continuation / total
+   * relations all derive from that bigram relation (≤ distinct-bigram
+   * rows, zipf-small vs the corpus), and the total is a 1-row
+   * broadcast. At 100 TB the only full-data pass is the window scan —
+   * the same shape as [[modelStats]].
+   */
+  def kneserNey(
+      docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 30): DataFrame = {
+    val pos = positions(docs, idCol, textCol)
+    val bi = pos.filter(col("nw") >= 2)
+      .select(
+        substring_index(substring_index(col("w"), " ", -2), " ", 1).as("w1"),
+        substring_index(col("w"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val tot = bi.agg(count(lit(1)).as("n_bigram_types"))
+    bi.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_fwd"), col("n1p_bwd"), col("n_bigram_types"),
+        round(
+          greatest(col("c12").cast("double") - lit(0.75), lit(0.0)) /
+            col("c1").cast("double") +
+            ((lit(0.75) * col("n1p_fwd").cast("double")) /
+              col("c1").cast("double")) *
+              (col("n1p_bwd").cast("double") /
+                col("n_bigram_types").cast("double")), 6).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Self-scoring convenience: train on `docs`, score `docs`. */
   def selfPerplexity(docs: DataFrame, idCol: String, textCol: String,
       minTriCount: Int = 2): DataFrame =

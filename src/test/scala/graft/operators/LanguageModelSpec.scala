@@ -47,6 +47,21 @@ class LanguageModelSpec extends SparkFunSuite {
     assert(rows === Array((1L, 3L, 7L), (2L, 3L, 5L), (3L, 0L, 0L)))
   }
 
+  test("kneserNey: hand-derived interpolated probabilities that normalize per context") {
+    // bi: (a,b):3 (b,a):1 (b,c):1; ctx a→(3,1) b→(2,2); cont a,b,c→1; tot 3
+    // P(b|a) = 2.25/3 + (0.75·1/3)·(1/3) = 0.833333
+    // P(a|b) = 0.25/2 + (0.75·2/2)·(1/3) = 0.375 = P(c|b)
+    // and P(a|b)+P(b|b)+P(c|b) = 0.375 + 0.75/3 + 0.375 = 1 exactly
+    val rows = LanguageModel.kneserNey(corpus, "doc_id", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rows === Array(
+      ("a", "b", 3L, 3L, 1L, 1L, 3L, 0.833333),
+      ("b", "a", 1L, 2L, 2L, 1L, 3L, 0.375),
+      ("b", "c", 1L, 2L, 2L, 1L, 3L, 0.375)))
+  }
+
   test("docPerplexity: hand-computed stupid-backoff scores") {
     val got = LanguageModel.selfPerplexity(corpus, "doc_id", "text")
       .orderBy("doc_id").collect()
