@@ -134,6 +134,15 @@ object SparkEntry {
   private def bpeMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
     bpeCache.computeIfAbsent(d, dir => Bpe.train(table(s, dir, "documents"), "text"))
 
+  /** Trained WordPiece model per sf dir — same one-time-fit sharing as
+    * [[bpeCache]]. */
+  private val wordpieceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, WordPiece.Model]()
+
+  private def wordpieceModel(s: SparkSession, d: String): WordPiece.Model =
+    wordpieceCache.computeIfAbsent(d,
+      dir => WordPiece.train(table(s, dir, "documents"), "text"))
+
   /** Trained exact-k-means model per sf dir — the fit is a one-time
     * offline pass (Iters distributed rounds, k·dim-long driver
     * state), shared by the fit/assign rows. */
@@ -2608,6 +2617,18 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token").asc)),
     "bpe_tokenize" -> ((s, d) =>
       Bpe.tokenize(table(s, d, "documents"), "doc_id", "text", bpeMerges(s, d))
+        .orderBy("doc_id")),
+    // WordPiece (the BERT tokenizer): likelihood-scored merges
+    // (c_pair / (c_lhs · c_rhs) argmax on the IEEE double grid, ties
+    // UTF-8-lexicographic) and greedy longest-match inference with
+    // whole-word [UNK] fallback — the structural contrasts with BPE.
+    // The oracle replays the 16-round scored training loop as
+    // unrolled CTEs and the greedy matcher as a recursive CTE.
+    "wordpiece_fit" -> ((s, d) =>
+      WordPiece.fitTable(s, wordpieceModel(s, d)).orderBy("rank")),
+    "wordpiece_tokenize" -> ((s, d) =>
+      WordPiece.tokenize(table(s, d, "documents"), "doc_id", "text",
+        wordpieceModel(s, d))
         .orderBy("doc_id")),
     // Tokenizer fertility per language — the multilingual-equity card
     // (Petrov et al., "Language Model Tokenizers Introduce Unfairness"):
@@ -6477,6 +6498,62 @@ object SparkEntry {
       s"SELECT $k AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS freq FROM b$k"
     }.mkString("\n UNION ALL ")
 
+  /**
+   * Generated CTE chain re-running WordPiece.train in SQL — the
+   * [[BpeCtes]] structure with the two WordPiece differences: the
+   * argmax is the likelihood score c/(c_lhs·c_rhs) (per-round symbol
+   * counts vs$$k join in, the ORDER BY casts to DOUBLE in the same
+   * order the Scala trainer multiplies), and the fold concatenates
+   * `l || substr(r, 3)` — the right side always sheds its `##`
+   * continuation prefix. v0 seeds code points with `##` on every
+   * non-initial symbol.
+   */
+  private val WpCtes: String = {
+    val rounds = (1 to WordPiece.MergeRounds).map { k =>
+      val prev = s"v${k - 1}"
+      s"""vp$k AS MATERIALIZED (
+         |  SELECT s[i] AS l, s[i + 1] AS r, sum(cnt) AS c
+         |  FROM (
+         |    SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i
+         |    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM $prev))
+         |  GROUP BY 1, 2),
+         |vs$k AS MATERIALIZED (
+         |  SELECT x AS sym, sum(cnt) AS c FROM (
+         |    SELECT unnest(string_split(seq, ' ')) AS x, cnt FROM $prev)
+         |  GROUP BY 1),
+         |vb$k AS MATERIALIZED (
+         |  SELECT p.l, p.r, p.c, sl.c AS cl, sr.c AS cr
+         |  FROM vp$k p JOIN vs$k sl ON sl.sym = p.l JOIN vs$k sr ON sr.sym = p.r
+         |  ORDER BY CAST(p.c AS DOUBLE) / (CAST(sl.c AS DOUBLE) * CAST(sr.c AS DOUBLE)) DESC, p.l, p.r
+         |  LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT w.word, w.cnt,
+         |         list_reduce(string_split(w.seq, ' '), (acc, x) ->
+         |           CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l))
+         |                THEN acc || substr(b.r, 3) ELSE acc || ' ' || x END) AS seq
+         |  FROM $prev w CROSS JOIN vb$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |wp_tk AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+       |  FROM documents),
+       |wp_wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM wp_tk GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    array_to_string(list_transform(
+       |      string_split(rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g'), ' '), ' '),
+       |      (x, i) -> CASE WHEN i = 1 THEN x ELSE '##' || x END), ' ') AS seq
+       |  FROM (SELECT word, cnt FROM wp_wc ORDER BY cnt DESC, word LIMIT ${Bpe.TopWords})),
+       |$rounds""".stripMargin
+  }
+
+  private val WpMergesSelect: String =
+    (1 to WordPiece.MergeRounds).map { k =>
+      s"SELECT $k AS rank, l AS lhs, r AS rhs, l || substr(r, 3) AS merged, " +
+        s"CAST(c AS BIGINT) AS c_pair, CAST(cl AS BIGINT) AS c_lhs, " +
+        s"CAST(cr AS BIGINT) AS c_rhs FROM vb$k"
+    }.mkString("\n UNION ALL ")
+
   /** Generated CTE chain re-running Evaluation.bradleyTerry's three
     * MM rounds in SQL: the ordered-pair count relation, symmetrized
     * games, then one (d, r, p) CTE triple per round — the same
@@ -9859,6 +9936,58 @@ object SparkEntry {
     "bpe_fit" -> s"""$BpeCtes
        |SELECT * FROM ($BpeMergesSelect)
        |ORDER BY rank""".stripMargin,
+    "wordpiece_fit" -> s"""$WpCtes
+       |SELECT * FROM ($WpMergesSelect)
+       |ORDER BY rank""".stripMargin,
+    // Inference replay: vocab = v0 alphabet ∪ merged tokens. The
+    // greedy choice at (word, pos) is path-independent, so the
+    // longest matching vocab entry of the right word-position class
+    // is precomputed per position as a plain lookup relation (wp_bm;
+    // a correlated subquery inside this deep recursive chain
+    // silently yields NULL in DuckDB), and the recursion walks it
+    // with a LEFT JOIN, collapsing to a 1-piece [UNK] word when no
+    // entry matches — decision-for-decision the wordpiece_apply
+    // kernel.
+    "wordpiece_tokenize" -> s"""$WpCtes,
+       |wp_vb AS MATERIALIZED (
+       |  SELECT DISTINCT x AS tok FROM (SELECT unnest(string_split(seq, ' ')) AS x FROM v0)
+       |  UNION
+       |${(1 to WordPiece.MergeRounds).map(k => s"  SELECT l || substr(r, 3) FROM vb$k").mkString("\n  UNION\n")}),
+       |wp_v AS MATERIALIZED (
+       |  SELECT tok,
+       |         CASE WHEN tok LIKE '##%' AND length(tok) > 2
+       |              THEN substr(tok, 3) ELSE tok END AS raw,
+       |         tok LIKE '##%' AND length(tok) > 2 AS cont
+       |  FROM wp_vb),
+       |wp_dw AS MATERIALIZED (SELECT DISTINCT word FROM wp_tk),
+       |wp_bm AS MATERIALIZED (
+       |  SELECT w.word, p.pos, max(length(v.raw)) AS best
+       |  FROM wp_dw w,
+       |       LATERAL (SELECT unnest(generate_series(1, length(w.word))) AS pos) p,
+       |       wp_v v
+       |  WHERE v.cont = (p.pos > 1)
+       |    AND substr(w.word, p.pos, length(v.raw)) = v.raw
+       |  GROUP BY 1, 2),
+       |wp_rec AS (
+       |  SELECT word, 1 AS pos, 0 AS np, false AS unk, length(word) AS lw
+       |  FROM wp_dw
+       |  UNION ALL
+       |  SELECT r.word,
+       |         CASE WHEN b.best IS NULL THEN r.lw + 1 ELSE r.pos + b.best END,
+       |         CASE WHEN b.best IS NULL THEN 1 ELSE r.np + 1 END,
+       |         b.best IS NULL,
+       |         r.lw
+       |  FROM wp_rec r LEFT JOIN wp_bm b ON b.word = r.word AND b.pos = r.pos
+       |  WHERE r.pos <= r.lw AND NOT r.unk),
+       |wp_seg AS MATERIALIZED (
+       |  SELECT word, CAST(np AS BIGINT) AS nsub, unk
+       |  FROM wp_rec WHERE pos > lw OR unk)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(s.nsub) AS BIGINT) AS n_subwords,
+       |       CAST(sum(CASE WHEN s.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |       round(sum(s.nsub) * 1.0 / count(*), 6) AS fertility
+       |FROM wp_tk t JOIN wp_seg s USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "bpe_vocab" -> s"""$BpeCtes
        |SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM (
        |  SELECT unnest(string_split(seq, ' ')) AS token, cnt FROM w${Bpe.MergeRounds})

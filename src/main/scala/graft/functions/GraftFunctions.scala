@@ -205,6 +205,9 @@ object GraftFunctions {
     ("bpe_apply",
       (es: Seq[Expression]) => { requireArity(es, 2, "bpe_apply"); BpeApplyExpr(es(0), es(1)) },
       "_FUNC_(word, merges) - apply rank-ordered BPE merges (\"l r\" strings) to a word; space-joined subwords."),
+    ("wordpiece_apply",
+      (es: Seq[Expression]) => { requireArity(es, 2, "wordpiece_apply"); WordPieceApplyExpr(es(0), es(1)) },
+      "_FUNC_(word, vocab) - WordPiece greedy longest-match segmentation (## continuations, [UNK] fallback); space-joined pieces."),
     ("nearest_centroid",
       (es: Seq[Expression]) => { requireArity(es, 2, "nearest_centroid"); NearestCentroidExpr(es(0), es(1)) },
       "_FUNC_(qv, flat) - integer-L2 argmin over k row-major micro-unit centroids; [cid, dist2]."),
@@ -312,6 +315,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(w))
   def bpeApply(word: Column, merges: Column): Column =
     call_function("bpe_apply", word, merges)
+  def wordpieceApply(word: Column, vocab: Column): Column =
+    call_function("wordpiece_apply", word, vocab)
   def nearestCentroid(qv: Column, flat: Column): Column =
     call_function("nearest_centroid", qv, flat)
   def phraseCount(text: Column, phrase: Column): Column =

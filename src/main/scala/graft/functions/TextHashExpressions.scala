@@ -274,6 +274,37 @@ case class WinnowFingerprintsExpr(child: Expression, n: Int, w: Int)
  * Designed to run over the DISTINCT-words relation so the zipfian
  * corpus pays the merge loop once per word type, not per token.
  */
+/**
+ * `wordpiece_apply(word, vocab)` → string: WordPiece greedy
+ * longest-match segmentation of one word against a trained vocab
+ * (`##`-prefixed continuations, BERT semantics; no match → `[UNK]`) —
+ * [[TextHashKernels.wordpieceApply]]. Runs over the DISTINCT-words
+ * relation like `bpe_apply`.
+ */
+case class WordPieceApplyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_apply requires (string, array<string>), got $other")
+  }
+
+  override def nullSafeEval(word: Any, vocab: Any): Any =
+    TextHashKernels.wordpieceApply(
+      word.asInstanceOf[UTF8String], vocab.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, v) => s"graft.functions.TextHashKernels.wordpieceApply($w, $v)")
+
+  override def prettyName: String = "wordpiece_apply"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `phrase_count(text, phrase)` → count of consecutive-token matches
   * of `phrase` (array<string>) in the whitespace tokenization of
   * `text`, overlaps included — [[TextHashKernels.phraseCount]]. */

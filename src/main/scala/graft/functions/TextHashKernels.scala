@@ -656,6 +656,79 @@ object TextHashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Parsed WordPiece vocabulary: raw match texts for word-initial
+    * tokens and for `##`-continuation tokens (prefix stripped). Keyed
+    * by vocab content (UnsafeArrayData/GenericArrayData equality is
+    * content-based), capped — the vocab argument is a query literal,
+    * so a real workload holds one entry. */
+  private val wpVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[ArrayData,
+      (java.util.HashSet[String], java.util.HashSet[String])]()
+
+  private def wpVocabSets(
+      vocab: ArrayData): (java.util.HashSet[String], java.util.HashSet[String]) = {
+    val hit = wpVocabCache.get(vocab)
+    if (hit != null) return hit
+    val plain = new java.util.HashSet[String]()
+    val cont = new java.util.HashSet[String]()
+    val n = vocab.numElements()
+    var i = 0
+    while (i < n) {
+      val t = vocab.getUTF8String(i).toString
+      if (t.length > 2 && t.startsWith("##")) cont.add(t.substring(2))
+      else plain.add(t)
+      i += 1
+    }
+    if (wpVocabCache.size() > 8) wpVocabCache.clear()
+    val v = (plain, cont)
+    wpVocabCache.put(vocab.copy(), v)
+    v
+  }
+
+  /**
+   * WordPiece greedy longest-match segmentation (Schuster & Nakajima
+   * 2012; the BERT tokenizer): at each position match the LONGEST
+   * vocab token — word-initial tokens at position 0, `##`-prefixed
+   * continuation tokens after — and emit the space-joined pieces in
+   * their vocab spelling; any position with no match collapses the
+   * WHOLE word to `[UNK]` (the BERT convention). Positions are code
+   * points ([[splitCodepoints]]), matching SQL `substr`/`length`
+   * semantics. A vocab string starting with `##` IS a continuation —
+   * the standard convention; words whose TEXT literally starts with
+   * `##` segment through their single-`#` initial symbols.
+   *
+   * Called on the DISTINCT-words relation like [[bpeApply]] — the
+   * zipfian corpus probes each word type once; the vocab sets parse
+   * once per literal through a content-keyed cache.
+   */
+  def wordpieceApply(word: UTF8String, vocab: ArrayData): UTF8String = {
+    val ws = word.toString
+    val cps = splitCodepoints(ws)
+    if (cps.isEmpty) return UTF8String.fromString("")
+    // Java-char offset of each code-point boundary: candidate windows
+    // become O(1) substrings of the original string
+    val offs = new Array[Int](cps.length + 1)
+    var i = 0
+    while (i < cps.length) { offs(i + 1) = offs(i) + cps(i).length; i += 1 }
+    val (plain, cont) = wpVocabSets(vocab)
+    val out = new java.lang.StringBuilder(word.numBytes() + 8)
+    var start = 0
+    while (start < cps.length) {
+      val set = if (start == 0) plain else cont
+      var end = cps.length
+      var hit: String = null
+      while (end > start && hit == null) {
+        val sub = ws.substring(offs(start), offs(end))
+        if (set.contains(sub)) hit = sub else end -= 1
+      }
+      if (hit == null) return UTF8String.fromString("[UNK]")
+      if (start > 0) out.append(" ##")
+      out.append(hit)
+      start = end
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** Unit kinds for [[editDistance]]. */
   final val UnitByte = 0
   final val UnitCodepoint = 1
