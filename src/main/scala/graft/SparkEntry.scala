@@ -2630,6 +2630,17 @@ object SparkEntry {
       WordPiece.tokenize(table(s, d, "documents"), "doc_id", "text",
         wordpieceModel(s, d))
         .orderBy("doc_id")),
+    // Tokenizer selection card: the same corpus through all three
+    // trained families (BPE / unigram-LM / WordPiece) on one grid —
+    // fertility and bytes-per-token, with the UNK/overlong fallback
+    // counted as one token. One token-stream pass; all three
+    // segmenters run per DISTINCT word and join back broadcast.
+    "tokenizer_compare" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TokenizerCompare.card(docs, "text", bpeMerges(s, d),
+        wordpieceModel(s, d), UnigramLm.fitVocab(docs, "text"))
+        .orderBy("tokenizer")
+    }),
     // Tokenizer fertility per language — the multilingual-equity card
     // (Petrov et al., "Language Model Tokenizers Introduce Unfairness"):
     // subwords-per-word and bytes-per-token by lang under the SAME
@@ -5481,6 +5492,16 @@ object SparkEntry {
     "classifier_calibration" -> ((s, d) => {
       val docs = table(s, d, "documents")
       QualityClassifier.calibration(
+        QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d)),
+        "score", "rule_label")
+    }),
+    // Isotonic calibration (PAV via the minimax closed form) of the
+    // same scored relation: monotone calibrated probabilities per
+    // score bin, all integral micros — the proper recalibration step
+    // after the reliability curve shows miscalibration.
+    "classifier_isotonic" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      QualityClassifier.isotonic(
         QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d)),
         "score", "rule_label")
     }),
@@ -9939,6 +9960,92 @@ object SparkEntry {
     "wordpiece_fit" -> s"""$WpCtes
        |SELECT * FROM ($WpMergesSelect)
        |ORDER BY rank""".stripMargin,
+    // Three independently-scoped WITH chains (the BPE and unigram
+    // chains share CTE names), each re-training its tokenizer and
+    // rolling the corpus up to one card row.
+    "tokenizer_compare" -> s"""SELECT * FROM (
+       |($BpeCtes,
+       |bpe_mg AS MATERIALIZED (
+       |${(1 to Bpe.MergeRounds).map(k => s"  SELECT $k AS rk, l AS ml, r AS mr FROM b$k").mkString("\n  UNION ALL\n")}),
+       |bpe_dw AS MATERIALIZED (SELECT DISTINCT word FROM bpe_tk),
+       |bpe_rec AS (
+       |  SELECT word, rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g'), ' ') AS seq, 0 AS k
+       |  FROM bpe_dw
+       |  UNION ALL
+       |  SELECT q.word,
+       |         list_reduce(string_split(q.seq, ' '), (acc, x) ->
+       |           CASE WHEN x = m.mr AND (acc = m.ml OR ends_with(acc, ' ' || m.ml))
+       |                THEN acc || m.mr ELSE acc || ' ' || x END) AS seq,
+       |         q.k + 1
+       |  FROM bpe_rec q JOIN bpe_mg m ON m.rk = q.k + 1),
+       |bpe_seg AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS nsub
+       |  FROM bpe_rec WHERE k = ${Bpe.MergeRounds})
+       |SELECT 'bpe' AS tokenizer,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(s.nsub) AS BIGINT) AS n_tokens,
+       |       CAST(sum(strlen(t.word)) AS BIGINT) AS n_text_bytes,
+       |       CAST(0 AS BIGINT) AS n_fallback,
+       |       round(sum(s.nsub) * 1.0 / count(*), 6) AS fertility,
+       |       round(sum(strlen(t.word)) * 1.0 / sum(s.nsub), 6) AS bytes_per_token
+       |FROM bpe_tk t JOIN bpe_seg s USING (word))
+       |UNION ALL
+       |(${unigramDpCtes(4, 16)},
+       |uf AS (SELECT word, CASE len(word) ${(1 to 16).map(i => s"WHEN $i THEN dp$i").mkString(" ")} END AS f
+       |       FROM d16),
+       |useg AS (SELECT word, 31 - (((f % 32) + 32) % 32) AS np FROM uf)
+       |SELECT 'unigram' AS tokenizer,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(coalesce(s.np, 1)) AS BIGINT) AS n_tokens,
+       |       CAST(sum(strlen(t.w)) AS BIGINT) AS n_text_bytes,
+       |       CAST(sum(CASE WHEN s.np IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback,
+       |       round(sum(coalesce(s.np, 1)) * 1.0 / count(*), 6) AS fertility,
+       |       round(sum(strlen(t.w)) * 1.0 / sum(coalesce(s.np, 1)), 6) AS bytes_per_token
+       |FROM w2 t JOIN useg s ON s.word = t.w)
+       |UNION ALL
+       |($WpCtes,
+       |wp_vb AS MATERIALIZED (
+       |  SELECT DISTINCT x AS tok FROM (SELECT unnest(string_split(seq, ' ')) AS x FROM v0)
+       |  UNION
+       |${(1 to WordPiece.MergeRounds).map(k => s"  SELECT l || substr(r, 3) FROM vb$k").mkString("\n  UNION\n")}),
+       |wp_v AS MATERIALIZED (
+       |  SELECT tok,
+       |         CASE WHEN tok LIKE '##%' AND length(tok) > 2
+       |              THEN substr(tok, 3) ELSE tok END AS raw,
+       |         tok LIKE '##%' AND length(tok) > 2 AS cont
+       |  FROM wp_vb),
+       |wp_dw AS MATERIALIZED (SELECT DISTINCT word FROM wp_tk),
+       |wp_bm AS MATERIALIZED (
+       |  SELECT w.word, p.pos, max(length(v.raw)) AS best
+       |  FROM wp_dw w,
+       |       LATERAL (SELECT unnest(generate_series(1, length(w.word))) AS pos) p,
+       |       wp_v v
+       |  WHERE v.cont = (p.pos > 1)
+       |    AND substr(w.word, p.pos, length(v.raw)) = v.raw
+       |  GROUP BY 1, 2),
+       |wp_rec AS (
+       |  SELECT word, 1 AS pos, 0 AS np, false AS unk, length(word) AS lw
+       |  FROM wp_dw
+       |  UNION ALL
+       |  SELECT r.word,
+       |         CASE WHEN b.best IS NULL THEN r.lw + 1 ELSE r.pos + b.best END,
+       |         CASE WHEN b.best IS NULL THEN 1 ELSE r.np + 1 END,
+       |         b.best IS NULL,
+       |         r.lw
+       |  FROM wp_rec r LEFT JOIN wp_bm b ON b.word = r.word AND b.pos = r.pos
+       |  WHERE r.pos <= r.lw AND NOT r.unk),
+       |wp_seg AS MATERIALIZED (
+       |  SELECT word, CAST(np AS BIGINT) AS nsub, unk
+       |  FROM wp_rec WHERE pos > lw OR unk)
+       |SELECT 'wordpiece' AS tokenizer,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(s.nsub) AS BIGINT) AS n_tokens,
+       |       CAST(sum(strlen(t.word)) AS BIGINT) AS n_text_bytes,
+       |       CAST(sum(CASE WHEN s.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback,
+       |       round(sum(s.nsub) * 1.0 / count(*), 6) AS fertility,
+       |       round(sum(strlen(t.word)) * 1.0 / sum(s.nsub), 6) AS bytes_per_token
+       |FROM wp_tk t JOIN wp_seg s USING (word))
+       |) ORDER BY tokenizer""".stripMargin,
     // Inference replay: vocab = v0 alphabet ∪ merged tokens. The
     // greedy choice at (word, pos) is path-independent, so the
     // longest matching vocab entry of the right word-position class
@@ -12943,6 +13050,38 @@ object SparkEntry {
       |           (sum(n) * 1000000.0), 6) AS ece
       |  FROM pb3)
       |SELECT pb3.*, e.ece FROM pb3 CROSS JOIN e ORDER BY bin""".stripMargin),
+    // PAV minimax replay on the bin grid: prefix sums, O(B²) interval
+    // rates as integral micros, then max-of-min per bin.
+    "classifier_isotonic" -> (ClassifierFitCtes + s"""
+      |, scored AS (
+      |  SELECT f2.doc_id, f2.y, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +
+      |    x2 * (w2m / 1000000.0) + x3 * (w3m / 1000000.0) +
+      |    x4 * (w4m / 1000000.0) + bm / 1000000.0))) AS p
+      |  FROM f2 CROSS JOIN w${QualityClassifier.Iters}),
+      |sc AS (SELECT round(p, 4) AS score, CAST(y AS BIGINT) AS y FROM scored),
+      |b AS (SELECT CAST(least(floor(score * 20), 19) AS INT) AS bin, y FROM sc),
+      |pb AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(y) AS BIGINT) AS n_pos
+      |  FROM b GROUP BY 1),
+      |pre AS (
+      |  SELECT bin, n, n_pos,
+      |         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cc,
+      |         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      |  FROM pb),
+      |lo AS (SELECT bin AS i, cc - n AS cc0, cp - n_pos AS cp0 FROM pre),
+      |hi AS (SELECT bin AS j, cc AS ccj, cp AS cpj FROM pre),
+      |pairs AS (
+      |  SELECT i, j, (1000000 * (cpj - cp0)) // (ccj - cc0) AS avg_micro
+      |  FROM lo JOIN hi ON i <= j),
+      |ks AS (SELECT bin AS k FROM pb),
+      |m1 AS (SELECT k, i, min(avg_micro) AS m1
+      |       FROM pairs JOIN ks ON i <= k AND k <= j GROUP BY 1, 2),
+      |iso AS (SELECT k, CAST(max(m1) AS BIGINT) AS iso_micro FROM m1 GROUP BY 1)
+      |SELECT pb.bin, pb.n, pb.n_pos,
+      |       (1000000 * pb.n_pos) // pb.n AS rate_micro,
+      |       iso.iso_micro
+      |FROM pb JOIN iso ON iso.k = pb.bin ORDER BY bin""".stripMargin),
     // The DP noise CASE is generated from the SAME precomputed integer
     // thresholds the Spark expression uses — one source of truth, no
     // transcendental at query time on either engine.

@@ -303,4 +303,61 @@ object QualityClassifier {
       expr(s"(1000000 * CAST(y_tot AS $dec) * (n - y_tot)) div " +
         s"(CAST(n AS $dec) * n)").as("uncertainty_micro"))
   }
+
+  /**
+   * Isotonic calibration of a scored relation (pool-adjacent-violators
+   * fit; Zadrozny & Elkan 2002 for classifier calibration) via the
+   * minimax closed form: over score bins 1..B with counts c and
+   * positives p, the PAV solution at bin k is
+   *
+   *   iso(k) = max_{i ≤ k} min_{j ≥ k} Σ_{i..j} p / Σ_{i..j} c
+   *
+   * (the greatest convex minorant's slope), which needs no sequential
+   * pooling loop — every quantity is a prefix-sum difference. The
+   * empirical rates enter the minimax as exact integral micros
+   * `(10⁶·Σp) div Σc`, so the whole fit is integer arithmetic any
+   * engine reproduces bit-for-bit; the output column is monotone
+   * non-decreasing by construction and is the calibrated probability a
+   * score in that bin should be read as.
+   *
+   * Shape: ONE scan of the scored relation into ≤ `bins` rows; the
+   * O(B²) pair and O(B³) minimax relations live on the ≤ 100-row bin
+   * grid — driver-free and constant-size at any corpus scale.
+   */
+  def isotonic(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins: $bins")
+    val perBin = scored
+      .select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int").as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bin")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val pre = perBin
+      .withColumn("cc", sum("n").over(w))
+      .withColumn("cp", sum("n_pos").over(w))
+    val lo = pre.select(col("bin").as("i"),
+      (col("cc") - col("n")).as("cc0"), (col("cp") - col("n_pos")).as("cp0"))
+    val hi = pre.select(col("bin").as("j"),
+      col("cc").as("ccj"), col("cp").as("cpj"))
+    val pairs = lo.join(hi, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        expr("(1000000 * (cpj - cp0)) div (ccj - cc0)").as("avg_micro"))
+    val ks = perBin.select(col("bin").as("k"))
+    val iso = pairs
+      .join(ks, col("i") <= col("k") && col("k") <= col("j"))
+      .groupBy("k", "i").agg(min("avg_micro").as("m1"))
+      .groupBy("k").agg(max("m1").as("iso_micro"))
+    perBin.join(iso, col("bin") === col("k"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("rate_micro"),
+        col("iso_micro"))
+      .orderBy("bin")
+  }
 }

@@ -111,6 +111,40 @@ class QualityClassifierSpec extends SparkFunSuite {
     assert(bins === Seq(0, 9))
   }
 
+  test("isotonic: PAV pools the violator pair, endpoints untouched") {
+    import spark.implicits._
+    // 20-bin grid: bins 0..3 with rates .25, 1.0, 0.0, 1.0 (weights
+    // 4,2,2,2) — bins 1 and 2 violate monotonicity and pool to
+    // (2+0)/(2+2) = 0.5; hand minimax: iso = .25, .5, .5, 1.0
+    val scored = (
+      Seq.fill(3)((0.01, 0L)) ++ Seq((0.01, 1L)) ++
+        Seq.fill(2)((0.06, 1L)) ++
+        Seq.fill(2)((0.11, 0L)) ++
+        Seq.fill(2)((0.16, 1L))).toDF("score", "rule_label")
+    val out = QualityClassifier.isotonic(scored, "score", "rule_label")
+      .collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))) === Array(
+      (0, 4L, 1L, 250000L, 250000L),
+      (1, 2L, 2L, 1000000L, 500000L),
+      (2, 2L, 0L, 0L, 500000L),
+      (3, 2L, 2L, 1000000L, 1000000L)))
+    // monotone by construction
+    val iso = out.map(_.getLong(4))
+    assert(iso.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("isotonic: already-monotone rates are a fixed point") {
+    import spark.implicits._
+    val scored = (Seq.fill(4)((0.01, 0L)) ++
+      Seq((0.26, 0L), (0.26, 1L)) ++
+      Seq.fill(2)((0.51, 1L))).toDF("score", "rule_label")
+    val out = QualityClassifier.isotonic(scored, "score", "rule_label")
+      .collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(3), r.getLong(4))) ===
+      Array((0, 0L, 0L), (5, 500000L, 500000L), (10, 1000000L, 1000000L)))
+  }
+
   test("brier decomposition: hand case, identity holds exactly") {
     import spark.implicits._
     // two per bin with constant in-bin forecasts: p=0.1 (y: 0,1) and
