@@ -170,6 +170,23 @@ object SparkEntry {
     base.unionByName(corrupted)
   }
 
+  /** Fellegi–Sunter model per sf dir: the ≤8-row pattern relation is
+    * the only distributed pass; the EM fit runs on the driver over
+    * those collected rows ([[EntityResolution.fsFit]]'s integral-state
+    * discipline). */
+  private val fsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, EntityResolution.FsFit]()
+  private def fsModel(s: SparkSession, d: String): EntityResolution.FsFit =
+    fsCache.computeIfAbsent(d, dir => {
+      val rows = EntityResolution
+        .comparisonPatterns(erRecords(s, dir), "id", "name",
+          blockKeyLen = 8, maxBucket = Some(1024))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSeq
+      EntityResolution.fsFit(rows)
+    })
+
   /** Materialized ER records store per sf dir (the registered relation
     * the fuzzy-join SQL rewrite fires on) — a one-time offline write,
     * like the blob/bucketed stores. */
@@ -709,6 +726,20 @@ object SparkEntry {
         maxDist = 2, blockKeyLen = 8, maxBucket = Some(1024))
         .orderBy("record_id")
     }),
+    // Fellegi–Sunter (1969) probabilistic record linkage over the
+    // same blocked candidates: 3-field agreement patterns (≤8 rows —
+    // the only distributed pass), unsupervised EM for m/u/prevalence
+    // on the integral micro grid (bit-reproducible in any engine),
+    // then the per-pattern match posteriors and the field-level log₂
+    // likelihood-ratio weights every linkage handbook tabulates.
+    "er_fs_patterns" -> ((s, d) =>
+      EntityResolution.fsPatterns(
+        EntityResolution.comparisonPatterns(erRecords(s, d), "id", "name",
+          blockKeyLen = 8, maxBucket = Some(1024)),
+        fsModel(s, d))
+        .orderBy("g1", "g2", "g3")),
+    "er_fs_weights" -> ((s, d) =>
+      EntityResolution.fsWeights(s, fsModel(s, d)).orderBy("field")),
     // Naive O(n²) edit-distance SQL self-join auto-rewritten into the
     // blocked ER subtree (third rewrite rule beside the ANN and LSH
     // rewrites). maxDist=1 is lossless by pigeonhole on ≥16-char
@@ -6568,6 +6599,77 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /**
+   * Generated CTE chain re-running EntityResolution.fsFit in SQL: the
+   * blocked-candidate pattern counts (fs0, ≤8 rows), then one
+   * (e$$k, par$$k) pair per EM iteration — the E-step posterior
+   * micro-quantized with the same fixed-order double product, the
+   * M-step as exact HUGEINT sums and clamped integral divisions — so
+   * par$$k's m/u/p are bit-identical to the Scala fit's after every
+   * iteration.
+   */
+  private val FsCtes: String = {
+    def caseProd(v: Char): String =
+      (1 to 3).map(k =>
+        s"(CASE WHEN g$k = 1 THEN $v$k / 1e6 ELSE 1 - $v$k / 1e6 END)")
+        .mkString(" * ")
+    val num = s"(p / 1e6) * ${caseProd('m')}"
+    val den = s"((1000000 - p) / 1e6) * ${caseProd('u')}"
+    val wq = s"CAST(floor(($num) / (($num) + ($den)) * 1000000 + 0.5) AS BIGINT)"
+    val iters = (1 to EntityResolution.FsIters).map { i =>
+      s"""e$i AS (
+         |  SELECT f.g1, f.g2, f.g3, f.n, $wq AS wq
+         |  FROM fs0 f CROSS JOIN par${i - 1}),
+         |par$i AS (
+         |  SELECT
+         |    greatest(1, least(999999, (1000000 * sum(wq * n * g1)) // sum(wq * n))) AS m1,
+         |    greatest(1, least(999999, (1000000 * sum(wq * n * g2)) // sum(wq * n))) AS m2,
+         |    greatest(1, least(999999, (1000000 * sum(wq * n * g3)) // sum(wq * n))) AS m3,
+         |    greatest(1, least(999999, (1000000 * sum((1000000 - wq) * n * g1)) // sum((1000000 - wq) * n))) AS u1,
+         |    greatest(1, least(999999, (1000000 * sum((1000000 - wq) * n * g2)) // sum((1000000 - wq) * n))) AS u2,
+         |    greatest(1, least(999999, (1000000 * sum((1000000 - wq) * n * g3)) // sum((1000000 - wq) * n))) AS u3,
+         |    greatest(1, least(999999, sum(wq * n) // sum(n))) AS p
+         |  FROM e$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 24) AS name
+       |  FROM documents WHERE length(text) >= 24),
+       |pos AS (SELECT id, name, CAST(id % 16 + 4 AS INT) AS p FROM base),
+       |records AS (
+       |  SELECT id, name FROM base
+       |  UNION ALL
+       |  SELECT id + 1000000, substr(name, 1, p) || substr(name, p + 2, 24)
+       |  FROM pos),
+       |keys AS (
+       |  SELECT 'p:' || substr(name, 1, 8) AS blk, id, name FROM records
+       |  UNION ALL
+       |  SELECT 's:' || substr(name, -8, 8) AS blk, id, name FROM records),
+       |keep AS (SELECT blk FROM keys GROUP BY blk HAVING count(*) <= 1024),
+       |k2 AS (SELECT k.* FROM keys k JOIN keep USING (blk)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+       |         a.name AS a_name, b.name AS b_name
+       |  FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.id < b.id),
+       |cmp AS (
+       |  SELECT CASE WHEN substr(a_name, 1, 8) = substr(b_name, 1, 8)
+       |              THEN 1 ELSE 0 END AS g1,
+       |         CASE WHEN substr(a_name, -8, 8) = substr(b_name, -8, 8)
+       |              THEN 1 ELSE 0 END AS g2,
+       |         CASE WHEN length(a_name) = length(b_name)
+       |              THEN 1 ELSE 0 END AS g3
+       |  FROM cand),
+       |fs0 AS (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+       |        FROM cmp GROUP BY 1, 2, 3),
+       |par0 AS (SELECT CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+       |                CAST(900000 AS BIGINT) AS m3, CAST(100000 AS BIGINT) AS u1,
+       |                CAST(100000 AS BIGINT) AS u2, CAST(100000 AS BIGINT) AS u3,
+       |                CAST(500000 AS BIGINT) AS p),
+       |$iters,
+       |ef AS (
+       |  SELECT f.g1, f.g2, f.g3, f.n, $wq AS wq
+       |  FROM fs0 f CROSS JOIN par${EntityResolution.FsIters})""".stripMargin
+  }
+
   private val WpMergesSelect: String =
     (1 to WordPiece.MergeRounds).map { k =>
       s"SELECT $k AS rank, l AS lhs, r AS rhs, l || substr(r, 3) AS merged, " +
@@ -7094,6 +7196,26 @@ object SparkEntry {
         |             CAST(greatest(length(a_name), length(b_name)) AS DOUBLE) AS sim
         |FROM cand WHERE levenshtein(a_name, b_name) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
+    "er_fs_patterns" -> (FsCtes + """
+      |SELECT g1, g2, g3, n AS n_pairs, wq AS w_micro
+      |FROM ef ORDER BY g1, g2, g3""".stripMargin),
+    "er_fs_weights" -> (FsCtes + s"""
+      |SELECT field, m_micro, u_micro,
+      |       round(log2(CAST(m_micro AS DOUBLE) / CAST(u_micro AS DOUBLE)), 6)
+      |         AS agree_weight,
+      |       round(log2(CAST(1000000 - m_micro AS DOUBLE) /
+      |                  CAST(1000000 - u_micro AS DOUBLE)), 6)
+      |         AS disagree_weight
+      |FROM (
+      |  SELECT 'prefix' AS field, CAST(m1 AS BIGINT) AS m_micro,
+      |         CAST(u1 AS BIGINT) AS u_micro FROM par${EntityResolution.FsIters}
+      |  UNION ALL
+      |  SELECT 'suffix', CAST(m2 AS BIGINT), CAST(u2 AS BIGINT)
+      |  FROM par${EntityResolution.FsIters}
+      |  UNION ALL
+      |  SELECT 'length', CAST(m3 AS BIGINT), CAST(u3 AS BIGINT)
+      |  FROM par${EntityResolution.FsIters})
+      |ORDER BY field""".stripMargin),
     "er_entities" ->
       """WITH RECURSIVE base AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 24) AS name

@@ -72,6 +72,52 @@ class EntityResolutionSpec extends SparkFunSuite {
     assert(m(9L) === 9L)
   }
 
+  test("comparisonPatterns: exact agreement-vector counts on a known block") {
+    // two 16-char names sharing prefix-8 but not suffix-8, same
+    // length -> pattern (1,0,1); an exact duplicate pair -> (1,1,1)
+    val pats = EntityResolution.comparisonPatterns(
+      records(
+        (1L, "aaaabbbbccccdddd"), (2L, "aaaabbbbcccceeee"),
+        (3L, "zzzzyyyyxxxxwwww"), (4L, "zzzzyyyyxxxxwwww")),
+      "id", "name", blockKeyLen = 8).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    assert(pats === Map((1, 0, 1) -> 1L, (1, 1, 1) -> 1L))
+  }
+
+  test("fsFit: EM separates a clean two-pattern mixture; order-invariant") {
+    // 100 all-agree pairs (matches) vs 900 all-disagree pairs
+    val rows = Seq((1, 1, 1, 100L), (0, 0, 0, 900L))
+    val fit = EntityResolution.fsFit(rows)
+    fit.mMicro.foreach(m => assert(m > 990000L))
+    fit.uMicro.foreach(u => assert(u < 10000L))
+    assert(fit.pMicro > 95000L && fit.pMicro < 105000L)
+    // symmetric fields get identical parameters
+    assert(fit.mMicro.distinct.size === 1 && fit.uMicro.distinct.size === 1)
+    // integer sums + integral divisions: input order cannot matter
+    assert(EntityResolution.fsFit(rows.reverse) === fit)
+  }
+
+  test("fsPatterns/fsWeights: posteriors ordered by evidence, weights signed") {
+    val rows = Seq((1, 1, 1, 100L), (1, 0, 1, 50L), (0, 0, 0, 900L))
+    val fit = EntityResolution.fsFit(rows)
+    val pats = EntityResolution.fsPatterns(
+      rows.toDF("g1", "g2", "g3", "n_pairs"), fit)
+      .orderBy(desc("w_micro")).collect()
+    val byPat = pats.map(r =>
+      ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(4))).toMap
+    // EM separates this mixture sharply enough that both match-heavy
+    // patterns can saturate the micro grid — require order, not strict
+    assert(byPat((1, 1, 1)) >= byPat((1, 0, 1)))
+    assert(byPat((1, 0, 1)) > byPat((0, 0, 0)))
+    assert(byPat((1, 1, 1)) > 900000L)
+    assert(byPat((0, 0, 0)) < 100000L)
+    val ws = EntityResolution.fsWeights(spark, fit).collect()
+    ws.foreach { r =>
+      assert(r.getDouble(3) > 0.0, "agree weight positive")
+      assert(r.getDouble(4) < 0.0, "disagree weight negative")
+    }
+  }
+
   test("plan: blocking join is an equality join, not a cartesian") {
     val plan = EntityResolution.fuzzyPairs(
       records((1L, "abcdef"), (2L, "abcdeg")), "id", "name", 2, 3)
