@@ -726,6 +726,14 @@ object SparkEntry {
         maxDist = 2, blockKeyLen = 8, maxBucket = Some(1024))
         .orderBy("record_id")
     }),
+    // Jaro–Winkler fuzzy join over the same blocking — the kernel is
+    // pinned to DuckDB's native jaro_winkler_similarity conventions,
+    // so the oracle is an INDEPENDENT implementation of the same
+    // function agreeing pair-by-pair on the 6-dp grid.
+    "er_jaro_join" -> ((s, d) =>
+      EntityResolution.jaroPairs(erRecords(s, d), "id", "name",
+        minSim = 0.94, blockKeyLen = 8, maxBucket = Some(1024))
+        .orderBy("a_id", "b_id")),
     // Fellegi–Sunter (1969) probabilistic record linkage over the
     // same blocked candidates: 3-field agreement patterns (≤8 rows —
     // the only distributed pass), unsupervised EM for m/u/prevalence
@@ -7195,6 +7203,30 @@ object SparkEntry {
         |       1.0 - CAST(levenshtein(a_name, b_name) AS DOUBLE) /
         |             CAST(greatest(length(a_name), length(b_name)) AS DOUBLE) AS sim
         |FROM cand WHERE levenshtein(a_name, b_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+    "er_jaro_join" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, substr(text, 1, 24) AS name
+        |  FROM documents WHERE length(text) >= 24),
+        |pos AS (SELECT id, name, CAST(id % 16 + 4 AS INT) AS p FROM base),
+        |records AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, substr(name, 1, p) || substr(name, p + 2, 24)
+        |  FROM pos),
+        |keys AS (
+        |  SELECT 'p:' || substr(name, 1, 8) AS blk, id, name FROM records
+        |  UNION ALL
+        |  SELECT 's:' || substr(name, -8, 8) AS blk, id, name FROM records),
+        |keep AS (SELECT blk FROM keys GROUP BY blk HAVING count(*) <= 1024),
+        |k2 AS (SELECT k.* FROM keys k JOIN keep USING (blk)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+        |         a.name AS a_name, b.name AS b_name
+        |  FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT a_id, b_id, a_name, b_name,
+        |       round(jaro_winkler_similarity(a_name, b_name), 6) AS jw
+        |FROM cand WHERE round(jaro_winkler_similarity(a_name, b_name), 6) >= 0.94
         |ORDER BY a_id, b_id""".stripMargin,
     "er_fs_patterns" -> (FsCtes + """
       |SELECT g1, g2, g3, n AS n_pairs, wq AS w_micro

@@ -205,6 +205,9 @@ object GraftFunctions {
     ("bpe_apply",
       (es: Seq[Expression]) => { requireArity(es, 2, "bpe_apply"); BpeApplyExpr(es(0), es(1)) },
       "_FUNC_(word, merges) - apply rank-ordered BPE merges (\"l r\" strings) to a word; space-joined subwords."),
+    ("jaro_winkler",
+      (es: Seq[Expression]) => { requireArity(es, 2, "jaro_winkler"); JaroWinklerExpr(es(0), es(1)) },
+      "_FUNC_(a, b) - byte-level Jaro-Winkler similarity (DuckDB conventions: boost iff jaro > 0.7, prefix cap 4)."),
     ("wordpiece_apply",
       (es: Seq[Expression]) => { requireArity(es, 2, "wordpiece_apply"); WordPieceApplyExpr(es(0), es(1)) },
       "_FUNC_(word, vocab) - WordPiece greedy longest-match segmentation (## continuations, [UNK] fallback); space-joined pieces."),
@@ -315,6 +318,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(w))
   def bpeApply(word: Column, merges: Column): Column =
     call_function("bpe_apply", word, merges)
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
   def wordpieceApply(word: Column, vocab: Column): Column =
     call_function("wordpiece_apply", word, vocab)
   def nearestCentroid(qv: Column, flat: Column): Column =

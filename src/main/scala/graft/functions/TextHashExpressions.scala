@@ -305,6 +305,33 @@ case class WordPieceApplyExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `jaro_winkler(a, b)` → double: byte-level Jaro–Winkler similarity
+  * with DuckDB's conventions (m = 0 → 0, boost iff jaro > 0.7,
+  * prefix cap 4) — [[TextHashKernels.jaroWinkler]]. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler requires (string, string), got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.jaroWinkler(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHashKernels.jaroWinkler($a, $b)")
+
+  override def prettyName: String = "jaro_winkler"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `phrase_count(text, phrase)` → count of consecutive-token matches
   * of `phrase` (array<string>) in the whitespace tokenization of
   * `text`, overlaps included — [[TextHashKernels.phraseCount]]. */

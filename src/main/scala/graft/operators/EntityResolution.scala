@@ -93,6 +93,28 @@ object EntityResolution {
           greatest(length(col("a_name")), length(col("b_name"))).cast("double"))
   }
 
+  /**
+   * Jaro–Winkler verification pass over the blocked candidates: the
+   * string-similarity alternative to [[fuzzyPairs]]'s edit distance
+   * (more forgiving of transpositions and length skew — the classic
+   * name-matching measure). Output: (a_id, b_id, a_name, b_name, jw)
+   * with jw on the 6-dp rounded grid, pairs at or above `minSim`
+   * only. Same scale shape as fuzzyPairs: blocking bounds the
+   * candidate relation, the codegen `jaro_winkler` kernel verifies
+   * scan-locally.
+   */
+  def jaroPairs(
+      df: DataFrame, idCol: String, nameCol: String,
+      minSim: Double, blockKeyLen: Int = 3,
+      maxBucket: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    candidates(df, idCol, nameCol, blockKeyLen, maxBucket)
+      .withColumn("jw", round(
+        graft.functions.GraftFunctions.jaroWinkler(
+          col("a_name"), col("b_name")), 6))
+      .filter(col("jw") >= minSim)
+  }
+
   /** [[fellegiSunter]]'s comparison fields, in order: prefix-`k`
     * agreement, suffix-`k` agreement, length agreement. */
   val FsFields: Seq[String] = Seq("prefix", "suffix", "length")

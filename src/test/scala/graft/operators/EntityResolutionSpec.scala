@@ -118,6 +118,50 @@ class EntityResolutionSpec extends SparkFunSuite {
     }
   }
 
+  test("jaroWinkler kernel: pinned to DuckDB's jaro_winkler_similarity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      BigDecimal(graft.functions.TextHashKernels.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // every expected value probed from DuckDB this round
+    assert(jw("MARTHA", "MARHTA") === 0.961111)
+    assert(jw("DIXON", "DICKSONX") === 0.813333)
+    assert(jw("JELLYFISH", "SMELLYFISH") === 0.896296)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("", "") === 0.0)           // DuckDB: both-empty is 0
+    assert(jw("", "a") === 0.0)
+    assert(jw("ab", "ba") === 0.0)       // window 0: no cross match
+    assert(jw("héllo", "hello") === 0.84) // BYTE units, like DuckDB
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") === 0.6) // boost gated at jaro > 0.7
+    assert(jw("aaaaaaaaax", "aaaaaaaaay") === 0.96) // prefix capped at 4
+    assert(jw("ab", "abcdefgh") === 0.8)
+  }
+
+  test("jaroPairs: blocked verification keeps single-deletion twins") {
+    val base = "abcdefghijklmnopqrstuvwx"
+    val pairs = EntityResolution.jaroPairs(
+      records((1L, base), (2L, base.substring(0, 10) + base.substring(11)),
+        (9L, "totally different name!!")),
+      "id", "name", minSim = 0.9, blockKeyLen = 8).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("a_id") === 1L)
+    assert(pairs.head.getAs[Double]("jw") > 0.94)
+  }
+
+  test("jaro_winkler expression: interpreted and codegen agree") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("MARTHA", "MARHTA"), ("héllo", "hello"), ("ab", "ba"),
+      ("", ""), ("abcdxxxxxx", "abcdyyyyyy")).toDF("a", "b")
+    def run(mode: String): Seq[Double] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(graft.functions.GraftFunctions.jaroWinkler(col("a"), col("b")))
+        .collect().map(_.getDouble(0)).toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("NO_CODEGEN") === run("CODEGEN_ONLY"))
+  }
+
   test("plan: blocking join is an equality join, not a cartesian") {
     val plan = EntityResolution.fuzzyPairs(
       records((1L, "abcdef"), (2L, "abcdeg")), "id", "name", 2, 3)
