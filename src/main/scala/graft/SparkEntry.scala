@@ -3211,6 +3211,15 @@ object SparkEntry {
       graft.streaming.EventPipeline.streamedClickViewParity(
         s, table(s, d, "events"), "10 minutes", horizonSeconds = 600)
         .orderBy("click_id", "view_id")),
+    // SEVENTH streaming mode: the same two-stream join LEFT OUTER —
+    // null rows emit only when the watermark proves no view can
+    // match (the no-data batch after the last data batch); clicks
+    // still inside the final horizon stay in state. The oracle
+    // encodes that closure rule explicitly.
+    "events_outer_join_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.streamedClickViewOuterParity(
+        s, table(s, d, "events"), "10 minutes", horizonSeconds = 600)
+        .orderBy("click_id", "view_id")),
     // As-of join: each click matched to the user's most recent prior
     // view (oracle = DuckDB's native ASOF JOIN).
     // Discrete return-hazard life table over inter-activity gaps —
@@ -12638,6 +12647,31 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 600 SECOND
+        |ORDER BY click_id, view_id""".stripMargin,
+    "events_outer_join_streamed" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT event_id AS view_id, user_id AS v_user_id,
+        |         CAST(ts AS TIMESTAMP) AS view_ts, value AS view_value
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (SELECT least((SELECT max(click_ts) FROM c),
+        |                    (SELECT max(view_ts) FROM v))
+        |              - INTERVAL 600 SECOND AS w),
+        |m AS (
+        |  SELECT c.click_id, c.user_id, c.click_ts,
+        |         v.view_id, v.view_ts, v.view_value
+        |  FROM c JOIN v ON c.user_id = v.v_user_id
+        |   AND v.view_ts <= c.click_ts
+        |   AND v.view_ts >= c.click_ts - INTERVAL 600 SECOND),
+        |um AS (
+        |  SELECT c.click_id, c.user_id, c.click_ts
+        |  FROM c LEFT JOIN m ON c.click_id = m.click_id CROSS JOIN wm
+        |  WHERE m.click_id IS NULL AND c.click_ts < wm.w)
+        |SELECT click_id, user_id, click_ts, view_id, view_ts, view_value FROM m
+        |UNION ALL
+        |SELECT click_id, user_id, click_ts, NULL, NULL, NULL FROM um
         |ORDER BY click_id, view_id""".stripMargin,
     "events_zorder" ->
       """SELECT event_id,

@@ -704,6 +704,66 @@ object EventPipeline {
   }
 
   /**
+   * SEVENTH end-to-end streaming mode: the watermarked click←view
+   * join as a LEFT OUTER stream-stream join — the semantics inner
+   * joins dodge: an unmatched left row may only emit its null-padded
+   * result once the watermark PROVES no future view can match it
+   * (view_ts ≤ click_ts and views arrive above the watermark ⇒
+   * provable once wm > click_ts), and that proof happens in the
+   * no-data micro-batch after the last data batch. Clicks still
+   * inside the final watermark horizon are held in state and never
+   * emit — the closure rule this row's oracle encodes:
+   *
+   *   null rows ⇔ unmatched ∧ click_ts < min(max click ts, max view
+   *   ts) − delay   (global watermark = min over both sources)
+   *
+   * Matched pairs emit exactly as in the inner join, so the streamed
+   * output is batch-left-join rows minus the null rows of
+   * still-horizon clicks.
+   */
+  def streamedClickViewOuterParity(
+      spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+      watermark: String, horizonSeconds: Long): DataFrame = {
+    val clicksDir = java.nio.file.Files
+      .createTempDirectory("graft_soj_clicks").toString
+    val viewsDir = java.nio.file.Files
+      .createTempDirectory("graft_soj_views").toString
+    events.filter(col("event_type") === "click")
+      .write.mode("overwrite").parquet(clicksDir)
+    events.filter(col("event_type") === "view")
+      .write.mode("overwrite").parquet(viewsDir)
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_soj_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_soj_ckpt").toString
+    def src(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1000000") // whole input: one batch
+      .parquet(dir)
+    val c = normalizeTs(src(clicksDir)).withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = normalizeTs(src(viewsDir)).withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    val q = c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizonSeconds SECONDS"),
+      "left_outer")
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts", "view_value")
+      .writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
+  /**
    * STREAM-STATIC join parity — the fourth end-to-end streaming
    * execution mode beside the windowed aggregate, keyed dedup, and
    * stream-stream join rows: a micro-batch stream of events

@@ -613,6 +613,28 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(streamed === batch)
   }
 
+  test("streamedClickViewOuterParity: null rows gated by the final watermark") {
+    import spark.implicits._
+    // wm = min(max click 2:40, max view 2:00) − 10 min = 1:50.
+    // C1 matches V1; C3 matches V2; C2 (0:50, unmatched, < wm) emits
+    // the null row; C4 (1:55, unmatched, ≥ wm) is held in state and
+    // must NOT emit.
+    val evs = Seq(
+      Ev(1, t(0, 30), 100, "view", 1.0, "{}"),   // V1
+      Ev(2, t(0, 35), 100, "click", 0.0, "{}"),  // C1 -> V1
+      Ev(3, t(0, 50), 200, "click", 0.0, "{}"),  // C2 unmatched, old
+      Ev(4, t(2, 0), 300, "view", 2.0, "{}"),    // V2 (max view ts)
+      Ev(5, t(2, 5), 300, "click", 0.0, "{}"),   // C3 -> V2
+      Ev(6, t(1, 55), 400, "click", 0.0, "{}"),  // C4 unmatched, in horizon
+      Ev(7, t(2, 40), 500, "click", 0.0, "{}"))  // C5 unmatched, above wm
+    val out = EventPipeline.streamedClickViewOuterParity(
+        spark, evs.toDF(), "10 minutes", horizonSeconds = 600)
+      .orderBy("click_id").collect()
+    val pairs = out.map(r => (r.getLong(0),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(pairs === Seq((2L, 1L), (3L, -1L), (5L, 4L)))
+  }
+
   test("stream-static enrichment parity: streamed join equals batch join") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$Sf0001/events.parquet")
