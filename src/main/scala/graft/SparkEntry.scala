@@ -2724,6 +2724,13 @@ object SparkEntry {
       Retrieval.bm25TopK(table(s, d, "documents"), "doc_id", "text",
         Seq("dup", "hash", "merge"), k = 10)
         .orderBy("rnk")),
+    // Query-likelihood retrieval (Dirichlet μ=2000) on the same query
+    // — the LM-based classic beside BM25, same slim two-pass scan,
+    // rounded-log pieces combined exactly in DECIMAL.
+    "retrieval_ql_dirichlet" -> ((s, d) =>
+      Retrieval.queryLikelihoodTopK(table(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "hash", "merge"), k = 10)
+        .orderBy("rnk")),
     // Batched BM25: three queries amortize ONE corpus scan (the shape
     // that matters when the scan dominates); per-query top-5 via the
     // bounded topk_by_score aggregate, never a window sort. Scores are
@@ -10343,6 +10350,40 @@ object SparkEntry {
          |SELECT doc_id, n_terms, score,
          |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
          |FROM bm25 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "retrieval_ql_dirichlet" ->
+      """WITH stats AS (
+        |  SELECT CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfq AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('dup', 'hash', 'merge') GROUP BY doc_id, dl, term),
+        |cfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfq GROUP BY term),
+        |qc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nq,
+        |         sum(CAST(round(ln(2000.0e0 *
+        |           (CAST(cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))), 6)
+        |           AS DECIMAL(28,6))) AS c0
+        |  FROM cfq, stats s),
+        |ql AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_terms, t.dl,
+        |         sum(CAST(round(
+        |           ln(t.tf + 2000.0e0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))) -
+        |           ln(2000.0e0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))), 6)
+        |           AS DECIMAL(28,6))) AS sd
+        |  FROM tfq t JOIN cfq c USING (term), stats s
+        |  GROUP BY t.doc_id, t.dl),
+        |sc AS (
+        |  SELECT doc_id, n_terms,
+        |         CAST(sd + qc.c0 - CAST(round(qc.nq * ln(CAST(dl AS DOUBLE) + 2000.0e0), 6)
+        |              AS DECIMAL(28,6)) AS DOUBLE) AS score
+        |  FROM ql, qc)
+        |SELECT doc_id, n_terms, score,
+        |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // Top-20 BM25 ranking minus the all-terms relevance set = the
     // hard negatives, re-derived with the same scoring CTEs.
     "retrieval_hard_negatives" ->

@@ -109,6 +109,69 @@ object Retrieval {
   }
 
   /**
+   * Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+   * Lafferty 2001) — the LM-based classic beside BM25:
+   *
+   *   score(d, Q) = Σ_{t∈Q} ln( (tf(t,d) + μ·P(t|C)) / (dl + μ) )
+   *
+   * with P(t|C) = cf(t)/|C| and μ = 2000 (the standard prior).
+   * Decomposed for the slim-scan shape: Σ_{t present}
+   * [ln(tf + μP) − ln(μP)]  +  Σ_{t∈Q'} ln(μP)  −  |Q'|·ln(dl + μ),
+   * where Q' = query terms that occur in the corpus at all (a
+   * zero-cf term is undefined under the model; both engines derive
+   * Q' from the same cf relation). Only docs containing ≥1 query
+   * term are ranked — the inverted-index convention.
+   *
+   * Determinism: each piece is rounded to 6 decimals at a fixed
+   * point (per-term delta, the query constant's per-term logs, the
+   * per-doc length term) and combined EXACTLY in DECIMAL — the
+   * [[bm25TopK]] discipline, so partition order cannot perturb the
+   * score. Same two-pass scan shape as BM25: one exact token-sum
+   * row, one explode filtered to the query terms; cf comes from the
+   * slim tf relation (every occurrence of a query term is in a
+   * matching doc).
+   */
+  def queryLikelihoodTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "query likelihood needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val stats = docs.agg(
+      sum(size(tokens(col(textCol))).cast("long")).as("__sumdl"))
+    val tf = docs.select(
+        col(idCol),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    def muP = lit(mu) *
+      (col("cf").cast("double") / col("__sumdl").cast("double"))
+    val qconst = cf.crossJoin(broadcast(stats)).agg(
+      count(lit(1)).as("__nq"),
+      sum(round(log(muP), 6).cast("decimal(28,6)")).as("__c0"))
+    val w = Window.partitionBy(singlePartitionKey(col(idCol)))
+      .orderBy(col("score").desc, col(idCol))
+    tf.join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round(log(col("tf") + muP) - log(muP), 6)
+          .cast("decimal(28,6)")).as("__sd"))
+      .crossJoin(broadcast(qconst))
+      .select(col(idCol), col("n_terms"),
+        (col("__sd") + col("__c0") -
+          round(col("__nq").cast("double") *
+            log(col("dl").cast("double") + lit(mu)), 6)
+            .cast("decimal(28,6)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /**
    * Batched BM25: score a SET of queries in ONE corpus pass — the
    * shape that matters at 100 TB, where the scan dominates and Q
    * queries must amortize it (offline retrieval evals, hard-negative

@@ -30,6 +30,39 @@ class RetrievalSpec extends SparkFunSuite {
     assert(scores.values.forall(s => s > 0.0 && s.isFinite))
   }
 
+  test("query likelihood (Dirichlet): matches the direct formula; non-matching docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "d d d")).toDF("doc_id", "text")
+    val r = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("a", "b"), k = 10).collect()
+    // reference: score = Σ_t ln((tf + μ·cf/T) / (dl + μ)), T = 8,
+    // cf(a)=3, cf(b)=1, μ=2000
+    def ref(tfA: Long, tfB: Long, dl: Long): Double = {
+      val mu = 2000.0; val T = 8.0
+      math.log((tfA + mu * 3 / T) / (dl + mu)) +
+        math.log((tfB + mu * 1 / T) / (dl + mu))
+    }
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(!byId.contains(3L)) // no query term → unranked
+    assert(byId(1L).getLong(1) === 2L) // n_terms present
+    assert(byId(2L).getLong(1) === 1L)
+    assert(math.abs(byId(1L).getDouble(2) - ref(2, 1, 3)) < 5e-6)
+    assert(math.abs(byId(2L).getDouble(2) - ref(1, 0, 2)) < 5e-6)
+    // doc 1 has both terms and higher tf — must rank first
+    assert(byId(1L).getLong(3) === 1L && byId(2L).getLong(3) === 2L)
+  }
+
+  test("query likelihood: zero-cf query terms drop from Q' on both axes") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
+    val with_ = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("a", "zzz"), k = 10).collect()
+    val without = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("a"), k = 10).collect()
+    assert(with_.map(_.toSeq).toSeq === without.map(_.toSeq).toSeq)
+  }
+
   test("bm25: length normalization — same tf, shorter doc scores higher") {
     import spark.implicits._
     val d = Seq(
