@@ -2325,6 +2325,24 @@ object SparkEntry {
         "doc_id", "source", "page", minDocs = 3)
         .orderBy("doc_id")
     }),
+    // Spearman feature-redundancy card: rank correlation between the
+    // cheap per-doc features a quality classifier would ingest —
+    // exact integer algebra over doubled average ranks, one
+    // sqrt+division at the end.
+    "doc_feature_spearman" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("text").isNotNull)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("n_distinct"))
+      def pair(label: String, a: String, b: String) =
+        TextAnalysis.spearman(docs, a, b)
+          .select(lit(label).as("pair"), col("n"), col("rho"))
+      pair("bytes_distinct", "n_bytes", "n_distinct")
+        .unionAll(pair("tokens_bytes", "n_tokens", "n_bytes"))
+        .unionAll(pair("tokens_distinct", "n_tokens", "n_distinct"))
+        .orderBy("pair")
+    }),
     "lm_ngram_stats" -> ((s, d) =>
       LanguageModel.modelStats(table(s, d, "documents"), "doc_id", "text")),
     // Interpolated Kneser-Ney bigram smoothing: continuation-count
@@ -3260,6 +3278,13 @@ object SparkEntry {
       graft.streaming.EventPipeline.cusumHourly(
         table(s, d, "events"), driftK = 15L, alarmH = 30L)
         .orderBy("hour_ts")),
+    // Binary-segmentation changepoints (depth 2) over the hourly
+    // rate: exact integer between-variance gains from prefix sums,
+    // IEEE-double argmax with position tie-break — CUSUM's offline
+    // complement, the elbow read.
+    "events_changepoints" -> ((s, d) =>
+      graft.streaming.EventPipeline.binarySegmentation(
+        table(s, d, "events"), levels = 2)),
     "events_asof" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = graft.streaming.EventPipeline.normalizeTs(table(s, d, "events"))
@@ -8920,6 +8945,37 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
         |       CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM tri
         |ORDER BY ord""".stripMargin,
+    "doc_feature_spearman" -> {
+      def branch(label: String, x: String, y: String) =
+        s"""(WITH f AS (
+           |  SELECT CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+           |  FROM documents WHERE text IS NOT NULL),
+           |r AS (
+           |  SELECT 2 * rank() OVER (ORDER BY $x) + count(*) OVER (PARTITION BY $x) - 1 AS u,
+           |         2 * rank() OVER (ORDER BY $y) + count(*) OVER (PARTITION BY $y) - 1 AS v
+           |  FROM f),
+           |a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |         sum(CAST(u AS HUGEINT)) AS su, sum(CAST(v AS HUGEINT)) AS sv,
+           |         sum(CAST(u AS HUGEINT) * v) AS suv,
+           |         sum(CAST(u AS HUGEINT) * u) AS suu,
+           |         sum(CAST(v AS HUGEINT) * v) AS svv
+           |  FROM r)
+           |SELECT '$label' AS pair, n,
+           |       round(CAST(CAST(n AS HUGEINT) * suv - su * sv AS DOUBLE) /
+           |             (sqrt(CAST(CAST(n AS HUGEINT) * suu - su * su AS DOUBLE)) *
+           |              sqrt(CAST(CAST(n AS HUGEINT) * svv - sv * sv AS DOUBLE))), 6) AS rho
+           |FROM a)""".stripMargin
+      s"""SELECT * FROM (
+         |${branch("bytes_distinct", "n_bytes", "n_distinct")}
+         |UNION ALL
+         |${branch("tokens_bytes", "n_tokens", "n_bytes")}
+         |UNION ALL
+         |${branch("tokens_distinct", "n_tokens", "n_distinct")}
+         |) ORDER BY pair""".stripMargin
+    },
     "lm_kneser_ney" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |pos AS (
@@ -12689,6 +12745,64 @@ object SparkEntry {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 600 SECOND
         |ORDER BY click_id, view_id""".stripMargin,
+    "events_changepoints" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |hourly AS (SELECT date_trunc('hour', ts) AS hr,
+        |                  CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        |pre AS (SELECT hr, c,
+        |        CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS pos,
+        |        CAST(sum(c) OVER (ORDER BY hr) AS BIGINT) AS cs
+        |        FROM hourly),
+        |tot AS (SELECT CAST(max(pos) AS BIGINT) AS h,
+        |               CAST(sum(c) AS BIGINT) AS stot FROM pre),
+        |g1 AS (
+        |  SELECT p.pos,
+        |         CAST(p.cs AS HUGEINT) * (t.h - p.pos) -
+        |           CAST(t.stot - p.cs AS HUGEINT) * p.pos AS d,
+        |         p.pos * (t.h - p.pos) AS den
+        |  FROM pre p, tot t WHERE p.pos < t.h),
+        |b1 AS (SELECT pos FROM (
+        |         SELECT pos, CAST(d * d AS DOUBLE) / CAST(den AS DOUBLE) AS score
+        |         FROM g1)
+        |       ORDER BY score DESC, pos LIMIT 1),
+        |g2l AS (
+        |  SELECT p.pos,
+        |         CAST(p.cs AS HUGEINT) * (b.pos - p.pos) -
+        |           CAST(ch.cs - p.cs AS HUGEINT) * p.pos AS d,
+        |         p.pos * (b.pos - p.pos) AS den
+        |  FROM pre p, b1 b JOIN pre ch ON ch.pos = b.pos
+        |  WHERE p.pos < b.pos),
+        |b2l AS (SELECT pos FROM (
+        |          SELECT pos, CAST(d * d AS DOUBLE) / CAST(den AS DOUBLE) AS score
+        |          FROM g2l)
+        |        ORDER BY score DESC, pos LIMIT 1),
+        |g2r AS (
+        |  SELECT p.pos,
+        |         CAST(p.cs - ch.cs AS HUGEINT) * (t.h - p.pos) -
+        |           CAST(t.stot - p.cs AS HUGEINT) * (p.pos - b.pos) AS d,
+        |         (p.pos - b.pos) * (t.h - p.pos) AS den
+        |  FROM pre p, b1 b JOIN pre ch ON ch.pos = b.pos, tot t
+        |  WHERE p.pos > b.pos AND p.pos < t.h),
+        |b2r AS (SELECT pos FROM (
+        |          SELECT pos, CAST(d * d AS DOUBLE) / CAST(den AS DOUBLE) AS score
+        |          FROM g2r)
+        |        ORDER BY score DESC, pos LIMIT 1),
+        |cuts AS (
+        |  SELECT 1 AS level, CAST(1 AS BIGINT) AS lo_pos, t.h AS hi_pos,
+        |         b.pos AS split_pos
+        |  FROM b1 b, tot t
+        |  UNION ALL
+        |  SELECT 2, CAST(1 AS BIGINT), b.pos, l.pos FROM b2l l, b1 b
+        |  UNION ALL
+        |  SELECT 2, b.pos + 1, t.h, r.pos FROM b2r r, b1 b, tot t)
+        |SELECT CAST(level AS BIGINT) AS level,
+        |       plo.hr AS lo_hour, phi.hr AS hi_hour, ps.hr AS split_hour,
+        |       hi_pos - lo_pos + 1 AS n_hours
+        |FROM cuts
+        |JOIN pre plo ON plo.pos = cuts.lo_pos
+        |JOIN pre phi ON phi.pos = cuts.hi_pos
+        |JOIN pre ps ON ps.pos = cuts.split_pos
+        |ORDER BY level, lo_hour""".stripMargin,
     "events_outer_join_streamed" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts

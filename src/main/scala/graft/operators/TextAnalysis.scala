@@ -1166,4 +1166,48 @@ object TextAnalysis {
       .orderBy(col("rank_micros").desc, col("term"))
       .limit(k)
   }
+
+  /**
+   * Spearman rank correlation between two numeric columns — the
+   * feature-redundancy check before features enter a quality
+   * classifier (monotone association, outlier-proof where Pearson is
+   * not). Computed as Pearson over DOUBLED average ranks
+   * `u = 2·rank_min + ties − 1` (an exact INTEGER even for tied
+   * groups, where the average rank itself is a half), with the
+   * standard tie-corrected identity: every sum is an exact
+   * DECIMAL(38)/HUGEINT, and the one sqrt+division runs on those
+   * integers in a fixed order rounded to 6 dp. Bound: n⁴ must fit 38
+   * digits — fine to ~10⁹ rows.
+   *
+   * Shape: ranking is two global sorts (inherent to rank
+   * correlation — an offline stats card, not a hot-path operator),
+   * then one exact aggregate.
+   */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("x"), col(yCol).as("y"))
+    val ranked = base
+      .withColumn("rx", rank().over(Window.partitionBy(lit(1)).orderBy("x")))
+      .withColumn("cx", count(lit(1)).over(Window.partitionBy("x")))
+      .withColumn("ry", rank().over(Window.partitionBy(lit(1)).orderBy("y")))
+      .withColumn("cy", count(lit(1)).over(Window.partitionBy("y")))
+      .select((lit(2L) * col("rx") + col("cx") - 1).as("u"),
+        (lit(2L) * col("ry") + col("cy") - 1).as("v"))
+    val dec = "DECIMAL(38,0)"
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"CAST(u AS $dec)")).as("su"),
+        sum(expr(s"CAST(v AS $dec)")).as("sv"),
+        sum(expr(s"CAST(u AS $dec) * v")).as("suv"),
+        sum(expr(s"CAST(u AS $dec) * u")).as("suu"),
+        sum(expr(s"CAST(v AS $dec) * v")).as("svv"))
+      .select(col("n"),
+        round(
+          expr(s"CAST(CAST(n AS $dec) * suv - su * sv AS DOUBLE)") /
+            (sqrt(expr(s"CAST(CAST(n AS $dec) * suu - su * su AS DOUBLE)")) *
+              sqrt(expr(s"CAST(CAST(n AS $dec) * svv - sv * sv AS DOUBLE)"))),
+          6).as("rho"))
+  }
 }

@@ -952,6 +952,98 @@ object EventPipeline {
         round(lit(2.0) * col("s") / (col("n") * (col("n") - 1)), 6).as("tau"))
   }
 
+  /**
+   * Binary-segmentation changepoint detection over the hourly event
+   * rate (Scott & Knott 1974; the CUSUM card's offline complement):
+   * at each level, every current segment splits at the position
+   * maximizing the between-segment variance reduction
+   *
+   *   gain(k) = (S_l·n_r − S_r·n_l)² / (n_l·n_r·n)
+   *
+   * whose numerator and denominator are EXACT integers from prefix
+   * sums (the constant 1/n is dropped from the argmax). The argmax
+   * compares num/den as IEEE doubles — one division, identical in
+   * any engine — with position as the tie-break; `gain` is reported
+   * on the 6-dp grid (count² units). Two levels → up to 3
+   * changepoints, the classic elbow read.
+   *
+   * Shape: the hourly rollup is the only full scan; every level is
+   * one pass over the BOUNDED hours relation (positions × segments,
+   * ≤ thousands of slim rows), and the segment list on the driver is
+   * ≤ 2^levels entries.
+   */
+  def binarySegmentation(events: DataFrame, levels: Int = 2): DataFrame = {
+    val ev = normalizeTs(events)
+    val spark = events.sparkSession
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy("hr")
+    val pre = hourly
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cs", sum("c").over(w))
+      .select("pos", "hr", "c", "cs")
+    pre.persist()
+    val maxPos = pre.agg(max("pos")).collect().head.getLong(0)
+    // driver state: segment list (lo, hi) by position, ≤ 2^levels rows
+    var segs = Seq((1L, maxPos)).filter { case (lo, hi) => hi > lo }
+    val out = Seq.newBuilder[(Int, Long, Long, Long)] // (level, lo, hi, split)
+    var lvl = 1
+    while (lvl <= levels && segs.nonEmpty) {
+      import spark.implicits._
+      val segDf = segs.toDF("lo", "hi")
+      // gains for ALL current segments in one pass over the bounded
+      // relation; argmax per segment by (score desc, pos)
+      val wseg = org.apache.spark.sql.expressions.Window
+        .partitionBy("lo", "hi")
+        .orderBy(col("__score").desc, col("pos"))
+      val best = broadcast(segDf)
+        .join(pre, col("pos") >= col("lo") && col("pos") < col("hi"))
+        .join(broadcast(pre.select(col("pos").as("hi2"), col("cs").as("cshi"))),
+          col("hi2") === col("hi"))
+        .join(broadcast(pre.select((col("pos") + 1).as("lo2"),
+          col("cs").as("cslo_prev"))
+          .unionByName(spark.range(1).select(lit(1L).as("lo2"),
+            lit(0L).as("cslo_prev")))),
+          col("lo2") === col("lo"))
+        .select(col("lo"), col("hi"), col("pos"),
+          (col("pos") - col("lo") + 1).as("nl"),
+          (col("hi") - col("pos")).as("nr"),
+          (col("cs") - col("cslo_prev")).as("sl"),
+          (col("cshi") - col("cs")).as("sr"))
+        .select(col("lo"), col("hi"), col("pos"),
+          expr("CAST(sl AS DECIMAL(38,0)) * nr - CAST(sr AS DECIMAL(38,0)) * nl")
+            .as("__d"),
+          (col("nl") * col("nr")).as("__den"))
+        .withColumn("__score",
+          (col("__d") * col("__d")).cast("double") / col("__den").cast("double"))
+        .withColumn("__rn", row_number().over(wseg))
+        .filter(col("__rn") === 1)
+        .select("lo", "hi", "pos")
+        .collect()
+      val found = best.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+      found.foreach { case (lo, hi, k) => out += ((lvl, lo, hi, k)) }
+      segs = found.flatMap { case (lo, hi, k) =>
+        Seq((lo, k), (k + 1, hi)) }.filter { case (lo, hi) => hi > lo }
+      lvl += 1
+    }
+    import spark.implicits._
+    val cuts = out.result().toDF("level", "lo_pos", "hi_pos", "split_pos")
+    cuts
+      .join(broadcast(pre.select(col("pos").as("split_pos"),
+        col("hr").as("split_hour"))), "split_pos")
+      .join(broadcast(pre.select(col("pos").as("lo_pos"), col("hr").as("lo_hour"))),
+        "lo_pos")
+      .join(broadcast(pre.select(col("pos").as("hi_pos"), col("hr").as("hi_hour"))),
+        "hi_pos")
+      .select(col("level").cast("long").as("level"), col("lo_hour"),
+        col("hi_hour"), col("split_hour"),
+        (col("hi_pos") - col("lo_pos") + 1).as("n_hours"))
+      .orderBy("level", "lo_hour")
+  }
+
   /** Open-session state for [[sessionizeStream]] (micros + cents so
     * the fold is exact integers end to end). */
   final case class OpenSession(

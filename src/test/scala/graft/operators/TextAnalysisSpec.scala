@@ -690,4 +690,18 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(r.getAs[Double]("r2") > 0.98)
     assert(r.getAs[Long]("n_points") >= 8L)
   }
+
+  test("spearman: monotone ±1, hand-computed tie correction") {
+    import spark.implicits._
+    def rho(rows: Seq[(Long, Long)]): Double =
+      TextAnalysis.spearman(rows.toDF("x", "y"), "x", "y")
+        .collect().head.getDouble(1)
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L))) === 1.0)
+    assert(rho(Seq((1L, 30L), (2L, 20L), (3L, 10L))) === -1.0)
+    // any monotone transform leaves rho untouched (rank invariance)
+    assert(rho(Seq((1L, 1L), (2L, 100L), (3L, 101L))) === 1.0)
+    // ties: x=[1,2,2,3], y=[1,3,2,4] → doubled avg ranks u=[2,5,5,8],
+    // v=[2,6,4,8]: num 72, denoms 72·80 → 72/√5760 = 0.948683
+    assert(rho(Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L))) === 0.948683)
+  }
 }

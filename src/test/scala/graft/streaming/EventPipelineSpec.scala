@@ -732,6 +732,26 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(view.getDouble(5) === 1.0)   // tau
   }
 
+  test("binarySegmentation: level shift found exactly; uniform halves tie to first pos") {
+    import spark.implicits._
+    // hourly counts 10,10,10,10,50,50,50,50 — the level-1 split is
+    // after hour 3 (pos 4); both halves are uniform, so level-2
+    // gains are all 0 and the position tie-break picks the first
+    // valid split in each half (pos 1 and pos 5).
+    val evs = (0 until 8).flatMap { h =>
+      val n = if (h < 4) 10 else 50
+      (0 until n).map(i => Ev(h * 1000 + i, t(h, 1), 100, "view", 1.0, "{}"))
+    }
+    val got = EventPipeline.binarySegmentation(evs.toDF(), levels = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).toString.substring(11, 13),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "03", 8L),   // split after hour 03, full 8-hour segment
+      (2L, "00", 4L),   // left half, first-pos tie-break
+      (2L, "04", 4L)))  // right half
+  }
+
   test("sessionizeStream: in-batch closes emit immediately; timeout closure is strict ms") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
