@@ -1880,6 +1880,18 @@ object SparkEntry {
             when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("d")),
         "source", "doc_id", "d", reps = 64)
         .orderBy("source")),
+    // Multiple-testing corrections (Bonferroni / Holm / BH-FDR) over
+    // the per-source permutation p-value family — exact integral
+    // micros, deterministic (p, group) rank ties.
+    "eval_multiple_testing" -> ((s, d) =>
+      Bootstrap.multipleTesting(
+        Bootstrap.permutationTest(
+          table(s, d, "documents").select(col("source"), col("doc_id"),
+            ((col("n_chars") % 5) - 2 +
+              when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("d")),
+          "source", "doc_id", "d", reps = 64),
+        "source", "p_micro")
+        .orderBy("rnk")),
     // Delete-one-USER jackknife variance of the clicks-per-view
     // ratio — the cluster-correct error bar for ratio metrics that
     // completes the inferential kit (bootstrap CI, McNemar,
@@ -9451,6 +9463,61 @@ object SparkEntry {
         |       CAST(CAST(n_ge + 1 AS HUGEINT) * 1000000 // 65 AS BIGINT)
         |         AS p_micro
         |FROM agg ORDER BY source""".stripMargin,
+    // The permutation chain again, then the three corrections as
+    // ordered windows over the bounded p-value family.
+    "eval_multiple_testing" ->
+      """WITH ex AS (
+        |  SELECT source, doc_id AS id,
+        |         (n_chars % 5) - 2 +
+        |           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS d
+        |  FROM documents),
+        |obs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(ABS(SUM(d)) AS BIGINT) AS obs_abs
+        |        FROM ex GROUP BY 1),
+        |grid AS (SELECT source, id, d, CAST(r AS BIGINT) AS rep
+        |         FROM ex, unnest(generate_series(0, 63)) t(r)),
+        |h AS (
+        |  SELECT source, rep, d,
+        |         list_sum(list_transform(generate_series(1, 4), i ->
+        |           (strpos('0123456789abcdef',
+        |              substr(md5(CAST(id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)),
+        |                     CAST(i AS INT), 1)) - 1)
+        |           * CAST(16 ** (4 - i) AS BIGINT))) AS hv
+        |  FROM grid),
+        |p AS (SELECT source, rep,
+        |        CAST(ABS(SUM(CASE WHEN hv % 2 = 0 THEN d ELSE -d END))
+        |          AS BIGINT) AS perm_abs
+        |      FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT p.source, o.n, o.obs_abs,
+        |         CAST(SUM(CASE WHEN p.perm_abs >= o.obs_abs THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_ge
+        |  FROM p JOIN obs o USING (source) GROUP BY 1, 2, 3),
+        |pv AS (SELECT source,
+        |         CAST(CAST(n_ge + 1 AS HUGEINT) * 1000000 // 65 AS BIGINT)
+        |           AS p_micro
+        |       FROM agg),
+        |adj AS (
+        |  SELECT source, p_micro,
+        |         CAST(count(*) OVER () AS BIGINT) AS m,
+        |         CAST(row_number() OVER (ORDER BY p_micro, source) AS BIGINT)
+        |           AS rnk
+        |  FROM pv),
+        |adj2 AS (
+        |  SELECT source, p_micro, rnk,
+        |         least(p_micro * m, 1000000) AS bonferroni_micro,
+        |         max(least((m - rnk + 1) * p_micro, 1000000))
+        |           OVER (ORDER BY p_micro, source
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS holm_micro,
+        |         min(least((p_micro * m) // rnk, 1000000))
+        |           OVER (ORDER BY p_micro, source
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS bh_micro
+        |  FROM adj)
+        |SELECT source, p_micro, rnk, bonferroni_micro, holm_micro, bh_micro,
+        |       bh_micro <= 50000 AS reject_bh
+        |FROM adj2 ORDER BY rnk""".stripMargin,
     // Midrank rank-sum replayed on the per-(source, score) counts.
     // The cumulative window is tie-free by construction (score is the
     // grouping key), so DuckDB's RANGE default frame equals Spark's

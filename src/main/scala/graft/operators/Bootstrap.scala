@@ -165,4 +165,45 @@ object Bootstrap {
             s"(CAST(n_used AS $dec) * n_used * (n_used - 1))"))
           .otherwise(0L).as("var_jack_micro2"))
   }
+
+  /**
+   * Multiple-testing corrections over a family of per-slice p-values
+   * — the step a metrics dashboard skips at its peril once it tests
+   * one hypothesis per source/segment. Three standard adjustments on
+   * the exact micro grid, clamped at 10⁶ (p = 1):
+   *
+   *  - Bonferroni: `min(p·m, 1)` — FWER, maximally conservative;
+   *  - Holm (1979) step-down: running MAX over ranks j ≤ i of
+   *    `min((m−j+1)·p_(j), 1)` — uniformly better FWER;
+   *  - Benjamini–Hochberg (1995) step-up: running MIN over ranks
+   *    j ≥ i of `min(⌊p_(j)·m / j⌋, 1)` — FDR, the large-family
+   *    default.
+   *
+   * Ranks order by (p, group) so ties are deterministic; the
+   * integral `div` keeps every adjusted value an exact BIGINT both
+   * engines agree on. The family is ≤ |slices| rows, so the ordered
+   * windows run on a bounded relation.
+   */
+  def multipleTesting(
+      pvals: DataFrame, groupCol: String, pCol: String,
+      alphaMicro: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1)).orderBy(col(pCol), col(groupCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pvals
+      .select(col(groupCol), col(pCol).cast("long").as("p_micro"))
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy(lit(1))).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("bonferroni_micro",
+        least(col("p_micro") * col("m"), lit(1000000L)))
+      .withColumn("holm_micro",
+        max(least((col("m") - col("rnk") + 1) * col("p_micro"),
+          lit(1000000L))).over(wCum))
+      .withColumn("bh_micro",
+        min(least(expr("(p_micro * m) div rnk"), lit(1000000L))).over(wSuf))
+      .withColumn("reject_bh", col("bh_micro") <= alphaMicro)
+      .drop("m")
+  }
 }

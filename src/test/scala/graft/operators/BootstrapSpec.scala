@@ -113,4 +113,24 @@ class BootstrapSpec extends SparkFunSuite {
     // deleting u1 empties the denominator → only u2, u3 usable
     assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
   }
+
+  test("multipleTesting: hand-computed Bonferroni / Holm / BH with clamps") {
+    import spark.implicits._
+    val pv = Seq(("A", 10000L), ("B", 20000L), ("C", 200000L), ("D", 1000000L))
+      .toDF("slice", "p_micro")
+    val out = Bootstrap.multipleTesting(pv, "slice", "p_micro")
+      .orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    // m=4: bonf = min(4p, 1); holm = runmax((m-i+1)p); bh = sufmin(pm/i)
+    assert(out.toSeq === Seq(
+      ("A", 1L, 40000L, 40000L, 40000L, true),
+      ("B", 2L, 80000L, 60000L, 40000L, true),
+      ("C", 3L, 800000L, 400000L, 266666L, false),
+      ("D", 4L, 1000000L, 1000000L, 1000000L, false)))
+    // monotone: holm non-decreasing in rank, bh non-decreasing
+    val holm = out.map(_._4); val bh = out.map(_._5)
+    assert(holm.sliding(2).forall(p => p(0) <= p(1)))
+    assert(bh.sliding(2).forall(p => p(0) <= p(1)))
+  }
 }
