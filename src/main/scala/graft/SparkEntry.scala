@@ -2461,6 +2461,35 @@ object SparkEntry {
       Anonymity.kAnonymityCard(table(s, d, "documents"),
         Seq("lang", "source"), "text", k = 5)
         .orderBy("lang", "source")),
+    // GDPR erasure-cascade audit: the deletion manifest a
+    // right-to-be-forgotten batch must produce — per-table
+    // before/removed/after counts as the victim set cascades through
+    // the foreign keys (customer → orders → lineitem). Victims and
+    // order keys are broadcast semi/anti-join sides; each table is
+    // scanned once.
+    "privacy_erasure_cascade" -> ((s, d) => {
+      val cust = table(s, d, "customer")
+      val ord = table(s, d, "orders")
+      val li = table(s, d, "lineitem")
+      val victims = cust.filter(col("c_custkey") % 97 === 3)
+        .select(col("c_custkey").as("k"))
+      val deadOrders = ord.join(broadcast(victims),
+        col("o_custkey") === col("k")).select(col("o_orderkey").as("ok"))
+      def cardRow(name: String, df: DataFrame, removed: DataFrame) = {
+        val b = df.agg(count(lit(1)).as("rows_before"))
+        val r = removed.agg(count(lit(1)).as("rows_removed"))
+        b.crossJoin(r).select(lit(name).as("table_name"),
+          col("rows_before"), col("rows_removed"),
+          (col("rows_before") - col("rows_removed")).as("rows_after"))
+      }
+      cardRow("customer", cust,
+          cust.join(broadcast(victims), col("c_custkey") === col("k")))
+        .unionAll(cardRow("lineitem", li,
+          li.join(broadcast(deadOrders), col("l_orderkey") === col("ok"))))
+        .unionAll(cardRow("orders", ord,
+          ord.join(broadcast(victims), col("o_custkey") === col("k"))))
+        .orderBy("table_name")
+    }),
     "privacy_suppress" -> ((s, d) =>
       Anonymity.suppressSmallGroups(table(s, d, "documents"),
         Seq("lang", "source"), k = 5)
@@ -8685,6 +8714,32 @@ object SparkEntry {
         |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS l_distinct,
         |       (count(*) < 5) AS at_risk
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "privacy_erasure_cascade" ->
+      """WITH victims AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 3),
+        |dead_orders AS (
+        |  SELECT o_orderkey AS ok FROM orders
+        |  JOIN victims ON o_custkey = k)
+        |SELECT 'customer' AS table_name,
+        |       CAST((SELECT count(*) FROM customer) AS BIGINT) AS rows_before,
+        |       CAST((SELECT count(*) FROM victims) AS BIGINT) AS rows_removed,
+        |       CAST((SELECT count(*) FROM customer) -
+        |            (SELECT count(*) FROM victims) AS BIGINT) AS rows_after
+        |UNION ALL
+        |SELECT 'lineitem',
+        |       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |       CAST((SELECT count(*) FROM lineitem
+        |             JOIN dead_orders ON l_orderkey = ok) AS BIGINT),
+        |       CAST((SELECT count(*) FROM lineitem) -
+        |            (SELECT count(*) FROM lineitem
+        |             JOIN dead_orders ON l_orderkey = ok) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders',
+        |       CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |       CAST((SELECT count(*) FROM dead_orders) AS BIGINT),
+        |       CAST((SELECT count(*) FROM orders) -
+        |            (SELECT count(*) FROM dead_orders) AS BIGINT)
+        |ORDER BY table_name""".stripMargin,
     "privacy_suppress" ->
       """WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
         |SELECT doc_id,
