@@ -5616,6 +5616,16 @@ object SparkEntry {
         QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d)),
         "score", "rule_label")
     }),
+    // Platt scaling of the same scored relation: σ(A·s + B) fit by
+    // integral-state GD with Platt's smoothed targets — the
+    // parametric calibration sibling of the isotonic row; A/B are
+    // bit-exact micro integers.
+    "classifier_platt" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      QualityClassifier.plattSummary(
+        QualityClassifier.score(docs, "doc_id", "text", clsModel(s, d)),
+        "score", "rule_label")
+    }),
     // Isotonic calibration (PAV via the minimax closed form) of the
     // same scored relation: monotone calibrated probabilities per
     // score bin, all integral micros — the proper recalibration step
@@ -13515,6 +13525,49 @@ object SparkEntry {
       |           (sum(n) * 1000000.0), 6) AS ece
       |  FROM pb3)
       |SELECT pb3.*, e.ece FROM pb3 CROSS JOIN e ORDER BY bin""".stripMargin),
+    // Platt GD replay: per-iteration 1-row parameter CTEs over the
+    // micro-quantized gradient sums — bit-identical am/bm per step.
+    "classifier_platt" -> {
+      val p = "(1.0 / (1.0 + exp(-(CAST(am AS DOUBLE) / 1000000.0 * " +
+        "(sci / 10000.0) + CAST(bm AS DOUBLE) / 1000000.0))))"
+      // every iteration CTE is MATERIALIZED and references its
+      // predecessor once — pl(k-1) feeding both the gradient and the
+      // update would otherwise inline 2^iters times
+      val iters = (1 to QualityClassifier.PlattIters).map { k =>
+        s"""pg$k AS MATERIALIZED (
+           |  SELECT max(am) AS am, max(bm) AS bm, max(n) AS n,
+           |         CAST(sum(floor(($p - tt) * (sci / 10000.0) * 1000000.0 + 0.5)) AS BIGINT) AS ga,
+           |         CAST(sum(floor(($p - tt) * 1000000.0 + 0.5)) AS BIGINT) AS gb
+           |  FROM scb CROSS JOIN pl${k - 1} CROSS JOIN pn),
+           |pl$k AS MATERIALIZED (
+           |  SELECT CAST(am - floor(4.0 * ga / n + 0.5) AS BIGINT) AS am,
+           |         CAST(bm - floor(4.0 * gb / n + 0.5) AS BIGINT) AS bm
+           |  FROM pg$k)""".stripMargin
+      }.mkString(",\n")
+      ClassifierFitCtes + s"""
+        |, scored AS MATERIALIZED (
+        |  SELECT f2.doc_id, f2.y, 1.0 / (1.0 + exp(-(x1 * (w1m / 1000000.0) +
+        |    x2 * (w2m / 1000000.0) + x3 * (w3m / 1000000.0) +
+        |    x4 * (w4m / 1000000.0) + bm / 1000000.0))) AS p
+        |  FROM f2 CROSS JOIN w${QualityClassifier.Iters}),
+        |sc AS MATERIALIZED (
+        |  SELECT round(p, 4) AS score, CAST(y AS BIGINT) AS y FROM scored),
+        |pn AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np,
+        |         CAST(((sum(y) + 1) * 1000000) // (sum(y) + 2) AS BIGINT) AS tp,
+        |         CAST(1000000 // (count(*) - sum(y) + 2) AS BIGINT) AS tn
+        |  FROM sc),
+        |scb AS MATERIALIZED (
+        |  SELECT CAST(floor(score * 10000 + 0.5) AS BIGINT) AS sci,
+        |         CAST(CASE WHEN y = 1 THEN pn.tp ELSE pn.tn END AS DOUBLE)
+        |           / 1000000.0 AS tt
+        |  FROM sc CROSS JOIN pn),
+        |pl0 AS (SELECT CAST(0 AS BIGINT) AS am, CAST(0 AS BIGINT) AS bm),
+        |$iters
+        |SELECT pn.n, pn.np AS n_pos, pn.tp AS t_pos_micro,
+        |       pn.tn AS t_neg_micro, f.am AS a_micro, f.bm AS b_micro
+        |FROM pn CROSS JOIN pl${QualityClassifier.PlattIters} f""".stripMargin
+    },
     // PAV minimax replay on the bin grid: prefix sums, O(B²) interval
     // rates as integral micros, then max-of-min per bin.
     "classifier_isotonic" -> (ClassifierFitCtes + s"""

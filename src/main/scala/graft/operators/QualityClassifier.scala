@@ -304,6 +304,61 @@ object QualityClassifier {
         s"(CAST(n AS $dec) * n)").as("uncertainty_micro"))
   }
 
+  /** Platt GD steps — fixed so the SQL oracle unrolls to the same
+    * depth. */
+  val PlattIters = 24
+
+  /**
+   * Platt scaling (Platt 1999) — the parametric sibling of
+   * [[isotonic]]: fit σ(A·s + B) to (score, label) by full-batch
+   * gradient descent with Platt's smoothed targets
+   * t₊ = (N₊+1)/(N₊+2), t₋ = 1/(N₋+2) (the prior-correct shrinkage
+   * that keeps the fit off the 0/1 boundary). Same integral-state
+   * discipline as [[fit]]: per-row gradient terms micro-quantized
+   * (`floor(x·10⁶ + 0.5)`) BEFORE the exact BIGINT sum, parameters
+   * updated by `floor(lr·Σ/n + 0.5)` — A and B are bit-identical
+   * micro integers in any engine after every step. `iters` + 1
+   * bounded aggregates; driver state is two longs.
+   *
+   * @return one row: (n, n_pos, t_pos_micro, t_neg_micro, a_micro,
+   *         b_micro)
+   */
+  def plattSummary(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      iters: Int = PlattIters, lr: Double = 4.0): DataFrame = {
+    val base = scored.select(
+        floor(col(scoreCol) * 10000 + 0.5).cast("long").as("sb"),
+        col(labelCol).cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = base.agg(count(lit(1)).as("n"), sum("y").as("np")).collect()(0)
+      val n = cnt.getLong(0); val nPos = cnt.getLong(1)
+      val nNeg = n - nPos
+      val tPos = (nPos + 1) * 1000000L / (nPos + 2)
+      val tNeg = 1000000L / (nNeg + 2)
+      val t = when(col("y") === 1, lit(tPos)).otherwise(lit(tNeg))
+        .cast("double") / lit(1e6)
+      val sd = col("sb").cast("double") / lit(10000.0)
+      var a = 0L; var b = 0L
+      for (_ <- 1 to iters) {
+        val p = lit(1.0) / (lit(1.0) +
+          exp(-(lit(a).cast("double") / lit(1e6) * sd +
+            lit(b).cast("double") / lit(1e6))))
+        val row = base.agg(
+          sum(floor((p - t) * sd * lit(1e6) + lit(0.5)).cast("long")).as("ga"),
+          sum(floor((p - t) * lit(1e6) + lit(0.5)).cast("long")).as("gb"))
+          .collect()(0)
+        def delta(s: Long): Long = math.floor(lr * s.toDouble / n + 0.5).toLong
+        a -= delta(row.getLong(0))
+        b -= delta(row.getLong(1))
+      }
+      scored.sparkSession.range(1).select(
+        lit(n).as("n"), lit(nPos).as("n_pos"),
+        lit(tPos).as("t_pos_micro"), lit(tNeg).as("t_neg_micro"),
+        lit(a).as("a_micro"), lit(b).as("b_micro"))
+    } finally base.unpersist()
+  }
+
   /**
    * Isotonic calibration of a scored relation (pool-adjacent-violators
    * fit; Zadrozny & Elkan 2002 for classifier calibration) via the

@@ -145,6 +145,28 @@ class QualityClassifierSpec extends SparkFunSuite {
       Array((0, 0L, 0L), (5, 500000L, 500000L), (10, 1000000L, 1000000L)))
   }
 
+  test("platt: smoothed targets exact; slope positive on separable scores; deterministic") {
+    import spark.implicits._
+    val scored = (Seq.fill(4)((0.1, 0L)) ++ Seq.fill(4)((0.9, 1L)))
+      .toDF("score", "rule_label")
+    val r = QualityClassifier.plattSummary(scored, "score", "rule_label")
+      .collect().head
+    assert(r.getLong(0) === 8L && r.getLong(1) === 4L)
+    // t+ = 5/6, t− = 1/6 on the truncated micro grid
+    assert(r.getLong(2) === 833333L)
+    assert(r.getLong(3) === 166666L)
+    // scores separate the classes → positive slope, and σ(A·s̄+B)
+    // orders the two groups correctly
+    val a = r.getLong(4); val b = r.getLong(5)
+    assert(a > 0L, s"a_micro=$a")
+    def sig(s: Double) = 1.0 / (1.0 + math.exp(-(a / 1e6 * s + b / 1e6)))
+    assert(sig(0.9) > sig(0.1))
+    // integral state ⇒ bit-identical refit
+    val r2 = QualityClassifier.plattSummary(scored, "score", "rule_label")
+      .collect().head
+    assert(r2.toSeq === r.toSeq)
+  }
+
   test("brier decomposition: hand case, identity holds exactly") {
     import spark.implicits._
     // two per bin with constant in-bin forecasts: p=0.1 (y: 0,1) and
