@@ -2790,6 +2790,18 @@ object SparkEntry {
       Retrieval.queryLikelihoodTopK(table(s, d, "documents"), "doc_id", "text",
         Seq("dup", "hash", "merge"), k = 10)
         .orderBy("rnk")),
+    // RM3 pseudo-relevance feedback: the interpolated expansion-model
+    // card (term weights from the QL top-10's relevance model) and
+    // the weighted-QL second pass, whose scores are pure BIGINTs in
+    // 1e-12 units — zero float accumulation.
+    "retrieval_rm3_terms" -> ((s, d) =>
+      Retrieval.rm3Model(table(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "hash", "merge"))
+        .orderBy(col("weight_micro").desc, col("term"))),
+    "retrieval_rm3" -> ((s, d) =>
+      Retrieval.rm3TopK(table(s, d, "documents"), "doc_id", "text",
+        Seq("dup", "hash", "merge"), k = 10)
+        .orderBy("rnk")),
     // Batched BM25: three queries amortize ONE corpus scan (the shape
     // that matters when the scan dominates); per-query top-5 via the
     // bounded topk_by_score aggregate, never a window sort. Scores are
@@ -5794,6 +5806,60 @@ object SparkEntry {
       |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
       |  FROM tfq t JOIN dfq d USING (term), stats s
       |  GROUP BY t.doc_id)""".stripMargin
+
+  /** Shared RM3 oracle chain: the QL pass-1 CTEs, feedback-doc
+    * weights, relevance-model masses, and the interpolated term
+    * weights (wrel) — every step on the exact grids the Scala
+    * operators use. */
+  private lazy val rm3Ctes: String =
+    """WITH stats AS MATERIALIZED (
+      |  SELECT CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
+      |  FROM documents),
+      |toks AS MATERIALIZED (
+      |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tfq AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('dup', 'hash', 'merge') GROUP BY doc_id, dl, term),
+      |cfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfq GROUP BY term),
+      |qc AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nq,
+      |         sum(CAST(round(ln(2000.0e0 *
+      |           (CAST(cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))), 6)
+      |           AS DECIMAL(28,6))) AS c0
+      |  FROM cfq, stats s),
+      |ql1 AS (
+      |  SELECT t.doc_id, t.dl,
+      |         sum(CAST(round(
+      |           ln(t.tf + 2000.0e0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))) -
+      |           ln(2000.0e0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))), 6)
+      |           AS DECIMAL(28,6))) AS sd
+      |  FROM tfq t JOIN cfq c USING (term), stats s
+      |  GROUP BY t.doc_id, t.dl),
+      |fb AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CAST(sd + qc.c0 - CAST(round(qc.nq * ln(CAST(dl AS DOUBLE) + 2000.0e0), 6)
+      |              AS DECIMAL(28,6)) AS DOUBLE) AS score
+      |  FROM ql1, qc ORDER BY score DESC, doc_id LIMIT 10),
+      |mx AS (SELECT max(score) AS ms FROM fb),
+      |fbw AS (SELECT doc_id,
+      |          CAST(floor(exp(score - ms) * 1000000 + 0.5) AS BIGINT) AS wq
+      |        FROM fb, mx),
+      |fbt AS (SELECT t.doc_id, f.wq, t.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+      |        FROM toks t JOIN fbw f USING (doc_id) GROUP BY 1, 2, 3, 4),
+      |srel AS (SELECT term, CAST(sum((wq * tf * 1000000) // dl) AS BIGINT) AS s
+      |         FROM fbt GROUP BY 1),
+      |tope AS (SELECT term, s FROM srel ORDER BY s DESC, term LIMIT 10),
+      |sums AS (SELECT CAST(sum(s) AS BIGINT) AS ss FROM tope),
+      |orig(term, qtf) AS (VALUES ('dup', CAST(1 AS BIGINT)), ('hash', 1), ('merge', 1)),
+      |wrel AS MATERIALIZED (
+      |  SELECT coalesce(o.term, e.term) AS term,
+      |         CAST(coalesce(e.s, 0) AS BIGINT) AS s_micro,
+      |         CAST(coalesce((500000 * o.qtf) // 3, 0) +
+      |              coalesce((500000 * e.s) // ss, 0) AS BIGINT) AS weight_micro,
+      |         o.term IS NOT NULL AS is_original
+      |  FROM orig o FULL JOIN tope e ON o.term = e.term CROSS JOIN sums)""".stripMargin
 
   private def knnOracle(scoreExpr: String, desc: Boolean, k: Int,
       where: String = ""): String = {
@@ -9528,6 +9594,35 @@ object SparkEntry {
         |       CAST(CAST(n_ge + 1 AS HUGEINT) * 1000000 // 65 AS BIGINT)
         |         AS p_micro
         |FROM agg ORDER BY source""".stripMargin,
+    "retrieval_rm3_terms" -> (rm3Ctes + """
+      |SELECT term, s_micro, weight_micro, is_original
+      |FROM wrel ORDER BY weight_micro DESC, term""".stripMargin),
+    "retrieval_rm3" -> (rm3Ctes + """,
+      |tf2 AS (SELECT t.doc_id, t.dl, t.term, w.weight_micro AS w,
+      |               CAST(count(*) AS BIGINT) AS tf
+      |        FROM toks t JOIN wrel w USING (term) GROUP BY 1, 2, 3, 4),
+      |cf2 AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf2 GROUP BY 1),
+      |c0 AS (SELECT
+      |         CAST(sum(w.weight_micro *
+      |           CAST(round(ln(2000.0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE)))
+      |                * 1000000.0) AS BIGINT)) AS BIGINT) AS c0w,
+      |         CAST(sum(w.weight_micro) AS BIGINT) AS sw
+      |       FROM cf2 c JOIN wrel w USING (term), stats s),
+      |sc2 AS (
+      |  SELECT t.doc_id, t.dl, CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(sum(t.w * CAST(round(
+      |           (ln(t.tf + 2000.0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))) -
+      |            ln(2000.0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))))
+      |           * 1000000.0) AS BIGINT)) AS BIGINT) AS ps
+      |  FROM tf2 t JOIN cf2 c USING (term), stats s GROUP BY 1, 2),
+      |fin AS (SELECT doc_id, n_terms,
+      |        ps + c0.c0w - c0.sw *
+      |          CAST(round(ln(CAST(dl AS DOUBLE) + 2000.0) * 1000000.0) AS BIGINT)
+      |          AS score_p
+      |        FROM sc2, c0)
+      |SELECT doc_id, n_terms, score_p,
+      |       CAST(row_number() OVER (ORDER BY score_p DESC, doc_id) AS BIGINT) AS rnk
+      |FROM fin ORDER BY score_p DESC, doc_id LIMIT 10""".stripMargin),
     // The permutation chain again, then the three corrections as
     // ordered windows over the bounded p-value family.
     "eval_multiple_testing" ->

@@ -172,6 +172,111 @@ object Retrieval {
   }
 
   /**
+   * RM3 pseudo-relevance feedback model (Lavrenko & Croft 2001;
+   * Abdul-Jaleel et al. 2004): run [[queryLikelihoodTopK]], treat its
+   * top-`fbDocs` as relevant, estimate the relevance model
+   * P(t|R) ∝ Σ_d w_d·tf(t,d)/dl_d with document weights
+   * w_d = exp(score_d − max score) (micro-quantized), keep the
+   * top-`fbTerms` expansion terms, and interpolate with the original
+   * query at λ = 1/2. Everything after the one exp() lives on exact
+   * integer grids: per-(t,d) mass `(w_d·tf·10⁶) div dl`, the
+   * original-query part `(500000·qtf) div |Q|`, the relevance part
+   * `(500000·s_t) div Σs`.
+   *
+   * @return the interpolated term-weight relation (term, s_micro,
+   *         weight_micro, is_original) — the expansion-model card
+   */
+  def rm3Model(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
+      mu: Double = 2000.0): DataFrame = {
+    val spark = docs.sparkSession
+    val pass1 = queryLikelihoodTopK(docs, idCol, textCol, queryTerms,
+      k = fbDocs, mu = mu)
+    val mx = pass1.agg(max(col("score")).as("__ms"))
+    val fbw = pass1.crossJoin(broadcast(mx))
+      .select(col(idCol),
+        floor(exp(col("score") - col("__ms")) * 1000000 + 0.5)
+          .cast("long").as("wq"))
+    val srel = docs
+      .select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(fbw), idCol.toString :: Nil)
+      .groupBy(col(idCol), col("wq"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(sum(expr("(wq * tf * 1000000) div dl")).as("s"))
+    val topE = srel.orderBy(col("s").desc, col("term")).limit(fbTerms)
+    val sumS = topE.agg(sum("s").as("__ss"))
+    import spark.implicits._
+    val orig = queryTerms.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.map { case (t, q) => (t, q) }
+      .toDF("term", "qtf")
+    val nQ = queryTerms.size
+    orig
+      .join(topE.crossJoin(broadcast(sumS)), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("s"), lit(0L)).as("s_micro"),
+        (coalesce(expr(s"(500000 * qtf) div $nQ"), lit(0L)) +
+          coalesce(expr("(500000 * s) div __ss"), lit(0L)))
+          .as("weight_micro"),
+        col("qtf").isNotNull.as("is_original"))
+  }
+
+  /**
+   * RM3 second-pass ranking: weighted query-likelihood (the KL
+   * ranking) under the [[rm3Model]] term weights. Exact to the last
+   * bit: each per-(t,d) log piece is rounded to an integer micro
+   * BEFORE multiplying by the micro weight, so every score is a pure
+   * BIGINT in 10⁻¹² units (`score_p`) — no float accumulation at
+   * all. One extra corpus pass over the (bounded) final term set,
+   * joined by term (never an isin over dynamic literals — the term
+   * relation stays a broadcast DataFrame, no driver collect).
+   */
+  def rm3TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, fbDocs: Int = 10,
+      fbTerms: Int = 10, mu: Double = 2000.0): DataFrame = {
+    val wrel = rm3Model(docs, idCol, textCol, queryTerms, fbDocs, fbTerms, mu)
+      .select(col("term"), col("weight_micro").as("w"))
+    val stats = docs.agg(
+      sum(size(tokens(col(textCol))).cast("long")).as("__sumdl"))
+    val tf2 = docs
+      .select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(wrel), "term")
+      .groupBy(col(idCol), col("dl"), col("term"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val cf2 = tf2.groupBy("term").agg(sum("tf").as("cf"))
+    def muP = lit(mu) *
+      (col("cf").cast("double") / col("__sumdl").cast("double"))
+    val c0 = cf2.join(broadcast(wrel), "term").crossJoin(broadcast(stats))
+      .agg(sum(col("w") *
+          round(log(muP) * lit(1e6)).cast("long")).as("__c0w"),
+        sum(col("w")).as("__sw"))
+    val w = Window.partitionBy(singlePartitionKey(col(idCol)))
+      .orderBy(col("score_p").desc, col(idCol))
+    tf2.join(broadcast(cf2), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("w") *
+          round((log(col("tf") + muP) - log(muP)) * lit(1e6)).cast("long"))
+          .as("__ps"))
+      .crossJoin(broadcast(c0))
+      .select(col(idCol), col("n_terms"),
+        (col("__ps") + col("__c0w") -
+          col("__sw") *
+            round(log(col("dl").cast("double") + lit(mu)) * lit(1e6))
+              .cast("long")).as("score_p"))
+      .orderBy(col("score_p").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /**
    * Batched BM25: score a SET of queries in ONE corpus pass — the
    * shape that matters at 100 TB, where the scan dominates and Q
    * queries must amortize it (offline retrieval evals, hard-negative

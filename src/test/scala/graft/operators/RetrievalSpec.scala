@@ -63,6 +63,42 @@ class RetrievalSpec extends SparkFunSuite {
     assert(with_.map(_.toSeq).toSeq === without.map(_.toSeq).toSeq)
   }
 
+  test("rm3: model interpolates original and feedback mass; second pass is exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare alpha beta beta"),
+      (2L, "rare gamma alpha"),
+      (3L, "alpha beta"),
+      (4L, "delta delta gamma"),
+      (5L, "rare rare gamma")).toDF("doc_id", "text")
+    val model = Retrieval.rm3Model(docs, "doc_id", "text",
+      Seq("rare", "beta"), fbDocs = 3, fbTerms = 5).collect()
+    val byTerm = model.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // originals carry the λ·1/|Q| floor = 250000 even with no
+    // feedback mass; every original flagged
+    assert(byTerm("rare")._3 && byTerm("beta")._3)
+    assert(byTerm("rare")._2 >= 250000L && byTerm("beta")._2 >= 250000L)
+    // expansion terms come only from the feedback docs' vocabulary
+    val expansion = model.filter(!_.getBoolean(3)).map(_.getString(0)).toSet
+    val fbVocab = Set("rare", "alpha", "beta", "gamma")
+    assert(expansion.subsetOf(fbVocab -- Set("rare", "beta")))
+    expansion.foreach(t => assert(byTerm(t)._2 > 0L))
+    // weights decompose: total mass = 2·250000 (orig) + 500000 (rm)
+    assert(model.map(_.getLong(2)).sum <= 1000000L)
+    // second pass: exact integer scores, dense ranks, deterministic
+    val r1 = Retrieval.rm3TopK(docs, "doc_id", "text",
+      Seq("rare", "beta"), k = 5, fbDocs = 3, fbTerms = 5).collect()
+    val r2 = Retrieval.rm3TopK(docs, "doc_id", "text",
+      Seq("rare", "beta"), k = 5, fbDocs = 3, fbTerms = 5).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    assert(r1.map(_.getLong(3)).toSeq === (1L to r1.length))
+    // doc 4 shares only the expansion term gamma — rankable via
+    // feedback even though it has no original query term
+    assert(r1.map(_.getLong(0)).contains(4L) ===
+      expansion.contains("gamma"))
+  }
+
   test("bm25: length normalization — same tf, shorter doc scores higher") {
     import spark.implicits._
     val d = Seq(
