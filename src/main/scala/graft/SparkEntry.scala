@@ -1072,6 +1072,11 @@ object SparkEntry {
             expr("replace(text, 'table', 'chair')").as("pred"),
             col("text").as("gold")),
         "doc_id", "pred", "gold", n = 1).orderBy("doc_id")),
+    // Distinct-n diversity (Li et al. 2016): unique / total token
+    // n-grams for n = 1..4 — the mode-collapse check.
+    "eval_distinct_n" -> ((s, d) =>
+      GenEval.distinctN(table(s, d, "documents"), "text")
+        .orderBy("n")),
     // ROUGE-2 (Lin 2004): the same multiset overlap over bigrams —
     // the summarization-eval standard.
     "eval_rouge2" -> ((s, d) =>
@@ -7894,6 +7899,20 @@ object SparkEntry {
     "eval_token_f1" -> genEvalOracle(1),
     // ROUGE-2: the same replay over bigram units.
     "eval_rouge2" -> genEvalOracle(2),
+    "eval_distinct_n" -> ((1 to 4).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS n,
+         |       CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+         |       CAST(CASE WHEN count(*) > 0
+         |            THEN (1000000 * count(DISTINCT g)) // count(*)
+         |            ELSE 0 END AS BIGINT) AS distinct_micro
+         |FROM (
+         |  SELECT unnest(list_transform(
+         |           generate_series(1, len(toks) - ${n - 1}),
+         |           i -> array_to_string(toks[CAST(i AS INT):CAST(i + $n - 1 AS INT)], ' '))) AS g
+         |  FROM (SELECT string_split(text, ' ') AS toks
+         |        FROM documents WHERE text IS NOT NULL))""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY n"),
     // Unigram vocab replayed: two chained unnests for the n-grams,
     // the same 6-dp log-prob scores.
     "unigram_vocab" -> (unigramVocabCtes +

@@ -261,6 +261,36 @@ object GenEval {
   }
 
   /**
+   * Corpus diversity card — distinct-n (Li et al. 2016): the share of
+   * UNIQUE token n-grams among all n-gram instances for n = 1..maxN,
+   * the standard mode-collapse check on model generations (low
+   * distinct-2 ⇔ repetitive output). Exact integers: counts and one
+   * integral micro division per order.
+   *
+   * Scale note: the global distinct is inherent to the metric (an
+   * n-gram string shuffle per order); at 100 TB swap the exact
+   * distinct for the HLL sketch relation (`sketch_hll_distinct`) —
+   * the counts grid is the same.
+   */
+  def distinctN(docs: DataFrame, textCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    (1 to maxN).map { n =>
+      docs.filter(col(textCol).isNotNull)
+        .select(explode(expr(
+          s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
+            s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
+            "ELSE array() END")).as("g"))
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(lit(n.toLong).as("n"), col("n_total"), col("n_distinct"),
+          when(col("n_total") > 0,
+            expr("(1000000 * n_distinct) div n_total")).otherwise(0L)
+            .as("distinct_micro"))
+    }.reduce(_ unionAll _)
+  }
+
+  /**
    * Per-pair n-gram overlap F1 (n = 1 is token-F1). Output: (idCol,
    * n_pred, n_gold, overlap, p_micro, r_micro, f1_micro) — pairs
    * where either side has no n-grams score zero, not NULL (the

@@ -153,4 +153,16 @@ class GenEvalSpec extends SparkFunSuite {
     assert(r3.getAs[Long]("fw1_micro") === 0L)
     assert(r3.getAs[Long]("chrfpp_micro") === 454545L)
   }
+
+  test("distinctN: hand-counted unique/total grams; short docs skip high orders") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = GenEval.distinctN(docs, "text").orderBy("n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1L, 6L, 3L, 500000L),   // a,b,a,b,a,c
+      (2L, 4L, 3L, 750000L),   // "a b","b a","a b","a c"
+      (3L, 2L, 2L, 1000000L),  // doc 2 too short for trigrams
+      (4L, 1L, 1L, 1000000L)))
+  }
 }
