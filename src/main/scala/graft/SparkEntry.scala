@@ -2780,6 +2780,14 @@ object SparkEntry {
     "kmeans_assign" -> ((s, d) =>
       KMeansExact.assign(table(s, d, "embeddings"), "vec_id", "embedding",
         kmeansModel(s, d)).orderBy("vec_id")),
+    // MAUVE-shaped distribution check: each source's k-means cluster
+    // histogram vs the corpus histogram, scored by Jensen-Shannon on
+    // exact integer-ratio log grids.
+    "embedding_js_divergence" -> ((s, d) =>
+      EmbeddingQuality.sourceJsDivergence(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        table(s, d, "documents"), "doc_id", "source",
+        kmeansModel(s, d))),
     // Okapi BM25 lexical retrieval top-10 for a 3-term query (one
     // corpus-rare term + two ubiquitous ones — the realistic shape:
     // the rare term's idf dominates). Per-term contributions rounded
@@ -10643,6 +10651,33 @@ object SparkEntry {
     "kmeans_assign" -> s"""$KMeansCtes
        |SELECT id AS vec_id, cluster, CAST(d2 AS BIGINT) AS dist2
        |FROM afin ORDER BY vec_id""".stripMargin,
+    "embedding_js_divergence" -> s"""$KMeansCtes,
+       |jj AS (SELECT d.source, a.cluster
+       |       FROM afin a JOIN documents d ON a.id = d.doc_id),
+       |aa AS (SELECT source, cluster, CAST(count(*) AS BIGINT) AS a
+       |       FROM jj GROUP BY 1, 2),
+       |bb AS (SELECT cluster, CAST(count(*) AS BIGINT) AS b FROM jj GROUP BY 1),
+       |btotr AS (SELECT CAST(sum(b) AS BIGINT) AS btot FROM bb),
+       |srcs AS (SELECT DISTINCT source FROM aa),
+       |grid AS (
+       |  SELECT s.source, bb.cluster, coalesce(aa.a, 0) AS a, bb.b
+       |  FROM srcs s CROSS JOIN bb
+       |  LEFT JOIN aa ON aa.source = s.source AND aa.cluster = bb.cluster),
+       |atotr AS (SELECT source, CAST(sum(a) AS BIGINT) AS atot
+       |          FROM grid GROUP BY 1),
+       |terms AS (
+       |  SELECT g.source, t.atot, bt.btot,
+       |    CASE WHEN g.a > 0 THEN g.a * CAST(round(
+       |      ln((2.0 * (g.a * bt.btot)) / (g.a * bt.btot + g.b * t.atot))
+       |      * 1000000.0) AS BIGINT) ELSE 0 END AS t1,
+       |    g.b * CAST(round(
+       |      ln((2.0 * (g.b * t.atot)) / (g.a * bt.btot + g.b * t.atot))
+       |      * 1000000.0) AS BIGINT) AS t2
+       |  FROM grid g JOIN atotr t USING (source) CROSS JOIN btotr bt)
+       |SELECT source, atot AS n_vecs,
+       |       CAST(greatest(sum(t1), 0) // (2 * atot) +
+       |            greatest(sum(t2), 0) // (2 * btot) AS BIGINT) AS js_micro
+       |FROM terms GROUP BY source, atot, btot ORDER BY source""".stripMargin,
     // Okapi BM25 recomputed op-for-op: smoothed idf, dl/avgdl length
     // norm with avgdl from an exact integer token sum, contributions
     // rounded @6 then summed in DECIMAL — same determinism convention

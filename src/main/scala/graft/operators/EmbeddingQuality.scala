@@ -118,4 +118,62 @@ object EmbeddingQuality {
         expr("(CAST(n AS DECIMAL(38,0)) * __s2 - __s * __s) div " +
           "(CAST(n AS DECIMAL(38,0)) * n)").cast("long").as("var_micro2"))
   }
+
+  /**
+   * Per-source embedding-distribution divergence — the MAUVE-shaped
+   * check discretized onto the exact k-means clusters: each source's
+   * cluster histogram P_s against the corpus histogram Q, scored by
+   * Jensen–Shannon divergence (symmetric, bounded by ln 2). A source
+   * whose embeddings occupy different clusters than the corpus at
+   * large is distributionally off — encoder drift, a scraper gone
+   * wrong, or genuinely novel content worth upweighting.
+   *
+   * Exactness: with m = (P+Q)/2, every log argument is a ratio of
+   * exact integer products — p/m = 2aB/(aB+bA), q/m = 2bA/(aB+bA) —
+   * so each cluster's log is one double op rounded to an integer
+   * micro, the weighted sums are exact BIGINTs, and JS·10⁶ =
+   * ⌊Σa·L₁/(2A)⌋ + ⌊Σb·L₂/(2B)⌋ (numerators clamped at 0: the KL
+   * halves are mathematically ≥ 0, so a micro-rounding dip below
+   * zero is noise, and clamping keeps truncating and flooring
+   * division identical).
+   *
+   * Shape: one assignment pass (codegen nearest-centroid against the
+   * broadcast codebook), one (source, cluster) aggregate, and the
+   * divergence arithmetic on the |sources|·k grid.
+   */
+  def sourceJsDivergence(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      docs: DataFrame, docIdCol: String, sourceCol: String,
+      model: KMeansExact.Model): DataFrame = {
+    val asg = KMeansExact.assign(vecs, idCol, vecCol, model)
+      .select(col(idCol), col("cluster"))
+    val j = asg.join(docs.select(col(docIdCol), col(sourceCol).as("source")),
+      col(idCol) === col(docIdCol))
+    val a = j.groupBy(col("source"), col("cluster"))
+      .agg(count(lit(1)).as("a"))
+    val b = j.groupBy(col("cluster")).agg(count(lit(1)).as("b"))
+    val bTot = b.agg(sum("b").as("btot"))
+    val grid = a.select("source").distinct()
+      .crossJoin(broadcast(b))
+      .join(a, Seq("source", "cluster"), "left")
+      .na.fill(0L, Seq("a"))
+    val aTot = a.groupBy("source").agg(sum("a").as("atot"))
+    grid.join(broadcast(aTot), "source").crossJoin(broadcast(bTot))
+      .select(col("source"), col("atot"), col("btot"),
+        when(col("a") > 0,
+          col("a") * round(log(
+            (lit(2.0) * (col("a") * col("btot")).cast("double")) /
+              (col("a") * col("btot") + col("b") * col("atot")).cast("double"))
+            * lit(1e6)).cast("long")).otherwise(0L).as("t1"),
+        (col("b") * round(log(
+          (lit(2.0) * (col("b") * col("atot")).cast("double")) /
+            (col("a") * col("btot") + col("b") * col("atot")).cast("double"))
+          * lit(1e6)).cast("long")).as("t2"))
+      .groupBy(col("source"), col("atot"), col("btot"))
+      .agg(sum("t1").as("s1"), sum("t2").as("s2"))
+      .select(col("source"), col("atot").as("n_vecs"),
+        (expr("greatest(s1, 0L) div (2 * atot)") +
+          expr("greatest(s2, 0L) div (2 * btot)")).as("js_micro"))
+      .orderBy("source")
+  }
 }

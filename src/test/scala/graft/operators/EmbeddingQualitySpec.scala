@@ -77,4 +77,32 @@ class EmbeddingQualitySpec extends SparkFunSuite {
     assert(run(rows.toDF("id", "v").repartition(1)) ===
       run(rows.toDF("id", "v").orderBy(rand(3)).repartition(7)))
   }
+
+  test("sourceJsDivergence: disjoint sources score the hand-derived JS; identical score 0") {
+    // model: centroids at (0,0) and (1,1) in micro units
+    val model = KMeansExact.Model(Array(
+      Array(0L, 0L), Array(1000000L, 1000000L)))
+    // A: 4 vectors in cluster 0; B: 4 in cluster 1 → per source
+    // a=(4,0), q=(4,4)/8: s1 = 4·round(ln(4/3)·1e6) = 1150728,
+    // s2 = 4·round(ln(2/3)·1e6) + 4·round(ln 2·1e6) = 1150728,
+    // js = 1150728 div 8 + 1150728 div 16 = 143841 + 71920 = 215761
+    val vecs = ((0 until 4).map(i => (i.toLong, vec(0.1f, 0.1f))) ++
+      (4 until 8).map(i => (i.toLong, vec(0.9f, 0.9f)))).toDF("vec_id", "v")
+    val docs = ((0 until 4).map(i => (i.toLong, "A")) ++
+      (4 until 8).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val got = EmbeddingQuality.sourceJsDivergence(
+      vecs, "vec_id", "v", docs, "doc_id", "source", model)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("A", 4L, 215761L), ("B", 4L, 215761L)))
+    // identical distributions → JS exactly 0
+    val docs2 = (0 until 8).map(i => (i.toLong, if (i % 2 == 0) "C" else "D"))
+      .toDF("doc_id", "source")
+    val vecs2 = (0 until 8).map(i =>
+      (i.toLong, if (i < 4) vec(0.1f, 0.1f) else vec(0.9f, 0.9f)))
+      .toDF("vec_id", "v")
+    val same = EmbeddingQuality.sourceJsDivergence(
+      vecs2, "vec_id", "v", docs2, "doc_id", "source", model)
+      .collect().map(_.getLong(2))
+    assert(same.toSeq === Seq(0L, 0L))
+  }
 }
