@@ -1077,6 +1077,11 @@ object SparkEntry {
     "eval_distinct_n" -> ((s, d) =>
       GenEval.distinctN(table(s, d, "documents"), "text")
         .orderBy("n")),
+    // Self-BLEU (Zhu et al. 2018): mean pairwise smoothed BLEU-2
+    // over a deterministic sample — the paraphrase-collapse check
+    // distinct-n misses.
+    "eval_self_bleu" -> ((s, d) =>
+      GenEval.selfBleu(table(s, d, "documents"), "doc_id", "text")),
     // ROUGE-2 (Lin 2004): the same multiset overlap over bigrams —
     // the summarization-eval standard.
     "eval_rouge2" -> ((s, d) =>
@@ -6188,7 +6193,17 @@ object SparkEntry {
     * (doc × order) grid filling absent orders with (o, t) = (0, 0),
     * add-one-smoothed micros for n ≥ 2, and the identical fixed-order
     * 6-dp bleu expression per row. */
-  private def sentenceBleuOracle(maxN: Int): String = {
+  private def sentenceBleuOracle(maxN: Int): String =
+    sentenceBleuOracleOver(
+      """pairs AS (
+        |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
+        |         text AS gold
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin, maxN)
+
+  /** The sentence-BLEU replay over ANY `pairs AS (...doc_id, pred,
+    * gold...)` CTE text — shared by the per-pair eval row and the
+    * sampled self-BLEU diversity row. */
+  private def sentenceBleuOracleOver(pairsCte: String, maxN: Int): String = {
     def units(side: String): String = (1 to maxN).map { n =>
       val parts = (0 until n)
         .map(o => s"toks[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
@@ -6210,10 +6225,7 @@ object SparkEntry {
       .mkString(",\n       ")
     val lnSum = s"ln(o1 * 1.0 / t1)" +
       (2 to maxN).map(n => s" + ln((o$n + 1.0) / (t$n + 1.0))").mkString
-    s"""WITH pairs AS (
-       |  SELECT doc_id, replace(text, 'table', 'chair') AS pred,
-       |         text AS gold
-       |  FROM documents WHERE text IS NOT NULL),
+    s"""WITH $pairsCte,
        |pu AS (${units("pred")}),
        |gu AS (${units("gold")}),
        |pc AS (SELECT doc_id, n, u, count(*) AS cp FROM pu GROUP BY 1, 2, 3),
@@ -7881,6 +7893,19 @@ object SparkEntry {
     "eval_cer" -> cerOracle,
     "eval_wer" -> werOracle,
     "eval_sentence_bleu" -> sentenceBleuOracle(4),
+    "eval_self_bleu" -> s"""SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(CAST(sum(CAST(bleu AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+      |    AS self_bleu
+      |FROM (
+      |${sentenceBleuOracleOver(
+          """samp AS (
+            |  SELECT doc_id, text FROM documents
+            |  WHERE text IS NOT NULL AND doc_id % 17 = 0),
+            |pairs AS (
+            |  SELECT a.doc_id * 1000000 + b.doc_id AS doc_id,
+            |         a.text AS pred, b.text AS gold
+            |  FROM samp a JOIN samp b ON a.doc_id <> b.doc_id)""".stripMargin, 2)}
+      |)""".stripMargin,
     "dedup_edit_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

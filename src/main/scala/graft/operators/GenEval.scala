@@ -261,6 +261,38 @@ object GenEval {
   }
 
   /**
+   * Self-BLEU (Zhu et al. 2018) — the pairwise-similarity diversity
+   * check that complements [[distinctN]]'s vocabulary view: mean
+   * smoothed sentence BLEU-`maxN` over every ORDERED pair of a
+   * deterministic sample (ids ≡ 0 mod `modulus`; self-pairs
+   * excluded). High self-BLEU ⇔ generations paraphrase each other
+   * even when their n-gram vocabulary looks diverse. Per-pair scores
+   * are [[sentenceBleu]]'s 6-dp doubles summed EXACTLY in DECIMAL;
+   * the one mean division rounds to 6 dp.
+   *
+   * Scale: the pair grid is |sample|² — the modulus is the knob, and
+   * the kernel-based pair scoring is scan-local on the grid (no
+   * per-gram shuffle).
+   */
+  def selfBleu(
+      docs: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 17, maxN: Int = 2): DataFrame = {
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus")
+    val samp = docs
+      .filter(col(textCol).isNotNull && pmod(col(idCol), lit(modulus)) === 0)
+      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"))
+    val a = samp.select(col("__id").as("__ia"), col("__t").as("pred"))
+    val b = samp.select(col("__id").as("__ib"), col("__t").as("gold"))
+    val pairs = a.crossJoin(b).filter(col("__ia") =!= col("__ib"))
+      .select((col("__ia") * 1000000L + col("__ib")).as("pid"),
+        col("pred"), col("gold"))
+    sentenceBleu(pairs, "pid", "pred", "gold", maxN)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("bleu").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("self_bleu"))
+  }
+
+  /**
    * Corpus diversity card — distinct-n (Li et al. 2016): the share of
    * UNIQUE token n-grams among all n-gram instances for n = 1..maxN,
    * the standard mode-collapse check on model generations (low

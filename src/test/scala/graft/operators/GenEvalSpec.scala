@@ -154,6 +154,21 @@ class GenEvalSpec extends SparkFunSuite {
     assert(r3.getAs[Long]("chrfpp_micro") === 454545L)
   }
 
+  test("selfBleu: identical sample scores 1, disjoint vocab scores 0") {
+    import spark.implicits._
+    val same = Seq((0L, "x y z"), (1L, "x y z"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val r1 = GenEval.selfBleu(same, "doc_id", "text", modulus = 1)
+      .collect().head
+    assert(r1.getLong(0) === 6L) // 3·2 ordered pairs
+    assert(r1.getDouble(1) === 1.0)
+    val disjoint = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    val r2 = GenEval.selfBleu(disjoint, "doc_id", "text", modulus = 1)
+      .collect().head
+    assert(r2.getLong(0) === 2L)
+    assert(r2.getDouble(1) === 0.0)
+  }
+
   test("distinctN: hand-counted unique/total grams; short docs skip high orders") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
