@@ -1932,6 +1932,19 @@ object SparkEntry {
       Evaluation.aucExact(scored, "source", "label", "score")
         .orderBy("source")
     }),
+    // DeLong variance of the same per-source AUC — the error bar on
+    // the rank-sum point estimate: doubled placements, centered
+    // squares with cleared denominators, all DECIMAL(38)-exact.
+    "eval_auc_delong" -> ((s, d) => {
+      val pos = col("doc_id") % 3 === 0
+      val scored = table(s, d, "documents").select(
+        col("source"),
+        pos.cast("long").as("label"),
+        ((col("n_chars") * 7 + col("doc_id") * 13) % 100 +
+          when(pos, 40).otherwise(0)).as("score"))
+      Evaluation.aucDeLong(scored, "source", "label", "score")
+        .orderBy("source")
+    }),
     // Cohen's kappa per source: two simulated annotators over a
     // 3-class truth (doc_id % 3), each corrupted on its own stride
     // (every 7th / every 5th doc) — the inter-annotator agreement
@@ -9730,6 +9743,48 @@ object SparkEntry {
         |SELECT source, p_micro, rnk, bonferroni_micro, holm_micro, bh_micro,
         |       bh_micro <= 50000 AS reject_bh
         |FROM adj2 ORDER BY rnk""".stripMargin,
+    "eval_auc_delong" ->
+      """WITH scored AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label,
+        |         (n_chars * 7 + doc_id * 13) % 100 +
+        |           CASE WHEN doc_id % 3 = 0 THEN 40 ELSE 0 END AS score
+        |  FROM documents),
+        |g AS (SELECT source, score, CAST(count(*) AS BIGINT) AS cnt,
+        |             CAST(sum(label) AS BIGINT) AS pos
+        |      FROM scored GROUP BY 1, 2),
+        |g2 AS (SELECT *, cnt - pos AS neg FROM g),
+        |pl AS (
+        |  SELECT source, pos, neg,
+        |         2 * coalesce(sum(neg) OVER (PARTITION BY source ORDER BY score
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + neg AS p2p,
+        |         2 * coalesce(sum(pos) OVER (PARTITION BY source ORDER BY score
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + pos AS p2n
+        |  FROM g2),
+        |tot AS (SELECT source, CAST(sum(pos) AS BIGINT) AS m,
+        |               CAST(sum(neg) AS BIGINT) AS n,
+        |               CAST(sum(pos * p2p) AS BIGINT) AS u2,
+        |               CAST(sum(neg * p2n) AS BIGINT) AS u2n
+        |        FROM pl GROUP BY 1),
+        |sq AS (
+        |  SELECT p.source, t.m, t.n, t.u2, t.u2n,
+        |         sum(CAST(p.pos AS HUGEINT) * (p.p2p * t.m - t.u2)
+        |             * (p.p2p * t.m - t.u2)) AS s10,
+        |         sum(CAST(p.neg AS HUGEINT) * (p.p2n * t.n - t.u2n)
+        |             * (p.p2n * t.n - t.u2n)) AS s01
+        |  FROM pl p JOIN tot t USING (source) GROUP BY 1, 2, 3, 4, 5)
+        |SELECT source, m AS n_pos, n AS n_neg,
+        |       CASE WHEN m > 0 AND n > 0
+        |            THEN (500000 * u2) // (m * n) END AS auc_micro,
+        |       CASE WHEN m > 1 AND n > 1 THEN CAST(
+        |         (CAST(1000000000000 AS HUGEINT) * s10) //
+        |           (CAST(4 AS HUGEINT) * m * m * m * n * n * (m - 1)) +
+        |         (CAST(1000000000000 AS HUGEINT) * s01) //
+        |           (CAST(4 AS HUGEINT) * m * m * n * n * n * (n - 1))
+        |         AS BIGINT) END AS var_e12
+        |FROM sq ORDER BY source""".stripMargin,
     // Midrank rank-sum replayed on the per-(source, score) counts.
     // The cumulative window is tie-free by construction (score is the
     // grouping key), so DuckDB's RANGE default frame equals Spark's

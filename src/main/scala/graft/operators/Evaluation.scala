@@ -72,6 +72,63 @@ object Evaluation {
   }
 
   /**
+   * DeLong (1988) variance of the exact AUC — the error bar the
+   * rank-sum point estimate needs before two classifiers can be
+   * compared honestly. Per positive i, the placement V10_i = fraction
+   * of negatives ranked below it (midranks); S10 = sample variance of
+   * the placements; Var(AUC) = S10/m + S01/n.
+   *
+   * Everything rides integer grids: doubled placements
+   * `p2⁺ = 2·(negatives below) + (negatives tied)` are exact BIGINTs
+   * per distinct score, θ clears to U2 = Σ pos·p2⁺ (so
+   * auc_micro = ⌊5·10⁵·U2 / (m·n)⌋), and the centered squares clear
+   * denominators to `(p2⁺·m − U2)²` summed in DECIMAL(38)/HUGEINT.
+   * The reported `var_e12` is Var(AUC) in 10⁻¹² units:
+   * ⌊10¹²·Σ10 / (4m³n²(m−1))⌋ + ⌊10¹²·Σ01 / (4m²n³(n−1))⌋ — exact
+   * while m·n ≲ 10¹⁰ (the DECIMAL(38) headroom). Groups lacking two
+   * members of either class emit NULL.
+   *
+   * Same slim shape as [[aucExact]]: one row per (group, distinct
+   * score); the cumulative windows partition by the group key.
+   */
+  def aucDeLong(
+      df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val byScore = df.groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(labelCol).cast("long")).as("pos"))
+      .withColumn("neg", col("cnt") - col("pos"))
+    val wb = Window.partitionBy(col(groupCol))
+      .orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pl = byScore
+      .withColumn("p2p",
+        lit(2) * coalesce(sum(col("neg")).over(wb), lit(0L)) + col("neg"))
+      .withColumn("p2n",
+        lit(2) * coalesce(sum(col("pos")).over(wb), lit(0L)) + col("pos"))
+    val tot = pl.groupBy(col(groupCol)).agg(
+      sum(col("pos")).as("m"), sum(col("neg")).as("n"),
+      sum(col("pos") * col("p2p")).as("u2"),
+      sum(col("neg") * col("p2n")).as("u2n"))
+    pl.join(tot, groupCol)
+      .groupBy(col(groupCol), col("m"), col("n"), col("u2"), col("u2n"))
+      .agg(
+        sum(expr("CAST(pos AS DECIMAL(38,0)) * (p2p * m - u2) * (p2p * m - u2)"))
+          .as("s10"),
+        sum(expr("CAST(neg AS DECIMAL(38,0)) * (p2n * n - u2n) * (p2n * n - u2n)"))
+          .as("s01"))
+      .select(col(groupCol), col("m").as("n_pos"), col("n").as("n_neg"),
+        when(col("m") > 0 && col("n") > 0,
+          expr("(500000 * u2) div (m * n)")).as("auc_micro"),
+        when(col("m") > 1 && col("n") > 1,
+          expr("CAST((CAST(1000000000000 AS DECIMAL(38,0)) * s10) div " +
+            "(CAST(4 AS DECIMAL(38,0)) * m * m * m * n * n * (m - 1)) + " +
+            "(CAST(1000000000000 AS DECIMAL(38,0)) * s01) div " +
+            "(CAST(4 AS DECIMAL(38,0)) * m * m * n * n * n * (n - 1)) AS BIGINT)"))
+          .as("var_e12"))
+  }
+
+  /**
    * Cohen's kappa per group from two rater columns over the same
    * items. κ = (p_o − p_e)/(1 − p_e); clearing denominators,
    * κ = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) with a_k, b_k

@@ -30,6 +30,28 @@ class EvaluationSpec extends SparkFunSuite {
     assert(r.head.getLong(1) === 2L && r.head.getLong(2) === 2L)
   }
 
+  test("aucDeLong: hand-computed placements, variance, and degenerate NULL") {
+    import spark.implicits._
+    // pos {3, 5}, neg {1, 2, 4}: V10 = {2/3, 1}, V01 = {0, 0, 1/2};
+    // θ = 5/6, S10 = 1/18, S01 = 1/12 → Var = 1/36 + 1/36 = 1/18
+    val df = Seq((1L, 3L), (1L, 5L), (0L, 1L), (0L, 2L), (0L, 4L))
+      .toDF("label", "score").withColumn("grp", lit("g"))
+    val r = Evaluation.aucDeLong(df, "grp", "label", "score").collect().head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 3L)
+    assert(r.getLong(3) === 833333L)         // ⌊10⁶·5/6⌋
+    assert(r.getLong(4) === 55555555554L)    // ⌊10¹²/36⌋·2 pieces
+    // consistency with the point estimate
+    val auc = Evaluation.aucExact(df, "grp", "label", "score")
+      .collect().head.getDouble(3)
+    assert(auc === 0.833333)
+    // m = 1: variance undefined → NULL, auc still defined
+    val tiny = Seq((1L, 3L), (0L, 1L), (0L, 2L))
+      .toDF("label", "score").withColumn("grp", lit("g"))
+    val t = Evaluation.aucDeLong(tiny, "grp", "label", "score").collect().head
+    assert(t.getLong(3) === 1000000L)
+    assert(t.isNullAt(4))
+  }
+
   test("aucExact: single-class group yields NULL, never NaN") {
     import spark.implicits._
     val df = Seq((1L, 3L), (1L, 2L)).toDF("label", "score")
