@@ -3320,6 +3320,14 @@ object SparkEntry {
       graft.streaming.EventPipeline.streamedClickViewParity(
         s, table(s, d, "events"), "10 minutes", horizonSeconds = 600)
         .orderBy("click_id", "view_id")),
+    // EIGHTH streaming mode: foreachBatch keyed UPSERT sink — the
+    // CDC materialized view (latest row per user), batchId-versioned
+    // writes for idempotence; order-free parity with the batch
+    // max_by.
+    "events_upsert_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.streamedUpsertParity(
+        s, table(s, d, "events"))
+        .orderBy("user_id")),
     // SEVENTH streaming mode: the same two-stream join LEFT OUTER —
     // null rows emit only when the watermark proves no view can
     // match (the no-data batch after the last data batch); clicks
@@ -13164,6 +13172,17 @@ object SparkEntry {
         |JOIN pre phi ON phi.pos = cuts.hi_pos
         |JOIN pre ps ON ps.pos = cuts.split_pos
         |ORDER BY level, lo_hour""".stripMargin,
+    "events_upsert_streamed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |r AS (SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |             value AS last_value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM ev)
+        |SELECT user_id, last_event_id, last_ts, last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "events_outer_join_streamed" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts

@@ -764,6 +764,66 @@ object EventPipeline {
   }
 
   /**
+   * EIGHTH end-to-end streaming mode: a keyed UPSERT sink via
+   * `foreachBatch` — the CDC materialized-view pattern (stream in,
+   * latest-row-per-key table out) that none of the built-in sinks
+   * provide. Each micro-batch MERGEs into the keyed snapshot:
+   * read the previous state, union the batch, keep each key's row
+   * with the max (ts, event_id), and write the result to a
+   * batchId-versioned directory — the standard idempotence recipe
+   * (a retried batch overwrites its own version deterministically,
+   * so the sink is exactly-once without a transactional store).
+   * `maxFilesPerTrigger = 1` forces several real micro-batches.
+   *
+   * Parity is ORDER-FREE by construction: "argmax (ts, event_id) per
+   * key" is associative across any batch split, so the final state
+   * equals the batch max_by — what this row's oracle asserts.
+   */
+  def streamedUpsertParity(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_ups_src").toString
+    events.repartition(6).write.mode("overwrite").parquet(srcDir)
+    val stateRoot = java.nio.file.Files
+      .createTempDirectory("graft_ups_state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ups_ckpt").toString
+    val latestVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = normalizeTs(stream).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], batchId: Long) =>
+        val prev = latestVersion.get()
+        val cand = batch.select(col("user_id"), col("event_id"),
+          col("ts"), col("value"))
+        val merged =
+          if (prev < 0) cand
+          else cand.unionByName(
+            batch.sparkSession.read.parquet(s"$stateRoot/v$prev")
+              .select(col("user_id"), col("last_event_id").as("event_id"),
+                col("last_ts").as("ts"), col("last_value").as("value")))
+        merged
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("value")))
+            .as("__top"))
+          .select(col("user_id"), col("__top.event_id").as("last_event_id"),
+            col("__top.ts").as("last_ts"), col("__top.value").as("last_value"))
+          .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
+        latestVersion.set(batchId)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateRoot/v${latestVersion.get()}")
+  }
+
+  /**
    * STREAM-STATIC join parity — the fourth end-to-end streaming
    * execution mode beside the windowed aggregate, keyed dedup, and
    * stream-stream join rows: a micro-batch stream of events

@@ -635,6 +635,21 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(pairs === Seq((2L, 1L), (3L, -1L), (5L, 4L)))
   }
 
+  test("streamedUpsertParity: latest row per key survives multi-batch merges") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, t(0, 10), 100, "view", 1.0, "{}"),
+      Ev(2, t(0, 30), 100, "view", 2.0, "{}"),   // latest for 100
+      Ev(3, t(0, 20), 200, "click", 3.0, "{}"),
+      Ev(4, t(0, 20), 200, "click", 4.0, "{}"),  // ts tie → max event_id
+      Ev(5, t(1, 0), 300, "view", 5.0, "{}"))
+    val out = EventPipeline.streamedUpsertParity(spark, evs.toDF())
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (100L, 2L, 2.0), (200L, 4L, 4.0), (300L, 5L, 5.0)))
+  }
+
   test("stream-static enrichment parity: streamed join equals batch join") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$Sf0001/events.parquet")
