@@ -118,6 +118,17 @@ class RetrievalSpec extends SparkFunSuite {
       .count() === 2)
   }
 
+  test("query likelihood: plan takes ordered-project; only query terms shuffle") {
+    val q = Retrieval.queryLikelihoodTopK(corpus, "doc_id", "text",
+      Seq("rare", "alpha"), k = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the term filter sits below the aggregate: the exchange carries
+    // only matching (doc, term) rows, never the token stream
+    assert(plan.contains("isin") || plan.contains("IN ("), plan)
+    assert(q.count() === 3)
+  }
+
   test("bm25BatchTopK: scores are bit-identical to the single-query path") {
     val queries = Seq(
       1L -> Seq("rare", "alpha"),
