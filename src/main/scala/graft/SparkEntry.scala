@@ -2798,6 +2798,12 @@ object SparkEntry {
     "kmeans_assign" -> ((s, d) =>
       KMeansExact.assign(table(s, d, "embeddings"), "vec_id", "embedding",
         kmeansModel(s, d)).orderBy("vec_id")),
+    // Centroid-based silhouette per cluster — the "is k right" card:
+    // exact integer L2 against the broadcast codebook, rounded
+    // (b−a)/max(a,b) means in DECIMAL.
+    "kmeans_silhouette" -> ((s, d) =>
+      KMeansExact.silhouette(table(s, d, "embeddings"), "vec_id", "embedding",
+        kmeansModel(s, d))),
     // MAUVE-shaped distribution check: each source's k-means cluster
     // histogram vs the corpus histogram, scored by Jensen-Shannon on
     // exact integer-ratio log grids.
@@ -10739,6 +10745,28 @@ object SparkEntry {
     "kmeans_assign" -> s"""$KMeansCtes
        |SELECT id AS vec_id, cluster, CAST(d2 AS BIGINT) AS dist2
        |FROM afin ORDER BY vec_id""".stripMargin,
+    "kmeans_silhouette" -> s"""$KMeansCtes,
+       |ad AS (
+       |  SELECT qd.id, c.cluster,
+       |         CAST(sum((qd.v - c.v) * (qd.v - c.v)) AS BIGINT) AS d2
+       |  FROM qd JOIN c${KMeansExact.Iters} c ON qd.pos = c.pos
+       |  GROUP BY 1, 2),
+       |own AS (SELECT id, cluster, CAST(d2 AS BIGINT) AS d2a FROM afin),
+       |oth AS (SELECT ad.id, min(ad.d2) AS d2b
+       |        FROM ad JOIN afin a ON ad.id = a.id AND ad.cluster <> a.cluster
+       |        GROUP BY ad.id),
+       |sil AS (
+       |  SELECT o.cluster,
+       |         CASE WHEN greatest(o.d2a, t.d2b) = 0 THEN 0.0
+       |              ELSE round(
+       |                (sqrt(CAST(t.d2b AS DOUBLE)) - sqrt(CAST(o.d2a AS DOUBLE))) /
+       |                greatest(sqrt(CAST(t.d2b AS DOUBLE)),
+       |                         sqrt(CAST(o.d2a AS DOUBLE))), 6) END AS s
+       |  FROM own o JOIN oth t USING (id))
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+       |         AS mean_silhouette
+       |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
     "embedding_js_divergence" -> s"""$KMeansCtes,
        |jj AS (SELECT d.source, a.cluster
        |       FROM afin a JOIN documents d ON a.id = d.doc_id),

@@ -126,4 +126,60 @@ object KMeansExact {
     } yield (c.toLong, sizes.getOrElse(c.toLong, 0L), j.toLong, m.centroids(c)(j))
     rows.toDF("cluster", "n_members", "dim", "c_micro")
   }
+
+  /**
+   * Centroid-based silhouette card (Rousseeuw 1987, the "simplified
+   * silhouette" that replaces all-pairs distances with centroid
+   * distances — the only variant that scales): per vector,
+   * a = distance to its own centroid, b = distance to the nearest
+   * OTHER centroid, s = (b − a)/max(a, b); reported as the per-cluster
+   * mean. s near 1 ⇔ tight, well-separated cluster; near 0 ⇔ boundary
+   * mush; negative ⇔ likely misassignment — the standard "is k right"
+   * read on a trained model.
+   *
+   * Exactness: squared distances are exact BIGINTs over the µ-grid
+   * (the same integer L2 the assignment uses, so the derived argmin
+   * ties break identically: (d2, cluster)); each s is two
+   * correctly-rounded sqrts and one division rounded to 6 dp, and the
+   * cluster means sum those rounded values EXACTLY in DECIMAL.
+   *
+   * Shape: one scan against the k-row broadcast centroid relation
+   * (O(k) work per row), one per-id argmin/min on the slim
+   * (id, cluster, d2) relation, one cluster aggregate.
+   */
+  def silhouette(
+      df: DataFrame, idCol: String, vecCol: String, m: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = m.centroids.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }.toSeq
+      .toDF("cluster", "cv")
+    val ad = quantized(df, idCol, vecCol)
+      .withColumn("qv2", expr("transform(qv, v -> CAST(v AS BIGINT))"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("cluster"),
+        expr("aggregate(zip_with(qv2, cv, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, x) -> acc + x)").as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("d2"), col("cluster"))
+    val own = ad.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cluster"), col("d2").as("d2a"))
+    val other = ad
+      .join(own.select(col(idCol), col("cluster").as("__oc")), idCol.toString)
+      .filter(col("cluster") =!= col("__oc"))
+      .groupBy(col(idCol)).agg(min(col("d2")).as("d2b"))
+    own.join(other, idCol.toString)
+      .select(col("cluster"),
+        when(greatest(col("d2a"), col("d2b")) === 0, lit(0.0))
+          .otherwise(round(
+            (sqrt(col("d2b").cast("double")) - sqrt(col("d2a").cast("double"))) /
+              greatest(sqrt(col("d2b").cast("double")),
+                sqrt(col("d2a").cast("double"))), 6)).as("s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_silhouette"))
+      .orderBy("cluster")
+  }
 }

@@ -94,4 +94,18 @@ class KMeansExactSpec extends SparkFunSuite {
     }
     assert(asgDf === asgRef)
   }
+
+  test("silhouette: on-centroid vectors score 1, the equidistant point 0") {
+    import spark.implicits._
+    val m = KMeansExact.Model(Array(
+      Array(0L, 0L), Array(1000000L, 1000000L)))
+    val vecs = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)),       // exactly centroid 0
+      (3L, Seq(1f, 1f)), (4L, Seq(1f, 1f)),       // exactly centroid 1
+      (5L, Seq(0.5f, 0.5f))                       // equidistant → s = 0,
+    ).toDF("vec_id", "v")                         //   tie-assigned to 0
+    val got = KMeansExact.silhouette(vecs, "vec_id", "v", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0L, 3L, 0.666667), (1L, 2L, 1.0)))
+  }
 }
