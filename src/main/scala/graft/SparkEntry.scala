@@ -7927,7 +7927,9 @@ object SparkEntry {
       |${sentenceBleuOracleOver(
           """samp AS (
             |  SELECT doc_id, text FROM documents
-            |  WHERE text IS NOT NULL AND doc_id % 17 = 0),
+            |  WHERE text IS NOT NULL
+            |  ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id
+            |  LIMIT 250),
             |pairs AS (
             |  SELECT a.doc_id * 1000000 + b.doc_id AS doc_id,
             |         a.text AS pred, b.text AS gold

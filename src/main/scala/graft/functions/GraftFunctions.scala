@@ -82,6 +82,12 @@ object GraftFunctions {
     ("repetition_counts",
       (es: Seq[Expression]) => { requireArity(es, 1, "repetition_counts"); RepetitionCountsExpr(es(0)) },
       "_FUNC_(text) - [n_tokens, n_shingles, distinct_shingles, distinct_tokens, max_multiplicity]."),
+    ("deletion_neighborhood_hashes",
+      (es: Seq[Expression]) => {
+        requireArity(es, 1, "deletion_neighborhood_hashes")
+        DeletionNeighborhoodHashesExpr(es(0))
+      },
+      "_FUNC_(text) - FastSS deletion-neighborhood signature hashes (array<bigint>), complete blocking for edit distance <= 1."),
     ("minhash_band_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 3, "minhash_band_hashes")
@@ -339,6 +345,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(capacity))
   def damerauDistance(a: Column, b: Column): Column =
     call_function("damerau_distance", a, b)
+  def deletionNeighborhoodHashes(text: Column): Column =
+    call_function("deletion_neighborhood_hashes", text)
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =

@@ -419,6 +419,36 @@ case class NgramOverlapCountsExpr(
 }
 
 /**
+ * `deletion_neighborhood_hashes(text)` → array<bigint>: FNV-1a hashes
+ * of the string plus every single-code-point-deletion variant, deduped
+ * and sorted — the FastSS/SymSpell blocking signature set, complete
+ * for Levenshtein τ = 1 (see
+ * [[TextHashKernels.deletionNeighborhoodHashes]]). NULL → NULL.
+ */
+case class DeletionNeighborhoodHashesExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deletion_neighborhood_hashes requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.deletionNeighborhoodHashes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.deletionNeighborhoodHashes($c)")
+
+  override def prettyName: String = "deletion_neighborhood_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `edit_distance(a, b, unit)` → bigint: Levenshtein distance over one
  * of three unit alphabets — 'byte' (DuckDB/ClickHouse `levenshtein`
  * parity), 'codepoint' (Spark builtin parity), 'token' (single-space

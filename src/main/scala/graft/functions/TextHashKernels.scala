@@ -1069,4 +1069,82 @@ object TextHashKernels {
   }
 
   private val emptyInts = new Array[Int](0)
+
+  /**
+   * Deletion-neighborhood signature hashes (the FastSS / SymSpell
+   * blocking family): the FNV-1a 64 hash of the string itself plus the
+   * hash of every single-CODE-POINT-deletion variant, deduplicated
+   * (deleting any character of an equal-character run yields the same
+   * variant) and sorted. Two strings with Levenshtein distance ≤ 1
+   * always share at least one signature, so an equality join on these
+   * hashes is a COMPLETE blocking for τ = 1.
+   *
+   * No variant string is ever materialized: each deletion hash is the
+   * prefix hash up to the deleted code point's first byte, continued
+   * over the suffix bytes — O(|s|) per variant, O(|s|²) bytes hashed
+   * total, zero allocations beyond the output array. This kernel
+   * replaces the `transform(sequence(...))` higher-order-function
+   * formulation (a CodegenFallback) so signature generation stays
+   * inside whole-stage codegen.
+   */
+  def deletionNeighborhoodHashes(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    // code-point start offsets
+    var cps = 0
+    var i = 0
+    while (i < n) {
+      i += UTF8String.numBytesForFirstByte(b(i))
+      cps += 1
+    }
+    val starts = new Array[Int](cps + 1)
+    i = 0
+    var k = 0
+    while (i < n) {
+      starts(k) = i
+      i += UTF8String.numBytesForFirstByte(b(i))
+      k += 1
+    }
+    starts(cps) = n
+    // prefix(j) = FNV-1a state after hashing bytes [0, starts(j))
+    val prefix = new Array[Long](cps + 1)
+    prefix(0) = FnvOffset
+    k = 0
+    while (k < cps) {
+      var h = prefix(k)
+      var j = starts(k)
+      val until = starts(k + 1)
+      while (j < until) {
+        h ^= (b(j) & 0xffL)
+        h *= FnvPrime
+        j += 1
+      }
+      prefix(k + 1) = h
+      k += 1
+    }
+    val out = new Array[Long](cps + 1)
+    out(0) = prefix(cps) // identity signature
+    k = 0
+    while (k < cps) {
+      // delete code point k: continue prefix(k) over bytes [starts(k+1), n)
+      var h = prefix(k)
+      var j = starts(k + 1)
+      while (j < n) {
+        h ^= (b(j) & 0xffL)
+        h *= FnvPrime
+        j += 1
+      }
+      out(k + 1) = h
+      k += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
 }

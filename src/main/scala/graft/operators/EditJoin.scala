@@ -22,13 +22,19 @@ import org.apache.spark.sql.functions._
  * are no false positives either: output ≡ brute force, which is the
  * driver row's oracle (a literal quadratic DuckDB self-join).
  *
- * 100 TB shape: signatures are hashed to 64 bits, so the one shuffle
- * carries (id, sig_hash) pairs — |s|+1 slim rows per input row — and
- * the join is bucket-equality on the hash; candidate pairs are
- * deduplicated BEFORE the verify kernel runs so each pair pays the
- * DP once. Bucket sizes are bounded by the neighborhood geometry
- * (only strings within ed ≤ 2 of each other can share a deletion
- * signature), not by corpus size — no caps needed for correctness.
+ * 100 TB shape: signatures are hashed to 64 bits INSIDE the scan by
+ * the codegen kernel
+ * [[graft.functions.TextHashKernels.deletionNeighborhoodHashes]]
+ * (no variant string is ever materialized, no CodegenFallback
+ * higher-order functions), so the one blocking shuffle carries
+ * (id, sig_hash) pairs — |s|+1 slim 16-byte rows per input row — and
+ * the join is bucket-equality on the hash. Candidate pairs are
+ * deduplicated BEFORE the strings are joined back on, so the string
+ * payload moves only for the bounded verified-candidate set and each
+ * pair pays the DP once. Bucket sizes are bounded by the neighborhood
+ * geometry (only strings within ed ≤ 2 of each other can share a
+ * deletion signature), not by corpus size — no caps needed for
+ * correctness.
  */
 object EditJoin {
 
@@ -42,31 +48,25 @@ object EditJoin {
     require(tau == 1,
       s"deletion-neighborhood blocking is complete for tau = 1 only, got $tau")
     GraftFunctions.register(df.sparkSession)
-    // identity + every single-deletion variant; array_distinct because
-    // deleting any char of an equal-char run yields the same variant
-    // when-guard: sequence(1, 0) is DESCENDING in Spark, so an empty
-    // string must short-circuit to no deletion variants
-    val sigs = array_distinct(concat(
-      array(col("__s")),
-      when(length(col("__s")) > 0,
-        transform(sequence(lit(1), length(col("__s"))), i =>
-          concat(col("__s").substr(lit(1), i - 1),
-            col("__s").substr(i + 1, length(col("__s"))))))
-        .otherwise(array().cast("array<string>"))))
     val base = df
       .filter(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
-    val sigged = base
-      .select(col("__id"), col("__s"), explode(sigs).as("__sig"))
-      .select(col("__id"), col("__s"), xxhash64(col("__sig")).as("__h"))
-    val a = sigged.select(col("__id").as("id_a"), col("__s").as("__sa"),
-      col("__h"))
-    val b = sigged.select(col("__id").as("id_b"), col("__s").as("__sb"),
-      col("__h"))
-    a.join(b, Seq("__h"))
+    // kernel already dedupes equal-char-run variants and includes the
+    // identity signature; an empty string yields just the identity
+    val sigged = base.select(col("__id"),
+      explode(GraftFunctions.deletionNeighborhoodHashes(col("__s")))
+        .as("__h"))
+    val a = sigged.select(col("__id").as("id_a"), col("__h"))
+    val b = sigged.select(col("__id").as("id_b"), col("__h"))
+    val cand = a.join(b, Seq("__h"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair can share several signatures; verify once
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")),
+        Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         GraftFunctions.editDistance(col("__sa"), col("__sb"), "codepoint")
           .as("dist"))

@@ -264,23 +264,32 @@ object GenEval {
    * Self-BLEU (Zhu et al. 2018) — the pairwise-similarity diversity
    * check that complements [[distinctN]]'s vocabulary view: mean
    * smoothed sentence BLEU-`maxN` over every ORDERED pair of a
-   * deterministic sample (ids ≡ 0 mod `modulus`; self-pairs
-   * excluded). High self-BLEU ⇔ generations paraphrase each other
-   * even when their n-gram vocabulary looks diverse. Per-pair scores
-   * are [[sentenceBleu]]'s 6-dp doubles summed EXACTLY in DECIMAL;
-   * the one mean division rounds to 6 dp.
+   * deterministic FIXED-SIZE sample (the `sampleSize` rows with the
+   * smallest seeded-md5 rank, the [[DatasetSplit.balancedSample]]
+   * discipline; self-pairs excluded). High self-BLEU ⇔ generations
+   * paraphrase each other even when their n-gram vocabulary looks
+   * diverse. Per-pair scores are [[sentenceBleu]]'s 6-dp doubles
+   * summed EXACTLY in DECIMAL; the one mean division rounds to 6 dp.
    *
-   * Scale: the pair grid is |sample|² — the modulus is the knob, and
-   * the kernel-based pair scoring is scan-local on the grid (no
-   * per-gram shuffle).
+   * Scale: the pair grid is ≤ `sampleSize`² BY CONSTRUCTION —
+   * independent of corpus size, unlike a fixed-RATE (modulus) sample
+   * whose grid grows quadratically with the corpus. The sample is a
+   * `TakeOrdered` over the md5 rank (one scan, k rows to the driver
+   * side of the exchange), and the kernel-based pair scoring is
+   * scan-local on the bounded grid (no per-gram shuffle).
    */
   def selfBleu(
       docs: DataFrame, idCol: String, textCol: String,
-      modulus: Int = 17, maxN: Int = 2): DataFrame = {
-    require(modulus >= 1, s"modulus must be >= 1, got $modulus")
+      sampleSize: Int = 250, seed: String = "graft", maxN: Int = 2): DataFrame = {
+    require(sampleSize >= 2, s"sampleSize must be >= 2, got $sampleSize")
     val samp = docs
-      .filter(col(textCol).isNotNull && pmod(col(idCol), lit(modulus)) === 0)
-      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"),
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+          .cast("binary")).as("__h"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(sampleSize)
+      .select(col("__id"), col("__t"))
     val a = samp.select(col("__id").as("__ia"), col("__t").as("pred"))
     val b = samp.select(col("__id").as("__ib"), col("__t").as("gold"))
     val pairs = a.crossJoin(b).filter(col("__ia") =!= col("__ib"))

@@ -56,6 +56,45 @@ class EditJoinSpec extends SparkFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("kernel signatures ≡ materialized-variant FNV hashes (HOF formulation)") {
+    import graft.functions.TextHashKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference formulation: materialize identity + every single-
+    // code-point-deletion variant as strings (what the pre-kernel
+    // transform(sequence(...)) HOF did), hash each with FNV-1a 64
+    def reference(s: String): Set[Long] = {
+      val cps = s.codePoints().toArray
+      val variants = cps.indices.map { i =>
+        new String(cps.take(i) ++ cps.drop(i + 1), 0, cps.length - 1)
+      } :+ s
+      variants.map { v =>
+        val b = v.getBytes("UTF-8")
+        TextHashKernels.fnv1a64(b, 0, b.length)
+      }.toSet
+    }
+    for (s <- Seq("", "a", "aa", "kitten", "héllo", "日本語", "aab aab")) {
+      val got = TextHashKernels
+        .deletionNeighborhoodHashes(UTF8String.fromString(s))
+        .toLongArray().toSeq
+      assert(got.toSet === reference(s), s"string '$s'")
+      assert(got === got.sorted && got.distinct === got,
+        s"sorted+deduped for '$s'")
+    }
+  }
+
+  test("interpreted ≡ codegen for deletion_neighborhood_hashes") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = Seq("kitten", "héllo", "", "x", "aab").toDF("s")
+    val viaSql = df.selectExpr("deletion_neighborhood_hashes(s) AS h")
+      .collect().map(_.getSeq[Long](0))
+    val viaKernel = Seq("kitten", "héllo", "", "x", "aab").map(s =>
+      graft.functions.TextHashKernels.deletionNeighborhoodHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toLongArray().toSeq)
+    assert(viaSql.map(_.toSeq).toSeq === viaKernel)
+  }
+
   test("tau != 1 rejected (blocking is only complete for 1)") {
     val df = Seq((1L, "a")).toDF("id", "s")
     intercept[IllegalArgumentException] {

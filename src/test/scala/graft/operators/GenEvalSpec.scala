@@ -158,15 +158,27 @@ class GenEvalSpec extends SparkFunSuite {
     import spark.implicits._
     val same = Seq((0L, "x y z"), (1L, "x y z"), (2L, "x y z"))
       .toDF("doc_id", "text")
-    val r1 = GenEval.selfBleu(same, "doc_id", "text", modulus = 1)
+    val r1 = GenEval.selfBleu(same, "doc_id", "text")
       .collect().head
     assert(r1.getLong(0) === 6L) // 3·2 ordered pairs
     assert(r1.getDouble(1) === 1.0)
     val disjoint = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
-    val r2 = GenEval.selfBleu(disjoint, "doc_id", "text", modulus = 1)
+    val r2 = GenEval.selfBleu(disjoint, "doc_id", "text")
       .collect().head
     assert(r2.getLong(0) === 2L)
     assert(r2.getDouble(1) === 0.0)
+  }
+
+  test("selfBleu: pair grid is bounded by sampleSize, not corpus size") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"tok$i a b")).toDF("doc_id", "text")
+    val r = GenEval.selfBleu(docs, "doc_id", "text", sampleSize = 10)
+      .collect().head
+    assert(r.getLong(0) === 90L) // 10·9 ordered pairs, never 100·99
+    // deterministic: same seed → same sample → same score
+    val r2 = GenEval.selfBleu(docs, "doc_id", "text", sampleSize = 10)
+      .collect().head
+    assert(r.getDouble(1) === r2.getDouble(1))
   }
 
   test("distinctN: hand-counted unique/total grams; short docs skip high orders") {
