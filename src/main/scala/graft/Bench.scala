@@ -24,10 +24,21 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
   /** Per-query override of the 10×-step scaling bound (default 12.0):
-    * list a query here only with a documented superlinear class. All
-    * shipped plans are ≤ O(n log n), so the map is intentionally empty —
-    * adding an entry is a reviewed declaration that a plan regressed. */
-  private val ExpectedScaling: Map[String, Double] = Map.empty
+    * list a query here only with a documented cost class that differs
+    * from "≤ O(n log n) in data size". Batch plans are all in that
+    * class, so batch entries would declare a regression; the eight
+    * end-to-end STREAMING rows are the opposite case — their cost is
+    * dominated by scale-INVARIANT micro-batch machinery (trigger setup,
+    * state-store open/commit, no-data watermark batches), measured
+    * ratios 0.9–1.3 on the 10× step. Their bound is pinned at 3.0 so a
+    * real state-store or join-state regression (a 3–4× jump) alerts
+    * instead of hiding under the generic 12× data-scaling allowance. */
+  private val ExpectedScaling: Map[String, Double] = Seq(
+    "events_streamed_parity", "events_dedup_streamed",
+    "events_join_streamed", "events_outer_join_streamed",
+    "events_enrich_streamed", "events_sessions_streamed",
+    "events_sessions_tws", "events_upsert_streamed")
+    .map(_ -> 3.0).toMap
 
   /** Always-isolated watchlist, beyond the slowest-8: queries whose
     * sweep times drifted 1.3–1.5× in the r7→r8 suite growth while
@@ -141,11 +152,28 @@ object Bench {
     val smallDetail = smallDir.map { dir =>
       val smallResults = timedPass(dir)
       val smallByName = smallResults.toMap
+      // Symmetric pin: the isolated min-of-3 is applied to BOTH sides of
+      // the ratio. Pinning only the big side (the r12 behavior) is an
+      // asymmetric estimator — it systematically lowers reported ratios
+      // (fast big side vs sweep-loaded small side) and can mask exactly
+      // the super-linear regression the gate exists to catch, so every
+      // query that earned a big-side isolated re-run gets the same
+      // re-run at the small scale.
+      val isoPinSmall = isolatedSet
+        .filter(n => smallByName.get(n).exists(_ > 0))
+        .map { name =>
+          System.gc(); Thread.sleep(250); System.gc()
+          val fn = SparkEntry.queries(name)
+          val times = Seq.fill(3)(run(s"isolated_small:$name", (s, _) => fn(s, dir)))
+          name -> (if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min)
+        }.collect { case (n, t) if t > 0 => n -> t }.toMap
       val ratios = results.map { case (name, big) =>
         val pinned = isoPin.get(name).map(math.min(big, _)).getOrElse(big)
         name -> (smallByName.get(name) match {
           case Some(small) if small > 0 && pinned >= 0 =>
-            Some(math.rint(pinned / small * 100) / 100)
+            val smallPinned =
+              isoPinSmall.get(name).map(math.min(small, _)).getOrElse(small)
+            Some(math.rint(pinned / smallPinned * 100) / 100)
           case _ => None
         })
       }

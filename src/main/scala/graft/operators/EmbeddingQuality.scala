@@ -158,16 +158,23 @@ object EmbeddingQuality {
       .join(a, Seq("source", "cluster"), "left")
       .na.fill(0L, Seq("a"))
     val aTot = a.groupBy("source").agg(sum("a").as("atot"))
+    // count×count products go through DECIMAL(38,0) (the file's decimal
+    // discipline): a LongType product overflows once cluster counts pass
+    // ~3e9, silently corrupting the log arguments at the scale this
+    // operator is for. The decimal is exact; the one double cast happens
+    // on the ratio's operands, after the exact products.
+    def dprod(x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (x.cast("decimal(38,0)") * y.cast("decimal(38,0)")).cast("double")
+    val denom = dprod(col("a"), col("btot")) + dprod(col("b"), col("atot"))
     grid.join(broadcast(aTot), "source").crossJoin(broadcast(bTot))
       .select(col("source"), col("atot"), col("btot"),
         when(col("a") > 0,
           col("a") * round(log(
-            (lit(2.0) * (col("a") * col("btot")).cast("double")) /
-              (col("a") * col("btot") + col("b") * col("atot")).cast("double"))
+            (lit(2.0) * dprod(col("a"), col("btot"))) / denom)
             * lit(1e6)).cast("long")).otherwise(0L).as("t1"),
         (col("b") * round(log(
-          (lit(2.0) * (col("b") * col("atot")).cast("double")) /
-            (col("a") * col("btot") + col("b") * col("atot")).cast("double"))
+          (lit(2.0) * dprod(col("b"), col("atot"))) / denom)
           * lit(1e6)).cast("long")).as("t2"))
       .groupBy(col("source"), col("atot"), col("btot"))
       .agg(sum("t1").as("s1"), sum("t2").as("s2"))

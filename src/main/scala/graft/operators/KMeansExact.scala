@@ -149,6 +149,9 @@ object KMeansExact {
    */
   def silhouette(
       df: DataFrame, idCol: String, vecCol: String, m: Model): DataFrame = {
+    // b = nearest OTHER centroid is undefined for k = 1: the inner join
+    // below would silently return an empty frame rather than a score.
+    require(m.k >= 2, s"silhouette requires a k >= 2 model, got k = ${m.k}")
     val spark = df.sparkSession
     import spark.implicits._
     val cents = m.centroids.zipWithIndex

@@ -775,6 +775,15 @@ object EventPipeline {
    * so the sink is exactly-once without a transactional store).
    * `maxFilesPerTrigger = 1` forces several real micro-batches.
    *
+   * The previous version is derived FROM THE STORE, not from driver
+   * memory: the largest committed (`_SUCCESS`-marked) `v<N>` with
+   * N < batchId. A driver-memory counter would reset on checkpoint
+   * recovery (silently dropping all prior keyed state) and would
+   * advance on a batch that later retries; deriving from batchId +
+   * the store's own committed markers keeps the merge idempotent
+   * across recoveries and retries. An empty source (no batch ever
+   * runs) returns the empty typed frame rather than reading `v-1`.
+   *
    * Parity is ORDER-FREE by construction: "argmax (ts, event_id) per
    * key" is associative across any batch split, so the final state
    * equals the batch max_by — what this row's oracle asserts.
@@ -789,7 +798,20 @@ object EventPipeline {
       .createTempDirectory("graft_ups_state").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_ups_ckpt").toString
-    val latestVersion = new java.util.concurrent.atomic.AtomicLong(-1L)
+    // committed snapshot versions, read from the store itself:
+    // v<N> directories carrying the parquet committer's _SUCCESS marker
+    def committedVersions(): Seq[Long] = {
+      val root = new org.apache.hadoop.fs.Path(stateRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+        }
+        .map(_.getName.drop(1).toLong)
+    }
     val stream = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "1")
@@ -797,15 +819,20 @@ object EventPipeline {
     val q = normalizeTs(stream).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
         org.apache.spark.sql.Row], batchId: Long) =>
-        val prev = latestVersion.get()
+        // max committed version STRICTLY below this batch: a retried
+        // batch excludes its own (possibly partial) prior attempt and
+        // re-merges against the same predecessor — deterministic replay
+        val prev = committedVersions().filter(_ < batchId)
+          .sorted.lastOption
         val cand = batch.select(col("user_id"), col("event_id"),
           col("ts"), col("value"))
-        val merged =
-          if (prev < 0) cand
-          else cand.unionByName(
-            batch.sparkSession.read.parquet(s"$stateRoot/v$prev")
+        val merged = prev match {
+          case None => cand
+          case Some(p) => cand.unionByName(
+            batch.sparkSession.read.parquet(s"$stateRoot/v$p")
               .select(col("user_id"), col("last_event_id").as("event_id"),
                 col("last_ts").as("ts"), col("last_value").as("value")))
+        }
         merged
           .groupBy("user_id")
           .agg(max(struct(col("ts"), col("event_id"), col("value")))
@@ -813,14 +840,18 @@ object EventPipeline {
           .select(col("user_id"), col("__top.event_id").as("last_event_id"),
             col("__top.ts").as("last_ts"), col("__top.value").as("last_value"))
           .write.mode("overwrite").parquet(s"$stateRoot/v$batchId")
-        latestVersion.set(batchId)
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$stateRoot/v${latestVersion.get()}")
+    committedVersions().sorted.lastOption match {
+      case Some(last) => spark.read.parquet(s"$stateRoot/v$last")
+      case None => normalizeTs(events).limit(0)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("value").as("last_value"))
+    }
   }
 
   /**
@@ -1045,10 +1076,15 @@ object EventPipeline {
       .withColumn("cs", sum("c").over(w))
       .select("pos", "hr", "c", "cs")
     pre.persist()
-    val maxPos = pre.agg(max("pos")).collect().head.getLong(0)
     // driver state: segment list (lo, hi) by position, ≤ 2^levels rows
-    var segs = Seq((1L, maxPos)).filter { case (lo, hi) => hi > lo }
     val out = Seq.newBuilder[(Int, Long, Long, Long)] // (level, lo, hi, split)
+    // the (pos, hr) label map is collected alongside the cuts (bounded,
+    // ≤ 8784 rows/year) so the cache can be released in the finally —
+    // otherwise repeated invocations in one session leak cached blocks,
+    // or the lazily-evaluated result recomputes the rollup per join.
+    val posHr: Array[(Long, java.sql.Timestamp)] = try {
+    val maxPos = pre.agg(max("pos")).collect().head.getLong(0)
+    var segs = Seq((1L, maxPos)).filter { case (lo, hi) => hi > lo }
     var lvl = 1
     while (lvl <= levels && segs.nonEmpty) {
       import spark.implicits._
@@ -1089,15 +1125,19 @@ object EventPipeline {
         Seq((lo, k), (k + 1, hi)) }.filter { case (lo, hi) => hi > lo }
       lvl += 1
     }
+    pre.select(col("pos"), col("hr"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    } finally pre.unpersist()
     import spark.implicits._
+    val posHrDf = posHr.toSeq.toDF("pos", "hr")
     val cuts = out.result().toDF("level", "lo_pos", "hi_pos", "split_pos")
     cuts
-      .join(broadcast(pre.select(col("pos").as("split_pos"),
+      .join(broadcast(posHrDf.select(col("pos").as("split_pos"),
         col("hr").as("split_hour"))), "split_pos")
-      .join(broadcast(pre.select(col("pos").as("lo_pos"), col("hr").as("lo_hour"))),
-        "lo_pos")
-      .join(broadcast(pre.select(col("pos").as("hi_pos"), col("hr").as("hi_hour"))),
-        "hi_pos")
+      .join(broadcast(posHrDf.select(col("pos").as("lo_pos"),
+        col("hr").as("lo_hour"))), "lo_pos")
+      .join(broadcast(posHrDf.select(col("pos").as("hi_pos"),
+        col("hr").as("hi_hour"))), "hi_pos")
       .select(col("level").cast("long").as("level"), col("lo_hour"),
         col("hi_hour"), col("split_hour"),
         (col("hi_pos") - col("lo_pos") + 1).as("n_hours"))

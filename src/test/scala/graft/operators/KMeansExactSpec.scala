@@ -108,4 +108,13 @@ class KMeansExactSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === Seq((0L, 3L, 0.666667), (1L, 2L, 1.0)))
   }
+
+  test("silhouette: k = 1 is rejected (nearest-OTHER-centroid undefined)") {
+    import spark.implicits._
+    val m = KMeansExact.Model(Array(Array(0L, 0L)))
+    val vecs = Seq((1L, Seq(0f, 0f))).toDF("vec_id", "v")
+    intercept[IllegalArgumentException] {
+      KMeansExact.silhouette(vecs, "vec_id", "v", m)
+    }
+  }
 }

@@ -650,6 +650,15 @@ class EventPipelineSpec extends SparkFunSuite {
       (100L, 2L, 2.0), (200L, 4L, 4.0), (300L, 5L, 5.0)))
   }
 
+  test("streamedUpsertParity: empty source yields the empty typed frame") {
+    import spark.implicits._
+    val out = EventPipeline.streamedUpsertParity(
+      spark, Seq.empty[Ev].toDF())
+    assert(out.columns.toSeq ===
+      Seq("user_id", "last_event_id", "last_ts", "last_value"))
+    assert(out.count() === 0L)
+  }
+
   test("stream-static enrichment parity: streamed join equals batch join") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$Sf0001/events.parquet")
