@@ -168,4 +168,127 @@ class IvfIndexSpec extends SparkFunSuite {
         s"reassign=${reassign.isDefined}")
     }
   }
+
+  test("catalog: old generation readable until swap; vacuum reclaims it after") {
+    val (assigned, model) = built
+    val catalog = java.nio.file.Files
+      .createTempDirectory("graft_ivf_catalog_spec").toString
+    // generation 0: the full store
+    val g0 = IvfCatalog.nextGenerationName(spark, catalog)
+    assert(g0 === "gen-0")
+    IvfIndex.writePartitioned(assigned, s"$catalog/$g0")
+    assert(IvfCatalog.swapGeneration(spark, catalog, g0) === None)
+    val n0 = IvfCatalog.readCurrent(spark, catalog).count()
+    assert(n0 === store.count())
+    // compaction writes generation 1 — CURRENT still points at gen-0,
+    // so readers are unaffected until the swap
+    val tombstones = store.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val g1 = IvfCatalog.nextGenerationName(spark, catalog)
+    assert(g1 === "gen-1")
+    IvfIndex.compact(assigned, tombstones, "vec_id", s"$catalog/$g1")
+    assert(IvfCatalog.current(spark, catalog) === Some("gen-0"))
+    assert(IvfCatalog.readCurrent(spark, catalog).count() === n0)
+    // vacuum before any superseding swap must not delete gen-1 (it is
+    // not provably superseded — the pointer still names gen-0)
+    assert(IvfCatalog.vacuum(spark, catalog) === Seq("gen-1"))
+    // rebuild gen-1 and swap: readers flip, gen-0 becomes garbage
+    IvfIndex.compact(assigned, tombstones, "vec_id", s"$catalog/gen-1")
+    assert(IvfCatalog.swapGeneration(spark, catalog, "gen-1") === Some("gen-0"))
+    val liveCount = store.filter(col("vec_id") % 7 =!= 3).count()
+    assert(IvfCatalog.readCurrent(spark, catalog).count() === liveCount)
+    assert(IvfCatalog.vacuum(spark, catalog) === Seq("gen-0"))
+    assert(IvfCatalog.generations(spark, catalog) === Seq("gen-1"))
+    assert(!new java.io.File(s"$catalog/gen-0").exists())
+    // the current generation survives vacuum and stays readable
+    assert(IvfCatalog.readCurrent(spark, catalog).count() === liveCount)
+    // swapping to a missing generation is refused
+    intercept[IllegalArgumentException] {
+      IvfCatalog.swapGeneration(spark, catalog, "gen-9")
+    }
+  }
+
+  test("catalog: vacuum refuses to run before any swap") {
+    val catalog = java.nio.file.Files
+      .createTempDirectory("graft_ivf_catalog_nopin").toString
+    intercept[IllegalStateException] { IvfCatalog.vacuum(spark, catalog) }
+  }
+
+  test("property: tombstoned search ≡ brute force under append/delete/compact churn") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // deterministic tiny universe: dim-4 vectors derived from the id
+    def vec(id: Long): Seq[Float] = {
+      val h = graft.functions.TextHashKernels.splitMix64(id)
+      Seq.tabulate(4)(d => ((((h >>> (d * 13)) & 0xffffL).toFloat / 65535f) * 2f) - 1f)
+    }
+    def rows(ids: Seq[Long]) = ids
+      .map(id => (id, s"t$id", s"v$id", s"d$id", vec(id)))
+      .toDF("vec_id", "source", "lang", "text", "embedding")
+    def tombDf(ids: Set[Long]) = ids.toSeq.sorted.toDF("vec_id")
+    val baseIds = 0L until 30L
+    val (assignedBase, churnModel) =
+      IvfIndex.build(rows(baseIds), "embedding", numClusters = 4)
+    assignedBase.persist()
+    try {
+      sealed trait Op
+      case class Append(n: Int) extends Op
+      case class Delete(ids: Seq[Long]) extends Op
+      case object Compact extends Op
+      // deletes sample base ids, appended-range ids, and absent ids —
+      // tombstones of rows that never existed must be harmless
+      val delId = Gen.oneOf(
+        Gen.chooseNum(0L, 29L), Gen.chooseNum(100L, 130L))
+      val genOp: Gen[Op] = Gen.frequency(
+        3 -> Gen.chooseNum(1, 6).map(Append.apply),
+        4 -> Gen.chooseNum(0, 8).flatMap(Gen.listOfN(_, delId)).map(Delete.apply),
+        2 -> Gen.const(Compact))
+      val genScript = for {
+        nOps <- Gen.chooseNum(1, 6)
+        ops <- Gen.listOfN(nOps, genOp)
+        qseed <- Gen.chooseNum(0L, 5000L)
+      } yield (ops, qseed)
+      val prop = Prop.forAll(genScript) { case (ops, qseed) =>
+        // mirror of the store's semantics: `present` = ids physically in
+        // the store, `tomb` = active tombstones. Tombstones are a SET,
+        // not an event log — a tombstone laid down before its id is
+        // appended still hides the row (the classic resurrection rule),
+        // so live = present − tomb at evaluation time, never a running
+        // insert-order account.
+        var storeDf = assignedBase.toDF()
+        var tomb = Set.empty[Long]
+        var present = baseIds.toSet
+        var nextId = 100L
+        ops.foreach {
+          case Append(n) =>
+            val ids = nextId until (nextId + n); nextId += n
+            storeDf = storeDf.unionByName(
+              IvfIndex.assignBatch(rows(ids.toSeq), "embedding", churnModel))
+            present ++= ids
+          case Delete(ids) =>
+            tomb ++= ids
+          case Compact =>
+            // the compaction algebra without the parquet round-trip:
+            // tombstones are applied to the store and then truncated
+            // (the write path itself is covered by the example-based
+            // compaction + catalog tests above)
+            storeDf = storeDf.join(broadcast(tombDf(tomb)),
+              Seq("vec_id"), "left_anti")
+            present --= tomb
+            tomb = Set.empty
+        }
+        val live = present -- tomb
+        val q = vec(qseed).toArray
+        val got = IvfIndex.searchWithTombstones(storeDf, churnModel, cfg, q,
+          k = 8, searchTopSize = churnModel.numClusters,
+          tombstones = tombDf(tomb), idCol = "vec_id", scoreScale = Some(6))
+          .collect().map(_.toSeq).toSeq
+        val want = VectorSearch.bruteForce(rows(live.toSeq.sorted), cfg, q,
+          8, Map.empty, Some(6)).collect().map(_.toSeq).toSeq
+        got == want
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+      assert(res.passed, s"churn property: ${res.status}")
+    } finally assignedBase.unpersist()
+  }
 }
