@@ -116,6 +116,19 @@ object SparkEntry {
   /** Fitted SQ8 grid per sf dir — 2·dim doubles, an offline fit. */
   private val sqCache =
     new java.util.concurrent.ConcurrentHashMap[String, SqAnn.SqModel]()
+  /** NSW graph per sf dir — the adjacency build (banded-LSH k-NN graph
+    * + entry-point sample) is the offline index step; the adjacency is
+    * persisted so each search hop probes memory, the stand-in for the
+    * id-bucketed adjacency table a deployment would keep on disk. */
+  private val nswCache =
+    new java.util.concurrent.ConcurrentHashMap[String, NswAnn.Graph]()
+  private def nswGraph(s: SparkSession, d: String): NswAnn.Graph =
+    nswCache.computeIfAbsent(d, dir => {
+      val g = NswAnn.build(table(s, dir, "embeddings"), "vec_id",
+        "embedding", degree = 16, entries = 8)
+      g.adj.persist().count()
+      g
+    })
   /** Bucketed catalog tables per sf dir — the bucketed layout is a
     * one-time write (like the IVF store), not part of each query. */
   private val bucketedCache =
@@ -425,6 +438,16 @@ object SparkEntry {
     "ann_bitsketch_topk" -> ((s, d) =>
       BitSketchAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
         queryVec(s, d), k = 8, candidates = 64, scale = Scale)),
+    // NSW graph ANN (the graph-index family, batch-native): beam
+    // search over the symmetrized banded-LSH k-NN graph, one whole hop
+    // per Spark job, exact rounded-cosine scoring of every visited id.
+    // (degree=16, entries=8, beam=64) is a measured full-recall point
+    // (grid in NswAnnSpec), so the output IS brute force = the oracle;
+    // recall itself is pinned in ScalaTest.
+    "ann_nsw_topk" -> ((s, d) =>
+      NswAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
+        nswGraph(s, d), queryVec(s, d), k = 10, beam = 64,
+        maxIters = 12, scale = Scale)),
     // PCA-projected ANN (the fourth index family): top-32 principal
     // axes, projected-cosine candidate scan over the mat_vec kernel and
     // the double-vector cosine kernel, exact re-rank of 128 candidates.
@@ -7219,6 +7242,17 @@ object SparkEntry {
         |LIMIT 8""".stripMargin,
     // Exact brute-force cosine — valid because (d=32, candidates=128)
     // is a measured full-recall operating point on this corpus.
+    // NSW beam search at the shipped full-recall point returns exactly
+    // the brute-force top-10 (grid in NswAnnSpec).
+    "ann_nsw_topk" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /
+        |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(qv.q, qv.q))), 6) AS score
+        |FROM embeddings e, qv
+        |ORDER BY score DESC NULLS LAST, id
+        |LIMIT 10""".stripMargin,
     "ann_pca_topk" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,

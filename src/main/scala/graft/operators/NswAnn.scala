@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch-native NSW (navigable-small-world) graph ANN — the graph-index
+ * family (Malkov et al. 2014; the flat ancestor of HNSW) re-expressed
+ * for Spark's batch model, beside IVF ([[IvfIndex]]), PQ/ADC
+ * ([[PqIndex]]), sign sketches ([[BitSketchAnn]]), PCA ([[PcaAnn]])
+ * and SQ8 ([[SqAnn]]). Beyond-reference scope (the reference's only
+ * index is the kmeans tree, /root/reference/app.py:186-196).
+ *
+ * Why this shape: pointer-chasing graph search is the one ANN family
+ * that fights Spark's scan-oriented execution — a faithful HNSW visits
+ * one node at a time. The batch-native variant keeps the graph's
+ * navigability but walks it in BULK: a beam of candidates expands one
+ * whole hop per Spark job (score every frontier node in one scan-side
+ * pass, fetch every beam neighbor in one adjacency probe), so the hop
+ * count — not the visit count — bounds the number of jobs. This is the
+ * standard batch adaptation (one-shot NSW over a prebuilt k-NN graph);
+ * single-digit hops reach stable top-k on navigable graphs.
+ *
+ * Build: the adjacency relation IS the [[SimilarityJoin.knnGraph]]
+ * output (symmetrized k-NN edges from banded LSH — already bucketed,
+ * capped, and driver-verified), plus a deterministic seeded-md5 sample
+ * of entry points for global reach on a possibly-disconnected graph.
+ *
+ * Search (driver-orchestrated beam, all per-iteration relations
+ * bounded by beam × degree):
+ *   1. score the entry points against the query (one pruned fetch);
+ *   2. expand: one equality probe of the adjacency relation on the
+ *      current beam's ids → unvisited neighbor ids;
+ *   3. score the new ids, merge into the beam (size `beam`, ordered by
+ *      rounded score DESC, id ASC), repeat until the beam stops
+ *      changing or `maxIters` hops;
+ *   4. emit the beam's top k.
+ *
+ * 100 TB shape: the driver holds only (beam × degree) ids and scores
+ * per hop. The two per-hop probes are id-equality filters — against an
+ * id-bucketed store and an id-bucketed adjacency relation they are
+ * bucket-pruned point lookups, never full scans; the graph build is
+ * the banded-LSH join that already carries the repo's bucket caps. The
+ * expansion set is exact regardless of layout, so recall depends only
+ * on (graph degree, entries, beam, hops) — measured in `NswAnnSpec`'s
+ * recall grid, with the shipped driver-row point chosen at full recall
+ * (the [[PcaAnn]] discipline, so the row's oracle is brute force).
+ */
+object NswAnn {
+
+  /** A built graph index: symmetric adjacency (id, nbr_id) + fixed
+    * entry points. Adjacency is a DataFrame — at scale it lives as an
+    * id-bucketed table beside the store. */
+  final case class Graph(adj: DataFrame, entryIds: Seq[Long])
+
+  /**
+   * Build the navigable graph: degree-`degree` symmetrized k-NN
+   * adjacency from the banded-LSH graph, and `entries` deterministic
+   * entry points (seeded md5 rank over the ids — corpus-size-invariant
+   * and spread uniformly, the [[DatasetSplit.balancedSample]]
+   * discipline).
+   */
+  def build(
+      emb: DataFrame, idCol: String, vecCol: String,
+      degree: Int = 16, entries: Int = 8,
+      threshold: Double = 0.0, seed: Long = 42L,
+      maxBucket: Option[Int] = None): Graph = {
+    require(degree > 0, s"degree must be positive, got $degree")
+    require(entries > 0, s"entries must be positive, got $entries")
+    val adj = SimilarityJoin.knnGraph(emb, idCol, vecCol, k = degree,
+      threshold = threshold, seed = seed, maxBucket = maxBucket)
+      .select(col("id"), col("nbr_id"))
+    val entryIds = emb
+      .select(col(idCol).as("id"),
+        md5(concat(lit("nsw:"), col(idCol).cast("string")).cast("binary"))
+          .as("__h"))
+      .orderBy(col("__h"), col("id"))
+      .limit(entries)
+      .collect().map(_.getLong(0)).toSeq
+    Graph(adj, entryIds)
+  }
+
+  /**
+   * Top-k by exact cosine via beam search over the graph.
+   * Output: (id, score) ordered by (score DESC, id), k rows — the same
+   * contract as [[PcaAnn.topK]]. Deterministic: scores are
+   * `scale`-rounded before ranking and every tie breaks on id.
+   */
+  def topK(
+      emb: DataFrame, idCol: String, vecCol: String, graph: Graph,
+      query: Array[Float], k: Int, beam: Int, maxIters: Int = 12,
+      scale: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val qv = typedLit(query.toSeq)
+    // one pruned fetch: exact rounded cosine for a bounded id set
+    def scoreIds(ids: Seq[Long]): Seq[(Long, Double)] = {
+      if (ids.isEmpty) Seq.empty
+      else emb
+        .filter(col(idCol).isin(ids.map(Long.box): _*))
+        .select(col(idCol).as("id"),
+          round(GraftFunctions.knnCosineSimilarity(col(vecCol), qv), scale)
+            .as("score"))
+        .collect()
+        .collect { case r if !r.isNullAt(1) => (r.getLong(0), r.getDouble(1)) }
+        .toSeq
+    }
+    val beamOrd = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, s) => (-s, id)
+    }
+    val visited = scala.collection.mutable.Set(graph.entryIds: _*)
+    var best = scoreIds(graph.entryIds).sorted(beamOrd).take(beam)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val beamIds = best.map(_._1)
+      val nbrs = graph.adj
+        .filter(col("id").isin(beamIds.map(Long.box): _*))
+        .select("nbr_id").distinct()
+        .collect().map(_.getLong(0))
+        .filterNot(visited).toSeq
+      if (nbrs.isEmpty) converged = true
+      else {
+        visited ++= nbrs
+        val merged = (best ++ scoreIds(nbrs)).sorted(beamOrd).take(beam)
+        converged = merged.map(_._1) == beamIds
+        best = merged
+      }
+      iter += 1
+    }
+    import spark.implicits._
+    best.take(k).toDF("id", "score")
+  }
+}
