@@ -82,6 +82,12 @@ object GraftFunctions {
     ("repetition_counts",
       (es: Seq[Expression]) => { requireArity(es, 1, "repetition_counts"); RepetitionCountsExpr(es(0)) },
       "_FUNC_(text) - [n_tokens, n_shingles, distinct_shingles, distinct_tokens, max_multiplicity]."),
+    ("hashed_ngram_buckets",
+      (es: Seq[Expression]) => {
+        requireArity(es, 2, "hashed_ngram_buckets")
+        HashedNgramBucketsExpr(es(0), intLitArg(es(1), "hashed_ngram_buckets buckets"))
+      },
+      "_FUNC_(text, buckets) - md5-nibble DSIR feature buckets of every unigram + adjacent bigram (array<int>)."),
     ("deletion_neighborhood_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 1, "deletion_neighborhood_hashes")
@@ -347,6 +353,9 @@ object GraftFunctions {
     call_function("damerau_distance", a, b)
   def deletionNeighborhoodHashes(text: Column): Column =
     call_function("deletion_neighborhood_hashes", text)
+  def hashedNgramBuckets(text: Column, buckets: Int): Column =
+    call_function("hashed_ngram_buckets", text,
+      org.apache.spark.sql.functions.lit(buckets))
   def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
   def stripAccents(text: Column): Column = call_function("strip_accents", text)
   def pqEncode(vec: Column, codebook: Column, m: Int, k: Int): Column =

@@ -449,6 +449,37 @@ case class DeletionNeighborhoodHashesExpr(child: Expression)
 }
 
 /**
+ * `hashed_ngram_buckets(text, buckets)` → array<int>: md5-nibble DSIR
+ * feature buckets of every unigram + adjacent bigram (see
+ * [[TextHashKernels.hashedNgramBuckets]]). NULL → NULL.
+ */
+case class HashedNgramBucketsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if buckets > 0 && buckets <= 65536 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"hashed_ngram_buckets buckets must be in [1, 65536], got $buckets")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_ngram_buckets requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.hashedNgramBuckets(v.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.hashedNgramBuckets($c, $buckets)")
+
+  override def prettyName: String = "hashed_ngram_buckets"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `edit_distance(a, b, unit)` → bigint: Levenshtein distance over one
  * of three unit alphabets — 'byte' (DuckDB/ClickHouse `levenshtein`
  * parity), 'codepoint' (Spark builtin parity), 'token' (single-space

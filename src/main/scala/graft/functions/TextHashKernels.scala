@@ -1147,4 +1147,67 @@ object TextHashKernels {
     UnsafeArrayData.fromPrimitiveArray(
       if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /**
+   * DSIR feature buckets (Xie et al. 2023): the md5-nibble bucket of
+   * every unigram and every adjacent bigram of a single-space-tokenized
+   * string — ((md5[0] << 8) | md5[1]) % buckets, i.e. the first 4 hex
+   * nibbles of the digest, the [[graft.operators.SeededHash]]
+   * arithmetic.
+   *
+   * Tokenization replicates Spark's `split(text, " ")` (default limit
+   * -1) to the byte: boundaries at every single 0x20 and ALL empty
+   * tokens kept — interior and trailing (Spark's split keeps trailing
+   * empties, unlike Java's default) — and the empty string yields one
+   * empty token; so this kernel is a drop-in for the
+   * `split`/`transform(sequence(...))`/`concat` higher-order-function
+   * pipeline (a CodegenFallback) it replaces, with no n-gram string
+   * ever materialized: unigrams digest a byte slice of the input,
+   * bigrams digest sliceA ++ 0x20 ++ sliceB via incremental updates.
+   * Output order is all unigrams then all bigrams, matching
+   * `concat(toks, bis)`.
+   */
+  def hashedNgramBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val b = text.getBytes
+    // token ranges of split(" ", limit = -1): every empty token kept
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](16)
+    var st = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        starts += st; ends += i; st = i + 1
+      }
+      i += 1
+    }
+    val n = starts.length
+    val md = md5Local.get()
+    def bucketOf(): Int = {
+      val d = md.digest()
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % buckets
+    }
+    val out = new Array[Int](n + (if (n >= 2) n - 1 else 0))
+    var t = 0
+    while (t < n) {
+      md.reset()
+      md.update(b, starts(t), ends(t) - starts(t))
+      out(t) = bucketOf()
+      t += 1
+    }
+    t = 0
+    while (t < n - 1) {
+      md.reset()
+      md.update(b, starts(t), ends(t) - starts(t))
+      md.update(0x20.toByte)
+      md.update(b, starts(t + 1), ends(t + 1) - starts(t + 1))
+      out(n + t) = bucketOf()
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }

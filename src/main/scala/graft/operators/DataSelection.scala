@@ -35,11 +35,6 @@ import org.apache.spark.sql.functions._
  */
 object DataSelection {
 
-  /** md5-based bucket of an n-gram string — first 4 nibbles mod B,
-    * identically computable in any engine with md5 + string ops. */
-  private def bucket(ng: Column, buckets: Int): Column =
-    SeededHash.md5Nibbles(ng, 4) % buckets
-
   /** round-to-6dp log10 of (count + `plus`), as exact DECIMAL — the
     * one place a transcendental enters; 6-dp rounding of a log of an
     * integer makes both engines agree bit-for-bit. */
@@ -61,23 +56,24 @@ object DataSelection {
     require(buckets > 0 && 65536 % buckets == 0,
       s"buckets must divide 16^4 for an unbiased md5-nibble bucket " +
         s"(got $buckets)")
-    val toks = split(col(textCol), " ")
-    val bis = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array())
     // ONE pass over the n-gram explode, reduced immediately to
     // (doc, bucket) multiplicities — BOTH downstream consumers (the
     // bucket multinomials and the per-doc scoring join) read this
     // same aggregate, so the plan carries one ReusedExchange instead
     // of scanning/exploding the corpus twice, and the scoring join's
     // input is doc × distinct-buckets rows, not one row per n-gram.
+    // N-gram generation + hashing is the codegen
+    // `hashed_ngram_buckets` kernel (round-13 profile, SCALING.md:
+    // the split/transform/concat HOF pipeline was a CodegenFallback
+    // and 69% of the operator's cost; the kernel digests byte slices
+    // of the text and explodes INTs, never an n-gram string).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val docBuckets = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), isTarget.as("__tgt"),
-        explode(concat(toks, bis)).as("__ng"))
-      .groupBy(col("__id"), col("__tgt"),
-        bucket(col("__ng"), buckets).as("__b"))
+        explode(graft.functions.GraftFunctions
+          .hashedNgramBuckets(col(textCol), buckets)).as("__b"))
+      .groupBy(col("__id"), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__c"))
     val counts = docBuckets.groupBy("__b").agg(
       sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__ct"),

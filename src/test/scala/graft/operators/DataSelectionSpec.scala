@@ -63,6 +63,39 @@ class DataSelectionSpec extends SparkFunSuite {
     assert(r.getLong(1) === 5L) // 3 unigrams + 2 bigrams
   }
 
+  test("hashed_ngram_buckets kernel ≡ the split/transform HOF formulation") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // tokenization edge cases: empty string (one empty token), interior
+    // multi-space (empty tokens kept), trailing spaces (dropped),
+    // all-spaces (no tokens at all), multibyte, equal-token runs
+    val fixtures = Seq("", " ", "  ", "a", "a b", "a  b", "a b ", "a b  ",
+      " a", "héllo wörld 日本 語", "x x x x", "one two three four five")
+    val df = fixtures.toDF("text")
+    val toks = split(col("text"), " ")
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array())
+    val hof = df.select(col("text"),
+      transform(concat(toks, bis), ng =>
+        (SeededHash.md5Nibbles(ng, 4) % 1024).cast("int")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+    val kernel = df.select(col("text"),
+      GraftFunctions.hashedNgramBuckets(col("text"), 1024).as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+    fixtures.foreach { s =>
+      assert(kernel(s) === hof(s), s"text '$s'")
+    }
+    // interpreted ≡ codegen: the same values via the kernel directly
+    fixtures.foreach { s =>
+      val direct = graft.functions.TextHashKernels.hashedNgramBuckets(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 1024)
+        .toIntArray().toSeq
+      assert(direct === kernel(s), s"direct kernel for '$s'")
+    }
+  }
+
   test("dsirWeights plan: lambda join broadcast, no cartesian on facts") {
     val plan = DataSelection.dsirWeights(corpus, "id", "text", col("tgt"))
       .queryExecution.executedPlan.toString
