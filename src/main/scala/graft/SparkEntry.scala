@@ -3419,6 +3419,56 @@ object SparkEntry {
       TemporalJoins.asOfJoin(clicks, views, "user_id", "ts", Seq("value"))
         .orderBy("user_id", "ts", "event_id")
     }),
+    // Exact two-sample KS statistic between the click and view value
+    // distributions (cents grid): the classic drift gate. Histogram +
+    // two-level cumulative counts, never an unpartitioned window.
+    "events_ks_drift" -> ((s, d) =>
+      StatTests.ksTwoSample(
+        table(s, d, "events").select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "cents", "click", "view")),
+    // Population stability index, view (reference) vs purchase
+    // (comparison), 10 equal-width bins over the reference's cents
+    // range — the scorecard drift card; exact integral terms.
+    "events_psi" -> ((s, d) =>
+      StatTests.psi(
+        table(s, d, "events").select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "cents", ref = "view", cmp = "purchase")),
+    // Mann–Whitney U with midrank ties (doubled-rank integers) and the
+    // tie-corrected normal z — the rank-sum A/B test on a skewed
+    // metric where the t-test's normality assumption fails.
+    "events_mann_whitney" -> ((s, d) =>
+      StatTests.mannWhitney(
+        table(s, d, "events").select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "cents", "click", "purchase")),
+    // CUPED variance reduction: per-user pre-period spend (before the
+    // midpoint timestamp) as the covariate for post-period spend —
+    // the experiment-sensitivity card (Deng et al. 2013).
+    "events_cuped" -> ((s, d) => {
+      val ev = table(s, d, "events").select(col("user_id"),
+        // NTZ → TZ cast shifts every row by the same session-zone
+        // constant, which cancels in the `us < mid` split
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("__us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("__cents"))
+      val mid = ev.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
+      val units = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("__us") < col("__mid"), col("__cents"))
+          .otherwise(0L)).as("x"),
+          sum(when(col("__us") >= col("__mid"), col("__cents"))
+            .otherwise(0L)).as("y"))
+      StatTests.cuped(units, "x", "y")
+    }),
+    // Benford first-digit card over extended prices: exact
+    // string-head digits of the DECIMAL floor, χ² vs log10(1 + 1/d).
+    "lineitem_benford" -> ((s, d) =>
+      StatTests.benford(table(s, d, "lineitem"), "l_extendedprice")),
     // Range self-join: event pairs per user within a 300 s window,
     // bucketed equality join (never an inequality-only join).
     "events_range_join" -> ((s, d) => {
@@ -12938,6 +12988,161 @@ object SparkEntry {
         |SELECT c.user_id, c.ts, c.event_id, v.ts AS matched_ts, v.value AS matched_value
         |FROM clicks c ASOF JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+    // Exact KS replay: cumulative counts over the pooled cents grid,
+    // max |Ca·nb − Cb·na| floored once (floor of max = max of floors).
+    "events_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |h AS (
+        |  SELECT cents,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT cents, sum(ca) OVER (ORDER BY cents) AS cca,
+        |         sum(cb) OVER (ORDER BY cents) AS ccb
+        |  FROM h),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |             CAST(sum(cb) AS BIGINT) AS n_b FROM h)
+        |SELECT t.n_a, t.n_b,
+        |       CAST((1000000 * max(abs(CAST(cca AS HUGEINT) * t.n_b -
+        |                                CAST(ccb AS HUGEINT) * t.n_a)))
+        |            // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS ks_micro
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // PSI replay: same reference-range equal-width bins (clamped), the
+    // same exact λ·10⁶ integer and one floored division per bin.
+    "events_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |bounds AS (SELECT min(cents) AS lo, max(cents) AS hi
+        |           FROM ev WHERE event_type = 'view'),
+        |binned AS (
+        |  SELECT event_type,
+        |         least(9, greatest(0, CAST(((cents - lo) * 10)
+        |           // greatest(hi - lo + 1, 1) AS INT))) AS bin
+        |  FROM ev, bounds),
+        |cnts AS (
+        |  SELECT bin,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cr,
+        |         sum(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END) AS cc
+        |  FROM binned GROUP BY 1),
+        |grid AS (
+        |  SELECT t.bin, coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+        |  FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) t
+        |  LEFT JOIN cnts ON cnts.bin = t.bin),
+        |tot AS (SELECT sum(cr) + 10 AS r, sum(cc) + 10 AS c,
+        |               CAST(sum(cr) AS BIGINT) AS n_ref,
+        |               CAST(sum(cc) AS BIGINT) AS n_cmp FROM grid),
+        |terms AS (
+        |  SELECT n_ref, n_cmp,
+        |         CAST(cr + 1 AS HUGEINT) * c AS a,
+        |         CAST(cc + 1 AS HUGEINT) * r AS b,
+        |         CAST(r AS HUGEINT) * c AS rc
+        |  FROM grid, tot)
+        |SELECT n_ref, n_cmp,
+        |       CAST(sum(((a - b) * CAST(CAST(round(log10(a), 6) AS DECIMAL(28,6))
+        |           * 1000000 - CAST(round(log10(b), 6) AS DECIMAL(28,6))
+        |           * 1000000 AS HUGEINT) * 2302585)
+        |         // (rc * CAST(1000000000000 AS HUGEINT))) AS BIGINT) AS psi_micro
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+    // Mann–Whitney replay: doubled midranks on the cents histogram,
+    // exact u2, tie-corrected z in doubles from the same integers.
+    "events_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |h AS (
+        |  SELECT cents,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT cents, ca, cb, ca + cb AS t,
+        |         sum(ca + cb) OVER (ORDER BY cents) AS tcum
+        |  FROM h),
+        |a AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |         sum(CAST(ca AS HUGEINT) * (2 * (tcum - t) + t + 1)) AS r2a,
+        |         sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+        |  FROM c)
+        |SELECT n_a, n_b,
+        |       CAST(2 * CAST(n_a AS HUGEINT) * n_b
+        |            + CAST(n_a AS HUGEINT) * (n_a + 1) - r2a AS BIGINT) AS u2,
+        |       round((CAST(u2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+        |         / sqrt(CAST(n_a AS DOUBLE) * n_b / 12 *
+        |             ((n_a + n_b + 1) - CAST(ties AS DOUBLE) /
+        |               (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 6) AS z
+        |FROM a""".stripMargin,
+    // CUPED replay: exact integer moment sums in HUGEINT, theta and
+    // variances as the same double formula, rounded once.
+    "events_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |units AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS x,
+        |         sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS y
+        |  FROM ev, mid GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM units),
+        |s AS (
+        |  SELECT n, CAST(n AS HUGEINT) * sxx - sx * sx AS sxx2,
+        |         CAST(n AS HUGEINT) * sxy - sx * sy AS sxy2,
+        |         CAST(n AS HUGEINT) * syy - sy * sy AS syy2
+        |  FROM m)
+        |SELECT n AS n_units,
+        |  CASE WHEN sxx2 > 0
+        |       THEN round(CAST(sxy2 AS DOUBLE) / CAST(sxx2 AS DOUBLE), 6)
+        |       ELSE 0.0 END AS theta,
+        |  round(CAST(syy2 AS DOUBLE) / (CAST(n AS DOUBLE) * n * n), 6) AS var_y,
+        |  round((CAST(syy2 AS DOUBLE) - 2 * theta * CAST(sxy2 AS DOUBLE)
+        |         + theta * theta * CAST(sxx2 AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * n * n), 6) AS var_adj,
+        |  CASE WHEN var_y > 0
+        |       THEN CAST(round((1 - var_adj / var_y) * 1000000) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS reduction_micro
+        |FROM s""".stripMargin,
+    // Benford replay: string-head digit of the DECIMAL floor, exact
+    // micro chi-square in HUGEINT.
+    "lineitem_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1),
+        |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        |bt AS (SELECT CAST(t.digit AS BIGINT) AS digit,
+        |              CAST(t.p AS BIGINT) AS benford_micro
+        |       FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |                    (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |                    (9, 45757)) AS t(digit, p)),
+        |grid AS (SELECT bt.digit, bt.benford_micro, coalesce(n_obs, 0) AS n_obs
+        |         FROM bt LEFT JOIN cnt ON cnt.digit = bt.digit),
+        |tot AS (SELECT sum(n_obs) AS n FROM grid),
+        |terms AS (
+        |  SELECT digit, n_obs, benford_micro,
+        |         CAST((1000000 * n_obs) // n AS BIGINT) AS share_micro,
+        |         CAST(1000000 AS HUGEINT) * n_obs AS o,
+        |         CAST(n AS HUGEINT) * benford_micro AS e
+        |  FROM grid, tot),
+        |chi AS (SELECT CAST(sum(((o - e) * (o - e)) // e) AS BIGINT) AS chi2_micro
+        |        FROM terms)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, share_micro, benford_micro,
+        |       chi2_micro
+        |FROM terms, chi ORDER BY digit""".stripMargin,
     "events_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id, a.ts AS a_ts, b.ts AS b_ts

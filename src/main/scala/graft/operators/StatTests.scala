@@ -1,0 +1,319 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Two-sample drift tests and experiment-analysis statistics over
+ * INTEGER-QUANTIZED metrics — the distribution-shift / A-B toolkit a
+ * training-data pipeline runs between corpus snapshots, data sources,
+ * or experiment arms, beside the existing JS-divergence (clustered
+ * embeddings) and calibration cards. Beyond-reference scope (the
+ * reference computes no statistics at all).
+ *
+ * Package discipline throughout: inputs are quantized to an integer
+ * grid by the caller (cents, micros — an exact decimal cast, never a
+ * double multiply), every count/rank/cumulative is an exact integer,
+ * the only transcendentals are log10/ln/sqrt of exact integers with
+ * 6-dp rounding before any further arithmetic, and sums of rounded
+ * terms run in DECIMAL — so every output is bit-identical under any
+ * partitioning and replayable by a SQL oracle.
+ *
+ * 100 TB shape: everything here reduces the corpus to a VALUE
+ * HISTOGRAM first (one map-side-combinable aggregate; ≤ |domain| rows
+ * — bounded by the quantization grid, not the corpus). Cumulative
+ * counts over the histogram use the [[RelationalAnalytics
+ * .percentileRank]] two-level discipline: a PARTITIONED window inside
+ * `value div bucketWidth` blocks plus a driver prefix over ≤
+ * `maxBlocks` block totals (a bounded model-boundary collect) — never
+ * an unpartitioned window, never a corpus-sized sort.
+ */
+object StatTests {
+
+  /** Two-level cumulative counts over the value order: for each count
+    * column c, adds `<c>_cum` = Σ of c over rows with value ≤ this
+    * row's. Driver state: ≤ maxBlocks block totals. */
+  private def cumulativeOverValue(
+      hist: DataFrame, valueCol: String, countCols: Seq[String],
+      bucketWidth: Long, maxBlocks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, s"bucketWidth: $bucketWidth")
+    val spark = hist.sparkSession
+    val withBlock =
+      hist.withColumn("__blk", expr(s"$valueCol div $bucketWidth"))
+    val blocks = withBlock.groupBy("__blk")
+      .agg(countCols.head -> "sum", countCols.tail.map(_ -> "sum"): _*)
+      .orderBy("__blk").collect()
+    require(blocks.length <= maxBlocks,
+      s"cumulativeOverValue: ${blocks.length} blocks exceed " +
+        s"maxBlocks=$maxBlocks — quantize coarser or raise bucketWidth")
+    val acc = Array.fill(countCols.length)(0L)
+    val prefixRows = blocks.map { r =>
+      val p = acc.toSeq
+      countCols.indices.foreach(i => acc(i) += r.getLong(i + 1))
+      (r.getLong(0), p)
+    }.toSeq
+    import spark.implicits._
+    val prefix = prefixRows
+      .map { case (b, ps) => (b, ps.toArray) }
+      .toDF("__blk", "__p")
+    val w = Window.partitionBy("__blk").orderBy(valueCol)
+    countCols.zipWithIndex.foldLeft(
+      withBlock.join(broadcast(prefix), "__blk")) {
+      case (df, (c, i)) =>
+        df.withColumn(s"${c}_cum",
+          element_at(col("__p"), i + 1) + sum(col(c)).over(w))
+    }.drop("__blk", "__p")
+  }
+
+  /**
+   * Exact two-sample Kolmogorov–Smirnov statistic between groups `a`
+   * and `b` of an integer-quantized metric:
+   *
+   *   D = max_v |F_a(v) − F_b(v)|
+   *     = max_v |C_a(v)·n_b − C_b(v)·n_a| / (n_a·n_b)
+   *
+   * computed entirely on the cumulative-count grid, so `ks_micro =
+   * 10⁶·max|…| div (n_a·n_b)` is exact (floor is monotone, so the max
+   * of floored ratios is the floored max). The classic drift gate
+   * between corpus snapshots or A/B arms.
+   *
+   * Output: one row (n_a, n_b, ks_micro).
+   */
+  def ksTwoSample(
+      df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String,
+      bucketWidth: Long = 1000L, maxBlocks: Int = 4096): DataFrame = {
+    val hist = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+    val cum = cumulativeOverValue(hist, "__v", Seq("__ca", "__cb"),
+      bucketWidth, maxBlocks)
+    // the |·| term needs n_a/n_b per grid row — a 1-row totals
+    // relation joins back onto the bounded histogram grid
+    val tot = hist.agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(expr("CAST(__ca_cum AS DECIMAL(38,0)) * n_b - " +
+          "CAST(__cb_cum AS DECIMAL(38,0)) * n_a")).as("__num"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max("__num").as("__mx"))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("CAST((1000000 * __mx) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("ks_micro"))
+  }
+
+  /**
+   * Population stability index between a REFERENCE group and a
+   * COMPARISON group, over `bins` equal-width bins of the reference's
+   * integer-quantized value range (out-of-range comparison values
+   * clamp to the edge bins — the standard scorecard convention).
+   * Add-one smoothing keeps empty bins finite. With r_i = cnt_ref+1,
+   * c_i = cnt_cmp+1, R = n_ref + bins, C = n_cmp + bins:
+   *
+   *   term_i = (r_i/R − c_i/C) · ln((r_i·C)/(c_i·R))
+   *
+   * where the log is the package's rounded-log10-of-integers
+   * convention times a fixed 6-dp ln(10), and the rational prefactor
+   * stays exact: `term_micro = ((r_i·C − c_i·R) · λ_micro) div (R·C)`
+   * in DECIMAL(38,0) (headroom: counts·bins ≲ 10¹⁵). PSI < 0.1 stable
+   * / 0.1–0.25 moderate / > 0.25 major shift — the industry card.
+   *
+   * Output: one row (n_ref, n_cmp, psi_micro).
+   */
+  def psi(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ref: String, cmp: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000]: $bins")
+    val vals = df.filter(col(groupCol).isin(ref, cmp) &&
+      col(valueCol).isNotNull)
+    val bounds = vals.filter(col(groupCol) === ref)
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    val binned = vals.crossJoin(broadcast(bounds))
+      .select(col(groupCol).as("__g"),
+        least(lit(bins - 1), greatest(lit(0),
+          expr(s"(CAST($valueCol AS DECIMAL(38,0)) - __lo) * $bins div " +
+            s"greatest(__hi - __lo + 1, 1)").cast("int"))).as("__bin"))
+    val counts = binned.groupBy("__bin")
+      .agg(sum(when(col("__g") === ref, 1L).otherwise(0L)).as("__cr"),
+        sum(when(col("__g") === ref, 0L).otherwise(1L)).as("__cc"))
+    // all `bins` bins participate (empty ones via the smoothing +1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allBins = (0 until bins).map(_.toLong).toDF("__bin")
+    val grid = allBins.join(counts, Seq("__bin"), "left")
+      .na.fill(0L, Seq("__cr", "__cc"))
+    val tot = grid.agg((sum("__cr") + bins).as("__R"),
+      (sum("__cc") + bins).as("__C"),
+      sum("__cr").cast("long").as("n_ref"),
+      sum("__cc").cast("long").as("n_cmp"))
+    // λ·10⁶ as an EXACT integer: the 6-dp rounded log10s difference
+    // scaled by 10⁶ (an integer-valued decimal), times the fixed 6-dp
+    // ln(10) micro constant 2302585; the term divides once, floored —
+    // no double round-half anywhere, so both engines agree bit-for-bit
+    grid.crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cmp"),
+        expr("CAST(__cr + 1 AS DECIMAL(38,0)) * __C").as("__a"),
+        expr("CAST(__cc + 1 AS DECIMAL(38,0)) * __R").as("__b"),
+        expr("CAST(__R AS DECIMAL(38,0)) * __C").as("__rc"))
+      .select(col("n_ref"), col("n_cmp"),
+        expr(
+          """((__a - __b) * CAST(CAST(round(log10(__a), 6) AS DECIMAL(28,6))
+            | * 1000000 - CAST(round(log10(__b), 6) AS DECIMAL(28,6))
+            | * 1000000 AS DECIMAL(38,0)) * 2302585)
+            | div (__rc * CAST(1000000000000 AS DECIMAL(38,0)))"""
+            .stripMargin.replace("\n", " ")).as("__term"))
+      .groupBy(col("n_ref"), col("n_cmp"))
+      .agg(sum("__term").cast("long").as("psi_micro"))
+      .select(col("n_ref"), col("n_cmp"), col("psi_micro"))
+  }
+
+  /**
+   * Mann–Whitney U (Wilcoxon rank-sum) between groups `a` and `b` of
+   * an integer-quantized metric, with midrank tie handling via the
+   * DOUBLED-rank trick (the [[Evaluation]] DeLong discipline): for a
+   * value with `t` ties and `less` strictly-smaller rows, every tied
+   * row's doubled midrank is the exact integer `2·less + t + 1`, so
+   * `u2 = 2·U_a = 2·n_a·n_b + n_a(n_a+1) − 2·R_a` stays integral.
+   * The normal-approximation z uses the tie-corrected variance
+   *
+   *   σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+   *
+   * computed in doubles FROM exact integers and rounded to 6 dp — the
+   * one place arithmetic leaves the integer grid. No continuity
+   * correction (documented; both engines replay the same formula).
+   *
+   * Output: one row (n_a, n_b, u2, z).
+   */
+  def mannWhitney(
+      df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String,
+      bucketWidth: Long = 1000L, maxBlocks: Int = 4096): DataFrame = {
+    val hist = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val cum = cumulativeOverValue(hist, "__v", Seq("__t"), bucketWidth,
+      maxBlocks)
+    val agg = cum.agg(
+      sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+      // Σ over a-rows of doubled midrank: ca·(2·less + t + 1) where
+      // less = cum − t
+      sum(expr("CAST(__ca AS DECIMAL(38,0)) * (2 * (__t_cum - __t) + __t + 1)"))
+        .as("__r2a"),
+      sum(expr("CAST(__t AS DECIMAL(38,0)) * __t * __t - __t")).as("__ties"))
+    agg
+      .select(
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        expr("""CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b
+               | + CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) - __r2a AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("u2"),
+        col("__ties"))
+      .select(col("n_a"), col("n_b"), col("u2"),
+        expr(
+          """round((CAST(u2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+            | / sqrt(CAST(n_a AS DOUBLE) * n_b / 12 *
+            |   ((n_a + n_b + 1) - CAST(__ties AS DOUBLE) /
+            |     (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 6)"""
+            .stripMargin.replace("\n", " ")).as("z"))
+  }
+
+  /**
+   * CUPED variance reduction (Deng et al. 2013) — the standard
+   * experiment-sensitivity trick: adjust each unit's post-period
+   * metric by its pre-period covariate, y′ = y − θ(x − x̄), with
+   * θ = Sxy/Sxx from the same data. Inputs are exact integer
+   * (quantized) per-unit sums; the moment sums
+   * Sxx = n·Σx² − (Σx)², Sxy = n·Σxy − Σx·Σy, Syy = n·Σy² − (Σy)²
+   * are exact DECIMAL(38,0); θ and the variances leave the integer
+   * grid once, as doubles rounded to 6 dp (identical formula in the
+   * oracle). Variances are population moments over n² (the ratio is
+   * scale-free, so the convention only needs to match the replay).
+   *
+   * Output: one row (n_units, theta, var_y, var_adj, reduction_micro)
+   * — reduction_micro = round(10⁶·(1 − var_adj/var_y)).
+   */
+  def cuped(
+      units: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val m = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(col(xCol).cast("decimal(38,0)")).as("__sx"),
+      sum(col(yCol).cast("decimal(38,0)")).as("__sy"),
+      sum(expr(s"CAST($xCol AS DECIMAL(38,0)) * $xCol")).as("__sxx"),
+      sum(expr(s"CAST($xCol AS DECIMAL(38,0)) * $yCol")).as("__sxy"),
+      sum(expr(s"CAST($yCol AS DECIMAL(38,0)) * $yCol")).as("__syy"))
+    m.select(col("n_units"),
+        expr("CAST(n_units AS DECIMAL(38,0)) * __sxx - __sx * __sx").as("__Sxx"),
+        expr("CAST(n_units AS DECIMAL(38,0)) * __sxy - __sx * __sy").as("__Sxy"),
+        expr("CAST(n_units AS DECIMAL(38,0)) * __syy - __sy * __sy").as("__Syy"))
+      .select(col("n_units"),
+        when(col("__Sxx") > 0,
+          round(col("__Sxy").cast("double") / col("__Sxx").cast("double"), 6))
+          .otherwise(lit(0.0)).as("theta"),
+        col("__Sxx"), col("__Sxy"), col("__Syy"))
+      .select(col("n_units"), col("theta"),
+        round(col("__Syy").cast("double") /
+          expr("CAST(n_units AS DOUBLE) * n_units * n_units"), 6).as("var_y"),
+        round((col("__Syy").cast("double")
+          - lit(2.0) * col("theta") * col("__Sxy").cast("double")
+          + col("theta") * col("theta") * col("__Sxx").cast("double")) /
+          expr("CAST(n_units AS DOUBLE) * n_units * n_units"), 6).as("var_adj"))
+      .select(col("n_units"), col("theta"), col("var_y"), col("var_adj"),
+        when(col("var_y") > 0,
+          round((lit(1.0) - col("var_adj") / col("var_y")) * 1e6)
+            .cast("long")).otherwise(0L).as("reduction_micro"))
+  }
+
+  /**
+   * Benford first-digit card over a positive numeric column (values
+   * ≥ 1 — the law's domain; smaller values are filtered and counted):
+   * observed first-significant-digit shares vs Benford's
+   * p_d = log10(1 + 1/d), plus the χ² goodness-of-fit statistic. The
+   * first digit comes from the DECIMAL floor's string head — exact in
+   * any engine, no floating log10 near power-of-ten boundaries. With
+   * o_d = 10⁶·obs_d and e_d = n·p_micro_d (both exact):
+   *
+   *   chi2_micro = Σ_d (o_d − e_d)² div e_d
+   *
+   * in DECIMAL(38,0) (headroom: n ≲ 10¹² rows). The classic
+   * fabricated-data / broken-ETL detector on financial-scale columns.
+   *
+   * Output: 9 rows (digit, n_obs, share_micro, benford_micro,
+   * chi2_micro) — chi2 repeated per row as the card total.
+   */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // round(log10(1 + 1/d), 6) · 10⁶ — fixed public constants
+    val pMicro = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val benfordTable = pMicro.zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("digit", "benford_micro")
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(
+        expr(s"CAST(CAST(floor(CAST($valueCol AS DECIMAL(38,6))) AS BIGINT) AS STRING)"),
+        1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val grid = benfordTable.join(digits, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+    val tot = grid.agg(sum("n_obs").as("__n"))
+    val terms = grid.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"), col("benford_micro"),
+        expr("(1000000 * n_obs) div __n").as("share_micro"),
+        expr("""CAST(1000000 AS DECIMAL(38,0)) * n_obs""").as("__o"),
+        expr("CAST(__n AS DECIMAL(38,0)) * benford_micro").as("__e"))
+      .withColumn("__term", expr("((__o - __e) * (__o - __e)) div __e"))
+    val chi2 = terms.agg(sum("__term").cast("long").as("chi2_micro"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"), col("share_micro"),
+        col("benford_micro"), col("chi2_micro"))
+      .orderBy("digit")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class StatTestsSpec extends SparkFunSuite {
+
+  import spark.implicits._
+
+  test("ksTwoSample: hand-computed max ECDF gap") {
+    // A = {1,2,3}, B = {3,4}; pooled grid 1,2,3,4:
+    //   Ca = 1,2,3,3  Cb = 0,0,1,2  |Ca·2 − Cb·3| = 2,4,3,0 → max 4
+    //   D = 4/(3·2) = 0.666666…  → 666666 floored micro
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val r = StatTests.ksTwoSample(df, "g", "v", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (3L, 2L, 666666L))
+  }
+
+  test("ksTwoSample: identical samples score 0") {
+    val df = Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L)).toDF("g", "v")
+    val r = StatTests.ksTwoSample(df, "g", "v", "a", "b").collect().head
+    assert(r.getLong(2) === 0L)
+  }
+
+  test("ksTwoSample: deterministic across partitionings") {
+    val base = (1 to 500).map(i => (if (i % 3 == 0) "a" else "b", (i * 7 % 101).toLong))
+    val r1 = StatTests.ksTwoSample(base.toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head.toSeq
+    val r2 = StatTests.ksTwoSample(base.toDF("g", "v").repartition(13), "g", "v",
+      "a", "b").collect().head.toSeq
+    assert(r1 === r2)
+  }
+
+  test("psi: identical distributions score exactly 0") {
+    val df = (1 to 100).flatMap(i => Seq(("r", i.toLong), ("c", i.toLong)))
+      .toDF("g", "v")
+    val r = StatTests.psi(df, "g", "v", "r", "c").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (100L, 100L, 0L))
+  }
+
+  test("psi: a shifted distribution scores positive; out-of-range clamps") {
+    val ref = (1 to 100).map(i => ("r", i.toLong))
+    val cmp = (1 to 100).map(i => ("c", i.toLong + 200)) // all above ref max
+    val r = StatTests.psi((ref ++ cmp).toDF("g", "v"), "g", "v", "r", "c")
+      .collect().head
+    assert(r.getLong(2) > 0L)
+  }
+
+  test("mannWhitney: hand case without ties") {
+    // A = {1,2}, B = {3,4}: R_a = 3, U = 4 + 3 − 3 = 4 → u2 = 8
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = StatTests.mannWhitney(df, "g", "v", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (2L, 2L, 8L))
+    // U = 4, μ = 2, σ² = (4/12)·(5 − 0/12) = 5/3 → z = 2/sqrt(5/3)
+    assert(r.getDouble(3) === math.rint(2.0 / math.sqrt(4.0 / 12 * 5) * 1e6) / 1e6)
+  }
+
+  test("mannWhitney: midrank ties stay integral (doubled ranks)") {
+    // A = {1,1}, B = {1,2}: value 1 has t=3, less=0 → doubled midrank 4
+    //   R2a = 2·4 = 8; u2 = 2·2·2 + 2·3 − 8 = 6 (U = 3; μ = 2)
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val r = StatTests.mannWhitney(df, "g", "v", "a", "b").collect().head
+    assert(r.getLong(2) === 6L)
+  }
+
+  test("cuped: a perfectly predictive covariate removes all variance") {
+    val units = (1 to 50).map(i => (i.toLong, i.toLong * 3, i.toLong * 6))
+      .toDF("u", "x", "y")
+    val r = StatTests.cuped(units, "x", "y").collect().head
+    assert(r.getLong(0) === 50L)
+    assert(r.getDouble(1) === 2.0)     // theta = Sxy/Sxx = 2
+    assert(r.getDouble(3) === 0.0)     // var_adj = 0
+    assert(r.getLong(4) === 1000000L)  // 100% variance reduction
+  }
+
+  test("cuped: an exactly balanced covariate gives theta 0 and no reduction") {
+    // every y level appears with x = +1 and x = −1 equally → Sxy = 0
+    val units = (for {
+      y <- 0L to 3L; x <- Seq(1L, -1L); rep <- 1 to 5
+    } yield (y * 100 + x * 10 + rep, x, y)).toDF("u", "x", "y")
+    val r = StatTests.cuped(units, "x", "y").collect().head
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === r.getDouble(3)) // var unchanged
+    assert(r.getLong(4) === 0L)
+  }
+
+  test("benford: digit extraction from the decimal floor; constants sum to ~1") {
+    val df = Seq(1.5, 19.99, 190.0, 2.0, 9000.123, 0.5 /* filtered */)
+      .toDF("v")
+    val rows = StatTests.benford(df, "v").collect()
+    assert(rows.length === 9)
+    val byDigit = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDigit(1L) === 3L) // 1.5, 19.99, 190.0
+    assert(byDigit(2L) === 1L)
+    assert(byDigit(9L) === 1L)
+    assert(rows.map(_.getLong(3)).sum === 1000000L) // Σ benford_micro
+    // shares: 3/5, 1/5, 1/5 in micros (floored)
+    assert(rows.head.getLong(2) === 600000L)
+  }
+
+  test("benford: uniform digits score a large chi2; Benford-ish scores small") {
+    val uniform = (1 to 9).flatMap(d => Seq.fill(100)(d * 10.0)).toDF("v")
+    val chiU = StatTests.benford(uniform, "v").collect().head.getLong(4)
+    // frequencies proportional to Benford's law (×1000 rows)
+    val benfordish = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46).zipWithIndex
+      .flatMap { case (n, i) => Seq.fill(n)((i + 1) * 10.0) }.toDF("v")
+    val chiB = StatTests.benford(benfordish, "v").collect().head.getLong(4)
+    assert(chiU > chiB * 10, s"uniform $chiU vs benford-ish $chiB")
+  }
+
+  test("cumulative block gate: too-wide domains refuse loudly") {
+    val df = (1 to 50000).map(i => ("a", i.toLong * 100000)).toDF("g", "v")
+    val ex = intercept[IllegalArgumentException] {
+      StatTests.ksTwoSample(df, "g", "v", "a", "b", bucketWidth = 1L,
+        maxBlocks = 64).collect()
+    }
+    assert(ex.getMessage.contains("blocks exceed"))
+  }
+}
