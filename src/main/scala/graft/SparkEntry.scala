@@ -3469,6 +3469,21 @@ object SparkEntry {
     // string-head digits of the DECIMAL floor, χ² vs log10(1 + 1/d).
     "lineitem_benford" -> ((s, d) =>
       StatTests.benford(table(s, d, "lineitem"), "l_extendedprice")),
+    // Split conformal prediction at α = 10%: per-event-type floor-mean
+    // predictor from the train split, order-statistic radius from the
+    // calibration split, distribution-free ŷ ± q̂ intervals on test.
+    "events_conformal_card" -> ((s, d) =>
+      Conformal.card(
+        table(s, d, "events").select(col("event_id"), col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_id", "event_type", "cents")),
+    "events_conformal_intervals" -> ((s, d) =>
+      Conformal.intervals(
+        table(s, d, "events").select(col("event_id"), col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_id", "event_type", "cents")),
     // Range self-join: event pairs per user within a 300 s window,
     // bucketed equality join (never an inequality-only join).
     "events_range_join" -> ((s, d) => {
@@ -6087,6 +6102,40 @@ object SparkEntry {
   /** Shared CTE chain for the two DSIR oracles: md5-nibble buckets,
     * per-bucket target/raw counts, 6-dp log10 lambda deltas, the
     * n·offset normalizer — everything up to the final projection. */
+  /** Shared split-conformal derivation: md5 split buckets (the
+    * dataset_split replay), per-type floor-mean predictor from train,
+    * calibration residuals, rank-r order statistic q̂, test rows. */
+  private val conformalCtes: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_id, event_type, cents,
+      |         CAST(list_sum(list_transform(generate_series(1, 4),
+      |           i -> (strpos('0123456789abcdef',
+      |                   substr(md5(CAST(event_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+      |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) AS bucket
+      |  FROM ev),
+      |sp AS (
+      |  SELECT event_id, event_type, cents,
+      |         CASE WHEN bucket < 80 THEN 'train'
+      |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM b),
+      |yh AS (SELECT event_type, CAST(sum(cents) // count(*) AS BIGINT) AS yhat
+      |       FROM sp WHERE split = 'train' GROUP BY 1),
+      |cal AS (SELECT abs(cents - yhat) AS s
+      |        FROM sp JOIN yh USING (event_type) WHERE split = 'val'),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+      |              CAST(least(((count(*) + 1) * 90 + 99) // 100, count(*))
+      |                   AS BIGINT) AS r
+      |       FROM cal),
+      |q AS (SELECT n_cal, r, CAST(min(s) AS BIGINT) AS qhat
+      |      FROM (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal), nc
+      |      WHERE rn = r GROUP BY n_cal, r),
+      |t AS (SELECT sp.event_id, sp.event_type, sp.cents, yh.yhat
+      |      FROM sp JOIN yh USING (event_type) WHERE split = 'test')""".stripMargin
+
   private val dsirCtes: String =
     """WITH t AS (
       |  SELECT doc_id, lang = 'en' AS tgt,
@@ -13115,6 +13164,22 @@ object SparkEntry {
         |       THEN CAST(round((1 - var_adj / var_y) * 1000000) AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS reduction_micro
         |FROM s""".stripMargin,
+    // Split-conformal replay: md5 split buckets, floor-mean predictor,
+    // row_number order statistic at rank r, integral coverage.
+    "events_conformal_card" -> (conformalCtes +
+      """
+        |SELECT q.n_cal, q.r, q.qhat, CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST((1000000 * sum(CASE WHEN abs(cents - yhat) <= qhat
+        |                                THEN 1 ELSE 0 END)) // count(*)
+        |            AS BIGINT) AS coverage_micro
+        |FROM t, q GROUP BY 1, 2, 3""".stripMargin),
+    "events_conformal_intervals" -> (conformalCtes +
+      """
+        |SELECT t.event_id, t.event_type, t.cents, t.yhat,
+        |       CAST(yhat - qhat AS BIGINT) AS lo,
+        |       CAST(yhat + qhat AS BIGINT) AS hi,
+        |       abs(cents - yhat) <= qhat AS covered
+        |FROM t, q ORDER BY t.event_id""".stripMargin),
     // Benford replay: string-head digit of the DECIMAL floor, exact
     // micro chi-square in HUGEINT.
     "lineitem_benford" ->

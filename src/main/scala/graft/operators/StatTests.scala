@@ -32,8 +32,9 @@ object StatTests {
 
   /** Two-level cumulative counts over the value order: for each count
     * column c, adds `<c>_cum` = Σ of c over rows with value ≤ this
-    * row's. Driver state: ≤ maxBlocks block totals. */
-  private def cumulativeOverValue(
+    * row's. Driver state: ≤ maxBlocks block totals. Shared with
+    * [[Conformal]]'s order-statistic rank scan. */
+  private[operators] def cumulativeOverValue(
       hist: DataFrame, valueCol: String, countCols: Seq[String],
       bucketWidth: Long, maxBlocks: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
