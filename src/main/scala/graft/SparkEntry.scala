@@ -3469,6 +3469,28 @@ object SparkEntry {
     // string-head digits of the DECIMAL floor, χ² vs log10(1 + 1/d).
     "lineitem_benford" -> ((s, d) =>
       StatTests.benford(table(s, d, "lineitem"), "l_extendedprice")),
+    // Robust means (plain / 5%-trimmed / winsorized) — all exact from
+    // the cents histogram and its order statistics.
+    "events_robust_mean" -> ((s, d) =>
+      StatTests.robustMean(
+        table(s, d, "events").select(
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")), "cents")),
+    // Morton z-order key over (user bucket, cents bucket) — the
+    // 2-D layout key the z-ordered write clusters on; the pruning
+    // benefit itself is pinned in ZOrderLayoutSpec.
+    "events_zorder_keys" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, d, "events").select(col("event_id"),
+        ZOrderLayout.zKey(pmod(col("user_id"), lit(1024L)),
+          pmod(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+            lit(1024L)), bits = 10).as("zkey"))
+        .orderBy("event_id")
+    }),
+    // Corpus token entropy vs the log2(V) maximum — the redundancy
+    // single-number beside the Zipf slope card.
+    "corpus_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(table(s, d, "documents"), "text")),
     // Split conformal prediction at α = 10%: per-event-type floor-mean
     // predictor from the train split, order-statistic radius from the
     // calibration split, distribution-free ŷ ± q̂ intervals on test.
@@ -13164,6 +13186,64 @@ object SparkEntry {
         |       THEN CAST(round((1 - var_adj / var_y) * 1000000) AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS reduction_micro
         |FROM s""".stripMargin,
+    // Robust means replayed: window cumulative on the cents histogram,
+    // rank-interval overlap for the trim, clamp for the winsorization.
+    "events_robust_mean" ->
+      """WITH h AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |cu AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |               CAST((sum(c) * 5) // 100 AS BIGINT) AS lo_cut FROM h),
+        |plo AS (SELECT min(v) AS p_lo FROM cu, tot WHERE cum >= lo_cut + 1),
+        |phi AS (SELECT min(v) AS p_hi FROM cu, tot WHERE cum >= n - lo_cut),
+        |terms AS (
+        |  SELECT n, lo_cut, p_lo, p_hi,
+        |         CAST(v AS HUGEINT) * c AS sv,
+        |         CAST(v AS HUGEINT) * greatest(0, least(cum, n - lo_cut)
+        |           - greatest(cum - c, lo_cut)) AS tv,
+        |         CAST(least(greatest(v, p_lo), p_hi) AS HUGEINT) * c AS wv
+        |  FROM cu, tot, plo, phi)
+        |SELECT n, lo_cut, p_lo, p_hi,
+        |       CAST((1000000 * sum(sv)) // n AS BIGINT) AS mean_micro,
+        |       CAST(CASE WHEN n - 2 * lo_cut > 0
+        |            THEN (1000000 * sum(tv)) // (n - 2 * lo_cut)
+        |            ELSE 0 END AS BIGINT) AS trimmed_mean_micro,
+        |       CAST((1000000 * sum(wv)) // n AS BIGINT) AS winsorized_mean_micro
+        |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin,
+    // Morton interleave replayed arithmetically: bit i of x lands at
+    // position 2i, bit i of y at 2i+1.
+    "events_zorder_keys" ->
+      """SELECT event_id,
+        |       CAST(list_sum(list_transform(generate_series(0, 9), i ->
+        |         (((ux >> i) & 1) << (2 * i)) +
+        |         (((vy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+        |FROM (SELECT event_id, user_id % 1024 AS ux,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1024 AS vy
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    // Token entropy replayed: same rounded log2-of-integers terms,
+    // DECIMAL sum, one floored micro division.
+    "corpus_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS n_distinct FROM c),
+        |terms AS (
+        |  SELECT n, n_distinct,
+        |         CAST(c AS DECIMAL(38,6)) *
+        |           (CAST(round(log2(n), 6) AS DECIMAL(28,6))
+        |            - CAST(round(log2(c), 6) AS DECIMAL(28,6))) AS term
+        |  FROM c, tot)
+        |SELECT n AS n_tokens, n_distinct,
+        |       CAST(CAST(sum(term) * 1000000 AS HUGEINT) // n AS BIGINT)
+        |         AS entropy_micro,
+        |       CAST(CAST(round(log2(n_distinct), 6) AS DECIMAL(28,6)) * 1000000
+        |            AS BIGINT) AS max_entropy_micro
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     // Split-conformal replay: md5 split buckets, floor-mean predictor,
     // row_number order statistic at rank r, integral coverage.
     "events_conformal_card" -> (conformalCtes +

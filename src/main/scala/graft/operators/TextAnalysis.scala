@@ -1210,4 +1210,41 @@ object TextAnalysis {
               sqrt(expr(s"CAST(CAST(n AS $dec) * svv - sv * sv AS DOUBLE)"))),
           6).as("rho"))
   }
+
+  /**
+   * Corpus token entropy card (Shannon 1948 over the unigram
+   * distribution): H = Σ (c/N)·log₂(N/c) in bits, plus the maximum
+   * log₂(V) — the redundancy read (H far below log₂ V ⇔ the corpus
+   * leans on few tokens; near it ⇔ flat/noisy vocabulary). Complements
+   * the Zipf-slope card with a single-number summary.
+   *
+   * The package log discipline: log₂ of exact integer counts, rounded
+   * to 6 dp BEFORE the multiply; per-token terms c·(log₂N − log₂c)
+   * sum exactly in DECIMAL; one integral micro division at the end —
+   * bit-reproducible and SQL-replayable.
+   *
+   * Shape: one token-frequency aggregate (map-side combined), a 1-row
+   * totals broadcast, one bounded reduce over the vocabulary relation.
+   */
+  def tokenEntropy(docs: DataFrame, textCol: String): DataFrame = {
+    val c = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val tot = c.agg(sum("__c").as("__n"),
+      count(lit(1)).as("n_distinct"))
+    c.crossJoin(broadcast(tot))
+      .select(col("__n"), col("n_distinct"),
+        expr("""CAST(__c AS DECIMAL(38,6)) *
+               | (CAST(round(log2(__n), 6) AS DECIMAL(28,6))
+               |  - CAST(round(log2(__c), 6) AS DECIMAL(28,6)))"""
+          .stripMargin.replace("\n", " ")).as("__term"))
+      .groupBy(col("__n"), col("n_distinct"))
+      .agg(sum("__term").as("__s"))
+      .select(col("__n").cast("long").as("n_tokens"),
+        col("n_distinct"),
+        expr("CAST(CAST(__s * 1000000 AS DECIMAL(38,0)) div __n AS BIGINT)")
+          .as("entropy_micro"),
+        expr("CAST(CAST(round(log2(n_distinct), 6) AS DECIMAL(28,6)) * 1000000 AS BIGINT)")
+          .as("max_entropy_micro"))
+  }
 }

@@ -109,6 +109,28 @@ class StatTestsSpec extends SparkFunSuite {
     assert(chiU > chiB * 10, s"uniform $chiU vs benford-ish $chiB")
   }
 
+  test("robustMean: hand-computed trim and winsorization kill the whale") {
+    // values 1..9 plus a 100 whale; 20% trim → lo = 2, keep ranks 3..8
+    val df = ((1L to 9L) :+ 100L).toDF("v")
+    val r = StatTests.robustMean(df, "v", trimPct = 20).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("lo_cut") === 2L)
+    assert(r.getAs[Long]("p_lo") === 3L)
+    assert(r.getAs[Long]("p_hi") === 8L)
+    assert(r.getAs[Long]("mean_micro") === 14500000L)
+    assert(r.getAs[Long]("trimmed_mean_micro") === 5500000L)   // mean 3..8
+    assert(r.getAs[Long]("winsorized_mean_micro") === 5500000L)
+  }
+
+  test("robustMean: tied values split across the trim boundary exactly") {
+    // 1,2,2,2,9 with 20% trim → lo = 1, keep ranks 2..4 → three 2s
+    val df = Seq(1L, 2L, 2L, 2L, 9L).toDF("v")
+    val r = StatTests.robustMean(df, "v", trimPct = 20).collect().head
+    assert(r.getAs[Long]("trimmed_mean_micro") === 2000000L)
+    assert(r.getAs[Long]("p_lo") === 2L && r.getAs[Long]("p_hi") === 2L)
+    assert(r.getAs[Long]("winsorized_mean_micro") === 2000000L)
+  }
+
   test("cumulative block gate: too-wide domains refuse loudly") {
     val df = (1 to 50000).map(i => ("a", i.toLong * 100000)).toDF("g", "v")
     val ex = intercept[IllegalArgumentException] {
