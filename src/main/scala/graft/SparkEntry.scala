@@ -3469,6 +3469,33 @@ object SparkEntry {
     // string-head digits of the DECIMAL floor, χ² vs log10(1 + 1/d).
     "lineitem_benford" -> ((s, d) =>
       StatTests.benford(table(s, d, "lineitem"), "l_extendedprice")),
+    // Frequent 3-step behavior paths — the sequence-mining card one
+    // level up from the Markov transition matrix; contiguous trigrams
+    // keep it one user-partitioned window pass.
+    "events_paths3" -> ((s, d) =>
+      graft.streaming.EventPipeline.typePaths3(
+        table(s, d, "events"), minSupport = 5L)),
+    // Difference-in-differences on a seeded 50/50 user split × the
+    // midpoint time split — exact floored micro cell means.
+    "events_did" -> ((s, d) => {
+      val ev = table(s, d, "events").select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("__us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val mid = ev.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .select((DatasetSplit.bucket(col("user_id")) < 50).as("treated"),
+          (col("__us") >= col("__mid")).as("post"), col("cents"))
+      StatTests.diffInDiff(cells, "treated", "post", "cents")
+    }),
+    // Minimal detectable effect at the observed sizes and pooled
+    // variance — the "big enough to read a p-value" gate.
+    "events_ab_power" -> ((s, d) =>
+      StatTests.abPower(
+        table(s, d, "events").select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "cents", "click", "view")),
     // Robust means (plain / 5%-trimmed / winsorized) — all exact from
     // the cents histogram and its order statistics.
     "events_robust_mean" -> ((s, d) =>
@@ -13186,6 +13213,85 @@ object SparkEntry {
         |       THEN CAST(round((1 - var_adj / var_y) * 1000000) AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS reduction_micro
         |FROM s""".stripMargin,
+    // Trigram paths replayed: two leads over the same user window.
+    "events_paths3" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |tri AS (
+        |  SELECT event_type AS t1,
+        |         lead(event_type, 1) OVER w AS t2,
+        |         lead(event_type, 2) OVER w AS t3
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 5
+        |ORDER BY n DESC, t1, t2, t3""".stripMargin,
+    // DiD replayed: md5 user split × midpoint time split, floored
+    // micro cell means, integer difference.
+    "events_did" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |cells AS (
+        |  SELECT CAST(list_sum(list_transform(generate_series(1, 4),
+        |           i -> (strpos('0123456789abcdef',
+        |                   substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) < 50
+        |           AS treated,
+        |         us >= mid AS post, cents
+        |  FROM ev, mid),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS n_tpre,
+        |    sum(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS n_tpost,
+        |    sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS n_cpre,
+        |    sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS n_cpost,
+        |    sum(CASE WHEN treated AND NOT post THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_tpre,
+        |    sum(CASE WHEN treated AND post THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_tpost,
+        |    sum(CASE WHEN NOT treated AND NOT post THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_cpre,
+        |    sum(CASE WHEN NOT treated AND post THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_cpost
+        |  FROM cells),
+        |mm AS (
+        |  SELECT CAST(n_tpre AS BIGINT) AS n_tpre, CAST(n_tpost AS BIGINT) AS n_tpost,
+        |         CAST(n_cpre AS BIGINT) AS n_cpre, CAST(n_cpost AS BIGINT) AS n_cpost,
+        |    CAST(CASE WHEN n_tpre > 0 THEN (1000000 * s_tpre) // n_tpre ELSE 0 END AS BIGINT) AS m_tpre,
+        |    CAST(CASE WHEN n_tpost > 0 THEN (1000000 * s_tpost) // n_tpost ELSE 0 END AS BIGINT) AS m_tpost,
+        |    CAST(CASE WHEN n_cpre > 0 THEN (1000000 * s_cpre) // n_cpre ELSE 0 END AS BIGINT) AS m_cpre,
+        |    CAST(CASE WHEN n_cpost > 0 THEN (1000000 * s_cpost) // n_cpost ELSE 0 END AS BIGINT) AS m_cpost
+        |  FROM m)
+        |SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+        |       m_tpre, m_tpost, m_cpre, m_cpost,
+        |       m_tpost - m_tpre - m_cpost + m_cpre AS did_micro
+        |FROM mm""".stripMargin,
+    // Power replayed: exact DECIMAL variance sums, the same fixed
+    // z-constant, one sqrt.
+    "events_ab_power" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN event_type = 'click' THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sa,
+        |    sum(CASE WHEN event_type = 'view' THEN CAST(cents AS HUGEINT) ELSE 0 END) AS sb,
+        |    sum(CASE WHEN event_type = 'click' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS saa,
+        |    sum(CASE WHEN event_type = 'view' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS sbb
+        |  FROM ev),
+        |v AS (
+        |  SELECT n_a, n_b,
+        |         round((CAST(CAST(n_a AS HUGEINT) * saa - sa * sa AS DOUBLE) / n_a
+        |                + CAST(CAST(n_b AS HUGEINT) * sbb - sb * sb AS DOUBLE) / n_b)
+        |               / (n_a + n_b - 2), 6) AS pooled_var
+        |  FROM m)
+        |SELECT n_a, n_b, pooled_var,
+        |       round(2.801585 * sqrt(pooled_var * (1.0 / n_a + 1.0 / n_b)), 6) AS mde
+        |FROM v""".stripMargin,
     // Robust means replayed: window cumulative on the cents histogram,
     // rank-interval overlap for the trim, clamp for the winsorization.
     "events_robust_mean" ->

@@ -329,6 +329,85 @@ object StatTests {
   }
 
   /**
+   * Difference-in-differences over a 2×2 (treated × post) design with
+   * integer-quantized outcomes: did = (ȳ_T,post − ȳ_T,pre) −
+   * (ȳ_C,post − ȳ_C,pre), where each cell mean is the exact FLOORED
+   * micro mean (10⁶·Σ div n) — so the estimate is a pure integer
+   * difference of four deterministic cell statistics, replayable
+   * bit-for-bit. The causal-inference companion to [[cuped]]: CUPED
+   * shrinks variance, DiD removes group-constant and time-constant
+   * confounding.
+   *
+   * Output: one row (n_tpre, n_tpost, n_cpre, n_cpost, m_tpre, m_tpost,
+   * m_cpre, m_cpost, did_micro) — means in micro units of the input
+   * grid.
+   */
+  def diffInDiff(
+      df: DataFrame, treatedCol: String, postCol: String,
+      yCol: String): DataFrame = {
+    def cell(t: Boolean, p: Boolean, what: String) = Seq(
+      sum(when(col(treatedCol) === t && col(postCol) === p, 1L)
+        .otherwise(0L)).as(s"n_$what"),
+      sum(when(col(treatedCol) === t && col(postCol) === p, col(yCol))
+        .otherwise(0L).cast("decimal(38,0)")).as(s"s_$what"))
+    val cells =
+      cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+        cell(false, false, "cpre") ++ cell(false, true, "cpost")
+    val m = df.agg(cells.head, cells.tail: _*)
+    def mean(w: String) =
+      expr(s"CAST(CASE WHEN n_$w > 0 THEN (1000000 * s_$w) div n_$w " +
+        s"ELSE 0 END AS BIGINT)").as(s"m_$w")
+    m.select(col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+        mean("tpre"), mean("tpost"), mean("cpre"), mean("cpost"))
+      .select(col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+        col("m_tpre"), col("m_tpost"), col("m_cpre"), col("m_cpost"),
+        (col("m_tpost") - col("m_tpre") - col("m_cpost") + col("m_cpre"))
+          .as("did_micro"))
+  }
+
+  /**
+   * A/B power card: the minimal detectable effect (two-sided α = 5%,
+   * power 80%) for a two-sample mean comparison at the OBSERVED group
+   * sizes and pooled variance —
+   *
+   *   MDE = (z₀.₉₇₅ + z₀.₈) · √(s²_pooled · (1/n_a + 1/n_b))
+   *
+   * with the fixed public constants 1.959964 + 0.841621. Variance
+   * sums are exact DECIMAL; the one sqrt runs on those integers in a
+   * fixed order, rounded to 6 dp. The "is this experiment even big
+   * enough" gate before anyone reads a p-value.
+   *
+   * Output: one row (n_a, n_b, pooled_var, mde) in input-grid units.
+   */
+  def abPower(
+      df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val m = df.filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .agg(
+        sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === a, col(valueCol)).otherwise(0L)
+          .cast("decimal(38,0)")).as("__sa"),
+        sum(when(col(groupCol) === b, col(valueCol)).otherwise(0L)
+          .cast("decimal(38,0)")).as("__sb"),
+        sum(when(col(groupCol) === a,
+          expr(s"CAST($valueCol AS DECIMAL(38,0)) * $valueCol"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("__saa"),
+        sum(when(col(groupCol) === b,
+          expr(s"CAST($valueCol AS DECIMAL(38,0)) * $valueCol"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("__sbb"))
+    m.select(col("n_a"), col("n_b"),
+        expr("""round((CAST(CAST(n_a AS DECIMAL(38,0)) * __saa - __sa * __sa AS DOUBLE)
+               | / n_a + CAST(CAST(n_b AS DECIMAL(38,0)) * __sbb - __sb * __sb AS DOUBLE)
+               | / n_b) / (n_a + n_b - 2), 6)"""
+          .stripMargin.replace("\n", " ")).as("pooled_var"))
+      .select(col("n_a"), col("n_b"), col("pooled_var"),
+        expr("""round(2.801585 * sqrt(pooled_var *
+               | (1.0 / n_a + 1.0 / n_b)), 6)"""
+          .stripMargin.replace("\n", " ")).as("mde"))
+  }
+
+  /**
    * Benford first-digit card over a positive numeric column (values
    * ≥ 1 — the law's domain; smaller values are filtered and counted):
    * observed first-significant-digit shares vs Benford's

@@ -1401,6 +1401,31 @@ object EventPipeline {
   }
 
   /**
+   * Frequent 3-step behavior paths — contiguous event-type trigrams
+   * per user in (ts, event_id) order, with support counts: the
+   * sequence-mining card one level up from [[typeTransitions]]'
+   * Markov bigrams (what do users DO in threes — view→click→purchase
+   * vs view→error→view). Contiguity keeps it one pass over the
+   * user-partitioned window (two `lead`s), so the shape is identical
+   * to transitions: a per-user window, one grouped count, no
+   * candidate-generation blowup of general subsequence mining.
+   */
+  def typePaths3(events: DataFrame, minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    normalizeTs(events)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+  }
+
+  /**
    * DAU / trailing-7-day WAU / stickiness per calendar day — the
    * engagement card. The WAU side deliberately avoids BOTH the
    * interval join (inequality-only → nested loop) and a

@@ -131,6 +131,34 @@ class StatTestsSpec extends SparkFunSuite {
     assert(r.getAs[Long]("winsorized_mean_micro") === 2000000L)
   }
 
+  test("diffInDiff: hand-computed 2×2 cell means and the difference") {
+    val df = Seq(
+      (true, false, 10L), (true, false, 20L), // treated pre: mean 15
+      (true, true, 40L),                      // treated post: mean 40
+      (false, false, 5L),                     // control pre: mean 5
+      (false, true, 10L), (false, true, 20L)) // control post: mean 15
+      .toDF("t", "p", "y")
+    val r = StatTests.diffInDiff(df, "t", "p", "y").collect().head
+    assert(r.getAs[Long]("m_tpre") === 15000000L)
+    assert(r.getAs[Long]("m_tpost") === 40000000L)
+    assert(r.getAs[Long]("m_cpre") === 5000000L)
+    assert(r.getAs[Long]("m_cpost") === 15000000L)
+    // (40 − 15) − (15 − 5) = 15
+    assert(r.getAs[Long]("did_micro") === 15000000L)
+  }
+
+  test("abPower: hand-computed pooled variance and MDE") {
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 2L), ("b", 2L))
+      .toDF("g", "v")
+    val r = StatTests.abPower(df, "g", "v", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1)) === (2L, 3L))
+    // SS_a = 2, SS_b = 0 → pooled = 2/3
+    assert(r.getDouble(2) === 0.666667)
+    val want = math.rint(2.801585 *
+      math.sqrt(0.666667 * (1.0 / 2 + 1.0 / 3)) * 1e6) / 1e6
+    assert(r.getDouble(3) === want)
+  }
+
   test("cumulative block gate: too-wide domains refuse loudly") {
     val df = (1 to 50000).map(i => ("a", i.toLong * 100000)).toDF("g", "v")
     val ex = intercept[IllegalArgumentException] {

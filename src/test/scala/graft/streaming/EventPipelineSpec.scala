@@ -659,6 +659,21 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(out.count() === 0L)
   }
 
+  test("typePaths3: contiguous trigrams per user, support filter") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, t(0, 1), 1, "A", 0, "{}"), Ev(2, t(0, 2), 1, "B", 0, "{}"),
+      Ev(3, t(0, 3), 1, "C", 0, "{}"), Ev(4, t(0, 4), 1, "D", 0, "{}"),
+      Ev(5, t(0, 1), 2, "A", 0, "{}"), Ev(6, t(0, 2), 2, "B", 0, "{}"),
+      Ev(7, t(0, 3), 2, "C", 0, "{}"))
+    val all = EventPipeline.typePaths3(evs.toDF()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(all.toSet === Set(("A", "B", "C", 2L), ("B", "C", "D", 1L)))
+    val sup2 = EventPipeline.typePaths3(evs.toDF(), minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(sup2.toSeq === Seq(("A", "B", "C")))
+  }
+
   test("stream-static enrichment parity: streamed join equals batch join") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$Sf0001/events.parquet")
