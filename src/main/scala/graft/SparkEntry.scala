@@ -3469,6 +3469,12 @@ object SparkEntry {
     // string-head digits of the DECIMAL floor, χ² vs log10(1 + 1/d).
     "lineitem_benford" -> ((s, d) =>
       StatTests.benford(table(s, d, "lineitem"), "l_extendedprice")),
+    // NINTH streaming mode — COMPLETE output: unwindowed global totals
+    // re-emitted whole each micro-batch over a bounded group domain;
+    // the final table must equal the batch group-by exactly.
+    "events_totals_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.streamedTypeTotalsComplete(
+        s, table(s, d, "events")).orderBy("event_type")),
     // Frequent 3-step behavior paths — the sequence-mining card one
     // level up from the Markov transition matrix; contiguous trigrams
     // keep it one user-partitioned window pass.
@@ -13213,6 +13219,12 @@ object SparkEntry {
         |       THEN CAST(round((1 - var_adj / var_y) * 1000000) AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS reduction_micro
         |FROM s""".stripMargin,
+    // Complete-mode totals are order-free batch equality by
+    // construction: the mode re-emits the whole aggregate.
+    "events_totals_streamed" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // Trigram paths replayed: two leads over the same user window.
     "events_paths3" ->
       """WITH ev AS (

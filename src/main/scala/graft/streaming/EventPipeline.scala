@@ -788,6 +788,53 @@ object EventPipeline {
    * key" is associative across any batch split, so the final state
    * equals the batch max_by — what this row's oracle asserts.
    */
+  /**
+   * NINTH end-to-end streaming mode — COMPLETE output: an unwindowed
+   * global aggregation whose state never expires (no watermark, no
+   * closure rule) and whose sink receives the FULL re-emitted result
+   * each micro-batch, so the final table is simply the last complete
+   * answer. This is the one built-in `OutputMode` the other eight
+   * modes don't exercise (they are Append-family or foreachBatch);
+   * the state-store shape — one row per group, updated every batch —
+   * is the canonical "live totals dashboard" pattern. Parity: the
+   * last emitted table must equal the batch group-by bit-for-bit
+   * (count + exact DECIMAL value sum), which holds because Complete
+   * mode re-emits the whole aggregate, not deltas.
+   *
+   * 100 TB note: Complete mode is only safe when the GROUP domain is
+   * bounded (here: event types) — state and sink both scale with
+   * |groups|, never with rows. That constraint is the documented
+   * contract, exactly as Spark's own guide states it.
+   */
+  def streamedTypeTotalsComplete(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_tot_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tot_ckpt").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1") // several real micro-batches
+      .parquet(srcDir)
+    val name = s"graft_totals_${System.nanoTime()}"
+    val q = normalizeTs(stream)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   def streamedUpsertParity(
       spark: org.apache.spark.sql.SparkSession,
       events: DataFrame): DataFrame = {

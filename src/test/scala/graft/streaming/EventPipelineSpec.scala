@@ -659,6 +659,19 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(out.count() === 0L)
   }
 
+  test("streamedTypeTotalsComplete: final complete table equals batch group-by") {
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+    val streamed = EventPipeline.streamedTypeTotalsComplete(spark, ev)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    val batch = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("typePaths3: contiguous trigrams per user, support filter") {
     import spark.implicits._
     val evs = Seq(
