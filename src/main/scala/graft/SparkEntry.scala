@@ -3509,17 +3509,6 @@ object SparkEntry {
         table(s, d, "events").select(
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents")), "cents")),
-    // Morton z-order key over (user bucket, cents bucket) — the
-    // 2-D layout key the z-ordered write clusters on; the pruning
-    // benefit itself is pinned in ZOrderLayoutSpec.
-    "events_zorder_keys" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      table(s, d, "events").select(col("event_id"),
-        ZOrderLayout.zKey(pmod(col("user_id"), lit(1024L)),
-          pmod(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
-            lit(1024L)), bits = 10).as("zkey"))
-        .orderBy("event_id")
-    }),
     // Corpus token entropy vs the log2(V) maximum — the redundancy
     // single-number beside the Zipf slope card.
     "corpus_token_entropy" -> ((s, d) =>
@@ -13330,17 +13319,6 @@ object SparkEntry {
         |            ELSE 0 END AS BIGINT) AS trimmed_mean_micro,
         |       CAST((1000000 * sum(wv)) // n AS BIGINT) AS winsorized_mean_micro
         |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin,
-    // Morton interleave replayed arithmetically: bit i of x lands at
-    // position 2i, bit i of y at 2i+1.
-    "events_zorder_keys" ->
-      """SELECT event_id,
-        |       CAST(list_sum(list_transform(generate_series(0, 9), i ->
-        |         (((ux >> i) & 1) << (2 * i)) +
-        |         (((vy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
-        |FROM (SELECT event_id, user_id % 1024 AS ux,
-        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1024 AS vy
-        |      FROM events)
-        |ORDER BY event_id""".stripMargin,
     // Token entropy replayed: same rounded log2-of-integers terms,
     // DECIMAL sum, one floored micro division.
     "corpus_token_entropy" ->

@@ -82,12 +82,6 @@ object GraftFunctions {
     ("repetition_counts",
       (es: Seq[Expression]) => { requireArity(es, 1, "repetition_counts"); RepetitionCountsExpr(es(0)) },
       "_FUNC_(text) - [n_tokens, n_shingles, distinct_shingles, distinct_tokens, max_multiplicity]."),
-    ("z_order_key",
-      (es: Seq[Expression]) => {
-        requireArity(es, 3, "z_order_key")
-        ZOrderKeyExpr(es(0), es(1), intLitArg(es(2), "z_order_key bits"))
-      },
-      "_FUNC_(x, y, bits) - Morton bit-interleave of two bigints for multi-column z-order layout."),
     ("hashed_ngram_buckets",
       (es: Seq[Expression]) => {
         requireArity(es, 2, "hashed_ngram_buckets")
@@ -359,9 +353,6 @@ object GraftFunctions {
     call_function("damerau_distance", a, b)
   def deletionNeighborhoodHashes(text: Column): Column =
     call_function("deletion_neighborhood_hashes", text)
-  def zOrderKey(x: Column, y: Column, bits: Int): Column =
-    call_function("z_order_key", x, y,
-      org.apache.spark.sql.functions.lit(bits))
   def hashedNgramBuckets(text: Column, buckets: Int): Column =
     call_function("hashed_ngram_buckets", text,
       org.apache.spark.sql.functions.lit(buckets))

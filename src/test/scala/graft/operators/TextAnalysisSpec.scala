@@ -704,4 +704,19 @@ class TextAnalysisSpec extends SparkFunSuite {
     // v=[2,6,4,8]: num 72, denoms 72·80 → 72/√5760 = 0.948683
     assert(rho(Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L))) === 0.948683)
   }
+
+  test("tokenEntropy: hand-computed uniform and skewed corpora") {
+    import spark.implicits._
+    // uniform 4 tokens → H = 2 bits exactly; V = 4 → max = 2 bits
+    val uni = Seq("a b", "c d").toDF("text")
+    val r = TextAnalysis.tokenEntropy(uni, "text").collect().head
+    assert((r.getLong(0), r.getLong(1)) === (4L, 4L))
+    assert(r.getLong(2) === 2000000L)
+    assert(r.getLong(3) === 2000000L)
+    // all-same token → H = 0
+    val same = Seq("x x x x").toDF("text")
+    val r2 = TextAnalysis.tokenEntropy(same, "text").collect().head
+    assert(r2.getLong(2) === 0L)
+    assert(r2.getLong(1) === 1L)
+  }
 }
