@@ -82,6 +82,12 @@ object GraftFunctions {
     ("repetition_counts",
       (es: Seq[Expression]) => { requireArity(es, 1, "repetition_counts"); RepetitionCountsExpr(es(0)) },
       "_FUNC_(text) - [n_tokens, n_shingles, distinct_shingles, distinct_tokens, max_multiplicity]."),
+    ("adjacent_token_pairs",
+      (es: Seq[Expression]) => {
+        requireArity(es, 2, "adjacent_token_pairs")
+        AdjacentTokenPairsExpr(es(0), intLitArg(es(1), "adjacent_token_pairs minLen"))
+      },
+      "_FUNC_(text, minLen) - bidirectional adjacent-token pairs (array<struct<src,dst>>) for co-occurrence graphs."),
     ("hashed_ngram_buckets",
       (es: Seq[Expression]) => {
         requireArity(es, 2, "hashed_ngram_buckets")
@@ -353,6 +359,9 @@ object GraftFunctions {
     call_function("damerau_distance", a, b)
   def deletionNeighborhoodHashes(text: Column): Column =
     call_function("deletion_neighborhood_hashes", text)
+  def adjacentTokenPairs(text: Column, minLen: Int): Column =
+    call_function("adjacent_token_pairs", text,
+      org.apache.spark.sql.functions.lit(minLen))
   def hashedNgramBuckets(text: Column, buckets: Int): Column =
     call_function("hashed_ngram_buckets", text,
       org.apache.spark.sql.functions.lit(buckets))

@@ -449,6 +449,41 @@ case class DeletionNeighborhoodHashesExpr(child: Expression)
 }
 
 /**
+ * `adjacent_token_pairs(text, minLen)` → array<struct<src,dst>>:
+ * bidirectional adjacent-token co-occurrence pairs with a code-point
+ * length floor (see [[TextHashKernels.adjacentTokenPairs]]).
+ * NULL → NULL.
+ */
+case class AdjacentTokenPairsExpr(child: Expression, minLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("src", StringType, nullable = false),
+      StructField("dst", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if minLen >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"adjacent_token_pairs minLen must be >= 1, got $minLen")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adjacent_token_pairs requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.adjacentTokenPairs(v.asInstanceOf[UTF8String], minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.adjacentTokenPairs($c, $minLen)")
+
+  override def prettyName: String = "adjacent_token_pairs"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `hashed_ngram_buckets(text, buckets)` → array<int>: md5-nibble DSIR
  * feature buckets of every unigram + adjacent bigram (see
  * [[TextHashKernels.hashedNgramBuckets]]). NULL → NULL.

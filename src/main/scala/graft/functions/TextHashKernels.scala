@@ -1148,6 +1148,55 @@ object TextHashKernels {
       if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /**
+   * Adjacent-token co-occurrence pairs for the TextRank graph: for a
+   * single-space-tokenized string (Spark `split(text, " ")` limit -1
+   * semantics — all empty tokens kept), every adjacent pair (a, b)
+   * with BOTH sides at least `minLen` CODE POINTS and a ≠ b, emitted
+   * in both directions as (src, dst) structs — the exact relation the
+   * `explode(sequence)`/`element_at`/`explode(array(struct))`
+   * double-Generate pipeline produced, in one scan-local pass with no
+   * per-pair array re-evaluation (that pipeline was ~75% of
+   * `text_rank_terms`' cost, SCALING.md round 13).
+   */
+  def adjacentTokenPairs(text: UTF8String, minLen: Int): ArrayData = {
+    val b = text.getBytes
+    // token ranges of split(" ", limit = -1)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](16)
+    var st = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        starts += st; ends += i; st = i + 1
+      }
+      i += 1
+    }
+    val n = starts.length
+    val toks = new Array[UTF8String](n)
+    val cps = new Array[Int](n)
+    var t = 0
+    while (t < n) {
+      toks(t) = UTF8String.fromBytes(b, starts(t), ends(t) - starts(t))
+      cps(t) = toks(t).numChars()
+      t += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.InternalRow](16)
+    t = 0
+    while (t < n - 1) {
+      if (cps(t) >= minLen && cps(t + 1) >= minLen &&
+          !toks(t).equals(toks(t + 1))) {
+        out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](toks(t), toks(t + 1)))
+        out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](toks(t + 1), toks(t)))
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

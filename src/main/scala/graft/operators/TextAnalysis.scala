@@ -1144,22 +1144,17 @@ object TextAnalysis {
       minLen: Int = 4, iters: Int = 4): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val toks = split(col(textCol), " ")
-    // both directions emitted in the SAME projection — a
-    // union(pairs, swap(pairs)) would instantiate the corpus explode
-    // twice (no exchange below it for ReuseExchange to dedup)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // one codegen kernel pass emits both directions as (src, dst)
+    // structs — the round-13 profile showed the previous
+    // explode(sequence)/element_at/explode(array(struct)) pipeline
+    // (a double Generate with per-pair array re-evaluation) was ~75%
+    // of this operator's cost; the kernel ≡ that formulation is
+    // spec-pinned in TextAnalysisSpec
     val edges = docs
-      // size >= 2: Spark's sequence(1, 0) counts DOWN, not empty
-      .filter(col(textCol).isNotNull && size(toks) >= 2)
-      .select(toks.as("__t"),
-        explode(sequence(lit(1), size(toks) - 1)).as("__i"))
-      .select(element_at(col("__t"), col("__i")).as("a"),
-        element_at(col("__t"), col("__i") + 1).as("b"))
-      .filter(length(col("a")) >= minLen &&
-        length(col("b")) >= minLen && col("a") =!= col("b"))
-      .select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.GraftFunctions
+        .adjacentTokenPairs(col(textCol), minLen)).as("e"))
       .select("e.src", "e.dst")
     LinkRank.pageRank(edges, iters = iters)
       .select(col("domain").as("term"), col("rank_micros"))

@@ -705,6 +705,40 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(rho(Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L))) === 0.948683)
   }
 
+  test("adjacent_token_pairs kernel ≡ the double-Generate HOF formulation") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val fixtures = Seq("", " ", "one two three", "aaaa aaaa", "aaaa bbbb aaaa",
+      "ab cd", "héllo wörld héllo", "long enough words here", "x  yyyy zzzz ")
+    val df = fixtures.toDF("text")
+    val toks = split(col("text"), " ")
+    val hof = df
+      .filter(size(toks) >= 2)
+      .select(col("text"), toks.as("__t"),
+        explode(sequence(lit(1), size(toks) - 1)).as("__i"))
+      .select(col("text"), element_at(col("__t"), col("__i")).as("a"),
+        element_at(col("__t"), col("__i") + 1).as("b"))
+      .filter(length(col("a")) >= 4 && length(col("b")) >= 4 &&
+        col("a") =!= col("b"))
+      .select(col("text"), explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("text"), col("e.src"), col("e.dst"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val kernel = df
+      .select(col("text"),
+        explode(GraftFunctions.adjacentTokenPairs(col("text"), 4)).as("e"))
+      .select(col("text"), col("e.src"), col("e.dst"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    fixtures.foreach { s =>
+      assert(kernel.getOrElse(s, Seq.empty) === hof.getOrElse(s, Seq.empty),
+        s"text '$s'")
+    }
+  }
+
   test("tokenEntropy: hand-computed uniform and skewed corpora") {
     import spark.implicits._
     // uniform 4 tokens → H = 2 bits exactly; V = 4 → max = 2 bits
