@@ -3465,10 +3465,6 @@ object SparkEntry {
             .otherwise(0L)).as("y"))
       StatTests.cuped(units, "x", "y")
     }),
-    // Benford first-digit card over extended prices: exact
-    // string-head digits of the DECIMAL floor, χ² vs log10(1 + 1/d).
-    "lineitem_benford" -> ((s, d) =>
-      StatTests.benford(table(s, d, "lineitem"), "l_extendedprice")),
     // NINTH streaming mode — COMPLETE output: unwindowed global totals
     // re-emitted whole each micro-batch over a bounded group domain;
     // the final table must equal the batch group-by exactly.
@@ -13356,34 +13352,6 @@ object SparkEntry {
         |       CAST(yhat + qhat AS BIGINT) AS hi,
         |       abs(cents - yhat) <= qhat AS covered
         |FROM t, q ORDER BY t.event_id""".stripMargin),
-    // Benford replay: string-head digit of the DECIMAL floor, exact
-    // micro chi-square in HUGEINT.
-    "lineitem_benford" ->
-      """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(38,6)))
-        |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-        |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1),
-        |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
-        |bt AS (SELECT CAST(t.digit AS BIGINT) AS digit,
-        |              CAST(t.p AS BIGINT) AS benford_micro
-        |       FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
-        |                    (5, 79181), (6, 66947), (7, 57992), (8, 51153),
-        |                    (9, 45757)) AS t(digit, p)),
-        |grid AS (SELECT bt.digit, bt.benford_micro, coalesce(n_obs, 0) AS n_obs
-        |         FROM bt LEFT JOIN cnt ON cnt.digit = bt.digit),
-        |tot AS (SELECT sum(n_obs) AS n FROM grid),
-        |terms AS (
-        |  SELECT digit, n_obs, benford_micro,
-        |         CAST((1000000 * n_obs) // n AS BIGINT) AS share_micro,
-        |         CAST(1000000 AS HUGEINT) * n_obs AS o,
-        |         CAST(n AS HUGEINT) * benford_micro AS e
-        |  FROM grid, tot),
-        |chi AS (SELECT CAST(sum(((o - e) * (o - e)) // e) AS BIGINT) AS chi2_micro
-        |        FROM terms)
-        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, share_micro, benford_micro,
-        |       chi2_micro
-        |FROM terms, chi ORDER BY digit""".stripMargin,
     "events_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id, a.ts AS a_ts, b.ts AS b_ts

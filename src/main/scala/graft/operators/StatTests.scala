@@ -407,51 +407,4 @@ object StatTests {
           .stripMargin.replace("\n", " ")).as("mde"))
   }
 
-  /**
-   * Benford first-digit card over a positive numeric column (values
-   * ≥ 1 — the law's domain; smaller values are filtered and counted):
-   * observed first-significant-digit shares vs Benford's
-   * p_d = log10(1 + 1/d), plus the χ² goodness-of-fit statistic. The
-   * first digit comes from the DECIMAL floor's string head — exact in
-   * any engine, no floating log10 near power-of-ten boundaries. With
-   * o_d = 10⁶·obs_d and e_d = n·p_micro_d (both exact):
-   *
-   *   chi2_micro = Σ_d (o_d − e_d)² div e_d
-   *
-   * in DECIMAL(38,0) (headroom: n ≲ 10¹² rows). The classic
-   * fabricated-data / broken-ETL detector on financial-scale columns.
-   *
-   * Output: 9 rows (digit, n_obs, share_micro, benford_micro,
-   * chi2_micro) — chi2 repeated per row as the card total.
-   */
-  def benford(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // round(log10(1 + 1/d), 6) · 10⁶ — fixed public constants
-    val pMicro = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
-      66947L, 57992L, 51153L, 45757L)
-    val benfordTable = pMicro.zipWithIndex
-      .map { case (p, i) => ((i + 1).toLong, p) }
-      .toDF("digit", "benford_micro")
-    val digits = df
-      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
-      .select(substring(
-        expr(s"CAST(CAST(floor(CAST($valueCol AS DECIMAL(38,6))) AS BIGINT) AS STRING)"),
-        1, 1).cast("long").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
-    val grid = benfordTable.join(digits, Seq("digit"), "left")
-      .na.fill(0L, Seq("n_obs"))
-    val tot = grid.agg(sum("n_obs").as("__n"))
-    val terms = grid.crossJoin(broadcast(tot))
-      .select(col("digit"), col("n_obs"), col("benford_micro"),
-        expr("(1000000 * n_obs) div __n").as("share_micro"),
-        expr("""CAST(1000000 AS DECIMAL(38,0)) * n_obs""").as("__o"),
-        expr("CAST(__n AS DECIMAL(38,0)) * benford_micro").as("__e"))
-      .withColumn("__term", expr("((__o - __e) * (__o - __e)) div __e"))
-    val chi2 = terms.agg(sum("__term").cast("long").as("chi2_micro"))
-    terms.crossJoin(broadcast(chi2))
-      .select(col("digit"), col("n_obs"), col("share_micro"),
-        col("benford_micro"), col("chi2_micro"))
-      .orderBy("digit")
-  }
 }

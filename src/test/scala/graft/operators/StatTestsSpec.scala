@@ -85,30 +85,6 @@ class StatTestsSpec extends SparkFunSuite {
     assert(r.getLong(4) === 0L)
   }
 
-  test("benford: digit extraction from the decimal floor; constants sum to ~1") {
-    val df = Seq(1.5, 19.99, 190.0, 2.0, 9000.123, 0.5 /* filtered */)
-      .toDF("v")
-    val rows = StatTests.benford(df, "v").collect()
-    assert(rows.length === 9)
-    val byDigit = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(byDigit(1L) === 3L) // 1.5, 19.99, 190.0
-    assert(byDigit(2L) === 1L)
-    assert(byDigit(9L) === 1L)
-    assert(rows.map(_.getLong(3)).sum === 1000000L) // Σ benford_micro
-    // shares: 3/5, 1/5, 1/5 in micros (floored)
-    assert(rows.head.getLong(2) === 600000L)
-  }
-
-  test("benford: uniform digits score a large chi2; Benford-ish scores small") {
-    val uniform = (1 to 9).flatMap(d => Seq.fill(100)(d * 10.0)).toDF("v")
-    val chiU = StatTests.benford(uniform, "v").collect().head.getLong(4)
-    // frequencies proportional to Benford's law (×1000 rows)
-    val benfordish = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46).zipWithIndex
-      .flatMap { case (n, i) => Seq.fill(n)((i + 1) * 10.0) }.toDF("v")
-    val chiB = StatTests.benford(benfordish, "v").collect().head.getLong(4)
-    assert(chiU > chiB * 10, s"uniform $chiU vs benford-ish $chiB")
-  }
-
   test("robustMean: hand-computed trim and winsorization kill the whale") {
     // values 1..9 plus a 100 whale; 20% trim → lo = 2, keep ranks 3..8
     val df = ((1L to 9L) :+ 100L).toDF("v")
