@@ -165,6 +165,22 @@ object SparkEntry {
     kmeansCache.computeIfAbsent(d, dir =>
       KMeansExact.fit(table(s, dir, "embeddings"), "vec_id", "embedding"))
 
+  /** Naive-Bayes split + vocab knobs: train on doc_id % 5 ≠ 0, score
+    * the held-out fifth; fixed top-512 vocabulary keeps the model at
+    * |classes|·512 rows — broadcastable at any corpus size. */
+  private val NbVocab = 512
+  private def nbTrain(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+  private def nbTest(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").filter(col("doc_id") % 5 === 0)
+
+  /** DBSCAN knobs for the embedding 2-D projection: ε = 0.02 in µ
+    * units sits just under the fixture's percolation threshold, so
+    * the run exercises all three roles (sf0.01: 351 core / 38 border
+    * / 111 noise across 24 clusters). */
+  private val DbscanEps = 20000L
+  private val DbscanMinPts = 3
+
   /** Entity-resolution fixture: each document's 24-char title plus a
     * corrupted copy (the char after position 4 + doc_id % 16 deleted,
     * id offset by 1,000,000) — the linkage the fuzzy join must
@@ -2827,6 +2843,34 @@ object SparkEntry {
     "kmeans_silhouette" -> ((s, d) =>
       KMeansExact.silhouette(table(s, d, "embeddings"), "vec_id", "embedding",
         kmeansModel(s, d))),
+    // DBSCAN (Ester et al. 1996) over the PCA-style 2-D projection
+    // (first two embedding dims, µ-quantized): unknown-count,
+    // arbitrary-shape clusters plus a principled NOISE set — what
+    // k-means cannot produce. Grid-blocked ε-join (3×3 cell probe, a
+    // proven superset of the ε-ball), integer-exact ball test,
+    // min-core-id labels via connected components; the oracle replays
+    // the quadratic definition with a recursive min-label CTE.
+    "cluster_dbscan" -> ((s, d) =>
+      DensityCluster.dbscan(
+        table(s, d, "embeddings").select(
+          col("vec_id").as("id"),
+          floor(element_at(col("embedding"), 1).cast("double") * lit(1000000.0)
+            + lit(0.5)).cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * lit(1000000.0)
+            + lit(0.5)).cast("long").as("y")),
+        "id", "x", "y", epsMicro = DbscanEps, minPts = DbscanMinPts)
+        .withColumnRenamed("id", "vec_id")),
+    // Per-cluster triage card over the same run: size + core/border
+    // split per cluster, the noise row as cluster −1.
+    "cluster_dbscan_card" -> ((s, d) =>
+      DensityCluster.dbscanSummary(DensityCluster.dbscan(
+        table(s, d, "embeddings").select(
+          col("vec_id").as("id"),
+          floor(element_at(col("embedding"), 1).cast("double") * lit(1000000.0)
+            + lit(0.5)).cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * lit(1000000.0)
+            + lit(0.5)).cast("long").as("y")),
+        "id", "x", "y", epsMicro = DbscanEps, minPts = DbscanMinPts))),
     // MAUVE-shaped distribution check: each source's k-means cluster
     // histogram vs the corpus histogram, scored by Jensen-Shannon on
     // exact integer-ratio log grids.
@@ -4598,6 +4642,29 @@ object SparkEntry {
     // Vassilvitskii 2011) bounds every vertex's wedge fan-out by
     // √|E|, so the hub-vertex d² blowup cannot happen; the oracle
     // replays the same orientation joins in SQL.
+    // k-core decomposition (Seidman 1983) via the distributable
+    // H-operator iteration (Lü et al., PNAS 2016) over a structured
+    // domain graph: a 97-node ring (organic chain, core 2) with a
+    // 13-domain clique on the multiples of 8 (the link farm, core 12)
+    // plus chord spokes — coreness separates farm from organic at
+    // EQUAL degree, the signal clustering and reciprocity miss. The
+    // oracle unrolls the same monotone H rounds to their fixpoint.
+    "crawl_kcore" -> ((s, d) => {
+      def node(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("d"), lpad(c.cast("string"), 2, "0"), lit(".example"))
+      val docs = table(s, d, "documents")
+      val n = col("doc_id") % 97
+      val ring = docs.select(node(n).as("src"), node((n + 1) % 97).as("dst"))
+      val farm = docs.filter(n % 8 === 0)
+        .select(node(n).as("src"),
+          explode(sequence(lit(1), lit(12))).as("__k"),
+          expr("(doc_id % 97) div 8").as("__i"))
+        .select(col("src"), node((col("__i") + col("__k")) % 13 * 8).as("dst"))
+      val spokes = docs.filter(n % 7 === 3)
+        .select(node(n).as("src"), node((n * 5 + 11) % 97).as("dst"))
+      graft.operators.LinkRank.kcore(ring.unionByName(farm).unionByName(spokes))
+        .orderBy("domain")
+    }),
     "crawl_triangles" -> ((s, d) => {
       def node(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         concat(lit("d"), lpad(c.cast("string"), 2, "0"), lit(".example"))
@@ -5805,6 +5872,59 @@ object SparkEntry {
     // integral-state GD with Platt's smoothed targets — the
     // parametric calibration sibling of the isotonic row; A/B are
     // bit-exact micro integers.
+    // Multinomial Naive Bayes (McCallum & Nigam 1998) over whitespace
+    // tokens, class = lang, trained on the doc_id % 5 ≠ 0 split:
+    // the token-level generative counterpart to the numeric-feature
+    // logistic bootstrap above. Model = Laplace-smoothed 6-dp-micro
+    // log-likelihoods over a FIXED top-512 vocabulary (bounded →
+    // broadcastable at any corpus size); fit is two grouped counts,
+    // no gradient loop.
+    "classifier_nb_model" -> ((s, d) =>
+      NaiveBayes.fit(nbTrain(s, d), "lang", "text", NbVocab)
+        .withColumnRenamed("cls", "lang")
+        .orderBy("lang", "token")),
+    // Held-out MAP prediction (doc_id % 5 = 0): prior + token
+    // log-likelihood sums, argmax ties to the smaller class, OOV
+    // tokens dropped (truncated-vocab convention).
+    "classifier_nb_predict" -> ((s, d) => {
+      val tr = nbTrain(s, d)
+      NaiveBayes.predict(nbTest(s, d), "doc_id", "lang", "text",
+        NaiveBayes.fit(tr, "lang", "text", NbVocab),
+        NaiveBayes.priors(tr, "lang", "text"))
+        .select(col("id").as("doc_id"), col("actual").as("lang"),
+          col("predicted").as("pred_lang"), col("score_micro"))
+        .orderBy("doc_id")
+    }),
+    // Confusion-matrix card over the held-out predictions.
+    "classifier_nb_confusion" -> ((s, d) => {
+      val tr = nbTrain(s, d)
+      NaiveBayes.confusion(
+        NaiveBayes.predict(nbTest(s, d), "doc_id", "lang", "text",
+          NaiveBayes.fit(tr, "lang", "text", NbVocab),
+          NaiveBayes.priors(tr, "lang", "text")))
+        .select(col("actual").as("lang"), col("predicted").as("pred_lang"),
+          col("n"))
+    }),
+    // 5-fold cross-validation card: per fold, train on the other four
+    // fifths, score the held-out fifth — the variance check a single
+    // split hides. Five independent fit+predict plans union into one
+    // 5-row relation; the oracle runs the whole harness GROUPED BY
+    // fold in one CTE chain.
+    "classifier_nb_cv" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      (0 until 5).map { f =>
+        val tr = docs.filter(col("doc_id") % 5 =!= f)
+        val te = docs.filter(col("doc_id") % 5 === f)
+        NaiveBayes.predict(te, "doc_id", "lang", "text",
+          NaiveBayes.fit(tr, "lang", "text", NbVocab),
+          NaiveBayes.priors(tr, "lang", "text"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("actual") === col("predicted"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(lit(f.toLong).as("fold"), col("n"), col("n_correct"))
+          .withColumn("acc_micro", expr("(1000000 * n_correct) div n"))
+      }.reduce(_ unionByName _).orderBy("fold")
+    }),
     "classifier_platt" -> ((s, d) => {
       val docs = table(s, d, "documents")
       QualityClassifier.plattSummary(
@@ -7160,6 +7280,93 @@ object SparkEntry {
        |    GROUP BY qd.id, c.cluster)
        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)""".stripMargin
   }
+
+  /** DBSCAN oracle scaffolding: quadratic pair relation over the 2-D
+    * µ-quantized projection, cores, recursive min-label components
+    * (`cl`) and border labels (`bl`). */
+  private val DbscanCtes: String =
+    s"""WITH RECURSIVE
+       |p AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+       |           AS BIGINT) AS x,
+       |         CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+       |           AS BIGINT) AS y
+       |  FROM embeddings),
+       |pr AS MATERIALIZED (
+       |  SELECT a.id AS ida, b.id AS idb
+       |  FROM p a JOIN p b
+       |    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |       <= ${DbscanEps * DbscanEps}),
+       |core AS MATERIALIZED (
+       |  SELECT ida AS id FROM pr GROUP BY ida HAVING count(*) >= $DbscanMinPts),
+       |ce AS MATERIALIZED (
+       |  SELECT ida, idb FROM pr
+       |  WHERE ida IN (SELECT id FROM core) AND idb IN (SELECT id FROM core)),
+       |lbl(id, l) AS (
+       |  SELECT id, id FROM core
+       |  UNION
+       |  SELECT ce.idb, lbl.l FROM lbl JOIN ce ON ce.ida = lbl.id),
+       |cl AS MATERIALIZED (SELECT id, min(l) AS cluster FROM lbl GROUP BY id),
+       |bl AS MATERIALIZED (
+       |  SELECT pr.ida AS id, min(cl.cluster) AS cluster
+       |  FROM pr JOIN cl ON pr.idb = cl.id
+       |  WHERE pr.ida NOT IN (SELECT id FROM core)
+       |  GROUP BY pr.ida)""".stripMargin
+
+  /** Naive-Bayes oracle scaffolding: train-split token stream, top-N
+    * vocab (count desc, token tie-break), smoothed model + priors on
+    * the 6-dp micro grid, and held-out MAP predictions. */
+  private val NbCtes: String =
+    s"""WITH tr AS MATERIALIZED (
+       |  SELECT lang, text FROM documents
+       |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL AND lang IS NOT NULL),
+       |tk0 AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM tr),
+       |tk AS MATERIALIZED (SELECT lang, token FROM tk0 WHERE len(token) >= 1),
+       |voc AS MATERIALIZED (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS c FROM tk GROUP BY 1
+       |    ORDER BY c DESC, token LIMIT $NbVocab)),
+       |vn AS (SELECT count(*) AS v FROM voc),
+       |ct AS MATERIALIZED (
+       |  SELECT lang, token, count(*) AS cnt
+       |  FROM tk JOIN voc USING (token) GROUP BY 1, 2),
+       |grid AS MATERIALIZED (
+       |  SELECT c.lang, v.token, coalesce(ct.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT lang FROM tk) c
+       |  CROSS JOIN voc v
+       |  LEFT JOIN ct ON ct.lang = c.lang AND ct.token = v.token),
+       |tt AS (SELECT lang, sum(cnt) AS tot FROM grid GROUP BY 1),
+       |model AS MATERIALIZED (
+       |  SELECT g.lang, g.token, CAST(g.cnt AS BIGINT) AS cnt,
+       |         CAST((CAST(round(log10(g.cnt + 1), 6) AS DECIMAL(28,6)) -
+       |               CAST(round(log10(t.tot + vn.v), 6) AS DECIMAL(28,6)))
+       |              * 1000000 AS BIGINT) AS loglik_micro
+       |  FROM grid g JOIN tt t USING (lang), vn),
+       |pri AS MATERIALIZED (
+       |  SELECT lang,
+       |         CAST((CAST(round(log10(count(*)), 6) AS DECIMAL(28,6)) -
+       |               CAST(round(log10((SELECT count(*) FROM tr)), 6)
+       |                 AS DECIMAL(28,6)))
+       |              * 1000000 AS BIGINT) AS prior_micro
+       |  FROM tr GROUP BY 1),
+       |te AS MATERIALIZED (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 5 = 0 AND text IS NOT NULL AND lang IS NOT NULL),
+       |tetk0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM te),
+       |tetk AS (SELECT doc_id, token FROM tetk0 WHERE len(token) >= 1),
+       |ll AS MATERIALIZED (
+       |  SELECT k.doc_id, m.lang AS cls, sum(m.loglik_micro) AS ll
+       |  FROM tetk k JOIN model m USING (token) GROUP BY 1, 2),
+       |sc AS MATERIALIZED (
+       |  SELECT te.doc_id, te.lang AS actual, p.lang AS cls,
+       |         p.prior_micro + coalesce(ll.ll, 0) AS score
+       |  FROM te CROSS JOIN pri p
+       |  LEFT JOIN ll ON ll.doc_id = te.doc_id AND ll.cls = p.lang),
+       |pred AS MATERIALIZED (
+       |  SELECT doc_id, actual, cls, score FROM sc
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, cls) = 1)""".stripMargin
 
   private val ClassifierFitCtes: String = {
     val base =
@@ -10942,6 +11149,32 @@ object SparkEntry {
        |       round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
        |         AS mean_silhouette
        |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // DBSCAN replayed from the quadratic definition: all-pairs ball
+    // test on the µ-quantized 2-D projection, core = count ≥ minPts
+    // (self included), components via a recursive min-label CTE,
+    // border = min neighbor-core label, the rest noise.
+    "cluster_dbscan" -> s"""$DbscanCtes
+       |SELECT id AS vec_id, cluster, 'core' AS role FROM cl
+       |UNION ALL
+       |SELECT id, cluster, 'border' FROM bl
+       |UNION ALL
+       |SELECT id, CAST(-1 AS BIGINT), 'noise' FROM p
+       |WHERE id NOT IN (SELECT id FROM cl) AND id NOT IN (SELECT id FROM bl)
+       |ORDER BY vec_id""".stripMargin,
+    "cluster_dbscan_card" -> s"""$DbscanCtes,
+       |allr AS (
+       |  SELECT id, cluster, 'core' AS role FROM cl
+       |  UNION ALL
+       |  SELECT id, cluster, 'border' FROM bl
+       |  UNION ALL
+       |  SELECT id, CAST(-1 AS BIGINT), 'noise' FROM p
+       |  WHERE id NOT IN (SELECT id FROM cl) AND id NOT IN (SELECT id FROM bl))
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_core,
+       |       CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_border
+       |FROM allr GROUP BY cluster ORDER BY cluster""".stripMargin,
     "embedding_js_divergence" -> s"""$KMeansCtes,
        |jj AS (SELECT d.source, a.cluster
        |       FROM afin a JOIN documents d ON a.id = d.doc_id),
@@ -12227,6 +12460,40 @@ object SparkEntry {
     // Same edge CTEs, then 3 synchronous label-propagation rounds —
     // neighbor-label counts, per-vertex max, least label among ties.
     "crawl_communities" -> lpaOracle(3),
+    // k-core replayed: same structured graph, the H-operator rounds
+    // unrolled past their fixpoint (the graph converges in 2; extra
+    // rounds are provably no-ops on a fixpoint).
+    "crawl_kcore" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""r$i AS (SELECT e.u, c${i - 1}.c FROM e JOIN c${i - 1} ON c${i - 1}.u = e.v),
+           |c$i AS MATERIALIZED (
+           |  SELECT u, max(least(rn, c)) AS c FROM (
+           |    SELECT u, c, row_number() OVER (PARTITION BY u ORDER BY c DESC) AS rn
+           |    FROM r$i)
+           |  GROUP BY u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (SELECT doc_id % 97 AS n FROM documents),
+         |e0 AS (
+         |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example' AS src,
+         |         'd' || lpad(CAST((n + 1) % 97 AS VARCHAR), 2, '0') || '.example' AS dst
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+         |         'd' || lpad(CAST(8 * ((n // 8 + k) % 13) AS VARCHAR), 2, '0') || '.example'
+         |  FROM raw, unnest(generate_series(1, 12)) t(k) WHERE n % 8 = 0
+         |  UNION ALL
+         |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+         |         'd' || lpad(CAST((n * 5 + 11) % 97 AS VARCHAR), 2, '0') || '.example'
+         |  FROM raw WHERE n % 7 = 3),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e0 WHERE src <> dst),
+         |e AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+         |c0 AS MATERIALIZED (SELECT u, count(*) AS c FROM e GROUP BY u),
+         |$rounds
+         |SELECT u AS domain, CAST(c AS BIGINT) AS core
+         |FROM c6 ORDER BY domain""".stripMargin
+    },
     "crawl_triangles" ->
       """WITH raw AS (SELECT doc_id % 97 AS n FROM documents),
         |e0 AS (
@@ -14253,6 +14520,88 @@ object SparkEntry {
       |SELECT pb3.*, e.ece FROM pb3 CROSS JOIN e ORDER BY bin""".stripMargin),
     // Platt GD replay: per-iteration 1-row parameter CTEs over the
     // micro-quantized gradient sums — bit-identical am/bm per step.
+    // Naive Bayes replayed: identical split, vocab truncation order,
+    // smoothing arithmetic and argmax tie-break.
+    "classifier_nb_model" -> s"""$NbCtes
+       |SELECT lang, token, cnt, loglik_micro FROM model
+       |ORDER BY lang, token""".stripMargin,
+    "classifier_nb_predict" -> s"""$NbCtes
+       |SELECT doc_id, actual AS lang, cls AS pred_lang,
+       |       CAST(score AS BIGINT) AS score_micro
+       |FROM pred ORDER BY doc_id""".stripMargin,
+    "classifier_nb_confusion" -> s"""$NbCtes
+       |SELECT actual AS lang, cls AS pred_lang,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The whole CV harness replayed grouped by fold: per-fold vocab
+    // truncation (row_number ≤ N inside the fold), per-fold model,
+    // priors, and MAP argmax.
+    "classifier_nb_cv" ->
+      s"""WITH g AS (SELECT unnest(generate_series(0, 4)) AS f),
+         |tr AS MATERIALIZED (
+         |  SELECT g.f, d.lang, d.text FROM documents d, g
+         |  WHERE d.doc_id % 5 <> g.f
+         |    AND d.text IS NOT NULL AND d.lang IS NOT NULL),
+         |tk0 AS (SELECT f, lang, unnest(string_split(text, ' ')) AS token FROM tr),
+         |tk AS MATERIALIZED (SELECT f, lang, token FROM tk0 WHERE len(token) >= 1),
+         |voc AS MATERIALIZED (
+         |  SELECT f, token FROM (
+         |    SELECT f, token,
+         |           row_number() OVER (PARTITION BY f
+         |             ORDER BY count(*) DESC, token) AS rn
+         |    FROM tk GROUP BY f, token)
+         |  WHERE rn <= $NbVocab),
+         |vn AS (SELECT f, count(*) AS v FROM voc GROUP BY f),
+         |ct AS MATERIALIZED (
+         |  SELECT tk.f, tk.lang, tk.token, count(*) AS cnt
+         |  FROM tk JOIN voc ON voc.f = tk.f AND voc.token = tk.token
+         |  GROUP BY 1, 2, 3),
+         |cls AS (SELECT DISTINCT f, lang FROM tk),
+         |grid AS MATERIALIZED (
+         |  SELECT c.f, c.lang, v.token, coalesce(ct.cnt, 0) AS cnt
+         |  FROM cls c JOIN voc v ON v.f = c.f
+         |  LEFT JOIN ct ON ct.f = c.f AND ct.lang = c.lang AND ct.token = v.token),
+         |tt AS (SELECT f, lang, sum(cnt) AS tot FROM grid GROUP BY 1, 2),
+         |model AS MATERIALIZED (
+         |  SELECT gr.f, gr.lang, gr.token,
+         |         CAST((CAST(round(log10(gr.cnt + 1), 6) AS DECIMAL(28,6)) -
+         |               CAST(round(log10(t.tot + vn.v), 6) AS DECIMAL(28,6)))
+         |              * 1000000 AS BIGINT) AS llm
+         |  FROM grid gr
+         |  JOIN tt t ON t.f = gr.f AND t.lang = gr.lang
+         |  JOIN vn ON vn.f = gr.f),
+         |ntr AS (SELECT f, count(*) AS n FROM tr GROUP BY f),
+         |pri AS MATERIALIZED (
+         |  SELECT tr.f, tr.lang,
+         |         CAST((CAST(round(log10(count(*)), 6) AS DECIMAL(28,6)) -
+         |               CAST(round(log10(ntr.n), 6) AS DECIMAL(28,6)))
+         |              * 1000000 AS BIGINT) AS pm
+         |  FROM tr JOIN ntr ON ntr.f = tr.f GROUP BY tr.f, tr.lang, ntr.n),
+         |te AS MATERIALIZED (
+         |  SELECT doc_id % 5 AS f, doc_id, lang, text FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |tetk0 AS (SELECT f, doc_id, unnest(string_split(text, ' ')) AS token FROM te),
+         |tetk AS (SELECT f, doc_id, token FROM tetk0 WHERE len(token) >= 1),
+         |ll AS MATERIALIZED (
+         |  SELECT k.f, k.doc_id, m.lang AS cls, sum(m.llm) AS ll
+         |  FROM tetk k JOIN model m ON m.f = k.f AND m.token = k.token
+         |  GROUP BY 1, 2, 3),
+         |sc AS MATERIALIZED (
+         |  SELECT te.f, te.doc_id, te.lang AS actual, p.lang AS cls,
+         |         p.pm + coalesce(ll.ll, 0) AS score
+         |  FROM te JOIN pri p ON p.f = te.f
+         |  LEFT JOIN ll ON ll.f = te.f AND ll.doc_id = te.doc_id
+         |    AND ll.cls = p.lang),
+         |pred AS (
+         |  SELECT f, doc_id, actual, cls FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY f, doc_id
+         |    ORDER BY score DESC, cls) = 1)
+         |SELECT f AS fold, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN actual = cls THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_correct,
+         |       (1000000 * CAST(sum(CASE WHEN actual = cls THEN 1 ELSE 0 END)
+         |          AS BIGINT)) // CAST(count(*) AS BIGINT) AS acc_micro
+         |FROM pred GROUP BY f ORDER BY fold""".stripMargin,
     "classifier_platt" -> {
       val p = "(1.0 / (1.0 + exp(-(CAST(am AS DOUBLE) / 1000000.0 * " +
         "(sci / 10000.0) + CAST(bm AS DOUBLE) / 1000000.0))))"

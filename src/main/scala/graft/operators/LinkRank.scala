@@ -337,6 +337,80 @@ object LinkRank {
   }
 
   /**
+   * k-core decomposition — the core NUMBER of every vertex: the
+   * largest k such that the vertex survives in the subgraph where
+   * every vertex keeps degree ≥ k. The densest-region signal that
+   * degree alone misses: a spam farm's vertices sit in a high core
+   * (mutually dense) while an organic hub of the same degree does
+   * not, which makes coreness the third rank-inflation discount next
+   * to [[triangles]]' clustering and [[reciprocity]] (Seidman 1983;
+   * Kitsak et al. 2010 use it as the influence predictor).
+   *
+   * Algorithm: the H-operator iteration (Lü, Zhou, Zhang, Stanley,
+   * PNAS 2016) — init c(v) = deg(v), then repeat
+   *   c(v) ← H({c(u) : u ∈ N(v)})
+   * (H = largest h with ≥ h neighbor values ≥ h) until no value
+   * changes; the fixpoint is exactly the core number. This is the
+   * distributable formulation: the textbook min-degree peeling is
+   * inherently sequential, while each H round here is one edge⋈label
+   * join plus one per-vertex window aggregate. The sequence is
+   * monotone non-increasing from the degree init, so convergence is
+   * guaranteed; `maxIters` is a safety bound like
+   * [[ConnectedComponents]]'s. The H value is order-invariant under
+   * value ties (equal neighbor labels are interchangeable in the
+   * rank), so the result is deterministic under any partitioning.
+   *
+   * Scale shape (100 TB): per round, one equality join of the
+   * symmetrized edge list (pre-partitioned on the join key, cached
+   * once) with the |V|-row label relation, one window rank inside the
+   * vertex partition, one max-aggregate — no per-vertex neighbor
+   * ARRAY is ever collected, so a 10⁸-degree hub streams through the
+   * window instead of materializing a collect_list. Rounds needed in
+   * practice ≈ a small constant (the fixture converges in ≤ 4).
+   *
+   * @return (domain, core) for every vertex of the simple undirected
+   *         graph (self-loops dropped, duplicate edges collapsed).
+   */
+  def kcore(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIters: Int = 30): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+
+    var labels = sym.groupBy("u").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("c").desc)
+    while (!converged && iter < maxIters) {
+      val next = sym
+        .join(labels.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("c"))
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .groupBy("u")
+        .agg(max(least(col("__rn"), col("c"))).as("c"))
+        .localCheckpoint(true)
+      // Monotone non-increasing: any strict decrease means not done.
+      converged = next
+        .join(labels.withColumnRenamed("c", "__old"), "u")
+        .filter(col("c") < col("__old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("u").as("domain"), col("c").cast("long").as("core"))
+  }
+
+  /**
    * Per-domain link reciprocity — the link-exchange signal: organic
    * web linking is overwhelmingly one-directional (a page cites a
    * source; the source doesn't cite back), so a domain whose

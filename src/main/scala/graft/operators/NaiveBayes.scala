@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Multinomial Naive Bayes text classifier (the fastText-baseline
+ * family; McCallum & Nigam 1998) — the other half of the pipeline's
+ * supervised bootstrap: [[QualityClassifier]] is a logistic model
+ * over NUMERIC document features, this is the generative model over
+ * the TOKENS themselves, the standard first classifier for
+ * language/source/domain routing when labels exist. Training is pure
+ * counting — one grouped aggregate per relation — which is why NB is
+ * the one classifier that needs no gradient loop and fits in a single
+ * Spark pass at any scale.
+ *
+ * Determinism discipline (same as [[UnigramLm]]): every log lives on
+ * a 6-dp micro grid — `round(log10(x), 6)` per TERM, differenced in
+ * DECIMAL, scaled to a Long — so model weights and argmax decisions
+ * are bit-stable across engines and partitionings. Ties in the
+ * class argmax break toward the lexicographically smaller class;
+ * vocabulary truncation ties break toward the smaller token.
+ *
+ * Model shape (100 TB design): the vocabulary is a FIXED-SIZE top-N
+ * by global train-set frequency, so the likelihood relation is
+ * |classes| × N rows regardless of corpus size — it broadcasts.
+ * Fit = two grouped aggregates over the token stream (vocab, then
+ * (class, token) counts); predict = one explode + one broadcast join
+ * + one (doc, class) partial-aggregated sum. Out-of-vocabulary
+ * tokens are DROPPED at inference (the standard truncated-vocab
+ * convention), not OOV-smoothed, so a document of only OOV tokens
+ * falls back to the class priors.
+ */
+object NaiveBayes {
+
+  /** Laplace-smoothed log-likelihood table over the top-`vocabSize`
+    * train tokens: (cls, token, cnt, loglik_micro) — one row per
+    * class × vocab token (cnt = 0 rows included: the smoothing mass),
+    * loglik = log10((cnt + 1) / (classTokens + |V|)) on the 6-dp
+    * micro grid. Bounded at |classes|·vocabSize rows by construction.
+    */
+  def fit(
+      docs: DataFrame, clsCol: String, textCol: String,
+      vocabSize: Int = 512): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs
+      .filter(col(textCol).isNotNull && col(clsCol).isNotNull)
+      .select(col(clsCol).as("cls"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) >= 1)
+
+    // Fixed-SIZE vocabulary: top-N by global count, token tie-break —
+    // the bounded-model knob that keeps the likelihood relation
+    // broadcastable at any corpus size.
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("token"))
+      .limit(vocabSize)
+      .select("token")
+    val vn = vocab.agg(count(lit(1)).as("__v"))
+
+    val cnts = toks.join(broadcast(vocab), "token")
+      .groupBy("cls", "token").agg(count(lit(1)).as("cnt"))
+    val grid = toks.select("cls").distinct()
+      .crossJoin(broadcast(vocab))
+      .join(cnts, Seq("cls", "token"), "left")
+      .select(col("cls"), col("token"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tots = grid.groupBy("cls").agg(sum("cnt").as("__tot"))
+
+    grid.join(tots, "cls").crossJoin(broadcast(vn))
+      .select(col("cls"), col("token"), col("cnt"),
+        ((round(log10(col("cnt") + lit(1)), 6).cast("decimal(28,6)") -
+          round(log10(col("__tot") + col("__v")), 6).cast("decimal(28,6)")) *
+          lit(1000000)).cast("long").as("loglik_micro"))
+  }
+
+  /** Class priors on the same grid: (cls, n, prior_micro),
+    * prior = log10(n_cls / n) — one row per class. */
+  def priors(docs: DataFrame, clsCol: String, textCol: String): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull && col(clsCol).isNotNull)
+    val n = d.agg(count(lit(1)).as("__n"))
+    d.groupBy(col(clsCol).as("cls")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(n))
+      .select(col("cls"), col("n"),
+        ((round(log10(col("n")), 6).cast("decimal(28,6)") -
+          round(log10(col("__n")), 6).cast("decimal(28,6)")) *
+          lit(1000000)).cast("long").as("prior_micro"))
+  }
+
+  /** MAP prediction: argmax over classes of prior + Σ token
+    * log-likelihoods (vocab tokens only), ties to the smaller class.
+    * @return (id, actual, predicted, score_micro) for every input
+    *         doc — docs with zero vocab tokens score on priors alone.
+    */
+  def predict(
+      docs: DataFrame, idCol: String, clsCol: String, textCol: String,
+      model: DataFrame, priorTable: DataFrame): DataFrame = {
+    val base = docs
+      .filter(col(textCol).isNotNull && col(clsCol).isNotNull)
+      .select(col(idCol).as("id"), col(clsCol).as("actual"), col(textCol).as("__t"))
+    // Per-token class likelihoods: each token row fans out to the
+    // |classes| model rows for that token — the broadcast join keeps
+    // the corpus un-shuffled; the (id, cls) sum partial-aggregates.
+    val ll = base
+      .select(col("id"), explode(split(col("__t"), " ")).as("token"))
+      .filter(length(col("token")) >= 1)
+      .join(broadcast(model.select(col("cls"), col("token"), col("loglik_micro"))),
+        "token")
+      .groupBy("id", "cls")
+      .agg(sum("loglik_micro").as("__ll"))
+    base.select("id", "actual")
+      .crossJoin(broadcast(priorTable.select(col("cls"), col("prior_micro"))))
+      .join(ll, Seq("id", "cls"), "left")
+      .select(col("id"), col("actual"), col("cls"),
+        (col("prior_micro") + coalesce(col("__ll"), lit(0L))).as("score"))
+      .groupBy("id", "actual")
+      .agg(min(struct((-col("score")).as("__neg"), col("cls").as("__cls"),
+        col("score").as("__s"))).as("__m"))
+      .select(col("id"), col("actual"),
+        col("__m.__cls").as("predicted"),
+        col("__m.__s").as("score_micro"))
+  }
+
+  /** Confusion-matrix card over [[predict]] output. */
+  def confusion(pred: DataFrame): DataFrame =
+    pred.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+/** Multinomial NB: hand-computed smoothed likelihoods, deterministic
+  * vocab truncation, OOV-only prior fallback with smaller-class tie
+  * break, and partition invariance. */
+class NaiveBayesSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "a", "cat sat mat"),
+    (2L, "a", "cat cat"),
+    (3L, "b", "dog ran"),
+    (4L, "b", "dog dog barks")).toDF("id", "cls", "text")
+
+  test("hand-computed Laplace-smoothed log-likelihoods on the 6-dp micro grid") {
+    val m = NaiveBayes.fit(train, "cls", "text", vocabSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // vocab = 6 tokens; class a: cat 3, sat 1, mat 1 (tot 5);
+    // loglik(a, cat) = (round(log10 4) − round(log10 11)) µ = −439333
+    assert(m(("a", "cat")) === (3L, -439333L))
+    assert(m(("a", "sat")) === (1L, (math.round(math.log10(2) * 1e6) -
+      math.round(math.log10(11) * 1e6))))
+    // zero-count smoothing row exists: log10(1/11)
+    assert(m(("a", "dog")) === (3L - 3L, -1041393L))
+    assert(m.size === 12) // 2 classes × 6 vocab tokens
+  }
+
+  test("vocabulary truncation is top-N by count with token tie-break") {
+    val m = NaiveBayes.fit(train, "cls", "text", vocabSize = 2)
+    // cat(3) and dog(3) beat all count-1 tokens; V = 2 in the denominator
+    val toks = m.select("token").distinct().as[String].collect().sorted.toSeq
+    assert(toks === Seq("cat", "dog"))
+    val row = m.filter("cls = 'a' AND token = 'cat'").collect()(0)
+    // a's vocab-token total = 3 (cat only) → log10(4/(3+2))
+    assert(row.getLong(3) ===
+      math.round(math.log10(4) * 1e6) - math.round(math.log10(5) * 1e6))
+  }
+
+  test("MAP prediction: likelihoods dominate, OOV-only docs fall back to priors") {
+    val model = NaiveBayes.fit(train, "cls", "text", vocabSize = 10)
+    val pri = NaiveBayes.priors(train, "cls", "text")
+    val test = Seq(
+      (10L, "b", "cat sat"),  // token evidence says a
+      (11L, "a", "dog barks"), // token evidence says b
+      (12L, "b", "zzz qqq")    // all OOV → equal priors → tie → 'a'
+    ).toDF("id", "cls", "text")
+    val out = NaiveBayes.predict(test, "id", "cls", "text", model, pri)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(out === Seq((10L, "b", "a"), (11L, "a", "b"), (12L, "b", "a")))
+  }
+
+  test("confusion card counts (actual, predicted) pairs") {
+    val model = NaiveBayes.fit(train, "cls", "text", vocabSize = 10)
+    val pri = NaiveBayes.priors(train, "cls", "text")
+    val pred = NaiveBayes.predict(train, "id", "cls", "text", model, pri)
+    val conf = NaiveBayes.confusion(pred)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // training docs classify back to their own class on this fixture
+    assert(conf === Seq(("a", "a", 2L), ("b", "b", 2L)))
+  }
+
+  test("model and predictions are identical under different partitionings") {
+    val m1 = NaiveBayes.fit(train.repartition(1), "cls", "text", 10)
+      .orderBy("cls", "token").collect().toSeq
+    val m7 = NaiveBayes.fit(train.repartition(7), "cls", "text", 10)
+      .orderBy("cls", "token").collect().toSeq
+    assert(m1 === m7)
+  }
+}
