@@ -1590,6 +1590,18 @@ object SparkEntry {
         "embedding", k = 3, bitsPerTable = 6, nTables = 64, threshold = 0.4,
         scale = Scale, maxBucket = Some(1024))
         .orderBy("id", "nbr_rank")),
+    // Mutual (reciprocal) k-NN pairs over the same k=3 graph: keep a
+    // pair only when EACH endpoint ranks the other in its own top-k —
+    // the hub-suppression refinement near-dup pipelines apply before
+    // trusting a neighbor edge (a vector that is "everyone's neighbor"
+    // without reciprocating is a density artifact). One self-join of
+    // the bounded n·k graph relation; the corpus is never re-scanned.
+    "knn_mutual" -> ((s, d) =>
+      SimilarityJoin.mutualKnn(
+        SimilarityJoin.knnGraph(table(s, d, "embeddings"), "vec_id",
+          "embedding", k = 3, bitsPerTable = 6, nTables = 64, threshold = 0.4,
+          scale = Scale, maxBucket = Some(1024)))
+        .orderBy("a_id", "b_id")),
     // Two-relation retrieval top-5: each query vector (vec_id >= 400)
     // against the corpus (vec_id < 400) — hard-negative mining / RAG
     // eval. Query×corpus bucket collisions only (recall-1 parameters),
@@ -10625,6 +10637,28 @@ object SparkEntry {
         |SELECT id, nbr_id, cos_sim, nbr_rank
         |FROM r WHERE nbr_rank <= 3
         |ORDER BY id, nbr_rank""".stripMargin,
+    // Mutual pairs replayed: the same exact-threshold ranked graph,
+    // self-joined on the canonical (min, max) pair key.
+    "knn_mutual" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.id AS id, b.id AS nbr_id,
+        |         round(list_inner_product(a.v, b.v) /
+        |               (sqrt(list_inner_product(a.v, a.v)) *
+        |                sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM base a JOIN base b ON a.id <> b.id),
+        |r AS (
+        |  SELECT id, nbr_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY id
+        |                ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS nbr_rank
+        |  FROM p WHERE cos_sim >= 0.4),
+        |g AS (SELECT id, nbr_id, cos_sim, nbr_rank FROM r WHERE nbr_rank <= 3)
+        |SELECT f.id AS a_id, f.nbr_id AS b_id, f.cos_sim,
+        |       f.nbr_rank AS rank_ab, b.nbr_rank AS rank_ba
+        |FROM g f JOIN g b ON f.id = b.nbr_id AND f.nbr_id = b.id
+        |WHERE f.id < f.nbr_id
+        |ORDER BY a_id, b_id""".stripMargin,
     // Exact-threshold retrieval top-k (= the LSH between-join at
     // recall 1), ranked per query by (rounded cosine desc, corpus id).
     "knn_between" ->

@@ -325,6 +325,32 @@ object SimilarityJoin {
       .withColumnRenamed("__graft_rank", "nbr_rank")
   }
 
+  /**
+   * Mutual (reciprocal) k-NN filter over a [[knnGraph]] result: keep
+   * only pairs where EACH endpoint ranks the other in its own top-k —
+   * the standard robustness refinement over one-directional kNN
+   * (reciprocal-rank re-ranking, Qin et al. CVPR 2011; used by
+   * near-dup pipelines because a hub vector that is "everyone's
+   * neighbor" without reciprocating is a density artifact, not a
+   * duplicate). One self-equi-join of the ALREADY-BOUNDED n·k graph
+   * relation on the canonical (min, max) pair key — never touches the
+   * corpus again, so it adds one small shuffle regardless of corpus
+   * size.
+   *
+   * @param graph [[knnGraph]] output: (id, nbr_id, cos_sim, nbr_rank)
+   * @return (a_id, b_id, cos_sim, rank_ab, rank_ba) with a_id < b_id,
+   *         one row per mutual pair.
+   */
+  def mutualKnn(graph: DataFrame): DataFrame = {
+    val fwd = graph.filter(col("id") < col("nbr_id"))
+      .select(col("id").as("a_id"), col("nbr_id").as("b_id"),
+        col("cos_sim"), col("nbr_rank").as("rank_ab"))
+    val rev = graph.filter(col("id") > col("nbr_id"))
+      .select(col("nbr_id").as("a_id"), col("id").as("b_id"),
+        col("nbr_rank").as("rank_ba"))
+    fwd.join(rev, Seq("a_id", "b_id"))
+  }
+
   /** Shared per-group top-k tail of [[knnGraph]]/[[knnBetween]]:
     * one `topk_by_score` hash aggregate + posexplode to ranked rows. */
   private def topKPerGroup(

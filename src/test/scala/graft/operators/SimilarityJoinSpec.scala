@@ -285,4 +285,37 @@ class SimilarityJoinSpec extends SparkFunSuite {
     // table ids folded into keys: table t keys lie in [t<<4, (t+1)<<4)
     assert(got.zipWithIndex.forall { case (k, t) => (k >> 4) === t.toLong })
   }
+
+  test("mutualKnn keeps exactly the reciprocal pairs of the kNN graph") {
+    import spark.implicits._
+    // hand graph: 1↔2 mutual (ranks 1/1), 1→3 one-directional (3's
+    // top-k points elsewhere), 4↔5 mutual with asymmetric ranks.
+    val g = Seq(
+      (1L, 2L, 0.9, 1L), (2L, 1L, 0.9, 1L),
+      (1L, 3L, 0.8, 2L), (3L, 9L, 0.7, 1L),
+      (4L, 5L, 0.6, 2L), (5L, 4L, 0.6, 1L), (9L, 3L, 0.7, 1L))
+      .toDF("id", "nbr_id", "cos_sim", "nbr_rank")
+    val got = SimilarityJoin.mutualKnn(g).orderBy("a_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 0.9, 1L, 1L),
+      (3L, 9L, 0.7, 1L, 1L),
+      (4L, 5L, 0.6, 2L, 1L)))
+  }
+
+  test("mutualKnn over the real graph: every pair is reciprocal, none dropped") {
+    val graph = SimilarityJoin.knnGraph(emb, "vec_id", "embedding", k = 3,
+      bitsPerTable = 6, nTables = 64, threshold = 0.4, maxBucket = Some(1024))
+    val mutual = SimilarityJoin.mutualKnn(graph).collect()
+    val edges = graph.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: both directions present in the graph
+    assert(mutual.forall(r =>
+      edges((r.getLong(0), r.getLong(1))) && edges((r.getLong(1), r.getLong(0)))))
+    // completeness: every reciprocal graph pair appears exactly once
+    val want = edges.filter { case (a, b) => a < b && edges((b, a)) }
+    assert(mutual.map(r => (r.getLong(0), r.getLong(1))).toSet === want)
+    assert(mutual.length === want.size)
+  }
 }
