@@ -174,6 +174,32 @@ object SparkEntry {
   private def nbTest(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").filter(col("doc_id") % 5 === 0)
 
+  /** JSONL fixture: documents rendered as a drifting JSON-lines dump —
+    * "n" flips number→string on doc_id % 11, tags/meta appear on % 7,
+    * a null field on % 13, and % 31 lines are TRUNCATED mid-string
+    * (the partial-write failure mode). Pure string concat, so the
+    * oracle rebuilds byte-identical lines. */
+  private def jsonlFixture(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(
+      when(col("doc_id") % 31 === 0,
+        concat(lit("{\"id\": "), col("doc_id"),
+          lit(", \"lang\": \""), col("lang")))
+        .otherwise(concat(
+          lit("{\"id\": "), col("doc_id"),
+          lit(", \"lang\": \""), col("lang"), lit("\""),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(", \"n\": \""), col("n_chars"), lit("\"")))
+            .otherwise(concat(lit(", \"n\": "), col("n_chars"))),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(", \"tags\": [\"a\", \"b\"], \"meta\": {\"src\": \""),
+              col("source"), lit("\"}")))
+            .otherwise(lit("")),
+          lit(", \"ok\": "),
+          when(col("doc_id") % 2 === 0, lit("true")).otherwise(lit("false")),
+          when(col("doc_id") % 13 === 0, lit(", \"note\": null"))
+            .otherwise(lit("")),
+          lit("}"))).as("line"))
+
   /** DBSCAN knobs for the embedding 2-D projection: ε = 0.02 in µ
     * units sits just under the fixture's percolation threshold, so
     * the run exercises all three roles (sf0.01: 351 core / 38 border
@@ -5023,6 +5049,19 @@ object SparkEntry {
           col("r.distinct_patterns").as("distinct_patterns"))
         .orderBy("doc_id")
     }),
+    // JSONL ingest triage over a drifting dump (the codegen
+    // json_field_types kernel: one byte scan per line, no parsed
+    // tree): field × type counts including the string→number drift on
+    // "n", optional fields, and the truncated-line malformed row —
+    // what you check BEFORE committing spark.read.json to a schema.
+    // The oracle rebuilds the identical lines and classifies them
+    // with DuckDB's own strict JSON parser.
+    "jsonl_field_census" -> ((s, d) =>
+      graft.sources.JsonLines.fieldCensus(jsonlFixture(s, d), "line")),
+    // Per-field schema decision card over the same dump: presence,
+    // type arity, dominant type, monomorphic flag.
+    "jsonl_schema_card" -> ((s, d) =>
+      graft.sources.JsonLines.schemaCard(jsonlFixture(s, d), "line")),
     // CSV dialect sniffing — the tabular ingestion gate: per-file
     // delimiter (count-consistency scoring, quote-aware so embedded
     // delimiters inside quoted fields don't fool it), quoting, header
@@ -7325,6 +7364,46 @@ object SparkEntry {
        |  FROM pr JOIN cl ON pr.idb = cl.id
        |  WHERE pr.ida NOT IN (SELECT id FROM core)
        |  GROUP BY pr.ida)""".stripMargin
+
+  /** JSONL oracle scaffolding: the fixture lines rebuilt by string
+    * concat, validity via DuckDB's strict parser, per-key types via
+    * json_keys + json_type, the census relation. */
+  private val JsonlCtes: String =
+    """WITH lines AS MATERIALIZED (
+      |  SELECT CASE
+      |    WHEN doc_id % 31 = 0 THEN '{"id": ' || doc_id || ', "lang": "' || lang
+      |    ELSE '{"id": ' || doc_id || ', "lang": "' || lang || '"' ||
+      |      CASE WHEN doc_id % 11 = 0 THEN ', "n": "' || n_chars || '"'
+      |           ELSE ', "n": ' || n_chars END ||
+      |      CASE WHEN doc_id % 7 = 0
+      |           THEN ', "tags": ["a", "b"], "meta": {"src": "' || source || '"}'
+      |           ELSE '' END ||
+      |      ', "ok": ' || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+      |      CASE WHEN doc_id % 13 = 0 THEN ', "note": null' ELSE '' END || '}'
+      |  END AS line FROM documents),
+      |flag AS MATERIALIZED (
+      |  SELECT line,
+      |         CASE WHEN json_valid(line)
+      |              THEN json_type(line) = 'OBJECT' ELSE FALSE END AS ok
+      |  FROM lines),
+      |v AS MATERIALIZED (SELECT line FROM flag WHERE ok),
+      |kv AS (
+      |  SELECT k AS key,
+      |         coalesce(CASE json_type(line, '$."' || k || '"')
+      |           WHEN 'VARCHAR' THEN 'string'
+      |           WHEN 'BIGINT' THEN 'number'
+      |           WHEN 'UBIGINT' THEN 'number'
+      |           WHEN 'DOUBLE' THEN 'number'
+      |           WHEN 'BOOLEAN' THEN 'boolean'
+      |           WHEN 'OBJECT' THEN 'object'
+      |           WHEN 'ARRAY' THEN 'array'
+      |         END, 'null') AS vtype
+      |  FROM v, unnest(json_keys(line)) t(k)),
+      |census AS (
+      |  SELECT key, vtype, CAST(count(*) AS BIGINT) AS n FROM kv GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT '__malformed__', 'invalid', CAST(count(*) AS BIGINT)
+      |  FROM flag WHERE NOT ok HAVING count(*) > 0)""".stripMargin
 
   /** Naive-Bayes oracle scaffolding: train-split token stream, top-N
     * vocab (count desc, token tie-break), smoothed model + priors on
@@ -13034,6 +13113,25 @@ object SparkEntry {
         |       (doc_id % 2 = 0) AS header,
         |       CAST(3 + doc_id % 3 AS BIGINT) AS n_cols
         |FROM documents WHERE text IS NOT NULL ORDER BY id""".stripMargin,
+    // JSONL census replayed: identical line construction, DuckDB's
+    // own strict JSON parser for validity, json_keys + json_type per
+    // field (the two-arg json_type yields SQL NULL for a JSON null
+    // value — coalesced to the 'null' tag).
+    "jsonl_field_census" -> s"""$JsonlCtes
+       |SELECT * FROM census ORDER BY key, vtype""".stripMargin,
+    "jsonl_schema_card" -> s"""$JsonlCtes,
+       |agg AS (
+       |  SELECT key, CAST(sum(n) AS BIGINT) AS n_lines,
+       |         CAST(count(*) AS BIGINT) AS n_types
+       |  FROM census WHERE key <> '__malformed__' GROUP BY key),
+       |top AS (
+       |  SELECT key, vtype AS top_vtype FROM census
+       |  WHERE key <> '__malformed__'
+       |  QUALIFY row_number() OVER (PARTITION BY key
+       |    ORDER BY n DESC, vtype) = 1)
+       |SELECT a.key, a.n_lines, a.n_types, t.top_vtype,
+       |       a.n_types = 1 AS monomorphic
+       |FROM agg a JOIN top t USING (key) ORDER BY key""".stripMargin,
     // Trap scores replayed: every host class collapses to ONE
     // template by construction, so n_urls (distinct replay of the
     // varying parts) IS the amplification; article hosts sit at 5.

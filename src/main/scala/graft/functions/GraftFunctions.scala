@@ -100,6 +100,12 @@ object GraftFunctions {
         DeletionNeighborhoodHashesExpr(es(0))
       },
       "_FUNC_(text) - FastSS deletion-neighborhood signature hashes (array<bigint>), complete blocking for edit distance <= 1."),
+    ("json_field_types",
+      (es: Seq[Expression]) => {
+        requireArity(es, 1, "json_field_types")
+        JsonFieldTypesExpr(es(0))
+      },
+      "_FUNC_(line) - top-level (key, vtype) pairs of a JSON object line (array<struct>), NULL when the line is not exactly one valid JSON object."),
     ("minhash_band_hashes",
       (es: Seq[Expression]) => {
         requireArity(es, 3, "minhash_band_hashes")
@@ -359,6 +365,8 @@ object GraftFunctions {
     call_function("damerau_distance", a, b)
   def deletionNeighborhoodHashes(text: Column): Column =
     call_function("deletion_neighborhood_hashes", text)
+  def jsonFieldTypes(line: Column): Column =
+    call_function("json_field_types", line)
   def adjacentTokenPairs(text: Column, minLen: Int): Column =
     call_function("adjacent_token_pairs", text,
       org.apache.spark.sql.functions.lit(minLen))

@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass JSON-line structure scanner — the ingest triage for
+ * JSONL corpora (the interchange format of LLM training data): which
+ * top-level fields exist, what type each carries, and which lines are
+ * malformed, WITHOUT materializing a parsed tree per row. One linear
+ * scan over the line's UTF-8 bytes; all JSON structural characters
+ * are ASCII, and continuation bytes of multi-byte code points are
+ * ≥ 0x80, so the byte-wise scan can never mistake string content for
+ * structure.
+ *
+ * Pinned semantics (the DuckDB oracle agrees on all of them):
+ *  - a line is VALID iff it is exactly one JSON object, with optional
+ *    leading/trailing ASCII whitespace — anything else (scalar/array
+ *    top level, trailing garbage, truncation, bad nesting, bad number
+ *    grammar) → NULL;
+ *  - per top-level key one (key, type) row, in order of appearance,
+ *    one row PER OCCURRENCE for duplicate keys;
+ *  - type ∈ object | array | string | number | boolean | null, from
+ *    the value's leading character after full structural validation;
+ *  - keys are reported as their raw bytes between the quotes (no
+ *    escape decoding — census keys are identifiers in practice, and
+ *    raw bytes keep the kernel allocation-free on the hot path).
+ */
+object JsonKernels {
+
+  private val TObject = UTF8String.fromString("object")
+  private val TArray = UTF8String.fromString("array")
+  private val TString = UTF8String.fromString("string")
+  private val TNumber = UTF8String.fromString("number")
+  private val TBoolean = UTF8String.fromString("boolean")
+  private val TNull = UTF8String.fromString("null")
+
+  /** @return array<struct<key string, vtype string>> for a valid
+    *         object line, null otherwise (including null input). */
+  def jsonFieldTypes(line: UTF8String): ArrayData = {
+    if (line == null) return null
+    val b = line.getBytes
+    val n = b.length
+    var i = 0
+    val fields = new scala.collection.mutable.ArrayBuffer[InternalRow](8)
+
+    def ws(): Unit = {
+      while (i < n && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+    }
+    def digit(c: Byte): Boolean = c >= '0' && c <= '9'
+
+    /** cursor at opening quote; leaves it past the closing quote. */
+    def skipString(): Boolean = {
+      i += 1
+      while (i < n) {
+        val c = b(i)
+        if (c == '\\') i += 2
+        else if (c == '"') { i += 1; return true }
+        else i += 1
+      }
+      false
+    }
+
+    def skipLiteral(lit: String): Boolean = {
+      val m = lit.length
+      if (i + m > n) return false
+      var k = 0
+      while (k < m) {
+        if (b(i + k) != lit.charAt(k)) return false
+        k += 1
+      }
+      i += m
+      true
+    }
+
+    def skipNumber(): Boolean = {
+      if (i < n && b(i) == '-') i += 1
+      if (i >= n || !digit(b(i))) return false
+      if (b(i) == '0') i += 1
+      else while (i < n && digit(b(i))) i += 1
+      if (i < n && b(i) == '.') {
+        i += 1
+        if (i >= n || !digit(b(i))) return false
+        while (i < n && digit(b(i))) i += 1
+      }
+      if (i < n && (b(i) == 'e' || b(i) == 'E')) {
+        i += 1
+        if (i < n && (b(i) == '+' || b(i) == '-')) i += 1
+        if (i >= n || !digit(b(i))) return false
+        while (i < n && digit(b(i))) i += 1
+      }
+      true
+    }
+
+    /** cursor at a value's first byte (whitespace already skipped). */
+    def skipValue(): Boolean = {
+      if (i >= n) return false
+      b(i) match {
+        case '"' => skipString()
+        case '{' => skipObject(emit = false)
+        case '[' => skipArray()
+        case 't' => skipLiteral("true")
+        case 'f' => skipLiteral("false")
+        case 'n' => skipLiteral("null")
+        case c if c == '-' || digit(c) => skipNumber()
+        case _ => false
+      }
+    }
+
+    def skipArray(): Boolean = {
+      i += 1 // past '['
+      ws()
+      if (i < n && b(i) == ']') { i += 1; return true }
+      while (true) {
+        ws()
+        if (!skipValue()) return false
+        ws()
+        if (i >= n) return false
+        if (b(i) == ']') { i += 1; return true }
+        if (b(i) != ',') return false
+        i += 1
+      }
+      false
+    }
+
+    def typeOf(c: Byte): UTF8String = c match {
+      case '"' => TString
+      case '{' => TObject
+      case '[' => TArray
+      case 't' | 'f' => TBoolean
+      case 'n' => TNull
+      case _ => TNumber
+    }
+
+    def skipObject(emit: Boolean): Boolean = {
+      i += 1 // past '{'
+      ws()
+      if (i < n && b(i) == '}') { i += 1; return true }
+      while (true) {
+        ws()
+        if (i >= n || b(i) != '"') return false
+        val keyStart = i + 1
+        if (!skipString()) return false
+        val keyEnd = i - 1
+        ws()
+        if (i >= n || b(i) != ':') return false
+        i += 1
+        ws()
+        if (i >= n) return false
+        if (emit) {
+          val key = UTF8String.fromBytes(b, keyStart, keyEnd - keyStart)
+          fields += InternalRow(key, typeOf(b(i)))
+        }
+        if (!skipValue()) return false
+        ws()
+        if (i >= n) return false
+        if (b(i) == '}') { i += 1; return true }
+        if (b(i) != ',') return false
+        i += 1
+      }
+      false
+    }
+
+    ws()
+    if (i >= n || b(i) != '{') return null
+    if (!skipObject(emit = true)) return null
+    ws()
+    if (i != n) return null
+    new GenericArrayData(fields.toArray[Any])
+  }
+}
