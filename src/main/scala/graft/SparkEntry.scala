@@ -3510,6 +3510,17 @@ object SparkEntry {
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents")),
         "event_type", "cents", "click", "view")),
+    // Exact 1-D Wasserstein (earth-mover) distance on the same cents
+    // grid — the MAGNITUDE-sensitive drift metric next to KS (max
+    // discrepancy) and PSI (bin log-odds): how far the distribution
+    // moved in metric units. Same two-level cumulative scan; the gap
+    // column adds one bounded block-minima boundary relation.
+    "events_w1_drift" -> ((s, d) =>
+      StatTests.wasserstein1(
+        table(s, d, "events").select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "cents", "click", "view")),
     // Population stability index, view (reference) vs purchase
     // (comparison), 10 equal-width bins over the reference's cents
     // range — the scorecard drift card; exact integral terms.
@@ -4672,6 +4683,27 @@ object SparkEntry {
         .toDF("src", "dst")
       graft.operators.LinkRank.labelPropagation(edges, iters = 3)
         .orderBy("domain")
+    }),
+    // Newman modularity of those LPA communities — the "are they
+    // real" gate: per-community exact-integer contribution
+    // (4·m·e_c − d_c²)/4m²; a partition no better than the degree
+    // null model scores ≤ 0.
+    "crawl_modularity" -> ((s, d) => {
+      import s.implicits._
+      val edges = table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .flatMap { id =>
+          val h = id % 10
+          val q = id % 4
+          val tld = if (h % 3 == 0) "co.uk" else "com"
+          val src = s"site$h.$tld"
+          Seq((src, s"partner$q.example"), (src, s"site$h.com"), (src, src))
+        }
+        .toDF("src", "dst")
+      graft.operators.LinkRank.modularity(edges,
+        graft.operators.LinkRank.labelPropagation(edges, iters = 3))
     }),
     // Triangle counting + local clustering over a denser synthetic
     // domain graph (97 nodes, 3 pseudo-random out-edges each) — the
@@ -6913,7 +6945,7 @@ object SparkEntry {
   /** crawl_communities' oracle: one chained CTE per synchronous LPA
     * round — neighbor label counts, the per-vertex max, least label
     * among the tied winners. Pure count/min: no tolerance. */
-  private def lpaOracle(iters: Int): String = {
+  private def lpaCtes(iters: Int): String = {
     val head = linkGraphCtes +
       """,
         |u AS (SELECT DISTINCT a, b FROM (
@@ -6933,9 +6965,12 @@ object SparkEntry {
          |    FROM cnt$i c JOIN top$i t ON t.v = c.v AND c.cnt = t.mc
          |    GROUP BY c.v) w ON w.v = verts.v)""".stripMargin
     }
-    (head +: steps).mkString(",\n") +
-      s"\nSELECT v AS domain, label AS community FROM l$iters ORDER BY domain"
+    (head +: steps).mkString(",\n")
   }
+
+  private def lpaOracle(iters: Int): String =
+    lpaCtes(iters) +
+      s"\nSELECT v AS domain, label AS community FROM l$iters ORDER BY domain"
 
   /** crawl_depth's oracle: one chained CTE per BFS wave — frontier
     * joins the edge list, already-reached vertices excluded, depths
@@ -12573,6 +12608,33 @@ object SparkEntry {
     // Same edge CTEs, then 3 synchronous label-propagation rounds —
     // neighbor-label counts, per-vertex max, least label among ties.
     "crawl_communities" -> lpaOracle(3),
+    // Modularity replayed over the same LPA labels: canonical
+    // undirected edges, intra counts, degree sums, and the exact
+    // integer form (4·m·e_c − d_c²) / 4m² in HUGEINT (// truncates
+    // toward zero, matching Spark's div on DECIMAL).
+    "crawl_modularity" -> (lpaCtes(3) +
+      """,
+        |uu AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM u),
+        |lbl AS (SELECT v, label AS community FROM l3),
+        |wl AS (SELECT la.community AS ca, lb.community AS cb
+        |       FROM uu JOIN lbl la ON la.v = uu.x JOIN lbl lb ON lb.v = uu.y),
+        |intra AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS intra_edges
+        |          FROM wl WHERE ca = cb GROUP BY 1),
+        |dg AS (SELECT v, count(*) AS deg
+        |       FROM (SELECT x AS v FROM uu UNION ALL SELECT y FROM uu)
+        |       GROUP BY v),
+        |pc AS (SELECT lbl.community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(sum(dg.deg) AS BIGINT) AS degree_sum
+        |       FROM dg JOIN lbl ON lbl.v = dg.v GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM uu)
+        |SELECT pc.community, pc.n_nodes,
+        |       coalesce(intra.intra_edges, 0) AS intra_edges, pc.degree_sum,
+        |       CAST((CAST(1000000 AS HUGEINT) *
+        |             (4 * CAST(mm.m AS HUGEINT) * coalesce(intra.intra_edges, 0) -
+        |              CAST(pc.degree_sum AS HUGEINT) * pc.degree_sum)) //
+        |            (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS q_micro
+        |FROM pc LEFT JOIN intra USING (community), mm
+        |ORDER BY community""".stripMargin),
     // k-core replayed: same structured graph, the H-operator rounds
     // unrolled past their fixpoint (the graph converges in 2; extra
     // rounds are provably no-ops on a fixpoint).
@@ -13498,6 +13560,32 @@ object SparkEntry {
         |       CAST((1000000 * max(abs(CAST(cca AS HUGEINT) * t.n_b -
         |                                CAST(ccb AS HUGEINT) * t.n_a)))
         |            // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS ks_micro
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // W1 replay: one global cumulative window over the bounded cents
+    // grid plus lead() for the gap; identical exact-integer area sum.
+    "events_w1_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |h AS (
+        |  SELECT cents,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT cents, sum(ca) OVER (ORDER BY cents) AS cca,
+        |         sum(cb) OVER (ORDER BY cents) AS ccb,
+        |         lead(cents) OVER (ORDER BY cents) AS nxt
+        |  FROM h),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |             CAST(sum(cb) AS BIGINT) AS n_b FROM h)
+        |SELECT t.n_a, t.n_b,
+        |       CAST((CAST(1000000 AS HUGEINT) *
+        |             sum(abs(CAST(cca AS HUGEINT) * t.n_b -
+        |                     CAST(ccb AS HUGEINT) * t.n_a) *
+        |                 (coalesce(nxt, cents) - cents)))
+        |            // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS w1_micro
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
     // PSI replay: same reference-range equal-width bins (clamped), the
     // same exact λ·10⁶ integer and one floored division per bin.

@@ -215,6 +215,69 @@ object LinkRank {
   }
 
   /**
+   * Newman modularity of a community assignment over the simple
+   * undirected graph (Newman & Girvan 2004) — the "are these
+   * communities real" gate behind [[labelPropagation]]: LPA always
+   * RETURNS labels; modularity says whether they beat the random-
+   * graph null model. Per community c with e_c intra-community
+   * edges, d_c total degree and m total edges:
+   *
+   *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+   *     = Σ_c (4·m·e_c − d_c²) / (4m²)
+   *
+   * — the right-hand form keeps every term an exact integer product
+   * in DECIMAL(38,0) (m ≲ 10¹², so 4m² ≲ 4·10²⁴ and d_c² ≤ (2m)²),
+   * and `q_micro` = 10⁶·contribution div 4m² is exact per community.
+   * Shape: two broadcast-joined label lookups on the edge list, one
+   * count per community, one degree sum — no new shuffle class beyond
+   * the LPA rounds themselves.
+   *
+   * @param edges  directed edge list (symmetrized/deduped internally,
+   *               self-loops dropped — the [[labelPropagation]] graph)
+   * @param communities (domain, community) assignment to score
+   * @return per community: (community, n_nodes, intra_edges,
+   *         degree_sum, q_micro), ordered by community.
+   */
+  def modularity(
+      edges: DataFrame,
+      communities: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val lbl = communities.select(
+      col("domain").as("__d"), col("community"))
+    val withLbls = und
+      .join(lbl.select(col("__d").as("a"), col("community").as("__ca")), "a")
+      .join(lbl.select(col("__d").as("b"), col("community").as("__cb")), "b")
+    val intra = withLbls.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("__deg"))
+      .join(lbl.withColumnRenamed("__d", "v"), "v")
+    val perC = deg.groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("__deg").as("degree_sum"))
+    val m = und.agg(count(lit(1)).as("__m"))
+    perC.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_micro", expr(
+        "CAST((1000000 * (4 * CAST(__m AS DECIMAL(38,0)) * intra_edges - " +
+          "CAST(degree_sum AS DECIMAL(38,0)) * degree_sum)) div " +
+          "(4 * CAST(__m AS DECIMAL(38,0)) * __m) AS BIGINT)"))
+      .drop("__m")
+      .orderBy("community")
+  }
+
+  /**
    * BFS depth from a seed set over the DIRECTED link graph — crawl
    * depth: how many link hops a domain sits from the curated seeds.
    * Depth is the frontier-scheduling prior ([[Frontier]]) and the

@@ -108,6 +108,78 @@ object StatTests {
   }
 
   /**
+   * Exact 1-D Wasserstein (earth-mover) distance between two groups
+   * of an integer-quantized metric:
+   *
+   *   W₁ = ∫ |F_a(v) − F_b(v)| dv
+   *      = Σ_grid |C_a(v)·n_b − C_b(v)·n_a| · gap(v) / (n_a·n_b)
+   *
+   * over the distinct-value grid (gap = distance to the next grid
+   * value). The MAGNITUDE-sensitive drift metric next to
+   * [[ksTwoSample]] (max discrepancy, location-blind) and [[psi]]
+   * (bin log-odds): W₁ answers "how far did the distribution move in
+   * metric units", which is what a cost model consumes. All products
+   * stay in DECIMAL(38,0) (|cum diff| ≤ n_a·n_b ≲ 10²⁴ at corpus
+   * scale, × 10⁶ grid span × 10⁶ micro ≲ 10³⁶), so `w1_micro` =
+   * 10⁶·W₁ in the metric's own units is exact.
+   *
+   * Shape: the same two-level cumulative scan as the KS card (blocked
+   * window + driver prefix over ≤ maxBlocks totals, never an
+   * unpartitioned window); the gap column needs one extra boundary
+   * relation — the next block's MINIMUM value per block, a ≤
+   * maxBlocks-row broadcast derived from the same block pass.
+   *
+   * Output: one row (n_a, n_b, w1_micro).
+   */
+  def wasserstein1(
+      df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String,
+      bucketWidth: Long = 1000L, maxBlocks: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val hist = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint(true)
+    val cum = cumulativeOverValue(hist, "__v", Seq("__ca", "__cb"),
+      bucketWidth, maxBlocks)
+    // Block-boundary gaps: the global "next distinct value" of a
+    // block's last row is the NEXT block's minimum — a bounded
+    // driver-side pairing of the ordered block minima.
+    val blkMins = hist
+      .withColumn("__blk", expr(s"__v div $bucketWidth"))
+      .groupBy("__blk").agg(min("__v").as("__bmin"))
+      .orderBy("__blk").collect()
+    require(blkMins.length <= maxBlocks,
+      s"wasserstein1: ${blkMins.length} blocks exceed maxBlocks=$maxBlocks")
+    val nextMin = blkMins.toSeq.sliding(2).collect {
+      case Seq(cur, nxt) => (cur.getLong(0), nxt.getLong(1))
+    }.toSeq
+    import spark.implicits._
+    val nextDf = nextMin.toDF("__blk", "__next_bmin")
+    val wBlk = Window.partitionBy("__blk").orderBy("__v")
+    val tot = hist.agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"))
+    cum.withColumn("__blk", expr(s"__v div $bucketWidth"))
+      .join(broadcast(nextDf), Seq("__blk"), "left")
+      .withColumn("__nextv",
+        coalesce(lead(col("__v"), 1).over(wBlk), col("__next_bmin")))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (abs(expr("CAST(__ca_cum AS DECIMAL(38,0)) * n_b - " +
+          "CAST(__cb_cum AS DECIMAL(38,0)) * n_a")) *
+          expr("CAST(coalesce(__nextv - __v, 0) AS DECIMAL(38,0))"))
+          .as("__area"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum("__area").as("__s"))
+      .select(col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("CAST((1000000 * __s) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("w1_micro"))
+  }
+
+  /**
    * Population stability index between a REFERENCE group and a
    * COMPARISON group, over `bins` equal-width bins of the reference's
    * integer-quantized value range (out-of-range comparison values

@@ -253,4 +253,49 @@ class LinkRankSpec extends SparkFunSuite {
       .toDF("src", "dst")
     assert(LinkRank.mirrorGroups(edges).count() === 0L)
   }
+
+  test("modularity: two bridged triangles under the ideal split") {
+    val s = spark
+    import s.implicits._
+    // K3 {a,b,c} + K3 {x,y,z} + bridge a-x: m = 7, per community
+    // e_c = 3, d_c = 7 → contribution (4·7·3 − 49)/196 = 35/196,
+    // micro-floored 178571; Q ≈ 0.357.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("a", "x")).toDF("src", "dst")
+    val comms = Seq(("a", "c1"), ("b", "c1"), ("c", "c1"),
+      ("x", "c2"), ("y", "c2"), ("z", "c2")).toDF("domain", "community")
+    val got = LinkRank.modularity(edges, comms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      ("c1", 3L, 3L, 7L, 178571L), ("c2", 3L, 3L, 7L, 178571L)))
+  }
+
+  test("modularity: one community scores exactly 0; singletons negative") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val one = Seq(("a", "all"), ("b", "all"), ("c", "all"))
+      .toDF("domain", "community")
+    assert(LinkRank.modularity(edges, one)
+      .collect().map(_.getLong(4)).toSeq === Seq(0L))
+    val solo = Seq(("a", "a"), ("b", "b"), ("c", "c"))
+      .toDF("domain", "community")
+    // e_c = 0, d_c = 2, m = 3: −4·10⁶/36 truncated toward zero = −111111
+    assert(LinkRank.modularity(edges, solo)
+      .collect().map(_.getLong(4)).toSeq === Seq(-111111L, -111111L, -111111L))
+  }
+
+  test("modularity of the LPA split is bitwise stable under repartition") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("a", "x")).toDF("src", "dst")
+    def run(parts: Int) = {
+      val e = edges.repartition(parts)
+      LinkRank.modularity(e, LinkRank.labelPropagation(e, iters = 3))
+        .collect().toSeq
+    }
+    assert(run(1) === run(5))
+  }
 }

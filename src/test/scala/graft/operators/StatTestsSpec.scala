@@ -32,6 +32,40 @@ class StatTestsSpec extends SparkFunSuite {
     assert(r1 === r2)
   }
 
+  test("wasserstein1: hand-computed area between step ECDFs") {
+    // A = {0,10}, B = {5,15}: grid 0,5,10,15, gaps 5,5,5;
+    // |Ca·2 − Cb·2| = 2,0,2,0 → area 2·5 + 0 + 2·5 = 20 → W1 = 20/4 = 5
+    val df = Seq(("a", 0L), ("a", 10L), ("b", 5L), ("b", 15L)).toDF("g", "v")
+    val r = StatTests.wasserstein1(df, "g", "v", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (2L, 2L, 5000000L))
+  }
+
+  test("wasserstein1: a constant shift moves exactly that distance") {
+    val a = Seq(1L, 7L, 9L).map(("a", _))
+    val b = Seq(1L, 7L, 9L).map(v => ("b", v + 3L))
+    val r = StatTests.wasserstein1((a ++ b).toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head
+    assert(r.getLong(2) === 3000000L)
+    // identical samples → 0
+    val same = StatTests.wasserstein1(
+      (a ++ a.map(x => ("b", x._2))).toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head
+    assert(same.getLong(2) === 0L)
+  }
+
+  test("wasserstein1: bucketWidth is a performance knob, never semantics") {
+    val df = (0 until 60).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, ((i * 37L + 11) % 40) * 13L)
+    }.toDF("g", "v")
+    val wide = StatTests.wasserstein1(df, "g", "v", "a", "b",
+      bucketWidth = 1000L).collect().head
+    val narrow = StatTests.wasserstein1(df.repartition(7), "g", "v", "a", "b",
+      bucketWidth = 7L).collect().head
+    assert(wide.getLong(2) === narrow.getLong(2))
+    assert((wide.getLong(0), wide.getLong(1)) === (30L, 30L))
+  }
+
   test("psi: identical distributions score exactly 0") {
     val df = (1 to 100).flatMap(i => Seq(("r", i.toLong), ("c", i.toLong)))
       .toDF("g", "v")
