@@ -4747,6 +4747,22 @@ object SparkEntry {
         .select("e.src", "e.dst")
       graft.operators.LinkRank.triangles(edges).orderBy("domain")
     }),
+    // Degree assortativity (Newman 2002) over the same 97-node graph:
+    // exact integer moments over the symmetrized edge list, one
+    // end-of-pipeline 6-dp Pearson r — the hubs-link-to-hubs number
+    // whose sign flip flags a structural anomaly in a crawl segment.
+    "crawl_assortativity" -> ((s, d) => {
+      def node(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("d"), lpad(c.cast("string"), 2, "0"), lit(".example"))
+      val n = col("doc_id") % 97
+      val edges = table(s, d, "documents")
+        .select(explode(array(
+          struct(node(n).as("src"), node((n * 3 + 1) % 97).as("dst")),
+          struct(node(n).as("src"), node((n * 7 + 2) % 97).as("dst")),
+          struct(node(n).as("src"), node((n + 1) % 97).as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+      graft.operators.LinkRank.assortativity(edges)
+    }),
     // Top co-citation pairs over the same 97-node graph — the
     // related-pages signal (Small 1973; Dean & Henzinger): domains
     // many distinct sources link to TOGETHER. One capped self-join on
@@ -4991,6 +5007,14 @@ object SparkEntry {
       DatasetSplit.prioritySample(
         table(s, d, "documents").select(
           col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", k = 50)),
+    // Horvitz–Thompson subset-sum card over the SAME priority sample
+    // (Duffield–Lund–Thorup): Σ max(w, τ) with τ = the (k+1)-th
+    // priority — the unbiased corpus-total estimate a 50-row sample
+    // supports, shown against the truth with its relative error.
+    "sample_ht_estimate" -> ((s, d) =>
+      DatasetSplit.priorityEstimate(
+        table(s, d, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", k = 50)),
     // Largest-remainder (Hamilton) apportionment of a 100-slot
     // eval/annotation budget across languages: floor quotas plus
@@ -12669,6 +12693,52 @@ object SparkEntry {
          |SELECT u AS domain, CAST(c AS BIGINT) AS core
          |FROM c6 ORDER BY domain""".stripMargin
     },
+    // Assortativity replayed: the same canonical undirected edges,
+    // symmetrized exchangeable moments in HUGEINT, one 6-dp Pearson r.
+    "crawl_assortativity" ->
+      """WITH raw AS (SELECT doc_id % 97 AS n FROM documents),
+        |e0 AS (
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example' AS src,
+        |         'd' || lpad(CAST((n*3+1) % 97 AS VARCHAR), 2, '0') || '.example' AS dst
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+        |         'd' || lpad(CAST((n*7+2) % 97 AS VARCHAR), 2, '0') || '.example'
+        |  FROM raw
+        |  UNION ALL
+        |  SELECT 'd' || lpad(CAST(n AS VARCHAR), 2, '0') || '.example',
+        |         'd' || lpad(CAST((n+1) % 97 AS VARCHAR), 2, '0') || '.example'
+        |  FROM raw),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS dg
+        |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY v),
+        |sym AS (
+        |  SELECT da.dg AS dx, db.dg AS dy
+        |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+        |  UNION ALL
+        |  SELECT db.dg, da.dg
+        |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+        |mo AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS m2,
+        |         CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+        |         CAST(sum(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+        |         CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+        |         CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
+        |  FROM sym)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |       CASE WHEN m2 * sxx - sx * sx = 0 OR m2 * syy - sy * sy = 0
+        |            THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(round(
+        |              CAST(m2 * sxy - sx * sy AS DOUBLE) /
+        |              sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE) *
+        |                   CAST(m2 * syy - sy * sy AS DOUBLE)) * 1000000.0, 0)
+        |              AS BIGINT) END AS r_micro
+        |FROM mo""".stripMargin,
     "crawl_triangles" ->
       """WITH raw AS (SELECT doc_id % 97 AS n FROM documents),
         |e0 AS (
@@ -12925,6 +12995,37 @@ object SparkEntry {
          |  FROM src)
          |SELECT doc_id, lang, n_chars, priority
          |FROM p ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin
+    },
+    // HT estimate replayed: same integer priorities, τ from the
+    // (k+1)-th row of the same total order, Σ max(w, τ) in BIGINT.
+    "sample_ht_estimate" -> {
+      val u16 =
+        """((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+          | (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+          | (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+          |  strpos('0123456789abcdef', substr(h, 4, 1)) - 1)""".stripMargin
+      s"""WITH src AS (
+         |  SELECT doc_id, n_chars,
+         |         md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST((CAST(n_chars AS BIGINT) * 65536) //
+         |              (CAST($u16 AS BIGINT) + 1) AS BIGINT) AS q
+         |  FROM src),
+         |topk1 AS (SELECT * FROM p ORDER BY q DESC, doc_id LIMIT 51),
+         |tau AS (SELECT CASE WHEN count(*) <= 50 THEN 0
+         |               ELSE min(q) END AS t FROM topk1),
+         |smp AS (SELECT * FROM topk1 ORDER BY q DESC, doc_id LIMIT 50),
+         |est AS (SELECT CAST(sum(greatest(CAST(n_chars AS BIGINT), tau.t))
+         |          AS BIGINT) AS ht_estimate FROM smp, tau),
+         |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS true_total,
+         |               CAST(count(*) AS BIGINT) AS n_total FROM documents)
+         |SELECT CAST(50 AS BIGINT) AS k, tot.n_total, tot.true_total,
+         |       est.ht_estimate,
+         |       CAST((1000000 * abs(est.ht_estimate - tot.true_total)) //
+         |            tot.true_total AS BIGINT) AS rel_err_micro
+         |FROM est, tot""".stripMargin
     },
     // Hamilton apportionment replayed: micro quotas, floor, largest
     // remainders by correlated better-than count, +1 under leftover.

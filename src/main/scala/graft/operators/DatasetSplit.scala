@@ -188,6 +188,53 @@ object DatasetSplit {
   }
 
   /**
+   * Horvitz–Thompson subset-sum estimation over a [[prioritySample]]
+   * (Duffield–Lund–Thorup 2007) — the card that makes the weighted
+   * sample USABLE: the top-k priority sample plus the (k+1)-th
+   * priority threshold τ yields the unbiased total estimator
+   *
+   *   Σ̂ = Σ_{i ∈ sample} max(w_i, τ)
+   *
+   * so a 50-row sample answers "total tokens in this corpus slice"
+   * with provably minimal variance among threshold estimators. All
+   * arithmetic rides the same integer priorities as the sample
+   * (q = w·65536 div (u16+1), τ in weight units comparable to w), so
+   * the estimate is bit-reproducible; when the population has ≤ k
+   * rows, τ = 0 and the estimate is exact by construction.
+   *
+   * Output: one row (k, n_total, true_total, ht_estimate,
+   * rel_err_micro) — truth rides along because the card's job is to
+   * SHOW the estimator's accuracy on this corpus; at 100 TB you drop
+   * the truth column and keep the estimate.
+   */
+  def priorityEstimate(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u16 = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("long")
+    val pri = df
+      .withColumn("__u", u16 + lit(1L))
+      .withColumn("__q", expr(s"(cast($weightCol as bigint) * 65536) div __u"))
+    val topK1 = pri.orderBy(col("__q").desc, col(idCol)).limit(k + 1)
+      .localCheckpoint(true)
+    val tau = topK1.agg(count(lit(1)).as("__c"), min("__q").as("__mn"))
+      .select(when(col("__c") <= k, lit(0L)).otherwise(col("__mn")).as("__tau"))
+    val sample = topK1.orderBy(col("__q").desc, col(idCol)).limit(k)
+    val tot = df.agg(sum(col(weightCol).cast("long")).as("true_total"),
+      count(lit(1)).as("n_total"))
+    sample.crossJoin(broadcast(tau))
+      .agg(sum(greatest(col(weightCol).cast("long"), col("__tau")))
+        .as("ht_estimate"))
+      .crossJoin(broadcast(tot))
+      .select(lit(k.toLong).as("k"), col("n_total"), col("true_total"),
+        col("ht_estimate"),
+        expr("(1000000 * abs(ht_estimate - true_total)) div true_total")
+          .as("rel_err_micro"))
+  }
+
+  /**
    * Stratified deterministic sampling — the data-mixture knob of a
    * training pipeline (keep 100% of a high-quality source, 10% of a
    * crawl): a row survives iff its id-bucket falls under its stratum's

@@ -215,6 +215,66 @@ object LinkRank {
   }
 
   /**
+   * Degree assortativity coefficient of the simple undirected graph
+   * (Newman 2002, "Assortative mixing in networks") — the one-number
+   * answer to "do hubs link to hubs": the Pearson correlation of the
+   * endpoint degrees over the edge list. Social/citation graphs are
+   * assortative (r > 0); the web graph — and engineered link farms
+   * bolted onto organic pages — are DISassortative (r < 0), so a
+   * crawl segment whose r flips sign against the corpus baseline is
+   * a structural anomaly worth triage.
+   *
+   * Every moment (Σx, Σy, Σx², Σy², Σxy over the symmetrized edge
+   * list, so x/y are exchangeable) is an exact integer aggregate in
+   * DECIMAL(38,0); only the final r = cov/√(var_x·var_y) leaves the
+   * integer grid, rounded to the package's 6-dp convention. One
+   * degree aggregate + two broadcast-joined lookups + one global sum
+   * — the same shuffle class as [[reciprocity]].
+   *
+   * Output: one row (n_edges, r_micro); r_micro = round(10⁶·r), 0 for
+   * a degree-regular graph (zero variance on either margin).
+   */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // Symmetrize so the edge relation is exchangeable in (x, y):
+    // Newman's r is defined over unordered edges with both endpoint
+    // orderings contributing.
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+      .join(deg.select(col("v").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("deg").as("dy")), "y")
+    sym.agg(
+        count(lit(1)).as("__m2"),
+        sum(expr("CAST(dx AS DECIMAL(38,0))")).as("__sx"),
+        sum(expr("CAST(dy AS DECIMAL(38,0))")).as("__sy"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("__sxx"),
+        sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("__syy"),
+        sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("__sxy"))
+      .select(
+        (col("__m2") / lit(2)).cast("long").as("n_edges"),
+        when(
+          expr("__m2 * __sxx - __sx * __sx") === lit(0) ||
+            expr("__m2 * __syy - __sy * __sy") === lit(0), lit(0L))
+          .otherwise(round(
+            expr("CAST(__m2 * __sxy - __sx * __sy AS DOUBLE) / " +
+              "sqrt(CAST(__m2 * __sxx - __sx * __sx AS DOUBLE) * " +
+              "CAST(__m2 * __syy - __sy * __sy AS DOUBLE))") * lit(1000000.0))
+            .cast("long"))
+          .as("r_micro"))
+  }
+
+  /**
    * Newman modularity of a community assignment over the simple
    * undirected graph (Newman & Girvan 2004) — the "are these
    * communities real" gate behind [[labelPropagation]]: LPA always

@@ -220,4 +220,40 @@ class DatasetSplitSpec extends SparkFunSuite {
         s"cos=${r.getDouble(0)} ip=${r.getDouble(1)}")
     }
   }
+
+  test("priorityEstimate: population <= k is exact (tau = 0)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "w")
+    val r = DatasetSplit.priorityEstimate(df, "id", "w", k = 5).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === (5L, 3L, 60L, 60L, 0L))
+  }
+
+  test("priorityEstimate matches a driver-side DLT replay and is partition-stable") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 200).map(i => (i.toLong, 1L + (i * 37L) % 500))
+    // independent replay of the pinned integer priorities
+    def u16(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"graft:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16)
+    }
+    val pri = rows.map { case (id, w) => (id, w, (w * 65536L) / (u16(id) + 1L)) }
+      .sortBy { case (id, _, q) => (-q, id) }
+    val tau = pri(50)._3
+    val want = pri.take(50).map { case (_, w, _) => math.max(w, tau) }.sum
+    val got = DatasetSplit.priorityEstimate(
+      rows.toDF("id", "w").repartition(7), "id", "w", k = 50).collect().head
+    assert(got.getLong(3) === want)
+    assert(got.getLong(2) === rows.map(_._2).sum)
+    // the 50-row sample estimates the 200-row total within ~25%
+    assert(math.abs(got.getLong(3) - got.getLong(2)).toDouble
+      / got.getLong(2) < 0.25)
+    val again = DatasetSplit.priorityEstimate(
+      rows.toDF("id", "w").repartition(1), "id", "w", k = 50).collect().head
+    assert(again === got)
+  }
 }

@@ -286,6 +286,23 @@ class LinkRankSpec extends SparkFunSuite {
       .collect().map(_.getLong(4)).toSeq === Seq(-111111L, -111111L, -111111L))
   }
 
+  test("assortativity: star is perfectly disassortative, cycle degree-regular") {
+    val s = spark
+    import s.implicits._
+    // K1,3: center degree 3, leaves 1 → r = −1 exactly
+    val star = Seq(("c", "l1"), ("c", "l2"), ("c", "l3")).toDF("src", "dst")
+    val r1 = LinkRank.assortativity(star).collect().head
+    assert((r1.getLong(0), r1.getLong(1)) === (3L, -1000000L))
+    // 4-cycle: every degree 2 → zero variance → pinned 0
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val r2 = LinkRank.assortativity(cyc).collect().head
+    assert((r2.getLong(0), r2.getLong(1)) === (4L, 0L))
+    // 3-path a−b−c: sym pairs (1,2)(2,1)(2,1)(1,2) → r = −1
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    assert(LinkRank.assortativity(path).collect().head.getLong(1) === -1000000L)
+  }
+
   test("modularity of the LPA split is bitwise stable under repartition") {
     val s = spark
     import s.implicits._
