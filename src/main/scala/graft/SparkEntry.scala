@@ -3521,6 +3521,16 @@ object SparkEntry {
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents")),
         "event_type", "cents", "click", "view")),
+    // Per-decile shift table on the same grid — WHERE the distribution
+    // moved: exact order statistics at rank ⌈q·n/10⌉ per group and
+    // their signed gaps, separating a location shift from a tail-only
+    // regression.
+    "events_quantile_shift" -> ((s, d) =>
+      StatTests.quantileShift(
+        table(s, d, "events").select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "cents", "click", "view")),
     // Population stability index, view (reference) vs purchase
     // (comparison), 10 equal-width bins over the reference's cents
     // range — the scorecard drift card; exact integral terms.
@@ -13688,6 +13698,31 @@ object SparkEntry {
         |                 (coalesce(nxt, cents) - cents)))
         |            // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS w1_micro
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // Quantile-shift replay: one cumulative window over the cents
+    // grid, rank ⌈q·n/10⌉ per side, min-value-at-rank per decile.
+    "events_quantile_shift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |h AS (
+        |  SELECT cents,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT cents, sum(ca) OVER (ORDER BY cents) AS cca,
+        |         sum(cb) OVER (ORDER BY cents) AS ccb
+        |  FROM h),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        |qs AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS q),
+        |va AS (SELECT q, min(cents) AS v_a
+        |       FROM c, t, qs WHERE cca >= (q * na + 9) // 10 GROUP BY q),
+        |vb AS (SELECT q, min(cents) AS v_b
+        |       FROM c, t, qs WHERE ccb >= (q * nb + 9) // 10 GROUP BY q)
+        |SELECT va.q, va.v_a, vb.v_b, vb.v_b - va.v_a AS shift
+        |FROM va JOIN vb USING (q) ORDER BY q""".stripMargin,
     // PSI replay: same reference-range equal-width bins (clamped), the
     // same exact λ·10⁶ integer and one floored division per bin.
     "events_psi" ->

@@ -180,6 +180,53 @@ object StatTests {
   }
 
   /**
+   * Per-quantile shift table between two groups — the "WHERE did the
+   * distribution move" companion to [[wasserstein1]]'s single number:
+   * for each q = 1..`quantiles`, the exact order statistics v_a(q),
+   * v_b(q) at rank ⌈q·n/quantiles⌉ and their signed difference. A
+   * location shift moves every row equally; a tail-only regression
+   * shows up in the last rows alone — the distinction that decides
+   * between "recalibrate" and "hunt the tail".
+   *
+   * Exact integer order statistics via the same two-level cumulative
+   * grid as the KS/W1 cards: v_g(q) = min grid value whose cumulative
+   * count reaches rank_q = ⌈q·n_g/quantiles⌉ (ceiling in integers:
+   * (q·n_g + Q − 1) div Q). The quantile relation is `quantiles`
+   * rows, broadcast onto the bounded grid.
+   *
+   * Output: (q, v_a, v_b, shift) for q = 1..quantiles, ordered by q.
+   */
+  def quantileShift(
+      df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String, quantiles: Int = 10,
+      bucketWidth: Long = 1000L, maxBlocks: Int = 4096): DataFrame = {
+    require(quantiles >= 2, s"quantiles must be >= 2, got $quantiles")
+    val spark = df.sparkSession
+    val hist = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint(true)
+    val cum = cumulativeOverValue(hist, "__v", Seq("__ca", "__cb"),
+      bucketWidth, maxBlocks)
+    val tot = hist.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    import spark.implicits._
+    val qs = (1 to quantiles).map(_.toLong).toDF("q")
+    val ranked = cum.crossJoin(broadcast(qs)).crossJoin(broadcast(tot))
+      .withColumn("__ra", expr(s"(q * __na + $quantiles - 1) div $quantiles"))
+      .withColumn("__rb", expr(s"(q * __nb + $quantiles - 1) div $quantiles"))
+    val va = ranked.filter(col("__ca_cum") >= col("__ra"))
+      .groupBy("q").agg(min("__v").as("v_a"))
+    val vb = ranked.filter(col("__cb_cum") >= col("__rb"))
+      .groupBy("q").agg(min("__v").as("v_b"))
+    va.join(vb, "q")
+      .select(col("q"), col("v_a"), col("v_b"),
+        (col("v_b") - col("v_a")).as("shift"))
+      .orderBy("q")
+  }
+
+  /**
    * Population stability index between a REFERENCE group and a
    * COMPARISON group, over `bins` equal-width bins of the reference's
    * integer-quantized value range (out-of-range comparison values

@@ -66,6 +66,27 @@ class StatTestsSpec extends SparkFunSuite {
     assert((wide.getLong(0), wide.getLong(1)) === (30L, 30L))
   }
 
+  test("quantileShift: hand-computed quartiles of a pure location shift") {
+    // A = {10,20,30,40}, B = A + 5, quartiles: ranks ⌈q·4/4⌉ = 1,2,3,4
+    val a = Seq(10L, 20L, 30L, 40L).map(("a", _))
+    val b = a.map { case (_, v) => ("b", v + 5L) }
+    val got = StatTests.quantileShift((a ++ b).toDF("g", "v"),
+      "g", "v", "a", "b", quantiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1L, 10L, 15L, 5L), (2L, 20L, 25L, 5L),
+      (3L, 30L, 35L, 5L), (4L, 40L, 45L, 5L)))
+  }
+
+  test("quantileShift: a tail-only change moves only the top rows") {
+    val a = Seq(1L, 2L, 3L, 4L).map(("a", _))
+    val b = Seq(1L, 2L, 3L, 400L).map(("b", _))
+    val got = StatTests.quantileShift((a ++ b).toDF("g", "v"),
+      "g", "v", "a", "b", quantiles = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 396L)))
+  }
+
   test("psi: identical distributions score exactly 0") {
     val df = (1 to 100).flatMap(i => Seq(("r", i.toLong), ("c", i.toLong)))
       .toDF("g", "v")
