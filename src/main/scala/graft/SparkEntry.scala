@@ -3574,6 +3574,16 @@ object SparkEntry {
     "events_totals_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedTypeTotalsComplete(
         s, table(s, d, "events")).orderBy("event_type")),
+    // TENTH streaming mode — Update output: per-batch delta re-emits
+    // of changed windowed counts through a real multi-batch run; the
+    // parity gate is the max over each key's monotone emissions
+    // (order-free by construction; no watermark so no order-dependent
+    // drop set). Completes the OutputMode matrix: Append family,
+    // foreachBatch, Complete, Update.
+    "events_update_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.streamedWindowedUpdateParity(
+        s, table(s, d, "events"))
+        .orderBy("window_start", "event_type")),
     // Frequent 3-step behavior paths — the sequence-mining card one
     // level up from the Markov transition matrix; contiguous trigrams
     // keep it one user-partitioned window pass.
@@ -13833,6 +13843,13 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Update-mode gate: the max over a key's monotone count emissions
+    // IS the final count — i.e. the plain batch group-by.
+    "events_update_streamed" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       event_type, count(*) AS n_events
+        |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // Trigram paths replayed: two leads over the same user window.
     "events_paths3" ->
       """WITH ev AS (

@@ -835,6 +835,58 @@ object EventPipeline {
     spark.table(name)
   }
 
+  /**
+   * TENTH end-to-end streaming mode — UPDATE output: the windowed
+   * count re-emits every CHANGED (window, type) row each micro-batch
+   * (`maxFilesPerTrigger = 1` forces several), the delta-feed shape a
+   * live dashboard or downstream cache consumes — neither Append
+   * (emit-once-on-close) nor Complete (re-emit everything). The
+   * memory sink therefore accumulates SUCCESSIVE VERSIONS of each
+   * key's row, and the parity gate is ORDER-FREE by construction: a
+   * count is monotone nondecreasing across a key's emissions, so the
+   * final state per key is exactly the MAX the sink ever saw,
+   * regardless of micro-batch slicing or file arrival order. (A value
+   * sum is not monotone in general, so the Update gate pins the
+   * count; value parity is the Append/Complete rows' job.)
+   *
+   * No watermark ON PURPOSE: Update-mode state cleanup would make the
+   * late-drop set depend on file arrival order — the one
+   * nondeterminism this harness bans. The window domain is bounded
+   * (the fixture spans a year of hourly windows), so unexpired state
+   * is the documented contract, mirroring mode 9's bounded-domain
+   * note: state scales with |windows|·|types|, never with rows.
+   */
+  def streamedWindowedUpdateParity(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_upd_src").toString
+    events.repartition(6).write.mode("overwrite").parquet(srcDir)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_upd_ckpt").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1") // several real micro-batches
+      .parquet(srcDir)
+    val name = s"graft_update_${System.nanoTime()}"
+    val q = normalizeTs(stream)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("window_start"),
+        col("event_type"), col("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("window_start", "event_type")
+      .agg(max("n_events").as("n_events"))
+  }
+
   def streamedUpsertParity(
       spark: org.apache.spark.sql.SparkSession,
       events: DataFrame): DataFrame = {

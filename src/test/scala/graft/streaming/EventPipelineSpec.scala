@@ -672,6 +672,20 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamedWindowedUpdateParity: max over update emissions equals batch counts") {
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+    val streamed = EventPipeline.streamedWindowedUpdateParity(spark, ev)
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    val batch = EventPipeline.normalizeTs(ev)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("typePaths3: contiguous trigrams per user, support filter") {
     import spark.implicits._
     val evs = Seq(
