@@ -3514,6 +3514,13 @@ object SparkEntry {
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents")),
         "event_type", "cents", "click", "view")),
+    // First/last-touch conversion attribution: converting users credit
+    // their first event ever and the last non-purchase event before
+    // the first purchase (none → the "direct" bucket); argmin/argmax
+    // of the total (ts, event_id) order, deterministic under ties.
+    "events_attribution" -> ((s, d) =>
+      graft.streaming.EventPipeline.attribution(
+        table(s, d, "events"), conversionType = "purchase")),
     // Exact 1-D Wasserstein (earth-mover) distance on the same cents
     // grid — the MAGNITUDE-sensitive drift metric next to KS (max
     // discrepancy) and PSI (bin log-odds): how far the distribution
@@ -6061,6 +6068,14 @@ object SparkEntry {
         .select(col("actual").as("lang"), col("predicted").as("pred_lang"),
           col("n"))
     }),
+    // Discriminative-token feature selection ("Fightin' Words"-family
+    // log-odds with integral Haldane correction): per class, the top
+    // 10 tokens by document-presence log-odds — χ²'s question with
+    // PAIRWISE exact products that hold at any corpus size.
+    "classifier_feature_odds" -> ((s, d) =>
+      NaiveBayes.featureLogOdds(table(s, d, "documents"),
+        "doc_id", "lang", "text", NbVocab, topPerClass = 10)
+        .withColumnRenamed("cls", "lang")),
     // 5-fold cross-validation card: per fold, train on the other four
     // fifths, score the held-out fifth — the variance check a single
     // split hides. Five independent fit+predict plans union into one
@@ -13717,6 +13732,37 @@ object SparkEntry {
         |                                CAST(ccb AS HUGEINT) * t.n_a)))
         |            // (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) AS ks_micro
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+    // Attribution replayed: first purchase per user, first-touch and
+    // strictly-before last-touch via the same (ts, event_id) total
+    // order, direct bucket by anti membership.
+    "events_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |fp AS (
+        |  SELECT user_id, ts AS pts, event_id AS pid FROM ev
+        |  WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) = 1),
+        |ft AS (
+        |  SELECT ev.user_id, ev.event_type FROM ev JOIN fp USING (user_id)
+        |  QUALIFY row_number() OVER (PARTITION BY ev.user_id
+        |    ORDER BY ev.ts, ev.event_id) = 1),
+        |lt AS (
+        |  SELECT ev.user_id, ev.event_type FROM ev JOIN fp USING (user_id)
+        |  WHERE (ev.ts < fp.pts OR (ev.ts = fp.pts AND ev.event_id < fp.pid))
+        |    AND ev.event_type <> 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY ev.user_id
+        |    ORDER BY ev.ts DESC, ev.event_id DESC) = 1),
+        |ln AS (
+        |  SELECT fp.user_id, '(none)' AS event_type FROM fp
+        |  WHERE fp.user_id NOT IN (SELECT user_id FROM lt)),
+        |allr AS (
+        |  SELECT 'first_touch' AS touch, event_type, user_id FROM ft
+        |  UNION ALL SELECT 'last_touch', event_type, user_id FROM lt
+        |  UNION ALL SELECT 'last_touch', event_type, user_id FROM ln)
+        |SELECT touch, event_type, CAST(count(*) AS BIGINT) AS n_users
+        |FROM allr GROUP BY 1, 2 ORDER BY touch, event_type""".stripMargin,
     // W1 replay: one global cumulative window over the bounded cents
     // grid plus lead() for the gap; identical exact-integer area sum.
     "events_w1_drift" ->
@@ -14941,6 +14987,50 @@ object SparkEntry {
        |SELECT actual AS lang, cls AS pred_lang,
        |       CAST(count(*) AS BIGINT) AS n
        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Feature log-odds replayed: same full-corpus vocab, document
+    // presence distinct, Haldane-corrected pairwise products, 6-dp
+    // logs, per-class top-10 by (score desc, token).
+    "classifier_feature_odds" ->
+      s"""WITH tk0 AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |tk AS MATERIALIZED (
+         |  SELECT doc_id, lang, token FROM tk0 WHERE len(token) >= 1),
+         |voc AS MATERIALIZED (
+         |  SELECT token FROM (
+         |    SELECT token, count(*) AS c FROM tk GROUP BY 1
+         |    ORDER BY c DESC, token LIMIT $NbVocab)),
+         |pres AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, lang, token FROM tk JOIN voc USING (token)),
+         |aa AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS a
+         |       FROM pres GROUP BY 1, 2),
+         |ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM documents
+         |       WHERE text IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+         |nt AS (SELECT token, CAST(count(*) AS BIGINT) AS ntk
+         |       FROM pres GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+         |       WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |grid AS (
+         |  SELECT ct.lang, v.token, ct.nc,
+         |         coalesce(aa.a, 0) AS a, coalesce(nt.ntk, 0) AS ntk, nn.n
+         |  FROM ct CROSS JOIN voc v
+         |  LEFT JOIN aa ON aa.lang = ct.lang AND aa.token = v.token
+         |  LEFT JOIN nt ON nt.token = v.token, nn),
+         |sc AS (
+         |  SELECT lang, token, a,
+         |    CAST((CAST(round(log10((2 * a + 1) *
+         |            (2 * (n - nc - (ntk - a)) + 1)), 6) AS DECIMAL(28,6)) -
+         |          CAST(round(log10((2 * (nc - a) + 1) *
+         |            (2 * (ntk - a) + 1)), 6) AS DECIMAL(28,6)))
+         |         * 1000000 AS BIGINT) AS score_micro
+         |  FROM grid),
+         |rk AS (
+         |  SELECT lang, token, a, score_micro,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY score_micro DESC, token) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT lang, token, a, score_micro, rank FROM rk
+         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     // The whole CV harness replayed grouped by fold: per-fold vocab
     // truncation (row_number ≤ N inside the fold), per-fold model,
     // priors, and MAP argmax.

@@ -126,4 +126,76 @@ object NaiveBayes {
     pred.groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("actual", "predicted")
+
+  /**
+   * Discriminative-token card: per class, the `topPerClass` tokens
+   * ranked by the Haldane-corrected log-odds ratio of DOCUMENT-level
+   * presence —
+   *
+   *   score = log10((2a+1)(2d+1)) − log10((2b+1)(2c+1))
+   *
+   * with a = class docs containing the token, b = class docs without,
+   * c/d the same outside the class (doubling before the +1 keeps the
+   * ½ Haldane–Anscombe correction integral). The feature-selection
+   * stage between the raw vocab and a classifier — the same question
+   * χ² answers, but the products stay PAIRWISE (≤ (2N+1)², inside
+   * DECIMAL(38,0) at any corpus size) where χ²'s N·(ad−bc)² cross
+   * term overflows the exact grid at ~10⁷ docs; the Monroe et al.
+   * 2008 "Fightin' Words" family uses the same log-odds shape for the
+   * same reason. Logs on the 6-dp micro grid ([[fit]]'s convention).
+   *
+   * Shape: one distinct (class, token, doc) presence aggregate over
+   * vocab tokens, one (class, token) count, class totals broadcast —
+   * bounded at |classes|·vocabSize rows before the top-k cut.
+   *
+   * @return (cls, token, a, score_micro, rank) — rank 1..topPerClass
+   *         by (score desc, token), ordered by (cls, rank).
+   */
+  def featureLogOdds(
+      docs: DataFrame, idCol: String, clsCol: String, textCol: String,
+      vocabSize: Int = 512, topPerClass: Int = 10): DataFrame = {
+    require(topPerClass >= 1, s"topPerClass must be >= 1, got $topPerClass")
+    val base = docs
+      .filter(col(textCol).isNotNull && col(clsCol).isNotNull)
+      .select(col(idCol).as("id"), col(clsCol).as("cls"), col(textCol).as("__t"))
+    val toks = base.select(col("id"), col("cls"),
+      explode(split(col("__t"), " ")).as("token"))
+      .filter(length(col("token")) >= 1)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("token"))
+      .limit(vocabSize)
+      .select("token")
+    // document-level presence, not occurrence counts
+    val pres = toks.join(broadcast(vocab), "token")
+      .select("id", "cls", "token").distinct()
+    val a = pres.groupBy("cls", "token").agg(count(lit(1)).as("a"))
+    val clsTot = base.groupBy("cls").agg(count(lit(1)).as("__nc"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val grid = clsTot.crossJoin(broadcast(vocab))
+      .join(a, Seq("cls", "token"), "left")
+      .select(col("cls"), col("token"), col("__nc"),
+        coalesce(col("a"), lit(0L)).as("a"))
+      .crossJoin(broadcast(n))
+    // c = token docs outside the class; needs the token's GLOBAL doc
+    // count — a vocab-sized broadcast relation.
+    val tokTot = pres.groupBy("token").agg(count(lit(1)).as("__nt"))
+    grid
+      .join(broadcast(tokTot), Seq("token"), "left")
+      .withColumn("__nt", coalesce(col("__nt"), lit(0L)))
+      .withColumn("b", col("__nc") - col("a"))
+      .withColumn("c", col("__nt") - col("a"))
+      .withColumn("d", col("__n") - col("__nc") - col("c"))
+      .withColumn("score_micro",
+        ((round(log10((col("a") * 2 + 1).cast("decimal(38,0)") *
+          (col("d") * 2 + 1)), 6).cast("decimal(28,6)") -
+          round(log10((col("b") * 2 + 1).cast("decimal(38,0)") *
+            (col("c") * 2 + 1)), 6).cast("decimal(28,6)")) *
+          lit(1000000)).cast("long"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cls")
+          .orderBy(col("score_micro").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= topPerClass)
+      .select("cls", "token", "a", "score_micro", "rank")
+      .orderBy("cls", "rank")
+  }
 }

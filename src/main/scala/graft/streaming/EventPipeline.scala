@@ -208,6 +208,60 @@ object EventPipeline {
    * drift). All integer: k is the per-hour allowance, h the alarm
    * threshold.
    */
+  /**
+   * Conversion attribution — the marketing-analytics classic over the
+   * event stream: for each user who converts (has ≥ 1
+   * `conversionType` event), credit (a) FIRST-touch: the user's first
+   * event ever, and (b) LAST-touch: the last non-conversion event
+   * strictly before the first conversion (users whose very first
+   * event is the conversion credit the `(none)` bucket — the "direct"
+   * channel). Both touch picks are argmin/argmax of the total
+   * (ts, event_id) order, so the result is deterministic under ties
+   * and any partitioning.
+   *
+   * Shape: one grouped argmin for the first conversion, two grouped
+   * arg-extremes over the converting users' events (the join key is
+   * user_id throughout — a single exchange class), one bounded
+   * (touch, type) count. No windows, no self-cross.
+   *
+   * @return (touch, event_type, n_users) ordered — one row per
+   *         credited channel per touch model.
+   */
+  def attribution(
+      events: DataFrame, conversionType: String = "purchase"): DataFrame = {
+    val ev = normalizeTs(events)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val firstConv = ev.filter(col("event_type") === conversionType)
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("__fp"))
+      .select(col("user_id"), col("__fp.ts").as("__pts"),
+        col("__fp.event_id").as("__pid"))
+    val convEv = ev.join(firstConv, "user_id")
+    val first = convEv
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("__f"))
+      .select(lit("first_touch").as("touch"),
+        col("__f.event_type").as("event_type"), col("user_id"))
+    val last = convEv
+      .filter(struct(col("ts"), col("event_id")) <
+        struct(col("__pts"), col("__pid")) &&
+        col("event_type") =!= conversionType)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("__l"))
+      .select(lit("last_touch").as("touch"),
+        col("__l.event_type").as("event_type"), col("user_id"))
+    val lastNone = firstConv
+      .join(last.select("user_id"), Seq("user_id"), "left_anti")
+      .select(lit("last_touch").as("touch"),
+        lit("(none)").as("event_type"), col("user_id"))
+    first.unionByName(last).unionByName(lastNone)
+      .groupBy("touch", "event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("touch", "event_type")
+  }
+
   def cusumHourly(
       events: DataFrame, driftK: Long, alarmH: Long): DataFrame = {
     require(driftK >= 0, s"driftK must be >= 0, got $driftK")

@@ -63,6 +63,25 @@ class NaiveBayesSpec extends SparkFunSuite {
     assert(conf === Seq(("a", "a", 2L), ("b", "b", 2L)))
   }
 
+  test("featureLogOdds: hand-computed Haldane log-odds, tie to smaller token") {
+    val docs = Seq(
+      (1L, "a", "cat sat"), (2L, "a", "cat"),
+      (3L, "b", "dog"), (4L, "b", "dog cat")).toDF("id", "cls", "text")
+    val got = NaiveBayes.featureLogOdds(docs, "id", "cls", "text",
+      vocabSize = 10, topPerClass = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // (a, cat): a=2 b=0 c=1 d=1 → log10(5·3) − log10(1·3) = 698970 µ;
+    // (a, sat) ties at 698970 → token order; (a, dog) = −1397940.
+    assert(got === Seq(
+      ("a", "cat", 2L, 698970L, 1L),
+      ("a", "sat", 1L, 698970L, 2L),
+      ("a", "dog", 0L, -1397940L, 3L),
+      ("b", "dog", 2L, 1397940L, 1L),
+      ("b", "cat", 1L, -698970L, 2L),
+      ("b", "sat", 0L, -698970L, 3L)))
+  }
+
   test("model and predictions are identical under different partitionings") {
     val m1 = NaiveBayes.fit(train.repartition(1), "cls", "text", 10)
       .orderBy("cls", "token").collect().toSeq

@@ -686,6 +686,26 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("attribution: first/last touch per converting user, direct bucket, ties by id") {
+    import spark.implicits._
+    val evs = Seq(
+      // u1: view → click → purchase: first=view, last=click
+      Ev(1, t(0, 1), 1, "view", 0, "{}"), Ev(2, t(0, 2), 1, "click", 0, "{}"),
+      Ev(3, t(0, 3), 1, "purchase", 0, "{}"),
+      // u2: purchase first, later view: first=purchase, last=(none)
+      Ev(4, t(1, 1), 2, "purchase", 0, "{}"), Ev(5, t(1, 2), 2, "view", 0, "{}"),
+      // u3: never converts — excluded entirely
+      Ev(6, t(2, 1), 3, "click", 0, "{}"),
+      // u4: same-ts tie — event_id 7 (view) precedes 8 (purchase)
+      Ev(7, t(3, 1), 4, "view", 0, "{}"), Ev(8, t(3, 1), 4, "purchase", 0, "{}"))
+    val got = EventPipeline.attribution(evs.toDF())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("first_touch", "purchase", 1L), ("first_touch", "view", 2L),
+      ("last_touch", "(none)", 1L), ("last_touch", "click", 1L),
+      ("last_touch", "view", 1L)))
+  }
+
   test("typePaths3: contiguous trigrams per user, support filter") {
     import spark.implicits._
     val evs = Seq(
