@@ -45,6 +45,13 @@ class DensityClusterSpec extends SparkFunSuite {
     assert(out === Seq((10L, 10L, "core"), (20L, 20L, "core"), (30L, 30L, "core")))
   }
 
+  test("plan guard: the eps-join is a hash join on cell keys, never cartesian") {
+    val plan = DensityCluster.dbscan(df(hand), "id", "x", "y", 100000L, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("result is identical under different partitionings") {
     val a = DensityCluster.dbscan(df(hand).repartition(1), "id", "x", "y", 100000L, 3)
       .collect().toSeq

@@ -82,6 +82,75 @@ class NaiveBayesSpec extends SparkFunSuite {
       ("b", "sat", 0L, -698970L, 3L)))
   }
 
+  test("property: fit and MAP predictions match an in-memory reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCorpus = for {
+      nDocs <- Gen.chooseNum(2, 12)
+      docs <- Gen.listOfN(nDocs, for {
+        cls <- Gen.oneOf("c0", "c1", "c2")
+        toks <- Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+          .map(_.take(6))
+      } yield (cls, toks.mkString(" ")))
+      vs <- Gen.chooseNum(2, 6)
+    } yield (docs.zipWithIndex.map { case ((c, t), i) => (i.toLong, c, t) }, vs)
+    def microLog(x: Double): Long = math.round(math.log10(x) * 1e6)
+    val prop = Prop.forAll(genCorpus) { case (docs, vocabSize) =>
+      val df = docs.toDF("id", "cls", "text").repartition(3)
+      // reference model
+      val toks = docs.flatMap { case (_, c, t) =>
+        t.split(" ").filter(_.nonEmpty).map(c -> _) }
+      val vocab = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(vocabSize).map(_._1)
+      val v = vocab.size
+      val classes = toks.map(_._1).distinct
+      val wantModel = (for {
+        c <- classes; t <- vocab
+      } yield {
+        val cnt = toks.count(p => p._1 == c && p._2 == t).toLong
+        val tot = toks.count(p => p._1 == c && vocab.contains(p._2)).toLong
+        (c, t) -> (cnt, microLog(cnt + 1.0) - microLog(tot.toDouble + v))
+      }).toMap
+      val gotModel = NaiveBayes.fit(df, "cls", "text", vocabSize)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      // reference MAP over the same docs — prior classes span ALL doc
+      // classes (a class with zero tokens still has a prior; its
+      // missing model rows contribute 0, mirroring predict's coalesce)
+      val n = docs.size.toLong
+      val priorClasses = docs.map(_._2).distinct
+      val prior = priorClasses.map(c =>
+        c -> (microLog(docs.count(_._2 == c).toDouble) - microLog(n.toDouble))).toMap
+      val wantPred = docs.map { case (id, actual, t) =>
+        val ts = t.split(" ").filter(_.nonEmpty).filter(vocab.contains)
+        val scored = priorClasses.map { c =>
+          c -> (prior(c) + ts.map(tk => wantModel.getOrElse((c, tk), (0L, 0L))._2).sum)
+        }
+        val best = scored.minBy { case (c, s) => (-s, c) }
+        (id, actual, best._1, best._2)
+      }.sortBy(_._1)
+      val gotPred = NaiveBayes.predict(df, "id", "cls", "text",
+        NaiveBayes.fit(df, "cls", "text", vocabSize),
+        NaiveBayes.priors(df, "cls", "text"))
+        .orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      gotModel == wantModel && gotPred == wantPred
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("predict plans broadcast the model and priors (no shuffled dimension join)") {
+    val model = NaiveBayes.fit(train, "cls", "text", vocabSize = 10)
+    val pri = NaiveBayes.priors(train, "cls", "text")
+    val plan = NaiveBayes.predict(train, "id", "cls", "text", model, pri)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("model and predictions are identical under different partitionings") {
     val m1 = NaiveBayes.fit(train.repartition(1), "cls", "text", 10)
       .orderBy("cls", "token").collect().toSeq
