@@ -114,6 +114,38 @@ class JsonFieldTypesSpec extends SparkFunSuite {
     }
   }
 
+  test("property: kernel is TOTAL — arbitrary strings never throw, valid ⇒ well-formed rows") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // three generators: pure noise, JSON-ish fragment soup (the
+    // adversarial case for a skip-parser), and mutated valid objects
+    val noise = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('{', '}', '[', ']', '"', ':', ',', '\\',
+        '.', '-', ' ', '\n', '\t', 'é', '\ud83d'))).map(_.mkString)
+    val fragments = Gen.listOf(Gen.oneOf(
+      "{", "}", "[", "]", "\"k\"", ":", ",", "null", "true", "1e5", "-0.5",
+      "\"a\\\"b\"", " ", "{\"x\":", "[1,", "\\u00", "\"")).map(_.mkString)
+    val mutated = for {
+      keys <- Gen.listOf(Gen.identifier.map(_.take(5)))
+      cut <- Gen.chooseNum(0, 5)
+    } yield {
+      val full = keys.zipWithIndex
+        .map { case (k, i) => s""""$k": $i""" }.mkString("{", ", ", "}")
+      full.dropRight(cut)
+    }
+    val gen = Gen.oneOf(noise, fragments, mutated)
+    val prop = Prop.forAll(gen) { s =>
+      val out = JsonKernels.jsonFieldTypes(UTF8String.fromString(s)) // must not throw
+      out == null || (0 until out.numElements()).forall { i =>
+        val r = out.getStruct(i, 2)
+        r.getUTF8String(0) != null && Set("object", "array", "string",
+          "number", "boolean", "null")(r.getUTF8String(1).toString)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("plan stays in whole-stage codegen (no CodegenFallback)") {
     val df = spark.range(4).select(
       GraftFunctions.jsonFieldTypes(

@@ -303,6 +303,62 @@ class LinkRankSpec extends SparkFunSuite {
     assert(LinkRank.assortativity(path).collect().head.getLong(1) === -1000000L)
   }
 
+  test("property: modularity and assortativity match in-memory references on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val genCase = for {
+      nv <- Gen.chooseNum(3, 18)
+      ne <- Gen.chooseNum(2, 40)
+      edges <- Gen.listOfN(ne, Gen.zip(
+        Gen.chooseNum(0, nv - 1), Gen.chooseNum(0, nv - 1)))
+      nc <- Gen.chooseNum(1, 4)
+      comm <- Gen.listOfN(nv, Gen.chooseNum(0, nc - 1))
+    } yield (edges.map { case (a, b) => (s"n$a", s"n$b") }.filter(e => e._1 != e._2),
+      (0 until nv).map(i => s"n$i" -> s"c${comm(i)}").toMap)
+    val prop = Prop.forAll(genCase) { case (edges, comm) =>
+      edges.isEmpty || {
+        val und = edges.map(e => if (e._1 < e._2) e else e.swap).distinct
+        val deg = und.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val m = und.size.toLong
+        // reference modularity (BigInt truncated division, like div)
+        // keys is a SET — force a Seq before mapping to degrees, or
+        // equal degrees dedupe and the sum collapses
+        val byC = deg.keys.toSeq.groupBy(comm)
+        val wantMod = byC.toSeq.map { case (c, vs) =>
+          val vset = vs.toSet
+          val ec = und.count(e => vset(e._1) && vset(e._2)).toLong
+          val dc = vs.map(deg).sum
+          val q = (BigInt(1000000) * (BigInt(4) * m * ec - BigInt(dc) * dc) /
+            (BigInt(4) * m * m)).toLong
+          (c, vs.size.toLong, ec, dc, q)
+        }.sortBy(_._1)
+        val commDf = comm.toSeq.toDF("domain", "community")
+        val gotMod = LinkRank.modularity(
+          edges.toDF("src", "dst").repartition(3), commDf)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq
+        // reference assortativity (same double expression + rounding)
+        val sym = und.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+        val m2 = sym.size.toLong
+        val sx = sym.map(_._1).sum; val sxx = sym.map(p => p._1 * p._1).sum
+        val sxy = sym.map(p => p._1 * p._2).sum
+        val varx = m2 * sxx - sx * sx
+        val wantR =
+          if (varx == 0L) 0L
+          else math.round((m2 * sxy - sx * sx).toDouble /
+            math.sqrt(varx.toDouble * varx.toDouble) * 1000000.0)
+        val gotR = LinkRank.assortativity(edges.toDF("src", "dst").repartition(3))
+          .collect().head.getLong(1)
+        gotMod == wantMod && gotR == wantR
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("modularity of the LPA split is bitwise stable under repartition") {
     val s = spark
     import s.implicits._

@@ -706,6 +706,48 @@ class EventPipelineSpec extends SparkFunSuite {
       ("last_touch", "view", 1L)))
   }
 
+  test("property: attribution matches a direct per-user simulation") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genEvents = for {
+      n <- Gen.chooseNum(1, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 6L)
+        h <- Gen.chooseNum(0, 5)
+        m <- Gen.chooseNum(0, 59)
+        ty <- Gen.oneOf("view", "click", "purchase", "error")
+      } yield (u, h, m, ty))
+    } yield evs.zipWithIndex.map { case ((u, h, m, ty), i) =>
+      Ev(i.toLong, t(h, m), u, ty, 0, "{}")
+    }
+    val prop = Prop.forAll(genEvents) { evs =>
+      def key(e: Ev) = (e.ts.getTime, e.event_id)
+      implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+      val byUser = evs.groupBy(_.user_id)
+      val want = byUser.toSeq.flatMap { case (_, us) =>
+        val conv = us.filter(_.event_type == "purchase")
+        if (conv.isEmpty) Seq.empty
+        else {
+          val fp = conv.minBy(key)
+          val first = us.minBy(key).event_type
+          val before = us.filter(e =>
+            ord.lt(key(e), key(fp)) && e.event_type != "purchase")
+          val last =
+            if (before.isEmpty) "(none)" else before.maxBy(key).event_type
+          Seq(("first_touch", first), ("last_touch", last))
+        }
+      }.groupBy(p => p).view.mapValues(_.size.toLong).toSeq
+        .map { case ((t0, ty), n) => (t0, ty, n) }.sorted
+      val got = EventPipeline.attribution(evs.toDF().repartition(3))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("typePaths3: contiguous trigrams per user, support filter") {
     import spark.implicits._
     val evs = Seq(
