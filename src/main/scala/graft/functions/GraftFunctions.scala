@@ -82,6 +82,18 @@ object GraftFunctions {
     ("repetition_counts",
       (es: Seq[Expression]) => { requireArity(es, 1, "repetition_counts"); RepetitionCountsExpr(es(0)) },
       "_FUNC_(text) - [n_tokens, n_shingles, distinct_shingles, distinct_tokens, max_multiplicity]."),
+    ("ngram_strings",
+      (es: Seq[Expression]) => {
+        requireArity(es, 2, "ngram_strings")
+        NgramStringsExpr(es(0), intLitArg(es(1), "ngram_strings n"))
+      },
+      "_FUNC_(text, n) - all order-n token n-grams, space-joined, in position order (array<string>)."),
+    ("mlm_mask",
+      (es: Seq[Expression]) => {
+        requireArity(es, 3, "mlm_mask")
+        MlmMaskExpr(es(0), es(1), intLitArg(es(2), "mlm_mask oneIn"))
+      },
+      "_FUNC_(id, text, oneIn) - masked-LM corruption struct(n_tokens, n_masked, input_text, target_text) with md5(id:pos)-seeded positions at rate 1/oneIn."),
     ("adjacent_token_pairs",
       (es: Seq[Expression]) => {
         requireArity(es, 2, "adjacent_token_pairs")
@@ -367,6 +379,12 @@ object GraftFunctions {
     call_function("deletion_neighborhood_hashes", text)
   def jsonFieldTypes(line: Column): Column =
     call_function("json_field_types", line)
+  def ngramStrings(text: Column, n: Int): Column =
+    call_function("ngram_strings", text,
+      org.apache.spark.sql.functions.lit(n))
+  def mlmMask(id: Column, text: Column, oneIn: Int): Column =
+    call_function("mlm_mask", id, text,
+      org.apache.spark.sql.functions.lit(oneIn))
   def adjacentTokenPairs(text: Column, minLen: Int): Column =
     call_function("adjacent_token_pairs", text,
       org.apache.spark.sql.functions.lit(minLen))

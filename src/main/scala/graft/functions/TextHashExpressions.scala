@@ -606,3 +606,94 @@ case class BpeApplyExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * `ngram_strings(text, n)` → array<string>: all order-n token n-grams
+ * of a single-space-tokenized string, space-joined, in position order
+ * (see [[TextHashKernels.ngramStrings]]) — the codegen replacement for
+ * the `explode(transform(sequence(...), ...))` CodegenFallback
+ * pipeline in distinct-n. NULL → NULL.
+ */
+case class NgramStringsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 && n <= 8 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"ngram_strings n must be in [1, 8], got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_strings requires string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashKernels.ngramStrings(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.ngramStrings($c, $n)")
+
+  override def prettyName: String = "ngram_strings"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `mlm_mask(id, text, oneIn)` → struct<n_tokens:bigint, n_masked:
+ * bigint, input_text:string, target_text:string>: one-pass masked-LM
+ * corruption with md5(id:pos)-seeded mask positions (see
+ * [[TextHashKernels.mlmMask]]) — the codegen replacement for the
+ * three-HOF (`transform`/`zip_with`/`aggregate`) CodegenFallback tree.
+ * Never NULL as a struct; NULL inputs degrade field-wise exactly as
+ * the HOF tree does (kernel scaladoc).
+ */
+case class MlmMaskExpr(left: Expression, right: Expression, oneIn: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = true),
+    StructField("n_masked", LongType, nullable = true),
+    StructField("input_text", StringType, nullable = false),
+    StructField("target_text", StringType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if oneIn >= 2 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) => TypeCheckResult.TypeCheckFailure(
+        s"mlm_mask oneIn must be >= 2, got $oneIn")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mlm_mask requires (string, string), got $other")
+    }
+
+  override def eval(input: InternalRow): Any =
+    TextHashKernels.mlmMask(
+      left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String],
+      oneIn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idc = left.genCode(ctx)
+    val txt = right.genCode(ctx)
+    val iv =
+      if (left.nullable) s"(${idc.isNull} ? null : ${idc.value})"
+      else s"${idc.value}"
+    val tv =
+      if (right.nullable) s"(${txt.isNull} ? null : ${txt.value})"
+      else s"${txt.value}"
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(
+      code = idc.code + txt.code +
+        code"""
+          final $rowCls ${ev.value} =
+            graft.functions.TextHashKernels.mlmMask($iv, $tv, $oneIn);
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "mlm_mask"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

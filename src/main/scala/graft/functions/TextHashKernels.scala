@@ -1259,4 +1259,142 @@ object TextHashKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /**
+   * All order-`n` token n-grams of a single-space-tokenized string,
+   * space-joined, in position order — the distinct-n unit (Li et al.
+   * 2016). Tokenization replicates Spark's `split(text, " ")` (limit
+   * -1, every empty token kept, `""` → one empty token), so this is a
+   * drop-in for the `explode(transform(sequence(...), i ->
+   * concat_ws(' ', slice(split(text, ' '), i, n))))` higher-order
+   * pipeline (a CodegenFallback Generate) it replaces. Because the
+   * tokens are separated by exactly one 0x20 each, the join of any
+   * consecutive window is literally a byte slice of the input — no
+   * per-gram concatenation, one `UTF8String.fromBytes` view per gram.
+   * Fewer than `n` tokens → empty array.
+   */
+  def ngramStrings(text: UTF8String, n: Int): ArrayData = {
+    val b = text.getBytes
+    // token ranges of split(" ", limit = -1): every empty token kept
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](16)
+    var st = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        starts += st; ends += i; st = i + 1
+      }
+      i += 1
+    }
+    val nToks = starts.length
+    val cnt = if (nToks >= n) nToks - n + 1 else 0
+    val out = new Array[Any](cnt)
+    var t = 0
+    while (t < cnt) {
+      val from = starts(t)
+      out(t) = UTF8String.fromBytes(b, from, ends(t + n - 1) - from)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
+   * One-pass masked-LM corruption (BERT-style single-token masking at
+   * rate 1/`oneIn`): returns the struct `(n_tokens, n_masked,
+   * input_text, target_text)` that the
+   * `transform`/`zip_with`/`aggregate` higher-order formulation (three
+   * CodegenFallback trees per row) computed, bit-for-bit. Position `p`
+   * (1-based) is masked iff the first 4 hex nibbles of
+   * `md5(id || ':' || p)` — the [[graft.operators.SeededHash]]
+   * arithmetic, here read directly from the digest's first two bytes —
+   * are ≡ 0 (mod oneIn). Tokenization replicates Spark's
+   * `split(text, " ")` (limit -1, empties kept).
+   *
+   * Null semantics mirror the HOF tree exactly: `text` NULL →
+   * `(null, null, "", "")` (size/aggregate of a null array are NULL,
+   * `concat_ws` of one is `""`); `id` NULL → every flag is NULL, so
+   * nothing masks: `(n_tokens, 0, text, "")`. The struct itself is
+   * never NULL.
+   */
+  def mlmMask(id: UTF8String, text: UTF8String, oneIn: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val Empty = UTF8String.EMPTY_UTF8
+    if (text == null) {
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, null, Empty, Empty))
+    }
+    val b = text.getBytes
+    // token ranges of split(" ", limit = -1): every empty token kept
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](16)
+    var st = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        starts += st; ends += i; st = i + 1
+      }
+      i += 1
+    }
+    val nToks = starts.length
+    if (id == null) {
+      // no position can mask: input is the verbatim re-join (= text)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nToks.toLong, 0L, text, Empty))
+    }
+    val idBytes = id.getBytes
+    val md = md5Local.get()
+    val flags = new Array[Boolean](nToks)
+    var nMasked = 0
+    var p = 0
+    while (p < nToks) {
+      md.reset()
+      md.update(idBytes)
+      md.update(':'.toByte)
+      md.update(String.valueOf(p + 1)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val d = md.digest()
+      if ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % oneIn == 0) {
+        flags(p) = true; nMasked += 1
+      }
+      p += 1
+    }
+    val MaskBytes = MlmMaskBytes
+    // input: tokens with masked positions replaced, single-space joined
+    var inLen = if (nToks > 0) nToks - 1 else 0
+    var tgtLen = if (nMasked > 0) nMasked - 1 else 0
+    p = 0
+    while (p < nToks) {
+      val tokLen = ends(p) - starts(p)
+      inLen += (if (flags(p)) MaskBytes.length else tokLen)
+      if (flags(p)) tgtLen += tokLen
+      p += 1
+    }
+    val inB = new Array[Byte](inLen)
+    val tgtB = new Array[Byte](tgtLen)
+    var io = 0
+    var to = 0
+    var mi = 0
+    p = 0
+    while (p < nToks) {
+      if (p > 0) { inB(io) = 0x20; io += 1 }
+      val tokLen = ends(p) - starts(p)
+      if (flags(p)) {
+        System.arraycopy(MaskBytes, 0, inB, io, MaskBytes.length)
+        io += MaskBytes.length
+        if (mi > 0) { tgtB(to) = 0x20; to += 1 }
+        mi += 1
+        System.arraycopy(b, starts(p), tgtB, to, tokLen)
+        to += tokLen
+      } else {
+        System.arraycopy(b, starts(p), inB, io, tokLen)
+        io += tokLen
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nToks.toLong, nMasked.toLong,
+        UTF8String.fromBytes(inB), UTF8String.fromBytes(tgtB)))
+  }
+
+  private val MlmMaskBytes: Array[Byte] =
+    "[MASK]".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 }

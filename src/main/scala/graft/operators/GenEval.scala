@@ -311,17 +311,19 @@ object GenEval {
    * Scale note: the global distinct is inherent to the metric (an
    * n-gram string shuffle per order); at 100 TB swap the exact
    * distinct for the HLL sketch relation (`sketch_hll_distinct`) —
-   * the counts grid is the same.
+   * the counts grid is the same. The n-grams themselves come from the
+   * `ngram_strings` codegen kernel (one byte-slice view per gram, no
+   * concatenation), not the `transform(sequence(...))` HOF pipeline —
+   * that CodegenFallback Generate was this metric's whole per-row
+   * cost (`NgramStringsSpec` pins kernel ≡ HOF).
    */
   def distinctN(docs: DataFrame, textCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    GraftFunctions.register(docs.sparkSession)
     (1 to maxN).map { n =>
       docs.filter(col(textCol).isNotNull)
-        .select(explode(expr(
-          s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
-            s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
-            "ELSE array() END")).as("g"))
+        .select(explode(
+          GraftFunctions.ngramStrings(col(textCol), n)).as("g"))
         .agg(count(lit(1)).as("n_total"),
           countDistinct(col("g")).as("n_distinct"))
         .select(lit(n.toLong).as("n"), col("n_total"), col("n_distinct"),

@@ -22,36 +22,36 @@ object ObjectivePrep {
 
   val MaskToken = "[MASK]"
 
-  /** 4-nibble md5 value of (id, 1-based position) — uniform 0..65535,
-    * identically computable in any engine with md5 + string ops. */
-  private def posHash(id: org.apache.spark.sql.Column,
-      pos: org.apache.spark.sql.Column) =
-    SeededHash.md5Nibbles(
-      concat(id.cast("string"), lit(":"), pos.cast("string")), 4)
-
   /**
    * BERT-style single-token masking at rate 1/`oneIn`: input keeps the
    * token order with masked positions replaced by [[MaskToken]]; the
    * target lists the masked tokens in position order. Output:
    * (id, n_tokens, n_masked, input_text, target_text).
+   *
+   * One `mlm_mask` codegen kernel call per row (split, hash, mask and
+   * both joins in a single byte pass) — the previous formulation built
+   * the same fields from three CodegenFallback HOFs (`transform` +
+   * 2×`zip_with` + `aggregate`) per row, ~5× the per-row cost;
+   * `MlmMaskSpec` pins kernel ≡ HOF including NULL degradation. The
+   * struct is projected once and fields are extracted in a second
+   * Project (multiple references stop CollapseProject from inlining
+   * the kernel four times).
    */
   def mlmCorruption(
       docs: DataFrame, idCol: String, textCol: String,
       oneIn: Int = 7): DataFrame = {
     require(oneIn >= 2, s"mask rate 1/$oneIn")
-    val toks = split(col(textCol), " ")
-    val idxs = sequence(lit(1), size(toks))
-    val flags = transform(idxs, p => posHash(col(idCol), p) % oneIn === 0)
-    val masked = zip_with(toks, flags, (t, f) =>
-      when(f, lit(MaskToken)).otherwise(t))
-    val targets = zip_with(toks, flags, (t, f) => when(f, t))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col(idCol),
-      size(toks).cast("long").as("n_tokens"),
-      aggregate(flags, lit(0L), (acc, f) =>
-        acc + when(f, 1L).otherwise(0L)).as("n_masked"),
-      concat_ws(" ", masked).as("input_text"),
-      concat_ws(" ", filter(targets, t => t.isNotNull)).as("target_text"))
+      graft.functions.GraftFunctions.mlmMask(
+        col(idCol).cast("string"), col(textCol), oneIn).as("__m"))
+      .select(
+        col(idCol),
+        col("__m.n_tokens").as("n_tokens"),
+        col("__m.n_masked").as("n_masked"),
+        col("__m.input_text").as("input_text"),
+        col("__m.target_text").as("target_text"))
   }
 
   /** FIM sentinels (public-recipe spelling, Bavarian et al. 2022). */
