@@ -75,6 +75,36 @@ class JsonFieldTypesSpec extends SparkFunSuite {
     bad.foreach(s => assert(kernel(s).isEmpty, s"should be malformed: $s"))
   }
 
+  test("string escape grammar: RFC 8259 escapes only, no raw control bytes") {
+    // scalac decodes \uXXXX even inside triple-quoted literals (and
+    // rejects malformed ones), so JSON backslashes are built from
+    // this val and never written as source-level escapes.
+    val bs = "\\"
+    // legal: the eight named escapes and 4-hex-digit \u (either case)
+    assert(kernel(s"""{"k": "a${bs}n${bs}t${bs}b${bs}f${bs}r${bs}/${bs}${bs}${bs}" z"}""")
+      === Some(Seq("k" -> "string")))
+    assert(kernel(s"""{"k": "A${bs}u0041 ${bs}uBEEF ${bs}ubeef"}""")
+      === Some(Seq("k" -> "string")))
+    assert(kernel(s"""{"${bs}u0041key": 1}""")
+      === Some(Seq(s"${bs}u0041key" -> "number"))) // raw key bytes, undecoded
+    // illegal escapes and raw control characters: line is malformed
+    val bad = Seq(
+      s"""{"k": "${bs}q"}""",           // unknown escape
+      s"""{"k": "${bs}uZZZZ"}""",       // non-hex \u payload
+      s"""{"k": "${bs}u12x4"}""",       // non-hex mid-payload
+      s"""{"k": "${bs}u12"}""",         // truncated \u (in-line)
+      s"""{"k": "${bs}u123""",          // truncated \u at end of input
+      s"""{"k": "a$bs""",               // escape then EOF
+      "{\"k\": \"a\nb\"}",             // raw newline inside string
+      "{\"k\": \"a\tb\"}",             // raw tab inside string
+      "{\"k\": \"a\u0000b\"}",         // raw NUL inside string
+      "{\"k\u0001\": 1}")               // control byte inside a KEY
+    bad.foreach(s => assert(kernel(s).isEmpty, s"should be malformed: $s"))
+    // multi-byte UTF-8 is NOT control-checked (continuation bytes >= 0x80)
+    assert(kernel("{\"k\": \"h\u00e9llo \ud83d\udc4d\"}")
+      === Some(Seq("k" -> "string")))
+  }
+
   test("whitespace around and inside structure is tolerated") {
     assert(kernel("\t {\n\"k\" :\r 1 \n} ") === Some(Seq("k" -> "number")))
   }
