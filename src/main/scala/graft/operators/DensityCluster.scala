@@ -71,12 +71,16 @@ object DensityCluster {
       col(yCol).cast("long").as("y"))
 
     // Floor-division cell key, integer-exact for negative coords
-    // (pmod is always non-negative, so (v - pmod) / eps = ⌊v/eps⌋).
-    def cell(v: Column): Column = (v - pmod(v, eps)) / eps
+    // (pmod is always non-negative, so (v - pmod) div eps = ⌊v/eps⌋).
+    // `div` (IntegralDivide) keeps the join key LongType end to end:
+    // Column./ would promote to DOUBLE, whose 2^53 mantissa silently
+    // drops neighbor pairs at extreme coordinate/eps ratios.
+    def cell(name: String): Column =
+      expr(s"($name - pmod($name, ${epsMicro}L)) div ${epsMicro}L")
 
     val build = pts
-      .withColumn("cx", cell(col("x")))
-      .withColumn("cy", cell(col("y")))
+      .withColumn("cx", cell("x"))
+      .withColumn("cy", cell("y"))
     // Probe side: each point visits its 3×3 cell neighborhood, so a
     // true neighbor pair (a, b) meets on exactly ONE key — a's home
     // cell — and needs no post-join dedup.
@@ -85,8 +89,8 @@ object DensityCluster {
     val probe = pts
       .withColumn("o", explode(offsets))
       .select(col("id").as("bid"), col("x").as("bx"), col("y").as("by"),
-        (cell(col("x")) + col("o.dx")).as("cx"),
-        (cell(col("y")) + col("o.dy")).as("cy"))
+        (cell("x") + col("o.dx")).as("cx"),
+        (cell("y") + col("o.dy")).as("cy"))
 
     // Candidate pairs within one cell hop; exact integer ball test.
     // Self-pairs (dx = dy = 0 cell) ride through — N_eps(p) ∋ p.

@@ -498,7 +498,7 @@ object LinkRank {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 100): DataFrame = {
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -530,6 +530,15 @@ object LinkRank {
       labels = next
       iter += 1
     }
+    // The H-operator converges at a LINEAR rate on path-like graphs
+    // (unlike ConnectedComponents' pointer doubling), so a long-chain
+    // topology can exhaust the bound. Non-fixpoint labels are silent
+    // OVERESTIMATES of the core numbers — refuse loudly rather than
+    // ship a wrong answer.
+    require(converged,
+      s"kcore did not reach a fixpoint in $maxIters iterations — " +
+        "core numbers would be overestimates on this topology " +
+        "(long chains converge linearly); raise maxIters")
     labels.select(col("u").as("domain"), col("c").cast("long").as("core"))
   }
 

@@ -111,4 +111,21 @@ class DensityClusterSpec extends SparkFunSuite {
     assert(want.exists(_._3 == "core") && want.exists(_._3 == "border")
       && want.exists(_._3 == "noise"))
   }
+
+  test("cell keys stay integral: neighbors pair up at coordinates beyond 2^53") {
+    // With the former DoubleType cell key ((v - pmod) / eps), quotients
+    // near 2^62/eps lose low bits to the 53-bit mantissa, so equal
+    // cells can hash apart and true neighbors silently drop. The
+    // LongType `div` key is exact at any coordinate/eps ratio.
+    val base = 4611686018427387000L // ~2^62, not eps-aligned
+    val pts = Seq(
+      (1L, base, base), (2L, base + 2L, base + 1L), (3L, base + 4L, base),
+      (10L, base - 1000000L, base)) // far away: noise
+    val got = DensityCluster.dbscan(df(pts), "id", "x", "y", 5L, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val want = reference(pts, 5L, 3)
+    assert(got === want)
+    assert(got.count(_._3 == "core") >= 3) // the trio found each other
+    assert(got.find(_._1 == 10L).get._3 === "noise")
+  }
 }

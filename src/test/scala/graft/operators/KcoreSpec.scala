@@ -62,4 +62,21 @@ class KcoreSpec extends SparkFunSuite {
     }.filter(e => e._1 != e._2)
     assert(run(edges, parts = 1) === run(edges, parts = 7))
   }
+
+  test("long chain converges under the default bound (linear-rate topology)") {
+    // A path's H-operator needs ~L/2 rounds (the 1-labels creep inward
+    // one step per round from each end) — the r13 default of 30 would
+    // have returned silent overestimates here; 100 covers it.
+    val chain = (0 until 79).map(i => (s"p$i", s"p${i + 1}"))
+    val cores = run(chain)
+    assert(cores.values.toSet === Set(1L))
+  }
+
+  test("exhausting maxIters without a fixpoint refuses loudly") {
+    val chain = (0 until 79).map(i => (s"p$i", s"p${i + 1}"))
+    val e = intercept[IllegalArgumentException] {
+      LinkRank.kcore(chain.toDF("src", "dst"), maxIters = 5).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
 }
