@@ -129,6 +129,25 @@ object SparkEntry {
       g.adj.persist().count()
       g
     })
+  /** NSW at-scale layout per sf dir: adjacency + store written as
+    * id-bucketed catalog tables (BucketedStore), so the beam's per-hop
+    * id-equality probes are bucket-pruned point lookups instead of
+    * full scans — the layout NswAnn.Graph's scaladoc promises. The
+    * bucketed write is a one-time offline artifact (the IVF-store
+    * pattern); the row measures query cost. */
+  private val nswDiskCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[Long])]()
+  private def nswDisk(s: SparkSession, d: String): (String, String, Seq[Long]) =
+    nswDiskCache.computeIfAbsent(d, dir => {
+      val suffix = math.abs(dir.hashCode).toString
+      val adjTbl = s"graft_nsw_adj_$suffix"
+      val embTbl = s"graft_nsw_emb_$suffix"
+      val g = nswGraph(s, dir)
+      BucketedStore.writeBucketed(g.adj, adjTbl, "id", 8)
+      BucketedStore.writeBucketed(table(s, dir, "embeddings"), embTbl,
+        "vec_id", 8)
+      (adjTbl, embTbl, g.entryIds)
+    })
   /** Bucketed catalog tables per sf dir — the bucketed layout is a
     * one-time write (like the IVF store), not part of each query. */
   private val bucketedCache =
@@ -507,6 +526,17 @@ object SparkEntry {
       NswAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
         nswGraph(s, d), queryVec(s, d), k = 10, beam = 64,
         maxIters = 12, scale = Scale)),
+    // NSW over the AT-SCALE layout: adjacency and store live as
+    // id-bucketed catalog tables (the layout the Graph scaladoc
+    // promises), so every per-hop probe bucket-prunes to point lookups
+    // (plan-asserted in NswAnnSpec). Same shipped full-recall point →
+    // same brute-force oracle.
+    "ann_nsw_disk" -> ((s, d) => {
+      val (adjTbl, embTbl, entries) = nswDisk(s, d)
+      NswAnn.topK(s.table(embTbl), "vec_id", "embedding",
+        NswAnn.Graph(s.table(adjTbl), entries), queryVec(s, d), k = 10,
+        beam = 64, maxIters = 12, scale = Scale)
+    }),
     // PCA-projected ANN (the fourth index family): top-32 principal
     // axes, projected-cosine candidate scan over the mat_vec kernel and
     // the double-vector cosine kernel, exact re-rank of 128 candidates.
@@ -7805,6 +7835,18 @@ object SparkEntry {
     // NSW beam search at the shipped full-recall point returns exactly
     // the brute-force top-10 (grid in NswAnnSpec).
     "ann_nsw_topk" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /
+        |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(qv.q, qv.q))), 6) AS score
+        |FROM embeddings e, qv
+        |ORDER BY score DESC NULLS LAST, id
+        |LIMIT 10""".stripMargin,
+    // Bucketed-layout NSW runs the same full-recall beam over catalog
+    // tables — the result contract is unchanged, so the oracle is the
+    // same brute-force cosine top-10.
+    "ann_nsw_disk" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
         |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /

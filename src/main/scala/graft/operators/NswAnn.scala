@@ -51,7 +51,11 @@ object NswAnn {
 
   /** A built graph index: symmetric adjacency (id, nbr_id) + fixed
     * entry points. Adjacency is a DataFrame — at scale it lives as an
-    * id-bucketed table beside the store. */
+    * id-bucketed table beside the store (the `ann_nsw_disk` driver row
+    * runs this exact layout via [[BucketedStore]]: adjacency bucketed
+    * on `id`, store bucketed on the id column, and `NswAnnSpec`
+    * plan-asserts that the per-hop probes bucket-prune to point
+    * lookups instead of full scans). */
   final case class Graph(adj: DataFrame, entryIds: Seq[Long])
 
   /**
@@ -96,6 +100,24 @@ object NswAnn {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
+    // When the store/adjacency are bucketed tables, the per-hop
+    // id-equality probes must actually bucket-prune: Spark's planner
+    // auto-DISABLES bucketed scans for plans with no join/aggregate on
+    // the bucket key (DisableUnnecessaryBucketedScan), which throws
+    // away exactly the point-lookup pruning this search depends on.
+    // Pin it off for the search's own probes, restore after.
+    val AutoBucket = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAutoBucket = spark.conf.get(AutoBucket, "true")
+    spark.conf.set(AutoBucket, "false")
+    try topKImpl(emb, idCol, vecCol, graph, query, k, beam, maxIters, scale)
+    finally spark.conf.set(AutoBucket, prevAutoBucket)
+  }
+
+  private def topKImpl(
+      emb: DataFrame, idCol: String, vecCol: String, graph: Graph,
+      query: Array[Float], k: Int, beam: Int, maxIters: Int,
+      scale: Int): DataFrame = {
+    val spark = emb.sparkSession
     val qv = typedLit(query.toSeq)
     // one pruned fetch: exact rounded cosine for a bounded id set
     def scoreIds(ids: Seq[Long]): Seq[(Long, Double)] = {

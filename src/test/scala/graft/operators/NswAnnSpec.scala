@@ -107,4 +107,76 @@ class NswAnnSpec extends SparkFunSuite {
       NswAnn.build(emb, "vec_id", "embedding", entries = 0)
     }
   }
+
+  test("bucketed at-scale layout: same rows, per-hop probes bucket-prune") {
+    // write the adjacency and store as id-bucketed catalog tables (the
+    // layout Graph's scaladoc promises) and run the same beam there
+    BucketedStore.writeBucketed(graph.adj, "nsw_adj_spec", "id", 8)
+    BucketedStore.writeBucketed(emb, "nsw_emb_spec", "vec_id", 8)
+    val adjT = spark.table("nsw_adj_spec")
+    val embT = spark.table("nsw_emb_spec")
+    val q = qv(3)
+    val viaDisk = NswAnn.topK(embT, "vec_id", "embedding",
+      NswAnn.Graph(adjT, graph.entryIds), q, 10, 64)
+      .collect().map(_.toSeq).toSeq
+    val viaMem = NswAnn.topK(emb, "vec_id", "embedding", graph, q, 10, 64)
+      .collect().map(_.toSeq).toSeq
+    assert(viaDisk === viaMem)
+    // plan shape: an id-equality probe (the beam's per-hop shape)
+    // selects a strict subset of buckets — a point lookup, not a scan.
+    // topK pins autoBucketedScan off for its own probes; this
+    // standalone probe must do the same to see the pruned plan.
+    val AutoBucket = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(AutoBucket, "true")
+    spark.conf.set(AutoBucket, "false")
+    try {
+      val probe = adjT.filter(col("id").isin(graph.entryIds.map(Long.box): _*))
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+        .getOrElse(fail(s"no bucket pruning in plan:\n$plan"))
+      assert(m.group(1).toInt < m.group(2).toInt, plan)
+      val sProbe = embT.filter(col("vec_id").isin(graph.entryIds.map(Long.box): _*))
+      sProbe.collect()
+      val sm = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(sProbe.queryExecution.executedPlan.toString)
+      assert(sm.exists(x => x.group(1).toInt < x.group(2).toInt))
+    } finally spark.conf.set(AutoBucket, prev)
+  }
+
+  test("recall degrades monotonically as the graph degree shrinks") {
+    // aggregate recall@10 over four queries — per-query recall can
+    // wobble on a random graph; the summed gradient is the contract
+    // (mirrors the searchTopSize quality knob: smaller index budget
+    // never yields better recall)
+    val qids = Seq(1, 3, 7, 42)
+    val recalls = Seq(2, 4, 16).map { deg =>
+      val g = NswAnn.build(emb, "vec_id", "embedding", degree = deg,
+        entries = 8)
+      qids.map { qid =>
+        val q = qv(qid)
+        val want = bruteIds(q, 10).toSet
+        nswIds(g, q, 10, beam = 16).map(_.toString).toSet
+          .intersect(want).size
+      }.sum
+    }
+    assert(recalls === recalls.sorted, s"degree recalls $recalls not monotone")
+    assert(recalls.last === 40) // degree 16 is full recall at beam 16
+  }
+
+  test("recall degrades monotonically as the entry budget shrinks") {
+    val qids = Seq(1, 3, 7, 42)
+    val recalls = Seq(1, 4, 8).map { e =>
+      val g = NswAnn.build(emb, "vec_id", "embedding", degree = 4,
+        entries = e)
+      qids.map { qid =>
+        val q = qv(qid)
+        val want = bruteIds(q, 10).toSet
+        nswIds(g, q, 10, beam = 16).map(_.toString).toSet
+          .intersect(want).size
+      }.sum
+    }
+    assert(recalls === recalls.sorted, s"entry recalls $recalls not monotone")
+  }
 }
