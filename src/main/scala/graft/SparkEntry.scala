@@ -5342,6 +5342,24 @@ object SparkEntry {
         "hr", col("event_type") =!= "error")
         .withColumnRenamed("source", "hr")
         .orderBy("hr")),
+    // CUSUM changepoint card (Page 1954): two-sided peak excursion of
+    // the daily count series per type via the prefix-extreme closed
+    // form — one partitioned window over the bounded day grid, exact
+    // micro integers.
+    "events_cusum" -> ((s, d) =>
+      EventSeries.cusumChangepoint(
+        graft.streaming.EventPipeline.normalizeTs(table(s, d, "events")))),
+    // Median/MAD day-level anomaly flags per type — the robust
+    // distribution-free outlier card over the same zero-filled grid.
+    "events_mad_anomalies" -> ((s, d) =>
+      EventSeries.madAnomalies(
+        graft.streaming.EventPipeline.normalizeTs(table(s, d, "events")),
+        k = 2)),
+    // Hour-of-day seasonal profile: dense 24-hour share grid + peak
+    // flags per type.
+    "events_seasonality" -> ((s, d) =>
+      EventSeries.seasonalProfile(
+        graft.streaming.EventPipeline.normalizeTs(table(s, d, "events")))),
     // Unicode script-mix card: per-doc counts over explicit BMP
     // ranges (no \p{Script=} classes — engine availability differs),
     // dominant script with declared tie order. The fixture appends
@@ -7488,6 +7506,29 @@ object SparkEntry {
   /** DBSCAN oracle scaffolding: quadratic pair relation over the 2-D
     * µ-quantized projection, cores, recursive min-label components
     * (`cl`) and border labels (`bl`). */
+  /** Dense zero-filled (event_type, day) count grid over the global
+    * day span — the shared base of the event-series cards (CUSUM, MAD
+    * anomalies); day = days since 1970-01-01 under the UTC session
+    * zone on both engines. */
+  private val EventDayGridCtes: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01',
+      |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |counts AS (
+      |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM base GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS lo, max(day) AS hi FROM base),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM base),
+      |grid AS (
+      |  SELECT t.event_type, d.day, coalesce(c.cnt, 0) AS cnt
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day)"""
+      .stripMargin
+
   private val DbscanCtes: String =
     s"""WITH RECURSIVE
        |p AS MATERIALIZED (
@@ -14485,6 +14526,96 @@ object SparkEntry {
         |        z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd))) /
         |       (1.0 + z * z / nd) AS wilson_lower
         |FROM c ORDER BY hr""".stripMargin,
+    // CUSUM replayed: the same dense zero-filled day grid, the same
+    // prefix-extreme closed form in windows, row_number argmax with
+    // the earliest-day tie-break.
+    "events_cusum" -> (EventDayGridCtes +
+      """,
+        |tot AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(cnt) AS BIGINT) AS total,
+        |         CAST(CAST(1000000 * sum(cnt) AS HUGEINT) // count(*) AS BIGINT) AS mean_micro
+        |  FROM grid GROUP BY 1),
+        |pfx AS (
+        |  SELECT g.event_type, g.day, t.n_days, t.total, t.mean_micro,
+        |         sum(1000000 * g.cnt - t.mean_micro) OVER
+        |           (PARTITION BY g.event_type ORDER BY g.day
+        |            ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM grid g JOIN tot t USING (event_type)),
+        |ext AS (
+        |  SELECT *,
+        |         p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING)) AS sp,
+        |         greatest(0, max(p) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING)) - p AS sn
+        |  FROM pfx),
+        |pick AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY sp DESC, day) AS rp,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY sn DESC, day) AS rn
+        |  FROM ext)
+        |SELECT p1.event_type, p1.n_days, p1.total, p1.mean_micro,
+        |       CAST(p1.sp AS BIGINT) AS cusum_pos_micro,
+        |       CAST(p1.day AS BIGINT) AS cp_day_pos,
+        |       CAST(p2.sn AS BIGINT) AS cusum_neg_micro,
+        |       CAST(p2.day AS BIGINT) AS cp_day_neg
+        |FROM pick p1 JOIN pick p2 USING (event_type)
+        |WHERE p1.rp = 1 AND p2.rn = 1
+        |ORDER BY event_type""".stripMargin),
+    // MAD flags replayed: lower medians as rank-(n+1)//2 order
+    // statistics over the same grid, HUGEINT // for div parity.
+    "events_mad_anomalies" -> (EventDayGridCtes +
+      """,
+        |sized AS (
+        |  SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn
+        |  FROM grid),
+        |med AS (
+        |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN cnt END) AS med
+        |  FROM sized GROUP BY 1),
+        |dev AS (
+        |  SELECT g.event_type, g.day, g.cnt, m.med, abs(g.cnt - m.med) AS adev
+        |  FROM grid g JOIN med m USING (event_type)),
+        |sized2 AS (
+        |  SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+        |  FROM sized2 GROUP BY 1)
+        |SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+        |       CAST(d.cnt AS BIGINT) AS cnt, CAST(d.med AS BIGINT) AS med,
+        |       CAST(m.mad AS BIGINT) AS mad,
+        |       CAST(CAST(1000000 * d.adev AS HUGEINT) // greatest(m.mad, 1) AS BIGINT) AS score_micro
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE CAST(1000000 * d.adev AS HUGEINT) // greatest(m.mad, 1) >= 2000000
+        |ORDER BY d.event_type, d.day""".stripMargin),
+    // Seasonal profile replayed: dense 24-hour grid, integral share,
+    // max-count peak flag.
+    "events_seasonality" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |counts AS (
+        |  SELECT event_type, hr, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |hours AS (SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT) AS hr),
+        |types AS (SELECT DISTINCT event_type FROM base),
+        |grid AS (
+        |  SELECT t.event_type, h.hr, coalesce(c.cnt, 0) AS cnt
+        |  FROM types t CROSS JOIN hours h
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.hr = h.hr),
+        |agg AS (
+        |  SELECT *, sum(cnt) OVER (PARTITION BY event_type) AS tot,
+        |         max(cnt) OVER (PARTITION BY event_type) AS mx
+        |  FROM grid)
+        |SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(CASE WHEN tot > 0
+        |            THEN CAST(1000000 * cnt AS HUGEINT) // tot
+        |            ELSE 0 END AS BIGINT) AS share_micro,
+        |       cnt = mx AS is_peak
+        |FROM agg ORDER BY event_type, hr""".stripMargin,
     // Same explicit ranges via RE2's \x{hhhh} escapes; dominant CASE
     // replays the declared tie order.
     "text_script_mix" -> {
