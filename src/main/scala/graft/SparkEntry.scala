@@ -2084,6 +2084,22 @@ object SparkEntry {
       Evaluation.cohensKappa(rated, "source", "r1", "r2")
         .orderBy("source")
     }),
+    // Krippendorff's alpha: the variable-rater agreement coefficient
+    // kappa cannot be — three simulated annotators with md5-free
+    // arithmetic coverage gaps ((doc_id + j) % 4 = 0 skips), so units
+    // carry 2–3 ratings and some drop as unpairable; per-unit rational
+    // terms floored to the 1e-12 grid, one alpha division.
+    "eval_krippendorff" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val ratings = (0 to 2).map { j =>
+        docs.filter((col("doc_id") + lit(j)) % 4 =!= 0)
+          .select(col("doc_id").as("unit"),
+            when((col("doc_id") + lit(11 * j)) % 7 === 0,
+              (col("doc_id") + lit(1 + j)) % 3)
+              .otherwise(col("doc_id") % 3).as("rating"))
+      }.reduce(_ unionByName _)
+      Evaluation.krippendorffAlpha(ratings, "unit", "rating")
+    }),
     // Bradley–Terry strengths from a pairwise-preference log (the DPO
     // data-QC card): 8 items whose simulated win odds follow
     // strength ∝ item+1 — (doc_id + n_chars) % (a+b+2) <= a wins for
@@ -10531,6 +10547,47 @@ object SparkEntry {
         |         round(CAST(b.n * b.agree - pe.pe_num AS DOUBLE) /
         |               CAST(b.n * b.n - pe.pe_num AS DOUBLE), 6) END AS kappa
         |FROM base b JOIN pe USING (source) ORDER BY source""".stripMargin,
+    // The three simulated raters replayed, then the coincidence-matrix
+    // alpha: per-unit terms floored to the 1e-12 grid via HUGEINT //,
+    // one final division, 6-dp round — the exact Spark arithmetic.
+    "eval_krippendorff" ->
+      """WITH r AS (
+        |  SELECT doc_id AS unit,
+        |         CASE WHEN (doc_id + 0) % 7 = 0 THEN (doc_id + 1) % 3
+        |              ELSE doc_id % 3 END AS rating
+        |  FROM documents WHERE (doc_id + 0) % 4 != 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |         CASE WHEN (doc_id + 11) % 7 = 0 THEN (doc_id + 2) % 3
+        |              ELSE doc_id % 3 END
+        |  FROM documents WHERE (doc_id + 1) % 4 != 0
+        |  UNION ALL
+        |  SELECT doc_id,
+        |         CASE WHEN (doc_id + 22) % 7 = 0 THEN (doc_id + 3) % 3
+        |              ELSE doc_id % 3 END
+        |  FROM documents WHERE (doc_id + 2) % 4 != 0),
+        |uc AS (SELECT unit, rating AS c, CAST(count(*) AS BIGINT) AS m
+        |       FROM r GROUP BY 1, 2),
+        |pu AS (SELECT unit, CAST(sum(m) AS BIGINT) AS mu,
+        |              CAST(sum(m * (m - 1)) AS BIGINT) AS agree2
+        |       FROM uc GROUP BY 1 HAVING sum(m) >= 2),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |             CAST(sum(mu) AS BIGINT) AS n_ratings,
+        |             CAST(sum(CAST(1000000000000 * (mu * (mu - 1) - agree2)
+        |                  AS HUGEINT) // (mu - 1)) AS BIGINT) AS do_scaled
+        |      FROM pu),
+        |nc AS (SELECT c, CAST(sum(m) AS BIGINT) AS nc
+        |       FROM uc JOIN pu USING (unit) GROUP BY 1),
+        |de AS (SELECT CAST(CAST(sum(nc) AS HUGEINT) * sum(nc)
+        |              - sum(CAST(nc AS HUGEINT) * nc) AS BIGINT) AS de_pairs
+        |       FROM nc)
+        |SELECT s.n_units, s.n_ratings, s.do_scaled, de.de_pairs,
+        |       CASE WHEN de.de_pairs > 0 THEN
+        |         round(1.0 - (CAST(s.n_ratings - 1 AS DOUBLE)
+        |               * CAST(s.do_scaled AS DOUBLE))
+        |               / (1e12 * CAST(de.de_pairs AS DOUBLE)), 6)
+        |       END AS alpha
+        |FROM s, de""".stripMargin,
     // Three MM rounds unrolled as CTE stages; HUGEINT keeps the 1e12
     // products exact where the Spark side runs DECIMAL(38,0) div.
     "eval_bradley_terry" -> BradleyTerryOracle,

@@ -162,6 +162,71 @@ object Evaluation {
           .as("kappa"))
   }
 
+  /**
+   * Krippendorff's alpha (nominal data) over a (unit, value) ratings
+   * relation — the agreement coefficient [[cohensKappa]] cannot be:
+   * any number of raters per unit, missing ratings welcome (units
+   * with fewer than 2 ratings are unpairable and drop out, the
+   * standard treatment). Coincidence-matrix form:
+   *
+   *   α = 1 − (n−1) · Σ_u d_u/(m_u−1) / Σ_{c≠k} n_c·n_k
+   *
+   * with m_u ratings on unit u, d_u = m_u(m_u−1) − Σ_c m_uc(m_uc−1)
+   * its ordered disagreeing pairs, n = Σ m_u pairable ratings and n_c
+   * the category marginals over pairable units.
+   *
+   * Determinism: the only non-integer term is Σ_u d_u/(m_u−1) — a
+   * rational sum whose double accumulation would be partition-order
+   * dependent. Each unit's term is floored onto the 10⁻¹² grid
+   * instead ((10¹²·d_u) div (m_u−1), exact DECIMAL), summed exactly,
+   * and the single α division runs once on the totals, rounded 6 dp —
+   * identical in the SQL replay. α is NULL when expected disagreement
+   * is zero (every rating one category — Krippendorff leaves it
+   * undefined).
+   *
+   * Shape at 100 TB: one (unit, value) count aggregate (map-side
+   * combinable), one unit-level reduce, one |categories|-row marginal
+   * — the ratings relation never self-joins.
+   *
+   * Output: one row (n_units, n_ratings, do_scaled, de_pairs, alpha).
+   */
+  def krippendorffAlpha(
+      ratings: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    val uc = ratings
+      .filter(col(unitCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("__u"), col(valueCol).as("__c"))
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true)
+    val perUnit = uc.groupBy("__u")
+      .agg(sum("__m").as("__mu"),
+        sum(col("__m") * (col("__m") - 1)).as("__agree2"))
+      .filter(col("__mu") >= 2)
+    val s = perUnit
+      .select(col("__mu"),
+        expr("""(CAST(1000000000000 AS DECIMAL(38,0)) *
+               | (__mu * (__mu - 1) - __agree2)) div (__mu - 1)"""
+          .stripMargin.replace("\n", " ")).as("__term"))
+      .agg(count(lit(1)).as("n_units"), sum("__mu").as("n_ratings"),
+        sum(col("__term").cast("decimal(38,0)")).as("__S"))
+    val de = uc.join(perUnit.select("__u"), "__u")
+      .groupBy("__c").agg(sum("__m").as("__nc"))
+      .agg(sum(expr("CAST(__nc AS DECIMAL(38,0)) * __nc")).as("__snc2"),
+        sum("__nc").as("__n"))
+      .select((expr("CAST(__n AS DECIMAL(38,0)) * __n") - col("__snc2"))
+        .as("__de2"))
+    s.crossJoin(broadcast(de))
+      .select(col("n_units").cast("long").as("n_units"),
+        col("n_ratings").cast("long").as("n_ratings"),
+        col("__S").cast("long").as("do_scaled"),
+        col("__de2").cast("long").as("de_pairs"),
+        when(col("__de2") > 0,
+          round(lit(1.0) -
+            ((col("n_ratings") - 1).cast("double") *
+              col("__S").cast("double")) /
+              (lit(1.0e12) * col("__de2").cast("double")), 6))
+          .as("alpha"))
+  }
+
   /** Micro-integer scale for Bradley–Terry strengths. */
   val BtScale = 1000000L
   /** Fixed-point factor for the MM denominator terms (strengths are
