@@ -737,6 +737,15 @@ object SparkEntry {
       Dedup.minHashPairs(table(s, d, "documents"), "doc_id", "text",
         bands = 8, rowsPerBand = 4, threshold = 0.5, scale = Scale)
         .orderBy("a_id", "b_id")),
+    // Asymmetric shingle containment (Broder): |S(A)∩S(B)|/|S(A)| over
+    // informative (df-capped) shingles — the quote/subset detector
+    // Jaccard misses. Array-free: one hashed inverted-index self-join
+    // + pair-count aggregate. Oracle replays the identical contract
+    // (no fixture shingle is hotter than the cap, so the card equals
+    // the uncapped metric here; the cap semantics are spec-pinned).
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(table(s, d, "documents"), "doc_id", "text",
+        thresholdMicro = 800000L)),
     // LSH calibration card: per verified near-dup pair, the
     // probability the 8×4 MinHash S-curve detects it — 1-(1-s^r)^b
     // via fixed multiply chains on the micro-quantized exact Jaccard
@@ -10101,6 +10110,35 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.id < b.id)
         |WHERE jaccard >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // Containment replayed over the same shingle replay with the SAME
+    // informative-shingle contract (df-capped postings, both sides of
+    // the ratio); BIGINT integer division both directions.
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t != '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(t) = 0 THEN []
+        |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks),
+        |posts AS (SELECT id, unnest(s) AS sg FROM sh),
+        |rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 1024),
+        |inf AS (SELECT p.id, p.sg FROM posts p JOIN rare USING (sg)),
+        |nrel AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM inf GROUP BY 1),
+        |ov AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS overlap
+        |  FROM inf a JOIN inf b ON a.sg = b.sg AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT ov.a_id, ov.b_id, na.n AS n_a, nb.n AS n_b, ov.overlap,
+        |       CAST((1000000 * ov.overlap) // na.n AS BIGINT) AS cont_a_micro,
+        |       CAST((1000000 * ov.overlap) // nb.n AS BIGINT) AS cont_b_micro
+        |FROM ov JOIN nrel na ON na.id = ov.a_id
+        |        JOIN nrel nb ON nb.id = ov.b_id
+        |WHERE greatest((1000000 * ov.overlap) // na.n,
+        |               (1000000 * ov.overlap) // nb.n) >= 800000
+        |ORDER BY ov.a_id, ov.b_id""".stripMargin,
     // Transitive closure of the same blocked-Jaccard pair graph the
     // Spark side builds (threshold 0.3): component = min reachable id,
     // computed by a recursive reachability CTE; n_members counts the

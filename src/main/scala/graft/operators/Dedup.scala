@@ -117,6 +117,71 @@ object Dedup {
   }
 
   /**
+   * Shingle-containment pairs (Broder 1997's asymmetric resemblance
+   * companion): C(A→B) = |S(A) ∩ S(B)| / |S(A)| over token-3-gram
+   * shingle sets — the QUOTE/SUBSET detector Jaccard structurally
+   * misses (a 50-shingle doc fully quoted inside a 5000-shingle doc
+   * has J ≈ 0.01 but C(A→B) = 1). The training-data use is
+   * boilerplate/quotation mining: high-containment pairs are
+   * wrapper-page duplicates and embedded licenses, not topical
+   * neighbors.
+   *
+   * The metric runs over INFORMATIVE shingles only: a shingle in more
+   * than `maxDf` documents is a stop-shingle (boilerplate is exactly
+   * what a hot shingle is) and is excluded from both numerator and
+   * denominator — the TF-IDF stopword convention, stated in the
+   * contract rather than hidden in a candidate cap. That definition
+   * is what makes the card array-free and linear: one inverted index
+   * of the capped postings (64-bit xxhash64 keys on the shuffle, never
+   * shingle strings — a collision can only nudge a df count at 2⁻⁶⁴),
+   * one equality self-join whose volume is Σ_s df_s² with df ≤ maxDf
+   * BY CONSTRUCTION, one pair-count aggregate, and a broadcast join
+   * of the per-doc informative-shingle counts. No per-pair array
+   * intersection anywhere (the array formulation measured 10 s at
+   * sf0.1 against ~1 s for this shape — 300k candidate pairs each
+   * rebuilding a hash set of ~50 strings).
+   *
+   * Output: (a_id, b_id, n_a, n_b, overlap, cont_a_micro,
+   * cont_b_micro) ordered by (a_id, b_id); n_x = |informative
+   * shingles of x|, cont_x = 10⁶·overlap div n_x, exact integers.
+   */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      thresholdMicro: Long, maxDf: Int = 1024): DataFrame = {
+    require(thresholdMicro >= 1 && thresholdMicro <= 1000000L,
+      s"thresholdMicro must be in [1, 1e6], got $thresholdMicro")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    GraftFunctions.register(docs.sparkSession)
+    val posts = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(shingleSet(col(textCol))).as("__s0"))
+      .select(col("id"), xxhash64(col("__s0")).as("s"))
+    val rare = posts.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("s")
+    val informative = posts.join(rare, "s").localCheckpoint(true)
+    val nRel = informative.groupBy("id").agg(count(lit(1)).as("n"))
+    val ov = informative.select(col("s"), col("id").as("a_id"))
+      .join(informative.select(col("s"), col("id").as("b_id")), "s")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("overlap"))
+    // nRel is |docs|-sized — an id-equality join, NOT a broadcast
+    // hint: AQE broadcasts it when it is small and shuffles when a
+    // 100 TB corpus makes it large
+    ov
+      .join(nRel.select(col("id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(nRel.select(col("id").as("b_id"), col("n").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        col("overlap"),
+        expr("(1000000 * overlap) div n_a").as("cont_a_micro"),
+        expr("(1000000 * overlap) div n_b").as("cont_b_micro"))
+      .filter(greatest(col("cont_a_micro"), col("cont_b_micro"))
+        >= thresholdMicro)
+      .orderBy("a_id", "b_id")
+  }
+
+  /**
    * LSH parameter calibration card — "would our dedup knobs actually
    * catch the near-dups this corpus has?": for each VERIFIED near-dup
    * pair (exact Jaccard s), the probability the configured MinHash
