@@ -129,6 +129,24 @@ object SparkEntry {
       g.adj.persist().count()
       g
     })
+  /** NSW build-then-append graph per sf dir (the lifecycle row): base
+    * graph over vec_id < 400, the rest batch-appended — a one-time
+    * offline artifact like the IVF append store. */
+  private val nswAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, NswAnn.Graph]()
+  private def nswAppendGraph(s: SparkSession, d: String): NswAnn.Graph =
+    nswAppendCache.computeIfAbsent(d, dir => {
+      val emb = table(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 400)
+      val fresh = emb.filter(col("vec_id") >= 400)
+      val g0 = NswAnn.build(base, "vec_id", "embedding",
+        degree = 16, entries = 8)
+      val g1 = NswAnn.append(g0, base, fresh, "vec_id", "embedding",
+        degree = 16, entries = 8)
+      val pinned = g1.copy(adj = g1.adj.persist())
+      pinned.adj.count()
+      pinned
+    })
   /** NSW at-scale layout per sf dir: adjacency + store written as
     * id-bucketed catalog tables (BucketedStore), so the beam's per-hop
     * id-equality probes are bucket-pruned point lookups instead of
@@ -537,6 +555,15 @@ object SparkEntry {
         NswAnn.Graph(s.table(adjTbl), entries), queryVec(s, d), k = 10,
         beam = 64, maxIters = 12, scale = Scale)
     }),
+    // NSW lifecycle: base graph on vec_id < 400, the rest appended in
+    // one batch (bidirectional links to knn over the union, entries
+    // re-ranked) — search quality survives growth without a rebuild,
+    // so the same brute-force oracle applies (recall pinned in
+    // NswAnnSpec).
+    "ann_nsw_append" -> ((s, d) =>
+      NswAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
+        nswAppendGraph(s, d), queryVec(s, d), k = 10, beam = 64,
+        maxIters = 12, scale = Scale)),
     // PCA-projected ANN (the fourth index family): top-32 principal
     // axes, projected-cosine candidate scan over the mat_vec kernel and
     // the double-vector cosine kernel, exact re-rank of 128 candidates.
@@ -7901,6 +7928,17 @@ object SparkEntry {
     // NSW beam search at the shipped full-recall point returns exactly
     // the brute-force top-10 (grid in NswAnnSpec).
     "ann_nsw_topk" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /
+        |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(qv.q, qv.q))), 6) AS score
+        |FROM embeddings e, qv
+        |ORDER BY score DESC NULLS LAST, id
+        |LIMIT 10""".stripMargin,
+    // Append lifecycle keeps the shipped full-recall operating point
+    // (spec-pinned), so the oracle is again brute force.
+    "ann_nsw_append" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
         |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /

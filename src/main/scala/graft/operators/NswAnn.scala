@@ -86,6 +86,50 @@ object NswAnn {
   }
 
   /**
+   * Batch append — the graph index joins the IVF store's lifecycle
+   * (build/append; delete rides the caller's id filter): each new
+   * node links bidirectionally to its `degree` nearest neighbors
+   * among the UNION of the existing corpus and the batch (the
+   * standard incremental-NSW insertion, done in bulk: one banded-LSH
+   * knn-between for new→old and one knn-graph for new→new — never a
+   * rebuild of the old adjacency). Existing nodes keep their edges
+   * and may exceed `degree` as append batches accrue — degree
+   * tightening is a compaction concern, exactly like IVF's
+   * generational rewrite. Entry points are recomputed with [[build]]'s
+   * seeded md5 rank over the union, so append∘append is deterministic
+   * and a freshly built graph over the union has the same entries.
+   */
+  def append(
+      graph: Graph, existing: DataFrame, fresh: DataFrame,
+      idCol: String, vecCol: String,
+      degree: Int = 16, entries: Int = 8,
+      threshold: Double = 0.0, seed: Long = 42L,
+      maxBucket: Option[Int] = None): Graph = {
+    require(degree > 0, s"degree must be positive, got $degree")
+    require(entries > 0, s"entries must be positive, got $entries")
+    val all = existing.select(col(idCol), col(vecCol))
+      .unionByName(fresh.select(col(idCol), col(vecCol)))
+    val toOld = SimilarityJoin.knnBetween(fresh, existing, idCol, vecCol,
+      k = degree, threshold = threshold, seed = seed, maxBucket = maxBucket)
+      .select(col("query_id").as("id"), col("corpus_id").as("nbr_id"))
+    val toNew = SimilarityJoin.knnGraph(fresh, idCol, vecCol, k = degree,
+      threshold = threshold, seed = seed, maxBucket = maxBucket)
+      .select(col("id"), col("nbr_id"))
+    val newEdges = toOld.unionByName(toNew)
+    val sym = newEdges.unionByName(
+      newEdges.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+    val adj = graph.adj.unionByName(sym).distinct()
+    val entryIds = all
+      .select(col(idCol).as("id"),
+        md5(concat(lit("nsw:"), col(idCol).cast("string")).cast("binary"))
+          .as("__h"))
+      .orderBy(col("__h"), col("id"))
+      .limit(entries)
+      .collect().map(_.getLong(0)).toSeq
+    Graph(adj, entryIds)
+  }
+
+  /**
    * Top-k by exact cosine via beam search over the graph.
    * Output: (id, score) ordered by (score DESC, id), k rows — the same
    * contract as [[PcaAnn.topK]]. Deterministic: scores are

@@ -179,4 +179,30 @@ class NswAnnSpec extends SparkFunSuite {
     }
     assert(recalls === recalls.sorted, s"entry recalls $recalls not monotone")
   }
+
+  test("append lifecycle: appended graph keeps full recall; entries match a fresh build") {
+    val base = emb.where(col("vec_id") < 300)
+    val fresh = emb.where(col("vec_id") >= 300)
+    val g0 = NswAnn.build(base, "vec_id", "embedding", degree = 16, entries = 8)
+    val g1 = NswAnn.append(g0, base, fresh, "vec_id", "embedding",
+      degree = 16, entries = 8)
+    // queries from the base region AND the appended region
+    Seq(1, 3, 7, 42, 310, 450).foreach { qid =>
+      val q = qv(qid)
+      val got = NswAnn.topK(emb, "vec_id", "embedding", g1, q, 10, 64)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got.map(_.toString) === bruteIds(q, 10), s"query $qid")
+    }
+    // entry points are the same seeded rank a fresh build computes
+    val rebuilt = NswAnn.build(emb, "vec_id", "embedding",
+      degree = 16, entries = 8)
+    assert(g1.entryIds === rebuilt.entryIds)
+    // the old adjacency is preserved verbatim inside the appended graph
+    assert(g0.adj.exceptAll(g1.adj).isEmpty)
+    // every new node is connected
+    val connected = g1.adj.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val freshIds = fresh.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(freshIds.subsetOf(connected))
+  }
 }
