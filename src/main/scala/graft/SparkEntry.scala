@@ -3003,6 +3003,18 @@ object SparkEntry {
         table(s, d, "embeddings"), "vec_id", "embedding",
         table(s, d, "documents"), "doc_id", "source",
         kmeansModel(s, d))),
+    // Sinkhorn transport drift between two corpus slices over the
+    // same centroid grid — the geometry-aware severity JS lacks (mass
+    // moving one cluster over costs less than mass crossing the
+    // space). Rational Gibbs kernel + BigInt driver iterations on
+    // k-vector state; the marginal-violation honesty metric rides the
+    // row. Oracle unrolls the identical 10 rounds as HUGEINT CTEs.
+    "embedding_ot_drift" -> ((s, d) =>
+      OptimalTransport.sinkhornDrift(
+        table(s, d, "embeddings"), "vec_id", "embedding",
+        table(s, d, "documents")
+          .select(col("doc_id"), (col("doc_id") % 2 === 0).as("ga")),
+        "doc_id", "ga", kmeansModel(s, d))),
     // Okapi BM25 lexical retrieval top-10 for a 3-term query (one
     // corpus-rare term + two ubiquitous ones — the realistic shape:
     // the rare term's idf dominates). Per-term contributions rounded
@@ -7555,6 +7567,83 @@ object SparkEntry {
        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, cluster) = 1)""".stripMargin
   }
 
+  /** Sinkhorn OT oracle: the same smoothed µ-marginals, rational
+    * kernel and [[OptimalTransport.Iters]] scaling rounds unrolled as
+    * HUGEINT CTEs over the KMeansCtes centroid grid — every division
+    * a positive truncation, so the fixed sequence matches the BigInt
+    * driver iteration bit-for-bit. */
+  private val OtDriftOracle: String = {
+    val K = KMeansExact.K
+    val rounds = (1 to OptimalTransport.Iters).map { t =>
+      s"""u$t AS MATERIALIZED (
+         |  SELECT rr.i, (rr.rv * CAST(1000000000000 AS HUGEINT)) //
+         |         greatest(1, su.s // 1000000) AS u
+         |  FROM rmarg rr JOIN (
+         |    SELECT k.i, sum(k.kv * v.v) AS s
+         |    FROM ker k JOIN v${t - 1} v ON k.j = v.j GROUP BY k.i) su
+         |    ON su.i = rr.i),
+         |v$t AS MATERIALIZED (
+         |  SELECT cc.j, (cc.cv * CAST(1000000000000 AS HUGEINT)) //
+         |         greatest(1, sv.s // 1000000) AS v
+         |  FROM cmarg cc JOIN (
+         |    SELECT k.j, sum(k.kv * u.u) AS s
+         |    FROM ker k JOIN u$t u ON k.i = u.i GROUP BY k.j) sv
+         |    ON sv.j = cc.j)""".stripMargin
+    }.mkString(",\n")
+    s"""$KMeansCtes,
+       |lab AS MATERIALIZED (
+       |  SELECT a.cluster, (d.doc_id % 2 = 0) AS ga
+       |  FROM afin a JOIN documents d ON a.id = d.doc_id),
+       |clg AS (SELECT CAST(unnest(generate_series(0, ${K - 1})) AS BIGINT) AS cluster),
+       |mar AS MATERIALIZED (
+       |  SELECT cluster, sum(CASE WHEN ga THEN 1 ELSE 0 END) AS ca,
+       |         sum(CASE WHEN ga THEN 0 ELSE 1 END) AS cb
+       |  FROM lab GROUP BY 1),
+       |sm AS MATERIALIZED (
+       |  SELECT clg.cluster, CAST(coalesce(m.ca, 0) + 1 AS HUGEINT) AS av,
+       |         CAST(coalesce(m.cb, 0) + 1 AS HUGEINT) AS bv
+       |  FROM clg LEFT JOIN mar m USING (cluster)),
+       |tots AS (SELECT sum(av) AS sa, sum(bv) AS sb,
+       |                CAST(sum(av) - $K AS BIGINT) AS n_a,
+       |                CAST(sum(bv) - $K AS BIGINT) AS n_b FROM sm),
+       |rmarg AS MATERIALIZED (SELECT cluster AS i, (1000000 * av) // sa AS rv FROM sm, tots),
+       |cmarg AS MATERIALIZED (SELECT cluster AS j, (1000000 * bv) // sb AS cv FROM sm, tots),
+       |costg AS MATERIALIZED (
+       |  SELECT ci.cluster AS i, cj.cluster AS j,
+       |         CAST(sum((ci.v - cj.v) * (ci.v - cj.v)) AS HUGEINT) AS cost
+       |  FROM c${KMeansExact.Iters} ci JOIN c${KMeansExact.Iters} cj
+       |    ON ci.pos = cj.pos
+       |  GROUP BY 1, 2),
+       |cmx AS (SELECT max(cost) AS m FROM costg),
+       |cng AS MATERIALIZED (SELECT i, j,
+       |          CASE WHEN m > 0 THEN (CAST(1000000 AS HUGEINT) * cost) // m
+       |               ELSE CAST(0 AS HUGEINT) END AS cn
+       |        FROM costg, cmx),
+       |ker AS MATERIALIZED (SELECT i, j, cn,
+       |          CAST(1000000000000 AS HUGEINT) // (1000000 + 10 * cn) AS kv
+       |        FROM cng),
+       |v0 AS MATERIALIZED (SELECT cluster AS j, CAST(1000000 AS HUGEINT) AS v FROM clg),
+       |$rounds,
+       |pg AS MATERIALIZED (
+       |  SELECT k.i, k.j, u.u * k.kv * v.v AS p, k.cn
+       |  FROM ker k JOIN u${OptimalTransport.Iters} u ON k.i = u.i
+       |             JOIN v${OptimalTransport.Iters} v ON k.j = v.j),
+       |tpt AS (SELECT greatest(1, sum(p)) AS tp FROM pg),
+       |png AS MATERIALIZED (SELECT i, j, (CAST(1000000 AS HUGEINT) * p) // tp AS pn, cn
+       |        FROM pg, tpt),
+       |objv AS (SELECT CAST(sum(pn * cn) // 1000000 AS BIGINT) AS cost_micro
+       |         FROM png),
+       |rme AS (SELECT i, sum(pn) AS s FROM png GROUP BY 1),
+       |cme AS (SELECT j, sum(pn) AS s FROM png GROUP BY 1),
+       |errv AS (
+       |  SELECT CAST(greatest(
+       |    (SELECT max(abs(r.s - rr.rv)) FROM rme r JOIN rmarg rr ON r.i = rr.i),
+       |    (SELECT max(abs(c.s - cc.cv)) FROM cme c JOIN cmarg cc ON c.j = cc.j))
+       |    AS BIGINT) AS marg_err_micro)
+       |SELECT t.n_a, t.n_b, o.cost_micro, e.marg_err_micro
+       |FROM tots t, objv o, errv e""".stripMargin
+  }
+
   /** DBSCAN oracle scaffolding: quadratic pair relation over the 2-D
     * µ-quantized projection, cores, recursive min-label components
     * (`cl`) and border labels (`bl`). */
@@ -11627,6 +11716,7 @@ object SparkEntry {
        |       CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
        |         AS n_border
        |FROM allr GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "embedding_ot_drift" -> OtDriftOracle,
     "embedding_js_divergence" -> s"""$KMeansCtes,
        |jj AS (SELECT d.source, a.cluster
        |       FROM afin a JOIN documents d ON a.id = d.doc_id),
