@@ -337,4 +337,36 @@ class StatTestsPropertySpec extends SparkFunSuite {
       .orderBy("__v").collect().map(_.getLong(2)).toSeq
     assert(cum == Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("property: robustMean ≡ direct trimmed/winsorized reference") {
+    val genVals = for {
+      n <- Gen.chooseNum(1, 60)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-5000L, 5000L))
+    } yield xs
+    val prop = Prop.forAll(genVals) { xs =>
+      val n = xs.size.toLong
+      val lo = n * 5 / 100
+      val sorted = xs.sorted
+      val pLo = sorted(lo.toInt)                 // q(lo+1)
+      val pHi = sorted((n - lo).toInt - 1)       // q(n-lo)
+      val mean = BigInt(1000000) * BigInt(xs.sum) / n
+      val kept = sorted.slice(lo.toInt, (n - lo).toInt)
+      val trimmed =
+        if (kept.nonEmpty) BigInt(1000000) * BigInt(kept.sum) / kept.size
+        else BigInt(0)
+      val wins = BigInt(1000000) *
+        BigInt(sorted.map(v => math.min(math.max(v, pLo), pHi)).sum) / n
+      val got = StatTests.robustMean(
+        xs.zipWithIndex.map(_.swap).toDF("i", "v").repartition(3),
+        "v", trimPct = 5, bucketWidth = 7L).collect().head
+      got.getLong(0) == n && got.getLong(1) == lo &&
+        got.getLong(2) == pLo && got.getLong(3) == pHi &&
+        got.getLong(4) == mean.toLong &&
+        got.getLong(5) == trimmed.toLong &&
+        got.getLong(6) == wins.toLong
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
