@@ -74,15 +74,24 @@ object EventSeries {
     val tot = grid.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum("cnt").as("total"))
       .select(col("event_type"), col("n_days"), col("total"),
-        expr("(1000000 * total) div n_days").as("mean_micro"))
+        // through DECIMAL: 10⁶·total wraps a LongType once a type
+        // passes ~9·10¹² events in the span — silent at ANSI-off
+        expr("(1000000 * CAST(total AS DECIMAL(38,0))) div n_days")
+          .as("mean_micro"))
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zero = lit(0).cast("decimal(38,0)")
     val scored = grid
       .join(broadcast(tot), "event_type")
-      .withColumn("__dev", lit(1000000L) * col("cnt") - col("mean_micro"))
+      // deviations and prefixes accumulate in DECIMAL(38,0): the
+      // prefix sum of µ-scaled counts exceeds 2⁶³ long before the
+      // counts themselves do
+      .withColumn("__dev",
+        (lit(1000000L) * col("cnt").cast("decimal(38,0)"))
+          - col("mean_micro"))
       .withColumn("__p", sum("__dev").over(w))
-      .withColumn("__sp", col("__p") - least(lit(0L), min("__p").over(w)))
-      .withColumn("__sn", greatest(lit(0L), max("__p").over(w)) - col("__p"))
+      .withColumn("__sp", col("__p") - least(zero, min("__p").over(w)))
+      .withColumn("__sn", greatest(zero, max("__p").over(w)) - col("__p"))
     scored.groupBy(col("event_type"), col("n_days"), col("total"),
         col("mean_micro"))
       .agg(
@@ -91,9 +100,9 @@ object EventSeries {
         max(struct(col("__sn"), (-col("day")).as("__nd"))).as("__mn"))
       .select(col("event_type"), col("n_days"), col("total"),
         col("mean_micro"),
-        col("__mp.__sp").as("cusum_pos_micro"),
+        col("__mp.__sp").cast("long").as("cusum_pos_micro"),
         (-col("__mp.__nd")).as("cp_day_pos"),
-        col("__mn.__sn").as("cusum_neg_micro"),
+        col("__mn.__sn").cast("long").as("cusum_neg_micro"),
         (-col("__mn.__nd")).as("cp_day_neg"))
       .orderBy("event_type")
   }
@@ -136,7 +145,7 @@ object EventSeries {
     val withMad = lowerMedian(withMed, "__adev", "mad")
     withMad
       .withColumn("score_micro",
-        expr("(1000000 * __adev) div greatest(mad, 1)"))
+        expr("(1000000 * CAST(__adev AS DECIMAL(38,0))) div greatest(mad, 1)"))
       .filter(col("score_micro") >= lit(k.toLong) * 1000000L)
       .select(col("event_type"), col("day"), col("cnt"), col("med"),
         col("mad"), col("score_micro"))
@@ -179,7 +188,8 @@ object EventSeries {
       .withColumn("__tot", sum("cnt").over(w))
       .withColumn("__mx", max("cnt").over(w))
       .select(col("event_type"), col("hr"), col("cnt"),
-        expr("CASE WHEN __tot > 0 THEN (1000000 * cnt) div __tot " +
+        expr("CASE WHEN __tot > 0 " +
+          "THEN (1000000 * CAST(cnt AS DECIMAL(38,0))) div __tot " +
           "ELSE 0 END").as("share_micro"),
         (col("cnt") === col("__mx")).as("is_peak"))
       .orderBy("event_type", "hr")
