@@ -3689,6 +3689,18 @@ object SparkEntry {
       graft.streaming.EventPipeline.streamedWindowedUpdateParity(
         s, table(s, d, "events"))
         .orderBy("window_start", "event_type")),
+    // ELEVENTH streaming mode — WARM-START initial state
+    // (StatefulProcessorWithInitialState): a batch backfill aggregate
+    // seeds transformWithState's per-key state, only the other half
+    // of the corpus streams (RocksDB, Update output, multi-batch),
+    // and the final totals must equal the batch aggregate over the
+    // WHOLE corpus — the backfill→tail handoff with nothing lost or
+    // double-counted. Order-free parity: n_events is strictly
+    // increasing per key emission.
+    "events_warmstart_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.streamedWarmStartParity(
+        s, table(s, d, "events"))
+        .orderBy("user_id")),
     // Frequent 3-step behavior paths — the sequence-mining card one
     // level up from the Markov transition matrix; contiguous trigrams
     // keep it one user-partitioned window pass.
@@ -14237,6 +14249,16 @@ object SparkEntry {
         |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |       event_type, count(*) AS n_events
         |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // Warm-start handoff replayed: the final totals are simply the
+    // batch aggregate over ALL events, whatever split streamed.
+    "events_warmstart_streamed" ->
+      """SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_cents
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // Trigram paths replayed: two leads over the same user window.
     "events_paths3" ->
       """WITH ev AS (

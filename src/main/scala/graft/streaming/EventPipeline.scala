@@ -1609,6 +1609,112 @@ object EventPipeline {
     * watermark passes the window end. */
   val WindowedOutputMode: OutputMode = OutputMode.Append()
 
+  final case class TotalsState(n_events: Long, total_cents: Long)
+  final case class UserTotalCents(
+      user_id: Long, n_events: Long, total_cents: Long)
+
+  /**
+   * Warm-started running totals — `StatefulProcessorWithInitialState`,
+   * the backfill→tail handoff this file's header promises: a BATCH
+   * aggregate over the lake becomes the stream's initial state, and
+   * the stream continues counting from there instead of replaying
+   * history. One `handleInitialState` call per key seeds the
+   * `ValueState`; each micro-batch then folds its rows in exact
+   * integer cents and emits the updated total (Update-mode delta
+   * shape). TimeMode.None: totals are time-free, no watermark or
+   * timers.
+   */
+  def userTotalsWarmStart(
+      stream: DataFrame, initial: DataFrame): Dataset[UserTotalCents] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val init = initial
+      .select(col("user_id").cast("long").as("user_id"),
+        col("n_events").cast("long").as("n_events"),
+        col("total_cents").cast("long").as("total_cents"))
+      .as[UserTotalCents]
+      .groupByKey(_.user_id)
+    stream
+      .select(col("user_id").cast("long"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new WarmStartTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        init)
+  }
+
+  /**
+   * ELEVENTH end-to-end streaming mode — WARM-START initial state:
+   * the first half of the corpus (event_id % 2 = 0) is aggregated as
+   * a BATCH (the backfill), handed to `transformWithState` as initial
+   * state, and only the second half streams (file source, one file
+   * per trigger → several real micro-batches, RocksDB provider,
+   * Update output to a memory sink). The final answer must equal the
+   * batch aggregate over the WHOLE corpus — the handoff loses
+   * nothing, double-counts nothing.
+   *
+   * Parity is ORDER-FREE: each emission of a key strictly increases
+   * its n_events, so the key's final state is its max-n_events
+   * emission regardless of micro-batch slicing; warm-started keys
+   * that never stream simply keep their seeded totals (re-emitted by
+   * the final union with the backfill relation — initial state emits
+   * nothing by itself, exactly like a resumed query).
+   */
+  def streamedWarmStartParity(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val backfill = events.filter(col("event_id") % 2 === 0)
+      val tail = events.filter(col("event_id") % 2 =!= 0)
+      val initial = backfill
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_warm_src").toString
+      tail.repartition(5).write.mode("overwrite").parquet(srcDir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_warm_ckpt").toString
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1") // several real micro-batches
+        .parquet(srcDir)
+      val name = s"graft_warm_${System.nanoTime()}"
+      val q = userTotalsWarmStart(stream, initial)
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // final state per streamed key = its max-n emission; keys that
+      // never streamed keep their backfill totals
+      val streamedFinal = spark.table(name)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_cents"))).as("__m"))
+        .select(col("user_id"), col("__m.n_events").as("n_events"),
+          col("__m.total_cents").as("total_cents"))
+      val seededOnly = initial.join(streamedFinal.select("user_id"),
+        Seq("user_id"), "left_anti")
+      streamedFinal.unionByName(seededOnly)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /**
    * The SAME gap sessionization on `transformWithState` — Spark 4's
    * arbitrary-state API (SPARK-45939): typed `ValueState` + explicit
@@ -1755,5 +1861,43 @@ class GapSessionProcessor(gapSeconds: Long)
     val o = open.get()
     open.clear()
     Iterator.single(emit(o))
+  }
+}
+
+/**
+ * `StatefulProcessorWithInitialState` for warm-started user totals:
+ * `handleInitialState` seeds one `ValueState[TotalsState]` per key
+ * from the batch backfill; `handleInputRows` folds each micro-batch's
+ * rows in exact integer cents and emits the updated running total.
+ */
+class WarmStartTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, (Long, Long), EventPipeline.UserTotalCents,
+      EventPipeline.UserTotalCents] {
+  import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var totals: ValueState[EventPipeline.TotalsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[EventPipeline.TotalsState]("totals",
+      org.apache.spark.sql.Encoders.product[EventPipeline.TotalsState],
+      TTLConfig.NONE)
+
+  override def handleInitialState(
+      user: Long, s: EventPipeline.UserTotalCents,
+      timerValues: TimerValues): Unit =
+    totals.update(EventPipeline.TotalsState(s.n_events, s.total_cents))
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[EventPipeline.UserTotalCents] = {
+    val prev =
+      if (totals.exists()) totals.get()
+      else EventPipeline.TotalsState(0L, 0L)
+    var n = prev.n_events
+    var c = prev.total_cents
+    rows.foreach { r => n += 1; c += r._2 }
+    totals.update(EventPipeline.TotalsState(n, c))
+    Iterator.single(EventPipeline.UserTotalCents(user, n, c))
   }
 }
