@@ -3369,6 +3369,15 @@ object SparkEntry {
     // path; production thresholds target only keys hotter than an
     // executor (the bench delta vs the plain join is the price of the
     // detection pass + replication, paid only when skew warrants it).
+    // Benford first-digit screen on order totals (exact cents grid):
+    // the fabricated-numbers triage — string-first-char digit
+    // extraction (no log10 boundary ulps), integral micro shares vs
+    // the 6-dp public Benford constants.
+    "orders_benford" -> ((s, d) =>
+      StatTests.benfordCard(
+        table(s, d, "orders").select(
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "cents")),
     "orders_salted_join" -> ((s, d) => {
       val li = table(s, d, "lineitem")
       val ord = table(s, d, "orders")
@@ -12431,6 +12440,34 @@ object SparkEntry {
         |    GROUP BY p.p_brand, p.p_partkey, p.p_name))
         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
     // The salted join must produce EXACTLY the plain inner join.
+    // First digit replayed as the first character of the exact cents
+    // integer; shares as integral micro divisions over the 9-digit
+    // grid; the same 6-dp Benford constants.
+    "orders_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND round(o_totalprice * 100) > 0),
+        |dg AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM c),
+        |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+        |ex AS (SELECT * FROM (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |  t(digit, benford_micro)),
+        |tot AS (SELECT sum(n) AS t FROM cnt)
+        |SELECT CAST(ex.digit AS BIGINT) AS digit,
+        |       coalesce(cnt.n, 0) AS n,
+        |       CAST(CASE WHEN tot.t > 0
+        |            THEN (1000000 * coalesce(cnt.n, 0)) // tot.t
+        |            ELSE 0 END AS BIGINT) AS share_micro,
+        |       CAST(ex.benford_micro AS BIGINT) AS benford_micro,
+        |       CAST(abs(CASE WHEN tot.t > 0
+        |            THEN (1000000 * coalesce(cnt.n, 0)) // tot.t
+        |            ELSE 0 END - ex.benford_micro) AS BIGINT) AS dev_micro
+        |FROM ex LEFT JOIN cnt ON ex.digit = cnt.digit, tot
+        |ORDER BY digit""".stripMargin,
     "orders_salted_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_lines,
         |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev

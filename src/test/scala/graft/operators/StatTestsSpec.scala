@@ -198,4 +198,36 @@ class StatTestsSpec extends SparkFunSuite {
     }
     assert(ex.getMessage.contains("blocks exceed"))
   }
+
+  test("benfordCard: hand-counted digits, exclusions, exact shares") {
+    val spark0 = spark
+    import spark0.implicits._
+    // digits: 1 (from 1, 10, 199), 9 (from 9), 2 (from 25);
+    // 0, negatives and NULL are excluded
+    val vals = Seq(Some(1L), Some(10L), Some(199L), Some(9L), Some(25L),
+      Some(0L), Some(-7L), None)
+    val got = StatTests.benfordCard(vals.toDF("v"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === (1L to 9L).toSet)
+    assert(got(1L)._1 === 3L)
+    assert(got(1L)._2 === 600000L)                 // 3/5
+    assert(got(1L)._4 === (600000L - 301030L))     // |share - benford|
+    assert(got(2L)._1 === 1L && got(2L)._2 === 200000L)
+    assert(got(9L)._1 === 1L)
+    assert(got(3L)._1 === 0L && got(3L)._2 === 0L)
+    assert(got(3L)._4 === 124939L)                 // empty digit: dev = benford
+  }
+
+  test("benfordCard: a geometric (Benford-ideal) series lands near the law") {
+    val spark0 = spark
+    import spark0.implicits._
+    // powers of 2 are the textbook Benford sequence
+    val vals = (0 until 200).map(i => BigInt(2).pow(i) % BigInt(10).pow(15))
+      .zipWithIndex.map { case (b, i) => BigInt(2).pow(i).toString.take(15).toLong }
+    val got = StatTests.benfordCard(vals.toDF("v"), "v").collect()
+    got.foreach { r =>
+      assert(r.getLong(4) < 40000L, s"digit ${r.getLong(0)} dev ${r.getLong(4)}")
+    }
+  }
 }
