@@ -564,6 +564,19 @@ object SparkEntry {
       NswAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
         nswAppendGraph(s, d), queryVec(s, d), k = 10, beam = 64,
         maxIters = 12, scale = Scale)),
+    // NSW delete: ids ≡ 3 (mod 7) are tombstoned — still ROUTABLE
+    // (severing a hub pre-compaction costs recall) but never emitted;
+    // the bounded tombstone id set rides the driver like IVF's.
+    // Oracle = brute force over the LIVE rows; compaction parity
+    // (tombstones ≡ reconnected graph) is pinned in NswAnnSpec.
+    "ann_nsw_delete" -> ((s, d) => {
+      val dead = table(s, d, "embeddings")
+        .filter(col("vec_id") % 7 === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      NswAnn.topK(table(s, d, "embeddings"), "vec_id", "embedding",
+        nswGraph(s, d), queryVec(s, d), k = 10, beam = 64,
+        maxIters = 12, scale = Scale, tombstones = dead)
+    }),
     // PCA-projected ANN (the fourth index family): top-32 principal
     // axes, projected-cosine candidate scan over the mat_vec kernel and
     // the double-vector cosine kernel, exact re-rank of 128 candidates.
@@ -8044,6 +8057,18 @@ object SparkEntry {
         |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
         |              sqrt(list_inner_product(qv.q, qv.q))), 6) AS score
         |FROM embeddings e, qv
+        |ORDER BY score DESC NULLS LAST, id
+        |LIMIT 10""".stripMargin,
+    // Tombstoned ids are routable but never emitted: brute force over
+    // the live rows only.
+    "ann_nsw_delete" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.q) /
+        |             (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |              sqrt(list_inner_product(qv.q, qv.q))), 6) AS score
+        |FROM embeddings e, qv
+        |WHERE e.vec_id % 7 <> 3
         |ORDER BY score DESC NULLS LAST, id
         |LIMIT 10""".stripMargin,
     // Append lifecycle keeps the shipped full-recall operating point

@@ -130,15 +130,65 @@ object NswAnn {
   }
 
   /**
+   * Tombstone delete + neighbor-reconnecting compaction — the rest of
+   * the lifecycle ([[append]]'s scaladoc promise): a deleted node
+   * stays ROUTABLE until compaction (the standard graph-index delete:
+   * dropping a hub immediately would sever the paths through it) but
+   * never appears in results ([[topK]]'s `tombstones`); compaction
+   * then removes its edges and RECONNECTS its live neighbors pairwise
+   * (the classic repair — per deleted node a ≤ degree² live-neighbor
+   * clique, a bounded relation), and entry points re-rank over the
+   * live ids with [[build]]'s seeded rule. `NswAnnSpec` pins
+   * search-after-compaction ≡ tombstone search at the shipped point.
+   */
+  def compact(
+      live: DataFrame, idCol: String, graph: Graph,
+      deleted: DataFrame, delIdCol: String,
+      entries: Int = 8): Graph = {
+    require(entries > 0, s"entries must be positive, got $entries")
+    val del = deleted.select(col(delIdCol).as("__del")).distinct()
+    val liveEdges = graph.adj
+      .join(del, col("id") === col("__del"), "left_anti")
+      .join(del.withColumnRenamed("__del", "__del2"),
+        col("nbr_id") === col("__del2"), "left_anti")
+    val delNbrs = graph.adj
+      .join(del, col("id") === col("__del"))
+      .select(col("id").as("__d"), col("nbr_id"))
+      .join(del.withColumnRenamed("__del", "__del2"),
+        col("nbr_id") === col("__del2"), "left_anti")
+    val repair = delNbrs.select(col("__d"), col("nbr_id").as("id"))
+      .join(delNbrs.select(col("__d"), col("nbr_id")), "__d")
+      .filter(col("id") =!= col("nbr_id"))
+      .select("id", "nbr_id")
+    val adj = liveEdges.select("id", "nbr_id")
+      .unionByName(repair)
+      .distinct()
+    val entryIds = live
+      .select(col(idCol).as("id"),
+        md5(concat(lit("nsw:"), col(idCol).cast("string")).cast("binary"))
+          .as("__h"))
+      .orderBy(col("__h"), col("id"))
+      .limit(entries)
+      .collect().map(_.getLong(0)).toSeq
+    Graph(adj, entryIds)
+  }
+
+  /**
    * Top-k by exact cosine via beam search over the graph.
    * Output: (id, score) ordered by (score DESC, id), k rows — the same
    * contract as [[PcaAnn.topK]]. Deterministic: scores are
    * `scale`-rounded before ranking and every tie breaks on id.
+   *
+   * `tombstones`: deleted ids stay in the beam for ROUTING (severing
+   * paths through a deleted hub before compaction would cost recall)
+   * but are excluded from the emitted top-k; the beam must carry
+   * enough margin over k to absorb tombstoned slots (the shipped
+   * beam = 64 vs k = 10 does, spec-pinned).
    */
   def topK(
       emb: DataFrame, idCol: String, vecCol: String, graph: Graph,
       query: Array[Float], k: Int, beam: Int, maxIters: Int = 12,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6, tombstones: Set[Long] = Set.empty): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(beam >= k, s"beam ($beam) must be >= k ($k)")
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
@@ -153,14 +203,15 @@ object NswAnn {
     val AutoBucket = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAutoBucket = spark.conf.get(AutoBucket, "true")
     spark.conf.set(AutoBucket, "false")
-    try topKImpl(emb, idCol, vecCol, graph, query, k, beam, maxIters, scale)
+    try topKImpl(emb, idCol, vecCol, graph, query, k, beam, maxIters,
+      scale, tombstones)
     finally spark.conf.set(AutoBucket, prevAutoBucket)
   }
 
   private def topKImpl(
       emb: DataFrame, idCol: String, vecCol: String, graph: Graph,
       query: Array[Float], k: Int, beam: Int, maxIters: Int,
-      scale: Int): DataFrame = {
+      scale: Int, tombstones: Set[Long]): DataFrame = {
     val spark = emb.sparkSession
     val qv = typedLit(query.toSeq)
     // one pruned fetch: exact rounded cosine for a bounded id set
@@ -199,6 +250,6 @@ object NswAnn {
       iter += 1
     }
     import spark.implicits._
-    best.take(k).toDF("id", "score")
+    best.filterNot(t => tombstones(t._1)).take(k).toDF("id", "score")
   }
 }

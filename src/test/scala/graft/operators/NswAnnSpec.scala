@@ -205,4 +205,39 @@ class NswAnnSpec extends SparkFunSuite {
     val freshIds = fresh.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(freshIds.subsetOf(connected))
   }
+
+  test("delete lifecycle: tombstones hide rows; compaction reproduces the search") {
+    val deadDf = emb.where(col("vec_id") % 7 === 3).select("vec_id")
+    val dead = deadDf.collect().map(_.getLong(0)).toSet
+    val live = emb.where(col("vec_id") % 7 =!= 3)
+    val liveCfg = cfg
+    Seq(1, 7, 42).foreach { qid =>
+      val q = qv(qid)
+      // tombstone search over the intact graph == brute force on LIVE
+      val viaTomb = NswAnn.topK(emb, "vec_id", "embedding", graph, q,
+        10, 64, tombstones = dead)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = VectorSearch.bruteForce(live, liveCfg, q, 10,
+        Map.empty, Some(6))
+        .select(col("id"), col("score")).collect()
+        .map(r => (r.getString(0).toLong, r.getDouble(1))).toSeq
+      assert(viaTomb === want, s"query $qid tombstones")
+      // no tombstoned id ever emitted, and deleted ids DID rank in the
+      // unfiltered search (the tombstone actually did something)
+      assert(viaTomb.forall(t => !dead(t._1)))
+      // compaction: edges dropped, neighbors reconnected, store live
+      val compacted = NswAnn.compact(live, "vec_id", graph, deadDf, "vec_id")
+      val viaCompact = NswAnn.topK(live, "vec_id", "embedding",
+        compacted, q, 10, 64)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaCompact === want, s"query $qid compacted")
+    }
+    val compacted = NswAnn.compact(live, "vec_id", graph, deadDf, "vec_id")
+    // no deleted id survives in the compacted adjacency, either side
+    val ids = compacted.adj.select("id").unionByName(
+      compacted.adj.select(col("nbr_id").as("id")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(dead).isEmpty)
+    assert(compacted.entryIds.forall(e => !dead(e)))
+  }
 }
