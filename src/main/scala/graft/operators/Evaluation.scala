@@ -189,6 +189,13 @@ object Evaluation {
    * — the ratings relation never self-joins.
    *
    * Output: one row (n_units, n_ratings, do_scaled, de_pairs, alpha).
+   * Reporting bound: α itself is computed from the exact DECIMALs,
+   * but the `do_scaled`/`de_pairs` REPORT columns are BIGINT —
+   * do_scaled saturates its 10¹² grid past ~9·10⁶ fully-disagreeing
+   * pairable ratings and de_pairs past ~3·10⁹ ratings; beyond that
+   * read α and drop the diagnostics (or re-grid), the same documented
+   * report-column bound as the χ²→log-odds switch in
+   * [[NaiveBayes]]-adjacent cards.
    */
   def krippendorffAlpha(
       ratings: DataFrame, unitCol: String, valueCol: String): DataFrame = {

@@ -64,7 +64,10 @@ object EventSeries {
    *
    * Output: one row per type (event_type, n_days, total, mean_micro,
    * cusum_pos_micro, cp_day_pos, cusum_neg_micro, cp_day_neg),
-   * ordered by event_type.
+   * ordered by event_type. The accumulation is exact DECIMAL; the
+   * µ-scaled REPORT columns are BIGINT and share mean_micro's
+   * documented ~9·10¹²-events-per-span bound — past it, re-grid the
+   * micro scale (the peak is ≤ 10⁶·total by construction).
    */
   def cusumChangepoint(
       events: DataFrame, tsCol: String = "ts",

@@ -118,7 +118,11 @@ object NswAnn {
     val newEdges = toOld.unionByName(toNew)
     val sym = newEdges.unionByName(
       newEdges.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
-    val adj = graph.adj.unionByName(sym).distinct()
+    // distinct over the NEW edges only: every sym edge touches at
+    // least one new node, so it cannot duplicate an old-adjacency row
+    // — deduplicating the union would re-shuffle the whole old graph
+    // on every append batch, exactly the rebuild this method avoids
+    val adj = graph.adj.unionByName(sym.distinct())
     val entryIds = all
       .select(col(idCol).as("id"),
         md5(concat(lit("nsw:"), col(idCol).cast("string")).cast("binary"))
@@ -135,11 +139,14 @@ object NswAnn {
    * stays ROUTABLE until compaction (the standard graph-index delete:
    * dropping a hub immediately would sever the paths through it) but
    * never appears in results ([[topK]]'s `tombstones`); compaction
-   * then removes its edges and RECONNECTS its live neighbors pairwise
-   * (the classic repair — per deleted node a ≤ degree² live-neighbor
-   * clique, a bounded relation), and entry points re-rank over the
-   * live ids with [[build]]'s seeded rule. `NswAnnSpec` pins
-   * search-after-compaction ≡ tombstone search at the shipped point.
+   * then removes its edges and RECONNECTS each deleted COMPONENT's
+   * live boundary pairwise (per-component, not per-node: adjacent
+   * deletions would otherwise sever the paths running through the
+   * deleted region — a component's clique is bounded by its live
+   * boundary squared), and entry points re-rank over the live ids
+   * with [[build]]'s seeded rule. `NswAnnSpec` pins
+   * search-after-compaction ≡ tombstone search at the shipped point
+   * AND on a constructed live–d1–d2–live bridge.
    */
   def compact(
       live: DataFrame, idCol: String, graph: Graph,
@@ -151,13 +158,30 @@ object NswAnn {
       .join(del, col("id") === col("__del"), "left_anti")
       .join(del.withColumnRenamed("__del", "__del2"),
         col("nbr_id") === col("__del2"), "left_anti")
-    val delNbrs = graph.adj
-      .join(del, col("id") === col("__del"))
-      .select(col("id").as("__d"), col("nbr_id"))
+    // Repair by deleted COMPONENT, not deleted node: two adjacent
+    // deleted nodes would otherwise lose the path THROUGH them (each
+    // per-node clique only spans that node's own live boundary, so a
+    // live-d1-d2-live bridge fragments). Label the deleted-deleted
+    // subgraph with connected components, gather each component's
+    // LIVE boundary, and clique that — every path that entered a
+    // deleted region and left it anywhere survives as one hop.
+    val delAdj = graph.adj.join(del, col("id") === col("__del"))
+      .select(col("id"), col("nbr_id"))
+    val delDelEdges = delAdj
+      .join(del.withColumnRenamed("__del", "__del2"),
+        col("nbr_id") === col("__del2"))
+      .select(col("id").as("src"), col("nbr_id").as("dst"))
+    val comps = ConnectedComponents.components(delDelEdges, "src", "dst")
+    val boundary = delAdj
       .join(del.withColumnRenamed("__del", "__del2"),
         col("nbr_id") === col("__del2"), "left_anti")
-    val repair = delNbrs.select(col("__d"), col("nbr_id").as("id"))
-      .join(delNbrs.select(col("__d"), col("nbr_id")), "__d")
+      .join(comps.withColumnRenamed("id", "__cid"),
+        col("id") === col("__cid"), "left")
+      .select(coalesce(col("component"), col("id")).as("__grp"),
+        col("nbr_id"))
+      .distinct()
+    val repair = boundary.select(col("__grp"), col("nbr_id").as("id"))
+      .join(boundary.select(col("__grp"), col("nbr_id")), "__grp")
       .filter(col("id") =!= col("nbr_id"))
       .select("id", "nbr_id")
     val adj = liveEdges.select("id", "nbr_id")
@@ -199,7 +223,11 @@ object NswAnn {
     // auto-DISABLES bucketed scans for plans with no join/aggregate on
     // the bucket key (DisableUnnecessaryBucketedScan), which throws
     // away exactly the point-lookup pruning this search depends on.
-    // Pin it off for the search's own probes, restore after.
+    // Pin it off for the search's own probes, restore after. The
+    // set/restore is session-scoped: this engine plans queries
+    // sequentially on a session (driver rows, Verify, Bench, suites);
+    // a multi-tenant session would need a dedicated session clone
+    // (`spark.newSession()`) around the search instead.
     val AutoBucket = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAutoBucket = spark.conf.get(AutoBucket, "true")
     spark.conf.set(AutoBucket, "false")

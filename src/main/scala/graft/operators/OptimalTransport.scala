@@ -56,8 +56,13 @@ object OptimalTransport {
     require(k >= 2, s"model must have >= 2 clusters, got $k")
     val asg = KMeansExact.assign(vecs, idCol, vecCol, model)
       .select(col(idCol), col("cluster"))
+    // slice membership is the caller's label relation: vectors with
+    // no label row are in NEITHER slice (inner join — n_a + n_b says
+    // how much of the corpus the card covers), and a NULL flag is
+    // excluded rather than silently bucketed into slice B
     val counts = asg
-      .join(labels.select(col(labelIdCol), col(flagCol).as("__ga")),
+      .join(labels.filter(col(flagCol).isNotNull)
+        .select(col(labelIdCol), col(flagCol).as("__ga")),
         col(idCol) === col(labelIdCol))
       .groupBy("cluster")
       .agg(sum(when(col("__ga"), 1L).otherwise(0L)).as("ca"),

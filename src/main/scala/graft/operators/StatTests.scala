@@ -504,9 +504,14 @@ object StatTests {
    * d = 1..9, ordered by digit.
    */
   def benfordCard(df: DataFrame, valueCol: String): DataFrame = {
+    // filter on the CAST integer, not the raw value: a fractional
+    // value in (0, 1) would pass a raw > 0 check, truncate to digit
+    // 0, silently fall off the 1–9 grid and still inflate the share
+    // denominator — the digit and the filter must see the same number
     val counts = df
-      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
-      .select(substring(col(valueCol).cast("long").cast("string"), 1, 1)
+      .select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val spark = df.sparkSession

@@ -222,9 +222,13 @@ class NswAnnSpec extends SparkFunSuite {
         .select(col("id"), col("score")).collect()
         .map(r => (r.getString(0).toLong, r.getDouble(1))).toSeq
       assert(viaTomb === want, s"query $qid tombstones")
-      // no tombstoned id ever emitted, and deleted ids DID rank in the
-      // unfiltered search (the tombstone actually did something)
+      // no tombstoned id ever emitted, AND the tombstone actually did
+      // something: the unfiltered search must rank >= 1 deleted id
       assert(viaTomb.forall(t => !dead(t._1)))
+      val unfiltered = NswAnn.topK(emb, "vec_id", "embedding", graph, q,
+        10, 64).collect().map(_.getLong(0)).toSeq
+      assert(unfiltered.exists(dead), s"query $qid: no dead id in " +
+        s"unfiltered top-10 - the fixture does not exercise the filter")
       // compaction: edges dropped, neighbors reconnected, store live
       val compacted = NswAnn.compact(live, "vec_id", graph, deadDf, "vec_id")
       val viaCompact = NswAnn.topK(live, "vec_id", "embedding",
@@ -239,5 +243,25 @@ class NswAnnSpec extends SparkFunSuite {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(ids.intersect(dead).isEmpty)
     assert(compacted.entryIds.forall(e => !dead(e)))
+  }
+
+  test("compaction bridges ADJACENT deleted nodes (live-d1-d2-live path)") {
+    import spark.implicits._
+    // a 4-node chain a-d1-d2-b where d1, d2 both die: per-node repair
+    // would clique each node's own live boundary ({a} and {b}) and
+    // sever the path; per-COMPONENT repair must emit a-b
+    val adj = Seq(
+      (10L, 11L), (11L, 10L), // a - d1
+      (11L, 12L), (12L, 11L), // d1 - d2
+      (12L, 13L), (13L, 12L)) // d2 - b
+      .toDF("id", "nbr_id")
+    val liveIds = Seq(10L, 13L).toDF("vec_id")
+    val deadIds = Seq(11L, 12L).toDF("vec_id")
+    val g = NswAnn.Graph(adj, Seq(10L))
+    val compacted = NswAnn.compact(liveIds, "vec_id", g, deadIds, "vec_id")
+    val edges = compacted.adj.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((10L, 13L), (13L, 10L)))
+    assert(compacted.entryIds.toSet.subsetOf(Set(10L, 13L)))
   }
 }

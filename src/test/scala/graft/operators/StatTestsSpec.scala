@@ -222,9 +222,9 @@ class StatTestsSpec extends SparkFunSuite {
   test("benfordCard: a geometric (Benford-ideal) series lands near the law") {
     val spark0 = spark
     import spark0.implicits._
-    // powers of 2 are the textbook Benford sequence
-    val vals = (0 until 200).map(i => BigInt(2).pow(i) % BigInt(10).pow(15))
-      .zipWithIndex.map { case (b, i) => BigInt(2).pow(i).toString.take(15).toLong }
+    // powers of 2 are the textbook Benford sequence (leading 15
+    // digits keep the value in a Long; the first digit is unchanged)
+    val vals = (0 until 200).map(i => BigInt(2).pow(i).toString.take(15).toLong)
     val got = StatTests.benfordCard(vals.toDF("v"), "v").collect()
     got.foreach { r =>
       assert(r.getLong(4) < 40000L, s"digit ${r.getLong(0)} dev ${r.getLong(4)}")
