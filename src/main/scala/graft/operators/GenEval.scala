@@ -315,7 +315,8 @@ object GenEval {
    * `ngram_strings` codegen kernel (one byte-slice view per gram, no
    * concatenation), not the `transform(sequence(...))` HOF pipeline —
    * that CodegenFallback Generate was this metric's whole per-row
-   * cost (`NgramStringsSpec` pins kernel ≡ HOF).
+   * cost (`NgramMlmKernelsSpec` pins kernel ≡ HOF;
+   * `NgramMlmPlanSpec` guards the one-call plan shape).
    */
   def distinctN(docs: DataFrame, textCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")

@@ -224,17 +224,30 @@ object NswAnn {
     // the bucket key (DisableUnnecessaryBucketedScan), which throws
     // away exactly the point-lookup pruning this search depends on.
     // Pin it off for the search's own probes, restore after. The
-    // set/restore is session-scoped: this engine plans queries
-    // sequentially on a session (driver rows, Verify, Bench, suites);
-    // a multi-tenant session would need a dedicated session clone
-    // (`spark.newSession()`) around the search instead.
+    // toggle is session-global, so the whole window is SERIALIZED on
+    // [[autoBucketLock]]: two concurrent searches (or a nested one
+    // with a different setting) can no longer interleave set/restore
+    // (r14 advice). A session clone can't carry the conf instead —
+    // the probe plans execute under the session that built `emb` /
+    // `graph.adj`, and re-homing those frames would drop the very
+    // bucketed-scan relation being pruned. Unrelated queries planned
+    // concurrently on the same session remain outside the guarantee:
+    // the engine's documented sequential-session discipline.
     val AutoBucket = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prevAutoBucket = spark.conf.get(AutoBucket, "true")
-    spark.conf.set(AutoBucket, "false")
-    try topKImpl(emb, idCol, vecCol, graph, query, k, beam, maxIters,
-      scale, tombstones)
-    finally spark.conf.set(AutoBucket, prevAutoBucket)
+    autoBucketLock.synchronized {
+      val prevAutoBucket = spark.conf.get(AutoBucket, "true")
+      spark.conf.set(AutoBucket, "false")
+      try topKImpl(emb, idCol, vecCol, graph, query, k, beam, maxIters,
+        scale, tombstones)
+      finally spark.conf.set(AutoBucket, prevAutoBucket)
+    }
   }
+
+  /** Monitor for the autoBucketedScan set/restore window in [[topK]] —
+    * one per JVM (the conf is per-session, but searches across child
+    * sessions of one context are rare enough that a coarser lock is
+    * simpler than a per-session registry). */
+  private val autoBucketLock = new Object
 
   private def topKImpl(
       emb: DataFrame, idCol: String, vecCol: String, graph: Graph,

@@ -32,7 +32,8 @@ object ObjectivePrep {
    * both joins in a single byte pass) — the previous formulation built
    * the same fields from three CodegenFallback HOFs (`transform` +
    * 2×`zip_with` + `aggregate`) per row, ~5× the per-row cost;
-   * `MlmMaskSpec` pins kernel ≡ HOF including NULL degradation. The
+   * `NgramMlmKernelsSpec` pins kernel ≡ HOF including NULL
+   * degradation (`NgramMlmPlanSpec` guards the plan shape). The
    * struct is projected once and fields are extracted in a second
    * Project (multiple references stop CollapseProject from inlining
    * the kernel four times).

@@ -705,4 +705,126 @@ object Retrieval {
       }
       .toDF(groupCol, "rnk", idCol, "rel", "max_sim", "mmr_score")
   }
+
+  /**
+   * Late-interaction (multi-vector) retrieval — ColBERT-style maxsim
+   * (Khattab & Zaharia, SIGIR 2020): a query is a BAG of token
+   * vectors, a document a bag of token vectors, and the score is
+   *
+   *   maxsim(q, d) = Σ_{t ∈ q} max_{v ∈ d} cos(t, v)
+   *
+   * — the token-level scoring every other retrieval row here (and the
+   * reference's single-embedding store, app.py:218-222) cannot
+   * express: a document matches when EACH query token finds its own
+   * best-matching document token, not when one pooled vector does.
+   *
+   * This is the EXACT variant — the reranker/baseline contract: the
+   * query-token relation is bounded (a query batch is at most
+   * thousands of token vectors) and broadcast; the corpus-token
+   * relation streams through ONE scan against it. The score matrix
+   * collapses in two map-side-combinable hash aggregates — per
+   * (query, query-token, doc) max, then per (query, doc) sum — and
+   * the final top-k is the k-slot `topk_by_score`
+   * TypedImperativeAggregate: no window, no global sort, nothing
+   * driver-side but the k·|queries| result. The broadcast
+   * nested-loop join is deliberate and bounded by construction
+   * (tokens-per-query-batch × corpus tokens, the same shape as the
+   * NaiveBayes broadcast predict join); for UNBOUNDED query sets use
+   * [[maxSimTopKLsh]], whose candidate generation buckets instead of
+   * broadcasting.
+   *
+   * Determinism: cosines are `scale`-rounded then lifted to exact
+   * integer micros, so the per-token max and the cross-token sum are
+   * partition-order independent; ranking ties break on least doc id.
+   *
+   * @param queryTokens (qidCol, qtokCol, vecCol) — one row per query
+   *                    token; qtok ids unique across the relation
+   * @param docTokens   (didCol, vecCol) — one row per document token
+   * @return (qidCol, didCol, maxsim_micro, rnk) — top `k` docs per
+   *         query by (maxsim desc, doc id asc), rnk in 1..k
+   */
+  def maxSimTopK(
+      queryTokens: DataFrame, qidCol: String, qtokCol: String,
+      docTokens: DataFrame, didCol: String, vecCol: String,
+      k: Int, scale: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = queryTokens.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val qt = queryTokens.select(col(qidCol).cast("long").as("__qid"),
+      col(qtokCol).cast("long").as("__qtok"), col(vecCol).as("__qv"))
+    val dt = docTokens.select(col(didCol).cast("long").as("__did"),
+      col(vecCol).as("__dv"))
+    val sim = dt.crossJoin(broadcast(qt))
+      .select(col("__qid"), col("__qtok"), col("__did"),
+        round(round(graft.functions.GraftFunctions
+          .knnCosineSimilarity(col("__qv"), col("__dv")), scale) *
+          math.pow(10.0, scale)).cast("long").as("__sim_micro"))
+    maxSimAggregate(sim, k)
+      .select(col("__qid").as(qidCol), col("__did").as(didCol),
+        col("maxsim_micro"), col("rnk"))
+  }
+
+  /**
+   * The LSH-bucketed maxsim — the 100 TB path for UNBOUNDED query
+   * sets, where broadcasting the query tokens is off the table: each
+   * query token generates its top-`candidatesPerToken` candidate DOC
+   * TOKENS through [[SimilarityJoin.knnBetween]]'s banded-LSH
+   * machinery (bucketed equality joins, viral-bucket caps — never
+   * all-pairs), and the same two hash aggregates score only the
+   * candidate pairs. A (query token, doc) pair outside the candidate
+   * set contributes 0 — the standard late-interaction approximation,
+   * whose recall against [[maxSimTopK]] is pinned as a grid in
+   * `MaxSimSpec`: recall grows with the candidate budget and reaches
+   * 1 at the shipped point on the fixture corpus.
+   *
+   * @param docTokens (didCol, dtokCol, vecCol) — dtok ids unique
+   *                  across the relation and disjoint from qtok ids
+   */
+  def maxSimTopKLsh(
+      queryTokens: DataFrame, qidCol: String, qtokCol: String,
+      docTokens: DataFrame, didCol: String, dtokCol: String,
+      vecCol: String, k: Int, candidatesPerToken: Int = 32,
+      bitsPerTable: Int = 4, nTables: Int = 64,
+      threshold: Double = 0.0, seed: Long = 42L, scale: Int = 6,
+      maxBucket: Option[Int] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(candidatesPerToken >= 1,
+      s"candidatesPerToken must be >= 1, got $candidatesPerToken")
+    val q = queryTokens.select(col(qtokCol).cast("long").as("__tid"),
+      col(vecCol).as("__tv"))
+    val c = docTokens.select(col(dtokCol).cast("long").as("__tid"),
+      col(vecCol).as("__tv"))
+    val cands = SimilarityJoin.knnBetween(q, c, "__tid", "__tv",
+      k = candidatesPerToken, bitsPerTable = bitsPerTable,
+      nTables = nTables, threshold = threshold, seed = seed,
+      scale = scale, maxBucket = maxBucket)
+    val sim = cands
+      .join(docTokens.select(col(dtokCol).cast("long").as("corpus_id"),
+        col(didCol).cast("long").as("__did")), "corpus_id")
+      .join(broadcast(queryTokens.select(
+        col(qtokCol).cast("long").as("query_id"),
+        col(qidCol).cast("long").as("__qid"))), "query_id")
+      .select(col("__qid"), col("query_id").as("__qtok"), col("__did"),
+        round(col("cos_sim") * math.pow(10.0, scale)).cast("long")
+          .as("__sim_micro"))
+    maxSimAggregate(sim, k)
+      .select(col("__qid").as(qidCol), col("__did").as(didCol),
+        col("maxsim_micro"), col("rnk"))
+  }
+
+  /** Shared maxsim reduction: (__qid, __qtok, __did, __sim_micro) →
+    * per-token max → per-doc sum → k-slot top-k per query. */
+  private def maxSimAggregate(sim: DataFrame, k: Int): DataFrame =
+    sim
+      .groupBy("__qid", "__qtok", "__did")
+      .agg(max("__sim_micro").as("__tok_max"))
+      .groupBy("__qid", "__did")
+      .agg(sum("__tok_max").as("__maxsim"))
+      .groupBy("__qid")
+      .agg(graft.functions.GraftFunctions.topKByScore(
+        col("__maxsim").cast("double"), col("__did"), k).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")))
+      .select(col("__qid"), col("col.id").as("__did"),
+        col("col.score").cast("long").as("maxsim_micro"),
+        (col("pos") + 1).cast("long").as("rnk"))
 }

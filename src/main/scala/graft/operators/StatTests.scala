@@ -484,56 +484,9 @@ object StatTests {
           .as("did_micro"))
   }
 
-  /**
-   * Benford first-digit card (Newcomb 1881 / Benford 1938) — the
-   * classic fabricated-data screen: naturally-occurring multiplicative
-   * quantities (prices, populations, counts spanning magnitudes) put
-   * digit d first with probability log10(1+1/d), while synthetic or
-   * manipulated values drift toward uniform. On a training-data
-   * pipeline this triages numeric columns of scraped/generated
-   * corpora before they poison downstream statistics.
-   *
-   * Exact arithmetic: the first digit of a positive integer-grid value
-   * (caller quantizes — cents, micros) is the first character of its
-   * decimal string — engine-portable where `log10`-based extraction
-   * risks boundary ulps; shares are integral micro divisions; the
-   * Benford expectations are the 6-dp public constants. One count
-   * aggregate; the digit grid is 9 rows.
-   *
-   * Output: (digit, n, share_micro, benford_micro, dev_micro) for
-   * d = 1..9, ordered by digit.
-   */
-  def benfordCard(df: DataFrame, valueCol: String): DataFrame = {
-    // filter on the CAST integer, not the raw value: a fractional
-    // value in (0, 1) would pass a raw > 0 check, truncate to digit
-    // 0, silently fall off the 1–9 grid and still inflate the share
-    // denominator — the digit and the filter must see the same number
-    val counts = df
-      .select(col(valueCol).cast("long").as("__v"))
-      .filter(col("__v").isNotNull && col("__v") > 0)
-      .select(substring(col("__v").cast("string"), 1, 1)
-        .cast("long").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
-    val spark = df.sparkSession
-    import spark.implicits._
-    // round(1e6 · log10(1 + 1/d)), d = 1..9
-    val expected = Seq(
-      1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
-      5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,
-      9L -> 45757L).toDF("digit", "benford_micro")
-    val tot = counts.agg(sum("n").as("__t"))
-    expected.join(counts, Seq("digit"), "left")
-      .na.fill(0L, Seq("n"))
-      .crossJoin(broadcast(tot))
-      .select(col("digit"), col("n"),
-        expr("""CASE WHEN __t > 0
-               | THEN (1000000 * CAST(n AS DECIMAL(38,0))) div __t
-               | ELSE 0 END""".stripMargin.replace("\n", " "))
-          .as("share_micro"),
-        col("benford_micro"))
-      .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
-      .orderBy("digit")
-  }
+  // Benford first-digit screening lives in [[BenfordAudit]]
+  // (Expectations.scala) — one module for both card shapes and both
+  // digit extractions; `orders_benford` uses BenfordAudit.screenCard.
 
   /**
    * A/B power card: the minimal detectable effect (two-sided α = 5%,

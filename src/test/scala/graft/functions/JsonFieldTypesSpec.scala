@@ -105,6 +105,27 @@ class JsonFieldTypesSpec extends SparkFunSuite {
       === Some(Seq("k" -> "string")))
   }
 
+  test("\\u surrogates must pair (RFC 8259 \u00a78.2, DuckDB/yyjson parity)") {
+    val bs = "\\"
+    // legal: escaped high+low pair (either hex case)
+    assert(kernel(s"""{"k": "${bs}ud800${bs}udc00"}""")
+      === Some(Seq("k" -> "string")))
+    assert(kernel(s"""{"k": "x${bs}uD83D${bs}uDC4Dy"}""")
+      === Some(Seq("k" -> "string")))
+    // illegal: lone high, lone low, high+high, high + non-escape,
+    // high + named escape, lone surrogate inside a KEY \u2014 each
+    // verified json_valid = false in DuckDB (yyjson)
+    val bad = Seq(
+      s"""{"k": "${bs}ud800"}""",
+      s"""{"k": "${bs}udc00"}""",
+      s"""{"k": "${bs}ud800${bs}ud800"}""",
+      s"""{"k": "a${bs}ud800z"}""",
+      s"""{"k": "${bs}ud800${bs}n"}""",
+      s"""{"k": "${bs}ud800${bs}u0041"}""",
+      s"""{"${bs}ud800": 1}""")
+    bad.foreach(s => assert(kernel(s).isEmpty, s"should be malformed: $s"))
+  }
+
   test("whitespace around and inside structure is tolerated") {
     assert(kernel("\t {\n\"k\" :\r 1 \n} ") === Some(Seq("k" -> "number")))
   }

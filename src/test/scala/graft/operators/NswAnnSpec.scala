@@ -245,6 +245,71 @@ class NswAnnSpec extends SparkFunSuite {
     assert(compacted.entryIds.forall(e => !dead(e)))
   }
 
+  test("randomized churn: append/delete/compact keeps brute-force parity, never resurrects tombstones") {
+    // Lifecycle property (the IVF tombstone-churn discipline applied
+    // to the graph index): under random append → tombstone → compact
+    // sequences the search stays EXACT at the shipped grid point
+    // (degree 16, beam 64 ≡ brute force over the live rows — recall 1,
+    // the same bar the deterministic lifecycle tests pin), and an id
+    // deleted at any point never reappears in any later result,
+    // before OR after the compaction that physically removes it.
+    val allIds = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    def df(ids: Set[Long]) =
+      emb.where(col("vec_id").isInCollection(ids.map(Long.box)))
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // base = random 60–80% of the corpus; the rest arrives in
+      // append batches of random size
+      val shuffled = rnd.shuffle(allIds.toVector)
+      val baseCut = (shuffled.size * (0.6 + 0.2 * rnd.nextDouble())).toInt
+      var present = shuffled.take(baseCut).toSet
+      var pool = shuffled.drop(baseCut)
+      var g = NswAnn.build(df(present), "vec_id", "embedding",
+        degree = 16, entries = 8)
+      var dead = Set.empty[Long] // tombstoned, still routable in graph
+      var deletedEver = Set.empty[Long]
+      def check(label: String): Unit = {
+        val liveIds = present -- dead
+        val qid = liveIds.toSeq.sorted.apply(rnd.nextInt(liveIds.size))
+        val q = qv(qid.toInt)
+        val got = NswAnn.topK(df(present), "vec_id", "embedding", g, q,
+          10, 64, tombstones = dead)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val want = VectorSearch.bruteForce(df(liveIds), cfg, q, 10,
+          Map.empty, Some(6))
+          .select(col("id"), col("score")).collect()
+          .map(r => (r.getString(0).toLong, r.getDouble(1))).toSeq
+        assert(got === want, s"seed $seed $label query $qid")
+        assert(got.forall(t => !deletedEver(t._1)),
+          s"seed $seed $label: resurrected tombstoned id")
+      }
+      check("base")
+      for (op <- 1 to 3) {
+        val r = rnd.nextInt(3)
+        if (r == 0 && pool.nonEmpty) { // append a random batch
+          val take = math.min(pool.size, 20 + rnd.nextInt(60))
+          val batch = pool.take(take).toSet
+          pool = pool.drop(take)
+          g = NswAnn.append(g, df(present), df(batch), "vec_id",
+            "embedding", degree = 16, entries = 8)
+          present ++= batch
+        } else if (r == 1) { // tombstone ~1/8 of the live rows
+          val live = (present -- dead).toVector.sorted
+          val kill = rnd.shuffle(live).take(math.max(1, live.size / 8)).toSet
+          dead ++= kill
+          deletedEver ++= kill
+        } else if (dead.nonEmpty) { // compact the tombstones away
+          g = NswAnn.compact(df(present -- dead), "vec_id", g,
+            df(dead), "vec_id")
+          present --= dead
+          dead = Set.empty
+        }
+        check(s"op $op")
+      }
+    }
+  }
+
   test("compaction bridges ADJACENT deleted nodes (live-d1-d2-live path)") {
     import spark.implicits._
     // a 4-node chain a-d1-d2-b where d1, d2 both die: per-node repair

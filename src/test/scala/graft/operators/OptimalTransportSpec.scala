@@ -81,6 +81,49 @@ class OptimalTransportSpec extends SparkFunSuite {
     assert(math.abs(got - want) < 2e-3, s"got $got want $want")
   }
 
+  test("property: random marginals — marginal violation bounded, objective on the grid") {
+    // Randomized honesty bound (r14 verdict task 7): for random slice
+    // compositions over the centroid grid — skewed, sparse, empty
+    // clusters included — 10 Sinkhorn rounds must keep the printed
+    // marginal violation small (the card's approximation-error
+    // column) and the objective inside the normalized [0, 1e6] grid.
+    // The kernel's max/min ratio is 11 by construction (k = 1e12 div
+    // (1e6 + 10·cost_norm)), so convergence is fast regardless of the
+    // marginals; the bound here is ~5% of the µ grid, an order above
+    // anything observed (max seen over seeds: double-digit µ).
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      def slice(base: Long): Seq[(Long, Seq[Float])] = {
+        val present = (0 until 8).filter(_ => rnd.nextDouble() < 0.6)
+        val clusters = if (present.isEmpty) Seq(rnd.nextInt(8)) else present
+        clusters.zipWithIndex.flatMap { case (c, i) =>
+          at(c, 1 + rnd.nextInt(80), base + i * 100L)
+        }
+      }
+      val r = drift(slice(0L), slice(10000L))
+      assert(r.getLong(3) < 500L, s"trial $trial marg_err ${r.getLong(3)}")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L,
+        s"trial $trial cost ${r.getLong(2)} off the grid")
+    }
+  }
+
+  test("property: cost is monotone in the mass shifted across the space") {
+    // Mass-shift monotonicity (r14 verdict task 7): A stays at
+    // cluster 0; B moves a growing share of its 100 units from
+    // cluster 0 to the far end of the line. More moved mass ⇒ a
+    // larger transport objective, strictly so across the 0 → 80%
+    // span (per-step ties are tolerated only to the extent of the
+    // integer grid's truncation, and none occur at these step sizes).
+    val costs = Seq(0, 10, 20, 40, 80).map { moved =>
+      drift(at(0, 100, 0L),
+        at(0, 100 - moved, 1000L) ++ at(7, moved, 2000L)).getLong(2)
+    }
+    assert(costs === costs.sorted, s"not monotone: $costs")
+    costs.zip(costs.tail).foreach { case (lo, hi) =>
+      assert(hi > lo, s"no strict increase: $costs")
+    }
+  }
+
   test("deterministic under repartitioning; fixture row shape") {
     val a = at(1, 20, 0L) ++ at(4, 20, 50L)
     val b = at(2, 20, 1000L) ++ at(6, 20, 1050L)

@@ -206,7 +206,7 @@ class StatTestsSpec extends SparkFunSuite {
     // 0, negatives and NULL are excluded
     val vals = Seq(Some(1L), Some(10L), Some(199L), Some(9L), Some(25L),
       Some(0L), Some(-7L), None)
-    val got = StatTests.benfordCard(vals.toDF("v"), "v")
+    val got = BenfordAudit.screenCard(vals.toDF("v"), "v")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got.keySet === (1L to 9L).toSet)
@@ -225,7 +225,7 @@ class StatTestsSpec extends SparkFunSuite {
     // powers of 2 are the textbook Benford sequence (leading 15
     // digits keep the value in a Long; the first digit is unchanged)
     val vals = (0 until 200).map(i => BigInt(2).pow(i).toString.take(15).toLong)
-    val got = StatTests.benfordCard(vals.toDF("v"), "v").collect()
+    val got = BenfordAudit.screenCard(vals.toDF("v"), "v").collect()
     got.foreach { r =>
       assert(r.getLong(4) < 40000L, s"digit ${r.getLong(0)} dev ${r.getLong(4)}")
     }
