@@ -39,7 +39,7 @@ object Bench {
     "events_enrich_streamed", "events_sessions_streamed",
     "events_sessions_tws", "events_upsert_streamed",
     "events_totals_streamed", "events_update_streamed",
-    "events_warmstart_streamed")
+    "events_warmstart_streamed", "events_mapstate_streamed")
     .map(_ -> 3.0).toMap
 
   /** Always-isolated watchlist, beyond the slowest-8: queries whose

@@ -3701,6 +3701,33 @@ object SparkEntry {
     // CUPED variance reduction: per-user pre-period spend (before the
     // midpoint timestamp) as the covariate for post-period spend —
     // the experiment-sensitivity card (Deng et al. 2013).
+    // Fisher randomization test on per-user spend (odd vs even user
+    // ids — a true-null split, so p should be comfortably interior):
+    // 199 seeded md5-rank re-assignments over the bounded USER
+    // relation, exact cross-multiplied integer statistic, add-one
+    // Monte-Carlo p. The variance-model-free significance companion
+    // to events_cuped/events_mannwhitney.
+    "events_permutation_test" -> ((s, d) => {
+      val units = table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        .select(col("user_id"),
+          when(col("user_id") % 2 === 0, "a").otherwise("b").as("grp"),
+          col("y"))
+      StatTests.permutationTest(units, "grp", "y", "a", "b", "user_id",
+        trials = 199)
+    }),
+    // Poisson bootstrap CI on per-user spend: 199 hash-weighted
+    // resamples in ONE aggregate (no per-trial rank — weights are
+    // row-independent), integral micro means, type-1 quantile pair at
+    // ranks ceil(.025 T)/ceil(.975 T). The CI companion to
+    // events_permutation_test's p-value.
+    "events_bootstrap_ci" -> ((s, d) => {
+      val units = table(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      StatTests.poissonBootstrapCi(units, "y", "user_id", trials = 199)
+    }),
     "events_cuped" -> ((s, d) => {
       val ev = table(s, d, "events").select(col("user_id"),
         // NTZ → TZ cast shifts every row by the same session-zone
@@ -3745,6 +3772,16 @@ object SparkEntry {
       graft.streaming.EventPipeline.streamedWarmStartParity(
         s, table(s, d, "events"), fixtureKey = Some(d))
         .orderBy("user_id")),
+    // TWELFTH streaming mode — MAP + LIST state: per-user event-type
+    // histogram in a MapState (sub-keyed updates touch only the
+    // batch's types) and the user's 3-largest cents in a ListState
+    // (bounded ranked buffer, associative merge); both metrics are
+    // monotone per key, so the order-free gate is max over emissions,
+    // replayed in batch by the oracle's count + top-3 window.
+    "events_mapstate_streamed" -> ((s, d) =>
+      graft.streaming.EventPipeline.streamedTypeHistParity(
+        s, table(s, d, "events"), fixtureKey = Some(d))
+        .orderBy("user_id", "event_type")),
     // Frequent 3-step behavior paths — the sequence-mining card one
     // level up from the Markov transition matrix; contiguous trigrams
     // keep it one user-partitioned window pass.
@@ -14313,6 +14350,83 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // CUPED replay: exact integer moment sums in HUGEINT, theta and
     // variances as the same double formula, rounded once.
+    // the Poisson weight thresholds are interpolated from the ONE
+    // constant table (StatTests.PoissonHexThresholds) so the oracle
+    // and the operator cannot drift
+    "events_bootstrap_ci" -> {
+      val wExpr = StatTests.PoissonHexThresholds
+        .map(t => "(CASE WHEN substr(md5('boot:42:' || " +
+          "CAST(tt.t AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR))" +
+          s", 1, 12) >= '$t' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |         CAST((1000000 * CAST(sum(y) AS HUGEINT)) // count(*)
+         |           AS BIGINT) AS mean_micro
+         |  FROM u),
+         |tt AS (SELECT unnest(range(1, 200)) AS t),
+         |wt AS (
+         |  SELECT tt.t AS t, u.y, ($wExpr) AS w
+         |  FROM u CROSS JOIN tt),
+         |tr AS (
+         |  SELECT t, CAST(sum(w) AS HUGEINT) AS n,
+         |         CAST(sum(w * y) AS HUGEINT) AS s
+         |  FROM wt GROUP BY t),
+         |mt AS (
+         |  SELECT t, CAST((1000000 * s) // n AS BIGINT) AS mean
+         |  FROM tr WHERE n > 0),
+         |rk AS (
+         |  SELECT t, mean, row_number() OVER (ORDER BY mean, t) AS rn,
+         |         count(*) OVER () AS n_trials
+         |  FROM mt),
+         |ci AS (
+         |  SELECT CAST(max(n_trials) AS BIGINT) AS n_trials,
+         |         CAST(min(mean) AS BIGINT) AS lo_micro,
+         |         CAST(max(mean) AS BIGINT) AS hi_micro
+         |  FROM rk WHERE rn = (n_trials * 25 + 999) // 1000
+         |             OR rn = (n_trials * 975 + 999) // 1000)
+         |SELECT m.n_units, ci.n_trials, m.mean_micro, ci.lo_micro,
+         |       ci.hi_micro
+         |FROM m, ci""".stripMargin
+    },
+    "events_permutation_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN grp = 'a' THEN y ELSE 0 END) AS HUGEINT) AS sa,
+        |         CAST(sum(CASE WHEN grp = 'b' THEN y ELSE 0 END) AS HUGEINT) AS sb,
+        |         CAST(sum(y) AS HUGEINT) AS st
+        |  FROM u),
+        |obs AS (SELECT n_a, n_b, st, abs(sa * n_b - sb * n_a) AS dobs FROM m),
+        |tt AS (SELECT unnest(range(1, 200)) AS t),
+        |r AS (
+        |  SELECT tt.t AS t, u.y,
+        |         row_number() OVER (PARTITION BY tt.t
+        |           ORDER BY md5('perm:42:' || CAST(tt.t AS VARCHAR) || ':' ||
+        |                        CAST(u.user_id AS VARCHAR)),
+        |                    CAST(u.user_id AS VARCHAR)) AS rn
+        |  FROM u CROSS JOIN tt),
+        |tr AS (
+        |  SELECT r.t, CAST(sum(r.y) AS HUGEINT) AS sat
+        |  FROM r, obs WHERE r.rn <= obs.n_a GROUP BY r.t),
+        |ge AS (
+        |  SELECT CAST(sum(CASE WHEN
+        |           abs(tr.sat * obs.n_b - (obs.st - tr.sat) * obs.n_a)
+        |             >= obs.dobs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+        |  FROM tr, obs)
+        |SELECT obs.n_a, obs.n_b, CAST(obs.dobs AS BIGINT) AS d_obs,
+        |       ge.n_ge,
+        |       CAST((1000000 * (1 + ge.n_ge)) // 200 AS BIGINT) AS p_micro
+        |FROM obs, ge""".stripMargin,
     "events_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -14363,6 +14477,21 @@ object SparkEntry {
         |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // Warm-start handoff replayed: the final totals are simply the
     // batch aggregate over ALL events, whatever split streamed.
+    "events_mapstate_streamed" ->
+      """WITH h AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_type
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS rn
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, CAST(sum(cents) AS BIGINT) AS top3_cents
+        |  FROM c WHERE rn <= 3 GROUP BY user_id)
+        |SELECT h.user_id, h.event_type, h.n_type, t.top3_cents
+        |FROM h JOIN t USING (user_id)
+        |ORDER BY user_id, event_type""".stripMargin,
     "events_warmstart_streamed" ->
       """SELECT user_id,
         |       CAST(count(*) AS BIGINT) AS n_events,

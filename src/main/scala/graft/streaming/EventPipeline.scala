@@ -1851,6 +1851,89 @@ object EventPipeline {
     streamedFinal.unionByName(seededOnly)
   }
 
+  final case class UserTypeTop(
+      user_id: Long, event_type: String, n_type: Long, top3_cents: Long)
+
+  /**
+   * TWELFTH end-to-end streaming mode — MAP + LIST state: the two
+   * `transformWithState` state variables the other eleven modes never
+   * touch (the matrix so far: ValueState, event-time timers,
+   * initial-state seeding). Per user, a `MapState[event_type → count]`
+   * maintains the type histogram — the state shape for a
+   * sub-keyed domain where a ValueState would re-serialize the whole
+   * map per update and a wider grouping key would lose the per-user
+   * emission — and a `ListState` holds the user's THREE largest cents
+   * values. Both folds are associative over any batch slicing (counts
+   * add; the 3-largest multiset merges), so every emitted metric is
+   * monotone nondecreasing per (user, type) and the parity gate is
+   * order-free: final state = max over emissions, exactly the
+   * mode-10 discipline. Each batch emits one row per type TOUCHED in
+   * that batch, carrying the user's current top-3 sum.
+   *
+   * 100 TB note: state is |users| × (|types| + 3) entries — the
+   * MapState sub-key keeps per-update work at the touched types, not
+   * the whole histogram, which is the entire point of the API.
+   */
+  def userTypeHistogram(stream: DataFrame): Dataset[UserTypeTop] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new TypeHistTop3Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /**
+   * [[userTypeHistogram]] through a real micro-batch run (file
+   * source, three forced batches, RocksDB provider, Update output to
+   * a memory sink): the final per-(user, type) count and per-user
+   * top-3 sum — max over each key's monotone emissions — must equal
+   * the batch aggregate exactly.
+   */
+  def streamedTypeHistParity(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, fixtureKey: Option[String] = None): DataFrame = {
+    val srcDir = fixtureDir(fixtureKey, "hist_src") { d =>
+      events.repartition(3).write.mode("overwrite").parquet(d)
+    }
+    val ss = streamSession(spark, rocksDb = true)
+    val ckpt = tempDir("graft_hist_ckpt")
+    val stream = ss.readStream
+      .schema(ss.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1") // several real micro-batches
+      .parquet(srcDir)
+    val name = s"graft_hist_${System.nanoTime()}"
+    val q = userTypeHistogram(stream)
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteNow(ckpt)
+    releaseFixture(fixtureKey, srcDir)
+    // n_type is monotone per (user, type); top3_cents is monotone per
+    // USER (a row only re-emits for types touched in its batch, so a
+    // type-level max could read a stale top-3 from an earlier batch).
+    // localCheckpoint: the memory-sink plan is a leaf that cannot
+    // self-join (no attribute re-instancing); the checkpoint pins the
+    // bounded emission log once and both aggregates read the pin.
+    val sunk = ss.table(name).localCheckpoint(true)
+    sunk.groupBy("user_id", "event_type")
+      .agg(max("n_type").as("n_type"))
+      .join(sunk.groupBy("user_id")
+        .agg(max("top3_cents").as("top3_cents")), "user_id")
+      .select("user_id", "event_type", "n_type", "top3_cents")
+  }
+
   /**
    * The SAME gap sessionization on `transformWithState` — Spark 4's
    * arbitrary-state API (SPARK-45939): typed `ValueState` + explicit
@@ -1990,6 +2073,55 @@ class GapSessionProcessor(gapSeconds: Long)
     val o = open.get()
     open.clear()
     Iterator.single(emit(o))
+  }
+}
+
+/**
+ * `transformWithState` processor exercising MAP and LIST state: one
+ * `MapState[String, Long]` per user for the event-type histogram
+ * (per-update work touches only the batch's types — the sub-keyed
+ * access pattern that distinguishes MapState from a ValueState-of-map)
+ * and one `ListState[Long]` holding the user's three largest cents
+ * values (a bounded ranked buffer, merged associatively per batch).
+ * Emits one row per type touched in the batch with the user's current
+ * count and top-3 sum — both monotone nondecreasing, so the sink's
+ * max per key is the final state (order-free parity).
+ */
+class TypeHistTop3Processor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Long), EventPipeline.UserTypeTop] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, TTLConfig, TimeMode, TimerValues}
+
+  @transient private var hist: MapState[String, Long] = _
+  @transient private var top3: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    hist = getHandle.getMapState[String, Long]("hist",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    top3 = getHandle.getListState[Long]("top3",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[(Long, String, Long)],
+      timerValues: TimerValues): Iterator[EventPipeline.UserTypeTop] = {
+    val batch = rows.toArray
+    // MapState: add the batch's per-type counts to the stored ones
+    val touched = scala.collection.mutable.SortedSet.empty[String]
+    batch.groupBy(_._2).foreach { case (t, rs) =>
+      val cur = if (hist.containsKey(t)) hist.getValue(t) else 0L
+      hist.updateValue(t, cur + rs.length)
+      touched += t
+    }
+    // ListState: merge batch cents into the 3-largest multiset
+    val prev = if (top3.exists()) top3.get().toArray else Array.empty[Long]
+    val merged = (prev ++ batch.map(_._3)).sorted(Ordering[Long].reverse)
+      .take(3)
+    top3.put(merged)
+    val t3 = merged.sum
+    touched.iterator.map(t =>
+      EventPipeline.UserTypeTop(user, t, hist.getValue(t), t3))
   }
 }
 

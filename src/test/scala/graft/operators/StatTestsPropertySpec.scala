@@ -297,6 +297,126 @@ class StatTestsPropertySpec extends SparkFunSuite {
 
   // ---- the shared block-scan guard every drift card rides
 
+  test("property: permutationTest ≡ direct seeded-md5-rank replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val genUnits = for {
+      n <- Gen.chooseNum(2, 30)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        y <- Gen.chooseNum(-500L, 500L)
+      } yield (g, y))
+    } yield rows.zipWithIndex.map { case ((g, y), i) => (i.toLong, g, y) }
+    val trials = 37
+    val prop = Prop.forAll(genUnits) { units =>
+      val na = units.count(_._2 == "a").toLong
+      val nb = units.count(_._2 == "b").toLong
+      val sa = BigInt(units.filter(_._2 == "a").map(_._3).sum)
+      val sb = BigInt(units.filter(_._2 == "b").map(_._3).sum)
+      val st = sa + sb
+      val dObs = (sa * nb - sb * na).abs
+      val nGe = (1 to trials).count { t =>
+        val ranked = units
+          .sortBy(u => (md5hex(s"perm:42:$t:${u._1}"), u._1.toString))
+        val sat = BigInt(ranked.take(na.toInt).map(_._3).sum)
+        (sat * nb - (st - sat) * na).abs >= dObs
+      }.toLong
+      val got = StatTests.permutationTest(
+        units.toDF("unit", "g", "y").repartition(3),
+        "g", "y", "a", "b", "unit", trials = trials).collect().head
+      got.getLong(0) == na && got.getLong(1) == nb &&
+        got.getLong(2) == dObs.toLong && got.getLong(3) == nGe &&
+        got.getLong(4) == 1000000L * (1 + nGe) / (trials + 1)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("permutationTest: constant metric ⇒ p = 1; separated groups ⇒ floor p") {
+    // constant y: every randomized |diff| equals the observed 0
+    val flat = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 7L)).toDF("unit", "g", "y")
+    val g1 = StatTests.permutationTest(flat, "g", "y", "a", "b", "unit",
+      trials = 99).collect().head
+    assert(g1.getLong(3) === 99L && g1.getLong(4) === 1000000L)
+    // fully separated groups: no re-randomization can match d_obs
+    // except ones reproducing the exact split — overwhelmingly none
+    val sep = ((1L to 10L).map((_, "a", 1000000L)) ++
+      (11L to 20L).map((_, "b", 0L))).toDF("unit", "g", "y")
+    val g2 = StatTests.permutationTest(sep, "g", "y", "a", "b", "unit",
+      trials = 99).collect().head
+    assert(g2.getLong(3) <= 1L)
+    assert(g2.getLong(4) <= 20000L) // ≤ (1+1)/100 on the micro grid
+    // validation
+    intercept[IllegalArgumentException] {
+      StatTests.permutationTest(flat, "g", "y", "a", "b", "unit", trials = 0)
+    }
+  }
+
+  test("property: poissonBootstrapCi ≡ direct hash-weight replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val th = StatTests.PoissonHexThresholds
+    val genUnits = for {
+      n <- Gen.chooseNum(1, 25)
+      ys <- Gen.listOfN(n, Gen.chooseNum(-500L, 500L))
+    } yield ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }
+    val trials = 40 // a multiple of 40: the double-ceil trap rank
+    val prop = Prop.forAll(genUnits) { units =>
+      val means = (1 to trials).flatMap { t =>
+        val ws = units.map { case (u, y) =>
+          val h = md5hex(s"boot:42:$t:$u").take(12)
+          (th.count(h >= _).toLong, y)
+        }
+        val n = ws.map(_._1).sum
+        if (n == 0) None
+        else {
+          val s = ws.map { case (w, y) => BigInt(w) * y }.sum
+          Some(((BigInt(1000000) * s) / n).toLong) // positive n: floor≡quot for sign of s handled below
+        }
+      }
+      // BigInt / truncates toward zero for negative numerators — match
+      // Spark's `div` (also truncating), so the replay uses BigInt /.
+      val sorted = means.sorted
+      val tN = means.size.toLong
+      val got = StatTests.poissonBootstrapCi(
+        units.toDF("unit", "y").repartition(3), "y", "unit",
+        trials = trials).collect()
+      if (tN == 0) got.isEmpty
+      else {
+        val lo = sorted(((tN * 25 + 999) / 1000 - 1).toInt)
+        val hi = sorted(((tN * 975 + 999) / 1000 - 1).toInt)
+        val ySum = BigInt(units.map(_._2).sum)
+        val meanMicro = ((BigInt(1000000) * ySum) / units.size).toLong
+        val r = got.head
+        got.length == 1 && r.getLong(0) == units.size.toLong &&
+          r.getLong(1) == tN && r.getLong(2) == meanMicro &&
+          r.getLong(3) == lo && r.getLong(4) == hi
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("poissonBootstrapCi: interval brackets the mean; thresholds are the fixed table") {
+    val th = StatTests.PoissonHexThresholds
+    assert(th.size === 8 && th.forall(_.length == 12))
+    assert(th === th.sorted) // cumulative probabilities ⇒ ascending hex
+    val units = (1L to 60L).map(i => (i, 1000L + (i % 7) * 10))
+      .toDF("unit", "y")
+    val r = StatTests.poissonBootstrapCi(units, "y", "unit", trials = 199)
+      .collect().head
+    assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
+      s"CI [${r.getLong(3)}, ${r.getLong(4)}] vs mean ${r.getLong(2)}")
+    intercept[IllegalArgumentException] {
+      StatTests.poissonBootstrapCi(units, "y", "unit", trials = 0)
+    }
+  }
+
   test("property: results are bucketWidth-invariant (KS, W1, MW on widths 1/7/1000)") {
     val prop = Prop.forAll(genSamples) { case (a, b) =>
       val d = df(a, b).repartition(3)

@@ -659,6 +659,41 @@ class EventPipelineSpec extends SparkFunSuite {
     assert(out.count() === 0L)
   }
 
+  test("streamedTypeHistParity: MapState counts + ListState top-3 equal the batch replay") {
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+    val streamed = EventPipeline.streamedTypeHistParity(spark, ev)
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    val cents = ev.select(col("user_id").cast("long").as("user_id"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val h = cents.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_type"))
+    val t = cents
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("cents").desc)))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id").agg(sum("cents").as("top3_cents"))
+    val batch = h.join(t, "user_id")
+      .select("user_id", "event_type", "n_type", "top3_cents")
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streamedTypeHistParity: a user with fewer than three events sums what exists") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1, t(0, 10), 100, "view", 1.25, "{}"),
+      Ev(2, t(0, 30), 100, "view", 2.0, "{}"),
+      Ev(3, t(0, 20), 200, "click", 3.0, "{}"))
+    val out = EventPipeline.streamedTypeHistParity(spark, evs.toDF())
+      .orderBy("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (100L, "view", 2L, 325L), (200L, "click", 1L, 300L)))
+  }
+
   test("streamedTypeTotalsComplete: final complete table equals batch group-by") {
     val ev = spark.read.parquet(s"$Sf0001/events.parquet")
     val streamed = EventPipeline.streamedTypeTotalsComplete(spark, ev)
