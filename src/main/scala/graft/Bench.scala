@@ -48,7 +48,11 @@ object Bench {
     * these each round adjudicates "plan regressed" vs "shared-JVM
     * suite got bigger" without a manual re-run. */
   private val IsolatedWatchlist: Seq[String] = Seq(
-    "knn_graph", "sim_join_lsh", "orders_salted_join", "tpch_q1_pricing")
+    "knn_graph", "sim_join_lsh", "orders_salted_join", "tpch_q1_pricing",
+    // r15 addition: sweep readings swing 3.5–5.7 s while isolated
+    // min-of-3 holds 4.3–4.8 across JVMs (SCALING.md r15 cluster
+    // note) — record both every round so the next drift self-adjudicates
+    "classifier_nb_cv")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,45 +73,42 @@ object Bench {
       }
     }
 
-    def timedPass(dir: String, warmup: Boolean): Seq[(String, Double)] = {
+    def timedPass(dir: String): Seq[(String, Double)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      // Warmup: every query once, untimed — absorbs JVM/codegen/scan
-      // setup and the offline steps (index build, query-vector fetch) so
-      // the timed pass measures steady-state query execution. Run ONCE
-      // per JVM (the big scale): by the small-scale pass the generated
-      // code, broadcast thresholds, and parquet readers are all hot, and
-      // the remaining cold piece — per-sf offline artifacts built on a
-      // query's first touch of the small dir — is absorbed by min-of-k
-      // (rep 1 pays the build; the min comes from a later rep). The r14
-      // gate outgrew the driver's time cap, and a second full warmup
-      // pass was ~4 min of pure repetition.
-      if (warmup)
-        ordered.foreach { case (n, fn) => run(s"warmup:$n", (s, _) => fn(s, dir)) }
+      // No separate warmup pass (dropped in r15 — it was ~6 min/scale
+      // of pure repetition): min-of-k ALREADY absorbs every cold cost
+      // rep 1 pays — JVM/codegen/scan setup, per-sf offline artifacts
+      // (index builds, fixture caches) — because the min comes from a
+      // later, warm rep. The r14 driver gate outgrew its time cap;
+      // this and the cuts below are what brought it back.
+      //
       // Noise discipline. The r5 sweep produced phantom per-query
       // outliers (4×+ vs the same query isolated in BenchOne): 75
       // queries of accumulated session state meant a heavy neighbor's
       // garbage + broadcast-cleanup backlog was charged to whoever ran
-      // next. Two countermeasures, judged against isolated runs:
-      //  - System.gc() before each query's rep group flushes the
-      //    PREVIOUS query's garbage so its collection pause is not
-      //    billed to this one (also drains the ContextCleaner's
-      //    reference queue of dead broadcasts). Cached fixture tables
-      //    (IVF assignments, bucketed stores) are deliberately NOT
-      //    cleared — they are offline artifacts, not per-query state.
+      // next. Countermeasures, judged against isolated runs:
+      //  - System.gc() before a query's rep group WHEN THE PREVIOUS
+      //    query was heavy (≥ 0.5 s measured — the only neighbors
+      //    whose garbage backlog is worth flushing; 848 unconditional
+      //    collections were minutes of the r14 gate). Cached fixture
+      //    tables (IVF assignments, bucketed stores) are deliberately
+      //    NOT cleared — they are offline artifacts, not per-query
+      //    state.
       //  - min of K timed reps: sweep noise is strictly one-sided
       //    (a rep is only ever slower than the plan's true cost), so
       //    min is the estimator that converges on the isolated number.
       //    K is ADAPTIVE: sub-second rows keep min-of-3 (noise is
       //    proportionally large, extra reps are cheap); rows ≥ 1 s get
       //    min-of-2 (noise is proportionally small against ≥ 1 s of
-      //    real work, every slow row is re-adjudicated by the isolated
-      //    min-of-3 anyway, and the third rep was ~170 s/scale of the
-      //    r14 gate's budget overrun).
+      //    real work, and every slow row is re-adjudicated by the
+      //    isolated min-of-3 anyway).
+      var prevCost = Double.MaxValue // gc before the very first query
       ordered.map { case (name, fn) =>
-        System.gc()
+        if (prevCost >= 0.5) System.gc()
         val first = run(name, (s, _) => fn(s, dir))
         val extra = if (first >= 1.0) 1 else 2
         val times = first +: Seq.fill(extra)(run(name, (s, _) => fn(s, dir)))
+        prevCost = times.filter(_ >= 0).maxOption.getOrElse(Double.MaxValue)
         name -> (if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min)
       }
     }
@@ -116,7 +117,7 @@ object Bench {
     val full: Double => String = v => v.toString
     val ms: Double => String = v => (math.rint(v * 1000) / 1000).toString
 
-    val results = timedPass(sfDir, warmup = true)
+    val results = timedPass(sfDir)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // Isolated re-measurement of the slowest queries. Sweep numbers for
@@ -172,7 +173,7 @@ object Bench {
         sfDir.substring(0, sfDir.length - big.length) + small
     }.filter(d => new java.io.File(d).isDirectory)
     val smallDetail = smallDir.map { dir =>
-      val smallResults = timedPass(dir, warmup = false)
+      val smallResults = timedPass(dir)
       val smallByName = smallResults.toMap
       // Symmetric pin: the isolated min-of-3 is applied to BOTH sides of
       // the ratio. Pinning only the big side (the r12 behavior) is an

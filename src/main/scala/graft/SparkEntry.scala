@@ -3714,8 +3714,8 @@ object SparkEntry {
         .select(col("user_id"),
           when(col("user_id") % 2 === 0, "a").otherwise("b").as("grp"),
           col("y"))
-      StatTests.permutationTest(units, "grp", "y", "a", "b", "user_id",
-        trials = 199)
+      Bootstrap.twoSampleRandomizationTest(units, "grp", "y", "a", "b",
+        "user_id", trials = 199)
     }),
     // Poisson bootstrap CI on per-user spend: 199 hash-weighted
     // resamples in ONE aggregate (no per-trial rank — weights are
@@ -3726,7 +3726,7 @@ object SparkEntry {
       val units = table(s, d, "events")
         .groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100).cast("long")).as("y"))
-      StatTests.poissonBootstrapCi(units, "y", "user_id", trials = 199)
+      Bootstrap.poissonBootstrapCi(units, "user_id", "y", reps = 199)
     }),
     "events_cuped" -> ((s, d) => {
       val ev = table(s, d, "events").select(col("user_id"),
@@ -14350,49 +14350,52 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // CUPED replay: exact integer moment sums in HUGEINT, theta and
     // variances as the same double formula, rounded once.
-    // the Poisson weight thresholds are interpolated from the ONE
-    // constant table (StatTests.PoissonHexThresholds) so the oracle
-    // and the operator cannot drift
-    "events_bootstrap_ci" -> {
-      val wExpr = StatTests.PoissonHexThresholds
-        .map(t => "(CASE WHEN substr(md5('boot:42:' || " +
-          "CAST(tt.t AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR))" +
-          s", 1, 12) >= '$t' THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH u AS (
-         |  SELECT user_id,
-         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
-         |  FROM events GROUP BY user_id),
-         |m AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_units,
-         |         CAST((1000000 * CAST(sum(y) AS HUGEINT)) // count(*)
-         |           AS BIGINT) AS mean_micro
-         |  FROM u),
-         |tt AS (SELECT unnest(range(1, 200)) AS t),
-         |wt AS (
-         |  SELECT tt.t AS t, u.y, ($wExpr) AS w
-         |  FROM u CROSS JOIN tt),
-         |tr AS (
-         |  SELECT t, CAST(sum(w) AS HUGEINT) AS n,
-         |         CAST(sum(w * y) AS HUGEINT) AS s
-         |  FROM wt GROUP BY t),
-         |mt AS (
-         |  SELECT t, CAST((1000000 * s) // n AS BIGINT) AS mean
-         |  FROM tr WHERE n > 0),
-         |rk AS (
-         |  SELECT t, mean, row_number() OVER (ORDER BY mean, t) AS rn,
-         |         count(*) OVER () AS n_trials
-         |  FROM mt),
-         |ci AS (
-         |  SELECT CAST(max(n_trials) AS BIGINT) AS n_trials,
-         |         CAST(min(mean) AS BIGINT) AS lo_micro,
-         |         CAST(max(mean) AS BIGINT) AS hi_micro
-         |  FROM rk WHERE rn = (n_trials * 25 + 999) // 1000
-         |             OR rn = (n_trials * 975 + 999) // 1000)
-         |SELECT m.n_units, ci.n_trials, m.mean_micro, ci.lo_micro,
-         |       ci.hi_micro
-         |FROM m, ci""".stripMargin
-    },
+    // bootstrap weights re-derived from the SAME hash16/PoissonCum
+    // machinery as eval_bootstrap (Bootstrap.scala's one table)
+    "events_bootstrap_ci" ->
+      """WITH u AS (
+        |  SELECT user_id AS id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score
+        |  FROM events GROUP BY user_id),
+        |m0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |         round(CAST(sum(score) AS DOUBLE) / count(*), 6) AS mean_score
+        |  FROM u),
+        |grid AS (
+        |  SELECT id, score, CAST(r AS BIGINT) AS rep
+        |  FROM u, unnest(generate_series(0, 198)) t(r)),
+        |h AS (
+        |  SELECT rep, score,
+        |         list_sum(list_transform(generate_series(1, 4), i ->
+        |           (strpos('0123456789abcdef',
+        |              substr(md5(CAST(id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)),
+        |                     CAST(i AS INT), 1)) - 1)
+        |           * CAST(16 ** (4 - i) AS BIGINT))) AS hv
+        |  FROM grid),
+        |mm AS (
+        |  SELECT rep, score,
+        |         CASE WHEN hv < 24113 THEN 0 WHEN hv < 48226 THEN 1
+        |              WHEN hv < 60273 THEN 2 WHEN hv < 64292 THEN 3
+        |              WHEN hv < 65296 THEN 4 WHEN hv < 65497 THEN 5
+        |              WHEN hv < 65531 THEN 6 WHEN hv < 65535 THEN 7
+        |              ELSE 8 END AS mult
+        |  FROM h),
+        |tr AS (
+        |  SELECT rep,
+        |         round(CAST(sum(mult * score) AS DOUBLE) / sum(mult), 6) AS mean
+        |  FROM mm GROUP BY rep HAVING sum(mult) > 0),
+        |rk AS (
+        |  SELECT rep, mean, row_number() OVER (ORDER BY mean, rep) AS rn,
+        |         count(*) OVER () AS n_reps
+        |  FROM tr),
+        |ci AS (
+        |  SELECT CAST(max(n_reps) AS BIGINT) AS n_reps,
+        |         min(mean) AS lo, max(mean) AS hi
+        |  FROM rk WHERE rn = (n_reps * 25 + 999) // 1000
+        |             OR rn = (n_reps * 975 + 999) // 1000
+        |  HAVING count(*) > 0)
+        |SELECT m0.n_units, ci.n_reps, m0.mean_score, ci.lo, ci.hi
+        |FROM m0, ci""".stripMargin,
     "events_permutation_test" ->
       """WITH u AS (
         |  SELECT user_id,
@@ -14406,7 +14409,9 @@ object SparkEntry {
         |         CAST(sum(CASE WHEN grp = 'b' THEN y ELSE 0 END) AS HUGEINT) AS sb,
         |         CAST(sum(y) AS HUGEINT) AS st
         |  FROM u),
-        |obs AS (SELECT n_a, n_b, st, abs(sa * n_b - sb * n_a) AS dobs FROM m),
+        |obs AS (SELECT coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |               coalesce(st, 0) AS st,
+        |               coalesce(abs(sa * n_b - sb * n_a), 0) AS dobs FROM m),
         |tt AS (SELECT unnest(range(1, 200)) AS t),
         |r AS (
         |  SELECT tt.t AS t, u.y,
@@ -14416,12 +14421,16 @@ object SparkEntry {
         |                    CAST(u.user_id AS VARCHAR)) AS rn
         |  FROM u CROSS JOIN tt),
         |tr AS (
-        |  SELECT r.t, CAST(sum(r.y) AS HUGEINT) AS sat
-        |  FROM r, obs WHERE r.rn <= obs.n_a GROUP BY r.t),
+        |  -- the rank condition lives INSIDE the sum (the operator's
+        |  -- degenerate-total shape): an empty pseudo-A still yields its
+        |  -- trial row with sat = 0
+        |  SELECT r.t, CAST(sum(CASE WHEN r.rn <= obs.n_a THEN r.y ELSE 0 END)
+        |                AS HUGEINT) AS sat
+        |  FROM r, obs GROUP BY r.t),
         |ge AS (
-        |  SELECT CAST(sum(CASE WHEN
+        |  SELECT coalesce(CAST(sum(CASE WHEN
         |           abs(tr.sat * obs.n_b - (obs.st - tr.sat) * obs.n_a)
-        |             >= obs.dobs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+        |             >= obs.dobs THEN 1 ELSE 0 END) AS BIGINT), 199) AS n_ge
         |  FROM tr, obs)
         |SELECT obs.n_a, obs.n_b, CAST(obs.dobs AS BIGINT) AS d_obs,
         |       ge.n_ge,

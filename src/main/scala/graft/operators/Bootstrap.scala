@@ -66,6 +66,150 @@ object Bootstrap {
   }
 
   /**
+   * Percentile confidence interval over [[poissonBootstrap]]'s
+   * replica means — the missing last step of the bootstrap card
+   * ("the caller derives CI bounds" above, now derived here, on the
+   * SAME hash16/PoissonCum machinery — one inverse-CDF table, one
+   * weight discipline, shared verbatim with the SQL oracle). The
+   * interval is the type-1 empirical quantile pair at ranks
+   * ⌈0.025·B'⌉ and ⌈0.975·B'⌉ over the B' kept replicas, ranked by
+   * (mean, rep) so ties are total; ranks are computed in EXACT
+   * integers — ceil(B'·0.025) in doubles flips at B' multiples of 40
+   * (200·0.025 lands an ulp above 5.0). Replicas whose weights all
+   * drew zero are dropped (probability e^−n per replica; the oracle
+   * drops them identically), and an empty example relation yields an
+   * EMPTY result, not a row of nulls.
+   *
+   * Shape: [[poissonBootstrap]]'s one explode-aggregate pass to B
+   * rows, then one window over that bounded relation on the pinned
+   * single-partition key (row_number + count share the partitioning,
+   * so the replica relation is consumed once — no second aggregate).
+   *
+   * Output: one row (n_units, n_reps, mean_score, lo, hi).
+   */
+  def poissonBootstrapCi(
+      examples: DataFrame, idCol: String, scoreCol: String,
+      reps: Int = 199): DataFrame = {
+    require(reps > 0, s"reps must be positive, got $reps")
+    val base = examples.filter(col(scoreCol).isNotNull)
+    val m = base
+      .agg(count(lit(1)).as("n_units"),
+        sum(col(scoreCol).cast("long")).as("__sy"))
+      .select(col("n_units"),
+        round(col("__sy").cast("double") / col("n_units"), 6)
+          .as("mean_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Retrieval.singlePartitionKey(col("rep")))
+    val ranked = poissonBootstrap(base, idCol, scoreCol, reps)
+      .filter(col("n_eff") > 0)
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("mean_score"), col("rep"))))
+      .withColumn("n_reps", count(lit(1)).over(w))
+    ranked
+      .filter(col("__rn") === expr("(n_reps * 25 + 999) div 1000") ||
+        col("__rn") === expr("(n_reps * 975 + 999) div 1000"))
+      .groupBy("n_reps")
+      .agg(min("mean_score").as("lo"), max("mean_score").as("hi"))
+      .crossJoin(broadcast(m))
+      .select(col("n_units"), col("n_reps"), col("mean_score"),
+        col("lo"), col("hi"))
+  }
+
+  /**
+   * TWO-SAMPLE Fisher randomization test for a mean difference — the
+   * between-group companion to the PAIRED sign-flip
+   * [[permutationTest]] below (different null: label exchangeability
+   * across two groups, vs per-item sign symmetry; both live here so
+   * the resampling family shares one module — the BenfordAudit
+   * consolidation discipline). Re-assign the observed group labels
+   * `trials` times and count how often a re-randomized |difference|
+   * reaches the observed one — no variance model, the inference that
+   * matches how an A/B assignment was actually made.
+   *
+   * Determinism: trial t ranks units by md5("perm:seed:t:unit")
+   * (ties on the unit string) and labels the first n_a ranks
+   * pseudo-A — the engine's seeded-md5-rank discipline, replayed
+   * verbatim in SQL. The statistic avoids division: with group sizes
+   * fixed across trials, mean_A − mean_B compares on the common
+   * n_a·n_b denominator, so d = |sum_A·n_b − sum_B·n_a| (exact
+   * DECIMAL) and "d_t ≥ d_obs" is an integer comparison. p is the
+   * add-one estimator (1 + #{d_t ≥ d_obs}) / (trials + 1) on the
+   * micro grid ([[permutationTest]]'s Phipson–Smyth convention).
+   * Degenerate inputs are total: an empty group (or empty input)
+   * gives d_obs = 0, every trial trivially reaches it, p = 1 — and
+   * the SQL oracle reproduces exactly that.
+   *
+   * Shape at 100 TB: randomization inference runs on the bounded
+   * EXPERIMENT-UNIT relation (the [[StatTests.cuped]] convention —
+   * users, not events): trials·|units| slim rows, a window over
+   * `trials` bounded partitions, one `trials`-row reduction. Unlike
+   * [[poissonBootstrapCi]] this NEEDS a per-trial rank (fixed group
+   * sizes), so its unit-count comfort zone is smaller — prefer the
+   * bootstrap when only an interval is needed.
+   *
+   * Report-column bound: d_obs is BIGINT and saturates past
+   * |Σy|·n ≈ 9·10¹⁸ — size the value grid to the unit count.
+   *
+   * Output: one row (n_a, n_b, d_obs, n_ge, p_micro).
+   */
+  def twoSampleRandomizationTest(
+      units: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String, unitCol: String,
+      trials: Int = 199, seed: Long = 42L): DataFrame = {
+    require(trials >= 1 && trials <= 10000,
+      s"trials must be in [1, 10000], got $trials")
+    val base = units
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(unitCol).cast("string").as("__u"),
+        (col(groupCol) === a).as("__ga"),
+        col(valueCol).cast("decimal(38,0)").as("__y"))
+    val zero = lit(0).cast("decimal(38,0)")
+    val m = base.agg(
+      coalesce(sum(when(col("__ga"), 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(!col("__ga"), 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(col("__ga"), col("__y")).otherwise(zero)), zero)
+        .as("__sa"),
+      coalesce(sum(when(!col("__ga"), col("__y")).otherwise(zero)), zero)
+        .as("__sb"),
+      coalesce(sum(col("__y")), zero).as("__st"))
+      .select(col("n_a"), col("n_b"), col("__st"),
+        abs(col("__sa") * col("n_b") - col("__sb") * col("n_a"))
+          .as("__dobs"))
+    val ranked = base
+      .select(col("__u"), col("__y"),
+        explode(expr(s"sequence(1, $trials)")).as("__t"))
+      .withColumn("__h", md5(concat(lit(s"perm:$seed:"),
+        col("__t").cast("string"), lit(":"), col("__u"))))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__t").orderBy(col("__h"), col("__u"))))
+    // the rank condition lives INSIDE the aggregate (not a filter
+    // before it) so a trial whose pseudo-A is empty — n_a = 0, a
+    // degenerate but legal input — still produces its group row with
+    // sat = 0 instead of vanishing
+    val perTrial = ranked
+      .crossJoin(broadcast(m))
+      .groupBy("__t")
+      .agg(sum(when(col("__rn") <= col("n_a"), col("__y"))
+        .otherwise(zero)).as("__sat"))
+      .crossJoin(broadcast(m))
+      .select(col("__t"),
+        (abs(col("__sat") * col("n_b") -
+          (col("__st") - col("__sat")) * col("n_a")) >= col("__dobs"))
+          .as("__ge"))
+    perTrial
+      // empty unit relation ⇒ no trial rows; every randomization of
+      // nothing trivially reproduces d_obs = 0, so n_ge = trials, p = 1
+      .agg(coalesce(sum(when(col("__ge"), 1L).otherwise(0L)),
+        lit(trials.toLong)).as("n_ge"))
+      .crossJoin(broadcast(m))
+      .select(col("n_a"), col("n_b"),
+        col("__dobs").cast("long").as("d_obs"), col("n_ge"),
+        expr(s"CAST((1000000 * (1 + n_ge)) div ${trials + 1} AS BIGINT)")
+          .as("p_micro"))
+  }
+
+  /**
    * Paired permutation (sign-flip) test per group — the
    * distribution-free significance test for "did metric B beat metric
    * A on the same items" when the metric is a NUMBER (McNemar covers

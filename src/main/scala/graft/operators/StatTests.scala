@@ -488,190 +488,11 @@ object StatTests {
   // (Expectations.scala) — one module for both card shapes and both
   // digit extractions; `orders_benford` uses BenfordAudit.screenCard.
 
-  /** Cumulative Poisson(1) thresholds as 12-hex-digit string literals
-    * (⌊P(X ≤ k)·2⁴⁸⌋ for k = 0..7, weights capped at 8 — the folded
-    * tail mass is ~1e-5): a unit's bootstrap weight in trial t is the
-    * count of thresholds ≤ the first 12 hex chars of
-    * md5("boot:seed:t:unit"), a pure STRING comparison both engines
-    * evaluate identically — no hex-to-int conversion anywhere. exp()
-    * runs only here, once, at constant definition (the
-    * [[BenfordAudit.P]] convention); the literals are interpolated
-    * into the SQL oracle from this one source of truth. */
-  val PoissonHexThresholds: Seq[String] = {
-    val cum = (0 to 7).scanLeft(0.0) { (acc, k) =>
-      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
-    }.tail // P(X<=0) .. P(X<=7)
-    cum.map(c => f"${math.floor(c * math.pow(2.0, 48)).toLong}%012x")
-  }
-
-  /**
-   * Poisson bootstrap confidence interval for a mean (Efron's
-   * bootstrap in the at-scale form: per trial each unit enters with
-   * weight ~ Poisson(1) instead of being resampled — the standard
-   * one-pass approximation whose weights need no global coordination,
-   * so all `trials` resamples ride ONE aggregate). The CI companion
-   * to [[permutationTest]]'s p-value.
-   *
-   * Determinism: the trial-t weight of a unit is a count of fixed
-   * hex-string thresholds ([[PoissonHexThresholds]]) at or below
-   * md5("boot:seed:t:unit")'s 12-hex prefix — exact in any engine.
-   * Trial means are integral micro floors (1e6·Σwy div Σw); the
-   * interval is the type-1 empirical quantile pair at ranks
-   * ⌈0.025·T'⌉ and ⌈0.975·T'⌉ over the T' kept trials, ranked by
-   * (mean, trial) so ties are total. Trials whose weights all drew 0
-   * are dropped (probability e^−n per trial — negligible past tiny
-   * n, and the oracle drops them identically).
-   *
-   * Shape at 100 TB: one trials×units explode over the bounded
-   * experiment-unit relation, one map-side-combinable aggregate to a
-   * `trials`-row relation, one window over that bounded relation on
-   * the pinned single-partition key. No rank over units (unlike
-   * [[permutationTest]] — bootstrap weights are per-row independent),
-   * so this one scales to unit relations far past the permutation
-   * test's comfort.
-   *
-   * Output: one row (n_units, n_trials, mean_micro, lo_micro,
-   * hi_micro).
-   */
-  def poissonBootstrapCi(
-      units: DataFrame, valueCol: String, unitCol: String,
-      trials: Int = 199, seed: Long = 42L): DataFrame = {
-    require(trials >= 1 && trials <= 10000,
-      s"trials must be in [1, 10000], got $trials")
-    val base = units
-      .filter(col(valueCol).isNotNull)
-      .select(col(unitCol).cast("string").as("__u"),
-        col(valueCol).cast("decimal(38,0)").as("__y"))
-    val m = base.agg(count(lit(1)).as("n_units"),
-      sum(col("__y")).as("__sy"))
-      .select(col("n_units"),
-        expr("CAST(CASE WHEN n_units > 0 THEN (1000000 * __sy) div n_units " +
-          "ELSE 0 END AS BIGINT)").as("mean_micro"))
-    val h = substring(md5(concat(lit(s"boot:$seed:"),
-      col("__t").cast("string"), lit(":"), col("__u"))), 1, 12)
-    val w = PoissonHexThresholds
-      .map(t => when(h >= lit(t), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val perTrial = base
-      .select(col("__u"), col("__y"),
-        explode(expr(s"sequence(1, $trials)")).as("__t"))
-      .select(col("__t"), col("__y"), w.as("__w"))
-      .groupBy("__t")
-      .agg(sum("__w").as("__n"),
-        sum(col("__w") * col("__y")).as("__s"))
-      .filter(col("__n") > 0)
-      .select(col("__t"),
-        expr("CAST((1000000 * __s) div __n AS BIGINT)").as("__mean"))
-    val ranked = perTrial
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(Retrieval.singlePartitionKey(col("__t")))
-          .orderBy(col("__mean"), col("__t"))))
-      .crossJoin(broadcast(perTrial.agg(count(lit(1)).as("n_trials"))))
-    ranked
-      // ⌈q·T'⌉ in exact integers — ceil(T'·0.025) in doubles flips at
-      // T' multiples of 40 (199·0.025 is fine; 200·0.025 lands an ulp
-      // above 5.0)
-      .filter(col("__rn") === expr("(n_trials * 25 + 999) div 1000") ||
-        col("__rn") === expr("(n_trials * 975 + 999) div 1000"))
-      .groupBy("n_trials")
-      .agg(min("__mean").as("lo_micro"), max("__mean").as("hi_micro"))
-      .crossJoin(broadcast(m))
-      .select(col("n_units"), col("n_trials"), col("mean_micro"),
-        col("lo_micro"), col("hi_micro"))
-  }
-
-  /**
-   * Fisher randomization (permutation) test for a two-group mean
-   * difference — the exact-inference companion to [[mannWhitney]]
-   * (rank shift, normal approximation) and [[abPower]] (design):
-   * re-assign the observed group labels `trials` times and count how
-   * often a re-randomized |difference| reaches the observed one. The
-   * randomization null needs no variance model — the workhorse for
-   * metric distributions too skewed for a t-test, and the inference
-   * that matches how an A/B assignment was actually made.
-   *
-   * Determinism: trial t ranks units by md5("perm:seed:t:unit")
-   * (ties on the unit string) and labels the first n_a ranks
-   * pseudo-A — the engine's seeded-md5-rank sampling discipline,
-   * replayed verbatim in SQL. The statistic avoids division: with
-   * group sizes fixed across trials, mean_A − mean_B compares on the
-   * common n_a·n_b denominator, so d = |sum_A·n_b − sum_B·n_a|
-   * (exact DECIMAL) and "d_t ≥ d_obs" is an integer comparison. The
-   * reported p is the add-one Monte-Carlo estimator
-   * (1 + #{d_t ≥ d_obs}) / (trials + 1) on the micro grid (the
-   * observed assignment is itself one randomization, which keeps
-   * p > 0 — Davison & Hinkley 1997's convention).
-   *
-   * Shape at 100 TB: randomization inference runs on the bounded
-   * EXPERIMENT-UNIT relation (the [[cuped]]/[[diffInDiff]] convention
-   * — users, not events), so the trials×units explode is
-   * trials·|units| slim rows, the per-trial rank is a window over
-   * `trials` bounded partitions, and everything reduces to one
-   * `trials`-row relation before the final count. The 1-row stats
-   * frame rides broadcast cross joins, the package's totals pattern.
-   *
-   * Report-column bound: d_obs/d_t are exact DECIMAL internally; the
-   * emitted d_obs is BIGINT and saturates past |Σy|·n ≈ 9·10¹⁸ —
-   * size the value grid to the unit count (the [[Evaluation
-   * .krippendorffAlpha]] report-column convention).
-   *
-   * Output: one row (n_a, n_b, d_obs, n_ge, p_micro).
-   */
-  def permutationTest(
-      units: DataFrame, groupCol: String, valueCol: String,
-      a: String, b: String, unitCol: String,
-      trials: Int = 199, seed: Long = 42L): DataFrame = {
-    require(trials >= 1 && trials <= 10000,
-      s"trials must be in [1, 10000], got $trials")
-    val base = units
-      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
-      .select(col(unitCol).cast("string").as("__u"),
-        (col(groupCol) === a).as("__ga"),
-        col(valueCol).cast("decimal(38,0)").as("__y"))
-    val zero = lit(0).cast("decimal(38,0)")
-    val m = base.agg(
-      sum(when(col("__ga"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("__ga"), 1L).otherwise(0L)).as("n_b"),
-      sum(when(col("__ga"), col("__y")).otherwise(zero)).as("__sa"),
-      sum(when(!col("__ga"), col("__y")).otherwise(zero)).as("__sb"),
-      sum(col("__y")).as("__st"))
-      .select(col("n_a"), col("n_b"), col("__st"),
-        abs(col("__sa") * col("n_b") - col("__sb") * col("n_a"))
-          .as("__dobs"))
-    val ranked = base
-      .select(col("__u"), col("__y"),
-        explode(expr(s"sequence(1, $trials)")).as("__t"))
-      .withColumn("__h", md5(concat(lit(s"perm:$seed:"),
-        col("__t").cast("string"), lit(":"), col("__u"))))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("__t").orderBy(col("__h"), col("__u"))))
-    // the rank condition lives INSIDE the aggregate (not a filter
-    // before it) so a trial whose pseudo-A is empty — n_a = 0, a
-    // degenerate but legal input — still produces its group row with
-    // sat = 0 instead of vanishing
-    val perTrial = ranked
-      .crossJoin(broadcast(m))
-      .groupBy("__t")
-      .agg(sum(when(col("__rn") <= col("n_a"), col("__y"))
-        .otherwise(zero)).as("__sat"))
-      .crossJoin(broadcast(m))
-      .select(col("__t"),
-        (abs(col("__sat") * col("n_b") -
-          (col("__st") - col("__sat")) * col("n_a")) >= col("__dobs"))
-          .as("__ge"))
-    perTrial
-      // empty unit relation ⇒ no trial rows; every randomization of
-      // nothing trivially reproduces d_obs = 0, so n_ge = trials, p = 1
-      .agg(coalesce(sum(when(col("__ge"), 1L).otherwise(0L)),
-        lit(trials.toLong)).as("n_ge"))
-      .crossJoin(broadcast(m))
-      .select(col("n_a"), col("n_b"),
-        col("__dobs").cast("long").as("d_obs"), col("n_ge"),
-        expr(s"CAST((1000000 * (1 + n_ge)) div ${trials + 1} AS BIGINT)")
-          .as("p_micro"))
-  }
+  // Resampling inference lives in [[Bootstrap]] — one module for
+  // the Poisson bootstrap (poissonBootstrap / poissonBootstrapCi),
+  // the paired sign-flip permutationTest, and the two-sample
+  // label-randomization twoSampleRandomizationTest; the
+  // events_permutation_test / events_bootstrap_ci rows use those.
 
   /**
    * A/B power card: the minimal detectable effect (two-sided α = 5%,

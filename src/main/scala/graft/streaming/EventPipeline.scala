@@ -1852,7 +1852,8 @@ object EventPipeline {
   }
 
   final case class UserTypeTop(
-      user_id: Long, event_type: String, n_type: Long, top3_cents: Long)
+      user_id: Long, event_type: String, n_type: Long, top3_cents: Long,
+      n_user_events: Long)
 
   /**
    * TWELFTH end-to-end streaming mode — MAP + LIST state: the two
@@ -1862,15 +1863,22 @@ object EventPipeline {
    * maintains the type histogram — the state shape for a
    * sub-keyed domain where a ValueState would re-serialize the whole
    * map per update and a wider grouping key would lose the per-user
-   * emission — and a `ListState` holds the user's THREE largest cents
-   * values. Both folds are associative over any batch slicing (counts
-   * add; the 3-largest multiset merges), so every emitted metric is
-   * monotone nondecreasing per (user, type) and the parity gate is
-   * order-free: final state = max over emissions, exactly the
-   * mode-10 discipline. Each batch emits one row per type TOUCHED in
-   * that batch, carrying the user's current top-3 sum.
+   * emission — a `ListState` holds the user's THREE largest cents
+   * values, and a `ValueState` counter tracks the user's total event
+   * count (all three state kinds in one processor). The folds are
+   * associative over any batch slicing (counts add; the 3-largest
+   * MULTISET merges), and the parity gate is order-free through two
+   * monotone high-water marks: n_type never decreases per (user,
+   * type), and n_user_events strictly increases per user-batch — so
+   * the user's FINAL top-3 sum is the one emitted at max
+   * n_user_events. (The top-3 SUM itself is NOT monotone: while
+   * fewer than three values are stored, a negative cents value
+   * lowers it — the r15 review caught a max-over-emissions gate
+   * silently assuming nonnegative metrics.) Each batch emits one row
+   * per type TOUCHED in that batch, carrying the user's current
+   * top-3 sum and event count.
    *
-   * 100 TB note: state is |users| × (|types| + 3) entries — the
+   * 100 TB note: state is |users| × (|types| + 4) entries — the
    * MapState sub-key keeps per-update work at the touched types, not
    * the whole histogram, which is the entire point of the API.
    */
@@ -1920,9 +1928,11 @@ object EventPipeline {
     q.awaitTermination()
     deleteNow(ckpt)
     releaseFixture(fixtureKey, srcDir)
-    // n_type is monotone per (user, type); top3_cents is monotone per
-    // USER (a row only re-emits for types touched in its batch, so a
-    // type-level max could read a stale top-3 from an earlier batch).
+    // n_type is monotone per (user, type); the user's FINAL top-3 sum
+    // is the emission at the n_user_events high-water mark (the sum
+    // itself is NOT monotone once negative cents exist, and a row
+    // only re-emits for types touched in its batch, so neither a
+    // type-level nor a user-level max over top3_cents is the answer).
     // localCheckpoint: the memory-sink plan is a leaf that cannot
     // self-join (no attribute re-instancing); the checkpoint pins the
     // bounded emission log once and both aggregates read the pin.
@@ -1930,8 +1940,10 @@ object EventPipeline {
     sunk.groupBy("user_id", "event_type")
       .agg(max("n_type").as("n_type"))
       .join(sunk.groupBy("user_id")
-        .agg(max("top3_cents").as("top3_cents")), "user_id")
-      .select("user_id", "event_type", "n_type", "top3_cents")
+        .agg(max(struct(col("n_user_events"), col("top3_cents")))
+          .as("__hw")), "user_id")
+      .select(col("user_id"), col("event_type"), col("n_type"),
+        col("__hw.top3_cents").as("top3_cents"))
   }
 
   /**
@@ -2077,29 +2089,34 @@ class GapSessionProcessor(gapSeconds: Long)
 }
 
 /**
- * `transformWithState` processor exercising MAP and LIST state: one
- * `MapState[String, Long]` per user for the event-type histogram
+ * `transformWithState` processor exercising all three state kinds:
+ * one `MapState[String, Long]` per user for the event-type histogram
  * (per-update work touches only the batch's types — the sub-keyed
- * access pattern that distinguishes MapState from a ValueState-of-map)
- * and one `ListState[Long]` holding the user's three largest cents
- * values (a bounded ranked buffer, merged associatively per batch).
- * Emits one row per type touched in the batch with the user's current
- * count and top-3 sum — both monotone nondecreasing, so the sink's
- * max per key is the final state (order-free parity).
+ * access pattern that distinguishes MapState from a ValueState-of-map),
+ * one `ListState[Long]` holding the user's three largest cents values
+ * (a bounded ranked buffer, merged associatively per batch), and one
+ * `ValueState[Long]` event counter. Emits one row per type touched in
+ * the batch with the user's current count, top-3 sum, and event
+ * count; the count columns are the gate's monotone high-water marks
+ * (the top-3 sum itself is not monotone under negative cents — see
+ * [[EventPipeline.userTypeHistogram]]).
  */
 class TypeHistTop3Processor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, String, Long), EventPipeline.UserTypeTop] {
-  import org.apache.spark.sql.streaming.{ListState, MapState, TTLConfig, TimeMode, TimerValues}
+  import org.apache.spark.sql.streaming.{ListState, MapState, TTLConfig, TimeMode, TimerValues, ValueState}
 
   @transient private var hist: MapState[String, Long] = _
   @transient private var top3: ListState[Long] = _
+  @transient private var nEvents: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     hist = getHandle.getMapState[String, Long]("hist",
       org.apache.spark.sql.Encoders.STRING,
       org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     top3 = getHandle.getListState[Long]("top3",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    nEvents = getHandle.getValueState[Long]("n_events",
       org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
   }
 
@@ -2120,8 +2137,12 @@ class TypeHistTop3Processor
       .take(3)
     top3.put(merged)
     val t3 = merged.sum
+    // ValueState: the per-user event count — the strictly increasing
+    // high-water mark the parity gate selects the final top-3 by
+    val n = (if (nEvents.exists()) nEvents.get() else 0L) + batch.length
+    nEvents.update(n)
     touched.iterator.map(t =>
-      EventPipeline.UserTypeTop(user, t, hist.getValue(t), t3))
+      EventPipeline.UserTypeTop(user, t, hist.getValue(t), t3, n))
   }
 }
 

@@ -69,6 +69,21 @@ class MaxSimSpec extends SparkFunSuite {
     assert(recalls.last === 20, s"shipped budget recall ${recalls.last}/20")
   }
 
+  test("plan shape: broadcast nested loop + hash aggregates, no window sort") {
+    // the exact path's contract: ONE broadcast of the bounded
+    // query-token relation (a BroadcastNestedLoopJoin, deliberate),
+    // the score matrix collapsed by hash aggregation (the k-slot
+    // TypedImperativeAggregate plans as ObjectHashAggregate), and no
+    // Window — a row_number() formulation would sort every candidate
+    val plan = Retrieval.maxSimTopK(qt, "qid", "qtok", dt, "doc_id",
+      "embedding", 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "query tokens must broadcast")
+    assert(plan.contains("ObjectHashAggregate"),
+      "top-k must be the k-slot aggregate")
+    assert(!plan.contains("Window"), "maxsim must not window-sort")
+  }
+
   test("deterministic: two runs, identical rows") {
     val a = Retrieval.maxSimTopK(qt, "qid", "qtok", dt, "doc_id",
       "embedding", 5).collect().map(_.toSeq).toSeq

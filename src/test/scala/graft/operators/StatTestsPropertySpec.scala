@@ -297,7 +297,7 @@ class StatTestsPropertySpec extends SparkFunSuite {
 
   // ---- the shared block-scan guard every drift card rides
 
-  test("property: permutationTest ≡ direct seeded-md5-rank replay") {
+  test("property: twoSampleRandomizationTest ≡ direct seeded-md5-rank replay") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -322,7 +322,7 @@ class StatTestsPropertySpec extends SparkFunSuite {
         val sat = BigInt(ranked.take(na.toInt).map(_._3).sum)
         (sat * nb - (st - sat) * na).abs >= dObs
       }.toLong
-      val got = StatTests.permutationTest(
+      val got = Bootstrap.twoSampleRandomizationTest(
         units.toDF("unit", "g", "y").repartition(3),
         "g", "y", "a", "b", "unit", trials = trials).collect().head
       got.getLong(0) == na && got.getLong(1) == nb &&
@@ -334,67 +334,68 @@ class StatTestsPropertySpec extends SparkFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("permutationTest: constant metric ⇒ p = 1; separated groups ⇒ floor p") {
+  test("twoSampleRandomizationTest: constant metric ⇒ p = 1; separated groups ⇒ floor p") {
     // constant y: every randomized |diff| equals the observed 0
     val flat = (1L to 20L).map(i =>
       (i, if (i % 2 == 0) "a" else "b", 7L)).toDF("unit", "g", "y")
-    val g1 = StatTests.permutationTest(flat, "g", "y", "a", "b", "unit",
-      trials = 99).collect().head
+    val g1 = Bootstrap.twoSampleRandomizationTest(flat, "g", "y", "a", "b",
+      "unit", trials = 99).collect().head
     assert(g1.getLong(3) === 99L && g1.getLong(4) === 1000000L)
     // fully separated groups: no re-randomization can match d_obs
     // except ones reproducing the exact split — overwhelmingly none
     val sep = ((1L to 10L).map((_, "a", 1000000L)) ++
       (11L to 20L).map((_, "b", 0L))).toDF("unit", "g", "y")
-    val g2 = StatTests.permutationTest(sep, "g", "y", "a", "b", "unit",
-      trials = 99).collect().head
+    val g2 = Bootstrap.twoSampleRandomizationTest(sep, "g", "y", "a", "b",
+      "unit", trials = 99).collect().head
     assert(g2.getLong(3) <= 1L)
     assert(g2.getLong(4) <= 20000L) // ≤ (1+1)/100 on the micro grid
     // validation
     intercept[IllegalArgumentException] {
-      StatTests.permutationTest(flat, "g", "y", "a", "b", "unit", trials = 0)
+      Bootstrap.twoSampleRandomizationTest(flat, "g", "y", "a", "b", "unit",
+        trials = 0)
     }
   }
 
-  test("property: poissonBootstrapCi ≡ direct hash-weight replay") {
-    def md5hex(s: String): String =
+  test("property: poissonBootstrapCi ≡ direct hash16/PoissonCum replay") {
+    def md5hex(x: String): String =
       java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val th = StatTests.PoissonHexThresholds
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def mult(u: Long, rep: Long): Long = {
+      val hv = Integer.parseInt(md5hex(s"$u:$rep").take(4), 16).toLong
+      Bootstrap.PoissonCum.indexWhere(hv < _) match {
+        case -1 => 8L
+        case k  => k.toLong
+      }
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val genUnits = for {
       n <- Gen.chooseNum(1, 25)
       ys <- Gen.listOfN(n, Gen.chooseNum(-500L, 500L))
     } yield ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }
-    val trials = 40 // a multiple of 40: the double-ceil trap rank
+    val reps = 40 // a multiple of 40: the double-ceil trap rank
     val prop = Prop.forAll(genUnits) { units =>
-      val means = (1 to trials).flatMap { t =>
-        val ws = units.map { case (u, y) =>
-          val h = md5hex(s"boot:42:$t:$u").take(12)
-          (th.count(h >= _).toLong, y)
-        }
+      val means = (0L until reps.toLong).flatMap { rep =>
+        val ws = units.map { case (u, y) => (mult(u, rep), y) }
         val n = ws.map(_._1).sum
         if (n == 0) None
-        else {
-          val s = ws.map { case (w, y) => BigInt(w) * y }.sum
-          Some(((BigInt(1000000) * s) / n).toLong) // positive n: floor≡quot for sign of s handled below
-        }
+        else Some((rep, r6(ws.map { case (w, y) => w * y }.sum.toDouble / n)))
       }
-      // BigInt / truncates toward zero for negative numerators — match
-      // Spark's `div` (also truncating), so the replay uses BigInt /.
-      val sorted = means.sorted
+      val got = Bootstrap.poissonBootstrapCi(
+        units.toDF("unit", "y").repartition(3), "unit", "y",
+        reps = reps).collect()
       val tN = means.size.toLong
-      val got = StatTests.poissonBootstrapCi(
-        units.toDF("unit", "y").repartition(3), "y", "unit",
-        trials = trials).collect()
       if (tN == 0) got.isEmpty
       else {
+        // rank by (mean, rep) — the value at the ceil ranks
+        val sorted = means.sortBy { case (rep, m) => (m, rep) }.map(_._2)
         val lo = sorted(((tN * 25 + 999) / 1000 - 1).toInt)
         val hi = sorted(((tN * 975 + 999) / 1000 - 1).toInt)
-        val ySum = BigInt(units.map(_._2).sum)
-        val meanMicro = ((BigInt(1000000) * ySum) / units.size).toLong
+        val meanObs = r6(units.map(_._2).sum.toDouble / units.size)
         val r = got.head
         got.length == 1 && r.getLong(0) == units.size.toLong &&
-          r.getLong(1) == tN && r.getLong(2) == meanMicro &&
-          r.getLong(3) == lo && r.getLong(4) == hi
+          r.getLong(1) == tN && r.getDouble(2) == meanObs &&
+          r.getDouble(3) == lo && r.getDouble(4) == hi
       }
     }
     val res = SCTest.check(
@@ -402,18 +403,15 @@ class StatTestsPropertySpec extends SparkFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("poissonBootstrapCi: interval brackets the mean; thresholds are the fixed table") {
-    val th = StatTests.PoissonHexThresholds
-    assert(th.size === 8 && th.forall(_.length == 12))
-    assert(th === th.sorted) // cumulative probabilities ⇒ ascending hex
+  test("poissonBootstrapCi: interval brackets the mean; validation") {
     val units = (1L to 60L).map(i => (i, 1000L + (i % 7) * 10))
       .toDF("unit", "y")
-    val r = StatTests.poissonBootstrapCi(units, "y", "unit", trials = 199)
+    val r = Bootstrap.poissonBootstrapCi(units, "unit", "y", reps = 199)
       .collect().head
-    assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4),
-      s"CI [${r.getLong(3)}, ${r.getLong(4)}] vs mean ${r.getLong(2)}")
+    assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4),
+      s"CI [${r.getDouble(3)}, ${r.getDouble(4)}] vs mean ${r.getDouble(2)}")
     intercept[IllegalArgumentException] {
-      StatTests.poissonBootstrapCi(units, "y", "unit", trials = 0)
+      Bootstrap.poissonBootstrapCi(units, "unit", "y", reps = 0)
     }
   }
 

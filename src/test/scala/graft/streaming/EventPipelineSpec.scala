@@ -694,6 +694,24 @@ class EventPipelineSpec extends SparkFunSuite {
       (100L, "view", 2L, 325L), (200L, "click", 1L, 300L)))
   }
 
+  test("streamedTypeHistParity: negative cents across batches — final top-3, not max emission") {
+    import spark.implicits._
+    // +500 then −200 for one user with an under-filled top-3 buffer:
+    // if the batches split, the +500-only emission (500) EXCEEDS the
+    // true final top-3 sum (300) — the r15 review case where a
+    // max-over-emissions gate silently assumed nonnegative metrics.
+    // The n_user_events high-water pick must return 300 under every
+    // file-to-batch split.
+    val evs = Seq(
+      Ev(1, t(0, 10), 100, "view", 5.0, "{}"),
+      Ev(2, t(0, 30), 100, "click", -2.0, "{}"))
+    val out = EventPipeline.streamedTypeHistParity(spark, evs.toDF())
+      .orderBy("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (100L, "click", 1L, 300L), (100L, "view", 1L, 300L)))
+  }
+
   test("streamedTypeTotalsComplete: final complete table equals batch group-by") {
     val ev = spark.read.parquet(s"$Sf0001/events.parquet")
     val streamed = EventPipeline.streamedTypeTotalsComplete(spark, ev)
