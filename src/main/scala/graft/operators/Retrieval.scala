@@ -777,6 +777,17 @@ object Retrieval {
    * `MaxSimSpec`: recall grows with the candidate budget and reaches
    * 1 at the shipped point on the fixture corpus.
    *
+   * The pinned metric is deliberately TOP-K DOC RECALL, not score
+   * equality, and this path deliberately has no exact-oracle driver
+   * row (probed in r15: scores diverge at sf0.01 under any candidate
+   * budget): banded LSH finds HIGH-cosine pairs with probability ~1,
+   * but a maxsim score also sums per-token maxima at middling
+   * cosine, whose bucket-collision probability is genuinely below 1
+   * — and sub-threshold best tokens truncate to 0 where the exact
+   * sum goes negative. Score-exact late interaction is
+   * [[maxSimTopK]]'s contract; this path's contract is retrieving
+   * the same documents cheaply.
+   *
    * @param docTokens (didCol, dtokCol, vecCol) — dtok ids unique
    *                  across the relation and disjoint from qtok ids
    */
