@@ -3619,7 +3619,7 @@ object SparkEntry {
     // c_t − min(0, running-min c) so it's two windows on the BOUNDED
     // hours relation, never a corpus sort. Drift allowance k=15/h,
     // alarm h=30.
-    "events_cusum" -> ((s, d) =>
+    "events_cusum_hourly" -> ((s, d) =>
       graft.streaming.EventPipeline.cusumHourly(
         table(s, d, "events"), driftK = 15L, alarmH = 30L)
         .orderBy("hour_ts")),
@@ -14864,7 +14864,7 @@ object SparkEntry {
         |       round(resid, 6) AS resid,
         |       abs(resid) > (SELECT mad FROM m) * 3 AS outlier
         |FROM r ORDER BY hour_ts""".stripMargin,
-    "events_cusum" ->
+    "events_cusum_hourly" ->
       """WITH hx AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
         |         CAST(count(*) AS BIGINT) AS n_events
