@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked bench/verify mains print machine-parsed JSON lines; without an
+// explicit strategy sbt re-logs forked stdout with `[info]` prefixes, which
+// defeats the driver's `{"metric":...}` parser (BENCH_r15.json parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -73,8 +73,18 @@ object Bench {
       }
     }
 
+    // Same PARTIAL-run escape hatch as Verify: a subset bench is for
+    // iterating on one row's plan, never for the round artifact.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(names => System.err.println(
+      s"[bench] WARNING: SPARK_GRAFT_ONLY is active — timing ONLY " +
+        s"${names.toSeq.sorted.mkString(", ")}. This is a PARTIAL bench."))
+
     def timedPass(dir: String): Seq[(String, Double)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
       // No separate warmup pass (dropped in r15 — it was ~6 min/scale
       // of pure repetition): min-of-k ALREADY absorbs every cold cost
       // rep 1 pays — JVM/codegen/scan setup, per-sf offline artifacts
@@ -106,8 +116,15 @@ object Bench {
       ordered.map { case (name, fn) =>
         if (prevCost >= 0.5) System.gc()
         val first = run(name, (s, _) => fn(s, dir))
-        val extra = if (first >= 1.0) 1 else 2
-        val times = first +: Seq.fill(extra)(run(name, (s, _) => fn(s, dir)))
+        val second = run(name, (s, _) => fn(s, dir))
+        // K is decided from the WARM rep: rep 1 also pays one-time
+        // fixture writes + codegen now that the warmup pass is gone, so
+        // a row that is sub-second warm but ≥ 1 s cold must not rest its
+        // min on a single warm sample with no noise rejection.
+        val times =
+          if (second >= 0 && second < 1.0 || second < 0 && first < 1.0)
+            Seq(first, second, run(name, (s, _) => fn(s, dir)))
+          else Seq(first, second)
         prevCost = times.filter(_ >= 0).maxOption.getOrElse(Double.MaxValue)
         name -> (if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min)
       }

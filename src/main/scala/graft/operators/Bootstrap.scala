@@ -147,8 +147,10 @@ object Bootstrap {
    * sizes), so its unit-count comfort zone is smaller — prefer the
    * bootstrap when only an interval is needed.
    *
-   * Report-column bound: d_obs is BIGINT and saturates past
-   * |Σy|·n ≈ 9·10¹⁸ — size the value grid to the unit count.
+   * Report-column bound: d_obs is BIGINT; past |Σy|·n ≈ 9·10¹⁸ the
+   * non-ANSI DECIMAL(38,0)→BIGINT cast yields NULL here while the
+   * oracle's HUGEINT→BIGINT cast errors — size the value grid to the
+   * unit count so neither is reachable.
    *
    * Output: one row (n_a, n_b, d_obs, n_ge, p_micro).
    */

@@ -2141,8 +2141,13 @@ class TypeHistTop3Processor
     // high-water mark the parity gate selects the final top-3 by
     val n = (if (nEvents.exists()) nEvents.get() else 0L) + batch.length
     nEvents.update(n)
+    // Materialize eagerly: state handles are only guaranteed valid while
+    // the grouping-key thread-local is set, i.e. inside this call — a lazy
+    // iterator reading hist.getValue after return is fragile across Spark
+    // upgrades even though it happens to work on the pinned version.
     touched.iterator.map(t =>
       EventPipeline.UserTypeTop(user, t, hist.getValue(t), t3, n))
+      .toVector.iterator
   }
 }
 

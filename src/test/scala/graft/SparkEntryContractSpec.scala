@@ -36,4 +36,15 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       s"row keys not appearing exactly twice (query + oracle): ${bad.keys.toSeq.sorted}")
   }
+
+  test("README row count matches the queries map") {
+    val path = java.nio.file.Paths.get("README.md")
+    assume(java.nio.file.Files.exists(path), "README not present")
+    val src = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val m = """(\d+) queries, (\d+) oracles""".r.findFirstMatchIn(src)
+    assert(m.isDefined, "README no longer carries the 'N queries, N oracles' line")
+    val n = SparkEntry.queries.size
+    assert(m.get.group(1).toInt === n && m.get.group(2).toInt === n,
+      s"README says '${m.get.matched}' but SparkEntry carries $n rows — sync README.md")
+  }
 }
