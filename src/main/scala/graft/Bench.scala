@@ -240,11 +240,14 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results, full)},"sf":"$sfDir"""" +
         s""","isolated":$isolatedJson,"isolated_alerts":$isolatedAlerts$smallDetail}"""
-    try {
-      val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
-      java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
-      System.err.println(s"[bench] detail written to ${out.toAbsolutePath}")
-    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // A PARTIAL run must never clobber the committed full-sweep artifact.
+    if (only.isEmpty) {
+      try {
+        val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
+        java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+        System.err.println(s"[bench] detail written to ${out.toAbsolutePath}")
+      } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    } else System.err.println("[bench] partial run — BENCH_DETAIL.json not written")
 
     // Compact stdout line, guaranteed to fit the harness's 2000-char
     // output tail (with headroom for the trailing sbt status line). If

@@ -105,6 +105,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfEmbCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
+  private val maxsimIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfDeleteCache =
@@ -3075,6 +3077,33 @@ object SparkEntry {
         k = 5)
         .orderBy("qid", "rnk")
     }),
+    // Late interaction AT REST: the same 4-query maxsim batch served
+    // from the IVF-partitioned multi-vector store (doc token vectors
+    // written partitionBy(cluster_id), per-token centroid routing,
+    // probed-partition scan). Full breadth (searchTopSize = 8 = all
+    // clusters) ⇒ bit-for-bit the exact maxsim, so the oracle is the
+    // same exact SQL as retrieval_maxsim; pruned-breadth doc recall is
+    // pinned as a grid in MaxSimSpec. The store build is a per-sf
+    // offline artifact (index construction is not query cost).
+    "retrieval_maxsim_ivf" -> ((s, d) => {
+      val (path, model) = maxsimIvfCache.computeIfAbsent(d, dir => {
+        val dt = table(s, dir, "embeddings")
+          .select(expr("vec_id div 8").as("doc_id"),
+            col("vec_id").as("dtok"), col("embedding"))
+        val (a, m) = IvfIndex.build(dt, "embedding", numClusters = 8)
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_maxsim_ivf").toString
+        IvfIndex.writePartitioned(a, p)
+        (p, m)
+      })
+      val qt = table(s, d, "embeddings").filter(col("vec_id") < 16)
+        .select((col("vec_id") % 4).as("qid"), col("vec_id").as("qtok"),
+          col("embedding"))
+      Retrieval.maxSimTopKIndexed(qt, "qid", "qtok",
+        s.read.parquet(path), model, "doc_id", "embedding",
+        k = 5, searchTopSize = 8)
+        .orderBy("qid", "rnk")
+    }),
     // Batched BM25: three queries amortize ONE corpus scan (the shape
     // that matters when the scan dominates); per-query top-5 via the
     // bounded topk_by_score aggregate, never a window sort. Scores are
@@ -3086,6 +3115,28 @@ object SparkEntry {
             2L -> Seq("vector", "spark", "window"),
             3L -> Seq("dup", "slow")), k = 5)
         .orderBy("query_id", "rnk")),
+    // Mean reciprocal rank over the SAME 3-query BM25 batch — the
+    // batch-eval staple beside retrieval_ndcg. Per-query relevance is
+    // the all-terms-present judge; each 1/rank quantizes to the micro
+    // grid BEFORE the mean (10⁶ div r on both engines), and the
+    // denominator is the whole batch (a query with no relevant hit in
+    // its top-10 counts — that is what "mean" means in MRR).
+    "retrieval_mrr" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val batch = Seq(
+        1L -> Seq("dup", "hash", "merge"),
+        2L -> Seq("vector", "spark", "window"),
+        3L -> Seq("dup", "slow"))
+      val ranked = Retrieval.bm25BatchTopK(docs, "doc_id", "text", batch, k = 10)
+      val toks = split(col("text"), " ")
+      val relExpr = batch.foldRight(lit(false)) { case ((qid, ts), acc) =>
+        when(col("query_id") === qid,
+          ts.map(t => array_contains(toks, t)).reduce(_ && _)).otherwise(acc)
+      }
+      val withRel = ranked.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("rel", relExpr)
+      Retrieval.mrrCard(withRel, "query_id", "rnk", "rel", k = 10, nQueries = 3L)
+    }),
     // Hybrid RAG retrieval: BM25 top-20 ∪ cosine top-20 fused by
     // reciprocal-rank fusion (1/(60+rank)), top-10 out. The two
     // k-bounded rank lists join in constant space; absent-in-one-list
@@ -6452,6 +6503,39 @@ object SparkEntry {
     * op-for-op. Every fractional constant is e-notation so DuckDB
     * parses it as DOUBLE — a bare `2.2` is DECIMAL there, and exact
     * decimal arithmetic rounds differently from Spark's doubles. */
+  /** Exact late-interaction oracle: per-token max cosine (6-dp micro
+    * grid) summed per doc, top-5 per query. Shared by retrieval_maxsim
+    * (the broadcast-exact path) and retrieval_maxsim_ivf (full-breadth
+    * IVF ≡ exact — every cluster probed, every pair scored). */
+  private lazy val MaxsimExactSql: String =
+    """WITH dt AS (
+      |  SELECT vec_id // 8 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |qt AS (
+      |  SELECT vec_id % 4 AS qid, vec_id AS qtok,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 16),
+      |sim AS (
+      |  SELECT q.qid, q.qtok, d.doc_id,
+      |         CAST(round(round(list_inner_product(q.v, d.v) /
+      |              (sqrt(list_inner_product(q.v, q.v)) *
+      |               sqrt(list_inner_product(d.v, d.v))), 6) * 1e6)
+      |           AS BIGINT) AS sim_micro
+      |  FROM qt q CROSS JOIN dt d),
+      |tokmax AS (
+      |  SELECT qid, qtok, doc_id, max(sim_micro) AS tok_max
+      |  FROM sim GROUP BY 1, 2, 3),
+      |score AS (
+      |  SELECT qid, doc_id, CAST(sum(tok_max) AS BIGINT) AS maxsim_micro
+      |  FROM tokmax GROUP BY 1, 2),
+      |r AS (
+      |  SELECT qid, doc_id, maxsim_micro,
+      |         CAST(row_number() OVER (PARTITION BY qid
+      |                ORDER BY maxsim_micro DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM score)
+      |SELECT qid, doc_id, maxsim_micro, rnk FROM r
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   private lazy val bm25Ctes: String =
     """WITH stats AS (
       |  SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -10641,34 +10725,10 @@ object SparkEntry {
     "retrieval_rm3_terms" -> (rm3Ctes + """
       |SELECT term, s_micro, weight_micro, is_original
       |FROM wrel ORDER BY weight_micro DESC, term""".stripMargin),
-    "retrieval_maxsim" ->
-      """WITH dt AS (
-        |  SELECT vec_id // 8 AS doc_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |qt AS (
-        |  SELECT vec_id % 4 AS qid, vec_id AS qtok,
-        |         CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id < 16),
-        |sim AS (
-        |  SELECT q.qid, q.qtok, d.doc_id,
-        |         CAST(round(round(list_inner_product(q.v, d.v) /
-        |              (sqrt(list_inner_product(q.v, q.v)) *
-        |               sqrt(list_inner_product(d.v, d.v))), 6) * 1e6)
-        |           AS BIGINT) AS sim_micro
-        |  FROM qt q CROSS JOIN dt d),
-        |tokmax AS (
-        |  SELECT qid, qtok, doc_id, max(sim_micro) AS tok_max
-        |  FROM sim GROUP BY 1, 2, 3),
-        |score AS (
-        |  SELECT qid, doc_id, CAST(sum(tok_max) AS BIGINT) AS maxsim_micro
-        |  FROM tokmax GROUP BY 1, 2),
-        |r AS (
-        |  SELECT qid, doc_id, maxsim_micro,
-        |         CAST(row_number() OVER (PARTITION BY qid
-        |                ORDER BY maxsim_micro DESC, doc_id) AS BIGINT) AS rnk
-        |  FROM score)
-        |SELECT qid, doc_id, maxsim_micro, rnk FROM r
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "retrieval_maxsim" -> MaxsimExactSql,
+    // Full-breadth IVF maxsim ≡ the exact maxsim (searchTopSize covers
+    // every cluster), so the at-rest row shares the exact-reduction SQL.
+    "retrieval_maxsim_ivf" -> MaxsimExactSql,
     "retrieval_rm3" -> (rm3Ctes + """,
       |tf2 AS (SELECT t.doc_id, t.dl, t.term, w.weight_micro AS w,
       |               CAST(count(*) AS BIGINT) AS tf
@@ -11974,6 +12034,67 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, doc_id, score, rnk FROM ranked
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Same batch-BM25 CTEs at k=10, then the integer micro-grid MRR:
+    // per-query min relevant rank, 10⁶ // r per query, // 3 for the mean.
+    "retrieval_mrr" ->
+      """WITH qt(query_id, term) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'dup'), (1, 'hash'), (1, 'merge'),
+        |  (2, 'vector'), (2, 'spark'), (2, 'window'),
+        |  (3, 'dup'), (3, 'slow')),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfd AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
+        |dfd AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ln(1.0e0 + (s.n - d.df + 0.5e0) / (d.df + 0.5e0)) *
+        |           ((t.tf * 2.2e0) /
+        |            (t.tf + 1.2e0 * ((1.0e0 - 0.75e0) +
+        |             ((0.75e0 * t.dl) / (CAST(s.sumdl AS DOUBLE) / s.n))))),
+        |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
+        |  FROM tfd t JOIN dfd d USING (term) JOIN qt q USING (term), stats s
+        |  GROUP BY q.query_id, t.doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, doc_id,
+        |           CAST(row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |    FROM scored) WHERE rnk <= 10),
+        |judged AS (
+        |  SELECT r.query_id, r.rnk,
+        |         CASE r.query_id
+        |           WHEN 1 THEN list_contains(string_split(d.text, ' '), 'dup') AND
+        |                       list_contains(string_split(d.text, ' '), 'hash') AND
+        |                       list_contains(string_split(d.text, ' '), 'merge')
+        |           WHEN 2 THEN list_contains(string_split(d.text, ' '), 'vector') AND
+        |                       list_contains(string_split(d.text, ' '), 'spark') AND
+        |                       list_contains(string_split(d.text, ' '), 'window')
+        |           ELSE list_contains(string_split(d.text, ' '), 'dup') AND
+        |                list_contains(string_split(d.text, ' '), 'slow')
+        |         END AS rel
+        |  FROM ranked r JOIN documents d USING (doc_id)),
+        |firsts AS (
+        |  SELECT query_id,
+        |         min(CASE WHEN rel AND rnk <= 10 THEN rnk END) AS first_rel
+        |  FROM judged GROUP BY query_id)
+        |SELECT CAST(3 AS BIGINT) AS n_queries,
+        |       CAST(coalesce(sum(CASE WHEN first_rel IS NOT NULL
+        |                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |         AS n_answered,
+        |       CAST(coalesce(sum(1000000 // first_rel), 0) AS BIGINT)
+        |         AS sum_rr_micro,
+        |       CAST(coalesce(sum(1000000 // first_rel), 0) // 3 AS BIGINT)
+        |         AS mrr_micro
+        |FROM firsts""".stripMargin,
     // RRF fusion of the exact BM25 top-20 and the exact cosine top-20
     // (CosExpr — the same kernel mirror every knn oracle uses).
     "retrieval_hybrid_rrf" ->

@@ -461,6 +461,49 @@ object Retrieval {
         falling(n - c).cast("double") / falling(n).cast("double"), scale))
   }
 
+  /**
+   * Mean-reciprocal-rank card (the ranking-eval staple beside
+   * [[ndcgCard]]) over a MULTI-QUERY ranked relation: per query the
+   * reciprocal rank of its FIRST relevant hit within the top k
+   * (`rr_micro = 10⁶ div first_rel_rank`, 0 when nothing relevant
+   * lands in the top k), then the mean over the WHOLE query batch —
+   * `nQueries` is a parameter, not `count(distinct queryCol)`, so
+   * queries whose rank list is entirely irrelevant (or empty) still
+   * weigh the denominator down, which is what MRR means.
+   *
+   * All-integer on the micro grid (each 1/r quantizes to `10⁶ div r`
+   * BEFORE the sum — both engines divide identically), so the card is
+   * bitwise-reproducible; the ±1µ-per-query quantization is noise at
+   * eval scale and documented here.
+   *
+   * Shape at 100 TB: the input is already k·|Q| rows (the ranking
+   * upstream did the corpus work — [[bm25BatchTopK]] amortizes ONE
+   * scan over the batch); this card is one hash aggregate to |Q| rows
+   * and one 1-row reduction.
+   *
+   * Output: one row (n_queries, n_answered, sum_rr_micro, mrr_micro).
+   */
+  def mrrCard(
+      ranked: DataFrame, queryCol: String, rnkCol: String, relCol: String,
+      k: Int, nQueries: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nQueries >= 1, s"nQueries must be >= 1, got $nQueries")
+    ranked
+      .groupBy(col(queryCol))
+      .agg(min(when(col(relCol) && col(rnkCol) <= k, col(rnkCol)))
+        .as("first_rel"))
+      .agg(
+        sum(when(col("first_rel").isNotNull, 1L).otherwise(0L))
+          .as("n_answered"),
+        sum(coalesce(expr("1000000L div first_rel"), lit(0L)))
+          .as("sum_rr_micro"))
+      .select(
+        lit(nQueries).as("n_queries"),
+        coalesce(col("n_answered"), lit(0L)).as("n_answered"),
+        coalesce(col("sum_rr_micro"), lit(0L)).as("sum_rr_micro"))
+      .withColumn("mrr_micro", expr(s"sum_rr_micro div ${nQueries}L"))
+  }
+
   /** Largest rank the nDCG gain table covers. */
   val MaxNdcgRank = 100
 
@@ -818,6 +861,68 @@ object Retrieval {
       .select(col("__qid"), col("query_id").as("__qtok"), col("__did"),
         round(col("cos_sim") * math.pow(10.0, scale)).cast("long")
           .as("__sim_micro"))
+    maxSimAggregate(sim, k)
+      .select(col("__qid").as(qidCol), col("__did").as(didCol),
+        col("maxsim_micro"), col("rnk"))
+  }
+
+  /**
+   * Late interaction AT REST — maxsim over the IVF-partitioned
+   * multi-vector store (the shape a production ColBERT deployment
+   * runs): the doc TOKEN vectors live in an [[IvfIndex]] store
+   * written `partitionBy(cluster_id)`, each query token routes to its
+   * `searchTopSize` nearest centroids (the reference's
+   * `KMeansTreeSearchTopSize` knob, /root/reference/app.py:60, applied
+   * per token), and the maxsim reduction runs over only the probed
+   * clusters. A (query token, doc token) pair outside the token's
+   * probe set contributes nothing — the same approximation contract
+   * as [[maxSimTopKLsh]], with the SAME exactness escape hatch as
+   * every IVF row: `searchTopSize >= numClusters` degenerates to the
+   * exact [[maxSimTopK]] bit-for-bit (recall under real pruning is
+   * pinned as a breadth grid in `MaxSimSpec`).
+   *
+   * Shape at 100 TB: routing is driver-side against the k×dim
+   * centroid matrix (the query batch is BOUNDED — the same contract
+   * under which [[maxSimTopK]] broadcasts it; collecting it here is
+   * explicit model-boundary state, not data); the store scan prunes
+   * to the UNION of probed partitions at file-listing time; the
+   * probe relation (one row per token × probed cluster) broadcasts,
+   * so each stored token fans out only to the query tokens that
+   * probed ITS cluster; then two map-side hash aggregates and the
+   * k-slot top-k — no window, no global sort, no all-pairs.
+   */
+  def maxSimTopKIndexed(
+      queryTokens: DataFrame, qidCol: String, qtokCol: String,
+      store: DataFrame, model: IvfIndex.IvfModel,
+      didCol: String, vecCol: String, k: Int, searchTopSize: Int,
+      scale: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(searchTopSize > 0,
+      s"searchTopSize must be positive, got $searchTopSize")
+    val spark = queryTokens.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val qRows = queryTokens.select(col(qidCol).cast("long"),
+      col(qtokCol).cast("long"),
+      col(vecCol).cast("array<float>")).collect()
+    val probes: Seq[(Long, Long, Seq[Float], Int)] = qRows.toSeq.flatMap { r =>
+      val v = r.getSeq[Float](2)
+      model.rankClusters(v.toArray, SearchStrategy.CosineSimilarity)
+        .take(searchTopSize)
+        .map(c => (r.getLong(0), r.getLong(1), v, c))
+    }
+    val probeDf = probes.toDF("__qid", "__qtok", "__qv", IvfIndex.ClusterCol)
+    val probedClusters = probes.map(_._4).distinct
+    val pruned = store.filter(col(IvfIndex.ClusterCol)
+      .isin(probedClusters.map(Integer.valueOf): _*))
+    val sim = pruned
+      .select(col(didCol).cast("long").as("__did"), col(vecCol).as("__dv"),
+        col(IvfIndex.ClusterCol))
+      .join(broadcast(probeDf), IvfIndex.ClusterCol)
+      .select(col("__qid"), col("__qtok"), col("__did"),
+        round(round(graft.functions.GraftFunctions
+          .knnCosineSimilarity(col("__qv"), col("__dv")), scale) *
+          math.pow(10.0, scale)).cast("long").as("__sim_micro"))
     maxSimAggregate(sim, k)
       .select(col("__qid").as(qidCol), col("__did").as(didCol),
         col("maxsim_micro"), col("rnk"))

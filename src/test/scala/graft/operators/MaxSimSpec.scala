@@ -84,6 +84,60 @@ class MaxSimSpec extends SparkFunSuite {
     assert(!plan.contains("Window"), "maxsim must not window-sort")
   }
 
+  private lazy val ivfStore: (String, IvfIndex.IvfModel) = {
+    val (a, m) = IvfIndex.build(dt, "embedding", numClusters = 8)
+    val p = java.nio.file.Files.createTempDirectory("maxsim_ivf_spec").toString
+    IvfIndex.writePartitioned(a, p)
+    (p, m)
+  }
+
+  test("IVF at-rest path: full breadth ≡ exact maxsim bit-for-bit") {
+    val (path, model) = ivfStore
+    val got = Retrieval.maxSimTopKIndexed(qt, "qid", "qtok",
+      spark.read.parquet(path), model, "doc_id", "embedding",
+      k = 5, searchTopSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val want = Retrieval.maxSimTopK(qt, "qid", "qtok", dt, "doc_id",
+      "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("IVF at-rest path: doc-recall grid is monotone in searchTopSize") {
+    val (path, model) = ivfStore
+    val store = spark.read.parquet(path)
+    val exact = exactTop(5).map { case (q, t) => q -> t.map(_._1).toSet }
+    val recalls = Seq(1, 2, 4, 8).map { breadth =>
+      val got = Retrieval.maxSimTopKIndexed(qt, "qid", "qtok", store,
+        model, "doc_id", "embedding", k = 5, searchTopSize = breadth)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size
+      }.sum
+    }
+    assert(recalls === recalls.sorted, s"recall grid $recalls not monotone")
+    assert(recalls.last === 20, s"full-breadth recall ${recalls.last}/20")
+  }
+
+  test("IVF at-rest path: pruned breadth scans only probed partitions") {
+    val (path, model) = ivfStore
+    val store = spark.read.parquet(path)
+    val plan = Retrieval.maxSimTopKIndexed(qt, "qid", "qtok", store,
+      model, "doc_id", "embedding", k = 5, searchTopSize = 1)
+      .queryExecution.executedPlan.toString
+    // the probe filter lands on the PARTITION column, so pruning is
+    // file-listing-time; the union of 16 tokens' single best clusters
+    // must be a strict subset of the 8 partitions on this fixture
+    val probed = qt.select("embedding").collect()
+      .map(r => model.rankClusters(r.getSeq[Float](0).toArray,
+        SearchStrategy.CosineSimilarity).head).distinct
+    assert(probed.length < 8, "fixture routes all tokens everywhere — widen it")
+    assert(plan.contains(IvfIndex.ClusterCol), "probe filter must hit cluster_id")
+  }
+
   test("deterministic: two runs, identical rows") {
     val a = Retrieval.maxSimTopK(qt, "qid", "qtok", dt, "doc_id",
       "embedding", 5).collect().map(_.toSeq).toSeq

@@ -378,6 +378,44 @@ class RetrievalSpec extends SparkFunSuite {
     assert(r(0).getDouble(2) > 0.0)
   }
 
+  test("mrr: first relevant rank per query, whole batch in the denominator") {
+    import spark.implicits._
+    // q1: relevant at ranks 2 and 4 → rr = 10⁶ div 2; q2: nothing
+    // relevant; q3: relevant at rank 1 but only BEYOND k=3 for rank 5
+    val ranked = Seq(
+      (1L, 1L, false), (1L, 2L, true), (1L, 4L, true),
+      (2L, 1L, false), (2L, 3L, false),
+      (3L, 1L, true), (3L, 5L, true)
+    ).toDF("q", "rnk", "rel")
+    val r = Retrieval.mrrCard(ranked, "q", "rnk", "rel", k = 3, nQueries = 4L)
+      .collect().head
+    assert(r.getLong(0) === 4L)                 // 4th query never ranked
+    assert(r.getLong(1) === 2L)                 // q1 and q3 answered
+    assert(r.getLong(2) === 500000L + 1000000L)
+    assert(r.getLong(3) === 1500000L / 4L)
+  }
+
+  test("mrr: relevance past k does not count; empty input → zero card") {
+    import spark.implicits._
+    val ranked = Seq((1L, 7L, true)).toDF("q", "rnk", "rel")
+    val r = Retrieval.mrrCard(ranked, "q", "rnk", "rel", k = 5, nQueries = 2L)
+      .collect().head
+    assert((0 to 3).map(r.getLong) === Seq(2L, 0L, 0L, 0L))
+    val empty = Seq.empty[(Long, Long, Boolean)].toDF("q", "rnk", "rel")
+    val e = Retrieval.mrrCard(empty, "q", "rnk", "rel", k = 5, nQueries = 3L)
+      .collect().head
+    assert((0 to 3).map(e.getLong) === Seq(3L, 0L, 0L, 0L))
+  }
+
+  test("mrr: micro-grid quantization is div, not round") {
+    import spark.implicits._
+    val ranked = Seq((1L, 3L, true)).toDF("q", "rnk", "rel")
+    val r = Retrieval.mrrCard(ranked, "q", "rnk", "rel", k = 10, nQueries = 1L)
+      .collect().head
+    assert(r.getLong(2) === 333333L) // 10⁶ div 3, floor not half-up
+    assert(r.getLong(3) === 333333L)
+  }
+
   test("ndcg: gain table pins log2 exactly once; prefix sums consistent") {
     assert(Retrieval.DcgGainMicro(0) === 1000000L)          // 1/log2(2)
     assert(Retrieval.DcgGainMicro(1) === 630930L)           // 1/log2(3)
