@@ -148,6 +148,30 @@ object PqIndex {
   }
 
   /**
+   * IVF-PQ with tombstones — the [[IvfIndex.searchWithTombstones]]
+   * deletion discipline applied to the composed shape: cluster
+   * pruning first, then the broadcast LEFT ANTI join drops deleted
+   * ids BEFORE the ADC scan (a dead row must not consume a candidate
+   * slot — resurrection aside, it would displace a live candidate and
+   * silently lower recall), then ADC + exact re-rank over live rows
+   * only. Full breadth + a sufficient candidate budget ≡ brute force
+   * over the live rows, which is what the churn property in
+   * `PqIndexSpec` pins under random append/delete/compact sequences.
+   */
+  def ivfPqSearchWithTombstones(
+      encodedAssigned: DataFrame, ivf: IvfIndex.IvfModel, pq: PqModel,
+      idCol: String, vecCol: String, query: Array[Float],
+      k: Int, searchTopSize: Int, candidates: Int,
+      tombstones: DataFrame, scoreScale: Option[Int] = None): DataFrame = {
+    val top = ivf.rankClusters(query, SearchStrategy.EuclideanDistance)
+      .take(searchTopSize).toSeq
+    val pruned = encodedAssigned
+      .filter(col(IvfIndex.ClusterCol).isin(top: _*))
+      .join(broadcast(tombstones.select(col(idCol))), Seq(idCol), "left_anti")
+    searchRerank(pruned, idCol, vecCol, pq, query, k, candidates, scoreScale)
+  }
+
+  /**
    * ADC candidates + exact re-rank: ADC selects `candidates` rows from
    * the codes scan; only those join back to full-precision vectors for
    * the exact distance — the standard accuracy recovery, bounded to the

@@ -102,6 +102,82 @@ class PqIndexSpec extends SparkFunSuite {
     assert(pruned.intersect(exact).size >= 6, s"pruned recall ${pruned.intersect(exact).size}/10")
   }
 
+  test("IVF-PQ randomized churn: append/delete/compact keeps rerank parity, never resurrects tombstones") {
+    // The NswAnnSpec churn discipline applied to the composed IVF-PQ
+    // shape: base store built and encoded, appends assigned to the
+    // FROZEN centroids + encoded with the FROZEN codebook (the
+    // production append path — no retrain), tombstones anti-joined
+    // before the ADC scan, compaction physically drops dead rows.
+    // At full breadth with the shipped candidate budget the exact
+    // re-rank must equal brute force over the live rows at every
+    // step, and a deleted id must never reappear — before OR after
+    // its compaction.
+    GraftFunctions.register(spark)
+    val allIds = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    def df(ids: Set[Long]) =
+      emb.where(col("vec_id").isInCollection(ids.map(Long.box)))
+    def qvOf(id: Long): Array[Float] =
+      emb.where(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).toArray
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(allIds.toVector)
+      val baseCut = (shuffled.size * (0.6 + 0.2 * rnd.nextDouble())).toInt
+      var present = shuffled.take(baseCut).toSet
+      var pool = shuffled.drop(baseCut)
+      val (assignedBase, ivf) = IvfIndex.build(df(present), "embedding",
+        numClusters = 8)
+      var store = PqIndex.encode(assignedBase, "embedding", model)
+        .localCheckpoint(true)
+      var dead = Set.empty[Long]
+      var deletedEver = Set.empty[Long]
+      def check(label: String): Unit = {
+        val liveIds = present -- dead
+        val qid = liveIds.toSeq.sorted.apply(rnd.nextInt(liveIds.size))
+        val q = qvOf(qid)
+        val got = PqIndex.ivfPqSearchWithTombstones(store, ivf, model,
+          "vec_id", "embedding", q, k = 10, searchTopSize = 8,
+          candidates = 128,
+          tombstones = df(dead).select("vec_id"), scoreScale = Some(6))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val want = df(liveIds).select(col("vec_id"),
+            round(GraftFunctions.knnEuclideanDistance(col("embedding"),
+              typedLit(q.toSeq)), 6).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got === want, s"seed $seed $label query $qid")
+        assert(got.forall(t => !deletedEver(t._1)),
+          s"seed $seed $label: resurrected tombstoned id")
+      }
+      check("base")
+      for (op <- 1 to 3) {
+        val r = rnd.nextInt(3)
+        if (r == 0 && pool.nonEmpty) { // append with frozen centroids/codebook
+          val take = math.min(pool.size, 20 + rnd.nextInt(60))
+          val batch = pool.take(take).toSet
+          pool = pool.drop(take)
+          store = store.unionByName(PqIndex.encode(
+            IvfIndex.assignBatch(df(batch), "embedding", ivf),
+            "embedding", model)).localCheckpoint(true)
+          present ++= batch
+        } else if (r == 1) { // tombstone ~1/8 of the live rows
+          val live = (present -- dead).toVector.sorted
+          val kill = rnd.shuffle(live).take(math.max(1, live.size / 8)).toSet
+          dead ++= kill
+          deletedEver ++= kill
+        } else if (dead.nonEmpty) { // compact: physically drop dead rows
+          store = store.join(
+              broadcast(df(dead).select("vec_id")), Seq("vec_id"), "left_anti")
+            .localCheckpoint(true)
+          present --= dead
+          dead = Set.empty
+        }
+        check(s"op $op")
+      }
+    }
+  }
+
   test("pq expressions: null on dimension mismatch or malformed inputs") {
     import spark.implicits._
     GraftFunctions.register(spark)
