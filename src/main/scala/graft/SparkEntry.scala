@@ -3159,6 +3159,36 @@ object SparkEntry {
         .withColumn("rel", relExpr)
       Retrieval.mrrCard(withRel, "query_id", "rnk", "rel", k = 10, nQueries = 3L)
     }),
+    // Mean average precision over the same batch — the third ranking
+    // staple. Per-query corpus relevant counts ride ONE extra scan
+    // (stack of three conditional sums), so a relevant doc the ranking
+    // missed still divides its query's AP down; every precision@r, AP,
+    // and the mean quantize by integral division on the micro grid.
+    "retrieval_map" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val batch = Seq(
+        1L -> Seq("dup", "hash", "merge"),
+        2L -> Seq("vector", "spark", "window"),
+        3L -> Seq("dup", "slow"))
+      val ranked = Retrieval.bm25BatchTopK(docs, "doc_id", "text", batch, k = 10)
+      val toks = split(col("text"), " ")
+      def isRel(ts: Seq[String]) =
+        ts.map(t => array_contains(toks, t)).reduce(_ && _)
+      val relExpr = batch.foldRight(lit(false)) { case ((qid, ts), acc) =>
+        when(col("query_id") === qid, isRel(ts)).otherwise(acc)
+      }
+      val withRel = ranked.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("rel", relExpr)
+      val tot = docs
+        .agg(
+          sum(when(isRel(batch(0)._2), 1L).otherwise(0L)).as("r1"),
+          sum(when(isRel(batch(1)._2), 1L).otherwise(0L)).as("r2"),
+          sum(when(isRel(batch(2)._2), 1L).otherwise(0L)).as("r3"))
+        .selectExpr("stack(3, CAST(1 AS BIGINT), r1, CAST(2 AS BIGINT), r2," +
+          " CAST(3 AS BIGINT), r3) AS (query_id, n_rel_corpus)")
+      Retrieval.mapCard(withRel, "query_id", "rnk", "rel", k = 10,
+        tot, nQueries = 3L)
+    }),
     // Hybrid RAG retrieval: BM25 top-20 ∪ cosine top-20 fused by
     // reciprocal-rank fusion (1/(60+rank)), top-10 out. The two
     // k-bounded rank lists join in constant space; absent-in-one-list
@@ -3771,6 +3801,14 @@ object SparkEntry {
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents")),
         "event_type", "cents", "click", "purchase")),
+    // Spearman ρ between doc length in chars and in tokens — midrank
+    // ties as doubled integers (the mann_whitney convention), exact
+    // DECIMAL moments, one rounded double division at the end.
+    "corpus_spearman" -> ((s, d) =>
+      StatTests.spearmanCard(
+        table(s, d, "documents").select(col("n_chars").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y")),
+        "x", "y")),
     // CUPED variance reduction: per-user pre-period spend (before the
     // midpoint timestamp) as the covariate for post-period spend —
     // the experiment-sensitivity card (Deng et al. 2013).
@@ -12145,6 +12183,87 @@ object SparkEntry {
         |       CAST(coalesce(sum(1000000 // first_rel), 0) // 3 AS BIGINT)
         |         AS mrr_micro
         |FROM firsts""".stripMargin,
+    // MAP over the same batch: per-query cumulative precision at each
+    // relevant rank (window over k-bounded partitions), AP divided by
+    // min(corpus relevant count, k), mean over the 3-query batch.
+    "retrieval_map" ->
+      """WITH qt(query_id, term) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'dup'), (1, 'hash'), (1, 'merge'),
+        |  (2, 'vector'), (2, 'spark'), (2, 'window'),
+        |  (3, 'dup'), (3, 'slow')),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfd AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
+        |dfd AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ln(1.0e0 + (s.n - d.df + 0.5e0) / (d.df + 0.5e0)) *
+        |           ((t.tf * 2.2e0) /
+        |            (t.tf + 1.2e0 * ((1.0e0 - 0.75e0) +
+        |             ((0.75e0 * t.dl) / (CAST(s.sumdl AS DOUBLE) / s.n))))),
+        |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
+        |  FROM tfd t JOIN dfd d USING (term) JOIN qt q USING (term), stats s
+        |  GROUP BY q.query_id, t.doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, doc_id,
+        |           CAST(row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |    FROM scored) WHERE rnk <= 10),
+        |rel3 AS (
+        |  SELECT doc_id,
+        |         (list_contains(string_split(text, ' '), 'dup') AND
+        |          list_contains(string_split(text, ' '), 'hash') AND
+        |          list_contains(string_split(text, ' '), 'merge')) AS r1,
+        |         (list_contains(string_split(text, ' '), 'vector') AND
+        |          list_contains(string_split(text, ' '), 'spark') AND
+        |          list_contains(string_split(text, ' '), 'window')) AS r2,
+        |         (list_contains(string_split(text, ' '), 'dup') AND
+        |          list_contains(string_split(text, ' '), 'slow')) AS r3
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(1 AS BIGINT) AS query_id,
+        |         CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+        |  FROM rel3
+        |  UNION ALL
+        |  SELECT 2, CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM rel3
+        |  UNION ALL
+        |  SELECT 3, CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM rel3),
+        |judged AS (
+        |  SELECT r.query_id, r.rnk,
+        |         CASE r.query_id WHEN 1 THEN d.r1 WHEN 2 THEN d.r2
+        |              ELSE d.r3 END AS rel
+        |  FROM ranked r JOIN rel3 d USING (doc_id)),
+        |cum AS (
+        |  SELECT query_id, rnk, rel,
+        |         sum(CASE WHEN rel THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY query_id ORDER BY rnk) AS c
+        |  FROM judged),
+        |apq AS (
+        |  SELECT query_id,
+        |         CAST(sum((1000000 * c) // rnk) AS BIGINT) AS ap_num
+        |  FROM cum WHERE rel GROUP BY query_id),
+        |ap AS (
+        |  SELECT t.query_id,
+        |         CASE WHEN t.n_rel > 0
+        |              THEN coalesce(a.ap_num, 0) // least(t.n_rel, 10)
+        |              ELSE 0 END AS ap_micro
+        |  FROM tot t LEFT JOIN apq a USING (query_id))
+        |SELECT CAST(3 AS BIGINT) AS n_queries,
+        |       CAST(coalesce(sum(ap_micro), 0) AS BIGINT) AS sum_ap_micro,
+        |       CAST(coalesce(sum(ap_micro), 0) // 3 AS BIGINT) AS map_micro
+        |FROM ap""".stripMargin,
     // RRF fusion of the exact BM25 top-20 and the exact cosine top-20
     // (CosExpr — the same kernel mirror every knn oracle uses).
     "retrieval_hybrid_rrf" ->
@@ -14519,6 +14638,42 @@ object SparkEntry {
         |             ((n_a + n_b + 1) - CAST(ties AS DOUBLE) /
         |               (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 6) AS z
         |FROM a""".stripMargin,
+    // Spearman replay: midranks from per-value histograms (the
+    // mann_whitney doubled-rank window), HUGEINT moments, ρ as the
+    // identical double sequence (cast, multiply, sqrt, divide, round).
+    "corpus_spearman" ->
+      """WITH rows_ AS (
+        |  SELECT n_chars AS x,
+        |         CAST(length(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |hx AS (SELECT x, count(*) AS c FROM rows_ GROUP BY x),
+        |rx AS (
+        |  SELECT x, 2 * (sum(c) OVER (ORDER BY x) - c) + c + 1 AS xr2
+        |  FROM hx),
+        |hy AS (SELECT y, count(*) AS c FROM rows_ GROUP BY y),
+        |ry AS (
+        |  SELECT y, 2 * (sum(c) OVER (ORDER BY y) - c) + c + 1 AS yr2
+        |  FROM hy),
+        |j AS (
+        |  SELECT rx.xr2 AS a, ry.yr2 AS b
+        |  FROM rows_ JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+        |         sum(CAST(a AS HUGEINT) * a) AS saa,
+        |         sum(CAST(a AS HUGEINT) * b) AS sab,
+        |         sum(CAST(b AS HUGEINT) * b) AS sbb
+        |  FROM j),
+        |s AS (
+        |  SELECT n, n * saa - sa * sa AS sxx, n * sab - sa * sb AS sxy,
+        |         n * sbb - sb * sb AS syy
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       CASE WHEN sxx > 0 AND syy > 0
+        |            THEN round(CAST(sxy AS DOUBLE) /
+        |                   sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6)
+        |            ELSE 0.0e0 END AS rho
+        |FROM s""".stripMargin,
     // CUPED replay: exact integer moment sums in HUGEINT, theta and
     // variances as the same double formula, rounded once.
     // bootstrap weights re-derived from the SAME hash16/PoissonCum

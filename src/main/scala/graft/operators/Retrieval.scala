@@ -504,6 +504,52 @@ object Retrieval {
       .withColumn("mrr_micro", expr(s"sum_rr_micro div ${nQueries}L"))
   }
 
+  /**
+   * Mean-average-precision card — the third batch ranking staple
+   * beside [[mrrCard]] and [[ndcgCard]]: per query, average precision
+   * AP@k = (Σ over relevant ranks r ≤ k of precision@r) / min(R_q, k),
+   * where R_q is the query's CORPUS relevant count (`relTotals`), so
+   * relevant docs the ranking missed entirely still divide the score
+   * down; MAP is the mean over the whole `nQueries` batch.
+   *
+   * Integer micro grid throughout: precision@r quantizes as
+   * `(10⁶·c_r) div r` (c_r = relevant count among the top r) BEFORE
+   * the sum, the per-query AP as one more integral division, the mean
+   * as a third — both engines floor identically, so the card is
+   * bitwise-reproducible (±1µ per division, documented here).
+   *
+   * Shape at 100 TB: input is the k·|Q|-row ranked relation; the
+   * cumulative count is a window over k-BOUNDED per-query partitions
+   * (never corpus-sized), then two hash aggregates. `relTotals`
+   * (query_id, n_rel_corpus) is |Q| rows, broadcast.
+   *
+   * Output: one row (n_queries, sum_ap_micro, map_micro).
+   */
+  def mapCard(
+      ranked: DataFrame, queryCol: String, rnkCol: String, relCol: String,
+      k: Int, relTotals: DataFrame, nQueries: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nQueries >= 1, s"nQueries must be >= 1, got $nQueries")
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rnkCol))
+    val ap = ranked
+      .filter(col(rnkCol) <= k)
+      .withColumn("__c",
+        sum(when(col(relCol), 1L).otherwise(0L)).over(w))
+      .filter(col(relCol))
+      .withColumn("__prec_micro", expr(s"(1000000 * __c) div $rnkCol"))
+      .groupBy(col(queryCol).as("__q"))
+      .agg(sum("__prec_micro").as("__ap_num"))
+      .join(relTotals.select(col(queryCol).as("__q"),
+        col("n_rel_corpus")), Seq("__q"), "right")
+      .select(
+        when(col("n_rel_corpus") > 0,
+          expr(s"coalesce(__ap_num, 0L) div least(n_rel_corpus, ${k}L)"))
+          .otherwise(0L).as("__ap_micro"))
+    ap.agg(coalesce(sum("__ap_micro"), lit(0L)).as("sum_ap_micro"))
+      .select(lit(nQueries).as("n_queries"), col("sum_ap_micro"))
+      .withColumn("map_micro", expr(s"sum_ap_micro div ${nQueries}L"))
+  }
+
   /** Largest rank the nDCG gain table covers. */
   val MaxNdcgRank = 100
 

@@ -344,6 +344,64 @@ object StatTests {
   }
 
   /**
+   * Spearman rank correlation (Spearman 1904) between two
+   * integer-quantized columns — the monotone-association staple for
+   * corpus signals (doc length vs token count, quality score vs dup
+   * rate) where Pearson on raw values is whale-dominated. Ties get
+   * textbook MIDRANKS, carried as DOUBLED integers (2·less + cnt + 1,
+   * the [[mannWhitney]] convention) so every rank is exact; ρ is then
+   * Pearson on the doubled ranks: the moment sums are exact
+   * DECIMAL(38,0) (the [[cuped]] discipline; doubling cancels in the
+   * ratio), and ρ leaves the integer grid ONCE, as
+   * `round(Sxy / sqrt(Sxx·Syy), 6)` — identical double sequence in
+   * the SQL oracle. Zero variance on either side reports ρ = 0.
+   *
+   * Shape at 100 TB: midranks come from the per-VALUE histogram
+   * (scan-local agg), cumulated by [[cumulativeOverValue]] (driver
+   * holds ≤ maxBlocks block totals — never a corpus-sized window),
+   * joined back by value; then one moment aggregate. Exactness bound:
+   * doubled ranks ≤ 2n, so Σr² ≤ 4n³ stays double-exact (< 2⁵³) to
+   * n ≈ 1.3·10⁵ per the final cast — past that ρ is ±1 ulp, still
+   * deterministic (both engines cast the same exact decimal).
+   *
+   * Output: one row (n, rho).
+   */
+  def spearmanCard(
+      df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Long = 1000L, maxBlocks: Int = 4096): DataFrame = {
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    def ranks(c: String): DataFrame = {
+      val hist = rows.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      cumulativeOverValue(hist, "__v", Seq("__c"), bucketWidth, maxBlocks)
+        .select(col("__v").as(c),
+          (lit(2L) * (col("__c_cum") - col("__c")) + col("__c") + lit(1L))
+            .as(s"${c}_r2"))
+    }
+    rows
+      .join(ranks("__x"), "__x").join(ranks("__y"), "__y")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x_r2").cast("decimal(38,0)")).as("__sa"),
+        sum(col("__y_r2").cast("decimal(38,0)")).as("__sb"),
+        sum(expr("CAST(__x_r2 AS DECIMAL(38,0)) * __x_r2")).as("__saa"),
+        sum(expr("CAST(__x_r2 AS DECIMAL(38,0)) * __y_r2")).as("__sab"),
+        sum(expr("CAST(__y_r2 AS DECIMAL(38,0)) * __y_r2")).as("__sbb"))
+      .select(col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * __saa - __sa * __sa").as("__Sxx"),
+        expr("CAST(n AS DECIMAL(38,0)) * __sab - __sa * __sb").as("__Sxy"),
+        expr("CAST(n AS DECIMAL(38,0)) * __sbb - __sb * __sb").as("__Syy"))
+      .select(col("n").cast("long").as("n"),
+        when(col("__Sxx") > 0 && col("__Syy") > 0,
+          round(col("__Sxy").cast("double") /
+            sqrt(col("__Sxx").cast("double") * col("__Syy").cast("double")),
+            6)).otherwise(lit(0.0)).as("rho"))
+  }
+
+  /**
    * CUPED variance reduction (Deng et al. 2013) — the standard
    * experiment-sensitivity trick: adjust each unit's post-period
    * metric by its pre-period covariate, y′ = y − θ(x − x̄), with

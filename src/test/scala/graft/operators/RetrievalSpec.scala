@@ -416,6 +416,44 @@ class RetrievalSpec extends SparkFunSuite {
     assert(r.getLong(3) === 333333L)
   }
 
+  test("map: textbook AP check, corpus misses divide the score down") {
+    import spark.implicits._
+    // q1: relevant at ranks 1 and 3, corpus has 4 relevant →
+    //   AP = (10⁶·1 div 1 + 10⁶·2 div 3) div min(4, 10)
+    // q2: nothing relevant in top-k but 2 in the corpus → AP = 0
+    val ranked = Seq(
+      (1L, 1L, true), (1L, 2L, false), (1L, 3L, true),
+      (2L, 1L, false), (2L, 2L, false)
+    ).toDF("q", "rnk", "rel")
+    val tot = Seq((1L, 4L), (2L, 2L)).toDF("q", "n_rel_corpus")
+    val r = Retrieval.mapCard(ranked, "q", "rnk", "rel", k = 10, tot,
+      nQueries = 2L).collect().head
+    val ap1 = (1000000L + 2000000L / 3L) / 4L
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === ap1)
+    assert(r.getLong(2) === ap1 / 2L)
+  }
+
+  test("map: AP denominator caps at k; zero-relevant corpus scores 0 not null") {
+    import spark.implicits._
+    val ranked = (1L to 10L).map(r => (1L, r, true)).toDF("q", "rnk", "rel")
+    val tot = Seq((1L, 50L), (2L, 0L)).toDF("q", "n_rel_corpus")
+    val r = Retrieval.mapCard(ranked, "q", "rnk", "rel", k = 10, tot,
+      nQueries = 2L).collect().head
+    // perfect ranking: every precision@r = 10⁶ → AP = 10⁷ div min(50,10)
+    assert(r.getLong(1) === 1000000L)
+    assert(r.getLong(2) === 500000L)
+  }
+
+  test("map: ranks beyond k are ignored") {
+    import spark.implicits._
+    val ranked = Seq((1L, 1L, true), (1L, 7L, true)).toDF("q", "rnk", "rel")
+    val tot = Seq((1L, 2L)).toDF("q", "n_rel_corpus")
+    val r = Retrieval.mapCard(ranked, "q", "rnk", "rel", k = 5, tot,
+      nQueries = 1L).collect().head
+    assert(r.getLong(1) === 1000000L / 2L)
+  }
+
   test("ndcg: gain table pins log2 exactly once; prefix sums consistent") {
     assert(Retrieval.DcgGainMicro(0) === 1000000L)          // 1/log2(2)
     assert(Retrieval.DcgGainMicro(1) === 630930L)           // 1/log2(3)

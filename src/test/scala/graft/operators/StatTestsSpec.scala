@@ -119,6 +119,45 @@ class StatTestsSpec extends SparkFunSuite {
     assert(r.getLong(2) === 6L)
   }
 
+  test("spearman: monotone pairs score exactly ±1; constant scores 0") {
+    val up = (1 to 40).map(i => (i.toLong, i.toLong * i)).toDF("x", "y")
+    val r1 = StatTests.spearmanCard(up, "x", "y").collect().head
+    assert((r1.getLong(0), r1.getDouble(1)) === (40L, 1.0))
+    val down = (1 to 40).map(i => (i.toLong, 100L - i)).toDF("x", "y")
+    assert(StatTests.spearmanCard(down, "x", "y")
+      .collect().head.getDouble(1) === -1.0)
+    val const = (1 to 10).map(i => (i.toLong, 7L)).toDF("x", "y")
+    assert(StatTests.spearmanCard(const, "x", "y")
+      .collect().head.getDouble(1) === 0.0)
+  }
+
+  test("spearman: midrank ties match the textbook tied-rank formula") {
+    // x = (1,2,2,4), y = (10,20,20,40): x ranks (1, 2.5, 2.5, 4) = y
+    // ranks → ρ = 1 even though neither ranking is strict
+    val df = Seq((1L, 10L), (2L, 20L), (2L, 20L), (4L, 40L)).toDF("x", "y")
+    val r = StatTests.spearmanCard(df, "x", "y").collect().head
+    assert(r.getDouble(1) === 1.0)
+    // hand case WITH a disagreeing tie: x = (1,2,3), y = (5,5,9):
+    // y midranks (1.5, 1.5, 3) → doubled (3,3,6); x doubled (2,4,6)
+    // Sxy = 3·(2·3+4·3+6·6) − 12·12 = 18; Sxx = 3·56 − 144 = 24;
+    // Syy = 3·54 − 144 = 18 → ρ = 18/sqrt(24·18)
+    val d2 = Seq((1L, 5L), (2L, 5L), (3L, 9L)).toDF("x", "y")
+    val want = math.rint(18.0 / math.sqrt(24.0 * 18.0) * 1e6) / 1e6
+    assert(StatTests.spearmanCard(d2, "x", "y")
+      .collect().head.getDouble(1) === want)
+  }
+
+  test("spearman: invariant under strictly monotone transforms of either side") {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 60).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val a = StatTests.spearmanCard(base.toDF("x", "y"), "x", "y")
+      .collect().head.getDouble(1)
+    val b = StatTests.spearmanCard(
+      base.map { case (x, y) => (x * 7 + 3, y * y * 2 + y) }.toDF("x", "y"),
+      "x", "y").collect().head.getDouble(1)
+    assert(a === b, "rank correlation must see only the order")
+  }
+
   test("cuped: a perfectly predictive covariate removes all variance") {
     val units = (1 to 50).map(i => (i.toLong, i.toLong * 3, i.toLong * 6))
       .toDF("u", "x", "y")
