@@ -2314,6 +2314,20 @@ object SparkEntry {
       DatasetSplit.assignSplits(table(s, d, "documents"), "doc_id")
         .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")),
+    // Train/test leakage through near-duplicates: the MinHash pair
+    // relation (recall 1 at these knobs on this corpus — the
+    // dedup_minhash contract) tagged with each side's md5-bucket split;
+    // a cross-split cell means the eval set contains paraphrases of
+    // training rows. Slim pair relation, two equality joins, one tiny
+    // aggregate.
+    "split_leakage" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      DatasetSplit.leakageCard(
+        Dedup.minHashPairs(docs, "doc_id", "text",
+          bands = 8, rowsPerBand = 4, threshold = 0.5, scale = Scale),
+        "a_id", "b_id",
+        DatasetSplit.assignSplits(docs, "doc_id"), "doc_id", "split")
+    }),
     // Stratified deterministic sampling — the data-mixture knob: keep
     // 100%/50%/25%/10% of four sources by md5 id-bucket; unlisted
     // sources drop. Reproducible, incremental, scan-local.
@@ -3188,6 +3202,18 @@ object SparkEntry {
           " CAST(3 AS BIGINT), r3) AS (query_id, n_rel_corpus)")
       Retrieval.mapCard(withRel, "query_id", "rnk", "rel", k = 10,
         tot, nQueries = 3L)
+    }),
+    // Kendall τ between the BM25 and Dirichlet-QL top-20 for the same
+    // query — the ranker-agreement card. Exact concordant/discordant
+    // counts over the ≤ 20² bounded pair join; τ leaves the integer
+    // grid once as a rounded double.
+    "eval_kendall" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val terms = Seq("dup", "hash", "merge")
+      Retrieval.kendallTau(
+        Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20),
+        Retrieval.queryLikelihoodTopK(docs, "doc_id", "text", terms, k = 20),
+        "doc_id", "rnk")
     }),
     // Hybrid RAG retrieval: BM25 top-20 ∪ cosine top-20 fused by
     // reciprocal-rank fusion (1/(60+rank)), top-10 out. The two
@@ -9646,6 +9672,44 @@ object SparkEntry {
         |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // Leakage card: the exact-join MinHash pair replay (recall 1 at
+    // the fixture knobs) cross-tagged with the md5-bucket splits.
+    "split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t != '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, CASE WHEN len(t) = 0 THEN []
+        |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.id AS a_id, b.id AS b_id,
+        |           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |                 len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
+        |    FROM sh a JOIN sh b ON a.id < b.id)
+        |  WHERE jaccard >= 0.5),
+        |sp AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(generate_series(1, 4),
+        |           i -> (strpos('0123456789abcdef',
+        |                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) AS bucket
+        |  FROM documents),
+        |spl AS (
+        |  SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+        |                      WHEN bucket < 90 THEN 'val'
+        |                      ELSE 'test' END AS split
+        |  FROM sp)
+        |SELECT sa.split AS split_a, sb.split AS split_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       sa.split <> sb.split AS leaked
+        |FROM pairs p
+        |JOIN spl sa ON p.a_id = sa.doc_id
+        |JOIN spl sb ON p.b_id = sb.doc_id
+        |GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin,
     "stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, source,
@@ -12068,6 +12132,54 @@ object SparkEntry {
         |SELECT doc_id, n_terms, score,
         |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Kendall τ replay: BM25 and QL top-20 from their shared scoring
+    // CTEs, concordant/discordant over the common-doc pair join, τ as
+    // the identical rounded double division.
+    "eval_kendall" ->
+      s"""$bm25Ctes,
+         |cfq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tfq GROUP BY term),
+         |qc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nq,
+         |         sum(CAST(round(ln(2000.0e0 *
+         |           (CAST(cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))), 6)
+         |           AS DECIMAL(28,6))) AS c0
+         |  FROM cfq, stats s),
+         |ql AS (
+         |  SELECT t.doc_id, t.dl,
+         |         sum(CAST(round(
+         |           ln(t.tf + 2000.0e0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))) -
+         |           ln(2000.0e0 * (CAST(c.cf AS DOUBLE) / CAST(s.sumdl AS DOUBLE))), 6)
+         |           AS DECIMAL(28,6))) AS sd
+         |  FROM tfq t JOIN cfq c USING (term), stats s
+         |  GROUP BY t.doc_id, t.dl),
+         |sc AS (
+         |  SELECT doc_id,
+         |         CAST(sd + qc.c0 - CAST(round(qc.nq * ln(CAST(dl AS DOUBLE) + 2000.0e0), 6)
+         |              AS DECIMAL(28,6)) AS DOUBLE) AS score
+         |  FROM ql, qc),
+         |la AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS ra
+         |  FROM bm25 ORDER BY score DESC, doc_id LIMIT 20),
+         |lb AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+         |  FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+         |cm AS (SELECT la.doc_id AS id, ra, rb FROM la JOIN lb USING (doc_id)),
+         |cd AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN (x.ra < y.ra) = (x.rb < y.rb)
+         |                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+         |         CAST(coalesce(sum(CASE WHEN (x.ra < y.ra) <> (x.rb < y.rb)
+         |                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant
+         |  FROM cm x JOIN cm y ON x.id < y.id),
+         |cnts AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM la) AS n_a,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM lb) AS n_b,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM cm) AS n_common)
+         |SELECT c.n_a, c.n_b, c.n_common, d.concordant, d.discordant,
+         |       CASE WHEN c.n_common >= 2
+         |            THEN round(CAST(d.concordant - d.discordant AS DOUBLE) /
+         |                   (CAST(c.n_common AS DOUBLE) * (c.n_common - 1) / 2.0e0), 6)
+         |            ELSE 0.0e0 END AS tau
+         |FROM cnts c, cd d""".stripMargin,
     // Top-20 BM25 ranking minus the all-terms relevance set = the
     // hard negatives, re-derived with the same scoring CTEs.
     "retrieval_hard_negatives" ->

@@ -259,4 +259,35 @@ object DatasetSplit {
         coalesce(col("__graft_keep_pct"), lit(0)))
       .drop("__graft_keep_pct")
   }
+
+  /**
+   * Near-duplicate split-LEAKAGE card — the check every train/test
+   * split needs after dedup found pairs: a near-dup pair straddling
+   * train and test means the model is evaluated on (a paraphrase of)
+   * its own training data, and the benchmark number is contaminated.
+   * Takes any pair relation (MinHash/LSH/SimHash output) and the
+   * per-row split assignment; reports pair counts per (split_a,
+   * split_b) cell with `leaked` = the pair crosses splits.
+   *
+   * Shape at 100 TB: the pair relation is already slim (the dedup
+   * join's output, not the corpus); two equality joins tag each side
+   * with its split, then one tiny hash aggregate — nothing here ever
+   * rescans or reshuffles the corpus beyond the id→split projection.
+   *
+   * Output: (split_a, split_b, n_pairs, leaked), ordered.
+   */
+  def leakageCard(
+      pairs: DataFrame, aCol: String, bCol: String,
+      assigned: DataFrame, idCol: String, splitCol: String): DataFrame = {
+    val slim = assigned.select(col(idCol), col(splitCol))
+    pairs.select(col(aCol), col(bCol))
+      .join(slim.withColumnRenamed(idCol, aCol)
+        .withColumnRenamed(splitCol, "split_a"), aCol)
+      .join(slim.withColumnRenamed(idCol, bCol)
+        .withColumnRenamed(splitCol, "split_b"), bCol)
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
 }

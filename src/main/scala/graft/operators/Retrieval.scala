@@ -505,6 +505,55 @@ object Retrieval {
   }
 
   /**
+   * Kendall τ agreement between two top-k rankings of the same corpus
+   * — the ranker-agreement card (BM25 vs QL, old index vs new): over
+   * the items BOTH rankers surfaced, count concordant vs discordant
+   * pairs; ranks within a list are unique (`row_number`), so there are
+   * no ties and τ = τ-a = (C − D) / (m(m−1)/2). Items only one ranker
+   * surfaced are reported in the n_a/n_b/n_common columns rather than
+   * folded into τ (the conventions that impute ranks for them disagree
+   * with each other; the card keeps the well-defined part exact).
+   *
+   * Shape: both inputs are k-bounded rank lists, so the pair join is
+   * ≤ k² rows — a broadcast nested-loop over bounded relations,
+   * constant work at any corpus size (the [[rrfFuse]] contract). C
+   * and D are exact integers; τ leaves the grid once, as one rounded
+   * double division (identical sequence in the oracle).
+   *
+   * Output: one row (n_a, n_b, n_common, concordant, discordant, tau).
+   */
+  def kendallTau(
+      a: DataFrame, b: DataFrame, idCol: String, rnkCol: String): DataFrame = {
+    val ar = a.select(col(idCol).cast("long").as("__id"),
+      col(rnkCol).cast("long").as("__ra"))
+    val br = b.select(col(idCol).cast("long").as("__id"),
+      col(rnkCol).cast("long").as("__rb"))
+    val common = ar.join(br, "__id")
+    val x = common.select(col("__id").as("__idx"),
+      col("__ra").as("__rax"), col("__rb").as("__rbx"))
+    val y = common.select(col("__id").as("__idy"),
+      col("__ra").as("__ray"), col("__rb").as("__rby"))
+    val cd = x.join(broadcast(y), col("__idx") < col("__idy"))
+      .agg(
+        coalesce(sum(when((col("__rax") < col("__ray")) ===
+          (col("__rbx") < col("__rby")), 1L).otherwise(0L)), lit(0L))
+          .as("concordant"),
+        coalesce(sum(when((col("__rax") < col("__ray")) =!=
+          (col("__rbx") < col("__rby")), 1L).otherwise(0L)), lit(0L))
+          .as("discordant"))
+    ar.agg(count(lit(1)).as("n_a"))
+      .crossJoin(broadcast(br.agg(count(lit(1)).as("n_b"))))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+      .crossJoin(broadcast(cd))
+      .withColumn("tau",
+        when(col("n_common") >= 2,
+          round((col("concordant") - col("discordant")).cast("double") /
+            (col("n_common").cast("double") * (col("n_common") - 1) /
+              lit(2.0)), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
    * Mean-average-precision card — the third batch ranking staple
    * beside [[mrrCard]] and [[ndcgCard]]: per query, average precision
    * AP@k = (Σ over relevant ranks r ≤ k of precision@r) / min(R_q, k),

@@ -256,4 +256,28 @@ class DatasetSplitSpec extends SparkFunSuite {
       rows.toDF("id", "w").repartition(1), "id", "w", k = 50).collect().head
     assert(again === got)
   }
+
+  test("leakageCard: cross-split pairs flag leaked, same-split pairs don't") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("a_id", "b_id")
+    val splits = Seq((1L, "train"), (2L, "train"), (3L, "test"),
+      (4L, "val"), (5L, "train")).toDF("doc_id", "split")
+    val got = DatasetSplit.leakageCard(pairs, "a_id", "b_id",
+      splits, "doc_id", "split")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      ("train", "test", 2L, true),
+      ("train", "train", 1L, false),
+      ("val", "train", 1L, true)))
+  }
+
+  test("leakageCard: empty pair relation yields an empty card, not a crash") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val splits = Seq((1L, "train")).toDF("doc_id", "split")
+    assert(DatasetSplit.leakageCard(pairs, "a_id", "b_id",
+      splits, "doc_id", "split").count() === 0L)
+  }
 }

@@ -454,6 +454,38 @@ class RetrievalSpec extends SparkFunSuite {
     assert(r.getLong(1) === 1000000L / 2L)
   }
 
+  test("kendall: identical rankings score 1, reversed score -1") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
+    val same = Retrieval.kendallTau(a, a, "id", "rnk").collect().head
+    assert((same.getLong(0), same.getLong(1), same.getLong(2)) === (3L, 3L, 3L))
+    assert((same.getLong(3), same.getLong(4)) === (3L, 0L))
+    assert(same.getDouble(5) === 1.0)
+    val rev = Seq((10L, 3L), (20L, 2L), (30L, 1L)).toDF("id", "rnk")
+    assert(Retrieval.kendallTau(a, rev, "id", "rnk")
+      .collect().head.getDouble(5) === -1.0)
+  }
+
+  test("kendall: hand case with one swap; partial overlap counts only common") {
+    import spark.implicits._
+    // common = {10,20,30}; b swaps 20/30 → C=2, D=1, τ = 1/3
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L), (40L, 4L)).toDF("id", "rnk")
+    val b = Seq((10L, 1L), (30L, 2L), (20L, 3L), (50L, 4L)).toDF("id", "rnk")
+    val r = Retrieval.kendallTau(a, b, "id", "rnk").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (4L, 4L, 3L))
+    assert((r.getLong(3), r.getLong(4)) === (2L, 1L))
+    assert(r.getDouble(5) === math.rint(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("kendall: fewer than two common items reports tau 0, not null") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L)).toDF("id", "rnk")
+    val b = Seq((10L, 1L), (99L, 2L)).toDF("id", "rnk")
+    val r = Retrieval.kendallTau(a, b, "id", "rnk").collect().head
+    assert(r.getLong(2) === 1L)
+    assert((r.getLong(3), r.getLong(4), r.getDouble(5)) === (0L, 0L, 0.0))
+  }
+
   test("ndcg: gain table pins log2 exactly once; prefix sums consistent") {
     assert(Retrieval.DcgGainMicro(0) === 1000000L)          // 1/log2(2)
     assert(Retrieval.DcgGainMicro(1) === 630930L)           // 1/log2(3)
