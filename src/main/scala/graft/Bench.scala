@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
  * Each query is materialized through the `noop` sink — a real
  * distributed write that executes the full plan (including ORDER BY:
  * unlike `count()`, the noop write does not let Catalyst's
- * EliminateSorts delete the sort). One untimed warmup pass absorbs
- * first-query JVM/codegen/Parquet-footer costs. Failures are reported
- * (stderr + negative duration), never swallowed.
+ * EliminateSorts delete the sort). There is NO separate warmup pass
+ * (dropped in r15): rep 1 is cold — it pays JVM/codegen/fixture
+ * costs — and min-of-K absorbs that, with K decided from the warm
+ * second rep. Failures are reported (stderr + negative duration),
+ * never swallowed.
  *
  * Output discipline: the harness that collects this output keeps only
  * the LAST ~2000 characters of stdout, so the stdout JSON line must
@@ -78,9 +80,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    only.foreach(names => System.err.println(
-      s"[bench] WARNING: SPARK_GRAFT_ONLY is active — timing ONLY " +
-        s"${names.toSeq.sorted.mkString(", ")}. This is a PARTIAL bench."))
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — a typo here would " +
+          "silently time nothing")
+      System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_ONLY is active — timing ONLY " +
+          s"${names.toSeq.sorted.mkString(", ")}. This is a PARTIAL bench.")
+    }
 
     def timedPass(dir: String): Seq[(String, Double)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -3,7 +3,7 @@ package graft
 import graft.api._
 import graft.functions.GraftFunctions
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -25,6 +25,41 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val Scale = 6
+
+  /** The 3-query retrieval batch shared by retrieval_bm25_batch /
+    * retrieval_mrr / retrieval_map — ONE source of truth so the three
+    * rows (and their oracles' VALUES lists) can never score different
+    * query sets. */
+  private val RetrBatch: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("dup", "hash", "merge"),
+    2L -> Seq("vector", "spark", "window"),
+    3L -> Seq("dup", "slow"))
+
+  /** All-terms-present relevance judge over the `text` column. */
+  private def allTermsRel(ts: Seq[String]): Column = {
+    val toks = split(col("text"), " ")
+    ts.map(t => array_contains(toks, t)).reduce(_ && _)
+  }
+
+  /** Per-row judge for a batched ranking joined back to `text`:
+    * dispatches [[allTermsRel]] on `query_id`. */
+  private def batchRelExpr: Column =
+    RetrBatch.foldRight(lit(false)) { case ((qid, ts), acc) =>
+      when(col("query_id") === qid, allTermsRel(ts)).otherwise(acc)
+    }
+
+  /** Synthetic PQ codebook shared by ann_ivfpq_topk / ann_ivfpq_delete
+    * (m=8, k=4, dsub=8); both oracles hard-code the same
+    * (c − 1.5) + t·0.01 centroid formula — change all four together. */
+  private lazy val ivfPqModel: PqIndex.PqModel = {
+    val m = 8; val k = 4; val dsub = 8
+    val cb: Array[Float] = Array.tabulate(m * k * dsub) { idx =>
+      val t = idx % dsub
+      val c = (idx / dsub) % k
+      ((c - 1.5) + t * 0.01).toFloat
+    }
+    PqIndex.PqModel(m, k, 64, cb)
+  }
 
   /** The HLL small-range (linear-counting) table as a SQL list
     * literal — the SAME precomputed integers the rewrite plan embeds
@@ -3147,9 +3182,7 @@ object SparkEntry {
     // expression).
     "retrieval_bm25_batch" -> ((s, d) =>
       Retrieval.bm25BatchTopK(table(s, d, "documents"), "doc_id", "text",
-        Seq(1L -> Seq("dup", "hash", "merge"),
-            2L -> Seq("vector", "spark", "window"),
-            3L -> Seq("dup", "slow")), k = 5)
+        RetrBatch, k = 5)
         .orderBy("query_id", "rnk")),
     // Mean reciprocal rank over the SAME 3-query BM25 batch — the
     // batch-eval staple beside retrieval_ndcg. Per-query relevance is
@@ -3159,19 +3192,12 @@ object SparkEntry {
     // its top-10 counts — that is what "mean" means in MRR).
     "retrieval_mrr" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val batch = Seq(
-        1L -> Seq("dup", "hash", "merge"),
-        2L -> Seq("vector", "spark", "window"),
-        3L -> Seq("dup", "slow"))
-      val ranked = Retrieval.bm25BatchTopK(docs, "doc_id", "text", batch, k = 10)
-      val toks = split(col("text"), " ")
-      val relExpr = batch.foldRight(lit(false)) { case ((qid, ts), acc) =>
-        when(col("query_id") === qid,
-          ts.map(t => array_contains(toks, t)).reduce(_ && _)).otherwise(acc)
-      }
+      val ranked = Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+        RetrBatch, k = 10)
       val withRel = ranked.join(docs.select("doc_id", "text"), "doc_id")
-        .withColumn("rel", relExpr)
-      Retrieval.mrrCard(withRel, "query_id", "rnk", "rel", k = 10, nQueries = 3L)
+        .withColumn("rel", batchRelExpr)
+      Retrieval.mrrCard(withRel, "query_id", "rnk", "rel", k = 10,
+        nQueries = RetrBatch.size.toLong)
     }),
     // Mean average precision over the same batch — the third ranking
     // staple. Per-query corpus relevant counts ride ONE extra scan
@@ -3180,28 +3206,19 @@ object SparkEntry {
     // and the mean quantize by integral division on the micro grid.
     "retrieval_map" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val batch = Seq(
-        1L -> Seq("dup", "hash", "merge"),
-        2L -> Seq("vector", "spark", "window"),
-        3L -> Seq("dup", "slow"))
-      val ranked = Retrieval.bm25BatchTopK(docs, "doc_id", "text", batch, k = 10)
-      val toks = split(col("text"), " ")
-      def isRel(ts: Seq[String]) =
-        ts.map(t => array_contains(toks, t)).reduce(_ && _)
-      val relExpr = batch.foldRight(lit(false)) { case ((qid, ts), acc) =>
-        when(col("query_id") === qid, isRel(ts)).otherwise(acc)
-      }
+      val ranked = Retrieval.bm25BatchTopK(docs, "doc_id", "text",
+        RetrBatch, k = 10)
       val withRel = ranked.join(docs.select("doc_id", "text"), "doc_id")
-        .withColumn("rel", relExpr)
+        .withColumn("rel", batchRelExpr)
       val tot = docs
         .agg(
-          sum(when(isRel(batch(0)._2), 1L).otherwise(0L)).as("r1"),
-          sum(when(isRel(batch(1)._2), 1L).otherwise(0L)).as("r2"),
-          sum(when(isRel(batch(2)._2), 1L).otherwise(0L)).as("r3"))
+          sum(when(allTermsRel(RetrBatch(0)._2), 1L).otherwise(0L)).as("r1"),
+          sum(when(allTermsRel(RetrBatch(1)._2), 1L).otherwise(0L)).as("r2"),
+          sum(when(allTermsRel(RetrBatch(2)._2), 1L).otherwise(0L)).as("r3"))
         .selectExpr("stack(3, CAST(1 AS BIGINT), r1, CAST(2 AS BIGINT), r2," +
           " CAST(3 AS BIGINT), r3) AS (query_id, n_rel_corpus)")
       Retrieval.mapCard(withRel, "query_id", "rnk", "rel", k = 10,
-        tot, nQueries = 3L)
+        tot, nQueries = RetrBatch.size.toLong)
     }),
     // Kendall τ between the BM25 and Dirichlet-QL top-20 for the same
     // query — the ranker-agreement card. Exact concordant/discordant
@@ -6327,13 +6344,7 @@ object SparkEntry {
         val (a, m) = IvfIndex.build(store, "embedding", numClusters = 8)
         (a.cache(), m)
       })
-      val m = 8; val k = 4; val dsub = 8
-      val cb: Array[Float] = Array.tabulate(m * k * dsub) { idx =>
-        val t = idx % dsub
-        val c = (idx / dsub) % k
-        ((c - 1.5) + t * 0.01).toFloat
-      }
-      val pq = PqIndex.PqModel(m, k, 64, cb)
+      val pq = ivfPqModel
       val encoded = PqIndex.encode(assigned, "embedding", pq)
       PqIndex.ivfPqSearch(encoded, ivf, pq, "vec_id", "embedding",
         queryVec(s, d), k = 10, searchTopSize = 8, candidates = 64,
@@ -6354,13 +6365,7 @@ object SparkEntry {
         val (a, m) = IvfIndex.build(store, "embedding", numClusters = 8)
         (a.cache(), m)
       })
-      val m = 8; val k = 4; val dsub = 8
-      val cb: Array[Float] = Array.tabulate(m * k * dsub) { idx =>
-        val t = idx % dsub
-        val c = (idx / dsub) % k
-        ((c - 1.5) + t * 0.01).toFloat
-      }
-      val pq = PqIndex.PqModel(m, k, 64, cb)
+      val pq = ivfPqModel
       val encoded = PqIndex.encode(assigned, "embedding", pq)
       val tomb = table(s, d, "embeddings")
         .filter(col("vec_id") % 7 === 3).select("vec_id")
@@ -6649,6 +6654,74 @@ object SparkEntry {
       |  FROM score)
       |SELECT qid, doc_id, maxsim_micro, rnk FROM r
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** Shared batch-BM25 scoring chain for the [[RetrBatch]] oracles
+    * (retrieval_bm25_batch / retrieval_mrr / retrieval_map): the
+    * VALUES list through the per-(query, doc) 6-dp DECIMAL score —
+    * one copy, so a k1/b or rounding tweak can never drift one row's
+    * parity while the others keep the old arithmetic. */
+  private lazy val bm25BatchCtes: String =
+    """WITH qt(query_id, term) AS (VALUES
+      |  (CAST(1 AS BIGINT), 'dup'), (1, 'hash'), (1, 'merge'),
+      |  (2, 'vector'), (2, 'spark'), (2, 'window'),
+      |  (3, 'dup'), (3, 'slow')),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tfd AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
+      |dfd AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
+      |scored AS (
+      |  SELECT q.query_id, t.doc_id,
+      |         CAST(sum(CAST(round(
+      |           ln(1.0e0 + (s.n - d.df + 0.5e0) / (d.df + 0.5e0)) *
+      |           ((t.tf * 2.2e0) /
+      |            (t.tf + 1.2e0 * ((1.0e0 - 0.75e0) +
+      |             ((0.75e0 * t.dl) / (CAST(s.sumdl AS DOUBLE) / s.n))))),
+      |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
+      |  FROM tfd t JOIN dfd d USING (term) JOIN qt q USING (term), stats s
+      |  GROUP BY q.query_id, t.doc_id)""".stripMargin
+
+  /** Shared shingle chain (distinct word trigrams with the <3-token
+    * fallback) for the MinHash-family oracles (dedup_minhash /
+    * dedup_containment / split_leakage). */
+  private lazy val shingleCtes: String =
+    """toks AS (
+      |  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t != '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT id, CASE WHEN len(t) = 0 THEN []
+      |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+      |  FROM toks)""".stripMargin
+
+  /** Exact-join MinHash pair replay at the 0.5 Jaccard threshold
+    * (recall 1 at the fixture knobs — the dedup_minhash contract);
+    * expects [[shingleCtes]] upstream. */
+  private lazy val minhashPairsCte: String =
+    """mh_pairs AS (
+      |  SELECT * FROM (
+      |    SELECT a.id AS a_id, b.id AS b_id,
+      |           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |                 len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
+      |    FROM sh a JOIN sh b ON a.id < b.id)
+      |  WHERE jaccard >= 0.5)""".stripMargin
+
+  /** The md5 percent-bucket expression ([[DatasetSplit.bucket]]'s
+    * replay), shared by dataset_split / stratified_sample /
+    * split_leakage. */
+  private def md5BucketSql(idExpr: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 4),
+       |           i -> (strpos('0123456789abcdef',
+       |                   substr(md5(CAST($idExpr AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+       |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT)""".stripMargin
 
   private lazy val bm25Ctes: String =
     """WITH stats AS (
@@ -9659,44 +9732,20 @@ object SparkEntry {
     // into the hex alphabet), so the whole assignment function — hash,
     // bucket, cut points — is externally verified per row.
     "dataset_split" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
-        |b AS (
-        |  SELECT doc_id, lang,
-        |         CAST(list_sum(list_transform(generate_series(1, 4),
-        |           i -> (strpos('0123456789abcdef', substr(hx, CAST(i AS INT), 1)) - 1)
-        |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) AS bucket
-        |  FROM h)
+      (s"""WITH b AS (
+        |  SELECT doc_id, lang, ${md5BucketSql("doc_id")} AS bucket
+        |  FROM documents)
         |SELECT doc_id, lang, bucket,
         |       CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin),
     // Leakage card: the exact-join MinHash pair replay (recall 1 at
     // the fixture knobs) cross-tagged with the md5-bucket splits.
     "split_leakage" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t != '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT id, CASE WHEN len(t) = 0 THEN []
-        |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
-        |  FROM toks),
-        |pairs AS (
-        |  SELECT * FROM (
-        |    SELECT a.id AS a_id, b.id AS b_id,
-        |           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |                 len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
-        |    FROM sh a JOIN sh b ON a.id < b.id)
-        |  WHERE jaccard >= 0.5),
+      (s"WITH $shingleCtes,\n$minhashPairsCte," + s"""
         |sp AS (
-        |  SELECT doc_id,
-        |         CAST(list_sum(list_transform(generate_series(1, 4),
-        |           i -> (strpos('0123456789abcdef',
-        |                   substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
-        |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) AS bucket
+        |  SELECT doc_id, ${md5BucketSql("doc_id")} AS bucket
         |  FROM documents),
         |spl AS (
         |  SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
@@ -9706,23 +9755,19 @@ object SparkEntry {
         |SELECT sa.split AS split_a, sb.split AS split_b,
         |       CAST(count(*) AS BIGINT) AS n_pairs,
         |       sa.split <> sb.split AS leaked
-        |FROM pairs p
+        |FROM mh_pairs p
         |JOIN spl sa ON p.a_id = sa.doc_id
         |JOIN spl sb ON p.b_id = sb.doc_id
-        |GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin,
+        |GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin),
     "stratified_sample" ->
-      """WITH b AS (
-        |  SELECT doc_id, source,
-        |         CAST(list_sum(list_transform(generate_series(1, 4),
-        |           i -> (strpos('0123456789abcdef',
-        |                        substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
-        |                * CAST(16 ** (4 - i) AS BIGINT))) % 100 AS BIGINT) AS bucket
+      (s"""WITH b AS (
+        |  SELECT doc_id, source, ${md5BucketSql("doc_id")} AS bucket
         |  FROM documents)
         |SELECT doc_id, source, bucket
         |FROM b JOIN (VALUES ('src0', 100), ('src1', 50), ('src2', 25), ('src3', 10))
         |            r(source, pct) USING (source)
         |WHERE bucket < pct
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
     // The corpus_to_batches funnel stages (qual/exact/losers/kept) +
     // the mixture CTEs computed over the curated survivors + the
     // packing window, replayed end to end.
@@ -10562,35 +10607,13 @@ object SparkEntry {
     // mirrors TextHashKernels.shingleSet: non-empty space-split tokens,
     // distinct 3-grams joined by ' ', whole-doc fallback under 3 tokens.
     "dedup_minhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t != '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT id, CASE WHEN len(t) = 0 THEN []
-        |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
-        |  FROM toks)
-        |SELECT * FROM (
-        |  SELECT a.id AS a_id, b.id AS b_id,
-        |         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |               len(list_distinct(list_cat(a.s, b.s))), 6) AS jaccard
-        |  FROM sh a JOIN sh b ON a.id < b.id)
-        |WHERE jaccard >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+      (s"WITH $shingleCtes,\n$minhashPairsCte\n" +
+        "SELECT a_id, b_id, jaccard FROM mh_pairs ORDER BY a_id, b_id"),
     // Containment replayed over the same shingle replay with the SAME
     // informative-shingle contract (df-capped postings, both sides of
     // the ratio); BIGINT integer division both directions.
     "dedup_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id, list_filter(string_split(text, ' '), t -> t != '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT id, CASE WHEN len(t) = 0 THEN []
-        |                  WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
-        |  FROM toks),
+      (s"WITH $shingleCtes," + """
         |posts AS (SELECT id, unnest(s) AS sg FROM sh),
         |rare AS (SELECT sg FROM posts GROUP BY sg HAVING count(*) <= 1024),
         |inf AS (SELECT p.id, p.sg FROM posts p JOIN rare USING (sg)),
@@ -10606,7 +10629,7 @@ object SparkEntry {
         |        JOIN nrel nb ON nb.id = ov.b_id
         |WHERE greatest((1000000 * ov.overlap) // na.n,
         |               (1000000 * ov.overlap) // nb.n) >= 800000
-        |ORDER BY ov.a_id, ov.b_id""".stripMargin,
+        |ORDER BY ov.a_id, ov.b_id""".stripMargin),
     // Transitive closure of the same blocked-Jaccard pair graph the
     // Spark side builds (threshold 0.3): component = min reachable id,
     // computed by a recursive reachability CTE; n_members counts the
@@ -12201,68 +12224,18 @@ object SparkEntry {
     // retrieval_bm25 with the (query, term) map as a VALUES relation;
     // df stays per-term over the corpus (independent of the queries).
     "retrieval_bm25_batch" ->
-      """WITH qt(query_id, term) AS (VALUES
-        |  (CAST(1 AS BIGINT), 'dup'), (1, 'hash'), (1, 'merge'),
-        |  (2, 'vector'), (2, 'spark'), (2, 'window'),
-        |  (3, 'dup'), (3, 'slow')),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
-        |         unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tfd AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
-        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
-        |dfd AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
-        |scored AS (
-        |  SELECT q.query_id, t.doc_id,
-        |         CAST(sum(CAST(round(
-        |           ln(1.0e0 + (s.n - d.df + 0.5e0) / (d.df + 0.5e0)) *
-        |           ((t.tf * 2.2e0) /
-        |            (t.tf + 1.2e0 * ((1.0e0 - 0.75e0) +
-        |             ((0.75e0 * t.dl) / (CAST(s.sumdl AS DOUBLE) / s.n))))),
-        |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
-        |  FROM tfd t JOIN dfd d USING (term) JOIN qt q USING (term), stats s
-        |  GROUP BY q.query_id, t.doc_id),
+      (bm25BatchCtes + """,
         |ranked AS (
         |  SELECT query_id, doc_id, score,
         |         CAST(row_number() OVER (PARTITION BY query_id
         |                ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
         |  FROM scored)
         |SELECT query_id, doc_id, score, rnk FROM ranked
-        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     // Same batch-BM25 CTEs at k=10, then the integer micro-grid MRR:
     // per-query min relevant rank, 10⁶ // r per query, // 3 for the mean.
     "retrieval_mrr" ->
-      """WITH qt(query_id, term) AS (VALUES
-        |  (CAST(1 AS BIGINT), 'dup'), (1, 'hash'), (1, 'merge'),
-        |  (2, 'vector'), (2, 'spark'), (2, 'window'),
-        |  (3, 'dup'), (3, 'slow')),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
-        |         unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tfd AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
-        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
-        |dfd AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
-        |scored AS (
-        |  SELECT q.query_id, t.doc_id,
-        |         CAST(sum(CAST(round(
-        |           ln(1.0e0 + (s.n - d.df + 0.5e0) / (d.df + 0.5e0)) *
-        |           ((t.tf * 2.2e0) /
-        |            (t.tf + 1.2e0 * ((1.0e0 - 0.75e0) +
-        |             ((0.75e0 * t.dl) / (CAST(s.sumdl AS DOUBLE) / s.n))))),
-        |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
-        |  FROM tfd t JOIN dfd d USING (term) JOIN qt q USING (term), stats s
-        |  GROUP BY q.query_id, t.doc_id),
+      (bm25BatchCtes + """,
         |ranked AS (
         |  SELECT query_id, doc_id, rnk FROM (
         |    SELECT query_id, doc_id,
@@ -12294,37 +12267,12 @@ object SparkEntry {
         |         AS sum_rr_micro,
         |       CAST(coalesce(sum(1000000 // first_rel), 0) // 3 AS BIGINT)
         |         AS mrr_micro
-        |FROM firsts""".stripMargin,
+        |FROM firsts""".stripMargin),
     // MAP over the same batch: per-query cumulative precision at each
     // relevant rank (window over k-bounded partitions), AP divided by
     // min(corpus relevant count, k), mean over the 3-query batch.
     "retrieval_map" ->
-      """WITH qt(query_id, term) AS (VALUES
-        |  (CAST(1 AS BIGINT), 'dup'), (1, 'hash'), (1, 'merge'),
-        |  (2, 'vector'), (2, 'spark'), (2, 'window'),
-        |  (3, 'dup'), (3, 'slow')),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS sumdl
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
-        |         unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tfd AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
-        |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, dl, term),
-        |dfd AS (SELECT term, count(*) AS df FROM tfd GROUP BY term),
-        |scored AS (
-        |  SELECT q.query_id, t.doc_id,
-        |         CAST(sum(CAST(round(
-        |           ln(1.0e0 + (s.n - d.df + 0.5e0) / (d.df + 0.5e0)) *
-        |           ((t.tf * 2.2e0) /
-        |            (t.tf + 1.2e0 * ((1.0e0 - 0.75e0) +
-        |             ((0.75e0 * t.dl) / (CAST(s.sumdl AS DOUBLE) / s.n))))),
-        |           6) AS DECIMAL(28,6))) AS DOUBLE) AS score
-        |  FROM tfd t JOIN dfd d USING (term) JOIN qt q USING (term), stats s
-        |  GROUP BY q.query_id, t.doc_id),
+      (bm25BatchCtes + """,
         |ranked AS (
         |  SELECT query_id, doc_id, rnk FROM (
         |    SELECT query_id, doc_id,
@@ -12375,7 +12323,7 @@ object SparkEntry {
         |SELECT CAST(3 AS BIGINT) AS n_queries,
         |       CAST(coalesce(sum(ap_micro), 0) AS BIGINT) AS sum_ap_micro,
         |       CAST(coalesce(sum(ap_micro), 0) // 3 AS BIGINT) AS map_micro
-        |FROM ap""".stripMargin,
+        |FROM ap""".stripMargin),
     // RRF fusion of the exact BM25 top-20 and the exact cosine top-20
     // (CosExpr — the same kernel mirror every knn oracle uses).
     "retrieval_hybrid_rrf" ->

@@ -17,9 +17,16 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    only.foreach(names => System.err.println(
-      s"[verify] WARNING: SPARK_GRAFT_ONLY is active — dumping ONLY " +
-        s"${names.toSeq.sorted.mkString(", ")}. This is a PARTIAL dump, not a gate run."))
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — a typo here would " +
+          "silently dump nothing")
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY is active — dumping ONLY " +
+          s"${names.toSeq.sorted.mkString(", ")}. This is a PARTIAL dump, not a gate run.")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

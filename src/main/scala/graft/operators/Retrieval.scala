@@ -524,11 +524,17 @@ object Retrieval {
    */
   def kendallTau(
       a: DataFrame, b: DataFrame, idCol: String, rnkCol: String): DataFrame = {
+    // Materialize the two k-bounded lists ONCE: the card references
+    // each input four times (pair join sides + count columns), and
+    // without the pin the upstream ranking pipelines (corpus scan,
+    // aggregate, top-k) would re-execute per reference — only their
+    // exchanges are reusable. A k-row local checkpoint is the
+    // bounded-list analogue of the rrfFuse constant-work contract.
     val ar = a.select(col(idCol).cast("long").as("__id"),
-      col(rnkCol).cast("long").as("__ra"))
+      col(rnkCol).cast("long").as("__ra")).localCheckpoint(true)
     val br = b.select(col(idCol).cast("long").as("__id"),
-      col(rnkCol).cast("long").as("__rb"))
-    val common = ar.join(br, "__id")
+      col(rnkCol).cast("long").as("__rb")).localCheckpoint(true)
+    val common = ar.join(br, "__id").localCheckpoint(true)
     val x = common.select(col("__id").as("__idx"),
       col("__ra").as("__rax"), col("__rb").as("__rbx"))
     val y = common.select(col("__id").as("__idy"),
@@ -997,9 +1003,13 @@ object Retrieval {
     val spark = queryTokens.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val qRows = queryTokens.select(col(qidCol).cast("long"),
-      col(qtokCol).cast("long"),
-      col(vecCol).cast("array<float>")).collect()
+    // Null (or null-casting) token vectors cannot route and are
+    // dropped here, mirroring maxSimTopK where null sims fall out of
+    // the max aggregate — without the filter getSeq(2).toArray would
+    // NPE on the driver.
+    val qRows = queryTokens.filter(col(vecCol).isNotNull)
+      .select(col(qidCol).cast("long"), col(qtokCol).cast("long"),
+        col(vecCol).cast("array<float>")).collect()
     val probes: Seq[(Long, Long, Seq[Float], Int)] = qRows.toSeq.flatMap { r =>
       val v = r.getSeq[Float](2)
       model.rankClusters(v.toArray, SearchStrategy.CosineSimilarity)
