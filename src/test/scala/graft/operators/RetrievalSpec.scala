@@ -477,6 +477,35 @@ class RetrievalSpec extends SparkFunSuite {
     assert(r.getDouble(5) === math.rint(1.0 / 3.0 * 1e6) / 1e6)
   }
 
+  test("kendall: randomized replay against the brute-force definition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val ids = rnd.shuffle((1L to 40L).toVector)
+      val aIds = ids.take(10 + rnd.nextInt(10))
+      val bIds = rnd.shuffle(ids).take(10 + rnd.nextInt(10))
+      val a = aIds.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+      val b = bIds.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+      val ra = a.toMap; val rb = b.toMap
+      val common = (ra.keySet & rb.keySet).toSeq.sorted
+      val pairs = for {
+        i <- common.indices; j <- (i + 1) until common.size
+      } yield (common(i), common(j))
+      val c = pairs.count { case (p, q) =>
+        (ra(p) < ra(q)) == (rb(p) < rb(q)) }
+      val d = pairs.size - c
+      val r = Retrieval.kendallTau(a.toDF("id", "rnk"), b.toDF("id", "rnk"),
+        "id", "rnk").collect().head
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        (common.size.toLong, c.toLong, d.toLong))
+      val want = if (common.size >= 2)
+        math.rint((c - d).toDouble /
+          (common.size.toDouble * (common.size - 1) / 2.0) * 1e6) / 1e6
+      else 0.0
+      assert(r.getDouble(5) === want)
+    }
+  }
+
   test("kendall: fewer than two common items reports tau 0, not null") {
     import spark.implicits._
     val a = Seq((10L, 1L), (20L, 2L)).toDF("id", "rnk")

@@ -487,4 +487,44 @@ class StatTestsPropertySpec extends SparkFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: spearmanCard ≡ direct midrank-Pearson replay (ties everywhere)") {
+    // tight value range on purpose: heavy ties exercise the doubled
+    // midranks, and bucketWidth 7 exercises block boundaries
+    val genPairs = for {
+      n <- Gen.chooseNum(2, 50)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-20L, 20L))
+      ys <- Gen.listOfN(n, Gen.chooseNum(-20L, 20L))
+    } yield xs.zip(ys)
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      cnt.keys.map { v =>
+        val less = vs.count(_ < v).toLong
+        v -> (2 * less + cnt(v) + 1)
+      }.toMap
+    }
+    val prop = Prop.forAll(genPairs) { pairs =>
+      val (xs, ys) = pairs.unzip
+      val rx = ranks2(xs); val ry = ranks2(ys)
+      val a = xs.map(rx); val b = ys.map(ry)
+      val n = BigInt(pairs.size)
+      def dot(u: Seq[Long], v: Seq[Long]) =
+        u.zip(v).map { case (p, q) => BigInt(p) * q }.sum
+      val sxx = n * dot(a, a) - BigInt(a.sum) * BigInt(a.sum)
+      val sxy = n * dot(a, b) - BigInt(a.sum) * BigInt(b.sum)
+      val syy = n * dot(b, b) - BigInt(b.sum) * BigInt(b.sum)
+      val want =
+        if (sxx > 0 && syy > 0)
+          math.rint(sxy.toDouble /
+            math.sqrt(sxx.toDouble * syy.toDouble) * 1e6) / 1e6
+        else 0.0
+      val got = StatTests.spearmanCard(
+        pairs.toDF("x", "y").repartition(3), "x", "y", bucketWidth = 7L)
+        .collect().head
+      got.getLong(0) == pairs.size.toLong && got.getDouble(1) == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
