@@ -142,6 +142,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val maxsimIvfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
+  private val ivfStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfDeleteCache =
@@ -744,6 +746,32 @@ object SparkEntry {
       IvfIndex.searchWithTombstones(s.read.parquet(path), model, cfg,
         queryVec(s, d), k = 12, searchTopSize = 8,
         tombstones = tomb, idCol = "vec_id", scoreScale = Some(Scale))
+    }),
+    // Streaming ANN ingestion (the 13th streaming surface, stateless):
+    // embeddings arrive as a file stream, stream-static join to the
+    // metadata table, frozen-centroid assignment via the codegen m=1
+    // pq_encode kernel, parquet sink partitionBy(cluster_id) — the
+    // continuous form of appendPartitioned. The ingest is a per-sf
+    // offline artifact (index construction is not query cost); the
+    // query is a full-breadth search over the STREAMED store, which
+    // must equal brute force — the same oracle as ann_ivf_disk.
+    "ann_ivf_streamed" -> ((s, d) => {
+      val (path, model) = ivfStreamCache.computeIfAbsent(d, dir => {
+        val store = table(s, dir, "embeddings")
+          .join(table(s, dir, "documents"), col("vec_id") === col("doc_id"))
+        val (_, m) = IvfIndex.build(store, "embedding", numClusters = 8)
+        val src = java.nio.file.Files
+          .createTempDirectory("graft_ivf_stream_src").toString
+        table(s, dir, "embeddings").repartition(3)
+          .write.mode("overwrite").parquet(src)
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivf_stream_store").toString
+        graft.streaming.VectorIngest.ingestPartitioned(s, src,
+          s"$dir/documents.parquet", "vec_id", "doc_id", "embedding", m, p)
+        (p, m)
+      })
+      IvfIndex.search(s.read.parquet(path), model, cfg, queryVec(s, d),
+        k = 12, searchTopSize = 8, scoreScale = Some(Scale))
     }),
     // Catalyst optimizer rule: plain SQL top-k over an IVF-registered
     // store is auto-rewritten to cluster pruning (full breadth ⇒ exact,
@@ -8357,6 +8385,8 @@ object SparkEntry {
     "ann_ivf_append" -> knnOracle(CosExpr, desc = true, k = 12),
     "ann_ivf_delete" -> knnOracle(CosExpr, desc = true, k = 12,
       where = "WHERE e.vec_id % 7 <> 3"),
+    // Full breadth over the streamed store ⇒ brute force, same as disk.
+    "ann_ivf_streamed" -> knnOracle(CosExpr, desc = true, k = 12),
     "ann_tree_topk" -> knnOracle(CosExpr, desc = true, k = 9),
     // Same sign-sketch semantics via per-dimension sign comparisons
     // (= xor+popcount on the packed longs), then the exact re-rank.
