@@ -91,9 +91,11 @@ object Bench {
           s"${names.toSeq.sorted.mkString(", ")}. This is a PARTIAL bench.")
     }
 
-    def timedPass(dir: String): Seq[(String, Double)] = {
+    def timedPass(dir: String, subSecReps: Int = 3,
+        skip: Set[String] = Set.empty): Seq[(String, Double)] = {
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
+        .filterNot { case (name, _) => skip.contains(name) }
       // No separate warmup pass (dropped in r15 — it was ~6 min/scale
       // of pure repetition): min-of-k ALREADY absorbs every cold cost
       // rep 1 pays — JVM/codegen/scan setup, per-sf offline artifacts
@@ -131,7 +133,8 @@ object Bench {
         // a row that is sub-second warm but ≥ 1 s cold must not rest its
         // min on a single warm sample with no noise rejection.
         val times =
-          if (second >= 0 && second < 1.0 || second < 0 && first < 1.0)
+          if (subSecReps >= 3 &&
+              (second >= 0 && second < 1.0 || second < 0 && first < 1.0))
             Seq(first, second, run(name, (s, _) => fn(s, dir)))
           else Seq(first, second)
         prevCost = times.filter(_ >= 0).maxOption.getOrElse(Double.MaxValue)
@@ -199,7 +202,19 @@ object Bench {
         sfDir.substring(0, sfDir.length - big.length) + small
     }.filter(d => new java.io.File(d).isDirectory)
     val smallDetail = smallDir.map { dir =>
-      val smallResults = timedPass(dir)
+      // Two provable small-pass budget cuts (the r16 insurance against
+      // the driver's wall-clock cap; r14 was killed at it):
+      //  - Rows under 0.25 s on the BIG side are skipped entirely: the
+      //    small side never measures below ~0.04 s on this box, so
+      //    their big/small ratio is bounded by ~6 — the 12× gate can
+      //    NEVER fire for them, and their ratio is reported null.
+      //  - The small pass keeps min-of-2 even for sub-second rows: its
+      //    only consumer is the scaling DENOMINATOR (isolated-pinned
+      //    for every adjudicated row), where min-of-2 noise is dwarfed
+      //    by the gate's 12× headroom over the ~5.7 measured maxima.
+      val skipSmall = results
+        .filter { case (_, v) => v >= 0 && v < 0.25 }.map(_._1).toSet
+      val smallResults = timedPass(dir, subSecReps = 2, skip = skipSmall)
       val smallByName = smallResults.toMap
       // Symmetric pin: the isolated min-of-3 is applied to BOTH sides of
       // the ratio. Pinning only the big side (the r12 behavior) is an
