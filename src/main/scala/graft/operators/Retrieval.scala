@@ -1003,13 +1003,17 @@ object Retrieval {
     val spark = queryTokens.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    // Null (or null-casting) token vectors cannot route and are
-    // dropped here, mirroring maxSimTopK where null sims fall out of
-    // the max aggregate — without the filter getSeq(2).toArray would
-    // NPE on the driver.
-    val qRows = queryTokens.filter(col(vecCol).isNotNull)
+    // Null, null-casting, or null-ELEMENT token vectors cannot route
+    // and are dropped here, mirroring maxSimTopK where null sims fall
+    // out of the max aggregate — the filter runs on the CAST column so
+    // an array<string> that casts its elements to null is caught too;
+    // without it getSeq(2).toArray would NPE on the driver.
+    val qRows = queryTokens
       .select(col(qidCol).cast("long"), col(qtokCol).cast("long"),
-        col(vecCol).cast("array<float>")).collect()
+        col(vecCol).cast("array<float>").as("__qv"))
+      .filter(col("__qv").isNotNull &&
+        !expr("exists(__qv, x -> x IS NULL)"))
+      .collect()
     val probes: Seq[(Long, Long, Seq[Float], Int)] = qRows.toSeq.flatMap { r =>
       val v = r.getSeq[Float](2)
       model.rankClusters(v.toArray, SearchStrategy.CosineSimilarity)

@@ -59,22 +59,32 @@ object VectorIngest {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val enriched = stream.join(
-      s.read.parquet(staticPath),
-      col(streamJoinCol) === col(staticJoinCol))
+    val static = s.read.parquet(staticPath)
+    // join on the RESOLVED static column so same-named join keys can't
+    // hit an ambiguous-reference error; non-key column names must still
+    // be disjoint across the two sides (the parquet sink rejects
+    // duplicate output columns), which the callers' schemas guarantee
+    val enriched = stream.join(static,
+      stream(streamJoinCol) === static(staticJoinCol))
     val assigned = IvfIndex.assignBatch(enriched, embCol, model)
-    val q = assigned.writeStream
-      .format("parquet")
-      .option("checkpointLocation", ckpt.toString)
-      .option("path", outPath)
-      .partitionBy(IvfIndex.ClusterCol)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val walk = java.nio.file.Files.walk(ckpt)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-    finally walk.close()
+    // checkpoint cleanup in finally: a failed ingest must not leak the
+    // temp checkpoint (the partially-written store is the caller's to
+    // inspect or delete — its _spark_metadata log stays consistent)
+    try {
+      val q = assigned.writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", outPath)
+        .partitionBy(IvfIndex.ClusterCol)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
   }
 }
