@@ -144,6 +144,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfStreamCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
+  private val dedupStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, IvfIndex.IvfModel)]()
   private val ivfDeleteCache =
@@ -2366,6 +2368,32 @@ object SparkEntry {
       val batch = docs.filter(col("doc_id") >= 250)
       Dedup.incrementalNew(batch, old, "doc_id",
         TextAnalysis.fingerprint(col("text")), TextAnalysis.fingerprint(col("text")))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+    // The 14th streaming surface: the SAME daily-ingest dedup gate run
+    // continuously — new docs stream in, each micro-batch anti-joins on
+    // content fingerprint against the static corpus (stateless; no
+    // state store), only novel docs land in the clean-store sink. The
+    // ingest is a per-sf offline artifact; the query reads the sink and
+    // must equal the batch incrementalNew result — the same oracle.
+    "dedup_incremental_streamed" -> ((s, d) => {
+      val path = dedupStreamCache.computeIfAbsent(d, dir => {
+        val docs = table(s, dir, "documents")
+        val src = java.nio.file.Files
+          .createTempDirectory("graft_dedup_stream_src").toString
+        docs.filter(col("doc_id") >= 250).repartition(3)
+          .write.mode("overwrite").parquet(src)
+        val corpus = java.nio.file.Files
+          .createTempDirectory("graft_dedup_stream_corpus").toString
+        docs.filter(col("doc_id") < 250)
+          .write.mode("overwrite").parquet(corpus)
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_dedup_stream_store").toString
+        graft.streaming.CorpusIngest.ingestNovel(s, src, corpus, "text", p)
+        p
+      })
+      s.read.parquet(path)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
@@ -9752,6 +9780,14 @@ object SparkEntry {
         |FROM embeddings e JOIN cand ON e.vec_id = cand.id, qv
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
     "dedup_incremental" ->
+      """SELECT b.doc_id, b.lang, b.source
+        |FROM documents b
+        |WHERE b.doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.doc_id < 250 AND md5(lower(o.text)) = md5(lower(b.text)))
+        |ORDER BY b.doc_id""".stripMargin,
+    // The streamed gate's sink must equal the batch anti-join exactly.
+    "dedup_incremental_streamed" ->
       """SELECT b.doc_id, b.lang, b.source
         |FROM documents b
         |WHERE b.doc_id >= 250 AND NOT EXISTS (
