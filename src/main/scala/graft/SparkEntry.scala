@@ -6510,22 +6510,22 @@ object SparkEntry {
         .withColumnRenamed("cls", "lang")),
     // 5-fold cross-validation card: per fold, train on the other four
     // fifths, score the held-out fifth — the variance check a single
-    // split hides. Five independent fit+predict plans union into one
-    // 5-row relation; the oracle runs the whole harness GROUPED BY
-    // fold in one CTE chain.
+    // split hides. All five held-out fifths score in ONE fused corpus
+    // pass (`NaiveBayes.predictFolds`: fold-keyed broadcast of the
+    // five cached models — row-identical to five independent predict
+    // plans, spec-pinned); the oracle runs the whole harness GROUPED
+    // BY fold in one CTE chain.
     "classifier_nb_cv" -> ((s, d) => {
       val docs = table(s, d, "documents")
-      val models = nbCvModels(s, d)
-      (0 until 5).map { f =>
-        val te = docs.filter(col("doc_id") % 5 === f)
-        NaiveBayes.predict(te, "doc_id", "lang", "text",
-          models(f)._1, models(f)._2)
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("actual") === col("predicted"), 1L).otherwise(0L))
-              .as("n_correct"))
-          .select(lit(f.toLong).as("fold"), col("n"), col("n_correct"))
-          .withColumn("acc_micro", expr("(1000000 * n_correct) div n"))
-      }.reduce(_ unionByName _).orderBy("fold")
+      NaiveBayes.predictFolds(docs, "doc_id", "lang", "text",
+        col("doc_id") % 5, nbCvModels(s, d))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("actual") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc_micro", expr("(1000000 * n_correct) div n"))
+        .select("fold", "n", "n_correct", "acc_micro")
+        .orderBy("fold")
     }),
     "classifier_platt" -> ((s, d) => {
       val docs = table(s, d, "documents")

@@ -56,21 +56,26 @@ object NaiveBayes {
       .orderBy(col("__c").desc, col("token"))
       .limit(vocabSize)
       .select("token")
-    val vn = vocab.agg(count(lit(1)).as("__v"))
 
     val cnts = toks.join(broadcast(vocab), "token")
       .groupBy("cls", "token").agg(count(lit(1)).as("cnt"))
     val grid = toks.select("cls").distinct()
       .crossJoin(broadcast(vocab))
-      .join(cnts, Seq("cls", "token"), "left")
+      .join(broadcast(cnts), Seq("cls", "token"), "left")
       .select(col("cls"), col("token"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
-    val tots = grid.groupBy("cls").agg(sum("cnt").as("__tot"))
-
-    grid.join(tots, "cls").crossJoin(broadcast(vn))
+    // Per-class totals and |V| as windows over the BOUNDED grid
+    // (|classes| × vocabSize rows by construction): one exchange on
+    // cls replaces two aggregate jobs, a broadcast, a cross join and a
+    // re-derivation of the grid subtree. Same values: each class's
+    // grid partition is exactly the vocab, so count(*) over it is |V|
+    // and sum(cnt) over it is the class token total.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cls")
+    grid
       .select(col("cls"), col("token"), col("cnt"),
         ((round(log10(col("cnt") + lit(1)), 6).cast("decimal(28,6)") -
-          round(log10(col("__tot") + col("__v")), 6).cast("decimal(28,6)")) *
+          round(log10(sum("cnt").over(w) + count(lit(1)).over(w)), 6)
+            .cast("decimal(28,6)")) *
           lit(1000000)).cast("long").as("loglik_micro"))
   }
 
@@ -78,12 +83,15 @@ object NaiveBayes {
     * prior = log10(n_cls / n) — one row per class. */
   def priors(docs: DataFrame, clsCol: String, textCol: String): DataFrame = {
     val d = docs.filter(col(textCol).isNotNull && col(clsCol).isNotNull)
-    val n = d.agg(count(lit(1)).as("__n"))
+    // Total doc count as a single-partition window over the BOUNDED
+    // per-class relation (Σ class counts ≡ the filtered total, because
+    // groupBy partitions d exactly): drops the separate total
+    // aggregate, its broadcast and the cross join.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
     d.groupBy(col(clsCol).as("cls")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(n))
       .select(col("cls"), col("n"),
         ((round(log10(col("n")), 6).cast("decimal(28,6)") -
-          round(log10(col("__n")), 6).cast("decimal(28,6)")) *
+          round(log10(sum("n").over(w)), 6).cast("decimal(28,6)")) *
           lit(1000000)).cast("long").as("prior_micro"))
   }
 
@@ -117,6 +125,57 @@ object NaiveBayes {
       .agg(min(struct((-col("score")).as("__neg"), col("cls").as("__cls"),
         col("score").as("__s"))).as("__m"))
       .select(col("id"), col("actual"),
+        col("__m.__cls").as("predicted"),
+        col("__m.__s").as("score_micro"))
+  }
+
+  /**
+   * Fused k-fold prediction: every fold's held-out slice scored
+   * against its OWN fold's model/priors in ONE corpus pass, instead
+   * of k independent [[predict]] plans. The per-fold model and prior
+   * relations (bounded at |classes|·vocabSize and |classes| rows)
+   * are stacked with a fold key and broadcast once; each document
+   * routes to its fold's rows through the (fold, token) / (fold)
+   * join keys. Row-for-row identical to unioning k [[predict]] calls
+   * over `docs.filter(foldOf === f)` (spec-pinned) — same argmax,
+   * same tie-breaks — at 1/k the corpus passes and a fraction of the
+   * exchanges.
+   *
+   * @param foldOf fold assignment expression; must take values
+   *               0 until models.size over `docs`
+   * @return (fold, id, actual, predicted, score_micro)
+   */
+  def predictFolds(
+      docs: DataFrame, idCol: String, clsCol: String, textCol: String,
+      foldOf: org.apache.spark.sql.Column,
+      models: Seq[(DataFrame, DataFrame)]): DataFrame = {
+    val modelAll = models.zipWithIndex.map { case ((m, _), f) =>
+      m.select(lit(f.toLong).as("__fold"), col("cls"), col("token"),
+        col("loglik_micro"))
+    }.reduce(_ unionByName _)
+    val priorAll = models.zipWithIndex.map { case ((_, p), f) =>
+      p.select(lit(f.toLong).as("__fold"), col("cls"), col("prior_micro"))
+    }.reduce(_ unionByName _)
+    val base = docs
+      .filter(col(textCol).isNotNull && col(clsCol).isNotNull)
+      .select(foldOf.cast("long").as("__fold"), col(idCol).as("id"),
+        col(clsCol).as("actual"), col(textCol).as("__t"))
+    val ll = base
+      .select(col("__fold"), col("id"),
+        explode(split(col("__t"), " ")).as("token"))
+      .filter(length(col("token")) >= 1)
+      .join(broadcast(modelAll), Seq("__fold", "token"))
+      .groupBy("__fold", "id", "cls")
+      .agg(sum("loglik_micro").as("__ll"))
+    base.select("__fold", "id", "actual")
+      .join(broadcast(priorAll), Seq("__fold"))
+      .join(ll, Seq("__fold", "id", "cls"), "left")
+      .select(col("__fold"), col("id"), col("actual"), col("cls"),
+        (col("prior_micro") + coalesce(col("__ll"), lit(0L))).as("score"))
+      .groupBy("__fold", "id", "actual")
+      .agg(min(struct((-col("score")).as("__neg"), col("cls").as("__cls"),
+        col("score").as("__s"))).as("__m"))
+      .select(col("__fold").as("fold"), col("id"), col("actual"),
         col("__m.__cls").as("predicted"),
         col("__m.__s").as("score_micro"))
   }
@@ -169,13 +228,17 @@ object NaiveBayes {
     val pres = toks.join(broadcast(vocab), "token")
       .select("id", "cls", "token").distinct()
     val a = pres.groupBy("cls", "token").agg(count(lit(1)).as("a"))
+    // Corpus total as a single-partition window over the BOUNDED
+    // per-class counts (Σ __nc ≡ count(base) because groupBy
+    // partitions base exactly): no separate total aggregate, no
+    // broadcast, no cross join, no second corpus pass.
     val clsTot = base.groupBy("cls").agg(count(lit(1)).as("__nc"))
-    val n = base.agg(count(lit(1)).as("__n"))
+      .withColumn("__n", sum("__nc").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val grid = clsTot.crossJoin(broadcast(vocab))
-      .join(a, Seq("cls", "token"), "left")
-      .select(col("cls"), col("token"), col("__nc"),
+      .join(broadcast(a), Seq("cls", "token"), "left")
+      .select(col("cls"), col("token"), col("__nc"), col("__n"),
         coalesce(col("a"), lit(0L)).as("a"))
-      .crossJoin(broadcast(n))
     // c = token docs outside the class; needs the token's GLOBAL doc
     // count — a vocab-sized broadcast relation.
     val tokTot = pres.groupBy("token").agg(count(lit(1)).as("__nt"))

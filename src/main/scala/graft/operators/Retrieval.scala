@@ -191,23 +191,39 @@ object Retrieval {
       queryTerms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
       mu: Double = 2000.0): DataFrame = {
     val spark = docs.sparkSession
+    // pass1 is fbDocs rows but a large plan (the whole first-pass
+    // ranking); it is referenced twice below (max-score + weights), and
+    // everything downstream would re-derive it once per reference —
+    // multiplicatively, since those consumers are themselves referenced
+    // more than once. Materialize the bounded relation (localCheckpoint:
+    // fbDocs rows) so the plan holds a leaf instead of a copy of the
+    // ranking subtree.
     val pass1 = queryLikelihoodTopK(docs, idCol, textCol, queryTerms,
-      k = fbDocs, mu = mu)
+      k = fbDocs, mu = mu).localCheckpoint(true)
     val mx = pass1.agg(max(col("score")).as("__ms"))
     val fbw = pass1.crossJoin(broadcast(mx))
       .select(col(idCol),
         floor(exp(col("score") - col("__ms")) * 1000000 + 0.5)
           .cast("long").as("wq"))
+    // Join the (broadcast, fbDocs-row) weight relation to the DOCS
+    // before tokenizing: the inner join on the id commutes with the
+    // explode, so only the feedback documents are ever tokenized —
+    // the previous shape exploded the ENTIRE corpus and then dropped
+    // every non-feedback row at the join (guide §2.3: project/filter
+    // before the fan-out).
     val srel = docs
-      .select(col(idCol),
+      .join(broadcast(fbw), idCol.toString :: Nil)
+      .select(col(idCol), col("wq"),
         size(tokens(col(textCol))).cast("long").as("dl"),
         explode(tokens(col(textCol))).as("term"))
-      .join(broadcast(fbw), idCol.toString :: Nil)
       .groupBy(col(idCol), col("wq"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .groupBy(col("term"))
       .agg(sum(expr("(wq * tf * 1000000) div dl")).as("s"))
+    // fbTerms rows, referenced twice (Σs + the interpolation join):
+    // materialize for the same plan-size reason as pass1.
     val topE = srel.orderBy(col("s").desc, col("term")).limit(fbTerms)
+      .localCheckpoint(true)
     val sumS = topE.agg(sum("s").as("__ss"))
     import spark.implicits._
     val orig = queryTerms.groupBy(identity).view
@@ -240,8 +256,16 @@ object Retrieval {
       fbTerms: Int = 10, mu: Double = 2000.0): DataFrame = {
     val wrel = rm3Model(docs, idCol, textCol, queryTerms, fbDocs, fbTerms, mu)
       .select(col("term"), col("weight_micro").as("w"))
+    // 1-row corpus-length stat, referenced twice (c0 + the final
+    // score): materialize so the corpus is scanned for it once and the
+    // plan holds a leaf, not two copies of the scan.
     val stats = docs.agg(
       sum(size(tokens(col(textCol))).cast("long")).as("__sumdl"))
+      .localCheckpoint(true)
+    // The second corpus pass, reduced to the query's posting lists
+    // (≤ |matched terms| rows per doc). Referenced twice (cf2 + the
+    // per-doc score): materialize so the corpus explode+join+aggregate
+    // runs once instead of once per reference.
     val tf2 = docs
       .select(col(idCol),
         size(tokens(col(textCol))).cast("long").as("dl"),
@@ -249,6 +273,7 @@ object Retrieval {
       .join(broadcast(wrel), "term")
       .groupBy(col(idCol), col("dl"), col("term"), col("w"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cf2 = tf2.groupBy("term").agg(sum("tf").as("cf"))
     def muP = lit(mu) *
       (col("cf").cast("double") / col("__sumdl").cast("double"))

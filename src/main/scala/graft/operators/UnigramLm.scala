@@ -148,6 +148,14 @@ object UnigramLm {
   def refit(
       docs: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
       maxPiece: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    // The vocab relation is referenced twice (the DP's broadcast map
+    // AND the final recount join), and the localCheckpoint barrier in
+    // the middle of this method splits the plan into two queries — so
+    // without materialization the caller's fitVocab (a full corpus
+    // n-gram pass) would execute once per half. Checkpoint it once up
+    // front: the relation is vocabulary-sized (bounded by the n-gram
+    // alphabet, not the corpus).
+    val voc = vocab.localCheckpoint(true)
     val occ = docs.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1 &&
@@ -157,7 +165,7 @@ object UnigramLm {
     // of them at once: the words relation is vocabulary-sized, and
     // the barrier keeps the optimizer from re-deriving the chained dp
     // projections inside the fold's lambda (tree blow-up → OOM)
-    val withDp = withDpColumns(occ.select("word"), vocab,
+    val withDp = withDpColumns(occ.select("word"), voc,
       maxPiece, maxWordLen)
       .withColumn("__dparr",
         array((0 to maxWordLen).map(i => col(s"__dp$i")): _*))
@@ -194,12 +202,16 @@ object UnigramLm {
             .otherwise(struct(lit(0L).as("p"),
               acc.getField("ps").as("ps")))
         }).getField("ps"))
+    // vocabulary-sized and referenced (through `joined`) twice — once
+    // for the new total, once for the rescore projection: materialize
+    // so the backtrace explode+join runs once.
     val viterbiCounts = walked
       .select(col("word"), explode(col("__pieces")).as("piece"))
       .join(broadcast(freq), "word")
       .groupBy("piece")
       .agg(sum("__wf").as("viterbi_cnt"))
-    val joined = vocab.join(viterbiCounts, Seq("piece"), "left")
+      .localCheckpoint(true)
+    val joined = voc.join(viterbiCounts, Seq("piece"), "left")
       .select(col("piece"), col("cnt"), col("score_micro"),
         coalesce(col("viterbi_cnt"), lit(0L)).as("viterbi_cnt"))
     val tot = joined.agg(sum("viterbi_cnt").as("__t"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
 
 /** Multinomial NB: hand-computed smoothed likelihoods, deterministic
   * vocab truncation, OOV-only prior fallback with smaller-class tie
@@ -149,6 +150,30 @@ class NaiveBayesSpec extends SparkFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("predictFolds ≡ per-fold predict union (fold routing, scores, ties)") {
+    val docs = Seq(
+      (0L, "a", "cat sat mat"), (1L, "a", "cat cat"), (2L, "b", "dog ran"),
+      (3L, "b", "dog dog barks"), (4L, "a", "cat dog"), (5L, "b", "zzz"),
+      (6L, "a", "sat"), (7L, "b", "dog cat cat"), (8L, "a", ""),
+      (9L, "b", "barks mat")).toDF("id", "cls", "text")
+    val nFolds = 3
+    val models = (0 until nFolds).map { f =>
+      val tr = docs.filter(col("id") % nFolds =!= f)
+      (NaiveBayes.fit(tr, "cls", "text", vocabSize = 8),
+        NaiveBayes.priors(tr, "cls", "text"))
+    }
+    val want = (0 until nFolds).map { f =>
+      NaiveBayes.predict(docs.filter(col("id") % nFolds === f),
+        "id", "cls", "text", models(f)._1, models(f)._2)
+        .select(lit(f.toLong).as("fold"), col("id"), col("actual"),
+          col("predicted"), col("score_micro"))
+    }.reduce(_ unionByName _).orderBy("fold", "id").collect().toSeq
+    val got = NaiveBayes.predictFolds(docs, "id", "cls", "text",
+      col("id") % nFolds, models)
+      .orderBy("fold", "id").collect().toSeq
+    assert(got === want)
   }
 
   test("model and predictions are identical under different partitionings") {
