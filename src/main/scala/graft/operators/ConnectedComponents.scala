@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /**
  * Connected components over an undirected edge list — the missing step
@@ -40,6 +41,15 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  /** Edge-count gate for the driver union-find fast path in
+    * [[components]]: ≤ gate rows × 16 B ≈ 4 MB of driver memory — the
+    * same order as `spark.sql.autoBroadcastJoinThreshold`'s 10 MB
+    * default. Parameterised (`spark.graft.cc.driverEdgeGate`; set 0 to
+    * force the distributed loop) because the right value is a cluster
+    * sizing decision, not a constant. */
+  private def driverEdgeGate(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.cc.driverEdgeGate", "262144").toLong
+
   /**
    * @param edges   pair list (one row per undirected edge)
    * @param srcCol  source-id column name
@@ -60,11 +70,72 @@ object ConnectedComponents {
     // stage; at cluster scale it deletes the one per-round shuffle
     // whose size is O(|E|), leaving only the O(|V|) aggregate
     // exchange (r10 profile, SCALING.md).
-    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+    // Symmetrize with ONE explode, not union(edges, edges-reversed):
+    // the union form references the edge subtree twice and Catalyst
+    // derives it once per branch — for threshold-join pair graphs
+    // (LSH, blocked Jaccard) that executed the entire upstream join
+    // twice before the first CC round even started.
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("u"), col(dstCol).as("v")),
+        struct(col(dstCol).as("u"), col(srcCol).as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .distinct()
       .repartition(col("v"))
       .localCheckpoint(true)
+
+    // Size-gated driver fast path — the union-find analogue of a
+    // broadcast join. The symmetrized edge list is already materialized
+    // (checkpoint above), so its row count is one cheap cached-scan
+    // job; when the PAIR GRAPH — not the corpus — fits the same order
+    // of memory Spark would happily broadcast (driverEdgeGate rows ×
+    // 16 B ≈ 4 MB, vs the 10 MB autoBroadcastJoinThreshold), the
+    // transitive closure is a driver union-find over the collected
+    // edges instead of O(log d) distributed rounds of 2 joins + 1
+    // aggregate each. Near-dup pair graphs are SPARSE BY CONSTRUCTION
+    // (threshold joins emit matches, not the corpus), so at bench
+    // scale this replaces ~10-25 sequential jobs with one collect; at
+    // 100 TB a billions-of-edges graph fails the gate and takes the
+    // loop below, whose per-round shape is unchanged. Output is
+    // bit-identical (min reachable id; randomized equivalence pinned
+    // in ConnectedComponentsSpec). Driver path requires integral ids;
+    // anything else falls through to the loop.
+    val intTypes: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType)
+    if (sym.schema.fields.forall(f => intTypes(f.dataType)) &&
+        sym.count() <= driverEdgeGate(edges)) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      sym.collect().foreach { row =>
+        val u = if (row.get(0).isInstanceOf[Long]) row.getLong(0) else row.getInt(0).toLong
+        val v = if (row.get(1).isInstanceOf[Long]) row.getLong(1) else row.getInt(1).toLong
+        if (!parent.containsKey(u)) parent.put(u, u)
+        if (!parent.containsKey(v)) parent.put(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv) }
+      }
+      // roots are already each component's minimum id: unions always
+      // attach the larger root under the smaller, and every node's id
+      // is itself a candidate root at insertion.
+      val spark = edges.sparkSession
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      // snapshot ids first: find()'s path compression writes to the map
+      val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
+      ids.foreach { id =>
+        rows.add(org.apache.spark.sql.Row(id.longValue, find(id.longValue)))
+      }
+      val asLong = spark.createDataFrame(rows, StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("component", LongType, nullable = false))))
+      val (idT, compT) = (sym.schema.fields(0).dataType, sym.schema.fields(1).dataType)
+      return asLong.select(
+        col("id").cast(idT).as("id"), col("component").cast(compT).as("component"))
+    }
 
     // Round 0 fused into initialization: label(v) = min(v, min neighbor)
     // is what the first propagation round would compute, but it is a
@@ -100,12 +171,21 @@ object ConnectedComponents {
         else Seq(labels
           .join(labels.select(col("u").as("label"), col("label").as("__hop")), "label")
           .select(col("u"), col("__hop").as("label"), lit(false).as("own")))
+      // LAZY checkpoint + one FULL aggregate: the convergence count's
+      // map side computes every partition of `next`, and Spark's
+      // end-of-job doCheckpoint persists exactly what the job computed
+      // — so ONE action per round both materializes the round's labels
+      // and returns the verdict, where the eager-checkpoint +
+      // separate-isEmpty shape paid two scheduled actions per round.
       val next = (Seq(own, nbr) ++ hop).reduce(_ union _)
         .groupBy("u")
         .agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("__old"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") < col("__old")).isEmpty
+        .localCheckpoint(false)
+      val changedRow = next
+        .agg(sum(when(col("label") < col("__old"), 1L)).as("__changed"))
+        .first()
+      converged = changedRow.isNullAt(0) || changedRow.getLong(0) == 0L
       labels = next.drop("__old")
       iter += 1
     }

@@ -257,8 +257,10 @@ object Evaluation {
    * keep strength 0 after round 1 (W_i = 0 is the MM fixed point).
    *
    * Shape at 100 TB: the game log collapses scan-locally to the
-   * ordered-pair count relation (≤ K² rows for K items); all `iters`
-   * rounds run on that slim relation with broadcast strength maps.
+   * ordered-pair count relation (≤ K² rows for K items); that bounded
+   * relation — like the K strengths — is driver model state, so all
+   * `iters` MM rounds replay on the driver with exact BigInt
+   * arithmetic (one collect total, no per-round jobs).
    */
   def bradleyTerry(
       prefs: DataFrame, winnerCol: String, loserCol: String,
@@ -275,8 +277,12 @@ object Evaluation {
     // the KMeansExact/QualityClassifier fit-boundary convention.
     val dir = prefs.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
       .agg(count(lit(1)).as("w"))
-    val nsym = dir.select(col("i"), col("j"), col("w"))
-      .unionAll(dir.select(col("j").as("i"), col("i").as("j"), col("w")))
+    // one explode, not unionAll(dir, dir-reversed): the union form
+    // derives the preference-log aggregate once per branch
+    val nsym = dir.select(explode(array(
+        struct(col("i"), col("j"), col("w")),
+        struct(col("j").as("i"), col("i").as("j"), col("w")))).as("__e"))
+      .select(col("__e.i").as("i"), col("__e.j").as("j"), col("__e.w").as("w"))
       .groupBy("i", "j").agg(sum("w").as("n_ij"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wins = nsym.join(
@@ -293,25 +299,25 @@ object Evaluation {
       val items = winsRows.map(_.get(0)).toSeq
       val winsM = winsRows.map(r => r.get(0) -> r.getLong(1)).toMap
       val k = items.length
+      // The MM rounds need only the ≤ K² pair-count relation and the K
+      // strengths: collect nsym ONCE (the same K²-bounded model state
+      // the strength map already is) and replay the rounds on the
+      // driver — one job instead of a broadcast-join + collect per
+      // round. Arithmetic is identical: DECIMAL(38,0) `div` is exact
+      // truncated division of positive integers ≡ BigInt `/`, and the
+      // per-i sums are exact long sums either way. greatest(…, 1)
+      // guards the all-zero-strength corner (two never-winning items
+      // playing each other).
+      val pairRows = nsym.collect()
+        .map(r => (r.get(0), r.get(1), r.getLong(2)))
       var p: Map[Any, Long] = items.map(_ -> BtScale).toMap
       for (_ <- 1 to iters) {
-        val pDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            items.map(it => Row(it, p(it))), 1), pSchema)
-        // the division products run in DECIMAL(38,0)/BigInt — exact
-        // truncation (plain decimal `/` rounds at scale 6, which can
-        // disagree with a floor at half-way boundaries); BIGINT would
-        // wrap past n_ij ~9e6 at the 1e12 factor. greatest(…, 1)
-        // guards the all-zero-strength corner (two never-winning
-        // items playing each other).
-        val denom = nsym
-          .join(broadcast(pDf.select(col("__pk").as("i"), col("p").as("p_i"))), "i")
-          .join(broadcast(pDf.select(col("__pk").as("j"), col("p").as("p_j"))), "j")
-          .groupBy("i")
-          .agg(sum(expr(
-            s"(CAST(n_ij AS DECIMAL(38,0)) * $BtFactor) div " +
-              "greatest(p_i + p_j, 1L)")).as("denom"))
-          .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+        val denom = new scala.collection.mutable.HashMap[Any, Long]()
+        pairRows.foreach { case (i, j, nIj) =>
+          val term =
+            (BigInt(nIj) * BtFactor / BigInt(math.max(p(i) + p(j), 1L))).toLong
+          denom.update(i, denom.getOrElse(i, 0L) + term)
+        }
         val praw = items.map { it =>
           val d = denom.getOrElse(it, 0L)
           it -> (if (d > 0) (BigInt(winsM(it)) * BtFactor / d).toLong else 0L)

@@ -68,7 +68,9 @@ object GenEval {
       Seq(sum(element_at(col("__c"), 3 * (n - 1) + 1)).as(s"o_$n"),
         sum(element_at(col("__c"), 3 * (n - 1) + 2)).as(s"t_$n"))
     } :+ sum(element_at(col("__c"), 3)).as("r")
-    val one = pairs.select(oc.as("__c")).agg(aggs.head, aggs.tail: _*)
+    // widen: gram counting dominates; the sums are exact longs
+    val one = Fanout.widen(pairs.select(oc.as("__c")))
+      .agg(aggs.head, aggs.tail: _*)
     // t_n = 0 (no candidate n-grams anywhere) → p_n = 0, and o_n = 0
     // forces bleu = 0 through anyZero — total under ANSI mode instead
     // of an integral-division error
@@ -108,7 +110,9 @@ object GenEval {
         sum(element_at(col("__c"), 3 * (n - 1) + 2)).as(s"tp_$n"),
         sum(element_at(col("__c"), 3 * (n - 1) + 3)).as(s"tg_$n"))
     }
-    val one = pairs.select(oc.as("__c")).agg(aggs.head, aggs.tail: _*)
+    // widen: gram counting dominates; the sums are exact longs
+    val one = Fanout.widen(pairs.select(oc.as("__c")))
+      .agg(aggs.head, aggs.tail: _*)
     val b2 = beta * beta
     one
       .select((1 to maxN).flatMap(n => Seq(
@@ -164,7 +168,9 @@ object GenEval {
         sum(element_at(src, 3 * (n - 1) + 2)).as(s"tp_$t$n"),
         sum(element_at(src, 3 * (n - 1) + 3)).as(s"tg_$t$n"))
     }
-    val one = pairs.select(occ.as("__c"), ocw.as("__w"))
+    // widen: the gram kernels are the whole cost and the sums are
+    // exact longs — safe to fan out a one-row-group local scan
+    val one = Fanout.widen(pairs.select(occ.as("__c"), ocw.as("__w")))
       .agg(aggs.head, aggs.tail: _*)
     val b2 = beta * beta
     val fNames = orders.map { case (t, n) => s"f$t${n}_micro" }
@@ -290,7 +296,13 @@ object GenEval {
       .orderBy(col("__h"), col("__id"))
       .limit(sampleSize)
       .select(col("__id"), col("__t"))
-    val a = samp.select(col("__id").as("__ia"), col("__t").as("pred"))
+    // widen the stream side: limit() collapses the sample to ONE
+    // partition, so the sampleSize² BLEU kernels would all run in a
+    // single task; the pair work is bounded by sampleSize² at ANY
+    // corpus scale and the final agg is an exact decimal sum, so the
+    // fan-out is always partitioning-safe.
+    val a = Fanout.widen(
+      samp.select(col("__id").as("__ia"), col("__t").as("pred")))
     val b = samp.select(col("__id").as("__ib"), col("__t").as("gold"))
     val pairs = a.crossJoin(b).filter(col("__ia") =!= col("__ib"))
       .select((col("__ia") * 1000000L + col("__ib")).as("pid"),

@@ -116,8 +116,12 @@ object NswAnn {
       threshold = threshold, seed = seed, maxBucket = maxBucket)
       .select(col("id"), col("nbr_id"))
     val newEdges = toOld.unionByName(toNew)
-    val sym = newEdges.unionByName(
-      newEdges.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+    // one explode, not unionByName(newEdges, newEdges-reversed): the
+    // union form derives both LSH joins once per branch
+    val sym = newEdges.select(explode(array(
+        struct(col("id"), col("nbr_id")),
+        struct(col("nbr_id").as("id"), col("id").as("nbr_id")))).as("__e"))
+      .select(col("__e.id").as("id"), col("__e.nbr_id").as("nbr_id"))
     // distinct over the NEW edges only: every sym edge touches at
     // least one new node, so it cannot duplicate an old-adjacency row
     // — deduplicating the union would re-shuffle the whole old graph
@@ -276,11 +280,15 @@ object NswAnn {
     var converged = false
     while (iter < maxIters && !converged) {
       val beamIds = best.map(_._1)
+      // No distinct() on the probe: it would add an exchange + an AQE
+      // job to EVERY hop to dedup a relation the driver already holds
+      // — the collect is bounded at beam × degree rows either way, and
+      // the `visited` filter below dedups for free.
       val nbrs = graph.adj
         .filter(col("id").isin(beamIds.map(Long.box): _*))
-        .select("nbr_id").distinct()
+        .select("nbr_id")
         .collect().map(_.getLong(0))
-        .filterNot(visited).toSeq
+        .distinct.filterNot(visited).toSeq
       if (nbrs.isEmpty) converged = true
       else {
         visited ++= nbrs

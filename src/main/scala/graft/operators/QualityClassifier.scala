@@ -317,8 +317,10 @@ object QualityClassifier {
    * discipline as [[fit]]: per-row gradient terms micro-quantized
    * (`floor(x·10⁶ + 0.5)`) BEFORE the exact BIGINT sum, parameters
    * updated by `floor(lr·Σ/n + 0.5)` — A and B are bit-identical
-   * micro integers in any engine after every step. `iters` + 1
-   * bounded aggregates; driver state is two longs.
+   * micro integers in any engine after every step. ONE distributed
+   * aggregate (the grid-bounded (sb, y) histogram); the iteration
+   * loop runs on the driver over that histogram (see the body
+   * comment for why that is exact).
    *
    * @return one row: (n, n_pos, t_pos_micro, t_neg_micro, a_micro,
    *         b_micro)
@@ -326,37 +328,48 @@ object QualityClassifier {
   def plattSummary(
       scored: DataFrame, scoreCol: String, labelCol: String,
       iters: Int = PlattIters, lr: Double = 4.0): DataFrame = {
-    val base = scored.select(
+    // The per-iteration gradient term floor((p−t)·…·10⁶ + 0.5) is a
+    // pure function of the (sb, y) CELL, and sb is 4-dp-quantized —
+    // so the whole fit is determined by the ≤ 2·10001-row histogram
+    // (the quantization GRID bounds it, not the corpus). ONE hash
+    // aggregate + a driver loop over the histogram replaces `iters`
+    // sequential aggregate jobs over the corpus-sized relation:
+    // Σ_rows floor(f(sb,y)) ≡ Σ_cells c·floor(f(sb,y)) exactly, and
+    // the driver evaluates f with the same java.lang.Math IEEE ops
+    // Spark's codegen uses, so every (a, b) trajectory is
+    // bit-identical (spec-pinned against the distributed form). This
+    // is the model-fit-boundary collect class ([[fit]]'s k-double
+    // discipline): grid-bounded state, never data.
+    val hist = scored.select(
         floor(col(scoreCol) * 10000 + 0.5).cast("long").as("sb"),
         col(labelCol).cast("long").as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cnt = base.agg(count(lit(1)).as("n"), sum("y").as("np")).collect()(0)
-      val n = cnt.getLong(0); val nPos = cnt.getLong(1)
-      val nNeg = n - nPos
-      val tPos = (nPos + 1) * 1000000L / (nPos + 2)
-      val tNeg = 1000000L / (nNeg + 2)
-      val t = when(col("y") === 1, lit(tPos)).otherwise(lit(tNeg))
-        .cast("double") / lit(1e6)
-      val sd = col("sb").cast("double") / lit(10000.0)
-      var a = 0L; var b = 0L
-      for (_ <- 1 to iters) {
-        val p = lit(1.0) / (lit(1.0) +
-          exp(-(lit(a).cast("double") / lit(1e6) * sd +
-            lit(b).cast("double") / lit(1e6))))
-        val row = base.agg(
-          sum(floor((p - t) * sd * lit(1e6) + lit(0.5)).cast("long")).as("ga"),
-          sum(floor((p - t) * lit(1e6) + lit(0.5)).cast("long")).as("gb"))
-          .collect()(0)
-        def delta(s: Long): Long = math.floor(lr * s.toDouble / n + 0.5).toLong
-        a -= delta(row.getLong(0))
-        b -= delta(row.getLong(1))
+      .groupBy("sb", "y").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = hist.map(_._3).sum
+    val nPos = hist.collect { case (_, 1L, c) => c }.sum
+    val nNeg = n - nPos
+    val tPos = (nPos + 1) * 1000000L / (nPos + 2)
+    val tNeg = 1000000L / (nNeg + 2)
+    var a = 0L; var b = 0L
+    for (_ <- 1 to iters) {
+      var ga = 0L; var gb = 0L
+      hist.foreach { case (sb, y, c) =>
+        val sd = sb.toDouble / 10000.0
+        val t = (if (y == 1L) tPos else tNeg).toDouble / 1e6
+        val p = 1.0 / (1.0 +
+          math.exp(-(a.toDouble / 1e6 * sd + b.toDouble / 1e6)))
+        ga += c * math.floor((p - t) * sd * 1e6 + 0.5).toLong
+        gb += c * math.floor((p - t) * 1e6 + 0.5).toLong
       }
-      scored.sparkSession.range(1).select(
-        lit(n).as("n"), lit(nPos).as("n_pos"),
-        lit(tPos).as("t_pos_micro"), lit(tNeg).as("t_neg_micro"),
-        lit(a).as("a_micro"), lit(b).as("b_micro"))
-    } finally base.unpersist()
+      def delta(s: Long): Long = math.floor(lr * s.toDouble / n + 0.5).toLong
+      a -= delta(ga)
+      b -= delta(gb)
+    }
+    scored.sparkSession.range(1).select(
+      lit(n).as("n"), lit(nPos).as("n_pos"),
+      lit(tPos).as("t_pos_micro"), lit(tNeg).as("t_neg_micro"),
+      lit(a).as("a_micro"), lit(b).as("b_micro"))
   }
 
   /**

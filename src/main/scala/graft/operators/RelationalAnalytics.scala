@@ -46,8 +46,13 @@ object RelationalAnalytics {
    * partition-order dependent.
    */
   def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
-    lineitem
-      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+    // widen: the decimal partial sums are the whole query; on a
+    // one-row-group local file they'd run in a single map task
+    // (decimal arithmetic is the slowest per-row math in the suite).
+    // Exact decimal addition is order-insensitive, so the fan-out is
+    // safe; at scale the scan parallelizes and widen is a no-op.
+    Fanout.widen(lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         decSum(col("l_quantity")).as("sum_qty"),

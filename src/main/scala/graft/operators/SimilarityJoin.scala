@@ -317,10 +317,18 @@ object SimilarityJoin {
     require(k > 0, s"k must be positive: $k")
     val pairs = lshCosinePairsBanded(emb, idCol, vecCol, bitsPerTable,
       nTables, threshold, seed, scale, maxBucket)
-    val sym = pairs.select(
-        col("a_id").as("id"), col("b_id").as("nbr_id"), col("cos_sim"))
-      .unionAll(pairs.select(
-        col("b_id").as("id"), col("a_id").as("nbr_id"), col("cos_sim")))
+    // Symmetrize with ONE explode, not unionAll(pairs, pairs-reversed):
+    // the union form references the pairs subtree twice, and Catalyst
+    // derives the whole banded-LSH join once per branch (different
+    // projections defeat exchange reuse) — measured 2× the task time
+    // of the join itself at sf0.1. The explode emits both directions
+    // from the single pass; same rows exactly.
+    val sym = pairs.select(explode(array(
+        struct(col("a_id").as("id"), col("b_id").as("nbr_id"), col("cos_sim")),
+        struct(col("b_id").as("id"), col("a_id").as("nbr_id"), col("cos_sim"))))
+        .as("__e"))
+      .select(col("__e.id").as("id"), col("__e.nbr_id").as("nbr_id"),
+        col("__e.cos_sim").as("cos_sim"))
     topKPerGroup(sym, "id", "nbr_id", k)
       .withColumnRenamed("__graft_rank", "nbr_rank")
   }
@@ -342,10 +350,19 @@ object SimilarityJoin {
    *         one row per mutual pair.
    */
   def mutualKnn(graph: DataFrame): DataFrame = {
-    val fwd = graph.filter(col("id") < col("nbr_id"))
+    // The graph relation is referenced TWICE below (fwd + rev) with
+    // different pushed filters, so Catalyst cannot reuse the exchange
+    // and would derive the whole upstream plan — for a [[knnGraph]]
+    // argument, the entire banded-LSH join — once per side.
+    // Materialize it first: the relation is BOUNDED at n·k rows by the
+    // top-k aggregate regardless of corpus size, so this is a
+    // bounded-relation checkpoint (the pass1/topE discipline in
+    // [[Retrieval]]), not a cache of corpus-sized data.
+    val g = graph.localCheckpoint(true)
+    val fwd = g.filter(col("id") < col("nbr_id"))
       .select(col("id").as("a_id"), col("nbr_id").as("b_id"),
         col("cos_sim"), col("nbr_rank").as("rank_ab"))
-    val rev = graph.filter(col("id") > col("nbr_id"))
+    val rev = g.filter(col("id") > col("nbr_id"))
       .select(col("nbr_id").as("a_id"), col("id").as("b_id"),
         col("nbr_rank").as("rank_ba"))
     fwd.join(rev, Seq("a_id", "b_id"))
