@@ -54,7 +54,12 @@ object Bench {
     // r15 addition: sweep readings swing 3.5–5.7 s while isolated
     // min-of-3 holds 4.3–4.8 across JVMs (SCALING.md r15 cluster
     // note) — record both every round so the next drift self-adjudicates
-    "classifier_nb_cv")
+    "classifier_nb_cv",
+    // r17 addition (VERDICT r16 item 5): the streamed family drifted
+    // +20–60% driver-to-driver for two rounds with no code change;
+    // record sweep AND isolated for the two worst so the drift
+    // self-adjudicates as environment vs plan.
+    "events_mapstate_streamed", "events_join_streamed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,13 +96,23 @@ object ConnectedComponents {
     // scale this replaces ~10-25 sequential jobs with one collect; at
     // 100 TB a billions-of-edges graph fails the gate and takes the
     // loop below, whose per-round shape is unchanged. Output is
-    // bit-identical (min reachable id; randomized equivalence pinned
-    // in ConnectedComponentsSpec). Driver path requires integral ids;
-    // anything else falls through to the loop.
+    // bit-identical (min reachable id; randomized driver≡loop
+    // equivalence pinned in ConnectedComponentsSpec, which also forces
+    // the distributed loop with driverEdgeGate=0). Driver path requires
+    // integral NON-NULL ids (a null id would NPE the unbox below, where
+    // the loop treats null as a groupBy key); the null check rides the
+    // same single aggregate job that sizes the gate. gate <= 0 is the
+    // documented force-distributed setting, honored even for an empty
+    // edge list.
     val intTypes: Set[org.apache.spark.sql.types.DataType] =
       Set(LongType, IntegerType)
-    if (sym.schema.fields.forall(f => intTypes(f.dataType)) &&
-        sym.count() <= driverEdgeGate(edges)) {
+    val gate = driverEdgeGate(edges)
+    val gateStats =
+      if (gate > 0 && sym.schema.fields.forall(f => intTypes(f.dataType)))
+        Some(sym.agg(count(lit(1)), count(col("u")), count(col("v"))).first())
+      else None
+    if (gateStats.exists(s => s.getLong(0) <= gate &&
+        s.getLong(1) == s.getLong(0) && s.getLong(2) == s.getLong(0))) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x

@@ -257,10 +257,13 @@ object Evaluation {
    * keep strength 0 after round 1 (W_i = 0 is the MM fixed point).
    *
    * Shape at 100 TB: the game log collapses scan-locally to the
-   * ordered-pair count relation (≤ K² rows for K items); that bounded
-   * relation — like the K strengths — is driver model state, so all
-   * `iters` MM rounds replay on the driver with exact BigInt
-   * arithmetic (one collect total, no per-round jobs).
+   * ordered-pair count relation (≤ K² rows for K items). When that
+   * relation fits driver memory (`spark.graft.bt.pairCollectGate`
+   * rows; set 0 to force distributed) it — like the K strengths — is
+   * driver model state, so all `iters` MM rounds replay on the driver
+   * with exact BigInt arithmetic (one collect total, no per-round
+   * jobs); above the gate the rounds run as distributed DECIMAL(38,0)
+   * aggregates with broadcast strength maps, identical trajectory.
    */
   def bradleyTerry(
       prefs: DataFrame, winnerCol: String, loserCol: String,
@@ -300,33 +303,68 @@ object Evaluation {
       val winsM = winsRows.map(r => r.get(0) -> r.getLong(1)).toMap
       val k = items.length
       // The MM rounds need only the ≤ K² pair-count relation and the K
-      // strengths: collect nsym ONCE (the same K²-bounded model state
-      // the strength map already is) and replay the rounds on the
+      // strengths. When the pair relation fits driver memory
+      // (`spark.graft.bt.pairCollectGate` rows, the broadcast-analogue
+      // sizing; K models ⇒ ≤ K² rows, so the gate only fails for very
+      // many items), collect nsym ONCE and replay the rounds on the
       // driver — one job instead of a broadcast-join + collect per
       // round. Arithmetic is identical: DECIMAL(38,0) `div` is exact
-      // truncated division of positive integers ≡ BigInt `/`, and the
-      // per-i sums are exact long sums either way. greatest(…, 1)
+      // truncated division of positive integers ≡ BigInt `/`, the
+      // per-i term sums accumulate in BigInt (a Long would silently
+      // wrap past n_ij ~9e6 games at the 1e12 factor — the corner the
+      // DECIMAL(38,0) path handles exactly), and the denominator is
+      // consumed as BigInt so no narrowing ever wraps. greatest(…, 1)
       // guards the all-zero-strength corner (two never-winning items
-      // playing each other).
-      val pairRows = nsym.collect()
-        .map(r => (r.get(0), r.get(1), r.getLong(2)))
+      // playing each other). Above the gate the pre-existing
+      // distributed MM rounds run unchanged (broadcast strengths +
+      // DECIMAL(38,0) aggregate per round); both paths are pinned
+      // equal in EvaluationSpec.
+      val pairGate = spark.conf
+        .get("spark.graft.bt.pairCollectGate", "262144").toLong
+      val driverReplay = pairGate > 0 && nsym.count() <= pairGate
       var p: Map[Any, Long] = items.map(_ -> BtScale).toMap
-      for (_ <- 1 to iters) {
-        val denom = new scala.collection.mutable.HashMap[Any, Long]()
-        pairRows.foreach { case (i, j, nIj) =>
-          val term =
-            (BigInt(nIj) * BtFactor / BigInt(math.max(p(i) + p(j), 1L))).toLong
-          denom.update(i, denom.getOrElse(i, 0L) + term)
+      if (driverReplay) {
+        val pairRows = nsym.collect()
+          .map(r => (r.get(0), r.get(1), r.getLong(2)))
+        for (_ <- 1 to iters) {
+          val denom = new scala.collection.mutable.HashMap[Any, BigInt]()
+          pairRows.foreach { case (i, j, nIj) =>
+            val term = BigInt(nIj) * BtFactor / BigInt(math.max(p(i) + p(j), 1L))
+            denom.update(i, denom.getOrElse(i, BigInt(0)) + term)
+          }
+          val praw = items.map { it =>
+            val d = denom.getOrElse(it, BigInt(0))
+            it -> (if (d > 0) (BigInt(winsM(it)) * BtFactor / d).toLong else 0L)
+          }.toMap
+          val tot = praw.values.map(BigInt(_)).sum
+          p = items.map { it =>
+            it -> (if (tot > 0) (BigInt(praw(it)) * k * BtScale / tot).toLong
+                   else 0L)
+          }.toMap
         }
-        val praw = items.map { it =>
-          val d = denom.getOrElse(it, 0L)
-          it -> (if (d > 0) (BigInt(winsM(it)) * BtFactor / d).toLong else 0L)
-        }.toMap
-        val tot = praw.values.map(BigInt(_)).sum
-        p = items.map { it =>
-          it -> (if (tot > 0) (BigInt(praw(it)) * k * BtScale / tot).toLong
-                 else 0L)
-        }.toMap
+      } else {
+        for (_ <- 1 to iters) {
+          val pRound = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              items.map(it => Row(it, p(it))), 1), pSchema)
+          val denom = nsym
+            .join(broadcast(pRound.select(col("__pk").as("i"), col("p").as("p_i"))), "i")
+            .join(broadcast(pRound.select(col("__pk").as("j"), col("p").as("p_j"))), "j")
+            .groupBy("i")
+            .agg(sum(expr(
+              s"(CAST(n_ij AS DECIMAL(38,0)) * $BtFactor) div " +
+                "greatest(p_i + p_j, 1L)")).as("denom"))
+            .collect().map(r => r.get(0) -> BigInt(r.getLong(1))).toMap
+          val praw = items.map { it =>
+            val d = denom.getOrElse(it, BigInt(0))
+            it -> (if (d > 0) (BigInt(winsM(it)) * BtFactor / d).toLong else 0L)
+          }.toMap
+          val tot = praw.values.map(BigInt(_)).sum
+          p = items.map { it =>
+            it -> (if (tot > 0) (BigInt(praw(it)) * k * BtScale / tot).toLong
+                   else 0L)
+          }.toMap
+        }
       }
       val pDf = spark.createDataFrame(
         spark.sparkContext.parallelize(

@@ -131,6 +131,24 @@ class EvaluationSpec extends SparkFunSuite {
     assert(r(1L) > 0L && r(2L) > 0L)
   }
 
+  test("bradleyTerry: driver replay and distributed MM rounds agree") {
+    import spark.implicits._
+    // pairCollectGate=0 forces the distributed DECIMAL(38,0) rounds —
+    // the above-gate path for huge item universes; default takes the
+    // driver BigInt replay. Both must produce the identical trajectory.
+    val rnd = new scala.util.Random(11)
+    val games = Seq.fill(300)((rnd.nextInt(7).toLong, rnd.nextInt(7).toLong))
+      .filter(p => p._1 != p._2)
+    val viaDriver = Evaluation.bradleyTerry(games.toDF("w", "l"), "w", "l")
+      .orderBy("item").collect().toSeq
+    spark.conf.set("spark.graft.bt.pairCollectGate", "0")
+    val viaDistributed =
+      try Evaluation.bradleyTerry(games.toDF("w", "l"), "w", "l")
+        .orderBy("item").collect().toSeq
+      finally spark.conf.unset("spark.graft.bt.pairCollectGate")
+    assert(viaDistributed === viaDriver)
+  }
+
   test("bradleyTerry: deterministic across partitionings") {
     import spark.implicits._
     val games = (0L until 200L)
