@@ -234,6 +234,22 @@ object SparkEntry {
     wordpieceCache.computeIfAbsent(d,
       dir => WordPiece.train(table(s, dir, "documents"), "text"))
 
+  /** Fitted unigram-LM vocabulary per sf dir — same one-time-fit
+    * sharing as [[bpeCache]]/[[wordpieceCache]] (the r16 verdict
+    * flagged the inconsistency: tokenizer_compare offline-cached the
+    * BPE and WordPiece fits but re-ran the unigram fit per rep). The
+    * fit is materialized (fitVocab localCheckpoints its count
+    * relation), so the cached handle is a vocabulary-sized RDD, not a
+    * lazy corpus plan. The unigram_vocab/segment/refit rows keep
+    * calling fitVocab directly — the fit itself stays a measured
+    * query. */
+  private val ugVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def ugVocab(s: SparkSession, d: String): DataFrame =
+    ugVocabCache.computeIfAbsent(d,
+      dir => UnigramLm.fitVocab(table(s, dir, "documents"), "text"))
+
   /** Trained exact-k-means model per sf dir — the fit is a one-time
     * offline pass (Iters distributed rounds, k·dim-long driver
     * state), shared by the fit/assign rows. */
@@ -2608,10 +2624,16 @@ object SparkEntry {
     // one lazy plan end to end; the mixture verdicts stay pure BIGINT
     // and the oracle replays every stage.
     "recipe_to_batches" -> ((s, d) => {
+      // Slim (3-column) curated relation, materialized once: it is
+      // referenced by both the mixture plan and the sample filter —
+      // unmaterialized, the whole curation funnel re-derived per
+      // reference (guide §5.2 bounded-intermediate discipline; the
+      // checkpoint holds doc_id/source/n_tokens, never text).
       val curated = CurationPipeline.curate(table(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("source"),
           size(org.apache.spark.sql.functions.split(col("text"), " "))
             .cast("long").as("n_tokens"))
+        .localCheckpoint(true)
       val plan = MixtureSampling.mixturePlan(curated, "source",
         col("n_tokens"), tau = 0.6)
       val sampled = MixtureSampling.sampleByPlan(curated, "doc_id", "source", plan)
@@ -3077,7 +3099,7 @@ object SparkEntry {
     "tokenizer_compare" -> ((s, d) => {
       val docs = table(s, d, "documents")
       TokenizerCompare.card(docs, "text", bpeMerges(s, d),
-        wordpieceModel(s, d), UnigramLm.fitVocab(docs, "text"))
+        wordpieceModel(s, d), ugVocab(s, d))
         .orderBy("tokenizer")
     }),
     // Tokenizer fertility per language — the multilingual-equity card
@@ -5130,6 +5152,12 @@ object SparkEntry {
           Seq((src, s"partner$q.example"), (src, s"site$h.com"), (src, src))
         }
         .toDF("src", "dst")
+        // The typed flatMap is OPAQUE (no exchange under it, so AQE
+        // reuse can never dedup it): every reference inside the LPA
+        // rounds + modularity re-ran the corpus scan + flatMap.
+        // Materialize the slim edge list once (3 rows/doc of two short
+        // strings).
+        .localCheckpoint(true)
       graft.operators.LinkRank.modularity(edges,
         graft.operators.LinkRank.labelPropagation(edges, iters = 3))
     }),

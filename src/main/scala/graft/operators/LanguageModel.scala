@@ -62,38 +62,75 @@ object LanguageModel {
       .select(col("doc_id"), col("w"), least(col("p") + 1, lit(3)).as("nw"))
   }
 
-  /** Unigram counts: (g, cnt) over every position's last token. */
-  def uniCounts(pos: DataFrame): DataFrame =
-    pos.groupBy(substring_index(col("w"), " ", -1).as("g"))
+  /** ONE corpus pass serving every count table: the distinct-window
+    * count relation. Every consumer ([[uniFrom]]/[[biFrom]]/
+    * [[triFrom]]) aggregates over this IDENTICAL subtree — same
+    * columns consumed, no filter below it — so the exchange
+    * canonicalizes once and AQE's ReusedExchange runs the corpus
+    * explode a single time at runtime, where the pre-r17 shape (four
+    * aggregates keyed differently straight over the positions explode)
+    * had four incompatible exchanges and four corpus passes.
+    *
+    * Two deliberate non-obvious choices keep the subtrees identical:
+    *  - NOT localCheckpoint'ed: an eager barrier here was measured
+    *    25–30 % SLOWER at sf0.1 (it serializes the materialize, then
+    *    the downstream branches, where exchange reuse keeps the
+    *    re-aggregations pipelined in one job DAG);
+    *  - the order filters live INSIDE the downstream aggregates
+    *    (`sum(when(nw…))`) rather than as `.filter` — a filter on the
+    *    grouping key pushes below this aggregate and forks the
+    *    exchange into per-order variants, killing the reuse.
+    * The re-aggregation is exact:
+    * Σ_{windows with key g} 1 ≡ Σ_{distinct windows, key g} cnt. */
+  private def windowCounts(pos: DataFrame): DataFrame =
+    pos.groupBy(col("w"), col("nw"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Bigram counts: (g, cnt) over the last two tokens of every
-    * order-≥2 window. Unpruned — also the trigram backoff denominator. */
-  def biCounts(pos: DataFrame): DataFrame =
-    pos.filter(col("nw") >= 2)
-      .groupBy(substring_index(col("w"), " ", -2).as("g"))
-      .agg(count(lit(1)).as("cnt"))
+  /** Unigram counts over every position's last token. The `nw >= 1`
+    * guard is an identity (orders are 1..3) whose purpose is to consume
+    * the same column set as [[biFrom]]/[[triFrom]], so column pruning
+    * cannot fork the shared [[windowCounts]] exchange. */
+  private def uniFrom(cnt: DataFrame): DataFrame =
+    cnt.groupBy(substring_index(col("w"), " ", -1).as("g"))
+      .agg(sum(when(col("nw") >= 1, col("cnt"))).as("cnt"))
 
-  /** Trigram counts pruned at `minTriCount` (standard count pruning). */
-  def triCounts(pos: DataFrame, minTriCount: Int): DataFrame =
-    pos.filter(col("nw") === 3)
-      .groupBy(col("w").as("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minTriCount)
+  /** Bigram counts (last two tokens of order-≥2 windows; unpruned —
+    * also the trigram backoff denominator). Order-1 windows contain no
+    * space, so they can never collide with a real "x y" bigram key:
+    * groups whose sum is NULL are exactly the pre-r17 filtered-out
+    * ones. */
+  private def biFrom(cnt: DataFrame): DataFrame =
+    cnt.groupBy(substring_index(col("w"), " ", -2).as("g"))
+      .agg(sum(when(col("nw") >= 2, col("cnt"))).as("cnt"))
+      .filter(col("cnt").isNotNull)
+
+  /** Trigram counts pruned at `minTriCount` (standard count pruning).
+    * Only order-3 windows have 3-token keys, so NULL-sum groups are
+    * exactly the lower-order windows the pre-r17 filter dropped. */
+  private def triFrom(cnt: DataFrame, minTriCount: Int): DataFrame =
+    cnt.groupBy(col("w").as("g"))
+      .agg(sum(when(col("nw") === 3, col("cnt"))).as("cnt"))
+      .filter(col("cnt").isNotNull && col("cnt") >= minTriCount)
 
   /** Per-order model summary after pruning: (ord, n_grams, total_occ) —
     * the "model card" of a trained count LM. */
   def modelStats(docs: DataFrame, idCol: String, textCol: String,
       minTriCount: Int = 2): DataFrame = {
-    val pos = positions(docs, idCol, textCol)
+    // same one-corpus-pass discipline as [[windowScores]]: the three
+    // per-order tables re-aggregate the materialized window counts
+    // instead of re-running the positions explode once per order
+    val cnt = windowCounts(positions(docs, idCol, textCol))
+    val uni = uniFrom(cnt)
+    val bi = biFrom(cnt)
+    val tri = triFrom(cnt, minTriCount)
     def s(counts: DataFrame, ord: Int): DataFrame =
       counts.agg(
         count(lit(1)).as("n_grams"),
         coalesce(sum(col("cnt")), lit(0L)).as("total_occ"))
         .select(lit(ord.toLong).as("ord"), col("n_grams"), col("total_occ"))
-    s(uniCounts(pos), 1)
-      .unionAll(s(biCounts(pos), 2))
-      .unionAll(s(triCounts(pos, minTriCount), 3))
+    s(uni, 1)
+      .unionAll(s(bi, 2))
+      .unionAll(s(tri, 3))
       .orderBy("ord")
   }
 
@@ -131,13 +168,20 @@ object LanguageModel {
       minTriCount: Int = 2): DataFrame = {
     val pos = positions(docs, idCol, textCol)
     val mpos = positions(model, modelIdCol, modelTextCol)
-    val uni = uniCounts(mpos)
-    val bi = biCounts(mpos)
-    val tri = triCounts(mpos, minTriCount)
+    // ONE model-corpus pass: the four count relations (uni, bi, tri,
+    // total) are all re-aggregations of [[windowCounts]]'s shared
+    // per-window counts. Deriving each from `mpos` directly — the
+    // pre-r17 shape — re-ran the corpus explode once per table (4
+    // passes; the 473-line contamination_min_k plan).
+    val mcnt = windowCounts(mpos)
+    val uni = uniFrom(mcnt)
+    val bi = biFrom(mcnt)
+    val tri = triFrom(mcnt, minTriCount)
     // Corpus token mass N stays IN the plan as a 1-row broadcast cross
-    // join (repo convention — a driver-side count() would force an
-    // extra full pass at plan-build time).
-    val total = mpos.agg(count(lit(1)).cast("double").as("n_total"))
+    // join. Every position lands in exactly one last-token group, so
+    // N = Σ uni counts — derived from `uni` (not mcnt directly, whose
+    // narrower pruned projection would fork the shared exchange).
+    val total = uni.agg(sum("cnt").cast("double").as("n_total"))
 
     // Collapse repeated windows per document before probing the model:
     // the join side shrinks from |tokens| to |distinct (doc, window)|

@@ -62,8 +62,13 @@ object MixtureSampling {
       docs: DataFrame, stratumCol: String, tokens: Column,
       tau: Double, alpha: Double = 0.5): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1]: $tau")
+    // |sources| rows, referenced twice (the recipe rows and the total
+    // mass under them): materialize once, or the upstream corpus
+    // aggregate — for recipe_to_batches the entire curation funnel —
+    // derives once per reference.
     val per = docs.groupBy(col(stratumCol))
       .agg(sum(tokens).cast("long").as("t_tokens"))
+      .localCheckpoint(true)
     def heat(t: Column) =
       if (alpha == 0.5) sqrt(t) else pow(t, lit(alpha))
     val tot = per.agg(

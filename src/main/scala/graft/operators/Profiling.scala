@@ -32,9 +32,18 @@ object Profiling {
     * n_violating_keys). */
   def functionalDependency(
       df: DataFrame, relation: String, a: String, b: String): DataFrame = {
-    val counts = df.agg(
-      countDistinct(col(a)).as("n_lhs"),
-      countDistinct(col(a), col(b)).as("n_pairs"))
+    // Pre-aggregate to the distinct (a, b) relation first: the direct
+    // two-distinct agg plans as Expand (2× the input rows) through one
+    // shuffle, the dominant task time of profile_fds at sf0.1 (4.2 s).
+    // The distinct-pair relation dedups map-side and both counts derive
+    // from it exactly: n_lhs = distinct non-null a (every a value
+    // survives pair-distinct), n_pairs = pairs with both sides non-null
+    // (countDistinct(a, b) skips any-null rows, so the count must too).
+    val pairs = df.select(col(a).as("__a"), col(b).as("__b")).distinct()
+    val counts = pairs.agg(
+      countDistinct(col("__a")).as("n_lhs"),
+      count(when(col("__a").isNotNull && col("__b").isNotNull, 1))
+        .as("n_pairs"))
     counts.select(
       lit(relation).as("relation"),
       lit(s"$a -> $b").as("dependency"),

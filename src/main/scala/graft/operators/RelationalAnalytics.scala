@@ -140,6 +140,11 @@ object RelationalAnalytics {
    * counts with one 6-dp-rounded division at the end.
    */
   def basketPairs(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    // NOT materialized despite 4 references (order count, item counts,
+    // both self-join sides): the distinct's exchange is identical under
+    // all four, so AQE exchange reuse already runs the scan+distinct
+    // once — an eager localCheckpoint here was measured 14 % SLOWER at
+    // sf0.1 (r17; r16 predicted the same).
     val items = lineitem.select(col("l_orderkey").as("okey"),
       col("l_partkey").as("part")).distinct()
     val n = items.select(col("okey")).distinct()
@@ -180,6 +185,7 @@ object RelationalAnalytics {
   def assocRules(
       lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // same exchange-reuse reasoning as [[basketPairs]] — no checkpoint
     val items = lineitem.select(col("l_orderkey").as("okey"),
       col("l_partkey").as("part")).distinct()
     val n = items.select(col("okey")).distinct()

@@ -323,6 +323,10 @@ object SimilarityJoin {
     // projections defeat exchange reuse) — measured 2× the task time
     // of the join itself at sf0.1. The explode emits both directions
     // from the single pass; same rows exactly.
+    // Kept after an r17 A/B re-adjudication (VERDICT r16 item 5): the
+    // r16 driver sweep read knn_graph 22% slower, but same-box min-of-4
+    // BenchOne pairs measured explode 2.09 s vs union 2.32 s — the
+    // sweep reading was load, not this plan.
     val sym = pairs.select(explode(array(
         struct(col("a_id").as("id"), col("b_id").as("nbr_id"), col("cos_sim")),
         struct(col("b_id").as("id"), col("a_id").as("nbr_id"), col("cos_sim"))))

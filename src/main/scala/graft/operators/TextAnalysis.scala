@@ -248,12 +248,46 @@ object TextAnalysis {
       minTokens: Long = 20L, maxTokens: Long = 100000L,
       minStopRatio: Double = 0.01, maxPunctRatio: Double = 0.2): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val toks = tokens(col(textCol))
+    val (nTokens, meanWordLen, stopRatio, punctRatio, passed, nChecks) =
+      qualityParts(col(textCol), minTokens, maxTokens, minStopRatio,
+        maxPunctRatio)
+    docs.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      passed.cast("long").as("checks_passed"),
+      round(passed.cast("double") / nChecks, 6).as("quality"))
+  }
+
+  /** The quality-gate expression as a single Column — the scan-local
+    * form [[CurationPipeline]] attaches to the corpus row directly (a
+    * join back by id would shuffle the whole corpus to re-attach a
+    * per-row projection). Bit-identical to [[qualityScore]]'s
+    * `quality` column by construction (both build from
+    * [[qualityParts]]). */
+  def qualityColumn(
+      text: Column,
+      minTokens: Long = 20L, maxTokens: Long = 100000L,
+      minStopRatio: Double = 0.01, maxPunctRatio: Double = 0.2): Column = {
+    val (_, _, _, _, passed, nChecks) =
+      qualityParts(text, minTokens, maxTokens, minStopRatio, maxPunctRatio)
+    round(passed.cast("double") / nChecks, 6)
+  }
+
+  /** Shared metric expressions of [[qualityScore]]/[[qualityColumn]]:
+    * (nTokens, meanWordLen, stopRatio, punctRatio, passed, nChecks). */
+  private def qualityParts(
+      text: Column, minTokens: Long, maxTokens: Long,
+      minStopRatio: Double, maxPunctRatio: Double)
+      : (Column, Column, Column, Column, Column, Int) = {
+    val toks = tokens(text)
     val nTokens = size(toks).cast("long")
-    val nChars = length(col(textCol)).cast("long")
-    val nPunct = size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+    val nChars = length(text).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long")
     val meanWordLen = (nChars - (nTokens - lit(1L))).cast("double") / nTokens
-    val stopRatio = hitCount(col(textCol), StopWords).cast("double") / nTokens
+    val stopRatio = hitCount(text, StopWords).cast("double") / nTokens
     // empty text guard: 0/0 would be NULL and poison every check below
     val punctRatio = when(nChars === 0L, 0.0).otherwise(nPunct.cast("double") / nChars)
     val checks = Seq(
@@ -262,14 +296,7 @@ object TextAnalysis {
       stopRatio >= minStopRatio,
       punctRatio <= maxPunctRatio)
     val passed = checks.map(c => when(c, 1).otherwise(0)).reduce(_ + _)
-    docs.select(
-      col(idCol),
-      nTokens.as("n_tokens"),
-      round(meanWordLen, 6).as("mean_word_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      passed.cast("long").as("checks_passed"),
-      round(passed.cast("double") / checks.length, 6).as("quality"))
+    (nTokens, meanWordLen, stopRatio, punctRatio, passed, checks.length)
   }
 
   /**

@@ -40,10 +40,20 @@ object TokenizerCompare {
       maxPiece: Int = 4, maxWordLen: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
-    val words = docs.filter(col(textCol).isNotNull)
+    // ONE corpus pass: collapse the token stream to per-distinct-word
+    // COUNTS immediately (the pre-r17 shape exploded the corpus twice —
+    // once into the distinct-words relation, once for the final
+    // multiplicity join). Every corpus-level sum is the count-weighted
+    // sum over distinct words: Σ_tokens f(word) ≡ Σ_words cnt·f(word),
+    // exact in integers. The word-count relation is zipf-small and
+    // materialized once, so all three segmenters run over it without
+    // re-deriving the scan.
+    val wc = docs.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
-    val dw = words.select("word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("__wc"))
+      .localCheckpoint(true)
+    val dw = wc.select("word")
     val bpeLits = array(Bpe.mergeStrings(bpeMerges).map(lit): _*)
     val wpLits = array(wp.vocab.map(lit): _*)
     val ug = UnigramLm.segmentWords(dw, ugVocab, maxPiece, maxWordLen)
@@ -59,14 +69,18 @@ object TokenizerCompare {
         size(split(col("__wp_s"), " ")).cast("long").as("__wp_n"),
         (col("__wp_s") === "[UNK]").as("__wp_fb"))
       .join(ug, "word")
-    val one = words.join(broadcast(seg), "word")
-      .agg(count(lit(1)).as("nw"),
-        sum(octet_length(col("word")).cast("long")).as("nb"),
-        sum(col("__bpe_n")).as("t_bpe"),
-        sum(col("__ug_n")).as("t_ug"),
-        sum(when(col("__ug_fb"), 1L).otherwise(0L)).as("f_ug"),
-        sum(col("__wp_n")).as("t_wp"),
-        sum(when(col("__wp_fb"), 1L).otherwise(0L)).as("f_wp"))
+    // The three output rows are projections of this ONE bounded row;
+    // checkpointing it keeps the union from deriving the whole
+    // segmenter subtree once per tokenizer (3× plan + 3× execution).
+    val one = wc.join(broadcast(seg), "word")
+      .agg(sum(col("__wc")).as("nw"),
+        sum(octet_length(col("word")).cast("long") * col("__wc")).as("nb"),
+        sum(col("__bpe_n") * col("__wc")).as("t_bpe"),
+        sum(col("__ug_n") * col("__wc")).as("t_ug"),
+        sum(when(col("__ug_fb"), col("__wc")).otherwise(0L)).as("f_ug"),
+        sum(col("__wp_n") * col("__wc")).as("t_wp"),
+        sum(when(col("__wp_fb"), col("__wc")).otherwise(0L)).as("f_wp"))
+      .localCheckpoint(true)
     def row(name: String, t: String, f: Column) =
       one.select(lit(name).as("tokenizer"),
         col("nw").as("n_words"),

@@ -63,8 +63,13 @@ object UnigramLm {
           least(lit(maxPiece), length(col("w")) - col("i") + 1)))
           .as("l"))
       .select(expr("substring(w, i, l)").as("piece"))
+    // Materialize the vocabulary-sized count relation ONCE: `counts`
+    // is referenced both as the output rows and under the total-mass
+    // aggregate — unmaterialized, Catalyst derives the full corpus
+    // n-gram explode once per reference (two corpus passes per fit).
     val counts = pieces.groupBy("piece").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+      .localCheckpoint(true)
     val tot = counts.agg(sum("cnt").as("__t"))
     counts.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),
